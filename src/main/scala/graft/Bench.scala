@@ -1,23 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":...,"value":...,"queries":{...}}.
+  *
+  * Results are forced through the `noop` sink so every column of every
+  * operator is actually computed (a bare `.count()` lets Catalyst prune
+  * aggregates away). One warm-up query amortizes session/codegen startup so
+  * the numbers measure the plans, not JVM warm-up.
+  */
 object Bench {
+  /** Headline set: the full TPC-H-ish suite plus the scale-relevant
+    * extension operators. Cheap micro-coverage queries (op_*) are excluded —
+    * they measure milliseconds of overhead, not engine throughput. */
+  private val headline: Vector[String] =
+    (1 to 22).map(i => f"q$i%02d").toVector ++
+      Vector("ext_dedup_exact", "ext_dedup_jaccard", "ext_dedup_minhash",
+        "ext_ann_topk", "ext_token_count", "ext_fingerprint",
+        "op_events_session", "op_events_tumbling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // warm-up: JVM/codegen/parquet-footer caches
+    force("q06")
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** Every registered query suite, concatenated. Names must be unique. */
-  lazy val registry: Vector[Q] = Tpch.all
+  lazy val registry: Vector[Q] =
+    Tpch.all ++ OpsRelational.all ++ OpsWindows.all ++ Ext.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table registry for the driver-generated test data.
   *
@@ -16,7 +17,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright;
+      // read the raw int64 nanos and surface a microsecond TimestampType
+      // (Spark's native precision). DuckDB sees the same integers via
+      // epoch_us(), so oracle comparisons stay exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (`lineitem`, `orders`, ...) so
     * `spark.sql` queries can run against the same names the DuckDB oracle

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, fingerprinting, language-ID heuristics, quality
+  * scoring. All pure Column expressions (whole-stage codegen, no UDFs), so
+  * they run at scan speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish token count: runs of word chars, digits, or single punctuation
+    * marks — a cheap proxy for subword tokenizer counts. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Lowercased, punctuation-stripped, whitespace-collapsed text. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Word n-gram shingles as an array of strings (distinct not applied). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word n-gram shingles (used by Jaccard / MinHash dedup). */
+  def distinctShingles(text: Column, n: Int): Column =
+    array_distinct(shingles(text, n))
+
+  /** md5 fingerprint of the full normalized text (exact-dedup key). */
+  def md5Fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** md5 fingerprint of the first `nWords` words — a cheap prefix
+    * fingerprint that clusters near-duplicates sharing a prefix. */
+  def prefixFingerprint(text: Column, nWords: Int): Column =
+    md5(array_join(slice(words(text), 1, nWords), " ").cast("binary"))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of tokens that are common-English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val w = words(lower(text))
+    size(filter(w, t => t.isInCollection(stop))).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors moderate length, low
+    * punctuation, some stopwords — deterministic integer/double arithmetic
+    * reproducible in any engine. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(400.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    (lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2))
+  }
+
+  /** Character-n-gram language-ID heuristic: scores text against a tiny set
+    * of per-language marker substrings and returns the argmax language code.
+    * Deterministic CASE/score expression — mirrors fastText-style scoring at
+    * the cheapest possible level. */
+  def langIdHeuristic(text: Column): Column = {
+    val t = lower(text)
+    def score(markers: Seq[String]): Column =
+      markers.map(m => when(t.contains(m), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val en = score(Seq(" the ", " and ", " of ", " is "))
+    val es = score(Seq(" el ", " la ", " de ", " que "))
+    val fr = score(Seq(" le ", " la ", " et ", " est "))
+    val de = score(Seq(" der ", " die ", " und ", " ist "))
+    // argmax with fixed priority order on ties
+    when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Reference surface: KNN via KDTree/BallTree/Faiss/Proxima
+  * (mars/learn/neighbors/, mars/opcodes.py:2230-2239) and pairwise
+  * distances + top-k (mars/learn/metrics/pairwise/).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
+  *    the full corpus; scales linearly in corpus size, embarrassingly
+  *    parallel, no shuffle of the corpus. The right baseline whenever
+  *    |queries| is modest.
+  *  - [[lshTopK]]: approximate — random-hyperplane bucketing; only vectors
+  *    sharing a bucket with the query are scored. At 100 TB this turns a
+  *    full scan per query batch into a bucket-join; recall is tunable via
+  *    signature bits / probe count.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for every query vector.
+    * Ranking uses (round(cosine, 4) DESC, corpus id ASC) so results are
+    * deterministic and reproducible across engines regardless of float
+    * summation noise below 1e-4. */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: bucket corpus and queries
+    * by sign-bit signature, score only same-bucket pairs. Multi-probe = 0
+    * (exact-bucket match) keeps it simple; recall rises with fewer bits. */
+  def lshTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      dim: Int,
+      k: Int,
+      nBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val qb = queries.withColumn("bucket", hyperplaneSignature(col("qvec"), dim, nBits, seed))
+    val cb = corpus.withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** All pairs with cosine similarity >= threshold within `corpus`
+    * (embedding near-dup detection). Exact O(n²) scoring — restrict the
+    * input or use [[Dedup.simhashNearDupPairs]]-style blocking at scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("cid").as("id_a"), col("cvec").as("vec_a"))
+    val b = corpus.select(col("cid").as("id_b"), col("cvec").as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QHelpers._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Extension operators for large-scale training-data pipelines: exact and
+  * approximate deduplication, similarity search over embeddings, text
+  * analysis (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * These are first-class operators (SURVEY §7.2 M11): each query drives the
+  * corresponding graft.operators/graft.functions implementation; DuckDB
+  * oracles replicate the exact arithmetic (integer counts, exact divisions,
+  * µs timestamps) so results hash-match bit-for-bit.
+  */
+object Ext {
+
+  /** DuckDB fragment: distinct word-3-gram shingles per doc. */
+  private val shinglesCte =
+    """d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS sh
+      |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+      |             FROM d WHERE len(w) >= 3) t),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $shinglesCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8""".stripMargin
+
+  val all: Vector[Q] = Vector(
+
+    // --- exact dedup on normalized-text md5 (keep lowest doc_id)
+    Q("ext_dedup_exact",
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                            ' +', ' ', 'g'))) AS f
+        |  FROM documents),
+        |keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+        |SELECT source, COUNT(*) AS kept
+        |FROM fp JOIN keep USING (f, doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.exactTextDedup(t(spark, dir, "documents"), "text", "doc_id")
+        .groupBy($"source").agg(count(lit(1)).as("kept"))
+        .orderBy($"source")
+    },
+
+    // --- exact n-gram Jaccard near-dup pairs (library op, exact oracle)
+    Q("ext_dedup_jaccard",
+      jaccardPairsSql + "\nORDER BY doc_a, doc_b") { (spark, dir) =>
+      import spark.implicits._
+      Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.8)
+        .select($"doc_a", $"doc_b", $"common",
+          $"size_a", $"size_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // --- MinHash+LSH near-dup pairs with exact verification. Oracle = the
+    //     exact Jaccard pairs: the planted near-dups sit at j≈0.99 where
+    //     16-band/4-row LSH recall is 1 - (1-j^4)^16 ≈ 1 - 4e-23.
+    Q("ext_dedup_minhash",
+      s"""$jaccardPairsSql
+         |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,",
+          "SELECT doc_a, doc_b,")) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.minhashDedupPairs(t(spark, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // --- SimHash near-dup candidates (hash family is engine-specific →
+    //     rows-only driver check; precision/recall covered in DedupSpec)
+    Q.noOracle("ext_dedup_simhash") { (spark, dir) =>
+      import spark.implicits._
+      Dedup.simhashNearDupPairs(t(spark, dir, "documents"), "text", "doc_id",
+          maxHamming = 10)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // --- brute-force exact top-5 cosine neighbors for query vectors
+    Q("ext_ann_topk",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, e.vec_id AS cid,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM e, q WHERE e.vec_id <> qid)
+        |SELECT qid, cid, sim, rank FROM (
+        |  SELECT qid, cid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select($"qid", $"cid", $"sim", $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
+    },
+
+    // --- LSH-bucketed approximate ANN (engine-specific hyperplanes →
+    //     rows-only check; recall vs brute force covered in SimilaritySpec)
+    Q.noOracle("ext_ann_lsh") { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      Similarity.lshTopK(queries, corpus, dim = 64, k = 5, nBits = 8)
+        .orderBy($"qid", $"rank")
+    },
+
+    // --- per-doc text quality metrics (identical exact arithmetic)
+    Q("ext_text_quality",
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+        |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_word_len,
+        |  least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |      / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS quality
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents").filter($"doc_id" < 20)
+        .select($"doc_id", $"lang",
+          TextFunctions.tokenCount($"text").as("n_tokens"),
+          length($"text").cast("long").as("n_chars"),
+          TextFunctions.meanWordLen($"text").as("mean_word_len"),
+          TextFunctions.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // --- token counting per source (whitespace + BPE-ish regex)
+    Q("ext_token_count",
+      """SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS re_tokens,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          sum(TextFunctions.tokenCount($"text")).as("ws_tokens"),
+          sum(TextFunctions.regexTokenCount($"text")).as("re_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+
+    // --- language-ID heuristic vs labeled lang (confusion counts)
+    Q("ext_lang_id",
+      """SELECT lang, pred_lang, COUNT(*) AS cnt FROM (
+        |  SELECT lang,
+        |    CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM (
+        |    SELECT lang,
+        |      (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END) AS en,
+        |      (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' de ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' que ') THEN 1 ELSE 0 END) AS es,
+        |      (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END) AS fr,
+        |      (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END) AS de
+        |    FROM (SELECT lang, lower(text) AS t FROM documents) x) s) p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"lang", TextFunctions.langIdHeuristic($"text").as("pred_lang"))
+        .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("cnt"))
+        .orderBy($"lang", $"pred_lang")
+    },
+
+    // --- prefix-fingerprint clustering per source
+    Q("ext_fingerprint",
+      """SELECT source,
+        |  COUNT(DISTINCT md5(array_to_string((string_split(text, ' '))[1:8], ' '))) AS n_clusters,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          countDistinct(TextFunctions.prefixFingerprint($"text", 8)).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }
+  )
+}

@@ -1,0 +1,492 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QHelpers._
+import graft.functions.aggregates
+import graft.operators.Dedup
+
+/** Operator-coverage queries, relational half: projection/filter/eval,
+  * casts, missing data, dedup, isin, set ops, joins, aggregation &
+  * statistics, reshape (pivot/melt/explode/cut/qcut), string/date/JSON
+  * functions. Each query exercises one SURVEY §2 operator family and
+  * carries a DuckDB oracle.
+  */
+object OpsRelational {
+
+  val all: Vector[Q] = Vector(
+
+    // --- §2.3 getitem/setitem/eval: projection + derived column + filter
+    Q("op_select_filter",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${sqlDiscPrice()} AS DOUBLE) AS net,
+         |  CAST(l_quantity AS BIGINT) AS qty
+         |FROM lineitem
+         |WHERE l_quantity > 45 AND l_returnflag = 'A'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .filter($"l_quantity" > 45 && $"l_returnflag" === "A")
+        .select($"l_orderkey", $"l_linenumber",
+          discPrice($"l_extendedprice", $"l_discount").cast("double").as("net"),
+          $"l_quantity".cast("long").as("qty"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // --- §2.3 where/mask: conditional replacement
+    Q("op_case_when",
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount > 0.05 THEN 'HI'
+        |       WHEN l_discount > 0.02 THEN 'MID'
+        |       ELSE 'LO' END AS disc_band
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 100)
+        .select($"l_orderkey", $"l_linenumber",
+          when($"l_discount" > 0.05, "HI")
+            .when($"l_discount" > 0.02, "MID")
+            .otherwise("LO").as("disc_band"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // --- §2.3 astype: numeric/string/date casts
+    Q("op_astype",
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "orders").filter($"o_orderkey" < 200)
+        .select($"o_orderkey",
+          floor($"o_totalprice").cast("long").as("price_int"),
+          $"o_orderkey".cast("string").as("key_str"),
+          $"o_orderdate".cast("date").cast("string").as("date_str"))
+        .orderBy($"o_orderkey")
+    },
+
+    // --- §2.10 missing data: isna/fillna/dropna (nulls via NULLIF)
+    Q("op_missing_data",
+      """SELECT l_returnflag,
+        |  COUNT(NULLIF(l_discount, 0.0)) AS n_nonnull,
+        |  COUNT(*) AS n_all,
+        |  CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), -1.0) AS DECIMAL(4,2))) AS DOUBLE) AS sum_filled
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val nulled = when($"l_discount" === 0.0, lit(null)).otherwise($"l_discount")
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(nulled).as("n_nonnull"),
+          count(lit(1)).as("n_all"),
+          sum(coalesce(nulled, lit(-1.0)).cast("decimal(4,2)")).cast("double").as("sum_filled"))
+        .orderBy($"l_returnflag")
+    },
+
+    // --- §2.9 drop_duplicates keep=first (library op)
+    Q("op_drop_duplicates",
+      """SELECT o_custkey, o_orderpriority, min(o_orderkey) AS o_orderkey
+        |FROM orders GROUP BY o_custkey, o_orderpriority
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.dropDuplicates(t(spark, dir, "orders"),
+          Seq("o_custkey", "o_orderpriority"), "o_orderkey")
+        .select($"o_custkey", $"o_orderpriority", $"o_orderkey")
+        .orderBy($"o_custkey", $"o_orderpriority")
+    },
+
+    // --- §2.9 duplicated: count of extra rows per subset key
+    Q("op_duplicated",
+      """SELECT COUNT(*) - COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_dup_rows,
+        |       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_unique
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").agg(
+        (count(lit(1)) - countDistinct($"l_partkey", $"l_suppkey")).as("n_dup_rows"),
+        countDistinct($"l_partkey", $"l_suppkey").as("n_unique"))
+    },
+
+    // --- §2.9 isin
+    Q("op_isin",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer")
+        .filter($"c_mktsegment".isin("BUILDING", "MACHINERY") && $"c_custkey" % 10 === 0)
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // --- §2.5 value_counts
+    Q("op_value_counts",
+      """SELECT lang, COUNT(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"lang")
+    },
+
+    // --- §2.5 nunique
+    Q("op_nunique",
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_partkey", $"l_suppkey").as("n_pairs"))
+    },
+
+    // --- §2.5 statistical reductions from exact moment sums
+    // (l_quantity is integer-valued → moment sums are exact in IEEE double →
+    //  derived var/std/sem/skew/kurt are bit-identical across engines)
+    Q("op_agg_stats",
+      """SELECT l_returnflag, n, mean_qty, var_qty, sqrt(var_qty) AS std_qty,
+        |       sqrt(var_qty) / sqrt(n) AS sem_qty,
+        |       m3c / (m2c * sqrt(m2c)) AS skew_qty,
+        |       m4c / (m2c * m2c) - 3.0 AS kurt_qty
+        |FROM (
+        |  SELECT l_returnflag, n, s1 / n AS mean_qty,
+        |         (s2 - s1 * s1 / n) / (n - 1.0) AS var_qty,
+        |         s2 / n - (s1/n) * (s1/n) AS m2c,
+        |         s3 / n - 3.0 * (s1/n) * (s2 / n) + 2.0 * (s1/n) * (s1/n) * (s1/n) AS m3c,
+        |         s4 / n - 4.0 * (s1/n) * (s3 / n) + 6.0 * (s1/n) * (s1/n) * (s2 / n)
+        |           - 3.0 * (s1/n) * (s1/n) * (s1/n) * (s1/n) AS m4c
+        |  FROM (
+        |    SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |           SUM(l_quantity) AS s1, SUM(l_quantity*l_quantity) AS s2,
+        |           SUM(l_quantity*l_quantity*l_quantity) AS s3,
+        |           SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+        |    FROM lineitem GROUP BY l_returnflag) raw) m
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val q = $"l_quantity"
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          (sum(q) / count(lit(1)).cast("double")).as("mean_qty"),
+          aggregates.varFromMoments(q).as("var_qty"),
+          aggregates.stdFromMoments(q).as("std_qty"),
+          aggregates.semFromMoments(q).as("sem_qty"),
+          aggregates.skewFromMoments(q).as("skew_qty"),
+          aggregates.kurtFromMoments(q).as("kurt_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // --- §2.5 product (custom Aggregator — Spark has no product built-in)
+    Q("op_product",
+      """SELECT l_orderkey, round(product(1.0 + l_tax), 8) AS tax_prod
+        |FROM lineitem WHERE l_orderkey < 20
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 20)
+        .groupBy($"l_orderkey")
+        .agg(round(aggregates.product(lit(1.0) + $"l_tax"), 8).as("tax_prod"))
+        .orderBy($"l_orderkey")
+    },
+
+    // --- §2.5 str_concat (ordered string aggregation)
+    Q("op_str_concat",
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+        |FROM lineitem WHERE l_orderkey < 50
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 50)
+        .groupBy($"l_orderkey")
+        .agg(aggregates.strConcatOrdered(
+          $"l_linenumber".cast("string"), $"l_linenumber", ",").as("lines"))
+        .orderBy($"l_orderkey")
+    },
+
+    // --- §2.13 quantile (exact interpolated percentiles)
+    Q("op_quantile",
+      """SELECT round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").agg(
+        round(percentile($"l_quantity", lit(0.25)), 6).as("p25"),
+        round(percentile($"l_quantity", lit(0.5)), 6).as("p50"),
+        round(percentile($"l_quantity", lit(0.75)), 6).as("p75"),
+        round(percentile($"l_extendedprice", lit(0.5)), 6).as("med_price"))
+    },
+
+    // --- §2.13 corr / covariance
+    Q("op_corr",
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("cov_qty_price"))
+    },
+
+    // --- §2.4 full outer join with asymmetric sides
+    Q("op_merge_outer",
+      """SELECT COALESCE(c.k, s.k) AS k, COALESCE(nc, 0) AS nc, COALESCE(ns, 0) AS ns
+        |FROM (SELECT c_nationkey AS k, COUNT(*) AS nc FROM customer
+        |      WHERE c_nationkey < 15 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS k, COUNT(*) AS ns FROM supplier
+        |      WHERE s_nationkey > 10 GROUP BY s_nationkey) s
+        |ON c.k = s.k
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val c = t(spark, dir, "customer").filter($"c_nationkey" < 15)
+        .groupBy($"c_nationkey".as("ck")).agg(count(lit(1)).as("nc"))
+      val s = t(spark, dir, "supplier").filter($"s_nationkey" > 10)
+        .groupBy($"s_nationkey".as("sk")).agg(count(lit(1)).as("ns"))
+      c.join(s, $"ck" === $"sk", "full_outer")
+        .select(
+          coalesce($"ck", $"sk").as("k"),
+          coalesce($"nc", lit(0L)).as("nc"),
+          coalesce($"ns", lit(0L)).as("ns"))
+        .orderBy($"k")
+    },
+
+    // --- §2.4 concat (axis=0) via unionByName with different column order
+    Q("op_concat_rows",
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM (
+        |  SELECT l_returnflag FROM lineitem WHERE l_quantity < 10
+        |  UNION ALL
+        |  SELECT l_returnflag FROM lineitem WHERE l_quantity > 40
+        |) u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val lo = li.filter($"l_quantity" < 10).select($"l_returnflag", $"l_orderkey")
+      val hi = li.filter($"l_quantity" > 40).select($"l_orderkey", $"l_returnflag")
+      lo.unionByName(hi.select($"l_returnflag", $"l_orderkey"))
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+
+    // --- §2.9 set ops: union / intersect / except
+    Q("op_setops",
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b) u) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) i) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) e) AS n_except""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val cust = t(spark, dir, "customer")
+      val a = cust.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = cust.filter($"c_acctbal" > 5000).select($"c_custkey")
+      a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+    },
+
+    // --- §2.6 grouping sets: cube
+    Q("op_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(sumD(dec12($"l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // --- §2.6 grouping sets: rollup over derived year
+    Q("op_rollup",
+      """SELECT o_year, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |             o_totalprice FROM orders) o
+        |GROUP BY ROLLUP(o_year, o_orderpriority)
+        |ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "orders")
+        .select(year($"o_orderdate").cast("long").as("o_year"),
+          $"o_orderpriority", $"o_totalprice")
+        .rollup($"o_year", $"o_orderpriority")
+        .agg(sumD(dec12($"o_totalprice")).as("total"), count(lit(1)).as("cnt"))
+        .orderBy($"o_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    // --- §2.10 pivot / get_dummies
+    Q("op_pivot",
+      """SELECT c_nationkey,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
+        |  COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      t(spark, dir, "customer")
+        .groupBy($"c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+        .na.fill(0L, segs)
+        .select($"c_nationkey" +: segs.map(s => col(s).as(s.toLowerCase)): _*)
+        .orderBy($"c_nationkey")
+    },
+
+    // --- §2.10 melt / unpivot
+    Q("op_melt",
+      """SELECT l_orderkey, l_linenumber, var, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS var, l_quantity AS val
+        |  FROM lineitem WHERE l_orderkey < 30
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 30
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 30
+        |) m ORDER BY l_orderkey, l_linenumber, var""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "var", "val")
+        .orderBy($"l_orderkey", $"l_linenumber", $"var")
+    },
+
+    // --- §2.10 explode over split text
+    Q("op_explode_split",
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) w GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(20)
+    },
+
+    // --- §2.10 cut: fixed bins
+    Q("op_cut",
+      """SELECT bin, COUNT(*) AS cnt FROM (
+        |  SELECT CASE WHEN c_acctbal < 0 THEN '(-inf,0)'
+        |              WHEN c_acctbal < 2500 THEN '[0,2500)'
+        |              WHEN c_acctbal < 5000 THEN '[2500,5000)'
+        |              WHEN c_acctbal < 7500 THEN '[5000,7500)'
+        |              ELSE '[7500,inf)' END AS bin
+        |  FROM customer) b
+        |GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer")
+        .select(
+          when($"c_acctbal" < 0, "(-inf,0)")
+            .when($"c_acctbal" < 2500, "[0,2500)")
+            .when($"c_acctbal" < 5000, "[2500,5000)")
+            .when($"c_acctbal" < 7500, "[5000,7500)")
+            .otherwise("[7500,inf)").as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("cnt"))
+        .orderBy($"bin")
+    },
+
+    // --- §2.10 qcut: quantile bins via ntile
+    Q("op_qcut",
+      """SELECT quartile, COUNT(*) AS n,
+        |       min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        |FROM (SELECT c_acctbal,
+        |             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |      FROM customer) q
+        |GROUP BY quartile ORDER BY quartile""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"c_acctbal", $"c_custkey")
+      t(spark, dir, "customer")
+        .select($"c_acctbal", ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy($"quartile")
+        .agg(count(lit(1)).as("n"), min($"c_acctbal").as("lo"), max($"c_acctbal").as("hi"))
+        .orderBy($"quartile")
+    },
+
+    // --- §2.10 string accessor ops
+    Q("op_str_ops",
+      """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS sub5,
+        |       replace(p_name, ' ', '_') AS underscored,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |       concat(p_brand, ':', p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "part")
+        .select($"p_partkey",
+          upper($"p_name").as("up"),
+          substring($"p_name", 1, 5).as("sub5"),
+          regexp_replace($"p_name", " ", "_").as("underscored"),
+          length($"p_name").cast("long").as("len"),
+          lpad($"p_partkey".cast("string"), 8, "0").as("padded"),
+          regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+          concat($"p_brand", lit(":"), $"p_type").as("brand_type"))
+        .orderBy($"p_partkey")
+    },
+
+    // --- §2.10 datetime accessor ops
+    Q("op_dt_ops",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "orders").filter($"o_orderkey" < 100)
+        .select($"o_orderkey",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("d"),
+          dayofweek($"o_orderdate").cast("long").as("dow"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAY")).as("plus30"),
+          datediff($"o_orderdate", to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+        .orderBy($"o_orderkey")
+    },
+
+    // --- §2.10 JSON extraction (events.props)
+    Q("op_json",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"event_type")
+    },
+
+    // --- §2.11 deterministic hash sampling
+    Q("op_sample_hash",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (c_custkey * 2654435761) % 100 < 10
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "customer")
+        .filter(($"c_custkey" * lit(2654435761L)) % 100 < 10)
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }
+  )
+}

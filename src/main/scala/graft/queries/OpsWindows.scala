@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QHelpers._
+import graft.operators.{Sessionize, Windows}
+
+/** Operator-coverage queries, ordered half: cumulative ops, shift/diff,
+  * rolling/expanding/ewm windows, ranking, per-group top-k, ffill,
+  * event-time windows (tumbling/sliding/session), as-of join.
+  *
+  * Ordering convention: explicit partition + order columns everywhere (the
+  * engine has no implicit pandas row index — SURVEY §7.1). Timestamps are
+  * compared in microseconds (`unix_micros` / DuckDB `epoch_us`) so both
+  * engines see identical integers even though the parquet stores
+  * nanoseconds.
+  */
+object OpsWindows {
+
+  val all: Vector[Q] = Vector(
+
+    // --- §2.5 cumsum (exact via DECIMAL running sum)
+    Q("op_cumsum",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+      t(spark, dir, "orders").filter($"o_custkey" < 50)
+        .select($"o_custkey", $"o_orderkey",
+          Windows.cumsum(dec12($"o_totalprice"), w).cast("double").as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // --- §2.7 shift / diff
+    Q("op_shift_diff",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(l_quantity) OVER w AS prev_qty,
+        |  l_quantity - lag(l_quantity) OVER w AS qty_diff,
+        |  lead(l_quantity) OVER w AS next_qty
+        |FROM lineitem WHERE l_suppkey < 20
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Windows.spec(Seq("l_suppkey"), Seq("l_orderkey", "l_linenumber"))
+      t(spark, dir, "lineitem").filter($"l_suppkey" < 20)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          Windows.shift($"l_quantity", 1, w).as("prev_qty"),
+          Windows.diff($"l_quantity", 1, w).as("qty_diff"),
+          Windows.shift($"l_quantity", -1, w).as("next_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // --- §2.7 rolling fixed-size window
+    Q("op_rolling",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w3 AS DOUBLE) AS roll_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w3 AS DOUBLE)
+        |    / COUNT(*) OVER w3 AS roll_mean,
+        |  COUNT(*) OVER w3 AS roll_n
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w3 = Windows.rolling(
+        Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")), 3)
+      val rollSum = sum(dec12($"o_totalprice")).over(w3).cast("double")
+      t(spark, dir, "orders").filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          rollSum.as("roll_sum"),
+          (rollSum / count(lit(1)).over(w3)).as("roll_mean"),
+          count(lit(1)).over(w3).as("roll_n"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // --- §2.7 expanding window
+    Q("op_expanding",
+      """SELECT o_custkey, o_orderkey,
+        |  max(o_totalprice) OVER we AS exp_max,
+        |  min(o_totalprice) OVER we AS exp_min,
+        |  COUNT(*) OVER we AS exp_n
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW we AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val we = Windows.expanding(
+        Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")))
+      t(spark, dir, "orders").filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          max($"o_totalprice").over(we).as("exp_max"),
+          min($"o_totalprice").over(we).as("exp_min"),
+          count(lit(1)).over(we).as("exp_n"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // --- §2.7 ewm mean (hardest op — per-key recurrence, no SQL oracle;
+    //     correctness covered by WindowsSpec against the pandas recurrence)
+    Q.noOracle("op_ewm") { (spark, dir) =>
+      import spark.implicits._
+      Windows.ewmMean(
+          t(spark, dir, "orders").filter($"o_custkey" < 100),
+          "o_custkey", "o_orderkey", "o_totalprice", alpha = 0.5)
+        .orderBy($"key", $"ord")
+    },
+
+    // --- §2.7/§2.8 ranking window functions
+    Q("op_rank_window",
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_orderkey < 300
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(spark, dir, "orders").filter($"o_orderkey" < 300)
+        .select($"o_orderpriority", $"o_orderkey",
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"o_orderpriority", $"rn")
+    },
+
+    // --- §2.6 groupby.head: top-k per group
+    Q("op_groupby_head",
+      """SELECT n_name, s_name, s_acctbal FROM (
+        |  SELECT n_name, s_name, s_acctbal,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey) x
+        |WHERE rn <= 3
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"n_name").orderBy($"s_acctbal".desc, $"s_suppkey")
+      t(spark, dir, "supplier")
+        .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"n_name", $"s_name", $"s_acctbal")
+        .orderBy($"n_name", $"s_acctbal".desc, $"s_name")
+    },
+
+    // --- §2.6 groupby ffill via last(ignoreNulls) over preceding frame
+    Q("op_groupby_ffill",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  last_value(NULLIF(l_discount, 0.0) IGNORE NULLS) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS disc_ffill
+        |FROM lineitem WHERE l_suppkey < 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Windows.expanding(
+        Windows.spec(Seq("l_suppkey"), Seq("l_orderkey", "l_linenumber")))
+      val nulled = when($"l_discount" === 0.0, lit(null)).otherwise($"l_discount")
+      t(spark, dir, "lineitem").filter($"l_suppkey" < 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          last(nulled, ignoreNulls = true).over(w).as("disc_ffill"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // --- §2.7 time-offset rolling window (pandas rolling('90d'))
+    Q("op_rolling_time",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_s
+        |    RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_90d
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |      FROM orders WHERE o_custkey < 30) o
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"epoch_s")
+        .rangeBetween(-7776000L, 0L)
+      t(spark, dir, "orders").filter($"o_custkey" < 30)
+        .select($"o_custkey", $"o_orderkey",
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+        .withColumn("n_90d", count(lit(1)).over(w))
+        .select($"o_custkey", $"o_orderkey", $"n_90d")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // --- §2.16 tumbling event-time window (batch form)
+    Q("op_events_tumbling",
+      """SELECT event_type,
+        |  CAST(floor(epoch_us(ts) / 3600000000.0) * 3600 AS BIGINT) AS w_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .withColumn("w_start",
+          (floor(unix_micros($"ts") / lit(3600000000.0)) * 3600).cast("long"))
+        .groupBy($"event_type", $"w_start")
+        .agg(count(lit(1)).as("n"), sumD(dec12($"value")).as("total"))
+        .orderBy($"event_type", $"w_start")
+    },
+
+    // --- §2.16 sliding event-time window (1h width, 30min slide)
+    Q("op_events_sliding",
+      """SELECT event_type, w_start, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 1800000000.0) * 1800 AS BIGINT) AS w_start
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 1800000000.0) * 1800 - 1800 AS BIGINT)
+        |  FROM events
+        |) s GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val base = (floor(unix_micros($"ts") / lit(1800000000.0)) * 1800).cast("long")
+      ev.select($"event_type", base.as("w_start"))
+        .unionAll(ev.select($"event_type", (base - 1800).as("w_start")))
+        .groupBy($"event_type", $"w_start")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"w_start")
+    },
+
+    // --- §2.16 gap-based sessionization (library op)
+    Q("op_events_session",
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       COUNT(*) AS n_events, min(event_id) AS first_event
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.assignSessions(t(spark, dir, "events"), "user_id", "ts", 1800L)
+        .groupBy($"user_id", $"session_seq".cast("long").as("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))
+        .orderBy($"user_id", $"session_seq")
+    },
+
+    // --- §2.4-extension as-of join (library op; DuckDB ASOF JOIN oracle)
+    Q("op_asof_join",
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_click_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      Sessionize.asofJoinPrior(purchases, clicks, "user_id", "ts", "event_id")
+        .select($"user_id", $"event_id", $"asof_event_id".as("asof_click_id"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // --- idiomatic Structured-Streaming-style windows on batch (no oracle;
+    //     shows native window()/session_window usage, checked rows-only)
+    Q.noOracle("op_window_native") { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+        .orderBy($"w_start", $"event_type")
+    }
+  )
+}
