@@ -41,14 +41,25 @@ object Bench {
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try force(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { force(name); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failed queries are surfaced explicitly (sentinel -1) and excluded from
+    // the headline total, so a broken query can't make the bench look fast.
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failed = results.count(!_._3)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // sbt wraps stdout in [info] prefixes, so the machine-readable copy goes
+    // to a file; stdout keeps a human-readable echo.
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
   }
 }

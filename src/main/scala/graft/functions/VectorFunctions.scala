@@ -44,21 +44,27 @@ object VectorFunctions {
   /** Random-hyperplane signature for cosine LSH: `nBits` deterministic
     * pseudo-random hyperplanes (seeded hash-based coefficients), packed into
     * a string of sign bits. Two vectors with high cosine similarity share
-    * most sign bits. Coefficients are generated per (bit, dim) from a
-    * splitmix-style integer mix so the plan is a pure expression — no
-    * driver-side randomness, no broadcast needed. */
+    * most sign bits.
+    *
+    * The nBits×dim coefficient matrix is a single `typedlit` array-of-arrays
+    * literal, and the per-bit dot product is a zip_with/aggregate fold — so
+    * plan size is O(1) in both dim and nBits (the naive unrolled form is
+    * dim×nBits expression nodes, a plan-size bomb at embedding dims ≥ 768). */
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    val bits = (0 until nBits).map { b =>
-      // sum_j coef(b, j) * vec[j]  with coef in [-1, 1)
-      val terms = (0 until dim).map { j =>
-        val h = mix64(seed + b.toLong * 1000003L + j.toLong)
-        val coef = (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1)
-        vec.getItem(j).cast("double") * lit(coef)
+    val coefs = typedlit((0 until nBits).map { b =>
+      (0 until dim).map { j =>
+        // coef in [-1, 1), splitmix-mixed from (seed, bit, dim index)
+        mix64(seed + b.toLong * 1000003L + j.toLong).toDouble / Long.MaxValue.toDouble
       }
-      val s = terms.reduce(_ + _)
-      when(s >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
+    })
+    val bits = transform(coefs, row =>
+      when(
+        aggregate(
+          zip_with(row, vec, (c, x) => c * x.cast("double")),
+          lit(0.0),
+          (acc, v) => acc + v) >= 0,
+        lit("1")).otherwise(lit("0")))
+    array_join(bits, "")
   }
 
   /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix. */

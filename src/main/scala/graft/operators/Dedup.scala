@@ -66,7 +66,10 @@ object Dedup {
         sh.join(freq, Seq("sh"), "left_semi")
       case None => sh
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Sizes measured over the SAME capped shingle universe as the
+    // intersection counts, so jaccard's numerator and denominator are
+    // consistent when a df-cap is in effect.
+    val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = shCapped.select(col("doc_id").as("doc_a"), col("sh"))
     val b = shCapped.select(col("doc_id").as("doc_b"), col("sh"))
     val common = a.join(b, Seq("sh"))
@@ -84,19 +87,27 @@ object Dedup {
 
   /** MinHash signature: `numHashes` permutation-style hashes of the distinct
     * shingle set, h_i(s) = (a_i * x + b_i) mod p over a murmur base hash.
-    * Pure expression — evaluated once per document at scan speed. */
+    *
+    * One pass over the shingle array: each shingle is murmur-hashed exactly
+    * once, then folded into a `numHashes`-wide running elementwise minimum.
+    * The (a_i, b_i) coefficient vectors are single array literals
+    * (`typedlit`), so plan size is O(1) in `numHashes` — unlike the naive
+    * form (one `array_min(transform(...))` per hash function) whose
+    * numHashes× re-hash of every shingle dominated the r1 benchmark. */
   def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1
-    val hashes = (0 until numHashes).map { i =>
-      val a = 1L + 2L * Math.floorMod(mix64(seed + 2L * i), 1000000000L)
-      val b = Math.floorMod(mix64(seed + 2L * i + 1), 1000000000L)
-      // min over shingles of (a * h(x) + b) mod p
-      array_min(transform(shingleArr, s => {
-        val h = pmod(hash(s).cast("long"), lit(p))
-        pmod(h * lit(a) + lit(b), lit(p))
-      }))
-    }
-    array(hashes: _*)
+    val aCoefs = typedlit((0 until numHashes).map(i =>
+      1L + 2L * Math.floorMod(mix64(seed + 2L * i), 1000000000L)))
+    val bCoefs = typedlit((0 until numHashes).map(i =>
+      Math.floorMod(mix64(seed + 2L * i + 1), 1000000000L)))
+    // Hash every shingle once; h < p and a < 2e9+1 so h*a+b < 2^63 (no
+    // overflow under ANSI arithmetic).
+    val shingleHashes = transform(shingleArr, s => pmod(hash(s).cast("long"), lit(p)))
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(p), numHashes),
+      (acc, h) => transform(acc, (m, i) =>
+        least(m, pmod(h * element_at(aCoefs, i + 1) + element_at(bCoefs, i + 1), lit(p)))))
   }
 
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand`,
@@ -160,34 +171,51 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token
     * hashes. Documents within `maxHamming` of each other are near-dups.
-    * Returns (id, simhash) — pair generation pivots on rotated prefixes
-    * (see [[simhashNearDupPairs]]). */
+    *
+    * One pass: each token is xxhash64'd once, folded into a 64-wide vote
+    * vector (`+1` if the hash bit is set, `-1` otherwise), then the votes
+    * are packed into the signature long — instead of 64 separate aggregate
+    * passes over the token array. Bit masks live in one array literal so
+    * extracting bit b under a lambda index is a constant-time
+    * `element_at` + `bitwiseAND`. */
   def simhash64(text: Column): Column = {
-    val w = TextFunctions.words(text)
-    val bits = (0 until 64).map { b =>
-      // vote: +1 if token hash bit b set, else -1; simhash bit = vote >= 0
-      val vote = aggregate(w, lit(0L), (acc, tok) => {
-        val h = xxhash64(tok)
-        acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L))
-      })
-      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
+    val masks = typedlit((0 until 64).map(b => 1L << b)) // bit 63 = Long.MinValue
+    val tokenHashes = transform(TextFunctions.words(text), t => xxhash64(t))
+    val votes = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v >= 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
   }
 
-  /** SimHash near-dup candidate pairs: block on 4 16-bit quarters (two docs
-    * within Hamming distance 3 must agree on at least one quarter), verify
-    * with exact Hamming distance. */
+  /** SimHash near-dup candidate pairs: block on `maxHamming + 1` disjoint
+    * bit-bands (pigeonhole: two signatures within Hamming distance h must
+    * agree exactly on at least one of h+1 disjoint bands), verify with exact
+    * Hamming distance. Complete for the requested radius — but note the
+    * bands shrink as 64/(h+1), so collision rates (and pair-generation cost)
+    * grow quickly with h; h ≤ 6 keeps bands ≥ 9 bits. The classic web-dedup
+    * setting is h = 3 (four 16-bit bands). */
   def simhashNearDupPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+    val nBands = maxHamming + 1
+    // band q covers bits [lo(q), lo(q+1)): widths as equal as possible
+    val bounds = (0 to nBands).map(q => q * 64 / nBands)
     val sigs = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
     val blocked = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nBands).map { q =>
+        val lo = bounds(q); val width = bounds(q + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask))
+      }: _*)))
       .select(col("doc_id"), col("sig"), col("pos").as("q"), col("col").as("block"))
     val a = blocked.select(col("q"), col("block"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("q"), col("block"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))

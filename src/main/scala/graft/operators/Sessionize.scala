@@ -23,8 +23,12 @@ object Sessionize {
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val prevTs = lag(col(tsCol), 1).over(w)
+    // Compare in microseconds (Spark's native timestamp precision): a
+    // second-truncated comparison would mis-classify gaps falling inside
+    // (gapSeconds, gapSeconds+1) on sub-second timestamps.
     val isNew = when(prevTs.isNull ||
-      unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds, 1L).otherwise(0L)
+      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
     events
       .withColumn("__new_session", isNew)
       .withColumn("session_seq",

@@ -82,12 +82,15 @@ object Ext {
         .orderBy($"doc_a", $"doc_b")
     },
 
-    // --- SimHash near-dup candidates (hash family is engine-specific →
-    //     rows-only driver check; precision/recall covered in DedupSpec)
+    // --- SimHash near-dup candidates at the classic radius-3 setting
+    //     (4×16-bit bands are complete for Hamming ≤ 3). The xxhash64 hash
+    //     family is engine-specific → rows-only driver check; candidate
+    //     completeness and the vote arithmetic are covered by
+    //     src/test/scala/graft/DedupSpec.scala.
     Q.noOracle("ext_dedup_simhash") { (spark, dir) =>
       import spark.implicits._
       Dedup.simhashNearDupPairs(t(spark, dir, "documents"), "text", "doc_id",
-          maxHamming = 10)
+          maxHamming = 3)
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -122,7 +125,8 @@ object Ext {
     },
 
     // --- LSH-bucketed approximate ANN (engine-specific hyperplanes →
-    //     rows-only check; recall vs brute force covered in SimilaritySpec)
+    //     rows-only check; recall vs brute force covered by
+    //     src/test/scala/graft/SimilaritySpec.scala)
     Q.noOracle("ext_ann_lsh") { (spark, dir) =>
       import spark.implicits._
       val e = t(spark, dir, "embeddings")

@@ -35,23 +35,30 @@ object OpsWindows {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
-    // --- §2.7 shift / diff
+    // --- §2.7 shift / diff. The fixture has duplicate
+    //     (l_suppkey, l_orderkey, l_linenumber) triples, so l_partkey and
+    //     l_quantity are appended to make the window order a deterministic
+    //     total order (identical in the oracle) — otherwise lag/lead pick
+    //     engine-dependent rows on ties.
     Q("op_shift_diff",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  lag(l_quantity) OVER w AS prev_qty,
         |  l_quantity - lag(l_quantity) OVER w AS qty_diff,
         |  lead(l_quantity) OVER w AS next_qty
         |FROM lineitem WHERE l_suppkey < 20
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val w = Windows.spec(Seq("l_suppkey"), Seq("l_orderkey", "l_linenumber"))
+      val w = Windows.spec(Seq("l_suppkey"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
       t(spark, dir, "lineitem").filter($"l_suppkey" < 20)
-        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
           Windows.shift($"l_quantity", 1, w).as("prev_qty"),
           Windows.diff($"l_quantity", 1, w).as("qty_diff"),
           Windows.shift($"l_quantity", -1, w).as("next_qty"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .drop("l_partkey", "l_quantity")
     },
 
     // --- §2.7 rolling fixed-size window
