@@ -203,12 +203,19 @@ object Dedup {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig")),
+      maxHamming)
+
+  /** Pair generation over precomputed (doc_id, sig) signatures — split out
+    * so the banding-completeness property is testable independently of the
+    * text→signature hash. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
     val nBands = maxHamming + 1
     // band q covers bits [lo(q), lo(q+1)): widths as equal as possible
     val bounds = (0 to nBands).map(q => q * 64 / nBands)
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
     val blocked = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map { q =>

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+import scala.util.Random
+
+/** Differential tests for the dedup operator family, mirroring the
+  * reference's execution-test pattern (small literal inputs, results
+  * compared against independently computed expectations).
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def wordsDoc(r: Random, n: Int): Seq[String] =
+    Seq.fill(n)("w" + r.nextInt(500))
+
+  test("exactTextDedup keeps the lowest id per normalized text") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"), // same after normalization
+      (3L, "something else"),
+      (4L, "HELLO WORLD.")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactTextDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("ngramJaccardPairs matches hand-computed jaccard") {
+    // doc1: shingles {a b c, b c d, c d e}; doc2 shares {a b c, b c d}
+    // doc2 shingles: {a b c, b c d, c d x}; jaccard = 2 / 4 = 0.5
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.4)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
+  }
+
+  test("df-capped jaccard measures sizes over the same capped universe") {
+    // "c c1 c2" appears in all three docs -> df 3 > cap 2 -> dropped
+    // everywhere. Remaining shingles of 1: {a a1 a2}, of 2: {b b1 b2}, of
+    // 3: {a a1 a2}. Pair (1,3) then has jaccard 1.0 over the capped
+    // universe; with the r1 bug (sizes from the uncapped set) it was 1/3.
+    val docs = Seq(
+      (1L, "a a1 a2 zz c c1 c2"),
+      (2L, "b b1 b2 zz c c1 c2"),
+      (3L, "a a1 a2 zz c c1 c2")
+    ).toDF("doc_id", "text")
+    // each doc's shingles: {X X1 X2, X1 X2 zz, X2 zz c, zz c c1, c c1 c2}
+    // df(c c1 c2)=3, df(X2 zz c) distinct per doc... compute exact: with
+    // cap=2 only "c c1 c2" (df 3) and "zz c c1" (df 3) are dropped.
+    // doc1 capped: {a a1 a2, a1 a2 zz, a2 zz c} — all shared with doc3.
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.9, maxShingleDf = Some(2))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 3L, 1.0)))
+  }
+
+  test("minhashSignature equals the per-hash-function minimum (one-pass = naive)") {
+    val numHashes = 16
+    val seed = 42L
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val shingleCol = TextFunctions.distinctShingles(col("text"), 3)
+    // independently: murmur-hash each shingle via Spark, then fold in Scala
+    val hashed = docs.select(col("doc_id"),
+        transform(shingleCol, s => pmod(hash(s).cast("long"), lit(2147483647L))).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val p = 2147483647L
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val expected = hashed.map { case (id, hs) =>
+      id -> (0 until numHashes).map { i =>
+        val a = 1L + 2L * Math.floorMod(mix64(seed + 2L * i), 1000000000L)
+        val b = Math.floorMod(mix64(seed + 2L * i + 1), 1000000000L)
+        hs.map(h => Math.floorMod(h * a + b, p)).min
+      }
+    }
+    val actual = docs.select(col("doc_id"),
+        Dedup.minhashSignature(shingleCol, numHashes, seed).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(actual == expected)
+  }
+
+  test("minhashDedupPairs finds planted near-duplicates with exact jaccard") {
+    val r = new Random(7)
+    val bases = (0 until 30).map(i => (i.toLong, wordsDoc(r, 60)))
+    // plant near-dups: doc 100+i = doc i with one word changed (j ~ 0.95)
+    val nearDups = bases.take(10).map { case (id, ws) =>
+      (100L + id, ws.updated(30, "CHANGED"))
+    }
+    val docs = (bases ++ nearDups).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val approx = Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // at j >= 0.8 with 16x4 banding the candidate probability is > 0.9998;
+    // on this fixture recall must be exact
+    assert(exact.nonEmpty && exact.size >= 10)
+    assert(approx == exact)
+  }
+
+  test("simhash banding is complete for the requested radius") {
+    val r = new Random(13)
+    val base = r.nextLong()
+    def flip(sig: Long, bits: Seq[Int]): Long = bits.foldLeft(sig)((s, b) => s ^ (1L << b))
+    // pairs at every distance 0..h must be found; one pair beyond h must not
+    for (h <- Seq(1, 3, 6)) {
+      val rows = (0 to h).map { d =>
+        val flipped = flip(base, r.shuffle((0 until 64).toList).take(d))
+        (d.toLong * 2, flipped) // ids 0,2,4,... are within radius of id 1000
+      } :+ (1000L, base) :+
+        (2000L, flip(base, r.shuffle((0 until 64).toList).take(h + 1)))
+      val sigs = rows.toDF("doc_id", "sig")
+      val pairs = Dedup.simhashPairsFromSigs(sigs, maxHamming = h)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      for (d <- 0 to h)
+        assert(pairs.contains((d.toLong * 2, 1000L)),
+          s"radius $h: planted pair at distance $d missed")
+      assert(!pairs.contains((1000L, 2000L)),
+        s"radius $h: pair at distance ${h + 1} wrongly reported")
+    }
+  }
+
+  test("simhash64 matches the vote definition computed independently") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // independent computation: xxhash64 per token via Spark, votes in Scala
+    val tokenHashes = docs.select(
+        transform(TextFunctions.words(col("text")), t => xxhash64(t)).as("hs"))
+      .as[Seq[Long]].collect().head
+    var expected = 0L
+    for (b <- 0 until 64) {
+      val vote = tokenHashes.map(h => if ((h & (1L << b)) != 0) 1 else -1).sum
+      if (vote >= 0) expected |= (1L << b)
+    }
+    val actual = docs.select(Dedup.simhash64(col("text"))).as[Long].collect().head
+    assert(actual == expected)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
+
+import scala.util.Random
+
+/** Differential tests for moving-window operators: ewm against the pandas
+  * adjust=true recurrence computed on the driver, shift/diff/rolling/cumsum
+  * against hand-computed expectations on literal frames.
+  */
+class WindowsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ewmMean matches the pandas adjust=true recurrence") {
+    val r = new Random(5)
+    val alpha = 0.3
+    val rows = for {
+      k <- 0 until 5
+      i <- 0 until 40
+    } yield (k.toLong, i.toDouble, r.nextDouble() * 100)
+    val df = rows.toDF("k", "ord", "v")
+    val got = Windows.ewmMean(df, "k", "ord", "v", alpha)
+      .select("key", "ord", "ewm").as[(String, Double, Double)]
+      .collect().map { case (k, o, e) => (k, o) -> e }.toMap
+    // reference: y_t = sum_{i<=t}(1-a)^(t-i) x_i / sum_{i<=t}(1-a)^(t-i)
+    val expected = rows.groupBy(_._1).flatMap { case (k, ks) =>
+      val sorted = ks.sortBy(_._2)
+      var num = 0.0; var den = 0.0
+      sorted.map { case (_, o, v) =>
+        num = num * (1 - alpha) + v
+        den = den * (1 - alpha) + 1.0
+        (k.toString, o) -> num / den
+      }
+    }
+    assert(got.keySet == expected.keySet)
+    for ((key, exp) <- expected)
+      assert(math.abs(got(key) - exp) < 1e-9, s"ewm mismatch at $key")
+  }
+
+  test("shift and diff over an ordered window") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), (2L, 1L, 5.0))
+      .toDF("k", "ord", "v")
+    val w = Windows.spec(Seq("k"), Seq("ord"))
+    val got = df.select($"k", $"ord",
+        Windows.shift($"v", 1, w).as("prev"),
+        Windows.diff($"v", 1, w).as("d"),
+        Windows.shift($"v", -1, w).as("next"))
+      .orderBy($"k", $"ord")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, None, None, Some(13.0)),
+      (1L, 2L, Some(10.0), Some(3.0), Some(11.0)),
+      (1L, 3L, Some(13.0), Some(-2.0), None),
+      (2L, 1L, None, None, None)))
+  }
+
+  test("rolling / expanding / cumulative helpers") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0), (1L, 4L, 8.0))
+      .toDF("k", "ord", "v")
+    val base = Windows.spec(Seq("k"), Seq("ord"))
+    val got = df.select($"ord",
+        sum($"v").over(Windows.rolling(base, 2)).as("roll2"),
+        Windows.cumsum($"v", base).as("csum"),
+        Windows.cummax($"v", base).as("cmax"),
+        Windows.cummin($"v", base).as("cmin"),
+        Windows.cumcount(base).as("cnt"))
+      .orderBy($"ord")
+      .as[(Long, Double, Double, Double, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1.0, 1.0, 1.0, 1.0, 1),
+      (2L, 3.0, 3.0, 2.0, 1.0, 2),
+      (3L, 6.0, 7.0, 4.0, 1.0, 3),
+      (4L, 12.0, 15.0, 8.0, 1.0, 4)))
+  }
+}
