@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -64,12 +64,14 @@ object Windows {
     * `ewm(alpha).mean()` with adjust=true, the default):
     *   y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum_{i<=t} (1-a)^(t-i).
     *
-    * Computed as a streaming recurrence over each key's rows in ascending
-    * `orderCol` order inside flatMapGroups — numerically stable (no
-    * (1-a)^(-i) blowup), one shuffle on the key, linear per key.
+    * Scale design: one hash shuffle on the key, an external (spillable)
+    * sort within partitions on (key, order), then a streaming recurrence
+    * carried across group boundaries inside `mapPartitions` — no per-group
+    * materialization, so a hot key streams through constant memory instead
+    * of building an in-heap array. Numerically stable (no (1-a)^(-i)
+    * blowup); key and order keep their native types.
     *
-    * Input is projected to (key, ord, value); output schema:
-    * (key string, ord double, value double, ewm double).
+    * Output: (key, ord, value double, ewm double).
     */
   def ewmMean(
       df: DataFrame,
@@ -77,24 +79,29 @@ object Windows {
       orderCol: String,
       valueCol: String,
       alpha: Double): DataFrame = {
-    val spark = df.sparkSession
     val proj = df.select(
-      col(keyCol).cast("string").as("key"),
-      col(orderCol).cast("double").as("ord"),
+      col(keyCol).as("key"),
+      col(orderCol).as("ord"),
       col(valueCol).cast("double").as("value"))
     val outSchema = StructType(proj.schema.fields :+ StructField("ewm", DoubleType))
     implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val oneMinus = 1.0 - alpha
     proj
-      .groupByKey(_.getString(0))(Encoders.STRING)
-      .flatMapGroups { (_: String, rows: Iterator[Row]) =>
-        val sorted = rows.toArray.sortBy(_.getDouble(1))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var started = false
         var num = 0.0
         var den = 0.0
-        val oneMinus = 1.0 - alpha
-        sorted.iterator.map { r =>
+        rows.map { r =>
+          val k = r.get(0)
+          if (!started || k != curKey) {
+            started = true; curKey = k; num = 0.0; den = 0.0
+          }
           num = num * oneMinus + r.getDouble(2)
           den = den * oneMinus + 1.0
-          Row(r.getString(0), r.getDouble(1), r.getDouble(2), num / den)
+          Row(r.get(0), r.get(1), r.getDouble(2), num / den)
         }
       }
   }

@@ -105,9 +105,26 @@ object OpsWindows {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
-    // --- §2.7 ewm mean (hardest op — per-key recurrence, no SQL oracle;
-    //     correctness covered by WindowsSpec against the pandas recurrence)
-    Q.noOracle("op_ewm") { (spark, dir) =>
+    // --- §2.7 ewm mean (hardest op — per-key streaming recurrence). The
+    //     oracle replays the identical float recurrence via a recursive CTE
+    //     (same operations in the same order → bit-identical doubles);
+    //     WindowsSpec additionally checks it against the pandas adjust=true
+    //     closed form.
+    Q("op_ewm",
+      """WITH RECURSIVE t AS (
+        |  SELECT o_custkey AS key, o_orderkey AS ord, o_totalprice AS value,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS rn
+        |  FROM orders WHERE o_custkey < 100),
+        |r AS (
+        |  SELECT key, ord, value, rn, value AS num, CAST(1.0 AS DOUBLE) AS den
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.key, t.ord, t.value, t.rn,
+        |         r.num * CAST(0.5 AS DOUBLE) + t.value,
+        |         r.den * CAST(0.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |  FROM t JOIN r ON t.key = r.key AND t.rn = r.rn + 1)
+        |SELECT key, ord, value, num / den AS ewm FROM r
+        |ORDER BY key, ord""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       Windows.ewmMean(
           t(spark, dir, "orders").filter($"o_custkey" < 100),

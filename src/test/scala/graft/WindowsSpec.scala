@@ -21,7 +21,7 @@ class WindowsSpec extends SparkSpecBase {
     } yield (k.toLong, i.toDouble, r.nextDouble() * 100)
     val df = rows.toDF("k", "ord", "v")
     val got = Windows.ewmMean(df, "k", "ord", "v", alpha)
-      .select("key", "ord", "ewm").as[(String, Double, Double)]
+      .select("key", "ord", "ewm").as[(Long, Double, Double)]
       .collect().map { case (k, o, e) => (k, o) -> e }.toMap
     // reference: y_t = sum_{i<=t}(1-a)^(t-i) x_i / sum_{i<=t}(1-a)^(t-i)
     val expected = rows.groupBy(_._1).flatMap { case (k, ks) =>
@@ -30,7 +30,7 @@ class WindowsSpec extends SparkSpecBase {
       sorted.map { case (_, o, v) =>
         num = num * (1 - alpha) + v
         den = den * (1 - alpha) + 1.0
-        (k.toString, o) -> num / den
+        (k, o) -> num / den
       }
     }
     assert(got.keySet == expected.keySet)
