@@ -1,0 +1,513 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import graft.functions.aggregates
+import graft.operators.{Dedup, Sessionize, Windows}
+
+/** The engine's user-facing frame: a pandas-flavored fluent API over
+  * `DataFrame` covering the reference's ~170-operator dataframe surface
+  * (mars/dataframe/core.py:2243). Every method is a thin declarative
+  * emission of Column expressions / DataFrame transformations — Catalyst
+  * remains the planner and optimizer, so predicate pushdown, column
+  * pruning, join selection and AQE all apply to chains built through this
+  * API exactly as to raw Spark code.
+  *
+  * Ordering convention (SURVEY §7.1): there is no implicit pandas row
+  * index; order-sensitive operators (shift, diff, rolling, cumulative,
+  * per-group head, dedup keep=first) take explicit partition/order columns.
+  * The reference
+  * itself relaxes index guarantees under parallelism (Note [Index of Merge],
+  * mars/dataframe/merge/tests/test_merge_execution.py:44-50).
+  */
+final case class GraftFrame(df: DataFrame) {
+
+  // ---------------------------------------------------------------- access
+  /** Column by name (pandas `df[col]`, reference indexing/getitem.py:44). */
+  def apply(name: String): Column = df(name)
+  def columns: Seq[String] = df.columns.toSeq
+  def schema: StructType = df.schema
+
+  // ------------------------------------------------------- projection §2.3
+  /** Column subset (reference indexing/getitem.py:266). */
+  def select(cols: String*): GraftFrame = GraftFrame(df.select(cols.map(df(_)): _*))
+  def selectCols(cols: Column*): GraftFrame = GraftFrame(df.select(cols: _*))
+
+  /** `df[c] = expr` (reference indexing/setitem.py:35). */
+  def assign(pairs: (String, Column)*): GraftFrame =
+    GraftFrame(pairs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+
+  /** String-expression assign — the reference's `df.eval` (base/eval.py:263);
+    * Catalyst is the expression engine. */
+  def eval(name: String, sqlExpr: String): GraftFrame =
+    GraftFrame(df.withColumn(name, expr(sqlExpr)))
+
+  /** Row filter from a SQL boolean expression — the reference's `df.query`
+    * (base/eval.py:263 with DataFrameBoolEvalToQuery). */
+  def query(sqlExpr: String): GraftFrame = GraftFrame(df.filter(sqlExpr))
+
+  def filter(cond: Column): GraftFrame = GraftFrame(df.filter(cond))
+
+  /** Conditional replace keeping shape (reference indexing/where.py:28):
+    * pandas `where` keeps rows satisfying cond, replaces others. */
+  def whereMask(col: String, cond: Column, other: Column): GraftFrame =
+    assign(col -> when(cond, df(col)).otherwise(other))
+
+  /** Drop columns (reference base/drop.py:29). */
+  def drop(cols: String*): GraftFrame = GraftFrame(df.drop(cols: _*))
+
+  /** Rename columns (reference indexing/rename.py:26). */
+  def rename(mapping: (String, String)*): GraftFrame =
+    GraftFrame(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+
+  def addPrefix(p: String): GraftFrame = GraftFrame(df.toDF(df.columns.map(p + _): _*))
+  def addSuffix(s: String): GraftFrame = GraftFrame(df.toDF(df.columns.map(_ + s): _*))
+
+  /** dtype casts by column (reference base/astype.py:32). */
+  def astype(casts: (String, String)*): GraftFrame =
+    GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })
+
+  /** Positional column insert (reference indexing/insert.py:28). */
+  def insert(pos: Int, name: String, value: Column): GraftFrame = {
+    val (before, after) = df.columns.splitAt(pos)
+    GraftFrame(df.select(
+      before.map(df(_)) ++ Seq(value.as(name)) ++ after.map(df(_)): _*))
+  }
+
+  // ------------------------------------------------------------ joins §2.4
+  /** pandas merge (reference merge/merge.py:167, API :903): equi-join on
+    * shared or per-side columns with suffix disambiguation. Broadcast /
+    * shuffle choice is left to Catalyst+AQE (the reference's MergeMethod
+    * auto-choice, merge.py:692); pass `broadcastRight = true` to force the
+    * hint for a known-small right side. */
+  def merge(
+      right: GraftFrame,
+      on: Seq[String] = Nil,
+      how: String = "inner",
+      leftOn: Seq[String] = Nil,
+      rightOn: Seq[String] = Nil,
+      suffixes: (String, String) = ("_x", "_y"),
+      broadcastRight: Boolean = false): GraftFrame = {
+    val r0 = if (broadcastRight) broadcast(right.df) else right.df
+    if (on.nonEmpty || (leftOn.isEmpty && rightOn.isEmpty)) {
+      val keys = if (on.nonEmpty) on else df.columns.intersect(r0.columns).toSeq
+      // disambiguate non-key shared columns with pandas-style suffixes
+      val shared = df.columns.intersect(r0.columns).toSet -- keys.toSet
+      val l1 = shared.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+      val r1 = shared.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+      GraftFrame(l1.join(r1, keys, how))
+    } else {
+      require(leftOn.length == rightOn.length, "left_on/right_on length mismatch")
+      val cond = leftOn.zip(rightOn).map { case (l, r) => df(l) === r0(r) }.reduce(_ && _)
+      GraftFrame(df.join(r0, cond, how))
+    }
+  }
+
+  /** Row concat (reference merge/concat.py:41 axis=0): unionByName with
+    * missing columns null-filled, like pandas concat's outer column union. */
+  def concatRows(others: GraftFrame*): GraftFrame =
+    GraftFrame(others.foldLeft(df)((acc, o) =>
+      acc.unionByName(o.df, allowMissingColumns = true)))
+
+  def crossJoin(right: GraftFrame): GraftFrame = GraftFrame(df.crossJoin(right.df))
+
+  /** As-of backward join (pandas merge_asof; absent from the reference —
+    * SURVEY §2.4 — provided as an engine extension). */
+  def asofJoinPrior(right: GraftFrame, key: String, ts: String, payload: String): GraftFrame =
+    GraftFrame(Sessionize.asofJoinPrior(df, right.df, key, ts, payload))
+
+  // ---------------------------------------------------------- groupby §2.6
+  /** Deferred grouped frame (reference groupby/core.py:47). */
+  def groupby(cols: String*): GraftGroupBy = GraftGroupBy(df, cols)
+
+  // ----------------------------------------------------- sort/limit §2.8
+  /** sort_values (reference sort/sort_values.py:29). Spark's sort is the
+    * sampled range-partitioned sort the reference implements by hand as
+    * PSRS (sort/psrs.py). `naPosition` matches pandas 'first'/'last'. */
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil,
+      naPosition: String = "last"): GraftFrame = {
+    val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
+    val cols = by.zip(asc).map { case (c, a) =>
+      (a, naPosition) match {
+        case (true, "last") => df(c).asc_nulls_last
+        case (true, _) => df(c).asc_nulls_first
+        case (false, "last") => df(c).desc_nulls_last
+        case (false, _) => df(c).desc_nulls_first
+      }
+    }
+    GraftFrame(df.orderBy(cols: _*))
+  }
+
+  /** head(n) (reference indexing/iloc.py:251 / HeadPushDown — Catalyst's
+    * LimitPushDown does the pushdown). */
+  def head(n: Int): GraftFrame = GraftFrame(df.limit(n))
+
+  // ------------------------------------------------------------ dedup §2.9
+  /** drop_duplicates keep=first-by-order (reference
+    * base/drop_duplicates.py:35; subset_tree strategy ≈ the semi-join
+    * here, base/_duplicate.py:32). */
+  def dropDuplicates(subset: Seq[String], keepFirstBy: String): GraftFrame =
+    GraftFrame(Dedup.dropDuplicates(df, subset, keepFirstBy))
+
+  /** Positional-agnostic dedup (any row per key). */
+  def dropDuplicatesAny(subset: Seq[String]): GraftFrame =
+    GraftFrame(df.dropDuplicates(subset))
+
+  /** Per-row duplicate flag over subset keys (reference
+    * base/duplicated.py:25); true for every row beyond the first by
+    * `orderCol` within the key. */
+  def duplicated(subset: Seq[String], orderCol: String): GraftFrame = {
+    val w = Window.partitionBy(subset.map(df(_)): _*).orderBy(df(orderCol))
+    GraftFrame(df.withColumn("duplicated", row_number().over(w) > 1))
+  }
+
+  /** isin filter (reference base/isin.py:31). */
+  def isin(colName: String, values: Seq[Any]): GraftFrame =
+    GraftFrame(df.filter(df(colName).isin(values: _*)))
+
+  // --------------------------------------------------- missing data §2.10
+  /** fillna with per-column values (reference missing/fillna.py:36). */
+  def fillna(values: Map[String, Any]): GraftFrame = GraftFrame(df.na.fill(values))
+
+  /** dropna (reference missing/dropna.py:33). how: "any"/"all". */
+  def dropna(how: String = "any", subset: Seq[String] = Nil): GraftFrame =
+    GraftFrame(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+
+  /** Group-wise forward fill (reference groupby/fill.py:149) — window
+    * last(ignoreNulls) over the preceding frame, one shuffle on the key. */
+  def ffill(partitionBy: Seq[String], orderBy: Seq[String], cols: Seq[String]): GraftFrame = {
+    val w = Windows.expanding(Windows.spec(partitionBy, orderBy))
+    GraftFrame(cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(d(c), ignoreNulls = true).over(w))))
+  }
+
+  /** Regex replace in a string column (reference missing/replace.py:38). */
+  def replaceRegex(colName: String, pattern: String, repl: String): GraftFrame =
+    assign(colName -> regexp_replace(df(colName), pattern, repl))
+
+  /** Value mapping through a literal dict (reference base/map.py:32) — a
+    * when-chain, codegen'd; rows with unmapped values get `default`
+    * (pandas maps them to NaN). */
+  def mapValues(colName: String, out: String, mapping: Map[Any, Any],
+      default: Option[Any] = None): GraftFrame = {
+    val c = mapping.foldLeft[Option[Column]](None) {
+      case (acc, (k, v)) =>
+        val branch = when(df(colName) === lit(k), lit(v))
+        Some(acc.fold(branch)(_.when(df(colName) === lit(k), lit(v))))
+    }.get
+    assign(out -> default.fold(c)(d => c.otherwise(lit(d))))
+  }
+
+  // -------------------------------------------------------- reshape §2.10
+  /** melt / wide-to-long (reference base/melt.py:27). */
+  def melt(ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valName: String = "value"): GraftFrame =
+    GraftFrame(df.unpivot(ids.map(df(_)).toArray, values.map(df(_)).toArray, varName, valName))
+
+  /** explode list column to rows (reference base/explode.py:27). */
+  def explodeCol(colName: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, explode(df(colName))))
+
+  /** pivot_table with known category values (reference base/get_dummies.py
+    * and pandas pivot; values must be enumerated for a deterministic
+    * schema, which also keeps the plan a single partial+final aggregate). */
+  def pivotTable(index: Seq[String], column: String, values: Seq[Any],
+      agg: Column, fillValue: Option[Any] = None): GraftFrame = {
+    val p = df.groupBy(index.map(df(_)): _*).pivot(column, values).agg(agg)
+    GraftFrame(fillValue match {
+      case Some(v: Long) => p.na.fill(v, values.map(_.toString))
+      case Some(v: Double) => p.na.fill(v, values.map(_.toString))
+      case Some(v: String) => p.na.fill(v, values.map(_.toString))
+      case _ => p
+    })
+  }
+
+  /** One-hot indicator columns (reference base/get_dummies.py). */
+  def getDummies(colName: String, values: Seq[String], prefix: String = ""): GraftFrame =
+    GraftFrame(values.foldLeft(df)((d, v) =>
+      d.withColumn(s"$prefix$v", when(d(colName) === v, 1L).otherwise(0L))))
+
+  /** Fixed-bin cut with interval labels (reference base/cut.py:43).
+    * `bins` are ascending edges; values outside get null like pandas. */
+  def cut(colName: String, out: String, bins: Seq[Double],
+      labels: Seq[String] = Nil): GraftFrame = {
+    val lbs = if (labels.nonEmpty) labels
+      else bins.sliding(2).map(w => s"(${w(0)}, ${w(1)}]").toSeq
+    require(lbs.size == bins.size - 1, "labels must have bins-1 entries")
+    val c = bins.sliding(2).zip(lbs.iterator).foldLeft[Column](lit(null)) {
+      case (acc, (w, lb)) =>
+        when(df(colName) > w(0) && df(colName) <= w(1), lit(lb)).otherwise(acc)
+    }
+    assign(out -> c)
+  }
+
+  /** Quantile binning (reference base/qcut.py). Scale-safe: exact
+    * interpolated quantile cutoffs are computed with a single partial+final
+    * aggregate and broadcast back — no global single-task window (the ntile
+    * formulation funnels every row through one task at 100 TB). Cutoffs are
+    * rounded to `roundTo` decimals so boundary assignment is reproducible
+    * across engines. */
+  def qcut(colName: String, out: String, q: Int, roundTo: Int = 6): GraftFrame = {
+    val probs = (1 until q).map(_.toDouble / q)
+    val cutoffs = df.agg(
+      transform(percentile(df(colName), typedlit(probs)),
+        x => round(x, roundTo)).as("__cuts"))
+    val joined = df.crossJoin(broadcast(cutoffs))
+    // fold from the highest cutoff down so the smallest bucket's test ends
+    // up outermost (a value below c1 must land in bucket 1, not q-1)
+    val bucket = ((q - 2) to 0 by -1).foldLeft[Column](lit(q.toLong)) {
+      case (acc, i) =>
+        when(df(colName) <= element_at(col("__cuts"), i + 1), lit((i + 1).toLong))
+          .otherwise(acc)
+    }
+    GraftFrame(joined.withColumn(out, bucket).drop("__cuts"))
+  }
+
+  // ------------------------------------------------------------ stats §2.13
+  /** describe (reference base/describe.py:34): count/mean/std/min/quartiles/
+    * max per numeric column, exact quantiles like the reference. */
+  def describe(cols: Seq[String]): GraftFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(df(c)).cast("double").as(s"${c}_count"),
+        avg(df(c)).as(s"${c}_mean"),
+        stddev_samp(df(c)).as(s"${c}_std"),
+        min(df(c)).cast("double").as(s"${c}_min"),
+        percentile(df(c), lit(0.25)).as(s"${c}_p25"),
+        percentile(df(c), lit(0.5)).as(s"${c}_p50"),
+        percentile(df(c), lit(0.75)).as(s"${c}_p75"),
+        max(df(c)).cast("double").as(s"${c}_max"))
+    }
+    GraftFrame(df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** value_counts (reference base/value_counts.py:31). */
+  def valueCounts(colName: String): GraftFrame =
+    GraftFrame(df.groupBy(df(colName)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, df(colName)))
+
+  /** nunique across columns (reference reduction/nunique.py:118). */
+  def nunique(cols: Seq[String]): GraftFrame =
+    GraftFrame(df.agg(
+      countDistinct(df(cols.head)).as(s"${cols.head}_nunique"),
+      cols.tail.map(c => countDistinct(df(c)).as(s"${c}_nunique")): _*))
+
+  /** Monotonicity check over an explicit order (reference
+    * base/check_monotonic.py): single window pass + bool_and reduce. */
+  def checkMonotonic(orderCol: String, valueCol: String): GraftFrame = {
+    val w = Window.orderBy(df(orderCol))
+    val stepUp = df(valueCol) >= lag(df(valueCol), 1).over(w)
+    val stepDown = df(valueCol) <= lag(df(valueCol), 1).over(w)
+    GraftFrame(df
+      .select(coalesce(stepUp, lit(true)).as("__up"), coalesce(stepDown, lit(true)).as("__dn"))
+      .agg(bool_and(col("__up")).as("increasing"), bool_and(col("__dn")).as("decreasing")))
+  }
+
+  // --------------------------------------------------------- sampling §2.11
+  /** Bernoulli sample (reference indexing/sample.py:41 frac=). */
+  def sample(frac: Double, seed: Long = 42L): GraftFrame =
+    GraftFrame(df.sample(withReplacement = false, frac, seed))
+
+  /** Weighted sample of n rows without replacement
+    * (reference indexing/sample.py:41 weights=): Efraimidis–Spirakis keys
+    * pow(u, 1/w) ≡ log(u)/w, then a distributed top-n — one TakeOrdered,
+    * no driver-side pass, skew-free at any scale. */
+  def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): GraftFrame = {
+    val key = log(rand(seed)) / df(weightCol)
+    GraftFrame(df.withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc)
+      .limit(n)
+      .drop("__es_key"))
+  }
+
+  /** Deterministic hash sample: stable across runs and engines. */
+  def sampleHash(colName: String, pct: Int): GraftFrame =
+    GraftFrame(df.filter((df(colName) * lit(2654435761L)) % 100 < pct))
+
+  // ------------------------------------------------------------- UDF §2.12
+  /** Partition-wise UDF — the reference's map_chunk (base/map_chunk.py:51),
+    * its primary escape hatch: an iterator transform per partition with an
+    * explicit output schema (the reference requires dtypes too when
+    * inference fails, map_chunk.py:351). */
+  def mapChunk(outSchema: StructType)(f: Iterator[Row] => Iterator[Row]): GraftFrame = {
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    GraftFrame(df.mapPartitions(f))
+  }
+
+  /** Row-wise apply (reference base/apply.py:69) — a special case of
+    * mapChunk; prefer Column expressions wherever possible (they codegen). */
+  def applyRows(outSchema: StructType)(f: Row => Row): GraftFrame =
+    mapChunk(outSchema)(_.map(f))
+
+  // ---------------------------------------------------------- windows §2.7
+  /** Rolling window aggregation builder (reference
+    * window/rolling/core.py:32). */
+  def rolling(partitionBy: Seq[String], orderBy: Seq[String], n: Int): GraftRolling =
+    GraftRolling(df, Windows.rolling(Windows.spec(partitionBy, orderBy), n))
+
+  /** Expanding window builder (reference window/expanding/aggregation.py:119). */
+  def expanding(partitionBy: Seq[String], orderBy: Seq[String]): GraftRolling =
+    GraftRolling(df, Windows.expanding(Windows.spec(partitionBy, orderBy)))
+
+  /** ewm mean (reference window/ewm/aggregation.py:207). */
+  def ewmMean(key: String, order: String, value: String, alpha: Double): GraftFrame =
+    GraftFrame(Windows.ewmMean(df, key, order, value, alpha))
+
+  /** shift/diff over explicit partition+order (reference base/shift.py:31,
+    * base/diff.py:29). */
+  def shift(colName: String, out: String, periods: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): GraftFrame =
+    assign(out -> Windows.shift(df(colName), periods, Windows.spec(partitionBy, orderBy)))
+
+  def diff(colName: String, out: String, periods: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): GraftFrame =
+    assign(out -> Windows.diff(df(colName), periods, Windows.spec(partitionBy, orderBy)))
+
+  // ------------------------------------------------------------ sinks §2.2
+  /** to_parquet (reference datastore/to_parquet.py:44). */
+  def toParquet(path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** to_csv (reference datastore/to_csv.py:41). `singleFile` mirrors the
+    * reference's one-file mode (TO_CSV_STAT two-phase, to_csv.py:432) via
+    * coalesce(1) — only for modest results, as there. */
+  def toCsv(path: String, header: Boolean = true, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite").option("header", header).csv(path)
+  }
+
+  /** to_sql (reference datastore/to_sql.py:60). */
+  def toJdbc(url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode("overwrite").jdbc(url, table, properties)
+}
+
+/** Deferred grouped frame (reference groupby/core.py:47-100;
+  * RelationalGroupedDataset is the Spark analog). Aggregations compile to
+  * partial+final hash aggregation — the reference's tree/shuffle/auto
+  * strategies (groupby/aggregation.py:887) collapse into Catalyst+AQE.
+  */
+final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
+  private def grouped = df.groupBy(keys.map(df(_)): _*)
+
+  /** Named aggregation: (outName, function, column). Functions cover the
+    * reference's bound-method surface (groupby/__init__.py:46-64) plus
+    * product, str_concat, all, any from the reduction modules. */
+  def agg(specs: (String, String, String)*): GraftFrame = {
+    val cols = specs.map { case (out, fn, c) => GraftGroupBy.aggExpr(df, fn, c).as(out) }
+    GraftFrame(grouped.agg(cols.head, cols.tail: _*))
+  }
+
+  def sum(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_sum", "sum", c)): _*)
+  def mean(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_mean", "mean", c)): _*)
+  def min(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_min", "min", c)): _*)
+  def max(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_max", "max", c)): _*)
+  def count(): GraftFrame = agg(("count", "count", keys.head))
+  def nunique(cols: String*): GraftFrame =
+    agg(cols.map(c => (s"${c}_nunique", "nunique", c)): _*)
+
+  /** Per-group top-n by order (reference groupby/head.py:30). */
+  def head(n: Int, orderBy: Seq[Column]): GraftFrame = {
+    val w = Window.partitionBy(keys.map(df(_)): _*).orderBy(orderBy: _*)
+    GraftFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+  }
+
+  /** Per-group deterministic sample of up to n rows: hash-ordered
+    * row_number, no rand() (reference groupby/sample.py). */
+  def sampleN(n: Int, seed: Long = 42L): GraftFrame = {
+    val w = Window.partitionBy(keys.map(df(_)): _*)
+      .orderBy(hash(df.columns.map(df(_)) :+ lit(seed): _*))
+    GraftFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+  }
+
+  /** Group-wise cumulative sum (reference groupby/cum.py:154). */
+  def cumsum(valueCol: String, out: String, orderBy: Seq[String]): GraftFrame =
+    GraftFrame(df.withColumn(out,
+      Windows.cumsum(df(valueCol), Windows.spec(keys, orderBy))))
+
+  /** Arbitrary per-group transform — the reference's groupby.apply
+    * (groupby/apply.py:58) via sort-within-partition streaming (same
+    * engine-level shape as Windows.ewmMean: one shuffle, spillable sort,
+    * no per-group materialization beyond what `f` itself holds). */
+  def applyGroups(outSchema: StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): GraftFrame = {
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val keyIdx = keys.map(df.columns.indexOf(_))
+    val out = df
+      .repartition(keys.map(df(_)): _*)
+      .sortWithinPartitions(keys.map(df(_)): _*)
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private val buf = rows.buffered
+          private var cur: Iterator[Row] = Iterator.empty
+          override def hasNext: Boolean = cur.hasNext || buf.hasNext
+          override def next(): Row = {
+            if (!cur.hasNext) {
+              val keyRow = buf.head
+              val keyVals = keyIdx.map(keyRow.get)
+              val group = new scala.collection.mutable.ArrayBuffer[Row]()
+              while (buf.hasNext && keyIdx.map(buf.head.get) == keyVals)
+                group += buf.next()
+              cur = f(Row.fromSeq(keyVals), group.iterator)
+            }
+            cur.next()
+          }
+        }
+      }
+    GraftFrame(out)
+  }
+}
+
+object GraftGroupBy {
+  /** Aggregate-function registry — the trivial ReductionCompiler analog
+    * (reference reduction/core.py:790 decomposes into pre/agg/post; Spark's
+    * partial+final aggregation does the same automatically for all of
+    * these). */
+  def aggExpr(df: DataFrame, fn: String, c: String): Column = fn match {
+    case "sum" => sum(df(c))
+    case "mean" | "avg" => avg(df(c))
+    case "min" => min(df(c))
+    case "max" => max(df(c))
+    case "count" => count(lit(1))
+    case "size" => count(lit(1))
+    case "var" => var_samp(df(c))
+    case "std" => stddev_samp(df(c))
+    case "sem" => aggregates.sem(df(c))
+    case "skew" => skewness(df(c))
+    case "kurt" => kurtosis(df(c))
+    case "nunique" => countDistinct(df(c))
+    case "product" | "prod" => aggregates.product(df(c))
+    case "all" => bool_and(df(c))
+    case "any" => bool_or(df(c))
+    case "first" => first(df(c))
+    case "last" => last(df(c))
+    case "collect" => collect_list(df(c))
+    case other => throw new IllegalArgumentException(s"unknown agg function: $other")
+  }
+}
+
+/** Window-aggregation builder shared by rolling/expanding (reference
+  * window/rolling/aggregation.py:42, window/aggregation.py:52). */
+final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) {
+  import org.apache.spark.sql.{functions => F}
+  def sum(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.sum(df(c)).over(w)))
+  def mean(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.avg(df(c)).over(w)))
+  def min(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.min(df(c)).over(w)))
+  def max(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.max(df(c)).over(w)))
+  def count(out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.count(lit(1)).over(w)))
+  def agg(cols: (String, Column)*): GraftFrame =
+    GraftFrame(cols.foldLeft(df) { case (d, (out, c)) => d.withColumn(out, c.over(w)) })
+}

@@ -1,0 +1,115 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Session entry point: the data-source surface of the engine.
+  *
+  * Mirrors the reference's datasource family — read_csv
+  * (mars/dataframe/datasource/read_csv.py:368), read_parquet
+  * (datasource/read_parquet.py:282), read_sql (datasource/read_sql.py:79),
+  * from_pandas/records (datasource/dataframe.py:34, from_records.py:29),
+  * date_range (datasource/date_range.py:122) and the mt.random.*
+  * distributions (mars/tensor/random/, opcodes 68-118) — re-expressed as
+  * Spark readers and generator plans.
+  *
+  * Scale notes: every reader returns a declarative scan (column pruning +
+  * predicate pushdown reach the source via Catalyst); generators build on
+  * `spark.range`, which parallelizes across the cluster without ever
+  * materializing data on the driver.
+  */
+final class GraftSession(val spark: SparkSession) {
+
+  /** Parquet scan (reference datasource/read_parquet.py:282). `columns`
+    * prunes the schema at the source like the reference's `columns=`. */
+  def readParquet(path: String, columns: Seq[String] = Nil): GraftFrame = {
+    val df = spark.read.parquet(path)
+    GraftFrame(if (columns.isEmpty) df else df.select(columns.map(col): _*))
+  }
+
+  /** CSV scan with the reference's common options
+    * (read_csv.py:368: sep, header, names, dtypes, compression — gzip is
+    * inferred from the extension, as there). */
+  def readCsv(
+      path: String,
+      sep: String = ",",
+      header: Boolean = true,
+      schema: Option[StructType] = None,
+      names: Seq[String] = Nil): GraftFrame = {
+    var r = spark.read
+      .option("sep", sep)
+      .option("header", header)
+    r = schema match {
+      case Some(s) => r.schema(s)
+      case None => r.option("inferSchema", true)
+    }
+    val df = r.csv(path)
+    GraftFrame(if (names.isEmpty) df else df.toDF(names: _*))
+  }
+
+  /** JDBC scan partitioned on a numeric column — the reference's
+    * read_sql(partition_col, num_partitions) (read_sql.py:79) maps to
+    * Spark's (partitionColumn, lowerBound, upperBound, numPartitions). */
+  def readJdbc(
+      url: String,
+      table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = 0L,
+      numPartitions: Int = 1,
+      properties: java.util.Properties = new java.util.Properties()): GraftFrame =
+    GraftFrame(partitionColumn match {
+      case Some(c) =>
+        spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    })
+
+  /** Client-local rows → distributed frame (reference from_pandas,
+    * datasource/dataframe.py:34; from_records.py:29). */
+  def fromRows(rows: Seq[Row], schema: StructType, numPartitions: Int = 0): GraftFrame = {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq,
+      if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism), schema)
+    GraftFrame(df)
+  }
+
+  /** Distributed integer range (reference mt.arange / RangeIndex). */
+  def range(start: Long, end: Long, step: Long = 1L): GraftFrame =
+    GraftFrame(spark.range(start, end, step).toDF("id"))
+
+  /** Daily date_range (reference datasource/date_range.py:122): `periods`
+    * dates starting at `start`, spaced `freqDays` apart — generated
+    * distributed via spark.range, never on the driver. */
+  def dateRange(start: String, periods: Int, freqDays: Int = 1): GraftFrame =
+    GraftFrame(
+      spark.range(0, periods)
+        .select(date_add(to_date(lit(start)), (col("id") * freqDays).cast("int")).as("date")))
+
+  /** Uniform [0,1) random frame: `n` rows × `cols` double columns
+    * (reference mt.random.rand, mars/tensor/random/). Seeded per column so
+    * results are deterministic given (seed, n, cols). */
+  def randomUniform(n: Long, cols: Seq[String], seed: Long = 42L): GraftFrame =
+    GraftFrame(cols.zipWithIndex.foldLeft(spark.range(0, n).toDF("id")) {
+      case (df, (c, i)) => df.withColumn(c, rand(seed + i))
+    })
+
+  /** Standard-normal random frame (reference mt.random.randn). */
+  def randomNormal(n: Long, cols: Seq[String], seed: Long = 42L): GraftFrame =
+    GraftFrame(cols.zipWithIndex.foldLeft(spark.range(0, n).toDF("id")) {
+      case (df, (c, i)) => df.withColumn(c, randn(seed + i))
+    })
+
+  /** Seeded integers in [lo, hi) (reference mt.random.randint). */
+  def randomInt(n: Long, lo: Long, hi: Long, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    GraftFrame(spark.range(0, n).toDF("id")
+      .withColumn(colName, (lit(lo) + floor(rand(seed) * (hi - lo))).cast("long")))
+
+  /** Registry table from the test-data layout. */
+  def table(sfDir: String, name: String): GraftFrame =
+    GraftFrame(graft.Tables.load(spark, sfDir, name))
+}
+
+object GraftSession {
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+}

@@ -15,7 +15,9 @@ object OpsRelational {
 
   val all: Vector[Q] = Vector(
 
-    // --- §2.3 getitem/setitem/eval: projection + derived column + filter
+    // --- §2.3 getitem/setitem/eval via the fluent API: query() is the
+    //     reference's df.query (Catalyst parses the expression string) and
+    //     eval() its df.eval (mars/dataframe/base/eval.py:263)
     Q("op_select_filter",
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(${sqlDiscPrice()} AS DOUBLE) AS net,
@@ -23,13 +25,13 @@ object OpsRelational {
          |FROM lineitem
          |WHERE l_quantity > 45 AND l_returnflag = 'A'
          |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "lineitem")
-        .filter($"l_quantity" > 45 && $"l_returnflag" === "A")
-        .select($"l_orderkey", $"l_linenumber",
-          discPrice($"l_extendedprice", $"l_discount").cast("double").as("net"),
-          $"l_quantity".cast("long").as("qty"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+      gt(spark, dir, "lineitem")
+        .query("l_quantity > 45 AND l_returnflag = 'A'")
+        .eval("net", s"CAST(${sqlDiscPrice()} AS DOUBLE)")
+        .eval("qty", "CAST(l_quantity AS BIGINT)")
+        .select("l_orderkey", "l_linenumber", "net", "qty")
+        .sortValues(Seq("l_orderkey", "l_linenumber"))
+        .df
     },
 
     // --- §2.3 where/mask: conditional replacement
@@ -49,7 +51,7 @@ object OpsRelational {
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 
-    // --- §2.3 astype: numeric/string/date casts
+    // --- §2.3 astype via the fluent API (reference base/astype.py:32)
     Q("op_astype",
       """SELECT o_orderkey,
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
@@ -57,13 +59,16 @@ object OpsRelational {
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
         |FROM orders WHERE o_orderkey < 200
         |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "orders").filter($"o_orderkey" < 200)
-        .select($"o_orderkey",
-          floor($"o_totalprice").cast("long").as("price_int"),
-          $"o_orderkey".cast("string").as("key_str"),
-          $"o_orderdate".cast("date").cast("string").as("date_str"))
-        .orderBy($"o_orderkey")
+      val o = gt(spark, dir, "orders")
+      o.filter(o("o_orderkey") < 200)
+        .assign(
+          "price_int" -> floor(o("o_totalprice")),
+          "key_str" -> o("o_orderkey"),
+          "date_str" -> o("o_orderdate").cast("date"))
+        .astype("price_int" -> "long", "key_str" -> "string", "date_str" -> "string")
+        .select("o_orderkey", "price_int", "key_str", "date_str")
+        .sortValues(Seq("o_orderkey"))
+        .df
     },
 
     // --- §2.10 missing data: isna/fillna/dropna (nulls via NULLIF)
@@ -85,16 +90,16 @@ object OpsRelational {
         .orderBy($"l_returnflag")
     },
 
-    // --- §2.9 drop_duplicates keep=first (library op)
+    // --- §2.9 drop_duplicates keep=first via the fluent API
     Q("op_drop_duplicates",
       """SELECT o_custkey, o_orderpriority, min(o_orderkey) AS o_orderkey
         |FROM orders GROUP BY o_custkey, o_orderpriority
         |ORDER BY o_custkey, o_orderpriority""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      Dedup.dropDuplicates(t(spark, dir, "orders"),
-          Seq("o_custkey", "o_orderpriority"), "o_orderkey")
-        .select($"o_custkey", $"o_orderpriority", $"o_orderkey")
-        .orderBy($"o_custkey", $"o_orderpriority")
+      gt(spark, dir, "orders")
+        .dropDuplicates(Seq("o_custkey", "o_orderpriority"), keepFirstBy = "o_orderkey")
+        .select("o_custkey", "o_orderpriority", "o_orderkey")
+        .sortValues(Seq("o_custkey", "o_orderpriority"))
+        .df
     },
 
     // --- §2.9 duplicated: count of extra rows per subset key
@@ -108,26 +113,27 @@ object OpsRelational {
         countDistinct($"l_partkey", $"l_suppkey").as("n_unique"))
     },
 
-    // --- §2.9 isin
+    // --- §2.9 isin via the fluent API
     Q("op_isin",
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_custkey % 10 = 0
         |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "customer")
-        .filter($"c_mktsegment".isin("BUILDING", "MACHINERY") && $"c_custkey" % 10 === 0)
-        .select($"c_custkey", $"c_mktsegment")
-        .orderBy($"c_custkey")
+      gt(spark, dir, "customer")
+        .isin("c_mktsegment", Seq("BUILDING", "MACHINERY"))
+        .query("c_custkey % 10 = 0")
+        .select("c_custkey", "c_mktsegment")
+        .sortValues(Seq("c_custkey"))
+        .df
     },
 
-    // --- §2.5 value_counts
+    // --- §2.5 value_counts via the fluent API
     Q("op_value_counts",
       """SELECT lang, COUNT(*) AS cnt FROM documents
         |GROUP BY lang ORDER BY cnt DESC, lang""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "documents")
-        .groupBy($"lang").agg(count(lit(1)).as("cnt"))
-        .orderBy($"cnt".desc, $"lang")
+      gt(spark, dir, "documents")
+        .valueCounts("lang")
+        .rename("count" -> "cnt")
+        .df
     },
 
     // --- §2.5 nunique
@@ -330,15 +336,13 @@ object OpsRelational {
         |  COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
         |FROM customer GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-      t(spark, dir, "customer")
-        .groupBy($"c_nationkey")
-        .pivot("c_mktsegment", segs)
-        .agg(count(lit(1)))
-        .na.fill(0L, segs)
-        .select($"c_nationkey" +: segs.map(s => col(s).as(s.toLowerCase)): _*)
-        .orderBy($"c_nationkey")
+      gt(spark, dir, "customer")
+        .pivotTable(Seq("c_nationkey"), "c_mktsegment", segs,
+          count(lit(1)), fillValue = Some(0L))
+        .rename(segs.map(s => s -> s.toLowerCase): _*)
+        .sortValues(Seq("c_nationkey"))
+        .df
     },
 
     // --- §2.10 melt / unpivot
@@ -353,13 +357,12 @@ object OpsRelational {
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |  FROM lineitem WHERE l_orderkey < 30
         |) m ORDER BY l_orderkey, l_linenumber, var""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
-        .unpivot(
-          Array($"l_orderkey", $"l_linenumber"),
-          Array($"l_quantity", $"l_discount", $"l_tax"),
-          "var", "val")
-        .orderBy($"l_orderkey", $"l_linenumber", $"var")
+      gt(spark, dir, "lineitem")
+        .query("l_orderkey < 30")
+        .melt(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_discount", "l_tax"), "var", "val")
+        .sortValues(Seq("l_orderkey", "l_linenumber", "var"))
+        .df
     },
 
     // --- §2.10 explode over split text
@@ -375,43 +378,51 @@ object OpsRelational {
         .limit(20)
     },
 
-    // --- §2.10 cut: fixed bins
+    // --- §2.10 cut: fixed bins with pandas (lo, hi] intervals via the
+    //     fluent API (reference base/cut.py:43)
     Q("op_cut",
       """SELECT bin, COUNT(*) AS cnt FROM (
-        |  SELECT CASE WHEN c_acctbal < 0 THEN '(-inf,0)'
-        |              WHEN c_acctbal < 2500 THEN '[0,2500)'
-        |              WHEN c_acctbal < 5000 THEN '[2500,5000)'
-        |              WHEN c_acctbal < 7500 THEN '[5000,7500)'
-        |              ELSE '[7500,inf)' END AS bin
+        |  SELECT CASE WHEN c_acctbal > -1000 AND c_acctbal <= 0 THEN 'neg'
+        |              WHEN c_acctbal > 0 AND c_acctbal <= 2500 THEN 'low'
+        |              WHEN c_acctbal > 2500 AND c_acctbal <= 5000 THEN 'mid'
+        |              WHEN c_acctbal > 5000 AND c_acctbal <= 7500 THEN 'high'
+        |              WHEN c_acctbal > 7500 AND c_acctbal <= 10000 THEN 'top'
+        |              ELSE NULL END AS bin
         |  FROM customer) b
         |GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "customer")
-        .select(
-          when($"c_acctbal" < 0, "(-inf,0)")
-            .when($"c_acctbal" < 2500, "[0,2500)")
-            .when($"c_acctbal" < 5000, "[2500,5000)")
-            .when($"c_acctbal" < 7500, "[5000,7500)")
-            .otherwise("[7500,inf)").as("bin"))
-        .groupBy($"bin").agg(count(lit(1)).as("cnt"))
-        .orderBy($"bin")
+      gt(spark, dir, "customer")
+        .cut("c_acctbal", "bin", Seq(-1000, 0, 2500, 5000, 7500, 10000),
+          Seq("neg", "low", "mid", "high", "top"))
+        .groupby("bin").agg(("cnt", "count", "bin"))
+        .sortValues(Seq("bin"))
+        .df
     },
 
-    // --- §2.10 qcut: quantile bins via ntile
+    // --- §2.10 qcut: quantile bins via exact cutoffs + broadcast bucketing
+    //     (scale-safe: one partial+final aggregate, no single-task global
+    //     window — reference base/qcut.py)
     Q("op_qcut",
-      """SELECT quartile, COUNT(*) AS n,
+      """WITH cuts AS (
+        |  SELECT round(quantile_cont(c_acctbal, 0.25), 6) AS c1,
+        |         round(quantile_cont(c_acctbal, 0.50), 6) AS c2,
+        |         round(quantile_cont(c_acctbal, 0.75), 6) AS c3
+        |  FROM customer)
+        |SELECT quartile, COUNT(*) AS n,
         |       min(c_acctbal) AS lo, max(c_acctbal) AS hi
         |FROM (SELECT c_acctbal,
-        |             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
-        |      FROM customer) q
+        |             CAST(CASE WHEN c_acctbal <= c1 THEN 1
+        |                       WHEN c_acctbal <= c2 THEN 2
+        |                       WHEN c_acctbal <= c3 THEN 3
+        |                       ELSE 4 END AS BIGINT) AS quartile
+        |      FROM customer, cuts) q
         |GROUP BY quartile ORDER BY quartile""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"c_acctbal", $"c_custkey")
-      t(spark, dir, "customer")
-        .select($"c_acctbal", ntile(4).over(w).cast("long").as("quartile"))
-        .groupBy($"quartile")
-        .agg(count(lit(1)).as("n"), min($"c_acctbal").as("lo"), max($"c_acctbal").as("hi"))
-        .orderBy($"quartile")
+      gt(spark, dir, "customer")
+        .qcut("c_acctbal", "quartile", 4)
+        .groupby("quartile")
+        .agg(("n", "count", "quartile"),
+          ("lo", "min", "c_acctbal"), ("hi", "max", "c_acctbal"))
+        .sortValues(Seq("quartile"))
+        .df
     },
 
     // --- §2.10 string accessor ops
@@ -477,16 +488,16 @@ object OpsRelational {
         .orderBy($"event_type")
     },
 
-    // --- §2.11 deterministic hash sampling
+    // --- §2.11 deterministic hash sampling via the fluent API
     Q("op_sample_hash",
       """SELECT c_custkey, c_name FROM customer
         |WHERE (c_custkey * 2654435761) % 100 < 10
         |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      t(spark, dir, "customer")
-        .filter(($"c_custkey" * lit(2654435761L)) % 100 < 10)
-        .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")
+      gt(spark, dir, "customer")
+        .sampleHash("c_custkey", 10)
+        .select("c_custkey", "c_name")
+        .sortValues(Seq("c_custkey"))
+        .df
     }
   )
 }

@@ -49,16 +49,18 @@ object OpsWindows {
         |WINDOW w AS (PARTITION BY l_suppkey
         |             ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val w = Windows.spec(Seq("l_suppkey"),
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
-      t(spark, dir, "lineitem").filter($"l_suppkey" < 20)
-        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
-          Windows.shift($"l_quantity", 1, w).as("prev_qty"),
-          Windows.diff($"l_quantity", 1, w).as("qty_diff"),
-          Windows.shift($"l_quantity", -1, w).as("next_qty"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      val part = Seq("l_suppkey")
+      val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      gt(spark, dir, "lineitem")
+        .query("l_suppkey < 20")
+        .shift("l_quantity", "prev_qty", 1, part, ord)
+        .diff("l_quantity", "qty_diff", 1, part, ord)
+        .shift("l_quantity", "next_qty", -1, part, ord)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "prev_qty", "qty_diff", "next_qty")
+        .sortValues(part ++ ord)
         .drop("l_partkey", "l_quantity")
+        .df
     },
 
     // --- §2.7 rolling fixed-size window
@@ -94,15 +96,16 @@ object OpsWindows {
         |WINDOW we AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val we = Windows.expanding(
-        Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")))
-      t(spark, dir, "orders").filter($"o_custkey" < 100)
-        .select($"o_custkey", $"o_orderkey",
-          max($"o_totalprice").over(we).as("exp_max"),
-          min($"o_totalprice").over(we).as("exp_min"),
-          count(lit(1)).over(we).as("exp_n"))
-        .orderBy($"o_custkey", $"o_orderkey")
+      gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .expanding(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+        .agg(
+          "exp_max" -> max(col("o_totalprice")),
+          "exp_min" -> min(col("o_totalprice")),
+          "exp_n" -> count(lit(1)))
+        .select("o_custkey", "o_orderkey", "exp_max", "exp_min", "exp_n")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
     },
 
     // --- §2.7 ewm mean (hardest op — per-key streaming recurrence). The
@@ -125,11 +128,11 @@ object OpsWindows {
         |  FROM t JOIN r ON t.key = r.key AND t.rn = r.rn + 1)
         |SELECT key, ord, value, num / den AS ewm FROM r
         |ORDER BY key, ord""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      Windows.ewmMean(
-          t(spark, dir, "orders").filter($"o_custkey" < 100),
-          "o_custkey", "o_orderkey", "o_totalprice", alpha = 0.5)
-        .orderBy($"key", $"ord")
+      gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .ewmMean("o_custkey", "o_orderkey", "o_totalprice", alpha = 0.5)
+        .sortValues(Seq("key", "ord"))
+        .df
     },
 
     // --- §2.7/§2.8 ranking window functions
@@ -163,14 +166,15 @@ object OpsWindows {
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey) x
         |WHERE rn <= 3
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val w = Window.partitionBy($"n_name").orderBy($"s_acctbal".desc, $"s_suppkey")
-      t(spark, dir, "supplier")
-        .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-        .select($"n_name", $"s_name", $"s_acctbal")
-        .orderBy($"n_name", $"s_acctbal".desc, $"s_name")
+      gt(spark, dir, "supplier")
+        .merge(gt(spark, dir, "nation"),
+          leftOn = Seq("s_nationkey"), rightOn = Seq("n_nationkey"),
+          broadcastRight = true)
+        .groupby("n_name")
+        .head(3, Seq(col("s_acctbal").desc, col("s_suppkey")))
+        .select("n_name", "s_name", "s_acctbal")
+        .sortValues(Seq("n_name", "s_acctbal", "s_name"), Seq(true, false, true))
+        .df
     },
 
     // --- §2.6 groupby ffill via last(ignoreNulls) over preceding frame
@@ -181,14 +185,14 @@ object OpsWindows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS disc_ffill
         |FROM lineitem WHERE l_suppkey < 10
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val w = Windows.expanding(
-        Windows.spec(Seq("l_suppkey"), Seq("l_orderkey", "l_linenumber")))
-      val nulled = when($"l_discount" === 0.0, lit(null)).otherwise($"l_discount")
-      t(spark, dir, "lineitem").filter($"l_suppkey" < 10)
-        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
-          last(nulled, ignoreNulls = true).over(w).as("disc_ffill"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      val li = gt(spark, dir, "lineitem")
+      li.query("l_suppkey < 10")
+        .assign("disc_ffill" ->
+          when(li("l_discount") === 0.0, lit(null)).otherwise(li("l_discount")))
+        .ffill(Seq("l_suppkey"), Seq("l_orderkey", "l_linenumber"), Seq("disc_ffill"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "disc_ffill")
+        .sortValues(Seq("l_suppkey", "l_orderkey", "l_linenumber"))
+        .df
     },
 
     // --- §2.7 time-offset rolling window (pandas rolling('90d'))

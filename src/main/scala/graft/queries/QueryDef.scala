@@ -33,6 +33,11 @@ object QHelpers {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(spark, dir, name)
 
+  /** Table as a [[graft.api.GraftFrame]] — queries routed through the
+    * user-facing fluent API (proving it emits the same Catalyst plans). */
+  def gt(spark: SparkSession, dir: String, name: String): graft.api.GraftFrame =
+    graft.api.GraftFrame(graft.Tables.load(spark, dir, name))
+
   /** Money column as exact decimal — prices are 2-decimal values stored as
     * double; the nearest DECIMAL(12,2) is unambiguous and engine-independent. */
   def dec12(c: Column): Column = c.cast(DecimalType(12, 2))

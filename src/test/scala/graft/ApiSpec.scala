@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.{GraftFrame, GraftSession}
+
+/** Tests for the fluent API surface not already exercised end-to-end by the
+  * oracle-checked queries: merge suffixes, concat with missing columns,
+  * map(dict), dummies, insert, describe, monotonic check, weighted sample,
+  * groupby.apply, mapChunk, and the generator sources.
+  */
+class ApiSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val g = GraftSession(spark)
+
+  test("merge disambiguates shared non-key columns with suffixes") {
+    val l = GraftFrame(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "tag", "v"))
+    val r = GraftFrame(Seq((1L, "x", 1.5), (3L, "y", 2.5)).toDF("k", "tag", "w"))
+    val m = l.merge(r, on = Seq("k"), how = "inner")
+    assert(m.columns.toSet == Set("k", "tag_x", "tag_y", "v", "w"))
+    assert(m.df.collect().toSeq == Seq(Row(1L, "a", 10.0, "x", 1.5)))
+    val outer = l.merge(r, on = Seq("k"), how = "full_outer")
+    assert(outer.df.count() == 3)
+  }
+
+  test("merge with left_on/right_on keeps both key columns") {
+    val l = GraftFrame(Seq((1L, 10.0)).toDF("lk", "v"))
+    val r = GraftFrame(Seq((1L, "x")).toDF("rk", "w"))
+    val m = l.merge(r, leftOn = Seq("lk"), rightOn = Seq("rk"))
+    assert(m.df.collect().toSeq == Seq(Row(1L, 10.0, 1L, "x")))
+  }
+
+  test("concatRows null-fills missing columns like pandas outer concat") {
+    val a = GraftFrame(Seq((1L, "a")).toDF("k", "s"))
+    val b = GraftFrame(Seq((2L, 5.0)).toDF("k", "x"))
+    val c = a.concatRows(b).sortValues(Seq("k"))
+    assert(c.columns.toSet == Set("k", "s", "x"))
+    assert(c.df.collect().toSeq ==
+      Seq(Row(1L, "a", null), Row(2L, null, 5.0)))
+  }
+
+  test("mapValues applies a dict with default") {
+    val f = GraftFrame(Seq(("a"), ("b"), ("z")).toDF("c"))
+      .mapValues("c", "mapped", Map("a" -> 1, "b" -> 2), default = Some(-1))
+    assert(f.df.orderBy("c").select("mapped").as[Int].collect().toSeq == Seq(1, 2, -1))
+  }
+
+  test("getDummies emits one-hot columns") {
+    val f = GraftFrame(Seq(("a"), ("b"), ("a")).toDF("c"))
+      .getDummies("c", Seq("a", "b"), prefix = "is_")
+    val rows = f.df.orderBy("c").select("is_a", "is_b").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 0L), (1L, 0L), (0L, 1L)))
+  }
+
+  test("insert places a column positionally") {
+    val f = GraftFrame(Seq((1L, 2L)).toDF("a", "c")).insert(1, "b", lit(9L))
+    assert(f.columns == Seq("a", "b", "c"))
+  }
+
+  test("describe computes count/mean/std/quartiles") {
+    val f = GraftFrame((1 to 100).map(_.toDouble).toDF("x")).describe(Seq("x"))
+    val r = f.df.collect().head
+    assert(r.getAs[Double]("x_count") == 100.0)
+    assert(math.abs(r.getAs[Double]("x_mean") - 50.5) < 1e-12)
+    assert(r.getAs[Double]("x_min") == 1.0 && r.getAs[Double]("x_max") == 100.0)
+    assert(math.abs(r.getAs[Double]("x_p50") - 50.5) < 1e-12)
+  }
+
+  test("checkMonotonic detects increasing sequences") {
+    val inc = GraftFrame(Seq((1L, 1.0), (2L, 2.0), (3L, 2.0)).toDF("o", "v"))
+      .checkMonotonic("o", "v").df.collect().head
+    assert(inc.getBoolean(0) && !inc.getBoolean(1))
+  }
+
+  test("sampleWeighted returns n rows biased toward heavy weights") {
+    val rows = (1 to 1000).map(i => (i.toLong, if (i <= 100) 100.0 else 0.01))
+    val f = GraftFrame(rows.toDF("id", "w")).sampleWeighted(50, "w", seed = 1)
+    val ids = f.df.select("id").as[Long].collect()
+    assert(ids.length == 50)
+    // heavy ids (1..100, weight 10000x) should dominate the sample
+    assert(ids.count(_ <= 100) >= 45, s"only ${ids.count(_ <= 100)} heavy rows sampled")
+  }
+
+  test("groupby.applyGroups streams per-group transforms") {
+    val f = GraftFrame(Seq((1L, 10.0), (1L, 30.0), (2L, 5.0)).toDF("k", "v"))
+    val out = f.groupby("k").applyGroups(
+      StructType(Seq(StructField("k", LongType), StructField("demeaned", DoubleType)))) {
+      (key, rows) =>
+        val vs = rows.map(_.getDouble(1)).toSeq
+        val m = vs.sum / vs.size
+        vs.iterator.map(v => Row(key.getLong(0), v - m))
+    }
+    val got = out.df.orderBy("k", "demeaned").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, -10.0), (1L, 10.0), (2L, 0.0)))
+  }
+
+  test("mapChunk transforms partitions with explicit schema") {
+    val f = GraftFrame(Seq((1L), (2L)).toDF("x")).mapChunk(
+      StructType(Seq(StructField("doubled", LongType)))) { it =>
+      it.map(r => Row(r.getLong(0) * 2))
+    }
+    assert(f.df.orderBy("doubled").as[Long].collect().toSeq == Seq(2L, 4L))
+  }
+
+  test("groupby agg registry covers product/all/any/sem") {
+    val f = GraftFrame(Seq((1L, 2.0, true), (1L, 3.0, false), (2L, 4.0, true))
+      .toDF("k", "v", "b"))
+    val got = f.groupby("k").agg(
+      ("prod", "product", "v"), ("anyb", "any", "b"), ("allb", "all", "b"))
+      .sortValues(Seq("k")).df.collect().toSeq
+    assert(got == Seq(Row(1L, 6.0, true, false), Row(2L, 4.0, true, true)))
+  }
+
+  test("dateRange generates daily dates distributed") {
+    val d = g.dateRange("2024-01-01", 5, 2).df.orderBy("date")
+      .select(col("date").cast("string")).as[String].collect().toSeq
+    assert(d == Seq("2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07", "2024-01-09"))
+  }
+
+  test("random sources are seeded and in-range") {
+    val u = g.randomUniform(1000, Seq("a", "b"), seed = 7).df
+    val stats = u.agg(min("a"), max("a"), avg("a"), corr("a", "b")).collect().head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
+    assert(math.abs(stats.getDouble(2) - 0.5) < 0.05)
+    assert(math.abs(stats.getDouble(3)) < 0.1) // independent columns
+    val n = g.randomInt(1000, 5, 10, "v", seed = 3).df
+      .agg(min("v"), max("v")).collect().head
+    assert(n.getLong(0) >= 5L && n.getLong(1) <= 9L)
+  }
+
+  test("csv round-trip preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val f = GraftFrame(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v"))
+    f.toCsv(s"$dir/out", header = true, singleFile = true)
+    val back = g.readCsv(s"$dir/out", header = true)
+      .sortValues(Seq("k")).df.collect().toSeq
+    assert(back == Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5)))
+  }
+
+  test("fromRows creates a distributed frame from local rows") {
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val f = g.fromRows(Seq(Row(1L, "a"), Row(2L, "b")), schema, numPartitions = 2)
+    assert(f.df.count() == 2 && f.df.rdd.getNumPartitions == 2)
+  }
+}
