@@ -1,0 +1,162 @@
+package graft.learn
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.feature.{PCA, PCAModel, StandardScaler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learn module: the reference's scikit-learn-mimicking surface
+  * (mars/learn/, 50 operand classes) re-expressed as thin MLlib wrappers —
+  * per SURVEY §2.15 the reference's distributed KMeans
+  * (mars/learn/cluster/_kmeans.py, Lloyd + k-means|| init), PCA
+  * (mars/learn/decomposition/_pca.py), linear models
+  * (mars/learn/linear_model/_base.py), train_test_split
+  * (mars/learn/model_selection/_split.py), preprocessing scalers
+  * (mars/learn/preprocessing/_data.py) and pairwise distances
+  * (mars/learn/metrics/pairwise/) all map onto MLlib estimators or plain
+  * Column expressions.
+  *
+  * Embeddings enter as `array<float>` columns and are bridged to MLlib
+  * vectors with `array_to_vector` (no UDFs, no driver round-trip). All
+  * estimators here train distributed; fitted models broadcast their (small)
+  * parameters for prediction.
+  */
+object Learn {
+
+  // ------------------------------------------------------- model selection
+  /** Seeded random split (reference model_selection/_split.py →
+    * randomSplit). Rows are assigned independently, so the sizes are
+    * binomial around the requested fractions, like the reference's
+    * chunk-wise split. */
+  def trainTestSplit(df: DataFrame, testFrac: Double, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val parts = df.randomSplit(Array(1.0 - testFrac, testFrac), seed)
+    (parts(0), parts(1))
+  }
+
+  /** Deterministic hash split on a key column: reproducible across runs
+    * and engines (the Knuth multiplicative hash used by the sampling ops).
+    * testPct of 100. */
+  def hashSplit(df: DataFrame, keyCol: String, testPct: Int)
+      : (DataFrame, DataFrame) = {
+    val bucket = (col(keyCol) * lit(2654435761L)) % 100
+    (df.filter(bucket >= testPct), df.filter(bucket < testPct))
+  }
+
+  // ------------------------------------------------------------ clustering
+  /** KMeans over an `array<float>` embedding column (reference
+    * mars/learn/cluster/_kmeans.py; MLlib runs the same Lloyd iterations
+    * with k-means|| init, distributed over partitions). */
+  def kmeansFit(df: DataFrame, featuresArrayCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 20): KMeansModel =
+    new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features")
+      .fit(df.withColumn("__features", array_to_vector(col(featuresArrayCol))))
+
+  /** Cluster assignment per row: input columns + `cluster`. */
+  def kmeansPredict(model: KMeansModel, df: DataFrame, featuresArrayCol: String): DataFrame =
+    model
+      .setPredictionCol("cluster")
+      .transform(df.withColumn("__features", array_to_vector(col(featuresArrayCol))))
+      .drop("__features")
+
+  // --------------------------------------------------------- decomposition
+  /** PCA to `k` components over an `array<float>` column (reference
+    * mars/learn/decomposition/_pca.py; MLlib computes the covariance
+    * eigendecomposition distributed). */
+  def pcaFit(df: DataFrame, featuresArrayCol: String, k: Int): PCAModel =
+    new PCA()
+      .setK(k).setInputCol("__features").setOutputCol("__pca")
+      .fit(df.withColumn("__features", array_to_vector(col(featuresArrayCol))))
+
+  /** Projected coordinates as an `array<double>` column `pca`. */
+  def pcaTransform(model: PCAModel, df: DataFrame, featuresArrayCol: String): DataFrame =
+    model
+      .transform(df.withColumn("__features", array_to_vector(col(featuresArrayCol))))
+      .withColumn("pca", vector_to_array(col("__pca")))
+      .drop("__features", "__pca")
+
+  // ------------------------------------------------------------ regression
+  /** OLS linear regression y ~ x1..xn via the exact normal-equation solver
+    * (reference mars/learn/linear_model/_base.py — also exact OLS).
+    * Features are plain numeric columns. */
+  def linearRegressionFit(df: DataFrame, featureCols: Seq[String], labelCol: String)
+      : LinearRegressionModel =
+    new LinearRegression()
+      .setSolver("normal").setRegParam(0.0)
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .fit(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+
+  // ---------------------------------------------------------- preprocessing
+  /** Column-wise standard scaling (x - mean) / stddev as pure expressions —
+    * the reference's StandardScaler on tabular data
+    * (mars/learn/preprocessing/_data.py). One aggregate + broadcast join,
+    * no UDF. */
+  def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(
+      avg(col(cols.head)).as(s"__m_${cols.head}"),
+      (cols.tail.map(c => avg(col(c)).as(s"__m_$c")) ++
+        cols.map(c => stddev_samp(col(c)).as(s"__s_$c"))): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_scaled", (col(c) - col(s"__m_$c")) / col(s"__s_$c")))
+    scaled.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
+  }
+
+  /** Vector-wise MLlib StandardScaler over an `array<float>` column, for
+    * embedding features. */
+  def standardScaleVectors(df: DataFrame, featuresArrayCol: String): DataFrame = {
+    val withVec = df.withColumn("__features", array_to_vector(col(featuresArrayCol)))
+    val model = new StandardScaler()
+      .setWithMean(true).setWithStd(true)
+      .setInputCol("__features").setOutputCol("__scaled")
+      .fit(withVec)
+    model.transform(withVec)
+      .withColumn("scaled", vector_to_array(col("__scaled")))
+      .drop("__features", "__scaled")
+  }
+
+  /** L2-normalize an `array<float>` embedding column to unit length —
+    * pure expression (reference preprocessing normalize). */
+  def l2Normalize(c: Column): Column = {
+    val norm = sqrt(aggregate(c, lit(0.0), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")))
+    transform(c, x => x.cast("double") / norm)
+  }
+
+  // ---------------------------------------------------------------- metrics
+  /** Pairwise distance matrix between two (id, array<float>) frames
+    * (reference mars/learn/metrics/pairwise/): broadcast the smaller side,
+    * score with codegen'd fold expressions — linear in |a|×|b| with no
+    * shuffle of the large side. */
+  def pairwiseDistances(a: DataFrame, b: DataFrame, metric: String = "euclidean")
+      : DataFrame = {
+    val dist = metric match {
+      case "euclidean" => graft.functions.VectorFunctions.euclidean(col("avec"), col("bvec"))
+      case "cosine" => lit(1.0) - graft.functions.VectorFunctions.cosine(col("avec"), col("bvec"))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    a.crossJoin(broadcast(b)).withColumn("dist", dist)
+  }
+
+  /** Regression metrics from plain aggregates: rmse, mae, r2 (SS_tot via
+    * moment sums so it stays a single partial+final aggregate). */
+  def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val err = y - col(predCol).cast("double")
+    val n = count(lit(1)).cast("double")
+    df.agg(
+      sqrt(avg(err * err)).as("rmse"),
+      avg(abs(err)).as("mae"),
+      (lit(1.0) - sum(err * err) / (sum(y * y) - sum(y) * sum(y) / n)).as("r2"))
+  }
+
+  /** Classification accuracy. */
+  def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.agg((sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)) /
+      count(lit(1)).cast("double")).as("accuracy"))
+}

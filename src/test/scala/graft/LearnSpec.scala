@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.learn.Learn
+
+import scala.util.Random
+
+/** Closed-form differential tests for the learn module: cluster recovery on
+  * separated data, OLS coefficient recovery, split disjointness, scaling
+  * moments, pairwise distances vs driver math — mirroring the reference's
+  * sklearn-differential test pattern (mars/learn tests compare against
+  * scikit-learn results the same way).
+  */
+class LearnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("kmeans recovers well-separated clusters") {
+    val r = new Random(9)
+    val centers = Seq(Seq(0f, 0f, 0f), Seq(50f, 0f, 0f), Seq(0f, 50f, 0f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      _ <- 0 until 30
+    } yield (ci.toLong, c.map(x => x + r.nextGaussian().toFloat))
+    val df = rows.toDF("truth", "embedding")
+    val model = Learn.kmeansFit(df, "embedding", k = 3, seed = 1L)
+    val pred = Learn.kmeansPredict(model, df, "embedding")
+    // every true cluster maps to exactly one predicted cluster and the
+    // partition sizes survive (perfect recovery at this separation)
+    val purity = pred.groupBy("truth", "cluster").count()
+    assert(purity.count() == 3)
+    assert(purity.select("count").as[Long].collect().forall(_ == 30L))
+  }
+
+  test("linear regression recovers exact coefficients") {
+    val r = new Random(4)
+    val rows = (1 to 500).map { _ =>
+      val x1 = r.nextDouble() * 10; val x2 = r.nextDouble() * 5
+      (x1, x2, 2.0 * x1 - 3.0 * x2 + 7.0)
+    }
+    val model = Learn.linearRegressionFit(rows.toDF("x1", "x2", "y"), Seq("x1", "x2"), "y")
+    assert(math.abs(model.coefficients(0) - 2.0) < 1e-8)
+    assert(math.abs(model.coefficients(1) + 3.0) < 1e-8)
+    assert(math.abs(model.intercept - 7.0) < 1e-8)
+  }
+
+  test("pca concentrates variance on the dominant direction") {
+    val r = new Random(8)
+    // variance ~100 along (1,1)/sqrt2, ~0.01 orthogonal
+    val rows = (1 to 300).map { _ =>
+      val t = r.nextGaussian() * 10; val n = r.nextGaussian() * 0.1
+      Seq((t + n).toFloat, (t - n).toFloat)
+    }.map(Tuple1(_))
+    val model = Learn.pcaFit(rows.toDF("embedding"), "embedding", k = 2)
+    val ev = model.explainedVariance.toArray
+    assert(ev(0) / (ev(0) + ev(1)) > 0.99)
+  }
+
+  test("train/test splits are disjoint and complete") {
+    val df = (1L to 2000L).toDF("id")
+    val (train, test) = Learn.trainTestSplit(df, 0.25, seed = 5L)
+    val nTrain = train.count(); val nTest = test.count()
+    assert(nTrain + nTest == 2000)
+    assert(train.join(test, Seq("id"), "inner").count() == 0)
+    assert(math.abs(nTest / 2000.0 - 0.25) < 0.05)
+    val (htrain, htest) = Learn.hashSplit(df, "id", 20)
+    assert(htrain.count() + htest.count() == 2000)
+    assert(htrain.join(htest, Seq("id"), "inner").count() == 0)
+  }
+
+  test("standardScale produces mean 0 / std 1") {
+    val df = (1 to 200).map(i => i.toDouble * 3 + 7).toDF("x")
+    val scaled = Learn.standardScale(df, Seq("x"))
+    val r = scaled.agg(avg("x_scaled"), stddev_samp("x_scaled")).collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("l2Normalize yields unit vectors") {
+    val df = Seq(Tuple1(Seq(3f, 4f))).toDF("v")
+    val n = df.select(Learn.l2Normalize(col("v")).as("nv"))
+      .select(sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+      .as[Double].collect().head
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("pairwiseDistances matches driver-side euclidean") {
+    val a = Seq((1L, Seq(0f, 0f))).toDF("aid", "avec")
+    val b = Seq((2L, Seq(3f, 4f)), (3L, Seq(6f, 8f))).toDF("bid", "bvec")
+    val got = Learn.pairwiseDistances(a, b).select("bid", "dist")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(2L) - 5.0) < 1e-12 && math.abs(got(3L) - 10.0) < 1e-12)
+  }
+
+  test("regression metrics compute rmse/mae/r2") {
+    val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.0)).toDF("y", "pred")
+    val m = Learn.regressionMetrics(df, "y", "pred").collect().head
+    assert(m.getAs[Double]("rmse") > 0 && m.getAs[Double]("r2") > 0.95)
+  }
+}
