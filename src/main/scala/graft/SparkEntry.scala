@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** Every registered query suite, concatenated. Names must be unique. */
   lazy val registry: Vector[Q] =
-    Tpch.all ++ OpsRelational.all ++ OpsWindows.all ++ Ext.all ++ LearnQ.all
+    Tpch.all ++ OpsRelational.all ++ OpsWindows.all ++ OpsExtra.all ++
+      Ext.all ++ LearnQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -366,6 +366,29 @@ final case class GraftFrame(df: DataFrame) {
       partitionBy: Seq[String], orderBy: Seq[String]): GraftFrame =
     assign(out -> Windows.diff(df(colName), periods, Windows.spec(partitionBy, orderBy)))
 
+  // ------------------------------------------------- partitioning §2.10
+  /** rebalance to n partitions (reference base/rebalance.py:25) — a full
+    * round-robin exchange, the same operation the reference performs. */
+  def rebalance(n: Int): GraftFrame = GraftFrame(df.repartition(n))
+
+  /** rechunk without a shuffle where possible (reference base/rechunk.py:32):
+    * coalesce merges co-located partitions. */
+  def rechunk(n: Int): GraftFrame = GraftFrame(df.coalesce(n))
+
+  /** Small-frame transpose (reference base/transpose.py): id values become
+    * columns, value columns become rows. Collects the (small) id set on the
+    * driver to fix the output schema — like the reference, which needs the
+    * full axis labels to transpose; do not call on large frames. */
+  def transposeSmall(idCol: String): GraftFrame = {
+    val ids = df.select(df(idCol)).orderBy(df(idCol)).collect().map(_.get(0).toString)
+    val valueCols = df.columns.filterNot(_ == idCol).toSeq
+    val melted = df.select(
+        (df(idCol).cast("string").as("__id") +:
+          valueCols.map(c => df(c).cast("double").as(c))): _*)
+      .unpivot(Array(col("__id")), valueCols.map(col).toArray, "column", "value")
+    GraftFrame(melted.groupBy("column").pivot("__id", ids).agg(first(col("value"))))
+  }
+
   // ------------------------------------------------------------ sinks §2.2
   /** to_parquet (reference datastore/to_parquet.py:44). */
   def toParquet(path: String, mode: String = "overwrite",

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QHelpers._
+import graft.functions.aggregates
+
+/** Coverage queries for the remaining small SURVEY §2 operators: all/any,
+  * cumulative product/min/max, describe, map(dict), stack, monotonic check,
+  * histogram, transpose, csv round-trip, weighted sampling. All routed
+  * through the fluent API where it exists.
+  */
+object OpsExtra {
+
+  val all: Vector[Q] = Vector(
+
+    // --- §2.5 all/any reductions (reference reduction/all.py:30, any.py:30)
+    Q("op_all_any",
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 5) AS all_gt5,
+        |  bool_or(l_discount > 0.09) AS any_hidisc,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem")
+        .eval("gt5", "l_quantity > 5")
+        .eval("hidisc", "l_discount > 0.09")
+        .groupby("l_returnflag")
+        .agg(("all_gt5", "all", "gt5"), ("any_hidisc", "any", "hidisc"),
+          ("cnt", "count", "l_returnflag"))
+        .sortValues(Seq("l_returnflag"))
+        .df
+    },
+
+    // --- §2.5 cumprod/cummin/cummax (reference reduction/cum*.py:21);
+    //     product is the custom Aggregator windowed — DuckDB's product()
+    //     window fn multiplies in the same row order, so doubles match
+    Q("op_cumprod_minmax",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(product(1.0 + l_discount) OVER w, 8) AS disc_cumprod,
+        |  min(l_quantity) OVER w AS qty_cummin,
+        |  max(l_quantity) OVER w AS qty_cummax
+        |FROM lineitem WHERE l_orderkey < 30
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_quantity, l_discount
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Windows
+      val w = Windows.expanding(Windows.spec(Seq("l_orderkey"),
+        Seq("l_linenumber", "l_quantity", "l_discount")))
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount",
+          round(aggregates.product(lit(1.0) + $"l_discount").over(w), 8).as("disc_cumprod"),
+          Windows.cummin($"l_quantity", Windows.spec(Seq("l_orderkey"),
+            Seq("l_linenumber", "l_quantity", "l_discount"))).as("qty_cummin"),
+          Windows.cummax($"l_quantity", Windows.spec(Seq("l_orderkey"),
+            Seq("l_linenumber", "l_quantity", "l_discount"))).as("qty_cummax"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+        .drop("l_quantity", "l_discount")
+    },
+
+    // --- §2.5 describe (reference base/describe.py:34)
+    Q("op_describe",
+      """SELECT CAST(COUNT(l_quantity) AS DOUBLE) AS l_quantity_count,
+        |  round(avg(l_quantity), 6) AS l_quantity_mean,
+        |  round(stddev_samp(l_quantity), 6) AS l_quantity_std,
+        |  CAST(min(l_quantity) AS DOUBLE) AS l_quantity_min,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS l_quantity_p25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS l_quantity_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS l_quantity_p75,
+        |  CAST(max(l_quantity) AS DOUBLE) AS l_quantity_max
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      val d = gt(spark, dir, "lineitem").describe(Seq("l_quantity"))
+      d.assign(
+        "l_quantity_mean" -> round(d("l_quantity_mean"), 6),
+        "l_quantity_std" -> round(d("l_quantity_std"), 6),
+        "l_quantity_p25" -> round(d("l_quantity_p25"), 6),
+        "l_quantity_p50" -> round(d("l_quantity_p50"), 6),
+        "l_quantity_p75" -> round(d("l_quantity_p75"), 6))
+        .df
+    },
+
+    // --- §2.10 map(dict) (reference base/map.py:32)
+    Q("op_map_dict",
+      """SELECT seg_code, COUNT(*) AS cnt FROM (
+        |  SELECT CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'auto'
+        |                           WHEN 'BUILDING' THEN 'bld'
+        |                           WHEN 'MACHINERY' THEN 'mach'
+        |                           ELSE 'other' END AS seg_code
+        |  FROM customer) m
+        |GROUP BY seg_code ORDER BY seg_code""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "customer")
+        .mapValues("c_mktsegment", "seg_code",
+          Map("AUTOMOBILE" -> "auto", "BUILDING" -> "bld", "MACHINERY" -> "mach"),
+          default = Some("other"))
+        .groupby("seg_code")
+        .agg(("cnt", "count", "seg_code"))
+        .sortValues(Seq("seg_code"))
+        .df
+    },
+
+    // --- §2.10 stack: wide columns → (variable, value) rows (reference
+    //     base/stack.py:29 — same reshape as melt with the key kept)
+    Q("op_stack",
+      """SELECT n_nationkey, var, val FROM (
+        |  SELECT n_nationkey, 'n_name' AS var, n_name AS val FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'region_str', CAST(n_regionkey AS VARCHAR) FROM nation
+        |) s ORDER BY n_nationkey, var""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "nation")
+        .eval("region_str", "CAST(n_regionkey AS STRING)")
+        .melt(Seq("n_nationkey"), Seq("n_name", "region_str"), "var", "val")
+        .sortValues(Seq("n_nationkey", "var"))
+        .df
+    },
+
+    // --- §2.10 check_monotonic (reference base/check_monotonic.py)
+    Q("op_monotonic",
+      """SELECT bool_and(up) AS increasing, bool_and(dn) AS decreasing FROM (
+        |  SELECT COALESCE(o_totalprice >= lag(o_totalprice) OVER w, TRUE) AS up,
+        |         COALESCE(o_totalprice <= lag(o_totalprice) OVER w, TRUE) AS dn
+        |  FROM orders WHERE o_orderkey < 1000
+        |  WINDOW w AS (ORDER BY o_orderkey)) m""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .query("o_orderkey < 1000")
+        .checkMonotonic("o_orderkey", "o_totalprice")
+        .df
+    },
+
+    // --- §2.13 histogram / bincount (reference tensor statistics
+    //     opcodes 430/446): fixed-width integer binning, pure groupBy
+    Q("op_histogram",
+      """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bin, COUNT(*) AS cnt
+        |FROM customer GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "customer")
+        .eval("bin", "CAST(floor(c_acctbal / 1000) AS BIGINT)")
+        .groupby("bin")
+        .agg(("cnt", "count", "bin"))
+        .sortValues(Seq("bin"))
+        .df
+    },
+
+    // --- §2.3 transpose (small frames only — reference base/transpose.py)
+    Q("op_transpose",
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT 'cnt' AS "column",
+        |  (SELECT cnt FROM agg WHERE l_returnflag = 'A') AS "A",
+        |  (SELECT cnt FROM agg WHERE l_returnflag = 'N') AS "N",
+        |  (SELECT cnt FROM agg WHERE l_returnflag = 'R') AS "R"
+        |UNION ALL
+        |SELECT 'sum_qty',
+        |  (SELECT sum_qty FROM agg WHERE l_returnflag = 'A'),
+        |  (SELECT sum_qty FROM agg WHERE l_returnflag = 'N'),
+        |  (SELECT sum_qty FROM agg WHERE l_returnflag = 'R')
+        |ORDER BY "column"""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(
+        t(spark, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(sumD(dec12($"l_quantity")).as("sum_qty"),
+            count(lit(1)).cast("double").as("cnt")))
+        .transposeSmall("l_returnflag")
+        .sortValues(Seq("column"))
+        .df
+    },
+
+    // --- §2.1/§2.2 csv round-trip: engine writes csv, both engines read the
+    //     same files back (reference datastore/to_csv.py:41 +
+    //     datasource/read_csv.py:368)
+    Q("op_csv_roundtrip",
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  min(n_name) AS first_nation
+        |FROM read_csv('/root/repo/target/csv_rt/*.csv', header=true)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+      val out = "/root/repo/target/csv_rt"
+      gt(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .toCsv(out, header = true, singleFile = true)
+      graft.api.GraftSession(spark).readCsv(out, header = true)
+        .astype("n_regionkey" -> "long")
+        .groupby("n_regionkey")
+        .agg(("n_nations", "count", "n_regionkey"), ("first_nation", "min", "n_name"))
+        .sortValues(Seq("n_regionkey"))
+        .df
+    },
+
+    // --- §2.11 weighted sampling (reference indexing/sample.py:41
+    //     weights=): Efraimidis–Spirakis top-n; rand() is engine-specific →
+    //     rows-only check, semantics covered by ApiSpec
+    Q.noOracle("op_sample_weighted") { (spark, dir) =>
+      gt(spark, dir, "customer")
+        .eval("w", "greatest(c_acctbal, 1.0)")
+        .sampleWeighted(100, "w", seed = 7L)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .sortValues(Seq("c_custkey"))
+        .df
+    }
+  )
+}

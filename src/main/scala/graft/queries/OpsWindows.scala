@@ -205,13 +205,10 @@ object OpsWindows {
         |      FROM orders WHERE o_custkey < 30) o
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val w = Window.partitionBy($"o_custkey").orderBy($"epoch_s")
-        .rangeBetween(-7776000L, 0L)
+      val w = Windows.rollingTime(Seq("o_custkey"), "o_orderdate", 7776000L)
       t(spark, dir, "orders").filter($"o_custkey" < 30)
         .select($"o_custkey", $"o_orderkey",
-          unix_timestamp($"o_orderdate").as("epoch_s"))
-        .withColumn("n_90d", count(lit(1)).over(w))
-        .select($"o_custkey", $"o_orderkey", $"n_90d")
+          count(lit(1)).over(w).as("n_90d"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
