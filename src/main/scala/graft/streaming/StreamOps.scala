@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** True-streaming forms of the event-time operators (SURVEY §2.16,
+  * additive scope — the reference has no streaming model at all; these are
+  * the Structured Streaming equivalents of the batch operators in
+  * [[graft.operators.Sessionize]], and produce identical results on the
+  * same data, which StreamingSpec asserts via MemoryStream).
+  *
+  * Scale design: watermarks bound state size (late events beyond the
+  * watermark are dropped, state for closed windows is evicted), and all
+  * aggregations are keyed so state shards across executors. A 100 TB/day
+  * event firehose runs these exact plans with kafka sources swapped in for
+  * the file/memory sources used in tests.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts with a watermark.
+    * Input must have (ts timestamp, event_type string, value double). */
+  def tumblingCounts(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding event-time window counts. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Gap-based sessions via the native session_window — the streaming
+    * equivalent of [[graft.operators.Sessionize.assignSessions]]: a session
+    * closes when no event arrives for `gap`. */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .select(col("session_window.start").as("s_start"),
+        col("user_id"), col("n_events"), col("first_event"))
+
+  /** Custom keyed state: running per-user event count + last-seen timestamp
+    * via flatMapGroupsWithState — the escape hatch for state machines the
+    * built-in windows can't express (KeyValueGroupedDataset state API). */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS LONG) AS ts_s")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (prevCount, _) = state.getOption.getOrElse((0L, 0L))
+          var count = prevCount
+          var lastTs = 0L
+          val out = rows.map { case (_, ts) =>
+            count += 1
+            lastTs = math.max(lastTs, ts)
+            (userId, count, ts)
+          }.toVector
+          state.update((count, lastTs))
+          out.iterator
+      }
+      .toDF("user_id", "running_count", "ts_s")
+  }
+}

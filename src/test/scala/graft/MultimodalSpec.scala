@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Tests for the multimodal plumbing: schema contract, deterministic stub
+  * features, resize math, frame sampling. The codec layer is a stub (no
+  * image/audio libs in this environment); these tests pin down the
+  * engine-side batch shape a real codec would drop into.
+  */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mediaRow(id: Long, bytes: Array[Byte], modality: String,
+      w: Integer, h: Integer, nFrames: Integer): Row =
+    Row(id, null, bytes, modality, Row(w, h, null, nFrames))
+
+  private def mediaDf(rows: Row*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), Multimodal.mediaSchema)
+
+  test("imageFeatures produces deterministic embeddings with resize metadata") {
+    val df = mediaDf(
+      mediaRow(1L, Array[Byte](1, 2, 3), "image", 1024, 512, null),
+      mediaRow(2L, Array[Byte](9, 9), "image", 100, 200, null),
+      mediaRow(3L, Array[Byte](5), "video", null, null, 10))
+    val feats = Multimodal.imageFeatures(df, dim = 8, maxSide = 256)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 2) // video filtered out
+    val e1 = rows(0).getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    assert(e1.length == 8)
+    assert(rows(0).getAs[Int]("out_w") == 256 && rows(0).getAs[Int]("out_h") == 128)
+    assert(rows(1).getAs[Int]("out_w") == 100 && rows(1).getAs[Int]("out_h") == 200)
+    // determinism: same bytes → same embedding on a second run
+    val again = Multimodal.imageFeatures(df, dim = 8, maxSide = 256)
+      .orderBy("media_id").collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    assert(e1 == again)
+  }
+
+  test("videoFrameSample explodes sampled frame indices") {
+    val df = mediaDf(mediaRow(5L, null, "video", null, null, 10))
+    val frames = Multimodal.videoFrameSample(df, everyN = 3)
+      .orderBy("frame_idx").as[(Long, Int)].collect().toSeq
+    assert(frames == Seq((5L, 0), (5L, 3), (5L, 6), (5L, 9)))
+  }
+}

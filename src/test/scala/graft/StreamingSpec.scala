@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Streaming-vs-batch equivalence: feed the same events through the
+  * Structured Streaming operators (via MemoryStream) and the batch
+  * formulations, assert identical results.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  test("streaming tumbling counts equal the batch window aggregation") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(events, "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "click", 3.0),
+        (ts(3), "buy", 10.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("w_start", "event_type", "n", "total")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = Seq(
+        (ts(0), "click", 2L, 3.0), (ts(10), "click", 1L, 3.0), (ts(0), "buy", 1L, 10.0))
+        .map { case (t, e, n, tot) => (t, e, n, tot) }.toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming session counts close sessions at the gap") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val events = input.toDF().toDF("ts", "user_id", "event_id")
+    val q = StreamOps.sessionCounts(events, "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // user 1: events at 10:01, 10:03 (one session), 10:20 (new session)
+      input.addData((ts(1), 1L, 100L), (ts(3), 1L, 101L), (ts(20), 1L, 102L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "n_events", "first_event")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 100L), (1L, 1L, 102L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries running counts across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.runningUserCounts(events.select(col("user_id"), col("ts")))
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 7L), (ts(2), 7L))
+      q.processAllAvailable()
+      input.addData((ts(3), 7L)) // second micro-batch: state must persist
+      q.processAllAvailable()
+      val counts = spark.table("running").select("running_count")
+        .as[Long].collect().sorted.toSeq
+      assert(counts == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
