@@ -188,6 +188,78 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.10 str accessor, wide coverage (reference base/string_.py:34;
+    //     the 8-method op_str_ops plus this cover the commonly-used surface,
+    //     AccessorSpec covers the remainder on literal frames)
+    Q("op_str_accessor",
+      """SELECT p_partkey,
+        |  upper(p_name[1:1]) || lower(p_name[2:]) AS capitalized,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS zfilled,
+        |  substring(p_name, 3, 5) AS sliced,
+        |  contains(p_name, 'an') AS has_an,
+        |  starts_with(p_name, 'b') AS starts_b,
+        |  p_name LIKE '%y' AS ends_y,
+        |  regexp_matches(p_brand, '^[A-Za-z0-9]+$') AS brand_alnum,
+        |  CAST(strpos(p_name, 'o') - 1 AS BIGINT) AS find_o,
+        |  CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS count_a,
+        |  regexp_replace(trim(p_name), '\s+', ' ', 'g') AS norm_ws
+        |FROM part WHERE p_partkey < 100
+        |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{StrAccessor => S}
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey",
+          S.capitalize($"p_name").as("capitalized"),
+          S.zfill($"p_partkey".cast("string"), 10).as("zfilled"),
+          S.slice($"p_name", 2, 7).as("sliced"),
+          S.contains($"p_name", "an").as("has_an"),
+          S.startswith($"p_name", "b").as("starts_b"),
+          S.endswith($"p_name", "y").as("ends_y"),
+          S.isalnum($"p_brand").as("brand_alnum"),
+          S.find($"p_name", "o").as("find_o"),
+          S.countMatches($"p_name", "a").as("count_a"),
+          S.normalizeWs($"p_name").as("norm_ws"))
+        .orderBy($"p_partkey")
+    },
+
+    // --- §2.10 dt accessor, wide coverage (reference base/datetimes.py:31)
+    Q("op_dt_accessor",
+      """SELECT event_id,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  CAST(second(ts) AS BIGINT) AS s,
+        |  epoch_us(ts) % 1000000 AS micro,
+        |  CAST(isodow(ts) - 1 AS BIGINT) AS dow_pandas,
+        |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+        |  CAST(quarter(ts) AS BIGINT) AS qtr,
+        |  CAST(day(last_day(ts)) AS BIGINT) AS days_in_month,
+        |  day(ts) = 1 AS month_start,
+        |  CAST(ts AS DATE) = last_day(ts) AS month_end,
+        |  (year(ts) % 4 = 0 AND year(ts) % 100 <> 0) OR year(ts) % 400 = 0 AS leap,
+        |  epoch_us(date_trunc('hour', ts)) AS hour_floor_us,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+        |FROM events WHERE event_id < 100
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{DtAccessor => D}
+      t(spark, dir, "events").filter($"event_id" < 100)
+        .select($"event_id",
+          D.hour($"ts").as("h"),
+          D.minute($"ts").as("mi"),
+          D.second($"ts").as("s"),
+          D.microsecond($"ts").as("micro"),
+          D.dayofweek($"ts").as("dow_pandas"),
+          D.dayofyear($"ts").as("doy"),
+          D.quarter($"ts").as("qtr"),
+          D.daysInMonth($"ts").as("days_in_month"),
+          D.isMonthStart($"ts").as("month_start"),
+          D.isMonthEnd($"ts").as("month_end"),
+          D.isLeapYear($"ts").as("leap"),
+          unix_micros(D.floorTo($"ts", "hour")).as("hour_floor_us"),
+          D.daysBetween(D.date($"ts"), to_date(lit("1995-01-01"))).as("days_since"))
+        .orderBy($"event_id")
+    },
+
     // --- §2.11 weighted sampling (reference indexing/sample.py:41
     //     weights=): Efraimidis–Spirakis top-n; rand() is engine-specific →
     //     rows-only check, semantics covered by ApiSpec
