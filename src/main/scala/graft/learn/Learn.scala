@@ -128,6 +128,24 @@ object Learn {
     transform(c, x => x.cast("double") / norm)
   }
 
+  // ----------------------------------------------------------------- linalg
+  /** Distributed SVD over an `array<float>` matrix column (SURVEY §2.14(c):
+    * the reference's tensor linalg opcodes 501-530 map to MLlib's
+    * RowMatrix). Returns (singular values desc, V as dim×k row-major). */
+  def svd(df: DataFrame, featuresArrayCol: String, k: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = df.select(col(featuresArrayCol)).rdd.map { r =>
+      OldVectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+    val s = new RowMatrix(rows).computeSVD(k, computeU = false)
+    val v = s.V // column-major dim×k
+    val dim = v.numRows
+    ((s.s.toArray: Array[Double]),
+      Array.tabulate(dim, k)((i, j) => v(i, j)))
+  }
+
   // ---------------------------------------------------------------- metrics
   /** Pairwise distance matrix between two (id, array<float>) frames
     * (reference mars/learn/metrics/pairwise/): broadcast the smaller side,

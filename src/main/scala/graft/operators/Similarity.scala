@@ -63,10 +63,33 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rank"))
   }
 
-  /** All pairs with cosine similarity >= threshold within `corpus`
-    * (embedding near-dup detection). Exact O(n²) scoring — restrict the
-    * input or use [[Dedup.simhashNearDupPairs]]-style blocking at scale. */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-dup pairs at scale: bucket the corpus by
+    * random-hyperplane signature, generate pairs only within buckets, and
+    * verify each candidate with the exact cosine — the same
+    * candidates-then-verify shape as [[Dedup.minhashDedupPairs]]. One
+    * shuffle on the bucket key instead of an O(n²) crossJoin; recall is
+    * governed by the S-curve of `nBits` sign bits (identical/near-identical
+    * vectors collide with probability → 1). */
+  def nearDupPairsLsh(
+      corpus: DataFrame, // (cid, cvec)
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.withColumn("bucket",
+      hyperplaneSignature(col("cvec"), dim, nBits, seed))
+    val a = bucketed.select(col("bucket"), col("cid").as("id_a"), col("cvec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("cid").as("id_b"), col("cvec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Exact all-pairs variant — O(n²); only for small corpora or as the
+    * recall baseline in tests. Use [[nearDupPairsLsh]] at scale. */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("cid").as("id_a"), col("cvec").as("vec_a"))
     val b = corpus.select(col("cid").as("id_b"), col("cvec").as("vec_b"))
     a.crossJoin(b)

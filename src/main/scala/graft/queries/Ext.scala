@@ -137,6 +137,37 @@ object Ext {
         .orderBy($"qid", $"rank")
     },
 
+    // --- embedding near-dup detection at scale: LSH-bucketed candidates +
+    //     exact cosine verify. The corpus is embeddings unioned with an
+    //     id-shifted copy of itself (a cross-source dedup scenario whose
+    //     ground truth is exactly the 500 identity pairs); identical vectors
+    //     share all hyperplane sign bits, so bucketing recall is 1.
+    Q("ext_embed_neardup",
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val corpus = e.unionAll(e.select(($"cid" + 10000).as("cid"), $"cvec"))
+      Similarity.nearDupPairsLsh(corpus, dim = 64, threshold = 0.999, nBits = 16)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // --- per-doc text quality metrics (identical exact arithmetic)
     Q("ext_text_quality",
       """SELECT doc_id, lang,

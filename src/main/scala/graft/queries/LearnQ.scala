@@ -94,6 +94,16 @@ object LearnQ {
         .orderBy($"n".desc)
     },
 
+    // --- linalg: distributed SVD singular values (no SQL analog →
+    //     rows-only; closed-form recovery in LearnSpec)
+    Q.noOracle("learn_svd") { (spark, dir) =>
+      import spark.implicits._
+      val (sv, _) = Learn.svd(t(spark, dir, "embeddings"), "embedding", k = 5)
+      sv.toSeq.map(v =>
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("singular_value")
+    },
+
     // --- decomposition: pca projection (eigenvector sign/order ambiguity →
     //     rows-only; variance-recovery correctness in LearnSpec)
     Q.noOracle("learn_pca") { (spark, dir) =>

@@ -139,6 +139,14 @@ class ApiSpec extends SparkSpecBase {
     assert(back == Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5)))
   }
 
+  test("jdbc round-trip through embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val f = GraftFrame(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v"))
+    f.toJdbc(url, "roundtrip")
+    val back = g.readJdbc(url, "roundtrip").sortValues(Seq("k")).df.collect().toSeq
+    assert(back == Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5)))
+  }
+
   test("fromRows creates a distributed frame from local rows") {
     val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
     val f = g.fromRows(Seq(Row(1L, "a"), Row(2L, "b")), schema, numPartitions = 2)

@@ -55,6 +55,20 @@ class LearnSpec extends SparkSpecBase {
     assert(ev(0) / (ev(0) + ev(1)) > 0.99)
   }
 
+  test("svd recovers known singular values") {
+    // rows span two orthogonal directions with magnitudes 6 and 4:
+    // singular values of the stacked matrix are sqrt(n/2)*6, sqrt(n/2)*4
+    val rows = (0 until 50).flatMap { _ =>
+      Seq(Seq(6f, 0f, 0f), Seq(0f, 4f, 0f))
+    }.map(Tuple1(_))
+    val (sv, v) = Learn.svd(rows.toDF("embedding"), "embedding", k = 2)
+    assert(math.abs(sv(0) - math.sqrt(50.0) * 6) < 1e-6)
+    assert(math.abs(sv(1) - math.sqrt(50.0) * 4) < 1e-6)
+    // right singular vectors are the coordinate axes (up to sign)
+    assert(math.abs(math.abs(v(0)(0)) - 1.0) < 1e-9)
+    assert(math.abs(math.abs(v(1)(1)) - 1.0) < 1e-9)
+  }
+
   test("train/test splits are disjoint and complete") {
     val df = (1L to 2000L).toDF("id")
     val (train, test) = Learn.trainTestSplit(df, 0.25, seed = 5L)

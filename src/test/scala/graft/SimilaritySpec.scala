@@ -61,6 +61,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("nearDupPairsLsh finds the exact near-dup pairs on clustered vectors") {
+    val r = new Random(21)
+    val dim = 32
+    // 40 base vectors + near-identical copies (tiny noise): the dup pairs
+    // are the ground truth; unrelated pairs sit far below the threshold
+    val bases = (0 until 40).map(i => (i.toLong, randVec(r, dim).map(_ * 5f)))
+    val dups = bases.map { case (id, v) =>
+      (id + 1000L, v.zip(randVec(r, dim)).map { case (x, n) => x + 0.001f * n })
+    }
+    val corpus = (bases ++ dups).toDF("cid", "cvec")
+    val lsh = Similarity.nearDupPairsLsh(corpus, dim, threshold = 0.999, nBits = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairsExact(corpus, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == bases.map { case (id, _) => (id, id + 1000L) }.toSet)
+    assert(lsh == exact)
+  }
+
   test("lshTopK achieves high recall on clustered embeddings") {
     // 10 well-separated cluster centers, 20 members each with small noise —
     // the realistic near-dup regime LSH bucketing is designed for.
