@@ -145,6 +145,30 @@ final case class GraftFrame(df: DataFrame) {
     * LimitPushDown does the pushdown). */
   def head(n: Int): GraftFrame = GraftFrame(df.limit(n))
 
+  /** tail(n) over an explicit order (no implicit row index — SURVEY §7.1):
+    * the last n rows by `by` ascending. A reversed TakeOrdered, so it never
+    * materializes more than n rows per partition. */
+  def tail(n: Int, by: Seq[String]): GraftFrame = {
+    val reversed = df.orderBy(by.map(df(_).desc): _*).limit(n)
+    GraftFrame(reversed.orderBy(by.map(df(_)): _*))
+  }
+
+  /** Conform to a given key frame (reference indexing/reindex.py:49 /
+    * align, indexing/align.py:44): left join from the new keys, missing
+    * rows null-filled (or `fillValue`). `keys` must be the key frame's
+    * column subset shared with this frame. */
+  def reindex(keyFrame: GraftFrame, keys: Seq[String],
+      fillValue: Option[Any] = None): GraftFrame = {
+    val joined = keyFrame.df.select(keys.map(keyFrame.df(_)): _*)
+      .join(df, keys, "left")
+    GraftFrame(fillValue match {
+      case Some(v: Long) => joined.na.fill(v)
+      case Some(v: Double) => joined.na.fill(v)
+      case Some(v: String) => joined.na.fill(v)
+      case _ => joined
+    })
+  }
+
   // ------------------------------------------------------------ dedup §2.9
   /** drop_duplicates keep=first-by-order (reference
     * base/drop_duplicates.py:35; subset_tree strategy ≈ the semi-join
@@ -455,6 +479,14 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def cumsum(valueCol: String, out: String, orderBy: Seq[String]): GraftFrame =
     GraftFrame(df.withColumn(out,
       Windows.cumsum(df(valueCol), Windows.spec(keys, orderBy))))
+
+  /** Same-shape group transform (reference groupby/transform.py:28): the
+    * group aggregate broadcast back onto every row — a partition-only
+    * window, no row order needed. */
+  def transform(fn: String, valueCol: String, out: String): GraftFrame = {
+    val w = Window.partitionBy(keys.map(df(_)): _*)
+    GraftFrame(df.withColumn(out, GraftGroupBy.aggExpr(df, fn, valueCol).over(w)))
+  }
 
   /** Arbitrary per-group transform — the reference's groupby.apply
     * (groupby/apply.py:58) via sort-within-partition streaming (same

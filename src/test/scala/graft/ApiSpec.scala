@@ -139,6 +139,26 @@ class ApiSpec extends SparkSpecBase {
     assert(back == Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5)))
   }
 
+  test("tail returns the last n rows in ascending order") {
+    val f = GraftFrame((1L to 100L).toDF("id")).tail(3, Seq("id"))
+    assert(f.df.select("id").as[Long].collect().toSeq == Seq(98L, 99L, 100L))
+  }
+
+  test("reindex conforms to a key frame with fill") {
+    val data = GraftFrame(Seq((1L, 10.0), (3L, 30.0)).toDF("k", "v"))
+    val keys = GraftFrame(Seq(1L, 2L, 3L).toDF("k"))
+    val r = data.reindex(keys, Seq("k"), fillValue = Some(0.0))
+      .sortValues(Seq("k")).df.as[(Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 10.0), (2L, 0.0), (3L, 30.0)))
+  }
+
+  test("groupby.transform broadcasts the group aggregate onto rows") {
+    val f = GraftFrame(Seq((1L, 2.0), (1L, 4.0), (2L, 6.0)).toDF("k", "v"))
+    val got = f.groupby("k").transform("mean", "v", "v_mean")
+      .sortValues(Seq("k", "v")).df.select("v_mean").as[Double].collect().toSeq
+    assert(got == Seq(3.0, 3.0, 6.0))
+  }
+
   test("jdbc round-trip through embedded Derby") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val f = GraftFrame(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v"))
