@@ -70,6 +70,32 @@ final case class GraftFrame(df: DataFrame) {
   def astype(casts: (String, String)*): GraftFrame =
     GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })
 
+  /** pandas to_datetime (reference tseries/to_datetime.py:37): parse with
+    * an explicit format, null on failure like errors='coerce'. */
+  def toDatetime(colName: String, out: String, fmt: String = "yyyy-MM-dd"): GraftFrame =
+    assign(out -> try_to_timestamp(df(colName), lit(fmt)))
+
+  /** pandas to_numeric with errors='coerce' (reference base/to_numeric.py):
+    * try_cast semantics — unparseable values become null. */
+  def toNumeric(colName: String, out: String): GraftFrame =
+    assign(out -> df(colName).try_cast("double"))
+
+  /** pandas rank over explicit partition/order (reference: sort-based rank;
+    * Spark ranking windows are free capability — SURVEY §2.7).
+    * method: "min" (pandas rank ties→min), "dense", "first" (row_number). */
+  def rank(out: String, partitionBy: Seq[String], orderBy: Seq[Column],
+      method: String = "min"): GraftFrame = {
+    val w = (if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(df(_)): _*)).orderBy(orderBy: _*)
+    val r = method match {
+      case "min" => org.apache.spark.sql.functions.rank()
+      case "dense" => dense_rank()
+      case "first" => row_number()
+      case m => throw new IllegalArgumentException(s"unknown rank method: $m")
+    }
+    assign(out -> r.over(w).cast("long"))
+  }
+
   /** Positional column insert (reference indexing/insert.py:28). */
   def insert(pos: Int, name: String, value: Column): GraftFrame = {
     val (before, after) = df.columns.splitAt(pos)

@@ -67,6 +67,18 @@ object VectorFunctions {
     array_join(bits, "")
   }
 
+  /** Dense matrix-vector product as a pure expression: `matrix` is a
+    * k×dim literal (typedlit, one Literal node), the result a length-k
+    * array<double>. The expression-level `dot` of the reference
+    * (arithmetic/dot.py:30) — per-row projection at scan speed with no
+    * shuffle; also the building block for custom PCA/whitening projections. */
+  def matvec(matrix: Seq[Seq[Double]], vec: Column): Column = {
+    val m = typedlit(matrix)
+    transform(m, row =>
+      aggregate(zip_with(row, vec, (c, x) => c * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+  }
+
   /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -148,13 +148,16 @@ object OpsWindows {
       import spark.implicits._
       val w = Window.partitionBy($"o_orderpriority")
         .orderBy($"o_totalprice".desc, $"o_orderkey")
-      t(spark, dir, "orders").filter($"o_orderkey" < 300)
-        .select($"o_orderpriority", $"o_orderkey",
-          row_number().over(w).cast("long").as("rn"),
-          rank().over(w).cast("long").as("rnk"),
-          dense_rank().over(w).cast("long").as("drnk"),
-          ntile(4).over(w).cast("long").as("quartile"))
-        .orderBy($"o_orderpriority", $"rn")
+      val ord = Seq($"o_totalprice".desc, $"o_orderkey")
+      gt(spark, dir, "orders")
+        .query("o_orderkey < 300")
+        .rank("rn", Seq("o_orderpriority"), ord, "first")
+        .rank("rnk", Seq("o_orderpriority"), ord, "min")
+        .rank("drnk", Seq("o_orderpriority"), ord, "dense")
+        .assign("quartile" -> ntile(4).over(w).cast("long"))
+        .select("o_orderpriority", "o_orderkey", "rn", "rnk", "drnk", "quartile")
+        .sortValues(Seq("o_orderpriority", "rn"))
+        .df
     },
 
     // --- §2.6 groupby.head: top-k per group

@@ -139,6 +139,52 @@ class ApiSpec extends SparkSpecBase {
     assert(back == Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5)))
   }
 
+  test("toDatetime / toNumeric coerce failures to null") {
+    val f = GraftFrame(Seq(("2024-03-05", "12.5"), ("garbage", "x")).toDF("d", "n"))
+      .toDatetime("d", "ts").toNumeric("n", "num")
+    val rows = f.df.select("ts", "num").collect()
+    assert(rows(0).getTimestamp(0) != null && rows(0).getDouble(1) == 12.5)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
+  test("rank supports pandas min/dense/first tie methods") {
+    val f = GraftFrame(Seq((1L, 10.0), (2L, 10.0), (3L, 20.0)).toDF("id", "v"))
+    val r = f.rank("r_min", Nil, Seq(col("v")), "min")
+      .rank("r_dense", Nil, Seq(col("v")), "dense")
+      .rank("r_first", Nil, Seq(col("v"), col("id")), "first")
+      .sortValues(Seq("id")).df
+      .select("r_min", "r_dense", "r_first").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 1L), (1L, 1L, 2L), (3L, 2L, 3L)))
+  }
+
+  test("groupby.sampleN returns at most n deterministic rows per group") {
+    val f = GraftFrame((1L to 100L).map(i => (i % 5, i)).toDF("k", "v"))
+    val s1 = f.groupby("k").sampleN(3, seed = 9).df.collect().toSet
+    val s2 = f.groupby("k").sampleN(3, seed = 9).df.collect().toSet
+    assert(s1 == s2) // deterministic
+    val counts = f.groupby("k").sampleN(3, seed = 9).df
+      .groupBy("k").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 3L))
+  }
+
+  test("matvec projects rows through a literal matrix") {
+    import graft.functions.VectorFunctions
+    val f = Seq(Tuple1(Seq(1f, 2f, 3f))).toDF("v")
+    val got = f.select(VectorFunctions.matvec(
+        Seq(Seq(1.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0)), col("v")).as("p"))
+      .as[Seq[Double]].collect().head
+    assert(got == Seq(1.0, 6.0))
+  }
+
+  test("toParquet round-trip with partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val f = GraftFrame(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "part"))
+    f.toParquet(s"$dir/out", partitionBy = Seq("part"))
+    val back = g.readParquet(s"$dir/out").df
+    assert(back.count() == 3)
+    assert(back.filter(col("part") === "a").count() == 2)
+  }
+
   test("tail returns the last n rows in ascending order") {
     val f = GraftFrame((1L to 100L).toDF("id")).tail(3, Seq("id"))
     assert(f.df.select("id").as[Long].collect().toSeq == Seq(98L, 99L, 100L))
