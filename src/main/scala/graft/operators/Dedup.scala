@@ -58,7 +58,7 @@ object Dedup {
       maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.distinctShingles(col(textCol), n)).as("sh"))
+        explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
     val shCapped = maxShingleDf match {
       case Some(cap) =>
         val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -128,7 +128,7 @@ object Dedup {
     val sig = docs.select(
       col(idCol).as("doc_id"),
       minhashSignature(
-        TextFunctions.distinctShingles(col(textCol), n), numHashes, seed).as("sig"))
+        TextFunctions.hashedShingles(col(textCol), n), numHashes, seed).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(
@@ -157,7 +157,7 @@ object Dedup {
     val cands = minhashLshCandidates(docs, textCol, idCol, n, bands, rowsPerBand)
     val shingled = docs.select(
       col(idCol).as("doc_id"),
-      TextFunctions.distinctShingles(col(textCol), n).as("shs"))
+      TextFunctions.hashedShingles(col(textCol), n).as("shs"))
     cands
       .join(shingled.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
       .join(shingled.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))

@@ -297,14 +297,28 @@ object OpsWindows {
         .orderBy($"user_id", $"event_id")
     },
 
-    // --- idiomatic Structured-Streaming-style windows on batch (no oracle;
-    //     shows native window()/session_window usage, checked rows-only)
-    Q.noOracle("op_window_native") { (spark, dir) =>
+    // --- idiomatic Structured-Streaming-style windows on batch: the native
+    //     window() generator vs the hand-built slide union in the oracle
+    //     (both assign each event to the 2 overlapping 1h/30min windows)
+    Q("op_window_native",
+      """SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch_us(ts) / 1800000000.0) * 1800 AS BIGINT) AS w_start
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch_us(ts) / 1800000000.0) * 1800 - 1800 AS BIGINT)
+        |  FROM events
+        |) s GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       t(spark, dir, "events")
         .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
-        .agg(count(lit(1)).as("n"), sum($"value").as("total"))
-        .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+        .agg(count(lit(1)).as("n"), sumD(dec12($"value")).as("total"))
+        .select(unix_micros($"window.start").divide(1000000L).cast("long").as("w_start"),
+          $"event_type", $"n", $"total")
         .orderBy($"w_start", $"event_type")
     }
   )
