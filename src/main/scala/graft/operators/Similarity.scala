@@ -87,6 +87,46 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: the classic vector-search scale
+    * path. KMeans partitions the corpus into `nlist` cells; each query
+    * scores only the cells of its `nprobe` nearest centroids — a
+    * 1/(nlist/nprobe) fraction of the corpus per query instead of a full
+    * scan, with recall controlled by nprobe.
+    *
+    * Plan shape: corpus→cell assignment is one KMeans transform (narrow);
+    * query→probe-cells is a broadcast of the (tiny) centroid table; the
+    * probe join shuffles on the cell id. At 100 TB the corpus never
+    * broadcasts and never self-joins. */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val model = graft.learn.Learn.kmeansFit(corpus, "cvec", nlist, seed)
+    val assigned = graft.learn.Learn.kmeansPredict(model, corpus, "cvec")
+    // centroid table: nlist rows — broadcast side of the probe selection
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat).toSeq)
+      }).toDF("cluster", "centvec")
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist"), col("cluster"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", euclidean(col("qvec"), col("centvec")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cluster"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    assigned.join(probes, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
   /** Exact all-pairs variant — O(n²); only for small corpora or as the
     * recall baseline in tests. Use [[nearDupPairsLsh]] at scale. */
   def nearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {

@@ -137,6 +137,19 @@ object Ext {
         .orderBy($"qid", $"rank")
     },
 
+    // --- IVF approximate ANN: kmeans cells + nprobe probing (engine-
+    //     specific centroids → rows-only check; recall vs brute force in
+    //     SimilaritySpec)
+    Q.noOracle("ext_ann_ivf") { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16, nprobe = 4)
+        .orderBy($"qid", $"rank")
+    },
+
     // --- embedding near-dup detection at scale: LSH-bucketed candidates +
     //     exact cosine verify. The corpus is embeddings unioned with an
     //     id-shifted copy of itself (a cross-source dedup scenario whose

@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh == exact)
   }
 
+  test("ivfTopK achieves high recall on clustered embeddings") {
+    val r = new Random(17)
+    val dim = 32
+    val centers = (0 until 8).map(_ => randVec(r, dim).map(_ * 10f))
+    val members = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 25
+    } yield ((ci * 25 + j).toLong,
+      c.zip(randVec(r, dim)).map { case (x, n) => x + 0.1f * n })
+    val corpus = members.toDF("cid", "cvec")
+    val queries = members.filter(_._1 % 25 == 0).map { case (id, v) => (id, v) }
+      .toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+  }
+
   test("lshTopK achieves high recall on clustered embeddings") {
     // 10 well-separated cluster centers, 20 members each with small noise —
     // the realistic near-dup regime LSH bucketing is designed for.
