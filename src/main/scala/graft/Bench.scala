@@ -26,6 +26,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // runtime bloom-filter join pre-filter — the reference's
       // _apply_bloom_filter (merge.py:369) is this one config in Spark

@@ -125,10 +125,15 @@ object Dedup {
       rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(
-      col(idCol).as("doc_id"),
-      minhashSignature(
-        TextFunctions.hashedShingles(col(textCol), n), numHashes, seed).as("sig"))
+    // native codegen'd signature when GraftExtensions is registered; the
+    // HOF fold computes identical values on sessions without it
+    val sigExpr =
+      if (docs.sparkSession.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash",
+          TextFunctions.hashedShingles(col(textCol), n), lit(numHashes), lit(seed))
+      else
+        minhashSignature(TextFunctions.hashedShingles(col(textCol), n), numHashes, seed)
+    val sig = docs.select(col(idCol).as("doc_id"), sigExpr.as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(

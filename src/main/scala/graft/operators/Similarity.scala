@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -23,6 +23,14 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Cosine column: the native codegen'd expression when the session has
+    * [[graft.plans.GraftExtensions]] registered, else the bit-identical
+    * HOF fold. */
+  private def cosineCol(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_cosine"))
+      call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
   /** Exact top-k cosine neighbors for every query vector.
     * Ranking uses (round(cosine, 4) DESC, corpus id ASC) so results are
     * deterministic and reproducible across engines regardless of float
@@ -33,7 +41,7 @@ object Similarity {
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("sim", round(cosineCol(corpus, col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -55,7 +63,7 @@ object Similarity {
     val cb = corpus.withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("sim", round(cosineCol(corpus, col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -82,7 +90,7 @@ object Similarity {
     val b = bucketed.select(col("bucket"), col("cid").as("id_b"), col("cvec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .withColumn("sim", round(cosineCol(corpus, col("vec_a"), col("vec_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -121,7 +129,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     assigned.join(probes, Seq("cluster"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("sim", round(cosineCol(corpus, col("qvec"), col("cvec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rank"))
@@ -134,7 +142,7 @@ object Similarity {
     val b = corpus.select(col("cid").as("id_b"), col("cvec").as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .withColumn("sim", round(cosineCol(corpus, col("vec_a"), col("vec_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions
+  * (enable with `spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * This is the engine's only custom Catalyst surface: per SURVEY §4 every
+  * optimizer/physical capability the reference hand-rolls (pushdown, join
+  * strategy, adaptive re-planning, spill) is already built into
+  * Catalyst/AQE, so no custom Rule or Strategy is needed — only scalar
+  * expressions where interpreted HOF evaluation can't hit the required
+  * per-row throughput.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(a, b) takes two arrays")
+        CosineSimilarity(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_minhash(hashedShingles, numHashes, seed) takes three args")
+        val numHashes = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(s"numHashes: $other")
+        }
+        val seed = children(2).eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(s"seed: $other")
+        }
+        MinHashSignature(children(0), numHashes, seed)
+      }))
+  }
+}

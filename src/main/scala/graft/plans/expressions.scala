@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native Catalyst expressions for the vector/dedup hot loops.
+  *
+  * The higher-order-function formulations in [[graft.functions.VectorFunctions]]
+  * and [[graft.operators.Dedup]] are correct and declarative, but Spark
+  * evaluates HOF lambdas interpretively per element — for a 64-float cosine
+  * that is ~200 boxed lambda invocations per row. These expressions compute
+  * the same values (bit-identical: same float operations in the same order)
+  * inside whole-stage codegen with tight primitive loops — the (b)-level
+  * escape hatch of SURVEY §7.3, used only where the built-in operators
+  * can't hit the required per-row throughput.
+  *
+  * Registered via [[GraftExtensions]] (`spark.sql.extensions`); callers fall
+  * back to the HOF forms on sessions without the extension.
+  */
+
+/** cosine(a, b) over array<float> columns, double accumulation in ascending
+  * index order — identical to the zip_with/aggregate fold it replaces. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over an array<long> of pre-hashed shingles: one tight
+  * loop replacing the aggregate/transform fold. Arithmetic matches the HOF
+  * form exactly: h = pmod(murmur3(shingle), p), sig_i = min over shingles
+  * of (a_i * h + b_i) mod p. */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  private val P = 2147483647L // 2^31 - 1
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // same coefficient family as Dedup.minhashSignature
+  private lazy val aCoefs: Array[Long] = Array.tabulate(numHashes)(i =>
+    1L + 2L * Math.floorMod(mix64(seed + 2L * i), 1000000000L))
+  private lazy val bCoefs: Array[Long] = Array.tabulate(numHashes)(i =>
+    Math.floorMod(mix64(seed + 2L * i + 1), 1000000000L))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(P)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      // identical to pmod(hash(x).cast("long"), p): murmur3-of-long, int
+      // result sign-extended to long, then positive mod
+      val h32 = Murmur3_x86_32.hashLong(arr.getLong(j), 42).toLong
+      val h = ((h32 % P) + P) % P
+      var i = 0
+      while (i < numHashes) {
+        val v = (aCoefs(i) * h + bCoefs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aCoefs", aCoefs, "long[]")
+    val bRef = ctx.addReferenceObj("bCoefs", bCoefs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val h32 = ctx.freshName("h32")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, ${P}L);
+         |int $m = $arr.numElements();
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $h32 = (long) org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashLong($arr.getLong($j), 42);
+         |  long $h = (($h32 % ${P}L) + ${P}L) % ${P}L;
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ($aRef[$i] * $h + $bRef[$i]) % ${P}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
