@@ -402,6 +402,18 @@ final case class GraftFrame(df: DataFrame) {
   def expanding(partitionBy: Seq[String], orderBy: Seq[String]): GraftRolling =
     GraftRolling(df, Windows.expanding(Windows.spec(partitionBy, orderBy)))
 
+  /** Time-offset rolling window — pandas rolling('90d')
+    * (reference window/rolling/core.py:187 time-offset mode). */
+  def rollingTime(partitionBy: Seq[String], tsCol: String, seconds: Long): GraftRolling =
+    GraftRolling(df, Windows.rollingTime(partitionBy, tsCol, seconds))
+
+  /** Whole-frame aggregation with the same named-spec registry as
+    * groupby.agg (reference reduction/aggregation.py:86 frame-level agg). */
+  def agg(specs: (String, String, String)*): GraftFrame = {
+    val cols = specs.map { case (out, fn, c) => GraftGroupBy.aggExpr(df, fn, c).as(out) }
+    GraftFrame(df.agg(cols.head, cols.tail: _*))
+  }
+
   /** ewm mean (reference window/ewm/aggregation.py:207). */
   def ewmMean(key: String, order: String, value: String, alpha: Double): GraftFrame =
     GraftFrame(Windows.ewmMean(df, key, order, value, alpha))
@@ -571,6 +583,9 @@ object GraftGroupBy {
     case "first" => first(df(c))
     case "last" => last(df(c))
     case "collect" => collect_list(df(c))
+    case "median" => percentile(df(c), lit(0.5))
+    case "p25" => percentile(df(c), lit(0.25))
+    case "p75" => percentile(df(c), lit(0.75))
     case other => throw new IllegalArgumentException(s"unknown agg function: $other")
   }
 }

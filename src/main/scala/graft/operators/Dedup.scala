@@ -45,10 +45,11 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, common, size_a, size_b, jaccard), doc_a < doc_b.
     *
-    * Scale: the shingle join is a hash shuffle on the shingle string. Very
-    * frequent shingles (stop-phrases) blow up pairs quadratically, so
-    * shingles occurring in more than `maxShingleDf` docs are dropped —
-    * standard df-cap used by web-scale dedup pipelines. */
+    * Scale: the shingle join is a hash shuffle on the 64-bit shingle hash
+    * (strings never leave the scan). Very frequent shingles (stop-phrases)
+    * blow up pairs quadratically, so shingles occurring in more than
+    * `maxShingleDf` docs are dropped — the standard df-cap used by
+    * web-scale dedup pipelines. */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String,

@@ -47,6 +47,33 @@ object StreamOps {
       .select(col("session_window.start").as("s_start"),
         col("user_id"), col("n_events"), col("first_event"))
 
+  /** Streaming exact dedup: emit only the first occurrence of each
+    * normalized-text fingerprint across the whole stream — the streaming
+    * form of [[graft.operators.Dedup.exactTextDedup]], keyed state sharded
+    * over executors (a production deployment bounds state with a watermark
+    * + timeout; here state is unbounded like the batch semantics).
+    * Input: (doc_id long, text string); output first-seen (doc_id, fp). */
+  def streamingExactDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // first occurrence in this batch: lowest doc_id, like the batch op
+            val first = rows.minBy(_._1)
+            Iterator.single((first._1, fp))
+          }
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /** Custom keyed state: running per-user event count + last-seen timestamp
     * via flatMapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express (KeyValueGroupedDataset state API). */

@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits only first occurrences across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.streamingExactDedup(docs)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((3L, "hello world"), (1L, "Hello,  World!"), (5L, "other"))
+      q.processAllAvailable()
+      input.addData((9L, "hello world"), (10L, "third"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id").as[Long].collect().sorted.toSeq
+      // batch 1: fp(hello world) keeps lowest id 1, "other" keeps 5;
+      // batch 2: duplicate 9 suppressed by carried state, 10 kept
+      assert(kept == Seq(1L, 5L, 10L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running counts across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
