@@ -91,6 +91,57 @@ object Learn {
       .fit(df.withColumn("__features",
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
 
+  // ---------------------------------------------------------- classification
+  /** Binary logistic regression over numeric feature columns (reference
+    * mars/learn linear_model / glm surface → MLlib). */
+  def logisticRegressionFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      maxIter: Int = 50): org.apache.spark.ml.classification.LogisticRegressionModel =
+    new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(0.0)
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .fit(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+
+  /** Predictions for a fitted logistic model: input + `prediction`,
+    * `probability` (array<double>). */
+  def logisticPredict(model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      df: DataFrame, featureCols: Seq[String]): DataFrame =
+    model.transform(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+      .withColumn("probability", vector_to_array(col("probability")))
+      .drop("__features", "rawPrediction")
+
+  /** Generalized linear model (reference mars glm → MLlib GLR).
+    * family: "gaussian" | "poisson" | "gamma" | "binomial". */
+  def glmFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      family: String = "gaussian", maxIter: Int = 25)
+      : org.apache.spark.ml.regression.GeneralizedLinearRegressionModel =
+    new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+      .setFamily(family).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .fit(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+
+  /** Categorical → integer codes (reference label ops / sklearn
+    * LabelEncoder → MLlib StringIndexer, frequency-ordered). */
+  def stringIndex(df: DataFrame, inputCol: String, outputCol: String): DataFrame =
+    new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol(inputCol).setOutputCol(outputCol)
+      .fit(df).transform(df)
+
+  /** Area under the ROC curve from (label, score) columns — pure
+    * aggregates/window, no MLlib evaluator state: the rank-sum (Mann-
+    * Whitney) formulation, ties handled by average rank. */
+  def aucRoc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val ranked = df.select(col(labelCol).cast("double").as("y"), col(scoreCol).as("s"))
+      .withColumn("r", avg(row_number().over(w)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+    ranked.agg(
+      ((sum(col("y") * col("r")) - sum(col("y")) * (sum(col("y")) + lit(1.0)) / 2.0) /
+        (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
+  }
+
   // ---------------------------------------------------------- preprocessing
   /** Column-wise standard scaling (x - mean) / stddev as pure expressions —
     * the reference's StandardScaler on tabular data

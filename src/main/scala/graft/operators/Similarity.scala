@@ -50,20 +50,39 @@ object Similarity {
   }
 
   /** Approximate top-k via random-hyperplane LSH: bucket corpus and queries
-    * by sign-bit signature, score only same-bucket pairs. Multi-probe = 0
-    * (exact-bucket match) keeps it simple; recall rises with fewer bits. */
+    * by sign-bit signature, score only same-bucket pairs.
+    *
+    * `nProbe` adds multi-probe: each query additionally probes the buckets
+    * at Hamming distance 1 on its first nProbe signature bits — the
+    * standard recall boost (probing 1+nProbe buckets) without lowering
+    * nBits and inflating every bucket. Probe buckets are generated on the
+    * (small, broadcast) query side only; the corpus is still bucketed
+    * exactly once. */
   def lshTopK(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (cid, cvec)
       dim: Int,
       k: Int,
       nBits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val qb = queries.withColumn("bucket", hyperplaneSignature(col("qvec"), dim, nBits, seed))
+      seed: Long = 42L,
+      nProbe: Int = 0): DataFrame = {
+    require(nProbe >= 0 && nProbe <= nBits, s"nProbe=$nProbe out of range")
+    val qSig = queries.withColumn("sig", hyperplaneSignature(col("qvec"), dim, nBits, seed))
+    // probe set: the exact bucket + the nProbe single-bit flips
+    val flips = (0 until nProbe).map { b =>
+      val flipped = concat(
+        substring(col("sig"), 1, b),
+        when(substring(col("sig"), b + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("sig"), b + 2, nBits - b - 1))
+      flipped
+    }
+    val qb = qSig.withColumn("bucket", explode(array((col("sig") +: flips): _*)))
+      .select(col("qid"), col("qvec"), col("bucket"))
     val cb = corpus.withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", round(cosineCol(corpus, col("qvec"), col("cvec")), 4))
+      .select(col("qid"), col("cid"), col("sim")).distinct()
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -105,6 +105,56 @@ class LearnSpec extends SparkSpecBase {
     assert(math.abs(got(2L) - 5.0) < 1e-12 && math.abs(got(3L) - 10.0) < 1e-12)
   }
 
+  test("logistic regression separates linearly separable classes") {
+    val r = new Random(13)
+    val rows = (1 to 400).map { _ =>
+      val x = r.nextGaussian(); val y = r.nextGaussian()
+      (x, y, if (x + y > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y", "label")
+    val model = Learn.logisticRegressionFit(df, Seq("x", "y"), "label")
+    val pred = Learn.logisticPredict(model, df, Seq("x", "y"))
+    val acc = Learn.accuracy(pred, "label", "prediction")
+      .as[Double].collect().head
+    assert(acc > 0.97, s"logistic accuracy $acc")
+  }
+
+  test("glm gaussian equals OLS on linear data") {
+    val r = new Random(23)
+    val rows = (1 to 300).map { _ =>
+      val x = r.nextDouble() * 10
+      (x, 3.0 * x + 1.0)
+    }
+    val m = Learn.glmFit(rows.toDF("x", "y"), Seq("x"), "y")
+    assert(math.abs(m.coefficients(0) - 3.0) < 1e-6)
+    assert(math.abs(m.intercept - 1.0) < 1e-6)
+  }
+
+  test("stringIndex assigns frequency-ordered codes") {
+    val df = Seq("b", "a", "a", "a", "b", "c").toDF("s")
+    val idx = Learn.stringIndex(df, "s", "code")
+      .groupBy("s").agg(first("code")).as[(String, Double)].collect().toMap
+    assert(idx("a") == 0.0 && idx("b") == 1.0 && idx("c") == 2.0)
+  }
+
+  test("aucRoc matches hand-computed AUC") {
+    // scores: positives {0.9, 0.8, 0.4}, negatives {0.7, 0.3, 0.2}
+    // pairs: 9 total, positive-ranked-higher: 0.9>all(3), 0.8>all(3),
+    // 0.4>{0.3,0.2}(2) => 8/9
+    val df = Seq((1.0, 0.9), (1.0, 0.8), (1.0, 0.4), (0.0, 0.7), (0.0, 0.3), (0.0, 0.2))
+      .toDF("label", "score")
+    val auc = Learn.aucRoc(df, "label", "score").as[Double].collect().head
+    assert(math.abs(auc - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("spawnMap runs functions in parallel preserving order") {
+    import graft.remote.Spawn
+    val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
+    assert(got == (1 to 20).map(i => i * i))
+    val thunks: Seq[() => String] = Seq(() => "a", () => "b")
+    assert(Spawn.spawn(spark, thunks) == Seq("a", "b"))
+  }
+
   test("regression metrics compute rmse/mae/r2") {
     val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.0)).toDF("y", "pred")
     val m = Learn.regressionMetrics(df, "y", "pred").collect().head
