@@ -116,20 +116,33 @@ final case class GraftFrame(df: DataFrame) {
       leftOn: Seq[String] = Nil,
       rightOn: Seq[String] = Nil,
       suffixes: (String, String) = ("_x", "_y"),
-      broadcastRight: Boolean = false): GraftFrame = {
-    val r0 = if (broadcastRight) broadcast(right.df) else right.df
-    if (on.nonEmpty || (leftOn.isEmpty && rightOn.isEmpty)) {
-      val keys = if (on.nonEmpty) on else df.columns.intersect(r0.columns).toSeq
-      // disambiguate non-key shared columns with pandas-style suffixes
-      val shared = df.columns.intersect(r0.columns).toSet -- keys.toSet
-      val l1 = shared.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
-      val r1 = shared.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
-      GraftFrame(l1.join(r1, keys, how))
-    } else {
-      require(leftOn.length == rightOn.length, "left_on/right_on length mismatch")
-      val cond = leftOn.zip(rightOn).map { case (l, r) => df(l) === r0(r) }.reduce(_ && _)
-      GraftFrame(df.join(r0, cond, how))
-    }
+      broadcastRight: Boolean = false,
+      indicator: Boolean = false): GraftFrame = {
+    val rTagged = if (indicator) right.df.withColumn("__r_present", lit(1)) else right.df
+    val lTagged = if (indicator) df.withColumn("__l_present", lit(1)) else df
+    val r0 = if (broadcastRight) broadcast(rTagged) else rTagged
+    val joined =
+      if (on.nonEmpty || (leftOn.isEmpty && rightOn.isEmpty)) {
+        val keys = if (on.nonEmpty) on else df.columns.intersect(right.df.columns).toSeq
+        // disambiguate non-key shared columns with pandas-style suffixes
+        val shared = df.columns.intersect(right.df.columns).toSet -- keys.toSet
+        val l1 = shared.foldLeft(lTagged)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+        val r1 = shared.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+        l1.join(r1, keys, how)
+      } else {
+        require(leftOn.length == rightOn.length, "left_on/right_on length mismatch")
+        val cond = leftOn.zip(rightOn).map { case (l, r) => lTagged(l) === r0(r) }
+          .reduce(_ && _)
+        lTagged.join(r0, cond, how)
+      }
+    GraftFrame(
+      if (indicator)
+        joined.withColumn("_merge",
+          when(col("__l_present").isNotNull && col("__r_present").isNotNull, "both")
+            .when(col("__l_present").isNotNull, "left_only")
+            .otherwise("right_only"))
+          .drop("__l_present", "__r_present")
+      else joined)
   }
 
   /** Row concat (reference merge/concat.py:41 axis=0): unionByName with

@@ -129,9 +129,10 @@ object Learn {
       .setInputCol(inputCol).setOutputCol(outputCol)
       .fit(df).transform(df)
 
-  /** Area under the ROC curve from (label, score) columns — pure
-    * aggregates/window, no MLlib evaluator state: the rank-sum (Mann-
-    * Whitney) formulation, ties handled by average rank. */
+  /** Exact AUC-ROC via the rank-sum (Mann–Whitney) formulation with
+    * average-rank ties. The global rank needs a total order over all
+    * scores, so this runs a single-task window — exact but only for result
+    * sets that fit one task; use [[aucRocGrouped]] at scale. */
   def aucRoc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
     val ranked = df.select(col(labelCol).cast("double").as("y"), col(scoreCol).as("s"))
@@ -140,6 +141,28 @@ object Learn {
     ranked.agg(
       ((sum(col("y") * col("r")) - sum(col("y")) * (sum(col("y")) + lit(1.0)) / 2.0) /
         (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
+  }
+
+  /** Scale-safe exact AUC: group by distinct score (one hash aggregate),
+    * then the rank-sum over per-score (positives, count) pairs — the
+    * second pass aggregates |distinct scores| rows, which for real model
+    * outputs (bounded-precision probabilities) is orders of magnitude
+    * smaller than the data; ties are handled exactly via average ranks. */
+  def aucRocGrouped(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val byScore = df
+      .select(col(labelCol).cast("double").as("y"), col(scoreCol).as("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // average rank of the tied block at score s = (ranks before) + (n+1)/2
+    val ranked = byScore.withColumn("before",
+      coalesce(sum(col("n")).over(w), lit(0.0)))
+      .withColumn("avg_rank", col("before") + (col("n") + 1.0) / 2.0)
+    ranked.agg(
+      ((sum(col("pos") * col("avg_rank")) -
+        sum(col("pos")) * (sum(col("pos")) + lit(1.0)) / 2.0) /
+        (sum(col("pos")) * (sum(col("n")) - sum(col("pos"))))).as("auc"))
   }
 
   // ---------------------------------------------------------- preprocessing

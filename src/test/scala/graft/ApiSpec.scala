@@ -25,6 +25,14 @@ class ApiSpec extends SparkSpecBase {
     assert(outer.df.count() == 3)
   }
 
+  test("merge indicator marks row provenance like pandas") {
+    val l = GraftFrame(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val r = GraftFrame(Seq((2L, 9.0), (3L, 8.0)).toDF("k", "w"))
+    val m = l.merge(r, on = Seq("k"), how = "full_outer", indicator = true)
+      .sortValues(Seq("k")).df.select("k", "_merge").as[(Long, String)].collect().toSeq
+    assert(m == Seq((1L, "left_only"), (2L, "both"), (3L, "right_only")))
+  }
+
   test("merge with left_on/right_on keeps both key columns") {
     val l = GraftFrame(Seq((1L, 10.0)).toDF("lk", "v"))
     val r = GraftFrame(Seq((1L, "x")).toDF("rk", "w"))

@@ -147,6 +147,19 @@ class LearnSpec extends SparkSpecBase {
     assert(math.abs(auc - 8.0 / 9.0) < 1e-12)
   }
 
+  test("aucRocGrouped equals the exact windowed AUC including ties") {
+    val r = new Random(41)
+    val rows = (1 to 500).map { _ =>
+      // discretized scores force tie handling through the average-rank path
+      val s = math.round(r.nextDouble() * 20) / 20.0
+      (if (r.nextDouble() < s) 1.0 else 0.0, s)
+    }
+    val df = rows.toDF("label", "score")
+    val exact = Learn.aucRoc(df, "label", "score").as[Double].collect().head
+    val grouped = Learn.aucRocGrouped(df, "label", "score").as[Double].collect().head
+    assert(math.abs(exact - grouped) < 1e-12, s"$exact vs $grouped")
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
