@@ -247,6 +247,19 @@ final case class GraftFrame(df: DataFrame) {
       d.withColumn(c, last(d(c), ignoreNulls = true).over(w))))
   }
 
+  /** Group-wise backward fill (reference groupby/fill.py:149 bfill):
+    * first non-null over the following frame. */
+  def bfill(partitionBy: Seq[String], orderBy: Seq[String], cols: Seq[String]): GraftFrame = {
+    val w = Windows.spec(partitionBy, orderBy)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    GraftFrame(cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, first(d(c), ignoreNulls = true).over(w))))
+  }
+
+  /** pandas clip: bound values to [lower, upper]. */
+  def clip(colName: String, lower: Double, upper: Double): GraftFrame =
+    assign(colName -> least(greatest(df(colName), lit(lower)), lit(upper)))
+
   /** Regex replace in a string column (reference missing/replace.py:38). */
   def replaceRegex(colName: String, pattern: String, repl: String): GraftFrame =
     assign(colName -> regexp_replace(df(colName), pattern, repl))
@@ -515,6 +528,15 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     val w = Window.partitionBy(keys.map(df(_)): _*).orderBy(orderBy: _*)
     GraftFrame(df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn"))
+  }
+
+  /** Per-group Bernoulli fraction sample, deterministic via row hashing —
+    * reproducible across runs and engines (reference groupby/sample.py
+    * frac=). */
+  def sampleFrac(frac: Double, seed: Long = 42L): GraftFrame = {
+    val pct = (frac * 100).toInt
+    GraftFrame(df.filter(
+      pmod(hash(df.columns.map(df(_)) :+ lit(seed): _*), lit(100)) < pct))
   }
 
   /** Per-group deterministic sample of up to n rows: hash-ordered

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.api.GraftFrame
+import graft.operators.{Dedup, Windows}
+
+/** Property-based differential tests: operators compared against
+  * Scala-collections reference implementations on randomized small frames —
+  * the reference's randomized-input execution-test pattern
+  * (mars/dataframe/merge/tests/test_merge_execution.py:60-66) with
+  * ScalaCheck doing the case generation.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic forAll: 8 sampled cases per property from fixed seeds
+    * (scalatestplus isn't in the offline cache, so generators are driven
+    * directly). */
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (1 to 8).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default.withSize(30), Seed(i.toLong)))
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 8).foreach { i =>
+      body(
+        g1.pureApply(Gen.Parameters.default.withSize(30), Seed(i.toLong)),
+        g2.pureApply(Gen.Parameters.default.withSize(30), Seed(i.toLong + 100)))
+    }
+
+  private val rowGen: Gen[(Long, Long, Double)] = for {
+    k <- Gen.choose(0L, 4L)
+    o <- Gen.choose(0L, 50L)
+    v <- Gen.choose(-100, 100).map(_.toDouble)
+  } yield (k, o, v)
+
+  private val frameGen: Gen[List[(Long, Long, Double)]] =
+    Gen.nonEmptyListOf(rowGen)
+
+  test("groupby sum/count/min/max match Scala groupBy") {
+    forAll(frameGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val got = GraftFrame(df).groupby("k")
+        .agg(("s", "sum", "v"), ("c", "count", "v"), ("mn", "min", "v"), ("mx", "max", "v"))
+        .df.as[(Long, Double, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2 * 1e6).round / 1e6, r._3, r._4, r._5)).toMap
+      val exp = rows.groupBy(_._1).map { case (k, g) =>
+        val vs = g.map(_._3)
+        k -> (((vs.sum * 1e6).round / 1e6), g.size.toLong, vs.min, vs.max)
+      }
+      assert(got == exp)
+    }
+  }
+
+  test("merge inner equals Scala join on key") {
+    forAll(frameGen, frameGen) { (l, r) =>
+      val lDf = l.map(t => (t._1, t._3)).toDF("k", "lv")
+      val rDf = r.map(t => (t._1, t._3)).toDF("k", "rv")
+      val got = GraftFrame(lDf).merge(GraftFrame(rDf), on = Seq("k"))
+        .df.as[(Long, Double, Double)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val exp = (for {
+        (lk, lv) <- l.map(t => (t._1, t._3))
+        (rk, rv) <- r.map(t => (t._1, t._3)) if lk == rk
+      } yield (lk, lv, rv)).groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == exp)
+    }
+  }
+
+  test("dropDuplicates keep-first matches Scala minBy per key") {
+    forAll(frameGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val got = Dedup.dropDuplicates(df, Seq("k"), "o")
+        .select("k", "o").as[(Long, Long)].collect().toSet
+      // keep rows whose order equals the per-key minimum (all of them on ties,
+      // matching the semi-join semantics)
+      val minPerKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val exp = rows.filter(t => t._2 == minPerKey(t._1)).map(t => (t._1, t._2)).toSet
+      assert(got == exp)
+    }
+  }
+
+  test("cumsum over a window matches Scala scanLeft") {
+    forAll(frameGen) { rows =>
+      // make (k, o) a total order by deduping
+      val uniq = rows.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val df = uniq.toDF("k", "o", "v")
+      val got = df.select($"k", $"o",
+          Windows.cumsum($"v", Windows.spec(Seq("k"), Seq("o"))).as("cs"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3 * 1e6).round / 1e6)).toMap
+      val exp = uniq.groupBy(_._1).flatMap { case (k, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0.0)(_ + _._3).tail)
+          .map { case (t, cs) => (k, t._2) -> ((cs * 1e6).round / 1e6) }
+      }
+      assert(got == exp)
+    }
+  }
+
+  test("melt then pivot-first restores the original values") {
+    forAll(frameGen) { rows =>
+      val uniq = rows.groupBy(_._2).map(_._2.head).toList // unique ids
+      val df = uniq.map(t => (t._2, t._3, t._3 * 2)).toDF("id", "a", "b")
+      val melted = GraftFrame(df).melt(Seq("id"), Seq("a", "b"), "var", "val")
+      val restored = melted.df.groupBy("id").pivot("var", Seq("a", "b"))
+        .agg(first("val"))
+        .as[(Long, Double, Double)].collect().toSet
+      assert(restored == uniq.map(t => (t._2, t._3, t._3 * 2)).toSet)
+    }
+  }
+}
