@@ -108,6 +108,15 @@ final class GraftSession(val spark: SparkSession) {
   /** Registry table from the test-data layout. */
   def table(sfDir: String, name: String): GraftFrame =
     GraftFrame(graft.Tables.load(spark, sfDir, name))
+
+  /** SQL entry point over the registered table views — the engine's second
+    * user surface beside the fluent API (the reference's `md.eval` string
+    * expressions generalize to full SQL here; Catalyst is the engine for
+    * both). Call [[registerTables]] first (idempotent). */
+  def sql(query: String): GraftFrame = GraftFrame(spark.sql(query))
+
+  /** Register every test-data table as a temp view for [[sql]]. */
+  def registerTables(sfDir: String): Unit = graft.Tables.registerAll(spark, sfDir)
 }
 
 object GraftSession {

@@ -11,6 +11,16 @@ import graft.functions.aggregates
   */
 object OpsExtra {
 
+  /** Dialect-neutral ANSI SQL executed verbatim by both engines. */
+  val sqlSurfaceQuery: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |       min(o_orderkey) AS first_key
+      |FROM orders
+      |WHERE o_custkey < 500
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Vector[Q] = Vector(
 
     // --- §2.5 all/any reductions (reference reduction/all.py:30, any.py:30)
@@ -258,6 +268,14 @@ object OpsExtra {
           unix_micros(D.floorTo($"ts", "hour")).as("hour_floor_us"),
           D.daysBetween(D.date($"ts"), to_date(lit("1995-01-01"))).as("days_since"))
         .orderBy($"event_id")
+    },
+
+    // --- SQL surface: one ANSI query string runs verbatim on both the
+    //     engine (spark.sql over registered views) and the DuckDB oracle —
+    //     the engine's second user surface beside the fluent API
+    Q("op_sql_surface", OpsExtra.sqlSurfaceQuery) { (spark, dir) =>
+      graft.Tables.registerAll(spark, dir)
+      graft.api.GraftSession(spark).sql(OpsExtra.sqlSurfaceQuery).df
     },
 
     // --- §2.11 weighted sampling (reference indexing/sample.py:41

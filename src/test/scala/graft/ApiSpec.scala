@@ -147,6 +147,34 @@ class ApiSpec extends SparkSpecBase {
     assert(back == Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5)))
   }
 
+  test("bfill fills backward within groups") {
+    val f = GraftFrame(Seq(
+      (1L, 1L, None: Option[Double]), (1L, 2L, Some(5.0)), (1L, 3L, None))
+      .toDF("k", "o", "v"))
+    val got = f.bfill(Seq("k"), Seq("o"), Seq("v"))
+      .sortValues(Seq("o")).df.select("v").as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(5.0), Some(5.0), None))
+  }
+
+  test("clip bounds values") {
+    val f = GraftFrame(Seq(-5.0, 0.5, 99.0).toDF("v")).clip("v", 0.0, 1.0)
+    assert(f.df.orderBy("v").as[Double].collect().toSeq == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("groupby.sampleFrac is deterministic and roughly proportional") {
+    val f = GraftFrame((1L to 2000L).map(i => (i % 4, i)).toDF("k", "v"))
+    val s1 = f.groupby("k").sampleFrac(0.25, seed = 3).df.count()
+    val s2 = f.groupby("k").sampleFrac(0.25, seed = 3).df.count()
+    assert(s1 == s2)
+    assert(s1 > 350 && s1 < 650, s"sampled $s1 of 2000 at frac 0.25")
+  }
+
+  test("session sql surface runs over registered views") {
+    g.registerTables("/root/testdata/sf0.001")
+    val n = g.sql("SELECT COUNT(*) AS n FROM nation").df.as[Long].collect().head
+    assert(n > 0)
+  }
+
   test("toDatetime / toNumeric coerce failures to null") {
     val f = GraftFrame(Seq(("2024-03-05", "12.5"), ("garbage", "x")).toDF("d", "n"))
       .toDatetime("d", "ts").toNumeric("n", "num")
