@@ -198,6 +198,14 @@ object Dedup {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** [[simhash64]] dispatching to the native codegen'd expression when the
+    * session has GraftExtensions registered (bit-identical results). */
+  def simhash64Fast(df: DataFrame, text: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_simhash"))
+      call_function("graft_simhash",
+        transform(TextFunctions.words(text), t => xxhash64(t)))
+    else simhash64(text)
+
   /** SimHash near-dup candidate pairs: block on `maxHamming + 1` disjoint
     * bit-bands (pigeonhole: two signatures within Hamming distance h must
     * agree exactly on at least one of h+1 disjoint bands), verify with exact
@@ -211,7 +219,7 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(
-      docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig")),
+      docs.select(col(idCol).as("doc_id"), simhash64Fast(docs, col(textCol)).as("sig")),
       maxHamming)
 
   /** Pair generation over precomputed (doc_id, sig) signatures — split out
@@ -238,6 +246,23 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-(doc, token) TF-IDF over a corpus (sklearn smooth_idf formula:
+    * idf = ln((N+1)/(df+1)) + 1). Three hash aggregates + one broadcast of
+    * the 1-row corpus count — no windows, no driver-side count, fully
+    * partial-aggregatable at any corpus size. */
+  def tfidf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.words(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    tf.join(dfCounts, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select("doc_id", "token", "tf", "idf", "tfidf")
   }
 
   private def mix64(z0: Long): Long = {

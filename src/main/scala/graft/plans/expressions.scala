@@ -151,3 +151,63 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/** 64-bit SimHash over an array<long> of token hashes: per-bit ±1 votes
+  * folded in one loop, bit set when the vote is non-negative — replacing
+  * the 64-wide HOF vote-vector fold with identical results. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) != 0L) 1L else -1L)
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val m = ctx.freshName("m")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $votes = new long[64];
+         |int $m = $arr.numElements();
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $h = $arr.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) != 0L) ? 1L : -1L;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] >= 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -258,6 +258,96 @@ object Ext {
         .orderBy($"lang", $"pred_lang")
     },
 
+    // --- TF-IDF featurization (sklearn smooth_idf arithmetic on both sides)
+    Q("ext_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfc AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+        |SELECT doc_id, token, tf,
+        |       round(ln((nd + 1.0) / (df + 1.0)) + 1.0, 6) AS idf,
+        |       round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfc USING (token), n
+        |WHERE doc_id < 5
+        |ORDER BY doc_id, token""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.tfidf(t(spark, dir, "documents"), "text", "doc_id")
+        .filter($"doc_id" < 5)
+        .select($"doc_id", $"token", $"tf",
+          round($"idf", 6).as("idf"), round($"tfidf", 6).as("tfidf"))
+        .orderBy($"doc_id", $"token")
+    },
+
+    // --- end-to-end curation pipeline through the fluent API: quality +
+    //     language scoring → filters → exact dedup → per-language stats —
+    //     the canonical training-data curation chain as ONE declarative plan
+    Q("ext_curation",
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es >= fr AND es >= de THEN 'es'
+        |         WHEN fr >= de THEN 'fr' ELSE 'de' END AS pred_lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |      + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |          w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |        / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS quality
+        |  FROM (
+        |    SELECT doc_id, source, text,
+        |      (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END) AS en,
+        |      (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' de ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' que ') THEN 1 ELSE 0 END) AS es,
+        |      (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END) AS fr,
+        |      (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END) AS de
+        |    FROM (SELECT doc_id, source, text, lower(text) AS t FROM documents) x) s),
+        |filtered AS (
+        |  SELECT * FROM scored WHERE quality > 0.5 AND n_tokens >= 30),
+        |fp AS (
+        |  SELECT doc_id, source, pred_lang, n_tokens, quality,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                            ' +', ' ', 'g'))) AS f
+        |  FROM filtered),
+        |keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+        |SELECT source, pred_lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(quality), 6) AS avg_quality
+        |FROM fp JOIN keep USING (f, doc_id)
+        |GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "documents")
+        .assign(
+          "pred_lang" -> TextFunctions.langIdHeuristic($"text"),
+          "n_tokens" -> TextFunctions.tokenCount($"text"),
+          "quality" -> TextFunctions.qualityScore($"text"))
+        .filter($"quality" > 0.5 && $"n_tokens" >= 30)
+        .assign("__fp" -> TextFunctions.md5Fingerprint($"text"))
+        .dropDuplicates(Seq("__fp"), keepFirstBy = "doc_id")
+        .groupby("source", "pred_lang")
+        .agg(
+          ("n_docs", "count", "pred_lang"),
+          ("total_tokens", "sum", "n_tokens"),
+          ("avg_quality_raw", "mean", "quality"))
+        .assign("avg_quality" -> round($"avg_quality_raw", 6))
+        .drop("avg_quality_raw")
+        .sortValues(Seq("source", "pred_lang"))
+        .df
+    },
+
     // --- prefix-fingerprint clustering per source
     Q("ext_fingerprint",
       """SELECT source,

@@ -44,6 +44,19 @@ class PlansSpec extends SparkSpecBase {
     assert(cmp.count() == 0)
   }
 
+  test("graft_simhash is bit-identical to the HOF fold") {
+    val r = new Random(43)
+    val docs = (1 to 100).map(i =>
+      (i.toLong, Seq.fill(30)("t" + r.nextInt(200)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val tokenHashes = transform(TextFunctions.words($"text"), t => xxhash64(t))
+    val cmp = docs.select(
+        call_function("graft_simhash", tokenHashes).as("native"),
+        Dedup.simhash64($"text").as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(cmp.count() == 0)
+  }
+
   test("native cosine survives both codegen and interpreted paths") {
     // interpreted path: force eval through a filter on a literal frame
     val df = Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b")
