@@ -493,6 +493,18 @@ final case class GraftFrame(df: DataFrame) {
     d.write.mode("overwrite").option("header", header).csv(path)
   }
 
+  /** Persist as a bucketed (+ optionally sorted) table: repeated joins or
+    * aggregations on `keys` then run with NO shuffle — the pre-partitioning
+    * the reference achieves with aligned chunking, and the standard Spark
+    * answer to "co-locate the 100 TB fact tables once, join them many
+    * times". Both sides of a join must share the bucket count. */
+  def toBucketedTable(name: String, buckets: Int, keys: Seq[String],
+      sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sorted) w.sortBy(keys.head, keys.tail: _*) else w)
+      .format("parquet").saveAsTable(name)
+  }
+
   /** to_sql (reference datastore/to_sql.py:60). */
   def toJdbc(url: String, table: String,
       properties: java.util.Properties = new java.util.Properties()): Unit =

@@ -49,6 +49,12 @@ class ApiSpec extends SparkSpecBase {
       Seq(Row(1L, "a", null), Row(2L, null, 5.0)))
   }
 
+  test("whereMask keeps matching rows and replaces the rest") {
+    val f = GraftFrame(Seq((1L, 10.0), (2L, -5.0)).toDF("k", "v"))
+      .whereMask("v", col("v") > 0, lit(0.0))
+    assert(f.df.orderBy("k").select("v").as[Double].collect().toSeq == Seq(10.0, 0.0))
+  }
+
   test("mapValues applies a dict with default") {
     val f = GraftFrame(Seq(("a"), ("b"), ("z")).toDF("c"))
       .mapValues("c", "mapped", Map("a" -> 1, "b" -> 2), default = Some(-1))
