@@ -527,6 +527,16 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(grouped.agg(cols.head, cols.tail: _*))
   }
 
+  /** Aggregation with arbitrary aggregate Columns — the escape hatch for
+    * user Aggregators (reference CustomReduction,
+    * reduction/custom_reduction.py:23: register any
+    * `org.apache.spark.sql.expressions.Aggregator` via `udaf` and pass the
+    * resulting column here). */
+  def aggCols(cols: (String, Column)*): GraftFrame = {
+    val named = cols.map { case (out, c) => c.as(out) }
+    GraftFrame(grouped.agg(named.head, named.tail: _*))
+  }
+
   def sum(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_sum", "sum", c)): _*)
   def mean(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_mean", "mean", c)): _*)
   def min(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_min", "min", c)): _*)

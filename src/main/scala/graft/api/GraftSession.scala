@@ -105,6 +105,21 @@ final class GraftSession(val spark: SparkSession) {
     GraftFrame(spark.range(0, n).toDF("id")
       .withColumn(colName, (lit(lo) + floor(rand(seed) * (hi - lo))).cast("long")))
 
+  /** Exponential(rate) via inverse-CDF of uniform draws (reference
+    * mt.random.exponential; the inverse-CDF expression route SURVEY §2.1
+    * prescribes for the non-built-in distributions). */
+  def randomExponential(n: Long, rate: Double, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    GraftFrame(spark.range(0, n).toDF("id")
+      .withColumn(colName, -log(lit(1.0) - rand(seed)) / rate))
+
+  /** Lognormal(mu, sigma) via exp of a normal draw (reference
+    * mt.random.lognormal). */
+  def randomLognormal(n: Long, mu: Double, sigma: Double, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    GraftFrame(spark.range(0, n).toDF("id")
+      .withColumn(colName, exp(lit(mu) + lit(sigma) * randn(seed))))
+
   /** Registry table from the test-data layout. */
   def table(sfDir: String, name: String): GraftFrame =
     GraftFrame(graft.Tables.load(spark, sfDir, name))

@@ -144,6 +144,27 @@ class ApiSpec extends SparkSpecBase {
     assert(n.getLong(0) >= 5L && n.getLong(1) <= 9L)
   }
 
+  test("aggCols accepts arbitrary aggregate columns including custom UDAFs") {
+    import graft.functions.aggregates
+    val f = GraftFrame(Seq((1L, 2.0), (1L, 3.0), (2L, 4.0)).toDF("k", "v"))
+    val got = f.groupby("k").aggCols(
+        ("prod", aggregates.product(col("v"))),
+        ("rng", max(col("v")) - min(col("v"))))
+      .sortValues(Seq("k")).df.as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 6.0, 1.0), (2L, 4.0, 0.0)))
+  }
+
+  test("exponential and lognormal sources match distribution moments") {
+    val e = g.randomExponential(20000, rate = 2.0, seed = 5).df
+      .agg(avg("value"), min("value")).collect().head
+    assert(math.abs(e.getDouble(0) - 0.5) < 0.02) // mean = 1/rate
+    assert(e.getDouble(1) >= 0.0)
+    val ln = g.randomLognormal(20000, mu = 0.0, sigma = 0.25, seed = 6).df
+      .agg(expr("avg(ln(value))"), expr("stddev_samp(ln(value))")).collect().head
+    assert(math.abs(ln.getDouble(0)) < 0.01)
+    assert(math.abs(ln.getDouble(1) - 0.25) < 0.01)
+  }
+
   test("csv round-trip preserves data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val f = GraftFrame(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v"))
