@@ -153,6 +153,26 @@ final case class GraftFrame(df: DataFrame) {
 
   def crossJoin(right: GraftFrame): GraftFrame = GraftFrame(df.crossJoin(right.df))
 
+  /** pandas pipe: apply a frame-to-frame function in a chain. */
+  def pipe(f: GraftFrame => GraftFrame): GraftFrame = f(this)
+
+  /** Salted equi-join for heavily skewed keys: the skewed (left) side gets
+    * a random salt in [0, saltFactor), the right side is replicated across
+    * every salt value, and the join key becomes (key, salt) — splitting a
+    * hot key's rows over saltFactor tasks. AQE's skew-join handles most
+    * cases automatically; this is the explicit valve for pathological keys
+    * AQE can't split (e.g. one key ≫ everything else). Results equal the
+    * plain join. */
+  def saltedJoin(right: GraftFrame, on: Seq[String], saltFactor: Int,
+      how: String = "inner", seed: Long = 42L): GraftFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val salted = df.withColumn("__salt",
+      (pmod(hash(df.columns.map(df(_)) :+ rand(seed): _*), lit(saltFactor))).cast("int"))
+    val replicated = right.df.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    GraftFrame(salted.join(replicated, on :+ "__salt", how).drop("__salt"))
+  }
+
   /** As-of backward join (pandas merge_asof; absent from the reference —
     * SURVEY §2.4 — provided as an engine extension). */
   def asofJoinPrior(right: GraftFrame, key: String, ts: String, payload: String): GraftFrame =
@@ -574,6 +594,27 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def cumsum(valueCol: String, out: String, orderBy: Seq[String]): GraftFrame =
     GraftFrame(df.withColumn(out,
       Windows.cumsum(df(valueCol), Windows.spec(keys, orderBy))))
+
+  /** Two-phase salted aggregation for skewed group keys: partial aggregate
+    * on (key, salt) splits a hot key over `saltFactor` tasks, then the
+    * partials merge per key. Only algebraic functions (sum/count/min/max)
+    * decompose this way; for them results equal the direct aggregation.
+    * Spark's own partial aggregation usually makes this unnecessary — the
+    * explicit form exists for aggregations whose map-side combine is
+    * defeated (e.g. high-cardinality composite states). */
+  def saltedAgg(valueCol: String, fn: String, out: String,
+      saltFactor: Int = 16, seed: Long = 42L): GraftFrame = {
+    require(Set("sum", "count", "min", "max")(fn), s"non-algebraic fn: $fn")
+    val salted = df.withColumn("__salt", pmod(hash(rand(seed)), lit(saltFactor)))
+    val partial = salted.groupBy((keys :+ "__salt").map(salted(_)): _*)
+      .agg(GraftGroupBy.aggExpr(df, fn, valueCol).as("__p"))
+    val finalFn = fn match {
+      case "count" => "sum" // counts merge by summing
+      case other => other
+    }
+    GraftFrame(partial.groupBy(keys.map(partial(_)): _*)
+      .agg(GraftGroupBy.aggExpr(partial, finalFn, "__p").as(out)))
+  }
 
   /** Same-shape group transform (reference groupby/transform.py:28): the
     * group aggregate broadcast back onto every row — a partition-only

@@ -144,6 +144,37 @@ class ApiSpec extends SparkSpecBase {
     assert(n.getLong(0) >= 5L && n.getLong(1) <= 9L)
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    val hot = (1L to 900L).map(i => (1L, i)) ++ (1L to 100L).map(i => (2L, i))
+    val l = GraftFrame(hot.toDF("k", "v"))
+    val r = GraftFrame(Seq((1L, "x"), (2L, "y")).toDF("k", "tag"))
+    val plain = l.merge(r, on = Seq("k")).df
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = l.saltedJoin(r, Seq("k"), saltFactor = 8).df
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedAgg equals direct aggregation for algebraic functions") {
+    val hot = (1L to 1000L).map(i => (i % 3, i))
+    val f = GraftFrame(hot.toDF("k", "v"))
+    val direct = f.groupby("k").agg(("s", "sum", "v"), ("c", "count", "v"))
+      .sortValues(Seq("k")).df.as[(Long, Long, Long)].collect().toSeq
+    val saltedS = f.groupby("k").saltedAgg("v", "sum", "s", saltFactor = 8)
+      .sortValues(Seq("k")).df.as[(Long, Long)].collect().toSeq
+    val saltedC = f.groupby("k").saltedAgg("v", "count", "c", saltFactor = 8)
+      .sortValues(Seq("k")).df.as[(Long, Long)].collect().toSeq
+    assert(saltedS == direct.map(t => (t._1, t._2)))
+    assert(saltedC == direct.map(t => (t._1, t._3)))
+  }
+
+  test("pipe chains frame transformations") {
+    val f = GraftFrame(Seq(1L, 2L, 3L).toDF("v"))
+      .pipe(_.query("v > 1"))
+      .pipe(_.assign("v2" -> col("v") * 2))
+    assert(f.df.orderBy("v").select("v2").as[Long].collect().toSeq == Seq(4L, 6L))
+  }
+
   test("aggCols accepts arbitrary aggregate columns including custom UDAFs") {
     import graft.functions.aggregates
     val f = GraftFrame(Seq((1L, 2.0), (1L, 3.0), (2L, 4.0)).toDF("k", "v"))
