@@ -122,6 +122,26 @@ object Learn {
       .fit(df.withColumn("__features",
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
 
+  /** Random-forest classifier over numeric feature columns (reference
+    * ensemble blockwise voting/bagging, opcodes 3309-3403 → MLlib's
+    * distributed forest). */
+  def randomForestFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L)
+      : org.apache.spark.ml.classification.RandomForestClassificationModel =
+    new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .fit(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+
+  /** Predictions for a fitted forest: input + `prediction`. */
+  def randomForestPredict(
+      model: org.apache.spark.ml.classification.RandomForestClassificationModel,
+      df: DataFrame, featureCols: Seq[String]): DataFrame =
+    model.transform(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+      .drop("__features", "rawPrediction", "probability")
+
   /** Categorical → integer codes (reference label ops / sklearn
     * LabelEncoder → MLlib StringIndexer, frequency-ordered). */
   def stringIndex(df: DataFrame, inputCol: String, outputCol: String): DataFrame =

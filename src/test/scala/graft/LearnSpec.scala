@@ -119,6 +119,21 @@ class LearnSpec extends SparkSpecBase {
     assert(acc > 0.97, s"logistic accuracy $acc")
   }
 
+  test("random forest classifies nonlinearly separable data") {
+    val r = new Random(29)
+    // XOR-ish pattern: label depends on the sign product — linear models
+    // fail here, trees don't
+    val rows = (1 to 600).map { _ =>
+      val x = r.nextGaussian(); val y = r.nextGaussian()
+      (x, y, if (x * y > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y", "label")
+    val model = Learn.randomForestFit(df, Seq("x", "y"), "label", numTrees = 30)
+    val pred = Learn.randomForestPredict(model, df, Seq("x", "y"))
+    val acc = Learn.accuracy(pred, "label", "prediction").as[Double].collect().head
+    assert(acc > 0.9, s"forest accuracy $acc")
+  }
+
   test("glm gaussian equals OLS on linear data") {
     val r = new Random(23)
     val rows = (1 to 300).map { _ =>
