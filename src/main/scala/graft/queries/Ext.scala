@@ -133,7 +133,7 @@ object Ext {
       val queries = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
       val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
-      Similarity.lshTopK(queries, corpus, dim = 64, k = 5, nBits = 8)
+      Similarity.lshTopK(queries, corpus, dim = 64, k = 5, nBits = 8, nProbe = 2)
         .orderBy($"qid", $"rank")
     },
 
