@@ -247,9 +247,13 @@ object Learn {
     * shuffle of the large side. */
   def pairwiseDistances(a: DataFrame, b: DataFrame, metric: String = "euclidean")
       : DataFrame = {
+    val cosineCol =
+      if (a.sparkSession.catalog.functionExists("graft_cosine"))
+        call_function("graft_cosine", col("avec"), col("bvec"))
+      else graft.functions.VectorFunctions.cosine(col("avec"), col("bvec"))
     val dist = metric match {
       case "euclidean" => graft.functions.VectorFunctions.euclidean(col("avec"), col("bvec"))
-      case "cosine" => lit(1.0) - graft.functions.VectorFunctions.cosine(col("avec"), col("bvec"))
+      case "cosine" => lit(1.0) - cosineCol
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
     a.crossJoin(broadcast(b)).withColumn("dist", dist)

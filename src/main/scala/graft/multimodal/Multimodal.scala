@@ -95,6 +95,24 @@ object Multimodal {
       }
   }
 
+  /** Chunk audio into fixed-duration windows from metadata: one row per
+    * chunk with its sample offset range — the framing step before a
+    * (stubbed) decode. `data` length stands in for total samples when
+    * n_frames metadata is absent. */
+  def audioChunks(media: DataFrame, sampleRate: Int, chunkSeconds: Int): DataFrame = {
+    val samplesPerChunk = sampleRate * chunkSeconds
+    media
+      .filter(col("modality") === "audio")
+      .select(col("media_id"),
+        coalesce(col("meta.n_frames"), length(col("data"))).as("n_samples"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(floor((col("n_samples") - 1) / samplesPerChunk), lit(0)).cast("int"))))
+      .select(col("media_id"), col("chunk_idx"),
+        (col("chunk_idx") * samplesPerChunk).as("start_sample"),
+        least(col("n_samples"), (col("chunk_idx") + 1) * samplesPerChunk).as("end_sample"))
+  }
+
   /** Frame-sample videos: explodes sampled frame indices per video —
     * metadata-only (pointer-based decode happens downstream per frame). */
   def videoFrameSample(media: DataFrame, everyN: Int): DataFrame =

@@ -39,6 +39,16 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e1 == again)
   }
 
+  test("audioChunks frames audio into sample ranges") {
+    val df = mediaDf(mediaRow(7L, null, "audio", null, null, 44100 * 5 + 100))
+    val chunks = Multimodal.audioChunks(df, sampleRate = 44100, chunkSeconds = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_sample", "end_sample")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(chunks == Seq(
+      (0, 0L, 88200L), (1, 88200L, 176400L), (2, 176400L, 220600L)))
+  }
+
   test("videoFrameSample explodes sampled frame indices") {
     val df = mediaDf(mediaRow(5L, null, "video", null, null, 10))
     val frames = Multimodal.videoFrameSample(df, everyN = 3)
