@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked run output goes straight to stdout (no sbt [info] prefixes) so the
+// driver can machine-parse the one-line JSON that Bench prints.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
