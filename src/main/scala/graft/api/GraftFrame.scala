@@ -330,6 +330,7 @@ final case class GraftFrame(df: DataFrame) {
     * `bins` are ascending edges; values outside get null like pandas. */
   def cut(colName: String, out: String, bins: Seq[Double],
       labels: Seq[String] = Nil): GraftFrame = {
+    require(bins.size >= 2 && bins == bins.sorted, "bins must be ascending edges")
     val lbs = if (labels.nonEmpty) labels
       else bins.sliding(2).map(w => s"(${w(0)}, ${w(1)}]").toSeq
     require(lbs.size == bins.size - 1, "labels must have bins-1 entries")
@@ -347,6 +348,7 @@ final case class GraftFrame(df: DataFrame) {
     * rounded to `roundTo` decimals so boundary assignment is reproducible
     * across engines. */
   def qcut(colName: String, out: String, q: Int, roundTo: Int = 6): GraftFrame = {
+    require(q >= 2, s"qcut needs q >= 2, got $q")
     val probs = (1 until q).map(_.toDouble / q)
     val cutoffs = df.agg(
       transform(percentile(df(colName), typedlit(probs)),

@@ -247,12 +247,15 @@ object Learn {
     * shuffle of the large side. */
   def pairwiseDistances(a: DataFrame, b: DataFrame, metric: String = "euclidean")
       : DataFrame = {
+    val native = a.sparkSession.catalog.functionExists("graft_cosine")
     val cosineCol =
-      if (a.sparkSession.catalog.functionExists("graft_cosine"))
-        call_function("graft_cosine", col("avec"), col("bvec"))
+      if (native) call_function("graft_cosine", col("avec"), col("bvec"))
       else graft.functions.VectorFunctions.cosine(col("avec"), col("bvec"))
+    val euclideanCol =
+      if (native) call_function("graft_euclidean", col("avec"), col("bvec"))
+      else graft.functions.VectorFunctions.euclidean(col("avec"), col("bvec"))
     val dist = metric match {
-      case "euclidean" => graft.functions.VectorFunctions.euclidean(col("avec"), col("bvec"))
+      case "euclidean" => euclideanCol
       case "cosine" => lit(1.0) - cosineCol
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }

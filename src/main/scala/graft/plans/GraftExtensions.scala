@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_euclidean"),
+      new ExpressionInfo(classOf[EuclideanDistance].getName, "graft_euclidean"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_euclidean(a, b) takes two arrays")
+        EuclideanDistance(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

@@ -44,6 +44,18 @@ class PlansSpec extends SparkSpecBase {
     assert(cmp.count() == 0)
   }
 
+  test("graft_euclidean is bit-identical to the HOF fold") {
+    val r = new Random(33)
+    val rows = (1 to 200).map(_ =>
+      (Seq.fill(64)(r.nextGaussian().toFloat), Seq.fill(64)(r.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b")
+    val diffs = df.select(
+        (call_function("graft_euclidean", $"a", $"b") -
+          VectorFunctions.euclidean($"a", $"b")).as("d"))
+      .agg(max(abs($"d"))).as[Double].collect().head
+    assert(diffs == 0.0, s"native vs HOF euclidean diverged by $diffs")
+  }
+
   test("graft_simhash is bit-identical to the HOF fold") {
     val r = new Random(43)
     val docs = (1 to 100).map(i =>
