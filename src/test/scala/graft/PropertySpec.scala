@@ -100,6 +100,27 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("merge full_outer covers exactly the key union") {
+    forAll(frameGen, frameGen) { (l, r) =>
+      val lDf = l.map(t => (t._1, t._3)).toDF("k", "lv").dropDuplicates("k")
+      val rDf = r.map(t => (t._1, t._3)).toDF("k", "rv").dropDuplicates("k")
+      val keys = GraftFrame(lDf).merge(GraftFrame(rDf), on = Seq("k"), how = "full_outer")
+        .df.select("k").as[Long].collect().toSet
+      assert(keys == (l.map(_._1) ++ r.map(_._1)).toSet)
+    }
+  }
+
+  test("fillna replaces exactly the nulls") {
+    forAll(frameGen) { rows =>
+      val df = rows.map(t => (t._1, if (t._3 < 0) None else Some(t._3)))
+        .toDF("k", "v")
+      val filled = GraftFrame(df).fillna(Map("v" -> -999.0))
+        .df.as[(Long, Double)].collect().toSeq.sorted
+      val exp = rows.map(t => (t._1, if (t._3 < 0) -999.0 else t._3)).sorted
+      assert(filled == exp)
+    }
+  }
+
   test("melt then pivot-first restores the original values") {
     forAll(frameGen) { rows =>
       val uniq = rows.groupBy(_._2).map(_._2.head).toList // unique ids
