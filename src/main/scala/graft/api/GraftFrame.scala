@@ -63,8 +63,8 @@ final case class GraftFrame(df: DataFrame) {
   def rename(mapping: (String, String)*): GraftFrame =
     GraftFrame(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
 
-  def addPrefix(p: String): GraftFrame = GraftFrame(df.toDF(df.columns.map(p + _): _*))
-  def addSuffix(s: String): GraftFrame = GraftFrame(df.toDF(df.columns.map(_ + s): _*))
+  def addPrefix(p: String): GraftFrame = GraftFrame(df.toDF(df.columns.toSeq.map(p + _): _*))
+  def addSuffix(s: String): GraftFrame = GraftFrame(df.toDF(df.columns.toSeq.map(_ + s): _*))
 
   /** dtype casts by column (reference base/astype.py:32). */
   def astype(casts: (String, String)*): GraftFrame =
@@ -100,7 +100,7 @@ final case class GraftFrame(df: DataFrame) {
   def insert(pos: Int, name: String, value: Column): GraftFrame = {
     val (before, after) = df.columns.splitAt(pos)
     GraftFrame(df.select(
-      before.map(df(_)) ++ Seq(value.as(name)) ++ after.map(df(_)): _*))
+      (before.map(df(_)) ++ Seq(value.as(name)) ++ after.map(df(_))).toSeq: _*))
   }
 
   // ------------------------------------------------------------ joins §2.4
@@ -167,7 +167,7 @@ final case class GraftFrame(df: DataFrame) {
       how: String = "inner", seed: Long = 42L): GraftFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
     val salted = df.withColumn("__salt",
-      (pmod(hash(df.columns.map(df(_)) :+ rand(seed): _*), lit(saltFactor))).cast("int"))
+      (pmod(hash((df.columns.map(df(_)) :+ rand(seed)).toSeq: _*), lit(saltFactor))).cast("int"))
     val replicated = right.df.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     GraftFrame(salted.join(replicated, on :+ "__salt", how).drop("__salt"))
@@ -496,7 +496,7 @@ final case class GraftFrame(df: DataFrame) {
         (df(idCol).cast("string").as("__id") +:
           valueCols.map(c => df(c).cast("double").as(c))): _*)
       .unpivot(Array(col("__id")), valueCols.map(col).toArray, "column", "value")
-    GraftFrame(melted.groupBy("column").pivot("__id", ids).agg(first(col("value"))))
+    GraftFrame(melted.groupBy("column").pivot("__id", ids.toSeq).agg(first(col("value"))))
   }
 
   // ------------------------------------------------------------ sinks §2.2
@@ -580,14 +580,14 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def sampleFrac(frac: Double, seed: Long = 42L): GraftFrame = {
     val pct = (frac * 100).toInt
     GraftFrame(df.filter(
-      pmod(hash(df.columns.map(df(_)) :+ lit(seed): _*), lit(100)) < pct))
+      pmod(hash((df.columns.map(df(_)) :+ lit(seed)).toSeq: _*), lit(100)) < pct))
   }
 
   /** Per-group deterministic sample of up to n rows: hash-ordered
     * row_number, no rand() (reference groupby/sample.py). */
   def sampleN(n: Int, seed: Long = 42L): GraftFrame = {
     val w = Window.partitionBy(keys.map(df(_)): _*)
-      .orderBy(hash(df.columns.map(df(_)) :+ lit(seed): _*))
+      .orderBy(hash((df.columns.map(df(_)) :+ lit(seed)).toSeq: _*))
     GraftFrame(df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn"))
   }

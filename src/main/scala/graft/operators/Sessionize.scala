@@ -64,7 +64,7 @@ object Sessionize {
         lit(0).as("__side"), col(payloadCol).as("__payload"))
     val unioned = l.columns.foldLeft(r) { (acc, c) =>
       if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*).union(l)
+    }.select(l.columns.toSeq.map(col): _*).union(l)
     // order right rows before left rows at identical ts (side 0 first)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
