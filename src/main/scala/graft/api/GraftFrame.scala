@@ -235,6 +235,12 @@ final case class GraftFrame(df: DataFrame) {
   def dropDuplicates(subset: Seq[String], keepFirstBy: String): GraftFrame =
     GraftFrame(Dedup.dropDuplicates(df, subset, keepFirstBy))
 
+  /** Keep-first dedup as a single min_by aggregation — preferable to
+    * [[dropDuplicates]] when rows are narrow (one shuffle of the rows vs
+    * two scans + semi-join). `keepFirstBy` must be unique per key. */
+  def dropDuplicatesNarrow(subset: Seq[String], keepFirstBy: String): GraftFrame =
+    GraftFrame(Dedup.dropDuplicatesNarrow(df, subset, keepFirstBy))
+
   /** Positional-agnostic dedup (any row per key). */
   def dropDuplicatesAny(subset: Seq[String]): GraftFrame =
     GraftFrame(df.dropDuplicates(subset))

@@ -32,6 +32,21 @@ object Dedup {
     df.join(firstPerKey, keys :+ order, "left_semi")
   }
 
+  /** Keep-first dedup as ONE aggregation: min_by pulls every non-key column
+    * from the row with the lowest `order` per key. Shuffles whole rows once
+    * — cheaper than [[dropDuplicates]]' two-scan semi-join when rows are
+    * narrow (the reference's tree-vs-shuffle strategy choice,
+    * base/_duplicate.py:32, reduced to picking between these two plans).
+    * Requires `order` values unique within each key. */
+  def dropDuplicatesNarrow(df: DataFrame, keys: Seq[String], order: String): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c) || c == order).toSeq
+    val aggCols = min(col(order)).as(order) +:
+      others.map(c => min_by(col(c), col(order)).as(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(df.columns.toSeq.map(col): _*)
+  }
+
   /** Exact text dedup via md5 of normalized text. Returns the kept rows. */
   def exactTextDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     dropDuplicates(

@@ -336,7 +336,8 @@ object Ext {
           "quality" -> TextFunctions.qualityScore($"text"))
         .filter($"quality" > 0.5 && $"n_tokens" >= 30)
         .assign("__fp" -> TextFunctions.md5Fingerprint($"text"))
-        .dropDuplicates(Seq("__fp"), keepFirstBy = "doc_id")
+        .drop("text") // rows are narrow post-scoring → single-pass dedup
+        .dropDuplicatesNarrow(Seq("__fp"), keepFirstBy = "doc_id")
         .groupby("source", "pred_lang")
         .agg(
           ("n_docs", "count", "pred_lang"),

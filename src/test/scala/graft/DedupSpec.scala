@@ -28,6 +28,18 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("dropDuplicatesNarrow equals the semi-join form on unique orders") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (2L, 9L, "d"))
+      .toDF("k", "o", "payload")
+    val narrow = Dedup.dropDuplicatesNarrow(df, Seq("k"), "o")
+      .as[(Long, Long, String)].collect().toSet
+    val semi = Dedup.dropDuplicates(df, Seq("k"), "o")
+      .as[(Long, Long, String)].collect().toSet
+    assert(narrow == semi)
+    assert(narrow == Set((1L, 5L, "b"), (2L, 7L, "c")))
+  }
+
   test("ngramJaccardPairs matches hand-computed jaccard") {
     // doc1: shingles {a b c, b c d, c d e}; doc2 shares {a b c, b c d}
     // doc2 shingles: {a b c, b c d, c d x}; jaccard = 2 / 4 = 0.5
