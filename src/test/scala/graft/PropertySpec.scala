@@ -121,6 +121,43 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("shift matches Scala sliding over sorted groups") {
+    forAll(frameGen) { rows =>
+      val uniq = rows.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val df = uniq.toDF("k", "o", "v")
+      val got = df.select($"k", $"o",
+          Windows.shift($"v", 1, Windows.spec(Seq("k"), Seq("o"))).as("prev"))
+        .as[(Long, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val exp = uniq.groupBy(_._1).flatMap { case (k, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.zip(None +: sorted.map(t => Some(t._3)).init)
+          .map { case (t, prev) => (k, t._2) -> prev }
+      }
+      assert(got == exp)
+    }
+  }
+
+  test("groupby ffill matches Scala scan of last non-null") {
+    forAll(frameGen) { rows =>
+      val uniq = rows.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val df = uniq.map(t => (t._1, t._2, if (t._3 < 0) None else Some(t._3)))
+        .toDF("k", "o", "v")
+      val got = GraftFrame(df).ffill(Seq("k"), Seq("o"), Seq("v"))
+        .df.as[(Long, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val exp = uniq.groupBy(_._1).flatMap { case (k, g) =>
+        val sorted = g.sortBy(_._2)
+        var last: Option[Double] = None
+        sorted.map { t =>
+          if (t._3 >= 0) last = Some(t._3)
+          (k, t._2) -> last
+        }
+      }
+      assert(got == exp)
+    }
+  }
+
   test("melt then pivot-first restores the original values") {
     forAll(frameGen) { rows =>
       val uniq = rows.groupBy(_._2).map(_._2.head).toList // unique ids
