@@ -41,6 +41,37 @@ object Sessionize {
   def tumblingStartEpoch(ts: org.apache.spark.sql.Column, widthSeconds: Long) =
     floor(unix_timestamp(ts) / widthSeconds) * widthSeconds
 
+  /** Scale-safe interval (range) join: every (point, interval) pair of the
+    * same key with start <= ts < end. Both sides are bucketed on
+    * floor(epoch / bucketMicros); an interval spanning k buckets replicates
+    * k times, and the join runs on (key, bucket) with an exact containment
+    * filter — turning the unbounded theta-join into an equi-join whose
+    * blow-up is bounded by interval length / bucket width (pick the bucket
+    * near the typical interval length). Intervals with end <= start are
+    * dropped (empty).
+    *
+    * points: (key, ts, ...); intervals: (key, start, end, ...). */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketMicros: Long): DataFrame = {
+    val p = points.withColumn("__bucket",
+      floor(unix_micros(col(tsCol)) / bucketMicros))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(unix_micros(col(startCol)) / bucketMicros),
+          floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+    p.join(iv, Seq(keyCol, "__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of join: for each left row, the latest right row of the same key
     * with right.ts <= left.ts. Implemented by unioning both sides tagged,
     * and carrying the last right value forward with last(ignoreNulls) over

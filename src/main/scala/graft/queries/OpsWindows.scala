@@ -279,6 +279,30 @@ object OpsWindows {
         .orderBy($"user_id", $"session_seq")
     },
 
+    // --- §2.4-extension interval join: clicks falling in the hour after
+    //     each signup of the same user — bucketed equi-join re-expression
+    //     of the range theta-join (library op; plain BETWEEN oracle)
+    Q("op_interval_join",
+      """SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id
+        |FROM (SELECT user_id, event_id, ts AS start_ts,
+        |             ts + INTERVAL 1 HOUR AS end_ts
+        |      FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |  ON s.user_id = c.user_id AND c.ts >= s.start_ts AND c.ts < s.end_ts
+        |ORDER BY s.user_id, signup_id, click_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id".as("signup_id"),
+          $"ts".as("start_ts"), ($"ts" + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts")
+      Sessionize.intervalJoin(clicks, signups,
+          "user_id", "ts", "start_ts", "end_ts", bucketMicros = 3600000000L)
+        .select($"user_id", $"signup_id", $"click_id")
+        .orderBy($"user_id", $"signup_id", $"click_id")
+    },
+
     // --- §2.4-extension as-of join (library op; DuckDB ASOF JOIN oracle)
     Q("op_asof_join",
       """SELECT p.user_id, p.event_id, c.event_id AS asof_click_id

@@ -55,6 +55,27 @@ class WindowsSpec extends SparkSpecBase {
       (2L, 1L, None, None, None)))
   }
 
+  test("intervalJoin handles multi-bucket spans, boundaries, empty intervals") {
+    import java.sql.Timestamp
+    import graft.operators.Sessionize
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // == start: included
+      (1L, 11L, ts("2024-01-01 12:59:59")), // inside a 3h interval
+      (1L, 12L, ts("2024-01-01 13:00:00")), // == end: excluded
+      (2L, 20L, ts("2024-01-01 10:30:00"))) // other key
+      .toDF("k", "pid", "t")
+    val intervals = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00")), // spans 3+ buckets
+      (1L, 101L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00")), // empty
+      (2L, 200L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("k", "iid", "s", "e")
+    val got = Sessionize.intervalJoin(points, intervals, "k", "t", "s", "e",
+        bucketMicros = 3600000000L) // 1h buckets << 3h interval
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 100L), (11L, 100L), (20L, 200L)))
+  }
+
   test("rolling / expanding / cumulative helpers") {
     val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0), (1L, 4L, 8.0))
       .toDF("k", "ord", "v")
