@@ -410,6 +410,27 @@ final case class GraftFrame(df: DataFrame) {
       .agg(bool_and(col("__up")).as("increasing"), bool_and(col("__dn")).as("decreasing")))
   }
 
+  // --------------------------------------------------------- sketches §2.13
+  /** Count-min frequency sketch built distributed (merge-combine per
+    * partition); eps/confidence size the sketch. The approximate-frequency
+    * answer for heavy-hitter analysis at 100 TB. */
+  def countMinSketch(colName: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(colName, eps, confidence, seed)
+
+  /** Bloom filter built distributed — membership pre-filters for joins
+    * (the reference's bloom_filter op, base/bloom_filter.py:36; the runtime
+    * join variant is the session config). */
+  def bloomFilter(colName: String, expectedItems: Long,
+      fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(colName, expectedItems, fpp)
+
+  /** Approximate quantiles via the distributed Greenwald-Khanna sketch —
+    * the at-scale companion to the exact `quantile`/`describe`. */
+  def quantileApprox(colName: String, probs: Seq[Double],
+      relativeError: Double = 0.01): Seq[Double] =
+    df.stat.approxQuantile(colName, probs.toArray, relativeError).toSeq
+
   // --------------------------------------------------------- sampling §2.11
   /** Bernoulli sample (reference indexing/sample.py:41 frac=). */
   def sample(frac: Double, seed: Long = 42L): GraftFrame =
@@ -683,6 +704,7 @@ object GraftGroupBy {
     case "skew" => skewness(df(c))
     case "kurt" => kurtosis(df(c))
     case "nunique" => countDistinct(df(c))
+    case "approx_nunique" => approx_count_distinct(df(c)) // HyperLogLog++
     case "product" | "prod" => aggregates.product(df(c))
     case "all" => bool_and(df(c))
     case "any" => bool_or(df(c))

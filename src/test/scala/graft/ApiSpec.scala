@@ -196,6 +196,19 @@ class ApiSpec extends SparkSpecBase {
     assert(math.abs(ln.getDouble(1) - 0.25) < 0.01)
   }
 
+  test("sketches: count-min overestimates within bound, bloom has no false negatives") {
+    val f = GraftFrame((1L to 1000L).map(i => i % 100).toDF("v"))
+    val cms = f.countMinSketch("v", eps = 0.001, confidence = 0.99)
+    // every value 0..99 occurs 10 times; CMS never underestimates
+    (0L until 100L).foreach(v => assert(cms.estimateCount(v) >= 10))
+    val bloom = f.bloomFilter("v", expectedItems = 100)
+    (0L until 100L).foreach(v => assert(bloom.mightContain(v)))
+    val q = f.quantileApprox("v", Seq(0.5), relativeError = 0.01)
+    assert(q.head >= 45.0 && q.head <= 55.0)
+    val hll = f.groupby("v").agg(("n", "approx_nunique", "v")).df.count()
+    assert(hll == 100)
+  }
+
   test("csv round-trip preserves data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val f = GraftFrame(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v"))
