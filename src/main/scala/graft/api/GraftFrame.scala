@@ -711,6 +711,7 @@ object GraftGroupBy {
     case "first" => first(df(c))
     case "last" => last(df(c))
     case "collect" => collect_list(df(c))
+    case "mode" => mode(df(c))
     case "median" => percentile(df(c), lit(0.5))
     case "p25" => percentile(df(c), lit(0.25))
     case "p75" => percentile(df(c), lit(0.75))

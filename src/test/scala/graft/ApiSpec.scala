@@ -118,6 +118,13 @@ class ApiSpec extends SparkSpecBase {
     assert(f.df.orderBy("doubled").as[Long].collect().toSeq == Seq(2L, 4L))
   }
 
+  test("agg registry covers mode and median") {
+    val f = GraftFrame(Seq((1L, 5.0), (1L, 5.0), (1L, 9.0)).toDF("k", "v"))
+    val r = f.groupby("k").agg(("m", "mode", "v"), ("med", "median", "v"))
+      .df.collect().head
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
+  }
+
   test("groupby agg registry covers product/all/any/sem") {
     val f = GraftFrame(Seq((1L, 2.0, true), (1L, 3.0, false), (2L, 4.0, true))
       .toDF("k", "v", "b"))
