@@ -161,11 +161,19 @@ final case class GraftFrame(df: DataFrame) {
     * every salt value, and the join key becomes (key, salt) — splitting a
     * hot key's rows over saltFactor tasks. AQE's skew-join handles most
     * cases automatically; this is the explicit valve for pathological keys
-    * AQE can't split (e.g. one key ≫ everything else). Results equal the
-    * plain join. */
+    * AQE can't split (e.g. one key ≫ everything else).
+    *
+    * Results equal the plain join only for join types that never emit
+    * unmatched RIGHT rows — the replicated right side would emit each
+    * unmatched row saltFactor times under right/full outer joins, so those
+    * are rejected. */
   def saltedJoin(right: GraftFrame, on: Seq[String], saltFactor: Int,
       how: String = "inner", seed: Long = 42L): GraftFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
+    require(Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")(how),
+      s"saltedJoin supports inner/left/semi/anti joins only (got '$how'): " +
+        "the replicated right side would duplicate unmatched right rows")
     val salted = df.withColumn("__salt",
       (pmod(hash((df.columns.map(df(_)) :+ rand(seed)).toSeq: _*), lit(saltFactor))).cast("int"))
     val replicated = right.df.withColumn("__salt",
@@ -367,7 +375,10 @@ final case class GraftFrame(df: DataFrame) {
         when(df(colName) <= element_at(col("__cuts"), i + 1), lit((i + 1).toLong))
           .otherwise(acc)
     }
-    GraftFrame(joined.withColumn(out, bucket).drop("__cuts"))
+    // nulls propagate (pandas qcut maps NaN → NaN, not the top bucket)
+    GraftFrame(joined
+      .withColumn(out, when(df(colName).isNotNull, bucket))
+      .drop("__cuts"))
   }
 
   // ------------------------------------------------------------ stats §2.13
@@ -440,17 +451,30 @@ final case class GraftFrame(df: DataFrame) {
     * (reference indexing/sample.py:41 weights=): Efraimidis–Spirakis keys
     * pow(u, 1/w) ≡ log(u)/w, then a distributed top-n — one TakeOrdered,
     * no driver-side pass, skew-free at any scale. */
-  def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): GraftFrame = {
-    val key = log(rand(seed)) / df(weightCol)
-    GraftFrame(df.withColumn("__es_key", key)
+  def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): GraftFrame =
+    sampleWeightedBy(n, log(rand(seed)) / df(weightCol))
+
+  /** [[sampleWeighted]] with deterministic uniforms drawn from a hash of
+    * `keyCol` instead of rand(): the same rows come out on every run and on
+    * every engine (the ES priority ln(u)/w is reproducible because u is an
+    * exact dyadic rational — see [[graft.functions.PortableHash.uniform01]]).
+    * Weights must be strictly positive. */
+  def sampleWeightedHash(n: Int, weightCol: String, keyCol: String): GraftFrame =
+    sampleWeightedBy(n,
+      log(graft.functions.PortableHash.uniform01(df(keyCol))) / df(weightCol))
+
+  private def sampleWeightedBy(n: Int, esKey: Column): GraftFrame =
+    GraftFrame(df.withColumn("__es_key", esKey)
       .orderBy(col("__es_key").desc)
       .limit(n)
       .drop("__es_key"))
-  }
 
-  /** Deterministic hash sample: stable across runs and engines. */
+  /** Deterministic hash sample: stable across runs and engines. Buckets come
+    * from the avalanche hash in [[graft.functions.PortableHash]] — the r2
+    * residue-modulo formulation sampled 0% or 100% of residue-striped key
+    * sets and overflowed ANSI arithmetic for keys ≥ ~3.5e9. */
   def sampleHash(colName: String, pct: Int): GraftFrame =
-    GraftFrame(df.filter((df(colName) * lit(2654435761L)) % 100 < pct))
+    GraftFrame(df.filter(graft.functions.PortableHash.bucket(df(colName), 100) < pct))
 
   // ------------------------------------------------------------- UDF §2.12
   /** Partition-wise UDF — the reference's map_chunk (base/map_chunk.py:51),

@@ -37,11 +37,13 @@ object Learn {
   }
 
   /** Deterministic hash split on a key column: reproducible across runs
-    * and engines (the Knuth multiplicative hash used by the sampling ops).
+    * and engines. Buckets come from the avalanche hash in
+    * [[graft.functions.PortableHash]] — the r2 residue-modulo bucket put
+    * residue-striped key sets (ids ≡ c mod 100) entirely on one side.
     * testPct of 100. */
   def hashSplit(df: DataFrame, keyCol: String, testPct: Int)
       : (DataFrame, DataFrame) = {
-    val bucket = (col(keyCol) * lit(2654435761L)) % 100
+    val bucket = graft.functions.PortableHash.bucket(col(keyCol), 100)
     (df.filter(bucket >= testPct), df.filter(bucket < testPct))
   }
 

@@ -96,12 +96,17 @@ object Dedup {
         docs.select(col(idCol).as("doc_id"),
           size(TextFunctions.hashedShingles(col(textCol), n)).cast("long").as("sz"))
     }
-    val pairCombos = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    // Two-level pair generation keeps per-row memory linear in df: first
+    // posexplode one (ids, i, x) row per member, then expand only x's
+    // suffix pairs per row — the single flattened C(df,2)-element array the
+    // r2 version built in one row was an OOM risk for uncapped stop-phrase
+    // shingles (df=k ⇒ a k²/2-struct array in one task).
     val common = byShingle
       .filter(size(col("ids")) > 1)
-      .select(explode(pairCombos).as("p"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(explode(
+        transform(slice(col("ids"), col("i") + 2, size(col("ids"))), y =>
+          struct(least(col("x"), y).as("a"), greatest(col("x"), y).as("b")))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common

@@ -17,13 +17,14 @@ object LearnQ {
   val all: Vector[Q] = Vector(
 
     // --- model_selection: deterministic hash split (reproducible across
-    //     engines, unlike seeded randomSplit which is engine-specific)
+    //     engines, unlike seeded randomSplit which is engine-specific);
+    //     the oracle replays the identical avalanche-hash bucket
     Q("learn_hash_split",
-      """SELECT split, COUNT(*) AS n, min(c_custkey) AS first_key
-        |FROM (SELECT CASE WHEN (c_custkey * 2654435761) % 100 < 20
-        |                  THEN 'test' ELSE 'train' END AS split, c_custkey
-        |      FROM customer) s
-        |GROUP BY split ORDER BY split""".stripMargin) { (spark, dir) =>
+      s"""SELECT split, COUNT(*) AS n, min(c_custkey) AS first_key
+         |FROM (SELECT CASE WHEN ${graft.functions.PortableHash.sqlBucket("c_custkey", 100)} < 20
+         |                  THEN 'test' ELSE 'train' END AS split, c_custkey
+         |      FROM customer) s
+         |GROUP BY split ORDER BY split""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val (train, test) = Learn.hashSplit(t(spark, dir, "customer"), "c_custkey", 20)
       train.select(lit("train").as("split"), $"c_custkey")

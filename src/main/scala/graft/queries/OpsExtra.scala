@@ -279,12 +279,21 @@ object OpsExtra {
     },
 
     // --- §2.11 weighted sampling (reference indexing/sample.py:41
-    //     weights=): Efraimidis–Spirakis top-n; rand() is engine-specific →
-    //     rows-only check, semantics covered by ApiSpec
-    Q.noOracle("op_sample_weighted") { (spark, dir) =>
+    //     weights=): Efraimidis–Spirakis top-n with deterministic hash
+    //     uniforms — the ES priority ln(u)/w is replayed exactly by the
+    //     oracle (u is an exact dyadic rational, so both engines divide the
+    //     same ln result by the same weight)
+    Q("op_sample_weighted",
+      s"""SELECT c_custkey, c_name, c_acctbal FROM (
+         |  SELECT c_custkey, c_name, c_acctbal
+         |  FROM customer
+         |  ORDER BY ln(${graft.functions.PortableHash.sqlUniform01("c_custkey")})
+         |             / greatest(c_acctbal, 1.0) DESC
+         |  LIMIT 100) s
+         |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
       gt(spark, dir, "customer")
         .eval("w", "greatest(c_acctbal, 1.0)")
-        .sampleWeighted(100, "w", seed = 7L)
+        .sampleWeightedHash(100, "w", keyCol = "c_custkey")
         .select("c_custkey", "c_name", "c_acctbal")
         .sortValues(Seq("c_custkey"))
         .df

@@ -488,11 +488,12 @@ object OpsRelational {
         .orderBy($"event_type")
     },
 
-    // --- §2.11 deterministic hash sampling via the fluent API
+    // --- §2.11 deterministic hash sampling via the fluent API (oracle
+    //     replays the identical avalanche-hash bucket)
     Q("op_sample_hash",
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE (c_custkey * 2654435761) % 100 < 10
-        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE ${graft.functions.PortableHash.sqlBucket("c_custkey", 100)} < 10
+         |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
       gt(spark, dir, "customer")
         .sampleHash("c_custkey", 10)
         .select("c_custkey", "c_name")

@@ -86,9 +86,11 @@ object StreamOps {
       .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-          val (prevCount, _) = state.getOption.getOrElse((0L, 0L))
+          val (prevCount, prevTs) = state.getOption.getOrElse((0L, 0L))
           var count = prevCount
-          var lastTs = 0L
+          // seed from the stored last-seen so a batch of older timestamps
+          // can't regress the state's high-water mark
+          var lastTs = prevTs
           val out = rows.map { case (_, ts) =>
             count += 1
             lastTs = math.max(lastTs, ts)

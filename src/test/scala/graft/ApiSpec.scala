@@ -160,6 +160,23 @@ class ApiSpec extends SparkSpecBase {
     val salted = l.saltedJoin(r, Seq("k"), saltFactor = 8).df
       .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted.toSeq
     assert(salted == plain)
+    // right/full outer would duplicate unmatched right rows saltFactor
+    // times — rejected up front
+    intercept[IllegalArgumentException] {
+      l.saltedJoin(r, Seq("k"), saltFactor = 8, how = "right")
+    }
+    intercept[IllegalArgumentException] {
+      l.saltedJoin(r, Seq("k"), saltFactor = 8, how = "full")
+    }
+  }
+
+  test("qcut propagates nulls instead of assigning the top bucket") {
+    val df = (Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, null))
+      .toDF("x")
+    val out = GraftFrame(df).qcut("x", "bucket", q = 4).df
+    val nullRows = out.filter(col("x").isNull).select("bucket").collect()
+    assert(nullRows.length == 1 && nullRows.head.isNullAt(0))
+    assert(out.filter(col("x").isNotNull && col("bucket").isNull).count() == 0)
   }
 
   test("saltedAgg equals direct aggregation for algebraic functions") {

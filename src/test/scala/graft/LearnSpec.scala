@@ -81,6 +81,20 @@ class LearnSpec extends SparkSpecBase {
     assert(htrain.join(htest, Seq("id"), "inner").count() == 0)
   }
 
+  test("hashSplit avalanches residue-striped keys (r2 mod-100 bucket bug)") {
+    // ids ≡ 0 (mod 100): the r2 (key*2654435761)%100 bucket put ALL of these
+    // on one side; the avalanche hash must split them ~80/20
+    val striped = (0L until 100000L by 100L).toDF("id")
+    val (tr, te) = Learn.hashSplit(striped, "id", 20)
+    val frac = te.count().toDouble / 1000.0
+    assert(frac > 0.12 && frac < 0.28, s"striped test fraction $frac not ~0.20")
+    // all-even keys likewise
+    val even = (0L until 100000L by 2L).toDF("id")
+    val (_, te2) = Learn.hashSplit(even, "id", 20)
+    val frac2 = te2.count().toDouble / 50000.0
+    assert(frac2 > 0.15 && frac2 < 0.25, s"even test fraction $frac2 not ~0.20")
+  }
+
   test("standardScale produces mean 0 / std 1") {
     val df = (1 to 200).map(i => i.toDouble * 3 + 7).toDF("x")
     val scaled = Learn.standardScale(df, Seq("x"))
