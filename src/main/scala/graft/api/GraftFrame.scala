@@ -539,8 +539,15 @@ final case class GraftFrame(df: DataFrame) {
   /** Small-frame transpose (reference base/transpose.py): id values become
     * columns, value columns become rows. Collects the (small) id set on the
     * driver to fix the output schema — like the reference, which needs the
-    * full axis labels to transpose; do not call on large frames. */
-  def transposeSmall(idCol: String): GraftFrame = {
+    * full axis labels to transpose; do not call on large frames. A hard
+    * row-count guard fails loudly instead of OOMing the driver when a
+    * mis-aimed call hits a big frame. */
+  def transposeSmall(idCol: String, maxRows: Int = 10000): GraftFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"transposeSmall is a small-frame operator: > $maxRows rows " +
+        "(its output schema is one column per input row; transpose of a " +
+        "large frame has no scalable formulation — see reference base/transpose.py)")
     val ids = df.select(df(idCol)).orderBy(df(idCol)).collect().map(_.get(0).toString)
     val valueCols = df.columns.filterNot(_ == idCol).toSeq
     val melted = df.select(

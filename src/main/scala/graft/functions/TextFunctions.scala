@@ -48,6 +48,14 @@ object TextFunctions {
   /** md5 fingerprint of the full normalized text (exact-dedup key). */
   def md5Fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** Per-token 60-bit hashes from the first 15 hex digits of md5 — an
+    * engine-portable hash family (any engine with md5 + hex parsing derives
+    * the identical longs, unlike xxhash64/murmur whose exact values are
+    * engine-specific). Used by the oracle-checked SimHash variant. */
+  def md5TokenHashes(text: Column): Column =
+    transform(words(text),
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+
   /** md5 fingerprint of the first `nWords` words — a cheap prefix
     * fingerprint that clusters near-duplicates sharing a prefix. */
   def prefixFingerprint(text: Column, nWords: Int): Column =

@@ -216,9 +216,13 @@ object Dedup {
     * passes over the token array. Bit masks live in one array literal so
     * extracting bit b under a lambda index is a constant-time
     * `element_at` + `bitwiseAND`. */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    simhashVotes(transform(TextFunctions.words(text), t => xxhash64(t)))
+
+  /** Vote-fold over an array<long> of precomputed token hashes — the HOF
+    * form of the native `graft_simhash` expression (identical arithmetic). */
+  def simhashVotes(tokenHashes: Column): Column = {
     val masks = typedlit((0 until 64).map(b => 1L << b)) // bit 63 = Long.MinValue
-    val tokenHashes = transform(TextFunctions.words(text), t => xxhash64(t))
     val votes = aggregate(
       tokenHashes,
       array_repeat(lit(0L), 64),
@@ -230,13 +234,17 @@ object Dedup {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** [[simhashVotes]] dispatching to the native codegen'd expression when
+    * the session has GraftExtensions registered (bit-identical results). */
+  def simhashFromHashes(df: DataFrame, tokenHashes: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_simhash"))
+      call_function("graft_simhash", tokenHashes)
+    else simhashVotes(tokenHashes)
+
   /** [[simhash64]] dispatching to the native codegen'd expression when the
     * session has GraftExtensions registered (bit-identical results). */
   def simhash64Fast(df: DataFrame, text: Column): Column =
-    if (df.sparkSession.catalog.functionExists("graft_simhash"))
-      call_function("graft_simhash",
-        transform(TextFunctions.words(text), t => xxhash64(t)))
-    else simhash64(text)
+    simhashFromHashes(df, transform(TextFunctions.words(text), t => xxhash64(t)))
 
   /** SimHash near-dup candidate pairs: block on `maxHamming + 1` disjoint
     * bit-bands (pigeonhole: two signatures within Hamming distance h must
@@ -252,6 +260,21 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(
       docs.select(col(idCol).as("doc_id"), simhash64Fast(docs, col(textCol)).as("sig")),
+      maxHamming)
+
+  /** [[simhashNearDupPairs]] over the engine-portable md5 token-hash family
+    * ([[TextFunctions.md5TokenHashes]], 60 effective bits): any engine with
+    * md5 + hex parsing derives the identical signatures, so the result is
+    * differential-oracle-checkable. Prefer the xxhash64 variant in
+    * performance paths — md5 per token costs ~3× the hash time. */
+  def simhashNearDupPairsPortable(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol).as("doc_id"),
+        simhashFromHashes(docs, TextFunctions.md5TokenHashes(col(textCol))).as("sig")),
       maxHamming)
 
   /** Pair generation over precomputed (doc_id, sig) signatures — split out

@@ -124,35 +124,65 @@ object Similarity {
     * query→probe-cells is a broadcast of the (tiny) centroid table; the
     * probe join shuffles on the cell id. At 100 TB the corpus never
     * broadcasts and never self-joins. */
+  /** Fitted IVF index: the (tiny) centroid table and the corpus with its
+    * cell assignment. Build once offline ([[ivfFit]]), probe many times
+    * ([[ivfProbe]]) — at 100 TB the index build dwarfs any single query
+    * batch, so refitting per call (the r2 shape) is the wrong plan. Callers
+    * with many query batches should `.persist()` (or write out) `assigned`.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame, nlist: Int)
+
+  /** Build the IVF index: KMeans cells over the corpus + per-row cell
+    * assignment (one KMeans fit + one narrow transform). */
+  def ivfFit(
+      corpus: DataFrame, // (cid, cvec)
+      nlist: Int = 64,
+      seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    val model = graft.learn.Learn.kmeansFit(corpus, "cvec", nlist, seed)
+    val assigned = graft.learn.Learn.kmeansPredict(model, corpus, "cvec")
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat).toSeq)
+      }).toDF("cluster", "centvec")
+    IvfIndex(centroids, assigned, nlist)
+  }
+
+  /** Probe a fitted index: each query scores only the cells of its `nprobe`
+    * nearest centroids — a nprobe/nlist fraction of the corpus per query
+    * instead of a full scan. The centroid table broadcasts; the probe join
+    * shuffles on the cell id; the corpus never broadcasts or self-joins. */
+  def ivfProbe(
+      index: IvfIndex,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int = 8): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.nlist, s"nprobe=$nprobe out of range")
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist"), col("cluster"))
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", euclidean(col("qvec"), col("centvec")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cluster"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    index.assigned.join(probes, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosineCol(index.assigned, col("qvec"), col("cvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** One-shot fit + probe (kept for parity with [[lshTopK]]'s signature;
+    * production callers split [[ivfFit]] from [[ivfProbe]]). */
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (cid, cvec)
       k: Int,
       nlist: Int = 64,
       nprobe: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    val model = graft.learn.Learn.kmeansFit(corpus, "cvec", nlist, seed)
-    val assigned = graft.learn.Learn.kmeansPredict(model, corpus, "cvec")
-    // centroid table: nlist rows — broadcast side of the probe selection
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat).toSeq)
-      }).toDF("cluster", "centvec")
-    val wProbe = Window.partitionBy("qid").orderBy(col("cdist"), col("cluster"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", euclidean(col("qvec"), col("centvec")))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cluster"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    assigned.join(probes, Seq("cluster"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosineCol(corpus, col("qvec"), col("cvec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("sim"), col("rank"))
-  }
+      seed: Long = 42L): DataFrame =
+    ivfProbe(ivfFit(corpus, nlist, seed), queries, k, nprobe)
 
   /** Exact all-pairs variant — O(n²); only for small corpora or as the
     * recall baseline in tests. Use [[nearDupPairsLsh]] at scale. */

@@ -24,6 +24,44 @@ object Ext {
       |             FROM d WHERE len(w) >= 3) t),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Twin corpus for the oracled ANN queries: embeddings unioned with an
+    * id-shifted identical copy — every query's exact top-1 is its twin at
+    * cosine 1.0, ground truth any engine can recompute. */
+  private[queries] def twinCorpus(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val base = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val corpus = base.unionAll(base.select(($"cid" + 10000).as("cid"), $"cvec"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    (queries, corpus)
+  }
+
+  /** Exact top-1 cosine neighbor per query over the twin corpus. */
+  private[queries] val twinTop1Sql: String =
+    """WITH c AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, c.vec_id AS cid,
+      |    round(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, 65),
+      |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(range(1, 65),
+      |             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+      |      4) AS sim
+      |  FROM c, q WHERE c.vec_id <> qid)
+      |SELECT qid, cid, sim, rank FROM (
+      |  SELECT qid, cid, sim,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+      |  FROM scored) r
+      |WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
+
   private val jaccardPairsSql =
     s"""WITH $shinglesCte,
        |pairs AS (
@@ -83,14 +121,36 @@ object Ext {
     },
 
     // --- SimHash near-dup candidates at the classic radius-3 setting
-    //     (4×16-bit bands are complete for Hamming ≤ 3). The xxhash64 hash
-    //     family is engine-specific → rows-only driver check; candidate
-    //     completeness and the vote arithmetic are covered by
-    //     src/test/scala/graft/DedupSpec.scala.
-    Q.noOracle("ext_dedup_simhash") { (spark, dir) =>
+    //     (4 disjoint bands are complete for Hamming ≤ 3). The query runs
+    //     the engine-portable md5 token-hash family (60 effective bits) so
+    //     the oracle recomputes the identical signatures from scratch —
+    //     per-bit ±1 votes, sign-packed, all-pairs Hamming ≤ 3 — making the
+    //     banding pipeline fully differential-checked. The xxhash64 family
+    //     stays the performance path (DedupSpec covers its completeness).
+    Q("ext_dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(60)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      Dedup.simhashNearDupPairs(t(spark, dir, "documents"), "text", "doc_id",
+      Dedup.simhashNearDupPairsPortable(t(spark, dir, "documents"), "text", "doc_id",
           maxHamming = 3)
+        .select($"doc_a", $"doc_b", $"hamming".cast("long").as("hamming"))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -124,29 +184,31 @@ object Ext {
         .orderBy($"qid", $"rank")
     },
 
-    // --- LSH-bucketed approximate ANN (engine-specific hyperplanes →
-    //     rows-only check; recall vs brute force covered by
-    //     src/test/scala/graft/SimilaritySpec.scala)
-    Q.noOracle("ext_ann_lsh") { (spark, dir) =>
+    // --- LSH-bucketed approximate ANN over a planted-twin corpus: each
+    //     query's true nearest neighbor is its identical copy, which shares
+    //     every hyperplane sign bit — so LSH recall is structurally 1 and
+    //     the oracle can compute the exact top-1 independently (a genuine
+    //     differential check of the bucket-join + scoring + ranking
+    //     pipeline). General-recall-vs-brute on clustered data stays in
+    //     src/test/scala/graft/SimilaritySpec.scala.
+    Q("ext_ann_lsh", Ext.twinTop1Sql) { (spark, dir) =>
       import spark.implicits._
-      val e = t(spark, dir, "embeddings")
-      val queries = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
-      Similarity.lshTopK(queries, corpus, dim = 64, k = 5, nBits = 8, nProbe = 2)
+      val (queries, corpus) = Ext.twinCorpus(spark, dir)
+      Similarity.lshTopK(queries, corpus, dim = 64, k = 1, nBits = 16)
+        .select($"qid", $"cid", $"sim", $"rank".cast("long").as("rank"))
         .orderBy($"qid", $"rank")
     },
 
-    // --- IVF approximate ANN: kmeans cells + nprobe probing (engine-
-    //     specific centroids → rows-only check; recall vs brute force in
-    //     SimilaritySpec)
-    Q.noOracle("ext_ann_ivf") { (spark, dir) =>
+    // --- IVF approximate ANN over the same planted-twin corpus: the twin
+    //     lands in the query's own nearest KMeans cell, so probing nprobe≥1
+    //     cells must retrieve it — the oracle recomputes the exact top-1
+    //     (fit/probe split exercised: one ivfFit, one ivfProbe).
+    Q("ext_ann_ivf", Ext.twinTop1Sql) { (spark, dir) =>
       import spark.implicits._
-      val e = t(spark, dir, "embeddings")
-      val queries = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
-      Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16, nprobe = 4)
+      val (queries, corpus) = Ext.twinCorpus(spark, dir)
+      val index = Similarity.ivfFit(corpus, nlist = 16, seed = 42L)
+      Similarity.ivfProbe(index, queries, k = 1, nprobe = 4)
+        .select($"qid", $"cid", $"sim", $"rank".cast("long").as("rank"))
         .orderBy($"qid", $"rank")
     },
 

@@ -83,39 +83,91 @@ object LearnQ {
         .orderBy($"aid", $"bid")
     },
 
-    // --- cluster: kmeans over embeddings (iterative, engine-specific init →
-    //     rows-only driver check; cluster-recovery correctness in LearnSpec)
-    Q.noOracle("learn_kmeans") { (spark, dir) =>
+    // --- cluster: kmeans over embeddings. The fit is iterative with
+    //     engine-specific init, so the oracle checks deterministic
+    //     INVARIANTS instead of centroids: cluster count, total row
+    //     conservation, non-empty cells, and the grand-mean SSE (which
+    //     DuckDB recomputes exactly from the data) with the kmeans cost
+    //     strictly below it. Cluster-recovery correctness stays in
+    //     LearnSpec.
+    Q("learn_kmeans",
+      """SELECT CAST(4 AS BIGINT) AS k_clusters,
+        |       (SELECT COUNT(*) FROM embeddings) AS n_rows,
+        |       true AS nonempty,
+        |       (SELECT round(SUM(ssd), 2) FROM (
+        |          SELECT var_pop(CAST(x AS DOUBLE)) * COUNT(*) AS ssd FROM (
+        |            SELECT i, embedding[i] AS x
+        |            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims) e
+        |          GROUP BY i) d) AS sse_grand,
+        |       true AS sse_improved""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val e = t(spark, dir, "embeddings")
       val model = Learn.kmeansFit(e, "embedding", k = 4, seed = 42L)
-      Learn.kmeansPredict(model, e, "embedding")
+      val sizes = Learn.kmeansPredict(model, e, "embedding")
         .groupBy($"cluster").agg(count(lit(1)).as("n"))
-        .select($"n")
-        .orderBy($"n".desc)
+      val sseKmeans = model.summary.trainingCost
+      val grand = e
+        .select(posexplode($"embedding").as(Seq("i", "x")))
+        .groupBy($"i")
+        .agg((var_pop($"x".cast("double")) * count(lit(1))).as("ssd"))
+        .agg(round(sum($"ssd"), 2).as("sse_grand"))
+      sizes.agg(
+          count(lit(1)).as("k_clusters"),
+          sum($"n").cast("long").as("n_rows"),
+          (min($"n") > 0L).as("nonempty"))
+        .crossJoin(broadcast(grand))
+        .withColumn("sse_improved", lit(sseKmeans) < $"sse_grand")
+        .select($"k_clusters", $"n_rows", $"nonempty", $"sse_grand", $"sse_improved")
     },
 
-    // --- linalg: distributed SVD singular values (no SQL analog →
-    //     rows-only; closed-form recovery in LearnSpec)
-    Q.noOracle("learn_svd") { (spark, dir) =>
+    // --- linalg: distributed SVD. Eigen-solver output is not
+    //     SQL-expressible, but the full spectrum satisfies an exact
+    //     data-side identity DuckDB CAN verify: Σσ² equals the squared
+    //     Frobenius norm of the matrix. Closed-form singular-value recovery
+    //     stays in LearnSpec.
+    Q("learn_svd",
+      """SELECT CAST(64 AS BIGINT) AS n_sv,
+        |       (SELECT round(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 2)
+        |        FROM (SELECT unnest(embedding) AS x FROM embeddings) e) AS frob_sq,
+        |       true AS monotonic""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val (sv, _) = Learn.svd(t(spark, dir, "embeddings"), "embedding", k = 5)
-      sv.toSeq.map(v =>
-        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        .toDF("singular_value")
+      val (sv, _) = Learn.svd(t(spark, dir, "embeddings"), "embedding", k = 64)
+      Seq((
+        sv.length.toLong,
+        BigDecimal(sv.map(v => v * v).sum)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        sv.zip(sv.tail).forall { case (a, b) => a >= b }))
+        .toDF("n_sv", "frob_sq", "monotonic")
     },
 
-    // --- decomposition: pca projection (eigenvector sign/order ambiguity →
-    //     rows-only; variance-recovery correctness in LearnSpec)
-    Q.noOracle("learn_pca") { (spark, dir) =>
+    // --- decomposition: pca. Eigenvector sign/order is engine-specific, so
+    //     the oracle checks the total variance (recomputed exactly by
+    //     DuckDB) plus deterministic spectrum invariants: the explained-
+    //     variance ratios are sorted, positive, and sum below 1 for k=2.
+    //     Variance-recovery correctness stays in LearnSpec.
+    Q("learn_pca",
+      """SELECT CAST(2 AS BIGINT) AS n_components,
+        |       (SELECT round(SUM(vd), 6) FROM (
+        |          SELECT var_samp(CAST(x AS DOUBLE)) AS vd FROM (
+        |            SELECT i, embedding[i] AS x
+        |            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims) e
+        |          GROUP BY i) d) AS var_total,
+        |       true AS evr_sorted,
+        |       true AS evr_valid""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val e = t(spark, dir, "embeddings")
       val model = Learn.pcaFit(e, "embedding", k = 2)
-      Learn.pcaTransform(model, e.filter($"vec_id" < 20), "embedding")
-        .select($"vec_id",
-          round(abs(element_at($"pca", 1)), 4).as("pc1_abs"),
-          round(abs(element_at($"pca", 2)), 4).as("pc2_abs"))
-        .orderBy($"vec_id")
+      val evr = model.explainedVariance.toArray
+      val varTotal = e
+        .select(posexplode($"embedding").as(Seq("i", "x")))
+        .groupBy($"i")
+        .agg(var_samp($"x".cast("double")).as("vd"))
+        .agg(round(sum($"vd"), 6).as("var_total"))
+      varTotal.select(
+        lit(2L).as("n_components"),
+        $"var_total",
+        lit(evr(0) >= evr(1)).as("evr_sorted"),
+        lit(evr(0) > 0.0 && evr(1) > 0.0 && evr.sum < 1.0).as("evr_valid"))
     }
   )
 }

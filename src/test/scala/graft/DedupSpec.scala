@@ -161,4 +161,28 @@ class DedupSpec extends SparkSpecBase {
     val actual = docs.select(Dedup.simhash64(col("text"))).as[Long].collect().head
     assert(actual == expected)
   }
+
+  test("portable md5 simhash matches a driver-side java reference") {
+    val text = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // reference: md5 via MessageDigest, first 15 hex chars as a 60-bit long,
+    // the same ±1 vote fold in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val hashes = text.split(" ").map(h60)
+    var expected = 0L
+    for (b <- 0 until 64) {
+      val vote = hashes.map(h => if ((h & (1L << b)) != 0) 1 else -1).sum
+      if (vote >= 0) expected |= (1L << b)
+    }
+    val actual = docs.select(
+        Dedup.simhashFromHashes(docs, TextFunctions.md5TokenHashes(col("text"))))
+      .as[Long].collect().head
+    assert(actual == expected)
+    // top 4 bits must be clear: 60-bit hashes vote every token −1 there
+    assert((actual >>> 60) == 0L)
+  }
 }

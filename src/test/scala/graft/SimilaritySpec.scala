@@ -99,6 +99,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
   }
 
+  test("ivfFit builds once and ivfProbe reuses the index across query batches") {
+    val r = new Random(29)
+    val dim = 16
+    val centers = (0 until 4).map(_ => randVec(r, dim).map(_ * 10f))
+    val members = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield ((ci * 30 + j).toLong,
+      c.zip(randVec(r, dim)).map { case (x, n) => x + 0.1f * n })
+    val corpus = members.toDF("cid", "cvec")
+    val index = Similarity.ivfFit(corpus, nlist = 4, seed = 42L)
+    assert(index.centroids.count() == 4)
+    val q1 = members.take(3).toDF("qid", "qvec")
+    val q2 = members.slice(30, 33).toDF("qid", "qvec")
+    // two probes against ONE fitted index (no refit — the r2 ivfTopK refit
+    // the corpus per call); results are deterministic and repeatable
+    val a1 = Similarity.ivfProbe(index, q1, k = 3, nprobe = 2)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val a2 = Similarity.ivfProbe(index, q2, k = 3, nprobe = 2)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val a1again = Similarity.ivfProbe(index, q1, k = 3, nprobe = 2)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a1 == a1again)
+    assert(a1.nonEmpty && a2.nonEmpty && (a1.map(_._1) & a2.map(_._1)).isEmpty)
+  }
+
   test("lshTopK achieves high recall on clustered embeddings") {
     // 10 well-separated cluster centers, 20 members each with small noise —
     // the realistic near-dup regime LSH bucketing is designed for.
