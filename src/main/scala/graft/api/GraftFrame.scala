@@ -517,6 +517,11 @@ final case class GraftFrame(df: DataFrame) {
   def ewmMean(key: String, order: String, value: String, alpha: Double): GraftFrame =
     GraftFrame(Windows.ewmMean(df, key, order, value, alpha))
 
+  /** ewm mean + unbiased var + std in one streamed pass (reference
+    * window/ewm/aggregation.py:207 aggregates all three). */
+  def ewmStats(key: String, order: String, value: String, alpha: Double): GraftFrame =
+    GraftFrame(Windows.ewmStats(df, key, order, value, alpha))
+
   /** shift/diff over explicit partition+order (reference base/shift.py:31,
     * base/diff.py:29). */
   def shift(colName: String, out: String, periods: Int,

@@ -41,12 +41,16 @@ object Windows {
   def expanding(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  /** Time-offset rolling window: `rangeBetween` over epoch seconds of
-    * `tsCol` — pandas rolling('3d') equivalent. */
+  /** Time-offset rolling window: `rangeBetween` over epoch MICROseconds of
+    * `tsCol` — pandas rolling('3d') equivalent. Microsecond resolution
+    * matters: ranging over whole seconds (the r2 form) silently
+    * included/excluded rows when a window boundary fell inside a second of
+    * sub-second data — the same truncation bug class Sessionize fixed in r1. */
   def rollingTime(partitionBy: Seq[String], tsCol: String, seconds: Long): WindowSpec = {
     val base = if (partitionBy.isEmpty) Window.partitionBy() else
       Window.partitionBy(partitionBy.map(col): _*)
-    base.orderBy(unix_timestamp(col(tsCol))).rangeBetween(-seconds, 0)
+    base.orderBy(unix_micros(col(tsCol).cast("timestamp")))
+      .rangeBetween(-seconds * 1000000L, 0)
   }
 
   def shift(c: Column, periods: Int, w: WindowSpec): Column =
@@ -78,30 +82,69 @@ object Windows {
       keyCol: String,
       orderCol: String,
       valueCol: String,
+      alpha: Double): DataFrame =
+    ewmStats(df, keyCol, orderCol, valueCol, alpha)
+      .drop("ewm_var", "ewm_std")
+
+  /** Exponentially-weighted mean, variance and std per key (pandas
+    * `ewm(alpha).mean()/.var()/.std()` with adjust=true, bias=false — the
+    * reference aggregates all three from one pass,
+    * mars/dataframe/window/ewm/aggregation.py:207). The streamed recurrence
+    * carries four accumulators:
+    *   num   = Σ (1-a)^(t-i) x_i        den  = Σ (1-a)^(t-i)
+    *   sumsq = Σ (1-a)^(t-i) x_i²       den2 = Σ (1-a)^(2(t-i))
+    * mean = num/den; unbiased var = (sumsq - num²/den) / (den - den2/den)
+    * (null for the first row of a key, where the correction denominator is
+    * 0 — pandas emits NaN there); std = sqrt(var).
+    *
+    * Same scale shape as the r2 ewmMean: one hash shuffle on the key, a
+    * spillable sort, constant-memory streaming across group boundaries.
+    * Output: (key, ord, value double, ewm, ewm_var, ewm_std).
+    */
+  def ewmStats(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
       alpha: Double): DataFrame = {
     val proj = df.select(
       col(keyCol).as("key"),
       col(orderCol).as("ord"),
       col(valueCol).cast("double").as("value"))
-    val outSchema = StructType(proj.schema.fields :+ StructField("ewm", DoubleType))
+    val outSchema = StructType(proj.schema.fields ++ Seq(
+      StructField("ewm", DoubleType),
+      StructField("ewm_var", DoubleType),
+      StructField("ewm_std", DoubleType)))
     implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val oneMinus = 1.0 - alpha
+    val oneMinusSq = oneMinus * oneMinus
     proj
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("ord"))
       .mapPartitions { rows =>
         var curKey: Any = null
         var started = false
+        var first = true
         var num = 0.0
         var den = 0.0
+        var sumsq = 0.0
+        var den2 = 0.0
         rows.map { r =>
           val k = r.get(0)
           if (!started || k != curKey) {
-            started = true; curKey = k; num = 0.0; den = 0.0
-          }
-          num = num * oneMinus + r.getDouble(2)
+            started = true; curKey = k
+            num = 0.0; den = 0.0; sumsq = 0.0; den2 = 0.0; first = true
+          } else first = false
+          val x = r.getDouble(2)
+          num = num * oneMinus + x
           den = den * oneMinus + 1.0
-          Row(r.get(0), r.get(1), r.getDouble(2), num / den)
+          sumsq = sumsq * oneMinus + x * x
+          den2 = den2 * oneMinusSq + 1.0
+          val v: Any =
+            if (first) null
+            else (sumsq - num * num / den) / (den - den2 / den)
+          val s: Any = if (first) null else math.sqrt(v.asInstanceOf[Double])
+          Row(r.get(0), r.get(1), x, num / den, v, s)
         }
       }
   }

@@ -135,6 +135,41 @@ object OpsWindows {
         .df
     },
 
+    // --- §2.7 ewm variance/std (bias=false). The recursive CTE replays the
+    //     identical four-accumulator recurrence and the identical final
+    //     arithmetic — same float ops in the same order → bit-identical
+    //     doubles, no rounding. var is NULL on each key's first row (the
+    //     unbiased correction denominator is 0 there; pandas emits NaN).
+    Q("op_ewm_var",
+      """WITH RECURSIVE t AS (
+        |  SELECT o_custkey AS key, o_orderkey AS ord, o_totalprice AS value,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS rn
+        |  FROM orders WHERE o_custkey < 100),
+        |r AS (
+        |  SELECT key, ord, value, rn,
+        |         value AS num, CAST(1.0 AS DOUBLE) AS den,
+        |         value * value AS sumsq, CAST(1.0 AS DOUBLE) AS den2
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.key, t.ord, t.value, t.rn,
+        |         r.num * CAST(0.5 AS DOUBLE) + t.value,
+        |         r.den * CAST(0.5 AS DOUBLE) + CAST(1.0 AS DOUBLE),
+        |         r.sumsq * CAST(0.5 AS DOUBLE) + t.value * t.value,
+        |         r.den2 * CAST(0.25 AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |  FROM t JOIN r ON t.key = r.key AND t.rn = r.rn + 1)
+        |SELECT key, ord, value, num / den AS ewm,
+        |       CASE WHEN rn = 1 THEN NULL
+        |            ELSE (sumsq - num * num / den) / (den - den2 / den) END AS ewm_var
+        |FROM r
+        |ORDER BY key, ord""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .ewmStats("o_custkey", "o_orderkey", "o_totalprice", alpha = 0.5)
+        .drop("ewm_std")
+        .sortValues(Seq("key", "ord"))
+        .df
+    },
+
     // --- §2.7/§2.8 ranking window functions
     Q("op_rank_window",
       """SELECT o_orderpriority, o_orderkey,
@@ -213,6 +248,29 @@ object OpsWindows {
         .select($"o_custkey", $"o_orderkey",
           count(lit(1)).over(w).as("n_90d"))
         .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // --- §2.7 time-offset rolling window at MICROsecond resolution over
+    //     sub-second event timestamps — the oracle ranges over epoch_us, so
+    //     the whole-second truncation this query guards against (the r2
+    //     rollingTime ranged over unix_timestamp) would shift counts at
+    //     window boundaries inside a second and fail the hash match.
+    Q("op_rolling_time_us",
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90s,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_90s
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |      FROM events WHERE user_id < 40) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 90000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Windows.rollingTime(Seq("user_id"), "ts", 90L)
+      t(spark, dir, "events").filter($"user_id" < 40)
+        .select($"user_id", $"event_id",
+          count(lit(1)).over(w).as("n_90s"),
+          sum(dec12($"value")).over(w).cast("double").as("sum_90s"))
+        .orderBy($"user_id", $"event_id")
     },
 
     // --- §2.16 tumbling event-time window (batch form)

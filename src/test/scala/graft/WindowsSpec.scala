@@ -38,6 +38,42 @@ class WindowsSpec extends SparkSpecBase {
       assert(math.abs(got(key) - exp) < 1e-9, s"ewm mismatch at $key")
   }
 
+  test("ewmStats var/std match the pandas bias=false weight definition") {
+    val r = new Random(9)
+    val alpha = 0.3
+    val rows = for {
+      k <- 0 until 4
+      i <- 0 until 30
+    } yield (k.toLong, i.toDouble, r.nextDouble() * 50)
+    val df = rows.toDF("k", "ord", "v")
+    val got = Windows.ewmStats(df, "k", "ord", "v", alpha)
+      .select("key", "ord", "ewm_var", "ewm_std")
+      .collect()
+      .map(r0 => (r0.getLong(0), r0.getDouble(1)) ->
+        (if (r0.isNullAt(2)) None else Some((r0.getDouble(2), r0.getDouble(3)))))
+      .toMap
+    // reference: explicit weights w_i = (1-a)^(t-i);
+    // var = (Σw x² - (Σw x)²/Σw) / (Σw - Σw²/Σw)   [bias=false]
+    for ((k, ks) <- rows.groupBy(_._1)) {
+      val sorted = ks.sortBy(_._2).map(_._3)
+      for (t <- sorted.indices) {
+        val w = (0 to t).map(i => math.pow(1 - alpha, t - i))
+        val xs = sorted.take(t + 1)
+        val sw = w.sum; val sw2 = w.map(x => x * x).sum
+        val swx = w.zip(xs).map { case (a, b) => a * b }.sum
+        val swx2 = w.zip(xs).map { case (a, b) => a * b * b }.sum
+        val gotV = got((k, t.toDouble))
+        if (t == 0) assert(gotV.isEmpty, s"first row of key $k must be null")
+        else {
+          val expVar = (swx2 - swx * swx / sw) / (sw - sw2 / sw)
+          val (gv, gs) = gotV.get
+          assert(math.abs(gv - expVar) < 1e-8, s"ewm_var mismatch at ($k,$t)")
+          assert(math.abs(gs - math.sqrt(expVar)) < 1e-8, s"ewm_std mismatch at ($k,$t)")
+        }
+      }
+    }
+  }
+
   test("shift and diff over an ordered window") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), (2L, 1L, 5.0))
       .toDF("k", "ord", "v")
