@@ -399,10 +399,32 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.agg(aggs.head, aggs.tail: _*))
   }
 
-  /** value_counts (reference base/value_counts.py:31). */
-  def valueCounts(colName: String): GraftFrame =
-    GraftFrame(df.groupBy(df(colName)).agg(count(lit(1)).as("count"))
-      .orderBy(col("count").desc, df(colName)))
+  /** value_counts (reference base/value_counts.py:31). `normalize` adds the
+    * count/total proportion via a 1-row broadcast (no global window). */
+  def valueCounts(colName: String, normalize: Boolean = false): GraftFrame = {
+    val counts = df.groupBy(df(colName)).agg(count(lit(1)).as("count"))
+    val out =
+      if (!normalize) counts
+      else counts
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+        .withColumn("proportion",
+          col("count").cast("double") / col("__total").cast("double"))
+        .drop("__total")
+    GraftFrame(out.orderBy(col("count").desc, df(colName)))
+  }
+
+  /** Mean absolute deviation about the mean (pandas mad; reference
+    * reduction surface). Two partial+final aggregates joined through a
+    * 1-row broadcast — no global window, scale-safe. */
+  def mad(cols: Seq[String]): GraftFrame = {
+    val means = df.agg(
+      avg(df(cols.head)).as(s"__m_${cols.head}"),
+      cols.tail.map(c => avg(df(c)).as(s"__m_$c")): _*)
+    val joined = df.crossJoin(broadcast(means))
+    val aggs = cols.map(c =>
+      avg(abs(joined(c) - col(s"__m_$c"))).as(s"${c}_mad"))
+    GraftFrame(joined.agg(aggs.head, aggs.tail: _*))
+  }
 
   /** nunique across columns (reference reduction/nunique.py:118). */
   def nunique(cols: Seq[String]): GraftFrame =
@@ -659,6 +681,16 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def cumsum(valueCol: String, out: String, orderBy: Seq[String]): GraftFrame =
     GraftFrame(df.withColumn(out,
       Windows.cumsum(df(valueCol), Windows.spec(keys, orderBy))))
+
+  /** Group-wise mean absolute deviation about the group mean (pandas
+    * groupby.mad): group means then one more aggregate over the join —
+    * both hash aggregates are partial+final, no per-group window buffer. */
+  def mad(valueCol: String, out: String): GraftFrame = {
+    val means = df.groupBy(keys.map(df(_)): _*).agg(avg(df(valueCol)).as("__m"))
+    GraftFrame(df.join(means, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(avg(abs(col(valueCol) - col("__m"))).as(out)))
+  }
 
   /** Two-phase salted aggregation for skewed group keys: partial aggregate
     * on (key, salt) splits a hot key over `saltFactor` tasks, then the

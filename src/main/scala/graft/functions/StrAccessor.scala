@@ -76,4 +76,80 @@ object StrAccessor {
   def wrapIn(c: Column, prefix: String, suffix: String): Column =
     concat(lit(prefix), c, lit(suffix))
   def normalizeWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+
+  // ---- tail of the pandas surface (reference base/accessor.py:56-77 wraps
+  // every pandas str method; these close the r2 coverage gap)
+
+  /** Character-for-character translation (pandas str.translate over 1-char
+    * keys; Spark's translate drops chars when `replace` is shorter). */
+  def translateChars(c: Column, matching: String, replace: String): Column =
+    org.apache.spark.sql.functions.translate(c, matching, replace)
+
+  private val lowerAz = ('a' to 'z').mkString
+  private val upperAz = ('A' to 'Z').mkString
+
+  /** ASCII swapcase via a single translate (no per-char lambda). */
+  def swapcase(c: Column): Column =
+    org.apache.spark.sql.functions.translate(c, lowerAz + upperAz, upperAz + lowerAz)
+
+  /** casefold — ASCII-caseless comparison key (lower for our ASCII fixture
+    * scope; full Unicode casefolding is out of scope like the reference's). */
+  def casefold(c: Column): Column = org.apache.spark.sql.functions.lower(c)
+
+  /** partition at the FIRST occurrence of `sep`: (head, sep, tail); the
+    * whole string in head when absent, like pandas. */
+  def partition(c: Column, sep: String): Column = {
+    val pos = instr(c, sep)
+    when(pos > 0, struct(
+        c.substr(lit(1), (pos - 1).cast("int")).as("head"),
+        lit(sep).as("sep"),
+        c.substr(pos + lit(sep.length), length(c)).as("tail")))
+      .otherwise(struct(c.as("head"), lit("").as("sep"), lit("").as("tail")))
+  }
+
+  /** rpartition at the LAST occurrence of `sep`: (head, sep, tail); the
+    * whole string in tail when absent, like pandas. */
+  def rpartition(c: Column, sep: String): Column = {
+    val r = instr(reverse(c), reverse(lit(sep)))
+    // last-occurrence 1-based start: L - S - r + 2
+    val pos = (length(c) - lit(sep.length) - r + 2).cast("int")
+    when(r > 0, struct(
+        c.substr(lit(1), pos - 1).as("head"),
+        lit(sep).as("sep"),
+        c.substr(pos + lit(sep.length), length(c)).as("tail")))
+      .otherwise(struct(lit("").as("head"), lit("").as("sep"), c.as("tail")))
+  }
+
+  /** slice_replace: replace the 0-based [start, stop) char range. */
+  def sliceReplace(c: Column, start: Int, stop: Int, repl: String): Column =
+    concat(substring(c, 1, start), lit(repl), c.substr(lit(stop + 1), length(c)))
+
+  /** removeprefix / removesuffix (python 3.9 str methods pandas wraps). */
+  def removeprefix(c: Column, prefix: String): Column =
+    when(c.startsWith(prefix), c.substr(lit(prefix.length + 1), length(c))).otherwise(c)
+  def removesuffix(c: Column, suffix: String): Column =
+    when(c.endsWith(suffix),
+      c.substr(lit(1), length(c) - lit(suffix.length))).otherwise(c)
+
+  /** str.get_dummies: split on `sep`, one 0/1 column per listed value. */
+  def getDummies(c: Column, sep: String, values: Seq[String]): Seq[Column] =
+    values.map(v => when(array_contains(
+      org.apache.spark.sql.functions.split(c, java.util.regex.Pattern.quote(sep)), v),
+      1L).otherwise(0L).as(v))
+
+  /** encode/decode through a charset (pandas str.encode/decode). */
+  def encodeCharset(c: Column, charset: String = "UTF-8"): Column =
+    org.apache.spark.sql.functions.encode(c, charset)
+  def decodeCharset(c: Column, charset: String = "UTF-8"): Column =
+    org.apache.spark.sql.functions.decode(c, charset)
+
+  /** pandas str.match / fullmatch: regex anchored at start / both ends. */
+  def matchRegex(c: Column, pat: String): Column = c.rlike("^(?:" + pat + ")")
+  def fullmatch(c: Column, pat: String): Column = c.rlike("^(?:" + pat + ")$")
+
+  /** Remaining is* predicates. */
+  def isnumeric(c: Column): Column = c.rlike("^[0-9]+$")
+  def isdecimal(c: Column): Column = c.rlike("^[0-9]+$")
+  def istitle(c: Column): Column =
+    c.rlike("^([^a-zA-Z]*[A-Z][a-z]*)+[^a-zA-Z]*$")
 }

@@ -232,6 +232,92 @@ object OpsExtra {
         .orderBy($"p_partkey")
     },
 
+    // --- §2.10 str accessor tail: translate/partition/rpartition/
+    //     slice_replace/swapcase/casefold/removeprefix/encode/match
+    //     (reference base/accessor.py:56-77 wraps the full pandas surface)
+    Q("op_str_accessor2", {
+      val lowerAz = ('a' to 'z').mkString
+      val upperAz = ('A' to 'Z').mkString
+      s"""SELECT p_partkey,
+         |  translate(p_name, 'aeiou', 'AEIOU') AS translated,
+         |  CASE WHEN strpos(p_brand, '#') > 0
+         |       THEN substr(p_brand, 1, strpos(p_brand, '#') - 1) ELSE p_brand END AS part_head,
+         |  CASE WHEN strpos(p_brand, '#') > 0
+         |       THEN substr(p_brand, strpos(p_brand, '#') + 1) ELSE '' END AS part_tail,
+         |  CASE WHEN strpos(reverse(p_name), ' ') > 0
+         |       THEN substr(p_name, 1, length(p_name) - strpos(reverse(p_name), ' '))
+         |       ELSE '' END AS rpart_head,
+         |  CASE WHEN strpos(reverse(p_name), ' ') > 0
+         |       THEN substr(p_name, length(p_name) - strpos(reverse(p_name), ' ') + 2)
+         |       ELSE p_name END AS rpart_tail,
+         |  'XYZ' || substr(p_name, 4) AS slice_repl,
+         |  translate(p_type, '$lowerAz$upperAz', '$upperAz$lowerAz') AS swapped,
+         |  lower(p_type) AS folded,
+         |  CASE WHEN starts_with(p_brand, 'Brand#')
+         |       THEN substr(p_brand, 7) ELSE p_brand END AS nopfx,
+         |  CASE WHEN p_type LIKE '%Y'
+         |       THEN substr(p_type, 1, length(p_type) - 1) ELSE p_type END AS nosfx,
+         |  CAST(octet_length(encode(p_name)) AS BIGINT) AS byte_len,
+         |  regexp_matches(p_brand, '^(?:Brand#[0-9])') AS brand_match,
+         |  regexp_matches(p_brand, '^(?:Brand#[0-9]+)$$') AS brand_fullmatch,
+         |  regexp_matches(substr(p_brand, 7), '^[0-9]+$$') AS brandno_numeric,
+         |  regexp_matches(p_brand, '^([^a-zA-Z]*[A-Z][a-z]*)+[^a-zA-Z]*$$') AS brand_title
+         |FROM part WHERE p_partkey < 100
+         |ORDER BY p_partkey""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{StrAccessor => S}
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey",
+          S.translateChars($"p_name", "aeiou", "AEIOU").as("translated"),
+          S.partition($"p_brand", "#").getField("head").as("part_head"),
+          S.partition($"p_brand", "#").getField("tail").as("part_tail"),
+          S.rpartition($"p_name", " ").getField("head").as("rpart_head"),
+          S.rpartition($"p_name", " ").getField("tail").as("rpart_tail"),
+          S.sliceReplace($"p_name", 0, 3, "XYZ").as("slice_repl"),
+          S.swapcase($"p_type").as("swapped"),
+          S.casefold($"p_type").as("folded"),
+          S.removeprefix($"p_brand", "Brand#").as("nopfx"),
+          S.removesuffix($"p_type", "Y").as("nosfx"),
+          length(S.encodeCharset($"p_name")).cast("long").as("byte_len"),
+          S.matchRegex($"p_brand", "Brand#[0-9]").as("brand_match"),
+          S.fullmatch($"p_brand", "Brand#[0-9]+").as("brand_fullmatch"),
+          S.isnumeric(substring($"p_brand", 7, 100)).as("brandno_numeric"),
+          S.istitle($"p_brand").as("brand_title"))
+        .orderBy($"p_partkey")
+    },
+
+    // --- §2.5 mean absolute deviation (pandas mad), grouped: two hash
+    //     aggregates + a join, no per-group window buffer
+    Q("op_mad",
+      """SELECT l_returnflag, round(avg(abs(l_quantity - m)), 6) AS qty_mad
+        |FROM (SELECT l_returnflag, l_quantity,
+        |             avg(l_quantity) OVER (PARTITION BY l_returnflag) AS m
+        |      FROM lineitem) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "lineitem")
+        .groupby("l_returnflag")
+        .mad("l_quantity", "qty_mad_raw")
+        .assign("qty_mad" -> round($"qty_mad_raw", 6))
+        .drop("qty_mad_raw")
+        .sortValues(Seq("l_returnflag"))
+        .df
+    },
+
+    // --- §2.13 value_counts(normalize=true): proportion via a 1-row
+    //     broadcast total (exact long division → identical doubles)
+    Q("op_value_counts_norm",
+      """SELECT c_mktsegment, COUNT(*) AS count,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS proportion
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY count DESC, c_mktsegment""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "customer")
+        .valueCounts("c_mktsegment", normalize = true)
+        .df
+    },
+
     // --- §2.10 dt accessor, wide coverage (reference base/datetimes.py:31)
     Q("op_dt_accessor",
       """SELECT event_id,

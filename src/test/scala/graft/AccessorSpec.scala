@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{DtAccessor => D, StrAccessor => S}
+import graft.api.GraftFrame
 
 /** Literal-frame tests for str/dt accessor methods whose semantics aren't
   * cleanly oracle-able (pattern-format or engine-divergent functions), so
@@ -68,5 +69,53 @@ class AccessorSpec extends SparkSpecBase {
     // 2024-01-01 is a Monday
     val df = Seq(java.sql.Date.valueOf("2024-01-01")).toDF("d")
     assert(df.select(D.dayofweek($"d")).as[Long].collect().head == 0L)
+  }
+
+  test("str partition/rpartition match python semantics incl. absent sep") {
+    val df = Seq("a-b-c", "nosep").toDF("s")
+    val rows = df.select(
+        S.partition($"s", "-").as("p"), S.rpartition($"s", "-").as("rp"))
+      .collect()
+    val p0 = rows(0).getStruct(0); val rp0 = rows(0).getStruct(1)
+    assert((p0.getString(0), p0.getString(1), p0.getString(2)) == ("a", "-", "b-c"))
+    assert((rp0.getString(0), rp0.getString(1), rp0.getString(2)) == ("a-b", "-", "c"))
+    // python: 'nosep'.partition('-') == ('nosep','',''), rpartition == ('','','nosep')
+    val p1 = rows(1).getStruct(0); val rp1 = rows(1).getStruct(1)
+    assert((p1.getString(0), p1.getString(1), p1.getString(2)) == ("nosep", "", ""))
+    assert((rp1.getString(0), rp1.getString(1), rp1.getString(2)) == ("", "", "nosep"))
+  }
+
+  test("str tail: slice_replace, swapcase, dummies, encode roundtrip, remove*") {
+    val df = Seq("Hello World").toDF("s")
+    val r = df.select(
+      S.sliceReplace($"s", 0, 5, "Howdy").as("sr"),
+      S.swapcase($"s").as("sw"),
+      S.decodeCharset(S.encodeCharset($"s")).as("rt"),
+      S.removeprefix($"s", "Hello ").as("np"),
+      S.removesuffix($"s", " World").as("ns"),
+      S.removeprefix($"s", "XYZ").as("np2")).collect().head
+    assert(r.getString(0) == "Howdy World")
+    assert(r.getString(1) == "hELLO wORLD")
+    assert(r.getString(2) == "Hello World")
+    assert(r.getString(3) == "World")
+    assert(r.getString(4) == "Hello")
+    assert(r.getString(5) == "Hello World")
+    val dm = Seq("a|b", "b|c", "a").toDF("tags")
+      .select(S.getDummies($"tags", "|", Seq("a", "b", "c")): _*)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dm == Seq((1L, 1L, 0L), (0L, 1L, 1L), (1L, 0L, 0L)))
+  }
+
+  test("frame mad and groupby mad match hand computation") {
+    val df = Seq((1L, 2.0), (1L, 4.0), (1L, 9.0), (2L, 10.0), (2L, 20.0))
+      .toDF("k", "v")
+    // global mean 9, |dev| = 7,5,0,1,11 → mad = 24/5
+    val global = GraftFrame(df).mad(Seq("v")).df.as[Double].collect().head
+    assert(math.abs(global - 4.8) < 1e-12)
+    // k=1: mean 5, mad = (3+1+4)/3; k=2: mean 15, mad = 5
+    val grouped = GraftFrame(df).groupby("k").mad("v", "m")
+      .sortValues(Seq("k")).df.as[(Long, Double)].collect().toSeq
+    assert(math.abs(grouped(0)._2 - 8.0 / 3) < 1e-12)
+    assert(math.abs(grouped(1)._2 - 5.0) < 1e-12)
   }
 }
