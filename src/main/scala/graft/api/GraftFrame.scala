@@ -151,6 +151,42 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(others.foldLeft(df)((acc, o) =>
       acc.unionByName(o.df, allowMissingColumns = true)))
 
+  /** Column concat (pandas concat axis=1; reference merge/concat.py:41
+    * axis=1): frames aligned on explicit `on` keys (the engine has no
+    * implicit row index — SURVEY §7.1). join="outer" keeps the union of
+    * keys (missing side null-filled, like pandas), "inner" the
+    * intersection. Non-key column names must be distinct across frames, as
+    * in pandas. */
+  def concatCols(others: Seq[GraftFrame], on: Seq[String],
+      join: String = "outer"): GraftFrame = {
+    val how = join match {
+      case "outer" => "full_outer"
+      case "inner" => "inner"
+      case j => throw new IllegalArgumentException(s"concat join must be outer|inner: $j")
+    }
+    GraftFrame(others.foldLeft(df)((acc, o) => acc.join(o.df, on, how)))
+  }
+
+  /** Two-frame align (pandas df.align; reference indexing/align.py:44):
+    * both frames conformed to the SAME key set — union of keys for
+    * join="outer", intersection for "inner", one side's keys for
+    * "left"/"right" — with missing rows null-filled. Returns
+    * (left aligned, right aligned); both sides share `on` column names. */
+  def align(right: GraftFrame, on: Seq[String],
+      join: String = "outer"): (GraftFrame, GraftFrame) = {
+    val lKeys = df.select(on.map(df(_)): _*)
+    val rKeys = right.df.select(on.map(right.df(_)): _*)
+    val keyUniverse = join match {
+      case "outer" => lKeys.union(rKeys).distinct()
+      case "inner" => lKeys.intersect(rKeys)
+      case "left" => lKeys.distinct()
+      case "right" => rKeys.distinct()
+      case j => throw new IllegalArgumentException(s"align join must be outer|inner|left|right: $j")
+    }
+    (GraftFrame(keyUniverse.join(df, on, "left")),
+      GraftFrame(keyUniverse.join(right.df, on, "left")))
+  }
+
   def crossJoin(right: GraftFrame): GraftFrame = GraftFrame(df.crossJoin(right.df))
 
   /** pandas pipe: apply a frame-to-frame function in a chain. */

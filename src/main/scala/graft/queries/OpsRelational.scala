@@ -277,6 +277,58 @@ object OpsRelational {
         .orderBy($"l_returnflag")
     },
 
+    // --- §2.4 concat (axis=1): column-wise concat of key-aligned frames —
+    //     outer key union, missing side null-filled (pandas concat axis=1)
+    Q("op_concat_cols",
+      """SELECT custkey, c_acctbal, n_orders
+        |FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer
+        |      WHERE c_custkey BETWEEN 50 AND 150) l
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS custkey, COUNT(*) AS n_orders FROM orders
+        |      WHERE o_custkey < 100 GROUP BY o_custkey) r
+        |USING (custkey)
+        |ORDER BY custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val l = gt(spark, dir, "customer")
+        .query("c_custkey BETWEEN 50 AND 150")
+        .selectCols($"c_custkey".as("custkey"), $"c_acctbal")
+      val r = gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .groupby("o_custkey").agg(("n_orders", "count", "o_custkey"))
+        .rename("o_custkey" -> "custkey")
+      l.concatCols(Seq(r), on = Seq("custkey"), join = "outer")
+        .select("custkey", "c_acctbal", "n_orders")
+        .sortValues(Seq("custkey"))
+        .df
+    },
+
+    // --- §2.4 align: both frames conformed to the union of keys (pandas
+    //     df.align; reference indexing/align.py:44) — the aligned pair
+    //     re-joins 1:1 on the shared key universe
+    Q("op_align",
+      """WITH l AS (SELECT c_custkey AS custkey, c_acctbal FROM customer
+        |           WHERE c_custkey BETWEEN 50 AND 150),
+        |r AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders FROM orders
+        |      WHERE o_custkey < 100 GROUP BY o_custkey),
+        |keys AS (SELECT custkey FROM l UNION SELECT custkey FROM r)
+        |SELECT k.custkey, l.c_acctbal, r.n_orders
+        |FROM keys k LEFT JOIN l USING (custkey) LEFT JOIN r USING (custkey)
+        |ORDER BY custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val l = gt(spark, dir, "customer")
+        .query("c_custkey BETWEEN 50 AND 150")
+        .selectCols($"c_custkey".as("custkey"), $"c_acctbal")
+      val r = gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .groupby("o_custkey").agg(("n_orders", "count", "o_custkey"))
+        .rename("o_custkey" -> "custkey")
+      val (la, ra) = l.align(r, on = Seq("custkey"), join = "outer")
+      la.merge(ra, on = Seq("custkey"), how = "inner")
+        .select("custkey", "c_acctbal", "n_orders")
+        .sortValues(Seq("custkey"))
+        .df
+    },
+
     // --- §2.9 set ops: union / intersect / except
     Q("op_setops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

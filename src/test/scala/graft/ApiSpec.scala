@@ -170,6 +170,29 @@ class ApiSpec extends SparkSpecBase {
     }
   }
 
+  test("align conforms both frames to the same key universe") {
+    val l = GraftFrame(Seq((1L, "a"), (2L, "b")).toDF("k", "lv"))
+    val r = GraftFrame(Seq((2L, 20.0), (3L, 30.0)).toDF("k", "rv"))
+    val (la, ra) = l.align(r, Seq("k"), join = "outer")
+    val lRows = la.df.orderBy("k").as[(Long, Option[String])].collect().toSeq
+    val rRows = ra.df.orderBy("k").as[(Long, Option[Double])].collect().toSeq
+    assert(lRows == Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
+    assert(rRows == Seq((1L, None), (2L, Some(20.0)), (3L, Some(30.0))))
+    val (li, ri) = l.align(r, Seq("k"), join = "inner")
+    assert(li.df.select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(ri.df.select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("concatCols outer-aligns columns on keys") {
+    val a = GraftFrame(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    val b = GraftFrame(Seq((2L, "p"), (3L, "q")).toDF("k", "y"))
+    val got = a.concatCols(Seq(b), Seq("k"), join = "outer")
+      .sortValues(Seq("k")).df
+      .as[(Long, Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq((1L, Some(10.0), None), (2L, Some(20.0), Some("p")),
+      (3L, None, Some("q"))))
+  }
+
   test("qcut propagates nulls instead of assigning the top bucket") {
     val df = (Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, null))
       .toDF("x")
