@@ -120,6 +120,139 @@ final class GraftSession(val spark: SparkSession) {
     GraftFrame(spark.range(0, n).toDF("id")
       .withColumn(colName, exp(lit(mu) + lit(sigma) * randn(seed))))
 
+  // ---- closed-form inverse-CDF families (reference mt.random.*, numpy
+  // semantics; mars/opcodes.py:68-118). Pure codegen'd expressions over
+  // seeded uniforms — distributed generation, no driver involvement.
+  import graft.functions.{Distributions => Dist}
+
+  private def fromU(n: Long, colName: String, seed: Long)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): GraftFrame = {
+    // materialize the draw first: rand() is NON-deterministic, so embedding
+    // it at several positions of one expression tree (e.g. triangular's
+    // condition + both branches) would evaluate a DIFFERENT draw at each
+    // site; a projection boundary pins one u per row (Catalyst never
+    // inlines nondeterministic projections)
+    val withDraw = spark.range(0, n).toDF("id").withColumn("__u", rand(seed))
+    GraftFrame(withDraw.withColumn(colName, f(col("__u"))).drop("__u"))
+  }
+
+  def randomWeibull(n: Long, shape: Double, scale: Double = 1.0,
+      colName: String = "value", seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.weibullInv(_, shape, scale))
+
+  def randomPareto(n: Long, a: Double, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.paretoInv(_, a))
+
+  def randomGumbel(n: Long, loc: Double = 0.0, scale: Double = 1.0,
+      colName: String = "value", seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.gumbelInv(_, loc, scale))
+
+  def randomLaplace(n: Long, loc: Double = 0.0, scale: Double = 1.0,
+      colName: String = "value", seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.laplaceInv(_, loc, scale))
+
+  def randomCauchy(n: Long, x0: Double = 0.0, gamma: Double = 1.0,
+      colName: String = "value", seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.cauchyInv(_, x0, gamma))
+
+  def randomLogistic(n: Long, loc: Double = 0.0, scale: Double = 1.0,
+      colName: String = "value", seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.logisticInv(_, loc, scale))
+
+  def randomRayleigh(n: Long, sigma: Double = 1.0, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.rayleighInv(_, sigma))
+
+  def randomPower(n: Long, a: Double, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.powerInv(_, a))
+
+  def randomTriangular(n: Long, left: Double, mode: Double, right: Double,
+      colName: String = "value", seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.triangularInv(_, left, mode, right))
+
+  def randomGeometric(n: Long, p: Double, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    fromU(n, colName, seed)(Dist.geometricInv(_, p))
+
+  // ---- rejection/transform-sampled families (no closed-form inverse):
+  // commons-math3 samplers run per partition with a generator seeded
+  // (seed, partitionId) — deterministic for a fixed partition count, and
+  // the partition count is pinned so results don't depend on cluster
+  // parallelism. Linear work, no shuffle, no driver round-trip.
+
+  private def sampledDouble(n: Long, colName: String, seed: Long, numSlices: Int)(
+      mk: org.apache.commons.math3.random.RandomGenerator => () => Double): GraftFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField(colName, DoubleType, nullable = false)))
+    implicit val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    GraftFrame(spark.range(0, n, 1, numSlices).toDF("id").mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rng = new org.apache.commons.math3.random.Well19937c(seed + pid)
+      val draw = mk(rng)
+      it.map(r => Row(r.getLong(0), draw()))
+    })
+  }
+
+  def randomGamma(n: Long, shape: Double, scale: Double = 1.0,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.GammaDistribution(
+        rng, shape, scale)
+      () => d.sample()
+    }
+
+  def randomBeta(n: Long, alpha: Double, beta: Double,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.BetaDistribution(
+        rng, alpha, beta)
+      () => d.sample()
+    }
+
+  def randomChisquare(n: Long, df: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.ChiSquaredDistribution(rng, df)
+      () => d.sample()
+    }
+
+  def randomStudentT(n: Long, df: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.TDistribution(rng, df)
+      () => d.sample()
+    }
+
+  def randomF(n: Long, d1: Double, d2: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.FDistribution(rng, d1, d2)
+      () => d.sample()
+    }
+
+  def randomPoisson(n: Long, lambda: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.PoissonDistribution(
+        rng, lambda,
+        org.apache.commons.math3.distribution.PoissonDistribution.DEFAULT_EPSILON,
+        org.apache.commons.math3.distribution.PoissonDistribution.DEFAULT_MAX_ITERATIONS)
+      () => d.sample().toDouble
+    }
+
+  def randomBinomial(n: Long, trials: Int, p: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.BinomialDistribution(
+        rng, trials, p)
+      () => d.sample().toDouble
+    }
+
   /** Registry table from the test-data layout. */
   def table(sfDir: String, name: String): GraftFrame =
     GraftFrame(graft.Tables.load(spark, sfDir, name))

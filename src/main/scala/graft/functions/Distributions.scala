@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Inverse-CDF transforms u∈(0,1) → X for the closed-form distribution
+  * families of the reference's `mt.random.*` surface (mars/tensor/random/,
+  * opcodes 68-118, numpy semantics). Pure codegen'd expressions: the random
+  * sources feed them `rand(seed)` draws, the deterministic oracled query
+  * feeds them [[PortableHash.uniform01]] draws — same code path either way,
+  * and any SQL engine replays them exactly (modulo libm ulps, absorbed by
+  * round-6 in the oracle contract).
+  *
+  * Distributions without a closed-form inverse (gamma, beta, poisson,
+  * binomial, …) are sampled per-partition with commons-math3 in
+  * [[graft.api.GraftSession]].
+  */
+object Distributions {
+
+  /** Exponential(rate): -ln(1-u)/rate. */
+  def exponentialInv(u: Column, rate: Double): Column =
+    -log(lit(1.0) - u) / rate
+
+  /** Weibull(shape a, scale λ): λ·(-ln(1-u))^(1/a) (numpy weibull is λ=1). */
+  def weibullInv(u: Column, shape: Double, scale: Double = 1.0): Column =
+    lit(scale) * pow(-log(lit(1.0) - u), 1.0 / shape)
+
+  /** Pareto(a) in numpy's Lomax form: (1-u)^(-1/a) - 1. */
+  def paretoInv(u: Column, a: Double): Column =
+    pow(lit(1.0) - u, -1.0 / a) - lit(1.0)
+
+  /** Gumbel(loc μ, scale β): μ - β·ln(-ln(u)). */
+  def gumbelInv(u: Column, loc: Double = 0.0, scale: Double = 1.0): Column =
+    lit(loc) - lit(scale) * log(-log(u))
+
+  /** Laplace(loc μ, scale b): μ - b·sgn(u-½)·ln(1-2|u-½|). */
+  def laplaceInv(u: Column, loc: Double = 0.0, scale: Double = 1.0): Column =
+    lit(loc) - lit(scale) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+
+  /** Cauchy(x0, γ): x0 + γ·tan(π(u-½)) (numpy standard_cauchy at 0,1). */
+  def cauchyInv(u: Column, x0: Double = 0.0, gamma: Double = 1.0): Column =
+    lit(x0) + lit(gamma) * tan(lit(math.Pi) * (u - 0.5))
+
+  /** Logistic(loc μ, scale s): μ + s·ln(u/(1-u)). */
+  def logisticInv(u: Column, loc: Double = 0.0, scale: Double = 1.0): Column =
+    lit(loc) + lit(scale) * log(u / (lit(1.0) - u))
+
+  /** Rayleigh(σ): σ·sqrt(-2·ln(1-u)). */
+  def rayleighInv(u: Column, sigma: Double = 1.0): Column =
+    lit(sigma) * sqrt(lit(-2.0) * log(lit(1.0) - u))
+
+  /** Power(a): u^(1/a) — numpy random.power. */
+  def powerInv(u: Column, a: Double): Column = pow(u, 1.0 / a)
+
+  /** Triangular(left a, mode c, right b): piecewise inverse. */
+  def triangularInv(u: Column, a: Double, c: Double, b: Double): Column = {
+    require(a <= c && c <= b && a < b, s"invalid triangular params ($a,$c,$b)")
+    val fc = (c - a) / (b - a)
+    when(u < fc, lit(a) + sqrt(u * lit((b - a) * (c - a))))
+      .otherwise(lit(b) - sqrt((lit(1.0) - u) * lit((b - a) * (b - c))))
+  }
+
+  /** Geometric(p) trials-until-success on {1,2,…}: ⌈ln(1-u)/ln(1-p)⌉. */
+  def geometricInv(u: Column, p: Double): Column = {
+    require(p > 0.0 && p < 1.0, s"geometric p out of (0,1): $p")
+    greatest(ceil(log(lit(1.0) - u) / math.log(1.0 - p)), lit(1.0)).cast("long")
+  }
+}

@@ -364,6 +364,45 @@ object OpsExtra {
       graft.api.GraftSession(spark).sql(OpsExtra.sqlSurfaceQuery).df
     },
 
+    // --- §2.1/§2.14 random-distribution inverse-CDF transforms, made
+    //     deterministic for the oracle by drawing u from the portable
+    //     avalanche hash instead of rand(): both engines derive identical
+    //     dyadic-rational uniforms and replay the same closed forms
+    //     (numpy semantics). Parameters are chosen so every constant
+    //     (rates, 1/shape exponents) is exactly representable in binary —
+    //     round-6 absorbs only libm ulp differences. The rand()-fed
+    //     generator sources share this exact transform code
+    //     (graft.functions.Distributions); moments covered in RandomSpec.
+    Q("op_random_invcdf",
+      s"""SELECT c_custkey,
+         |  round(-ln(1.0 - u) / 2.0, 6) AS expo,
+         |  round(3.0 * pow(-ln(1.0 - u), 0.5), 6) AS weib,
+         |  round(pow(1.0 - u, -0.5) - 1.0, 6) AS pareto,
+         |  round(1.0 - 2.0 * ln(-ln(u)), 6) AS gumb,
+         |  round(0.5 + 1.5 * ln(u / (1.0 - u)), 6) AS logi,
+         |  round(2.0 * sqrt(-2.0 * ln(1.0 - u)), 6) AS rayl,
+         |  round(0.0 - 1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS lapl,
+         |  round(CASE WHEN u < 0.25 THEN 0.0 + sqrt(u * 4.0)
+         |             ELSE 4.0 - sqrt((1.0 - u) * 12.0) END, 6) AS tri
+         |FROM (SELECT c_custkey, ${graft.functions.PortableHash.sqlUniform01("c_custkey")} AS u
+         |      FROM customer WHERE c_custkey < 200) s
+         |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Distributions => D}
+      val withU = t(spark, dir, "customer").filter($"c_custkey" < 200)
+        .withColumn("u", graft.functions.PortableHash.uniform01($"c_custkey"))
+      withU.select($"c_custkey",
+          round(D.exponentialInv($"u", 2.0), 6).as("expo"),
+          round(D.weibullInv($"u", 2.0, 3.0), 6).as("weib"),
+          round(D.paretoInv($"u", 2.0), 6).as("pareto"),
+          round(D.gumbelInv($"u", 1.0, 2.0), 6).as("gumb"),
+          round(D.logisticInv($"u", 0.5, 1.5), 6).as("logi"),
+          round(D.rayleighInv($"u", 2.0), 6).as("rayl"),
+          round(D.laplaceInv($"u", 0.0, 1.0), 6).as("lapl"),
+          round(D.triangularInv($"u", 0.0, 1.0, 4.0), 6).as("tri"))
+        .orderBy($"c_custkey")
+    },
+
     // --- §2.11 weighted sampling (reference indexing/sample.py:41
     //     weights=): Efraimidis–Spirakis top-n with deterministic hash
     //     uniforms — the ES priority ln(u)/w is replayed exactly by the

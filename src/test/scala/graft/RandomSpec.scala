@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftSession
+
+/** Moment checks for the random-distribution sources (reference
+  * mt.random.*): each family's sample mean/variance must sit within a few
+  * standard errors of the closed-form moments. Seeded generators make every
+  * assertion deterministic. The inverse-CDF arithmetic itself is
+  * differential-checked by the op_random_invcdf oracle query.
+  */
+class RandomSpec extends SparkSpecBase {
+
+  private lazy val g = GraftSession(spark)
+  private val n = 20000L
+
+  private def meanVar(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val r = df.agg(avg(col("value")), var_samp(col("value"))).collect().head
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  private def checkMoments(name: String, df: org.apache.spark.sql.DataFrame,
+      mean: Double, variance: Double, tol: Double): Unit = {
+    val (m, v) = meanVar(df)
+    assert(math.abs(m - mean) < tol, s"$name mean $m != $mean ± $tol")
+    assert(math.abs(v - variance) < tol * 6, s"$name var $v != $variance")
+  }
+
+  test("inverse-CDF families match closed-form moments") {
+    checkMoments("weibull(2,3)", g.randomWeibull(n, 2.0, 3.0).df,
+      3.0 * math.sqrt(math.Pi) / 2, 9.0 * (1.0 - math.Pi / 4), 0.05)
+    // pareto(3) (Lomax): mean 1/(a-1)=0.5, var a/((a-1)^2 (a-2)) = 0.75
+    checkMoments("pareto(3)", g.randomPareto(n, 3.0).df, 0.5, 0.75, 0.1)
+    // gumbel(0,1): mean γ≈0.5772, var π²/6
+    checkMoments("gumbel", g.randomGumbel(n).df,
+      0.5772156649, math.Pi * math.Pi / 6, 0.05)
+    checkMoments("laplace(0,1)", g.randomLaplace(n).df, 0.0, 2.0, 0.05)
+    // logistic(0,1): mean 0, var π²/3
+    checkMoments("logistic", g.randomLogistic(n).df,
+      0.0, math.Pi * math.Pi / 3, 0.06)
+    // rayleigh(1): mean sqrt(π/2), var (4-π)/2
+    checkMoments("rayleigh", g.randomRayleigh(n).df,
+      math.sqrt(math.Pi / 2), (4 - math.Pi) / 2, 0.05)
+    // power(3): mean a/(a+1), var a/((a+1)^2 (a+2))
+    checkMoments("power(3)", g.randomPower(n, 3.0).df, 0.75, 3.0 / 80, 0.03)
+    // triangular(0,1,4): mean (a+b+c)/3, var (a²+b²+c²-ab-ac-bc)/18
+    checkMoments("triangular", g.randomTriangular(n, 0.0, 1.0, 4.0).df,
+      5.0 / 3, 13.0 / 18, 0.05)
+    // geometric(0.3): mean 1/p, var (1-p)/p²
+    checkMoments("geometric(0.3)",
+      g.randomGeometric(n, 0.3).df.select(col("value").cast("double").as("value")),
+      1.0 / 0.3, 0.7 / 0.09, 0.1)
+  }
+
+  test("commons-math sampled families match closed-form moments") {
+    checkMoments("gamma(3,2)", g.randomGamma(n, 3.0, 2.0).df, 6.0, 12.0, 0.15)
+    // beta(2,5): mean 2/7, var ab/((a+b)²(a+b+1))
+    checkMoments("beta(2,5)", g.randomBeta(n, 2.0, 5.0).df,
+      2.0 / 7, 10.0 / (49 * 8), 0.01)
+    checkMoments("chisq(4)", g.randomChisquare(n, 4.0).df, 4.0, 8.0, 0.15)
+    checkMoments("t(8)", g.randomStudentT(n, 8.0).df, 0.0, 8.0 / 6, 0.05)
+    // F(8, 10): mean d2/(d2-2) = 1.25
+    checkMoments("f(8,10)", g.randomF(n, 8.0, 10.0).df, 1.25,
+      2 * 100 * 16.0 / (8 * 64 * 6), 0.1)
+    checkMoments("poisson(6)", g.randomPoisson(n, 6.0).df, 6.0, 6.0, 0.15)
+    checkMoments("binomial(20,0.3)", g.randomBinomial(n, 20, 0.3).df,
+      6.0, 20 * 0.3 * 0.7, 0.15)
+  }
+
+  test("sampled generation is deterministic for a fixed seed and slicing") {
+    val a = g.randomGamma(1000, 2.0, 1.0, seed = 7L).df
+      .orderBy("id").select("value").collect().map(_.getDouble(0)).toSeq
+    val b = g.randomGamma(1000, 2.0, 1.0, seed = 7L).df
+      .orderBy("id").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+    val c = g.randomGamma(1000, 2.0, 1.0, seed = 8L).df
+      .orderBy("id").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(a != c)
+  }
+}
