@@ -564,6 +564,14 @@ final case class GraftFrame(df: DataFrame) {
   def rollingTime(partitionBy: Seq[String], tsCol: String, seconds: Long): GraftRolling =
     GraftRolling(df, Windows.rollingTime(partitionBy, tsCol, seconds))
 
+  /** Weighted rolling mean — pandas rolling(win_type=...).mean() with
+    * explicit weights (see Windows.triangWeights / gaussianWeights);
+    * null until the trailing window is full, like min_periods=window. */
+  def rollingWeighted(colName: String, out: String, weights: Seq[Double],
+      partitionBy: Seq[String], orderBy: Seq[String]): GraftFrame =
+    assign(out -> Windows.weightedRollingMean(
+      df(colName), weights, Windows.spec(partitionBy, orderBy)))
+
   /** Whole-frame aggregation with the same named-spec registry as
     * groupby.agg (reference reduction/aggregation.py:86 frame-level agg). */
   def agg(specs: (String, String, String)*): GraftFrame = {
@@ -837,6 +845,16 @@ final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions
     GraftFrame(df.withColumn(out, F.max(df(c)).over(w)))
   def count(out: String): GraftFrame =
     GraftFrame(df.withColumn(out, F.count(lit(1)).over(w)))
+  def varSamp(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.var_samp(df(c)).over(w)))
+  def std(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.stddev_samp(df(c)).over(w)))
+  def median(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, Windows.rollingMedian(df(c), w)))
+  def skew(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, Windows.rollingSkew(df(c), w)))
+  def kurt(c: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, Windows.rollingKurt(df(c), w)))
   def agg(cols: (String, Column)*): GraftFrame =
     GraftFrame(cols.foldLeft(df) { case (d, (out, c)) => d.withColumn(out, c.over(w)) })
 }

@@ -59,6 +59,68 @@ object Windows {
   def diff(c: Column, periods: Int, w: WindowSpec): Column =
     c - shift(c, periods, w)
 
+  /** Weighted rolling mean over the trailing `weights.size` rows — pandas
+    * rolling(win_type=...).mean(): Σ w_j·x_{t-j} / Σw, null until the
+    * window is full (lag null propagation = pandas min_periods=window).
+    * Weights are given oldest→newest; a sum of lags, fully codegen'd. */
+  def weightedRollingMean(c: Column, weights: Seq[Double], w: WindowSpec): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val n = weights.size
+    val terms = weights.zipWithIndex.map { case (wt, j) =>
+      lag(c, n - 1 - j).over(w) * lit(wt)
+    }
+    terms.reduce(_ + _) / lit(weights.sum)
+  }
+
+  /** Triangular win_type weights of width n: 1,2,…,⌈n/2⌉,…,2,1. */
+  def triangWeights(n: Int): Seq[Double] =
+    (1 to n).map(i => math.min(i, n + 1 - i).toDouble)
+
+  /** Gaussian win_type weights of width n with the given std. */
+  def gaussianWeights(n: Int, std: Double): Seq[Double] = {
+    val mid = (n - 1) / 2.0
+    (0 until n).map(i => math.exp(-0.5 * math.pow((i - mid) / std, 2)))
+  }
+
+  /** Rolling exact interpolated median over a window frame. */
+  def rollingMedian(c: Column, w: WindowSpec): Column =
+    percentile(c, lit(0.5)).over(w)
+
+  /** Rolling SAMPLE skew (pandas rolling.skew, adjusted Fisher–Pearson G1)
+    * from raw moment sums over the frame — engine builtins disagree on the
+    * adjustment (Spark skewness is population g1), so the moments are
+    * derived explicitly like op_agg_stats; null for n < 3 or zero spread. */
+  def rollingSkew(c: Column, w: WindowSpec): Column = {
+    val x = c.cast("double")
+    val n = count(x).over(w).cast("double")
+    val m = sum(x).over(w) / n
+    val s2 = sum(x * x).over(w)
+    val s3 = sum(x * x * x).over(w)
+    val m2c = s2 / n - m * m
+    val m3c = s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m
+    val g1 = m3c / (m2c * sqrt(m2c))
+    when(n >= 3.0 && m2c > 0.0,
+      g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)))
+  }
+
+  /** Rolling SAMPLE excess kurtosis (pandas rolling.kurt, adjusted G2) from
+    * raw moment sums; null for n < 4 or zero spread. */
+  def rollingKurt(c: Column, w: WindowSpec): Column = {
+    val x = c.cast("double")
+    val n = count(x).over(w).cast("double")
+    val m = sum(x).over(w) / n
+    val s2 = sum(x * x).over(w)
+    val s3 = sum(x * x * x).over(w)
+    val s4 = sum(x * x * x * x).over(w)
+    val m2c = s2 / n - m * m
+    val m4c = s4 / n - lit(4.0) * m * (s3 / n) +
+      lit(6.0) * m * m * (s2 / n) - lit(3.0) * m * m * m * m
+    val g2 = m4c / (m2c * m2c) - lit(3.0)
+    when(n >= 4.0 && m2c > 0.0,
+      ((n + lit(1.0)) * g2 + lit(6.0)) * (n - lit(1.0)) /
+        ((n - lit(2.0)) * (n - lit(3.0))))
+  }
+
   def cumsum(c: Column, w: WindowSpec): Column = sum(c).over(expanding(w))
   def cummax(c: Column, w: WindowSpec): Column = max(c).over(expanding(w))
   def cummin(c: Column, w: WindowSpec): Column = min(c).over(expanding(w))

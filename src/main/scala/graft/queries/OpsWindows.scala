@@ -250,6 +250,74 @@ object OpsWindows {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // --- §2.7 rolling var/std/median/skew/kurt. Skew/kurt derive from raw
+    //     moment sums over the frame with pandas' sample adjustments
+    //     (engine builtins disagree on the adjustment — same approach as
+    //     op_agg_stats); l_quantity is integer-valued so the sums are
+    //     exact, round-6 absorbs divide-order ulps.
+    Q("op_rolling_stats",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  round(v, 6) AS roll_var,
+        |  round(s, 6) AS roll_std,
+        |  round(q, 6) AS roll_median,
+        |  round(CASE WHEN n >= 3 AND (s2 / n - m * m) > 0
+        |             THEN ((s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m)
+        |                   / ((s2 / n - m * m) * sqrt(s2 / n - m * m)))
+        |                  * sqrt(n * (n - 1.0)) / (n - 2.0)
+        |        END, 6) AS roll_skew,
+        |  round(CASE WHEN n >= 4 AND (s2 / n - m * m) > 0
+        |             THEN ((n + 1.0) * ((s4 / n - 4.0 * m * (s3 / n)
+        |                     + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m)
+        |                   / ((s2 / n - m * m) * (s2 / n - m * m)) - 3.0) + 6.0)
+        |                  * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        |        END, 6) AS roll_kurt
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    CAST(COUNT(*) OVER w5 AS DOUBLE) AS n,
+        |    SUM(l_quantity) OVER w5 / CAST(COUNT(*) OVER w5 AS DOUBLE) AS m,
+        |    SUM(l_quantity * l_quantity) OVER w5 AS s2,
+        |    SUM(l_quantity * l_quantity * l_quantity) OVER w5 AS s3,
+        |    SUM(l_quantity * l_quantity * l_quantity * l_quantity) OVER w5 AS s4,
+        |    var_samp(l_quantity) OVER w5 AS v, stddev_samp(l_quantity) OVER w5 AS s,
+        |    quantile_cont(l_quantity, 0.5) OVER w5 AS q
+        |  FROM lineitem WHERE l_suppkey < 10
+        |  WINDOW w5 AS (PARTITION BY l_suppkey
+        |                ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity
+        |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) base
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val part = Seq("l_suppkey")
+      val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val w5 = Windows.rolling(Windows.spec(part, ord), 5)
+      t(spark, dir, "lineitem").filter($"l_suppkey" < 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          round(var_samp($"l_quantity").over(w5), 6).as("roll_var"),
+          round(stddev_samp($"l_quantity").over(w5), 6).as("roll_std"),
+          round(Windows.rollingMedian($"l_quantity", w5), 6).as("roll_median"),
+          round(Windows.rollingSkew($"l_quantity", w5), 6).as("roll_skew"),
+          round(Windows.rollingKurt($"l_quantity", w5), 6).as("roll_kurt"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    },
+
+    // --- §2.7 weighted rolling mean (pandas win_type='triang'): a sum of
+    //     lags with exact small-integer weights — bit-exact, null until the
+    //     trailing window is full on both sides
+    Q("op_rolling_weighted",
+      """SELECT o_custkey, o_orderkey,
+        |  (lag(o_totalprice, 2) OVER w * 1.0 + lag(o_totalprice, 1) OVER w * 2.0
+        |   + lag(o_totalprice, 0) OVER w * 1.0) / 4.0 AS wmean
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .query("o_custkey < 50")
+        .rollingWeighted("o_totalprice", "wmean", Windows.triangWeights(3),
+          Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+        .select("o_custkey", "o_orderkey", "wmean")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
+    },
+
     // --- §2.7 time-offset rolling window at MICROsecond resolution over
     //     sub-second event timestamps — the oracle ranges over epoch_us, so
     //     the whole-second truncation this query guards against (the r2

@@ -74,6 +74,30 @@ class WindowsSpec extends SparkSpecBase {
     }
   }
 
+  test("rolling skew/kurt/median/weighted match pandas hand values") {
+    val df = (1 to 5).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "ord", "v")
+    val w5 = Windows.rolling(Windows.spec(Seq("k"), Seq("ord")), 5)
+    val last = df.select($"ord",
+        Windows.rollingSkew($"v", w5).as("sk"),
+        Windows.rollingKurt($"v", w5).as("ku"),
+        Windows.rollingMedian($"v", w5).as("md"))
+      .orderBy($"ord").collect().last
+    // pandas: Series([1,2,3,4,5]).rolling(5).skew() → 0, .kurt() → -1.2
+    assert(math.abs(last.getDouble(1)) < 1e-12)
+    assert(math.abs(last.getDouble(2) - (-1.2)) < 1e-12)
+    assert(last.getDouble(3) == 3.0)
+    // zero-spread window → null skew (pandas NaN)
+    val flat = Seq((1L, 1L, 2.0), (1L, 2L, 2.0), (1L, 3L, 2.0)).toDF("k", "ord", "v")
+    val w3 = Windows.rolling(Windows.spec(Seq("k"), Seq("ord")), 3)
+    assert(flat.select(Windows.rollingSkew($"v", w3)).collect().forall(_.isNullAt(0)))
+    // triang(3) weighted mean: (10+2*20+30)/4 = 20; leading rows null
+    val wm = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0)).toDF("k", "ord", "v")
+      .select($"ord", Windows.weightedRollingMean($"v", Windows.triangWeights(3),
+        Windows.spec(Seq("k"), Seq("ord"))).as("wm"))
+      .orderBy($"ord").collect()
+    assert(wm(0).isNullAt(1) && wm(1).isNullAt(1) && wm(2).getDouble(1) == 20.0)
+  }
+
   test("shift and diff over an ordered window") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), (2L, 1L, 5.0))
       .toDF("k", "ord", "v")
