@@ -85,6 +85,15 @@ final class GraftSession(val spark: SparkSession) {
       spark.range(0, periods)
         .select(date_add(to_date(lit(start)), (col("id") * freqDays).cast("int")).as("date")))
 
+  /** timedelta_range (reference tseries surface): `periods` deltas spaced
+    * `freqMicros` apart, as both a microsecond long (`td_us`, the engine's
+    * timedelta representation per SURVEY §1.4) and a day-time interval
+    * column (`td`). */
+  def timedeltaRange(periods: Int, freqMicros: Long): GraftFrame =
+    GraftFrame(spark.range(0, periods).select(
+      (col("id") * freqMicros).as("td_us"),
+      expr(s"make_dt_interval(0, 0, 0, (id * ${freqMicros}L) / 1000000.0)").as("td")))
+
   /** Uniform [0,1) random frame: `n` rows × `cols` double columns
     * (reference mt.random.rand, mars/tensor/random/). Seeded per column so
     * results are deterministic given (seed, n, cols). */
@@ -251,6 +260,47 @@ final class GraftSession(val spark: SparkSession) {
       val d = new org.apache.commons.math3.distribution.BinomialDistribution(
         rng, trials, p)
       () => d.sample().toDouble
+    }
+
+  def randomZipf(n: Long, nElements: Int, exponent: Double,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.ZipfDistribution(
+        rng, nElements, exponent)
+      () => d.sample().toDouble
+    }
+
+  def randomHypergeometric(n: Long, populationSize: Int, successes: Int,
+      sampleSize: Int, colName: String = "value", seed: Long = 42L,
+      numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.HypergeometricDistribution(
+        rng, populationSize, successes, sampleSize)
+      () => d.sample().toDouble
+    }
+
+  /** Negative binomial: failures before the r-th success (numpy
+    * negative_binomial; math3 Pascal counts the same). */
+  def randomNegBinomial(n: Long, r: Int, p: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val d = new org.apache.commons.math3.distribution.PascalDistribution(rng, r, p)
+      () => d.sample().toDouble
+    }
+
+  /** Wald / inverse-Gaussian(μ, λ) via the Michael–Schucany–Haas
+    * transform (one normal + one uniform per draw). */
+  def randomWald(n: Long, mean: Double, scale: Double,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      () => {
+        val nu = rng.nextGaussian()
+        val y = nu * nu
+        val mu = mean; val lam = scale
+        val x = mu + mu * mu * y / (2.0 * lam) -
+          mu / (2.0 * lam) * math.sqrt(4.0 * mu * lam * y + mu * mu * y * y)
+        if (rng.nextDouble() <= mu / (mu + x)) x else mu * mu / x
+      }
     }
 
   /** Registry table from the test-data layout. */

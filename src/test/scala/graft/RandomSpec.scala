@@ -67,6 +67,29 @@ class RandomSpec extends SparkSpecBase {
       6.0, 20 * 0.3 * 0.7, 0.15)
   }
 
+  test("discrete/transform tail families match closed-form moments") {
+    // negative binomial r=4, p=0.4: mean r(1-p)/p = 6, var r(1-p)/p² = 15
+    checkMoments("negbinomial(4,0.4)", g.randomNegBinomial(n, 4, 0.4).df,
+      6.0, 15.0, 0.2)
+    // hypergeometric N=50, K=20, n=10: mean nK/N = 4
+    checkMoments("hypergeo(50,20,10)", g.randomHypergeometric(n, 50, 20, 10).df,
+      4.0, 10.0 * (20.0 / 50) * (30.0 / 50) * (40.0 / 49), 0.05)
+    // wald(3, 9): mean μ = 3, var μ³/λ = 3
+    checkMoments("wald(3,9)", g.randomWald(n, 3.0, 9.0).df, 3.0, 3.0, 0.1)
+    // zipf: values in [1, nElements], frequencies monotone non-increasing
+    val z = g.randomZipf(n, 10, 2.0).df
+    val counts = z.groupBy(col("value")).count()
+      .orderBy(col("value")).collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(counts.head._1 >= 1.0 && counts.last._1 <= 10.0)
+    assert(counts.head._2 > counts.last._2 * 5, "zipf head should dominate tail")
+  }
+
+  test("timedeltaRange generates evenly spaced deltas") {
+    val td = g.timedeltaRange(5, 1500000L).df.orderBy("td_us")
+      .select("td_us").collect().map(_.getLong(0)).toSeq
+    assert(td == Seq(0L, 1500000L, 3000000L, 4500000L, 6000000L))
+  }
+
   test("sampled generation is deterministic for a fixed seed and slicing") {
     val a = g.randomGamma(1000, 2.0, 1.0, seed = 7L).df
       .orderBy("id").select("value").collect().map(_.getDouble(0)).toSeq
