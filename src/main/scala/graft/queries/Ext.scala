@@ -243,6 +243,36 @@ object Ext {
         .orderBy($"id_a", $"id_b")
     },
 
+    // --- exact all-pairs embedding near-dup baseline (the recall anchor
+    //     the LSH variant is judged against) on the same twin corpus —
+    //     small-corpus-only by design (O(n²)); oracle = the identical
+    //     all-pairs cosine SQL
+    Q("ext_embed_neardup_exact",
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 300),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings").filter($"vec_id" < 300)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val corpus = e.unionAll(e.select(($"cid" + 10000).as("cid"), $"cvec"))
+      Similarity.nearDupPairsExact(corpus, threshold = 0.999)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // --- per-doc text quality metrics (identical exact arithmetic)
     Q("ext_text_quality",
       """SELECT doc_id, lang,

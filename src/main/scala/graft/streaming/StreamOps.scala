@@ -74,9 +74,12 @@ object StreamOps {
       .toDF("doc_id", "fp")
   }
 
-  /** Custom keyed state: running per-user event count + last-seen timestamp
-    * via flatMapGroupsWithState — the escape hatch for state machines the
-    * built-in windows can't express (KeyValueGroupedDataset state API). */
+  /** Custom keyed state: running per-user event count + last-seen
+    * high-water timestamp via flatMapGroupsWithState — the escape hatch for
+    * state machines the built-in windows can't express
+    * (KeyValueGroupedDataset state API). Emits the high-water `last_seen`
+    * per row, so a late batch of older timestamps raises the count but
+    * never regresses last_seen. */
   def runningUserCounts(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events
@@ -94,11 +97,11 @@ object StreamOps {
           val out = rows.map { case (_, ts) =>
             count += 1
             lastTs = math.max(lastTs, ts)
-            (userId, count, ts)
+            (userId, count, lastTs)
           }.toVector
           state.update((count, lastTs))
           out.iterator
       }
-      .toDF("user_id", "running_count", "ts_s")
+      .toDF("user_id", "running_count", "last_seen")
   }
 }

@@ -88,9 +88,17 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       input.addData((ts(3), 7L)) // second micro-batch: state must persist
       q.processAllAvailable()
-      val counts = spark.table("running").select("running_count")
-        .as[Long].collect().sorted.toSeq
-      assert(counts == Seq(1L, 2L, 3L))
+      // third micro-batch arrives with an OLDER timestamp: the count keeps
+      // rising but the last-seen high-water mark must NOT regress (the r2
+      // version recomputed lastTs from 0 each batch)
+      input.addData((ts(1), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("running")
+        .select("running_count", "last_seen")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq(1L, 2L, 3L, 4L))
+      assert(rows.last._2 == ts(3).getTime / 1000,
+        "late older batch regressed the last-seen high-water mark")
     } finally q.stop()
   }
 }
