@@ -256,6 +256,22 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(reversed.orderBy(by.map(df(_)): _*))
   }
 
+  /** Positional row slice [start, end) over an explicit total order —
+    * pandas `iloc[start:end]` (reference indexing/iloc.py; SURVEY §7.3
+    * de-scoped the general positional form, this is the ordered-slice core
+    * users actually hit). Scale-safe: a sampled range-partitioned sort +
+    * RDD zipWithIndex (per-partition offsets from one lightweight count
+    * job) — no single-task global window at any size. */
+  def ilocSlice(start: Long, end: Long, orderBy: Seq[String]): GraftFrame = {
+    require(start >= 0 && end >= start, s"invalid slice [$start, $end)")
+    val sorted = df.orderBy(orderBy.map(df(_)): _*)
+    val schema = sorted.schema
+    val indexed = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => i >= start && i < end }
+      .map(_._1)
+    GraftFrame(df.sparkSession.createDataFrame(indexed, schema))
+  }
+
   /** Conform to a given key frame (reference indexing/reindex.py:49 /
     * align, indexing/align.py:44): left join from the new keys, missing
     * rows null-filled (or `fillValue`). `keys` must be the key frame's

@@ -288,6 +288,62 @@ final class GraftSession(val spark: SparkSession) {
       () => d.sample().toDouble
     }
 
+  private def sampledArray(n: Long, colName: String, seed: Long, numSlices: Int)(
+      mk: org.apache.commons.math3.random.RandomGenerator => () => Array[Double])
+      : GraftFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField(colName, ArrayType(DoubleType, containsNull = false), nullable = false)))
+    implicit val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    GraftFrame(spark.range(0, n, 1, numSlices).toDF("id").mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rng = new org.apache.commons.math3.random.Well19937c(seed + pid)
+      val draw = mk(rng)
+      it.map(r => Row(r.getLong(0), draw().toSeq))
+    })
+  }
+
+  /** Dirichlet(α) row vectors: k gamma draws normalized to the simplex
+    * (reference mt.random.dirichlet). */
+  def randomDirichlet(n: Long, alpha: Seq[Double], colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    sampledArray(n, colName, seed, numSlices) { rng =>
+      val gammas = alpha.map(a =>
+        new org.apache.commons.math3.distribution.GammaDistribution(rng, a, 1.0))
+      () => {
+        val g = gammas.map(_.sample()).toArray
+        val s = g.sum
+        g.map(_ / s)
+      }
+    }
+
+  /** Multivariate normal(μ, Σ) row vectors via a driver-side Cholesky of
+    * the (small) covariance and per-row x = μ + L·z (reference
+    * mt.random.multivariate_normal). */
+  def randomMultivariateNormal(n: Long, mean: Seq[Double], cov: Seq[Seq[Double]],
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame = {
+    val d = mean.size
+    require(cov.size == d && cov.forall(_.size == d), "cov must be d×d")
+    val chol = new org.apache.commons.math3.linear.CholeskyDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(
+        cov.map(_.toArray).toArray)).getL
+    val l = Array.tabulate(d, d)((i, j) => chol.getEntry(i, j))
+    val mu = mean.toArray
+    sampledArray(n, colName, seed, numSlices) { rng =>
+      () => {
+        val z = Array.fill(d)(rng.nextGaussian())
+        Array.tabulate(d) { i =>
+          var acc = mu(i)
+          var j = 0
+          while (j <= i) { acc += l(i)(j) * z(j); j += 1 }
+          acc
+        }
+      }
+    }
+  }
+
   /** Wald / inverse-Gaussian(μ, λ) via the Michael–Schucany–Haas
     * transform (one normal + one uniform per draw). */
   def randomWald(n: Long, mean: Double, scale: Double,

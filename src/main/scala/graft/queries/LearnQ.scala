@@ -50,6 +50,43 @@ object LearnQ {
         .toDF("slope", "intercept")
     },
 
+    // --- glm, gaussian family + identity link: IRLS converges to the OLS
+    //     closed form, so DuckDB's regr_slope/intercept is a FULL oracle
+    //     for the GLM fit path (the non-gaussian families share it)
+    Q("learn_glm",
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val model = Learn.glmFit(
+        t(spark, dir, "lineitem"), Seq("l_quantity"), "l_extendedprice",
+        family = "gaussian")
+      Seq((
+        BigDecimal(model.coefficients(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(model.intercept).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("slope", "intercept")
+    },
+
+    // --- logistic regression on a separable derived label: the class
+    //     counts are exact SQL; the fitted model must recover the
+    //     separation (accuracy invariant pinned — the fit itself has no
+    //     closed form for an external oracle)
+    Q("learn_logistic",
+      """SELECT (SELECT COUNT(*) FROM customer) AS n,
+        |       (SELECT COUNT(*) FILTER (c_acctbal > 5000.0) FROM customer) AS n_pos,
+        |       true AS acc_ge_99""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val labeled = t(spark, dir, "customer")
+        .withColumn("label", ($"c_acctbal" > 5000.0).cast("double"))
+      val model = Learn.logisticRegressionFit(labeled, Seq("c_acctbal"), "label")
+      val pred = Learn.logisticPredict(model, labeled, Seq("c_acctbal"))
+      pred.agg(
+        count(lit(1)).as("n"),
+        sum($"label").cast("long").as("n_pos"),
+        ((sum(when($"prediction" === $"label", 1L).otherwise(0L)) /
+          count(lit(1)).cast("double")) >= 0.99).as("acc_ge_99"))
+    },
+
     // --- preprocessing: column standardization (x - mean) / std
     Q("learn_scaler",
       """SELECT c_custkey,

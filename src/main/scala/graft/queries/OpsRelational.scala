@@ -540,6 +540,22 @@ object OpsRelational {
         .orderBy($"event_type")
     },
 
+    // --- §2.11 positional slice over an explicit total order (pandas
+    //     iloc[start:end]) — zipWithIndex-based, no global window
+    Q("op_iloc_slice",
+      """SELECT c_custkey, c_name FROM (
+        |  SELECT c_custkey, c_name,
+        |         row_number() OVER (ORDER BY c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn > 100 AND rn <= 120
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "customer")
+        .ilocSlice(100, 120, Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+        .sortValues(Seq("c_custkey"))
+        .df
+    },
+
     // --- §2.11 deterministic hash sampling via the fluent API (oracle
     //     replays the identical avalanche-hash bucket)
     Q("op_sample_hash",

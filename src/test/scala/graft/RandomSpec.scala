@@ -84,6 +84,34 @@ class RandomSpec extends SparkSpecBase {
     assert(counts.head._2 > counts.last._2 * 5, "zipf head should dominate tail")
   }
 
+  test("dirichlet rows live on the simplex with alpha-proportional means") {
+    val alpha = Seq(2.0, 3.0, 5.0)
+    val df = g.randomDirichlet(5000, alpha).df
+    val sums = df.select(aggregate(col("value"), lit(0.0), (a, x) => a + x))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    val means = (1 to 3).map { i =>
+      df.select(avg(element_at(col("value"), i))).collect().head.getDouble(0)
+    }
+    alpha.zip(means).foreach { case (a, m) =>
+      assert(math.abs(m - a / 10.0) < 0.02, s"dirichlet mean $m != ${a / 10.0}")
+    }
+  }
+
+  test("multivariate normal matches mean and covariance") {
+    val mean = Seq(1.0, -2.0)
+    val cov = Seq(Seq(2.0, 0.8), Seq(0.8, 1.0))
+    val df = g.randomMultivariateNormal(20000, mean, cov).df
+      .select(element_at(col("value"), 1).as("x"), element_at(col("value"), 2).as("y"))
+    val r = df.agg(avg(col("x")), avg(col("y")), var_samp(col("x")),
+      var_samp(col("y")), covar_samp(col("x"), col("y"))).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 0.05)
+    assert(math.abs(r.getDouble(1) + 2.0) < 0.05)
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 0.08)
+    assert(math.abs(r.getDouble(4) - 0.8) < 0.08)
+  }
+
   test("timedeltaRange generates evenly spaced deltas") {
     val td = g.timedeltaRange(5, 1500000L).df.orderBy("td_us")
       .select("td_us").collect().map(_.getLong(0)).toSeq
