@@ -55,4 +55,54 @@ object DtAccessor {
 
   /** Difference in whole days (pandas (a - b).dt.days). */
   def daysBetween(a: Column, b: Column): Column = datediff(a, b).cast("long")
+
+  // ---- tail of the pandas surface (r3): period/boundary/naming/rounding
+
+  def weekday(c: Column): Column = dayofweek(c) // pandas alias
+
+  def isQuarterEnd(c: Column): Column =
+    to_date(c) === last_day(c) &&
+      pmod(org.apache.spark.sql.functions.month(c), lit(3)) === 0
+
+  def isYearEnd(c: Column): Column =
+    org.apache.spark.sql.functions.month(c) === 12 && dayofmonth(c) === 31
+
+  /** dt.month_name() / day_name() (en locale, like the reference default). */
+  def monthName(c: Column): Column = date_format(c, "MMMM")
+  def dayName(c: Column): Column = date_format(c, "EEEE")
+
+  def toPeriodQuarter(c: Column): Column = trunc(c, "quarter")
+  def toPeriodYear(c: Column): Column = trunc(c, "year")
+
+  private def unitMicros(unit: String): Long = unit match {
+    case "second" => 1000000L
+    case "minute" => 60000000L
+    case "hour" => 3600000000L
+    case "day" => 86400000000L
+    case u => throw new IllegalArgumentException(s"unsupported round unit: $u")
+  }
+
+  /** dt.ceil to a fixed-width unit (second/minute/hour/day): next boundary
+    * unless already on one. Pure integer epoch-µs arithmetic (pmod) — no
+    * double division, so boundaries are exact and engine-portable. */
+  def ceilTo(c: Column, unit: String): Column = {
+    val u = unitMicros(unit)
+    val us = unix_micros(c)
+    val rem = pmod(us, lit(u))
+    timestamp_micros(us - rem + when(rem > 0L, lit(u)).otherwise(lit(0L)))
+  }
+
+  /** dt.round to a fixed-width unit, half-up at the midpoint — integer
+    * epoch-µs arithmetic like [[ceilTo]]. */
+  def roundTo(c: Column, unit: String): Column = {
+    val u = unitMicros(unit)
+    val us = unix_micros(c)
+    val rem = pmod(us, lit(u))
+    timestamp_micros(us - rem + when(rem >= u / 2, lit(u)).otherwise(lit(0L)))
+  }
+
+  /** Timedelta total_seconds from a microsecond-long delta (SURVEY §1.4:
+    * timedeltas are µs longs). */
+  def totalSeconds(microsDelta: Column): Column =
+    microsDelta.cast("double") / 1000000.0
 }

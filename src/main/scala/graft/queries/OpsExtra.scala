@@ -287,6 +287,45 @@ object OpsExtra {
         .orderBy($"p_partkey")
     },
 
+    // --- §2.10 dt accessor tail: quarter/year ends, month/day names,
+    //     ceil/round to unit (integer µs arithmetic both sides), periods,
+    //     timedelta total_seconds
+    Q("op_dt_accessor2",
+      """SELECT event_id,
+        |  CAST(ts AS DATE) = last_day(ts) AND month(ts) % 3 = 0 AS q_end,
+        |  month(ts) = 12 AND day(ts) = 31 AS y_end,
+        |  monthname(ts) AS mname,
+        |  dayname(ts) AS dname,
+        |  epoch_us(ts) - (epoch_us(ts) % 3600000000)
+        |    + CASE WHEN epoch_us(ts) % 3600000000 > 0 THEN 3600000000 ELSE 0 END
+        |    AS ceil_hour_us,
+        |  epoch_us(ts) - (epoch_us(ts) % 3600000000)
+        |    + CASE WHEN epoch_us(ts) % 3600000000 >= 1800000000 THEN 3600000000 ELSE 0 END
+        |    AS round_hour_us,
+        |  strftime(date_trunc('quarter', ts), '%Y-%m-%d') AS per_q,
+        |  strftime(date_trunc('year', ts), '%Y-%m-%d') AS per_y,
+        |  CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+        |  (epoch_us(ts) - epoch_us(date_trunc('day', ts))) / 1000000.0 AS secs_today
+        |FROM events WHERE event_id < 100
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{DtAccessor => D}
+      t(spark, dir, "events").filter($"event_id" < 100)
+        .select($"event_id",
+          D.isQuarterEnd($"ts").as("q_end"),
+          D.isYearEnd($"ts").as("y_end"),
+          D.monthName($"ts").as("mname"),
+          D.dayName($"ts").as("dname"),
+          unix_micros(D.ceilTo($"ts", "hour")).as("ceil_hour_us"),
+          unix_micros(D.roundTo($"ts", "hour")).as("round_hour_us"),
+          date_format(D.toPeriodQuarter($"ts"), "yyyy-MM-dd").as("per_q"),
+          date_format(D.toPeriodYear($"ts"), "yyyy-MM-dd").as("per_y"),
+          D.weekday($"ts").as("wd"),
+          D.totalSeconds(unix_micros($"ts") -
+            unix_micros(date_trunc("day", $"ts"))).as("secs_today"))
+        .orderBy($"event_id")
+    },
+
     // --- §2.5 mean absolute deviation (pandas mad), grouped: two hash
     //     aggregates + a join, no per-group window buffer
     Q("op_mad",

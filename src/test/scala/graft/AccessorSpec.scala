@@ -71,6 +71,21 @@ class AccessorSpec extends SparkSpecBase {
     assert(df.select(D.dayofweek($"d")).as[Long].collect().head == 0L)
   }
 
+  test("dt ceil/round respect exact boundaries and midpoints") {
+    val on = java.sql.Timestamp.valueOf("2024-03-05 13:00:00")
+    val just = java.sql.Timestamp.valueOf("2024-03-05 13:00:00.000001")
+    val mid = java.sql.Timestamp.valueOf("2024-03-05 13:30:00")
+    val r = Seq((on, just, mid)).toDF("on", "just", "mid").select(
+      D.ceilTo($"on", "hour").cast("string").as("c_on"),
+      D.ceilTo($"just", "hour").cast("string").as("c_just"),
+      D.roundTo($"mid", "hour").cast("string").as("r_mid"),
+      D.roundTo($"on", "hour").cast("string").as("r_on")).collect().head
+    assert(r.getString(0) == "2024-03-05 13:00:00") // on-boundary stays
+    assert(r.getString(1) == "2024-03-05 14:00:00") // 1µs past → next hour
+    assert(r.getString(2) == "2024-03-05 14:00:00") // midpoint rounds up
+    assert(r.getString(3) == "2024-03-05 13:00:00")
+  }
+
   test("str partition/rpartition match python semantics incl. absent sep") {
     val df = Seq("a-b-c", "nosep").toDF("s")
     val rows = df.select(
