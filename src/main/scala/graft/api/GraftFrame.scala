@@ -256,6 +256,15 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(reversed.orderBy(by.map(df(_)): _*))
   }
 
+  /** Scalar lookup by key (pandas at/iat; reference indexing/at.py:83):
+    * the single value of `valueCol` where `keyCol` equals `key`. Pushes the
+    * key predicate to the scan; fails if the key is absent or ambiguous. */
+  def at(keyCol: String, key: Any, valueCol: String): Any = {
+    val rows = df.filter(df(keyCol) === lit(key)).select(df(valueCol)).take(2)
+    require(rows.length == 1, s"at($keyCol=$key): ${rows.length} rows, expected 1")
+    rows.head.get(0)
+  }
+
   /** Positional row slice [start, end) over an explicit total order —
     * pandas `iloc[start:end]` (reference indexing/iloc.py; SURVEY §7.3
     * de-scoped the general positional form, this is the ordered-slice core

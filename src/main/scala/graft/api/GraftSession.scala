@@ -77,6 +77,29 @@ final class GraftSession(val spark: SparkSession) {
   def range(start: Long, end: Long, step: Long = 1L): GraftFrame =
     GraftFrame(spark.range(start, end, step).toDF("id"))
 
+  /** Evenly spaced values over [start, stop] (reference mt.linspace):
+    * num rows, endpoint included, generated distributed. */
+  def linspace(start: Double, stop: Double, num: Int,
+      colName: String = "value"): GraftFrame = {
+    require(num >= 2, s"linspace needs num >= 2, got $num")
+    GraftFrame(spark.range(0, num).toDF("id").withColumn(colName,
+      lit(start) + col("id").cast("double") * ((stop - start) / (num - 1))))
+  }
+
+  /** Constant frames (reference mt.zeros / mt.ones / mt.full). */
+  def full(n: Long, value: Double, cols: Seq[String]): GraftFrame =
+    GraftFrame(cols.foldLeft(spark.range(0, n).toDF("id"))(
+      (df, c) => df.withColumn(c, lit(value))))
+  def zeros(n: Long, cols: Seq[String]): GraftFrame = full(n, 0.0, cols)
+  def ones(n: Long, cols: Seq[String]): GraftFrame = full(n, 1.0, cols)
+
+  /** Identity matrix as (row id, array<double>) rows (reference mt.eye) —
+    * row-vector layout like the embedding tables. */
+  def eye(n: Int): GraftFrame =
+    GraftFrame(spark.range(0, n).toDF("id").withColumn("vec",
+      transform(sequence(lit(0), lit(n - 1)),
+        j => when(j === col("id").cast("int"), 1.0).otherwise(0.0))))
+
   /** Daily date_range (reference datasource/date_range.py:122): `periods`
     * dates starting at `start`, spaced `freqDays` apart — generated
     * distributed via spark.range, never on the driver. */

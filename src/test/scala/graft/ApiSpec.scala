@@ -170,6 +170,27 @@ class ApiSpec extends SparkSpecBase {
     }
   }
 
+  test("tensor creation sources: linspace, zeros/ones, eye, at lookup") {
+    val ls = g.linspace(0.0, 1.0, 5).df.orderBy("id")
+      .select("value").as[Double].collect().toSeq
+    assert(ls == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    assert(g.ones(4, Seq("a", "b")).df.agg(sum($"a") + sum($"b"))
+      .as[Double].collect().head == 8.0)
+    val eye = g.eye(3).df.orderBy("id").select("vec")
+      .as[Seq[Double]].collect().toSeq
+    assert(eye == Seq(Seq(1.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)))
+    val f = GraftFrame(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    assert(f.at("k", 2L, "v") == "y")
+    intercept[IllegalArgumentException] { f.at("k", 9L, "v") }
+  }
+
+  test("ilocSlice returns the exact positional range over the total order") {
+    val f = GraftFrame((1L to 100L).reverse.toDF("v"))
+    val got = f.ilocSlice(10, 15, Seq("v")).df.orderBy("v")
+      .as[Long].collect().toSeq
+    assert(got == (11L to 15L).toSeq)
+  }
+
   test("align conforms both frames to the same key universe") {
     val l = GraftFrame(Seq((1L, "a"), (2L, "b")).toDF("k", "lv"))
     val r = GraftFrame(Seq((2L, 20.0), (3L, 30.0)).toDF("k", "rv"))
