@@ -493,6 +493,38 @@ final case class GraftFrame(df: DataFrame) {
       countDistinct(df(cols.head)).as(s"${cols.head}_nunique"),
       cols.tail.map(c => countDistinct(df(c)).as(s"${c}_nunique")): _*))
 
+  /** Full pairwise Pearson correlation matrix over numeric columns
+    * (pandas df.corr; reference statistics/corr.py:29 computes the same
+    * cross-moment sums): ONE partial+final aggregate produces every
+    * pairwise moment — no per-pair passes, no MLlib vector assembly. Output
+    * rows (col_a, col_b, corr) for a ≤ b. */
+  def corrMatrix(cols: Seq[String]): GraftFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = cols.flatMap(c => Seq(
+      avg(df(c)).as(s"__m_$c"),
+      stddev_samp(df(c)).as(s"__s_$c"))) ++
+      pairs.map { case (a, b) =>
+        covar_samp(df(a), df(b)).as(s"__cv_${a}__$b")
+      }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        (col(s"__cv_${a}__$b") / (col(s"__s_$a") * col(s"__s_$b"))).as("corr"))
+    }
+    GraftFrame(stats
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr")))
+  }
+
+  /** pandas nlargest / nsmallest: top-n rows by a column — a distributed
+    * TakeOrdered, never a full sort of the output. */
+  def nlargest(n: Int, colName: String): GraftFrame =
+    GraftFrame(df.orderBy(df(colName).desc).limit(n))
+  def nsmallest(n: Int, colName: String): GraftFrame =
+    GraftFrame(df.orderBy(df(colName).asc).limit(n))
+
   /** Monotonicity check over an explicit order (reference
     * base/check_monotonic.py): single window pass + bool_and reduce. */
   def checkMonotonic(orderCol: String, valueCol: String): GraftFrame = {

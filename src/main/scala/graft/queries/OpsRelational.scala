@@ -540,6 +540,48 @@ object OpsRelational {
         .orderBy($"event_type")
     },
 
+    // --- §2.13 full pairwise correlation matrix (pandas df.corr): one
+    //     aggregate for every cross-moment, corr = cov/(σa·σb)
+    Q("op_corr_matrix",
+      """SELECT col_a, col_b, round(corr, 6) AS corr FROM (
+        |  SELECT 'l_discount' AS col_a, 'l_discount' AS col_b,
+        |         covar_samp(l_discount, l_discount)
+        |           / (stddev_samp(l_discount) * stddev_samp(l_discount)) AS corr
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_extendedprice',
+        |         covar_samp(l_discount, l_extendedprice)
+        |           / (stddev_samp(l_discount) * stddev_samp(l_extendedprice))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_quantity',
+        |         covar_samp(l_discount, l_quantity)
+        |           / (stddev_samp(l_discount) * stddev_samp(l_quantity))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_extendedprice',
+        |         covar_samp(l_extendedprice, l_extendedprice)
+        |           / (stddev_samp(l_extendedprice) * stddev_samp(l_extendedprice))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_quantity',
+        |         covar_samp(l_extendedprice, l_quantity)
+        |           / (stddev_samp(l_extendedprice) * stddev_samp(l_quantity))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_quantity',
+        |         covar_samp(l_quantity, l_quantity)
+        |           / (stddev_samp(l_quantity) * stddev_samp(l_quantity))
+        |  FROM lineitem) m
+        |ORDER BY col_a, col_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "lineitem")
+        .corrMatrix(Seq("l_discount", "l_extendedprice", "l_quantity"))
+        .assign("corr" -> round($"corr", 6))
+        .sortValues(Seq("col_a", "col_b"))
+        .df
+    },
+
     // --- §2.11 positional slice over an explicit total order (pandas
     //     iloc[start:end]) — zipWithIndex-based, no global window
     Q("op_iloc_slice",

@@ -184,6 +184,12 @@ class ApiSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { f.at("k", 9L, "v") }
   }
 
+  test("nlargest/nsmallest return the extreme rows") {
+    val f = GraftFrame((1L to 50L).toDF("v"))
+    assert(f.nlargest(3, "v").df.as[Long].collect().sorted.toSeq == Seq(48L, 49L, 50L))
+    assert(f.nsmallest(2, "v").df.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("ilocSlice returns the exact positional range over the total order") {
     val f = GraftFrame((1L to 100L).reverse.toDF("v"))
     val got = f.ilocSlice(10, 15, Seq("v")).df.orderBy("v")
