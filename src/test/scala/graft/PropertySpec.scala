@@ -158,6 +158,28 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("PortableHash buckets are uniform for arbitrary arithmetic stripes") {
+    import graft.functions.PortableHash
+    // any fixed stride (the killer input class for the r2 residue bucket)
+    // must land ~uniformly across 100 buckets
+    forAll(org.scalacheck.Gen.choose(1L, 1000L)) { stride =>
+      val keys = (0L until 2000L).map(_ * stride)
+      val buckets = keys.toDF("k")
+        .select(PortableHash.bucket(col("k"), 100).as("b"))
+        .groupBy("b").count().collect().map(_.getLong(1))
+      // 2000 keys over 100 buckets → mean 20; no bucket should hog > 3×
+      assert(buckets.max <= 60, s"stride $stride skewed: max bucket ${buckets.max}")
+      assert(buckets.length >= 80, s"stride $stride hit only ${buckets.length} buckets")
+    }
+    // determinism + range
+    val h = (0L to 100L).toDF("k")
+      .select(PortableHash.hash32(col("k")).as("h")).as[Long].collect()
+    assert(h.forall(v => v >= 0L && v < 4294967296L))
+    val h2 = (0L to 100L).toDF("k")
+      .select(PortableHash.hash32(col("k")).as("h")).as[Long].collect()
+    assert(h.toSeq == h2.toSeq)
+  }
+
   test("melt then pivot-first restores the original values") {
     forAll(frameGen) { rows =>
       val uniq = rows.groupBy(_._2).map(_._2.head).toList // unique ids
