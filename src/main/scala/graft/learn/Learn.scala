@@ -242,6 +242,43 @@ object Learn {
       Array.tabulate(dim, k)((i, j) => v(i, j)))
   }
 
+  /** Distributed tall-skinny QR over an `array<float>` matrix column
+    * (reference tensor linalg QR, opcodes 501-530 → RowMatrix.tallSkinnyQR):
+    * returns (Q rows as array<double> in input order-free RDD layout, R as
+    * k×k row-major). The decomposition shuffles nothing but the k×k
+    * Gram-side factor — the scalable QR for n ≫ k. */
+  def qr(df: DataFrame, featuresArrayCol: String)
+      : (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(featuresArrayCol)).rdd.map { r =>
+      OldVectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+    val qrRes = new RowMatrix(rows).tallSkinnyQR(computeQ = true)
+    val k = qrRes.R.numCols
+    val rMat = Array.tabulate(k, k)((i, j) => qrRes.R(i, j))
+    val qDf = qrRes.Q.rows.map(v => Tuple1(v.toArray.toSeq)).toDF("q")
+    (qDf, rMat)
+  }
+
+  /** Matrix / vector-column norms (reference tensor norm): "fro" (whole
+    * column of vectors), row-wise "l1"/"l2"/"linf" as expressions. */
+  def frobeniusNorm(df: DataFrame, featuresArrayCol: String): Double =
+    math.sqrt(df.select(
+      sum(aggregate(col(featuresArrayCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("s"))
+      .collect().head.getDouble(0))
+
+  def rowNorm(c: Column, ord: String = "l2"): Column = ord match {
+    case "l2" => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    case "l1" => aggregate(c, lit(0.0), (acc, x) => acc + abs(x.cast("double")))
+    case "linf" => array_max(transform(c, x => abs(x.cast("double"))))
+    case o => throw new IllegalArgumentException(s"unknown norm: $o")
+  }
+
   // ---------------------------------------------------------------- metrics
   /** Pairwise distance matrix between two (id, array<float>) frames
     * (reference mars/learn/metrics/pairwise/): broadcast the smaller side,

@@ -74,6 +74,29 @@ object StreamOps {
       .toDF("doc_id", "fp")
   }
 
+  /** Stream–stream interval join: right-stream events falling in
+    * [left.ts, left.ts + windowSeconds) for the same key — the streaming
+    * form of [[graft.operators.Sessionize.intervalJoin]] (clicks within an
+    * hour of a signup, etc.). Both sides carry watermarks, so the join
+    * state is bounded: Spark evicts left rows once the right watermark
+    * passes their window end. Inputs need (user_id, event_id, ts); output
+    * (user_id, left_id, right_id).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      windowSeconds: Long, watermark: String): DataFrame = {
+    val l = left
+      .selectExpr("user_id AS l_user", "event_id AS left_id", "ts AS l_ts")
+      .withWatermark("l_ts", watermark)
+    val r = right
+      .selectExpr("user_id AS r_user", "event_id AS right_id", "ts AS r_ts")
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+        s"""l_user = r_user AND
+           |r_ts >= l_ts AND
+           |r_ts < l_ts + INTERVAL $windowSeconds SECOND""".stripMargin))
+      .select(col("l_user").as("user_id"), col("left_id"), col("right_id"))
+  }
+
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for
     * state machines the built-in windows can't express

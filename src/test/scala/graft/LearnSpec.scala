@@ -95,6 +95,33 @@ class LearnSpec extends SparkSpecBase {
     assert(frac2 > 0.15 && frac2 < 0.25, s"even test fraction $frac2 not ~0.20")
   }
 
+  test("tall-skinny QR reconstructs the matrix with upper-triangular R") {
+    val r = new scala.util.Random(13)
+    val a = Seq.fill(40)(Seq.fill(3)(r.nextGaussian().toFloat))
+    val df = a.map(Tuple1(_)).toDF("embedding").coalesce(1)
+    val (qDf, rMat) = Learn.qr(df, "embedding")
+    // R upper triangular
+    for (i <- 0 until 3; j <- 0 until i)
+      assert(math.abs(rMat(i)(j)) < 1e-10, s"R($i,$j) not zero")
+    // A = Q·R row by row (single partition keeps row order aligned)
+    val qRows = qDf.as[Seq[Double]].collect()
+    for (i <- a.indices; k <- 0 until 3) {
+      val recon = (0 until 3).map(j => qRows(i)(j) * rMat(j)(k)).sum
+      assert(math.abs(recon - a(i)(k)) < 1e-5, s"A($i,$k) reconstruction")
+    }
+  }
+
+  test("norms: frobenius and row-wise l1/l2/linf") {
+    val df = Seq(Tuple1(Seq(3f, -4f))).toDF("v")
+    assert(math.abs(Learn.frobeniusNorm(df, "v") - 5.0) < 1e-12)
+    val r = df.select(
+      Learn.rowNorm(col("v"), "l2"), Learn.rowNorm(col("v"), "l1"),
+      Learn.rowNorm(col("v"), "linf")).collect().head
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-12)
+  }
+
   test("standardScale produces mean 0 / std 1") {
     val df = (1 to 200).map(i => i.toDouble * 3 + 7).toDF("x")
     val scaled = Learn.standardScale(df, Seq("x"))

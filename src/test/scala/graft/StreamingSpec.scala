@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the hand-computed pairs") {
+    implicit val sq = spark.sqlContext
+    val signups = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.intervalJoinStream(
+        signups.toDF().toDF("user_id", "event_id", "ts"),
+        clicks.toDF().toDF("user_id", "event_id", "ts"),
+        windowSeconds = 60L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      signups.addData((1L, 101L, ts(0, 10)), (2L, 102L, ts(1, 40)))
+      clicks.addData(
+        (1L, 201L, ts(0, 30)), // in [10s, 70s) → joins
+        (1L, 202L, ts(1, 20)), // 80s → outside the 60s window
+        (2L, 203L, ts(2, 0)), // 120s, window [100s, 160s) → joins
+        (3L, 204L, ts(0, 15))) // no signup for user 3
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .select("user_id", "left_id", "right_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 101L, 201L), (2L, 102L, 203L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running counts across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
