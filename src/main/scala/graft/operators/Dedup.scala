@@ -64,24 +64,39 @@ object Dedup {
     * (strings never leave the scan). Very frequent shingles (stop-phrases)
     * blow up pairs quadratically, so shingles occurring in more than
     * `maxShingleDf` docs are dropped — the standard df-cap used by
-    * web-scale dedup pipelines. */
+    * web-scale dedup pipelines. The cap defaults on (1000): exact
+    * all-pairs over an uncapped stop-phrase shingle is quadratic no
+    * matter how it's expressed. Pass `None` only for small-corpus exact
+    * baselines. */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
-    // One aggregation groups doc ids per shingle; the df-cap is a size
-    // filter on the grouped lists. Pair generation then explodes the
-    // C(df, 2) combinations per shingle directly — same output as the
-    // self-join formulation but with half the shuffle volume and no join
-    // build side.
-    val byShingle = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= maxShingleDf.getOrElse(Int.MaxValue))
+    // The df-cap applies BEFORE any per-shingle list exists: pre-count
+    // shingle document frequency (partial-aggregatable count, no lists)
+    // and semi-join the under-cap shingle set back. A stop-phrase shingle
+    // with df=10^8 never reaches the collect_list buffer — the old
+    // collect-then-filter order materialized the full id list in one task
+    // just to throw it away. Both shuffles hash on the same int64 shingle
+    // key, so AQE coalesces them.
+    val capped = maxShingleDf match {
+      case Some(cap) =>
+        val underCap = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh")
+        sh.join(underCap, Seq("sh"), "left_semi")
+      case None => sh
+    }
+    // One aggregation groups doc ids per shingle; pair generation then
+    // explodes the C(df, 2) combinations per shingle directly — same
+    // output as the self-join formulation but with half the shuffle
+    // volume and no join build side.
+    val byShingle = capped.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
     // Sizes measured over the SAME capped shingle universe as the
     // intersection counts, so jaccard's numerator and denominator are
     // consistent when a df-cap is in effect. Without a cap the size is just
@@ -89,9 +104,7 @@ object Dedup {
     // no shuffle.
     val sizes = maxShingleDf match {
       case Some(_) =>
-        byShingle
-          .select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       case None =>
         docs.select(col(idCol).as("doc_id"),
           size(TextFunctions.hashedShingles(col(textCol), n)).cast("long").as("sz"))

@@ -197,16 +197,30 @@ object Windows {
             started = true; curKey = k
             num = 0.0; den = 0.0; sumsq = 0.0; den2 = 0.0; first = true
           } else first = false
-          val x = r.getDouble(2)
-          num = num * oneMinus + x
-          den = den * oneMinus + 1.0
-          sumsq = sumsq * oneMinus + x * x
-          den2 = den2 * oneMinusSq + 1.0
-          val v: Any =
-            if (first) null
-            else (sumsq - num * num / den) / (den - den2 / den)
-          val s: Any = if (first) null else math.sqrt(v.asInstanceOf[Double])
-          Row(r.get(0), r.get(1), x, num / den, v, s)
+          if (r.isNullAt(2)) {
+            // pandas ewm ignore_na: a null contributes nothing and the
+            // accumulators carry across it unchanged; the row itself gets
+            // null stats (mean too, before any observation arrives).
+            val mean: Any = if (den == 0.0) null else num / den
+            val v: Any =
+              if (first || den == 0.0 || den - den2 / den == 0.0) null
+              else (sumsq - num * num / den) / (den - den2 / den)
+            val s: Any =
+              if (v == null) null else math.sqrt(v.asInstanceOf[Double])
+            Row(r.get(0), r.get(1), null, mean, v, s)
+          } else {
+            val wasEmpty = den == 0.0
+            val x = r.getDouble(2)
+            num = num * oneMinus + x
+            den = den * oneMinus + 1.0
+            sumsq = sumsq * oneMinus + x * x
+            den2 = den2 * oneMinusSq + 1.0
+            val v: Any =
+              if (first || wasEmpty) null
+              else (sumsq - num * num / den) / (den - den2 / den)
+            val s: Any = if (v == null) null else math.sqrt(v.asInstanceOf[Double])
+            Row(r.get(0), r.get(1), x, num / den, v, s)
+          }
         }
       }
   }

@@ -94,9 +94,27 @@ object Ext {
         .orderBy($"source")
     },
 
-    // --- exact n-gram Jaccard near-dup pairs (library op, exact oracle)
+    // --- exact n-gram Jaccard near-dup pairs (library op, exact oracle).
+    //     Both sides apply the default df-cap (shingles in >1000 docs are
+    //     dropped before pairing; sizes measured over the capped universe)
+    //     so the oracle stays exact even if the fixture grows a
+    //     stop-phrase shingle.
     Q("ext_dedup_jaccard",
-      jaccardPairsSql + "\nORDER BY doc_a, doc_b") { (spark, dir) =>
+      s"""WITH $shinglesCte,
+         |qual AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+         |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN qual q ON s.sh = q.sh),
+         |csz AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+         |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN csz sa ON doc_a = sa.doc_id
+         |JOIN csz sb ON doc_b = sb.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "text", "doc_id",
           n = 3, threshold = 0.8)

@@ -264,13 +264,13 @@ object OpsWindows {
         |             THEN ((s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m)
         |                   / ((s2 / n - m * m) * sqrt(s2 / n - m * m)))
         |                  * sqrt(n * (n - 1.0)) / (n - 2.0)
-        |        END, 6) AS roll_skew,
+        |        END, 6) + CAST(0.0 AS DOUBLE) AS roll_skew,
         |  round(CASE WHEN n >= 4 AND (s2 / n - m * m) > 0
         |             THEN ((n + 1.0) * ((s4 / n - 4.0 * m * (s3 / n)
         |                     + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m)
         |                   / ((s2 / n - m * m) * (s2 / n - m * m)) - 3.0) + 6.0)
         |                  * (n - 1.0) / ((n - 2.0) * (n - 3.0))
-        |        END, 6) AS roll_kurt
+        |        END, 6) + CAST(0.0 AS DOUBLE) AS roll_kurt
         |FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
         |    CAST(COUNT(*) OVER w5 AS DOUBLE) AS n,
@@ -294,8 +294,11 @@ object OpsWindows {
           round(var_samp($"l_quantity").over(w5), 6).as("roll_var"),
           round(stddev_samp($"l_quantity").over(w5), 6).as("roll_std"),
           round(Windows.rollingMedian($"l_quantity", w5), 6).as("roll_median"),
-          round(Windows.rollingSkew($"l_quantity", w5), 6).as("roll_skew"),
-          round(Windows.rollingKurt($"l_quantity", w5), 6).as("roll_kurt"))
+          // + 0.0 flushes IEEE -0.0 to +0.0 on both engines: symmetric
+          // windows land tiny residuals on opposite sides of zero and the
+          // driver's %.10g renders -0 != 0 (round preserves the sign).
+          (round(Windows.rollingSkew($"l_quantity", w5), 6) + lit(0.0)).as("roll_skew"),
+          (round(Windows.rollingKurt($"l_quantity", w5), 6) + lit(0.0)).as("roll_kurt"))
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     },
 

@@ -74,6 +74,26 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.toSeq == Seq((1L, 3L, 1.0)))
   }
 
+  test("df-cap prunes shingles below the list aggregation (plan order)") {
+    // The semi-join that drops over-cap shingles must execute BEFORE the
+    // collect_list aggregate: a stop-phrase shingle with huge df must
+    // never materialize its id list in one task just to be filtered.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.1, maxShingleDf = Some(5))
+      .queryExecution.optimizedPlan
+    val listAggs = plan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(listAggs.nonEmpty, "expected a collect_list aggregate in the plan")
+    assert(listAggs.exists(a =>
+      a.children.exists(_.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty)),
+      "df-cap semi-join must sit below the collect_list aggregate")
+  }
+
   test("minhashSignature equals the per-hash-function minimum (one-pass = naive)") {
     val numHashes = 16
     val seed = 42L

@@ -74,6 +74,48 @@ class WindowsSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmStats skips nulls (pandas ignore_na): accumulators carry across") {
+    val alpha = 0.5
+    // (key, ord, value): nulls mid-stream, at key start, and at key end
+    val rows: Seq[(Long, Double, Option[Double])] = Seq(
+      (1L, 0.0, Some(1.0)), (1L, 1.0, None), (1L, 2.0, Some(3.0)),
+      (1L, 3.0, Some(2.0)), (1L, 4.0, None),
+      (2L, 0.0, None), (2L, 1.0, Some(5.0)))
+    val df = rows.toDF("k", "ord", "v")
+    val got = Windows.ewmStats(df, "k", "ord", "v", alpha)
+      .select("key", "ord", "ewm", "ewm_var")
+      .collect()
+      .map(r0 => (r0.getLong(0), r0.getDouble(1)) ->
+        ((if (r0.isNullAt(2)) None else Some(r0.getDouble(2))),
+          (if (r0.isNullAt(3)) None else Some(r0.getDouble(3)))))
+      .toMap
+    // replay: nulls contribute nothing and do not decay the weights
+    // (ignore_na=True relative positioning); a null row re-emits the
+    // running mean/var, or null before the first/second observation
+    for ((k, ks) <- rows.groupBy(_._1)) {
+      var num = 0.0; var den = 0.0; var sumsq = 0.0; var den2 = 0.0
+      var nObs = 0
+      for ((_, o, vOpt) <- ks.sortBy(_._2)) {
+        vOpt.foreach { x =>
+          num = num * (1 - alpha) + x
+          den = den * (1 - alpha) + 1.0
+          sumsq = sumsq * (1 - alpha) + x * x
+          den2 = den2 * (1 - alpha) * (1 - alpha) + 1.0
+          nObs += 1
+        }
+        val expMean = if (nObs == 0) None else Some(num / den)
+        val expVar =
+          if (nObs < 2) None
+          else Some((sumsq - num * num / den) / (den - den2 / den))
+        val (gm, gv) = got((k, o))
+        assert(gm.isDefined == expMean.isDefined && gv.isDefined == expVar.isDefined,
+          s"null shape mismatch at ($k,$o): got ($gm,$gv) want ($expMean,$expVar)")
+        expMean.foreach(e => assert(math.abs(gm.get - e) < 1e-9, s"mean at ($k,$o)"))
+        expVar.foreach(e => assert(math.abs(gv.get - e) < 1e-9, s"var at ($k,$o)"))
+      }
+    }
+  }
+
   test("rolling skew/kurt/median/weighted match pandas hand values") {
     val df = (1 to 5).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "ord", "v")
     val w5 = Windows.rolling(Windows.spec(Seq("k"), Seq("ord")), 5)
