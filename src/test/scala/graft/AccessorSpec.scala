@@ -121,6 +121,42 @@ class AccessorSpec extends SparkSpecBase {
     assert(dm == Seq((1L, 1L, 0L), (0L, 1L, 1L), (1L, 0L, 0L)))
   }
 
+  test("str last mile: extractall, rsplit maxsplit, rfind, index raise, normalize") {
+    val df = Seq("a-b-c-d").toDF("s")
+    val r = df.select(
+      S.extractall($"s", "[a-z]", 0).as("ea"),
+      S.rsplit($"s", "-", 1).as("rs1"),
+      S.rsplit($"s", "-", 2).as("rs2"),
+      S.rsplit($"s", "-").as("rsAll"),
+      S.rsplit($"s", "x", 1).as("rsAbsent"),
+      S.rfind($"s", "b").as("rfB"),
+      S.rfind($"s", "z").as("rfZ"),
+      S.indexOf($"s", "c").as("idxC"),
+      S.rindexOf($"s", "-").as("ridx")).collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c", "d"))
+    assert(r.getSeq[String](1) == Seq("a-b-c", "d")) // python 'a-b-c-d'.rsplit('-',1)
+    assert(r.getSeq[String](2) == Seq("a-b", "c", "d"))
+    assert(r.getSeq[String](3) == Seq("a", "b", "c", "d"))
+    assert(r.getSeq[String](4) == Seq("a-b-c-d"))
+    assert(r.getLong(5) == 2L)
+    assert(r.getLong(6) == -1L)
+    assert(r.getLong(7) == 4L)
+    assert(r.getLong(8) == 5L)
+    // pandas str.index raises on absence; ours surfaces a Spark error
+    intercept[Exception] {
+      df.select(S.indexOf($"s", "zz")).collect()
+    }
+    // NFC recomposes e + U+0301 to é; NFD decomposes it back; NFKC folds
+    // compatibility forms (ﬁ ligature → fi)
+    val n = Seq("café ﬁn").toDF("s").select(
+      S.normalizeUnicode($"s", "NFC").as("nfc"),
+      S.normalizeUnicode(S.normalizeUnicode($"s", "NFC"), "NFD").as("nfd"),
+      S.normalizeUnicode($"s", "NFKC").as("nfkc")).collect().head
+    assert(n.getString(0) == "café ﬁn")
+    assert(n.getString(1) == "café ﬁn")
+    assert(n.getString(2) == "café fin")
+  }
+
   test("frame mad and groupby mad match hand computation") {
     val df = Seq((1L, 2.0), (1L, 4.0), (1L, 9.0), (2L, 10.0), (2L, 20.0))
       .toDF("k", "v")
