@@ -591,6 +591,43 @@ final case class GraftFrame(df: DataFrame) {
   def sampleHash(colName: String, pct: Int): GraftFrame =
     GraftFrame(df.filter(graft.functions.PortableHash.bucket(df(colName), 100) < pct))
 
+  /** Deterministic row shuffle (reference mt.random.shuffle applied to a
+    * frame): total order by the portable avalanche hash of (key + seed) —
+    * a sampled range-partitioned sort, reproducible across runs/engines. */
+  def shuffleRows(keyCol: String, seed: Long = 42L): GraftFrame =
+    GraftFrame(df.orderBy(
+      graft.functions.PortableHash.uniform01(df(keyCol) + lit(seed)), df(keyCol)))
+
+  /** numpy random.choice over frame rows. Without replacement: the first k
+    * of a [[shuffleRows]] order (a TakeOrdered — no full sort materialized).
+    * With replacement: k hash-uniform draws of a positional index joined
+    * back through zipWithIndex (two narrow passes + one shuffle join; the
+    * one `count()` action is the price of positional semantics, as in
+    * ilocSlice). */
+  def choiceRows(k: Int, keyCol: String, seed: Long = 42L,
+      withReplacement: Boolean = false): GraftFrame = {
+    require(k >= 0, s"choiceRows k must be >= 0: $k")
+    if (!withReplacement)
+      GraftFrame(df.orderBy(
+          graft.functions.PortableHash.uniform01(df(keyCol) + lit(seed)), df(keyCol))
+        .limit(k))
+    else {
+      val spark = df.sparkSession
+      val cnt = df.count()
+      require(cnt > 0, "choiceRows with replacement on an empty frame")
+      val schema = df.schema.add(org.apache.spark.sql.types.StructField(
+        "__ridx", org.apache.spark.sql.types.LongType, nullable = false))
+      val indexed = spark.createDataFrame(
+        df.orderBy(df(keyCol)).rdd.zipWithIndex().map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+      val draws = spark.range(0, k).toDF("__draw")
+        .select(floor(graft.functions.PortableHash.uniform01(col("__draw") + lit(seed))
+          * cnt).cast("long").as("__ridx"))
+      GraftFrame(draws.join(indexed, Seq("__ridx"), "inner").drop("__ridx"))
+    }
+  }
+
   // ------------------------------------------------------------- UDF §2.12
   /** Partition-wise UDF — the reference's map_chunk (base/map_chunk.py:51),
     * its primary escape hatch: an iterator transform per partition with an

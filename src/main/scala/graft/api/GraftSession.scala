@@ -382,6 +382,155 @@ final class GraftSession(val spark: SparkSession) {
       }
     }
 
+  /** von Mises(μ, κ) on the circle via the Best–Fisher (1979) wrapped-
+    * Cauchy rejection sampler — the same algorithm numpy uses (reference
+    * mt.random.vonmises). Results wrapped to [-π, π]. */
+  def randomVonmises(n: Long, mu: Double, kappa: Double,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame = {
+    require(kappa > 0.0, s"vonmises kappa must be > 0: $kappa")
+    val tau = 1.0 + math.sqrt(1.0 + 4.0 * kappa * kappa)
+    val rho = (tau - math.sqrt(2.0 * tau)) / (2.0 * kappa)
+    val r = (1.0 + rho * rho) / (2.0 * rho)
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      () => {
+        var f = 0.0
+        var accepted = false
+        while (!accepted) {
+          val u1 = rng.nextDouble(); val u2 = rng.nextDouble()
+          val z = math.cos(math.Pi * u1)
+          f = (1.0 + r * z) / (r + z)
+          val c = kappa * (r - f)
+          accepted = c * (2.0 - c) - u2 > 0.0 ||
+            (u2 > 0.0 && math.log(c / u2) + 1.0 - c >= 0.0)
+        }
+        val u3 = rng.nextDouble()
+        val theta = mu + math.signum(u3 - 0.5) * math.acos(f)
+        math.atan2(math.sin(theta), math.cos(theta)) // wrap to [-π, π]
+      }
+    }
+  }
+
+  /** Log-series(p) on {1,2,…} by sequential CDF inversion (reference
+    * mt.random.logseries; mean -p/((1-p)·ln(1-p))). */
+  def randomLogseries(n: Long, p: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame = {
+    require(p > 0.0 && p < 1.0, s"logseries p out of (0,1): $p")
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      () => {
+        val u = rng.nextDouble()
+        var k = 1
+        var pk = -p / math.log1p(-p) // P(1)
+        var cum = pk
+        while (cum < u && k < 1000000) {
+          pk = pk * p * k / (k + 1.0)
+          k += 1
+          cum += pk
+        }
+        k.toDouble
+      }
+    }
+  }
+
+  /** Noncentral χ²(df, λ) as the Poisson(λ/2) mixture of central χ²:
+    * J ~ Poisson(λ/2), X ~ χ²_{df+2J} ≡ Gamma((df+2J)/2, 2). */
+  def randomNoncentralChisquare(n: Long, df: Double, nonc: Double,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame = {
+    require(df > 0.0 && nonc >= 0.0, s"invalid noncentral chisq params ($df, $nonc)")
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val pois = new org.apache.commons.math3.distribution.PoissonDistribution(
+        rng, nonc / 2.0,
+        org.apache.commons.math3.distribution.PoissonDistribution.DEFAULT_EPSILON,
+        org.apache.commons.math3.distribution.PoissonDistribution.DEFAULT_MAX_ITERATIONS)
+      () => {
+        val j = pois.sample()
+        new org.apache.commons.math3.distribution.GammaDistribution(
+          rng, (df + 2.0 * j) / 2.0, 2.0).sample()
+      }
+    }
+  }
+
+  /** Noncentral F(d1, d2, λ): (ncχ²(d1,λ)/d1) / (χ²(d2)/d2). */
+  def randomNoncentralF(n: Long, dfnum: Double, dfden: Double, nonc: Double,
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame = {
+    require(dfnum > 0.0 && dfden > 0.0 && nonc >= 0.0,
+      s"invalid noncentral F params ($dfnum, $dfden, $nonc)")
+    sampledDouble(n, colName, seed, numSlices) { rng =>
+      val pois = new org.apache.commons.math3.distribution.PoissonDistribution(
+        rng, nonc / 2.0,
+        org.apache.commons.math3.distribution.PoissonDistribution.DEFAULT_EPSILON,
+        org.apache.commons.math3.distribution.PoissonDistribution.DEFAULT_MAX_ITERATIONS)
+      val den = new org.apache.commons.math3.distribution.ChiSquaredDistribution(rng, dfden)
+      () => {
+        val j = pois.sample()
+        val num = new org.apache.commons.math3.distribution.GammaDistribution(
+          rng, (dfnum + 2.0 * j) / 2.0, 2.0).sample()
+        (num / dfnum) / (den.sample() / dfden)
+      }
+    }
+  }
+
+  /** Multinomial(trials, pvals) count vectors via the conditional-binomial
+    * decomposition (reference mt.random.multinomial): category i gets
+    * Binomial(remaining, p_i / p_remaining); rows sum to `trials` exactly. */
+  def randomMultinomial(n: Long, trials: Int, pvals: Seq[Double],
+      colName: String = "value", seed: Long = 42L, numSlices: Int = 8): GraftFrame = {
+    require(trials >= 0 && pvals.nonEmpty && pvals.forall(_ >= 0.0) &&
+      math.abs(pvals.sum - 1.0) < 1e-9, "pvals must be a probability vector")
+    val k = pvals.size
+    sampledArray(n, colName, seed, numSlices) { rng =>
+      () => {
+        val out = new Array[Double](k)
+        var remaining = trials
+        var psum = 1.0
+        var i = 0
+        while (i < k - 1 && remaining > 0) {
+          val pi = pvals(i) / psum
+          val x =
+            if (pi >= 1.0) remaining
+            else if (pi <= 0.0) 0
+            else new org.apache.commons.math3.distribution.BinomialDistribution(
+              rng, remaining, pi).sample()
+          out(i) = x.toDouble
+          remaining -= x
+          psum -= pvals(i)
+          i += 1
+        }
+        if (remaining > 0) out(k - 1) = remaining.toDouble
+        out
+      }
+    }
+  }
+
+  /** Weighted categorical choice (numpy random.choice(values, p=pvals)):
+    * i.i.d. draws via the categorical inverse CDF — a pure codegen'd
+    * expression, differential-checked by op_random_choice. */
+  def randomChoice(n: Long, values: Seq[String], pvals: Seq[Double],
+      colName: String = "value", seed: Long = 42L): GraftFrame = {
+    require(values.size == pvals.size, "values and pvals must align")
+    fromU(n, colName, seed) { u =>
+      element_at(array(values.map(lit): _*),
+        Dist.categoricalInv(u, pvals).cast("int") + 1)
+    }
+  }
+
+  /** Deterministic permutation of [0, n) (reference mt.random.permutation):
+    * ids ordered by the portable avalanche hash of (id + seed), position
+    * materialized by zipWithIndex — a sampled range-partitioned sort plus
+    * per-partition offsets, never a single-task global window. Replayable
+    * in SQL as ORDER BY hash(i + seed) (op_random_perm). */
+  def permutation(n: Long, seed: Long = 42L): GraftFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = spark.range(0, n).toDF("id")
+      .withColumn("__u", graft.functions.PortableHash.uniform01(col("id") + lit(seed)))
+      .orderBy(col("__u"), col("id"))
+      .select(col("id"))
+    val schema = StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("value", LongType, nullable = false)))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) => Row(i, r.getLong(0)) }
+    GraftFrame(spark.createDataFrame(rows, schema))
+  }
+
   /** Registry table from the test-data layout. */
   def table(sfDir: String, name: String): GraftFrame =
     GraftFrame(graft.Tables.load(spark, sfDir, name))

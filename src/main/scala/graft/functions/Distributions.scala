@@ -65,4 +65,29 @@ object Distributions {
     require(p > 0.0 && p < 1.0, s"geometric p out of (0,1): $p")
     greatest(ceil(log(lit(1.0) - u) / math.log(1.0 - p)), lit(1.0)).cast("long")
   }
+
+  /** Categorical over `pvals` via inverse CDF on the cumulative weights:
+    * the 0-based index i with cum_{i-1} <= u < cum_i (numpy
+    * random.choice(len(p), p=p) per-draw semantics). A nested CASE over
+    * compile-time thresholds — codegen'd, and replayable in any SQL engine
+    * ([[sqlCategoricalInv]]). */
+  def categoricalInv(u: Column, pvals: Seq[Double]): Column = {
+    require(pvals.nonEmpty && pvals.forall(_ >= 0.0), "pvals must be non-negative")
+    require(math.abs(pvals.sum - 1.0) < 1e-9, s"pvals must sum to 1: ${pvals.sum}")
+    val thresholds = pvals.scanLeft(0.0)(_ + _).tail.dropRight(1)
+    thresholds.zipWithIndex.foldRight(lit((pvals.size - 1).toLong)) {
+      case ((thr, i), rest) => when(u < thr, lit(i.toLong)).otherwise(rest)
+    }
+  }
+
+  /** SQL mirror of [[categoricalInv]]. Thresholds go through
+    * CAST('…' AS DOUBLE) — a bare decimal literal would be DECIMAL in
+    * DuckDB; the string round-trips to the identical double. */
+  def sqlCategoricalInv(u: String, pvals: Seq[Double]): String = {
+    val thresholds = pvals.scanLeft(0.0)(_ + _).tail.dropRight(1)
+    val cases = thresholds.zipWithIndex
+      .map { case (thr, i) => s"WHEN ($u) < CAST('$thr' AS DOUBLE) THEN $i" }
+      .mkString(" ")
+    s"(CASE $cases ELSE ${pvals.size - 1} END)"
+  }
 }

@@ -21,6 +21,11 @@ object OpsExtra {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+
+  /** Shared categorical-choice parameters (Spark + oracle sides). */
+  val choiceLabels: Seq[String] = Seq("bronze", "silver", "gold", "platinum")
+  val choiceP: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4)
+
   val all: Vector[Q] = Vector(
 
     // --- §2.5 all/any reductions (reference reduction/all.py:30, any.py:30)
@@ -505,6 +510,47 @@ object OpsExtra {
         .select("c_custkey", "c_name", "c_acctbal")
         .sortValues(Seq("c_custkey"))
         .df
+    },
+
+    // --- §2.1 weighted categorical choice (numpy random.choice(a, p=...);
+    //     reference mt.random.choice): the categorical inverse CDF over
+    //     portable-hash uniforms — the exact nested-CASE thresholds are
+    //     generated from ONE Scala source for both engines
+    Q("op_random_choice", {
+      val u = graft.functions.PortableHash.sqlUniform01("c_custkey")
+      val idx = graft.functions.Distributions.sqlCategoricalInv(u, OpsExtra.choiceP)
+      s"""SELECT c_custkey, CAST(idx AS BIGINT) AS pick_idx,
+         |  CASE idx WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+         |           WHEN 2 THEN 'gold' ELSE 'platinum' END AS pick
+         |FROM (SELECT c_custkey, $idx AS idx
+         |      FROM customer WHERE c_custkey < 2000) s
+         |ORDER BY c_custkey""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Distributions => D, PortableHash}
+      t(spark, dir, "customer").filter($"c_custkey" < 2000)
+        .withColumn("__idx", D.categoricalInv(PortableHash.uniform01($"c_custkey"),
+          OpsExtra.choiceP))
+        .select($"c_custkey",
+          $"__idx".as("pick_idx"),
+          element_at(array(OpsExtra.choiceLabels.map(lit): _*),
+            $"__idx".cast("int") + 1).as("pick"))
+        .orderBy($"c_custkey")
+    },
+
+    // --- §2.1 permutation/shuffle (reference mt.random.permutation,
+    //     mt.random.shuffle): hash-ordered bijection of [0, n) with the
+    //     position materialized by zipWithIndex (no global window); the
+    //     oracle replays the order with row_number over the same hash
+    Q("op_random_perm",
+      s"""SELECT CAST(row_number() OVER (
+         |         ORDER BY ${graft.functions.PortableHash.sqlUniform01("i + 7")}, i)
+         |       - 1 AS BIGINT) AS pos,
+         |       i AS value
+         |FROM range(0, 500) t(i)
+         |ORDER BY pos""".stripMargin) { (spark, dir) =>
+      graft.api.GraftSession(spark).permutation(500, seed = 7L)
+        .sortValues(Seq("pos")).df
     }
   )
 }

@@ -112,6 +112,68 @@ class RandomSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(4) - 0.8) < 0.08)
   }
 
+  test("tail families (vonmises/logseries/noncentral) match closed-form moments") {
+    // vonmises(0.5, 4): symmetric about μ=0.5, support within [-π, π]
+    val vm = g.randomVonmises(n, 0.5, 4.0).df
+    val (vmm, _) = meanVar(vm)
+    assert(math.abs(vmm - 0.5) < 0.05, s"vonmises mean $vmm != 0.5")
+    val ex = vm.agg(min(col("value")), max(col("value"))).collect().head
+    assert(ex.getDouble(0) >= -math.Pi && ex.getDouble(1) <= math.Pi)
+    // logseries(0.5): mean -p/((1-p)ln(1-p)) ≈ 1.442695, var ≈ 0.80403
+    checkMoments("logseries(0.5)", g.randomLogseries(n, 0.5).df,
+      1.4426950408889634, 0.80403, 0.05)
+    // noncentral χ²(3, 2): mean df+λ = 5, var 2(df+2λ) = 14
+    checkMoments("ncx2(3,2)", g.randomNoncentralChisquare(n, 3.0, 2.0).df,
+      5.0, 14.0, 0.15)
+    // noncentral F(8, 12, 3): mean d2(d1+λ)/(d1(d2-2)) = 12·11/(8·10) = 1.65
+    val (fm, _) = meanVar(g.randomNoncentralF(n, 8.0, 12.0, 3.0).df)
+    assert(math.abs(fm - 1.65) < 0.1, s"ncF mean $fm != 1.65")
+  }
+
+  test("multinomial rows sum to trials with p-proportional means") {
+    val df = g.randomMultinomial(5000, 20, Seq(0.2, 0.3, 0.5)).df
+    val sums = df.select(aggregate(col("value"), lit(0.0), (a, x) => a + x))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(sums.forall(_ == 20.0), "every multinomial row must sum to trials")
+    val means = (1 to 3).map(i =>
+      df.select(avg(element_at(col("value"), i))).collect().head.getDouble(0))
+    Seq(4.0, 6.0, 10.0).zip(means).foreach { case (e, m) =>
+      assert(math.abs(m - e) < 0.15, s"multinomial mean $m != $e")
+    }
+  }
+
+  test("choice/permutation/shuffle: deterministic bijections and samples") {
+    val p = g.permutation(1000, seed = 3L).df
+    assert(p.select("value").distinct().count() == 1000)
+    assert(p.select("pos").distinct().count() == 1000)
+    val mm = p.agg(min(col("pos")), max(col("pos")),
+      min(col("value")), max(col("value"))).collect().head
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3)) ==
+      ((0L, 999L, 0L, 999L)))
+    val p2 = g.permutation(1000, seed = 3L).df.orderBy("pos").collect().toSeq
+    assert(p.orderBy("pos").collect().toSeq == p2, "same seed → same permutation")
+    val p3 = g.permutation(1000, seed = 4L).df.orderBy("pos").collect().toSeq
+    assert(p2 != p3, "different seed → different permutation")
+
+    val rc = g.randomChoice(20000, Seq("a", "b", "c"), Seq(0.2, 0.3, 0.5)).df
+    val freq = rc.groupBy("value").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(freq("a") / 20000.0 - 0.2) < 0.02)
+    assert(math.abs(freq("c") / 20000.0 - 0.5) < 0.02)
+
+    import graft.api.GraftFrame
+    val base = g.range(0, 100).df.withColumnRenamed("id", "k")
+    val noRep = GraftFrame(base).choiceRows(10, "k", seed = 5L).df.collect()
+    assert(noRep.length == 10 && noRep.map(_.getLong(0)).distinct.length == 10)
+    val withRep = GraftFrame(base).choiceRows(250, "k", seed = 5L,
+      withReplacement = true).df.collect().map(_.getLong(0))
+    assert(withRep.length == 250 && withRep.forall(v => v >= 0 && v < 100))
+    assert(withRep.distinct.length > 50, "250 draws over 100 rows should repeat")
+    val sh = GraftFrame(base).shuffleRows("k", seed = 9L).df.collect().map(_.getLong(0)).toSeq
+    assert(sh.sorted == (0L until 100L) && sh != (0L until 100L),
+      "shuffle permutes without loss")
+  }
+
   test("timedeltaRange generates evenly spaced deltas") {
     val td = g.timedeltaRange(5, 1500000L).df.orderBy("td_us")
       .select("td_us").collect().map(_.getLong(0)).toSeq
