@@ -70,6 +70,26 @@ final case class GraftFrame(df: DataFrame) {
   def astype(casts: (String, String)*): GraftFrame =
     GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })
 
+  /** astype('category') — dictionary-encode a string column exactly like
+    * the reference's two-pass category gathering (base/astype.py:32,
+    * TO_CATEGORY_CHUNK): pass 1 collects the distinct category table with
+    * sorted dense codes, pass 2 broadcast-joins the codes back. Returns
+    * (frame + `<col>_code` int column, category table (code, value)).
+    * Scale: the category table is small by definition (it's a dict encode);
+    * the join is an explicit broadcast — no shuffle of the fact side. The
+    * sorted-order window runs only over the distinct categories. */
+  def astypeCategory(colName: String): (GraftFrame, GraftFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(colName))
+    val categories = df.select(colName).where(df(colName).isNotNull).distinct()
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .select(col("code"), col(colName).as("category"))
+    val encoded = df.join(
+      broadcast(categories.withColumnRenamed("category", colName)),
+      Seq(colName), "left")
+      .withColumnRenamed("code", s"${colName}_code")
+    (GraftFrame(encoded), GraftFrame(categories))
+  }
+
   /** pandas to_datetime (reference tseries/to_datetime.py:37): parse with
     * an explicit format, null on failure like errors='coerce'. */
   def toDatetime(colName: String, out: String, fmt: String = "yyyy-MM-dd"): GraftFrame =

@@ -71,6 +71,21 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.3 astype('category'): dictionary encoding — sorted dense codes
+    //     (reference base/astype.py:32 two-pass category gathering); the
+    //     oracle replays the code as dense_rank over the value order
+    Q("op_astype_cat",
+      """SELECT p_partkey, p_brand,
+        |  CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS p_brand_code
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      val p = gt(spark, dir, "part")
+      val (encoded, _) = p.filter(p("p_partkey") < 500).astypeCategory("p_brand")
+      encoded.select("p_partkey", "p_brand", "p_brand_code")
+        .sortValues(Seq("p_partkey"))
+        .df
+    },
+
     // --- §2.10 missing data: isna/fillna/dropna (nulls via NULLIF)
     Q("op_missing_data",
       """SELECT l_returnflag,

@@ -399,4 +399,32 @@ class ApiSpec extends SparkSpecBase {
     val f = g.fromRows(Seq(Row(1L, "a"), Row(2L, "b")), schema, numPartitions = 2)
     assert(f.df.count() == 2 && f.df.rdd.getNumPartitions == 2)
   }
+
+  test("astypeCategory dictionary-encodes with a sorted code table") {
+    val f = GraftFrame(Seq(("x", 1L), ("z", 2L), ("y", 3L), ("x", 4L),
+      (null.asInstanceOf[String], 5L)).toDF("cat", "k"))
+    val (encoded, categories) = f.astypeCategory("cat")
+    val table = categories.sortValues(Seq("code")).df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(table == Seq((0L, "x"), (1L, "y"), (2L, "z")),
+      "codes are dense ranks of the sorted distinct categories")
+    val codes = encoded.sortValues(Seq("k")).df
+      .select("cat_code").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(codes == Seq(0L, 2L, 1L, 0L, -1L), "null category → null code (pandas -1 analog)")
+    // the encode join must be broadcast — no shuffle of the fact side
+    val plan = encoded.df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"category join should broadcast:\n$plan")
+  }
+
+  test("jdbc partitioned scan splits the read across partitions") {
+    val url = "jdbc:derby:memory:graftdb2;create=true"
+    val f = GraftFrame((1L to 40L).map(i => (i, i * 2.0)).toDF("k", "v"))
+    f.toJdbc(url, "parted")
+    val back = g.readJdbc(url, "parted", partitionColumn = Some("k"),
+      lowerBound = 1L, upperBound = 41L, numPartitions = 4)
+    assert(back.df.rdd.getNumPartitions == 4,
+      "reference read_sql(partition_col, num_partitions) → partitioned JDBC scan")
+    assert(back.df.count() == 40)
+  }
 }
