@@ -472,6 +472,67 @@ object Ext {
           countDistinct(TextFunctions.prefixFingerprint($"text", 8)).as("n_clusters"),
           count(lit(1)).as("n_docs"))
         .orderBy($"source")
+    },
+
+    // --- multimodal plumbing, differential-checked: a deterministic media
+    //     frame is derived from documents (dims / frame counts / sample
+    //     counts from n_chars arithmetic), then the three modality paths
+    //     run for real — image resize dims through the mapPartitions decode
+    //     path (graft.multimodal.Multimodal.imageFeatures), video frame
+    //     sampling and audio chunking through their explode plans. DuckDB
+    //     replays the integer arithmetic and the IEEE floor(x*scale+0.5)
+    //     resize rounding exactly. (The stubbed embedding bytes are the one
+    //     part no SQL engine can replay — MultimodalSpec covers them.)
+    Q("ext_multimodal",
+      """WITH docs AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 AS m, n_chars
+        |  FROM documents WHERE doc_id < 300),
+        |img AS (
+        |  SELECT media_id, 'resize' AS kind,
+        |    CAST(greatest(1, floor(w * least(1.0, 256.0 / greatest(w, h)) + 0.5)) AS BIGINT) AS a,
+        |    CAST(greatest(1, floor(h * least(1.0, 256.0 / greatest(w, h)) + 0.5)) AS BIGINT) AS b
+        |  FROM (SELECT media_id,
+        |          CAST(n_chars % 1000 + 100 AS DOUBLE) AS w,
+        |          CAST((n_chars * 7) % 800 + 50 AS DOUBLE) AS h
+        |        FROM docs WHERE m = 0) s),
+        |aud AS (
+        |  SELECT media_id, 'chunk' AS kind, CAST(ci AS BIGINT) AS a,
+        |    CAST(least(ns, (ci + 1) * 32000) AS BIGINT) AS b
+        |  FROM (SELECT media_id, n_chars * 50 AS ns,
+        |          unnest(generate_series(0, greatest((n_chars * 50 - 1) // 32000, 0))) AS ci
+        |        FROM docs WHERE m = 1) s),
+        |vid AS (
+        |  SELECT media_id, 'frame' AS kind, CAST(fi AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b
+        |  FROM (SELECT media_id, unnest(generate_series(0, greatest(n_chars % 300, 0), 7)) AS fi
+        |        FROM docs WHERE m = 2) s)
+        |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+        |               UNION ALL SELECT * FROM vid) u
+        |ORDER BY media_id, kind, a""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(spark, dir, "documents").filter($"doc_id" < 300)
+        .select(
+          $"doc_id".as("media_id"),
+          lit(null).cast("string").as("uri"),
+          encode($"text", "UTF-8").as("data"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            ($"doc_id" % 3).cast("int") + 1).as("modality"),
+          struct(
+            (($"n_chars" % 1000) + 100).cast("int").as("width"),
+            ((($"n_chars" * 7) % 800) + 50).cast("int").as("height"),
+            lit(16000).cast("int").as("sample_rate"),
+            when($"doc_id" % 3 === 1, ($"n_chars" * 50).cast("int"))
+              .otherwise((($"n_chars" % 300) + 1).cast("int")).as("n_frames")).as("meta"))
+      val img = Multimodal.imageFeatures(media, dim = 4, maxSide = 256)
+        .select($"media_id", lit("resize").as("kind"),
+          $"out_w".cast("long").as("a"), $"out_h".cast("long").as("b"))
+      val aud = Multimodal.audioChunks(media, sampleRate = 16000, chunkSeconds = 2)
+        .select($"media_id", lit("chunk").as("kind"),
+          $"chunk_idx".cast("long").as("a"), $"end_sample".cast("long").as("b"))
+      val vid = Multimodal.videoFrameSample(media, everyN = 7)
+        .select($"media_id", lit("frame").as("kind"),
+          $"frame_idx".cast("long").as("a"), lit(-1L).as("b"))
+      img.unionAll(aud).unionAll(vid).orderBy($"media_id", $"kind", $"a")
     }
   )
 }
