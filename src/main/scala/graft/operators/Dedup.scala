@@ -78,33 +78,52 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
-    // The df-cap applies BEFORE any per-shingle list exists: pre-count
-    // shingle document frequency (partial-aggregatable count, no lists)
-    // and semi-join the under-cap shingle set back. A stop-phrase shingle
-    // with df=10^8 never reaches the collect_list buffer — the old
-    // collect-then-filter order materialized the full id list in one task
-    // just to throw it away. Both shuffles hash on the same int64 shingle
-    // key, so AQE coalesces them.
-    val capped = maxShingleDf match {
-      case Some(cap) =>
-        val underCap = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("sh")
-        sh.join(underCap, Seq("sh"), "left_semi")
-      case None => sh
-    }
     // One aggregation groups doc ids per shingle; pair generation then
     // explodes the C(df, 2) combinations per shingle directly — same
     // output as the self-join formulation but with half the shuffle
     // volume and no join build side.
-    val byShingle = capped.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+    //
+    // The df-cap applies BEFORE any full per-shingle list can exist, in one
+    // of two formulations:
+    //  - native (extension sessions, long ids): `graft_collect_capped`
+    //    bounds every aggregation buffer — map-side partial, shuffle block,
+    //    reduce merge — at cap+1 longs and evaluates over-cap groups to
+    //    NULL. One shuffle total; a stop-phrase shingle with df=10^8 costs
+    //    cap+1 longs of memory, ever.
+    //  - fallback: pre-count shingle df (partial-aggregatable, no lists),
+    //    keep only the OVER-cap shingles — a tiny set (stop-phrases) — and
+    //    broadcast anti-join them out of the shingle stream before the
+    //    collect_list. (Anti-joining the tiny over-cap set is a narrow
+    //    broadcast probe; semi-joining the huge under-cap complement was a
+    //    sort-merge join costing ~40% of the query's runtime at sf0.1.)
+    val nativeCap = sh.sparkSession.catalog.functionExists("graft_collect_capped") &&
+      sh.schema("doc_id").dataType == org.apache.spark.sql.types.LongType
+    val byShingle = maxShingleDf match {
+      case Some(cap) if nativeCap =>
+        sh.groupBy("sh")
+          .agg(call_function("graft_collect_capped", col("doc_id"), lit(cap)).as("ids"))
+          .filter(col("ids").isNotNull)
+      case Some(cap) =>
+        val overCap = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        sh.join(broadcast(overCap), Seq("sh"), "left_anti")
+          .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      case None =>
+        sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+    }
     // Sizes measured over the SAME capped shingle universe as the
     // intersection counts, so jaccard's numerator and denominator are
-    // consistent when a df-cap is in effect. Without a cap the size is just
-    // the per-doc distinct-shingle count — read straight off the scan with
-    // no shuffle.
+    // consistent when a df-cap is in effect. Derived from byShingle (not
+    // from a third scan of the text): the byShingle exchange subtree is
+    // identical to the pair path's, so ReuseExchange/AQE stage reuse
+    // evaluates the shingle hashing + shuffle once and the sizes agg only
+    // pays an explode + a doc_id shuffle of per-doc counts. Without a cap
+    // the size is just the per-doc distinct-shingle count — read straight
+    // off the scan with no shuffle.
     val sizes = maxShingleDf match {
       case Some(_) =>
-        capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        byShingle.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
       case None =>
         docs.select(col(idCol).as("doc_id"),
           size(TextFunctions.hashedShingles(col(textCol), n)).cast("long").as("sz"))

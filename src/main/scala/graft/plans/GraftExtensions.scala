@@ -42,6 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_collect_capped"),
+      new ExpressionInfo(classOf[CollectCappedLongList].getName, "graft_collect_capped"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_collect_capped(idCol, cap) takes two args")
+        val cap = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(s"cap: $other")
+        }
+        CollectCappedLongList(children(0), cap)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

@@ -74,13 +74,32 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.toSeq == Seq((1L, 3L, 1.0)))
   }
 
-  test("df-cap prunes shingles below the list aggregation (plan order)") {
-    // The semi-join that drops over-cap shingles must execute BEFORE the
+  test("df-cap never materializes an unbounded per-shingle list (native path)") {
+    // On extension sessions the df-cap is the bounded-buffer
+    // graft_collect_capped aggregate: no unbounded collect_list may appear
+    // anywhere in the plan, and no join is needed for the cap.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.1, maxShingleDf = Some(5))
+      .queryExecution.optimizedPlan
+    val aggStrs = plan.collect { case a: Aggregate =>
+      a.aggregateExpressions.map(_.toString).mkString(";")
+    }
+    assert(aggStrs.exists(_.contains("graft_collect_capped")),
+      "expected the bounded graft_collect_capped aggregate in the plan")
+    assert(!aggStrs.exists(_.contains("collect_list(")),
+      "no unbounded collect_list may exist when a df-cap is set")
+  }
+
+  test("df-cap prunes shingles below the list aggregation (fallback plan order)") {
+    // Non-long ids can't use the native capped collect; the fallback must
+    // broadcast anti-join the (tiny) over-cap shingle set BEFORE the
     // collect_list aggregate: a stop-phrase shingle with huge df must
     // never materialize its id list in one task just to be filtered.
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val docs = Seq(("d1", "a b c d"), ("d2", "a b c e")).toDF("doc_id", "text")
     val plan = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, threshold = 0.1, maxShingleDf = Some(5))
       .queryExecution.optimizedPlan
@@ -90,8 +109,23 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(listAggs.nonEmpty, "expected a collect_list aggregate in the plan")
     assert(listAggs.exists(a =>
-      a.children.exists(_.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty)),
-      "df-cap semi-join must sit below the collect_list aggregate")
+      a.children.exists(_.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty)),
+      "df-cap anti-join must sit below the collect_list aggregate")
+  }
+
+  test("graft_collect_capped bounds buffers and nulls over-cap groups") {
+    // 1 group under cap (complete list), 1 group exactly at cap (complete),
+    // 1 group over cap (NULL) — merged across partitions so the truncated
+    // partial-buffer path is exercised too.
+    val rows = (1L to 2L).map(("under", _)) ++
+      (1L to 4L).map(("at", _)) ++ (1L to 9L).map(("over", _))
+    val df = rows.toDF("k", "id").repartition(4)
+    val out = df.groupBy($"k")
+      .agg(call_function("graft_collect_capped", $"id", lit(4)).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1)).map(_.sorted)).toMap
+    assert(out("under") == Some(Seq(1L, 2L)))
+    assert(out("at") == Some(Seq(1L, 2L, 3L, 4L)))
+    assert(out("over").isEmpty, "a group over the cap must evaluate to NULL")
   }
 
   test("minhashSignature equals the per-hash-function minimum (one-pass = naive)") {
