@@ -712,6 +712,16 @@ final case class GraftFrame(df: DataFrame) {
       partitionBy: Seq[String], orderBy: Seq[String]): GraftFrame =
     assign(out -> Windows.diff(df(colName), periods, Windows.spec(partitionBy, orderBy)))
 
+  /** Fractional change vs `periods` rows back: x/lag(x, periods) − 1, null
+    * while the lag is undefined — pandas pct_change with fill_method=None
+    * (reference base/pct_change.py:27, which composes exactly this
+    * shift-divide). Same single window sort as shift/diff. */
+  def pctChange(colName: String, out: String, periods: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): GraftFrame = {
+    val prev = Windows.shift(df(colName), periods, Windows.spec(partitionBy, orderBy))
+    assign(out -> (df(colName).cast("double") / prev.cast("double") - lit(1.0)))
+  }
+
   // ------------------------------------------------- partitioning §2.10
   /** rebalance to n partitions (reference base/rebalance.py:25) — a full
     * round-robin exchange, the same operation the reference performs. */
@@ -971,4 +981,11 @@ final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions
     GraftFrame(df.withColumn(out, Windows.rollingKurt(df(c), w)))
   def agg(cols: (String, Column)*): GraftFrame =
     GraftFrame(cols.foldLeft(df) { case (d, (out, c)) => d.withColumn(out, c.over(w)) })
+  /** Pairwise rolling Pearson correlation (pandas rolling.corr(other);
+    * reference window/aggregation.py pairwise path). */
+  def corr(x: String, y: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.corr(df(x), df(y)).over(w)))
+  /** Pairwise rolling sample covariance (pandas rolling.cov(other)). */
+  def cov(x: String, y: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, F.covar_samp(df(x), df(y)).over(w)))
 }

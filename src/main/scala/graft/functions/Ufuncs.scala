@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's elementwise ufunc surface (mars/dataframe/arithmetic/ —
+  * one operand file per function: abs.py, arccos.py … tanh.py; same ops on
+  * the tensor side) as a name → Column registry.
+  *
+  * Every entry is a codegen'd Catalyst builtin — the whole surface stays
+  * inside whole-stage codegen with zero custom code. The registry exists so
+  * callers can resolve the reference's ufunc names (`mt.arcsin`,
+  * `df.radd` …) dynamically; direct `functions._` calls compile to the
+  * identical plan.
+  */
+object Ufuncs {
+
+  /** Unary ufuncs, keyed by the reference's numpy-style names. */
+  val unary: Map[String, Column => Column] = Map(
+    "abs" -> abs _,
+    "negative" -> ((c: Column) => -c),
+    "sqrt" -> sqrt _,
+    "cbrt" -> cbrt _,
+    "exp" -> exp _,
+    "exp2" -> ((c: Column) => pow(lit(2.0), c)),
+    "expm1" -> expm1 _,
+    "log" -> ((c: Column) => log(c)),
+    "log2" -> log2 _,
+    "log10" -> log10 _,
+    "log1p" -> log1p _,
+    "sin" -> sin _,
+    "cos" -> cos _,
+    "tan" -> tan _,
+    "arcsin" -> asin _,
+    "arccos" -> acos _,
+    "arctan" -> atan _,
+    "sinh" -> sinh _,
+    "cosh" -> cosh _,
+    "tanh" -> tanh _,
+    "arcsinh" -> asinh _,
+    "arccosh" -> acosh _,
+    "arctanh" -> atanh _,
+    "degrees" -> degrees _,
+    "radians" -> radians _,
+    "ceil" -> ceil _,
+    "floor" -> floor _,
+    "around" -> ((c: Column) => round(c, 0)),
+    "sign" -> signum _,
+    "invert" -> bitwise_not _)
+
+  /** Binary ufuncs (add/sub/mul/div are native Column operators already). */
+  val binary: Map[String, (Column, Column) => Column] = Map(
+    "add" -> (_ + _),
+    "subtract" -> (_ - _),
+    "multiply" -> (_ * _),
+    "truediv" -> (_ / _),
+    "floordiv" -> ((a, b) => floor(a.cast("double") / b.cast("double")).cast("long")),
+    "mod" -> (_ % _),
+    "power" -> (pow(_, _)),
+    "arctan2" -> (atan2(_, _)),
+    "bitwise_and" -> (_ bitwiseAND _),
+    "bitwise_or" -> (_ bitwiseOR _),
+    "bitwise_xor" -> (_ bitwiseXOR _),
+    "equal" -> (_ === _),
+    "not_equal" -> (_ =!= _),
+    "less" -> (_ < _),
+    "less_equal" -> (_ <= _),
+    "greater" -> (_ > _),
+    "greater_equal" -> (_ >= _))
+
+  def apply(name: String)(c: Column): Column =
+    unary.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown unary ufunc: $name"))(c)
+
+  def apply(name: String, a: Column, b: Column): Column =
+    binary.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown binary ufunc: $name"))(a, b)
+}

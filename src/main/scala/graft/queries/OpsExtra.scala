@@ -551,6 +551,107 @@ object OpsExtra {
          |ORDER BY pos""".stripMargin) { (spark, dir) =>
       graft.api.GraftSession(spark).permutation(500, seed = 7L)
         .sortValues(Seq("pos")).df
+    },
+
+    // --- §2.10/§2.14 the elementwise ufunc surface (reference
+    //     mars/dataframe/arithmetic/ — one operand per function), routed
+    //     through the graft.functions.Ufuncs registry. libm-dependent
+    //     outputs are round(…,6)+0.0 per convention; DuckDB lacks the
+    //     hyperbolic/expm1/log1p builtins, so the oracle replays their
+    //     exp/ln composites (equal at 6 decimals). Integer / comparison
+    //     ufuncs compare exactly.
+    Q("op_ufunc_math",
+      """SELECT l_orderkey, l_linenumber, p, q, x,
+        |  abs(x) AS u_abs,
+        |  CAST(sign(x) AS BIGINT) AS u_sign,
+        |  CAST(ceil(x * 10.0) AS BIGINT) AS u_ceil,
+        |  CAST(floor(x * 10.0) AS BIGINT) AS u_floor,
+        |  round(sqrt(q), 6) + CAST(0.0 AS DOUBLE) AS u_sqrt,
+        |  round(cbrt(q), 6) + CAST(0.0 AS DOUBLE) AS u_cbrt,
+        |  round(exp(x), 6) + CAST(0.0 AS DOUBLE) AS u_exp,
+        |  round(exp(x) - 1.0, 6) + CAST(0.0 AS DOUBLE) AS u_expm1,
+        |  round(ln(q), 6) + CAST(0.0 AS DOUBLE) AS u_log,
+        |  round(log2(q), 6) + CAST(0.0 AS DOUBLE) AS u_log2,
+        |  round(log10(q), 6) + CAST(0.0 AS DOUBLE) AS u_log10,
+        |  round(ln(1.0 + x), 6) + CAST(0.0 AS DOUBLE) AS u_log1p,
+        |  round(sin(x), 6) + CAST(0.0 AS DOUBLE) AS u_sin,
+        |  round(cos(x), 6) + CAST(0.0 AS DOUBLE) AS u_cos,
+        |  round(tan(x), 6) + CAST(0.0 AS DOUBLE) AS u_tan,
+        |  round(asin(x), 6) + CAST(0.0 AS DOUBLE) AS u_arcsin,
+        |  round(acos(x), 6) + CAST(0.0 AS DOUBLE) AS u_arccos,
+        |  round(atan(x), 6) + CAST(0.0 AS DOUBLE) AS u_arctan,
+        |  round(atan2(x, 2.0), 6) + CAST(0.0 AS DOUBLE) AS u_arctan2,
+        |  round((exp(x) - exp(-x)) / 2.0, 6) + CAST(0.0 AS DOUBLE) AS u_sinh,
+        |  round((exp(x) + exp(-x)) / 2.0, 6) + CAST(0.0 AS DOUBLE) AS u_cosh,
+        |  round((exp(2.0 * x) - 1.0) / (exp(2.0 * x) + 1.0), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_tanh,
+        |  round(ln(x + sqrt(x * x + 1.0)), 6) + CAST(0.0 AS DOUBLE) AS u_arcsinh,
+        |  round(ln((1.0 + q / 100.0) + sqrt((1.0 + q / 100.0) * (1.0 + q / 100.0) - 1.0)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_arccosh,
+        |  round(0.5 * ln((1.0 + x) / (1.0 - x)), 6) + CAST(0.0 AS DOUBLE) AS u_arctanh,
+        |  round(degrees(x), 6) + CAST(0.0 AS DOUBLE) AS u_degrees,
+        |  round(radians(x), 6) + CAST(0.0 AS DOUBLE) AS u_radians,
+        |  round(pow(q, 1.5), 6) + CAST(0.0 AS DOUBLE) AS u_power,
+        |  round(pow(2.0, x), 6) + CAST(0.0 AS DOUBLE) AS u_exp2,
+        |  CAST(p // 7 AS BIGINT) AS u_floordiv,
+        |  CAST(p % 7 AS BIGINT) AS u_mod,
+        |  CAST(p & 255 AS BIGINT) AS u_and,
+        |  CAST(p | 255 AS BIGINT) AS u_or,
+        |  CAST(xor(p, 255) AS BIGINT) AS u_xor,
+        |  CAST(~p AS BIGINT) AS u_invert,
+        |  x < 0 AS u_less, q >= 25 AS u_ge
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        l_discount - 0.05 AS x, CAST(l_quantity AS DOUBLE) AS q,
+        |        CAST(l_partkey AS BIGINT) AS p
+        |      FROM lineitem WHERE l_orderkey < 600) base
+        |ORDER BY l_orderkey, l_linenumber, p, q, x""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_discount" - 0.05).as("x"),
+          $"l_quantity".cast("double").as("q"),
+          $"l_partkey".cast("long").as("p"))
+      base.select($"l_orderkey", $"l_linenumber", $"p", $"q", $"x",
+        Ufuncs("abs")($"x").as("u_abs"),
+        Ufuncs("sign")($"x").cast("long").as("u_sign"),
+        Ufuncs("ceil")($"x" * 10.0).cast("long").as("u_ceil"),
+        Ufuncs("floor")($"x" * 10.0).cast("long").as("u_floor"),
+        r6(Ufuncs("sqrt")($"q")).as("u_sqrt"),
+        r6(Ufuncs("cbrt")($"q")).as("u_cbrt"),
+        r6(Ufuncs("exp")($"x")).as("u_exp"),
+        r6(Ufuncs("expm1")($"x")).as("u_expm1"),
+        r6(Ufuncs("log")($"q")).as("u_log"),
+        r6(Ufuncs("log2")($"q")).as("u_log2"),
+        r6(Ufuncs("log10")($"q")).as("u_log10"),
+        r6(Ufuncs("log1p")($"x")).as("u_log1p"),
+        r6(Ufuncs("sin")($"x")).as("u_sin"),
+        r6(Ufuncs("cos")($"x")).as("u_cos"),
+        r6(Ufuncs("tan")($"x")).as("u_tan"),
+        r6(Ufuncs("arcsin")($"x")).as("u_arcsin"),
+        r6(Ufuncs("arccos")($"x")).as("u_arccos"),
+        r6(Ufuncs("arctan")($"x")).as("u_arctan"),
+        r6(Ufuncs("arctan2", $"x", lit(2.0))).as("u_arctan2"),
+        r6(Ufuncs("sinh")($"x")).as("u_sinh"),
+        r6(Ufuncs("cosh")($"x")).as("u_cosh"),
+        r6(Ufuncs("tanh")($"x")).as("u_tanh"),
+        r6(Ufuncs("arcsinh")($"x")).as("u_arcsinh"),
+        r6(Ufuncs("arccosh")(lit(1.0) + $"q" / 100.0)).as("u_arccosh"),
+        r6(Ufuncs("arctanh")($"x")).as("u_arctanh"),
+        r6(Ufuncs("degrees")($"x")).as("u_degrees"),
+        r6(Ufuncs("radians")($"x")).as("u_radians"),
+        r6(Ufuncs("power", $"q", lit(1.5))).as("u_power"),
+        r6(Ufuncs("exp2")($"x")).as("u_exp2"),
+        Ufuncs("floordiv", $"p", lit(7L)).as("u_floordiv"),
+        Ufuncs("mod", $"p", lit(7L)).cast("long").as("u_mod"),
+        Ufuncs("bitwise_and", $"p", lit(255L)).cast("long").as("u_and"),
+        Ufuncs("bitwise_or", $"p", lit(255L)).cast("long").as("u_or"),
+        Ufuncs("bitwise_xor", $"p", lit(255L)).cast("long").as("u_xor"),
+        Ufuncs("invert")($"p").cast("long").as("u_invert"),
+        Ufuncs("less", $"x", lit(0.0)).as("u_less"),
+        Ufuncs("greater_equal", $"q", lit(25.0)).as("u_ge"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"p", $"q", $"x")
     }
   )
 }

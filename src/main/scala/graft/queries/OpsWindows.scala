@@ -302,6 +302,64 @@ object OpsWindows {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     },
 
+    // --- §2.7 pct_change (reference base/pct_change.py:27): x/lag − 1 with
+    //     fill_method=None; pure IEEE division on doubles, bit-exact across
+    //     engines with no rounding needed (o_totalprice > 0 throughout, so
+    //     no signed-zero exposure).
+    Q("op_pct_change",
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice / lag(o_totalprice) OVER w - 1.0 AS pct_1,
+        |  o_totalprice / lag(o_totalprice, 2) OVER w - 1.0 AS pct_2
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val part = Seq("o_custkey")
+      val ord = Seq("o_orderdate", "o_orderkey")
+      gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .pctChange("o_totalprice", "pct_1", 1, part, ord)
+        .pctChange("o_totalprice", "pct_2", 2, part, ord)
+        .select("o_custkey", "o_orderkey", "pct_1", "pct_2")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
+    },
+
+    // --- §2.7 pairwise rolling corr/cov (pandas rolling.corr/cov;
+    //     reference window/aggregation.py pairwise path). Zero-variance
+    //     windows are guarded to NULL on both sides (Spark corr yields NaN,
+    //     DuckDB NULL); round+0.0 per the libm / signed-zero conventions.
+    Q("op_rolling_corr",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  round(CASE WHEN vq > 0 AND vp > 0 THEN c END, 6)
+        |    + CAST(0.0 AS DOUBLE) AS roll_corr,
+        |  round(cv, 6) + CAST(0.0 AS DOUBLE) AS roll_cov
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    var_samp(l_quantity) OVER w5 AS vq,
+        |    var_samp(l_extendedprice) OVER w5 AS vp,
+        |    corr(l_quantity, l_extendedprice) OVER w5 AS c,
+        |    covar_samp(l_quantity, l_extendedprice) OVER w5 AS cv
+        |  FROM lineitem WHERE l_suppkey < 10
+        |  WINDOW w5 AS (PARTITION BY l_suppkey
+        |                ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity
+        |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) base
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val part = Seq("l_suppkey")
+      val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val w5 = Windows.rolling(Windows.spec(part, ord), 5)
+      t(spark, dir, "lineitem").filter($"l_suppkey" < 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          (round(when(
+              var_samp($"l_quantity").over(w5) > 0.0 &&
+              var_samp($"l_extendedprice").over(w5) > 0.0,
+              corr($"l_quantity", $"l_extendedprice").over(w5)), 6) +
+            lit(0.0)).as("roll_corr"),
+          (round(covar_samp($"l_quantity", $"l_extendedprice").over(w5), 6) +
+            lit(0.0)).as("roll_cov"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    },
+
     // --- §2.7 weighted rolling mean (pandas win_type='triang'): a sum of
     //     lags with exact small-integer weights — bit-exact, null until the
     //     trailing window is full on both sides

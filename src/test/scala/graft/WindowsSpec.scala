@@ -196,4 +196,36 @@ class WindowsSpec extends SparkSpecBase {
       (3L, 6.0, 7.0, 4.0, 1.0, 3),
       (4L, 12.0, 15.0, 8.0, 1.0, 4)))
   }
+
+  test("pctChange matches pandas pct_change(fill_method=None)") {
+    // pandas: s.pct_change() over [8, 10, 5, 5] -> [NaN, 0.25, -0.5, 0.0]
+    // (values chosen so the divisions are IEEE-exact)
+    val df = Seq((1L, 1L, 8.0), (1L, 2L, 10.0), (1L, 3L, 5.0), (1L, 4L, 5.0))
+      .toDF("k", "ord", "v")
+    val got = graft.api.GraftFrame(df)
+      .pctChange("v", "pct", 1, Seq("k"), Seq("ord"))
+      .sortValues(Seq("ord")).df
+      .select($"pct").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(0.25), Some(-0.5), Some(0.0)))
+  }
+
+  test("rolling corr/cov match pandas pairwise values") {
+    // pandas: x.rolling(3).cov(y) / corr(y) on x=[1,2,3,4], y=[2,4,8,6]:
+    // window [1,2,3]x[2,4,8]: cov=3.0, corr 3/(1*sqrt(9.333..))
+    val df = Seq((1L, 1L, 1.0, 2.0), (1L, 2L, 2.0, 4.0),
+      (1L, 3L, 3.0, 8.0), (1L, 4L, 4.0, 6.0)).toDF("k", "ord", "x", "y")
+    val got = graft.api.GraftFrame(df)
+      .rolling(Seq("k"), Seq("ord"), 3)
+      .cov("x", "y", "cv")
+      .rolling(Seq("k"), Seq("ord"), 3)
+      .corr("x", "y", "cr")
+      .sortValues(Seq("ord")).df
+      .select($"ord", round($"cv", 9), round($"cr", 9))
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    val c3 = 3.0 / math.sqrt(1.0 * (28.0 / 3.0))
+    val c4 = 1.0 / math.sqrt(1.0 * 4.0)
+    def r9(d: Double) = math.rint(d * 1e9) / 1e9
+    assert(got(2) == ((3L, Some(3.0), Some(r9(c3)))))
+    assert(got(3) == ((4L, Some(1.0), Some(r9(c4)))))
+  }
 }
