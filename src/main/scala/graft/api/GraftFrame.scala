@@ -66,6 +66,57 @@ final case class GraftFrame(df: DataFrame) {
   def addPrefix(p: String): GraftFrame = GraftFrame(df.toDF(df.columns.toSeq.map(p + _): _*))
   def addSuffix(s: String): GraftFrame = GraftFrame(df.toDF(df.columns.toSeq.map(_ + s): _*))
 
+  /** set_index (reference indexing/set_index.py): the engine's index IS a
+    * set of ordinary columns (SURVEY §7.1) — setting the index moves the
+    * named columns to the front, the one observable effect the
+    * column-as-index model has. */
+  def setIndex(cols: String*): GraftFrame = {
+    val rest = df.columns.filterNot(cols.contains)
+    GraftFrame(df.select((cols ++ rest).map(df(_)): _*))
+  }
+
+  /** reset_index(drop=true) — the index is already ordinary columns, so
+    * this is the identity; with drop=false semantics use [[withRowId]]-style
+    * explicit ids instead (there is no implicit row order to restore). */
+  def resetIndex(): GraftFrame = this
+
+  /** rename_axis / set_axis over columns (reference
+    * indexing/rename_axis.py, set_axis.py): positional column renames. */
+  def setAxis(names: Seq[String]): GraftFrame = {
+    require(names.length == df.columns.length,
+      s"set_axis needs ${df.columns.length} names, got ${names.length}")
+    GraftFrame(df.toDF(names: _*))
+  }
+
+  /** Column subset by Spark type name (reference base/select_dtypes.py):
+    * include/exclude match the `DataType.typeName` (e.g. "double", "long",
+    * "string", "timestamp", "date", "decimal"). */
+  def selectDtypes(include: Seq[String] = Nil, exclude: Seq[String] = Nil): GraftFrame = {
+    def tn(f: org.apache.spark.sql.types.StructField) = f.dataType.typeName.takeWhile(_ != '(')
+    val kept = df.schema.fields.filter { f =>
+      (include.isEmpty || include.contains(tn(f))) && !exclude.contains(tn(f))
+    }.map(_.name)
+    require(kept.nonEmpty, s"select_dtypes removed every column (include=$include exclude=$exclude)")
+    GraftFrame(df.select(kept.map(df(_)): _*))
+  }
+
+  /** Per-column data size (reference base/memory_usage.py, deep=True):
+    * variable-width columns sum their byte lengths, fixed-width columns
+    * count non-null values × the type's width. One distributed aggregate —
+    * the reference runs the same per-chunk pandas memory_usage then sums. */
+  def memoryUsage(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val aggs = df.schema.fields.map { f =>
+      val bytes = f.dataType match {
+        case StringType | BinaryType => sum(coalesce(octet_length(df(f.name)), lit(0)))
+        case dt => count(df(f.name)) * lit(dt.defaultSize)
+      }
+      bytes.cast("long").as(f.name)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    GraftFrame(wide).melt(Nil, df.columns.toSeq, "column", "bytes").df
+  }
+
   /** dtype casts by column (reference base/astype.py:32). */
   def astype(casts: (String, String)*): GraftFrame =
     GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })
@@ -401,6 +452,27 @@ final case class GraftFrame(df: DataFrame) {
   /** explode list column to rows (reference base/explode.py:27). */
   def explodeCol(colName: String, out: String): GraftFrame =
     GraftFrame(df.withColumn(out, explode(df(colName))))
+
+  /** Matrix product `this · other` (reference arithmetic/dot.py): this is
+    * (idCol × value columns), other is keyed by `keyCol` whose values are
+    * this frame's value-column NAMES, with one output column per result
+    * dimension. Returns (idCol × other's value columns).
+    *
+    * Scale shape: both sides unpivot to COO triples; `other` (k×m, one row
+    * per shared dimension) broadcasts, so the multiply is a narrow map and
+    * the only shuffle is the final sum on idCol — the standard distributed
+    * tall-matrix × small-matrix product. A huge right side should instead
+    * be pre-melted and joined on its own partitioning. */
+  def dot(other: GraftFrame, idCol: String, keyCol: String): GraftFrame = {
+    val valueCols = df.columns.filterNot(_ == idCol).toSeq
+    val outCols = other.df.columns.filterNot(_ == keyCol).toSeq
+    val a = melt(Seq(idCol), valueCols, "__dim", "__v").df
+    val b = other.melt(Seq(keyCol), outCols, "__out", "__w").df
+      .withColumnRenamed(keyCol, "__dim")
+    GraftFrame(a.join(broadcast(b), Seq("__dim"))
+      .groupBy(col(idCol)).pivot("__out", outCols)
+      .agg(sum(col("__v") * col("__w"))))
+  }
 
   /** pivot_table with known category values (reference base/get_dummies.py
     * and pandas pivot; values must be enumerated for a deterministic

@@ -652,6 +652,58 @@ object OpsExtra {
         Ufuncs("less", $"x", lit(0.0)).as("u_less"),
         Ufuncs("greater_equal", $"q", lit(25.0)).as("u_ge"))
         .orderBy($"l_orderkey", $"l_linenumber", $"p", $"q", $"x")
+    },
+
+    // --- §2.14 frame dot product (reference arithmetic/dot.py): tall
+    //     (supplier × 3 features) · small (3 × 2 weights). The A entries go
+    //     through the DECIMAL sum convention so both engines agree
+    //     bit-exactly on the inputs; the 3-term dot itself sums doubles in
+    //     engine order → round 6 (+0.0: weights carry mixed signs).
+    Q("op_frame_dot",
+      """WITH a AS (
+        |  SELECT l_suppkey AS id,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS disc
+        |  FROM lineitem WHERE l_suppkey < 200 GROUP BY l_suppkey)
+        |SELECT id,
+        |  round(qty * CAST(0.5 AS DOUBLE) + price * CAST(0.001 AS DOUBLE)
+        |        + disc * CAST(10.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS score_a,
+        |  round(qty * CAST(-1.0 AS DOUBLE) + price * CAST(0.0002 AS DOUBLE)
+        |        + disc * CAST(0.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS score_b
+        |FROM a ORDER BY id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = graft.api.GraftFrame(
+        t(spark, dir, "lineitem").filter($"l_suppkey" < 200)
+          .groupBy($"l_suppkey".as("id"))
+          .agg(sum(dec12($"l_quantity")).cast("double").as("qty"),
+            sum(dec12($"l_extendedprice")).cast("double").as("price"),
+            sum(dec12($"l_discount")).cast("double").as("disc")))
+      val b = graft.api.GraftFrame(Seq(
+        ("qty", 0.5, -1.0), ("price", 0.001, 0.0002), ("disc", 10.0, 0.0))
+        .toDF("key", "score_a", "score_b"))
+      a.dot(b, "id", "key")
+        .assign(
+          "score_a" -> (round(col("score_a"), 6) + lit(0.0)),
+          "score_b" -> (round(col("score_b"), 6) + lit(0.0)))
+        .sortValues(Seq("id")).df
+    },
+
+    // --- §2.3 memory_usage(deep) (reference base/memory_usage.py): strings
+    //     sum byte lengths, fixed-width types count × width — exact integer
+    //     arithmetic on both engines.
+    Q("op_memory_usage",
+      """SELECT * FROM (
+        |  SELECT 'n_nationkey' AS "column",
+        |         4 * COUNT(n_nationkey) AS bytes FROM nation
+        |  UNION ALL
+        |  SELECT 'n_name', CAST(SUM(octet_length(CAST(n_name AS BLOB))) AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'n_regionkey', 4 * COUNT(n_regionkey) FROM nation) u
+        |ORDER BY "column"""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "nation").memoryUsage()
+        .orderBy(org.apache.spark.sql.functions.col("column"))
     }
   )
 }

@@ -427,4 +427,29 @@ class ApiSpec extends SparkSpecBase {
       "reference read_sql(partition_col, num_partitions) → partitioned JDBC scan")
     assert(back.df.count() == 40)
   }
+
+  test("setIndex / setAxis / selectDtypes reshape the column axis") {
+    val f = GraftFrame(Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("k", "s", "v"))
+    assert(f.setIndex("v").df.columns.toSeq == Seq("v", "k", "s"),
+      "set_index moves the index columns to the front")
+    assert((f.resetIndex() eq f) || f.resetIndex().df.columns.sameElements(f.df.columns))
+    assert(f.setAxis(Seq("a", "b", "c")).df.columns.toSeq == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] { f.setAxis(Seq("only_two", "names")) }
+    assert(f.selectDtypes(include = Seq("double", "long")).df.columns.toSeq == Seq("k", "v"))
+    assert(f.selectDtypes(exclude = Seq("string")).df.columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException] { f.selectDtypes(include = Seq("date")) }
+  }
+
+  test("dot broadcasts the small side and shuffles only on the id") {
+    val a = GraftFrame(Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)).toDF("id", "f1", "f2"))
+    val b = GraftFrame(Seq(("f1", 1.0, 0.0), ("f2", 0.0, 1.0), ("f3", 9.0, 9.0))
+      .toDF("key", "o1", "o2"))
+    // b's extra dimension f3 has no match in a — inner join drops it
+    val out = a.dot(b, "id", "key").sortValues(Seq("id")).df
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)),
+      "identity weights reproduce the inputs")
+    val plan = a.dot(b, "id", "key").df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
+  }
 }
