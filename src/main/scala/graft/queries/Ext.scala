@@ -316,6 +316,59 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- Gopher/MassiveText repetition filters (Rae et al. 2021 table A1):
+    //     unique-word fraction, most-frequent-2-gram char coverage,
+    //     duplicate-5-gram occurrence fraction. All integer counts divided
+    //     once — bit-exact across engines, no rounding needed.
+    Q("ext_repetition",
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+        |         string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 250),
+        |uniq AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      AS uniq_word_frac
+        |  FROM w),
+        |bgx AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |  FROM w),
+        |bgc AS (
+        |  SELECT doc_id, n_chars, g, COUNT(*) AS c
+        |  FROM bgx GROUP BY doc_id, n_chars, g),
+        |top2 AS (
+        |  SELECT doc_id,
+        |    CAST(c AS DOUBLE) * CAST(length(g) AS DOUBLE) / n_chars AS top2_frac
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM bgc)
+        |  WHERE rn = 1),
+        |g5x AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |           || ws[i+3] || ' ' || ws[i+4])) AS g
+        |  FROM w),
+        |g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5x GROUP BY doc_id, g),
+        |d5 AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE) AS dup5_frac
+        |  FROM g5c GROUP BY doc_id)
+        |SELECT u.doc_id, u.uniq_word_frac, t.top2_frac, d.dup5_frac
+        |FROM uniq u
+        |LEFT JOIN top2 t ON u.doc_id = t.doc_id
+        |LEFT JOIN d5 d ON u.doc_id = d.doc_id
+        |ORDER BY u.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Repetition
+      Repetition.signals(
+          t(spark, dir, "documents").filter($"doc_id" < 250),
+          "text", "doc_id", "n_chars")
+        .orderBy($"doc_id")
+    },
+
     // --- token counting per source (whitespace + BPE-ish regex)
     Q("ext_token_count",
       """SELECT source,
