@@ -884,6 +884,20 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(grouped.agg(named.head, named.tail: _*))
   }
 
+  /** Index of the max/min value per group (pandas groupby.idxmax; tensor
+    * argmax, opcodes.py:301-354). Deterministic tie-break: the LARGEST id
+    * among tied values (struct ordering compares value, then id) — the
+    * same total order an `ORDER BY v DESC, id DESC` oracle replays.
+    * One partial/final max aggregate; no window, no second pass. */
+  def idxmax(valueCol: String, idCol: String, out: String): GraftFrame =
+    aggCols(out -> org.apache.spark.sql.functions
+      .max(struct(df(valueCol), df(idCol))).getField(idCol))
+
+  /** Index of the min value per group; ties → the SMALLEST id. */
+  def idxmin(valueCol: String, idCol: String, out: String): GraftFrame =
+    aggCols(out -> org.apache.spark.sql.functions
+      .min(struct(df(valueCol), df(idCol))).getField(idCol))
+
   def sum(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_sum", "sum", c)): _*)
   def mean(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_mean", "mean", c)): _*)
   def min(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_min", "min", c)): _*)
@@ -1023,6 +1037,18 @@ object GraftGroupBy {
     case "median" => percentile(df(c), lit(0.5))
     case "p25" => percentile(df(c), lit(0.25))
     case "p75" => percentile(df(c), lit(0.75))
+    // tensor reduction tail (opcodes.py:301-354)
+    case "count_nonzero" => count(when(df(c) =!= 0, 1))
+    case "moment2" | "moment3" => {
+      // kth central moment from raw-moment sums — one partial/final hash
+      // agg pass, same derivation as Windows.rollingSkew
+      val x = df(c).cast("double")
+      val n = count(x).cast("double")
+      val m = sum(x) / n
+      if (fn == "moment2") sum(x * x) / n - m * m
+      else sum(x * x * x) / n - lit(3.0) * m * (sum(x * x) / n) +
+        lit(2.0) * m * m * m
+    }
     case other => throw new IllegalArgumentException(s"unknown agg function: $other")
   }
 }

@@ -704,6 +704,53 @@ object OpsExtra {
         |ORDER BY "column"""".stripMargin) { (spark, dir) =>
       gt(spark, dir, "nation").memoryUsage()
         .orderBy(org.apache.spark.sql.functions.col("column"))
+    },
+
+    // --- §2.5 tensor-reduction tail: argmax/argmin (pandas idxmax/idxmin),
+    //     count_nonzero, 2nd/3rd central moments. idxmax ties break to the
+    //     LARGEST id (struct max), idxmin to the smallest — replayed in the
+    //     oracle by max-value-then-max-id two-phase joins. Moments are
+    //     raw-moment sums (round 6 + 0.0: the 3rd moment can sit at ±0).
+    Q("op_idx_agg",
+      """WITH base AS (
+        |  SELECT l_returnflag AS k, l_quantity AS v, l_orderkey AS id,
+        |         l_discount AS d
+        |  FROM lineitem),
+        |mx AS (SELECT k, max(v) AS mv, min(v) AS mnv FROM base GROUP BY k),
+        |im AS (SELECT b.k, max(b.id) AS idx_max_qty
+        |       FROM base b JOIN mx ON b.k = mx.k AND b.v = mx.mv GROUP BY b.k),
+        |imn AS (SELECT b.k, min(b.id) AS idx_min_qty
+        |        FROM base b JOIN mx ON b.k = mx.k AND b.v = mx.mnv GROUP BY b.k),
+        |agg AS (
+        |  SELECT k,
+        |    COUNT(*) FILTER (WHERE d <> 0) AS nz_disc,
+        |    round(SUM(v * v) / COUNT(*) - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)), 6)
+        |      + CAST(0.0 AS DOUBLE) AS m2,
+        |    round(SUM(v * v * v) / COUNT(*)
+        |          - CAST(3.0 AS DOUBLE) * (SUM(v) / COUNT(*)) * (SUM(v * v) / COUNT(*))
+        |          + CAST(2.0 AS DOUBLE) * (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))
+        |            * (SUM(v) / COUNT(*)), 6) + CAST(0.0 AS DOUBLE) AS m3
+        |  FROM base GROUP BY k)
+        |SELECT a.k AS l_returnflag, im.idx_max_qty, imn.idx_min_qty,
+        |       a.nz_disc, a.m2, a.m3
+        |FROM agg a JOIN im ON a.k = im.k JOIN imn ON a.k = imn.k
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.api.GraftGroupBy
+      val li = t(spark, dir, "lineitem")
+      graft.api.GraftFrame(li).groupby("l_returnflag")
+        .aggCols(
+          "idx_max_qty" -> max(struct($"l_quantity", $"l_orderkey"))
+            .getField("l_orderkey"),
+          "idx_min_qty" -> min(struct($"l_quantity", $"l_orderkey"))
+            .getField("l_orderkey"),
+          "nz_disc" -> GraftGroupBy.aggExpr(li, "count_nonzero", "l_discount"),
+          "m2" -> GraftGroupBy.aggExpr(li, "moment2", "l_quantity"),
+          "m3" -> GraftGroupBy.aggExpr(li, "moment3", "l_quantity"))
+        .assign(
+          "m2" -> (round(col("m2"), 6) + lit(0.0)),
+          "m3" -> (round(col("m3"), 6) + lit(0.0)))
+        .sortValues(Seq("l_returnflag")).df
     }
   )
 }

@@ -440,6 +440,18 @@ class ApiSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { f.selectDtypes(include = Seq("date")) }
   }
 
+  test("idxmax/idxmin break value ties deterministically by id") {
+    val f = GraftFrame(Seq(
+      ("a", 5.0, 1L), ("a", 5.0, 9L), ("a", 1.0, 3L), ("a", 1.0, 2L),
+      ("b", 7.0, 4L)).toDF("k", "v", "id"))
+    val up = f.groupby("k").idxmax("v", "id", "imax").sortValues(Seq("k")).df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(up == Seq(("a", 9L), ("b", 4L)), "ties -> largest id")
+    val dn = f.groupby("k").idxmin("v", "id", "imin").sortValues(Seq("k")).df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dn == Seq(("a", 2L), ("b", 4L)), "ties -> smallest id")
+  }
+
   test("dot broadcasts the small side and shuffles only on the id") {
     val a = GraftFrame(Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)).toDF("id", "f1", "f2"))
     val b = GraftFrame(Seq(("f1", 1.0, 0.0), ("f2", 0.0, 1.0), ("f3", 9.0, 9.0))
