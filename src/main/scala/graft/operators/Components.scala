@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over a near-dup pair
+  * list, the step that turns pairwise MinHash/SimHash/Jaccard output into
+  * "keep one document per cluster" (the reference stops at pairwise
+  * duplicated/drop_duplicates — base/_duplicate.py — but a curation
+  * pipeline needs transitive closure: A≈B, B≈C must collapse to one
+  * cluster even when A≉C).
+  *
+  * Algorithm: iterative min-label propagation — every node starts labeled
+  * with itself; each round every node takes the min of its own and its
+  * neighbors' labels; converges in O(graph diameter) rounds. Dup clusters
+  * are near-cliques (diameter ≤ ~3), so 3–4 rounds typical.
+  *
+  * Scale shape: each round is one shuffle hash-join (edges ⋈ labels, both
+  * keyed by node) + a partial/final min aggregate. `localCheckpoint`
+  * truncates the growing lineage each round — at cluster scale swap in
+  * `checkpoint()` against reliable storage. Edge count, not corpus size,
+  * drives the cost: only documents that appear in some pair participate.
+  */
+object Components {
+
+  /** (aCol, bCol) undirected pair list → (node, cluster) where cluster is
+    * the smallest member id of the component. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborLabels = edges
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .select(col("a").as("node"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "raise maxIters (diameter exceeds the bound)")
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+}

@@ -201,6 +201,18 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents resolves transitive chains and separate clusters") {
+    import graft.operators.Components
+    // chain 1-2-3-4-5 (diameter 4, needs >1 round), pair {10,11}, singleton
+    // edge {20,21}; node 99 appears only as a larger partner of 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (99L, 1L)).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 99L -> 1L))
+  }
+
   test("simhash64 matches the vote definition computed independently") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     // independent computation: xxhash64 per token via Spark, votes in Scala
