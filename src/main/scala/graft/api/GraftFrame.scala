@@ -117,6 +117,15 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(wide).melt(Nil, df.columns.toSeq, "column", "bytes").df
   }
 
+  /** numpy digitize / searchsorted (tensor shape ops, opcodes.py:401-446):
+    * index of the bin each value falls in given ascending edges —
+    * right-open intervals like numpy's default (count of edges <= x). */
+  def digitize(colName: String, out: String, edges: Seq[Double]): GraftFrame = {
+    require(edges == edges.sorted, "digitize edges must be ascending")
+    assign(out -> size(org.apache.spark.sql.functions.filter(typedlit(edges),
+      e => df(colName).cast("double") >= e)).cast("long"))
+  }
+
   /** dtype casts by column (reference base/astype.py:32). */
   def astype(casts: (String, String)*): GraftFrame =
     GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })

@@ -109,4 +109,27 @@ object TextFunctions {
       .when(fr >= de, lit("fr"))
       .otherwise(lit("de"))
   }
+
+  // --- PII scrubbing (training-data curation): regex families chosen to
+  //     behave identically under Java regex and RE2 (no lookarounds, no
+  //     backreferences), applied email → ip → phone so the broader phone
+  //     pattern can't eat address digits first.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  /** Replace emails / IPv4 addresses / phone-like digit runs with typed
+    * placeholder tokens — pure codegen'd regexp_replace chain, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-category PII hit counts on the raw text. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"),
+    "n_ip" -> size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long"),
+    "n_phone" -> size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long"))
 }

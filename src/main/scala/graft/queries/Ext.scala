@@ -402,6 +402,44 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- PII scrubbing: synthesize deterministic emails/phones/IPs into the
+    //     fixture text (both engines build the identical string), then
+    //     redact with the shared Java/RE2-portable regex family and count
+    //     hits per category. Exact string compare — no rounding anywhere.
+    Q("ext_pii_redact",
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com call '
+        |      || '+1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || substr(text, 1, 50) AS t
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phone
+        |FROM synth ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val synth = t(spark, dir, "documents").filter($"doc_id" < 100)
+        .select($"doc_id", concat(
+          lit("contact user"), $"doc_id".cast("string"), lit("@example.com call "),
+          lit("+1 555-"), lpad($"doc_id".cast("string"), 4, "0"), lit(" from 10.0."),
+          ($"doc_id" % 256).cast("string"), lit(".1 "),
+          substring($"text", 1, 50)).as("t"))
+      val counted = TextFunctions.piiCounts($"t")
+        .foldLeft(synth.withColumn("redacted", TextFunctions.redactPii($"t"))) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+      counted.select($"doc_id", $"redacted", $"n_email", $"n_ip", $"n_phone")
+        .orderBy($"doc_id")
+    },
+
     // --- token counting per source (whitespace + BPE-ish regex)
     Q("ext_token_count",
       """SELECT source,

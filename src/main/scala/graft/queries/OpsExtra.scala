@@ -751,6 +751,22 @@ object OpsExtra {
           "m2" -> (round(col("m2"), 6) + lit(0.0)),
           "m3" -> (round(col("m3"), 6) + lit(0.0)))
         .sortValues(Seq("l_returnflag")).df
+    },
+
+    // --- §2.14 digitize / searchsorted: bin index = count of ascending
+    //     edges <= x (numpy right-open default). Exact integer compare.
+    Q("op_digitize",
+      """SELECT bin, COUNT(*) AS cnt FROM (
+        |  SELECT CAST(len(list_filter([5.0, 15.0, 30.0, 45.0],
+        |           e -> l_quantity >= e)) AS BIGINT) AS bin
+        |  FROM lineitem) d
+        |GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem")
+        .digitize("l_quantity", "bin", Seq(5.0, 15.0, 30.0, 45.0))
+        .groupby("bin")
+        .agg(("cnt", "count", "bin"))
+        .sortValues(Seq("bin"))
+        .df
     }
   )
 }

@@ -169,4 +169,25 @@ class AccessorSpec extends SparkSpecBase {
     assert(math.abs(grouped(0)._2 - 8.0 / 3) < 1e-12)
     assert(math.abs(grouped(1)._2 - 5.0) < 1e-12)
   }
+
+  test("redactPii scrubs emails, IPs, and phone runs; counts match") {
+    import graft.functions.TextFunctions
+    val df = Seq((1L,
+      "mail a.b+c@x-corp.io or d@e.org, host 192.168.0.1, call +44 20 7946 0958 end"))
+      .toDF("id", "t")
+    val red = df.select(TextFunctions.redactPii($"t")).as[String].collect().head
+    assert(red == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> end")
+    val counts = TextFunctions.piiCounts($"t")
+    val got = df.select(counts.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 1L, 1L)))
+  }
+
+  test("digitize returns numpy-style right-open bin indices") {
+    val df = Seq(0.0, 5.0, 14.9, 15.0, 44.9, 45.0, 99.0).map(Tuple1(_)).toDF("v")
+    val got = graft.api.GraftFrame(df)
+      .digitize("v", "bin", Seq(5.0, 15.0, 30.0, 45.0))
+      .df.select($"bin").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 1L, 2L, 3L, 4L, 4L))
+  }
 }
