@@ -302,6 +302,33 @@ object OpsWindows {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     },
 
+    // --- §2.6 groupby.transform (reference groupby/transform.py:28):
+    //     same-shape per-group broadcast of an aggregate — demean and
+    //     group-max columns. round 6 + 0.0 on the demeaned value (group
+    //     means divide order-dependent double sums; x − mean can be ±0).
+    Q("op_groupby_transform",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_quantity,
+        |  round(l_quantity - avg(l_quantity) OVER g, 6)
+        |    + CAST(0.0 AS DOUBLE) AS qty_demeaned,
+        |  max(l_quantity) OVER g AS qty_groupmax
+        |FROM lineitem WHERE l_orderkey < 300
+        |WINDOW g AS (PARTITION BY l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag, l_quantity""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "lineitem").query("l_orderkey < 300")
+        .groupby("l_returnflag")
+        .transform("mean", "l_quantity", "qty_mean")
+        .groupby("l_returnflag")
+        .transform("max", "l_quantity", "qty_groupmax")
+        .assign("qty_demeaned" ->
+          (round(col("l_quantity") - col("qty_mean"), 6) + lit(0.0)))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
+          "l_quantity", "qty_demeaned", "qty_groupmax")
+        .sortValues(Seq("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
+          "l_quantity"))
+        .df
+    },
+
     // --- §2.7 pct_change (reference base/pct_change.py:27): x/lag − 1 with
     //     fill_method=None; pure IEEE division on doubles, bit-exact across
     //     engines with no rounding needed (o_totalprice > 0 throughout, so
