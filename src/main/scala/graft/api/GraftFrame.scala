@@ -361,6 +361,26 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.sparkSession.createDataFrame(indexed, schema))
   }
 
+  /** General positional iloc over an explicit total order (reference
+    * indexing/iloc.py:251): arbitrary position lists, negative positions
+    * counted from the end — pandas `df.iloc[[0, 5, -1]]`. Same two-pass
+    * zipWithIndex shape as [[ilocSlice]]; the position set rides along as
+    * a closure (it is client-supplied and small by construction). */
+  def iloc(positions: Seq[Long], orderBy: Seq[String]): GraftFrame = {
+    val sorted = df.orderBy(orderBy.map(df(_)): _*)
+    val resolved: Set[Long] =
+      if (positions.forall(_ >= 0)) positions.toSet
+      else {
+        val n = sorted.count()
+        positions.map(p => if (p >= 0) p else n + p).toSet
+      }
+    val schema = sorted.schema
+    val indexed = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => resolved(i) }
+      .map(_._1)
+    GraftFrame(df.sparkSession.createDataFrame(indexed, schema))
+  }
+
   /** Conform to a given key frame (reference indexing/reindex.py:49 /
     * align, indexing/align.py:44): left join from the new keys, missing
     * rows null-filled (or `fillValue`). `keys` must be the key frame's

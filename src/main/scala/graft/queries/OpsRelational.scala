@@ -613,6 +613,23 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.11 general positional iloc: arbitrary position list with a
+    //     negative (from-the-end) index, pandas df.iloc[[0,7,77,777,-1]]
+    Q("op_iloc_positions",
+      """SELECT c_custkey, c_name FROM (
+        |  SELECT c_custkey, c_name,
+        |         row_number() OVER (ORDER BY c_custkey) - 1 AS pos,
+        |         COUNT(*) OVER () AS n
+        |  FROM customer) t
+        |WHERE pos IN (0, 7, 77, 777) OR pos = n - 1
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "customer")
+        .iloc(Seq(0L, 7L, 77L, 777L, -1L), Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+        .sortValues(Seq("c_custkey"))
+        .df
+    },
+
     // --- §2.11 deterministic hash sampling via the fluent API (oracle
     //     replays the identical avalanche-hash bucket)
     Q("op_sample_hash",
