@@ -47,6 +47,16 @@ object Learn {
     (df.filter(bucket >= testPct), df.filter(bucket < testPct))
   }
 
+  /** Deterministic k-fold assignment (model_selection KFold): adds a
+    * `fold` column in [0, k) from the portable avalanche hash of the key —
+    * reproducible across runs/engines, no shuffle, folds statistically
+    * balanced with no residue striping. Fold i's validation set is
+    * `fold === i`, its training set the complement. */
+  def kFold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kFold needs k >= 2, got $k")
+    df.withColumn("fold", graft.functions.PortableHash.bucket(col(keyCol), k))
+  }
+
   // ------------------------------------------------------------ clustering
   /** KMeans over an `array<float>` embedding column (reference
     * mars/learn/cluster/_kmeans.py; MLlib runs the same Lloyd iterations

@@ -34,6 +34,24 @@ object LearnQ {
         .orderBy($"split")
     },
 
+    // --- model_selection KFold: deterministic portable-hash fold
+    //     assignment; the oracle recomputes every fold id and per-fold
+    //     extrema from scratch
+    Q("learn_kfold",
+      s"""SELECT fold, COUNT(*) AS n, min(c_custkey) AS first_key,
+         |       max(c_custkey) AS last_key
+         |FROM (SELECT CAST(${graft.functions.PortableHash.sqlBucket("c_custkey", 5)} AS BIGINT)
+         |        AS fold, c_custkey
+         |      FROM customer) s
+         |GROUP BY fold ORDER BY fold""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.kFold(t(spark, dir, "customer"), "c_custkey", 5)
+        .groupBy($"fold")
+        .agg(count(lit(1)).as("n"), min($"c_custkey").as("first_key"),
+          max($"c_custkey").as("last_key"))
+        .orderBy($"fold")
+    },
+
     // --- linear_model: exact OLS via the normal-equation solver; DuckDB's
     //     regr_slope/regr_intercept compute the same closed form
     Q("learn_linreg",

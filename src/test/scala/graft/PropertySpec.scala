@@ -191,4 +191,21 @@ class PropertySpec extends SparkSpecBase {
       assert(restored == uniq.map(t => (t._2, t._3, t._3 * 2)).toSet)
     }
   }
+
+  test("graft_collect_capped equals collect_list for under-cap groups, NULL above") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 500L)))
+    forAll(gen) { rows =>
+      val df = rows.toDF("k", "id").repartition(5)
+      val cap = 7
+      val capped = df.groupBy($"k")
+        .agg(call_function("graft_collect_capped", $"id", lit(cap)).as("ids"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getSeq[Long](1)).map(_.sorted)).toMap
+      val expected = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> (if (vs.size > cap) None else Some(vs.map(_._2).sorted))
+      }
+      assert(capped == expected,
+        "capped collect must equal the full list below the cap and NULL above")
+    }
+  }
 }
