@@ -54,7 +54,14 @@ object Ufuncs {
     "subtract" -> (_ - _),
     "multiply" -> (_ * _),
     "truediv" -> (_ / _),
+    // float semantics (numpy float //): floor of the double quotient
     "floordiv" -> ((a, b) => floor(a.cast("double") / b.cast("double")).cast("long")),
+    // exact integral semantics: (a - pmod(a, b)) is b·⌊a/b⌋ exactly, and
+    // the decimal division stays exact past 2^53 where the double path
+    // would round the quotient
+    "floordiv_int" -> ((a, b) =>
+      ((a.cast("decimal(38,0)") - pmod(a, b).cast("decimal(38,0)")) /
+        b.cast("decimal(38,0)")).cast("long")),
     "mod" -> (_ % _),
     "power" -> (pow(_, _)),
     "arctan2" -> (atan2(_, _)),

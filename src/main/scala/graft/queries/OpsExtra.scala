@@ -643,7 +643,7 @@ object OpsExtra {
         r6(Ufuncs("radians")($"x")).as("u_radians"),
         r6(Ufuncs("power", $"q", lit(1.5))).as("u_power"),
         r6(Ufuncs("exp2")($"x")).as("u_exp2"),
-        Ufuncs("floordiv", $"p", lit(7L)).as("u_floordiv"),
+        Ufuncs("floordiv_int", $"p", lit(7L)).as("u_floordiv"),
         Ufuncs("mod", $"p", lit(7L)).cast("long").as("u_mod"),
         Ufuncs("bitwise_and", $"p", lit(255L)).cast("long").as("u_and"),
         Ufuncs("bitwise_or", $"p", lit(255L)).cast("long").as("u_or"),
