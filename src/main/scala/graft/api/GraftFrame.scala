@@ -920,12 +920,17 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     * One partial/final max aggregate; no window, no second pass. */
   def idxmax(valueCol: String, idCol: String, out: String): GraftFrame =
     aggCols(out -> org.apache.spark.sql.functions
-      .max(struct(df(valueCol), df(idCol))).getField(idCol))
+      .max(when(df(valueCol).isNotNull, struct(df(valueCol), df(idCol))))
+      .getField(idCol))
 
   /** Index of the min value per group; ties → the SMALLEST id. */
   def idxmin(valueCol: String, idCol: String, out: String): GraftFrame =
+    // null values must be masked BEFORE the struct: a (null, id) struct
+    // sorts below every real value and would win the min, where pandas
+    // idxmin skips NaN rows entirely
     aggCols(out -> org.apache.spark.sql.functions
-      .min(struct(df(valueCol), df(idCol))).getField(idCol))
+      .min(when(df(valueCol).isNotNull, struct(df(valueCol), df(idCol))))
+      .getField(idCol))
 
   def sum(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_sum", "sum", c)): _*)
   def mean(cols: String*): GraftFrame = agg(cols.map(c => (s"${c}_mean", "mean", c)): _*)

@@ -450,6 +450,13 @@ class ApiSpec extends SparkSpecBase {
     val dn = f.groupby("k").idxmin("v", "id", "imin").sortValues(Seq("k")).df
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(dn == Seq(("a", 2L), ("b", 4L)), "ties -> smallest id")
+    // pandas skipna: a null value must never win idxmin (a (null, id)
+    // struct would sort below every real value)
+    val withNull = GraftFrame(Seq(("a", Some(5.0), 1L), ("a", None, 9L),
+      ("a", Some(3.0), 3L)).toDF("k", "v", "id"))
+    val mn = withNull.groupby("k").idxmin("v", "id", "imin").df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mn == Seq(("a", 3L)), "null values are skipped, not treated as minimum")
   }
 
   test("dot broadcasts the small side and shuffles only on the id") {
