@@ -327,4 +327,32 @@ object Learn {
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)) /
       count(lit(1)).cast("double")).as("accuracy"))
+
+  /** Per-class precision / recall / F1 from one confusion pass (the
+    * reference's classification metrics, mars/learn/metrics/): a single
+    * partial/final count aggregate keyed by (label, pred), then the three
+    * ratios per class — no per-class scan. */
+  def classificationReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val actual = cm.groupBy(col("label").as("cls")).agg(sum("n").as("support"))
+    val predicted = cm.groupBy(col("pred").as("cls")).agg(sum("n").as("n_pred"))
+    actual
+      .join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        when(coalesce(col("n_pred"), lit(0L)) > 0,
+          coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_pred").cast("double")).as("precision"),
+        when(coalesce(col("support"), lit(0L)) > 0,
+          coalesce(col("tp"), lit(0L)).cast("double") /
+            col("support").cast("double")).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
 }

@@ -52,6 +52,42 @@ object LearnQ {
         .orderBy($"fold")
     },
 
+    // --- classification metrics: per-class precision/recall/F1 from one
+    //     confusion pass. Labels and predictions come from deterministic
+    //     rules so both engines build the identical matrix; the ratios are
+    //     single divisions of exact counts (bit-exact), f1 rounds (chained
+    //     float arithmetic).
+    Q("learn_confusion",
+      """WITH d AS (
+        |  SELECT CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS label,
+        |         CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, COUNT(*) AS n FROM d GROUP BY label, pred),
+        |tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+        |act AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY label),
+        |prd AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY pred)
+        |SELECT act.cls, CAST(act.support AS BIGINT) AS support,
+        |  CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE) AS precision,
+        |  CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(act.support AS DOUBLE) AS recall,
+        |  round(CAST(2.0 AS DOUBLE)
+        |        * (CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE))
+        |        * (CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(act.support AS DOUBLE))
+        |        / ((CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE))
+        |           + (CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(act.support AS DOUBLE))),
+        |    6) + CAST(0.0 AS DOUBLE) AS f1
+        |FROM act
+        |JOIN prd ON act.cls = prd.cls
+        |LEFT JOIN tp ON act.cls = tp.cls
+        |ORDER BY act.cls""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "lineitem").select(
+        when($"l_discount" > 0.05, "hi").otherwise("lo").as("label"),
+        when($"l_quantity" > 25, "hi").otherwise("lo").as("pred"))
+      Learn.classificationReport(d, "label", "pred")
+        .withColumn("f1", round($"f1", 6) + lit(0.0))
+        .orderBy($"cls")
+    },
+
     // --- linear_model: exact OLS via the normal-equation solver; DuckDB's
     //     regr_slope/regr_intercept compute the same closed form
     Q("learn_linreg",
