@@ -770,6 +770,13 @@ final case class GraftFrame(df: DataFrame) {
   def rolling(partitionBy: Seq[String], orderBy: Seq[String], n: Int): GraftRolling =
     GraftRolling(df, Windows.rolling(Windows.spec(partitionBy, orderBy), n))
 
+  /** pandas rolling(center=True, min_periods=k): centered frame, null
+    * until k rows are in frame. */
+  def rollingCentered(partitionBy: Seq[String], orderBy: Seq[String],
+      n: Int, minPeriods: Int = 1): GraftRolling =
+    GraftRolling(df, Windows.rollingCentered(Windows.spec(partitionBy, orderBy), n),
+      minPeriods)
+
   /** Expanding window builder (reference window/expanding/aggregation.py:119). */
   def expanding(partitionBy: Seq[String], orderBy: Seq[String]): GraftRolling =
     GraftRolling(df, Windows.expanding(Windows.spec(partitionBy, orderBy)))
@@ -1089,35 +1096,39 @@ object GraftGroupBy {
 
 /** Window-aggregation builder shared by rolling/expanding (reference
   * window/rolling/aggregation.py:42, window/aggregation.py:52). */
-final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) {
+final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+    minPeriods: Int = 1) {
   import org.apache.spark.sql.{functions => F}
+  /** pandas min_periods: aggregates are null until the frame holds
+    * `minPeriods` rows. */
+  private def mp(agg: Column): Column = Windows.minPeriods(agg, w, minPeriods)
   def sum(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.sum(df(c)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.sum(df(c)).over(w))))
   def mean(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.avg(df(c)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.avg(df(c)).over(w))))
   def min(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.min(df(c)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.min(df(c)).over(w))))
   def max(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.max(df(c)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.max(df(c)).over(w))))
   def count(out: String): GraftFrame =
     GraftFrame(df.withColumn(out, F.count(lit(1)).over(w)))
   def varSamp(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.var_samp(df(c)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.var_samp(df(c)).over(w))))
   def std(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.stddev_samp(df(c)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.stddev_samp(df(c)).over(w))))
   def median(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, Windows.rollingMedian(df(c), w)))
+    GraftFrame(df.withColumn(out, mp(Windows.rollingMedian(df(c), w))))
   def skew(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, Windows.rollingSkew(df(c), w)))
+    GraftFrame(df.withColumn(out, mp(Windows.rollingSkew(df(c), w))))
   def kurt(c: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, Windows.rollingKurt(df(c), w)))
+    GraftFrame(df.withColumn(out, mp(Windows.rollingKurt(df(c), w))))
   def agg(cols: (String, Column)*): GraftFrame =
-    GraftFrame(cols.foldLeft(df) { case (d, (out, c)) => d.withColumn(out, c.over(w)) })
+    GraftFrame(cols.foldLeft(df) { case (d, (out, c)) => d.withColumn(out, mp(c.over(w))) })
   /** Pairwise rolling Pearson correlation (pandas rolling.corr(other);
     * reference window/aggregation.py pairwise path). */
   def corr(x: String, y: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.corr(df(x), df(y)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.corr(df(x), df(y)).over(w))))
   /** Pairwise rolling sample covariance (pandas rolling.cov(other)). */
   def cov(x: String, y: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out, F.covar_samp(df(x), df(y)).over(w)))
+    GraftFrame(df.withColumn(out, mp(F.covar_samp(df(x), df(y)).over(w))))
 }

@@ -37,6 +37,16 @@ object Windows {
   def rolling(w: WindowSpec, n: Int): WindowSpec =
     w.rowsBetween(-(n - 1), Window.currentRow)
 
+  /** Centered rolling window (pandas rolling(center=True)): the frame
+    * spans ⌊(n−1)/2⌋ preceding to ⌈(n−1)/2⌉ following rows. */
+  def rollingCentered(w: WindowSpec, n: Int): WindowSpec =
+    w.rowsBetween(-((n - 1) / 2), n - 1 - (n - 1) / 2)
+
+  /** pandas min_periods: null the aggregate until the frame holds at
+    * least `k` rows (pandas rolling(n) defaults to min_periods=n). */
+  def minPeriods(agg: Column, w: WindowSpec, k: Int): Column =
+    if (k <= 1) agg else when(count(lit(1)).over(w) >= k, agg)
+
   /** Expanding window [start, current]. */
   def expanding(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

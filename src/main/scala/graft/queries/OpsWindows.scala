@@ -302,6 +302,35 @@ object OpsWindows {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     },
 
+    // --- §2.7 centered rolling window with min_periods (pandas
+    //     rolling(5, center=True, min_periods=5)): frame spans 2 preceding
+    //     to 2 following; null until 5 rows are in frame. DECIMAL sums →
+    //     exact; the mean divides once.
+    Q("op_rolling_center",
+      """SELECT o_custkey, o_orderkey,
+        |  CASE WHEN COUNT(*) OVER wc >= 5
+        |       THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wc AS DOUBLE)
+        |  END AS c_sum,
+        |  CASE WHEN COUNT(*) OVER wc >= 5
+        |       THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wc AS DOUBLE)
+        |            / COUNT(*) OVER wc
+        |  END AS c_mean
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val wc = Windows.rollingCentered(
+        Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")), 5)
+      val cSum = Windows.minPeriods(
+        sum(dec12($"o_totalprice")).over(wc).cast("double"), wc, 5)
+      t(spark, dir, "orders").filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          cSum.as("c_sum"),
+          (cSum / count(lit(1)).over(wc)).as("c_mean"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // --- §2.6 groupby.transform (reference groupby/transform.py:28):
     //     same-shape per-group broadcast of an aggregate — demean and
     //     group-max columns. round 6 + 0.0 on the demeaned value (group
