@@ -110,4 +110,40 @@ object Sessionize {
       .filter(col("__side") === 1)
       .drop("__side", "__payload")
   }
+
+  /** Two-step funnel: per user, how many `fromType` events were followed
+    * by at least one `toType` event within `windowSeconds` — the standard
+    * product-analytics conversion query, built on [[intervalJoin]]'s
+    * bucketed equi-join (no range cross-product; the window is the
+    * interval, the `toType` events are the points).
+    *
+    * Returns (userCol, n_from, n_converted, conv_rate). */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      fromType: String,
+      toType: String,
+      windowSeconds: Long): DataFrame = {
+    val intervals = events.filter(col(typeCol) === fromType)
+      .select(col(userCol), col(idCol).as("__from_id"),
+        col(tsCol).as("__f_start"),
+        (col(tsCol) + expr(s"INTERVAL $windowSeconds SECONDS")).as("__f_end"))
+    val points = events.filter(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("__p_ts"))
+    val converted = intervalJoin(points, intervals, userCol,
+        "__p_ts", "__f_start", "__f_end", bucketMicros = windowSeconds * 1000000L)
+      .groupBy(col(userCol))
+      .agg(countDistinct(col("__from_id")).as("n_converted"))
+    events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(count(lit(1)).as("n_from"))
+      .join(converted, Seq(userCol), "left")
+      .select(col(userCol),
+        col("n_from"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        (coalesce(col("n_converted"), lit(0L)).cast("double") /
+          col("n_from").cast("double")).as("conv_rate"))
+  }
 }

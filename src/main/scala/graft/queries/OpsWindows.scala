@@ -497,6 +497,33 @@ object OpsWindows {
         .orderBy($"event_type", $"w_start")
     },
 
+    // --- §2.16 two-step funnel (view → click within 30 min) on the
+    //     bucketed interval join: counts of exact integer events, one
+    //     exact division for the rate.
+    Q("op_events_funnel",
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t
+        |      FROM events WHERE event_type = 'click'),
+        |conv AS (
+        |  SELECT DISTINCT v.user_id, v.event_id
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |   AND c.t >= v.t AND c.t < v.t + 1800000000),
+        |nf AS (SELECT user_id, COUNT(*) AS n_from FROM v GROUP BY user_id),
+        |nc AS (SELECT user_id, COUNT(*) AS n_converted FROM conv GROUP BY user_id)
+        |SELECT nf.user_id, nf.n_from,
+        |  COALESCE(nc.n_converted, 0) AS n_converted,
+        |  CAST(COALESCE(nc.n_converted, 0) AS DOUBLE)
+        |    / CAST(nf.n_from AS DOUBLE) AS conv_rate
+        |FROM nf LEFT JOIN nc ON nf.user_id = nc.user_id
+        |ORDER BY nf.user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.funnel(t(spark, dir, "events"), "user_id", "ts", "event_id",
+          "event_type", fromType = "view", toType = "click", windowSeconds = 1800L)
+        .orderBy($"user_id")
+    },
+
     // --- §2.16 gap-based sessionization (library op)
     Q("op_events_session",
       """WITH flags AS (
