@@ -111,6 +111,26 @@ object Sessionize {
       .drop("__side", "__payload")
   }
 
+  /** Daily retention cohorts: users grouped by first-seen day; for each
+    * cohort and day-offset k ≤ maxDays, how many distinct users were
+    * active. Two partial-aggregatable passes (distinct user-days, then
+    * per-(cohort, k) distinct users) plus one shuffle join on the user —
+    * the standard cohort-table formulation. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxDays: Int): DataFrame = {
+    val days = events
+      .select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val first = days.groupBy(col(userCol)).agg(min(col("day")).as("cohort"))
+    days.join(first, Seq(userCol))
+      .withColumn("k", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("k") <= maxDays)
+      .groupBy(col("cohort"), col("k"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Two-step funnel: per user, how many `fromType` events were followed
     * by at least one `toType` event within `windowSeconds` — the standard
     * product-analytics conversion query, built on [[intervalJoin]]'s

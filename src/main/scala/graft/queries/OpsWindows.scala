@@ -497,6 +497,26 @@ object OpsWindows {
         .orderBy($"event_type", $"w_start")
     },
 
+    // --- §2.16 daily retention cohorts: distinct active users per
+    //     (first-seen day, day offset). Exact integer counts.
+    Q("op_events_retention",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id)
+        |SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+        |       CAST(d.day - f.cohort AS BIGINT) AS k,
+        |       COUNT(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN first f ON d.user_id = f.user_id
+        |WHERE d.day - f.cohort <= 14
+        |GROUP BY f.cohort, k
+        |ORDER BY cohort, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.retentionCohorts(t(spark, dir, "events"), "user_id", "ts",
+          maxDays = 14)
+        .withColumn("cohort", $"cohort".cast("string"))
+        .orderBy($"cohort", $"k")
+    },
+
     // --- §2.16 two-step funnel (view → click within 30 min) on the
     //     bucketed interval join: counts of exact integer events, one
     //     exact division for the rate.
