@@ -101,6 +101,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming funnel pairs reproduce the batch funnel conversions") {
+    implicit val sq = spark.sqlContext
+    // views and clicks as separate streams; the batch Sessionize.funnel on
+    // the same rows is the ground truth for per-user conversion counts
+    val rows = Seq(
+      (1L, 11L, ts(0, 10), "view"), (1L, 12L, ts(0, 30), "click"),
+      (1L, 13L, ts(5, 0), "view"), // no click within 60s
+      (2L, 14L, ts(1, 0), "view"), (2L, 15L, ts(1, 30), "click"),
+      (2L, 16L, ts(1, 50), "click"), // second click, same view -> 1 conversion
+      (3L, 17L, ts(2, 0), "view"))
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.intervalJoinStream(
+        views.toDF().toDF("user_id", "event_id", "ts"),
+        clicks.toDF().toDF("user_id", "event_id", "ts"),
+        windowSeconds = 60L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      views.addData(rows.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
+      clicks.addData(rows.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
+      q.processAllAvailable()
+      val streamConv = spark.table("sfunnel")
+        .select("user_id", "left_id").distinct()
+        .groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Sessionize.funnel(
+          rows.toDF("user_id", "event_id", "ts", "event_type"),
+          "user_id", "ts", "event_id", "event_type", "view", "click", 60L)
+        .select("user_id", "n_converted").as[(Long, Long)].collect()
+        .filter(_._2 > 0).toMap
+      assert(streamConv == batch,
+        s"stream $streamConv must equal batch $batch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running counts across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
