@@ -31,6 +31,20 @@ final class GraftSession(val spark: SparkSession) {
   /** CSV scan with the reference's common options
     * (read_csv.py:368: sep, header, names, dtypes, compression — gzip is
     * inferred from the extension, as there). */
+  /** Line-oriented raw text scan for corpus ingestion: one row per line
+    * with the source file path and a deterministic content-derived doc id
+    * (xxhash64 of file+text) — the provenance a document pipeline needs
+    * before cleaning/dedup. Narrow, no shuffle. There is deliberately no
+    * line-number column: Spark does not expose within-file offsets, and a
+    * sort-derived id would silently misnumber (SURVEY §7.1 — explicit
+    * order columns only). */
+  def readText(path: String): GraftFrame = {
+    import org.apache.spark.sql.functions._
+    GraftFrame(spark.read.text(path)
+      .select(input_file_name().as("source_file"), col("value").as("text"))
+      .withColumn("doc_id", xxhash64(col("source_file"), col("text"))))
+  }
+
   def readCsv(
       path: String,
       sep: String = ",",

@@ -56,4 +56,21 @@ object Components {
         "raise maxIters (diameter exceeds the bound)")
     labels.select(col("node"), col("label").as("cluster"))
   }
+
+  /** Keep one document per duplicate cluster: resolves `pairs` to
+    * components and drops every member except the smallest id (the cluster
+    * representative). Documents in no pair pass through untouched — the
+    * anti-join runs against only the non-representative members, a set no
+    * bigger than the pair list. */
+  def dedupByCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

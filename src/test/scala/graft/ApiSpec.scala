@@ -440,6 +440,20 @@ class ApiSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { f.selectDtypes(include = Seq("date")) }
   }
 
+  test("readText scans lines with file provenance and stable content ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "a.txt").toPath, "alpha\nbeta\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "b.txt").toPath, "gamma\n")
+    val f = g.readText(dir.getAbsolutePath)
+    val rows = f.df.collect()
+    assert(rows.length == 3)
+    assert(f.columns == Seq("source_file", "text", "doc_id"))
+    assert(rows.forall(r => r.getString(0).nonEmpty && !r.isNullAt(2)))
+    assert(rows.map(_.getLong(2)).distinct.length == 3, "content ids unique here")
+  }
+
   test("idxmax/idxmin break value ties deterministically by id") {
     val f = GraftFrame(Seq(
       ("a", 5.0, 1L), ("a", 5.0, 9L), ("a", 1.0, 3L), ("a", 1.0, 2L),

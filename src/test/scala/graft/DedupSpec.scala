@@ -213,6 +213,17 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 99L -> 1L))
   }
 
+  test("dedupByCluster keeps exactly one representative per component") {
+    import graft.operators.Components
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 42L)
+      .map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Components.dedupByCluster(docs, pairs, "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // cluster {1,2,3} -> keep 1; {10,11} -> keep 10; 4,5,42 untouched
+    assert(kept == Seq(1L, 4L, 5L, 10L, 42L))
+  }
+
   test("simhash64 matches the vote definition computed independently") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     // independent computation: xxhash64 per token via Spark, votes in Scala
