@@ -598,6 +598,81 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- curation pipeline v2: the full modern stack in one verified
+    //     chain — quality filter + Gopher repetition filter → MinHash-LSH
+    //     near-dup pairs → connected components → keep one representative
+    //     per cluster → per-source corpus stats. The oracle recomputes the
+    //     identical pipeline from scratch: the quality/repetition math,
+    //     the exact-Jaccard pair list at the planted j≈0.99 operating
+    //     point (≡ the MinHash output, per ext_dedup_minhash), and a
+    //     recursive min-label CTE for the clusters.
+    Q("ext_curation2",
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS uniq,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |      + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |          w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |        / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS quality
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT * FROM base
+        |  WHERE quality > 0.5 AND n_tokens >= 30 AND uniq >= 0.35),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM filtered),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS sh
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+        |             FROM d WHERE len(w) >= 3) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |jp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pe AS (
+        |  SELECT doc_a, doc_b FROM jp
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pe
+        |          UNION SELECT doc_b, doc_a FROM pe),
+        |cc AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON e.a = cc.node),
+        |dropids AS (
+        |  SELECT node AS doc_id FROM cc GROUP BY node
+        |  HAVING node <> min(label)),
+        |kept AS (
+        |  SELECT f.* FROM filtered f
+        |  LEFT JOIN dropids dr ON f.doc_id = dr.doc_id
+        |  WHERE dr.doc_id IS NULL)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  round(SUM(quality) / COUNT(*), 6) + CAST(0.0 AS DOUBLE) AS avg_quality
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.{Components, Repetition}
+      val docs = t(spark, dir, "documents")
+      val scored = docs.select($"doc_id", $"source", $"text", $"n_chars",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.qualityScore($"text").as("quality"))
+      val rep = Repetition.signals(docs, "text", "doc_id", "n_chars")
+        .select($"doc_id", $"uniq_word_frac")
+      val filtered = scored.join(rep, Seq("doc_id"))
+        .filter($"quality" > 0.5 && $"n_tokens" >= 30 && $"uniq_word_frac" >= 0.35)
+      val pairs = Dedup.minhashDedupPairs(filtered, "text", "doc_id",
+        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+      Components.dedupByCluster(filtered, pairs, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("first_doc"),
+          (round(sum($"quality") / count(lit(1)), 6) + lit(0.0)).as("avg_quality"))
+        .orderBy($"source")
+    },
+
     // --- multimodal plumbing, differential-checked: a deterministic media
     //     frame is derived from documents (dims / frame counts / sample
     //     counts from n_chars arithmetic), then the three modality paths
