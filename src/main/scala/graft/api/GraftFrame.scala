@@ -920,6 +920,16 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(grouped.agg(named.head, named.tail: _*))
   }
 
+  /** pandas groupby.filter: keep every ROW of groups whose aggregate
+    * satisfies the predicate (e.g. `count >= 3`). One window aggregate
+    * over the group keys — no join back, no second scan. */
+  def filterGroups(aggExprName: String, valueCol: String)(
+      pred: Column => Column): GraftFrame = {
+    val w = Window.partitionBy(keys.map(df(_)): _*)
+    val agg = GraftGroupBy.aggExpr(df, aggExprName, valueCol).over(w)
+    GraftFrame(df.withColumn("__ga", agg).filter(pred(col("__ga"))).drop("__ga"))
+  }
+
   /** Index of the max/min value per group (pandas groupby.idxmax; tensor
     * argmax, opcodes.py:301-354). Deterministic tie-break: the LARGEST id
     * among tied values (struct ordering compares value, then id) — the

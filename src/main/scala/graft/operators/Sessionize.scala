@@ -111,6 +111,67 @@ object Sessionize {
       .drop("__side", "__payload")
   }
 
+  /** As-of join, forward direction (pandas merge_asof
+    * direction='forward'): for each left row, the EARLIEST right row of
+    * the same key with right.ts >= left.ts. Same single-shuffle tagged
+    * union as [[asofJoinPrior]], mirrored: right rows order AFTER left
+    * rows at identical ts (exact matches allowed), and the first non-null
+    * payload in the following frame is carried back. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCol: String): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right.select(
+        col(keyCol), col(tsCol),
+        lit(1).as("__side"), col(payloadCol).as("__payload"))
+    val unioned = l.columns.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select(l.columns.toSeq.map(col): _*).union(l)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    unioned
+      .withColumn(s"asof_$payloadCol",
+        first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__payload")
+  }
+
+  /** As-of join, nearest direction (pandas merge_asof
+    * direction='nearest'): whichever of the prior and forward matches is
+    * closer in time wins; prior wins exact ties. Composes the two
+    * single-shuffle passes and compares the µs distances. Right must
+    * carry a ts payload column for the distance; this variant returns the
+    * matched right TIMESTAMP as `asof_<payloadCol>` plus the chosen
+    * payload. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCol: String): DataFrame = {
+    // carry (payload, right_ts) as one struct payload through both passes
+    val packed = right.select(col(keyCol), col(tsCol),
+      struct(col(payloadCol).as("p"), col(tsCol).as("rts")).as("__pk"))
+    val prior = asofJoinPrior(left, packed, keyCol, tsCol, "__pk")
+      .withColumnRenamed("asof___pk", "__prior")
+    val both = asofJoinForward(prior, packed, keyCol, tsCol, "__pk")
+      .withColumnRenamed("asof___pk", "__fwd")
+    val dPrior = unix_micros(col(tsCol)) - unix_micros(col("__prior.rts"))
+    val dFwd = unix_micros(col("__fwd.rts")) - unix_micros(col(tsCol))
+    val chosen = when(col("__prior").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__prior"))
+      .when(dPrior <= dFwd, col("__prior"))
+      .otherwise(col("__fwd"))
+    both
+      .withColumn(s"asof_$payloadCol", chosen.getField("p"))
+      .drop("__prior", "__fwd")
+  }
+
   /** Daily retention cohorts: users grouped by first-seen day; for each
     * cohort and day-offset k ≤ maxDays, how many distinct users were
     * active. Two partial-aggregatable passes (distinct user-days, then
@@ -129,6 +190,31 @@ object Sessionize {
       .filter(col("k") <= maxDays)
       .groupBy(col("cohort"), col("k"))
       .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Time-bucketed OHLC resampling (pandas resample().ohlc()): per key and
+    * fixed window, the first/max/min/last of `valCol`. Open/close are
+    * deterministic struct-min/max over (event time, idCol, value) — one
+    * partial/final aggregate, no window sort. */
+  def ohlc(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      widthSeconds: Long): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val bucket = (floor(t / (widthSeconds * 1000000L)) * widthSeconds).cast("long")
+    events
+      .groupBy(col(keyCol), bucket.as("w_start"))
+      .agg(
+        min(struct(t.as("t"), col(idCol).as("i"), col(valCol).as("v")))
+          .getField("v").as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(struct(t.as("t"), col(idCol).as("i"), col(valCol).as("v")))
+          .getField("v").as("close"),
+        count(lit(1)).as("n"))
   }
 
   /** Two-step funnel: per user, how many `fromType` events were followed

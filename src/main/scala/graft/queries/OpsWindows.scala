@@ -497,6 +497,59 @@ object OpsWindows {
         .orderBy($"event_type", $"w_start")
     },
 
+    // --- §2.16 OHLC resampling (pandas resample('1h').ohlc()): open/close
+    //     via deterministic (t, id, value) struct extrema; values compare
+    //     exactly (no arithmetic on them).
+    Q("op_events_ohlc",
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 3600000000.0) * 3600 AS BIGINT) AS w_start,
+        |    epoch_us(ts) AS t, event_id, value
+        |  FROM events),
+        |oc AS (
+        |  SELECT event_type, w_start, t, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type, w_start
+        |                       ORDER BY t, event_id, value) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, w_start
+        |                       ORDER BY t DESC, event_id DESC, value DESC) AS rn_d
+        |  FROM b),
+        |hl AS (
+        |  SELECT event_type, w_start, max(value) AS high, min(value) AS low,
+        |         COUNT(*) AS n
+        |  FROM b GROUP BY event_type, w_start)
+        |SELECT hl.event_type, hl.w_start, o.value AS open, hl.high, hl.low,
+        |       c.value AS close, hl.n
+        |FROM hl
+        |JOIN oc o ON o.event_type = hl.event_type AND o.w_start = hl.w_start
+        |         AND o.rn_a = 1
+        |JOIN oc c ON c.event_type = hl.event_type AND c.w_start = hl.w_start
+        |         AND c.rn_d = 1
+        |ORDER BY hl.event_type, hl.w_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.ohlc(t(spark, dir, "events"), "event_type", "ts", "event_id",
+          "value", widthSeconds = 3600L)
+        .select($"event_type", $"w_start", $"open", $"high", $"low", $"close", $"n")
+        .orderBy($"event_type", $"w_start")
+    },
+
+    // --- §2.6 groupby.filter (pandas): keep all rows of groups whose
+    //     aggregate passes — suppliers with at least 60 lineitems.
+    Q("op_groupby_filter",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |             COUNT(*) OVER (PARTITION BY l_suppkey) AS gn
+        |      FROM lineitem WHERE l_suppkey < 40) f
+        |WHERE gn >= 60
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem").query("l_suppkey < 40")
+        .groupby("l_suppkey")
+        .filterGroups("count", "l_suppkey")(_ >= 60)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .sortValues(Seq("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_quantity"))
+        .df
+    },
+
     // --- §2.16 daily retention cohorts: distinct active users per
     //     (first-seen day, day offset). Exact integer counts.
     Q("op_events_retention",
@@ -607,6 +660,54 @@ object OpsWindows {
       val clicks = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts", $"event_id")
       Sessionize.asofJoinPrior(purchases, clicks, "user_id", "ts", "event_id")
+        .select($"user_id", $"event_id", $"asof_event_id".as("asof_click_id"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // --- as-of join, forward direction (pandas merge_asof
+    //     direction='forward'): earliest click at-or-after each purchase
+    Q("op_asof_forward",
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_click_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      Sessionize.asofJoinForward(purchases, clicks, "user_id", "ts", "event_id")
+        .select($"user_id", $"event_id", $"asof_event_id".as("asof_click_id"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // --- as-of join, nearest direction: prior vs forward, closer µs
+    //     distance wins, prior wins exact ties (same rule both engines)
+    Q("op_asof_nearest",
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |pr AS (
+        |  SELECT p.user_id, p.event_id, p.ts, c.event_id AS pid, c.ts AS pts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |fw AS (
+        |  SELECT p.user_id, p.event_id, c.event_id AS fid, c.ts AS fts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT pr.user_id, pr.event_id,
+        |  CASE WHEN pid IS NULL THEN fid
+        |       WHEN fid IS NULL THEN pid
+        |       WHEN epoch_us(pr.ts) - epoch_us(pts) <= epoch_us(fts) - epoch_us(pr.ts)
+        |       THEN pid ELSE fid END AS asof_click_id
+        |FROM pr JOIN fw ON pr.user_id = fw.user_id AND pr.event_id = fw.event_id
+        |ORDER BY pr.user_id, pr.event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      Sessionize.asofJoinNearest(purchases, clicks, "user_id", "ts", "event_id")
         .select($"user_id", $"event_id", $"asof_event_id".as("asof_click_id"))
         .orderBy($"user_id", $"event_id")
     },
