@@ -639,6 +639,38 @@ final case class GraftFrame(df: DataFrame) {
       .select(col("r.col_a"), col("r.col_b"), col("r.corr")))
   }
 
+  /** pandas df.corrwith(other) (reference statistics/corr.py:286): align
+    * the two frames on the key columns (one shuffle join — or broadcast if
+    * one side is small, left to AQE), then compute the Pearson correlation
+    * of every shared numeric column in ONE partial+final aggregate. Output
+    * rows (column, corr). */
+  def corrwith(other: GraftFrame, on: Seq[String], cols: Seq[String]): GraftFrame = {
+    val l = df.select((on ++ cols).map(df(_)): _*)
+    val r0 = other.df
+    val r = r0.select(on.map(r0(_)) ++ cols.map(c => r0(c).as(s"__o_$c")): _*)
+    val j = l.join(r, on)
+    val aggs = cols.map(c => corr(j(c), j(s"__o_$c")).as(c))
+    val stats = j.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("column"), col(c).as("corr")))
+    GraftFrame(stats.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.corr")))
+  }
+
+  /** pandas Series.autocorr(lag) (reference statistics/corr.py:378),
+    * grouped: corr(x_t, x_{t-lag}) per group over an explicit order — one
+    * partitioned window lag (no single-task global window) and one
+    * aggregate. corr skips rows whose lag is null (the first `lag` rows of
+    * each group), matching pandas' pairwise-complete semantics. */
+  def autocorr(partitionCols: Seq[String], orderCol: String, valueCol: String,
+      lagN: Int = 1, out: String = "autocorr"): GraftFrame = {
+    require(partitionCols.nonEmpty,
+      "autocorr needs partition columns (a global series order is a single task at scale)")
+    val w = Window.partitionBy(partitionCols.map(df(_)): _*).orderBy(df(orderCol))
+    val lagged = df.withColumn("__lag", lag(df(valueCol), lagN).over(w))
+    GraftFrame(lagged.groupBy(partitionCols.map(lagged(_)): _*)
+      .agg(corr(col(valueCol), col("__lag")).as(out)))
+  }
+
   /** pandas nlargest / nsmallest: top-n rows by a column — a distributed
     * TakeOrdered, never a full sort of the output. */
   def nlargest(n: Int, colName: String): GraftFrame =

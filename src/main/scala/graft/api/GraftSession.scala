@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Session entry point: the data-source surface of the engine.
   *
@@ -85,6 +85,17 @@ final class GraftSession(val spark: SparkSession) {
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq,
       if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism), schema)
     GraftFrame(df)
+  }
+
+  /** Records (field-name → value maps) → frame (reference
+    * datasource/from_records.py:29). Field order comes from `fields`;
+    * missing keys become nulls — the structured-records semantics of
+    * numpy recarrays without requiring a uniform tuple shape. */
+  def fromRecords(records: Seq[Map[String, Any]], fields: Seq[(String, DataType)],
+      numPartitions: Int = 0): GraftFrame = {
+    val schema = StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
+    val rows = records.map(m => Row.fromSeq(fields.map { case (n, _) => m.getOrElse(n, null) }))
+    fromRows(rows, schema, numPartitions)
   }
 
   /** Distributed integer range (reference mt.arange / RangeIndex). */

@@ -311,6 +311,43 @@ object Learn {
     a.crossJoin(broadcast(b)).withColumn("dist", dist)
   }
 
+  /** Pairwise haversine great-circle distances in radians between an
+    * (`aid`, `alat`, `alon`) frame and a (`bid`, `blat`, `blon`) frame,
+    * coordinates in degrees (reference
+    * mars/learn/metrics/pairwise/haversine.py:30). Broadcast the smaller
+    * side; the arc formula is a pure codegen expression, so the large side
+    * streams at scan speed. Multiply by 6371.0 for kilometres. */
+  def haversineDistances(a: DataFrame, b: DataFrame): DataFrame = {
+    // deltas converted AFTER subtraction (radians(b - a), not
+    // radians(b) - radians(a)) so an oracle writing the textbook formula
+    // lands on bit-identical intermediate doubles
+    val sLat = sin(radians(col("blat") - col("alat")) / 2)
+    val sLon = sin(radians(col("blon") - col("alon")) / 2)
+    val h = sLat * sLat +
+      cos(radians(col("alat"))) * cos(radians(col("blat"))) * sLon * sLon
+    a.crossJoin(broadcast(b)).withColumn("dist", lit(2.0) * asin(sqrt(h)))
+  }
+
+  /** RBF kernel exp(-gamma * ||x - y||^2) between two (id, array<float>)
+    * frames (reference mars/learn/metrics/pairwise/rbf_kernel.py:28):
+    * broadcast-small-side scoring on the native euclidean expression (the
+    * squared distance is dist*dist so the hot loop stays whole-stage
+    * codegen). */
+  def rbfKernel(a: DataFrame, b: DataFrame, gamma: Double): DataFrame = {
+    val native = a.sparkSession.catalog.functionExists("graft_euclidean")
+    val dist =
+      if (native) call_function("graft_euclidean", col("avec"), col("bvec"))
+      else graft.functions.VectorFunctions.euclidean(col("avec"), col("bvec"))
+    a.crossJoin(broadcast(b)).withColumn("k", exp(lit(-gamma) * dist * dist))
+  }
+
+  /** label_binarize (reference mars/learn/preprocessing/_label.py,
+    * opcodes.py:3308): one 0/1 indicator column per class — a pure
+    * projection, no shuffle, no fitted state. */
+  def labelBinarize(df: DataFrame, labelCol: String, classes: Seq[Any]): DataFrame =
+    classes.foldLeft(df)((d, c) =>
+      d.withColumn(s"${labelCol}_$c", when(d(labelCol) === lit(c), 1L).otherwise(0L)))
+
   /** Regression metrics from plain aggregates: rmse, mae, r2 (SS_tot via
     * moment sums so it stays a single partial+final aggregate). */
   def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {

@@ -259,6 +259,76 @@ object LearnQ {
         $"var_total",
         lit(evr(0) >= evr(1)).as("evr_sorted"),
         lit(evr(0) > 0.0 && evr(1) > 0.0 && evr.sum < 1.0).as("evr_valid"))
+    },
+
+    // --- pairwise haversine (reference learn/metrics/pairwise/haversine.py):
+    //     synthetic degree coordinates derived from customer keys by exact
+    //     integer arithmetic, so both engines start from identical doubles;
+    //     the great-circle arc rounds to 6 (libm sin/cos/asin).
+    Q("learn_haversine",
+      """WITH pts AS (SELECT c_custkey,
+        |    CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+        |    CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon
+        |  FROM customer),
+        |a AS (SELECT c_custkey AS aid, lat AS alat, lon AS alon FROM pts WHERE c_custkey < 4),
+        |b AS (SELECT c_custkey AS bid, lat AS blat, lon AS blon FROM pts
+        |      WHERE c_custkey >= 1000 AND c_custkey < 1050)
+        |SELECT aid, bid,
+        |  round(2.0 * asin(sqrt(
+        |    sin(radians(blat - alat) / 2) * sin(radians(blat - alat) / 2)
+        |    + cos(radians(alat)) * cos(radians(blat))
+        |      * sin(radians(blon - alon) / 2) * sin(radians(blon - alon) / 2))), 6) AS dist
+        |FROM a, b ORDER BY aid, bid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val pts = t(spark, dir, "customer").select($"c_custkey",
+        ($"c_custkey" % 180 - 90).cast("double").as("lat"),
+        ($"c_custkey" % 360 - 180).cast("double").as("lon"))
+      val a = pts.filter($"c_custkey" < 4)
+        .select($"c_custkey".as("aid"), $"lat".as("alat"), $"lon".as("alon"))
+      val b = pts.filter($"c_custkey" >= 1000 && $"c_custkey" < 1050)
+        .select($"c_custkey".as("bid"), $"lat".as("blat"), $"lon".as("blon"))
+      Learn.haversineDistances(a, b)
+        .select($"aid", $"bid", round($"dist", 6).as("dist"))
+        .orderBy($"aid", $"bid")
+    },
+
+    // --- RBF kernel (reference learn/metrics/pairwise/rbf_kernel.py):
+    //     exp(-gamma ||x-y||^2) over the embedding fixture; the oracle
+    //     recomputes the squared distance termwise in DOUBLE. round(6)
+    //     absorbs the sqrt-then-square ulp of the native euclidean path.
+    Q("learn_rbf",
+      """SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |  round(exp(-(1.0 / 64.0) * list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 6) AS k
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 3 AND b.vec_id >= 5 AND b.vec_id < 15
+        |ORDER BY aid, bid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val a = e.filter($"vec_id" < 3).select($"vec_id".as("aid"), $"embedding".as("avec"))
+      val b = e.filter($"vec_id" >= 5 && $"vec_id" < 15)
+        .select($"vec_id".as("bid"), $"embedding".as("bvec"))
+      Learn.rbfKernel(a, b, gamma = 1.0 / 64.0)
+        .select($"aid", $"bid", round($"k", 6).as("k"))
+        .orderBy($"aid", $"bid")
+    },
+
+    // --- label_binarize (reference learn/preprocessing/_label.py): 0/1
+    //     indicator column per class — exact integer output.
+    Q("learn_binarize",
+      """SELECT vec_id, label,
+        |  CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS BIGINT) AS label_0,
+        |  CAST(CASE WHEN label = 1 THEN 1 ELSE 0 END AS BIGINT) AS label_1,
+        |  CAST(CASE WHEN label = 2 THEN 1 ELSE 0 END AS BIGINT) AS label_2,
+        |  CAST(CASE WHEN label = 3 THEN 1 ELSE 0 END AS BIGINT) AS label_3
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.labelBinarize(
+          t(spark, dir, "embeddings").filter($"vec_id" < 50)
+            .select($"vec_id", $"label"),
+          "label", Seq(0, 1, 2, 3))
+        .orderBy($"vec_id")
     }
   )
 }

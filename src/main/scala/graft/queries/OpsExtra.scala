@@ -767,6 +767,58 @@ object OpsExtra {
         .agg(("cnt", "count", "bin"))
         .sortValues(Seq("bin"))
         .df
+    },
+
+    // --- §2.13 corrwith (reference statistics/corr.py:286): per-order
+    //     lineitem aggregates correlated column-by-column against the
+    //     order header after a key-aligned join. Correlations are ~0.9 by
+    //     construction (never near 0, so round(6) carries no signed-zero
+    //     exposure).
+    Q("op_corrwith",
+      """WITH a AS (SELECT l_orderkey AS k,
+        |             CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+        |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price
+        |           FROM lineitem GROUP BY l_orderkey),
+        |b AS (SELECT o_orderkey AS k, o_totalprice / 1000.0 AS qty,
+        |             o_totalprice AS price FROM orders),
+        |j AS (SELECT a.qty AS qa, b.qty AS qb, a.price AS pa, b.price AS pb
+        |      FROM a JOIN b USING (k))
+        |SELECT 'price' AS "column", round(corr(pa, pb), 6) AS corr FROM j
+        |UNION ALL
+        |SELECT 'qty' AS "column", round(corr(qa, qb), 6) AS corr FROM j
+        |ORDER BY "column"""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = graft.api.GraftFrame(t(spark, dir, "lineitem")
+        .groupBy($"l_orderkey".as("k"))
+        .agg(sum($"l_quantity").cast("double").as("qty"),
+          sumD(dec12($"l_extendedprice")).as("price")))
+      val b = graft.api.GraftFrame(t(spark, dir, "orders")
+        .select($"o_orderkey".as("k"), ($"o_totalprice" / 1000.0).as("qty"),
+          $"o_totalprice".as("price")))
+      a.corrwith(b, Seq("k"), Seq("qty", "price"))
+        .assign("corr" -> round(col("corr"), 6))
+        .sortValues(Seq("column")).df
+    },
+
+    // --- §2.13 autocorr (reference statistics/corr.py:378): lag-1 serial
+    //     correlation of event values per user over the explicit event_id
+    //     order — a partitioned window lag, then one corr aggregate per
+    //     group (no global single-task window).
+    Q("op_autocorr",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |       round(corr(value, lv), 6) AS autocorr
+        |FROM (SELECT user_id, value,
+        |             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lv
+        |      FROM events WHERE user_id < 20) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events").filter($"user_id" < 20)
+      graft.api.GraftFrame(ev)
+        .autocorr(Seq("user_id"), "event_id", "value")
+        .df.join(
+          ev.groupBy($"user_id").agg(count(lit(1)).as("n")), Seq("user_id"))
+        .select($"user_id", $"n", round($"autocorr", 6).as("autocorr"))
+        .orderBy($"user_id")
     }
   )
 }

@@ -485,4 +485,34 @@ class ApiSpec extends SparkSpecBase {
     val plan = a.dot(b, "id", "key").df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
   }
+
+  test("fromRecords builds a frame from heterogeneous maps with nulls") {
+    val gs = GraftSession(spark)
+    val recs = Seq(Map[String, Any]("id" -> 1L, "name" -> "a"),
+      Map[String, Any]("id" -> 2L))
+    val df = gs.fromRecords(recs, Seq("id" -> LongType, "name" -> StringType)).df
+    val got = df.orderBy("id").collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(got.toSeq == Seq((1L, false), (2L, true)))
+  }
+
+  test("corrwith: perfect linear relation gives corr 1, inverse gives -1") {
+    val a = GraftFrame(Seq((1L, 1.0, 3.0), (2L, 2.0, 2.0), (3L, 3.0, 1.0))
+      .toDF("k", "x", "y"))
+    val b = GraftFrame(Seq((1L, 10.0, 30.0), (2L, 20.0, 20.0), (3L, 30.0, 10.0))
+      .toDF("k", "x", "y"))
+    val got = a.corrwith(b, Seq("k"), Seq("x", "y")).df
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(got("x") - 1.0) < 1e-12)
+    assert(math.abs(got("y") - 1.0) < 1e-12) // y is also linear in b's y
+  }
+
+  test("autocorr: lag-1 of a linear series is 1, alternating series is -1") {
+    val lin = GraftFrame((1 to 20).map(i => ("g", i, i.toDouble)).toDF("g", "t", "v"))
+    val l = lin.autocorr(Seq("g"), "t", "v").df.collect().head.getDouble(1)
+    assert(math.abs(l - 1.0) < 1e-12, s"linear: $l")
+    val alt = GraftFrame((1 to 20).map(i => ("g", i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("g", "t", "v"))
+    val a2 = alt.autocorr(Seq("g"), "t", "v").df.collect().head.getDouble(1)
+    assert(math.abs(a2 + 1.0) < 1e-12, s"alternating: $a2")
+  }
 }

@@ -229,4 +229,34 @@ class LearnSpec extends SparkSpecBase {
     val m = Learn.regressionMetrics(df, "y", "pred").collect().head
     assert(m.getAs[Double]("rmse") > 0 && m.getAs[Double]("r2") > 0.95)
   }
+
+  test("haversine distance matches known great-circle arcs") {
+    val a = Seq((1L, 0.0, 0.0)).toDF("aid", "alat", "alon")
+    val b = Seq((1L, 0.0, 90.0), (2L, 90.0, 0.0), (3L, 0.0, 0.0))
+      .toDF("bid", "blat", "blon")
+    val got = Learn.haversineDistances(a, b)
+      .select("bid", "dist").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - math.Pi / 2) < 1e-12) // quarter circumference
+    assert(math.abs(got(2L) - math.Pi / 2) < 1e-12) // pole from equator
+    assert(got(3L) == 0.0)                          // same point
+  }
+
+  test("rbf kernel is 1 at zero distance and decays with gamma") {
+    val v = Seq(1f, 2f, 3f)
+    val a = Seq((1L, v)).toDF("aid", "avec")
+    val b = Seq((1L, v), (2L, Seq(2f, 2f, 3f))).toDF("bid", "bvec")
+    val got = Learn.rbfKernel(a, b, gamma = 0.5)
+      .select("bid", "k").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L) - math.exp(-0.5)) < 1e-9) // ||d||^2 = 1
+  }
+
+  test("labelBinarize emits exactly one indicator per row for known classes") {
+    val df = Seq((1L, 0), (2L, 1), (3L, 2), (4L, 7)).toDF("id", "label")
+    val out = Learn.labelBinarize(df, "label", Seq(0, 1, 2))
+    val sums = out.select(
+      (col("label_0") + col("label_1") + col("label_2")).as("s"),
+      col("label")).as[(Long, Int)].collect()
+    sums.foreach { case (s, l) => assert(s == (if (l <= 2) 1L else 0L)) }
+  }
 }
