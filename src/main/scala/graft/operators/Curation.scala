@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Corpus-curation operators for training-data pipelines beyond dedup:
+  * benchmark decontamination, domain balancing (caps / stratified
+  * fractions / importance resampling) and context-window sequence packing.
+  * The reference has no direct analogs (its closest surfaces are the
+  * dedup strategies in mars/dataframe/base/_duplicate.py:32 and weighted
+  * sampling in mars/dataframe/indexing/sample.py:41); these are the
+  * operations a 100 TB pretraining pipeline runs between dedup and
+  * tokenization.
+  *
+  * Scale stance: every operator here either broadcasts a provably-small
+  * side (the benchmark set, per-domain counts) or stays in one hash
+  * shuffle keyed on the unit of work (domain, shard) — no global windows,
+  * no driver loops, deterministic PortableHash randomness throughout so
+  * reruns and engines agree bit-for-bit.
+  */
+object Curation {
+
+  /** Benchmark decontamination: the standard n-gram test-set-overlap
+    * filter (industry practice is 13-grams over tokenized text; `n` is a
+    * parameter because short fixture docs need smaller n). Every document
+    * is scored with the count of distinct word n-grams it shares with ANY
+    * benchmark document, plus a `contaminated` flag at `minOverlap`.
+    *
+    * The benchmark side (test sets, eval prompts) is tiny by construction
+    * — its distinct hashed shingles broadcast; the corpus side streams
+    * through a broadcast-hash semi-aggregation with NO shuffle of
+    * documents themselves, only of (doc_id, matched-shingle) pairs that
+    * actually hit the benchmark filter. Shingles compare as xxhash64
+    * longs: the count of matching hashes equals the count of matching
+    * strings up to a 2^-64 collision, and counts (not hash values) are
+    * the output, so results stay engine-checkable. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val benchSh = bench
+      .select(explode(TextFunctions.hashedShingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol), explode(TextFunctions.hashedShingles(col(textCol), n)).as("__sh"))
+      .join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams")) // shingles are distinct per doc
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated_ngrams",
+        coalesce(col("n_contaminated_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_ngrams") >= minOverlap)
+  }
+
+  /** Exact per-domain document cap: keep at most `cap` documents per
+    * domain, chosen by PortableHash order on the id (an unbiased,
+    * rerun-stable sample — ingestion order would systematically prefer
+    * old crawls). One row_number window per domain: correct whenever no
+    * single domain dwarfs an executor (the usual case after CC bucketing);
+    * for mega-domain skew use [[domainCapApprox]] which never windows. */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String, cap: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(PortableHash.hash32(col(idCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Approximate per-domain cap for the mega-domain regime: per-domain
+    * counts (one partial+final aggregate, broadcast back — thousands of
+    * domains, not rows), then each row keeps with probability cap/count
+    * via the portable uniform. Expected kept ≈ cap per domain, zero
+    * windows, the corpus side never shuffles. */
+  def domainCapApprox(docs: DataFrame, domainCol: String, idCol: String, cap: Int)
+      : DataFrame = {
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__dn"))
+    docs.join(broadcast(counts), Seq(domainCol))
+      .filter(PortableHash.uniform01(col(idCol)) <
+        least(lit(1.0), lit(cap.toDouble) / col("__dn").cast("double")))
+      .drop("__dn")
+  }
+
+  /** Stratified sampling with per-domain fractions (domain-mixing weights:
+    * "keep 10% of CommonCrawl, all of Wikipedia"). Deterministic via the
+    * portable uniform on the id — reproducible across runs and engines,
+    * no shuffle at all (pure filter). */
+  def stratifiedSample(docs: DataFrame, domainCol: String, idCol: String,
+      fracs: Map[String, Double], defaultFrac: Double): DataFrame = {
+    val frac = fracs.foldLeft(lit(defaultFrac)) { case (acc, (dom, f)) =>
+      when(col(domainCol) === dom, lit(f)).otherwise(acc)
+    }
+    docs.filter(PortableHash.uniform01(col(idCol)) < frac)
+  }
+
+  /** Quality-weighted importance resampling: keep each document with
+    * probability clamp(weight, 0, 1) — the standard way to skew a corpus
+    * toward high-quality text without hard thresholds. Pure filter on the
+    * portable uniform: scan-speed, deterministic, rerun-stable. */
+  def importanceResample(docs: DataFrame, weightCol: String, idCol: String)
+      : DataFrame =
+    docs.filter(PortableHash.uniform01(col(idCol)) <
+      least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double"))))
+
+  /** Greedy sequence packing: assign documents to fixed-capacity context
+    * windows ("packs") of `capacity` tokens, shard-locally. Documents are
+    * hashed into `nShards` shards (PortableHash — deterministic), ordered
+    * by id within a shard, and packed first-fit-sequential: a document
+    * that would overflow the current pack starts the next one; documents
+    * longer than `capacity` occupy a pack alone.
+    *
+    * Output adds (shard, pack_id, pack_offset, n_tokens) — pack_id is
+    * shard-local and pack_offset is the document's token start inside its
+    * pack. Plan shape: one hash repartition on shard + sortWithinPartitions
+    * + a stateful mapPartitions (same machinery as the ewm pass — no
+    * per-group materialization, O(1) state per shard). Global greedy
+    * packing is inherently sequential; sharding is what makes it scale —
+    * each of the 1000 executors packs its shards independently, and pack
+    * quality (fill ratio) is unaffected because document order carries no
+    * length signal after hashing. */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      capacity: Int, nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0, "capacity and nShards must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val withLen = docs
+      .withColumn("shard", PortableHash.bucket(col(idCol), nShards))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+    val shardIdx = withLen.columns.indexOf("shard")
+    val tokIdx = withLen.columns.indexOf("n_tokens")
+    val outSchema = StructType(withLen.schema.fields ++ Seq(
+      StructField("pack_id", LongType), StructField("pack_offset", LongType)))
+    implicit val rowEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    withLen
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .mapPartitions { rows =>
+        // a partition holds whole shards (hash partitioning on shard);
+        // reset the accumulator at every shard boundary
+        val full = capacity.toLong + 1 // sentinel: forces a fresh pack (no Long overflow)
+        var curShard = Long.MinValue
+        var packId = -1L
+        var used = full
+        rows.map { r =>
+          val shard = r.getLong(shardIdx)
+          val nTok = r.getLong(tokIdx)
+          if (shard != curShard) { curShard = shard; packId = -1L; used = full }
+          if (used + nTok > capacity) { packId += 1; used = 0L }
+          val offset = used
+          used += nTok
+          Row.fromSeq(r.toSeq ++ Seq(packId, offset))
+        }
+      }
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import QHelpers._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 
 /** Extension operators for large-scale training-data pipelines: exact and
   * approximate deduplication, similarity search over embeddings, text
@@ -732,6 +732,127 @@ object Ext {
         .select($"media_id", lit("frame").as("kind"),
           $"frame_idx".cast("long").as("a"), lit(-1L).as("b"))
       img.unionAll(aud).unionAll(vid).orderBy($"media_id", $"kind", $"a")
+    },
+
+    // --- benchmark decontamination: corpus docs flagged by distinct
+    //     word-3-gram overlap with the (broadcast) benchmark set. Spark
+    //     intersects xxhash64 shingle hashes, DuckDB intersects shingle
+    //     strings — the match COUNTS are equal (2^-64 collision odds), and
+    //     only counts are emitted.
+    Q("ext_decontaminate",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS sh
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+        |             FROM d WHERE len(w) >= 3) t),
+        |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+        |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+        |         FROM sh s JOIN bsh ON s.sh = bsh.sh
+        |         WHERE s.doc_id >= 20 GROUP BY s.doc_id)
+        |SELECT c.doc_id,
+        |       COALESCE(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+        |       COALESCE(h.n_contaminated_ngrams, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) c
+        |LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      Curation.decontaminate(
+          docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20),
+          "text", "doc_id", n = 3, minOverlap = 3)
+        .select($"doc_id", $"n_contaminated_ngrams", $"contaminated")
+        .orderBy($"doc_id")
+    },
+
+    // --- per-domain cap: keep 10 docs per source in PortableHash order
+    //     (rerun- and engine-stable); the oracle replays the identical
+    //     avalanche hash rank.
+    Q("ext_domain_cap",
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${graft.functions.PortableHash.sqlHash32("doc_id")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Curation.domainCap(t(spark, dir, "documents"), "source", "doc_id", cap = 10)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
+    // --- stratified domain sampling: per-source keep fractions through
+    //     the portable uniform (src2's 0.0 drops the whole source on both
+    //     engines; absent groups stay absent on both sides).
+    Q("ext_stratified",
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n, min(doc_id) AS first_doc
+         |FROM documents
+         |WHERE ${graft.functions.PortableHash.sqlUniform01("doc_id")} <
+         |  (CASE source WHEN 'src0' THEN CAST(0.9 AS DOUBLE)
+         |               WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+         |               WHEN 'src2' THEN CAST(0.0 AS DOUBLE)
+         |               ELSE CAST(0.2 AS DOUBLE) END)
+         |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Curation.stratifiedSample(t(spark, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.0), defaultFrac = 0.2)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"))
+        .orderBy($"source")
+    },
+
+    // --- quality-weighted importance resampling: keep-probability
+    //     n_chars/400 clamped to [0,1]; identical IEEE division and
+    //     compare on both engines (exact — no rounding needed).
+    Q("ext_importance",
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM documents
+         |WHERE ${graft.functions.PortableHash.sqlUniform01("doc_id")} <
+         |  least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+         |        CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE)))
+         |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+        .withColumn("w", $"n_chars".cast("double") / lit(400.0))
+      Curation.importanceResample(docs, "w", "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source")
+    },
+
+    // --- sequence packing: shard-local greedy first-fit into 256-token
+    //     context windows. The recursive CTE replays the identical
+    //     sequential fold per shard (exact integer arithmetic — same
+    //     pattern as the op_ewm recurrence oracle).
+    Q("ext_packing",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, CAST(${graft.functions.PortableHash.sqlBucket("doc_id", 4)} AS BIGINT) AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn
+         |      FROM d),
+         |rec AS (
+         |  SELECT doc_id, shard, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+         |         n_tokens AS used
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+         |         CASE WHEN rec.used + r.n_tokens > 256 THEN rec.pack_id + 1
+         |              ELSE rec.pack_id END,
+         |         CASE WHEN rec.used + r.n_tokens > 256 THEN CAST(0 AS BIGINT)
+         |              ELSE rec.used END,
+         |         CASE WHEN rec.used + r.n_tokens > 256 THEN r.n_tokens
+         |              ELSE rec.used + r.n_tokens END
+         |  FROM rec JOIN r ON r.shard = rec.shard AND r.rn = rec.rn + 1)
+         |SELECT doc_id, shard, n_tokens, pack_id, pack_offset
+         |FROM rec ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Curation.packSequences(t(spark, dir, "documents"), "text", "doc_id",
+          capacity = 256, nShards = 4)
+        .select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"pack_offset")
+        .orderBy($"doc_id")
     }
   )
 }

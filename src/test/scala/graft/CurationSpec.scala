@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Differential tests for the curation operator family (decontamination,
+  * domain balancing, sequence packing): small literal inputs with
+  * independently-computed expectations, plus invariant checks (capacity
+  * respected, determinism across reruns) that hold at any scale.
+  */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("decontaminate counts shared distinct 3-grams and flags at the threshold") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      // shares "the quick brown" and "quick brown fox" → 2 overlaps
+      (10L, "the quick brown fox sleeps"),
+      // no 3-gram overlap
+      (11L, "entirely different words here now"),
+      // identical text → 3 shared 3-grams
+      (12L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(docs, bench, "text", "doc_id", n = 3, minOverlap = 3)
+      .select("doc_id", "n_contaminated_ngrams", "contaminated")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(10L) == ((2L, false)))
+    assert(got(11L) == ((0L, false)))
+    assert(got(12L) == ((3L, true)))
+  }
+
+  test("domainCap keeps min(cap, size) per domain, deterministically") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 20) "big" else "small"))
+      .toDF("doc_id", "source")
+    val kept = Curation.domainCap(docs, "source", "doc_id", cap = 8)
+    val sizes = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("big" -> 8L, "small" -> 8L)) // small has 10 > 8
+    val again = Curation.domainCap(docs, "source", "doc_id", cap = 8)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("domainCapApprox keeps everything under the cap and thins above it") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 390) "big" else "tiny"))
+      .toDF("doc_id", "source")
+    val kept = Curation.domainCapApprox(docs, "source", "doc_id", cap = 50)
+    val sizes = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes("tiny") == 10L, "under-cap domains keep every row")
+    // expectation 50 of 390; the portable uniform is fixed, so just bound
+    // it loosely against the binomial tails
+    assert(sizes("big") > 20L && sizes("big") < 90L, s"got ${sizes("big")}")
+  }
+
+  test("stratifiedSample honors 0 and 1 fractions exactly") {
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "source")
+    val kept = Curation.stratifiedSample(docs, "source", "doc_id",
+      Map("keep" -> 1.0, "drop" -> 0.0), defaultFrac = 0.5)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("keep", 0L) == 50L)
+    assert(bySrc.getOrElse("drop", 0L) == 0L)
+  }
+
+  test("importanceResample keeps weight-1 rows and drops weight-0 rows") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 50) 1.0 else 0.0))
+      .toDF("doc_id", "w")
+    val kept = Curation.importanceResample(docs, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 50L).toSet)
+  }
+
+  test("packSequences respects capacity and emits consistent offsets") {
+    val docs = (1L to 200L).map(i =>
+      (i, Seq.fill((i % 37 + 3).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, "text", "doc_id",
+      capacity = 100, nShards = 3)
+    // every pack fits unless it is a single oversize doc (none here)
+    val packSums = packed.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    packSums.foreach { case (sh, p, tok, n) =>
+      assert(tok <= 100, s"pack ($sh,$p) holds $tok tokens")
+    }
+    // offsets are the running sum within (shard, pack) in doc_id order
+    val rows = packed.select("shard", "pack_id", "doc_id", "n_tokens", "pack_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    rows.values.foreach { g =>
+      var acc = 0L
+      g.sortBy(_._3).foreach { case (_, _, _, n, off) =>
+        assert(off == acc); acc += n
+      }
+    }
+    // pack ids are contiguous from 0 per shard
+    packed.groupBy("shard").agg(min("pack_id").as("lo"),
+        max("pack_id").as("hi"), countDistinct("pack_id").as("d"))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (_, lo, hi, d) => assert(lo == 0L && d == hi + 1) }
+    // every doc survives exactly once
+    assert(packed.count() == 200L)
+  }
+
+  test("packSequences gives an oversize document its own pack") {
+    val docs = Seq(
+      (1L, Seq.fill(5)("w").mkString(" ")),
+      (2L, Seq.fill(50)("w").mkString(" ")), // > capacity
+      (3L, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, "text", "doc_id",
+      capacity = 10, nShards = 1)
+    val byDoc = packed.select("doc_id", "pack_id")
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) != byDoc(2L) && byDoc(2L) != byDoc(3L),
+      s"oversize doc must sit alone: $byDoc")
+  }
+}
