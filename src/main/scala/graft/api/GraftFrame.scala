@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.functions.aggregates
-import graft.operators.{Dedup, Sessionize, Windows}
+import graft.operators.{Curation, Dedup, Sessionize, Windows}
 
 /** The engine's user-facing frame: a pandas-flavored fluent API over
   * `DataFrame` covering the reference's ~170-operator dataframe surface
@@ -413,6 +413,34 @@ final case class GraftFrame(df: DataFrame) {
   /** Positional-agnostic dedup (any row per key). */
   def dropDuplicatesAny(subset: Seq[String]): GraftFrame =
     GraftFrame(df.dropDuplicates(subset))
+
+  // ---------------------------------------------- corpus curation (Ext)
+  /** Benchmark decontamination — see
+    * [[graft.operators.Curation.decontaminate]]. */
+  def decontaminate(bench: GraftFrame, textCol: String, idCol: String,
+      n: Int = 3, minOverlap: Int = 1): GraftFrame =
+    GraftFrame(Curation.decontaminate(df, bench.df, textCol, idCol, n, minOverlap))
+
+  /** Exact per-domain cap — see [[graft.operators.Curation.domainCap]]. */
+  def domainCap(domainCol: String, idCol: String, cap: Int): GraftFrame =
+    GraftFrame(Curation.domainCap(df, domainCol, idCol, cap))
+
+  /** Stratified per-domain sampling — see
+    * [[graft.operators.Curation.stratifiedSample]]. */
+  def stratifiedSample(domainCol: String, idCol: String,
+      fracs: Map[String, Double], defaultFrac: Double): GraftFrame =
+    GraftFrame(Curation.stratifiedSample(df, domainCol, idCol, fracs, defaultFrac))
+
+  /** Importance resampling — see
+    * [[graft.operators.Curation.importanceResample]]. */
+  def importanceResample(weightCol: String, idCol: String): GraftFrame =
+    GraftFrame(Curation.importanceResample(df, weightCol, idCol))
+
+  /** Context-window sequence packing — see
+    * [[graft.operators.Curation.packSequences]]. */
+  def packSequences(textCol: String, idCol: String, capacity: Int,
+      nShards: Int): GraftFrame =
+    GraftFrame(Curation.packSequences(df, textCol, idCol, capacity, nShards))
 
   /** Per-row duplicate flag over subset keys (reference
     * base/duplicated.py:25); true for every row beyond the first by

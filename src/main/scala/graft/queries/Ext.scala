@@ -774,8 +774,9 @@ object Ext {
          |  FROM documents) t
          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      Curation.domainCap(t(spark, dir, "documents"), "source", "doc_id", cap = 10)
-        .select($"doc_id", $"source")
+      gt(spark, dir, "documents")
+        .domainCap("source", "doc_id", cap = 10)
+        .df.select($"doc_id", $"source")
         .orderBy($"doc_id")
     },
 
@@ -849,9 +850,9 @@ object Ext {
          |SELECT doc_id, shard, n_tokens, pack_id, pack_offset
          |FROM rec ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      Curation.packSequences(t(spark, dir, "documents"), "text", "doc_id",
-          capacity = 256, nShards = 4)
-        .select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"pack_offset")
+      gt(spark, dir, "documents")
+        .packSequences("text", "doc_id", capacity = 256, nShards = 4)
+        .df.select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"pack_offset")
         .orderBy($"doc_id")
     }
   )

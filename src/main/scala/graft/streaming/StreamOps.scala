@@ -74,6 +74,30 @@ object StreamOps {
       .toDF("doc_id", "fp")
   }
 
+  /** Streaming benchmark decontamination: the stream–static form of
+    * [[graft.operators.Curation.decontaminate]] — incoming documents are
+    * scored against a STATIC benchmark-shingle table (the benchmark set
+    * changes rarely; Spark re-broadcasts it per batch). The stream side
+    * never accumulates state: each micro-batch explodes its own shingles,
+    * probes the broadcast, and aggregates within the batch (doc_id is
+    * unique per document so a per-batch group is complete). Ingest-time
+    * filtering at firehose scale — contaminated docs never reach the
+    * corpus sink. */
+  def decontaminateStream(docs: DataFrame, benchShingles: DataFrame,
+      n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val marked = benchShingles.select(col("__sh"), lit(1).as("__hit")).distinct()
+    docs
+      // explode_outer: a doc too short to shingle still emits its row
+      // (with 0 overlaps), matching the batch operator's left join
+      .select(col("doc_id"),
+        explode_outer(graft.functions.TextFunctions.hashedShingles(col("text"), n)).as("__sh"))
+      .join(broadcast(marked), Seq("__sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("__hit")).as("n_contaminated_ngrams")) // count skips nulls
+      .select(col("doc_id"), col("n_contaminated_ngrams"),
+        (col("n_contaminated_ngrams") >= minOverlap).as("contaminated"))
+  }
+
   /** Stream–stream interval join: right-stream events falling in
     * [left.ts, left.ts + windowSeconds) for the same key — the streaming
     * form of [[graft.operators.Sessionize.intervalJoin]] (clicks within an
