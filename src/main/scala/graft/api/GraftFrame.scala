@@ -176,6 +176,25 @@ final case class GraftFrame(df: DataFrame) {
     assign(out -> r.over(w).cast("long"))
   }
 
+  /** pandas rank(pct=True): rank divided by the non-null group size — an
+    * exact rational (long/long) so both engines produce identical doubles.
+    * `method` as in [[rank]]; the divisor is the partition row count from
+    * the same window (no second aggregate). */
+  def rankPct(out: String, partitionBy: Seq[String], orderBy: Seq[Column],
+      method: String = "min"): GraftFrame = {
+    val part = if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(df(_)): _*)
+    val w = part.orderBy(orderBy: _*)
+    val r = method match {
+      case "min" => org.apache.spark.sql.functions.rank()
+      case "dense" => dense_rank()
+      case "first" => row_number()
+      case m => throw new IllegalArgumentException(s"unknown rank method: $m")
+    }
+    assign(out -> (r.over(w).cast("double") /
+      count(lit(1)).over(part).cast("double")))
+  }
+
   /** Positional column insert (reference indexing/insert.py:28). */
   def insert(pos: Int, name: String, value: Column): GraftFrame = {
     val (before, after) = df.columns.splitAt(pos)
@@ -268,6 +287,56 @@ final case class GraftFrame(df: DataFrame) {
   }
 
   def crossJoin(right: GraftFrame): GraftFrame = GraftFrame(df.crossJoin(right.df))
+
+  /** pandas combine_first (reference merge/concat.py neighborhood;
+    * DataFrame.combine_first in the pandas surface the reference wraps):
+    * key-aligned full outer union where THIS frame's values win and
+    * `other` patches the holes — per shared column a null-coalesce, plus
+    * rows only present on either side. One shuffle (the outer join);
+    * columns unique to either frame are kept as-is. */
+  def combineFirst(other: GraftFrame, on: Seq[String]): GraftFrame = {
+    val shared = df.columns.filterNot(on.contains)
+      .intersect(other.df.columns.filterNot(on.contains)).toSeq
+    val l = shared.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__cf_l"))
+    val r = shared.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + "__cf_r"))
+    val patched = shared.foldLeft(l.join(r, on, "full_outer"))((d, c) =>
+      d.withColumn(c, coalesce(col(c + "__cf_l"), col(c + "__cf_r")))
+        .drop(c + "__cf_l", c + "__cf_r"))
+    GraftFrame(patched)
+  }
+
+  /** pandas DataFrame.compare: rows of the key-aligned inner join where any
+    * compared column differs (null-safe inequality), emitted as
+    * (col+suffix_self, col+suffix_other) pairs. Equal rows vanish, like
+    * pandas' default keep_shape=False. One equi-join shuffle. */
+  def compareFrames(other: GraftFrame, on: Seq[String], cols: Seq[String],
+      suffixes: (String, String) = ("_self", "_other")): GraftFrame = {
+    val l = df.select((on ++ cols).map(df(_)): _*)
+    val r = other.df.select((on ++ cols).map(other.df(_)): _*)
+    val l1 = cols.foldLeft(l)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r1 = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    val j = l1.join(r1, on, "inner")
+    val anyDiff = cols.map(c =>
+      !(col(c + suffixes._1) <=> col(c + suffixes._2))).reduce(_ || _)
+    GraftFrame(j.filter(anyDiff).select(
+      (on.map(col) ++ cols.flatMap(c =>
+        Seq(col(c + suffixes._1), col(c + suffixes._2)))): _*))
+  }
+
+  /** pandas crosstab: row-key × column-key count matrix. Pass the column
+    * universe explicitly for a deterministic schema with no discovery pass;
+    * with `colValues` empty Spark collects the distinct values first
+    * (fine for low-cardinality columns only — same caveat as pandas,
+    * where the whole result is in memory anyway). One partial+final
+    * aggregate; absent cells are 0. */
+  def crosstab(rowCol: String, colCol: String,
+      colValues: Seq[Any] = Nil): GraftFrame = {
+    val g = df.groupBy(df(rowCol))
+    val p = if (colValues.nonEmpty) g.pivot(colCol, colValues) else g.pivot(colCol)
+    val counted = p.agg(count(lit(1)))
+    val fillCols = counted.columns.filterNot(_ == rowCol).toSeq
+    GraftFrame(counted.na.fill(0L, fillCols))
+  }
 
   /** pandas pipe: apply a frame-to-frame function in a chain. */
   def pipe(f: GraftFrame => GraftFrame): GraftFrame = f(this)
@@ -480,6 +549,17 @@ final case class GraftFrame(df: DataFrame) {
   }
 
   /** pandas clip: bound values to [lower, upper]. */
+  /** pandas interpolate(method='linear') over an explicit partition+order
+    * (see [[graft.operators.Windows.interpolateLinear]]). */
+  def interpolate(partitionBy: Seq[String], orderBy: Seq[String],
+      valueCol: String, out: String): GraftFrame =
+    GraftFrame(Windows.interpolateLinear(df, partitionBy, orderBy, valueCol, out))
+
+  /** pandas resample('1D') with calendar completion per key (see
+    * [[graft.operators.Sessionize.resampleDaily]]). */
+  def resampleDaily(keyCol: String, tsCol: String, sumCol: Column): GraftFrame =
+    GraftFrame(Sessionize.resampleDaily(df, keyCol, tsCol, sumCol))
+
   def clip(colName: String, lower: Double, upper: Double): GraftFrame =
     assign(colName -> least(greatest(df(colName), lit(lower)), lit(upper)))
 
@@ -543,6 +623,41 @@ final case class GraftFrame(df: DataFrame) {
       case Some(v: String) => p.na.fill(v, values.map(_.toString))
       case _ => p
     })
+  }
+
+  /** pandas pivot_table(margins=True): wide sum table with an "All" margin
+    * column and an "All" margin row. Expressed as ONE aggregate: conditional
+    * sums per pivot value over `cube(index)` — the cube's grand-total
+    * grouping set IS the margin row, so margins cost no second scan and no
+    * union. `colValues` must be the explicit column universe (deterministic
+    * schema, no discovery pass). */
+  def pivotTableMargins(index: String, column: String, valueCol: String,
+      colValues: Seq[String], marginsName: String = "All"): GraftFrame = {
+    val aggs = colValues.map(v =>
+      sum(when(df(column) === v, df(valueCol))).as(v)) :+
+      sum(df(valueCol)).as(marginsName)
+    val g = df.cube(df(index)).agg(aggs.head, aggs.tail: _*)
+    GraftFrame(g.withColumn(index,
+      coalesce(col(index).cast("string"), lit(marginsName))))
+  }
+
+  /** Winsorize: clip a column at per-group exact interpolated quantiles
+    * (scipy/pandas clip(lower=q(pLow), upper=q(pHigh)) composition). The
+    * quantiles are one partial+final aggregate per group joined back —
+    * no global window; with `by` empty the two cutoffs broadcast as a
+    * single row. Cutoffs are rounded to `roundTo` decimals so boundary
+    * behavior is reproducible across engines (same contract as qcut). */
+  def winsorize(valueCol: String, out: String, pLow: Double, pHigh: Double,
+      by: Seq[String] = Nil, roundTo: Int = 6): GraftFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    val lo = round(percentile(df(valueCol), lit(pLow)), roundTo).as("__wlo")
+    val hi = round(percentile(df(valueCol), lit(pHigh)), roundTo).as("__whi")
+    val joined =
+      if (by.isEmpty) df.crossJoin(broadcast(df.agg(lo, hi)))
+      else df.join(df.groupBy(by.map(df(_)): _*).agg(lo, hi), by)
+    GraftFrame(joined
+      .withColumn(out, least(greatest(col(valueCol), col("__wlo")), col("__whi")))
+      .drop("__wlo", "__whi"))
   }
 
   /** One-hot indicator columns (reference base/get_dummies.py). */
@@ -1041,6 +1156,14 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn"))
   }
+
+  /** pandas groupby.cumcount: 0-based position of each row within its
+    * group over an explicit order (reference groupby/cum.py — cumcount is
+    * the row index the reference gets for free from pandas; here it is a
+    * row_number window minus one). */
+  def cumcount(out: String, orderBy: Seq[String]): GraftFrame =
+    GraftFrame(df.withColumn(out,
+      row_number().over(Windows.spec(keys, orderBy)).cast("long") - 1L))
 
   /** Group-wise cumulative sum (reference groupby/cum.py:154). */
   def cumsum(valueCol: String, out: String, orderBy: Seq[String]): GraftFrame =

@@ -132,4 +132,29 @@ object TextFunctions {
     "n_email" -> size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"),
     "n_ip" -> size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long"),
     "n_phone" -> size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long"))
+
+  /** Per-document unigram distribution statistics: whitespace token count,
+    * distinct types, type-token ratio, and Shannon entropy in bits —
+    * H = log2(n) − (Σ c·log2 c)/n over per-word counts c, the standard
+    * diversity/perplexity proxy for corpus curation.
+    *
+    * Shape: explode → ONE (doc, word) partial+final count aggregate → one
+    * per-doc aggregate. Both shuffles key on doc_id (the second reuses the
+    * first's key prefix); no collect, no window over the corpus. */
+  def unigramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val wc = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    wc.groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("tokens"),
+        count(lit(1)).as("types"),
+        sum(col("__c").cast("double") * log2(col("__c").cast("double"))).as("__slc"))
+      .select(col(idCol), col("tokens"), col("types"),
+        (col("types").cast("double") / col("tokens").cast("double")).as("ttr"),
+        (log2(col("tokens").cast("double")) -
+          col("__slc") / col("tokens").cast("double")).as("entropy"))
+  }
 }

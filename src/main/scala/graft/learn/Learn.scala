@@ -103,6 +103,67 @@ object Learn {
       .fit(df.withColumn("__features",
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
 
+  /** Closed-form simple ridge regression y ~ a + b·x with L2 penalty λ on
+    * the slope (reference mars/learn/linear_model Ridge surface; sklearn
+    * Ridge with one feature): b = Sxy / (Sxx + λ), a = ȳ − b·x̄ over
+    * CENTERED sums. ONE partial+final aggregate computes the five sums;
+    * the closed form then runs on the driver-side 1-row result inside the
+    * same plan (no collect). Pass exact-decimal x/y columns for bit-exact
+    * cross-engine replay. Returns one row per λ:
+    * (lambda, slope, intercept). */
+  def ridgeSimple(df: DataFrame, x: Column, y: Column,
+      lambdas: Seq[Double]): DataFrame = {
+    val sums = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(x * y).cast("double").as("sxy"))
+    val lams = explode(typedlit(lambdas)).as("lambda")
+    sums.select(lams, col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+      .withColumn("slope",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n") + col("lambda")))
+      .withColumn("intercept",
+        col("sy") / col("n") - col("slope") * col("sx") / col("n"))
+      .select(col("lambda"), col("slope"), col("intercept"))
+  }
+
+  /** Categorical naive Bayes with Laplace smoothing (reference mars/learn
+    * naive_bayes surface; sklearn CategoricalNB on one feature): class
+    * priors and per-(feature value, class) likelihoods from two count
+    * aggregates, scored as log P(c) + log P(f|c). All inputs are integer
+    * counts, so the log-space scores replay exactly on any engine.
+    *
+    * Returns the long-form score table: one row per (feature value, class)
+    * with (count, loglik, score) plus the argmax `predicted` class per
+    * feature value (ties break to the LARGEST class label via struct max —
+    * same convention as idxmax). */
+  def naiveBayesCategorical(df: DataFrame, featureCol: String,
+      labelCol: String, alpha: Double = 1.0): DataFrame = {
+    val fc = col(featureCol).as("feature")
+    val cc = col(labelCol).as("cls")
+    val joint = df.groupBy(fc, cc).agg(count(lit(1)).as("n_fc"))
+    val classes = df.groupBy(cc).agg(count(lit(1)).as("n_c"))
+    val nFeatureVals = df.select(col(featureCol)).distinct().count()
+    val total = classes.agg(sum(col("n_c")).as("n_total"))
+    // complete the (feature, class) grid so zero counts are smoothed, not
+    // absent: distinct features × classes is a tiny broadcast cross join
+    val grid = df.select(fc).distinct().crossJoin(broadcast(classes))
+    val scored = grid
+      .join(joint, Seq("feature", "cls"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("feature"), col("cls"),
+        coalesce(col("n_fc"), lit(0L)).as("count"),
+        (log(coalesce(col("n_fc"), lit(0L)).cast("double") + lit(alpha)) -
+          log(col("n_c").cast("double") + lit(alpha * nFeatureVals))).as("loglik"),
+        (log(col("n_c").cast("double")) - log(col("n_total").cast("double"))).as("logprior"))
+      .withColumn("score", col("loglik") + col("logprior"))
+    val winner = scored.groupBy(col("feature"))
+      .agg(max(struct(col("score"), col("cls"))).getField("cls").as("predicted"))
+    scored.join(winner, Seq("feature"))
+  }
+
   // ---------------------------------------------------------- classification
   /** Binary logistic regression over numeric feature columns (reference
     * mars/learn linear_model / glm surface → MLlib). */

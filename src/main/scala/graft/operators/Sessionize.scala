@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,6 +215,42 @@ object Sessionize {
         max(struct(t.as("t"), col(idCol).as("i"), col(valCol).as("v")))
           .getField("v").as("close"),
         count(lit(1)).as("n"))
+  }
+
+  /** pandas resample('1D') with calendar completion (asfreq semantics):
+    * per key, daily aggregates on a GAP-FREE day grid from the key's first
+    * to last observed day. Empty days appear with cnt = 0, a null `sum`
+    * (pandas' asfreq hole), and `sum_ffill` = the previous observed day's
+    * sum (pandas resample().ffill()).
+    *
+    * Scale shape: the day grid is generated per key from a 2-column
+    * min/max aggregate (`sequence` + explode — rows ∝ keys × span days,
+    * never a global calendar cross-join), the daily aggregate is
+    * partial+final, and the grid join + ffill share the per-key
+    * partitioning. `sumCol` goes through the caller's column (cast to
+    * exact DECIMAL upstream for bit-exact oracles). */
+  def resampleDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      sumCol: Column): DataFrame = {
+    val day = to_date(col(tsCol))
+    val daily = events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(count(lit(1)).as("cnt"), sum(sumCol).as("sum_val"))
+    val grid = events
+      .groupBy(col(keyCol))
+      .agg(min(day).as("__d0"), max(day).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val joined = grid.join(daily, Seq(keyCol, "day"), "left")
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(col(keyCol), col("day"),
+      coalesce(col("cnt"), lit(0L)).as("cnt"),
+      col("sum_val"),
+      last(col("sum_val"), ignoreNulls = true).over(wBack).as("sum_ffill"))
   }
 
   /** Two-step funnel: per user, how many `fromType` events were followed

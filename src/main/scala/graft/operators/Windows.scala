@@ -131,6 +131,40 @@ object Windows {
         ((n - lit(2.0)) * (n - lit(3.0))))
   }
 
+  /** pandas DataFrame.interpolate(method='linear') over an explicit
+    * partition+order (reference base/fillna neighborhood — mars wraps the
+    * pandas interpolate surface): interior null runs are filled by linear
+    * interpolation between the surrounding non-null values at their ROW
+    * positions, leading nulls stay null, trailing nulls carry the last
+    * valid value forward — pandas' default limit_direction='forward'
+    * semantics. Four ignore-null window lookups over ONE sort (two frame
+    * directions of the same partitioning); no per-group materialization. */
+  def interpolateLinear(df: DataFrame, partitionBy: Seq[String],
+      orderBy: Seq[String], valueCol: String, out: String): DataFrame = {
+    val base = spec(partitionBy, orderBy)
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // phase 1: materialize the row position (window functions cannot nest
+    // inside another window's argument); phase 2 shares phase 1's sort —
+    // one shuffle, one WindowExec group
+    val staged = df
+      .withColumn("__rn", row_number().over(base).cast("double"))
+      .withColumn("__v", col(valueCol).cast("double"))
+    val marked = when(col("__v").isNotNull, col("__rn"))
+    val prevV = last(col("__v"), ignoreNulls = true).over(back)
+    val prevRn = last(marked, ignoreNulls = true).over(back)
+    val nextV = first(col("__v"), ignoreNulls = true).over(fwd)
+    val nextRn = first(marked, ignoreNulls = true).over(fwd)
+    staged
+      .withColumn(out,
+        when(col("__v").isNotNull, col("__v"))
+          .when(prevV.isNull, lit(null).cast("double"))
+          .when(nextV.isNull, prevV)
+          .otherwise(prevV + (nextV - prevV) * (col("__rn") - prevRn) /
+            (nextRn - prevRn)))
+      .drop("__rn", "__v")
+  }
+
   def cumsum(c: Column, w: WindowSpec): Column = sum(c).over(expanding(w))
   def cummax(c: Column, w: WindowSpec): Column = max(c).over(expanding(w))
   def cummin(c: Column, w: WindowSpec): Column = min(c).over(expanding(w))

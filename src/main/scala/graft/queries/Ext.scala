@@ -854,6 +854,55 @@ object Ext {
         .packSequences("text", "doc_id", capacity = 256, nShards = 4)
         .df.select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"pack_offset")
         .orderBy($"doc_id")
+    },
+
+    // --- corpus-wide top-k word bigrams: explode non-distinct 2-gram
+    //     shingles → ONE partial+final count aggregate → distributed
+    //     TakeOrdered top-20 (count desc, gram asc tiebreak). The classic
+    //     corpus-statistics pass; integer counts compare exactly.
+    Q("ext_ngram_topk",
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT array_to_string(w[i+1:i+2], ' ') AS gram
+        |      FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+        |            FROM d WHERE len(w) >= 2) t)
+        |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select(explode(TextFunctions.shingles($"text", 2)).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"gram")
+        .limit(20)
+    },
+
+    // --- per-document unigram diversity: token count, distinct types,
+    //     type-token ratio (exact long/long rational), Shannon entropy in
+    //     bits. The Σ c·log2 c term sums doubles whose order differs per
+    //     engine, so entropy rounds to 4 decimals (same tolerance class as
+    //     the ANN cosine oracles); ttr is exact division → round 6.
+    Q("ext_entropy",
+      """WITH wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE doc_id < 200) t
+        |  GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS tokens, COUNT(*) AS types,
+        |         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS slc
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, tokens, types,
+        |  round(CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS ttr,
+        |  round(log2(CAST(tokens AS DOUBLE)) - slc / CAST(tokens AS DOUBLE), 4)
+        |    + CAST(0.0 AS DOUBLE) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(TextFunctions.unigramStats(
+          t(spark, dir, "documents").filter($"doc_id" < 200), "doc_id", "text"))
+        .assign(
+          "ttr" -> round(col("ttr"), 6),
+          "entropy" -> (round(col("entropy"), 4) + lit(0.0)))
+        .sortValues(Seq("doc_id"))
+        .df
     }
   )
 }

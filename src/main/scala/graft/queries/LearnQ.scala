@@ -314,6 +314,84 @@ object LearnQ {
         .orderBy($"aid", $"bid")
     },
 
+    // --- ridge regression, closed form (reference mars/learn Ridge
+    //     surface): y ~ a + b·x with L2 penalty on the slope, solved as
+    //     b = Sxy/(Sxx+λ) over centered sums. The five input sums go
+    //     through exact DECIMAL aggregation (bit-identical across
+    //     engines); the closed form then replays the same double
+    //     arithmetic in the same order on both sides. λ=0 reproduces OLS
+    //     (cross-checks learn_linreg's regr_slope).
+    Q("learn_ridge",
+      """WITH s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem),
+        |lam AS (SELECT CAST(unnest([0.0, 1000.0, 100000.0]) AS DOUBLE) AS lambda),
+        |fit AS (
+        |  SELECT lambda,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n + lambda) AS slope
+        |  FROM s, lam)
+        |SELECT f.lambda, round(f.slope, 6) AS slope,
+        |       round(s.sy / s.n - f.slope * s.sx / s.n, 6) AS intercept
+        |FROM fit f, s ORDER BY f.lambda""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.ridgeSimple(t(spark, dir, "lineitem"),
+          dec12($"l_quantity"), dec12($"l_extendedprice"),
+          Seq(0.0, 1000.0, 100000.0))
+        .select($"lambda", round($"slope", 6).as("slope"),
+          round($"intercept", 6).as("intercept"))
+        .orderBy($"lambda")
+    },
+
+    // --- categorical naive Bayes with Laplace smoothing (reference
+    //     mars/learn naive_bayes surface; sklearn CategoricalNB): class
+    //     priors + per-(segment, class) likelihoods from integer counts,
+    //     scored in log space; prediction = argmax score with ties to the
+    //     largest class label (struct-max convention).
+    Q("learn_nb",
+      """WITH lab AS (
+        |  SELECT c_mktsegment AS feature,
+        |         CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS cls
+        |  FROM customer),
+        |joint AS (SELECT feature, cls, COUNT(*) AS n_fc FROM lab GROUP BY feature, cls),
+        |classes AS (SELECT cls, COUNT(*) AS n_c FROM lab GROUP BY cls),
+        |feats AS (SELECT DISTINCT feature FROM lab),
+        |total AS (SELECT SUM(n_c) AS n_total FROM classes),
+        |grid AS (SELECT feature, cls, n_c FROM feats, classes),
+        |scored AS (
+        |  SELECT g.feature, g.cls, COALESCE(j.n_fc, 0) AS count,
+        |    ln(CAST(COALESCE(j.n_fc, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      - ln(CAST(g.n_c AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS loglik,
+        |    ln(CAST(g.n_c AS DOUBLE)) - ln(CAST(t.n_total AS DOUBLE)) AS logprior
+        |  FROM grid g LEFT JOIN joint j ON g.feature = j.feature AND g.cls = j.cls, total t),
+        |s2 AS (SELECT feature, cls, count, loglik, loglik + logprior AS score FROM scored),
+        |win AS (
+        |  SELECT feature, cls AS predicted FROM (
+        |    SELECT feature, cls,
+        |           row_number() OVER (PARTITION BY feature
+        |                              ORDER BY score DESC, cls DESC) AS rk
+        |    FROM s2) r WHERE rk = 1)
+        |SELECT s2.feature, s2.cls, s2.count,
+        |       round(s2.loglik, 6) AS loglik, round(s2.score, 6) AS score,
+        |       w.predicted
+        |FROM s2 JOIN win w ON s2.feature = w.feature
+        |ORDER BY s2.feature, s2.cls""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val labeled = t(spark, dir, "customer")
+        .select($"c_mktsegment".as("segment"),
+          when($"c_acctbal" >= 0, lit("pos")).otherwise(lit("neg")).as("bal_cls"))
+      Learn.naiveBayesCategorical(labeled, "segment", "bal_cls", alpha = 1.0)
+        .select($"feature", $"cls", $"count",
+          round($"loglik", 6).as("loglik"), round($"score", 6).as("score"),
+          $"predicted")
+        .orderBy($"feature", $"cls")
+    },
+
     // --- label_binarize (reference learn/preprocessing/_label.py): 0/1
     //     indicator column per class — exact integer output.
     Q("learn_binarize",

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QHelpers._
+
+/** Round-6 reshape/alignment/statistics coverage: combine_first, compare,
+  * crosstab, pivot_table margins, linear interpolation, calendar resample,
+  * pct rank + groupby cumcount, winsorize.
+  *
+  * Conventions as everywhere: deterministic total-order ORDER BY on both
+  * sides, DECIMAL casts for money sums, BIGINT casts for integer derived
+  * columns, round(x, 6) (+ 0.0 when the value can be exactly zero) for
+  * libm/division-dependent doubles.
+  */
+object OpsReshape {
+
+  val all: Vector[Q] = Vector(
+
+    // --- §2.4 combine_first (pandas DataFrame.combine_first): this frame's
+    //     nulls patched from the other frame over a key-aligned full outer
+    //     union. Frame A nulls every third price; frame B (shifted key
+    //     range) carries price+1 — so the result exercises patched holes,
+    //     left-only rows, right-only rows, and a right-missing column.
+    Q("op_combine_first",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS price,
+        |         o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey < 3000),
+        |b AS (
+        |  SELECT o_orderkey AS k, o_totalprice + CAST(1.0 AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 5000)
+        |SELECT k, COALESCE(a.price, b.price) AS price, prio
+        |FROM a FULL OUTER JOIN b USING (k)
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = t(spark, dir, "orders")
+      val a = graft.api.GraftFrame(orders.filter($"o_orderkey" < 3000)
+        .select($"o_orderkey".as("k"),
+          when($"o_orderkey" % 3 === 0, lit(null).cast("double"))
+            .otherwise($"o_totalprice").as("price"),
+          $"o_orderpriority".as("prio")))
+      val b = graft.api.GraftFrame(orders
+        .filter($"o_orderkey" >= 1500 && $"o_orderkey" < 5000)
+        .select($"o_orderkey".as("k"), ($"o_totalprice" + lit(1.0)).as("price")))
+      a.combineFirst(b, Seq("k"))
+        .sortValues(Seq("k"))
+        .df
+    },
+
+    // --- §2.4 compare (pandas DataFrame.compare): key-aligned diff of two
+    //     frames — only rows where a compared column differs survive,
+    //     emitted as (self, other) column pairs.
+    Q("op_compare",
+      """WITH self AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey < 1000),
+        |other AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + CAST(100.0 AS DOUBLE)
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey < 1000)
+        |SELECT s.c_custkey,
+        |  s.c_acctbal AS c_acctbal_self, o.c_acctbal AS c_acctbal_other,
+        |  s.c_mktsegment AS c_mktsegment_self, o.c_mktsegment AS c_mktsegment_other
+        |FROM self s JOIN other o USING (c_custkey)
+        |WHERE s.c_acctbal IS DISTINCT FROM o.c_acctbal
+        |   OR s.c_mktsegment IS DISTINCT FROM o.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val cust = t(spark, dir, "customer").filter($"c_custkey" < 1000)
+      val self = graft.api.GraftFrame(
+        cust.select($"c_custkey", $"c_acctbal", $"c_mktsegment"))
+      val other = graft.api.GraftFrame(cust.select($"c_custkey",
+        when($"c_custkey" % 5 === 0, $"c_acctbal" + lit(100.0))
+          .otherwise($"c_acctbal").as("c_acctbal"),
+        when($"c_custkey" % 7 === 0, lit("CHANGED"))
+          .otherwise($"c_mktsegment").as("c_mktsegment")))
+      self.compareFrames(other, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"))
+        .sortValues(Seq("c_custkey"))
+        .df
+    },
+
+    // --- §2.10 crosstab (pandas.crosstab): row-key × column-key count
+    //     matrix with explicit column universe and 0-filled empty cells.
+    Q("op_crosstab",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .crosstab("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
+        .sortValues(Seq("o_orderpriority"))
+        .df
+    },
+
+    // --- §2.10 pivot_table(margins=True): conditional sums over
+    //     cube(index) — the cube's grand-total grouping set IS the margin
+    //     row; no union, no second scan. Exact DECIMAL sums → double.
+    Q("op_pivot_margins",
+      """SELECT COALESCE(l_returnflag, 'All') AS l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS "All"
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), ())
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = graft.api.GraftFrame(t(spark, dir, "lineitem")
+        .withColumn("qty_dec", dec12($"l_quantity")))
+      li.pivotTableMargins("l_returnflag", "l_linestatus", "qty_dec",
+          Seq("F", "O"))
+        .astype("F" -> "double", "O" -> "double", "All" -> "double")
+        .sortValues(Seq("l_returnflag"))
+        .df
+    },
+
+    // --- §2.7/§2.10 interpolate(method='linear'): interior null runs
+    //     filled linearly between surrounding valid values at their row
+    //     positions; leading nulls stay null, trailing nulls carry the
+    //     last value (pandas limit_direction='forward'). Both engines
+    //     replay the identical ignore-nulls window formulation.
+    Q("op_interpolate",
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 10),
+        |r AS (
+        |  SELECT user_id, event_id, v,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |              AS DOUBLE) AS rn
+        |  FROM base),
+        |f AS (
+        |  SELECT user_id, event_id, v, rn,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS prn,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS nrn
+        |  FROM r
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN NULL
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (rn - prn) / (nrn - prn) END, 6)
+        |    + CAST(0.0 AS DOUBLE) AS interp
+        |FROM f ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = t(spark, dir, "events").filter($"user_id" < 10)
+        .select($"user_id", $"event_id",
+          when($"event_id" % 7 < 2, lit(null).cast("double"))
+            .otherwise($"value").as("v"))
+      graft.api.GraftFrame(base)
+        .interpolate(Seq("user_id"), Seq("event_id"), "v", "interp_raw")
+        .assign("interp" -> (round(col("interp_raw"), 6) + lit(0.0)))
+        .select("user_id", "event_id", "interp")
+        .sortValues(Seq("user_id", "event_id"))
+        .df
+    },
+
+    // --- §2.16 resample('1D') with calendar completion (pandas
+    //     resample/asfreq): per user a gap-free day grid from first to last
+    //     observed day; empty days carry cnt=0, a null sum, and the
+    //     previous day's sum under ffill. The summed value is
+    //     floor(value) — exact integer arithmetic on both engines.
+    Q("op_resample",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |  FROM events WHERE user_id < 8
+        |  GROUP BY user_id, CAST(ts AS DATE)),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, COALESCE(d.cnt, 0) AS cnt, d.sum_val
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
+        |  last_value(sum_val IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ffill
+        |FROM j ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 8))
+        .resampleDaily("user_id", "ts", floor($"value").cast("long"))
+        .assign("day" -> date_format(col("day"), "yyyy-MM-dd"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
+    // --- §2.7 rank(pct=True) + groupby.cumcount: pct rank is the exact
+    //     rational rank/n (identical doubles on both engines), cumcount the
+    //     0-based row_number over an explicit total order.
+    Q("op_rank_pct",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER wp AS DOUBLE)
+        |    / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS pct_min,
+        |  CAST(dense_rank() OVER wp AS DOUBLE)
+        |    / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS pct_dense,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS cc
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "orders")
+        .query("o_custkey < 50")
+        .rankPct("pct_min", Seq("o_custkey"), Seq($"o_totalprice"), "min")
+        .rankPct("pct_dense", Seq("o_custkey"), Seq($"o_totalprice"), "dense")
+        .groupby("o_custkey")
+        .cumcount("cc", Seq("o_totalprice", "o_orderkey"))
+        .select("o_custkey", "o_orderkey", "pct_min", "pct_dense", "cc")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
+    },
+
+    // --- §2.13 winsorize: per-group clip at exact interpolated
+    //     [p05, p95] quantiles (Spark percentile ≡ DuckDB quantile_cont,
+    //     the op_describe contract), cutoffs rounded to 6 decimals so
+    //     boundary assignment is engine-reproducible.
+    Q("op_winsorize",
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey < 2000),
+        |q AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_quantity, 0.05), 6) AS lo,
+        |         round(quantile_cont(l_quantity, 0.95), 6) AS hi
+        |  FROM f GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, f.l_returnflag, l_quantity,
+        |       least(greatest(l_quantity, lo), hi) AS q_wins
+        |FROM f JOIN q ON f.l_returnflag = q.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem")
+        .query("l_orderkey < 2000")
+        .winsorize("l_quantity", "q_wins", 0.05, 0.95, by = Seq("l_returnflag"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "q_wins")
+        .sortValues(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .df
+    }
+  )
+}

@@ -259,4 +259,36 @@ class LearnSpec extends SparkSpecBase {
       col("label")).as[(Long, Int)].collect()
     sums.foreach { case (s, l) => assert(s == (if (l <= 2) 1L else 0L)) }
   }
+
+  test("ridgeSimple: lambda=0 reproduces OLS; large lambda shrinks the slope") {
+    // y = 3x + 2 exactly -> OLS slope 3, intercept 2
+    val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 2.0)).toDF("x", "y")
+    val fits = Learn.ridgeSimple(df, col("x"), col("y"), Seq(0.0, 1e6))
+      .select("lambda", "slope", "intercept")
+      .as[(Double, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(fits(0)._2 - 3.0) < 1e-9)
+    assert(math.abs(fits(0)._3 - 2.0) < 1e-9)
+    // ridge: slope = Sxy/(Sxx + lambda) < OLS slope, intercept compensates
+    assert(fits(1)._2 < 3.0 && fits(1)._2 > 0.0)
+    val xbar = (1 to 50).map(_.toDouble).sum / 50
+    val ybar = (1 to 50).map(i => 3.0 * i + 2.0).sum / 50
+    assert(math.abs(fits(1)._3 - (ybar - fits(1)._2 * xbar)) < 1e-9)
+  }
+
+  test("naiveBayesCategorical matches hand-computed smoothed likelihoods") {
+    // feature a: 3 pos, 1 neg; feature b: 0 pos, 2 neg; alpha = 1, 2 values
+    val df = Seq(("a", "pos"), ("a", "pos"), ("a", "pos"), ("a", "neg"),
+      ("b", "neg"), ("b", "neg")).toDF("f", "y")
+    val out = Learn.naiveBayesCategorical(df, "f", "y", alpha = 1.0)
+      .select("feature", "cls", "count", "loglik", "predicted")
+      .as[(String, String, Long, Double, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // P(a|pos) = (3+1)/(3+2) ; P(b|pos) = (0+1)/(3+2) ; P(a|neg) = (1+1)/(3+2)
+    assert(math.abs(out(("a", "pos"))._4 - math.log(4.0 / 5.0)) < 1e-12)
+    assert(math.abs(out(("b", "pos"))._4 - math.log(1.0 / 5.0)) < 1e-12)
+    assert(math.abs(out(("a", "neg"))._4 - math.log(2.0 / 5.0)) < 1e-12)
+    assert(out(("b", "pos"))._3 === 0L)          // zero count, still smoothed
+    assert(out(("a", "pos"))._5 === "pos")       // argmax predictions
+    assert(out(("b", "neg"))._5 === "neg")
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftFrame
+import graft.operators.{Sessionize, Windows}
+
+/** Hand-computed expectations for the round-6 reshape/alignment operators:
+  * combine_first, compare, crosstab, pivot_table margins, linear
+  * interpolation, calendar resample, pct rank / cumcount, winsorize,
+  * unigram stats. (Their oracle queries cover the fixture-scale paths; these
+  * specs pin the semantics on tiny literal frames, edge cases included.)
+  */
+class ReshapeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("combineFirst patches nulls, keeps left-only and right-only rows") {
+    val a = GraftFrame(Seq(
+      (1L, Some(10.0), "x"), (2L, None, "y"), (3L, Some(30.0), "z"))
+      .toDF("k", "v", "tag"))
+    val b = GraftFrame(Seq(
+      (2L, 99.0), (3L, 77.0), (4L, 44.0)).toDF("k", "v"))
+    val got = a.combineFirst(b, Seq("k")).df
+      .select("k", "v", "tag").as[(Long, Option[Double], Option[String])]
+      .collect().sortBy(_._1)
+    assert(got === Seq(
+      (1L, Some(10.0), Some("x")),   // left only
+      (2L, Some(99.0), Some("y")),   // hole patched from right
+      (3L, Some(30.0), Some("z")),   // left value wins
+      (4L, Some(44.0), None)))       // right only; left-only column null
+  }
+
+  test("compareFrames keeps only differing rows as self/other pairs") {
+    val self = GraftFrame(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"))
+      .toDF("k", "v", "s"))
+    val other = GraftFrame(Seq((1L, 1.0, "a"), (2L, 2.5, "b"), (3L, 3.0, "C"))
+      .toDF("k", "v", "s"))
+    val got = self.compareFrames(other, Seq("k"), Seq("v", "s")).df
+      .orderBy("k")
+      .select("k", "v_self", "v_other", "s_self", "s_other")
+      .as[(Long, Double, Double, String, String)].collect()
+    // row 1 is identical -> dropped; 2 differs in v, 3 differs in s
+    assert(got === Seq((2L, 2.0, 2.5, "b", "b"), (3L, 3.0, 3.0, "c", "C")))
+  }
+
+  test("compareFrames treats null vs value as a difference (null-safe)") {
+    val self = GraftFrame(Seq((1L, Some(1.0)), (2L, Option.empty[Double]))
+      .toDF("k", "v"))
+    val other = GraftFrame(Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v"))
+    val got = self.compareFrames(other, Seq("k"), Seq("v")).df
+    assert(got.count() === 1)  // row 2 (null == null) must NOT surface
+    assert(got.select("k").as[Long].head() === 1L)
+  }
+
+  test("crosstab fills missing cells with zero over the explicit universe") {
+    val df = GraftFrame(Seq(("r1", "a"), ("r1", "a"), ("r1", "b"), ("r2", "b"))
+      .toDF("r", "c"))
+    val got = df.crosstab("r", "c", Seq("a", "b", "z")).df
+      .orderBy("r").select("r", "a", "b", "z")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Seq(("r1", 2L, 1L, 0L), ("r2", 0L, 1L, 1L * 0)))
+  }
+
+  test("pivotTableMargins: margin row and column equal the grand totals") {
+    val df = GraftFrame(Seq(
+      ("x", "F", 1.0), ("x", "O", 2.0), ("y", "F", 3.0)).toDF("idx", "st", "v"))
+    val got = df.pivotTableMargins("idx", "st", "v", Seq("F", "O")).df
+      .orderBy("idx")
+      .select("idx", "F", "O", "All")
+      .as[(String, Option[Double], Option[Double], Option[Double])].collect()
+    assert(got === Seq(
+      ("All", Some(4.0), Some(2.0), Some(6.0)),
+      ("x", Some(1.0), Some(2.0), Some(3.0)),
+      ("y", Some(3.0), None, Some(3.0))))  // empty cell stays null like pandas
+  }
+
+  test("interpolateLinear: interior linear, leading null, trailing ffill") {
+    val df = Seq(
+      (1L, 1L, Option.empty[Double]),  // leading null -> stays null
+      (1L, 2L, Some(10.0)),
+      (1L, 3L, None), (1L, 4L, None),  // interior run: 10 -> 40 over 3 steps
+      (1L, 5L, Some(40.0)),
+      (1L, 6L, None))                  // trailing -> carries 40
+      .toDF("k", "o", "v")
+    val got = Windows.interpolateLinear(df, Seq("k"), Seq("o"), "v", "i")
+      .orderBy("o").select("i").as[Option[Double]].collect()
+    assert(got === Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), Some(40.0)))
+  }
+
+  test("resampleDaily completes the calendar and ffills the sum") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 5L),
+      (1L, "2024-01-01 11:00:00", 7L),
+      (1L, "2024-01-04 09:00:00", 2L))  // 2-day gap
+      .toDF("k", "ts", "v")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.resampleDaily(df, "k", "ts", col("v"))
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("cnt"),
+        col("sum_val"), col("sum_ffill"))
+      .as[(String, Long, Option[Long], Long)].collect()
+    assert(got === Seq(
+      ("2024-01-01", 2L, Some(12L), 12L),
+      ("2024-01-02", 0L, None, 12L),   // gap day: cnt 0, null sum, ffill
+      ("2024-01-03", 0L, None, 12L),
+      ("2024-01-04", 1L, Some(2L), 2L)))
+  }
+
+  test("rankPct is rank/n and cumcount is the 0-based group position") {
+    val df = GraftFrame(Seq((1L, 10.0), (1L, 10.0), (1L, 30.0), (1L, 40.0))
+      .toDF("k", "v"))
+    val pct = df.rankPct("p", Seq("k"), Seq(col("v")), "min").df
+      .orderBy("v").select("p").as[Double].collect()
+    assert(pct === Seq(0.25, 0.25, 0.75, 1.0))  // pandas rank(pct=True, method='min')
+    val cc = df.groupby("k").cumcount("cc", Seq("v")).df
+      .orderBy("v", "cc").select("cc").as[Long].collect()
+    assert(cc === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("winsorize clips at the group quantiles") {
+    // group g: values 1..20 -> p05 = 1.95, p95 = 19.05 (linear interpolation)
+    val df = GraftFrame((1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v"))
+    val got = df.winsorize("v", "w", 0.05, 0.95, by = Seq("k")).df
+      .orderBy("v").select("w").as[Double].collect()
+    assert(math.abs(got.head - 1.95) < 1e-9)
+    assert(math.abs(got.last - 19.05) < 1e-9)
+    assert(got(9) === 10.0)  // interior values untouched
+  }
+
+  test("unigramStats: entropy of a uniform 2-word doc is 1 bit, ttr exact") {
+    val df = Seq((1L, "a b a b"), (2L, "x x x x")).toDF("id", "text")
+    val got = graft.functions.TextFunctions.unigramStats(df, "id", "text")
+      .orderBy("id")
+      .select("tokens", "types", "ttr", "entropy")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got(0) === ((4L, 2L, 0.5, 1.0)))   // H(uniform over 2) = 1 bit
+    assert(got(1)._4 === 0.0)                 // single-type doc: H = 0 exactly
+  }
+}
