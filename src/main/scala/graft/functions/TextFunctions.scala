@@ -157,4 +157,37 @@ object TextFunctions {
         (log2(col("tokens").cast("double")) -
           col("__slc") / col("tokens").cast("double")).as("entropy"))
   }
+
+  /** Per-document cross-entropy against the CORPUS unigram distribution:
+    * H(d, C) = −Σ_w (c_dw / n_d) · log2(p_C(w)) — the CCNet-style "how
+    * surprising is this document under the corpus language model" quality
+    * signal (low = boilerplate, high = rare-token noise; a real pipeline
+    * swaps the unigram model for KenLM, same plan shape).
+    *
+    * Shape: per-doc word counts and corpus word counts are two hash
+    * aggregates off one explode; the corpus distribution joins back on the
+    * word (broadcast by AQE when the vocabulary is small, shuffle-hash
+    * when not — vocabulary grows sublinearly in corpus size either way),
+    * plus a 1-row total broadcast. Every word of every doc is in the
+    * corpus by construction, so no smoothing term is needed. */
+  def unigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docWc = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val tok = corpus.select(explode(words(col(textCol))).as("__w"))
+    val corpusWc = tok.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val total = tok.agg(count(lit(1)).as("__n"))
+    docWc
+      .join(corpusWc, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("tokens"),
+        sum(col("__c").cast("double") *
+          log2(col("__cw").cast("double") / col("__n").cast("double"))).as("__sxe"))
+      .select(col(idCol), col("tokens"),
+        (-col("__sxe") / col("tokens").cast("double")).as("xent"))
+  }
 }

@@ -53,6 +53,50 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_ngrams") >= minOverlap)
   }
 
+  /** [[decontaminate]] with a Bloom PREFILTER before the exact verify
+    * join — same exact result (the verify join removes every Bloom false
+    * positive), different scale shape: the corpus's shingle stream is
+    * filtered by a broadcast bitset AT THE SCAN, so only true hits plus an
+    * fpp-fraction of false positives ever enter the join. With a 1%-fpp
+    * filter, a 100 TB corpus that is 99% clean sends ~1% of its shingle
+    * pairs across the wire instead of 100% — the broadcast-hash join in
+    * [[decontaminate]] already avoids a shuffle, but still evaluates the
+    * hash probe per shingle; the bitset probe is a few ns and prunes
+    * before the (doc_id, shingle) projection is even built.
+    *
+    * The Bloom filter is fitted with the distributed built-in
+    * `stat.bloomFilter` aggregate (only the final bitset reaches the
+    * driver — fit-time scalar, like every model fit in graft.learn) and
+    * embedded as a literal, which satisfies the probe expression's
+    * foldability contract. Needs `graft_might_contain` from
+    * [[graft.plans.GraftExtensions]]; sessions without the extension fall
+    * back to the exact path. */
+  def decontaminateBloom(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minOverlap: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    if (!spark.catalog.functionExists("graft_might_contain"))
+      return decontaminate(docs, bench, textCol, idCol, n, minOverlap)
+    val benchSh = bench
+      .select(explode(TextFunctions.hashedShingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val nItems = math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("__sh", nItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val candidates = docs
+      .select(col(idCol), explode(TextFunctions.hashedShingles(col(textCol), n)).as("__sh"))
+      .filter(call_function("graft_might_contain", lit(bos.toByteArray), col("__sh")))
+    val hits = candidates
+      .join(broadcast(benchSh), Seq("__sh")) // exact verify kills false positives
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated_ngrams",
+        coalesce(col("n_contaminated_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_ngrams") >= minOverlap)
+  }
+
   /** Exact per-domain document cap: keep at most `cap` documents per
     * domain, chosen by PortableHash order on the id (an unbiased,
     * rerun-stable sample — ingestion order would systematically prefer

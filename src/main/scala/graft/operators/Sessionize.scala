@@ -111,6 +111,28 @@ object Sessionize {
       .drop("__side", "__payload")
   }
 
+  /** [[asofJoinPrior]] with pandas merge_asof's `tolerance=`: the prior
+    * match only counts when it is at most `toleranceMicros` old, otherwise
+    * the payload is null (row kept, like pandas). Same single-shuffle
+    * tagged union — the matched right timestamp rides along in a struct
+    * payload and the tolerance is one comparison at the end. */
+  def asofJoinPriorTol(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCol: String,
+      toleranceMicros: Long): DataFrame = {
+    val packed = right.select(col(keyCol), col(tsCol),
+      struct(col(payloadCol).as("p"), col(tsCol).as("rts")).as("__pt"))
+    asofJoinPrior(left, packed, keyCol, tsCol, "__pt")
+      .withColumn(s"asof_$payloadCol",
+        when(unix_micros(col(tsCol)) -
+          unix_micros(col("asof___pt").getField("rts")) <= toleranceMicros,
+          col("asof___pt").getField("p")))
+      .drop("asof___pt")
+  }
+
   /** As-of join, forward direction (pandas merge_asof
     * direction='forward'): for each left row, the EARLIEST right row of
     * the same key with right.ts >= left.ts. Same single-shuffle tagged

@@ -54,6 +54,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CollectCappedLongList(children(0), cap)
       }))
 
+    // Spark's Bloom-filter probe expression is built in but not exposed in
+    // the public function registry (it backs the runtime-filter rewrite).
+    // Registering it lets the curation operators run a bloom PREFILTER
+    // before an exact verify join — the candidates-then-verify shape every
+    // dedup operator here uses. The bloom binary argument must be foldable
+    // (a literal), which callers satisfy by fitting the filter with the
+    // distributed stat.bloomFilter aggregate and embedding the bitset.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain(bloomBinary, longValue) takes two args")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
+
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

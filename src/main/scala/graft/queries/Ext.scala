@@ -763,6 +763,61 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- Bloom-prefiltered decontamination: the same EXACT answer as
+    //     ext_decontaminate (the verify join removes every Bloom false
+    //     positive — candidates-then-verify), so the exact-overlap oracle
+    //     applies unchanged; what the Bloom bitset changes is the scale
+    //     shape (clean shingles die at the scan, not in the join).
+    Q("ext_decontaminate_bloom",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS sh
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+        |             FROM d WHERE len(w) >= 3) t),
+        |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 30),
+        |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+        |         FROM sh s JOIN bsh ON s.sh = bsh.sh
+        |         WHERE s.doc_id >= 30 GROUP BY s.doc_id)
+        |SELECT c.doc_id,
+        |       COALESCE(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+        |       COALESCE(h.n_contaminated_ngrams, 0) >= 2 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 30) c
+        |LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      Curation.decontaminateBloom(
+          docs.filter($"doc_id" >= 30), docs.filter($"doc_id" < 30),
+          "text", "doc_id", n = 3, minOverlap = 2)
+        .select($"doc_id", $"n_contaminated_ngrams", $"contaminated")
+        .orderBy($"doc_id")
+    },
+
+    // --- per-doc cross-entropy vs the corpus unigram distribution (the
+    //     CCNet-style LM quality signal): Σ c·log2(p) sums doubles whose
+    //     order differs per engine → round 4 (entropy tolerance class);
+    //     token counts compare exactly.
+    Q("ext_unigram_xent",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |dc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok
+        |       WHERE doc_id < 200 GROUP BY doc_id, w),
+        |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tokens,
+        |  round(-SUM(CAST(c AS DOUBLE)
+        |             * log2(CAST(cw.cw AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+        |        / CAST(SUM(c) AS DOUBLE), 4) + CAST(0.0 AS DOUBLE) AS xent
+        |FROM dc JOIN cw USING (w), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      graft.api.GraftFrame(TextFunctions.unigramCrossEntropy(
+          docs.filter($"doc_id" < 200), "doc_id", "text", corpus = docs))
+        .assign("xent" -> (round(col("xent"), 4) + lit(0.0)))
+        .sortValues(Seq("doc_id"))
+        .df
+    },
+
     // --- per-domain cap: keep 10 docs per source in PortableHash order
     //     (rerun- and engine-stable); the oracle replays the identical
     //     avalanche hash rank.

@@ -664,6 +664,29 @@ object OpsWindows {
         .orderBy($"user_id", $"event_id")
     },
 
+    // --- as-of join with tolerance (pandas merge_asof tolerance=): the
+    //     prior click only matches when at most 10 minutes old; stale
+    //     matches null out but the purchase row is kept, like pandas.
+    Q("op_asof_tolerance",
+      """SELECT p.user_id, p.event_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+        |       THEN c.event_id END AS asof_click_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      Sessionize.asofJoinPriorTol(purchases, clicks, "user_id", "ts", "event_id",
+          toleranceMicros = 600L * 1000000L)
+        .select($"user_id", $"event_id", $"asof_event_id".as("asof_click_id"))
+        .orderBy($"user_id", $"event_id")
+    },
+
     // --- as-of join, forward direction (pandas merge_asof
     //     direction='forward'): earliest click at-or-after each purchase
     Q("op_asof_forward",

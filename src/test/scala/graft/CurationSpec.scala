@@ -99,6 +99,40 @@ class CurationSpec extends SparkSpecBase {
     assert(packed.count() == 200L)
   }
 
+  test("decontaminateBloom equals the exact path and uses the bloom probe") {
+    assert(spark.catalog.functionExists("graft_might_contain"),
+      "spec session must have GraftExtensions registered")
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high today"),   // 4 shared 3-grams
+      (2L, "a completely different document text"),   // clean
+      (3L, "quick brown fox and more words here"))    // 1 shared 3-gram
+      .toDF("doc_id", "text")
+    val exact = Curation.decontaminate(docs, bench, "text", "doc_id",
+        n = 3, minOverlap = 2)
+      .select("doc_id", "n_contaminated_ngrams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val bloom = Curation.decontaminateBloom(docs, bench, "text", "doc_id",
+        n = 3, minOverlap = 2)
+      .select("doc_id", "n_contaminated_ngrams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(bloom === exact)
+    assert(bloom.toSeq === Seq((1L, 4L, true), (2L, 0L, false), (3L, 1L, false)))
+  }
+
+  test("unigramCrossEntropy: uniform corpus gives xent = log2(vocab)") {
+    // corpus of 4 equally frequent words -> p(w) = 1/4, xent = 2 bits for
+    // every doc regardless of its own word mix
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .unigramCrossEntropy(corpus, "doc_id", "text", corpus)
+      .select("doc_id", "tokens", "xent")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    got.foreach { case (_, n, x) =>
+      assert(n === 4L); assert(math.abs(x - 2.0) < 1e-12)
+    }
+  }
+
   test("packSequences gives an oversize document its own pack") {
     val docs = Seq(
       (1L, Seq.fill(5)("w").mkString(" ")),

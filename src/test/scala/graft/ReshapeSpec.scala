@@ -127,6 +127,19 @@ class ReshapeSpec extends SparkSpecBase {
     assert(got(9) === 10.0)  // interior values untouched
   }
 
+  test("asofJoinPriorTol nulls matches older than the tolerance") {
+    val left = Seq((1L, "2024-01-01 00:10:00", 100L), (1L, "2024-01-01 02:00:00", 101L))
+      .toDF("k", "ts", "lid").withColumn("ts", to_timestamp(col("ts")))
+    val right = Seq((1L, "2024-01-01 00:05:00", 7L))
+      .toDF("k", "ts", "rid").withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.asofJoinPriorTol(left, right, "k", "ts", "rid",
+        toleranceMicros = 600L * 1000000L)  // 10 min
+      .orderBy("lid").select("lid", "asof_rid")
+      .as[(Long, Option[Long])].collect()
+    // first left row: 5 min gap -> match; second: ~2h -> nulled by tolerance
+    assert(got === Seq((100L, Some(7L)), (101L, None)))
+  }
+
   test("unigramStats: entropy of a uniform 2-word doc is 1 bit, ttr exact") {
     val df = Seq((1L, "a b a b"), (2L, "x x x x")).toDF("id", "text")
     val got = graft.functions.TextFunctions.unigramStats(df, "id", "text")
