@@ -244,6 +244,30 @@ final case class GraftFrame(df: DataFrame) {
       else joined)
   }
 
+  /** pandas merge(validate=): eagerly checks key multiplicity BEFORE the
+    * join — "1:1"/"one_to_one" requires both sides unique on the keys,
+    * "1:m" the left side, "m:1" the right. The check is one max-count
+    * aggregate per constrained side (an action, like pandas' validation
+    * pass); it throws IllegalArgumentException naming the offending side
+    * rather than silently fanning out rows. */
+  def mergeValidated(right: GraftFrame, on: Seq[String], how: String = "inner",
+      validate: String = "1:1"): GraftFrame = {
+    def unique(d: DataFrame, side: String): Unit = {
+      val maxDup = d.groupBy(on.map(d(_)): _*).count()
+        .agg(max(col("count"))).head().getLong(0)
+      require(maxDup <= 1L,
+        s"merge validate=$validate: $side side has duplicate keys (max group size $maxDup)")
+    }
+    validate match {
+      case "1:1" | "one_to_one" => unique(df, "left"); unique(right.df, "right")
+      case "1:m" | "one_to_many" => unique(df, "left")
+      case "m:1" | "many_to_one" => unique(right.df, "right")
+      case "m:m" | "many_to_many" => ()
+      case v => throw new IllegalArgumentException(s"unknown validate: $v")
+    }
+    merge(right, on = on, how = how)
+  }
+
   /** Row concat (reference merge/concat.py:41 axis=0): unionByName with
     * missing columns null-filled, like pandas concat's outer column union. */
   def concatRows(others: GraftFrame*): GraftFrame =
@@ -519,6 +543,22 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.withColumn("duplicated", row_number().over(w) > 1))
   }
 
+  /** pandas duplicated(keep=): "first" marks later occurrences, "last"
+    * marks earlier ones (reverse-order row_number over the same single
+    * shuffle), "none"/false marks EVERY member of a >1 group (a count
+    * window — no order needed, pandas keep=False). */
+  def duplicatedKeep(subset: Seq[String], orderCol: String,
+      keep: String): GraftFrame = keep match {
+    case "first" => duplicated(subset, orderCol)
+    case "last" =>
+      val w = Window.partitionBy(subset.map(df(_)): _*).orderBy(df(orderCol).desc)
+      GraftFrame(df.withColumn("duplicated", row_number().over(w) > 1))
+    case "none" | "false" =>
+      val w = Window.partitionBy(subset.map(df(_)): _*)
+      GraftFrame(df.withColumn("duplicated", count(lit(1)).over(w) > 1))
+    case k => throw new IllegalArgumentException(s"keep must be first|last|none: $k")
+  }
+
   /** isin filter (reference base/isin.py:31). */
   def isin(colName: String, values: Seq[Any]): GraftFrame =
     GraftFrame(df.filter(df(colName).isin(values: _*)))
@@ -530,6 +570,12 @@ final case class GraftFrame(df: DataFrame) {
   /** dropna (reference missing/dropna.py:33). how: "any"/"all". */
   def dropna(how: String = "any", subset: Seq[String] = Nil): GraftFrame =
     GraftFrame(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+
+  /** pandas dropna(thresh=): keep rows with at least `thresh` non-null
+    * values among `subset` (all columns when empty). */
+  def dropnaThresh(thresh: Int, subset: Seq[String] = Nil): GraftFrame =
+    GraftFrame(if (subset.isEmpty) df.na.drop(thresh)
+      else df.na.drop(thresh, subset))
 
   /** Group-wise forward fill (reference groupby/fill.py:149) — window
     * last(ignoreNulls) over the preceding frame, one shuffle on the key. */
@@ -1051,6 +1097,12 @@ final case class GraftFrame(df: DataFrame) {
     d.write.mode("overwrite").option("header", header).csv(path)
   }
 
+  /** JSON-lines sink (pandas to_json(orient='records', lines=True)). */
+  def toJson(path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite").json(path)
+  }
+
   /** Persist as a bucketed (+ optionally sorted) table: repeated joins or
     * aggregations on `keys` then run with NO shuffle — the pre-partitioning
     * the reference achieves with aligned chunking, and the standard Spark
@@ -1311,6 +1363,10 @@ final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions
     GraftFrame(df.withColumn(out, mp(F.stddev_samp(df(c)).over(w))))
   def median(c: String, out: String): GraftFrame =
     GraftFrame(df.withColumn(out, mp(Windows.rollingMedian(df(c), w))))
+  /** pandas rolling.quantile(q): exact interpolated percentile over the
+    * frame (same engine contract as describe/qcut/winsorize). */
+  def quantile(c: String, q: Double, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out, mp(percentile(df(c), lit(q)).over(w))))
   def skew(c: String, out: String): GraftFrame =
     GraftFrame(df.withColumn(out, mp(Windows.rollingSkew(df(c), w))))
   def kurt(c: String, out: String): GraftFrame =

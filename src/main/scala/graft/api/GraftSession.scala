@@ -62,6 +62,17 @@ final class GraftSession(val spark: SparkSession) {
     GraftFrame(if (names.isEmpty) df else df.toDF(names: _*))
   }
 
+  /** JSON-lines scan (pandas read_json(lines=True); the reference wraps
+    * the same surface). Schema inference is one extra pass — pass an
+    * explicit schema for the 100 TB path. */
+  def readJson(path: String, schema: Option[StructType] = None): GraftFrame = {
+    val r = spark.read
+    GraftFrame((schema match {
+      case Some(s) => r.schema(s)
+      case None => r
+    }).json(path))
+  }
+
   /** JDBC scan partitioned on a numeric column — the reference's
     * read_sql(partition_col, num_partitions) (read_sql.py:79) maps to
     * Spark's (partitionColumn, lowerBound, upperBound, numPartitions). */

@@ -274,6 +274,42 @@ object Learn {
     scaled.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
   }
 
+  /** Min-max scaling to [0, 1] (sklearn MinMaxScaler; reference
+    * mars/learn/preprocessing/_data.py minmax_scale): one min/max
+    * aggregate broadcast back. Constant columns scale to null (0/0
+    * guard), like sklearn's degenerate-range behavior up to its
+    * convention. */
+  def minMaxScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => min(col(c)).as(s"__lo_$c")) ++
+      cols.map(c => max(col(c)).as(s"__hi_$c"))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_scaled",
+        when(col(s"__hi_$c") > col(s"__lo_$c"),
+          (col(c) - col(s"__lo_$c")) / (col(s"__hi_$c") - col(s"__lo_$c")))))
+    scaled.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+  }
+
+  /** Robust scaling (sklearn RobustScaler): (x − median) / IQR with exact
+    * interpolated percentiles — outlier-insensitive standardization. One
+    * ObjectHashAggregate partial+final, broadcast back; `roundTo` rounds
+    * the three cutoffs for engine-reproducible boundaries (the qcut
+    * contract). */
+  def robustScale(df: DataFrame, cols: Seq[String], roundTo: Int = 6): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      round(percentile(col(c), lit(0.5)), roundTo).as(s"__md_$c"),
+      round(percentile(col(c), lit(0.25)), roundTo).as(s"__q1_$c"),
+      round(percentile(col(c), lit(0.75)), roundTo).as(s"__q3_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_scaled",
+        when(col(s"__q3_$c") > col(s"__q1_$c"),
+          (col(c) - col(s"__md_$c")) / (col(s"__q3_$c") - col(s"__q1_$c")))))
+    scaled.drop(cols.flatMap(c => Seq(s"__md_$c", s"__q1_$c", s"__q3_$c")): _*)
+  }
+
   /** Vector-wise MLlib StandardScaler over an `array<float>` column, for
     * embedding features. */
   def standardScaleVectors(df: DataFrame, featuresArrayCol: String): DataFrame = {

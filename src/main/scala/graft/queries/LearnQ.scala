@@ -314,6 +314,38 @@ object LearnQ {
         .orderBy($"aid", $"bid")
     },
 
+    // --- min-max + robust scaling (reference mars/learn preprocessing
+    //     minmax_scale / RobustScaler): min/max are exact; the robust
+    //     cutoffs (median, IQR) round to 6 first (qcut contract). Scaled
+    //     values can round to ±0 near the median → +0.0 on both sides.
+    Q("learn_scaler2",
+      """WITH s AS (
+        |  SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+        |         round(quantile_cont(c_acctbal, 0.5), 6) AS md,
+        |         round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
+        |         round(quantile_cont(c_acctbal, 0.75), 6) AS q3
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round((c_acctbal - lo) / (hi - lo), 6) + CAST(0.0 AS DOUBLE) AS mm,
+        |  round((c_acctbal - md) / (q3 - q1), 6) + CAST(0.0 AS DOUBLE) AS rb
+        |FROM customer, s WHERE c_custkey < 300
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // scalers are fitted on the FULL table (like the oracle's aggregate),
+      // rows then filtered for the comparison
+      val cust = t(spark, dir, "customer")
+      val mm = Learn.minMaxScale(cust, Seq("c_acctbal"))
+        .select($"c_custkey", $"c_acctbal_scaled".as("mm_raw"))
+      val rb = Learn.robustScale(cust, Seq("c_acctbal"))
+        .select($"c_custkey", $"c_acctbal_scaled".as("rb_raw"))
+      mm.join(rb, Seq("c_custkey"))
+        .filter($"c_custkey" < 300)
+        .select($"c_custkey",
+          (round($"mm_raw", 6) + lit(0.0)).as("mm"),
+          (round($"rb_raw", 6) + lit(0.0)).as("rb"))
+        .orderBy($"c_custkey")
+    },
+
     // --- ridge regression, closed form (reference mars/learn Ridge
     //     surface): y ~ a + b·x with L2 penalty on the slope, solved as
     //     b = Sxy/(Sxx+λ) over centered sums. The five input sums go

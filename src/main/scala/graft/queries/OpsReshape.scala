@@ -224,6 +224,72 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.10 dropna(thresh=): keep rows with >= 2 non-null values among
+    //     three modulo-nulled columns — Spark na.drop(minNonNulls).
+    Q("op_dropna_thresh",
+      """SELECT o_orderkey, a, b, c FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END AS a,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS b,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS c
+        |  FROM orders WHERE o_orderkey < 3000) t
+        |WHERE (CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) >= 2
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "orders").filter($"o_orderkey" < 3000)
+        .select($"o_orderkey",
+          when($"o_orderkey" % 2 === 0, lit(null).cast("double"))
+            .otherwise($"o_totalprice").as("a"),
+          when($"o_orderkey" % 3 === 0, lit(null).cast("long"))
+            .otherwise($"o_custkey").as("b"),
+          when($"o_orderkey" % 5 === 0, lit(null).cast("string"))
+            .otherwise($"o_orderpriority").as("c")))
+        .dropnaThresh(2, Seq("a", "b", "c"))
+        .sortValues(Seq("o_orderkey"))
+        .df
+    },
+
+    // --- §2.9 duplicated(keep='last' / keep=False): reverse-order
+    //     row_number and a count window over one partitioning.
+    Q("op_duplicated_keep",
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) > 1 AS dup_last,
+        |  COUNT(*) OVER (PARTITION BY o_custkey) > 1 AS dup_any
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .duplicatedKeep(Seq("o_custkey"), "o_orderkey", "last")
+        .rename("duplicated" -> "dup_last")
+        .duplicatedKeep(Seq("o_custkey"), "o_orderkey", "none")
+        .rename("duplicated" -> "dup_any")
+        .select("o_custkey", "o_orderkey", "dup_last", "dup_any")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
+    },
+
+    // --- §2.1/§2.2 JSON-lines round-trip: the engine writes JSON, both
+    //     engines read the same files back (pandas to_json/read_json
+    //     lines=True).
+    Q("op_json_roundtrip",
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  min(n_name) AS first_nation
+        |FROM read_json('/root/repo/target/json_rt/*.json')
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+      val out = "/root/repo/target/json_rt"
+      gt(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .toJson(out, singleFile = true)
+      graft.api.GraftSession(spark).readJson(out)
+        .astype("n_regionkey" -> "long")
+        .groupby("n_regionkey")
+        .agg(("n_nations", "count", "n_regionkey"), ("first_nation", "min", "n_name"))
+        .sortValues(Seq("n_regionkey"))
+        .df
+    },
+
     // --- §2.13 winsorize: per-group clip at exact interpolated
     //     [p05, p95] quantiles (Spark percentile ≡ DuckDB quantile_cont,
     //     the op_describe contract), cutoffs rounded to 6 decimals so

@@ -664,6 +664,32 @@ object OpsWindows {
         .orderBy($"user_id", $"event_id")
     },
 
+    // --- §2.7 rolling.quantile(q): exact interpolated percentile over a
+    //     5-row frame (Spark percentile ≡ DuckDB quantile_cont — the
+    //     op_describe contract, windowed).
+    Q("op_rolling_quantile",
+      """SELECT o_custkey, o_orderkey,
+        |  round(quantile_cont(o_totalprice, 0.25) OVER w5, 6) AS roll_p25,
+        |  round(quantile_cont(o_totalprice, 0.75) OVER w5, 6) AS roll_p75
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "orders")
+        .query("o_custkey < 100")
+        .rolling(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), 5)
+        .agg(
+          "p25_raw" -> percentile(col("o_totalprice"), lit(0.25)),
+          "p75_raw" -> percentile(col("o_totalprice"), lit(0.75)))
+        .assign(
+          "roll_p25" -> round(col("p25_raw"), 6),
+          "roll_p75" -> round(col("p75_raw"), 6))
+        .select("o_custkey", "o_orderkey", "roll_p25", "roll_p75")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
+    },
+
     // --- as-of join with tolerance (pandas merge_asof tolerance=): the
     //     prior click only matches when at most 10 minutes old; stale
     //     matches null out but the purchase row is kept, like pandas.

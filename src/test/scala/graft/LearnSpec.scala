@@ -260,6 +260,22 @@ class LearnSpec extends SparkSpecBase {
     sums.foreach { case (s, l) => assert(s == (if (l <= 2) 1L else 0L)) }
   }
 
+  test("minMaxScale maps [min,max] to [0,1]; robustScale centers the median") {
+    val df = (1 to 9).map(i => i.toDouble).toDF("x")
+    val mm = Learn.minMaxScale(df, Seq("x"))
+      .orderBy("x").select("x_scaled").as[Double].collect()
+    assert(mm.head === 0.0 && mm.last === 1.0)
+    assert(math.abs(mm(4) - 0.5) < 1e-12)
+    val rb = Learn.robustScale(df, Seq("x"))
+      .orderBy("x").select("x_scaled").as[Double].collect()
+    assert(rb(4) === 0.0)                      // median -> 0
+    assert(math.abs(rb.last - 1.0) < 1e-9)     // (9-5)/(7-3) = 1
+    // constant column: null, not a division blow-up
+    val const = Seq(2.0, 2.0).toDF("x")
+    assert(Learn.minMaxScale(const, Seq("x"))
+      .select("x_scaled").collect().forall(_.isNullAt(0)))
+  }
+
   test("ridgeSimple: lambda=0 reproduces OLS; large lambda shrinks the slope") {
     // y = 3x + 2 exactly -> OLS slope 3, intercept 2
     val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 2.0)).toDF("x", "y")

@@ -127,6 +127,50 @@ class ReshapeSpec extends SparkSpecBase {
     assert(got(9) === 10.0)  // interior values untouched
   }
 
+  test("mergeValidated: 1:1 passes on unique keys, throws on dup side") {
+    val l = GraftFrame(Seq((1L, "a"), (2L, "b")).toDF("k", "x"))
+    val r = GraftFrame(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "y"))
+    assert(l.mergeValidated(r, Seq("k"), validate = "1:1").df.count() === 2)
+    val rDup = GraftFrame(Seq((1L, 10.0), (1L, 11.0)).toDF("k", "y"))
+    val e = intercept[IllegalArgumentException] {
+      l.mergeValidated(rDup, Seq("k"), validate = "1:1")
+    }
+    assert(e.getMessage.contains("right side has duplicate keys"))
+    // m:1 constrains only the right side -> dup LEFT is fine
+    val lDup = GraftFrame(Seq((1L, "a"), (1L, "a2")).toDF("k", "x"))
+    assert(lDup.mergeValidated(r, Seq("k"), validate = "m:1").df.count() === 2)
+  }
+
+  test("dropnaThresh keeps rows with at least thresh non-nulls") {
+    val df = GraftFrame(Seq(
+      (1L, Some(1.0), Some("a")), (2L, None, Some("b")), (3L, None, None))
+      .toDF("k", "v", "s"))
+    val kept = df.dropnaThresh(2, Seq("v", "s")).df.select("k").as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+    val kept1 = df.dropnaThresh(1, Seq("v", "s")).df.select("k").as[Long].collect().sorted
+    assert(kept1.toSeq === Seq(1L, 2L))
+  }
+
+  test("duplicatedKeep: last marks all but the final row, none marks all dups") {
+    val df = GraftFrame(Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "o"))
+    val last = df.duplicatedKeep(Seq("k"), "o", "last").df
+      .orderBy("o").select("duplicated").as[Boolean].collect()
+    assert(last.toSeq === Seq(true, false, false))
+    val none = df.duplicatedKeep(Seq("k"), "o", "none").df
+      .orderBy("o").select("duplicated").as[Boolean].collect()
+    assert(none.toSeq === Seq(true, true, false))
+  }
+
+  test("json round-trip preserves rows and schema-compatible values") {
+    val out = "/root/repo/target/json_spec"
+    val df = GraftFrame(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name"))
+    df.toJson(out, singleFile = true)
+    val back = graft.api.GraftSession(spark).readJson(out)
+      .astype("id" -> "long").df
+      .orderBy("id").as[(Long, String)].collect()
+    assert(back.toSeq === Seq((1L, "alpha"), (2L, "beta")))
+  }
+
   test("asofJoinPriorTol nulls matches older than the tolerance") {
     val left = Seq((1L, "2024-01-01 00:10:00", 100L), (1L, "2024-01-01 02:00:00", 101L))
       .toDF("k", "ts", "lid").withColumn("ts", to_timestamp(col("ts")))
