@@ -181,7 +181,10 @@ object Dedup {
     *
     * With numHashes = bands * rowsPerBand, the usual S-curve applies:
     * P(candidate) = 1 - (1 - j^rows)^bands for true Jaccard j. */
-  def minhashLshCandidates(
+  /** Per-document LSH band buckets: (doc_id, band, bucket) — the shared
+    * front half of batch candidate generation and the streaming near-dup
+    * filter. One narrow pass (signature fold + band hash), no shuffle. */
+  def minhashBands(
       docs: DataFrame,
       textCol: String,
       idCol: String,
@@ -198,13 +201,24 @@ object Dedup {
           TextFunctions.hashedShingles(col(textCol), n), lit(numHashes), lit(seed))
       else
         minhashSignature(TextFunctions.hashedShingles(col(textCol), n), numHashes, seed)
-    val sig = docs.select(col(idCol).as("doc_id"), sigExpr.as("sig"))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+    docs.select(col(idCol).as("doc_id"), sigExpr.as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  def minhashLshCandidates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val banded = minhashBands(docs, textCol, idCol, n, bands, rowsPerBand, seed)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))

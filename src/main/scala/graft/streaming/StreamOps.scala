@@ -121,6 +121,55 @@ object StreamOps {
       .select(col("l_user").as("user_id"), col("left_id"), col("right_id"))
   }
 
+  /** Streaming MinHash near-dup candidate detection: every incoming doc's
+    * LSH band buckets are checked against keyed bucket-ownership state —
+    * a doc sharing ANY bucket with an earlier doc (previous batch, or a
+    * lower doc_id in the same batch) is a near-dup CANDIDATE, exactly the
+    * recall set batch `minhashLshCandidates` would emit against the
+    * history. This is the ingest-time "have I seen something like this
+    * before" filter a firehose pipeline runs before paying for exact
+    * verification; state is one long per occupied bucket, sharded by
+    * bucket key across executors (a production deployment adds a state
+    * TTL to window the history).
+    *
+    * Emits per-(doc, band) rows (doc_id, band, dup_hit); fold to per-doc
+    * verdicts with [[nearDupVerdicts]] on the sink (a second stateful
+    * aggregation in the same query would need a watermark; the per-bucket
+    * rows are the complete signal). */
+  def streamingNearDupCandidates(docs: DataFrame, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.operators.Dedup
+      .minhashBands(docs, "text", "doc_id", n, bands, rowsPerBand, seed)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .as[(Long, Int, Int)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Int), rows: Iterator[(Long, Int, Int)], state: GroupState[Long]) =>
+          // deterministic within-batch order: lowest doc_id claims first
+          val ids = rows.map(_._1).toVector.distinct.sorted
+          val owner = state.getOption
+          if (owner.isEmpty) state.update(ids.head)
+          val out = ids.map { id =>
+            val dupHit = owner match {
+              case Some(o) => id != o     // bucket already owned by an earlier doc
+              case None => id != ids.head // same batch: all but the claimer
+            }
+            (id, key._1, dupHit)
+          }
+          out.iterator
+      }
+      .toDF("doc_id", "band", "dup_hit")
+  }
+
+  /** Per-doc verdicts over [[streamingNearDupCandidates]] output (run on
+    * the sink / in foreachBatch): a doc is a candidate near-dup iff any
+    * band bucket was already taken. */
+  def nearDupVerdicts(perBand: DataFrame): DataFrame =
+    perBand.groupBy(col("doc_id"))
+      .agg(max(col("dup_hit")).as("near_dup_candidate"))
+
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for
     * state machines the built-in windows can't express

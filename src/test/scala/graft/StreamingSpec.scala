@@ -76,6 +76,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter flags band collisions across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val q = StreamOps.streamingNearDupCandidates(docs, n = 3,
+        bands = 16, rowsPerBand = 4)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 and its near-identical copy 2, unrelated doc 3
+      input.addData(
+        (1L, base),
+        (2L, base + " x"),  // one-word suffix: jaccard ~0.9 -> band collision
+        (3L, "completely different content with no overlap whatsoever here"))
+      q.processAllAvailable()
+      // batch 2: another near-copy (4) and a fresh doc (5)
+      input.addData(
+        (4L, base + " y"),
+        (5L, "yet another unrelated corpus document entirely fresh tokens"))
+      q.processAllAvailable()
+      val verdicts = StreamOps.nearDupVerdicts(spark.table("neardup"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdicts(1L) === false)  // first claimer of its buckets
+      assert(verdicts(2L) === true)   // collides with 1 within the batch
+      assert(verdicts(3L) === false)
+      assert(verdicts(4L) === true)   // collides with state carried from batch 1
+      assert(verdicts(5L) === false)
+      // consistency: the batch candidate generator agrees the planted pairs
+      // collide (streaming recall == batch recall on the same history)
+      val batchCands = graft.operators.Dedup.minhashLshCandidates(
+          Seq((1L, base), (2L, base + " x"), (4L, base + " y")).toDF("doc_id", "text"),
+          "text", "doc_id", n = 3)
+        .as[(Long, Long)].collect().toSet
+      assert(batchCands.contains((1L, 2L)) && batchCands.contains((1L, 4L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the hand-computed pairs") {
     implicit val sq = spark.sqlContext
     val signups = MemoryStream[(Long, Long, Timestamp)]
