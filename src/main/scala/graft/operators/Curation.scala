@@ -97,6 +97,30 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_ngrams") >= minOverlap)
   }
 
+  /** Overlapping context-window chunking (the tokenize-and-chunk step of
+    * a pretraining / RAG pipeline): each document's word sequence is cut
+    * into windows of `chunkSize` words advancing by `chunkSize − overlap`;
+    * the final window is the last full stride even when shorter. One
+    * narrow projection + explode — no shuffle, chunk count ∝ doc length.
+    * Returns (idCol, chunk_idx, n_tokens, chunk). */
+  def chunkWords(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    val w = TextFunctions.words(col(textCol))
+    // chunks = 1 + ceil((len - chunkSize) / stride) for len > chunkSize
+    val nChunks = when(size(w) <= chunkSize, lit(1L)).otherwise(
+      ((size(w) - chunkSize + stride - 1) / stride).cast("long") + 1L)
+    docs
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1L),
+          i => array_join(slice(w, (i * stride + 1L).cast("int"), lit(chunkSize)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"),
+        col("col").as("chunk"))
+  }
+
   /** Exact per-domain document cap: keep at most `cap` documents per
     * domain, chosen by PortableHash order on the id (an unbiased,
     * rerun-stable sample — ingestion order would systematically prefer

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -53,6 +54,37 @@ object Dedup {
       docs.withColumn("__fp", TextFunctions.md5Fingerprint(col(textCol))),
       Seq("__fp"), idCol)
       .drop("__fp")
+
+  /** Exact LINE-level dedup across the corpus (the RefinedWeb/CCNet exact
+    * substring pass that runs before document-level dedup): every line is
+    * kept only at its FIRST occurrence over the total order
+    * (idCol, line position) — later copies of boilerplate headers,
+    * navigation, license blocks vanish from every other document. The doc
+    * is reassembled from its surviving lines in original order.
+    *
+    * Shape: posexplode lines → one row_number window keyed by the line
+    * text (the shuffle is on the line, so hot boilerplate lines land
+    * together and everything else is near-unique) → per-doc ordered
+    * reassembly via sort_array(collect_list(struct(idx, line))) — the
+    * collect is bounded by single-document size, never corpus size.
+    * Returns (idCol, n_lines_kept, text) with text '\n'-joined. */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos").cast("long").as("__idx"), col("col").as("__line"))
+    val w = Window.partitionBy(col("__line")).orderBy(col(idCol), col("__idx"))
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line")), sep).as("text"))
+  }
 
   /** All near-duplicate pairs by exact word-n-gram Jaccard >= `threshold`.
     * Exact (not approximate): explode distinct shingles, self-join on the

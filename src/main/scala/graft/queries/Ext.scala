@@ -911,6 +911,62 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- overlapping context-window chunking (pretraining/RAG tokenize-
+    //     and-chunk): 16-word windows advancing by 12; the final window is
+    //     the last full stride. Exact string/integer outputs.
+    Q("ext_chunking",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |n AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 16 THEN 1
+        |             ELSE (len(w) - 16 + 11) // 12 + 1 END AS nc
+        |      FROM d),
+        |c AS (SELECT doc_id, w, unnest(range(nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(len(string_split(array_to_string(w[i*12+1 : i*12+16], ' '), ' '))
+        |       AS BIGINT) AS n_tokens,
+        |  array_to_string(w[i*12+1 : i*12+16], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Curation.chunkWords(t(spark, dir, "documents").filter($"doc_id" < 100),
+          "text", "doc_id", chunkSize = 16, overlap = 4)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // --- exact line-level dedup (RefinedWeb/CCNet boilerplate pass):
+    //     multi-line docs are built identically by both engines (40
+    //     synthetic docs sharing one boilerplate header line), every line
+    //     survives only at its first (gid, position) occurrence, docs are
+    //     reassembled in order and fingerprinted.
+    Q("ext_line_dedup",
+      """WITH synth AS (
+        |  SELECT doc_id % 40 AS gid,
+        |         'common boilerplate header' || chr(10)
+        |           || string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY doc_id % 40),
+        |l AS (SELECT gid, i, ls[i+1] AS line
+        |      FROM (SELECT gid, string_split(text, chr(10)) AS ls,
+        |                   unnest(range(len(string_split(text, chr(10))))) AS i
+        |            FROM synth) t),
+        |k AS (SELECT gid, i, line FROM (
+        |        SELECT gid, i, line,
+        |               row_number() OVER (PARTITION BY line ORDER BY gid, i) AS rn
+        |        FROM l) r WHERE rn = 1)
+        |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+        |       md5(string_agg(line, chr(10) ORDER BY i)) AS fp
+        |FROM k GROUP BY gid ORDER BY gid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val synth = t(spark, dir, "documents")
+        .groupBy(($"doc_id" % 40).as("gid"))
+        .agg(concat(lit("common boilerplate header\n"),
+          array_join(transform(
+            sort_array(collect_list(struct($"doc_id", $"text"))),
+            s => s.getField("text")), "\n")).as("text"))
+      Dedup.lineDedup(synth, "text", "gid")
+        .select($"gid", $"n_lines_kept", md5($"text".cast("binary")).as("fp"))
+        .orderBy($"gid")
+    },
+
     // --- corpus-wide top-k word bigrams: explode non-distinct 2-gram
     //     shingles → ONE partial+final count aggregate → distributed
     //     TakeOrdered top-20 (count desc, gram asc tiebreak). The classic

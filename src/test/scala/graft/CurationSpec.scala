@@ -133,6 +133,25 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("chunkWords covers every word with the configured overlap") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),  // 30 words
+      (2L, "a b c"))                                    // shorter than a chunk
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkWords(docs, "text", "doc_id",
+        chunkSize = 10, overlap = 2)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val d1 = chunks.filter(_._1 == 1L)
+    // stride 8: starts 0, 8, 16, 24 -> 4 chunks; last has 6 tokens
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._3).toSeq === Seq(10L, 10L, 10L, 6L))
+    assert(d1(1)._4.startsWith("w9 w10"))               // overlap of 2: chunk 1 starts at word 9
+    assert(d1.flatMap(_._4.split(" ")).toSet === (1 to 30).map(i => s"w$i").toSet)
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0L, 3L, "a b c")))
+  }
+
   test("packSequences gives an oversize document its own pack") {
     val docs = Seq(
       (1L, Seq.fill(5)("w").mkString(" ")),

@@ -262,4 +262,18 @@ class DedupSpec extends SparkSpecBase {
     // top 4 bits must be clear: 60-bit hashes vote every token −1 there
     assert((actual >>> 60) == 0L)
   }
+
+  test("lineDedup keeps first occurrence globally, reassembles in order") {
+    val docs = Seq(
+      (1L, "header\nalpha one\nbeta two"),
+      (2L, "header\ngamma three\nalpha one"),  // header + alpha are repeats
+      (3L, "header\nheader\ndelta four"))      // in-doc repeat too
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "text", "doc_id")
+      .select("doc_id", "n_lines_kept", "text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 3L, "header\nalpha one\nbeta two")))
+    assert(got(1) === ((2L, 1L, "gamma three")))
+    assert(got(2) === ((3L, 1L, "delta four")))
+  }
 }
