@@ -57,6 +57,32 @@ object Components {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** Keep the BEST document per duplicate cluster by an explicit score
+    * (quality-aware representative selection — pipelines keep the
+    * highest-quality member, not the lowest id; ties break to the smallest
+    * id deterministically). Same component resolution; the winner per
+    * cluster is one max-of-struct aggregate over only the clustered docs,
+    * then everyone else in a cluster is anti-joined away. */
+  def dedupByClusterBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val members = connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("cluster"))
+    val scored = docs.select(col(idCol), col(scoreCol)).join(members, Seq(idCol))
+    // max over (score, -id): highest score wins, ties -> smallest id
+    val winners = scored.groupBy(col("cluster"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("negid")))
+        .getField("negid").as("__negid"))
+      .select((-col("__negid")).as(idCol))
+    val losers = members.select(col(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Keep one document per duplicate cluster: resolves `pairs` to
     * components and drops every member except the smallest id (the cluster
     * representative). Documents in no pair pass through untouched — the

@@ -171,6 +171,52 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- quality-aware cluster representative selection: same transitive
+    //     clusters as ext_dedup_clusters, but the KEPT member is the
+    //     highest-n_chars doc (ties -> smallest id), the rule a real
+    //     curation pipeline uses instead of min-id.
+    Q("ext_dedup_best",
+      s"""WITH RECURSIVE $shinglesCte,
+         |jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pe AS (
+         |  SELECT doc_a, doc_b FROM jp
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pe
+         |          UNION SELECT doc_b, doc_a FROM pe),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON e.a = cc.node),
+         |members AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+         |win AS (
+         |  SELECT doc_id FROM (
+         |    SELECT m.doc_id,
+         |           row_number() OVER (PARTITION BY m.cluster
+         |                              ORDER BY d.n_chars DESC, m.doc_id) AS rk
+         |    FROM members m JOIN documents d ON m.doc_id = d.doc_id) r
+         |  WHERE rk = 1),
+         |losers AS (SELECT doc_id FROM members
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM win))
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Components
+      val docs = t(spark, dir, "documents")
+      val pairs = Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+      graft.api.GraftFrame(
+          Components.dedupByClusterBest(docs, pairs, "doc_id", "n_chars"))
+        .select("doc_id", "n_chars")
+        .sortValues(Seq("doc_id"))
+        .df
+    },
+
     // --- SimHash near-dup candidates at the classic radius-3 setting
     //     (4 disjoint bands are complete for Hamming ≤ 3). The query runs
     //     the engine-portable md5 token-hash family (60 effective bits) so

@@ -224,6 +224,19 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Seq(1L, 4L, 5L, 10L, 42L))
   }
 
+  test("dedupByClusterBest keeps the highest-score member, ties to min id") {
+    import graft.operators.Components
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L),   // cluster {1,2,3}: 2 and 3 tie on score
+      (10L, 5L), (11L, 9L),              // cluster {10,11}: 11 wins on score
+      (42L, 1L))                         // unclustered
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Components.dedupByClusterBest(docs, pairs, "doc_id", "score")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 11L, 42L))
+  }
+
   test("simhash64 matches the vote definition computed independently") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     // independent computation: xxhash64 per token via Spark, votes in Scala
