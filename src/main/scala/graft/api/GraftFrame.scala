@@ -606,6 +606,12 @@ final case class GraftFrame(df: DataFrame) {
   def resampleDaily(keyCol: String, tsCol: String, sumCol: Column): GraftFrame =
     GraftFrame(Sessionize.resampleDaily(df, keyCol, tsCol, sumCol))
 
+  /** pandas resample over a calendar unit ("day" | "week" | "month") —
+    * see [[graft.operators.Sessionize.resampleCalendar]]. */
+  def resampleCalendar(keyCol: String, tsCol: String, sumCol: Column,
+      unit: String): GraftFrame =
+    GraftFrame(Sessionize.resampleCalendar(df, keyCol, tsCol, sumCol, unit))
+
   def clip(colName: String, lower: Double, upper: Double): GraftFrame =
     assign(colName -> least(greatest(df(colName), lit(lower)), lit(upper)))
 
@@ -826,6 +832,26 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(stats
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.col_a"), col("r.col_b"), col("r.corr")))
+  }
+
+  /** pandas df.cov(): full pairwise sample-covariance matrix from the
+    * same single-aggregate shape as [[corrMatrix]] — all cross-moments in
+    * one partial+final pass, matrix exploded from the 1-row result. */
+  def covMatrix(cols: Seq[String]): GraftFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      covar_samp(df(a), df(b)).as(s"__cv_${a}__$b")
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__cv_${a}__$b").as("cov"))
+    }
+    GraftFrame(stats
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.cov")))
   }
 
   /** pandas df.corrwith(other) (reference statistics/corr.py:286): align

@@ -255,18 +255,32 @@ object Sessionize {
       events: DataFrame,
       keyCol: String,
       tsCol: String,
-      sumCol: Column): DataFrame = {
-    val day = to_date(col(tsCol))
-    val daily = events
-      .groupBy(col(keyCol), day.as("day"))
+      sumCol: Column): DataFrame =
+    resampleCalendar(events, keyCol, tsCol, sumCol, "day")
+
+  /** [[resampleDaily]] generalized over the calendar unit — pandas
+    * resample('1D' | '1W' | '1MS'): buckets are date_trunc(unit) starts
+    * (ISO Monday weeks), the per-key grid steps by one unit, month grids
+    * handle unequal month lengths because `sequence` steps calendar
+    * months, not fixed durations. */
+  def resampleCalendar(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      sumCol: Column,
+      unit: String): DataFrame = {
+    require(Set("day", "week", "month")(unit), s"unit must be day|week|month: $unit")
+    val bucket = date_trunc(unit, col(tsCol)).cast("date")
+    val step = expr(s"INTERVAL 1 ${unit.toUpperCase}")
+    val perBucket = events
+      .groupBy(col(keyCol), bucket.as("day"))
       .agg(count(lit(1)).as("cnt"), sum(sumCol).as("sum_val"))
     val grid = events
       .groupBy(col(keyCol))
-      .agg(min(day).as("__d0"), max(day).as("__d1"))
+      .agg(min(bucket).as("__d0"), max(bucket).as("__d1"))
       .select(col(keyCol),
-        explode(sequence(col("__d0"), col("__d1"),
-          expr("INTERVAL 1 DAY"))).as("day"))
-    val joined = grid.join(daily, Seq(keyCol, "day"), "left")
+        explode(sequence(col("__d0"), col("__d1"), step)).as("day"))
+    val joined = grid.join(perBucket, Seq(keyCol, "day"), "left")
     val wBack = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.select(col(keyCol), col("day"),

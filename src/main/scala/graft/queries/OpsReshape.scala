@@ -198,6 +198,78 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.16 resample('1W'): weekly calendar completion — ISO Monday
+    //     week starts on both engines, gap weeks carry cnt=0 / null sum /
+    //     previous week's ffill.
+    Q("op_resample_week",
+      """WITH weekly AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS day,
+        |         COUNT(*) AS cnt,
+        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |  FROM events WHERE user_id < 25
+        |  GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM weekly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 WEEK)) AS DATE) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, COALESCE(w.cnt, 0) AS cnt, w.sum_val
+        |  FROM grid g LEFT JOIN weekly w ON g.user_id = w.user_id AND g.day = w.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
+        |  last_value(sum_val IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ffill
+        |FROM j ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 25))
+        .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "week")
+        .assign("day" -> date_format(col("day"), "yyyy-MM-dd"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
+    // --- §2.13 covariance matrix (pandas df.cov): one aggregate for all
+    //     pairwise sample covariances; small-magnitude columns keep the
+    //     round-6 tolerance far above engine summation noise.
+    Q("op_cov_matrix",
+      """WITH s AS (SELECT l_quantity AS q, l_discount AS d, l_tax AS t FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+        |         round(covar_samp(q, q), 6) AS cov FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', round(covar_samp(q, d), 6) FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', round(covar_samp(q, t), 6) FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_discount', round(covar_samp(d, d), 6) FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_tax', round(covar_samp(d, t), 6) FROM s
+        |  UNION ALL SELECT 'l_tax', 'l_tax', round(covar_samp(t, t), 6) FROM s) m
+        |ORDER BY col_a, col_b""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem")
+        .covMatrix(Seq("l_quantity", "l_discount", "l_tax"))
+        .assign("cov" -> round(col("cov"), 6))
+        .sortValues(Seq("col_a", "col_b"))
+        .df
+    },
+
+    // --- §2.2 partitioned parquet sink round-trip: the engine writes
+    //     hive-partitioned parquet (the layout a 100 TB corpus actually
+    //     lives in), both engines read the same files back.
+    Q("op_parquet_partitioned",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM read_parquet('/root/repo/target/parquet_part/*/*.parquet',
+        |                  hive_partitioning = true)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val out = "/root/repo/target/parquet_part"
+      gt(spark, dir, "lineitem")
+        .query("l_orderkey < 5000")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .toParquet(out, partitionBy = Seq("l_returnflag"))
+      spark.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sumD(dec12(col("l_quantity"))).as("qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // --- §2.7 rank(pct=True) + groupby.cumcount: pct rank is the exact
     //     rational rank/n (identical doubles on both engines), cumcount the
     //     0-based row_number over an explicit total order.

@@ -106,6 +106,30 @@ class ReshapeSpec extends SparkSpecBase {
       ("2024-01-04", 1L, Some(2L), 2L)))
   }
 
+  test("resampleCalendar month grid steps calendar months, not 30 days") {
+    val df = Seq(
+      (1L, "2023-11-15 10:00:00", 3L),
+      (1L, "2024-02-03 10:00:00", 7L))  // gap: Dec, Jan
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.resampleCalendar(df, "k", "ts", col("v"), "month")
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("cnt"), col("sum_ffill"))
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSeq ===
+      Seq("2023-11-01", "2023-12-01", "2024-01-01", "2024-02-01"))
+    assert(got.map(_._2).toSeq === Seq(1L, 0L, 0L, 1L))
+    assert(got.map(_._3).toSeq === Seq(3L, 3L, 3L, 7L))
+  }
+
+  test("covMatrix matches hand-computed sample covariances") {
+    val df = GraftFrame(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
+    val got = df.covMatrix(Seq("x", "y")).df
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(("x", "x")) - 1.0) < 1e-12)   // var([1,2,3]) = 1
+    assert(math.abs(got(("x", "y")) - 2.0) < 1e-12)   // cov = 2
+    assert(math.abs(got(("y", "y")) - 4.0) < 1e-12)
+  }
+
   test("rankPct is rank/n and cumcount is the 0-based group position") {
     val df = GraftFrame(Seq((1L, 10.0), (1L, 10.0), (1L, 30.0), (1L, 40.0))
       .toDF("k", "v"))
