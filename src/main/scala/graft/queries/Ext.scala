@@ -719,6 +719,92 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- curation pipeline v3 — this round's operators composed
+    //     end-to-end: Bloom-prefiltered decontamination (exact result) →
+    //     quality filter → MinHash cluster dedup keeping the BEST (longest)
+    //     member → context-window chunking. The oracle replays every stage
+    //     exactly (bloom's verify join makes stage 1 exact; minhash ≡ exact
+    //     Jaccard at the planted operating point, as ext_dedup_minhash
+    //     establishes).
+    Q("ext_curation3",
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS w
+        |       FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS sh
+        |        FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+        |              FROM d0 WHERE len(w) >= 3) t),
+        |bsh AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id < 20),
+        |hits AS (SELECT s.doc_id, COUNT(*) AS nh
+        |         FROM sh0 s JOIN bsh USING (sh) WHERE s.doc_id >= 20
+        |         GROUP BY s.doc_id),
+        |clean AS (SELECT d.* FROM d0 d LEFT JOIN hits h USING (doc_id)
+        |          WHERE d.doc_id >= 20 AND COALESCE(h.nh, 0) < 3),
+        |f AS (
+        |  SELECT * FROM (
+        |    SELECT *,
+        |      least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |        + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |            x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+        |          / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |          / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS quality
+        |    FROM clean) qq
+        |  WHERE quality > 0.5),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN f USING (doc_id)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |pe AS (SELECT doc_a, doc_b FROM jp
+        |       JOIN sizes sa ON doc_a = sa.doc_id
+        |       JOIN sizes sb ON doc_b = sb.doc_id
+        |       WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pe
+        |          UNION SELECT doc_b, doc_a FROM pe),
+        |cc AS (SELECT DISTINCT a AS node, a AS label FROM edges
+        |       UNION
+        |       SELECT e.b AS node, cc.label FROM cc JOIN edges e ON e.a = cc.node),
+        |members AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+        |win AS (SELECT doc_id FROM (
+        |          SELECT m.doc_id,
+        |                 row_number() OVER (PARTITION BY m.cluster
+        |                                    ORDER BY f.n_chars DESC, m.doc_id) AS rk
+        |          FROM members m JOIN f USING (doc_id)) r
+        |        WHERE rk = 1),
+        |losers AS (SELECT doc_id FROM members
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM win)),
+        |kept AS (SELECT * FROM f WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |n AS (SELECT doc_id, source, w,
+        |        CASE WHEN len(w) <= 16 THEN 1 ELSE (len(w) - 16 + 11) // 12 + 1 END AS nc
+        |      FROM kept),
+        |c AS (SELECT doc_id, source, w, unnest(range(nc)) AS i FROM n)
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(len(string_split(array_to_string(w[i*12+1 : i*12+16], ' '), ' ')))
+        |       AS BIGINT) AS n_chunk_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Components
+      val docs = t(spark, dir, "documents")
+      val clean = Curation.decontaminateBloom(
+          docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20),
+          "text", "doc_id", n = 3, minOverlap = 3)
+        .filter(!$"contaminated")
+      val f = clean
+        .withColumn("quality", TextFunctions.qualityScore($"text"))
+        .filter($"quality" > 0.5)
+      val pairs = Dedup.minhashDedupPairs(f, "text", "doc_id",
+        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+      val kept = Components.dedupByClusterBest(f, pairs, "doc_id", "n_chars")
+      Curation.chunkWords(kept, "text", "doc_id", chunkSize = 16, overlap = 4)
+        .join(kept.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum($"n_tokens").as("n_chunk_tokens"))
+        .orderBy($"source")
+    },
+
     // --- multimodal plumbing, differential-checked: a deterministic media
     //     frame is derived from documents (dims / frame counts / sample
     //     counts from n_chars arithmetic), then the three modality paths
