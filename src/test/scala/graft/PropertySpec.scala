@@ -208,4 +208,68 @@ class PropertySpec extends SparkSpecBase {
         "capped collect must equal the full list below the cap and NULL above")
     }
   }
+
+  test("property: interpolateLinear preserves non-nulls and brackets fills") {
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 2L)
+        v <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+    forAll(gen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val got = Windows.interpolateLinear(df, Seq("k"), Seq("o"), "v", "i")
+        .select("k", "o", "v", "i")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      got.foreach { case (k, o, v, i) =>
+        v.foreach(x => assert(i.contains(x), "non-null inputs must pass through"))
+        if (v.isEmpty && i.isDefined) {
+          // a filled value must lie within the span of the key's non-nulls
+          val vals = rows.filter(_._1 == k).flatMap(_._3)
+          assert(i.get >= vals.min - 1e-9 && i.get <= vals.max + 1e-9,
+            s"fill $i out of range [${vals.min}, ${vals.max}] at ($k, $o)")
+        }
+      }
+      // leading nulls stay null per key
+      rows.groupBy(_._1).foreach { case (k, ks) =>
+        val sorted = ks.sortBy(_._2)
+        val firstValid = sorted.indexWhere(_._3.isDefined)
+        sorted.take(math.max(firstValid, 0)).foreach { case (_, o, _) =>
+          val out = got.find(r => r._1 == k && r._2 == o).get
+          assert(out._4.isEmpty, s"leading null at ($k, $o) must stay null")
+        }
+      }
+    }
+  }
+
+  test("property: chunkWords chunks reconstruct the document") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+    } yield (1 to n).map(i => s"t$i").toList
+    forAll(gen) { words =>
+      val chunkSize = 10; val overlap = 3; val stride = chunkSize - overlap
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.operators.Curation
+        .chunkWords(df, "text", "doc_id", chunkSize, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "chunk").as[(Long, String)].collect()
+      // dropping the first `overlap` words of every chunk after the first
+      // reconstructs the document exactly
+      val rebuilt = chunks.zipWithIndex.flatMap { case ((_, c), i) =>
+        val ws = c.split(" ").toSeq
+        if (i == 0) ws else ws.drop(overlap)
+      }
+      // trailing chunk may re-cover words when len < last start + chunkSize;
+      // reconstruction therefore compares as a set AND a prefix property
+      assert(rebuilt.toSet == words.toSet, "chunks must cover every word")
+      assert(rebuilt.take(words.length).toSeq == words.toSeq,
+        s"chunk order must preserve the document for n=${words.length}")
+      // every chunk except possibly the last has exactly chunkSize tokens
+      chunks.dropRight(1).foreach { case (_, c) =>
+        assert(c.split(" ").length == chunkSize)
+      }
+    }
+  }
 }
