@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftFrame
+import graft.operators.{Sessionize, Windows}
+
+/** Plan-shape regression guards: the scale arguments in PERF.md claim
+  * specific shuffle counts for the round-6 operators — these specs pin
+  * them so a refactor that silently adds an exchange fails loudly.
+  * (Counting is on the pre-execution physical plan string; BroadcastExchange
+  * is counted separately from shuffle exchanges.)
+  */
+class PlanShapeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  private val events = (0 until 200).map(i =>
+    (i.toLong % 7, i.toLong, if (i % 5 == 0) None else Some(i * 1.5)))
+
+  test("interpolateLinear: one shuffle, both window phases share the sort") {
+    val df = events.toDF("k", "o", "v")
+    val out = Windows.interpolateLinear(df, Seq("k"), Seq("o"), "v", "i")
+    assert(shuffles(out) == 1, out.queryExecution.executedPlan.toString.take(500))
+    // both WindowExec nodes hang off ONE sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(plan).size >= 1)
+    assert("Sort ".r.findAllIn(plan).size <= 2) // staging sort only (+AQE variance)
+  }
+
+  test("winsorize: cutoff aggregate joins back without a data re-shuffle") {
+    val df = GraftFrame((1 to 500).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v"))
+    val out = df.winsorize("v", "w", 0.05, 0.95, by = Seq("g")).df
+    // one partial+final percentile aggregate (1 shuffle); the join back to
+    // the data must be a broadcast, not a second hash shuffle of the rows
+    assert(shuffles(out) <= 2)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      || shuffles(out) == 1)
+  }
+
+  test("rankPct and cumcount share the groupby partitioning (one shuffle)") {
+    val df = GraftFrame(events.map(e => (e._1, e._2)).toDF("k", "o"))
+    val out = df.rankPct("p", Seq("k"), Seq(col("o")), "min")
+      .groupby("k").cumcount("cc", Seq("o")).df
+    assert(shuffles(out) == 1,
+      out.queryExecution.executedPlan.toString.take(500))
+  }
+
+  test("resampleCalendar grid generation never plans a cartesian product") {
+    val df = Seq((1L, "2024-01-01 10:00:00", 5L), (2L, "2024-02-01 10:00:00", 2L))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = Sessionize.resampleCalendar(df, "k", "ts", col("v"), "day")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "resample grid must join on (key, day), not cross-join a calendar")
+  }
+}
