@@ -329,6 +329,20 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(patched)
   }
 
+  /** pandas DataFrame.update: `other`'s NON-NULL values overwrite this
+    * frame's values on key-aligned rows; rows only in `other` are ignored
+    * and this frame's row set is unchanged (a left join — the mirror
+    * priority of [[combineFirst]]). */
+  def updateFrom(other: GraftFrame, on: Seq[String]): GraftFrame = {
+    val shared = df.columns.filterNot(on.contains)
+      .intersect(other.df.columns.filterNot(on.contains)).toSeq
+    val r = other.df.select((on ++ shared).map(other.df(_)): _*)
+    val r1 = shared.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + "__up"))
+    val patched = shared.foldLeft(df.join(r1, on, "left"))((d, c) =>
+      d.withColumn(c, coalesce(col(c + "__up"), col(c))).drop(c + "__up"))
+    GraftFrame(patched)
+  }
+
   /** pandas DataFrame.compare: rows of the key-aligned inner join where any
     * compared column differs (null-safe inequality), emitted as
     * (col+suffix_self, col+suffix_other) pairs. Equal rows vanish, like
@@ -595,6 +609,14 @@ final case class GraftFrame(df: DataFrame) {
   }
 
   /** pandas clip: bound values to [lower, upper]. */
+  /** pandas first_valid_index / last_valid_index over an explicit order
+    * column: the smallest / largest order value whose `valueCol` is
+    * non-null — one min/max aggregate, no sort. */
+  def validIndexBounds(orderCol: String, valueCol: String): GraftFrame =
+    GraftFrame(df.agg(
+      min(when(df(valueCol).isNotNull, df(orderCol))).as("first_valid"),
+      max(when(df(valueCol).isNotNull, df(orderCol))).as("last_valid")))
+
   /** pandas interpolate(method='linear') over an explicit partition+order
     * (see [[graft.operators.Windows.interpolateLinear]]). */
   def interpolate(partitionBy: Seq[String], orderBy: Seq[String],

@@ -82,6 +82,50 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.4 update (pandas DataFrame.update): other's non-null values
+    //     overwrite key-aligned rows; self's row set is preserved (left
+    //     join), other-only rows ignored — the mirror of combine_first.
+    Q("op_update",
+      """WITH self AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey < 2000),
+        |other AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE) END AS price
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 4000)
+        |SELECT s.k, COALESCE(o.price, s.price) AS price, s.prio
+        |FROM self s LEFT JOIN other o ON s.k = o.k
+        |ORDER BY s.k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = t(spark, dir, "orders")
+      val self = graft.api.GraftFrame(orders.filter($"o_orderkey" < 2000)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("price"),
+          $"o_orderpriority".as("prio")))
+      val other = graft.api.GraftFrame(orders
+        .filter($"o_orderkey" >= 1000 && $"o_orderkey" < 4000)
+        .select($"o_orderkey".as("k"),
+          when($"o_orderkey" % 4 === 0, $"o_totalprice" * 2.0).as("price")))
+      self.updateFrom(other, Seq("k"))
+        .sortValues(Seq("k"))
+        .df
+    },
+
+    // --- §2.11 first/last_valid_index: order bounds of the non-null span.
+    Q("op_valid_index",
+      """SELECT min(CASE WHEN v IS NOT NULL THEN o_orderkey END) AS first_valid,
+        |       max(CASE WHEN v IS NOT NULL THEN o_orderkey END) AS last_valid
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 100 < 90 THEN NULL ELSE o_totalprice END AS v
+        |      FROM orders WHERE o_orderkey < 20000) t""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "orders").filter($"o_orderkey" < 20000)
+        .select($"o_orderkey",
+          when($"o_orderkey" % 100 < 90, lit(null).cast("double"))
+            .otherwise($"o_totalprice").as("v")))
+        .validIndexBounds("o_orderkey", "v")
+        .df
+    },
+
     // --- §2.10 crosstab (pandas.crosstab): row-key × column-key count
     //     matrix with explicit column universe and 0-filled empty cells.
     Q("op_crosstab",

@@ -29,6 +29,24 @@ class ReshapeSpec extends SparkSpecBase {
       (4L, Some(44.0), None)))       // right only; left-only column null
   }
 
+  test("updateFrom overwrites with other's non-nulls, keeps self's row set") {
+    val self = GraftFrame(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    val other = GraftFrame(Seq(
+      (2L, Some(99.0)), (3L, Option.empty[Double]), (9L, Some(77.0))).toDF("k", "v"))
+    val got = self.updateFrom(other, Seq("k")).df
+      .orderBy("k").as[(Long, Double)].collect()
+    // row 2 overwritten, row 3's null in other does NOT erase, row 9 ignored
+    assert(got.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("validIndexBounds finds the non-null order span") {
+    val df = GraftFrame(Seq(
+      (1L, Option.empty[Double]), (2L, Some(5.0)), (3L, Some(6.0)),
+      (4L, Option.empty[Double])).toDF("o", "v"))
+    val got = df.validIndexBounds("o", "v").df.as[(Long, Long)].head()
+    assert(got === ((2L, 3L)))
+  }
+
   test("compareFrames keeps only differing rows as self/other pairs") {
     val self = GraftFrame(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"))
       .toDF("k", "v", "s"))
