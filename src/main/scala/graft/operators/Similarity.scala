@@ -184,6 +184,90 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfFit(corpus, nlist, seed), queries, k, nprobe)
 
+  /** Product-quantization index (the FAISS IVF-PQ compression idea,
+    * re-expressed Spark-first): each vector is split into `m` subvectors;
+    * per subspace a small KMeans codebook of `kCodes` centroids is fitted,
+    * and the corpus is stored as `m` small ints per vector — a
+    * dim·4-bytes → m-bytes compression (64-dim float → 8 codes = 32×).
+    * The codebooks are tiny driver-side state (m·kCodes·dim/m floats);
+    * the encoded corpus is a DataFrame that persists and serves many
+    * query batches, like [[IvfIndex]]. */
+  final case class PqIndex(
+      codebooks: Seq[Seq[Seq[Float]]], // [subspace][code][subdim]
+      encoded: DataFrame, // (cid, codes array<int>)
+      m: Int, kCodes: Int, dim: Int)
+
+  /** Fit PQ codebooks and encode the corpus: `m` subspace KMeans fits
+    * (each over a narrow slice projection — no shuffle beyond MLlib's
+    * aggregation) and one chained transform assigning all `m` codes. */
+  def pqFit(
+      corpus: DataFrame, // (cid, cvec)
+      dim: Int,
+      m: Int = 8,
+      kCodes: Int = 16,
+      seed: Long = 42L): PqIndex = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val d = dim / m
+    val models = (0 until m).map { s =>
+      val sub = corpus.select(slice(col("cvec"), s * d + 1, d).as("subvec"))
+      graft.learn.Learn.kmeansFit(sub, "subvec", kCodes, seed + s)
+    }
+    val codebooks = models.map(_.clusterCenters.toSeq.map(
+      _.toArray.map(_.toFloat).toSeq))
+    // encode: per subspace the argmin-distance code, via the fitted models'
+    // transform chain (narrow — no shuffle)
+    val encoded0 = models.zipWithIndex.foldLeft(corpus) { case (df, (model, s)) =>
+      model.setPredictionCol(s"__code_$s")
+        .transform(df.withColumn("__features",
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("cvec"), s * d + 1, d))))
+        .drop("__features")
+    }
+    val encoded = encoded0
+      .select(col("cid"),
+        array((0 until m).map(s => col(s"__code_$s")): _*).as("codes"))
+    PqIndex(codebooks, encoded, m, kCodes, dim)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ index: the approximate
+    * squared L2 distance Σ_s ‖q_s − codebook[s][code_s]‖² is computed
+    * against the RAW query and the corpus CODES only — the corpus floats
+    * are never touched after encoding. The codebooks travel as one nested
+    * array literal (plan size m·kCodes·dim/m floats, independent of corpus
+    * size); queries broadcast; the scan reads m ints per corpus row.
+    *
+    * Guarantee used by the specs: for a query with an identical twin in
+    * the corpus, the twin's codes minimize every subspace term (they ARE
+    * the per-subspace argmin), so the twin's ADC distance is globally
+    * minimal — ties only with same-code vectors, broken by cid. */
+  def pqProbe(
+      index: PqIndex,
+      queries: DataFrame, // (qid, qvec)
+      k: Int): DataFrame = {
+    val d = index.dim / index.m
+    val cb = typedlit(index.codebooks)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    val dist = aggregate(
+      sequence(lit(0), lit(index.m - 1)),
+      lit(0.0),
+      (acc, s) => acc + l2sq(
+        slice(col("qvec"), s * d + 1, lit(d)),
+        element_at(element_at(cb, s + 1), element_at(col("codes"), s + 1) + 1)))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    index.encoded.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dist", round(dist, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("dist"), col("rank"))
+  }
+
   /** Exact all-pairs variant — O(n²); only for small corpora or as the
     * recall baseline in tests. Use [[nearDupPairsLsh]] at scale. */
   def nearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {

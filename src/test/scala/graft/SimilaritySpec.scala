@@ -125,6 +125,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a1.nonEmpty && a2.nonEmpty && (a1.map(_._1) & a2.map(_._1)).isEmpty)
   }
 
+  test("pqProbe: an identical twin is always the ADC top-1") {
+    // twin codes are the per-subspace argmin, so the twin's ADC distance is
+    // globally minimal (see pqProbe doc) — deterministic, not probabilistic
+    val r = new Random(3)
+    val dim = 16
+    val base = (0 until 40).map(i => (i.toLong, randVec(r, dim).map(_ * 5f)))
+    val corpus = (base ++ base.take(5).map { case (id, v) => (id + 1000, v) })
+      .toDF("cid", "cvec")
+    val queries = base.take(5).map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+    val index = Similarity.pqFit(corpus, dim = dim, m = 4, kCodes = 8)
+    val top1 = Similarity.pqProbe(index, queries, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach { i =>
+      assert(top1(i.toLong) === i.toLong + 1000,
+        s"twin of $i must be ADC top-1, got ${top1(i.toLong)}")
+    }
+  }
+
+  test("pqProbe recall vs brute force on clustered embeddings") {
+    val r = new Random(17)
+    val dim = 32
+    val centers = (0 until 8).map(_ => randVec(r, dim).map(_ * 10f))
+    val members = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 15
+    } yield ((ci * 15 + j).toLong,
+      c.zip(randVec(r, dim)).map { case (x, n) => x + 0.1f * n })
+    val corpus = members.toDF("cid", "cvec")
+    val queries = members.filter(_._1 % 15 == 0).toDF("qid", "qvec")
+    val index = Similarity.pqFit(corpus, dim = dim, m = 8, kCodes = 16)
+    // ADC top-5 must stay within the query's own cluster: quantization
+    // error is far below the inter-cluster separation
+    val got = Similarity.pqProbe(index, queries, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    got.foreach { case (q, c) =>
+      assert(q / 15 === c / 15, s"PQ neighbor $c of query $q left the cluster")
+    }
+    // encoded corpus is m small ints per vector — the compression claim
+    val codes = index.encoded.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
   test("lshTopK achieves high recall on clustered embeddings") {
     // 10 well-separated cluster centers, 20 members each with small noise —
     // the realistic near-dup regime LSH bucketing is designed for.
