@@ -215,6 +215,26 @@ object Learn {
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
       .drop("__features", "rawPrediction", "probability")
 
+  /** Gradient-boosted trees classifier — the Spark-native stand-in for
+    * the reference's contrib XGBoost/LightGBM integrations
+    * (mars/learn/contrib/xgboost, /lightgbm): MLlib GBTClassifier over
+    * plain numeric feature columns. */
+  def gbtFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L)
+      : org.apache.spark.ml.classification.GBTClassificationModel =
+    new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .fit(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+
+  /** Predictions for a fitted GBT model: input + `prediction`. */
+  def gbtPredict(model: org.apache.spark.ml.classification.GBTClassificationModel,
+      df: DataFrame, featureCols: Seq[String]): DataFrame =
+    model.transform(df.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
+      .drop("__features", "rawPrediction", "probability")
+
   /** Categorical → integer codes (reference label ops / sklearn
     * LabelEncoder → MLlib StringIndexer, frequency-ordered). */
   def stringIndex(df: DataFrame, inputCol: String, outputCol: String): DataFrame =

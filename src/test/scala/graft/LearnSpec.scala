@@ -260,6 +260,21 @@ class LearnSpec extends SparkSpecBase {
     sums.foreach { case (s, l) => assert(s == (if (l <= 2) 1L else 0L)) }
   }
 
+  test("gbt learns the XOR boundary a linear model cannot") {
+    val r = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val x = r.nextDouble() * 2 - 1
+      val y = r.nextDouble() * 2 - 1
+      (x, y, if (x * y > 0) 1.0 else 0.0)  // XOR-quadrant labels
+    }
+    val df = rows.toDF("x", "y", "label")
+    val model = Learn.gbtFit(df, Seq("x", "y"), "label", maxIter = 15)
+    val acc = Learn.accuracy(
+        Learn.gbtPredict(model, df, Seq("x", "y")), "label", "prediction")
+      .as[Double].head()
+    assert(acc > 0.95, s"GBT train accuracy $acc too low for XOR quadrants")
+  }
+
   test("minMaxScale maps [min,max] to [0,1]; robustScale centers the median") {
     val df = (1 to 9).map(i => i.toDouble).toDF("x")
     val mm = Learn.minMaxScale(df, Seq("x"))
