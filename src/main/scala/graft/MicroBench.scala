@@ -39,6 +39,24 @@ object MicroBench {
       4.0 * hits / n
     }
 
+    // 1b. the same π via 20 mr.spawn-style remote calls (reference
+    //     README.rst:180-187: serial 12.4 s, Mars 3.99 s) — each call runs
+    //     a driver-side-written function on an executor
+    val (piSpawn, tSpawn) = time {
+      val perCall = n / 20
+      val hits = graft.remote.Spawn.spawnMap(spark, (0 until 20).map(_.toLong)) { seed =>
+        val rng = new java.util.Random(seed)
+        var h = 0L; var i = 0L
+        while (i < perCall) {
+          val x = rng.nextDouble() * 2 - 1; val y = rng.nextDouble() * 2 - 1
+          if (x * x + y * y <= 1.0) h += 1
+          i += 1
+        }
+        h
+      }.sum
+      4.0 * hits / n
+    }
+
     // 2. sum over 1e8 rows x 4 doubles; frame materialized first, sum timed
     val wide = spark.range(100000000L)
       .select(rand(10).as("a"), rand(11).as("b"), rand(12).as("c"), rand(13).as("d"))
@@ -49,7 +67,7 @@ object MicroBench {
     }
     wide.unpersist()
 
-    println(f"""{"pi":$pi%.6f,"pi_sec":$tPi%.2f,"sum4_sec":$tSum%.2f}""")
+    println(f"""{"pi":$pi%.6f,"pi_sec":$tPi%.2f,"pi_spawn":$piSpawn%.6f,"pi_spawn_sec":$tSpawn%.2f,"sum4_sec":$tSum%.2f}""")
     spark.stop()
   }
 }
