@@ -583,4 +583,44 @@ final class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
   def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+
+  /** Recommended session configuration for the 1000-executor / 100 TB
+    * deployment this engine is designed for. Local tests override
+    * shuffle.partitions down (32 in Bench/Verify); everything else holds
+    * at any scale. Rationale per key:
+    *
+    *  - adaptive.*: AQE re-plans at runtime — coalesces small shuffle
+    *    partitions, splits skewed ones, and converts to broadcast joins
+    *    when runtime sizes allow; it is the engine's answer to the
+    *    reference's adaptive method choice + auto chunk coalescing.
+    *  - runtime.bloomFilter: the reference's explicit merge-time bloom
+    *    pre-filter (merge.py:369) as a one-flag optimizer rule.
+    *  - shuffle.partitions 2000: ~2–3 tasks per core at 1000 executors;
+    *    AQE coalesces below it, so oversizing costs little.
+    *  - files.maxPartitionBytes 256m: scan tasks sized so a row batch of
+    *    wide text/binary columns fits executor memory with headroom —
+    *    the knob multimodal payloads depend on.
+    *  - parquet.aggregatePushdown: count/min/max served from parquet
+    *    footers — scans a 100 TB table's metadata, not its data.
+    *  - autoBroadcastJoinThreshold 64m: dimension tables broadcast
+    *    aggressively; explicit `broadcast()` hints mark the known-small
+    *    sides regardless.
+    *  - session.timeZone UTC: the oracle-comparability contract. */
+  val recommendedClusterConf: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.shuffle.partitions" -> "2000",
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+
+  /** A SparkSession.Builder preloaded with [[recommendedClusterConf]]. */
+  def clusterBuilder(): SparkSession.Builder =
+    recommendedClusterConf.foldLeft(SparkSession.builder()) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }

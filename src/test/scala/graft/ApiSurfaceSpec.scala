@@ -12,6 +12,20 @@ import graft.api.GraftFrame
 class ApiSurfaceSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("recommendedClusterConf carries the scale-critical keys") {
+    val conf = graft.api.GraftSession.recommendedClusterConf
+    Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.extensions").foreach(k =>
+      assert(conf.contains(k), s"missing $k"))
+    assert(conf("spark.sql.shuffle.partitions").toInt >= 1000,
+      "cluster default must target ~2-3 tasks/core at 1000 executors")
+    // builder applies every key without throwing
+    graft.api.GraftSession.clusterBuilder()
+  }
+
   test("concatRows unions several frames with outer columns") {
     val a = GraftFrame(Seq((1L, "a")).toDF("k", "s"))
     val b = GraftFrame(Seq((2L, "b")).toDF("k", "s"))
