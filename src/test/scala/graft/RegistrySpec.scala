@@ -19,10 +19,20 @@ class RegistrySpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every registered query carries a DuckDB oracle") {
+    // the correctness gate is only as strong as its coverage: a query
+    // without oracle SQL silently downgrades to a rows-only check
+    val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   test("a cross-section of registry queries runs at sf0.001") {
     val sample = Seq("q06", "op_select_filter", "op_ewm", "op_qcut",
       "ext_dedup_exact", "ext_tfidf", "ext_curation", "learn_hash_split",
-      "op_sql_surface", "op_csv_roundtrip")
+      "op_sql_surface", "op_csv_roundtrip",
+      // round-6 additions
+      "op_interpolate", "op_resample", "ext_chunking", "ext_curation3",
+      "learn_ridge", "learn_nb")
     sample.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n >= 0, s"$name failed")
