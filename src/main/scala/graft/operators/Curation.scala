@@ -113,6 +113,7 @@ object Curation {
     val nChunks = when(size(w) <= chunkSize, lit(1L)).otherwise(
       ((size(w) - chunkSize + stride - 1) / stride).cast("long") + 1L)
     docs
+      .where(col(textCol).isNotNull) // a null doc has no chunks (pandas NaN row drop)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0L), nChunks - 1L),
           i => array_join(slice(w, (i * stride + 1L).cast("int"), lit(chunkSize)), " "))))
