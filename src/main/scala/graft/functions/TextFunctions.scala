@@ -158,6 +158,25 @@ object TextFunctions {
           col("__slc") / col("tokens").cast("double")).as("entropy"))
   }
 
+  /** Feature hashing (the hashing trick; MLlib HashingTF re-expressed with
+    * the engine-portable md5 hash family so any engine derives identical
+    * buckets): per document the term-frequency of each of `dim` hash
+    * buckets, in long form (id, bucket, tf). One explode + one
+    * partial+final count — the fixed-dim featurization step before
+    * training linear models at corpus scale. */
+  def hashingTf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    // 60-bit md5 prefix (PortableHash family) — always non-negative, so
+    // plain % is safe and engine-identical
+    val bucket = pmod(
+      conv(substring(md5(col("__w").cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(dim.toLong))
+    df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Per-document cross-entropy against the CORPUS unigram distribution:
     * H(d, C) = −Σ_w (c_dw / n_d) · log2(p_C(w)) — the CCNet-style "how
     * surprising is this document under the corpus language model" quality

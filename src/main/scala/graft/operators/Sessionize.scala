@@ -289,6 +289,59 @@ object Sessionize {
       last(col("sum_val"), ignoreNulls = true).over(wBack).as("sum_ffill"))
   }
 
+  /** Markov transition counts over per-key event sequences: how often
+    * `typeCol` value A is immediately followed by B within a key (the
+    * product-analytics "user journey" matrix). One lead window over the
+    * key partitioning, one partial+final count — no self-join. */
+  def transitionCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Additive seasonal decomposition of the per-key daily count series
+    * (statsmodels seasonal_decompose(model='additive') on the moving-
+    * average method): trend = centered `period`-day moving average (null
+    * until the window is full, as there), seasonal = the mean detrended
+    * value per position-in-period (day of week for period=7), residual =
+    * observed − trend − seasonal. Built entirely from the calendar-complete
+    * [[resampleCalendar]] grid + window/group aggregates — one shuffle on
+    * the key, one on (key, position). */
+  def decomposeAdditive(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      period: Int = 7): DataFrame = {
+    val daily = resampleCalendar(events, keyCol, tsCol, lit(1L), "day")
+      .select(col(keyCol), col("day"), col("cnt"))
+    val half = (period - 1) / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-half, period - 1 - half)
+    // explicit sum/count division (not avg) so both engines divide the
+    // same exact integers
+    val trend = when(count(lit(1)).over(w) === period,
+      sum(col("cnt")).over(w).cast("double") / lit(period.toDouble))
+    val staged = daily
+      .withColumn("trend", trend)
+      .withColumn("__pos", dayofweek(col("day")).cast("long"))
+      .withColumn("__det", col("cnt").cast("double") - col("trend"))
+    val wPos = Window.partitionBy(col(keyCol), col("__pos"))
+    staged
+      .withColumn("seasonal",
+        sum(col("__det")).over(wPos) / count(col("__det")).over(wPos))
+      .select(col(keyCol), col("day"), col("cnt"), col("trend"),
+        col("seasonal"),
+        (col("cnt").cast("double") - col("trend") - col("seasonal")).as("resid"))
+  }
+
   /** Two-step funnel: per user, how many `fromType` events were followed
     * by at least one `toType` event within `windowSeconds` — the standard
     * product-analytics conversion query, built on [[intervalJoin]]'s

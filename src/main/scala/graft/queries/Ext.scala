@@ -1099,6 +1099,23 @@ object Ext {
         .orderBy($"gid")
     },
 
+    // --- feature hashing (hashing trick / HashingTF): per-doc term
+    //     frequency of 64 md5-bucketed features — exact integer counts,
+    //     the engine-portable hash family on both sides.
+    Q("ext_hashing_tf",
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS bucket,
+        |  COUNT(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents WHERE doc_id < 50) t
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextFunctions.hashingTf(
+          t(spark, dir, "documents").filter($"doc_id" < 50), "doc_id", "text", dim = 64)
+        .orderBy($"doc_id", $"bucket")
+    },
+
     // --- corpus-wide top-k word bigrams: explode non-distinct 2-gram
     //     shingles → ONE partial+final count aggregate → distributed
     //     TakeOrdered top-20 (count desc, gram asc tiebreak). The classic

@@ -664,6 +664,71 @@ object OpsWindows {
         .orderBy($"user_id", $"event_id")
     },
 
+    // --- §2.16 event-type transition matrix (user-journey Markov counts):
+    //     lead over the per-user time order, then one count aggregate.
+    Q("op_transitions",
+      """SELECT from_type, to_type, COUNT(*) AS n FROM (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events) t
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.transitionCounts(t(spark, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy($"from_type", $"to_type")
+    },
+
+    // --- §2.16 additive seasonal decomposition (statsmodels
+    //     seasonal_decompose, moving-average method) of per-user daily
+    //     counts: trend is an exact int-sum / 7, seasonal averages
+    //     detrended doubles ACROSS rows (order-dependent sum → round 4
+    //     per convention), residual follows.
+    Q("op_decompose",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events WHERE user_id < 6
+        |  GROUP BY user_id, CAST(ts AS DATE)),
+        |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM bounds),
+        |g AS (SELECT g.user_id, g.day, COALESCE(d.cnt, 0) AS cnt
+        |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+        |tr AS (
+        |  SELECT user_id, day, cnt,
+        |    CASE WHEN COUNT(*) OVER w7 = 7
+        |         THEN CAST(SUM(cnt) OVER w7 AS DOUBLE) / 7.0 END AS trend,
+        |    CAST(isodow(day) % 7 + 1 AS BIGINT) AS pos
+        |  FROM g
+        |  WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (
+        |  SELECT *, SUM(CAST(cnt AS DOUBLE) - trend)
+        |              OVER (PARTITION BY user_id, pos)
+        |            / COUNT(CAST(cnt AS DOUBLE) - trend)
+        |              OVER (PARTITION BY user_id, pos) AS seasonal
+        |  FROM tr)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt,
+        |  round(trend, 6) AS trend,
+        |  round(seasonal, 4) + CAST(0.0 AS DOUBLE) AS seasonal,
+        |  round(CAST(cnt AS DOUBLE) - trend - seasonal, 4)
+        |    + CAST(0.0 AS DOUBLE) AS resid
+        |FROM se ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(
+          Sessionize.decomposeAdditive(
+            t(spark, dir, "events").filter($"user_id" < 6), "user_id", "ts", period = 7))
+        .assign(
+          "day" -> date_format(col("day"), "yyyy-MM-dd"),
+          "trend" -> round(col("trend"), 6),
+          "seasonal" -> (round(col("seasonal"), 4) + lit(0.0)),
+          "resid" -> (round(col("resid"), 4) + lit(0.0)))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
     // --- §2.7 rolling.quantile(q): exact interpolated percentile over a
     //     5-row frame (Spark percentile ≡ DuckDB quantile_cont — the
     //     op_describe contract, windowed).

@@ -226,6 +226,58 @@ class ReshapeSpec extends SparkSpecBase {
     assert(got === Seq((100L, Some(7L)), (101L, None)))
   }
 
+  test("transitionCounts matches the hand-computed journey matrix") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (2L, 4L, "view"), (2L, 5L, "view"), (2L, 6L, "click"))
+      .toDF("user_id", "event_id", "et")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, 0, event_id)"))
+    val got = Sessionize.transitionCounts(ev, "user_id", "ts", "event_id", "et")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      ("view", "click") -> 2L, ("click", "buy") -> 1L, ("view", "view") -> 1L))
+  }
+
+  test("decomposeAdditive: components reconstruct the observed series") {
+    // 4 weeks of a pure weekly pattern: cnt depends only on day-of-week
+    val rows = (0 until 28).flatMap { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      val n = (d % 7) + 1 // 1..7 by weekday position
+      (0 until n).map(i => (1L, java.sql.Timestamp.valueOf(day.atTime(10, i))))
+    }
+    val ev = rows.toDF("user_id", "ts")
+    val got = Sessionize.decomposeAdditive(ev, "user_id", "ts", period = 7)
+      .orderBy("day")
+      .select("cnt", "trend", "seasonal", "resid")
+      .collect()
+    got.foreach { r =>
+      if (!r.isNullAt(1)) {
+        // trend of a pure period-7 series is the flat mean 4.0
+        assert(math.abs(r.getDouble(1) - 4.0) < 1e-9)
+        // additive identity: cnt = trend + seasonal + resid
+        val recon = r.getDouble(1) + r.getDouble(2) + r.getDouble(3)
+        assert(math.abs(recon - r.getLong(0)) < 1e-9)
+        // residual of a noiseless seasonal series vanishes
+        assert(math.abs(r.getDouble(3)) < 1e-9)
+      }
+    }
+    assert(got.count(!_.isNullAt(1)) === 28 - 6) // 3 null edges each side
+  }
+
+  test("hashingTf buckets are stable and counts sum to the token count") {
+    val df = Seq((1L, "a b a c"), (2L, "a")).toDF("id", "text")
+    val tf = graft.functions.TextFunctions.hashingTf(df, "id", "text", dim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(tf.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(tf.filter(_._1 == 1L).map(_._3).sum === 4L)
+    // same token -> same bucket across docs
+    val aBuckets = tf.filter(r => r._3 >= 1).groupBy(_._1)
+    val b1 = tf.filter(_._1 == 1L).map(_._2).toSet
+    val b2 = tf.filter(_._1 == 2L).map(_._2).toSet
+    assert(b2.subsetOf(b1), "doc 2's only token 'a' must hash like doc 1's 'a'")
+  }
+
   test("unigramStats: entropy of a uniform 2-word doc is 1 bit, ttr exact") {
     val df = Seq((1L, "a b a b"), (2L, "x x x x")).toDF("id", "text")
     val got = graft.functions.TextFunctions.unigramStats(df, "id", "text")
