@@ -176,23 +176,29 @@ final case class GraftFrame(df: DataFrame) {
     assign(out -> r.over(w).cast("long"))
   }
 
-  /** pandas rank(pct=True): rank divided by the non-null group size — an
+  /** pandas rank(pct=True): rank divided by the NON-NULL group size — an
     * exact rational (long/long) so both engines produce identical doubles.
-    * `method` as in [[rank]]; the divisor is the partition row count from
-    * the same window (no second aggregate). */
+    * Rows whose order key is null get a null pct, and non-null ranks are
+    * shifted down by the null count (Spark sorts nulls first; pandas
+    * excludes NaN from ranking entirely). `method` as in [[rank]]. */
   def rankPct(out: String, partitionBy: Seq[String], orderBy: Seq[Column],
       method: String = "min"): GraftFrame = {
     val part = if (partitionBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(partitionBy.map(df(_)): _*)
     val w = part.orderBy(orderBy: _*)
-    val r = method match {
-      case "min" => org.apache.spark.sql.functions.rank()
-      case "dense" => dense_rank()
-      case "first" => row_number()
+    val valid = orderBy.map(_.isNotNull).reduce(_ && _)
+    val nValid = sum(when(valid, 1L).otherwise(0L)).over(part)
+    val nNull = count(lit(1)).over(part) - nValid
+    val (r, shift) = method match {
+      // nulls-first ordering gives null rows the lowest ranks; the shift
+      // restores the pandas 1..m ranking over non-null rows only
+      case "min" => (org.apache.spark.sql.functions.rank(), nNull)
+      case "dense" => (dense_rank(), when(nNull > 0, 1L).otherwise(0L))
+      case "first" => (row_number(), nNull)
       case m => throw new IllegalArgumentException(s"unknown rank method: $m")
     }
-    assign(out -> (r.over(w).cast("double") /
-      count(lit(1)).over(part).cast("double")))
+    assign(out -> when(valid,
+      (r.over(w).cast("long") - shift).cast("double") / nValid.cast("double")))
   }
 
   /** Positional column insert (reference indexing/insert.py:28). */
@@ -253,8 +259,9 @@ final case class GraftFrame(df: DataFrame) {
   def mergeValidated(right: GraftFrame, on: Seq[String], how: String = "inner",
       validate: String = "1:1"): GraftFrame = {
     def unique(d: DataFrame, side: String): Unit = {
-      val maxDup = d.groupBy(on.map(d(_)): _*).count()
-        .agg(max(col("count"))).head().getLong(0)
+      // empty side -> null max -> trivially unique
+      val maxDup = Option(d.groupBy(on.map(d(_)): _*).count()
+        .agg(max(col("count"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
       require(maxDup <= 1L,
         s"merge validate=$validate: $side side has duplicate keys (max group size $maxDup)")
     }
@@ -334,6 +341,12 @@ final case class GraftFrame(df: DataFrame) {
     * and this frame's row set is unchanged (a left join — the mirror
     * priority of [[combineFirst]]). */
   def updateFrom(other: GraftFrame, on: Seq[String]): GraftFrame = {
+    // pandas raises on a non-unique other index — a dup key would fan out
+    // this frame's rows through the left join, breaking the contract above
+    val maxDup = Option(other.df.groupBy(on.map(other.df(_)): _*).count()
+      .agg(max(col("count"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    require(maxDup <= 1L,
+      s"updateFrom: other side has duplicate keys (max group size $maxDup)")
     val shared = df.columns.filterNot(on.contains)
       .intersect(other.df.columns.filterNot(on.contains)).toSeq
     val r = other.df.select((on ++ shared).map(other.df(_)): _*)
@@ -708,11 +721,17 @@ final case class GraftFrame(df: DataFrame) {
   def pivotTableMargins(index: String, column: String, valueCol: String,
       colValues: Seq[String], marginsName: String = "All"): GraftFrame = {
     val aggs = colValues.map(v =>
-      sum(when(df(column) === v, df(valueCol))).as(v)) :+
-      sum(df(valueCol)).as(marginsName)
+      sum(when(df(column) === v, df(valueCol))).as(v)) ++ Seq(
+      sum(df(valueCol)).as(marginsName),
+      // distinguishes the grand-total grouping set from a genuine NULL
+      // index value (both surface index=NULL after cube)
+      grouping(df(index)).as("__margin"))
     val g = df.cube(df(index)).agg(aggs.head, aggs.tail: _*)
-    GraftFrame(g.withColumn(index,
-      coalesce(col(index).cast("string"), lit(marginsName))))
+    GraftFrame(g
+      .withColumn(index,
+        when(col("__margin") === 1, lit(marginsName))
+          .otherwise(col(index).cast("string")))
+      .drop("__margin"))
   }
 
   /** Winsorize: clip a column at per-group exact interpolated quantiles
@@ -728,9 +747,13 @@ final case class GraftFrame(df: DataFrame) {
     val hi = round(percentile(df(valueCol), lit(pHigh)), roundTo).as("__whi")
     val joined =
       if (by.isEmpty) df.crossJoin(broadcast(df.agg(lo, hi)))
-      else df.join(df.groupBy(by.map(df(_)): _*).agg(lo, hi), by)
+      // left join: rows with a null group key (no cutoffs computable for
+      // them) pass through unclipped instead of vanishing
+      else df.join(df.groupBy(by.map(df(_)): _*).agg(lo, hi), by, "left")
     GraftFrame(joined
-      .withColumn(out, least(greatest(col(valueCol), col("__wlo")), col("__whi")))
+      .withColumn(out,
+        when(col("__wlo").isNull, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("__wlo")), col("__whi"))))
       .drop("__wlo", "__whi"))
   }
 

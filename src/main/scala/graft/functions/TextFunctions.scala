@@ -187,8 +187,13 @@ object TextFunctions {
     * aggregates off one explode; the corpus distribution joins back on the
     * word (broadcast by AQE when the vocabulary is small, shuffle-hash
     * when not — vocabulary grows sublinearly in corpus size either way),
-    * plus a 1-row total broadcast. Every word of every doc is in the
-    * corpus by construction, so no smoothing term is needed. */
+    * plus a 1-row total broadcast.
+    *
+    * CONTRACT: `df`'s vocabulary must be a subset of `corpus`'s (always
+    * true when scoring a corpus against itself, the intended use). An
+    * out-of-vocabulary word has probability 0 — infinite cross-entropy —
+    * and is dropped by the inner join instead, silently shrinking
+    * `tokens`; score against a superset corpus or pre-filter OOV docs. */
   def unigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val docWc = df

@@ -77,9 +77,12 @@ object Curation {
     val spark = docs.sparkSession
     if (!spark.catalog.functionExists("graft_might_contain"))
       return decontaminate(docs, bench, textCol, idCol, n, minOverlap)
+    // persisted: the shingle explosion feeds three consumers (count,
+    // bloom fit, verify join) — without the persist each re-runs it
     val benchSh = bench
       .select(explode(TextFunctions.hashedShingles(col(textCol), n)).as("__sh"))
       .distinct()
+      .persist()
     val nItems = math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("__sh", nItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()

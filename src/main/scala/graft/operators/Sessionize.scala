@@ -331,7 +331,11 @@ object Sessionize {
       sum(col("cnt")).over(w).cast("double") / lit(period.toDouble))
     val staged = daily
       .withColumn("trend", trend)
-      .withColumn("__pos", dayofweek(col("day")).cast("long"))
+      // seasonal position = day index modulo the period (for period=7 the
+      // classes coincide with weekdays; for other periods this keeps the
+      // decomposition honest instead of silently grouping by weekday)
+      .withColumn("__pos",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(period)))
       .withColumn("__det", col("cnt").cast("double") - col("trend"))
     val wPos = Window.partitionBy(col(keyCol), col("__pos"))
     staged

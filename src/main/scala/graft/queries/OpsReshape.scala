@@ -420,12 +420,14 @@ object OpsReshape {
         |SELECT l_orderkey, l_linenumber, f.l_returnflag, l_quantity,
         |       least(greatest(l_quantity, lo), hi) AS q_wins
         |FROM f JOIN q ON f.l_returnflag = q.l_returnflag
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (spark, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, f.l_returnflag""".stripMargin) { (spark, dir) =>
+      // the fixture duplicates (l_orderkey, l_linenumber, l_quantity) with
+      // differing l_returnflag — it must join the sort for a total order
       gt(spark, dir, "lineitem")
         .query("l_orderkey < 2000")
         .winsorize("l_quantity", "q_wins", 0.05, 0.95, by = Seq("l_returnflag"))
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "q_wins")
-        .sortValues(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .sortValues(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
         .df
     }
   )

@@ -744,9 +744,9 @@ object OpsWindows {
       gt(spark, dir, "orders")
         .query("o_custkey < 100")
         .rolling(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), 5)
-        .agg(
-          "p25_raw" -> percentile(col("o_totalprice"), lit(0.25)),
-          "p75_raw" -> percentile(col("o_totalprice"), lit(0.75)))
+        .quantile("o_totalprice", 0.25, "p25_raw")
+        .rolling(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), 5)
+        .quantile("o_totalprice", 0.75, "p75_raw")
         .assign(
           "roll_p25" -> round(col("p25_raw"), 6),
           "roll_p75" -> round(col("p75_raw"), 6))

@@ -159,6 +159,48 @@ class ReshapeSpec extends SparkSpecBase {
     assert(cc === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("rankPct nulls out null order keys and divides by the non-null count") {
+    val df = GraftFrame(Seq(
+      (1L, Option.empty[Double]), (1L, Some(10.0)), (1L, Some(20.0)))
+      .toDF("k", "v"))
+    val got = df.rankPct("p", Seq("k"), Seq(col("v")), "min").df
+      .orderBy(col("v").asc_nulls_first).select("p")
+      .as[Option[Double]].collect()
+    assert(got.toSeq === Seq(None, Some(0.5), Some(1.0)))  // pandas semantics
+  }
+
+  test("pivotTableMargins keeps a genuine null index distinct from All") {
+    val df = GraftFrame(Seq(
+      (Some("x"), "F", 1.0), (Option.empty[String], "F", 9.0)).toDF("idx", "st", "v"))
+    val got = df.pivotTableMargins("idx", "st", "v", Seq("F")).df
+      .select("idx", "All").as[(Option[String], Option[Double])].collect().toMap
+    assert(got(Some("All")) === Some(10.0))  // grand total
+    assert(got(Some("x")) === Some(1.0))
+    assert(got(None) === Some(9.0))          // the null data group survives as null
+  }
+
+  test("mergeValidated passes trivially on an empty validated side") {
+    val empty = GraftFrame(Seq.empty[(Long, String)].toDF("k", "x"))
+    val r = GraftFrame(Seq((1L, 1.0)).toDF("k", "y"))
+    assert(empty.mergeValidated(r, Seq("k"), validate = "1:1").df.count() === 0)
+  }
+
+  test("updateFrom rejects a non-unique other side like pandas") {
+    val self = GraftFrame(Seq((1L, 1.0)).toDF("k", "v"))
+    val dup = GraftFrame(Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] { self.updateFrom(dup, Seq("k")) }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("winsorize passes null-group rows through unclipped") {
+    val df = GraftFrame(Seq(
+      (Some("g"), 1.0), (Some("g"), 100.0), (Option.empty[String], 5.0))
+      .toDF("k", "v"))
+    val out = df.winsorize("v", "w", 0.05, 0.95, by = Seq("k")).df
+    assert(out.count() === 3)  // the null-keyed row is preserved
+    assert(out.filter(col("k").isNull).select("w").as[Double].head() === 5.0)
+  }
+
   test("winsorize clips at the group quantiles") {
     // group g: values 1..20 -> p05 = 1.95, p95 = 19.05 (linear interpolation)
     val df = GraftFrame((1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v"))
