@@ -213,6 +213,59 @@ object Dedup {
     *
     * With numHashes = bands * rowsPerBand, the usual S-curve applies:
     * P(candidate) = 1 - (1 - j^rows)^bands for true Jaccard j. */
+  /** Incremental exact dedup: drop rows of `newDocs` whose normalized-text
+    * fingerprint already exists in `knownFps` (a 1-column `fp` frame — the
+    * persisted index of everything ingested so far), then keep-first
+    * within the batch. The production daily-crawl shape: the history is
+    * touched only through an anti-join on its fingerprint column, never
+    * rescanned as text. Returns (kept rows, the batch's new fingerprints
+    * to append to the index). */
+  def exactDedupIncremental(newDocs: DataFrame, textCol: String,
+      idCol: String, knownFps: DataFrame): (DataFrame, DataFrame) = {
+    val withFp = newDocs.withColumn("__fp",
+      TextFunctions.md5Fingerprint(col(textCol)))
+    val unseen = withFp.join(knownFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val kept = dropDuplicates(unseen, Seq("__fp"), idCol)
+    (kept.drop("__fp"),
+      kept.select(col("__fp").as("fp")))
+  }
+
+  /** Incremental MinHash near-dup pairs: candidates between a NEW batch
+    * and an EXISTING corpus only (within-batch pairs are [[minhashDedupPairs]]'s
+    * job), verified with exact Jaccard. Both sides go through the same
+    * banding; the join emits cross-side collisions only, so the history
+    * contributes bands + shingles for verification but is never
+    * self-joined. Output: (new_id, index_id, jaccard). */
+  def minhashDedupPairsAgainst(
+      newDocs: DataFrame,
+      indexDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val newBands = minhashBands(newDocs, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+    val idxBands = minhashBands(indexDocs, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
+    val cands = newBands.join(idxBands, Seq("band", "bucket"))
+      .select("new_id", "index_id").distinct()
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs_n"))
+    val idxSh = indexDocs.select(col(idCol).as("index_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs_i"))
+    cands
+      .join(newSh, Seq("new_id"))
+      .join(idxSh, Seq("index_id"))
+      .withColumn("common", size(array_intersect(col("shs_n"), col("shs_i"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("shs_n")) + size(col("shs_i")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
+  }
+
   /** Per-document LSH band buckets: (doc_id, band, bucket) — the shared
     * front half of batch candidate generation and the streaming near-dup
     * filter. One narrow pass (signature fold + band hash), no shuffle. */

@@ -171,6 +171,32 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- incremental near-dup detection: a NEW batch (doc_id >= 400)
+    //     probed against the EXISTING corpus (doc_id < 400) — cross-side
+    //     candidates only, exact-verified. The daily-crawl-vs-history
+    //     production shape; oracle = exact cross-boundary Jaccard pairs.
+    Q("ext_dedup_incremental",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashDedupPairsAgainst(
+          docs.filter($"doc_id" >= 400), docs.filter($"doc_id" < 400),
+          "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
     // --- quality-aware cluster representative selection: same transitive
     //     clusters as ext_dedup_clusters, but the KEPT member is the
     //     highest-n_chars doc (ties -> smallest id), the rule a real

@@ -276,6 +276,37 @@ class DedupSpec extends SparkSpecBase {
     assert((actual >>> 60) == 0L)
   }
 
+  test("exactDedupIncremental drops known fingerprints and within-batch dups") {
+    val batch = Seq(
+      (10L, "hello world"), (11L, "Hello,  World!"),  // same normalized fp
+      (12L, "already ingested text"),                  // known to the index
+      (13L, "genuinely new content")).toDF("doc_id", "text")
+    val known = Seq("already ingested text").toDF("t")
+      .select(graft.functions.TextFunctions.md5Fingerprint(col("t")).as("fp"))
+    val (kept, newFps) = Dedup.exactDedupIncremental(batch, "text", "doc_id", known)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 13L))
+    assert(newFps.count() === 2)   // the two kept docs' fps, ready to append
+    assert(newFps.columns.toSeq === Seq("fp"))
+  }
+
+  test("minhashDedupPairsAgainst emits cross-side pairs only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val index = Seq((1L, base), (2L, "something else entirely different here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " x"),            // near-dup of index doc 1
+      (101L, base + " y"),            // also near-dup of index doc 1
+      (102L, "fresh unrelated words never seen before at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairsAgainst(batch, index, "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100L, 1L), (101L, 1L)))
+    // 100 and 101 are near-dups of EACH OTHER but must not appear:
+    // within-batch pairs are minhashDedupPairs' job
+    assert(!pairs.exists(p => p._1 > 99 && p._2 > 99))
+  }
+
   test("lineDedup keeps first occurrence globally, reassembles in order") {
     val docs = Seq(
       (1L, "header\nalpha one\nbeta two"),
