@@ -213,58 +213,6 @@ object Dedup {
     *
     * With numHashes = bands * rowsPerBand, the usual S-curve applies:
     * P(candidate) = 1 - (1 - j^rows)^bands for true Jaccard j. */
-  /** Incremental exact dedup: drop rows of `newDocs` whose normalized-text
-    * fingerprint already exists in `knownFps` (a 1-column `fp` frame — the
-    * persisted index of everything ingested so far), then keep-first
-    * within the batch. The production daily-crawl shape: the history is
-    * touched only through an anti-join on its fingerprint column, never
-    * rescanned as text. Returns (kept rows, the batch's new fingerprints
-    * to append to the index). */
-  def exactDedupIncremental(newDocs: DataFrame, textCol: String,
-      idCol: String, knownFps: DataFrame): (DataFrame, DataFrame) = {
-    val withFp = newDocs.withColumn("__fp",
-      TextFunctions.md5Fingerprint(col(textCol)))
-    val unseen = withFp.join(knownFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-    val kept = dropDuplicates(unseen, Seq("__fp"), idCol)
-    (kept.drop("__fp"),
-      kept.select(col("__fp").as("fp")))
-  }
-
-  /** Incremental MinHash near-dup pairs: candidates between a NEW batch
-    * and an EXISTING corpus only (within-batch pairs are [[minhashDedupPairs]]'s
-    * job), verified with exact Jaccard. Both sides go through the same
-    * banding; the join emits cross-side collisions only, so the history
-    * contributes bands + shingles for verification but is never
-    * self-joined. Output: (new_id, index_id, jaccard). */
-  def minhashDedupPairsAgainst(
-      newDocs: DataFrame,
-      indexDocs: DataFrame,
-      textCol: String,
-      idCol: String,
-      n: Int = 3,
-      threshold: Double = 0.8,
-      bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val newBands = minhashBands(newDocs, textCol, idCol, n, bands, rowsPerBand)
-      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
-    val idxBands = minhashBands(indexDocs, textCol, idCol, n, bands, rowsPerBand)
-      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
-    val cands = newBands.join(idxBands, Seq("band", "bucket"))
-      .select("new_id", "index_id").distinct()
-    val newSh = newDocs.select(col(idCol).as("new_id"),
-      TextFunctions.hashedShingles(col(textCol), n).as("shs_n"))
-    val idxSh = indexDocs.select(col(idCol).as("index_id"),
-      TextFunctions.hashedShingles(col(textCol), n).as("shs_i"))
-    cands
-      .join(newSh, Seq("new_id"))
-      .join(idxSh, Seq("index_id"))
-      .withColumn("common", size(array_intersect(col("shs_n"), col("shs_i"))))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("shs_n")) + size(col("shs_i")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("index_id"), col("jaccard"))
-  }
 
   /** Per-document LSH band buckets: (doc_id, band, bucket) — the shared
     * front half of batch candidate generation and the streaming near-dup
@@ -327,15 +275,79 @@ object Dedup {
     val shingled = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.hashedShingles(col(textCol), n).as("shs"))
-    cands
-      .join(shingled.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("shs_a")) + size(col("shs_b")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cands
+        .join(shingled.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+        .join(shingled.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b")),
+        "shs_a", "shs_b", threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact-Jaccard verification shared by every candidates-then-verify
+    * pipeline: computes `common` and `jaccard` from two shingle-array
+    * columns and applies the threshold. Two empty shingle sets (docs
+    * shorter than n words — which collide in EVERY LSH band because their
+    * signatures are the identical all-p initial fold) would divide 0/0;
+    * Spark orders NaN ABOVE every number, so an unguarded
+    * `jaccard >= threshold` passes and every short doc pairs with every
+    * other short doc. The union-size guard keeps those out. */
+  private def verifyJaccard(joined: DataFrame, aShs: String, bShs: String,
+      threshold: Double): DataFrame =
+    joined
+      .withColumn("common", size(array_intersect(col(aShs), col(bShs))))
+      .withColumn("__union",
+        size(col(aShs)) + size(col(bShs)) - col("common"))
+      .filter(col("__union") > 0)
+      .withColumn("jaccard",
+        col("common").cast("double") / col("__union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .drop("__union")
+
+  /** Incremental exact dedup: drop rows of `newDocs` whose normalized-text
+    * fingerprint already exists in `knownFps` (a 1-column `fp` frame — the
+    * persisted index of everything ingested so far), then keep-first
+    * within the batch. The production daily-crawl shape: the history is
+    * touched only through an anti-join on its fingerprint column, never
+    * rescanned as text. Returns (kept rows, the batch's new fingerprints
+    * to append to the index). */
+  def exactDedupIncremental(newDocs: DataFrame, textCol: String,
+      idCol: String, knownFps: DataFrame): (DataFrame, DataFrame) = {
+    val withFp = newDocs.withColumn("__fp",
+      TextFunctions.md5Fingerprint(col(textCol)))
+    val unseen = withFp.join(knownFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val kept = dropDuplicates(unseen, Seq("__fp"), idCol)
+    (kept.drop("__fp"),
+      kept.select(col("__fp").as("fp")))
+  }
+
+  /** Incremental MinHash near-dup pairs: candidates between a NEW batch
+    * and an EXISTING corpus only (within-batch pairs are
+    * [[minhashDedupPairs]]'s job), verified with exact Jaccard via
+    * [[verifyJaccard]]. Both sides go through the same banding; the join
+    * emits cross-side collisions only, so the history contributes bands +
+    * shingles for verification but is never self-joined.
+    * Output: (new_id, index_id, jaccard). */
+  def minhashDedupPairsAgainst(
+      newDocs: DataFrame,
+      indexDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val newBands = minhashBands(newDocs, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+    val idxBands = minhashBands(indexDocs, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
+    val cands = newBands.join(idxBands, Seq("band", "bucket"))
+      .select("new_id", "index_id").distinct()
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs_n"))
+    val idxSh = indexDocs.select(col(idCol).as("index_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs_i"))
+    verifyJaccard(cands.join(newSh, Seq("new_id")).join(idxSh, Seq("index_id")),
+        "shs_n", "shs_i", threshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token

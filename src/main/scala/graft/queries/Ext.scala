@@ -175,6 +175,11 @@ object Ext {
     //     probed against the EXISTING corpus (doc_id < 400) — cross-side
     //     candidates only, exact-verified. The daily-crawl-vs-history
     //     production shape; oracle = exact cross-boundary Jaccard pairs.
+    //     Recall margin: the weakest true pair in the fixture sits at
+    //     j = 0.90, where 16-band/4-row LSH misses with probability
+    //     (1 - 0.9^4)^16 ≈ 4e-8 — deterministic per fixture, and still
+    //     vanishing even if a regenerated fixture lands pairs near the
+    //     0.8 threshold (≈1e-4 per pair).
     Q("ext_dedup_incremental",
       s"""WITH $shinglesCte,
          |jp AS (

@@ -307,6 +307,21 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 > 99 && p._2 > 99))
   }
 
+  test("docs shorter than n words never pair (0/0 jaccard must not pass)") {
+    // empty shingle sets share the identical all-p minhash signature, so
+    // they collide in every band; the verify step's union guard must kill
+    // the 0/0 = NaN jaccard (Spark orders NaN above every threshold)
+    val docs = Seq((1L, "hi there"), (2L, "yo"), (3L, "ok then"),
+      (4L, "a real document with plenty of words to shingle properly here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashDedupPairs(docs, "text", "doc_id", n = 3).count() === 0)
+    val cross = Dedup.minhashDedupPairsAgainst(
+      docs.filter($"doc_id" >= 3), docs.filter($"doc_id" < 3),
+      "text", "doc_id", n = 3)
+    assert(cross.count() === 0,
+      "short new docs must not pair with short index docs")
+  }
+
   test("lineDedup keeps first occurrence globally, reassembles in order") {
     val docs = Seq(
       (1L, "header\nalpha one\nbeta two"),
