@@ -21,6 +21,23 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Re-spread a narrow scan before CPU-heavy fan-out work (shingle
+    * explosion, MinHash signature folds, md5 normalization). A small input
+    * that arrives as one or two file splits would otherwise serialize the
+    * whole map phase behind a single core; a big input already scans wide
+    * and passes through untouched. The round-robin exchange moves only the
+    * raw input rows — strictly cheaper than single-threading the n×
+    * fan-out that follows. Every consumer below is order-insensitive
+    * (min/groupBy/signature folds), so the nondeterministic round-robin
+    * placement cannot change results. */
+  private[operators] def fanOutScan(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+    }
+  }
+
   /** Exact dedup on arbitrary key columns, keeping the row with the lowest
     * `order` value per key (pandas keep='first' with an explicit order —
     * the reference itself relaxes positional semantics under parallelism).
@@ -51,7 +68,7 @@ object Dedup {
   /** Exact text dedup via md5 of normalized text. Returns the kept rows. */
   def exactTextDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     dropDuplicates(
-      docs.withColumn("__fp", TextFunctions.md5Fingerprint(col(textCol))),
+      fanOutScan(docs).withColumn("__fp", TextFunctions.md5Fingerprint(col(textCol))),
       Seq("__fp"), idCol)
       .drop("__fp")
 
@@ -107,9 +124,17 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
-    val sh = docs
+    val shRaw = fanOutScan(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
+    // Explicit-width hash exchange on the shingle: this boundary feeds the
+    // C(df,2) pair EXPLOSION, so it must stay at full cluster width — AQE's
+    // byte-based coalescing sees only the small pre-explosion lists and
+    // would funnel the entire pair fan-out through one task.
+    // (REPARTITION_BY_NUM is exempt from AQE coalescing.) The aggregation
+    // below reuses this partitioning, so no second exchange is planned.
+    val sh = shRaw.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions, col("sh"))
     // One aggregation groups doc ids per shingle; pair generation then
     // explodes the C(df, 2) combinations per shingle directly — same
     // output as the self-join formulation but with half the shuffle
@@ -234,7 +259,7 @@ object Dedup {
           TextFunctions.hashedShingles(col(textCol), n), lit(numHashes), lit(seed))
       else
         minhashSignature(TextFunctions.hashedShingles(col(textCol), n), numHashes, seed)
-    docs.select(col(idCol).as("doc_id"), sigExpr.as("sig"))
+    fanOutScan(docs).select(col(idCol).as("doc_id"), sigExpr.as("sig"))
       .select(
         col("doc_id"),
         posexplode(
@@ -272,7 +297,7 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val cands = minhashLshCandidates(docs, textCol, idCol, n, bands, rowsPerBand)
-    val shingled = docs.select(
+    val shingled = fanOutScan(docs).select(
       col(idCol).as("doc_id"),
       TextFunctions.hashedShingles(col(textCol), n).as("shs"))
     verifyJaccard(cands
