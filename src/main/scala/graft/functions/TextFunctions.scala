@@ -214,4 +214,51 @@ object TextFunctions {
       .select(col(idCol), col("tokens"),
         (-col("__sxe") / col("tokens").cast("double")).as("xent"))
   }
+
+  /** Okapi BM25 relevance of every document against a literal query-term
+    * set — the standard lexical retrieval scorer (and the retrieval half
+    * of a RAG data pipeline):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                          (tf(t,d) + k1·(1 − b + b·|d|/avgdl)),
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))   (Lucene form,
+    *                                                         always ≥ 0).
+    *
+    * Returns (idCol, score) for documents matching ≥ 1 term, round-4
+    * (the per-doc Σ over terms is an order-dependent double sum).
+    *
+    * Scale shape: corpus stats (N, avgdl) are one 1-row aggregate
+    * (broadcast); per-term df and idf collapse to |terms| rows
+    * (broadcast); term frequencies are one explode filtered to the term
+    * set BEFORE any shuffle — shuffle volume is matches only, not tokens.
+    * The doc-length join stays keyed on the id. No corpus self-join, no
+    * driver loop; |terms| is the (tiny) scale valve. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25 params out of range: k1=$k1 b=$b")
+    val dl = docs.select(col(idCol), size(words(col(textCol))).cast("long").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__sdl"))
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val idf = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats))
+      .select(col("__t"),
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))).as("__idf"))
+    val avgdl = col("__sdl").cast("double") / col("__n").cast("double")
+    tf.join(broadcast(idf), Seq("__t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__term_score",
+        col("__idf") * (col("__tf") * (lit(k1) + 1)) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__term_score")), 4).as("score"))
+  }
 }

@@ -99,4 +99,45 @@ object Components {
       .select(col("node").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Weighted k-step walk-count centrality over a directed edge list —
+    * the exact-integer cousin of Katz/PageRank used to rank graph nodes
+    * (link-graph harvest scoring in a crawl-curation pipeline, hub event
+    * types in a journey graph): walks_s(v) = number of weighted length-s
+    * walks ending at v, i.e. (1ᵀ·Wˢ) computed column by column:
+    *
+    *   walks_1(v) = Σ_{u→v} w(u,v),
+    *   walks_{s+1}(v) = Σ_{u→v} walks_s(u) · w(u,v).
+    *
+    * Returns (node, walks_1 .. walks_<steps>), one row per node with ≥ 1
+    * inbound walk of some length; absent lengths fill with 0. All-BIGINT
+    * arithmetic — exact, engine-independent.
+    *
+    * Scale shape: each step is ONE hash join of the edge list against the
+    * PRE-AGGREGATED frontier (|nodes| rows, not |walks| — the frontier
+    * collapses to one row per node before every join) plus one
+    * partial/final sum. `steps` self-joins total, no transitive recursion,
+    * no driver iteration over data. Weighted walk counts grow ~|W|ˢ, so
+    * callers keep `steps` small (≤ 6 enforced) long before BIGINT range
+    * matters at sane edge weights. */
+  def pathCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 6, s"steps must be in [1, 6]: $steps")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+    val frontiers = Iterator.iterate(
+      e.groupBy(col("__dst").as("node")).agg(sum("__w").as("walks"))) { f =>
+        e.join(f.select(col("node").as("__src"), col("walks")), Seq("__src"))
+          .groupBy(col("__dst").as("node"))
+          .agg(sum(col("__w") * col("walks")).as("walks"))
+      }.take(steps).toVector
+    frontiers.zipWithIndex
+      .map { case (f, i) => f.select(col("node"), col("walks").as(s"walks_${i + 1}")) }
+      .reduce((a, b) => a.join(b, Seq("node"), "full_outer"))
+      .na.fill(0L)
+  }
 }

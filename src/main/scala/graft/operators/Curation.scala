@@ -225,4 +225,56 @@ object Curation {
         }
       }
   }
+
+  /** DSIR-style importance weights (hashed n-gram importance resampling):
+    * score every raw document by the log-likelihood ratio of a TARGET
+    * corpus (the high-quality distribution you want more of) against the
+    * RAW corpus, both modeled as Laplace-smoothed multinomials over `dim`
+    * hashed word-bigram buckets:
+    *
+    *   weight(d) = Σ_b n_d(b) · [ ln p̂_target(b) − ln p̂_raw(b) ],
+    *   p̂(b) = (count(b) + 1) / (total + dim).
+    *
+    * Feed the output to [[importanceResample]] (after squashing to [0,1])
+    * to skew the kept corpus toward the target domain — the standard
+    * recipe for "make the web crawl look more like Wikipedia".
+    *
+    * Scale shape: both distribution fits are one explode + one
+    * partial/final count each, collapsing to ≤ `dim` rows — the λ(b)
+    * log-ratio table is corpus-size-independent and broadcasts; per-doc
+    * scoring is one explode + (doc, bucket) count + broadcast probe + one
+    * final sum keyed by doc. Nothing quadratic, no driver collection.
+    * Buckets use the engine-portable md5 family (same convention as
+    * [[TextFunctions.hashingTf]]) so any engine derives identical buckets
+    * and, with round-4 on the order-dependent final sum, identical
+    * weights. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, dim: Int = 1024): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("__g"))
+      .select(col(idCol), pmod(
+        conv(substring(md5(col("__g").cast("binary")), 1, 15), 16, 10).cast("long"),
+        lit(dim.toLong)).as("bucket"))
+    val rawB = bucketed(raw)
+    val tgtCnt = bucketed(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rawCnt = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgtTot = tgtCnt.agg(sum("ct").as("tt"))
+    val rawTot = rawCnt.agg(sum("cr").as("tr"))
+    // λ(b) over every bucket seen in raw (a doc's buckets are a subset of
+    // raw's by construction); buckets unseen in target smooth to ct=0
+    val lambda = rawCnt
+      .join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+             (col("tt") + dim).cast("double")) -
+         log((col("cr") + 1).cast("double") /
+             (col("tr") + dim).cast("double"))).as("lam"))
+    rawB.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("nb"))
+      .join(broadcast(lambda), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("nb") * col("lam")), 4).as("dsir_weight"))
+  }
 }

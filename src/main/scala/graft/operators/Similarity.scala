@@ -279,4 +279,63 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-pairwise, the
+    * embedding analog of the reference's duplicated()/drop_duplicates
+    * surface for *semantic* rather than lexical duplicates): partition the
+    * corpus into `k` cells, and inside each cell mark every vector whose
+    * cosine to a LOWER-id cell member reaches `tau` as a duplicate — one
+    * representative survives per duplicate star. Cells bound the
+    * quadratic: pairs never cross a cell boundary, so worst-case work is
+    * Σ|cell|² not |corpus|², with `k` the scale valve (exactly the
+    * published SemDeDup design, which runs KMeans first for this reason).
+    *
+    * Determinism — and the DuckDB differential oracle — demands a fixed
+    * clustering, so cells come from deterministic PIVOTS rather than a
+    * seeded KMeans fit: the `k` corpus vectors with the smallest
+    * (PortableHash(cid), cid) are the pivots (an arbitrary-but-reproducible
+    * sample that any engine recomputes bit-identically), and every vector
+    * joins its highest-cosine pivot (round-4 sims; ties to the lower pivot
+    * id). Identical vectors always share a cell, so exact twins can never
+    * escape comparison.
+    *
+    * Plan shape: pivot selection is a distributed TakeOrdered of k rows;
+    * assignment broadcasts the k pivot vectors against the corpus (narrow,
+    * no corpus shuffle) + one partial/final argmax aggregate keyed by cid;
+    * the pair phase is one self-join shuffled on the cell id. Returns
+    * (cid, cluster, keep) for every corpus row.
+    */
+  def semanticDedup(
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      tau: Double): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1]: $tau")
+    val pivots = corpus
+      .select(col("cid").as("pid"), col("cvec").as("pvec"),
+        graft.functions.PortableHash.hash32(col("cid")).as("__h"))
+      .orderBy(col("__h"), col("pid"))
+      .limit(k)
+      .drop("__h")
+    // argmax over (sim, -pid): best pivot wins, ties to the smallest pid;
+    // struct-max aggregates partially (no window over the scored rows)
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .withColumn("__psim", round(cosineCol(corpus, col("cvec"), col("pvec")), 4))
+      .groupBy(col("cid"))
+      .agg(
+        max(struct(col("__psim"), (-col("pid")).as("negpid")))
+          .getField("negpid").as("__negpid"),
+        first(col("cvec")).as("cvec")) // constant within the group
+      .select(col("cid"), (-col("__negpid")).as("cluster"), col("cvec"))
+    val a = assigned.select(col("cluster"), col("cid").as("id_a"), col("cvec").as("vec_a"))
+    val b = assigned.select(col("cluster"), col("cid").as("id_b"), col("cvec").as("vec_b"))
+    val dupOf = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineCol(corpus, col("vec_a"), col("vec_b")), 4) >= tau)
+      .select(col("id_b").as("cid"))
+      .distinct()
+    assigned
+      .join(dupOf.withColumn("__dup", lit(true)), Seq("cid"), "left")
+      .select(col("cid"), col("cluster"), col("__dup").isNull.as("keep"))
+  }
 }

@@ -1194,6 +1194,164 @@ object Ext {
           "entropy" -> (round(col("entropy"), 4) + lit(0.0)))
         .sortValues(Seq("doc_id"))
         .df
+    },
+
+    // --- SemDeDup-style semantic dedup on the twin corpus: deterministic
+    //     pivots (k smallest avalanche-hash ids), round-4 argmax cell
+    //     assignment, within-cell pairwise cosine at 0.999 — every doc's
+    //     identical twin shares its cell, so each cluster keeps ~half.
+    //     Output is integer counts per cluster; the oracle replays pivot
+    //     selection, assignment, and pairing from scratch.
+    Q("ext_semantic_dedup",
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings),
+         |p AS (SELECT cid AS pid, cvec AS pvec FROM c
+         |      ORDER BY ${graft.functions.PortableHash.sqlHash32("cid")}, cid
+         |      LIMIT 16),
+         |asg AS (
+         |  SELECT cid, pid AS cluster FROM (
+         |    SELECT c.cid, p.pid,
+         |      row_number() OVER (PARTITION BY c.cid
+         |        ORDER BY ${sqlCos("c.cvec", "p.pvec")} DESC, p.pid) AS rn
+         |    FROM c, p) s
+         |  WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT b.cid AS cid
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.cid < b.cid
+         |  JOIN c ca ON ca.cid = a.cid
+         |  JOIN c cb ON cb.cid = b.cid
+         |  WHERE ${sqlCos("ca.cvec", "cb.cvec")} >= 0.999)
+         |SELECT cluster, COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (WHERE cid NOT IN (SELECT cid FROM dup)) AS n_kept
+         |FROM asg GROUP BY cluster ORDER BY cluster""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val corpus = e.unionAll(e.select(($"cid" + 10000).as("cid"), $"cvec"))
+      Similarity.semanticDedup(corpus, k = 16, tau = 0.999)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"keep", lit(1))).as("n_kept"))
+        .orderBy($"cluster")
+    },
+
+    // --- DSIR importance weights: log-likelihood ratio of the src0 slice
+    //     (the "target" domain) vs the whole corpus over 256 portable-md5
+    //     bigram buckets, Laplace-smoothed. Per-doc Σ nb·λ(b) sums doubles
+    //     across rows → round 4 (+0.0: weights cross zero, and round
+    //     preserves -0.0).
+    Q("ext_dsir",
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, source, array_to_string(w[i+1:i+2], ' ') AS gm
+        |      FROM (SELECT doc_id, source, w, unnest(range(len(w) - 1)) AS i
+        |            FROM d WHERE len(w) >= 2) t),
+        |b AS (SELECT doc_id, source,
+        |             CAST('0x' || substr(md5(gm), 1, 15) AS BIGINT) % 256 AS bucket
+        |      FROM g),
+        |tc AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE source = 'src0'
+        |       GROUP BY bucket),
+        |rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+        |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tc),
+        |tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM rc),
+        |lam AS (SELECT rc.bucket,
+        |          ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+        |             / CAST(tt.tt + 256 AS DOUBLE))
+        |          - ln(CAST(rc.cr + 1 AS DOUBLE) / CAST(tr.tr + 256 AS DOUBLE))
+        |            AS lam
+        |        FROM rc LEFT JOIN tc USING (bucket), tt, tr),
+        |db AS (SELECT doc_id, bucket, COUNT(*) AS nb FROM b
+        |       GROUP BY doc_id, bucket)
+        |SELECT doc_id,
+        |       round(SUM(nb * lam), 4) + CAST(0.0 AS DOUBLE) AS dsir_weight
+        |FROM db JOIN lam USING (bucket)
+        |GROUP BY doc_id
+        |ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      Curation.dsirWeights(docs, docs.filter($"source" === "src0"),
+          "text", "doc_id", dim = 256)
+        .withColumn("dsir_weight", $"dsir_weight" + lit(0.0))
+        .orderBy($"dsir_weight".desc, $"doc_id")
+        .limit(20)
+    },
+
+    // --- Okapi BM25 top-20 for a fixed 3-term query; the oracle mirrors
+    //     the exact arithmetic shape (left-assoc, every literal cast to
+    //     DOUBLE — bare DuckDB decimals are DECIMAL). Per-doc Σ over terms
+    //     is order-dependent → round 4.
+    Q("ext_bm25",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+        |tf AS (SELECT doc_id, tm, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS tm FROM d) t
+        |       WHERE tm IN ('vector', 'merge', 'window')
+        |       GROUP BY doc_id, tm),
+        |idf AS (SELECT tm,
+        |          ln(CAST(1.0 AS DOUBLE)
+        |             + (stats.n - COUNT(*) + CAST(0.5 AS DOUBLE))
+        |               / (COUNT(*) + CAST(0.5 AS DOUBLE))) AS idf
+        |        FROM tf, stats GROUP BY tm, stats.n)
+        |SELECT tf.doc_id,
+        |  round(SUM(idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |    / (tf.tf + CAST(1.2 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+        |             / (CAST(stats.sdl AS DOUBLE) / CAST(stats.n AS DOUBLE))))),
+        |    4) AS score
+        |FROM tf JOIN idf USING (tm) JOIN dl USING (doc_id), stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      TextFunctions.bm25(t(spark, dir, "documents"), "doc_id", "text",
+          Seq("vector", "merge", "window"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // --- weighted k-step walk-count centrality over the event-transition
+    //     graph (the exact-integer Katz/PageRank cousin): three
+    //     join-aggregate steps against the pre-aggregated frontier.
+    //     All-BIGINT — no rounding anywhere.
+    Q("ext_graph_centrality",
+      """WITH e AS (
+        |  SELECT from_type AS src, to_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM (SELECT event_type AS from_type,
+        |               lead(event_type) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id) AS to_type
+        |        FROM events) t
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f1 AS (SELECT dst AS node, CAST(SUM(w) AS BIGINT) AS walks_1
+        |       FROM e GROUP BY dst),
+        |f2 AS (SELECT e.dst AS node, CAST(SUM(e.w * f.walks_1) AS BIGINT) AS walks_2
+        |       FROM e JOIN f1 f ON f.node = e.src GROUP BY e.dst),
+        |f3 AS (SELECT e.dst AS node, CAST(SUM(e.w * f.walks_2) AS BIGINT) AS walks_3
+        |       FROM e JOIN f2 f ON f.node = e.src GROUP BY e.dst)
+        |SELECT node,
+        |  COALESCE(walks_1, CAST(0 AS BIGINT)) AS walks_1,
+        |  COALESCE(walks_2, CAST(0 AS BIGINT)) AS walks_2,
+        |  COALESCE(walks_3, CAST(0 AS BIGINT)) AS walks_3
+        |FROM f1 FULL JOIN f2 USING (node) FULL JOIN f3 USING (node)
+        |ORDER BY node""".stripMargin) { (spark, dir) =>
+      val edges = graft.operators.Sessionize.transitionCounts(
+        t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      graft.operators.Components
+        .pathCentrality(edges, "from_type", "to_type", "n", steps = 3)
+        .orderBy(col("node"))
     }
   )
+
+  /** DuckDB fragment: round-4 cosine between two 64-dim float lists. */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))),
+       |      4)""".stripMargin
 }

@@ -164,4 +164,37 @@ class CurationSpec extends SparkSpecBase {
     assert(byDoc(1L) != byDoc(2L) && byDoc(2L) != byDoc(3L),
       s"oversize doc must sit alone: $byDoc")
   }
+
+  test("dsirWeights ranks target-like documents above off-target ones") {
+    // target distribution = "alpha beta" bigrams; raw corpus mixes
+    // target-like docs with "zulu yankee" off-target docs
+    val target = (0L until 20L).map(i => (i + 1000L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = ((0L until 5L).map(i => (i, "alpha beta alpha beta alpha")) ++
+      (5L until 10L).map(i => (i, "zulu yankee zulu yankee zulu")))
+      .toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, target, "text", "doc_id", dim = 64)
+      .as[(Long, Double)].collect().toMap
+    val targetLike = (0L until 5L).map(w)
+    val offTarget = (5L until 10L).map(w)
+    assert(targetLike.min > offTarget.max,
+      s"target-like $targetLike must outrank off-target $offTarget")
+  }
+
+  test("bm25 matches a hand-computed two-doc score") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "cat dog cat"), // tf(cat)=2, dl=3
+      (2L, "dog bird bird bird"), // no cat, dl=4
+      (3L, "fish fish fish fish fish")) // no match at all, dl=5
+      .toDF("doc_id", "text")
+    val got = TextFunctions.bm25(docs, "doc_id", "text", Seq("cat"),
+        k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().toMap
+    // N=3, df(cat)=1, avgdl=4; idf = ln(1 + (3-1+0.5)/1.5)
+    val idf = math.log(1 + 2.5 / 1.5)
+    val expected = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 4.0))
+    assert(got.keySet == Set(1L), s"only doc 1 matches: $got")
+    assert(math.abs(got(1L) - expected) < 5e-5, s"got ${got(1L)}, want $expected")
+  }
 }

@@ -335,4 +335,28 @@ class DedupSpec extends SparkSpecBase {
     assert(got(1) === ((2L, 1L, "gamma three")))
     assert(got(2) === ((3L, 1L, "delta four")))
   }
+
+  test("pathCentrality counts weighted walks on a hand-checked graph") {
+    import graft.operators.Components
+    // a -2-> b -3-> c, a -1-> c:
+    //   walks_1: b=2, c=3+1=4
+    //   walks_2 (u->v weighted by walks_1(u)): c via b: 2*3=6
+    //   walks_3: none (no inbound edge from c)
+    val edges = Seq(("a", "b", 2L), ("b", "c", 3L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got = Components.pathCentrality(edges, "src", "dst", "w", steps = 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("b", 2L, 0L, 0L), ("c", 4L, 6L, 0L)))
+  }
+
+  test("pathCentrality on a cycle compounds weights each step") {
+    import graft.operators.Components
+    // a -2-> b -3-> a: walks_1 = (a=3, b=2); walks_2 = (a=3*2? no:
+    //   a gets walks_1(b)*3 = 6, b gets walks_1(a)*2 = 6);
+    //   walks_3: a = walks_2(b)*3 = 18, b = walks_2(a)*2 = 12
+    val edges = Seq(("a", "b", 2L), ("b", "a", 3L)).toDF("src", "dst", "w")
+    val got = Components.pathCentrality(edges, "src", "dst", "w", steps = 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 3L, 6L, 18L), ("b", 2L, 6L, 12L)))
+  }
 }

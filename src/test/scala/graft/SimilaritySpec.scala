@@ -190,4 +190,34 @@ class SimilaritySpec extends SparkSpecBase {
     // probability at this separation; deterministic seed => stable value
     assert(recall >= 0.9, s"LSH recall $recall below 0.9")
   }
+
+  test("semanticDedup keeps one representative per planted twin pair") {
+    val r = new Random(11)
+    val dim = 16
+    val base = (0L until 30L).map(i => (i, randVec(r, dim)))
+    // twins: identical vectors under shifted ids — must always share a
+    // cell (identical cosine to every pivot) and collapse to one kept doc
+    val corpus = (base ++ base.map { case (i, v) => (i + 100L, v) })
+      .toDF("cid", "cvec")
+    val out = Similarity.semanticDedup(corpus, k = 4, tau = 0.999)
+      .select("cid", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 60)
+    val byId = out.map(t => t._1 -> t).toMap
+    base.foreach { case (i, _) =>
+      val (low, high) = (byId(i), byId(i + 100L))
+      assert(low._2 == high._2, s"twins $i/${i + 100} split cells")
+      assert(low._3, s"lower twin $i must be kept")
+      assert(!high._3, s"higher twin ${i + 100} must be dropped")
+    }
+  }
+
+  test("semanticDedup at tau=1.0+noise keeps everything distinct") {
+    val r = new Random(12)
+    val corpus = (0L until 25L).map(i => (i, randVec(r, 16))).toDF("cid", "cvec")
+    val out = Similarity.semanticDedup(corpus, k = 3, tau = 0.999)
+    // random gaussian vectors are nowhere near cosine 0.999 of each other
+    assert(out.filter(!col("keep")).count() == 0)
+    assert(out.select("cluster").distinct().count() <= 3)
+  }
 }
