@@ -103,6 +103,81 @@ object Dedup {
           s => s.getField("__line")), sep).as("text"))
   }
 
+  /** Exact duplicated-substring removal at word level (the ExactSubstr
+    * pass of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed as distributed n-gram coverage instead
+    * of a monolithic suffix array): every word position covered by an
+    * n-word gram occurrence that is NOT the gram's first occurrence in
+    * the total order (idCol, start position) is removed, and each
+    * document is reassembled from its surviving words in original order.
+    * The first copy of any duplicated span — cross-document boilerplate
+    * or a within-document repeat — survives; all later copies vanish.
+    *
+    * Reference surface: corpus-level exact dedup beyond whole-row
+    * drop_duplicates (mars/dataframe/base/drop_duplicates.py:35), the
+    * same keep-first contract as [[lineDedup]] one granularity finer.
+    *
+    * Scale shape: grams are hashed to 60-bit md5 longs in the scan
+    * projection (gram strings never shuffle); ONE exchange on the gram
+    * hash ranks occurrences keep-first (hot boilerplate grams land
+    * together, everything else is near-unique — the [[lineDedup]] skew
+    * profile). Coverage then costs ONE exchange of the word stream: dup
+    * starts union with the words and a single per-doc running-max window
+    * (the interval-merge trick — covered ⟺ max over starts s ≤ i of
+    * s+n−1 reaches i) marks erased positions with O(1) state per row;
+    * the reassembly aggregate reuses the same per-doc partitioning.
+    * Per-doc state is bounded by single-document size, never corpus
+    * size.
+    *
+    * Returns (idCol, n_words_kept, text); fully-erased documents stay
+    * present with n_words_kept = 0 and text = ''. */
+  def substringSpanDedup(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"substringSpanDedup needs n >= 2, got $n")
+    val base = fanOutScan(docs)
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+    val words = base
+      .select(col(idCol), posexplode(col("__ws")))
+      .select(col(idCol), col("pos").cast("long").as("__i"), col("col").as("__w"))
+    // gram start j covers word positions [j, j+n); 60-bit portable md5 hash
+    // (the oracle-checkable family — xxhash64 would be engine-specific)
+    val grams = base
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__ws")) - lit(n)),
+        j => conv(substring(md5(array_join(slice(col("__ws"), j + lit(1), lit(n)), " ")), 1, 15), 16, 10)
+          .cast("long"))))
+      .select(col(idCol), col("pos").cast("long").as("__s"), col("col").as("__gh"))
+    val keepFirst = Window.partitionBy(col("__gh")).orderBy(col(idCol), col("__s"))
+    val dupStarts = grams
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("__s").as("__i"),
+        lit(null).cast("string").as("__w"), lit(1).as("__start"))
+    // interval merge: at equal position the start sorts first (__start
+    // desc), so a duplicate span starting at i erases the word at i
+    val merge = Window.partitionBy(col(idCol))
+      .orderBy(col("__i"), col("__start").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = words
+      .withColumn("__start", lit(0))
+      .unionByName(dupStarts)
+      .withColumn("__covEnd",
+        max(when(col("__start") === 1, col("__i") + lit(n - 1).cast("long"))
+          .otherwise(lit(-1L))).over(merge))
+      .filter(col("__start") === 0 && col("__covEnd") < col("__i"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__i"), col("__w")))),
+          s => s.getField("__w")), " ").as("text"))
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** All near-duplicate pairs by exact word-n-gram Jaccard >= `threshold`.
     * Exact (not approximate): explode distinct shingles, self-join on the
     * shingle, count common shingles per pair, compute |A∩B| / |A∪B|.

@@ -1341,6 +1341,47 @@ object Ext {
       graft.operators.Components
         .pathCentrality(edges, "from_type", "to_type", "n", steps = 3)
         .orderBy(col("node"))
+    },
+
+    // --- exact duplicated-substring removal (Lee et al. ExactSubstr as
+    //     n-gram coverage, keep-first): the oracle replays gram hashing,
+    //     keep-first ranking, the interval-merge coverage window, and the
+    //     ordered reassembly from scratch; fingerprints compare the full
+    //     surviving text. The fixture's planted duplicate docs erase to
+    //     n_words_kept = 0 on both sides.
+    Q("ext_substring_dedup",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, j AS s,
+        |             CAST('0x' || substr(md5(array_to_string(ws[j+1:j+8], ' ')), 1, 15)
+        |                  AS BIGINT) AS gh
+        |      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS j
+        |            FROM base WHERE len(ws) >= 8) t),
+        |d AS (SELECT doc_id, s FROM (
+        |        SELECT doc_id, s,
+        |               row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn
+        |        FROM g) r WHERE rn > 1),
+        |w AS (SELECT doc_id, i, ws[i+1] AS w
+        |      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM base) t),
+        |u AS (SELECT doc_id, i, w, 0 AS isstart FROM w
+        |      UNION ALL
+        |      SELECT doc_id, s AS i, NULL AS w, 1 AS isstart FROM d),
+        |c AS (SELECT doc_id, i, w, isstart,
+        |             MAX(CASE WHEN isstart = 1 THEN i + 7 ELSE -1 END)
+        |               OVER (PARTITION BY doc_id ORDER BY i, isstart DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
+        |      FROM u),
+        |k AS (SELECT doc_id, COUNT(*) AS n,
+        |             md5(string_agg(w, ' ' ORDER BY i)) AS fp
+        |      FROM c WHERE isstart = 0 AND covend < i GROUP BY doc_id)
+        |SELECT d0.doc_id, CAST(COALESCE(k.n, 0) AS BIGINT) AS n_words_kept,
+        |       COALESCE(k.fp, md5('')) AS fp
+        |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.substringSpanDedup(t(spark, dir, "documents"), "text", "doc_id", n = 8)
+        .select($"doc_id", $"n_words_kept",
+          md5($"text".cast("binary")).as("fp"))
+        .orderBy($"doc_id")
     }
   )
 

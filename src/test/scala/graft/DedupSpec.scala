@@ -336,6 +336,36 @@ class DedupSpec extends SparkSpecBase {
     assert(got(2) === ((3L, 1L, "delta four")))
   }
 
+  test("substringSpanDedup erases later copies of n-word spans, keeps first") {
+    // doc 1 owns the span; doc 2 repeats it inside fresh context; doc 3 is
+    // a full duplicate of doc 1; doc 4 is shorter than n and untouchable.
+    val span = (1 to 8).map("s" + _).mkString(" ") // 8 shared words
+    val docs = Seq(
+      (1L, s"a1 a2 $span a3"),
+      (2L, s"b1 b2 b3 $span b4 b5"),
+      (3L, s"a1 a2 $span a3"),
+      (4L, "tiny doc under n words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringSpanDedup(docs, "text", "doc_id", n = 8)
+      .select("doc_id", "n_words_kept", "text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 11L, s"a1 a2 $span a3")))
+    // doc 2: only the 8 span positions are covered (the b-words break the
+    // grams that would straddle the boundary)
+    assert(got(1) === ((2L, 5L, "b1 b2 b3 b4 b5")))
+    // doc 3 duplicates doc 1 entirely: every position covered
+    assert(got(2) === ((3L, 0L, "")))
+    assert(got(3) === ((4L, 5L, "tiny doc under n words")))
+  }
+
+  test("substringSpanDedup erases a within-doc repeat's second copy only") {
+    val span = (1 to 8).map("r" + _).mkString(" ")
+    val docs = Seq((7L, s"$span mid $span")).toDF("doc_id", "text")
+    val got = Dedup.substringSpanDedup(docs, "text", "doc_id", n = 8)
+      .select("n_words_kept", "text").as[(Long, String)].collect().head
+    assert(got === ((9L, s"$span mid")))
+  }
+
   test("pathCentrality counts weighted walks on a hand-checked graph") {
     import graft.operators.Components
     // a -2-> b -3-> c, a -1-> c:
