@@ -174,6 +174,36 @@ object Curation {
     docs.filter(PortableHash.uniform01(col(idCol)) <
       least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double"))))
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * PortableHash bucket of the id — rerun- and engine-stable, uniform
+    * over any id distribution (residue-striped snowflake ids included). */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs.withColumn("shard", PortableHash.bucket(col(idCol), nShards))
+  }
+
+  /** Sharded training-data export with a deterministic global shuffle:
+    * documents land in `nShards` hash shards, and rows inside each shard
+    * file appear in avalanche-hash order of the id — the decorrelated
+    * "shuffled" order a training dataloader expects, reproducible across
+    * reruns and engines, WITHOUT a global sort (hash order is
+    * data-independent, so sorting shard-locally gives the same stream a
+    * global hash sort would, shard by shard).
+    *
+    * Plan shape: one hash repartition keyed on the shard id, a
+    * shard-major in-partition sort (each task writes its shards
+    * sequentially, one parquet file per shard via partitionBy), nothing
+    * on the driver. At 100 TB pick nShards ≫ executors so AQE skew
+    * splitting keeps tasks even; per-file row order stays (hash, id)
+    * regardless. */
+  def writeShards(docs: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    shardAssign(docs, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        PortableHash.hash32(col(idCol)), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Greedy sequence packing: assign documents to fixed-capacity context
     * windows ("packs") of `capacity` tokens, shard-locally. Documents are
     * hashed into `nShards` shards (PortableHash — deterministic), ordered

@@ -1382,6 +1382,31 @@ object Ext {
         .select($"doc_id", $"n_words_kept",
           md5($"text".cast("binary")).as("fp"))
         .orderBy($"doc_id")
+    },
+
+    // --- deterministic training-shard export: the oracle replays the
+    //     PortableHash shard assignment AND the within-shard (hash, id)
+    //     row order contract of Curation.writeShards as an ordered
+    //     fingerprint per shard.
+    Q("ext_shards",
+      s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n, min(doc_id) AS first_doc,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+         |           ORDER BY ${graft.functions.PortableHash.sqlHash32("doc_id")}, doc_id)) AS fp
+         |FROM (SELECT doc_id,
+         |             ${graft.functions.PortableHash.sqlBucket("doc_id", 16)} AS shard
+         |      FROM documents) t
+         |GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation
+        .shardAssign(t(spark, dir, "documents"), "doc_id", nShards = 16)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(
+              graft.functions.PortableHash.hash32($"doc_id").as("h"),
+              $"doc_id".as("d")))),
+            s => s.getField("d").cast("string")), ",").cast("binary")).as("fp"))
+        .orderBy($"shard")
     }
   )
 

@@ -181,6 +181,29 @@ class CurationSpec extends SparkSpecBase {
       s"target-like $targetLike must outrank off-target $offTarget")
   }
 
+  test("writeShards partitions by the portable bucket in (hash, id) file order") {
+    import graft.functions.PortableHash
+    import graft.operators.Curation
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curation.writeShards(docs, "doc_id", nShards = 4, path = s"$dir/out")
+    val shardDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // membership and ROW ORDER inside each shard file are the contract
+    val expected = docs
+      .withColumn("shard", PortableHash.bucket($"doc_id", 4))
+      .withColumn("h", PortableHash.hash32($"doc_id"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(_._3).toSeq).toMap
+    (0 to 3).foreach { s =>
+      val got = spark.read.parquet(s"$dir/out/shard=$s")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got == expected(s.toLong), s"shard $s order/membership")
+    }
+  }
+
   test("bm25 matches a hand-computed two-doc score") {
     import graft.functions.TextFunctions
     val docs = Seq(
