@@ -215,6 +215,62 @@ object TextFunctions {
         (-col("__sxe") / col("tokens").cast("double")).as("xent"))
   }
 
+  /** Interpolated bigram-LM cross-entropy per document (the CCNet/KenLM
+    * quality signal one order up from [[unigramCrossEntropy]]):
+    *
+    *   P(w_i | w_{i−1}) = λ·c(w_{i−1},w_i)/c(w_{i−1}·) + (1−λ)·c(w_i)/N
+    *   xent(d) = −(1/B_d) Σ_{bigrams} log2 P      (B_d = bigram count)
+    *
+    * computed against `corpus` counts. Unseen bigrams/contexts fall back
+    * to the unigram term alone (the interpolation's whole point).
+    *
+    * Scale shape: corpus bigram counts, context totals, and unigram
+    * counts are three partial+final aggregates over one exploded token
+    * stream (vocabulary and bigram-vocabulary grow sublinearly in corpus
+    * size); the doc side joins on the bigram / context / word keys —
+    * never on documents — and the total-token count is a 1-row
+    * broadcast. Per-doc xent is one final aggregate keyed on the id. */
+  def bigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, corpus: org.apache.spark.sql.DataFrame,
+      lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    def bigrams(d: org.apache.spark.sql.DataFrame, extra: Seq[Column])
+        : org.apache.spark.sql.DataFrame = {
+      val arr = words(col(textCol))
+      d.filter(size(arr) >= 2)
+        .select(extra :+ explode(transform(sequence(lit(1), size(arr) - 1),
+          i => struct(element_at(arr, i).as("v"),
+            element_at(arr, i + 1).as("w")))).as("__b"): _*)
+        .select(extra :+ col("__b.v").as("__v") :+ col("__b.w").as("__w2"): _*)
+    }
+    val docBg = bigrams(df, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__v"), col("__w2"))
+      .agg(count(lit(1)).as("__c"))
+    val corpBg = bigrams(corpus, Seq.empty)
+      .groupBy(col("__v"), col("__w2")).agg(count(lit(1)).as("__cvw"))
+    val ctx = corpBg.groupBy(col("__v")).agg(sum(col("__cvw")).as("__cv"))
+    val tok = corpus.select(explode(words(col(textCol))).as("__w2"))
+    val uni = tok.groupBy(col("__w2")).agg(count(lit(1)).as("__cw"))
+    val total = tok.agg(count(lit(1)).as("__n"))
+    // (1−λ) as a runtime IEEE subtract so any SQL mirror (1.0 − λ) agrees
+    val mu = lit(1.0) - lit(lambda)
+    docBg
+      .join(corpBg, Seq("__v", "__w2"), "left")
+      .join(ctx, Seq("__v"), "left")
+      .join(uni, Seq("__w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__p",
+        lit(lambda) * coalesce(
+          col("__cvw").cast("double") / col("__cv").cast("double"), lit(0.0)) +
+          mu * coalesce(col("__cw").cast("double"), lit(0.0)) /
+            col("__n").cast("double"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("bigrams"),
+        sum(col("__c").cast("double") * log2(col("__p"))).as("__s"))
+      .select(col(idCol), col("bigrams"),
+        (-col("__s") / col("bigrams").cast("double")).as("xent"))
+  }
+
   /** Okapi BM25 relevance of every document against a literal query-term
     * set — the standard lexical retrieval scorer (and the retrieval half
     * of a RAG data pipeline):

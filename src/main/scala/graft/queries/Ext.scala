@@ -1407,6 +1407,43 @@ object Ext {
               $"doc_id".as("d")))),
             s => s.getField("d").cast("string")), ",").cast("binary")).as("fp"))
         .orderBy($"shard")
+    },
+
+    // --- interpolated bigram-LM cross-entropy (KenLM-style quality
+    //     signal, one order above ext_unigram_xent): per-row arithmetic
+    //     mirrors exactly; the cross-row Σ is order-dependent → round 4.
+    Q("ext_bigram_xent",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS v, ws[i+1] AS w
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |             FROM base WHERE len(ws) >= 2) t),
+        |dbg AS (SELECT doc_id, v, w, COUNT(*) AS c FROM bg
+        |        WHERE doc_id < 200 GROUP BY doc_id, v, w),
+        |cbg AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY v, w),
+        |ctx AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM cbg GROUP BY v),
+        |tok AS (SELECT unnest(ws) AS w FROM base),
+        |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bigrams,
+        |  round(-SUM(CAST(c AS DOUBLE) * log2(
+        |      CAST(0.75 AS DOUBLE)
+        |        * COALESCE(CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE),
+        |                   CAST(0.0 AS DOUBLE))
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |        * COALESCE(CAST(cw AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |        / CAST(n AS DOUBLE)))
+        |    / CAST(SUM(c) AS DOUBLE), 4) + CAST(0.0 AS DOUBLE) AS xent
+        |FROM dbg LEFT JOIN cbg USING (v, w) LEFT JOIN ctx USING (v)
+        |     LEFT JOIN uni USING (w), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      graft.api.GraftFrame(TextFunctions.bigramCrossEntropy(
+          docs.filter($"doc_id" < 200), "doc_id", "text",
+          corpus = docs, lambda = 0.75))
+        .assign("xent" -> (round(col("xent"), 4) + lit(0.0)))
+        .sortValues(Seq("doc_id"))
+        .df
     }
   )
 

@@ -204,6 +204,22 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("bigramCrossEntropy matches hand-computed interpolated probabilities") {
+    import graft.functions.TextFunctions
+    val corpus = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // corpus: N=4, c(a)=c(b)=2; bigrams (a,b)=2, (b,a)=1; c(a·)=2, c(b·)=1
+    val docs = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramCrossEntropy(docs, "doc_id", "text",
+        corpus, lambda = 0.75)
+      .select("doc_id", "bigrams", "xent")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc 1: P(b|a) = .75*(2/2) + .25*(2/4) = 0.875
+    assert(got(0)._2 == 1L)
+    assert(math.abs(got(0)._3 - (-math.log(0.875) / math.log(2))) < 1e-12)
+    // doc 2: (b,b) unseen → unigram fallback only: P = .25*(2/4) = 0.125
+    assert(got(1) === ((2L, 1L, 3.0)))
+  }
+
   test("bm25 matches a hand-computed two-doc score") {
     import graft.functions.TextFunctions
     val docs = Seq(
