@@ -439,6 +439,59 @@ object LearnQ {
             .select($"vec_id", $"label"),
           "label", Seq(0, 1, 2, 3))
         .orderBy($"vec_id")
+    },
+
+    // --- exact AUC-ROC (reference learn/metrics/_ranking.py roc_auc_score):
+    //     the scale-safe grouped rank-sum form. Ranks and rank sums are
+    //     exact multiples of 0.5 (exactly representable, order-independent
+    //     sums), so the final division is ONE deterministic IEEE op —
+    //     bit-exact with no rounding.
+    Q("learn_auc",
+      """WITH e AS (SELECT CAST(label % 2 AS DOUBLE) AS y, embedding[1] AS s
+        |           FROM embeddings),
+        |b AS (SELECT s, SUM(y) AS pos, CAST(COUNT(*) AS DOUBLE) AS n
+        |      FROM e GROUP BY s),
+        |r AS (SELECT s, pos, n,
+        |             COALESCE(SUM(n) OVER (ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               CAST(0.0 AS DOUBLE)) AS before
+        |      FROM b)
+        |SELECT (SUM(pos * (before + (n + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)))
+        |        - SUM(pos) * (SUM(pos) + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+        |       / (SUM(pos) * (SUM(n) - SUM(pos))) AS auc
+        |FROM r""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.aucRocGrouped(
+        t(spark, dir, "embeddings")
+          .select(($"label" % 2).as("y"), element_at($"embedding", 1).as("s")),
+        "y", "s")
+    },
+
+    // --- regression metrics rmse/mae/r2 (reference learn/metrics/
+    //     _regression.py) from one aggregate; cross-row double sums →
+    //     round 4, +0.0 guards r2's possible -0.0000.
+    Q("learn_regmetrics",
+      """WITH e AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS y,
+        |         CAST(25.0 AS DOUBLE)
+        |           + CAST(0.5 AS DOUBLE) * CAST(l_partkey % 10 AS DOUBLE) AS pred
+        |  FROM lineitem)
+        |SELECT
+        |  round(sqrt(AVG((y - pred) * (y - pred))), 4) + CAST(0.0 AS DOUBLE) AS rmse,
+        |  round(AVG(abs(y - pred)), 4) + CAST(0.0 AS DOUBLE) AS mae,
+        |  round(CAST(1.0 AS DOUBLE)
+        |      - SUM((y - pred) * (y - pred))
+        |        / (SUM(y * y) - SUM(y) * SUM(y) / CAST(COUNT(*) AS DOUBLE)), 4)
+        |    + CAST(0.0 AS DOUBLE) AS r2
+        |FROM e""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val scored = t(spark, dir, "lineitem")
+        .select($"l_quantity".cast("double").as("y"),
+          (lit(25.0) + lit(0.5) * ($"l_partkey" % 10).cast("double")).as("pred"))
+      Learn.regressionMetrics(scored, "y", "pred")
+        .select((round($"rmse", 4) + lit(0.0)).as("rmse"),
+          (round($"mae", 4) + lit(0.0)).as("mae"),
+          (round($"r2", 4) + lit(0.0)).as("r2"))
     }
   )
 }
