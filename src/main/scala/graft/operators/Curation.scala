@@ -174,6 +174,57 @@ object Curation {
     docs.filter(PortableHash.uniform01(col(idCol)) <
       least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double"))))
 
+  /** Gopher/MassiveText document-quality rule flags (Rae et al. 2021,
+    * table A1; the RefinedWeb/Dolma descendants use the same rules):
+    * word count bounds, mean-word-length bounds, symbol-to-word ratio
+    * ('#' and '…' as '...'), bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, stopword presence, and distinct-word
+    * fraction. Returns (idCol, n_words, one boolean per rule, pass).
+    *
+    * Pure per-row projection — zero shuffles, scan-speed at any corpus
+    * size, and every flag is deterministic integer/double arithmetic
+    * reproducible in any engine. The intra-document repetition trio
+    * (top-gram coverage, dup-n-gram fractions) lives in
+    * [[Repetition.signals]] and composes by id-join — see the curation
+    * pipelines. */
+  def gopherFlags(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2, minUniqFrac: Double = 0.2): DataFrame = {
+    val txt = col(textCol)
+    val ws = TextFunctions.words(txt)
+    val nw = size(ws).cast("double")
+    val mwl = TextFunctions.meanWordLen(txt)
+    val hashes = (length(txt) - length(translate(txt, "#", ""))).cast("double")
+    val ellipses = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", "")))
+      .cast("double") / lit(3).cast("double")
+    val lines = split(txt, "\n")
+    val nl = size(lines).cast("double")
+    val bullets = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double")
+    val ellLines = size(filter(lines, l => l.endsWith("..."))).cast("double")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+    val nStop = stops.map(s => array_contains(ws, s).cast("int")).reduce(_ + _)
+    val uniq = size(array_distinct(ws)).cast("double")
+    val flags = Seq(
+      "f_words" -> (size(ws) >= minWords && size(ws) <= maxWords),
+      "f_word_len" -> (mwl >= minMeanWordLen && mwl <= maxMeanWordLen),
+      "f_symbol" -> ((hashes + ellipses) / nw < maxSymbolRatio),
+      "f_bullet" -> (bullets / nl < maxBulletFrac),
+      "f_ellipsis" -> (ellLines / nl < maxEllipsisFrac),
+      "f_alpha" -> (alphaWords / nw > minAlphaFrac),
+      "f_stop" -> (nStop >= minStopwords),
+      "f_uniq" -> (uniq / nw >= minUniqFrac))
+    docs.select(
+      col(idCol) +: size(ws).cast("long").as("n_words") +:
+        flags.map { case (n, c) => c.as(n) } :+
+        flags.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * PortableHash bucket of the id — rerun- and engine-stable, uniform
     * over any id distribution (residue-striped snowflake ids included). */

@@ -1444,6 +1444,52 @@ object Ext {
         .assign("xent" -> (round(col("xent"), 4) + lit(0.0)))
         .sortValues(Seq("doc_id"))
         .df
+    },
+
+    // --- Gopher quality-rule flags: every rule replayed as identical
+    //     per-row arithmetic (exact integer counts and IEEE divisions on
+    //     both engines — booleans compare bit-exact).
+    Q("ext_gopher",
+      """WITH e AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |                  string_split(text, chr(10)) AS ls FROM documents),
+        |m AS (SELECT doc_id, len(ws) AS nwi,
+        |  CAST(len(ws) AS DOUBLE) AS nw,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |    / CAST(greatest(len(ws), 1) AS DOUBLE) AS mwl,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+        |  CAST(length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))
+        |       AS DOUBLE) / CAST(3 AS DOUBLE) AS ell,
+        |  CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+        |       OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE) AS nbul,
+        |  CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) AS nelll,
+        |  CAST(len(ls) AS DOUBLE) AS nl,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |       AS DOUBLE) AS nalpha,
+        |  (CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+        |   + CAST(list_contains(ws, 'and') AS INT) + CAST(list_contains(ws, 'of') AS INT)
+        |   + CAST(list_contains(ws, 'to') AS INT) + CAST(list_contains(ws, 'in') AS INT)
+        |   + CAST(list_contains(ws, 'is') AS INT) + CAST(list_contains(ws, 'that') AS INT)) AS nstop,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) AS nuniq
+        | FROM e),
+        |f AS (SELECT doc_id, CAST(nwi AS BIGINT) AS n_words,
+        |  (nwi >= 50 AND nwi <= 100000) AS f_words,
+        |  (mwl >= CAST(3.0 AS DOUBLE) AND mwl <= CAST(10.0 AS DOUBLE)) AS f_word_len,
+        |  ((hashes + ell) / nw < CAST(0.1 AS DOUBLE)) AS f_symbol,
+        |  (nbul / nl < CAST(0.9 AS DOUBLE)) AS f_bullet,
+        |  (nelll / nl < CAST(0.3 AS DOUBLE)) AS f_ellipsis,
+        |  (nalpha / nw > CAST(0.8 AS DOUBLE)) AS f_alpha,
+        |  (nstop >= 2) AS f_stop,
+        |  (nuniq / nw >= CAST(0.2 AS DOUBLE)) AS f_uniq
+        | FROM m)
+        |SELECT doc_id, n_words, f_words, f_word_len, f_symbol, f_bullet,
+        |       f_ellipsis, f_alpha, f_stop, f_uniq,
+        |       (f_words AND f_word_len AND f_symbol AND f_bullet AND f_ellipsis
+        |        AND f_alpha AND f_stop AND f_uniq) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation
+        .gopherFlags(t(spark, dir, "documents"), "text", "doc_id")
+        .orderBy($"doc_id")
     }
   )
 

@@ -204,6 +204,38 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("gopherFlags trips each rule on a crafted offender") {
+    import graft.operators.Curation
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a $fifty"),                       // clean: passes all
+      (2L, "the a short doc"),                     // too few words
+      (3L, ("xx " * 52).trim + " the a"),          // mean word len < 3, low uniq
+      (4L, s"the a $fifty ### ### ### ### ### #"), // symbol ratio >= 0.1
+      (5L, s"$fifty the a " +
+        (1 to 60).map(_ => "1 2 3").mkString(" ")), // alpha frac <= 0.8
+      (6L, fifty + " extra words here"),           // no 2 stopwords
+      (7L, ((1 to 12).map(i => s"- bullet $i line") :+ s"the a $fifty")
+        .mkString("\n")),                          // bullet frac handled: 12/13 < 0.9? no: 12/13 > 0.9 → fails
+      (8L, ((1 to 5).map(i => s"line $i trails ...") :+ s"the a $fifty")
+        .mkString("\n")))                          // 5/6 lines end in ... → fails
+      .toDF("doc_id", "text")
+    val got = Curation.gopherFlags(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getBoolean(10))).toMap
+    // (f_words, f_word_len, f_symbol, f_bullet, f_ellipsis, f_alpha, f_stop, f_uniq, pass)
+    assert(got(1L) === ((true, true, true, true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._9)
+    assert(!got(3L)._2 && !got(3L)._8 && !got(3L)._9)
+    assert(!got(4L)._3 && !got(4L)._9)
+    assert(!got(5L)._6 && !got(5L)._9)
+    assert(!got(6L)._7 && !got(6L)._9)
+    assert(!got(7L)._4 && !got(7L)._9)
+    assert(!got(8L)._5 && !got(8L)._9)
+  }
+
   test("bigramCrossEntropy matches hand-computed interpolated probabilities") {
     import graft.functions.TextFunctions
     val corpus = Seq((10L, "a b a b")).toDF("doc_id", "text")
