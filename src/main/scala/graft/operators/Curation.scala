@@ -225,6 +225,37 @@ object Curation {
         flags.map(_._2).reduce(_ && _).as("pass"): _*)
   }
 
+  /** fastText-style linear quality-classifier INFERENCE over hashed
+    * unigram features: score = sigmoid(bias + Σ_b w_b · tf_b / n_d) with
+    * tf from [[TextFunctions.hashingTf]]'s engine-portable md5 buckets.
+    * Weights come from any offline trainer (e.g. MLlib logistic
+    * regression over the same hashed features — the classifier half of a
+    * CCNet/DCLM-style quality pipeline); applying them is pure
+    * arithmetic, so corpus scoring stays deterministic, engine-checkable,
+    * and broadcast-free: the weight map is a literal in the plan.
+    *
+    * Scale shape: one explode → partial+final count aggregate keyed
+    * (doc, bucket) — at most `dim` rows per doc — then one id-keyed
+    * aggregate and an id join for the length normalizer. */
+  def linearTextScore(docs: DataFrame, textCol: String, idCol: String,
+      weights: Map[Int, Double], bias: Double, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    require(weights.keys.forall(b => b >= 0 && b < dim),
+      s"weight buckets must lie in [0, $dim)")
+    val wMap = typedlit(weights.map { case (k, v) => (k.toLong, v) })
+    val nTok = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("__n"))
+    TextFunctions.hashingTf(docs, idCol, textCol, dim)
+      .withColumn("__w", coalesce(element_at(wMap, col("bucket")), lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w") * col("tf").cast("double")).as("__dot"))
+      .join(nTok, Seq(idCol))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(lit(bias) + col("__dot") / col("__n").cast("double")))))
+          .as("score"))
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * PortableHash bucket of the id — rerun- and engine-stable, uniform
     * over any id distribution (residue-striped snowflake ids included). */

@@ -1490,6 +1490,41 @@ object Ext {
       graft.operators.Curation
         .gopherFlags(t(spark, dir, "documents"), "text", "doc_id")
         .orderBy($"doc_id")
+    },
+
+    // --- linear quality-classifier inference (fastText-style): literal
+    //     weight vector over portable md5 hash buckets, sigmoid score.
+    //     Per-doc Σ w·tf is an order-dependent double sum → round 4.
+    Q("ext_classifier_score",
+      """WITH tfs AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS bucket,
+        |    COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE doc_id < 200) t
+        |  GROUP BY doc_id, bucket),
+        |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |      FROM documents WHERE doc_id < 200),
+        |d AS (SELECT doc_id,
+        |    SUM((CASE bucket WHEN 3 THEN CAST(1.5 AS DOUBLE)
+        |                     WHEN 11 THEN CAST(-2.0 AS DOUBLE)
+        |                     WHEN 17 THEN CAST(0.75 AS DOUBLE)
+        |                     WHEN 29 THEN CAST(0.25 AS DOUBLE)
+        |                     WHEN 42 THEN CAST(-0.5 AS DOUBLE)
+        |                     WHEN 57 THEN CAST(3.0 AS DOUBLE)
+        |                     ELSE CAST(0.0 AS DOUBLE) END) * CAST(tf AS DOUBLE)) AS dot
+        |  FROM tfs GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |    + exp(-(CAST(-0.5 AS DOUBLE) + dot / CAST(nt AS DOUBLE)))), 4) AS score
+        |FROM d JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation.linearTextScore(
+          t(spark, dir, "documents").filter($"doc_id" < 200), "text", "doc_id",
+          weights = Map(3 -> 1.5, 11 -> -2.0, 17 -> 0.75, 29 -> 0.25,
+            42 -> -0.5, 57 -> 3.0),
+          bias = -0.5, dim = 64)
+        .select($"doc_id", round($"score", 4).as("score"))
+        .orderBy($"doc_id")
     }
   )
 

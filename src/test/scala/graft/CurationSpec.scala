@@ -252,6 +252,28 @@ class CurationSpec extends SparkSpecBase {
     assert(got(1) === ((2L, 1L, 3.0)))
   }
 
+  test("linearTextScore matches a driver-side md5-bucket recomputation") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val weights = Map(0 -> 1.5, 1 -> -2.0, 2 -> 0.75, 3 -> 0.25)
+    val dim = 4
+    def bucket(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (BigInt(hex, 16) % dim).toInt
+    }
+    def expected(ws: Seq[String]): Double = {
+      val dot = ws.groupBy(bucket).map { case (b, g) =>
+        weights.getOrElse(b, 0.0) * g.size }.sum
+      1.0 / (1.0 + math.exp(-(0.5 + dot / ws.size)))
+    }
+    val got = Curation.linearTextScore(docs, "text", "doc_id",
+        weights, bias = 0.5, dim = dim)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - expected(Seq("alpha", "beta", "alpha"))) < 1e-12)
+    assert(math.abs(got(2L) - expected(Seq("gamma", "delta"))) < 1e-12)
+  }
+
   test("bm25 matches a hand-computed two-doc score") {
     import graft.functions.TextFunctions
     val docs = Seq(
