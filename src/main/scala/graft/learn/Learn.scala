@@ -390,6 +390,20 @@ object Learn {
     (qDf, rMat)
   }
 
+  /** Distributed sparse matrix multiply in COO form — the reference's
+    * `mt.dot`/`tensordot` (mars/tensor/linalg/dot.py, tensordot/core.py)
+    * for the regime where BOTH operands are too large to broadcast:
+    * C(i,j) = Σ_k A(i,k)·B(k,j) as one shuffle join on the contraction
+    * index k followed by one partial+final aggregate keyed (i,j). Zeros
+    * are implicit (COO), so cost scales with nnz, and skew on a hot k
+    * is AQE's standard skew-join case. For a small dense right operand
+    * prefer [[graft.api.GraftFrame.dot]] (broadcast, single shuffle). */
+  def cooMatmul(a: DataFrame, ai: String, ak: String, av: String,
+      b: DataFrame, bk: String, bj: String, bv: String): DataFrame =
+    a.join(b, a(ak) === b(bk))
+      .groupBy(a(ai).as("i"), b(bj).as("j"))
+      .agg(sum(a(av) * b(bv)).as("v"))
+
   /** Matrix / vector-column norms (reference tensor norm): "fro" (whole
     * column of vectors), row-wise "l1"/"l2"/"linf" as expressions. */
   def frobeniusNorm(df: DataFrame, featuresArrayCol: String): Double =

@@ -492,6 +492,32 @@ object LearnQ {
         .select((round($"rmse", 4) + lit(0.0)).as("rmse"),
           (round($"mae", 4) + lit(0.0)).as("mae"),
           (round($"r2", 4) + lit(0.0)).as("r2"))
+    },
+
+    // --- distributed COO matmul (reference mt.dot for two large
+    //     operands): integer-valued matrices from lineitem × part —
+    //     exact BIGINT products, one contraction-key join, one (i,j)
+    //     aggregate.
+    Q("learn_coo_matmul",
+      """WITH a AS (SELECT l_orderkey % 50 AS i, l_partkey % 20 AS k,
+        |                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT p_partkey % 20 AS k, CAST(p_size % 10 AS BIGINT) AS j,
+        |             CAST(SUM(p_size) AS BIGINT) AS v
+        |      FROM part GROUP BY 1, 2)
+        |SELECT a.i, b.j, CAST(SUM(a.v * b.v) AS BIGINT) AS v
+        |FROM a JOIN b USING (k) GROUP BY a.i, b.j
+        |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = t(spark, dir, "lineitem")
+        .groupBy(($"l_orderkey" % 50).as("i"), ($"l_partkey" % 20).as("k"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      val b = t(spark, dir, "part")
+        .groupBy(($"p_partkey" % 20).as("k"),
+          ($"p_size" % 10).cast("long").as("j"))
+        .agg(sum($"p_size".cast("long")).as("v"))
+      Learn.cooMatmul(a, "i", "k", "v", b, "k", "j", "v")
+        .orderBy($"i", $"j")
     }
   )
 }

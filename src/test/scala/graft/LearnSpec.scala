@@ -224,6 +224,19 @@ class LearnSpec extends SparkSpecBase {
     assert(Spawn.spawn(spark, thunks) == Seq("a", "b"))
   }
 
+  test("cooMatmul reproduces a hand-computed dense product") {
+    // A = [[1,2],[3,4]], B = [[5,6],[7,8]] → AB = [[19,22],[43,50]]
+    val a = Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 0L, 3L), (1L, 1L, 4L))
+      .toDF("i", "k", "v")
+    val b = Seq((0L, 0L, 5L), (0L, 1L, 6L), (1L, 0L, 7L), (1L, 1L, 8L))
+      .toDF("k", "j", "v")
+    val c = Learn.cooMatmul(a, "i", "k", "v", b, "k", "j", "v")
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(c === Map((0L, 0L) -> 19L, (0L, 1L) -> 22L,
+      (1L, 0L) -> 43L, (1L, 1L) -> 50L))
+  }
+
   test("regression metrics compute rmse/mae/r2") {
     val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.0)).toDF("y", "pred")
     val m = Learn.regressionMetrics(df, "y", "pred").collect().head
