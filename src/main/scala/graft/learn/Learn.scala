@@ -404,6 +404,20 @@ object Learn {
       .groupBy(a(ai).as("i"), b(bj).as("j"))
       .agg(sum(a(av) * b(bv)).as("v"))
 
+  /** Column-wise (axis-0) tensor reductions over an array column — the
+    * reference's mt.sum/mean/min/max/var(axis=0) over a tall matrix
+    * (mars/tensor/reduction/sum.py and siblings): posexplode to (component, value)
+    * pairs, then ONE partial+final aggregate keyed by component index.
+    * Map-side combine means shuffle volume is dim × partitions, never
+    * dim × rows — the axis reduction stays scan-bound at 100 TB. */
+  def axisStats(df: DataFrame, arrCol: String): DataFrame =
+    df.select(posexplode(col(arrCol)))
+      .select(col("pos").cast("long").as("idx"), col("col").cast("double").as("x"))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum"),
+        avg(col("x")).as("mean"), min(col("x")).as("mn"),
+        max(col("x")).as("mx"), var_samp(col("x")).as("var"))
+
   /** Matrix / vector-column norms (reference tensor norm): "fro" (whole
     * column of vectors), row-wise "l1"/"l2"/"linf" as expressions. */
   def frobeniusNorm(df: DataFrame, featuresArrayCol: String): Double =

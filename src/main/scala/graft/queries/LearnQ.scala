@@ -518,6 +518,31 @@ object LearnQ {
         .agg(sum($"p_size".cast("long")).as("v"))
       Learn.cooMatmul(a, "i", "k", "v", b, "k", "j", "v")
         .orderBy($"i", $"j")
+    },
+
+    // --- axis-0 tensor reductions (reference mt.sum/mean/min/max/var
+    //     (axis=0)): one partial+final aggregate keyed by component.
+    //     Cross-row double sums → round 4 (+0.0 near-zero guard);
+    //     min/max of floats are exact.
+    Q("learn_axis_stats",
+      """WITH x AS (SELECT CAST(i - 1 AS BIGINT) AS idx, CAST(v AS DOUBLE) AS x
+        |           FROM (SELECT unnest(embedding) AS v,
+        |                        generate_subscripts(embedding, 1) AS i
+        |                 FROM embeddings) t)
+        |SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(SUM(x), 4) + CAST(0.0 AS DOUBLE) AS s,
+        |  round(AVG(x), 4) + CAST(0.0 AS DOUBLE) AS mean,
+        |  min(x) AS mn, max(x) AS mx,
+        |  round(var_samp(x), 4) + CAST(0.0 AS DOUBLE) AS vr
+        |FROM x GROUP BY idx ORDER BY idx""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.axisStats(t(spark, dir, "embeddings"), "embedding")
+        .select($"idx", $"n",
+          (round($"sum", 4) + lit(0.0)).as("s"),
+          (round($"mean", 4) + lit(0.0)).as("mean"),
+          $"mn", $"mx",
+          (round($"var", 4) + lit(0.0)).as("vr"))
+        .orderBy($"idx")
     }
   )
 }

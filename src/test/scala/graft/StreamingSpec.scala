@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("gopherFlags (pure projection) filters a stream identically to batch") {
+    import graft.operators.Curation
+    implicit val sq = spark.sqlContext
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, s"the a $fifty"), (2L, "the a short doc"),
+      (3L, ("xx " * 52).trim + " the a"))
+
+    val input = MemoryStream[(Long, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "text")
+    val q = Curation.gopherFlags(streamDocs, "text", "doc_id")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(10)).toMap
+      val batch = Curation.gopherFlags(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(10)).toMap
+      assert(got == batch)
+      assert(got(1L) && !got(2L) && !got(3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running counts across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
