@@ -1525,6 +1525,88 @@ object Ext {
           bias = -0.5, dim = 64)
         .select($"doc_id", round($"score", 4).as("score"))
         .orderBy($"doc_id")
+    },
+
+    // --- curation pipeline v4: Gopher rule filter → exact substring
+    //     dedup over the survivors → deterministic shard assignment.
+    //     The oracle replays every stage from scratch (rules, gram
+    //     ranking, interval-merge coverage, shard buckets) and
+    //     fingerprints per-shard membership + kept-word counts.
+    Q("ext_curation4",
+      s"""WITH e AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |m AS (SELECT doc_id, ws, len(ws) AS nwi, CAST(len(ws) AS DOUBLE) AS nw,
+         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |    / CAST(greatest(len(ws), 1) AS DOUBLE) AS mwl,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+         |  CAST(length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))
+         |       AS DOUBLE) / CAST(3 AS DOUBLE) AS ell,
+         |  CAST(len(list_filter(string_split(text, chr(10)), l -> starts_with(l, '- ')
+         |       OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE) AS nbul,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |       l -> ends_with(l, '...'))) AS DOUBLE) AS nelll,
+         |  CAST(len(string_split(text, chr(10))) AS DOUBLE) AS nl,
+         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS nalpha,
+         |  (CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+         |   + CAST(list_contains(ws, 'and') AS INT) + CAST(list_contains(ws, 'of') AS INT)
+         |   + CAST(list_contains(ws, 'to') AS INT) + CAST(list_contains(ws, 'in') AS INT)
+         |   + CAST(list_contains(ws, 'is') AS INT) + CAST(list_contains(ws, 'that') AS INT)) AS nstop,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE) AS nuniq
+         | FROM e),
+         |surv AS (SELECT doc_id, ws FROM m WHERE
+         |  nwi >= 50 AND nwi <= 100000
+         |  AND mwl >= CAST(3.0 AS DOUBLE) AND mwl <= CAST(10.0 AS DOUBLE)
+         |  AND (hashes + ell) / nw < CAST(0.1 AS DOUBLE)
+         |  AND nbul / nl < CAST(0.9 AS DOUBLE)
+         |  AND nelll / nl < CAST(0.3 AS DOUBLE)
+         |  AND nalpha / nw > CAST(0.8 AS DOUBLE)
+         |  AND nstop >= 2 AND nuniq / nw >= CAST(0.2 AS DOUBLE)),
+         |g AS (SELECT doc_id, j AS s,
+         |        CAST('0x' || substr(md5(array_to_string(ws[j+1:j+8], ' ')), 1, 15)
+         |             AS BIGINT) AS gh
+         |      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS j
+         |            FROM surv WHERE len(ws) >= 8) t),
+         |d AS (SELECT doc_id, s FROM (
+         |        SELECT doc_id, s,
+         |               row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn
+         |        FROM g) r WHERE rn > 1),
+         |w AS (SELECT doc_id, i
+         |      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM surv) t),
+         |u AS (SELECT doc_id, i, 0 AS isstart FROM w
+         |      UNION ALL SELECT doc_id, s AS i, 1 AS isstart FROM d),
+         |c AS (SELECT doc_id, i, isstart,
+         |             MAX(CASE WHEN isstart = 1 THEN i + 7 ELSE -1 END)
+         |               OVER (PARTITION BY doc_id ORDER BY i, isstart DESC
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
+         |      FROM u),
+         |k AS (SELECT doc_id, COUNT(*) AS nk FROM c
+         |      WHERE isstart = 0 AND covend < i GROUP BY doc_id),
+         |res AS (SELECT s.doc_id, CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_words_kept
+         |        FROM (SELECT doc_id FROM surv) s LEFT JOIN k USING (doc_id)),
+         |sh AS (SELECT doc_id, n_words_kept,
+         |              ${graft.functions.PortableHash.sqlBucket("doc_id", 8)} AS shard
+         |       FROM res)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_words_kept) AS BIGINT) AS words_kept,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR) || ':'
+         |           || CAST(n_words_kept AS VARCHAR), ',' ORDER BY doc_id)) AS fp
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val surv = docs.join(
+        graft.operators.Curation.gopherFlags(docs, "text", "doc_id")
+          .filter($"pass").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val deduped = Dedup.substringSpanDedup(surv, "text", "doc_id", n = 8)
+      graft.operators.Curation.shardAssign(deduped, "doc_id", nShards = 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words_kept").cast("long").as("words_kept"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct($"doc_id",
+              concat($"doc_id".cast("string"), lit(":"),
+                $"n_words_kept".cast("string")).as("kv")))),
+            s => s.getField("kv")), ",").cast("binary")).as("fp"))
+        .orderBy($"shard")
     }
   )
 
