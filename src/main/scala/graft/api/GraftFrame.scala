@@ -545,6 +545,32 @@ final case class GraftFrame(df: DataFrame) {
   def domainCap(domainCol: String, idCol: String, cap: Int): GraftFrame =
     GraftFrame(Curation.domainCap(df, domainCol, idCol, cap))
 
+  /** Gopher quality-rule flags — see
+    * [[graft.operators.Curation.gopherFlags]]. */
+  def gopherFlags(textCol: String, idCol: String): GraftFrame =
+    GraftFrame(Curation.gopherFlags(df, textCol, idCol))
+
+  /** Linear quality-classifier inference — see
+    * [[graft.operators.Curation.linearTextScore]]. */
+  def qualityClassifierScore(textCol: String, idCol: String,
+      weights: Map[Int, Double], bias: Double, dim: Int = 64): GraftFrame =
+    GraftFrame(Curation.linearTextScore(df, textCol, idCol, weights, bias, dim))
+
+  /** Exact duplicated-substring removal — see
+    * [[graft.operators.Dedup.substringSpanDedup]]. */
+  def substringSpanDedup(textCol: String, idCol: String, n: Int = 8): GraftFrame =
+    GraftFrame(Dedup.substringSpanDedup(df, textCol, idCol, n))
+
+  /** Deterministic shard assignment — see
+    * [[graft.operators.Curation.shardAssign]]. */
+  def shardAssign(idCol: String, nShards: Int): GraftFrame =
+    GraftFrame(Curation.shardAssign(df, idCol, nShards))
+
+  /** Sharded training-data export — see
+    * [[graft.operators.Curation.writeShards]]. */
+  def writeShards(idCol: String, nShards: Int, path: String): Unit =
+    Curation.writeShards(df, idCol, nShards, path)
+
   /** Stratified per-domain sampling — see
     * [[graft.operators.Curation.stratifiedSample]]. */
   def stratifiedSample(domainCol: String, idCol: String,

@@ -390,6 +390,26 @@ object Learn {
     (qDf, rMat)
   }
 
+  /** Per-group simple OLS (y = intercept + slope·x) from ONE
+    * partial+final moment aggregate — per-domain/per-segment trend
+    * fitting at corpus scale: no window, no per-group second scan, the
+    * closed form evaluated on five moment sums per key (the grouped
+    * extension of [[linearRegressionFit]]'s exact single-fit path). */
+  def groupedOls(df: DataFrame, keyCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .select(col(keyCol), col("__n").cast("long").as("n"),
+        slope.as("slope"),
+        ((col("__sy") - slope * col("__sx")) / col("__n")).as("intercept"))
+  }
+
   /** Distributed sparse matrix multiply in COO form — the reference's
     * `mt.dot`/`tensordot` (mars/tensor/linalg/dot.py, tensordot/core.py)
     * for the regime where BOTH operands are too large to broadcast:

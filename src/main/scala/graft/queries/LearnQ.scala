@@ -543,6 +543,31 @@ object LearnQ {
           $"mn", $"mx",
           (round($"var", 4) + lit(0.0)).as("vr"))
         .orderBy($"idx")
+    },
+
+    // --- per-group OLS (grouped regression trend fit): the closed form
+    //     on five moment sums per key, one aggregate; slope/intercept
+    //     mirror the identical arithmetic shape → round 4.
+    Q("learn_grouped_ols",
+      """WITH m AS (SELECT l_returnflag AS k, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  SUM(CAST(l_quantity AS DOUBLE)) AS sx,
+        |  SUM(CAST(l_extendedprice AS DOUBLE)) AS sy,
+        |  SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+        |  SUM(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy
+        | FROM lineitem GROUP BY 1)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |    + CAST(0.0 AS DOUBLE) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    + CAST(0.0 AS DOUBLE) AS intercept
+        |FROM m ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.groupedOls(t(spark, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .select($"l_returnflag".as("k"), $"n",
+          (round($"slope", 4) + lit(0.0)).as("slope"),
+          (round($"intercept", 4) + lit(0.0)).as("intercept"))
+        .orderBy($"k")
     }
   )
 }

@@ -48,6 +48,46 @@ class PlanShapeSpec extends SparkSpecBase {
       out.queryExecution.executedPlan.toString.take(500))
   }
 
+  test("substringSpanDedup: gram-rank + doc exchanges only, agg reuses the window sort") {
+    import graft.operators.Dedup
+    val docs = (1 to 60).map(i => (i.toLong, ((1 to 30).map(w => s"w${(i * w) % 40}")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpanDedup(docs, "text", "doc_id", n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // one exchange on the gram hash, one on the doc id (union side); the
+    // reassembly aggregate must NOT re-exchange after the coverage window,
+    // and the id join back must broadcast at this size
+    assert(shuffles(out) <= 3, plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("gopherFlags is a pure projection — zero exchanges") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "the a word list here")).toDF("doc_id", "text")
+    val out = Curation.gopherFlags(docs, "text", "doc_id")
+    assert(shuffles(out) == 0, out.queryExecution.executedPlan.toString.take(500))
+  }
+
+  test("axisStats and groupedOls are single partial+final aggregates") {
+    import graft.learn.Learn
+    val vecs = (1 to 50).map(i => (i.toLong, Seq(i.toFloat, (i * 2).toFloat)))
+      .toDF("id", "embedding")
+    assert(shuffles(Learn.axisStats(vecs, "embedding")) == 1)
+    val xy = (1 to 100).map(i => (s"g${i % 3}", i.toDouble, i * 2.0 + 1))
+      .toDF("k", "x", "y")
+    assert(shuffles(Learn.groupedOls(xy, "k", "x", "y")) == 1)
+  }
+
+  test("cooMatmul: contraction join + (i,j) aggregate, no broadcast of big sides") {
+    import graft.learn.Learn
+    val a = (1 to 200).map(i => (i.toLong % 20, i.toLong % 10, i.toLong)).toDF("i", "k", "v")
+    val b = (1 to 200).map(i => (i.toLong % 10, i.toLong % 5, i.toLong)).toDF("k", "j", "v")
+    val out = Learn.cooMatmul(a, "i", "k", "v", b, "k", "j", "v")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(shuffles(out) <= 3, plan.take(500))
+  }
+
   test("resampleCalendar grid generation never plans a cartesian product") {
     val df = Seq((1L, "2024-01-01 10:00:00", 5L), (2L, "2024-02-01 10:00:00", 2L))
       .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
