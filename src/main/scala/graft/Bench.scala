@@ -47,7 +47,11 @@ object Bench {
     // ±20-30% run noise on sub-second queries across rounds (BENCH_r02→r03),
     // large enough to hide a real 25% plan regression. The min is the
     // standard low-variance estimator for "what the plan costs".
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Default 3 since r8: the shared box carries bursty external load
+    // (loadavg ~7 while "idle") that can stall one 32-task stage 10-25×;
+    // two reps can BOTH land in a burst (observed min-of-2 = 20 s for a
+    // 1.5 s plan), three reliably catch an uncontended run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.map { name =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
