@@ -66,4 +66,29 @@ object Repetition {
 
     uniq.join(top2, Seq("doc_id"), "left").join(g5, Seq("doc_id"), "left")
   }
+
+  /** Line-level repetition fractions — the remaining Gopher table A1
+    * rows ("duplicate line fraction" / "duplicate line character
+    * fraction"):
+    *  - `dup_line_frac`: fraction of line OCCURRENCES whose exact line
+    *    text appears more than once within the document;
+    *  - `dup_line_char_frac`: fraction of characters inside such lines.
+    * Exact rationals (BIGINT/BIGINT single division) — no rounding
+    * needed for engine comparison. Same scale shape as [[signals]]: the
+    * count aggregate is keyed (doc, line) so no line ever crosses
+    * documents, and per-task memory is bounded by one document. */
+  def lineSignals(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("__l"))
+    lines.groupBy(col("doc_id"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).cast("double") /
+          sum(col("__c")).cast("double")).as("dup_line_frac"),
+        (sum(when(col("__c") > 1, col("__c") * length(col("__l")))
+            .otherwise(lit(0L))).cast("double") /
+          sum(col("__c") * length(col("__l"))).cast("double"))
+          .as("dup_line_char_frac"))
+  }
 }

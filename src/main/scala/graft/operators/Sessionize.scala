@@ -381,4 +381,41 @@ object Sessionize {
         (coalesce(col("n_converted"), lit(0L)).cast("double") /
           col("n_from").cast("double")).as("conv_rate"))
   }
+
+  /** Per-key autocorrelation function at lags 1..maxLag (statsmodels
+    * acf, pandas Series.autocorr generalized): with x̄ the full-series
+    * mean per key,
+    *   r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)².
+    * Observations are ordered by `orderCol` within each key; spacing
+    * regularity is the caller's contract (resample to a grid first for
+    * calendar lags — see [[resampleCalendar]]).
+    *
+    * Shape: one per-key mean aggregate joined back (broadcast — one row
+    * per key), ONE window producing all maxLag leads off a single sort,
+    * one per-key aggregate folding every lag's numerator plus the shared
+    * denominator, then an in-row explode to (key, lag, acf) — cost is
+    * independent of maxLag in shuffles. Returns (keyCol, lag, acf). */
+  def acf(df: DataFrame, keyCol: String, orderCol: String, xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val x = col(xCol).cast("double")
+    val stats = df.groupBy(col(keyCol)).agg(avg(x).as("__m"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val withLeads = (1 to maxLag).foldLeft(
+      df.select(col(keyCol), col(orderCol), x.as("__x"))) { (d, k) =>
+      d.withColumn(s"__lead_$k", lead(col("__x"), k).over(w))
+    }
+    val dev = col("__x") - col("__m")
+    val aggs = (1 to maxLag).map { k =>
+      sum(dev * (col(s"__lead_$k") - col("__m"))).as(s"__num_$k")
+    }
+    val g = withLeads.join(broadcast(stats), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(sum(dev * dev).as("__den"), aggs: _*)
+    val pairs = (1 to maxLag).map(k => struct(
+      lit(k).cast("long").as("lag"),
+      (col(s"__num_$k") / col("__den")).as("acf")))
+    g.select(col(keyCol), explode(array(pairs: _*)).as("__p"))
+      .select(col(keyCol), col("__p.lag").as("lag"), col("__p.acf").as("acf"))
+  }
 }

@@ -1527,6 +1527,38 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- Gopher duplicate-line fractions (the line-granularity rows of
+    //     table A1): synthetic multi-line docs (same gid construction as
+    //     ext_line_dedup, plus a guaranteed duplicated header); exact
+    //     BIGINT/BIGINT rationals — no rounding.
+    Q("ext_dup_lines",
+      """WITH synth AS (
+        |  SELECT doc_id % 40 AS gid,
+        |         'hdr one' || chr(10) || 'hdr one' || chr(10)
+        |           || string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY doc_id % 40),
+        |l AS (SELECT gid, unnest(string_split(text, chr(10))) AS line FROM synth),
+        |c AS (SELECT gid, line, CAST(COUNT(*) AS BIGINT) AS c,
+        |             CAST(length(line) AS BIGINT) AS len
+        |      FROM l GROUP BY gid, line)
+        |SELECT gid,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE) AS dup_line_frac,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c * len) AS DOUBLE) AS dup_line_char_frac
+        |FROM c GROUP BY gid ORDER BY gid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val synth = t(spark, dir, "documents")
+        .groupBy(($"doc_id" % 40).as("gid"))
+        .agg(concat(lit("hdr one\nhdr one\n"),
+          array_join(transform(
+            sort_array(collect_list(struct($"doc_id", $"text"))),
+            s => s.getField("text")), "\n")).as("text"))
+      graft.operators.Repetition.lineSignals(synth, "text", "gid")
+        .select($"doc_id".as("gid"), $"dup_line_frac", $"dup_line_char_frac")
+        .orderBy($"gid")
+    },
+
     // --- curation pipeline v4: Gopher rule filter → exact substring
     //     dedup over the survivors → deterministic shard assignment.
     //     The oracle replays every stage from scratch (rules, gram

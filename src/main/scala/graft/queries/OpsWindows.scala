@@ -849,6 +849,40 @@ object OpsWindows {
         .select(unix_micros($"window.start").divide(1000000L).cast("long").as("w_start"),
           $"event_type", $"n", $"total")
         .orderBy($"w_start", $"event_type")
+    },
+
+    // --- per-key autocorrelation at lags 1..3 over daily event counts
+    //     (statsmodels acf): exact-integer daily series, full-mean
+    //     centering; the cross-row Σ per lag is order-dependent → round 4
+    //     with the +0.0 guard (acf near 0 is common).
+    Q("op_events_acf",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, AVG(CAST(x AS DOUBLE)) AS m FROM daily GROUP BY 1),
+        |l AS (SELECT d.event_type, CAST(x AS DOUBLE) AS x, m,
+        |        lead(CAST(x AS DOUBLE), 1) OVER wd AS x1,
+        |        lead(CAST(x AS DOUBLE), 2) OVER wd AS x2,
+        |        lead(CAST(x AS DOUBLE), 3) OVER wd AS x3
+        |      FROM daily d JOIN s USING (event_type)
+        |      WINDOW wd AS (PARTITION BY d.event_type ORDER BY day)),
+        |a AS (SELECT event_type, SUM((x-m)*(x-m)) AS den,
+        |        SUM((x-m)*(x1-m)) AS n1, SUM((x-m)*(x2-m)) AS n2,
+        |        SUM((x-m)*(x3-m)) AS n3
+        |      FROM l GROUP BY event_type)
+        |SELECT event_type, lag, round(acf, 4) + CAST(0.0 AS DOUBLE) AS acf
+        |FROM (SELECT event_type, CAST(1 AS BIGINT) AS lag, n1/den AS acf FROM a
+        |      UNION ALL SELECT event_type, CAST(2 AS BIGINT), n2/den FROM a
+        |      UNION ALL SELECT event_type, CAST(3 AS BIGINT), n3/den FROM a) u
+        |ORDER BY event_type, lag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val daily = t(spark, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      Sessionize.acf(daily, "event_type", "day", "x", maxLag = 3)
+        .select($"event_type", $"lag",
+          (round($"acf", 4) + lit(0.0)).as("acf"))
+        .orderBy($"event_type", $"lag")
     }
   )
 }

@@ -25,6 +25,28 @@ class RepetitionSpec extends SparkSpecBase {
       (2L, 1.0 / 6.0, 15.0 / 11.0, 1.0)))
   }
 
+  test("lineSignals: duplicate line and char fractions are exact rationals") {
+    // doc 1: lines aa, b, aa, c -> dup occurrences 2/4; chars 4/(4+1+1)
+    // doc 2: all lines unique -> both fractions 0
+    val docs = Seq(
+      (1L, "aa\nb\naa\nc"),
+      (2L, "one\ntwo\nthree")).toDF("doc_id", "text")
+    val got = Repetition.lineSignals(docs, "text", "doc_id")
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.5, 2.0 / 3.0), (2L, 0.0, 0.0)))
+  }
+
+  test("acf matches the hand-computed autocorrelation of 1,2,3,4") {
+    import graft.operators.Sessionize
+    val s = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0))
+      .toDF("k", "t", "x")
+    val got = Sessionize.acf(s, "k", "t", "x", maxLag = 3)
+      .orderBy($"lag").as[(Long, Long, Double)].collect().toSeq
+    // mean 2.5, den 5; lag1 1.25/5, lag2 -1.5/5, lag3 -2.25/5
+    assert(got == Seq((1L, 1L, 0.25), (1L, 2L, -0.3), (1L, 3L, -0.45)))
+  }
+
   test("short documents yield empty n-gram sets, not descending sequences") {
     val docs = Seq((1L, "only three words", 16L)).toDF("doc_id", "text", "n_chars")
     val got = Repetition.signals(docs, "text", "doc_id", "n_chars")
