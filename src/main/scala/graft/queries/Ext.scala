@@ -1559,6 +1559,40 @@ object Ext {
         .orderBy($"gid")
     },
 
+    // --- portable count-min sketch: the md5 hash family makes every
+    //     sketch CELL engine-reproducible, so the oracle rebuilds the
+    //     identical depth×width sketch and the identical min-over-rows
+    //     estimates — a differential test of a sketch, not just of exact
+    //     counts. Estimates are exact BIGINTs.
+    Q("ext_cms_counts",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |rows_ AS (SELECT unnest(range(4)) AS r),
+        |sk AS (SELECT r, CAST('0x' || substr(md5('cm' || r || '|' || w), 1, 15)
+        |                     AS BIGINT) % 256 AS bucket,
+        |              CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tok, rows_ GROUP BY 1, 2),
+        |exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w
+        |          ORDER BY n DESC, w LIMIT 20),
+        |probe AS (SELECT e.w, e.n, r.r,
+        |    CAST('0x' || substr(md5('cm' || r.r || '|' || e.w), 1, 15)
+        |         AS BIGINT) % 256 AS bucket
+        |  FROM exact e, rows_ r)
+        |SELECT p.w, p.n, MIN(COALESCE(sk.c, 0)) AS est
+        |FROM probe p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
+        |GROUP BY p.w, p.n ORDER BY p.n DESC, p.w""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val tok = t(spark, dir, "documents")
+        .select(explode(TextFunctions.words($"text")).as("w"))
+      val sketch = graft.operators.Sketches.countMinBuild(tok, "w", depth = 4, width = 256)
+      val exact = tok.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w").limit(20)
+      graft.operators.Sketches
+        .countMinEstimate(sketch, exact, "w", depth = 4, width = 256)
+        .join(exact, Seq("w"))
+        .select($"w", $"n", $"est")
+        .orderBy($"n".desc, $"w")
+    },
+
     // --- curation pipeline v4: Gopher rule filter → exact substring
     //     dedup over the survivors → deterministic shard assignment.
     //     The oracle replays every stage from scratch (rules, gram

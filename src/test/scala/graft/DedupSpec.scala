@@ -366,6 +366,26 @@ class DedupSpec extends SparkSpecBase {
     assert(got === ((9L, s"$span mid")))
   }
 
+  test("count-min estimates upper-bound exact counts, exactly at ample width") {
+    import graft.operators.Sketches
+    val r = new Random(7)
+    val tokens = Seq.fill(2000)("tok" + r.nextInt(50)).toDF("w")
+    val exact = tokens.groupBy($"w").agg(count(lit(1)).as("n"))
+    // narrow sketch: estimates are upper bounds
+    val narrow = Sketches.countMinBuild(tokens, "w", depth = 4, width = 16)
+    val estN = Sketches.countMinEstimate(narrow, exact, "w", depth = 4, width = 16)
+      .join(exact, Seq("w")).select($"w", $"est", $"n")
+      .as[(String, Long, Long)].collect()
+    assert(estN.forall { case (_, est, n) => est >= n })
+    // ample width: 50 distinct tokens in 4 x 4096 cells — collisions in
+    // ALL 4 rows for one token are overwhelmingly unlikely, so est == n
+    val wide = Sketches.countMinBuild(tokens, "w", depth = 4, width = 4096)
+    val estW = Sketches.countMinEstimate(wide, exact, "w", depth = 4, width = 4096)
+      .join(exact, Seq("w")).select($"est", $"n")
+      .as[(Long, Long)].collect()
+    assert(estW.forall { case (est, n) => est == n })
+  }
+
   test("pathCentrality counts weighted walks on a hand-checked graph") {
     import graft.operators.Components
     // a -2-> b -3-> c, a -1-> c:
