@@ -27,6 +27,16 @@ object VectorFunctions {
   /** Squared L2 norm. */
   def normSqD(a: Column): Column = dotD(a, a)
 
+  /** Row-wise argmax (mt.argmax(axis=1)): 0-based index of the first
+    * occurrence of the maximum — numpy's tie rule. Pure expression. */
+  def argmax(a: Column): Column =
+    (array_position(a, array_max(a)) - 1).cast("long")
+
+  /** Row-wise top-k values, descending (mt.topk along axis=1): sort +
+    * reverse + slice, all inside the row — no shuffle, no UDF. */
+  def topKValues(a: Column, k: Int): Column =
+    slice(reverse(array_sort(a)), 1, k)
+
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(normSqD(a)) * sqrt(normSqD(b)))

@@ -769,6 +769,32 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.14 row-wise argmax / top-k over the embedding column
+    //     (mt.argmax/topk along axis=1): pure in-row expressions; float
+    //     values compare bit-exact after the double cast.
+    Q("op_vector_argmax",
+      """SELECT vec_id,
+        |  CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS amax,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(l[1] AS DOUBLE) AS t1, CAST(l[2] AS DOUBLE) AS t2,
+        |  CAST(l[3] AS DOUBLE) AS t3
+        |FROM (SELECT vec_id, embedding,
+        |             list_reverse(list_sort(embedding)) AS l
+        |      FROM embeddings WHERE vec_id < 100) e
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions
+      val s = VectorFunctions.topKValues($"embedding", 3)
+      t(spark, dir, "embeddings").filter($"vec_id" < 100)
+        .select($"vec_id",
+          VectorFunctions.argmax($"embedding").as("amax"),
+          array_max($"embedding").cast("double").as("vmax"),
+          element_at(s, 1).cast("double").as("t1"),
+          element_at(s, 2).cast("double").as("t2"),
+          element_at(s, 3).cast("double").as("t3"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.13 corrwith (reference statistics/corr.py:286): per-order
     //     lineitem aggregates correlated column-by-column against the
     //     order header after a key-aligned join. Correlations are ~0.9 by

@@ -357,6 +357,16 @@ class ApiSpec extends SparkSpecBase {
     assert(got == Seq(1.0, 6.0))
   }
 
+  test("argmax takes the first tie; topKValues sorts descending") {
+    import graft.functions.VectorFunctions
+    val f = Seq(Tuple1(Seq(2f, 5f, 1f, 5f))).toDF("v")
+    val got = f.select(
+        VectorFunctions.argmax(col("v")).as("i"),
+        VectorFunctions.topKValues(col("v"), 3).as("t"))
+      .as[(Long, Seq[Float])].collect().head
+    assert(got == ((1L, Seq(5f, 5f, 2f))))
+  }
+
   test("toParquet round-trip with partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
     val f = GraftFrame(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "part"))
