@@ -390,6 +390,61 @@ object Learn {
     (qDf, rMat)
   }
 
+  /** Distributed least squares for arbitrary feature count
+    * (mt.linalg.lstsq / sklearn LinearRegression on a tall matrix):
+    * the k×k Gramian XᵀX comes from RowMatrix.computeGramianMatrix (one
+    * distributed treeAggregate pass), Xᵀy from a second treeAggregate of
+    * the same scan, and the k×k normal-equation solve happens on the
+    * driver (k is the FEATURE count — always broadcast-small; the data
+    * never leaves the executors). Returns the coefficient vector. */
+  def lstsq(df: DataFrame, featuresArrayCol: String, labelCol: String)
+      : Array[Double] = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val xy = df.select(col(featuresArrayCol), col(labelCol).cast("double"))
+      .rdd.map { r =>
+        (r.getSeq[Float](0).map(_.toDouble).toArray, r.getDouble(1))
+      }
+    xy.cache()
+    try {
+      val gram = new RowMatrix(xy.map(p => OldVectors.dense(p._1)))
+        .computeGramianMatrix()
+      val k = gram.numCols
+      val xty = xy.treeAggregate(new Array[Double](k))(
+        seqOp = (acc, p) => {
+          var i = 0
+          while (i < k) { acc(i) += p._1(i) * p._2; i += 1 }
+          acc
+        },
+        combOp = (a, b) => { var i = 0; while (i < k) { a(i) += b(i); i += 1 }; a })
+      val a = Array.tabulate(k, k)((i, j) => gram(i, j))
+      solveSmall(a, xty)
+    } finally { xy.unpersist(false); () }
+  }
+
+  /** Driver-local dense solve (mt.linalg.solve for broadcast-small
+    * systems — the distributed path is [[lstsq]]'s Gramian reduction;
+    * a distributed triangular solve is out of parity scope). */
+  def solveSmall(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    import org.apache.commons.math3.linear._
+    new LUDecomposition(new Array2DRowRealMatrix(a, false))
+      .getSolver.solve(new ArrayRealVector(b, false)).toArray
+  }
+
+  /** Driver-local matrix inverse (mt.linalg.inv, broadcast-small). */
+  def invSmall(a: Array[Array[Double]]): Array[Array[Double]] = {
+    import org.apache.commons.math3.linear._
+    new LUDecomposition(new Array2DRowRealMatrix(a, false))
+      .getSolver.getInverse.getData
+  }
+
+  /** Driver-local Cholesky factor L with A = L·Lᵀ (mt.linalg.cholesky,
+    * broadcast-small; symmetric positive-definite input). */
+  def choleskySmall(a: Array[Array[Double]]): Array[Array[Double]] = {
+    import org.apache.commons.math3.linear._
+    new CholeskyDecomposition(new Array2DRowRealMatrix(a, false)).getL.getData
+  }
+
   /** Per-group simple OLS (y = intercept + slope·x) from ONE
     * partial+final moment aggregate — per-domain/per-segment trend
     * fitting at corpus scale: no window, no per-group second scan, the

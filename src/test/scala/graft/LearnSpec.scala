@@ -224,6 +224,30 @@ class LearnSpec extends SparkSpecBase {
     assert(Spawn.spawn(spark, thunks) == Seq("a", "b"))
   }
 
+  test("lstsq recovers planted coefficients from a tall noiseless system") {
+    // y = 2*x0 - 3*x1 + 0.5*x2 exactly
+    val rows = (1 to 300).map { i =>
+      val x = Seq((i % 7).toFloat, (i % 5).toFloat, (i % 11).toFloat)
+      (x, 2.0 * x(0) - 3.0 * x(1) + 0.5 * x(2))
+    }
+    val df = rows.toDF("features", "y")
+    val beta = Learn.lstsq(df, "features", "y")
+    assert(beta.length == 3)
+    assert(math.abs(beta(0) - 2.0) < 1e-8 && math.abs(beta(1) + 3.0) < 1e-8 &&
+      math.abs(beta(2) - 0.5) < 1e-8, beta.mkString(","))
+  }
+
+  test("solveSmall / invSmall / choleskySmall agree with hand algebra") {
+    val a = Array(Array(4.0, 2.0), Array(2.0, 3.0)) // SPD
+    val x = Learn.solveSmall(a, Array(10.0, 8.0))   // 4x+2y=10, 2x+3y=8
+    assert(math.abs(x(0) - 1.75) < 1e-12 && math.abs(x(1) - 1.5) < 1e-12)
+    val inv = Learn.invSmall(a) // det 8 → [[3,-2],[-2,4]]/8
+    assert(math.abs(inv(0)(0) - 0.375) < 1e-12 && math.abs(inv(0)(1) + 0.25) < 1e-12)
+    val l = Learn.choleskySmall(a) // L = [[2,0],[1,sqrt(2)]]
+    assert(math.abs(l(0)(0) - 2.0) < 1e-12 && math.abs(l(1)(0) - 1.0) < 1e-12 &&
+      math.abs(l(1)(1) - math.sqrt(2.0)) < 1e-12)
+  }
+
   test("cooMatmul reproduces a hand-computed dense product") {
     // A = [[1,2],[3,4]], B = [[5,6],[7,8]] → AB = [[19,22],[43,50]]
     val a = Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 0L, 3L), (1L, 1L, 4L))
