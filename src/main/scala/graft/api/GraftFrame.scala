@@ -1178,6 +1178,33 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(melted.groupBy("column").pivot("__id", ids.toSeq).agg(first(col("value"))))
   }
 
+  // ------------------------------------------- execution surface (mars
+  // .execute()/.persist()/.fetch(), mars/core/entity/tileables.py — Spark
+  // is lazy the same way the reference is; these force/cache/pull)
+  /** Trigger computation and return this handle (mars `.execute()`).
+    * In Spark the materialized result lives in the shuffle files /
+    * cache of the lineage rather than a chunk store; chain `.persist()`
+    * first when later reuse should skip recompute. */
+  def execute(): GraftFrame = { df.count(); this }
+
+  /** Cache at MEMORY_AND_DISK (mars `.persist()`). */
+  def persist(): GraftFrame = GraftFrame(df.persist())
+
+  /** Cache at a named storage level, e.g. "MEMORY_ONLY", "DISK_ONLY". */
+  def persist(level: String): GraftFrame =
+    GraftFrame(df.persist(org.apache.spark.storage.StorageLevel.fromString(level)))
+
+  /** Release a cached frame. */
+  def unpersist(): GraftFrame = GraftFrame(df.unpersist())
+
+  /** Truncate lineage via a local checkpoint (mars chunk materialization
+    * boundary — stops Catalyst re-deriving a long pipeline's plan). */
+  def localCheckpoint(): GraftFrame = GraftFrame(df.localCheckpoint())
+
+  /** Pull up to `n` rows to the driver (mars `.fetch()`); bounded by
+    * construction — use sinks for full results. */
+  def fetch(n: Int = 1000): Array[org.apache.spark.sql.Row] = df.take(n)
+
   // ------------------------------------------------------------ sinks §2.2
   /** to_parquet (reference datastore/to_parquet.py:44). */
   def toParquet(path: String, mode: String = "overwrite",

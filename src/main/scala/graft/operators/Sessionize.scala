@@ -382,6 +382,42 @@ object Sessionize {
           col("n_from").cast("double")).as("conv_rate"))
   }
 
+  /** k-step funnel within a whole-funnel window (the multi-step
+    * generalization of [[funnel]]): per user, t₁ is the FIRST step-1
+    * event; step i is reached at the first step-i event STRICTLY after
+    * t_{i−1} and within `windowSeconds` of t₁. Returns one row per step:
+    * (step 1-based, step_name, users reached).
+    *
+    * Shape: k−1 chained (filter → user-keyed join → min aggregate)
+    * rounds — every round shuffles only the users still alive and the
+    * events of ONE step type, so the funnel narrows the data monotonely;
+    * no windows, no per-user event collection. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "funnelSteps needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val byType = events.select(col(userCol), col(tsCol).as("__ts"), col(typeCol))
+    var reached = byType.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("__t1"))
+      .withColumn("__t_prev", col("__t1"))
+    val perStep = scala.collection.mutable.ArrayBuffer(
+      (1, steps.head, reached))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = byType.filter(col(typeCol) === s)
+        .join(reached.select(col(userCol), col("__t1"), col("__t_prev")),
+          Seq(userCol))
+        .filter(col("__ts") > col("__t_prev") &&
+          col("__ts") <= col("__t1") + expr(s"INTERVAL $windowSeconds SECONDS"))
+        .groupBy(col(userCol))
+        .agg(min(col("__t1")).as("__t1"), min(col("__ts")).as("__t_prev"))
+      perStep += ((i + 1, s, reached))
+    }
+    perStep.map { case (i, s, d) =>
+      d.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step"), lit(s).as("step_name"), col("users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-key autocorrelation function at lags 1..maxLag (statsmodels
     * acf, pandas Series.autocorr generalized): with x̄ the full-series
     * mean per key,

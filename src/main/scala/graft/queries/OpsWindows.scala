@@ -851,6 +851,36 @@ object OpsWindows {
         .orderBy($"w_start", $"event_type")
     },
 
+    // --- k-step funnel (view → click → purchase, 1 h whole-funnel
+    //     window): the oracle replays the chained first-event joins;
+    //     fixture timestamps have no sub-µs component, so nanos (DuckDB)
+    //     vs micros (Spark) comparisons agree exactly.
+    Q("op_events_funnel3",
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 3600 SECOND
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t1 + INTERVAL 3600 SECOND
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+        |         CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+        |         CAST((SELECT COUNT(*) FROM s3) AS BIGINT)) u
+        |ORDER BY step""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.funnelSteps(t(spark, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), windowSeconds = 3600L)
+        .orderBy($"step")
+    },
+
     // --- per-key autocorrelation at lags 1..3 over daily event counts
     //     (statsmodels acf): exact-integer daily series, full-mean
     //     centering; the cross-row Σ per lag is order-dependent → round 4

@@ -357,6 +357,16 @@ class ApiSpec extends SparkSpecBase {
     assert(got == Seq(1.0, 6.0))
   }
 
+  test("execution surface: execute/fetch/persist/unpersist round-trip") {
+    val f = graft.api.GraftFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(f.execute().fetch(10).length == 2)
+    val p = f.persist("MEMORY_ONLY")
+    p.df.count()
+    assert(p.df.storageLevel.useMemory)
+    p.unpersist()
+    assert(f.localCheckpoint().fetch(1).length == 1)
+  }
+
   test("argmax takes the first tie; topKValues sorts descending") {
     import graft.functions.VectorFunctions
     val f = Seq(Tuple1(Seq(2f, 5f, 1f, 5f))).toDF("v")

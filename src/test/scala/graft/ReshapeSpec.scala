@@ -281,6 +281,22 @@ class ReshapeSpec extends SparkSpecBase {
       ("view", "click") -> 2L, ("click", "buy") -> 1L, ("view", "view") -> 1L))
   }
 
+  test("funnelSteps: ordered, windowed, strictly-after step matching") {
+    import java.sql.Timestamp
+    import graft.operators.Sessionize
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(5), "purchase"), (2L, ts(10), "click"),
+      (3L, ts(0), "click"),                       // never saw step 1
+      (4L, ts(0), "view"), (4L, ts(7200), "click")) // outside the window
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessionize.funnelSteps(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .orderBy($"step").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
   test("decomposeAdditive: components reconstruct the observed series") {
     // 4 weeks of a pure weekly pattern: cnt depends only on day-of-week
     val rows = (0 until 28).flatMap { d =>
