@@ -1495,6 +1495,20 @@ final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions
     GraftFrame(df.withColumn(out, mp(Windows.rollingSkew(df(c), w))))
   def kurt(c: String, out: String): GraftFrame =
     GraftFrame(df.withColumn(out, mp(Windows.rollingKurt(df(c), w))))
+  /** pandas rolling.rank(pct=True, method='average'): average rank of
+    * the current value inside its own window, as a fraction of the
+    * window size — cnt_below + (cnt_ties + 1)/2, over n. Exact rationals
+    * (counts and halves), engine-reproducible without rounding. */
+  def rankPct(c: String, out: String): GraftFrame = {
+    val arr = F.collect_list(df(c)).over(w)
+    val below = F.aggregate(arr, F.lit(0.0),
+      (acc, x) => acc + F.when(x < df(c), F.lit(1.0)).otherwise(F.lit(0.0)))
+    val ties = F.aggregate(arr, F.lit(0.0),
+      (acc, x) => acc + F.when(x === df(c), F.lit(1.0)).otherwise(F.lit(0.0)))
+    GraftFrame(df.withColumn(out,
+      mp((below + (ties + F.lit(1.0)) / F.lit(2.0)) /
+        F.size(arr).cast("double"))))
+  }
   def agg(cols: (String, Column)*): GraftFrame =
     GraftFrame(cols.foldLeft(df) { case (d, (out, c)) => d.withColumn(out, mp(c.over(w))) })
   /** Pairwise rolling Pearson correlation (pandas rolling.corr(other);

@@ -86,6 +86,30 @@ object OpsWindows {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // --- §2.7 rolling rank (pandas rolling.rank(pct=True,
+    //     method='average')): average in-window rank as exact rationals
+    //     (counts + halves over n) — no rounding needed.
+    Q("op_rolling_rank",
+      """SELECT o_custkey, o_orderkey,
+        |  (len(list_filter(l, v -> v < o_totalprice))
+        |   + (len(list_filter(l, v -> v = o_totalprice)) + CAST(1.0 AS DOUBLE))
+        |     / CAST(2.0 AS DOUBLE))
+        |  / CAST(len(l) AS DOUBLE) AS roll_rank
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             list(o_totalprice) OVER (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS l
+        |      FROM orders WHERE o_custkey < 100) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "orders").query("o_custkey < 100")
+        .rolling(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), 3)
+        .rankPct("o_totalprice", "roll_rank")
+        .select("o_custkey", "o_orderkey", "roll_rank")
+        .sortValues(Seq("o_custkey", "o_orderkey"))
+        .df
+    },
+
     // --- §2.7 expanding window
     Q("op_expanding",
       """SELECT o_custkey, o_orderkey,

@@ -228,4 +228,20 @@ class WindowsSpec extends SparkSpecBase {
     assert(got(2) == ((3L, Some(3.0), Some(r9(c3)))))
     assert(got(3) == ((4L, Some(1.0), Some(r9(c4)))))
   }
+
+  test("rolling rankPct matches pandas rank(pct=True, method='average')") {
+    // x = [5, 5, 3, 7], window 3:
+    //   t1 [5]       -> 1/1 = 1.0
+    //   t2 [5,5]     -> (0 + 3/2)/2 = 0.75
+    //   t3 [5,5,3]   -> rank(3) = 1/3
+    //   t4 [5,3,7]   -> rank(7) = 3/3 = 1.0
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 3.0), (1L, 4L, 7.0))
+      .toDF("k", "ord", "x")
+    val got = graft.api.GraftFrame(df)
+      .rolling(Seq("k"), Seq("ord"), 3)
+      .rankPct("x", "r")
+      .sortValues(Seq("ord")).df
+      .select($"r").as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.75, 1.0 / 3.0, 1.0))
+  }
 }
