@@ -1221,6 +1221,13 @@ final case class GraftFrame(df: DataFrame) {
     d.write.mode("overwrite").option("header", header).csv(path)
   }
 
+  /** ORC sink (to_orc) — same partitionBy contract as [[toParquet]]. */
+  def toOrc(path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** JSON-lines sink (pandas to_json(orient='records', lines=True)). */
   def toJson(path: String, singleFile: Boolean = false): Unit = {
     val d = if (singleFile) df.coalesce(1) else df

@@ -73,6 +73,10 @@ final class GraftSession(val spark: SparkSession) {
     }).json(path))
   }
 
+  /** ORC reader (reference datasource parity: read_orc) — columnar with
+    * the same pushdown/pruning contract as parquet. */
+  def readOrc(path: String): GraftFrame = GraftFrame(spark.read.orc(path))
+
   /** JDBC scan partitioned on a numeric column — the reference's
     * read_sql(partition_col, num_partitions) (read_sql.py:79) maps to
     * Spark's (partitionColumn, lowerBound, upperBound, numPartitions). */

@@ -357,6 +357,19 @@ class ApiSpec extends SparkSpecBase {
     assert(got == Seq(1.0, 6.0))
   }
 
+  test("orc round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val f = graft.api.GraftFrame(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x"))
+    f.toOrc(s"$dir/out")
+    val back = graft.api.GraftSession(spark).readOrc(s"$dir/out")
+    // ORC read-back relaxes nullability; names and types must survive
+    assert(back.df.schema.map(f0 => (f0.name, f0.dataType)) ==
+      f.df.schema.map(f0 => (f0.name, f0.dataType)))
+    assert(back.df.orderBy("id").collect().toSeq ==
+      f.df.orderBy("id").collect().toSeq)
+  }
+
   test("execution surface: execute/fetch/persist/unpersist round-trip") {
     val f = graft.api.GraftFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     assert(f.execute().fetch(10).length == 2)

@@ -12,6 +12,41 @@ class GuardrailsSpec extends SparkSpecBase {
 
   private val tiny = GraftFrame(Seq((1L, 1.0)).toDF("k", "v"))
 
+  test("r8 operators fail fast on bad preconditions") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.substringSpanDedup(docs, "text", "doc_id", n = 1)
+    }
+    assert(e1.getMessage.contains("n >= 2"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sessionize.funnelSteps(Seq((1L, 1L, "a")).toDF("u", "ts", "t"),
+        "u", "ts", "t", Seq("a"), 10L)
+    }
+    assert(e2.getMessage.contains("at least 2"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sessionize.funnelSteps(Seq((1L, 1L, "a")).toDF("u", "ts", "t"),
+        "u", "ts", "t", Seq("a", "a"), 10L)
+    }
+    assert(e3.getMessage.contains("distinct"))
+    val e4 = intercept[IllegalArgumentException] {
+      Curation.linearTextScore(docs, "text", "doc_id",
+        Map(99 -> 1.0), bias = 0.0, dim = 64)
+    }
+    assert(e4.getMessage.contains("buckets"))
+    val e5 = intercept[IllegalArgumentException] {
+      graft.operators.Sketches.countMinBuild(docs, "text", depth = 0)
+    }
+    assert(e5.getMessage.contains("sketch shape"))
+    val e6 = intercept[IllegalArgumentException] {
+      Sessionize.acf(Seq((1L, 1L, 1.0)).toDF("k", "t", "x"), "k", "t", "x", 0)
+    }
+    assert(e6.getMessage.contains("maxLag"))
+    val e7 = intercept[IllegalArgumentException] {
+      Curation.shardAssign(docs, "doc_id", 0)
+    }
+    assert(e7.getMessage.contains("nShards"))
+  }
+
   test("chunkWords rejects overlap >= chunkSize") {
     val e = intercept[IllegalArgumentException] {
       Curation.chunkWords(tiny.df.withColumn("text", lit("a b")),
