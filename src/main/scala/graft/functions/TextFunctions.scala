@@ -271,6 +271,32 @@ object TextFunctions {
         (-col("__s") / col("bigrams").cast("double")).as("xent"))
   }
 
+  /** Zipf-law exponent of the corpus word-frequency distribution: OLS
+    * slope of log2(freq) against log2(rank) over the top `topN` words
+    * (α ≈ −slope; natural text sits near α ≈ 1). The standard quick
+    * diagnostic for synthetic/templated vs natural corpora.
+    *
+    * Shape: one word-count aggregate, one TakeOrdered top-N (the only
+    * global step moves topN rows), a rank window over those topN rows,
+    * and the closed-form slope from five moment sums — the
+    * [[graft.learn.Learn.groupedOls]] formulation with one group. */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = docs
+      .select(explode(words(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(topN)
+    val ranked = counts.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__c").desc, col("__w"))).cast("double"))
+    graft.learn.Learn.groupedOls(
+      ranked.select(lit(1L).as("__g"), log2(col("__r")).as("x"),
+        log2(col("__c").cast("double")).as("y")),
+      "__g", "x", "y")
+      .select(col("n"), col("slope"), col("intercept"))
+  }
+
   /** Okapi BM25 relevance of every document against a literal query-term
     * set — the standard lexical retrieval scorer (and the retrieval half
     * of a RAG data pipeline):

@@ -1559,6 +1559,32 @@ object Ext {
         .orderBy($"gid")
     },
 
+    // --- Zipf exponent of the corpus word-frequency curve: log-log OLS
+    //     over the top-100 words via the moment-sum closed form (shared
+    //     with learn_grouped_ols); round-4 for the log2 sums.
+    Q("ext_zipf",
+      """WITH c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                 FROM documents) t
+        |           GROUP BY w ORDER BY c DESC, w LIMIT 100),
+        |r AS (SELECT log2(CAST(row_number() OVER (ORDER BY c DESC, w)
+        |                       AS DOUBLE)) AS x,
+        |             log2(CAST(c AS DOUBLE)) AS y FROM c),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |    + CAST(0.0 AS DOUBLE) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    + CAST(0.0 AS DOUBLE) AS intercept
+        |FROM m""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      TextFunctions.zipfSlope(t(spark, dir, "documents"), "text", topN = 100)
+        .select($"n",
+          (round($"slope", 4) + lit(0.0)).as("slope"),
+          (round($"intercept", 4) + lit(0.0)).as("intercept"))
+    },
+
     // --- portable count-min sketch: the md5 hash family makes every
     //     sketch CELL engine-reproducible, so the oracle rebuilds the
     //     identical depth×width sketch and the identical min-over-rows
