@@ -165,6 +165,23 @@ object Curation {
     docs.filter(PortableHash.uniform01(col(idCol)) < frac)
   }
 
+  /** Weighted sampling WITHOUT replacement, k items (Efraimidis–Spirakis
+    * A-Res): each row draws the key u^(1/w) with u the deterministic
+    * portable uniform of its id, and the global top-k keys win —
+    * inclusion probability proportional to weight, rerun- and
+    * engine-stable, one distributed TakeOrdered (no shuffle of the
+    * corpus, no per-partition reservoir state). Weights must be > 0. */
+  def weightedSample(docs: DataFrame, weightCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = pow(PortableHash.uniform01(col(idCol)),
+      lit(1.0) / col(weightCol).cast("double"))
+    docs.withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Quality-weighted importance resampling: keep each document with
     * probability clamp(weight, 0, 1) — the standard way to skew a corpus
     * toward high-quality text without hard thresholds. Pure filter on the

@@ -1559,6 +1559,26 @@ object Ext {
         .orderBy($"gid")
     },
 
+    // --- weighted sampling without replacement (Efraimidis–Spirakis
+    //     A-Res over the portable uniform): the oracle replays the
+    //     u^(1/w) keys and the same top-k selection. Key gaps between
+    //     rank-k and rank-k+1 are ~1e-3 at this corpus size — far above
+    //     any libm pow ulp divergence, so selection is engine-stable.
+    Q("ext_weighted_sample",
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         pow(${graft.functions.PortableHash.sqlUniform01("doc_id")},
+         |             CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS wkey
+         |  FROM documents
+         |  ORDER BY wkey DESC, doc_id LIMIT 25) t
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Curation
+        .weightedSample(t(spark, dir, "documents"), "n_chars", "doc_id", k = 25)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // --- Zipf exponent of the corpus word-frequency curve: log-log OLS
     //     over the top-100 words via the moment-sum closed form (shared
     //     with learn_grouped_ols); round-4 for the log2 sums.

@@ -204,6 +204,16 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("weightedSample: deterministic, right size, heavy weights dominate") {
+    import graft.operators.Curation
+    val docs = (1L to 100L).map(i => (i, if (i == 42L) 1e9 else 1.0))
+      .toDF("id", "w")
+    def draw() = Curation.weightedSample(docs, "w", "id", 10)
+      .select("id").as[Long].collect().toSet
+    val s1 = draw()
+    assert(s1 == draw() && s1.size == 10 && s1.contains(42L))
+  }
+
   test("gopherFlags trips each rule on a crafted offender") {
     import graft.operators.Curation
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
