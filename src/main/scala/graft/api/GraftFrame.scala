@@ -1157,6 +1157,11 @@ final case class GraftFrame(df: DataFrame) {
     * coalesce merges co-located partitions. */
   def rechunk(n: Int): GraftFrame = GraftFrame(df.coalesce(n))
 
+  /** Hash-partition on key columns (pre-partitioning so a following
+    * join/agg on the same keys plans no extra exchange). */
+  def repartitionBy(n: Int, cols: String*): GraftFrame =
+    GraftFrame(df.repartition(n, cols.map(df(_)): _*))
+
   /** Small-frame transpose (reference base/transpose.py): id values become
     * columns, value columns become rows. Collects the (small) id set on the
     * driver to fix the output schema — like the reference, which needs the

@@ -34,17 +34,22 @@ object Sketches {
       concat(lit(s"cm$row|"), value).cast("binary")), 1, 15), 16, 10)
       .cast("long"), lit(width.toLong))
 
+  /** Exploded (row, bucket) cell stream for one value column — shared by
+    * the batch build and the streaming form in
+    * [[graft.streaming.StreamOps.streamingCountMin]]. */
+  private[graft] def cmCells(value: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
+    explode(array((0 until depth).map(r => struct(
+      lit(r.toLong).as("row"), cmBucket(r, value, width).as("bucket"))): _*))
+  }
+
   /** Build a depth × width count-min sketch over `valueCol`. Returns
     * (row, bucket, c) — only non-empty cells; absent cells are zero. */
   def countMinBuild(df: DataFrame, valueCol: String, depth: Int = 4,
-      width: Int = 256): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
-    val cells = (0 until depth).map(r => struct(
-      lit(r.toLong).as("row"), cmBucket(r, col(valueCol), width).as("bucket")))
-    df.select(explode(array(cells: _*)).as("__cell"))
+      width: Int = 256): DataFrame =
+    df.select(cmCells(col(valueCol), depth, width).as("__cell"))
       .groupBy(col("__cell.row").as("row"), col("__cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Point estimates for `candidates` against a built sketch: the classic
     * min over depth rows — an upper bound on the true count, biased only

@@ -200,4 +200,18 @@ object StreamOps {
       }
       .toDF("user_id", "running_count", "last_seen")
   }
+
+  /** Streaming count-min sketch: the portable-hash cells of
+    * [[graft.operators.Sketches]] maintained as a streaming aggregate.
+    * State is bounded at depth × width cells BY CONSTRUCTION — a
+    * heavy-hitter monitor over an unbounded token firehose with constant
+    * memory, and (because the hash family is engine-portable) cells that
+    * equal the batch build over the same data, which StreamingSpec
+    * asserts. Run in update/complete mode. */
+  def streamingCountMin(rows: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame =
+    rows.select(graft.operators.Sketches
+        .cmCells(col(valueCol), depth, width).as("__cell"))
+      .groupBy(col("__cell.row").as("row"), col("__cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
 }

@@ -199,6 +199,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming count-min cells equal the batch sketch over the same tokens") {
+    import graft.operators.Sketches
+    implicit val sq = spark.sqlContext
+    val b1 = Seq("a", "b", "a", "c")
+    val b2 = Seq("a", "c", "d")
+    val input = MemoryStream[String]
+    val q = StreamOps.streamingCountMin(
+        input.toDF().toDF("w"), "w", depth = 4, width = 8)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.countMinBuild((b1 ++ b2).toDF("w"), "w",
+          depth = 4, width = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running counts across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
