@@ -88,6 +88,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles(out) <= 3, plan.take(500))
   }
 
+  test("repartitionBy pre-partitioning is reused by a following groupBy") {
+    val df = GraftFrame(events.toDF("k", "o", "v")).repartitionBy(8, "k").df
+    val out = df.groupBy("k").count()
+    // the explicit key exchange is the ONLY one — the aggregate reuses it
+    assert(shuffles(out) == 1,
+      out.queryExecution.executedPlan.toString.take(500))
+  }
+
   test("resampleCalendar grid generation never plans a cartesian product") {
     val df = Seq((1L, "2024-01-01 10:00:00", 5L), (2L, "2024-02-01 10:00:00", 2L))
       .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
