@@ -580,6 +580,46 @@ object Learn {
       (lit(1.0) - sum(err * err) / (sum(y * y) - sum(y) * sum(y) / n)).as("r2"))
   }
 
+  /** Mutual information between two discrete columns in nats (sklearn
+    * mutual_info_score): Σ_xy p_xy · ln(p_xy / (p_x p_y)), from one
+    * (x, y) count aggregate plus its two marginals — no pairwise scan. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val n = joint.agg(sum(col("__nxy")).as("__n"))
+    joint
+      .join(broadcast(mx), Seq("__x")).join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(n))
+      .agg(sum((col("__nxy").cast("double") / col("__n").cast("double")) *
+        log((col("__n").cast("double") * col("__nxy").cast("double")) /
+          (col("__nx").cast("double") * col("__ny").cast("double"))))
+        .as("mi"))
+  }
+
+  /** Cohen's kappa between two label columns (sklearn cohen_kappa_score):
+    * (p_o − p_e) / (1 − p_e) with chance agreement from the marginals.
+    * One confusion-count aggregate; every term is an exact integer ratio,
+    * so the result is engine-deterministic without rounding. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val po = cm.agg(
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(lit(0L))).as("__agree"),
+      sum(col("__n")).as("__total"))
+    val ma = cm.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val mb = cm.groupBy(col("__b").as("__a")).agg(sum(col("__n")).as("__nb"))
+    val pe = ma.join(mb, Seq("__a"), "inner")
+      .agg(sum(col("__na") * col("__nb")).as("__cross"))
+    po.crossJoin(pe).select(
+      ((col("__agree").cast("double") / col("__total").cast("double") -
+        col("__cross").cast("double") /
+          (col("__total") * col("__total")).cast("double")) /
+        (lit(1.0) - col("__cross").cast("double") /
+          (col("__total") * col("__total")).cast("double"))).as("kappa"))
+  }
+
   /** Classification accuracy. */
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)) /

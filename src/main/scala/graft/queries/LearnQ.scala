@@ -494,6 +494,53 @@ object LearnQ {
           (round($"r2", 4) + lit(0.0)).as("r2"))
     },
 
+    // --- discrete mutual information (sklearn mutual_info_score): one
+    //     joint-count aggregate + marginals; Σ over cells → round 4.
+    Q("learn_mutual_info",
+      """WITH j AS (SELECT c_mktsegment AS x,
+        |                  CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS y,
+        |                  CAST(COUNT(*) AS BIGINT) AS nxy
+        |           FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM j GROUP BY y),
+        |n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j)
+        |SELECT round(SUM((CAST(nxy AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    * ln((CAST(n.n AS DOUBLE) * CAST(nxy AS DOUBLE))
+        |          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 4)
+        |  + CAST(0.0 AS DOUBLE) AS mi
+        |FROM j JOIN mx USING (x) JOIN my USING (y), n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val labeled = t(spark, dir, "customer")
+        .select($"c_mktsegment".as("x"),
+          when($"c_acctbal" >= 0, lit("pos")).otherwise(lit("neg")).as("y"))
+      Learn.mutualInfo(labeled, "x", "y")
+        .select((round($"mi", 4) + lit(0.0)).as("mi"))
+    },
+
+    // --- Cohen's kappa (sklearn cohen_kappa_score): every term is an
+    //     exact integer ratio — engine-deterministic, no rounding.
+    Q("learn_kappa",
+      """WITH l AS (SELECT CASE WHEN l_quantity >= 25 THEN 'hi' ELSE 'lo' END AS a,
+        |                  CASE WHEN l_extendedprice >= 25000 THEN 'hi' ELSE 'lo' END AS b
+        |           FROM lineitem),
+        |cm AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY a, b),
+        |po AS (SELECT CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree,
+        |              CAST(SUM(n) AS BIGINT) AS total FROM cm),
+        |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cm GROUP BY a),
+        |mb AS (SELECT b AS a, CAST(SUM(n) AS BIGINT) AS nb FROM cm GROUP BY b),
+        |pe AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS cross_ FROM ma JOIN mb USING (a))
+        |SELECT (CAST(agree AS DOUBLE) / CAST(total AS DOUBLE)
+        |        - CAST(cross_ AS DOUBLE) / CAST(total * total AS DOUBLE))
+        |       / (CAST(1.0 AS DOUBLE)
+        |          - CAST(cross_ AS DOUBLE) / CAST(total * total AS DOUBLE)) AS kappa
+        |FROM po, pe""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val labeled = t(spark, dir, "lineitem")
+        .select(when($"l_quantity" >= 25, lit("hi")).otherwise(lit("lo")).as("a"),
+          when($"l_extendedprice" >= 25000, lit("hi")).otherwise(lit("lo")).as("b"))
+      Learn.cohenKappa(labeled, "a", "b")
+    },
+
     // --- distributed COO matmul (reference mt.dot for two large
     //     operands): integer-valued matrices from lineitem × part —
     //     exact BIGINT products, one contraction-key join, one (i,j)

@@ -248,6 +248,25 @@ class LearnSpec extends SparkSpecBase {
       math.abs(l(1)(1) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("mutualInfo: ln 2 for perfect dependence, 0 for independence") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val miDep = Learn.mutualInfo(dep, "x", "y").as[Double].collect().head
+    assert(math.abs(miDep - math.log(2.0)) < 1e-12)
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("x", "y")
+    val miInd = Learn.mutualInfo(ind, "x", "y").as[Double].collect().head
+    assert(math.abs(miInd) < 1e-12)
+  }
+
+  test("cohenKappa matches the textbook 2x2 example") {
+    // counts: (y,y)=20, (y,n)=5, (n,y)=10, (n,n)=15
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val k = Learn.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[Double].collect().head
+    assert(math.abs(k - 0.4) < 1e-12)
+  }
+
   test("cooMatmul reproduces a hand-computed dense product") {
     // A = [[1,2],[3,4]], B = [[5,6],[7,8]] → AB = [[19,22],[43,50]]
     val a = Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 0L, 3L), (1L, 1L, 4L))
