@@ -847,6 +847,23 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Grouped describe (pandas groupby().describe()): the same eight
+    * summary statistics per key, one partial+final aggregate. */
+  def describeBy(keys: Seq[String], cols: Seq[String]): GraftFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(df(c)).cast("double").as(s"${c}_count"),
+        avg(df(c)).as(s"${c}_mean"),
+        stddev_samp(df(c)).as(s"${c}_std"),
+        min(df(c)).cast("double").as(s"${c}_min"),
+        percentile(df(c), lit(0.25)).as(s"${c}_p25"),
+        percentile(df(c), lit(0.5)).as(s"${c}_p50"),
+        percentile(df(c), lit(0.75)).as(s"${c}_p75"),
+        max(df(c)).cast("double").as(s"${c}_max"))
+    }
+    GraftFrame(df.groupBy(keys.map(df(_)): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
   /** value_counts (reference base/value_counts.py:31). `normalize` adds the
     * count/total proportion via a 1-row broadcast (no global window). */
   def valueCounts(colName: String, normalize: Boolean = false): GraftFrame = {

@@ -580,6 +580,35 @@ object Learn {
       (lit(1.0) - sum(err * err) / (sum(y * y) - sum(y) * sum(y) / n)).as("r2"))
   }
 
+  /** Mean silhouette coefficient per cluster (sklearn silhouette_score
+    * decomposed by label): a = mean distance to own cluster (self
+    * excluded), b = min over other clusters of the mean distance,
+    * s = (b − a) / max(a, b); singletons get s = 0 (sklearn's
+    * convention). Exact all-pairs formulation — O(n²) like sklearn's;
+    * at corpus scale sample first (sampleN / weightedSample), exactly as
+    * sklearn's sample_size= does. Returns (label, n, mean_s). */
+  def silhouetteByCluster(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(labelCol).as("__l"),
+      col(vecCol).as("__v"))
+    val other = base.select(col("__id").as("__id2"), col("__l").as("__l2"),
+      col("__v").as("__v2"))
+    val pairs = base.join(other, col("__id") =!= col("__id2"))
+      .select(col("__id"), col("__l"), col("__l2"),
+        graft.functions.VectorFunctions.euclidean(col("__v"), col("__v2")).as("__d"))
+    val byCluster = pairs.groupBy(col("__id"), col("__l"), col("__l2"))
+      .agg(avg(col("__d")).as("__md"))
+    val own = byCluster.filter(col("__l") === col("__l2"))
+      .select(col("__id"), col("__md").as("__a"))
+    val nearest = byCluster.filter(col("__l") =!= col("__l2"))
+      .groupBy(col("__id"), col("__l")).agg(min(col("__md")).as("__b"))
+    nearest.join(own, Seq("__id"), "left")
+      .withColumn("__s", when(col("__a").isNull, lit(0.0))
+        .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))))
+      .groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n"), avg(col("__s")).as("mean_s"))
+  }
+
   /** Mutual information between two discrete columns in nats (sklearn
     * mutual_info_score): Σ_xy p_xy · ln(p_xy / (p_x p_y)), from one
     * (x, y) count aggregate plus its two marginals — no pairwise scan. */

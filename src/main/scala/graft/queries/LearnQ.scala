@@ -494,6 +494,37 @@ object LearnQ {
           (round($"r2", 4) + lit(0.0)).as("r2"))
     },
 
+    // --- silhouette score by cluster over the planted embedding labels
+    //     (sklearn silhouette_score): full all-pairs replay; per-pair
+    //     distances differ only in list_sum fold ulps, far below the
+    //     cluster separation, so the min-over-labels choice is stable and
+    //     round-4 absorbs the rest.
+    Q("learn_silhouette",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+        |           WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS id, a.label AS l, b.label AS l2,
+        |        sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |             * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))) AS d
+        |      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+        |m AS (SELECT id, l, l2, AVG(d) AS md FROM p GROUP BY id, l, l2),
+        |own AS (SELECT id, md AS a FROM m WHERE l = l2),
+        |nst AS (SELECT id, l, MIN(md) AS b FROM m WHERE l != l2 GROUP BY id, l),
+        |s AS (SELECT nst.l, CASE WHEN own.a IS NULL THEN CAST(0.0 AS DOUBLE)
+        |                         ELSE (nst.b - own.a) / greatest(own.a, nst.b) END AS s
+        |      FROM nst LEFT JOIN own USING (id))
+        |SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n,
+        |       round(AVG(s), 4) + CAST(0.0 AS DOUBLE) AS mean_s
+        |FROM s GROUP BY l ORDER BY label""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.silhouetteByCluster(
+          t(spark, dir, "embeddings").filter($"vec_id" < 200),
+          "vec_id", "embedding", "label")
+        .select($"label", $"n",
+          (round($"mean_s", 4) + lit(0.0)).as("mean_s"))
+        .orderBy($"label")
+    },
+
     // --- discrete mutual information (sklearn mutual_info_score): one
     //     joint-count aggregate + marginals; Σ over cells → round 4.
     Q("learn_mutual_info",

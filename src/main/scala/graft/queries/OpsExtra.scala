@@ -769,6 +769,32 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.6 grouped describe (pandas groupby().describe()): the
+    //     describe statistics per key in one aggregate; same round-6
+    //     conventions as op_describe.
+    Q("op_groupby_describe",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(l_quantity) AS DOUBLE) AS l_quantity_count,
+        |  round(avg(l_quantity), 6) AS l_quantity_mean,
+        |  round(stddev_samp(l_quantity), 6) AS l_quantity_std,
+        |  CAST(min(l_quantity) AS DOUBLE) AS l_quantity_min,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS l_quantity_p25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS l_quantity_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS l_quantity_p75,
+        |  CAST(max(l_quantity) AS DOUBLE) AS l_quantity_max
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val d = gt(spark, dir, "lineitem")
+        .describeBy(Seq("l_returnflag"), Seq("l_quantity"))
+      d.assign(
+        "l_quantity_mean" -> round(d("l_quantity_mean"), 6),
+        "l_quantity_std" -> round(d("l_quantity_std"), 6),
+        "l_quantity_p25" -> round(d("l_quantity_p25"), 6),
+        "l_quantity_p50" -> round(d("l_quantity_p50"), 6),
+        "l_quantity_p75" -> round(d("l_quantity_p75"), 6))
+        .sortValues(Seq("l_returnflag")).df
+    },
+
     // --- §2.14 row-wise argmax / top-k over the embedding column
     //     (mt.argmax/topk along axis=1): pure in-row expressions; float
     //     values compare bit-exact after the double cast.

@@ -248,6 +248,20 @@ class LearnSpec extends SparkSpecBase {
       math.abs(l(1)(1) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("silhouetteByCluster: separated clusters near 1, singleton 0") {
+    val pts = Seq(
+      (1L, Seq(0f, 0f), "a"), (2L, Seq(0.1f, 0f), "a"),
+      (3L, Seq(10f, 0f), "b"), (4L, Seq(10.1f, 0f), "b"),
+      (5L, Seq(5f, 5f), "c"))
+      .toDF("id", "v", "l")
+    val got = Learn.silhouetteByCluster(pts, "id", "v", "l")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a")._1 == 2L && got("a")._2 > 0.9)
+    assert(got("b")._1 == 2L && got("b")._2 > 0.9)
+    assert(got("c") == ((1L, 0.0)))
+  }
+
   test("mutualInfo: ln 2 for perfect dependence, 0 for independence") {
     val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
     val miDep = Learn.mutualInfo(dep, "x", "y").as[Double].collect().head
