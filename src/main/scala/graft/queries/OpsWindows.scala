@@ -111,6 +111,49 @@ object OpsWindows {
     },
 
     // --- §2.7 expanding window
+    // --- §2.7 expanding mean/var/std (pandas expanding().var()/std()):
+    //     native var_samp windows accumulate differently per engine
+    //     (streamed moments vs Welford — observed 1e-4 drift at money
+    //     magnitudes), so the oracle computes both sides from EXACT
+    //     decimal window sums: (S2 − S1²/n)/(n−1) over identical IEEE
+    //     ops — bit-exact, no rounding. n = 1 prefixes are null both.
+    Q("op_expanding_stats",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(d) OVER we AS DOUBLE) / n AS exp_mean,
+        |  CASE WHEN n > 1 THEN
+        |    (CAST(SUM(d * d) OVER we AS DOUBLE)
+        |     - CAST(SUM(d) OVER we AS DOUBLE) * CAST(SUM(d) OVER we AS DOUBLE) / n)
+        |    / (n - CAST(1.0 AS DOUBLE)) END AS exp_var,
+        |  sqrt(CASE WHEN n > 1 THEN
+        |    (CAST(SUM(d * d) OVER we AS DOUBLE)
+        |     - CAST(SUM(d) OVER we AS DOUBLE) * CAST(SUM(d) OVER we AS DOUBLE) / n)
+        |    / (n - CAST(1.0 AS DOUBLE)) END) AS exp_std
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             CAST(o_totalprice AS DECIMAL(12,2)) AS d,
+        |             CAST(COUNT(*) OVER we0 AS DOUBLE) AS n
+        |      FROM orders WHERE o_custkey < 100
+        |      WINDOW we0 AS (PARTITION BY o_custkey
+        |                     ORDER BY o_orderdate, o_orderkey
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        |WINDOW we AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val we = Windows.expanding(
+        Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")))
+      val d = dec12($"o_totalprice")
+      val s1 = sum(d).over(we).cast("double")
+      val s2 = sum(d * d).over(we).cast("double")
+      val n = count(lit(1)).over(we).cast("double")
+      val variance = when(n > 1, (s2 - s1 * s1 / n) / (n - lit(1.0)))
+      t(spark, dir, "orders").filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          (s1 / n).as("exp_mean"),
+          variance.as("exp_var"),
+          sqrt(variance).as("exp_std"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     Q("op_expanding",
       """SELECT o_custkey, o_orderkey,
         |  max(o_totalprice) OVER we AS exp_max,
