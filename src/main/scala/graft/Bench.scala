@@ -58,17 +58,24 @@ object Bench {
         try { force(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); None }
       }
-      (name, if (times.isEmpty) -1.0 else times.min, times.nonEmpty)
+      (name, if (times.isEmpty) -1.0 else times.min, times.nonEmpty, times)
     }
     // Failed queries are surfaced explicitly (sentinel -1) and excluded from
     // the headline total, so a broken query can't make the bench look fast.
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // Raw per-rep timings alongside the min: external load bursts on a
+    // shared box swing sub-second queries ±2×, and with only the min
+    // recorded a reader can't tell noise from a plan regression — the
+    // spread (e.g. [0.31, 2.1, 0.30]) adjudicates without a local rerun.
+    val repsJson = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val failed = results.count(!_._3)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
     // sbt wraps stdout in [info] prefixes, so the machine-readable copy goes
     // to a file; stdout keeps a human-readable echo.
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")

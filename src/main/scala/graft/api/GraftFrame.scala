@@ -982,13 +982,39 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.orderBy(df(colName).asc).limit(n))
 
   /** Monotonicity check over an explicit order (reference
-    * base/check_monotonic.py): single window pass + bool_and reduce. */
+    * base/check_monotonic.py).
+    *
+    * Scale shape: monotonicity is adjacency-local, so the frame is
+    * range-partitioned on the order column (contiguous, sorted bucket
+    * ranges), each bucket checks its own adjacent pairs under a window
+    * partitioned by bucket id — parallel, never a global single-task
+    * sort — and buckets are stitched by comparing each bucket's
+    * last-by-order value with the next bucket's first-by-order value.
+    * Only the per-bucket summaries (≤ shuffle.partitions rows) cross a
+    * global window. */
   def checkMonotonic(orderCol: String, valueCol: String): GraftFrame = {
-    val w = Window.orderBy(df(orderCol))
-    val stepUp = df(valueCol) >= lag(df(valueCol), 1).over(w)
-    val stepDown = df(valueCol) <= lag(df(valueCol), 1).over(w)
-    GraftFrame(df
-      .select(coalesce(stepUp, lit(true)).as("__up"), coalesce(stepDown, lit(true)).as("__dn"))
+    val ranged = df.select(df(orderCol).as("__o"), df(valueCol).as("__v"))
+      .repartitionByRange(col("__o"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__o"))
+    val prev = lag(col("__v"), 1).over(w)
+    val perBucket = ranged
+      .withColumn("__up", coalesce(col("__v") >= prev, lit(true)))
+      .withColumn("__dn", coalesce(col("__v") <= prev, lit(true)))
+      .groupBy(col("__pid"))
+      .agg(
+        bool_and(col("__up")).as("__bup"),
+        bool_and(col("__dn")).as("__bdn"),
+        min_by(col("__v"), col("__o")).as("__first"),
+        max_by(col("__v"), col("__o")).as("__last"))
+    // bucket ranges are ordered by __pid (RangePartitioner contract), so a
+    // lag over bucket summaries supplies the cross-boundary adjacent pair
+    val wb = Window.orderBy(col("__pid"))
+    val lastPrev = lag(col("__last"), 1).over(wb)
+    GraftFrame(perBucket
+      .select(
+        (col("__bup") && coalesce(col("__first") >= lastPrev, lit(true))).as("__up"),
+        (col("__bdn") && coalesce(col("__first") <= lastPrev, lit(true))).as("__dn"))
       .agg(bool_and(col("__up")).as("increasing"), bool_and(col("__dn")).as("decreasing")))
   }
 
@@ -1179,7 +1205,59 @@ final case class GraftFrame(df: DataFrame) {
   def repartitionBy(n: Int, cols: String*): GraftFrame =
     GraftFrame(df.repartition(n, cols.map(df(_)): _*))
 
-  /** Small-frame transpose (reference base/transpose.py): id values become
+  /** Distributed transpose (reference base/transpose.py): id values become
+    * columns, value columns become rows. The data path is fully
+    * distributed — melt to (id, column, value) long form, ONE
+    * partial-aggregatable shuffle building a per-output-row map (each
+    * partition pre-merges its own id→value entries, so no single task
+    * ever holds more than the output row it owns), then a projection
+    * into the wide schema. Only the id LABELS are collected, because the
+    * output schema needs them — exactly what the reference does with the
+    * axis index.
+    *
+    * The honest scale bound is the output WIDTH, not the input size: a
+    * transposed row is inherently one column per input row, and no
+    * engine escapes that (the reference tiles it, but a 1e9-column frame
+    * is still unusable). `maxCols` guards it loudly; past ~1e5 use the
+    * long form (melt) directly. */
+  def transpose(idCol: String, maxCols: Int = 100000): GraftFrame = {
+    val ids = df.select(df(idCol).cast("string").as("__id")).distinct()
+      .orderBy(col("__id")).limit(maxCols + 1).collect().map(_.getString(0))
+    require(ids.length <= maxCols,
+      s"transpose output would exceed $maxCols columns (one per distinct " +
+        s"'$idCol') — a frame that wide is unusable; work on the melted " +
+        "long form instead or raise maxCols deliberately")
+    val valueCols = df.columns.filterNot(_ == idCol).toSeq
+    val melted = df.select(
+        (df(idCol).cast("string").as("__id") +:
+          valueCols.map(c => df(c).cast("double").as(c))): _*)
+      .unpivot(Array(col("__id")), valueCols.map(col).toArray, "column", "value")
+      // duplicate ids keep their first value (pivot/first parity) so the
+      // map build below never sees a duplicate key
+      .groupBy(col("column"), col("__id")).agg(first(col("value")).as("value"))
+    val agg = melted.groupBy(col("column"))
+      .agg(map_from_entries(
+        collect_list(struct(col("__id"), col("value")))).as("__m"))
+    // widen imperatively: a declarative n-column projection (element_at
+    // per id) costs Catalyst O(n²) in analysis/codegen past ~10k columns
+    // (measured: ~30 s at 12k); reading the map per row is O(n) flat.
+    // The distributed work — melt, dedup, map-merge shuffle — all
+    // happened declaratively above; this is only the final row shaping.
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("column",
+        org.apache.spark.sql.types.StringType) +:
+        ids.toSeq.map(id => org.apache.spark.sql.types.StructField(
+          id, org.apache.spark.sql.types.DoubleType)))
+    val idSeq = ids.toSeq
+    val rows = agg.rdd.map { r =>
+      val m = r.getMap[String, Any](1)
+      org.apache.spark.sql.Row.fromSeq(r.getString(0) +: idSeq.map(m.getOrElse(_, null)))
+    }
+    GraftFrame(df.sparkSession.createDataFrame(rows, schema))
+  }
+
+  /** Small-frame transpose (kept for parity with r1–r6 call sites; the
+    * distributed path is [[transpose]]): id values become
     * columns, value columns become rows. Collects the (small) id set on the
     * driver to fix the output schema — like the reference, which needs the
     * full axis labels to transpose; do not call on large frames. A hard

@@ -140,22 +140,30 @@ object TextFunctions {
     *
     * Shape: explode → ONE (doc, word) partial+final count aggregate → one
     * per-doc aggregate. Both shuffles key on doc_id (the second reuses the
-    * first's key prefix); no collect, no window over the corpus. */
+    * first's key prefix); no collect, no window over the corpus.
+    *
+    * Determinism: the Σ c·log2 c term is summed as exact scaled integers
+    * (per-word floor(c·log2 c · 1e6 + 0.5) longs, ≤1e-6-bit quantization)
+    * rather than raw doubles — a cross-row double sum depends on partition
+    * and merge order, so the same corpus could hash differently run to
+    * run (and engine to engine). Integer summation is order-free. */
   def unigramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val wc = df
       .select(col(idCol), explode(words(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w"))
       .agg(count(lit(1)).as("__c"))
+    val term = col("__c").cast("double") * log2(col("__c").cast("double"))
     wc.groupBy(col(idCol))
       .agg(
         sum(col("__c")).as("tokens"),
         count(lit(1)).as("types"),
-        sum(col("__c").cast("double") * log2(col("__c").cast("double"))).as("__slc"))
+        sum(floor(term * lit(1000000.0) + lit(0.5)).cast("long")).as("__slc"))
       .select(col(idCol), col("tokens"), col("types"),
         (col("types").cast("double") / col("tokens").cast("double")).as("ttr"),
         (log2(col("tokens").cast("double")) -
-          col("__slc") / col("tokens").cast("double")).as("entropy"))
+          col("__slc").cast("double") / lit(1000000.0) /
+            col("tokens").cast("double")).as("entropy"))
   }
 
   /** Feature hashing (the hashing trick; MLlib HashingTF re-expressed with
@@ -193,7 +201,12 @@ object TextFunctions {
     * true when scoring a corpus against itself, the intended use). An
     * out-of-vocabulary word has probability 0 — infinite cross-entropy —
     * and is dropped by the inner join instead, silently shrinking
-    * `tokens`; score against a superset corpus or pre-filter OOV docs. */
+    * `tokens`; score against a superset corpus or pre-filter OOV docs.
+    *
+    * Determinism: the Σ c·log2 p term sums exact scaled integers
+    * (per-word floor(term·1e6 + 0.5) longs), not raw doubles — see
+    * [[unigramStats]]: cross-row double sums are partition-order- and
+    * engine-summation-order-dependent. */
   def unigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val docWc = df
@@ -203,26 +216,35 @@ object TextFunctions {
     val tok = corpus.select(explode(words(col(textCol))).as("__w"))
     val corpusWc = tok.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
     val total = tok.agg(count(lit(1)).as("__n"))
+    val term = col("__c").cast("double") *
+      log2(col("__cw").cast("double") / col("__n").cast("double"))
     docWc
       .join(corpusWc, Seq("__w"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
         sum(col("__c")).as("tokens"),
-        sum(col("__c").cast("double") *
-          log2(col("__cw").cast("double") / col("__n").cast("double"))).as("__sxe"))
+        sum(floor(term * lit(1000000.0) + lit(0.5)).cast("long")).as("__sxe"))
       .select(col(idCol), col("tokens"),
-        (-col("__sxe") / col("tokens").cast("double")).as("xent"))
+        (-(col("__sxe").cast("double") / lit(1000000.0) /
+          col("tokens").cast("double"))).as("xent"))
   }
 
   /** Interpolated bigram-LM cross-entropy per document (the CCNet/KenLM
     * quality signal one order up from [[unigramCrossEntropy]]):
     *
     *   P(w_i | w_{i−1}) = λ·c(w_{i−1},w_i)/c(w_{i−1}·) + (1−λ)·c(w_i)/N
-    *   xent(d) = −(1/B_d) Σ_{bigrams} log2 P      (B_d = bigram count)
+    *   xent(d) = −(1/B_d) Σ_{in-vocab bigrams} log2 P
     *
     * computed against `corpus` counts. Unseen bigrams/contexts fall back
-    * to the unigram term alone (the interpolation's whole point).
+    * to the unigram term alone (the interpolation's whole point). A
+    * bigram whose SECOND word is absent from the corpus entirely has
+    * P = 0 (infinite cross-entropy): such bigrams are EXCLUDED from the
+    * xent numerator and denominator and counted in the `oov` output
+    * column instead — silently summing log2(0) would deflate the score
+    * (Spark log2(0) is null and vanishes from sum; DuckDB's is -inf).
+    * Scoring a corpus against itself (the intended use) gives oov = 0
+    * everywhere; a doc with no in-vocab bigram gets a null xent.
     *
     * Scale shape: corpus bigram counts, context totals, and unigram
     * counts are three partial+final aggregates over one exploded token
@@ -254,6 +276,8 @@ object TextFunctions {
     val total = tok.agg(count(lit(1)).as("__n"))
     // (1−λ) as a runtime IEEE subtract so any SQL mirror (1.0 − λ) agrees
     val mu = lit(1.0) - lit(lambda)
+    val inVocab = col("__cw").isNotNull
+    val term = col("__c").cast("double") * log2(col("__p"))
     docBg
       .join(corpBg, Seq("__v", "__w2"), "left")
       .join(ctx, Seq("__v"), "left")
@@ -266,9 +290,15 @@ object TextFunctions {
             col("__n").cast("double"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("bigrams"),
-        sum(col("__c").cast("double") * log2(col("__p"))).as("__s"))
-      .select(col(idCol), col("bigrams"),
-        (-col("__s") / col("bigrams").cast("double")).as("xent"))
+        sum(when(!inVocab, col("__c")).otherwise(lit(0L))).as("oov"),
+        // scaled-integer term sum (see unigramStats) over in-vocab
+        // bigrams only; all-OOV docs leave the sums null → null xent
+        sum(when(inVocab,
+          floor(term * lit(1000000.0) + lit(0.5)).cast("long"))).as("__s"),
+        sum(when(inVocab, col("__c"))).as("__biv"))
+      .select(col(idCol), col("bigrams"), col("oov"),
+        (-(col("__s").cast("double") / lit(1000000.0) /
+          col("__biv").cast("double"))).as("xent"))
   }
 
   /** Zipf-law exponent of the corpus word-frequency distribution: OLS

@@ -401,9 +401,13 @@ object Learn {
       : Array[Double] = {
     import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val xy = df.select(col(featuresArrayCol), col(labelCol).cast("double"))
+    // normalize the features column to array<double> up front so both the
+    // array<float> embedding convention and array(doubleCols...) work —
+    // a bare getSeq[Float] on an array<double> column would CCE at runtime
+    val xy = df.select(col(featuresArrayCol).cast("array<double>"),
+        col(labelCol).cast("double"))
       .rdd.map { r =>
-        (r.getSeq[Float](0).map(_.toDouble).toArray, r.getDouble(1))
+        (r.getSeq[Double](0).toArray, r.getDouble(1))
       }
     xy.cache()
     try {
@@ -584,12 +588,31 @@ object Learn {
     * decomposed by label): a = mean distance to own cluster (self
     * excluded), b = min over other clusters of the mean distance,
     * s = (b − a) / max(a, b); singletons get s = 0 (sklearn's
-    * convention). Exact all-pairs formulation — O(n²) like sklearn's;
-    * at corpus scale sample first (sampleN / weightedSample), exactly as
-    * sklearn's sample_size= does. Returns (label, n, mean_s). */
+    * convention). Exact all-pairs formulation — O(n²) like sklearn's.
+    * Returns (label, n, mean_s).
+    *
+    * Scale guard: the all-pairs join is a cartesian product, so a
+    * mis-aimed call on a large frame must fail loudly rather than plan
+    * n² pair distances. `maxRows` is a hard count guard (transposeSmall
+    * pattern); pass `sampleN` (sklearn's sample_size=) to score a
+    * deterministic hash-ordered sample instead — the scale path. */
   def silhouetteByCluster(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(labelCol).as("__l"),
+      labelCol: String, maxRows: Int = 20000, sampleN: Int = -1): DataFrame = {
+    val input =
+      if (sampleN > 0) {
+        require(sampleN <= maxRows,
+          s"sampleN=$sampleN still plans an O(n²) pair join past maxRows=$maxRows")
+        // deterministic TakeOrdered on an id hash — no rand(), no collect
+        df.orderBy(hash(col(idCol)), col(idCol)).limit(sampleN)
+      } else {
+        val n = df.limit(maxRows + 1).count()
+        require(n <= maxRows,
+          s"silhouetteByCluster is exact all-pairs (O(n²), like sklearn): " +
+            s"> $maxRows rows would plan a cartesian join. Pass sampleN= " +
+            "(sklearn sample_size=) to score a deterministic sample at scale.")
+        df
+      }
+    val base = input.select(col(idCol).as("__id"), col(labelCol).as("__l"),
       col(vecCol).as("__v"))
     val other = base.select(col("__id").as("__id2"), col("__l").as("__l2"),
       col("__v").as("__v2"))
@@ -630,8 +653,13 @@ object Learn {
   /** Cohen's kappa between two label columns (sklearn cohen_kappa_score):
     * (p_o − p_e) / (1 − p_e) with chance agreement from the marginals.
     * One confusion-count aggregate; every term is an exact integer ratio,
-    * so the result is engine-deterministic without rounding. */
+    * so the result is engine-deterministic without rounding. The n·n and
+    * Σ nₐ·n_b products go through DECIMAL, not long×long — a long product
+    * overflows (ANSI: throws) past ~3e9 rows, which a 100 TB frame
+    * exceeds; DECIMAL(38,0) stays exact to 1e38 and converts to the same
+    * double below 2^53. */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
     val cm = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__n"))
     val po = cm.agg(
@@ -640,13 +668,12 @@ object Learn {
     val ma = cm.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
     val mb = cm.groupBy(col("__b").as("__a")).agg(sum(col("__n")).as("__nb"))
     val pe = ma.join(mb, Seq("__a"), "inner")
-      .agg(sum(col("__na") * col("__nb")).as("__cross"))
+      .agg(sum(dec(col("__na")) * dec(col("__nb"))).as("__cross"))
+    val totalSq = (dec(col("__total")) * dec(col("__total"))).cast("double")
     po.crossJoin(pe).select(
       ((col("__agree").cast("double") / col("__total").cast("double") -
-        col("__cross").cast("double") /
-          (col("__total") * col("__total")).cast("double")) /
-        (lit(1.0) - col("__cross").cast("double") /
-          (col("__total") * col("__total")).cast("double"))).as("kappa"))
+        col("__cross").cast("double") / totalSq) /
+        (lit(1.0) - col("__cross").cast("double") / totalSq)).as("kappa"))
   }
 
   /** Classification accuracy. */

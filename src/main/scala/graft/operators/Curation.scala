@@ -170,12 +170,21 @@ object Curation {
     * portable uniform of its id, and the global top-k keys win —
     * inclusion probability proportional to weight, rerun- and
     * engine-stable, one distributed TakeOrdered (no shuffle of the
-    * corpus, no per-partition reservoir state). Weights must be > 0. */
+    * corpus, no per-partition reservoir state). Weights must be > 0 and
+    * non-null — enforced row-wise with a raise_error expression (a null
+    * key would silently drop the row from the desc sort; a negative
+    * weight gives u^(1/w) > 1 and inverts the selection), failing fast
+    * like the repo's other operator guards. */
   def weightedSample(docs: DataFrame, weightCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val key = pow(PortableHash.uniform01(col(idCol)),
-      lit(1.0) / col(weightCol).cast("double"))
+    val w = col(weightCol).cast("double")
+    val wChecked = when(w.isNull || w <= 0.0,
+      raise_error(concat(
+        lit(s"weightedSample: weight column '$weightCol' must be > 0, got "),
+        coalesce(w.cast("string"), lit("null")),
+        lit(" at id "), col(idCol).cast("string")))).otherwise(w)
+    val key = pow(PortableHash.uniform01(col(idCol)), lit(1.0) / wChecked)
     docs.withColumn("__wkey", key)
       .orderBy(col("__wkey").desc, col(idCol))
       .limit(k)
@@ -194,7 +203,8 @@ object Curation {
   /** Gopher/MassiveText document-quality rule flags (Rae et al. 2021,
     * table A1; the RefinedWeb/Dolma descendants use the same rules):
     * word count bounds, mean-word-length bounds, symbol-to-word ratio
-    * ('#' and '…' as '...'), bullet-line and ellipsis-line fractions,
+    * ('#' plus ellipses — both ASCII '...' and Unicode '…' U+2026),
+    * bullet-line and ellipsis-line fractions (either ellipsis form),
     * alphabetic-word fraction, stopword presence, and distinct-word
     * fraction. Returns (idCol, n_words, one boolean per rule, pass).
     *
@@ -216,13 +226,15 @@ object Curation {
     val mwl = TextFunctions.meanWordLen(txt)
     val hashes = (length(txt) - length(translate(txt, "#", ""))).cast("double")
     val ellipses = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", "")))
-      .cast("double") / lit(3).cast("double")
+      .cast("double") / lit(3).cast("double") +
+      (length(txt) - length(translate(txt, "…", ""))).cast("double")
     val lines = split(txt, "\n")
     val nl = size(lines).cast("double")
     val bullets = size(filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
       .cast("double")
-    val ellLines = size(filter(lines, l => l.endsWith("..."))).cast("double")
+    val ellLines = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double")
     val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
     val stops = Seq("the", "a", "and", "of", "to", "in", "is", "that")
     val nStop = stops.map(s => array_contains(ws, s).cast("int")).reduce(_ + _)

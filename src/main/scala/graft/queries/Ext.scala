@@ -956,9 +956,10 @@ object Ext {
     },
 
     // --- per-doc cross-entropy vs the corpus unigram distribution (the
-    //     CCNet-style LM quality signal): Σ c·log2(p) sums doubles whose
-    //     order differs per engine → round 4 (entropy tolerance class);
-    //     token counts compare exactly.
+    //     CCNet-style LM quality signal): the Σ c·log2(p) term is summed
+    //     as exact scaled integers on BOTH sides (ext_entropy pattern —
+    //     raw double sums are summation-order-dependent and flipped
+    //     across DuckDB builds at round-4 in r6); token counts exact.
     Q("ext_unigram_xent",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |             FROM documents),
@@ -967,9 +968,13 @@ object Ext {
         |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
         |tot AS (SELECT COUNT(*) AS n FROM tok)
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tokens,
-        |  round(-SUM(CAST(c AS DOUBLE)
-        |             * log2(CAST(cw.cw AS DOUBLE) / CAST(tot.n AS DOUBLE)))
-        |        / CAST(SUM(c) AS DOUBLE), 4) + CAST(0.0 AS DOUBLE) AS xent
+        |  round(-(CAST(CAST(SUM(CAST(floor(
+        |        CAST(c AS DOUBLE)
+        |          * log2(CAST(cw.cw AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |          * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |        AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |      / CAST(1000000.0 AS DOUBLE) / CAST(SUM(c) AS DOUBLE)), 4)
+        |    + CAST(0.0 AS DOUBLE) AS xent
         |FROM dc JOIN cw USING (w), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
@@ -1168,9 +1173,12 @@ object Ext {
 
     // --- per-document unigram diversity: token count, distinct types,
     //     type-token ratio (exact long/long rational), Shannon entropy in
-    //     bits. The Σ c·log2 c term sums doubles whose order differs per
-    //     engine, so entropy rounds to 4 decimals (same tolerance class as
-    //     the ANN cosine oracles); ttr is exact division → round 6.
+    //     bits. The Σ c·log2 c term is summed as exact scaled integers on
+    //     BOTH sides (per-word floor(c·log2 c·1e6 + 0.5) BIGINTs): a raw
+    //     double sum is summation-order-dependent, which diverged across
+    //     DuckDB builds on the driver in r6 even at round-4. Per-row
+    //     c·log2 c is the deterministic-libm class; the integer sum is
+    //     order-free; the final log2 / divisions are per-row IEEE ops.
     Q("ext_entropy",
       """WITH wc AS (
         |  SELECT doc_id, w, COUNT(*) AS c
@@ -1179,11 +1187,16 @@ object Ext {
         |  GROUP BY doc_id, w),
         |agg AS (
         |  SELECT doc_id, SUM(c) AS tokens, COUNT(*) AS types,
-        |         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS slc
+        |         CAST(SUM(CAST(floor(
+        |             CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+        |               * CAST(1000000.0 AS DOUBLE)
+        |               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS slc
         |  FROM wc GROUP BY doc_id)
         |SELECT doc_id, tokens, types,
         |  round(CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS ttr,
-        |  round(log2(CAST(tokens AS DOUBLE)) - slc / CAST(tokens AS DOUBLE), 4)
+        |  round(log2(CAST(tokens AS DOUBLE))
+        |        - CAST(slc AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+        |          / CAST(tokens AS DOUBLE), 4)
         |    + CAST(0.0 AS DOUBLE) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
@@ -1411,7 +1424,10 @@ object Ext {
 
     // --- interpolated bigram-LM cross-entropy (KenLM-style quality
     //     signal, one order above ext_unigram_xent): per-row arithmetic
-    //     mirrors exactly; the cross-row Σ is order-dependent → round 4.
+    //     mirrors exactly; the cross-row Σ sums exact scaled integers
+    //     (ext_entropy pattern). oov counts bigrams whose second word is
+    //     corpus-absent (always 0 here: docs ⊆ corpus — exercised in
+    //     CurationSpec with a disjoint corpus).
     Q("ext_bigram_xent",
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bg AS (SELECT doc_id, ws[i] AS v, ws[i+1] AS w
@@ -1425,14 +1441,20 @@ object Ext {
         |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
         |tot AS (SELECT COUNT(*) AS n FROM tok)
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bigrams,
-        |  round(-SUM(CAST(c AS DOUBLE) * log2(
-        |      CAST(0.75 AS DOUBLE)
-        |        * COALESCE(CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE),
-        |                   CAST(0.0 AS DOUBLE))
-        |      + (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-        |        * COALESCE(CAST(cw AS DOUBLE), CAST(0.0 AS DOUBLE))
-        |        / CAST(n AS DOUBLE)))
-        |    / CAST(SUM(c) AS DOUBLE), 4) + CAST(0.0 AS DOUBLE) AS xent
+        |  CAST(COALESCE(SUM(c) FILTER (WHERE cw IS NULL), 0) AS BIGINT) AS oov,
+        |  round(-(CAST(CAST(SUM(CAST(floor(
+        |      CAST(c AS DOUBLE) * log2(
+        |        CAST(0.75 AS DOUBLE)
+        |          * COALESCE(CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE),
+        |                     CAST(0.0 AS DOUBLE))
+        |        + (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          * COALESCE(CAST(cw AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |          / CAST(n AS DOUBLE))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      FILTER (WHERE cw IS NOT NULL) AS BIGINT) AS DOUBLE)
+        |    / CAST(1000000.0 AS DOUBLE)
+        |    / CAST(SUM(c) FILTER (WHERE cw IS NOT NULL) AS DOUBLE)), 4)
+        |    + CAST(0.0 AS DOUBLE) AS xent
         |FROM dbg LEFT JOIN cbg USING (v, w) LEFT JOIN ctx USING (v)
         |     LEFT JOIN uni USING (w), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -1458,10 +1480,13 @@ object Ext {
         |    / CAST(greatest(len(ws), 1) AS DOUBLE) AS mwl,
         |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
         |  CAST(length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))
-        |       AS DOUBLE) / CAST(3 AS DOUBLE) AS ell,
+        |       AS DOUBLE) / CAST(3 AS DOUBLE)
+        |    + CAST(length(text) - length(replace(text, chr(8230), ''))
+        |           AS DOUBLE) AS ell,
         |  CAST(len(list_filter(ls, l -> starts_with(l, '- ')
         |       OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE) AS nbul,
-        |  CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) AS nelll,
+        |  CAST(len(list_filter(ls, l -> ends_with(l, '...')
+        |       OR ends_with(l, chr(8230)))) AS DOUBLE) AS nelll,
         |  CAST(len(ls) AS DOUBLE) AS nl,
         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
         |       AS DOUBLE) AS nalpha,

@@ -183,6 +183,47 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.3 DISTRIBUTED transpose past the 10k wall (reference
+    //     base/transpose.py): ~12k orders become ~12k columns through the
+    //     map-aggregate path (one partial-merging shuffle, labels-only
+    //     collect), then the wide frame melts BACK to long form so the
+    //     oracle can check every transposed cell without 12k-column SQL.
+    //     A wrong transpose (dropped id, shifted column, lost value)
+    //     surfaces as a missing/wrong (column, id, value) row. The
+    //     melt-back is a schema-driven per-partition row explosion, NOT
+    //     `unpivot`: Catalyst's analyzer goes O(width²) on a 12k-column
+    //     unpivot (~8 min measured) while reading the 12k fields off each
+    //     of the 2 wide rows imperatively is instant — exactly the
+    //     "genuine per-partition logic" RDD carve-out.
+    Q("op_transpose_wide",
+      """SELECT "column", id, value FROM (
+        |  SELECT 'o_totalprice' AS "column", CAST(o_orderkey AS VARCHAR) AS id,
+        |         CAST(o_totalprice AS DOUBLE) AS value
+        |  FROM orders WHERE o_orderkey < 48000
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_orderkey AS VARCHAR),
+        |         CAST(o_custkey AS DOUBLE)
+        |  FROM orders WHERE o_orderkey < 48000) t
+        |ORDER BY "column", id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val wide = gt(spark, dir, "orders")
+        .query("o_orderkey < 48000")
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .transpose("o_orderkey")
+        .df
+      val names = wide.schema.fieldNames
+      val long = spark.createDataFrame(
+        wide.rdd.flatMap { row =>
+          val c = row.getString(0)
+          (1 until row.length).iterator.map(i => Row(c, names(i),
+            if (row.isNullAt(i)) null else row.getDouble(i)))
+        },
+        StructType(Seq(StructField("column", StringType),
+          StructField("id", StringType), StructField("value", DoubleType))))
+      long.orderBy(col("column"), col("id"))
+    },
+
     // --- §2.1/§2.2 csv round-trip: engine writes csv, both engines read the
     //     same files back (reference datastore/to_csv.py:41 +
     //     datasource/read_csv.py:368)

@@ -228,12 +228,19 @@ object OpsReshape {
         |  FROM bounds),
         |j AS (
         |  SELECT g.user_id, g.day, COALESCE(d.cnt, 0) AS cnt, d.sum_val
-        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
-        |  last_value(sum_val IGNORE NULLS) OVER (
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+        |-- ffill via gap-group id (count of non-nulls so far) + max within the
+        |-- group: one non-null per group, so max picks it. Version-stable on
+        |-- every engine — no IGNORE NULLS, whose support/semantics vary
+        |-- across DuckDB builds.
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
         |    PARTITION BY user_id ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ffill
-        |FROM j ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
+        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 8))
         .resampleDaily("user_id", "ts", floor($"value").cast("long"))
@@ -259,12 +266,16 @@ object OpsReshape {
         |  FROM bounds),
         |j AS (
         |  SELECT g.user_id, g.day, COALESCE(w.cnt, 0) AS cnt, w.sum_val
-        |  FROM grid g LEFT JOIN weekly w ON g.user_id = w.user_id AND g.day = w.day)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
-        |  last_value(sum_val IGNORE NULLS) OVER (
+        |  FROM grid g LEFT JOIN weekly w ON g.user_id = w.user_id AND g.day = w.day),
+        |-- gap-group ffill (see op_resample): version-stable, no IGNORE NULLS.
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
         |    PARTITION BY user_id ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ffill
-        |FROM j ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
+        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 25))
         .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "week")

@@ -115,40 +115,46 @@ object OpsWindows {
     //     native var_samp windows accumulate differently per engine
     //     (streamed moments vs Welford — observed 1e-4 drift at money
     //     magnitudes), so the oracle computes both sides from EXACT
-    //     decimal window sums: (S2 − S1²/n)/(n−1) over identical IEEE
-    //     ops — bit-exact, no rounding. n = 1 prefixes are null both.
+    //     integer window sums of CENTS: per-row c = totalprice*100 is an
+    //     exact BIGINT (via DECIMAL(12,2), no float rounding), S1=Σc and
+    //     S2=Σc² are exact BIGINTs, and BIGINT→DOUBLE conversion is
+    //     IEEE round-to-nearest on every engine/build — unlike wide
+    //     DECIMAL→DOUBLE casts, whose rendering drifted on the driver's
+    //     DuckDB build (r6). Then (S2 − S1²/n)/(n−1)/1e4 over identical
+    //     IEEE double ops — bit-exact, no rounding. n=1 → null both.
     Q("op_expanding_stats",
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(d) OVER we AS DOUBLE) / n AS exp_mean,
+        |  s1 / n / CAST(100.0 AS DOUBLE) AS exp_mean,
         |  CASE WHEN n > 1 THEN
-        |    (CAST(SUM(d * d) OVER we AS DOUBLE)
-        |     - CAST(SUM(d) OVER we AS DOUBLE) * CAST(SUM(d) OVER we AS DOUBLE) / n)
-        |    / (n - CAST(1.0 AS DOUBLE)) END AS exp_var,
+        |    (s2 - s1 * s1 / n) / (n - CAST(1.0 AS DOUBLE))
+        |    / CAST(10000.0 AS DOUBLE) END AS exp_var,
         |  sqrt(CASE WHEN n > 1 THEN
-        |    (CAST(SUM(d * d) OVER we AS DOUBLE)
-        |     - CAST(SUM(d) OVER we AS DOUBLE) * CAST(SUM(d) OVER we AS DOUBLE) / n)
-        |    / (n - CAST(1.0 AS DOUBLE)) END) AS exp_std
-        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
-        |             CAST(o_totalprice AS DECIMAL(12,2)) AS d,
-        |             CAST(COUNT(*) OVER we0 AS DOUBLE) AS n
-        |      FROM orders WHERE o_custkey < 100
-        |      WINDOW we0 AS (PARTITION BY o_custkey
-        |                     ORDER BY o_orderdate, o_orderkey
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
-        |WINDOW we AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    (s2 - s1 * s1 / n) / (n - CAST(1.0 AS DOUBLE))
+        |    / CAST(10000.0 AS DOUBLE) END) AS exp_std
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             CAST(CAST(SUM(c) OVER we AS BIGINT) AS DOUBLE) AS s1,
+        |             CAST(CAST(SUM(c * c) OVER we AS BIGINT) AS DOUBLE) AS s2,
+        |             CAST(COUNT(*) OVER we AS DOUBLE) AS n
+        |      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |                        AS BIGINT) AS c
+        |            FROM orders WHERE o_custkey < 100) raw
+        |      WINDOW we AS (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate, o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val we = Windows.expanding(
         Windows.spec(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey")))
-      val d = dec12($"o_totalprice")
-      val s1 = sum(d).over(we).cast("double")
-      val s2 = sum(d * d).over(we).cast("double")
+      val c = (dec12($"o_totalprice") * lit(100)).cast("long")
+      val s1 = sum(c).over(we).cast("double")
+      val s2 = sum(c * c).over(we).cast("double")
       val n = count(lit(1)).over(we).cast("double")
-      val variance = when(n > 1, (s2 - s1 * s1 / n) / (n - lit(1.0)))
+      val variance =
+        when(n > 1, (s2 - s1 * s1 / n) / (n - lit(1.0)) / lit(10000.0))
       t(spark, dir, "orders").filter($"o_custkey" < 100)
         .select($"o_custkey", $"o_orderkey",
-          (s1 / n).as("exp_mean"),
+          (s1 / n / lit(100.0)).as("exp_mean"),
           variance.as("exp_var"),
           sqrt(variance).as("exp_std"))
         .orderBy($"o_custkey", $"o_orderkey")

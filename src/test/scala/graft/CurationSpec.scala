@@ -255,11 +255,30 @@ class CurationSpec extends SparkSpecBase {
         corpus, lambda = 0.75)
       .select("doc_id", "bigrams", "xent")
       .as[(Long, Long, Double)].collect().sortBy(_._1)
-    // doc 1: P(b|a) = .75*(2/2) + .25*(2/4) = 0.875
+    // doc 1: P(b|a) = .75*(2/2) + .25*(2/4) = 0.875 (scaled-int term sum
+    // quantizes each term at 1e-6)
     assert(got(0)._2 == 1L)
-    assert(math.abs(got(0)._3 - (-math.log(0.875) / math.log(2))) < 1e-12)
+    assert(math.abs(got(0)._3 - (-math.log(0.875) / math.log(2))) < 1e-6)
     // doc 2: (b,b) unseen → unigram fallback only: P = .25*(2/4) = 0.125
     assert(got(1) === ((2L, 1L, 3.0)))
+  }
+
+  test("bigramCrossEntropy flags OOV bigrams instead of deflating xent") {
+    import graft.functions.TextFunctions
+    val corpus = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // doc 1: (a,b) in-vocab + (b,z) OOV (z never appears in the corpus);
+    // doc 2: entirely OOV → null xent, not 0
+    val docs = Seq((1L, "a b z"), (2L, "z z")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramCrossEntropy(docs, "doc_id", "text",
+        corpus, lambda = 0.75)
+      .select("doc_id", "bigrams", "oov", "xent")
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 1L)
+    // xent over the single in-vocab bigram only: P(b|a) = 0.875
+    assert(math.abs(got(0).getDouble(3) -
+      (-math.log(0.875) / math.log(2))) < 1e-6)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 1L)
+    assert(got(1).isNullAt(3), "all-OOV doc must yield null xent, not 0")
   }
 
   test("linearTextScore matches a driver-side md5-bucket recomputation") {

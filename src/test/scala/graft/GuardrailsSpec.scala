@@ -47,6 +47,37 @@ class GuardrailsSpec extends SparkSpecBase {
     assert(e7.getMessage.contains("nShards"))
   }
 
+  test("weightedSample fails fast on null / non-positive weights") {
+    val docs = Seq((1L, 2.0), (2L, -1.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Curation.weightedSample(docs, "w", "id", 1).collect()
+    }
+    assert(e.getMessage.contains("must be > 0"), e.getMessage)
+    val nulls = Seq((1L, Some(2.0)), (2L, None)).toDF("id", "w")
+    val e2 = intercept[Exception] {
+      Curation.weightedSample(nulls, "w", "id", 1).collect()
+    }
+    assert(e2.getMessage.contains("must be > 0"), e2.getMessage)
+    // valid weights still sample exactly k rows
+    val ok = Seq((1L, 5.0), (2L, 1.0), (3L, 0.5)).toDF("id", "w")
+    assert(Curation.weightedSample(ok, "w", "id", 2).count() == 2)
+  }
+
+  test("silhouetteByCluster guards the all-pairs join behind maxRows") {
+    val pts = (0 until 30).map(i =>
+      (i.toLong, Array(i.toFloat, 0f), i % 3)).toDF("id", "v", "l")
+    val e = intercept[IllegalArgumentException] {
+      graft.learn.Learn.silhouetteByCluster(pts, "id", "v", "l", maxRows = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("O(n²)"), e.getMessage)
+    // sampleN path stays under the guard and still scores every label
+    val s = graft.learn.Learn
+      .silhouetteByCluster(pts, "id", "v", "l", maxRows = 10, sampleN = 9)
+      .collect()
+    assert(s.map(_.getAs[Long]("n")).sum == 9)
+  }
+
   test("chunkWords rejects overlap >= chunkSize") {
     val e = intercept[IllegalArgumentException] {
       Curation.chunkWords(tiny.df.withColumn("text", lit("a b")),

@@ -96,6 +96,22 @@ class PlanShapeSpec extends SparkSpecBase {
       out.queryExecution.executedPlan.toString.take(500))
   }
 
+  test("checkMonotonic: data-side window is bucket-partitioned, not global") {
+    val df = (0 until 5000).map(i => (i.toLong, i * 2.0)).toDF("o", "v")
+    val out = GraftFrame(df).checkMonotonic("o", "v").df
+    val plan = out.queryExecution.executedPlan.toString
+    // the frame enters via a range exchange on the order column …
+    assert(plan.contains("Exchange rangepartitioning(__o"),
+      plan.take(800))
+    // … and every window whose sort key is the order column also carries
+    // the bucket id in its partition spec (a global data window would
+    // read "windowspecdefinition(__o ... ASC" with no partition columns)
+    assert(!plan.contains("windowspecdefinition(__o"),
+      "data rows must never cross a single-task global window:\n" + plan.take(1200))
+    val r = out.collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
   test("resampleCalendar grid generation never plans a cartesian product") {
     val df = Seq((1L, "2024-01-01 10:00:00", 5L), (2L, "2024-02-01 10:00:00", 2L))
       .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))

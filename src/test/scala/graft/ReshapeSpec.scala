@@ -345,4 +345,35 @@ class ReshapeSpec extends SparkSpecBase {
     assert(got(0) === ((4L, 2L, 0.5, 1.0)))   // H(uniform over 2) = 1 bit
     assert(got(1)._4 === 0.0)                 // single-type doc: H = 0 exactly
   }
+
+  test("transpose: distributed path matches transposeSmall on a small frame") {
+    val df = Seq(("a", 1.0, 10.0), ("b", 2.0, 20.0), ("c", 3.0, 30.0))
+      .toDF("k", "x", "y")
+    val wide = GraftFrame(df).transpose("k").df.orderBy("column")
+    val small = GraftFrame(df).transposeSmall("k").df.orderBy("column")
+    assert(wide.columns.toSeq == small.columns.toSeq)
+    assert(wide.collect().toSeq == small.collect().toSeq)
+  }
+
+  test("transpose lifts the 10k wall: 12k distinct ids come back as columns") {
+    val n = 12000
+    val df = spark.range(n).select(
+      format_string("id%06d", col("id")).as("k"),
+      col("id").cast("double").as("x"),
+      (col("id") * 2).cast("double").as("y"))
+    val out = GraftFrame(df).transpose("k").df
+    assert(out.columns.length == n + 1)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("x").getAs[Double]("id000007") == 7.0)
+    assert(rows("y").getAs[Double]("id011999") == 23998.0)
+    // duplicate-id parity with pivot/first: value present, not an error
+    val dup = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0)).toDF("k", "x")
+    val d = GraftFrame(dup).transpose("k").df.collect().head
+    assert(d.getAs[Double]("a") == 1.0 && d.getAs[Double]("b") == 2.0)
+    // width guard fails loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftFrame(df).transpose("k", maxCols = 100)
+    }
+    assert(e.getMessage.contains("columns"))
+  }
 }
