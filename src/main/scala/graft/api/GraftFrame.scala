@@ -49,6 +49,18 @@ final case class GraftFrame(df: DataFrame) {
     * (base/eval.py:263 with DataFrameBoolEvalToQuery). */
   def query(sqlExpr: String): GraftFrame = GraftFrame(df.filter(sqlExpr))
 
+  /** [[eval]] accepting the pandas/Python expression dialect (`and/or/
+    * not`, `&/|/~`, `**`, `//`, `in [..]`, True/None, backtick columns) —
+    * the reference parses the same dialect from the Python ast
+    * (base/eval.py:73-111); here [[graft.functions.PandasExpr]] translates
+    * it onto Catalyst so ported notebook expressions run unchanged. */
+  def evalPandas(name: String, pyExpr: String): GraftFrame =
+    eval(name, graft.functions.PandasExpr.translate(pyExpr))
+
+  /** [[query]] accepting the pandas/Python expression dialect. */
+  def queryPandas(pyExpr: String): GraftFrame =
+    query(graft.functions.PandasExpr.translate(pyExpr))
+
   def filter(cond: Column): GraftFrame = GraftFrame(df.filter(cond))
 
   /** Conditional replace keeping shape (reference indexing/where.py:28):

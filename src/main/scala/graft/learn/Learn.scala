@@ -218,7 +218,30 @@ object Learn {
   /** Gradient-boosted trees classifier — the Spark-native stand-in for
     * the reference's contrib XGBoost/LightGBM integrations
     * (mars/learn/contrib/xgboost, /lightgbm): MLlib GBTClassifier over
-    * plain numeric feature columns. */
+    * plain numeric feature columns.
+    *
+    * ==XGBoost/LightGBM parity path==
+    * The reference's contrib modules wrap the native boosters' own
+    * distributed trainers (xgboost.dask-style collective over its
+    * workers). The Spark ecosystem equivalents are drop-in replacements
+    * for this method because they share MLlib's Estimator/Model API and
+    * the same assembled `__features` vector column:
+    *
+    *   - XGBoost: `ml.dmlc:xgboost4j-spark_2.13` —
+    *     `new XGBoostClassifier(Map("objective" -> "binary:logistic",
+    *     "num_round" -> maxIter, "max_depth" -> maxDepth))
+    *     .setFeaturesCol("__features").setLabelCol(labelCol)` — the
+    *     barrier-mode trainer runs one Rabit worker per executor, so the
+    *     data never leaves the cluster (same topology as the
+    *     reference's actor-pool trainer).
+    *   - LightGBM: SynapseML's `LightGBMClassifier`, identically shaped.
+    *
+    * Neither jar can ship here (unmanaged Spark-jars classpath, zero
+    * egress — see build.sbt), so the MLlib GBT keeps the surface covered
+    * and the contract tested: LearnSpec pins nonlinear-boundary learning
+    * (XOR quadrants; circle train/holdout) exactly like the reference's
+    * contrib tests (test_classifier.py plants a learnable boundary and
+    * asserts holdout accuracy), making the swap a one-line change. */
   def gbtFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
       maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L)
       : org.apache.spark.ml.classification.GBTClassificationModel =

@@ -259,19 +259,33 @@ object Sessionize {
     resampleCalendar(events, keyCol, tsCol, sumCol, "day")
 
   /** [[resampleDaily]] generalized over the calendar unit — pandas
-    * resample('1D' | '1W' | '1MS'): buckets are date_trunc(unit) starts
-    * (ISO Monday weeks), the per-key grid steps by one unit, month grids
-    * handle unequal month lengths because `sequence` steps calendar
-    * months, not fixed durations. */
+    * resample('1D' | '1W' | '1MS' | '1H' | '15min'): buckets are
+    * date_trunc(unit) starts (ISO Monday weeks; epoch-aligned quarter
+    * hours), the per-key grid steps by one unit, month grids handle
+    * unequal month lengths because `sequence` steps calendar months, not
+    * fixed durations. Sub-daily units keep the bucket as a TIMESTAMP
+    * (the `day` output column name is kept for API stability). */
   def resampleCalendar(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       sumCol: Column,
       unit: String): DataFrame = {
-    require(Set("day", "week", "month")(unit), s"unit must be day|week|month: $unit")
-    val bucket = date_trunc(unit, col(tsCol)).cast("date")
-    val step = expr(s"INTERVAL 1 ${unit.toUpperCase}")
+    require(Set("day", "week", "month", "hour", "15min")(unit),
+      s"unit must be day|week|month|hour|15min: $unit")
+    val bucket = unit match {
+      case "hour" => date_trunc("hour", col(tsCol))
+      case "15min" =>
+        // epoch-aligned 900 s buckets via integer arithmetic (a double
+        // floor(x/900) could misround at bucket boundaries)
+        val secs = unix_timestamp(col(tsCol))
+        timestamp_seconds(secs - pmod(secs, lit(900L)))
+      case u => date_trunc(u, col(tsCol)).cast("date")
+    }
+    val step = unit match {
+      case "15min" => expr("INTERVAL 15 MINUTE")
+      case u => expr(s"INTERVAL 1 ${u.toUpperCase}")
+    }
     val perBucket = events
       .groupBy(col(keyCol), bucket.as("day"))
       .agg(count(lit(1)).as("cnt"), sum(sumCol).as("sum_val"))

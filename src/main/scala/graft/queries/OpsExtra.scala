@@ -183,6 +183,33 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.3 eval/query in the pandas/Python dialect (reference
+    //     base/eval.py:73-111 parses the same operator set from the
+    //     Python ast): `and/or/not`, `**`, `//`, `in [..]`, backtick
+    //     columns — translated onto Catalyst by PandasExpr, so a
+    //     notebook-ported filter + assign runs unchanged. power() is the
+    //     round-6 libm class; // and comparisons are exact.
+    Q("op_eval_pandas",
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  round(floor(l_quantity / 7) + power(l_extendedprice, 0.5), 6) AS score
+        |FROM lineitem
+        |WHERE l_orderkey < 2000
+        |  AND ((l_quantity >= 30 AND l_discount <= 0.05)
+        |       OR (l_returnflag = 'R' AND NOT (power(l_tax, 2) > 0.0036))
+        |       OR l_linenumber IN (6, 7))
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem")
+        .queryPandas("`l_orderkey` < 2000 and " +
+          "((l_quantity >= 30 and l_discount <= 0.05) or " +
+          "(l_returnflag == 'R' and not (l_tax ** 2 > 0.0036)) or " +
+          "l_linenumber in [6, 7])")
+        .evalPandas("score", "l_quantity // 7 + l_extendedprice ** 0.5")
+        .assign("score" -> round(col("score"), 6))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "score")
+        .sortValues(Seq("l_orderkey", "l_linenumber", "l_partkey"))
+        .df
+    },
+
     // --- §2.3 DISTRIBUTED transpose past the 10k wall (reference
     //     base/transpose.py): ~12k orders become ~12k columns through the
     //     map-aggregate path (one partial-merging shuffle, labels-only

@@ -284,6 +284,75 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.16 resample('1H'): sub-daily hourly grid (the events fixture
+    //     is sub-daily, so the hour grid is the natural pandas
+    //     resample('1H') shape) — same gap-free completion, cnt=0 gaps,
+    //     gap-group ffill as op_resample; buckets stay TIMESTAMPs.
+    Q("op_resample_hour",
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS day, COUNT(*) AS cnt,
+        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |  FROM events WHERE user_id < 5
+        |  GROUP BY user_id, date_trunc('hour', ts)),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, COALESCE(h.cnt, 0) AS cnt, h.sum_val
+        |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.day = h.day),
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, cnt, sum_val,
+        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 5))
+        .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "hour")
+        .assign("day" -> date_format(col("day"), "yyyy-MM-dd HH:mm:ss"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
+    // --- §2.16 resample('15min'): epoch-aligned 900 s buckets via exact
+    //     integer second arithmetic on both engines.
+    Q("op_resample_15min",
+      """WITH q AS (
+        |  SELECT user_id,
+        |         make_timestamp((((epoch_us(ts) // 1000000)
+        |           - ((epoch_us(ts) // 1000000) % 900))) * 1000000) AS day,
+        |         COUNT(*) AS cnt,
+        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |  FROM events WHERE user_id < 2
+        |  GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM q GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 15 MINUTE)) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, COALESCE(q.cnt, 0) AS cnt, q.sum_val
+        |  FROM grid g LEFT JOIN q ON g.user_id = q.user_id AND g.day = q.day),
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, cnt, sum_val,
+        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 2))
+        .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "15min")
+        .assign("day" -> date_format(col("day"), "yyyy-MM-dd HH:mm:ss"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
     // --- §2.13 covariance matrix (pandas df.cov): one aggregate for all
     //     pairwise sample covariances; small-magnitude columns keep the
     //     round-6 tolerance far above engine summation noise.

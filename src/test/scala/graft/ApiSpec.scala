@@ -82,6 +82,35 @@ class ApiSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("x_p50") - 50.5) < 1e-12)
   }
 
+  test("PandasExpr translates the pandas eval/query dialect onto SQL") {
+    import graft.functions.PandasExpr.translate
+    assert(translate("a and not b or c") == "((`a` AND (NOT `b`)) OR `c`)")
+    assert(translate("(x > 1) & (y < 2) | ~z") ==
+      "(((`x` > 1) AND (`y` < 2)) OR (NOT `z`))")
+    assert(translate("a ** 2 ** 3") == "power(`a`, power(2, 3))") // right-assoc
+    assert(translate("-a ** 2") == "(- power(`a`, 2))")           // python: -(a**2)
+    assert(translate("a // 7 + 1") == "(floor(`a` / 7) + 1)")
+    assert(translate("k in [1, 2] and s not in ('x',)") ==
+      "((`k` IN (1, 2)) AND (`s` NOT IN ('x')))")
+    assert(translate("`col with space` == None") == "(`col with space` = null)")
+    assert(translate("flag == True or flag == False") ==
+      "((`flag` = true) OR (`flag` = false))")
+    assert(translate("abs(x - 1.5e2) > sqrt(y)") ==
+      "(abs((`x` - 1.5e2)) > sqrt(`y`))")
+    intercept[IllegalArgumentException](translate("a @local"))
+    intercept[IllegalArgumentException](translate("a b"))
+  }
+
+  test("evalPandas / queryPandas run a ported pandas expression") {
+    val df = Seq((1L, 4.0, true), (2L, 9.0, false), (3L, 16.0, true))
+      .toDF("id", "v", "f")
+    val out = GraftFrame(df)
+      .queryPandas("(v > 3) & f or id in [2]")
+      .evalPandas("r", "v ** 0.5 + id // 2")
+      .df.orderBy("id").select("id", "r").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2.0), (2L, 4.0), (3L, 5.0)))
+  }
+
   test("checkMonotonic detects increasing sequences") {
     val inc = GraftFrame(Seq((1L, 1.0), (2L, 2.0), (3L, 2.0)).toDF("o", "v"))
       .checkMonotonic("o", "v").df.collect().head

@@ -89,7 +89,7 @@ class GuardrailsSpec extends SparkSpecBase {
   test("resampleCalendar rejects unknown units") {
     val df = tiny.df.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
     val e = intercept[IllegalArgumentException] {
-      Sessionize.resampleCalendar(df, "k", "ts", col("v"), "hour")
+      Sessionize.resampleCalendar(df, "k", "ts", col("v"), "5sec")
     }
     assert(e.getMessage.contains("unit"))
   }

@@ -345,6 +345,28 @@ class LearnSpec extends SparkSpecBase {
     assert(acc > 0.95, s"GBT train accuracy $acc too low for XOR quadrants")
   }
 
+  test("gbt generalizes a planted circle boundary to a holdout split") {
+    // contrib-test shape (reference mars/learn/contrib/xgboost/tests/
+    // test_classifier.py): plant a nonlinear boundary, train on one
+    // split, assert accuracy on the UNSEEN split — the contract any
+    // swapped-in XGBoost4J/LightGBM estimator must also meet.
+    val r = new scala.util.Random(11)
+    val rows = (1 to 600).map { i =>
+      val x = r.nextDouble() * 2 - 1
+      val y = r.nextDouble() * 2 - 1
+      (i.toLong, x, y, if (x * x + y * y < 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "x", "y", "label")
+    val train = df.filter(col("id") % 3 =!= 0)
+    val holdout = df.filter(col("id") % 3 === 0)
+    val model = Learn.gbtFit(train, Seq("x", "y"), "label",
+      maxIter = 25, maxDepth = 4)
+    val acc = Learn.accuracy(
+        Learn.gbtPredict(model, holdout, Seq("x", "y")), "label", "prediction")
+      .as[Double].head()
+    assert(acc > 0.9, s"GBT holdout accuracy $acc too low for circle boundary")
+  }
+
   test("minMaxScale maps [min,max] to [0,1]; robustScale centers the median") {
     val df = (1 to 9).map(i => i.toDouble).toDF("x")
     val mm = Learn.minMaxScale(df, Seq("x"))
