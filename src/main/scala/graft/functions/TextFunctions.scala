@@ -371,6 +371,12 @@ object TextFunctions {
           (col("__tf") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl)))
       .groupBy(col(idCol))
-      .agg(round(sum(col("__term_score")), 4).as("score"))
+      // scaled-integer term sum (see unigramStats): the per-doc Σ over
+      // terms is otherwise summation-order-dependent, and the score is a
+      // top-k selection key downstream
+      .agg(sum(floor(col("__term_score") * lit(1000000.0) + lit(0.5))
+        .cast("long")).as("__s"))
+      .select(col(idCol),
+        round(col("__s").cast("double") / lit(1000000.0), 4).as("score"))
   }
 }

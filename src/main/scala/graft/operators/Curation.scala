@@ -386,9 +386,12 @@ object Curation {
     * scoring is one explode + (doc, bucket) count + broadcast probe + one
     * final sum keyed by doc. Nothing quadratic, no driver collection.
     * Buckets use the engine-portable md5 family (same convention as
-    * [[TextFunctions.hashingTf]]) so any engine derives identical buckets
-    * and, with round-4 on the order-dependent final sum, identical
-    * weights. */
+    * [[TextFunctions.hashingTf]]) so any engine derives identical
+    * buckets. The per-doc Σ nb·λ sums exact scaled integers
+    * (floor(term·1e6 + 0.5) longs — see TextFunctions.unigramStats): a
+    * raw double sum is summation-order-dependent, so the same corpus
+    * could rank differently run to run, and the weight IS the top-k
+    * selection key downstream. */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, dim: Int = 1024): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
@@ -416,6 +419,9 @@ object Curation {
     rawB.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("nb"))
       .join(broadcast(lambda), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("nb") * col("lam")), 4).as("dsir_weight"))
+      .agg(sum(floor(col("nb") * col("lam") * lit(1000000.0) + lit(0.5))
+        .cast("long")).as("__s"))
+      .select(col(idCol),
+        round(col("__s").cast("double") / lit(1000000.0), 4).as("dsir_weight"))
   }
 }

@@ -1252,9 +1252,11 @@ object Ext {
 
     // --- DSIR importance weights: log-likelihood ratio of the src0 slice
     //     (the "target" domain) vs the whole corpus over 256 portable-md5
-    //     bigram buckets, Laplace-smoothed. Per-doc Σ nb·λ(b) sums doubles
-    //     across rows → round 4 (+0.0: weights cross zero, and round
-    //     preserves -0.0).
+    //     bigram buckets, Laplace-smoothed. Per-doc Σ nb·λ(b) sums exact
+    //     scaled integers on BOTH sides (ext_entropy pattern — raw double
+    //     sums are order-dependent, and the weight is the top-20
+    //     selection key, so a 1-ulp flip could swap rank 20/21). +0.0:
+    //     weights cross zero, and round preserves -0.0.
     Q("ext_dsir",
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |           FROM documents),
@@ -1278,7 +1280,11 @@ object Ext {
         |db AS (SELECT doc_id, bucket, COUNT(*) AS nb FROM b
         |       GROUP BY doc_id, bucket)
         |SELECT doc_id,
-        |       round(SUM(nb * lam), 4) + CAST(0.0 AS DOUBLE) AS dsir_weight
+        |       round(CAST(CAST(SUM(CAST(floor(
+        |           nb * lam * CAST(1000000.0 AS DOUBLE)
+        |             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / CAST(1000000.0 AS DOUBLE), 4)
+        |         + CAST(0.0 AS DOUBLE) AS dsir_weight
         |FROM db JOIN lam USING (bucket)
         |GROUP BY doc_id
         |ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
@@ -1293,8 +1299,9 @@ object Ext {
 
     // --- Okapi BM25 top-20 for a fixed 3-term query; the oracle mirrors
     //     the exact arithmetic shape (left-assoc, every literal cast to
-    //     DOUBLE — bare DuckDB decimals are DECIMAL). Per-doc Σ over terms
-    //     is order-dependent → round 4.
+    //     DOUBLE — bare DuckDB decimals are DECIMAL). Per-doc Σ over
+    //     terms sums exact scaled integers on BOTH sides (ext_entropy
+    //     pattern; the score is also the top-20 selection key).
     Q("ext_bm25",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
@@ -1310,11 +1317,14 @@ object Ext {
         |               / (COUNT(*) + CAST(0.5 AS DOUBLE))) AS idf
         |        FROM tf, stats GROUP BY tm, stats.n)
         |SELECT tf.doc_id,
-        |  round(SUM(idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
-        |    / (tf.tf + CAST(1.2 AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
-        |             / (CAST(stats.sdl AS DOUBLE) / CAST(stats.n AS DOUBLE))))),
+        |  round(CAST(CAST(SUM(CAST(floor(
+        |      (idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |        / (tf.tf + CAST(1.2 AS DOUBLE)
+        |            * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+        |                 / (CAST(stats.sdl AS DOUBLE) / CAST(stats.n AS DOUBLE)))))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS DOUBLE) / CAST(1000000.0 AS DOUBLE),
         |    4) AS score
         |FROM tf JOIN idf USING (tm) JOIN dl USING (doc_id), stats
         |GROUP BY tf.doc_id
