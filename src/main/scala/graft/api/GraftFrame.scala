@@ -404,6 +404,24 @@ final case class GraftFrame(df: DataFrame) {
   /** pandas pipe: apply a frame-to-frame function in a chain. */
   def pipe(f: GraftFrame => GraftFrame): GraftFrame = f(this)
 
+  /** Stable 0-based global row index in the frame's CURRENT partition
+    * order — the bridge for pandas' implicit positional index (reference
+    * indexing/iloc.py:251; this engine otherwise requires explicit order
+    * columns, the documented SURVEY §7.1 relaxation). Deterministic
+    * whenever the upstream order is (after [[sortValues]], or a
+    * single-file read); rows keep their partition, only a per-partition
+    * count job and a narrow map are added — no shuffle, no collect.
+    * Once materialized, every positional op (iloc, shift, asof) works on
+    * it as an ordinary order column. */
+  def withRowIndex(name: String = "row_index"): GraftFrame = {
+    val schema = df.schema.add(name, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    GraftFrame(df.sparkSession.createDataFrame(rows, schema))
+  }
+
   /** Salted equi-join for heavily skewed keys: the skewed (left) side gets
     * a random salt in [0, saltFactor), the right side is replicated across
     * every salt value, and the join key becomes (key, salt) — splitting a

@@ -340,6 +340,27 @@ object Ext {
         .orderBy($"qid", $"rank")
     },
 
+    // --- PQ-ADC approximate ANN over the planted-twin corpus: a query's
+    //     identical twin shares every per-subspace argmin code, so its
+    //     ADC distance is globally minimal (pqProbe doc) and must appear
+    //     in the top-5 — recall@5 = 1.0 is the planted invariant the
+    //     oracle states directly (KMeans codebooks themselves are not
+    //     engine-replayable; the invariant holds for ANY fitted
+    //     codebook, which is what makes this a sound differential).
+    //     Code-collision ties (same 8 codes as the twin) are why top-5,
+    //     not top-1: ≥5 colliders ahead of the twin would be needed.
+    Q("ext_ann_pq",
+      """SELECT vec_id AS qid, TRUE AS twin_hit
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val (queries, corpus) = Ext.twinCorpus(spark, dir)
+      val index = Similarity.pqFit(corpus, dim = 64, m = 8, kCodes = 16)
+      Similarity.pqProbe(index, queries, k = 5)
+        .groupBy($"qid")
+        .agg(bool_or($"cid" === $"qid" + lit(10000L)).as("twin_hit"))
+        .orderBy($"qid")
+    },
+
     // --- embedding near-dup detection at scale: LSH-bucketed candidates +
     //     exact cosine verify. The corpus is embeddings unioned with an
     //     id-shifted copy of itself (a cross-source dedup scenario whose

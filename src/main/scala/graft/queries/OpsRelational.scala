@@ -630,6 +630,81 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.4 salted join (explicit skew valve): the oracle is the PLAIN
+    //     equi-join — salting is a physical rewrite whose results must be
+    //     indistinguishable, so DuckDB computing the straight join checks
+    //     both the salt/replicate mechanics and the de-salting exactly.
+    //     Aggregated output keeps integers/DECIMAL exact.
+    Q("op_salted_join",
+      """SELECT o.o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey < 300
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val left = graft.api.GraftFrame(t(spark, dir, "lineitem")
+        .select($"l_orderkey".as("k"), $"l_quantity"))
+      val right = graft.api.GraftFrame(t(spark, dir, "orders")
+        .filter($"o_custkey" < 300)
+        .select($"o_orderkey".as("k"), $"o_orderpriority"))
+      left.saltedJoin(right, Seq("k"), saltFactor = 8).df
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumD(dec12($"l_quantity")).as("qty"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // --- §2.6 salted two-level aggregation (map-side-combine-defeated
+    //     skew valve): algebraic sum/count over salted partials must equal
+    //     the direct aggregate — exact BIGINT values both sides.
+    Q("op_salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = gt(spark, dir, "lineitem")
+        .eval("qty_int", "CAST(l_quantity AS BIGINT)")
+      base.groupby("l_returnflag").saltedAgg("qty_int", "sum", "qty", 16)
+        .df.join(
+          base.groupby("l_returnflag").saltedAgg("qty_int", "count", "n", 16).df,
+          Seq("l_returnflag"))
+        .orderBy($"l_returnflag")
+    },
+
+    // --- §2.4 cartesian_chunk (reference base/cartesian_chunk.py): the
+    //     explicit cross join, small-side only by contract.
+    Q("op_cartesian",
+      """SELECT n.n_nationkey, r.r_regionkey,
+        |  (n.n_regionkey = r.r_regionkey) AS home
+        |FROM nation n CROSS JOIN region r
+        |ORDER BY n.n_nationkey, r.r_regionkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+        .crossJoin(gt(spark, dir, "region").select("r_regionkey"))
+        .eval("home", "n_regionkey = r_regionkey")
+        .select("n_nationkey", "r_regionkey", "home")
+        .sortValues(Seq("n_nationkey", "r_regionkey"))
+        .df
+    },
+
+    // --- §2.11 positional row index (pandas implicit index bridge —
+    //     reference indexing/iloc.py): zipWithIndex over a sorted frame
+    //     must equal row_number − 1 over the same total order.
+    Q("op_row_index",
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .query("o_orderkey < 2000")
+        .select("o_orderkey")
+        .sortValues(Seq("o_orderkey"))
+        .withRowIndex("idx")
+        .df
+    },
+
     // --- §2.11 deterministic hash sampling via the fluent API (oracle
     //     replays the identical avalanche-hash bucket)
     Q("op_sample_hash",

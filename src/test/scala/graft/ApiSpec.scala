@@ -180,6 +180,18 @@ class ApiSpec extends SparkSpecBase {
     assert(n.getLong(0) >= 5L && n.getLong(1) <= 9L)
   }
 
+  test("withRowIndex numbers rows 0..n-1 in the frame's sort order") {
+    val df = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("k", "v")
+    val got = GraftFrame(df).sortValues(Seq("k")).withRowIndex().df
+      .select("k", "row_index").as[(String, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+    // multi-partition: indices stay contiguous across partition boundaries
+    val big = spark.range(1000).toDF("id").repartition(7)
+    val idx = GraftFrame(big).sortValues(Seq("id")).withRowIndex("i").df
+      .filter(col("id") =!= col("i")).count()
+    assert(idx == 0L, "row index must equal position in sorted order")
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     val hot = (1L to 900L).map(i => (1L, i)) ++ (1L to 100L).map(i => (2L, i))
     val l = GraftFrame(hot.toDF("k", "v"))
