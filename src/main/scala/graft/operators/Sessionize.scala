@@ -352,9 +352,15 @@ object Sessionize {
         pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(period)))
       .withColumn("__det", col("cnt").cast("double") - col("trend"))
     val wPos = Window.partitionBy(col(keyCol), col("__pos"))
+    // seasonal means sum exact scaled integers (floor(det·1e6 + 0.5)
+    // longs): a raw double sum over the position class depends on
+    // summation order — run-to-run and engine-to-engine nondeterminism
+    // for a decomposition that should be replayable
     staged
       .withColumn("seasonal",
-        sum(col("__det")).over(wPos) / count(col("__det")).over(wPos))
+        sum(floor(col("__det") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .over(wPos).cast("double") / lit(1000000.0) /
+          count(col("__det")).over(wPos))
       .select(col(keyCol), col("day"), col("cnt"), col("trend"),
         col("seasonal"),
         (col("cnt").cast("double") - col("trend") - col("seasonal")).as("resid"))
@@ -456,15 +462,21 @@ object Sessionize {
       d.withColumn(s"__lead_$k", lead(col("__x"), k).over(w))
     }
     val dev = col("__x") - col("__m")
+    // numerators/denominator sum exact scaled integers (see
+    // decomposeAdditive): the mean itself is exact (integer-valued sums),
+    // per-row products are deterministic IEEE, only the cross-row Σ was
+    // order-dependent
+    def sInt(c: Column) =
+      sum(floor(c * lit(1000000.0) + lit(0.5)).cast("long"))
     val aggs = (1 to maxLag).map { k =>
-      sum(dev * (col(s"__lead_$k") - col("__m"))).as(s"__num_$k")
+      sInt(dev * (col(s"__lead_$k") - col("__m"))).as(s"__num_$k")
     }
     val g = withLeads.join(broadcast(stats), Seq(keyCol))
       .groupBy(col(keyCol))
-      .agg(sum(dev * dev).as("__den"), aggs: _*)
+      .agg(sInt(dev * dev).as("__den"), aggs: _*)
     val pairs = (1 to maxLag).map(k => struct(
       lit(k).cast("long").as("lag"),
-      (col(s"__num_$k") / col("__den")).as("acf")))
+      (col(s"__num_$k").cast("double") / col("__den").cast("double")).as("acf")))
     g.select(col(keyCol), explode(array(pairs: _*)).as("__p"))
       .select(col(keyCol), col("__p.lag").as("lag"), col("__p.acf").as("acf"))
   }

@@ -756,9 +756,10 @@ object OpsWindows {
 
     // --- §2.16 additive seasonal decomposition (statsmodels
     //     seasonal_decompose, moving-average method) of per-user daily
-    //     counts: trend is an exact int-sum / 7, seasonal averages
-    //     detrended doubles ACROSS rows (order-dependent sum → round 4
-    //     per convention), residual follows.
+    //     counts: trend is an exact int-sum / 7; seasonal averages the
+    //     detrended values via exact scaled-integer sums on BOTH sides
+    //     (ext_entropy pattern — raw double sums are order-dependent);
+    //     residual follows per-row.
     Q("op_decompose",
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
@@ -778,8 +779,12 @@ object OpsWindows {
         |  WINDOW w7 AS (PARTITION BY user_id ORDER BY day
         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |se AS (
-        |  SELECT *, SUM(CAST(cnt AS DOUBLE) - trend)
-        |              OVER (PARTITION BY user_id, pos)
+        |  SELECT *, CAST(CAST(SUM(CAST(floor(
+        |                (CAST(cnt AS DOUBLE) - trend)
+        |                  * CAST(1000000.0 AS DOUBLE)
+        |                  + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |              OVER (PARTITION BY user_id, pos) AS BIGINT) AS DOUBLE)
+        |            / CAST(1000000.0 AS DOUBLE)
         |            / COUNT(CAST(cnt AS DOUBLE) - trend)
         |              OVER (PARTITION BY user_id, pos) AS seasonal
         |  FROM tr)
@@ -956,8 +961,9 @@ object OpsWindows {
 
     // --- per-key autocorrelation at lags 1..3 over daily event counts
     //     (statsmodels acf): exact-integer daily series, full-mean
-    //     centering; the cross-row Σ per lag is order-dependent → round 4
-    //     with the +0.0 guard (acf near 0 is common).
+    //     centering (the mean is exact: integer-valued double sums);
+    //     the per-lag Σ sums exact scaled integers on BOTH sides
+    //     (ext_entropy pattern). +0.0 guard: acf near 0 is common.
     Q("op_events_acf",
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |                      CAST(COUNT(*) AS BIGINT) AS x
@@ -969,14 +975,23 @@ object OpsWindows {
         |        lead(CAST(x AS DOUBLE), 3) OVER wd AS x3
         |      FROM daily d JOIN s USING (event_type)
         |      WINDOW wd AS (PARTITION BY d.event_type ORDER BY day)),
-        |a AS (SELECT event_type, SUM((x-m)*(x-m)) AS den,
-        |        SUM((x-m)*(x1-m)) AS n1, SUM((x-m)*(x2-m)) AS n2,
-        |        SUM((x-m)*(x3-m)) AS n3
+        |a AS (SELECT event_type,
+        |        CAST(SUM(CAST(floor((x-m)*(x-m) * CAST(1000000.0 AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS den,
+        |        CAST(SUM(CAST(floor((x-m)*(x1-m) * CAST(1000000.0 AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS n1,
+        |        CAST(SUM(CAST(floor((x-m)*(x2-m) * CAST(1000000.0 AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS n2,
+        |        CAST(SUM(CAST(floor((x-m)*(x3-m) * CAST(1000000.0 AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS n3
         |      FROM l GROUP BY event_type)
         |SELECT event_type, lag, round(acf, 4) + CAST(0.0 AS DOUBLE) AS acf
-        |FROM (SELECT event_type, CAST(1 AS BIGINT) AS lag, n1/den AS acf FROM a
-        |      UNION ALL SELECT event_type, CAST(2 AS BIGINT), n2/den FROM a
-        |      UNION ALL SELECT event_type, CAST(3 AS BIGINT), n3/den FROM a) u
+        |FROM (SELECT event_type, CAST(1 AS BIGINT) AS lag,
+        |        CAST(n1 AS DOUBLE)/CAST(den AS DOUBLE) AS acf FROM a
+        |      UNION ALL SELECT event_type, CAST(2 AS BIGINT),
+        |        CAST(n2 AS DOUBLE)/CAST(den AS DOUBLE) FROM a
+        |      UNION ALL SELECT event_type, CAST(3 AS BIGINT),
+        |        CAST(n3 AS DOUBLE)/CAST(den AS DOUBLE) FROM a) u
         |ORDER BY event_type, lag""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val daily = t(spark, dir, "events")
