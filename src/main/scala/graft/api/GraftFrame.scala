@@ -61,6 +61,13 @@ final case class GraftFrame(df: DataFrame) {
   def queryPandas(pyExpr: String): GraftFrame =
     query(graft.functions.PandasExpr.translate(pyExpr))
 
+  /** pandas `df.eval("c = a + b")` assignment form, one assignment per
+    * line; later lines see earlier targets, exactly like pandas
+    * multiline eval (reference base/eval.py ast.Assign branch). */
+  def evalPandas(program: String): GraftFrame =
+    graft.functions.PandasExpr.translateAssignments(program)
+      .foldLeft(this) { case (f, (target, sqlExpr)) => f.eval(target, sqlExpr) }
+
   def filter(cond: Column): GraftFrame = GraftFrame(df.filter(cond))
 
   /** Conditional replace keeping shape (reference indexing/where.py:28):
@@ -1357,6 +1364,13 @@ final case class GraftFrame(df: DataFrame) {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
+
+  /** Store numeric columns as a 2-D zarr v2 array (mars `to_zarr`,
+    * reference tensor/datastore/to_zarr.py:64) — see
+    * [[graft.sources.Zarr]] for the chunk layout and profile. */
+  def toZarr(path: String, valueCols: Seq[String],
+      chunkRows: Int = 65536): (Long, Int) =
+    graft.sources.Zarr.write(df, path, valueCols, chunkRows)
 
   /** JSON-lines sink (pandas to_json(orient='records', lines=True)). */
   def toJson(path: String, singleFile: Boolean = false): Unit = {

@@ -77,6 +77,12 @@ final class GraftSession(val spark: SparkSession) {
     * the same pushdown/pruning contract as parquet. */
   def readOrc(path: String): GraftFrame = GraftFrame(spark.read.orc(path))
 
+  /** Read a 2-D zarr v2 array (mars `mt.fromzarr`,
+    * reference tensor/datasource/from_zarr.py:47) — see
+    * [[graft.sources.Zarr]] for the supported profile. */
+  def readZarr(path: String, colNames: Seq[String] = Nil): GraftFrame =
+    GraftFrame(graft.sources.Zarr.read(spark, path, colNames))
+
   /** JDBC scan partitioned on a numeric column — the reference's
     * read_sql(partition_col, num_partitions) (read_sql.py:79) maps to
     * Spark's (partitionColumn, lowerBound, upperBound, numPartitions). */

@@ -74,6 +74,51 @@ object PandasExpr {
   /** Translate a pandas-dialect expression to a Spark SQL expression. */
   def translate(pyExpr: String): String = new P(tokenize(pyExpr), pyExpr).parse()
 
+  /** Parse a pandas `df.eval` assignment PROGRAM — one `target = expr`
+    * per line (pandas multiline-eval form, reference base/eval.py's
+    * ast.Assign branch) — into (target, translated SQL) pairs in order.
+    * Targets may be bare or backticked names; `==` never splits (only a
+    * single `=` outside backticks/strings/brackets does). */
+  def translateAssignments(program: String): Seq[(String, String)] =
+    program.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
+      val eq = assignSplit(line)
+      require(eq > 0,
+        s"pandas-eval: expected 'target = expression', got: $line")
+      val rawTarget = line.substring(0, eq).trim
+      val target =
+        if (rawTarget.startsWith("`") && rawTarget.endsWith("`") &&
+          rawTarget.length > 1) rawTarget.substring(1, rawTarget.length - 1)
+        else rawTarget
+      require(target.nonEmpty && (rawTarget.startsWith("`") ||
+        target.forall(c => c.isLetterOrDigit || c == '_')),
+        s"pandas-eval: invalid assignment target '$rawTarget' in: $line")
+      target -> translate(line.substring(eq + 1))
+    }
+
+  /** Index of the single top-level assignment '=' in `line`, or -1. */
+  private def assignSplit(line: String): Int = {
+    var i = 0
+    var inTick = false
+    var quote: Char = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '`' => inTick = true
+        case '\'' | '"' => quote = c
+        case '=' =>
+          val prev = if (i > 0) line(i - 1) else ' '
+          val next = if (i + 1 < line.length) line(i + 1) else ' '
+          if (next != '=' && !"<>!=".contains(prev)) return i
+          if (next == '=') i += 1 // skip the second char of ==, <=, …
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   private final class P(ts: Vector[Tok], src: String) {
     private var pos = 0
     private def peek: Option[Tok] = if (pos < ts.length) Some(ts(pos)) else None

@@ -111,6 +111,61 @@ class ApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 2.0), (2L, 4.0), (3L, 5.0)))
   }
 
+  test("zarr v2 roundtrip: multi-chunk, edge padding, exact doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toString
+    val n = 1000
+    val df = spark.range(n).select(
+      (col("id") * 1.5).as("x"),
+      (col("id") * col("id")).cast("double").as("y"),
+      lit(math.Pi).as("z"))
+    // chunkRows=128 → 8 chunks, last one padded (1000 = 7*128 + 104)
+    val (rows, cols) = GraftFrame(df).toZarr(dir, Seq("x", "y", "z"),
+      chunkRows = 128)
+    assert(rows == n.toLong && cols == 3)
+    assert(new java.io.File(dir, ".zarray").exists())
+    assert(new java.io.File(dir, "7.0").exists())
+    val back = graft.api.GraftSession(spark)
+      .readZarr(dir, Seq("x", "y", "z")).df
+      .orderBy("row_index").collect()
+    assert(back.length == n)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong)
+      assert(r.getDouble(1) == i * 1.5)
+      assert(r.getDouble(2) == i.toDouble * i)
+      assert(r.getDouble(3) == math.Pi)
+    }
+    // chunk files store full padded size: 128 rows * 3 cols * 8 bytes
+    assert(new java.io.File(dir, "7.0").length() == 128L * 3 * 8)
+    // profile guard: a compressed .zarray is rejected loudly
+    val badDir = java.nio.file.Files.createTempDirectory("graft_zarr_bad")
+    java.nio.file.Files.write(badDir.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[1,1],"chunks":[1,1],"dtype":"<f8",
+        |"order":"C","compressor":{"id":"blosc"},"fill_value":0.0}"""
+        .stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Zarr.read(spark, badDir.toString)
+    }
+    assert(e.getMessage.contains("profile"))
+  }
+
+  test("evalPandas assignment program chains targets like pandas eval") {
+    val df = Seq((2.0, 3.0), (4.0, 5.0)).toDF("a", "b")
+    val out = GraftFrame(df).evalPandas(
+      """s = a + b
+        |r = s ** 2 - 1
+        |flag = (r > 30) & (a == 4)""".stripMargin)
+      .df.orderBy("a").select("s", "r", "flag")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out.toSeq == Seq((5.0, 24.0, false), (9.0, 80.0, true)))
+    // == never splits as an assignment; bad targets fail loudly
+    intercept[IllegalArgumentException] {
+      graft.functions.PandasExpr.translateAssignments("a + b")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PandasExpr.translateAssignments("a.b = 1")
+    }
+  }
+
   test("checkMonotonic detects increasing sequences") {
     val inc = GraftFrame(Seq((1L, 1.0), (2L, 2.0), (3L, 2.0)).toDF("o", "v"))
       .checkMonotonic("o", "v").df.collect().head
