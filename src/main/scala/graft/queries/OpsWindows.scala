@@ -959,6 +959,52 @@ object OpsWindows {
         .orderBy($"step")
     },
 
+    // --- §2.14 per-row FFT (reference mars/tensor/fft, opcodes 601–630):
+    //     length-8 per-user event signals through the radix-2 engine; the
+    //     oracle recomputes the O(n²) DFT definition Σ xₙ·e^(−2πikn/N)
+    //     directly in SQL. FFT-vs-DFT differ only in ~1e-12 summation
+    //     ulps, far under round-4; +0.0 because the imaginary parts of
+    //     bins 0 and N/2 are exact zeros on the FFT side but ±1e-15
+    //     libm-sin residue on the DFT side.
+    Q("op_fft",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 6),
+        |sig AS (
+        |  SELECT user_id, list(floor(value) ORDER BY rn) AS xs
+        |  FROM s WHERE rn <= 8 GROUP BY user_id HAVING COUNT(*) = 8),
+        |ks AS (SELECT unnest(range(0, 8)) AS k),
+        |d AS (
+        |  SELECT user_id, k,
+        |    list_sum(list_transform(range(0, 8), n ->
+        |      CAST(xs[n+1] AS DOUBLE) * cos(2 * pi() * k * n / 8))) AS re_raw,
+        |    -list_sum(list_transform(range(0, 8), n ->
+        |      CAST(xs[n+1] AS DOUBLE) * sin(2 * pi() * k * n / 8))) AS im_raw
+        |  FROM sig, ks)
+        |SELECT user_id, CAST(k AS BIGINT) AS k,
+        |  round(re_raw, 4) + CAST(0.0 AS DOUBLE) AS re,
+        |  round(im_raw, 4) + CAST(0.0 AS DOUBLE) AS im
+        |FROM d ORDER BY user_id, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val sig = t(spark, dir, "events").filter($"user_id" < 6)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 8)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"rn", floor($"value").as("v")))).as("s"))
+        .filter(size($"s") === 8)
+        .select($"user_id",
+          transform($"s", x => x("v").cast("double")).as("xs"))
+      sig
+        .withColumn("f", graft.functions.Fft.fftReal($"xs"))
+        .select($"user_id", posexplode(arrays_zip($"f.re", $"f.im")))
+        .select($"user_id", $"pos".cast("long").as("k"),
+          (round($"col.re", 4) + lit(0.0)).as("re"),
+          (round($"col.im", 4) + lit(0.0)).as("im"))
+        .orderBy($"user_id", $"k")
+    },
+
     // --- per-key autocorrelation at lags 1..3 over daily event counts
     //     (statsmodels acf): exact-integer daily series, full-mean
     //     centering (the mean is exact: integer-valued double sums);

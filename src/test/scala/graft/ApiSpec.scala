@@ -111,6 +111,42 @@ class ApiSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 2.0), (2L, 4.0), (3L, 5.0)))
   }
 
+  test("fft matches the naive DFT, inverts exactly, and satisfies Parseval") {
+    import graft.functions.Fft
+    val rnd = new scala.util.Random(3)
+    val n = 16
+    val xs = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+    val re = xs.clone(); val im = new Array[Double](n)
+    Fft.transform(re, im, inverse = false)
+    // naive O(n²) DFT
+    for (k <- 0 until n) {
+      val (dr, di) = (0 until n).foldLeft((0.0, 0.0)) { case ((a, b), t) =>
+        val ang = -2 * math.Pi * k * t / n
+        (a + xs(t) * math.cos(ang), b + xs(t) * math.sin(ang))
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"bin $k: fft (${re(k)}, ${im(k)}) vs dft ($dr, $di)")
+    }
+    // Parseval: Σx² = (1/N)Σ|X|²
+    val lhs = xs.map(x => x * x).sum
+    val rhs = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+    assert(math.abs(lhs - rhs) < 1e-9)
+    // round trip
+    Fft.transform(re, im, inverse = true)
+    xs.indices.foreach { i =>
+      assert(math.abs(re(i) - xs(i)) < 1e-10 && math.abs(im(i)) < 1e-10)
+    }
+    // column form + power spectrum + non-power-of-2 guard
+    val df = Seq(Tuple1(Seq(1.0, 2.0, 3.0, 4.0))).toDF("xs")
+    val p = df.select(Fft.powerSpectrum(col("xs"))).as[Seq[Double]].head()
+    assert(math.abs(p.head - 100.0) < 1e-9) // |Σx|² = 10²
+    val bad = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("xs")
+    val e = intercept[Exception] {
+      bad.select(Fft.fftReal(col("xs"))).collect()
+    }
+    assert(e.getMessage.contains("power of 2"))
+  }
+
   test("zarr v2 roundtrip: multi-chunk, edge padding, exact doubles") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toString
     val n = 1000
