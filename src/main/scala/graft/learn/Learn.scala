@@ -506,6 +506,29 @@ object Learn {
       .groupBy(a(ai).as("i"), b(bj).as("j"))
       .agg(sum(a(av) * b(bv)).as("v"))
 
+  /** Sparse elementwise add in COO form (reference mt.add over sparse
+    * tensors, mars/tensor/arithmetic + lib/sparse/): one full outer join
+    * on (i, j), absent cells are implicit zeros; exact for integer/
+    * decimal values. Result drops cells that cancel to exactly 0 only
+    * if `dropZeros` (COO canonical form). */
+  def cooAdd(a: DataFrame, b: DataFrame, dropZeros: Boolean = true): DataFrame = {
+    val l = a.select(col("i"), col("j"), col("v").as("__va"))
+    val r = b.select(col("i"), col("j"), col("v").as("__vb"))
+    val merged = l.join(r, Seq("i", "j"), "full_outer")
+      .select(col("i"), col("j"),
+        (coalesce(col("__va"), lit(0.0)) + coalesce(col("__vb"), lit(0.0))).as("v"))
+    if (dropZeros) merged.filter(col("v") =!= 0.0) else merged
+  }
+
+  /** Sparse transpose in COO form — a pure projection, zero shuffle
+    * (the reference re-tiles chunks for this; COO just swaps indices). */
+  def cooTranspose(a: DataFrame): DataFrame =
+    a.select(col("j").as("i"), col("i").as("j"), col("v"))
+
+  /** Sparse scalar multiply — pure projection. */
+  def cooScale(a: DataFrame, alpha: Double): DataFrame =
+    a.select(col("i"), col("j"), (col("v") * lit(alpha)).as("v"))
+
   /** Column-wise (axis-0) tensor reductions over an array column — the
     * reference's mt.sum/mean/min/max/var(axis=0) over a tall matrix
     * (mars/tensor/reduction/sum.py and siblings): posexplode to (component, value)

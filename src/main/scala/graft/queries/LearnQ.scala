@@ -598,6 +598,30 @@ object LearnQ {
         .orderBy($"i", $"j")
     },
 
+    // --- sparse COO elementwise algebra (reference mt.add / transpose /
+    //     scalar multiply over sparse tensors, mars/lib/sparse/): full
+    //     outer join on (i,j) with implicit zeros, index-swap transpose
+    //     (pure projection), scalar multiply — 2.5·(A + Aᵀ) over an
+    //     exact integer-valued matrix; ×2.5 keeps half-steps exact.
+    Q("learn_coo_ops",
+      """WITH a AS (SELECT l_orderkey % 13 AS i, l_partkey % 13 AS j,
+        |                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2),
+        |tp AS (SELECT j AS i, i AS j, v FROM a),
+        |c AS (SELECT i, j,
+        |        (CAST(COALESCE(a.v, 0) AS DOUBLE)
+        |         + CAST(COALESCE(tp.v, 0) AS DOUBLE)) * CAST(2.5 AS DOUBLE) AS v
+        |      FROM a FULL JOIN tp USING (i, j))
+        |SELECT i, j, v FROM c WHERE v <> CAST(0.0 AS DOUBLE)
+        |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = t(spark, dir, "lineitem")
+        .groupBy(($"l_orderkey" % 13).as("i"), ($"l_partkey" % 13).as("j"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      Learn.cooScale(Learn.cooAdd(a, Learn.cooTranspose(a)), 2.5)
+        .orderBy($"i", $"j")
+    },
+
     // --- axis-0 tensor reductions (reference mt.sum/mean/min/max/var
     //     (axis=0)): one partial+final aggregate keyed by component.
     //     Cross-row double sums → round 4 (+0.0 near-zero guard);

@@ -294,6 +294,22 @@ class LearnSpec extends SparkSpecBase {
       (1L, 0L) -> 43L, (1L, 1L) -> 50L))
   }
 
+  test("cooAdd/cooTranspose/cooScale: implicit zeros, cancellation, exactness") {
+    val a = Seq((0L, 0L, 2.0), (0L, 1L, 3.0), (1L, 1L, -4.0)).toDF("i", "j", "v")
+    val b = Seq((0L, 0L, 1.0), (1L, 1L, 4.0), (2L, 0L, 7.0)).toDF("i", "j", "v")
+    // (1,1) cancels exactly → dropped in canonical form; (0,1)/(2,0)
+    // survive via implicit zeros
+    val sum = Learn.cooAdd(a, b).as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(sum === Map((0L, 0L) -> 3.0, (0L, 1L) -> 3.0, (2L, 0L) -> 7.0))
+    val kept = Learn.cooAdd(a, b, dropZeros = false).count()
+    assert(kept == 4L)
+    val t = Learn.cooTranspose(a).as[(Long, Long, Double)].collect().toSet
+    assert(t === Set((0L, 0L, 2.0), (1L, 0L, 3.0), (1L, 1L, -4.0)))
+    val s = Learn.cooScale(a, 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(s === Set((0L, 0L, 1.0), (0L, 1L, 1.5), (1L, 1L, -2.0)))
+  }
+
   test("regression metrics compute rmse/mae/r2") {
     val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.0)).toDF("y", "pred")
     val m = Learn.regressionMetrics(df, "y", "pred").collect().head
