@@ -506,6 +506,58 @@ object Learn {
       .groupBy(a(ai).as("i"), b(bj).as("j"))
       .agg(sum(a(av) * b(bv)).as("v"))
 
+  /** einsum over COO frames (reference mt.einsum,
+    * mars/tensor/einsum/core.py — which compiles the subscript spec to a
+    * contraction plan the same way): each operand is a frame whose index
+    * columns are NAMED BY their subscript letters plus a `v` value
+    * column. Shared letters absent from the output are contracted (one
+    * equi-join on all shared letters + one partial+final sum keyed by
+    * the output letters); letters kept in the output pass through as
+    * batch dims. Covers matmul `ij,jk->ik`, batch matmul `bij,bjk->bik`,
+    * dot `ij,ij->`, Hadamard `ij,ij->ij`, outer `i,j->ij`, transpose
+    * `ij->ji`, and axis sums `ij->i` — the practically-used einsum
+    * family; repeated subscripts WITHIN one operand (trace/diagonal) are
+    * rejected, like the restricted einsum many engines ship.
+    *
+    * Scale shape identical to [[cooMatmul]]: cost tracks nnz, the join
+    * shuffles on the contraction letters, and the reduction is
+    * partial-aggregatable. An outer product (no shared letters) plans a
+    * cross join by definition — size the operands accordingly. */
+  def einsumCoo(spec: String, a: DataFrame, b: DataFrame = null): DataFrame = {
+    val cleaned = spec.replaceAll("\\s", "")
+    val parts = cleaned.split("->", -1)
+    require(parts.length == 2, s"einsum spec needs '->': $spec")
+    val ins = parts(0).split(",")
+    val out = parts(1)
+    require(ins.nonEmpty && ins.length <= 2 && ins.forall(_.nonEmpty),
+      s"einsum supports 1 or 2 operands: $spec")
+    (ins :+ out).foreach { s =>
+      require(s.toSet.size == s.length,
+        s"repeated subscripts within '$s' (trace/diagonal) are unsupported: $spec")
+      require(!s.contains('v'), s"subscript 'v' collides with the value column: $spec")
+    }
+    val inLetters = ins.mkString.toSet
+    require(out.forall(inLetters.contains),
+      s"output subscripts must come from the inputs: $spec")
+    def cols(s: String) = s.map(c => col(c.toString))
+    if (ins.length == 1) {
+      require(b == null, s"spec '$spec' names one operand but two were passed")
+      if (out.length == ins(0).length)
+        a.select(cols(out) :+ col("v"): _*) // pure index permutation
+      else
+        a.groupBy(cols(out): _*).agg(sum(col("v")).as("v"))
+    } else {
+      require(b != null, s"spec '$spec' names two operands but one was passed")
+      val shared = (ins(0).toSet intersect ins(1).toSet).map(_.toString).toSeq.sorted
+      val l = a.select(cols(ins(0)) :+ col("v").as("__va"): _*)
+      val r = b.select(cols(ins(1)) :+ col("v").as("__vb"): _*)
+      val joined =
+        if (shared.nonEmpty) l.join(r, shared) else l.crossJoin(r)
+      joined.groupBy(cols(out): _*)
+        .agg(sum(col("__va") * col("__vb")).as("v"))
+    }
+  }
+
   /** Sparse elementwise add in COO form (reference mt.add over sparse
     * tensors, mars/tensor/arithmetic + lib/sparse/): one full outer join
     * on (i, j), absent cells are implicit zeros; exact for integer/

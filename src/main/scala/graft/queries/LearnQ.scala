@@ -598,6 +598,34 @@ object LearnQ {
         .orderBy($"i", $"j")
     },
 
+    // --- einsum batch matmul (reference mt.einsum): 'bij,bjk->bik' over
+    //     exact integer-valued COO operands — the contraction joins on
+    //     (b, j), the reduction keys on (b, i, k); all-BIGINT exact.
+    Q("learn_einsum",
+      """WITH a AS (SELECT l_linenumber % 2 AS b, l_orderkey % 7 AS i,
+        |                  l_partkey % 5 AS j,
+        |                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2, 3),
+        |b2 AS (SELECT l_linenumber % 2 AS b, l_partkey % 5 AS j,
+        |              l_suppkey % 3 AS k,
+        |              CAST(SUM(CAST(l_suppkey AS BIGINT) % 10) AS BIGINT) AS v
+        |       FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT a.b AS b, a.i, b2.k, CAST(SUM(a.v * b2.v) AS BIGINT) AS v
+        |FROM a JOIN b2 ON a.b = b2.b AND a.j = b2.j
+        |GROUP BY a.b, a.i, b2.k
+        |ORDER BY a.b, i, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val a = li.groupBy(($"l_linenumber" % 2).as("b"),
+          ($"l_orderkey" % 7).as("i"), ($"l_partkey" % 5).as("j"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      val b = li.groupBy(($"l_linenumber" % 2).as("b"),
+          ($"l_partkey" % 5).as("j"), ($"l_suppkey" % 3).as("k"))
+        .agg(sum($"l_suppkey".cast("long") % 10).as("v"))
+      Learn.einsumCoo("bij,bjk->bik", a, b)
+        .orderBy($"b", $"i", $"k")
+    },
+
     // --- sparse COO elementwise algebra (reference mt.add / transpose /
     //     scalar multiply over sparse tensors, mars/lib/sparse/): full
     //     outer join on (i,j) with implicit zeros, index-swap transpose

@@ -310,6 +310,31 @@ class LearnSpec extends SparkSpecBase {
     assert(s === Set((0L, 0L, 1.0), (0L, 1L, 1.5), (1L, 1L, -2.0)))
   }
 
+  test("einsumCoo covers matmul, dot, outer, transpose, axis-sum, hadamard") {
+    // A = [[1,2],[3,4]], B = [[5,6],[7,8]]
+    val a = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 0L, 3.0), (1L, 1L, 4.0))
+      .toDF("i", "j", "v")
+    val b = Seq((0L, 0L, 5.0), (0L, 1L, 6.0), (1L, 0L, 7.0), (1L, 1L, 8.0))
+      .toDF("j", "k", "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.init -> r.getDouble(r.length - 1)).toMap
+    assert(m(Learn.einsumCoo("ij,jk->ik", a, b)) ===
+      Map(Seq(0L, 0L) -> 19.0, Seq(0L, 1L) -> 22.0,
+        Seq(1L, 0L) -> 43.0, Seq(1L, 1L) -> 50.0))
+    val bAsIj = b.toDF("i", "j", "v")
+    assert(Learn.einsumCoo("ij,ij->", a, bAsIj)
+      .collect().head.getDouble(0) === 1 * 5 + 2 * 6 + 3 * 7 + 4 * 8.0)
+    assert(m(Learn.einsumCoo("ij,ij->ij", a, bAsIj))(Seq(1L, 1L)) === 32.0)
+    assert(m(Learn.einsumCoo("ij->ji", a))(Seq(1L, 0L)) === 2.0)
+    assert(m(Learn.einsumCoo("ij->i", a)) ===
+      Map(Seq(0L) -> 3.0, Seq(1L) -> 7.0))
+    val x = Seq((0L, 2.0), (1L, 3.0)).toDF("i", "v")
+    val y = Seq((0L, 10.0), (1L, 20.0)).toDF("j", "v")
+    assert(m(Learn.einsumCoo("i,j->ij", x, y))(Seq(1L, 1L)) === 60.0)
+    intercept[IllegalArgumentException](Learn.einsumCoo("ii->i", a))
+    intercept[IllegalArgumentException](Learn.einsumCoo("ij,jk->iz", a, b))
+  }
+
   test("regression metrics compute rmse/mae/r2") {
     val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.0)).toDF("y", "pred")
     val m = Learn.regressionMetrics(df, "y", "pred").collect().head
