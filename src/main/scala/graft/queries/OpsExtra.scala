@@ -183,6 +183,75 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.1 date_range (reference datasource/date_range.py:122):
+    //     distributed calendar generation vs an arithmetic date grid.
+    Q("op_date_range",
+      """SELECT strftime(DATE '2024-01-05' + CAST(i * 3 AS INTEGER),
+        |                '%Y-%m-%d') AS date
+        |FROM (SELECT unnest(range(0, 40)) AS i) t
+        |ORDER BY date""".stripMargin) { (spark, dir) =>
+      graft.api.GraftSession(spark).dateRange("2024-01-05", 40, freqDays = 3)
+        .assign("date" -> date_format(col("date"), "yyyy-MM-dd"))
+        .sortValues(Seq("date"))
+        .df
+    },
+
+    // --- §2.1 timedelta_range: exact microsecond longs.
+    Q("op_timedelta_range",
+      """SELECT CAST(i * 900000000 AS BIGINT) AS td_us
+        |FROM (SELECT unnest(range(0, 25)) AS i) t
+        |ORDER BY td_us""".stripMargin) { (spark, dir) =>
+      graft.api.GraftSession(spark).timedeltaRange(25, 900000000L)
+        .select("td_us")
+        .sortValues(Seq("td_us"))
+        .df
+    },
+
+    // --- §2.1 linspace (reference mt.linspace): the per-row affine grid
+    //     start + i·step with step computed once — identical IEEE ops on
+    //     both engines, bit-exact with no rounding.
+    Q("op_linspace",
+      """SELECT i AS id,
+        |  CAST(2.5 AS DOUBLE) + CAST(i AS DOUBLE)
+        |    * ((CAST(7.75 AS DOUBLE) - CAST(2.5 AS DOUBLE))
+        |       / CAST(49 AS DOUBLE)) AS value
+        |FROM (SELECT unnest(range(0, 50)) AS i) t
+        |ORDER BY id""".stripMargin) { (spark, dir) =>
+      graft.api.GraftSession(spark).linspace(2.5, 7.75, 50)
+        .sortValues(Seq("id"))
+        .df
+    },
+
+    // --- §2.1 eye (reference mt.eye), flattened to (id, j, x) cells.
+    Q("op_eye",
+      """SELECT i AS id, CAST(j AS BIGINT) AS j,
+        |  CASE WHEN i = j THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS x
+        |FROM (SELECT unnest(range(0, 12)) AS i) a,
+        |     (SELECT unnest(range(0, 12)) AS j) b
+        |ORDER BY id, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftSession(spark).eye(12).df
+        .select($"id", posexplode($"vec"))
+        .select($"id", $"pos".cast("long").as("j"), $"col".as("x"))
+        .orderBy($"id", $"j")
+    },
+
+    // --- §2.10 rebalance/rechunk (reference base/rebalance.py:25,
+    //     rechunk.py:32): pure physical re-layout — the oracle proves the
+    //     DATA is untouched (no lost/duplicated rows) through a
+    //     rebalance(7) → rechunk(3) chain.
+    Q("op_rebalance",
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "nation")
+        .rebalance(7)
+        .rechunk(3)
+        .select("n_nationkey", "n_name")
+        .sortValues(Seq("n_nationkey"))
+        .df
+    },
+
     // --- §2.3 eval/query in the pandas/Python dialect (reference
     //     base/eval.py:73-111 parses the same operator set from the
     //     Python ast): `and/or/not`, `**`, `//`, `in [..]`, backtick
