@@ -183,6 +183,85 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.12 map_chunk / apply (reference base/map_chunk.py:51,
+    //     apply.py:69): the imperative mapPartitions escape hatch runs a
+    //     per-row computation in plain Scala; the oracle recomputes the
+    //     same arithmetic declaratively in SQL — if the plumbing dropped,
+    //     duplicated, or misordered rows, the differential catches it.
+    Q("op_map_chunk",
+      """SELECT n_nationkey,
+        |  CAST(n_nationkey * 2 + length(n_name) AS BIGINT) AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("score", LongType)))
+      gt(spark, dir, "nation")
+        .select("n_nationkey", "n_name")
+        .mapChunk(schema)(_.map { r =>
+          val k = r.getAs[Number](0).longValue
+          Row(k, k * 2 + r.getString(1).length.toLong)
+        })
+        .sortValues(Seq("n_nationkey"))
+        .df
+    },
+
+    // --- §2.12 groupby.apply (reference groupby/apply.py:58): arbitrary
+    //     per-group Scala over the streaming-sorted group iterator — a
+    //     hand-rolled running sum per region, oracled against the
+    //     equivalent SQL window.
+    Q("op_apply_groups",
+      """SELECT n_regionkey, n_nationkey,
+        |  CAST(SUM(n_nationkey) OVER (PARTITION BY n_regionkey
+        |    ORDER BY n_nationkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running
+        |FROM nation ORDER BY n_regionkey, n_nationkey""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("n_regionkey", LongType),
+        StructField("n_nationkey", LongType),
+        StructField("running", LongType)))
+      gt(spark, dir, "nation")
+        .select("n_regionkey", "n_nationkey")
+        .groupby("n_regionkey")
+        .applyGroups(schema) { (_, rows) =>
+          var acc = 0L
+          rows.toSeq.sortBy(_.getAs[Number](1).longValue).iterator.map { r =>
+            val (rk, nk) = (r.getAs[Number](0).longValue,
+              r.getAs[Number](1).longValue)
+            acc += nk
+            Row(rk, nk, acc)
+          }
+        }
+        .sortValues(Seq("n_regionkey", "n_nationkey"))
+        .df
+    },
+
+    // --- §2.1 from_records (reference datasource/from_records.py:29):
+    //     driver-side records parallelized into a frame, oracled against
+    //     a VALUES literal (missing keys → nulls).
+    Q("op_from_records",
+      """SELECT id, name, score FROM (VALUES
+        |  (1, 'ada', CAST(9.5 AS DOUBLE)),
+        |  (2, 'bob', CAST(NULL AS DOUBLE)),
+        |  (3, 'cy', CAST(7.25 AS DOUBLE)))
+        |  AS t(id, name, score)
+        |ORDER BY id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types._
+      graft.api.GraftSession(spark).fromRecords(
+          Seq(
+            Map("id" -> 1, "name" -> "ada", "score" -> 9.5),
+            Map("id" -> 2, "name" -> "bob"),
+            Map("id" -> 3, "name" -> "cy", "score" -> 7.25)),
+          fields = Seq("id" -> IntegerType, "name" -> StringType,
+            "score" -> DoubleType))
+        .sortValues(Seq("id"))
+        .df
+    },
+
     // --- §2.1 date_range (reference datasource/date_range.py:122):
     //     distributed calendar generation vs an arithmetic date grid.
     Q("op_date_range",
