@@ -183,6 +183,39 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.13 sketch error bounds (reference approx quantile /
+    //     unique sketches): approx values themselves are engine-specific
+    //     (GK vs t-digest, HLL variants differ), so the oracle states the
+    //     INVARIANT instead — Spark's GK approx_percentile carries a
+    //     deterministic ±1e-4 rank-error guarantee, checked against the
+    //     exact 0.498/0.502 (0.898/0.902) interpolated percentiles, and
+    //     HLL(rsd=0.02) against ±10% of the exact distinct count. All
+    //     deterministic for a fixed fixture (GK is deterministic; HLL is
+    //     hash-based, no RNG), so ok=TRUE is a stable differential.
+    Q("op_sketch_bounds",
+      """SELECT metric, ok FROM (VALUES
+        |  ('hll_orderkey', TRUE), ('p50', TRUE), ('p90', TRUE))
+        |  AS t(metric, ok)
+        |ORDER BY metric""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.498, 0.502, 0.898, 0.902))")
+            .as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+            .as("ap"),
+          countDistinct($"l_orderkey").as("cd"),
+          approx_count_distinct($"l_orderkey", 0.02).as("acd"))
+        .select(
+          (abs($"acd" - $"cd").cast("double") / $"cd".cast("double") <= 0.1)
+            .as("hll_orderkey"),
+          ($"ap" (0) >= $"ex" (0) && $"ap" (0) <= $"ex" (1)).as("p50"),
+          ($"ap" (1) >= $"ex" (2) && $"ap" (1) <= $"ex" (3)).as("p90"))
+        .unpivot(Array.empty, Array(col("hll_orderkey"), col("p50"), col("p90")),
+          "metric", "ok")
+        .orderBy($"metric")
+    },
+
     // --- §2.12 map_chunk / apply (reference base/map_chunk.py:51,
     //     apply.py:69): the imperative mapPartitions escape hatch runs a
     //     per-row computation in plain Scala; the oracle recomputes the
