@@ -869,6 +869,23 @@ final case class GraftFrame(df: DataFrame) {
   // ------------------------------------------------------------ stats §2.13
   /** describe (reference base/describe.py:34): count/mean/std/min/quartiles/
     * max per numeric column, exact quantiles like the reference. */
+  /** pandas describe() for object/string columns — the
+    * describe(include='all') half (reference base/describe.py): non-null
+    * count, unique count, top (most frequent value) and its freq, from
+    * ONE value-count aggregate + one reduce. `top` ties break to the
+    * lexicographically-smallest most-frequent value — pandas' own
+    * "first observed" has no distributed meaning, so the deterministic
+    * total order replaces it (documented divergence). */
+  def describeObject(colName: String): GraftFrame = {
+    val counts = df.filter(df(colName).isNotNull)
+      .groupBy(df(colName).as("__v")).agg(count(lit(1)).as("__c"))
+    GraftFrame(counts.agg(
+      sum(col("__c")).cast("long").as("cnt"),
+      count(lit(1)).as("uniq"),
+      min_by(col("__v"), struct((-col("__c")).as("nc"), col("__v"))).as("top"),
+      max(col("__c")).as("freq")))
+  }
+
   def describe(cols: Seq[String]): GraftFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

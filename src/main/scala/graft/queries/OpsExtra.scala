@@ -183,6 +183,24 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.5 describe(include='all') for object columns (reference
+    //     base/describe.py): non-null count / unique / top / freq; top
+    //     ties break to the lexicographically-smallest most-frequent
+    //     value on both sides (the deterministic replacement for pandas'
+    //     order-dependent "first observed").
+    Q("op_describe_object",
+      """WITH c AS (SELECT c_mktsegment AS v, COUNT(*) AS c FROM customer
+        |           WHERE c_mktsegment IS NOT NULL GROUP BY 1)
+        |SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM c) AS cnt,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS uniq,
+        |       (SELECT v FROM c ORDER BY c DESC, v LIMIT 1) AS top,
+        |       (SELECT CAST(MAX(c) AS BIGINT) FROM c) AS freq""".stripMargin) {
+      (spark, dir) =>
+      gt(spark, dir, "customer")
+        .describeObject("c_mktsegment")
+        .df
+    },
+
     // --- §2.13 sketch error bounds (reference approx quantile /
     //     unique sketches): approx values themselves are engine-specific
     //     (GK vs t-digest, HLL variants differ), so the oracle states the

@@ -271,6 +271,14 @@ class ApiSpec extends SparkSpecBase {
     assert(n.getLong(0) >= 5L && n.getLong(1) <= 9L)
   }
 
+  test("describeObject counts, uniques, and breaks top ties deterministically") {
+    val df = Seq("b", "b", "a", "a", "c", null).map(Tuple1(_)).toDF("s")
+    val r = GraftFrame(df).describeObject("s").df.collect().head
+    // a and b tie at freq 2 → lexicographically smallest wins
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getString(2) == "a" && r.getLong(3) == 2L)
+  }
+
   test("withRowIndex numbers rows 0..n-1 in the frame's sort order") {
     val df = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("k", "v")
     val got = GraftFrame(df).sortValues(Seq("k")).withRowIndex().df
