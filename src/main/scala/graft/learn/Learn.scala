@@ -672,6 +672,29 @@ object Learn {
 
   /** Regression metrics from plain aggregates: rmse, mae, r2 (SS_tot via
     * moment sums so it stays a single partial+final aggregate). */
+  /** Binary log-loss (sklearn log_loss) and Brier score in one pass:
+    * −mean(y·log p + (1−y)·log(1−p)) and mean((p−y)²), with sklearn's
+    * eps-clipping so hard 0/1 probabilities stay finite. Both are
+    * cross-row means of per-row doubles, so they sum exact scaled
+    * integers (CLAUDE.md convention) — deterministic across
+    * partitionings and engines. */
+  def probMetrics(df: DataFrame, labelCol: String, probCol: String,
+      eps: Double = 1e-15): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val p = least(lit(1.0) - lit(eps), greatest(lit(eps), col(probCol).cast("double")))
+    val llTerm = -(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))
+    val brTerm = (p - y) * (p - y)
+    def sInt(c: Column) =
+      sum(floor(c * lit(1000000.0) + lit(0.5)).cast("long"))
+    df.agg(sInt(llTerm).as("__ll"), sInt(brTerm).as("__br"),
+        count(lit(1)).as("__n"))
+      .select(
+        (col("__ll").cast("double") / lit(1000000.0) /
+          col("__n").cast("double")).as("log_loss"),
+        (col("__br").cast("double") / lit(1000000.0) /
+          col("__n").cast("double")).as("brier"))
+  }
+
   def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val y = col(labelCol).cast("double")
     val err = y - col(predCol).cast("double")

@@ -598,6 +598,37 @@ object LearnQ {
         .orderBy($"i", $"j")
     },
 
+    // --- binary log-loss + Brier score (sklearn log_loss/brier_score):
+    //     deterministic planted probabilities (exact rationals), per-row
+    //     ln terms are the deterministic-libm class, the cross-row mean
+    //     sums exact scaled integers on BOTH sides — bit-exact, no
+    //     rounding.
+    Q("learn_probmetrics",
+      """WITH d AS (
+        |  SELECT CASE WHEN c_acctbal > 0 THEN CAST(1.0 AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS y,
+        |         CAST(c_custkey % 97 + 1 AS DOUBLE) / CAST(99.0 AS DOUBLE) AS p
+        |  FROM customer)
+        |SELECT
+        |  CAST(CAST(SUM(CAST(floor(
+        |      (-((y * ln(p)) + ((CAST(1.0 AS DOUBLE) - y)
+        |         * ln(CAST(1.0 AS DOUBLE) - p))))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS log_loss,
+        |  CAST(CAST(SUM(CAST(floor(
+        |      ((p - y) * (p - y))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS brier
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "customer").select(
+        when($"c_acctbal" > 0, 1.0).otherwise(0.0).as("y"),
+        (($"c_custkey" % 97 + 1).cast("double") / lit(99.0)).as("p"))
+      Learn.probMetrics(d, "y", "p")
+    },
+
     // --- einsum batch matmul (reference mt.einsum): 'bij,bjk->bik' over
     //     exact integer-valued COO operands — the contraction joins on
     //     (b, j), the reduction keys on (b, i, k); all-BIGINT exact.

@@ -335,6 +335,22 @@ class LearnSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Learn.einsumCoo("ij,jk->iz", a, b))
   }
 
+  test("probMetrics matches hand-computed log-loss and Brier score") {
+    val df = Seq((1.0, 0.8), (0.0, 0.3), (1.0, 0.6)).toDF("y", "p")
+    val r = Learn.probMetrics(df, "y", "p").collect().head
+    val ll = -(math.log(0.8) + math.log(0.7) + math.log(0.6)) / 3
+    val br = (0.04 + 0.09 + 0.16) / 3
+    // quantized at 1e-6 per term
+    assert(math.abs(r.getAs[Double]("log_loss") - ll) < 1e-6)
+    assert(math.abs(r.getAs[Double]("brier") - br) < 1e-6)
+    // hard 0/1 probabilities stay finite through the eps clip
+    val hard = Seq((1.0, 1.0), (0.0, 0.0)).toDF("y", "p")
+    val h = Learn.probMetrics(hard, "y", "p").collect().head
+    assert(!h.getAs[Double]("log_loss").isNaN &&
+      !h.getAs[Double]("log_loss").isInfinite)
+    assert(h.getAs[Double]("brier") == 0.0)
+  }
+
   test("regression metrics compute rmse/mae/r2") {
     val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.0)).toDF("y", "pred")
     val m = Learn.regressionMetrics(df, "y", "pred").collect().head
