@@ -538,6 +538,24 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(df.sparkSession.createDataFrame(indexed, schema))
   }
 
+  /** Positional iloc in the frame's CURRENT order — the pandas-faithful
+    * form, composing [[withRowIndex]]'s implicit-index bridge with the
+    * position filter: `df.iloc[[0, 5, -1]]` with no order columns.
+    * Deterministic whenever the frame's order is (post-sort, single
+    * sorted file); same zipWithIndex cost class as [[iloc]]. */
+  def ilocPositional(positions: Seq[Long]): GraftFrame = {
+    val indexed = withRowIndex("__ri")
+    val resolved: Set[Long] =
+      if (positions.forall(_ >= 0)) positions.toSet
+      else {
+        val n = indexed.df.count()
+        positions.map(p => if (p >= 0) p else n + p).toSet
+      }
+    GraftFrame(indexed.df
+      .filter(col("__ri").isInCollection(resolved))
+      .drop("__ri"))
+  }
+
   /** Conform to a given key frame (reference indexing/reindex.py:49 /
     * align, indexing/align.py:44): left join from the new keys, missing
     * rows null-filled (or `fillValue`). `keys` must be the key frame's

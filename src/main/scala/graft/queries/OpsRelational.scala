@@ -705,6 +705,26 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.11 pandas-faithful positional iloc (implicit current-order
+    //     index via the withRowIndex bridge, negatives from the end):
+    //     rows at positions 0, 3, n-1 of the o_orderkey-sorted frame.
+    Q("op_iloc_implicit",
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM orders WHERE o_orderkey < 1000) t
+        |WHERE rn IN (0, 3) OR rn = n - 1
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "orders")
+        .query("o_orderkey < 1000")
+        .select("o_orderkey")
+        .sortValues(Seq("o_orderkey"))
+        .ilocPositional(Seq(0L, 3L, -1L))
+        .sortValues(Seq("o_orderkey"))
+        .df
+    },
+
     // --- §2.11 deterministic hash sampling via the fluent API (oracle
     //     replays the identical avalanche-hash bucket)
     Q("op_sample_hash",
