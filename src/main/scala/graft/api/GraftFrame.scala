@@ -556,6 +556,54 @@ final case class GraftFrame(df: DataFrame) {
       .drop("__ri"))
   }
 
+  /** sklearn QuantileTransformer / rank-based quantile normalization
+    * (reference mars/learn/preprocessing neighborhood; the standard
+    * feature-pipeline step): each value maps to its exact global midrank
+    * u = (#smaller + #equal/2) / n ∈ (0, 1), optionally pushed through
+    * the logistic inverse CDF (`ln(u/(1-u))`). The normal target needs
+    * Φ⁻¹, which neither engine exposes — logistic is the closed-form
+    * heavy-tail alternative.
+    *
+    * Scale shape: distinct values aggregate first (the only data-sized
+    * shuffle), then the checkMonotonic bucketing — range-partition the
+    * distinct values, per-bucket cumulative counts under a bucket-local
+    * window, stitch with per-bucket offsets (≤ shuffle.partitions rows
+    * through a tiny global window) — and one value-keyed join back.
+    * Never a global single-task rank over the data. Exact rationals:
+    * u is bit-identical on any engine, no rounding. Nulls pass through
+    * with a null transform. */
+  def quantileTransform(valueCol: String, out: String,
+      distribution: String = "uniform"): GraftFrame = {
+    require(Set("uniform", "logistic")(distribution),
+      s"distribution must be uniform|logistic: $distribution")
+    val g = df.filter(df(valueCol).isNotNull)
+      .groupBy(df(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = g.withColumn("__bl", coalesce(sum(col("__c")).over(wLocal), lit(0L)))
+    val wPid = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__c")).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(wPid), lit(0L)))
+    val total = offsets.agg(sum(col("__pc")).as("__n"))
+    val u = (col("__bl") + col("__off")).cast("double") +
+      col("__c").cast("double") / lit(2.0)
+    val uMap = local
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .select(col("__v"), (u / col("__n").cast("double")).as("__u"))
+    val transformed = distribution match {
+      case "uniform" => col("__u")
+      case "logistic" => log(col("__u") / (lit(1.0) - col("__u")))
+    }
+    GraftFrame(df
+      .join(uMap, df(valueCol) === col("__v"), "left")
+      .withColumn(out, transformed)
+      .drop("__v", "__u"))
+  }
+
   /** Conform to a given key frame (reference indexing/reindex.py:49 /
     * align, indexing/align.py:44): left join from the new keys, missing
     * rows null-filled (or `fillValue`). `keys` must be the key frame's

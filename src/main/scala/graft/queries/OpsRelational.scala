@@ -705,6 +705,38 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.13 quantile transform / rank normalization (sklearn
+    //     QuantileTransformer): exact global midrank u = (#< + #=/2)/n —
+    //     exact rationals, bit-identical with no rounding; the logistic
+    //     target ln(u/(1-u)) mirrors per-row (round-6 libm class).
+    Q("op_quantile_transform",
+      """WITH g AS (SELECT c_acctbal AS v, COUNT(*) AS c FROM customer
+        |           WHERE c_acctbal IS NOT NULL GROUP BY 1),
+        |w AS (SELECT v, c,
+        |        COALESCE(SUM(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf,
+        |        SUM(c) OVER () AS n
+        |      FROM g),
+        |u AS (SELECT v, (CAST(bf AS DOUBLE) + CAST(c AS DOUBLE)
+        |                 / CAST(2.0 AS DOUBLE))
+        |                / CAST(n AS DOUBLE) AS u FROM w)
+        |SELECT c.c_custkey, u.u AS qt,
+        |  round(ln(u.u / (CAST(1.0 AS DOUBLE) - u.u)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS ql
+        |FROM customer c JOIN u ON c.c_acctbal = u.v
+        |WHERE c.c_custkey < 500
+        |ORDER BY c.c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "customer")
+        .quantileTransform("c_acctbal", "qt", "uniform")
+        .quantileTransform("c_acctbal", "ql", "logistic")
+        .assign("ql" -> (round(col("ql"), 6) + lit(0.0)))
+        .query("c_custkey < 500")
+        .select("c_custkey", "qt", "ql")
+        .sortValues(Seq("c_custkey"))
+        .df
+    },
+
     // --- §2.11 pandas-faithful positional iloc (implicit current-order
     //     index via the withRowIndex bridge, negatives from the end):
     //     rows at positions 0, 3, n-1 of the o_orderkey-sorted frame.
