@@ -272,4 +272,55 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("transpose is an involution on distinct-id frames") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 30L))) { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.map(i => (s"r$i", i * 1.5, i * i.toDouble)).toDF("k", "x", "y")
+      val once = GraftFrame(df).transpose("k")
+      val twice = once.transpose("column").df
+      // transposing twice restores the original cells (column order = sorted ids)
+      val back = twice.orderBy("column").collect()
+        .map(r => r.getString(0) -> r).toMap
+      ids.foreach { i =>
+        assert(back(s"r$i").getAs[Double]("x") == i * 1.5)
+        assert(back(s"r$i").getAs[Double]("y") == i * i.toDouble)
+      }
+    }
+  }
+
+  test("quantileTransform: uniform output is rank-monotone with midrank ties") {
+    forAll(frameGen) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val got = GraftFrame(df).quantileTransform("v", "u").df
+        .select("v", "u").as[(Double, Double)].collect()
+      val n = rows.length.toDouble
+      val byV = rows.map(_._3)
+      got.foreach { case (v, u) =>
+        val below = byV.count(_ < v)
+        val eq = byV.count(_ == v)
+        assert(u == (below + eq / 2.0) / n, s"midrank mismatch at $v")
+        assert(u > 0.0 && u < 1.0)
+      }
+      // equal values share u; larger values get strictly larger u
+      val m = got.toMap
+      byV.distinct.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(m(a) < m(b))
+        case _ =>
+      }
+    }
+  }
+
+  test("ilocPositional matches Scala indexing incl. negatives") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 200L))) { xs0 =>
+      val xs = xs0.distinct.sorted
+      val df = xs.map(Tuple1(_)).toDF("x")
+      val picks = Seq(0L, xs.length / 2L, -1L).distinct
+      val got = GraftFrame(df).sortValues(Seq("x")).ilocPositional(picks)
+        .df.as[Long].collect().sorted.toSeq
+      val want = picks.map(p => if (p >= 0) xs(p.toInt) else xs(xs.length + p.toInt))
+        .distinct.sorted
+      assert(got == want)
+    }
+  }
 }
