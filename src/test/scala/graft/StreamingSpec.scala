@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming hourly tumbling equals batch resample('1H') observed buckets") {
+    implicit val sq = spark.sqlContext
+    def hts(h: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (hts(0, 5), "click", 1.0), (hts(0, 50), "click", 2.0),
+      (hts(2, 10), "click", 3.0), (hts(1, 0), "buy", 1.0))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(events, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("w_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // the batch calendar resample of the same events: observed (cnt>0)
+      // hour buckets must coincide with the streaming tumbling windows
+      val batch = graft.operators.Sessionize
+        .resampleCalendar(rows.toDF("ts", "event_type", "value"),
+          "event_type", "ts", lit(1L), "hour")
+        .filter(col("cnt") > 0)
+        .select("day", "event_type", "cnt")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming session counts close sessions at the gap") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)]
