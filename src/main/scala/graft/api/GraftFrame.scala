@@ -1343,6 +1343,9 @@ final case class GraftFrame(df: DataFrame) {
   def transpose(idCol: String, maxCols: Int = 100000): GraftFrame = {
     val ids = df.select(df(idCol).cast("string").as("__id")).distinct()
       .orderBy(col("__id")).limit(maxCols + 1).collect().map(_.getString(0))
+    require(!ids.contains(null),
+      s"transpose id column '$idCol' contains null — a null cannot name " +
+        "an output column (drop or fill it first)")
     require(ids.length <= maxCols,
       s"transpose output would exceed $maxCols columns (one per distinct " +
         s"'$idCol') — a frame that wide is unusable; work on the melted " +

@@ -215,7 +215,10 @@ object PandasExpr {
         case Some(Op("*")) => next(); l = s"($l * ${unary()})"
         case Some(Op("/")) => next(); l = s"($l / ${unary()})"
         case Some(Op("//")) => next(); l = s"floor($l / ${unary()})"
-        case Some(Op("%")) => next(); l = s"($l % ${unary()})"
+        // Python % follows the DIVISOR's sign (numpy/pandas semantics);
+        // SQL % follows the dividend — pmod reproduces Python for both
+        // divisor signs (pmod(-7,2)=1, pmod(7,-2)=-1)
+        case Some(Op("%")) => next(); l = s"pmod($l, ${unary()})"
         case _ => done = true
       }
       l

@@ -36,6 +36,9 @@ object Zarr {
     require(valueCols.nonEmpty, "zarr write needs at least one value column")
     require(chunkRows > 0, s"chunkRows must be positive: $chunkRows")
     val c = valueCols.length
+    require(chunkRows.toLong * c * 8 <= Int.MaxValue,
+      s"chunk of $chunkRows rows x $c cols exceeds the 2 GiB buffer bound " +
+        "- lower chunkRows")
     val mat = df.select(valueCols.map(col(_).cast("double")): _*)
     val indexed = mat.rdd.zipWithIndex()
     indexed.cache()

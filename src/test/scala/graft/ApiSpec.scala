@@ -90,6 +90,11 @@ class ApiSpec extends SparkSpecBase {
     assert(translate("a ** 2 ** 3") == "power(`a`, power(2, 3))") // right-assoc
     assert(translate("-a ** 2") == "(- power(`a`, 2))")           // python: -(a**2)
     assert(translate("a // 7 + 1") == "(floor(`a` / 7) + 1)")
+    assert(translate("a % 3") == "pmod(`a`, 3)") // python sign semantics
+    // behavioral: python -7 % 2 == 1 (sign of the divisor), unlike SQL %
+    val mod = Seq(Tuple1(-7L)).toDF("a")
+      .select(expr(translate("a % 2"))).as[Long].head()
+    assert(mod == 1L)
     assert(translate("k in [1, 2] and s not in ('x',)") ==
       "((`k` IN (1, 2)) AND (`s` NOT IN ('x')))")
     assert(translate("`col with space` == None") == "(`col with space` = null)")
