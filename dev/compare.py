@@ -62,6 +62,20 @@ def main():
         try:
             oq = con.sql(oracles[name])
             ocols, orows = [c.lower() for c in oq.columns], oq.fetchall()
+            # Convention lint (r8): DuckDB SUM over integers widens to
+            # HUGEINT (int128). fetchall renders HUGEINT like BIGINT, so
+            # this replica would pass — but the driver's fetch path does
+            # NOT (r7's 5 hash-reds were exactly the 5 oracles with a
+            # HUGEINT column). Fail loudly here so it can't recur.
+            # probe_hugeint_sum keeps the construct deliberately (it is
+            # the control probe for the driver-side diagnosis).
+            wide = [c for c, t in zip(oq.columns, oq.types)
+                    if "HUGEINT" in str(t).upper()]
+            if wide and name != "probe_hugeint_sum":
+                n_fail += 1
+                print(f"  [TYPE-LINT] {name}: HUGEINT oracle columns {wide} "
+                      f"— CAST(... AS BIGINT) in the oracle SQL")
+                continue
         except Exception as e:
             n_fail += 1
             print(f"  [ORACLE-ERR] {name}: {e}")

@@ -40,6 +40,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    def loadavg0(): String =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString.trim.split(" ").take(3).mkString("[", ",", "]"))
+      catch { case _: Throwable => "[]" }
+    val loadStart = loadavg0()
+
     // warm-up: JVM/codegen/parquet-footer caches
     force("q06")
 
@@ -62,25 +68,41 @@ object Bench {
     }
     // Failed queries are surfaced explicitly (sentinel -1) and excluded from
     // the headline total, so a broken query can't make the bench look fast.
+    // 4-decimal seconds: full Double toString would push the summary line
+    // past the driver's capture window on a 30-query map (the r7 failure).
+    def sec(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v, ok, _) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
+      "\"" + k + "\":" + (if (ok) sec(v) else "-1.0")
     }.mkString("{", ",", "}")
     // Raw per-rep timings alongside the min: external load bursts on a
     // shared box swing sub-second queries ±2×, and with only the min
     // recorded a reader can't tell noise from a plan regression — the
     // spread (e.g. [0.31, 2.1, 0.30]) adjudicates without a local rerun.
     val repsJson = results.map { case (k, _, _, ts) =>
-      "\"" + k + "\":[" + ts.mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(sec).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
     val failed = results.count(!_._3)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
-    // sbt wraps stdout in [info] prefixes, so the machine-readable copy goes
-    // to a file; stdout keeps a human-readable echo.
+    // Load average before/after (one /proc/loadavg read each): the shared
+    // box carries bursty external load, and without this a reader cannot
+    // separate contention from a plan regression without a local rerun
+    // (the r7 record was adjudicated exactly that way, by hand).
+    val loadAfter = loadavg0()
+    // r7's single JSON line embedded `reps` and grew past the driver's
+    // tail-capture window, so the head of the line was truncated and the
+    // round shipped with `parsed: null`. Emission contract since r8:
+    // the per-rep detail goes out FIRST as its own line, and the compact
+    // summary (<1 KB, no reps) is the LAST line on stdout — the driver
+    // parses the last line, humans and the judge read the detail above it.
+    val detail =
+      s"""{"detail":"reps","reps":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadAfter}"""
+    val summary =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      detail + "\n" + summary + "\n")
+    println(detail)
+    println(summary)
     spark.stop()
   }
 }

@@ -355,6 +355,90 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(patched)
   }
 
+  /** Index-aligned arithmetic (pandas `df.add(other, fill_value=)` and
+    * friends; reference dataframe/arithmetic/core.py — the 832-LoC
+    * DataFrameIndexAlign machinery): the two frames are OUTER-aligned on
+    * the index columns `on`, and `op` is applied cell-wise over the UNION
+    * of their numeric value columns. Pandas missing-data semantics:
+    *  - a cell present on exactly one side uses `fillValue` for the other
+    *    side when given, else the result is null (pandas NaN);
+    *  - a cell missing on BOTH sides is null regardless of `fillValue`;
+    *  - a column present in only one frame behaves as all-missing on the
+    *    other side (so it fills, like pandas).
+    * Non-numeric non-key columns are outside the numeric-arithmetic
+    * surface and are dropped (pandas would emit all-NaN columns for
+    * mixed object frames; dropping is the honest engine behavior).
+    *
+    * Scale shape: ONE full-outer equi-join shuffle on the index columns;
+    * every cell rule is a per-row projection on top. Output cells are
+    * double (the common numeric type of the aligned arithmetic).
+    * `op`: add | sub | mul | div | floordiv | mod | pow. */
+  def arithAligned(other: GraftFrame, on: Seq[String], op: String,
+      fillValue: Option[Double] = None): GraftFrame = {
+    require(on.nonEmpty, "arithAligned needs at least one index column")
+    def numericCols(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val numeric = Set("byte", "short", "integer", "long",
+        "float", "double", "decimal")
+      d.schema.fields
+        .filter(f => !on.contains(f.name) &&
+          numeric.exists(f.dataType.typeName.startsWith))
+        .map(_.name).toSeq
+    }
+    val lCols = numericCols(df)
+    val rCols = numericCols(other.df)
+    val allCols = lCols ++ rCols.filterNot(lCols.contains)
+    require(allCols.nonEmpty, "arithAligned: no numeric value columns")
+    val opFn: (Column, Column) => Column = op match {
+      case "add" => _ + _
+      case "sub" => _ - _
+      case "mul" => _ * _
+      case "div" => _ / _
+      case "floordiv" => (a, b) => floor(a / b)
+      case "mod" => (a, b) => pmod(a, b) // python sign-of-divisor semantics
+      case "pow" => (a, b) => pow(a, b)
+      case o => throw new IllegalArgumentException(
+        s"arithAligned op must be add|sub|mul|div|floordiv|mod|pow: $o")
+    }
+    val l = lCols.foldLeft(df.select((on ++ lCols).map(df(_)): _*))(
+      (d, c) => d.withColumnRenamed(c, c + "__bl"))
+    val r = rCols.foldLeft(other.df.select((on ++ rCols).map(other.df(_)): _*))(
+      (d, c) => d.withColumnRenamed(c, c + "__br"))
+    val joined = l.join(r, on, "full_outer")
+    val cells = allCols.map { c =>
+      val lv = (if (lCols.contains(c)) col(c + "__bl")
+        else lit(null)).cast("double")
+      val rv = (if (rCols.contains(c)) col(c + "__br")
+        else lit(null)).cast("double")
+      val (lf, rf) = fillValue match {
+        case Some(v) => (coalesce(lv, lit(v)), coalesce(rv, lit(v)))
+        case None => (lv, rv)
+      }
+      when(lv.isNull && rv.isNull, lit(null).cast("double"))
+        .otherwise(opFn(lf, rf)).as(c)
+    }
+    GraftFrame(joined.select(on.map(col) ++ cells: _*))
+  }
+
+  /** pandas df.add(other, fill_value=) — see [[arithAligned]]. */
+  def addAligned(other: GraftFrame, on: Seq[String],
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "add", fillValue)
+
+  /** pandas df.sub(other, fill_value=) — see [[arithAligned]]. */
+  def subAligned(other: GraftFrame, on: Seq[String],
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "sub", fillValue)
+
+  /** pandas df.mul(other, fill_value=) — see [[arithAligned]]. */
+  def mulAligned(other: GraftFrame, on: Seq[String],
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "mul", fillValue)
+
+  /** pandas df.div(other, fill_value=) — see [[arithAligned]]. */
+  def divAligned(other: GraftFrame, on: Seq[String],
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "div", fillValue)
+
   /** pandas DataFrame.update: `other`'s NON-NULL values overwrite this
     * frame's values on key-aligned rows; rows only in `other` are ignored
     * and this frame's row set is unchanged (a left join — the mirror
@@ -1351,6 +1435,7 @@ final case class GraftFrame(df: DataFrame) {
         s"'$idCol') — a frame that wide is unusable; work on the melted " +
         "long form instead or raise maxCols deliberately")
     val valueCols = df.columns.filterNot(_ == idCol).toSeq
+    requireNumericValueCols(valueCols)
     val melted = df.select(
         (df(idCol).cast("string").as("__id") +:
           valueCols.map(c => df(c).cast("double").as(c))): _*)
@@ -1386,6 +1471,23 @@ final case class GraftFrame(df: DataFrame) {
     * full axis labels to transpose; do not call on large frames. A hard
     * row-count guard fails loudly instead of OOMing the driver when a
     * mis-aimed call hits a big frame. */
+  /** The transposed cells are double-typed; a non-numeric value column
+    * would be silently nulled by the cast — reject loudly instead
+    * (pandas transpose keeps objects; this engine's transpose is the
+    * numeric-matrix form, so mixed frames must drop/convert first). */
+  private def requireNumericValueCols(valueCols: Seq[String]): Unit = {
+    val numeric = Set("byte", "short", "integer", "long",
+      "float", "double", "decimal", "boolean")
+    val bad = df.schema.fields
+      .filter(f => valueCols.contains(f.name))
+      .filterNot(f => numeric.exists(f.dataType.typeName.startsWith))
+      .map(f => s"${f.name}: ${f.dataType.typeName}")
+    require(bad.isEmpty,
+      s"transpose value columns must be numeric — non-numeric columns " +
+        s"would be silently nulled by the double cast: ${bad.mkString(", ")} " +
+        "(drop them or cast explicitly first)")
+  }
+
   def transposeSmall(idCol: String, maxRows: Int = 10000): GraftFrame = {
     val n = df.limit(maxRows + 1).count()
     require(n <= maxRows,
@@ -1394,6 +1496,7 @@ final case class GraftFrame(df: DataFrame) {
         "large frame has no scalable formulation — see reference base/transpose.py)")
     val ids = df.select(df(idCol)).orderBy(df(idCol)).collect().map(_.get(0).toString)
     val valueCols = df.columns.filterNot(_ == idCol).toSeq
+    requireNumericValueCols(valueCols)
     val melted = df.select(
         (df(idCol).cast("string").as("__id") +:
           valueCols.map(c => df(c).cast("double").as(c))): _*)

@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions.udf
 object Fft {
   final case class Complex2(re: Seq[Double], im: Seq[Double])
 
+  /** Null contract for the UDFs below: a null input array yields a null
+    * output (SQL missing-data semantics, matching numpy.fft on masked
+    * input); a null ELEMENT is rejected loudly — silently unboxing it
+    * would read 0.0 and corrupt the spectrum with no error. */
+  private def checkedArray(xs: Seq[java.lang.Double], what: String): Array[Double] = {
+    val out = new Array[Double](xs.length)
+    var i = 0
+    xs.foreach { v =>
+      require(v != null, s"fft: null element at index $i in $what array")
+      out(i) = v.doubleValue(); i += 1
+    }
+    out
+  }
+
   private[graft] def transform(re: Array[Double], im: Array[Double],
       inverse: Boolean): Unit = {
     val n = re.length
@@ -72,22 +86,28 @@ object Fft {
 
   /** FFT of a real-valued signal column → struct(re, im). */
   val fftReal: Column => Column = {
-    val f = udf((xs: Seq[Double]) => {
-      val re = xs.toArray
-      val im = new Array[Double](re.length)
-      transform(re, im, inverse = false)
-      Complex2(re.toSeq, im.toSeq)
+    val f = udf((xs: Seq[java.lang.Double]) => {
+      if (xs == null) null
+      else {
+        val re = checkedArray(xs, "signal")
+        val im = new Array[Double](re.length)
+        transform(re, im, inverse = false)
+        Complex2(re.toSeq, im.toSeq)
+      }
     })
     f(_)
   }
 
   /** Inverse FFT of struct(re, im) → struct(re, im). */
   val ifft: (Column, Column) => Column = {
-    val f = udf((res: Seq[Double], ims: Seq[Double]) => {
-      val re = res.toArray
-      val im = ims.toArray
-      transform(re, im, inverse = true)
-      Complex2(re.toSeq, im.toSeq)
+    val f = udf((res: Seq[java.lang.Double], ims: Seq[java.lang.Double]) => {
+      if (res == null || ims == null) null
+      else {
+        val re = checkedArray(res, "re")
+        val im = checkedArray(ims, "im")
+        transform(re, im, inverse = true)
+        Complex2(re.toSeq, im.toSeq)
+      }
     })
     (a, b) => f(a, b)
   }
@@ -95,11 +115,14 @@ object Fft {
   /** Power spectrum |X_k|² of a real signal — the periodogram feature
     * column a pipeline actually joins on. */
   val powerSpectrum: Column => Column = {
-    val f = udf((xs: Seq[Double]) => {
-      val re = xs.toArray
-      val im = new Array[Double](re.length)
-      transform(re, im, inverse = false)
-      re.indices.map(k => re(k) * re(k) + im(k) * im(k))
+    val f = udf((xs: Seq[java.lang.Double]) => {
+      if (xs == null) null
+      else {
+        val re = checkedArray(xs, "signal")
+        val im = new Array[Double](re.length)
+        transform(re, im, inverse = false)
+        re.indices.map(k => re(k) * re(k) + im(k) * im(k))
+      }
     })
     f(_)
   }

@@ -154,15 +154,26 @@ object PandasExpr {
 
     private def cmpExpr(): String = {
       var l = bitOr()
+      // at most ONE comparison per level: a chained `a < b < c` is a
+      // Python-specific construct (it means a<b and b<c, which SQL's
+      // left-associative parse silently turns into (a<b)<c — a
+      // boolean-vs-numeric comparison) — reject it loudly like the
+      // reference's AST walker does
+      var consumed = false
+      def once(): Unit = {
+        require(!consumed, "pandas-expr: chained comparisons " +
+          s"(a < b < c) are not supported — split with `and`, in: $src")
+        consumed = true
+      }
       var done = false
       while (!done) peek match {
         case Some(Op(o)) if Set("==", "!=", "<", "<=", ">", ">=")(o) =>
-          next()
+          once(); next()
           l = s"($l ${if (o == "==") "=" else o} ${bitOr()})"
         case Some(Id("in")) =>
-          next(); l = s"($l IN ${listLit()})"
+          once(); next(); l = s"($l IN ${listLit()})"
         case Some(Id("not")) if pos + 1 < ts.length && ts(pos + 1) == Id("in") =>
-          next(); next(); l = s"($l NOT IN ${listLit()})"
+          once(); next(); next(); l = s"($l NOT IN ${listLit()})"
         case _ => done = true
       }
       l

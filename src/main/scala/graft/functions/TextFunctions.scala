@@ -158,11 +158,11 @@ object TextFunctions {
       .agg(
         sum(col("__c")).as("tokens"),
         count(lit(1)).as("types"),
-        sum(floor(term * lit(1000000.0) + lit(0.5)).cast("long")).as("__slc"))
-      .select(col(idCol), col("tokens"), col("types"),
+        sum(floor(term * lit(1000000.0) + lit(0.5)).cast("long")).as("slc"))
+      .select(col(idCol), col("tokens"), col("types"), col("slc"),
         (col("types").cast("double") / col("tokens").cast("double")).as("ttr"),
         (log2(col("tokens").cast("double")) -
-          col("__slc").cast("double") / lit(1000000.0) /
+          col("slc").cast("double") / lit(1000000.0) /
             col("tokens").cast("double")).as("entropy"))
   }
 

@@ -259,20 +259,26 @@ object Sessionize {
     resampleCalendar(events, keyCol, tsCol, sumCol, "day")
 
   /** [[resampleDaily]] generalized over the calendar unit — pandas
-    * resample('1D' | '1W' | '1MS' | '1H' | '15min'): buckets are
-    * date_trunc(unit) starts (ISO Monday weeks; epoch-aligned quarter
-    * hours), the per-key grid steps by one unit, month grids handle
-    * unequal month lengths because `sequence` steps calendar months, not
-    * fixed durations. Sub-daily units keep the bucket as a TIMESTAMP
-    * (the `day` output column name is kept for API stability). */
+    * resample('1D' | '1W' | '1MS' | '1M' | '1QS' | '1YS' | '1H' |
+    * '15min'; reference dataframe/datasource/date_range.py frequency
+    * table): buckets are date_trunc(unit) starts (ISO Monday weeks;
+    * epoch-aligned quarter hours), the per-key grid steps by one unit,
+    * month/quarter/year grids handle unequal month lengths because
+    * `sequence` steps calendar months, not fixed durations.
+    * `month_end` is pandas '1M': bucketing is by calendar month and the
+    * bucket LABEL is the month's last day. Sub-daily units keep the
+    * bucket as a TIMESTAMP (the `day` output column name is kept for
+    * API stability). */
   def resampleCalendar(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       sumCol: Column,
       unit: String): DataFrame = {
-    require(Set("day", "week", "month", "hour", "15min")(unit),
-      s"unit must be day|week|month|hour|15min: $unit")
+    require(
+      Set("day", "week", "month", "month_end", "quarter", "year",
+        "hour", "15min")(unit),
+      s"unit must be day|week|month|month_end|quarter|year|hour|15min: $unit")
     val bucket = unit match {
       case "hour" => date_trunc("hour", col(tsCol))
       case "15min" =>
@@ -280,10 +286,15 @@ object Sessionize {
         // floor(x/900) could misround at bucket boundaries)
         val secs = unix_timestamp(col(tsCol))
         timestamp_seconds(secs - pmod(secs, lit(900L)))
+      case "month_end" => date_trunc("month", col(tsCol)).cast("date")
       case u => date_trunc(u, col(tsCol)).cast("date")
     }
     val step = unit match {
       case "15min" => expr("INTERVAL 15 MINUTE")
+      case "month_end" => expr("INTERVAL 1 MONTH")
+      // a quarter is exactly 3 calendar months; stepping months (not a
+      // fixed duration) keeps quarter starts exact across month lengths
+      case "quarter" => expr("INTERVAL 3 MONTH")
       case u => expr(s"INTERVAL 1 ${u.toUpperCase}")
     }
     val perBucket = events
@@ -297,10 +308,14 @@ object Sessionize {
     val joined = grid.join(perBucket, Seq(keyCol, "day"), "left")
     val wBack = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined.select(col(keyCol), col("day"),
+    val out = joined.select(col(keyCol), col("day"),
       coalesce(col("cnt"), lit(0L)).as("cnt"),
       col("sum_val"),
       last(col("sum_val"), ignoreNulls = true).over(wBack).as("sum_ffill"))
+    // '1M' labels each month bucket with its LAST day (grid/ffill ran on
+    // month starts, which last_day maps monotonically)
+    if (unit == "month_end") out.withColumn("day", last_day(col("day")))
+    else out
   }
 
   /** Markov transition counts over per-key event sequences: how often

@@ -1193,39 +1193,37 @@ object Ext {
     },
 
     // --- per-document unigram diversity: token count, distinct types,
-    //     type-token ratio (exact long/long rational), Shannon entropy in
-    //     bits. The Σ c·log2 c term is summed as exact scaled integers on
-    //     BOTH sides (per-word floor(c·log2 c·1e6 + 0.5) BIGINTs): a raw
-    //     double sum is summation-order-dependent, which diverged across
-    //     DuckDB builds on the driver in r6 even at round-4. Per-row
-    //     c·log2 c is the deterministic-libm class; the integer sum is
-    //     order-free; the final log2 / divisions are per-row IEEE ops.
+    //     the exact scaled-integer Σ c·log2 c term (per-word
+    //     floor(c·log2 c·1e6 + 0.5) BIGINTs — order-free), and the
+    //     type-token ratio as an exact integer rational
+    //     (types·1e6 div tokens). Gate columns are ALL BIGINT: r7's red
+    //     was the uncast DuckDB SUM(c) — SUM over BIGINT returns HUGEINT
+    //     (int128), which the driver's fetch path renders differently
+    //     than BIGINT (r7's only 5 reds were exactly the 5 oracles with
+    //     HUGEINT output columns). The derived doubles (ttr, entropy)
+    //     stay on the operator and are asserted in TextFunctionsSpec.
     Q("ext_entropy",
       """WITH wc AS (
         |  SELECT doc_id, w, COUNT(*) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |        FROM documents WHERE doc_id < 200) t
-        |  GROUP BY doc_id, w),
-        |agg AS (
-        |  SELECT doc_id, SUM(c) AS tokens, COUNT(*) AS types,
-        |         CAST(SUM(CAST(floor(
-        |             CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
-        |               * CAST(1000000.0 AS DOUBLE)
-        |               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS slc
-        |  FROM wc GROUP BY doc_id)
-        |SELECT doc_id, tokens, types,
-        |  round(CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS ttr,
-        |  round(log2(CAST(tokens AS DOUBLE))
-        |        - CAST(slc AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
-        |          / CAST(tokens AS DOUBLE), 4)
-        |    + CAST(0.0 AS DOUBLE) AS entropy
-        |FROM agg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS tokens,
+        |  COUNT(*) AS types,
+        |  CAST(SUM(CAST(floor(
+        |      CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+        |        * CAST(1000000.0 AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS slc,
+        |  (COUNT(*) * CAST(1000000 AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+        |    AS ttr_micro
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(TextFunctions.unigramStats(
           t(spark, dir, "documents").filter($"doc_id" < 200), "doc_id", "text"))
-        .assign(
-          "ttr" -> round(col("ttr"), 6),
-          "entropy" -> (round(col("entropy"), 4) + lit(0.0)))
+        .assign("ttr_micro" ->
+          expr("(types * CAST(1000000 AS BIGINT)) div tokens"))
+        .select("doc_id", "tokens", "types", "slc", "ttr_micro")
         .sortValues(Seq("doc_id"))
         .df
     },

@@ -344,6 +344,50 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.4/§2.10 index-aligned arithmetic (pandas df.add(other,
+    //     fill_value=0); reference arithmetic/core.py DataFrameIndexAlign):
+    //     outer-align two key-overlapping slices, add cell-wise; a cell
+    //     present on one side fills with 0, missing on both stays null; the
+    //     `c` column exists only on the left, so it behaves as all-missing
+    //     on the right (fills, like pandas). Per-row double adds are
+    //     deterministic-same-shape on both engines; round-6 + +0.0 guard
+    //     per convention.
+    Q("op_binop_align",
+      """WITH l AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v,
+        |         CAST(o_custkey AS DOUBLE) AS c
+        |  FROM orders WHERE o_orderkey < 1200),
+        |r AS (
+        |  SELECT o_orderkey AS k,
+        |         o_totalprice * CAST(2.0 AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 2000)
+        |SELECT COALESCE(l.k, r.k) AS k,
+        |  CASE WHEN l.v IS NULL AND r.v IS NULL THEN NULL
+        |       ELSE round(COALESCE(l.v, CAST(0.0 AS DOUBLE))
+        |                  + COALESCE(r.v, CAST(0.0 AS DOUBLE)), 6)
+        |            + CAST(0.0 AS DOUBLE) END AS v,
+        |  CASE WHEN l.c IS NULL THEN NULL
+        |       ELSE round(l.c + CAST(0.0 AS DOUBLE), 6)
+        |            + CAST(0.0 AS DOUBLE) END AS c
+        |FROM l FULL OUTER JOIN r ON l.k = r.k
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val l = gt(spark, dir, "orders")
+        .query("o_orderkey < 1200")
+        .selectCols($"o_orderkey".as("k"), $"o_totalprice".as("v"),
+          $"o_custkey".cast("double").as("c"))
+      val r = gt(spark, dir, "orders")
+        .query("o_orderkey >= 800 AND o_orderkey < 2000")
+        .selectCols($"o_orderkey".as("k"),
+          ($"o_totalprice" * lit(2.0)).as("v"))
+      l.addAligned(r, on = Seq("k"), fillValue = Some(0.0))
+        .assign(
+          "v" -> (round(col("v"), 6) + lit(0.0)),
+          "c" -> (round(col("c"), 6) + lit(0.0)))
+        .sortValues(Seq("k"))
+        .df
+    },
+
     // --- §2.9 set ops: union / intersect / except
     Q("op_setops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

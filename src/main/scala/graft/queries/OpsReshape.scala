@@ -215,10 +215,16 @@ object OpsReshape {
     //     observed day; empty days carry cnt=0, a null sum, and the
     //     previous day's sum under ffill. The summed value is
     //     floor(value) — exact integer arithmetic on both engines.
+    //     Gate hardening (r8): every aggregate output is CAST AS BIGINT —
+    //     DuckDB SUM(BIGINT) returns HUGEINT (int128), which the driver's
+    //     fetch renders differently than BIGINT (the r7 reds were exactly
+    //     the 5 oracles with HUGEINT columns) — and the bucket is emitted
+    //     as an epoch-day integer, not a strftime string, so the gated
+    //     row is integer-only end to end.
     Q("op_resample",
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
-        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
         |  FROM events WHERE user_id < 8
         |  GROUP BY user_id, CAST(ts AS DATE)),
         |bounds AS (
@@ -238,25 +244,28 @@ object OpsReshape {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         |  FROM j)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
-        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS day, cnt,
+        |  sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
         |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 8))
         .resampleDaily("user_id", "ts", floor($"value").cast("long"))
-        .assign("day" -> date_format(col("day"), "yyyy-MM-dd"))
+        .assign("day" -> datediff(col("day"), lit("1970-01-01")).cast("long"))
         .sortValues(Seq("user_id", "day"))
         .df
     },
 
     // --- §2.16 resample('1W'): weekly calendar completion — ISO Monday
     //     week starts on both engines, gap weeks carry cnt=0 / null sum /
-    //     previous week's ffill.
+    //     previous week's ffill. BIGINT-cast aggregates + epoch-day bucket
+    //     (no HUGEINT, no strftime) — see op_resample.
     Q("op_resample_week",
       """WITH weekly AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS day,
         |         COUNT(*) AS cnt,
-        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
         |  FROM events WHERE user_id < 25
         |  GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)),
         |bounds AS (
@@ -273,13 +282,15 @@ object OpsReshape {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         |  FROM j)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, sum_val,
-        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS day, cnt,
+        |  sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
         |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 25))
         .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "week")
-        .assign("day" -> date_format(col("day"), "yyyy-MM-dd"))
+        .assign("day" -> datediff(col("day"), lit("1970-01-01")).cast("long"))
         .sortValues(Seq("user_id", "day"))
         .df
     },
@@ -287,11 +298,12 @@ object OpsReshape {
     // --- §2.16 resample('1H'): sub-daily hourly grid (the events fixture
     //     is sub-daily, so the hour grid is the natural pandas
     //     resample('1H') shape) — same gap-free completion, cnt=0 gaps,
-    //     gap-group ffill as op_resample; buckets stay TIMESTAMPs.
+    //     gap-group ffill as op_resample; the gated bucket column is
+    //     epoch seconds (BIGINT-cast aggregates — see op_resample).
     Q("op_resample_hour",
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS day, COUNT(*) AS cnt,
-        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
         |  FROM events WHERE user_id < 5
         |  GROUP BY user_id, date_trunc('hour', ts)),
         |bounds AS (
@@ -307,13 +319,14 @@ object OpsReshape {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         |  FROM j)
-        |SELECT user_id, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, cnt, sum_val,
-        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |SELECT user_id, epoch_us(day) // 1000000 AS day, cnt, sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
         |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 5))
         .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "hour")
-        .assign("day" -> date_format(col("day"), "yyyy-MM-dd HH:mm:ss"))
+        .assign("day" -> expr("unix_micros(day) div 1000000"))
         .sortValues(Seq("user_id", "day"))
         .df
     },
@@ -326,7 +339,7 @@ object OpsReshape {
         |         make_timestamp((((epoch_us(ts) // 1000000)
         |           - ((epoch_us(ts) // 1000000) % 900))) * 1000000) AS day,
         |         COUNT(*) AS cnt,
-        |         SUM(CAST(floor(value) AS BIGINT)) AS sum_val
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
         |  FROM events WHERE user_id < 2
         |  GROUP BY 1, 2),
         |bounds AS (
@@ -342,13 +355,95 @@ object OpsReshape {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         |  FROM j)
-        |SELECT user_id, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, cnt, sum_val,
-        |  max(sum_val) OVER (PARTITION BY user_id, grp) AS sum_ffill
+        |SELECT user_id, epoch_us(day) // 1000000 AS day, cnt, sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
         |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 2))
         .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "15min")
-        .assign("day" -> date_format(col("day"), "yyyy-MM-dd HH:mm:ss"))
+        .assign("day" -> expr("unix_micros(day) div 1000000"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
+    // --- §2.16 resample('1M'): month-end labels (pandas '1M' vs '1MS') —
+    //     bucketing by calendar month, bucket label = the month's LAST
+    //     day. Integer-only gate per the r8 convention (epoch-day label,
+    //     BIGINT-cast aggregates — see op_resample).
+    Q("op_resample_month_end",
+      """WITH monthly AS (
+        |  SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS m0,
+        |         COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
+        |  FROM events WHERE user_id < 60
+        |  GROUP BY user_id, CAST(date_trunc('month', ts) AS DATE)),
+        |bounds AS (
+        |  SELECT user_id, min(m0) AS d0, max(m0) AS d1
+        |  FROM monthly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 MONTH)) AS DATE)
+        |      AS m0
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.m0, COALESCE(m.cnt, 0) AS cnt, m.sum_val
+        |  FROM grid g LEFT JOIN monthly m
+        |    ON g.user_id = m.user_id AND g.m0 = m.m0),
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
+        |    PARTITION BY user_id ORDER BY m0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id,
+        |  CAST(last_day(m0) - DATE '1970-01-01' AS BIGINT) AS day, cnt,
+        |  sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 60))
+        .resampleCalendar("user_id", "ts", floor($"value").cast("long"),
+          "month_end")
+        .assign("day" -> datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
+    // --- §2.16 resample('1QS'): quarter-start grid (3-calendar-month
+    //     steps, exact across unequal month lengths). Integer-only gate.
+    Q("op_resample_quarter",
+      """WITH q AS (
+        |  SELECT user_id, CAST(date_trunc('quarter', ts) AS DATE) AS q0,
+        |         COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
+        |  FROM events WHERE user_id < 60
+        |  GROUP BY user_id, CAST(date_trunc('quarter', ts) AS DATE)),
+        |bounds AS (
+        |  SELECT user_id, min(q0) AS d0, max(q0) AS d1 FROM q GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 3 MONTH)) AS DATE)
+        |      AS q0
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.q0, COALESCE(q.cnt, 0) AS cnt, q.sum_val
+        |  FROM grid g LEFT JOIN q ON g.user_id = q.user_id AND g.q0 = q.q0),
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
+        |    PARTITION BY user_id ORDER BY q0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, CAST(q0 - DATE '1970-01-01' AS BIGINT) AS day, cnt,
+        |  sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 60))
+        .resampleCalendar("user_id", "ts", floor($"value").cast("long"),
+          "quarter")
+        .assign("day" -> datediff(col("day"), lit("1970-01-01")).cast("long"))
         .sortValues(Seq("user_id", "day"))
         .df
     },

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QHelpers._
+
+/** Driver-divergence probes (r8).
+  *
+  * Rounds 6–7 carried 5 oracle queries that hash-mismatched on the
+  * driver's gate while passing bit-exact locally (op_resample family +
+  * ext_entropy). r8 localized the cause by elimination against the green
+  * queries: the 5 reds were EXACTLY the 5 oracles whose DuckDB result
+  * contained a HUGEINT column (DuckDB `SUM(BIGINT)` widens to int128;
+  * the driver's fetch path renders HUGEINT differently than BIGINT,
+  * while the local `fetchall` replica renders both as Python ints).
+  *
+  * Each probe below isolates ONE construct from those queries over the
+  * standard fixtures, so the driver's CORRECTNESS report names any
+  * divergent construct directly instead of a whole query:
+  *
+  *  - probe_hugeint_sum is the CONTROL: it deliberately keeps the uncast
+  *    `SUM(BIGINT)` (HUGEINT result column). Red-on-driver +
+  *    green-locally for this probe alone CONFIRMS the diagnosis; every
+  *    other probe is expected green on both.
+  *  - probe_bigint_sum is the same query with the BIGINT cast (the r8
+  *    convention, enforced by dev/compare.py's type lint).
+  *  - the calendar probes (generate_series grid, strftime, date_trunc,
+  *    CAST AS DATE) cover the constructs r8 removed from the gated
+  *    resample queries, so gate coverage of them is not lost.
+  *  - probe_gapfill isolates the gap-group ffill window combo;
+  *    probe_split_tokens / probe_log2_floor / probe_round_double isolate
+  *    the tokenizer, the libm floor boundary, and round() rendering.
+  */
+object Probes {
+
+  val all: Vector[Q] = Vector(
+
+    // --- CONTROL: uncast SUM over BIGINT — DuckDB returns HUGEINT.
+    //     Expected red on the driver gate / green locally; see scaladoc.
+    Q("probe_hugeint_sum",
+      """SELECT o_orderpriority, SUM(o_custkey) AS s
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_custkey")).as("s"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- the same aggregate under the r8 convention (BIGINT cast):
+    //     expected green everywhere.
+    Q("probe_bigint_sum",
+      """SELECT o_orderpriority, CAST(SUM(o_custkey) AS BIGINT) AS s
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_custkey")).as("s"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- generate_series day grid alone (the resample grid CTE), emitted
+    //     as epoch-day integers.
+    Q("probe_genseries_grid",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id < 3),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |       - DATE '1970-01-01' AS BIGINT) AS eday
+        |FROM bounds ORDER BY user_id, eday""".stripMargin) { (spark, dir) =>
+      val daily = t(spark, dir, "events")
+        .filter(col("user_id") < 3)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+            .as("day"))
+        .select(col("user_id"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("eday"))
+        .orderBy(col("user_id"), col("eday"))
+    },
+
+    // --- strftime / date_format rendering alone, on day and hour
+    //     resolutions of the events timestamps.
+    Q("probe_strftime",
+      """SELECT DISTINCT user_id,
+        |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h
+        |FROM events WHERE user_id < 2
+        |ORDER BY user_id, d, h""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "events")
+        .filter(col("user_id") < 2)
+        .select(col("user_id"),
+          date_format(col("ts").cast("date"), "yyyy-MM-dd").as("d"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("h"))
+        .distinct()
+        .orderBy(col("user_id"), col("d"), col("h"))
+    },
+
+    // --- date_trunc('week') / date_trunc('hour') bucket VALUES alone,
+    //     as epoch integers (no rendering in the loop).
+    Q("probe_date_trunc",
+      """SELECT DISTINCT user_id,
+        |  CAST(CAST(date_trunc('week', ts) AS DATE)
+        |       - DATE '1970-01-01' AS BIGINT) AS wk,
+        |  epoch_us(date_trunc('hour', ts)) // 1000000 AS hr
+        |FROM events WHERE user_id < 2
+        |ORDER BY user_id, wk, hr""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "events")
+        .filter(col("user_id") < 2)
+        .select(col("user_id"),
+          datediff(date_trunc("week", col("ts")).cast("date"),
+            lit("1970-01-01")).cast("long").as("wk"),
+          expr("unix_micros(date_trunc('hour', ts)) div 1000000").as("hr"))
+        .distinct()
+        .orderBy(col("user_id"), col("wk"), col("hr"))
+    },
+
+    // --- CAST(ts AS DATE) day bucketing alone (nanos-parquet read path):
+    //     per-day counts as epoch-day integers.
+    Q("probe_cast_date",
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday,
+        |  COUNT(*) AS cnt
+        |FROM events WHERE user_id < 3
+        |GROUP BY 1 ORDER BY eday""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "events")
+        .filter(col("user_id") < 3)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("eday"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("eday"))
+    },
+
+    // --- gap-group ffill window combo alone (cumulative count(v) OVER
+    //     rows-frame → max OVER the derived group) over a synthesized
+    //     null pattern; integers only, no calendar involvement.
+    Q("probe_gapfill",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS v
+        |  FROM orders WHERE o_orderkey < 2000),
+        |gg AS (
+        |  SELECT k, v, count(v) OVER (
+        |    ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS grp
+        |  FROM base)
+        |SELECT k, v, CAST(max(v) OVER (PARTITION BY grp) AS BIGINT)
+        |  AS v_ffill
+        |FROM gg ORDER BY k""".stripMargin) { (spark, dir) =>
+      val base = t(spark, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("v"))
+      val wCum = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("grp", count(col("v")).over(wCum))
+        .withColumn("v_ffill", max(col("v")).over(Window.partitionBy(col("grp"))))
+        .select(col("k"), col("v"), col("v_ffill"))
+        .orderBy(col("k"))
+    },
+
+    // --- string_split tokenization alone: per-doc token counts
+    //     (COUNT(*) stays BIGINT — no sum widening in this probe).
+    Q("probe_split_tokens",
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.words(col("text")))
+            .cast("long").as("n_tok"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- the libm floor boundary alone: floor(c·log2 c·1e6 + 0.5) for
+    //     each DISTINCT per-(doc, word) count c in the entropy fixture —
+    //     a handful of rows; a divergent libm/floor build flips a row here.
+    Q("probe_log2_floor",
+      """WITH wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE doc_id < 200) t
+        |  GROUP BY doc_id, w)
+        |SELECT DISTINCT CAST(c AS BIGINT) AS c,
+        |  CAST(floor(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS slc_term
+        |FROM wc ORDER BY c""".stripMargin) { (spark, dir) =>
+      val c = t(spark, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      c.select(col("c"),
+          floor(col("c").cast("double") * log2(col("c").cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("slc_term"))
+        .distinct()
+        .orderBy(col("c"))
+    },
+
+    // --- round() rendering alone: round-6 / round-4 of per-row
+    //     deterministic (libm-free) doubles over a unique key.
+    Q("probe_round_double",
+      """SELECT o_orderkey,
+        |  round(o_totalprice / CAST(7.0 AS DOUBLE), 4)
+        |    + CAST(0.0 AS DOUBLE) AS r4,
+        |  round(CAST(o_custkey AS DOUBLE) / CAST(o_orderkey + 1 AS DOUBLE), 6)
+        |    + CAST(0.0 AS DOUBLE) AS r6
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          (round(col("o_totalprice") / lit(7.0), 4) + lit(0.0)).as("r4"),
+          (round(col("o_custkey").cast("double") /
+            (col("o_orderkey") + 1).cast("double"), 6) + lit(0.0)).as("r6"))
+        .orderBy(col("o_orderkey"))
+    })
+}

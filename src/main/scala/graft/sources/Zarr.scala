@@ -56,18 +56,28 @@ object Zarr {
         }
         .partitionBy(new org.apache.spark.HashPartitioner(nChunks))
         .mapPartitions { it =>
-          val byChunk = it.toSeq.groupBy(_._1)
-          byChunk.iterator.map { case (chunk, rows) =>
+          // Invariant: chunk ids are 0..nChunks-1 and HashPartitioner over
+          // small Long keys is a bijection mod nChunks, so each partition
+          // holds EXACTLY one chunk id. Rows stream straight into the one
+          // chunk buffer (no partition materialization); the require makes
+          // the invariant loud if a future partitioner change breaks it.
+          if (it.isEmpty) Iterator.empty
+          else {
             val buf = ByteBuffer.allocate(chunkRows * c * 8)
               .order(ByteOrder.LITTLE_ENDIAN)
-            rows.foreach { case (_, (pos, vals)) =>
+            var chunk = -1L
+            it.foreach { case (ch, (pos, vals)) =>
+              if (chunk == -1L) chunk = ch
+              else require(ch == chunk,
+                s"zarr write invariant violated: chunks $ch and $chunk " +
+                  "landed in one partition")
               var j = 0
               while (j < c) {
                 buf.putDouble((pos.toInt * c + j) * 8, vals(j)); j += 1
               }
             }
             Files.write(Paths.get(path, s"$chunk.0"), buf.array())
-            chunk
+            Iterator.single(chunk)
           }
         }
         .count() // force the write job
@@ -103,8 +113,19 @@ object Zarr {
       s"zarr: only the <f8 profile is supported; .zarray was: $meta")
     require("\"compressor\"\\s*:\\s*null".r.findFirstIn(meta).nonEmpty,
       "zarr: compressed chunks are outside the supported profile")
+    // a valid foreign array outside the profile must fail loudly, not
+    // decode silently transposed (order 'F') or misaligned (column
+    // chunking, filter pipeline)
+    require("\"order\"\\s*:\\s*\"C\"".r.findFirstIn(meta).nonEmpty,
+      "zarr: only C (row-major) order is in the supported profile")
+    require("\"filters\"\\s*:\\s*null".r.findFirstIn(meta).nonEmpty,
+      "zarr: filter pipelines are outside the supported profile")
     val Seq(n, c) = longs("shape")
-    val chunkRows = longs("chunks").head
+    val chunks = longs("chunks")
+    require(chunks.length == 2 && chunks(1) == c,
+      s"zarr: column-chunked arrays are outside the supported profile " +
+        s"(chunks=$chunks must span all $c columns)")
+    val chunkRows = chunks.head
     val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
     val names =
       if (colNames.nonEmpty) colNames
@@ -113,6 +134,11 @@ object Zarr {
       s"zarr: ${names.length} column names for $c columns")
     val schema = StructType(StructField("row_index", LongType, nullable = false) +:
       names.map(StructField(_, DoubleType, nullable = false)))
+    // zero-row arrays have no chunk files at all (the writer's write job
+    // produces none) — short-circuit instead of reading a missing 0.0
+    if (n == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
     val rows = spark.sparkContext
       .parallelize(0 until nChunks, math.min(nChunks, 64))
       .flatMap { chunk =>

@@ -104,6 +104,14 @@ class ApiSpec extends SparkSpecBase {
       "(abs((`x` - 1.5e2)) > sqrt(`y`))")
     intercept[IllegalArgumentException](translate("a @local"))
     intercept[IllegalArgumentException](translate("a b"))
+    // chained comparisons are Python-only semantics (a<b<c means a<b and
+    // b<c); a silent left-associative parse would emit (a<b)<c — reject
+    val chained = intercept[IllegalArgumentException](translate("a < b < c"))
+    assert(chained.getMessage.contains("chained"))
+    intercept[IllegalArgumentException](translate("a == b == c"))
+    intercept[IllegalArgumentException](translate("x < y in [1, 2]"))
+    // the and-split spelling still works
+    assert(translate("a < b and b < c") == "((`a` < `b`) AND (`b` < `c`))")
   }
 
   test("evalPandas / queryPandas run a ported pandas expression") {
@@ -150,6 +158,19 @@ class ApiSpec extends SparkSpecBase {
       bad.select(Fft.fftReal(col("xs"))).collect()
     }
     assert(e.getMessage.contains("power of 2"))
+    // null contract: null array -> null output; null ELEMENT fails loudly
+    val withNull = Seq(Tuple1(Seq(1.0, 2.0, 3.0, 4.0)), Tuple1(null: Seq[Double]))
+      .toDF("xs")
+    val outs = withNull.select(Fft.powerSpectrum(col("xs")).as("p"),
+        Fft.fftReal(col("xs")).as("f"))
+      .collect()
+    assert(outs.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+    val nullElem = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0, 4.0)))
+      .toDF("xs")
+    val ne = intercept[Exception] {
+      nullElem.select(Fft.fftReal(col("xs"))).collect()
+    }
+    assert(ne.getMessage.contains("null element"))
   }
 
   test("zarr v2 roundtrip: multi-chunk, edge padding, exact doubles") {
@@ -187,6 +208,45 @@ class ApiSpec extends SparkSpecBase {
       graft.sources.Zarr.read(spark, badDir.toString)
     }
     assert(e.getMessage.contains("profile"))
+  }
+
+  test("zarr profile guards: order F, column chunking, filters, empty array") {
+    def metaDir(meta: String): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_zarr_guard")
+      java.nio.file.Files.write(d.resolve(".zarray"), meta.getBytes("UTF-8"))
+      d.toString
+    }
+    // a valid FOREIGN zarr v2 array outside the profile must fail loudly,
+    // not decode transposed/misaligned (ADVICE r7)
+    val fOrder = metaDir(
+      """{"zarr_format":2,"shape":[4,2],"chunks":[4,2],"dtype":"<f8",
+        |"order":"F","compressor":null,"filters":null,"fill_value":0.0}"""
+        .stripMargin)
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Zarr.read(spark, fOrder)).getMessage.contains("order"))
+    val colChunked = metaDir(
+      """{"zarr_format":2,"shape":[4,2],"chunks":[4,1],"dtype":"<f8",
+        |"order":"C","compressor":null,"filters":null,"fill_value":0.0}"""
+        .stripMargin)
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Zarr.read(spark, colChunked))
+      .getMessage.contains("column-chunked"))
+    val filtered = metaDir(
+      """{"zarr_format":2,"shape":[4,2],"chunks":[4,2],"dtype":"<f8",
+        |"order":"C","compressor":null,"filters":[{"id":"delta"}],
+        |"fill_value":0.0}""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      graft.sources.Zarr.read(spark, filtered)).getMessage.contains("filter"))
+    // an empty frame roundtrips: no chunk file exists, read returns 0 rows
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_zarr_empty")
+      .toString
+    val (rows0, cols0) = GraftFrame(
+      spark.range(0).select(col("id").cast("double").as("x")))
+      .toZarr(emptyDir, Seq("x"))
+    assert(rows0 == 0L && cols0 == 1)
+    val back0 = graft.sources.Zarr.read(spark, emptyDir, Seq("x"))
+    assert(back0.count() == 0L)
+    assert(back0.columns.toSeq == Seq("row_index", "x"))
   }
 
   test("evalPandas assignment program chains targets like pandas eval") {

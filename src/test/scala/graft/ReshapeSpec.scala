@@ -139,6 +139,61 @@ class ReshapeSpec extends SparkSpecBase {
     assert(got.map(_._3).toSeq === Seq(3L, 3L, 3L, 7L))
   }
 
+  test("resampleCalendar month_end/quarter/year grids label pandas-style") {
+    val df = Seq(
+      (1L, "2023-11-15 10:00:00", 3L),
+      (1L, "2024-02-03 10:00:00", 7L),
+      (1L, "2025-06-20 10:00:00", 1L))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    // '1M': month buckets labelled with the month's LAST day (leap Feb!)
+    val me = Sessionize.resampleCalendar(df, "k", "ts", col("v"), "month_end")
+      .orderBy("day").select(date_format(col("day"), "yyyy-MM-dd"))
+      .as[String].collect()
+    assert(me.take(4).toSeq ===
+      Seq("2023-11-30", "2023-12-31", "2024-01-31", "2024-02-29"))
+    assert(me.length === 20 && me.last === "2025-06-30")
+    // '1QS': quarter starts, exact across unequal month lengths
+    val q = Sessionize.resampleCalendar(df, "k", "ts", col("v"), "quarter")
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("cnt"))
+      .as[(String, Long)].collect()
+    assert(q.map(_._1).toSeq === Seq("2023-10-01", "2024-01-01", "2024-04-01",
+      "2024-07-01", "2024-10-01", "2025-01-01", "2025-04-01"))
+    assert(q.map(_._2).toSeq === Seq(1L, 1L, 0L, 0L, 0L, 0L, 1L))
+    // '1YS': year starts, gap year filled with cnt=0 + ffill
+    val y = Sessionize.resampleCalendar(df, "k", "ts", col("v"), "year")
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("cnt"), col("sum_ffill"))
+      .as[(String, Long, Long)].collect()
+    assert(y.toSeq === Seq(("2023-01-01", 1L, 3L), ("2024-01-01", 1L, 7L),
+      ("2025-01-01", 1L, 1L)))
+  }
+
+  test("arithAligned applies pandas fill_value cell rules") {
+    val l = GraftFrame(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
+      .toDF("k", "v", "c"))
+    val r = GraftFrame(Seq((2L, 5.0), (3L, 7.0)).toDF("k", "v"))
+    // fill_value=0: one-sided cells fill, both-missing stays null
+    val filled = l.addAligned(r, Seq("k"), Some(0.0)).df.orderBy("k")
+      .select("k", "v", "c").as[(Long, Option[Double], Option[Double])]
+      .collect()
+    assert(filled.toSeq === Seq(
+      (1L, Some(10.0), Some(100.0)),   // right missing -> v + 0, c + 0
+      (2L, Some(25.0), Some(200.0)),   // both present for v; c right-missing
+      (3L, Some(7.0), None)))          // left row missing; c missing BOTH sides
+    // no fill_value: one-sided cells are null (pandas NaN)
+    val bare = l.addAligned(r, Seq("k")).df.orderBy("k")
+      .select("v").as[Option[Double]].collect()
+    assert(bare.toSeq === Seq(None, Some(25.0), None))
+    // other ops route through the same alignment
+    val sub = l.subAligned(r, Seq("k"), Some(0.0)).df.orderBy("k")
+      .select("v").as[Double].collect()
+    assert(sub.toSeq === Seq(10.0, 15.0, -7.0))
+    val e = intercept[IllegalArgumentException](
+      l.arithAligned(r, Seq("k"), "xor"))
+    assert(e.getMessage.contains("add|sub|mul|div"))
+  }
+
   test("covMatrix matches hand-computed sample covariances") {
     val df = GraftFrame(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
     val got = df.covMatrix(Seq("x", "y")).df
@@ -344,6 +399,21 @@ class ReshapeSpec extends SparkSpecBase {
       .as[(Long, Long, Double, Double)].collect()
     assert(got(0) === ((4L, 2L, 0.5, 1.0)))   // H(uniform over 2) = 1 bit
     assert(got(1)._4 === 0.0)                 // single-type doc: H = 0 exactly
+  }
+
+  test("transpose rejects non-numeric value columns loudly") {
+    // the cast-to-double cell model would silently null a string column —
+    // both transpose paths must name the offender instead (ADVICE r7)
+    val df = Seq(("a", 1.0, "red"), ("b", 2.0, "blue")).toDF("k", "x", "tag")
+    val e = intercept[IllegalArgumentException](GraftFrame(df).transpose("k"))
+    assert(e.getMessage.contains("tag") && e.getMessage.contains("string"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftFrame(df).transposeSmall("k"))
+    assert(e2.getMessage.contains("tag"))
+    // all-numeric frames (incl. int columns) still transpose
+    val ok = GraftFrame(Seq(("a", 1, 2.0)).toDF("k", "i", "x"))
+      .transpose("k").df
+    assert(ok.columns.toSeq == Seq("column", "a"))
   }
 
   test("transpose: distributed path matches transposeSmall on a small frame") {
