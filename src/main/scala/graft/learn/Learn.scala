@@ -241,7 +241,9 @@ object Learn {
     * and the contract tested: LearnSpec pins nonlinear-boundary learning
     * (XOR quadrants; circle train/holdout) exactly like the reference's
     * contrib tests (test_classifier.py plants a learnable boundary and
-    * asserts holdout accuracy), making the swap a one-line change. */
+    * asserts holdout accuracy). [[boostedFitPredict]] makes the swap
+    * EXECUTABLE: it loads XGBoostClassifier reflectively when the jar is
+    * present and falls back to this method when it is not. */
   def gbtFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
       maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L)
       : org.apache.spark.ml.classification.GBTClassificationModel =
@@ -257,6 +259,50 @@ object Learn {
     model.transform(df.withColumn("__features",
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
       .drop("__features", "rawPrediction", "probability")
+
+  /** One boosting entry point, two backends (reference
+    * mars/learn/contrib/xgboost/classifier.py — the contrib module is an
+    * optional import there too): if `ml.dmlc:xgboost4j-spark` is on the
+    * classpath (a jar dropped next to the Spark jars — this build cannot
+    * resolve it, see build.sbt), train its barrier-mode XGBoostClassifier;
+    * otherwise fall back to the MLlib [[gbtFit]] stand-in. Loaded purely
+    * reflectively so there is no compile-time dependency; both backends
+    * share the assembled `__features` vector and MLlib's Estimator/Model
+    * API, so predictions come back identically shaped.
+    * Returns (backend used, test predictions with `prediction`). */
+  def boostedFitPredict(train: DataFrame, test: DataFrame,
+      featureCols: Seq[String], labelCol: String,
+      maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L)
+      : (String, DataFrame) = {
+    def assemble(d: DataFrame): DataFrame =
+      d.withColumn("__features",
+        array_to_vector(array(featureCols.map(col(_).cast("double")): _*)))
+    val viaXgb: Option[DataFrame] =
+      try {
+        val cls = Class.forName("ml.dmlc.xgboost4j.scala.spark.XGBoostClassifier")
+        val params: Map[String, Any] = Map(
+          "objective" -> "binary:logistic", "num_round" -> maxIter,
+          "max_depth" -> maxDepth, "seed" -> seed)
+        val est = cls.getConstructor(classOf[Map[_, _]]).newInstance(params)
+        cls.getMethod("setFeaturesCol", classOf[String]).invoke(est, "__features")
+        cls.getMethod("setLabelCol", classOf[String]).invoke(est, labelCol)
+        val model = est.asInstanceOf[org.apache.spark.ml.Estimator[_]]
+          .fit(assemble(train))
+        Some(model.asInstanceOf[org.apache.spark.ml.Transformer]
+          .transform(assemble(test))
+          .drop("__features", "rawPrediction", "probability"))
+      } catch {
+        // jar absent (ClassNotFound) or ABI drift (NoSuchMethod/etc):
+        // the fallback below covers the surface either way
+        case _: ReflectiveOperationException | _: NoClassDefFoundError => None
+      }
+    viaXgb match {
+      case Some(pred) => ("xgboost4j-spark", pred)
+      case None =>
+        val m = gbtFit(train, featureCols, labelCol, maxIter, maxDepth, seed)
+        ("mllib-gbt", gbtPredict(m, test, featureCols))
+    }
+  }
 
   /** Categorical → integer codes (reference label ops / sklearn
     * LabelEncoder → MLlib StringIndexer, frequency-ordered). */

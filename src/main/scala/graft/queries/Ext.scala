@@ -1201,7 +1201,8 @@ object Ext {
     //     (int128), which the driver's fetch path renders differently
     //     than BIGINT (r7's only 5 reds were exactly the 5 oracles with
     //     HUGEINT output columns). The derived doubles (ttr, entropy)
-    //     stay on the operator and are asserted in TextFunctionsSpec.
+    //     stay on the operator and are asserted in ReshapeSpec
+    //     ("unigramStats: entropy of a uniform 2-word doc ...").
     Q("ext_entropy",
       """WITH wc AS (
         |  SELECT doc_id, w, COUNT(*) AS c
