@@ -112,6 +112,73 @@ object Fft {
     (a, b) => f(a, b)
   }
 
+  /** Distributed single-axis FFT of ONE long signal in long form
+    * (posCol, reCol, imCol rows, length `n` a power of 2) — closes the
+    * cross-partition FFT de-scope (reference mars/tensor/fft/, opcodes
+    * 601–630, which butterfly-exchanges between tensor chunks).
+    *
+    * Four-step (Bailey) decomposition, N = n1·n2 with n1,n2 ≈ √N:
+    * writing input index n = i1·n2 + g and output index k = k2·n1 + k1,
+    *   X[k2·n1 + k1] = Σ_g W_n2^{g·k2} · W_N^{g·k1} ·
+    *                      (Σ_i1 x[i1·n2 + g] · W_n1^{i1·k1})
+    * so the transform is: (1) an n1-point FFT within each of the n2
+    * residue groups g, (2) a per-row twiddle by W_N^{g·k1}, (3) an
+    * n2-point FFT within each of the n1 groups k1. Spark shape: TWO
+    * hash-partitioned group-aggregates (collect the ≈√N-point group,
+    * transform in-task, posexplode back) and one narrow projection
+    * between them — no butterfly exchanges, no driver collection. At
+    * N = 2^40 a group is 2^20 complex points = 16 MiB per task: the
+    * per-task memory is the square root of the signal, which is the
+    * whole point of the decomposition. */
+  def fftLong(df: org.apache.spark.sql.DataFrame, posCol: String,
+      reCol: String, imCol: String, n: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(n >= 2 && (n & (n - 1)) == 0, s"fft length must be a power of 2: $n")
+    val k = java.lang.Long.numberOfTrailingZeros(n)
+    val n1 = 1L << ((k + 1) / 2) // per-group FFT size (the larger half)
+    val n2 = n / n1
+    def groupFft(expect: Int) = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+      require(xs.length == expect,
+        s"fftLong: group has ${xs.length} points, expected $expect " +
+          "(signal must cover positions 0..n-1 exactly once)")
+      val re = new Array[Double](expect)
+      val im = new Array[Double](expect)
+      var q = 0
+      while (q < expect) {
+        // struct(i, re, im) sorted by i via sort_array
+        val r = xs(q); re(q) = r.getDouble(1); im(q) = r.getDouble(2); q += 1
+      }
+      Fft.transform(re, im, inverse = false)
+      re.indices.map(j => (re(j), im(j)))
+    })
+    val fft1 = groupFft(n1.toInt)
+    val fft2 = groupFft(n2.toInt)
+    val p = col(posCol).cast("long")
+    // step 1: n1-point FFT per residue group g = pos mod n2
+    val s1 = df
+      .select((p % n2).as("g"), (p / n2).cast("int").as("i"),
+        col(reCol).cast("double").as("re"), col(imCol).cast("double").as("im"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("i"), col("re"), col("im"))))
+        .as("xs"))
+      .select(col("g"), posexplode(fft1(col("xs"))))
+      .select(col("g"), col("pos").cast("long").as("k1"),
+        col("col._1").as("re"), col("col._2").as("im"))
+    // step 2: twiddle by W_N^{g·k1} (g·k1 < N, so the angle argument
+    // stays small and exact in a double)
+    val theta = lit(-2.0 * math.Pi / n) * (col("g") * col("k1")).cast("double")
+    val tw = s1.select(col("k1"), col("g").cast("int").as("i"),
+      (col("re") * cos(theta) - col("im") * sin(theta)).as("re"),
+      (col("re") * sin(theta) + col("im") * cos(theta)).as("im"))
+    // step 3: n2-point FFT per k1 group; output index k = k2·n1 + k1
+    tw.groupBy(col("k1"))
+      .agg(sort_array(collect_list(struct(col("i"), col("re"), col("im"))))
+        .as("xs"))
+      .select(col("k1"), posexplode(fft2(col("xs"))))
+      .select((col("pos").cast("long") * n1 + col("k1")).as(posCol),
+        col("col._1").as(reCol), col("col._2").as(imCol))
+  }
+
   /** Power spectrum |X_k|² of a real signal — the periodogram feature
     * column a pipeline actually joins on. */
   val powerSpectrum: Column => Column = {

@@ -1005,6 +1005,44 @@ object OpsWindows {
         .orderBy($"user_id", $"k")
     },
 
+    // --- §2.14 DISTRIBUTED single-axis FFT (four-step decomposition,
+    //     Fft.fftLong — closes the cross-partition FFT de-scope): one
+    //     256-point signal held as 256 ROWS goes through two group-FFT
+    //     shuffles (16×16); the oracle recomputes the O(N²) DFT
+    //     definition. Inputs are small integers (floor(value) mod 10) so
+    //     the DFT's sequential double sums stay far inside round-4 of
+    //     the FFT's butterfly sums (same argument as op_fft).
+    Q("op_fft_distributed",
+      """WITH sig AS (
+        |  SELECT list(CAST(((CAST(floor(value) AS BIGINT) % 10) + 10) % 10
+        |              AS DOUBLE) ORDER BY event_id) AS xs
+        |  FROM events WHERE event_id < 256),
+        |ks AS (SELECT unnest(range(0, 256)) AS k),
+        |d AS (
+        |  SELECT k,
+        |    list_sum(list_transform(range(0, 256), n ->
+        |      xs[n+1] * cos(2 * pi() * k * n / 256))) AS re_raw,
+        |    -list_sum(list_transform(range(0, 256), n ->
+        |      xs[n+1] * sin(2 * pi() * k * n / 256))) AS im_raw
+        |  FROM sig, ks)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  round(re_raw, 4) + CAST(0.0 AS DOUBLE) AS re,
+        |  round(im_raw, 4) + CAST(0.0 AS DOUBLE) AS im
+        |FROM d ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // event_id is dense and unique (TESTDATA), so the first 256 ids ARE
+      // positions 0..255 — the signal loads with zero windows or shuffles
+      val sig = t(spark, dir, "events").filter($"event_id" < 256)
+        .select($"event_id".as("pos"),
+          pmod(floor($"value").cast("long"), lit(10L)).cast("double").as("re"),
+          lit(0.0).as("im"))
+      graft.functions.Fft.fftLong(sig, "pos", "re", "im", 256L)
+        .select($"pos".as("k"),
+          (round($"re", 4) + lit(0.0)).as("re"),
+          (round($"im", 4) + lit(0.0)).as("im"))
+        .orderBy($"k")
+    },
+
     // --- per-key autocorrelation at lags 1..3 over daily event counts
     //     (statsmodels acf): exact-integer daily series, full-mean
     //     centering (the mean is exact: integer-valued double sums);

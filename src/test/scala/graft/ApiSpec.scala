@@ -173,6 +173,38 @@ class ApiSpec extends SparkSpecBase {
     assert(ne.getMessage.contains("null element"))
   }
 
+  test("fftLong (distributed four-step) matches the per-row FFT bin-exact-ish") {
+    import graft.functions.Fft
+    val rnd = new scala.util.Random(5)
+    val n = 64
+    val xs = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+    // single-row reference through the radix-2 engine
+    val ref = {
+      val re = xs.clone(); val im = new Array[Double](n)
+      Fft.transform(re, im, inverse = false)
+      re.zip(im)
+    }
+    // long-form distributed path: (pos, re, im) rows over 8 partitions
+    val longForm = spark.sparkContext
+      .parallelize(xs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0.0) }, 8)
+      .toDF("pos", "re", "im")
+    val got = Fft.fftLong(longForm, "pos", "re", "im", n)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == n)
+    got.foreach { case (p, re, im) =>
+      val (rr, ri) = ref(p.toInt)
+      assert(math.abs(re - rr) < 1e-9 && math.abs(im - ri) < 1e-9,
+        s"bin $p: distributed ($re, $im) vs single-row ($rr, $ri)")
+    }
+    // a missing position fails loudly instead of transforming garbage
+    val holed = longForm.filter(col("pos") =!= 3L)
+    val e = intercept[Exception] {
+      Fft.fftLong(holed, "pos", "re", "im", n).collect()
+    }
+    assert(e.getMessage.contains("expected"))
+  }
+
   test("zarr v2 roundtrip: multi-chunk, edge padding, exact doubles") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toString
     val n = 1000

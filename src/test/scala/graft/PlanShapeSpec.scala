@@ -112,6 +112,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("arithAligned: one full-outer equi-join, cells stay projections") {
+    val l = GraftFrame((1 to 500).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+    val r = GraftFrame((200 to 700).map(i => (i.toLong, i * 2.0)).toDF("k", "v"))
+    val out = l.addAligned(r, Seq("k"), Some(0.0)).df
+    val plan = out.queryExecution.executedPlan.toString
+    // the full outer align is the only data movement (SMJ = 2 side
+    // exchanges); the fill/both-null cell rules must plan as projections,
+    // never a second pass
+    assert(shuffles(out) <= 2, plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert("SortMergeJoin.*FullOuter".r.findAllIn(plan).nonEmpty
+      || plan.contains("FullOuter"), plan.take(800))
+  }
+
+  test("fftLong: two group-FFT exchanges, no window, no cartesian") {
+    val df = (0 until 64).map(i => (i.toLong, i * 1.0, 0.0)).toDF("pos", "re", "im")
+    val out = graft.functions.Fft.fftLong(df, "pos", "re", "im", 64L)
+    val plan = out.queryExecution.executedPlan.toString
+    // four-step FFT = exactly the two residue-group aggregates; the
+    // twiddle stage must be a projection between them (a window or an
+    // extra exchange here breaks the √N-per-task argument in PERF.md)
+    assert(shuffles(out) == 2, plan.take(800))
+    assert(!plan.contains("WindowExec") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
+
   test("resampleCalendar grid generation never plans a cartesian product") {
     val df = Seq((1L, "2024-01-01 10:00:00", 5L), (2L, "2024-02-01 10:00:00", 2L))
       .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
