@@ -131,12 +131,16 @@ object Fft {
     * per-task memory is the square root of the signal, which is the
     * whole point of the decomposition. */
   def fftLong(df: org.apache.spark.sql.DataFrame, posCol: String,
-      reCol: String, imCol: String, n: Long): org.apache.spark.sql.DataFrame = {
+      reCol: String, imCol: String, n: Long,
+      inverse: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(n >= 2 && (n & (n - 1)) == 0, s"fft length must be a power of 2: $n")
     val k = java.lang.Long.numberOfTrailingZeros(n)
     val n1 = 1L << ((k + 1) / 2) // per-group FFT size (the larger half)
     val n2 = n / n1
+    // the inverse is the same decomposition under conjugation: both group
+    // transforms run inverse (their 1/n1 · 1/n2 scalings compose to the
+    // 1/N the inverse DFT needs) and the twiddle angle flips sign
     def groupFft(expect: Int) = udf((xs: Seq[org.apache.spark.sql.Row]) => {
       require(xs.length == expect,
         s"fftLong: group has ${xs.length} points, expected $expect " +
@@ -148,7 +152,7 @@ object Fft {
         // struct(i, re, im) sorted by i via sort_array
         val r = xs(q); re(q) = r.getDouble(1); im(q) = r.getDouble(2); q += 1
       }
-      Fft.transform(re, im, inverse = false)
+      Fft.transform(re, im, inverse)
       re.indices.map(j => (re(j), im(j)))
     })
     val fft1 = groupFft(n1.toInt)
@@ -166,7 +170,8 @@ object Fft {
         col("col._1").as("re"), col("col._2").as("im"))
     // step 2: twiddle by W_N^{g·k1} (g·k1 < N, so the angle argument
     // stays small and exact in a double)
-    val theta = lit(-2.0 * math.Pi / n) * (col("g") * col("k1")).cast("double")
+    val theta = lit((if (inverse) 2.0 else -2.0) * math.Pi / n) *
+      (col("g") * col("k1")).cast("double")
     val tw = s1.select(col("k1"), col("g").cast("int").as("i"),
       (col("re") * cos(theta) - col("im") * sin(theta)).as("re"),
       (col("re") * sin(theta) + col("im") * cos(theta)).as("im"))

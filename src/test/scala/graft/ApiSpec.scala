@@ -203,6 +203,16 @@ class ApiSpec extends SparkSpecBase {
       Fft.fftLong(holed, "pos", "re", "im", n).collect()
     }
     assert(e.getMessage.contains("expected"))
+    // inverse round trip: ifft(fft(x)) == x through both distributed passes
+    val spectrum = Fft.fftLong(longForm, "pos", "re", "im", n)
+    val back = Fft.fftLong(spectrum, "pos", "re", "im", n, inverse = true)
+      .orderBy("pos").collect()
+    back.foreach { r =>
+      val p = r.getLong(0).toInt
+      assert(math.abs(r.getDouble(1) - xs(p)) < 1e-9 &&
+        math.abs(r.getDouble(2)) < 1e-9,
+        s"inverse round trip bin $p: (${r.getDouble(1)}, ${r.getDouble(2)})")
+    }
   }
 
   test("zarr v2 roundtrip: multi-chunk, edge padding, exact doubles") {
