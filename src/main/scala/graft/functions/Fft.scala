@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{functions => F}
 
 /** Per-row fast Fourier transform over an `array<double>` column
   * (reference mars/tensor/fft/ — opcodes 601–630 — computes tensor-axis
@@ -197,5 +198,156 @@ object Fft {
       }
     })
     f(_)
+  }
+
+  // --- the rest of the numpy.fft per-row family (reference
+  // mars/tensor/fft/rfft.py:30, irfft.py:30, hfft.py:30, ihfft.py:28,
+  // fftfreq.py:33, rfftfreq.py:30, fftshift.py:28, ifftshift.py:28 — each
+  // delegates a chunk to the matching numpy.fft routine). Everything below
+  // COMPOSES from the two imperative kernels above with codegen'd array
+  // HOFs (slice/concat/reverse/transform) — no new UDFs: the half-spectrum
+  // family is pure index algebra around a full FFT, and the grid/shift
+  // helpers are pure arithmetic, exactly the "functions, not UDFs" rule.
+
+  /** Real FFT: the non-redundant first n/2+1 bins of `fftReal`
+    * (numpy.fft.rfft). The full transform runs once (deterministic UDF —
+    * Catalyst subexpression elimination shares it across the two slices). */
+  val rfft: Column => Column = { c =>
+    val f = fftReal(c)
+    val m = (F.size(c) / 2).cast("int") + 1
+    F.struct(F.slice(f.getField("re"), F.lit(1), m).as("re"),
+      F.slice(f.getField("im"), F.lit(1), m).as("im"))
+  }
+
+  /** Inverse real FFT (numpy.fft.irfft): rebuild the full Hermitian
+    * spectrum from the m = n/2+1 stored bins — interior bins mirror
+    * conjugated, full[n−k] = conj(half[k]) — then run the full inverse
+    * and keep the real part. Output length n = 2·(m−1). */
+  val irfft: (Column, Column) => Column = { (reCol, imCol) =>
+    val mid = F.size(reCol) - 2 // interior bins 2..m-1 (1-based slice args)
+    val fullRe = F.concat(reCol, F.reverse(F.slice(reCol, F.lit(2), mid)))
+    val fullIm = F.concat(imCol,
+      F.transform(F.reverse(F.slice(imCol, F.lit(2), mid)), x => -x))
+    ifft(fullRe, fullIm).getField("re")
+  }
+
+  /** Hermitian FFT (numpy.fft.hfft): the spectrum of a signal known to be
+    * Hermitian-symmetric in time is real; numpy's identity
+    * hfft(a) = irfft(conj(a)) · n with n = 2·(m−1). */
+  val hfft: (Column, Column) => Column = { (reCol, imCol) =>
+    val n = ((F.size(reCol) - 1) * 2).cast("double")
+    F.transform(irfft(reCol, F.transform(imCol, x => -x)), x => x * n)
+  }
+
+  /** Inverse Hermitian FFT (numpy.fft.ihfft) of a real signal:
+    * ihfft(a) = conj(rfft(a)) / n. */
+  val ihfft: Column => Column = { c =>
+    val f = rfft(c)
+    val n = F.size(c).cast("double")
+    F.struct(F.transform(f.getField("re"), x => x / n).as("re"),
+      F.transform(f.getField("im"), x => -x / n).as("im"))
+  }
+
+  /** Sample-frequency grid (numpy.fft.fftfreq): [0, 1, …, ⌈n/2⌉−1,
+    * −⌊n/2⌋, …, −1] / (d·n). Pure sequence+transform — exact rationals
+    * when d·n is a power of two. */
+  def fftfreq(n: Column, d: Column): Column = {
+    val nl = n.cast("long")
+    F.transform(F.sequence(F.lit(0L), nl - 1), i =>
+      F.when(i < ((nl + 1) / 2).cast("long"), i).otherwise(i - nl).cast("double") /
+        (d.cast("double") * nl.cast("double")))
+  }
+
+  /** Half-spectrum frequency grid (numpy.fft.rfftfreq): [0 … n/2] / (d·n). */
+  def rfftfreq(n: Column, d: Column): Column = {
+    val nl = n.cast("long")
+    F.transform(F.sequence(F.lit(0L), (nl / 2).cast("long")), i =>
+      i.cast("double") / (d.cast("double") * nl.cast("double")))
+  }
+
+  /** Move the zero-frequency bin to the center (numpy.fft.fftshift —
+    * a right-rotation by ⌊n/2⌋, any length): two slices and a concat. */
+  val fftshift: Column => Column = { c =>
+    val n = F.size(c)
+    val s = (n / 2).cast("int")
+    F.concat(F.slice(c, n - s + 1, s), F.slice(c, F.lit(1), n - s))
+  }
+
+  /** Inverse of [[fftshift]] (numpy.fft.ifftshift — a right-rotation by
+    * ⌈n/2⌉; identical to fftshift for even n, differs for odd). */
+  val ifftshift: Column => Column = { c =>
+    val n = F.size(c)
+    val s = n - (n / 2).cast("int")
+    F.concat(F.slice(c, n - s + 1, s), F.slice(c, F.lit(1), n - s))
+  }
+
+  // --- 2-D per-row FFT (reference mars/tensor/fft/fft2.py:30 / ifft2.py:30;
+  // fftn beyond 2 axes stays out — the distributed long-form path covers
+  // one giant axis, and >2-D per-row tensors have no frame column type).
+  // One new UDF pair with the same justification as the 1-D kernels: a
+  // row-and-column butterfly loop has no builtin equivalent.
+
+  final case class Complex2M(re: Seq[Seq[Double]], im: Seq[Seq[Double]])
+
+  /** In-place 2-D transform: 1-D FFT of every row, then of every column
+    * (the DFT separates axis-by-axis). Rectangular power-of-2 shapes. */
+  private[graft] def transform2(re: Array[Array[Double]],
+      im: Array[Array[Double]], inverse: Boolean): Unit = {
+    val rows = re.length
+    require(rows > 0, "fft2: empty matrix")
+    val cols = re(0).length
+    var r = 0
+    while (r < rows) {
+      require(re(r).length == cols && im(r).length == cols,
+        s"fft2: ragged matrix — row $r has ${re(r).length} columns, expected $cols")
+      transform(re(r), im(r), inverse)
+      r += 1
+    }
+    val colRe = new Array[Double](rows)
+    val colIm = new Array[Double](rows)
+    var cIx = 0
+    while (cIx < cols) {
+      var q = 0
+      while (q < rows) { colRe(q) = re(q)(cIx); colIm(q) = im(q)(cIx); q += 1 }
+      transform(colRe, colIm, inverse)
+      q = 0
+      while (q < rows) { re(q)(cIx) = colRe(q); im(q)(cIx) = colIm(q); q += 1 }
+      cIx += 1
+    }
+  }
+
+  private def checkedMatrix(m: Seq[Seq[java.lang.Double]],
+      what: String): Array[Array[Double]] =
+    m.map(row => checkedArray(row, what)).toArray
+
+  /** 2-D FFT of a real matrix column `array<array<double>>` → struct of
+    * re/im matrices (numpy.fft.fft2 on one image/patch per row). */
+  val fft2Real: Column => Column = {
+    val f = udf((m: Seq[Seq[java.lang.Double]]) => {
+      if (m == null) null
+      else {
+        val re = checkedMatrix(m, "matrix")
+        val im = re.map(row => new Array[Double](row.length))
+        transform2(re, im, inverse = false)
+        Complex2M(re.map(_.toSeq).toSeq, im.map(_.toSeq).toSeq)
+      }
+    })
+    f(_)
+  }
+
+  /** Inverse 2-D FFT of struct matrices → struct(re, im). */
+  val ifft2: (Column, Column) => Column = {
+    val f = udf((res: Seq[Seq[java.lang.Double]], ims: Seq[Seq[java.lang.Double]]) => {
+      if (res == null || ims == null) null
+      else {
+        val re = checkedMatrix(res, "re")
+        val im = checkedMatrix(ims, "im")
+        require(re.length == im.length,
+          s"ifft2: re has ${re.length} rows, im has ${im.length}")
+        transform2(re, im, inverse = true)
+        Complex2M(re.map(_.toSeq).toSeq, im.map(_.toSeq).toSeq)
+      }
+    })
+    (a, b) => f(a, b)
   }
 }

@@ -1043,6 +1043,85 @@ object OpsWindows {
         .orderBy($"k")
     },
 
+    // --- §2.14 real FFT (reference mars/tensor/fft/rfft.py:30,
+    //     rfftfreq.py:30): the non-redundant k ≤ n/2 bins only, composed
+    //     from the full kernel by slicing (no new UDF), plus the
+    //     rfftfreq grid — k/8 is an exact binary rational with d=1, n=8,
+    //     so the freq column needs no rounding at all. Spectra round-4
+    //     +0.0 as in op_fft.
+    Q("op_fft_rfft",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 6),
+        |sig AS (
+        |  SELECT user_id, list(floor(value) ORDER BY rn) AS xs
+        |  FROM s WHERE rn <= 8 GROUP BY user_id HAVING COUNT(*) = 8),
+        |ks AS (SELECT unnest(range(0, 5)) AS k),
+        |d AS (
+        |  SELECT user_id, k,
+        |    list_sum(list_transform(range(0, 8), n ->
+        |      CAST(xs[n+1] AS DOUBLE) * cos(2 * pi() * k * n / 8))) AS re_raw,
+        |    -list_sum(list_transform(range(0, 8), n ->
+        |      CAST(xs[n+1] AS DOUBLE) * sin(2 * pi() * k * n / 8))) AS im_raw
+        |  FROM sig, ks)
+        |SELECT user_id, CAST(k AS BIGINT) AS k,
+        |  round(re_raw, 4) + CAST(0.0 AS DOUBLE) AS re,
+        |  round(im_raw, 4) + CAST(0.0 AS DOUBLE) AS im,
+        |  CAST(k AS DOUBLE) / 8 AS freq
+        |FROM d ORDER BY user_id, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val sig = t(spark, dir, "events").filter($"user_id" < 6)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 8)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"rn", floor($"value").as("v")))).as("s"))
+        .filter(size($"s") === 8)
+        .select($"user_id",
+          transform($"s", x => x("v").cast("double")).as("xs"))
+      sig
+        .withColumn("f", graft.functions.Fft.rfft($"xs"))
+        .withColumn("freqs", graft.functions.Fft.rfftfreq(size($"xs"), lit(1.0)))
+        .select($"user_id", posexplode(arrays_zip($"f.re", $"f.im", $"freqs")))
+        .select($"user_id", $"pos".cast("long").as("k"),
+          (round($"col.re", 4) + lit(0.0)).as("re"),
+          (round($"col.im", 4) + lit(0.0)).as("im"),
+          $"col.freqs".as("freq"))
+        .orderBy($"user_id", $"k")
+    },
+
+    // --- §2.14 fftshift (reference mars/tensor/fft/fftshift.py:28): a
+    //     pure right-rotation by n/2, so the oracle is INTEGER-ONLY index
+    //     algebra — shifted[pos] = xs[(pos + 4) mod 8] for n=8 — per the
+    //     r8 convention for gate outputs.
+    Q("op_fftshift",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 6),
+        |sig AS (
+        |  SELECT user_id, list(CAST(floor(value) AS BIGINT) ORDER BY rn) AS xs
+        |  FROM s WHERE rn <= 8 GROUP BY user_id HAVING COUNT(*) = 8),
+        |ps AS (SELECT unnest(range(0, 8)) AS pos)
+        |SELECT user_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(xs[((pos + 4) % 8) + 1] AS BIGINT) AS v
+        |FROM sig, ps ORDER BY user_id, pos""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val sig = t(spark, dir, "events").filter($"user_id" < 6)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 8)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"rn", floor($"value").cast("long").as("v")))).as("s"))
+        .filter(size($"s") === 8)
+        .select($"user_id", transform($"s", x => x("v")).as("xs"))
+      sig
+        .select($"user_id", posexplode(graft.functions.Fft.fftshift($"xs")))
+        .select($"user_id", $"pos".cast("long").as("pos"), $"col".as("v"))
+        .orderBy($"user_id", $"pos")
+    },
+
     // --- per-key autocorrelation at lags 1..3 over daily event counts
     //     (statsmodels acf): exact-integer daily series, full-mean
     //     centering (the mean is exact: integer-valued double sums);

@@ -215,6 +215,84 @@ class ApiSpec extends SparkSpecBase {
     }
   }
 
+  test("numpy.fft family: rfft/irfft/hfft/ihfft, freq grids, shifts, fft2") {
+    import graft.functions.Fft
+    val rnd = new scala.util.Random(11)
+    val n = 8
+    val xs = Seq.fill(n)(rnd.nextDouble() * 10 - 5)
+    val df = Seq(Tuple1(xs)).toDF("xs")
+    // rfft == first n/2+1 bins of the full transform
+    val full = {
+      val re = xs.toArray; val im = new Array[Double](n)
+      Fft.transform(re, im, inverse = false)
+      re.zip(im)
+    }
+    val half = df.select(Fft.rfft(col("xs")).as("f"))
+      .select(col("f.re"), col("f.im")).as[(Seq[Double], Seq[Double])].head()
+    assert(half._1.length == n / 2 + 1)
+    half._1.indices.foreach { k =>
+      assert(math.abs(half._1(k) - full(k)._1) < 1e-9 &&
+        math.abs(half._2(k) - full(k)._2) < 1e-9, s"rfft bin $k")
+    }
+    // irfft(rfft(x)) == x
+    val back = df.select(Fft.rfft(col("xs")).as("f"))
+      .select(Fft.irfft(col("f.re"), col("f.im"))).as[Seq[Double]].head()
+    assert(back.length == n)
+    back.indices.foreach(i => assert(math.abs(back(i) - xs(i)) < 1e-9))
+    // hfft(ihfft(x)) == x (numpy round-trip identity for real x, even n)
+    val hback = df.select(Fft.ihfft(col("xs")).as("h"))
+      .select(Fft.hfft(col("h.re"), col("h.im"))).as[Seq[Double]].head()
+    assert(hback.length == n)
+    hback.indices.foreach(i => assert(math.abs(hback(i) - xs(i)) < 1e-9))
+    // frequency grids match numpy reference values exactly
+    val (fr8, rfr8) = df.select(
+        Fft.fftfreq(lit(8), lit(0.5)).as("a"),
+        Fft.rfftfreq(lit(8), lit(1.0)).as("b"))
+      .as[(Seq[Double], Seq[Double])].head()
+    assert(fr8 == Seq(0.0, 0.25, 0.5, 0.75, -1.0, -0.75, -0.5, -0.25))
+    assert(rfr8 == Seq(0.0, 0.125, 0.25, 0.375, 0.5))
+    val fr5 = df.select(Fft.fftfreq(lit(5), lit(1.0))).as[Seq[Double]].head()
+    assert(fr5 == Seq(0.0, 0.2, 0.4, -0.4, -0.2))
+    // shifts: numpy values + inverse identity at odd AND even lengths
+    val sdf = Seq((Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), Seq(0L, 1L, 2L, 3L, 4L)))
+      .toDF("even", "odd")
+    val (se, so) = sdf.select(Fft.fftshift(col("even")), Fft.fftshift(col("odd")))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(se == Seq(4L, 5L, 6L, 7L, 0L, 1L, 2L, 3L))
+    assert(so == Seq(3L, 4L, 0L, 1L, 2L))
+    val (ie, io) = sdf.select(
+        Fft.ifftshift(Fft.fftshift(col("even"))),
+        Fft.ifftshift(Fft.fftshift(col("odd"))))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(ie == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(io == Seq(0L, 1L, 2L, 3L, 4L))
+    // fft2 matches the 2-D DFT definition on a 4×4; ifft2 round-trips
+    val m = Seq.fill(4)(Seq.fill(4)(rnd.nextDouble() * 4 - 2))
+    val mdf = Seq(Tuple1(m)).toDF("m")
+    val f2 = mdf.select(Fft.fft2Real(col("m")).as("f"))
+    val (g2re, g2im) = f2.select(col("f.re"), col("f.im"))
+      .as[(Seq[Seq[Double]], Seq[Seq[Double]])].head()
+    for (k1 <- 0 until 4; k2 <- 0 until 4) {
+      var (dr, di) = (0.0, 0.0)
+      for (a <- 0 until 4; b <- 0 until 4) {
+        val ang = -2 * math.Pi * (k1 * a / 4.0 + k2 * b / 4.0)
+        dr += m(a)(b) * math.cos(ang); di += m(a)(b) * math.sin(ang)
+      }
+      assert(math.abs(g2re(k1)(k2) - dr) < 1e-9 &&
+        math.abs(g2im(k1)(k2) - di) < 1e-9, s"fft2 bin ($k1,$k2)")
+    }
+    val m2 = f2.select(Fft.ifft2(col("f.re"), col("f.im")).as("b"))
+      .select(col("b.re")).as[Seq[Seq[Double]]].head()
+    for (a <- 0 until 4; b <- 0 until 4)
+      assert(math.abs(m2(a)(b) - m(a)(b)) < 1e-9, s"ifft2 round trip ($a,$b)")
+    // ragged matrix fails loudly
+    val ragged = Seq(Tuple1(Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))).toDF("m")
+    val re = intercept[Exception] {
+      ragged.select(Fft.fft2Real(col("m"))).collect()
+    }
+    assert(re.getMessage.contains("ragged"))
+  }
+
   test("zarr v2 roundtrip: multi-chunk, edge padding, exact doubles") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toString
     val n = 1000
