@@ -1,0 +1,457 @@
+package graft.learn
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** scipy.stats-parity hypothesis tests, re-expressed as distributed
+  * aggregations (reference mars/tensor/stats: ttest.py, ks.py,
+  * power_divergence.py, chisquare.py, rankdata.py — the reference
+  * delegates the statistic math to scipy over tiled tensors; here each
+  * test is one or two Catalyst aggregates over a column).
+  *
+  * Determinism contract (CLAUDE.md scaled-integer convention): every
+  * cross-row sum that feeds a statistic is exact — BIGINT sums for
+  * integral inputs, DECIMAL(38) sums otherwise — so the statistic is
+  * identical under any partitioning / any row order. The downstream
+  * per-row double arithmetic (divisions, sqrt) is deterministic IEEE.
+  *
+  * p-values need the regularized incomplete beta/gamma and Kolmogorov
+  * survival functions, which have no Spark builtin and no fixed-form
+  * Column expression (iterative continued fractions). They run as scalar
+  * UDFs applied to the ONE aggregated row per test — never on a per-row
+  * hot path — using the classical public algorithms (Lentz continued
+  * fractions / power series, as in Abramowitz–Stegun §6.2/§6.5 and any
+  * standard numerics text).
+  *
+  * 100 TB shape: ttest/chisquare are single partial+final aggregates
+  * (one exchange); ks2Samp is groupBy-value (one exchange to distinct
+  * values) then a range-partitioned prefix-sum stitch (bucket summaries
+  * only cross the driver-free tiny window, same pattern as
+  * GraftFrame.checkMonotonic); rankdata joins per-value rank blocks back
+  * on the value key (one shuffle join), never a global single-partition
+  * window over the data.
+  */
+object StatTests {
+
+  // ------------------------------------------------------------------
+  // scalar special functions (pure driver/executor math, public algos)
+  // ------------------------------------------------------------------
+
+  /** ln Γ(x), Lanczos approximation (g=7, n=9 coefficients — the
+    * standard public parameterization), ~15 significant digits. */
+  def lnGamma(x: Double): Double = {
+    if (x.isNaN || x <= 0.0) return Double.NaN
+    val g = 7.0
+    val c = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5) {
+      // reflection: Γ(x)Γ(1−x) = π / sin(πx)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1.0 - x)
+    } else {
+      val z = x - 1.0
+      var a = c(0)
+      var i = 1
+      while (i < 9) { a += c(i) / (z + i); i += 1 }
+      val t = z + g + 0.5
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Regularized incomplete beta I_x(a, b) — power series inside the
+    * convergence region, Lentz's continued fraction otherwise. */
+  def regIncBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    val lnFront = a * math.log(x) + b * math.log1p(-x) -
+      math.log(a) - (lnGamma(a) + lnGamma(b) - lnGamma(a + b))
+    if (x > (a + 1.0) / (a + b + 2.0)) {
+      1.0 - regIncBeta(b, a, 1.0 - x)
+    } else {
+      // Lentz continued fraction for the beta cf
+      val tiny = 1e-300
+      var f = 1.0; var cc = 1.0; var d = 0.0
+      var i = 0
+      var done = false
+      while (i <= 300 && !done) {
+        val m = i / 2
+        val numer =
+          if (i == 0) 1.0
+          else if (i % 2 == 0) m * (b - m) * x / ((a + 2.0 * m - 1.0) * (a + 2.0 * m))
+          else -(a + m) * (a + b + m) * x / ((a + 2.0 * m) * (a + 2.0 * m + 1.0))
+        d = 1.0 + numer * d
+        if (math.abs(d) < tiny) d = tiny
+        d = 1.0 / d
+        cc = 1.0 + numer / cc
+        if (math.abs(cc) < tiny) cc = tiny
+        val delta = cc * d
+        f *= delta
+        if (math.abs(1.0 - delta) < 1e-15) done = true
+        i += 1
+      }
+      math.exp(lnFront) * (f - 1.0)
+    }
+  }
+
+  /** Regularized lower incomplete gamma P(a, x) (series for x < a+1,
+    * else 1 − continued-fraction Q). */
+  def regGammaP(a: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x < a + 1.0) {
+      var ap = a
+      var sum = 1.0 / a
+      var del = sum
+      var i = 0
+      while (i < 500 && math.abs(del) >= math.abs(sum) * 1e-16) {
+        ap += 1.0
+        del *= x / ap
+        sum += del
+        i += 1
+      }
+      sum * math.exp(-x + a * math.log(x) - lnGamma(a))
+    } else 1.0 - regGammaQ(a, x)
+  }
+
+  /** Regularized upper incomplete gamma Q(a, x), Lentz continued fraction. */
+  def regGammaQ(a: Double, x: Double): Double = {
+    if (x <= 0.0) return 1.0
+    if (x < a + 1.0) return 1.0 - regGammaP(a, x)
+    val tiny = 1e-300
+    var b = x + 1.0 - a
+    var c = 1.0 / tiny
+    var d = 1.0 / b
+    var h = d
+    var i = 1
+    var done = false
+    while (i <= 500 && !done) {
+      val an = -i * (i - a)
+      b += 2.0
+      d = an * d + b
+      if (math.abs(d) < tiny) d = tiny
+      c = b + an / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      val delta = d * c
+      h *= delta
+      if (math.abs(delta - 1.0) < 1e-15) done = true
+      i += 1
+    }
+    math.exp(-x + a * math.log(x) - lnGamma(a)) * h
+  }
+
+  /** Two-sided Student-t survival p-value: I_{df/(df+t²)}(df/2, 1/2). */
+  def studentTwoSidedP(t: Double, dof: Double): Double =
+    if (t.isNaN || dof <= 0.0) Double.NaN
+    else regIncBeta(dof / 2.0, 0.5, dof / (dof + t * t))
+
+  /** χ² survival function Q(k/2, x/2). */
+  def chi2Sf(x: Double, k: Double): Double =
+    if (x.isNaN || k <= 0.0) Double.NaN
+    else if (x <= 0.0) 1.0
+    else regGammaQ(k / 2.0, x / 2.0)
+
+  /** Kolmogorov distribution survival 2 Σ (−1)^{j−1} e^{−2 j² λ²}
+    * (the asymptotic two-sample KS p-value at λ = √(n1·n2/(n1+n2))·D,
+    * scipy's mode='asymp'). */
+  def kolmogorovSf(lambda: Double): Double = {
+    if (lambda.isNaN) return Double.NaN
+    if (lambda <= 0.0) return 1.0
+    var sum = 0.0
+    var j = 1
+    var term = Double.MaxValue
+    while (j <= 100 && math.abs(term) > 1e-17) {
+      term = 2.0 * (if (j % 2 == 1) 1.0 else -1.0) * math.exp(-2.0 * j * j * lambda * lambda)
+      sum += term
+      j += 1
+    }
+    math.min(1.0, math.max(0.0, sum))
+  }
+
+  // single-row p-value UDFs (see object doc: no builtin, one row per test)
+  private val tPvalUdf = udf((t: Double, dof: Double) => studentTwoSidedP(t, dof))
+  private val chi2PvalUdf = udf((x: Double, k: Double) => chi2Sf(x, k))
+  private val ksPvalUdf = udf((d: Double, n1: Long, n2: Long) => {
+    val en = n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble)
+    kolmogorovSf(math.sqrt(en) * d)
+  })
+
+  // ------------------------------------------------------------------
+  // exact-sum plumbing
+  // ------------------------------------------------------------------
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+
+  /** (n, Σx, Σx²) with exact, order-free accumulation: BIGINT sums for
+    * integral columns; DECIMAL(38) sums (Spark/DuckDB decimal addition is
+    * exact) for fractional columns quantized at 1e-6 — the repo-wide
+    * scaled-integer determinism convention applied at aggregate level. */
+  private def exactMoments(df: DataFrame, valueCol: String): DataFrame = {
+    val c = df(valueCol)
+    if (isIntegral(df.schema(valueCol).dataType)) {
+      df.agg(
+        count(c).as("n"),
+        sum(c.cast(LongType)).as("s1"),
+        sum(c.cast(LongType) * c.cast(LongType)).as("s2"))
+    } else {
+      val q = c.cast(DecimalType(24, 6))
+      df.agg(
+        count(c).as("n"),
+        sum(q).cast(DoubleType).as("s1"),
+        sum((q * q).cast(DecimalType(38, 12))).cast(DoubleType).as("s2"))
+    }
+  }
+
+  /** t statistic from exact moments; shared by the three t-tests. */
+  private def tFromMoments(n: Column, s1: Column, s2: Column, popmean: Column): (Column, Column) = {
+    val nd = n.cast(DoubleType)
+    val s1d = s1.cast(DoubleType)
+    val s2d = s2.cast(DoubleType)
+    val mean = s1d / nd
+    val variance = (s2d - s1d * s1d / nd) / (nd - lit(1.0))
+    val t = (mean - popmean) / sqrt(variance / nd)
+    (t, nd - lit(1.0))
+  }
+
+  // ------------------------------------------------------------------
+  // t-tests (reference mars/tensor/stats/ttest.py:119+)
+  // ------------------------------------------------------------------
+
+  /** scipy.stats.ttest_1samp (two-sided). One partial+final aggregate;
+    * output is a single row (n, s1, s2, mean, statistic, dof, pvalue). */
+  def ttest1Samp(df: DataFrame, valueCol: String, popmean: Double): DataFrame = {
+    val m = exactMoments(df, valueCol)
+    val (t, dof) = tFromMoments(col("n"), col("s1"), col("s2"), lit(popmean))
+    m.select(
+      col("n"), col("s1"), col("s2"),
+      (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+      t.as("statistic"), dof.as("dof"),
+      tPvalUdf(t, dof).as("pvalue"))
+  }
+
+  /** scipy.stats.ttest_rel (paired, two-sided): the 1-sample test on the
+    * per-row difference — exact when both columns are integral. */
+  def ttestRel(df: DataFrame, col1: String, col2: String): DataFrame = {
+    val diffed = df.select((df(col1) - df(col2)).as("__d"))
+    ttest1Samp(diffed, "__d", 0.0)
+  }
+
+  /** scipy.stats.ttest_ind over a two-valued group column (two-sided).
+    * equalVar=true pools the variance (Student); false is Welch with the
+    * Welch–Satterthwaite dof (ttest.py:42-60 mirrors the same two
+    * denominators). One grouped aggregate + a 2-row pivot — no second
+    * scan of the data. */
+  def ttestInd(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, equalVar: Boolean = true): DataFrame = {
+    val c = df(valueCol)
+    val g = df(groupCol)
+    val integral = isIntegral(df.schema(valueCol).dataType)
+    val (x, x2): (Column, Column) =
+      if (integral) (c.cast(LongType), c.cast(LongType) * c.cast(LongType))
+      else {
+        val q = c.cast(DecimalType(24, 6))
+        (q.cast(DecimalType(38, 12)), (q * q).cast(DecimalType(38, 12)))
+      }
+    val side = when(g === lit(groupA), lit(1)).when(g === lit(groupB), lit(2))
+    val grouped = df
+      .select(side.as("__side"), x.as("__x"), x2.as("__x2"))
+      .where(col("__side").isNotNull)
+      .agg(
+        count(when(col("__side") === 1, lit(1))).as("n1"),
+        sum(when(col("__side") === 1, col("__x"))).cast(DoubleType).as("s1a"),
+        sum(when(col("__side") === 1, col("__x2"))).cast(DoubleType).as("s2a"),
+        count(when(col("__side") === 2, lit(1))).as("n2"),
+        sum(when(col("__side") === 2, col("__x"))).cast(DoubleType).as("s1b"),
+        sum(when(col("__side") === 2, col("__x2"))).cast(DoubleType).as("s2b"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val m1 = col("s1a") / n1; val m2 = col("s1b") / n2
+    val v1 = (col("s2a") - col("s1a") * col("s1a") / n1) / (n1 - 1.0)
+    val v2 = (col("s2b") - col("s1b") * col("s1b") / n2) / (n2 - 1.0)
+    val (dof, denom) =
+      if (equalVar) {
+        val d = n1 + n2 - 2.0
+        val svar = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / d
+        (d, sqrt(svar * (lit(1.0) / n1 + lit(1.0) / n2)))
+      } else {
+        val vn1 = v1 / n1; val vn2 = v2 / n2
+        val d = (vn1 + vn2) * (vn1 + vn2) /
+          (vn1 * vn1 / (n1 - 1.0) + vn2 * vn2 / (n2 - 1.0))
+        (coalesce(d, lit(1.0)), sqrt(vn1 + vn2))
+      }
+    val t = (m1 - m2) / denom
+    grouped.select(
+      col("n1"), col("n2"),
+      m1.as("mean1"), m2.as("mean2"),
+      t.as("statistic"), dof.as("dof"),
+      tPvalUdf(t, dof).as("pvalue"))
+  }
+
+  // ------------------------------------------------------------------
+  // chisquare / power_divergence (power_divergence.py:52)
+  // ------------------------------------------------------------------
+
+  /** scipy.stats.power_divergence over a frame of category counts.
+    * `expCol=None` uses the uniform expectation Σobs/k. λ selects the
+    * family (1=Pearson χ², 0=G-test log-likelihood, −1 modified
+    * log-likelihood, −1/2 Freeman–Tukey, 2/3 Cressie–Read). Per-category
+    * terms are quantized to 1e-6 and summed as BIGINTs — the statistic is
+    * identical under any category order or partitioning (CLAUDE.md
+    * order-free-sum convention, applied in the operator because the
+    * statistic is user-facing). */
+  def powerDivergence(df: DataFrame, obsCol: String, expCol: Option[String] = None,
+      lambda: Double = 1.0, ddof: Int = 0): DataFrame = {
+    // lazy uniform expectation: total/k joined in as a broadcast scalar
+    // (no driver action — the whole test stays one lazy plan)
+    val base = expCol match {
+      case Some(ec) =>
+        df.select(df(obsCol).cast(DoubleType).as("__o"), df(ec).cast(DoubleType).as("__e"))
+      case None =>
+        val tot = df.agg(sum(df(obsCol).cast(DoubleType)).as("__tot"), count(lit(1)).as("__kk"))
+        df.select(df(obsCol).cast(DoubleType).as("__o"))
+          .crossJoin(broadcast(tot))
+          .select(col("__o"), (col("__tot") / col("__kk").cast(DoubleType)).as("__e"))
+    }
+    val o = col("__o"); val e = col("__e")
+    val term =
+      if (lambda == 1.0) (o - e) * (o - e) / e
+      else if (lambda == 0.0) lit(2.0) * o * log(o / e)
+      else if (lambda == -1.0) lit(2.0) * e * log(e / o)
+      else lit(2.0 / (lambda * (lambda + 1.0))) * o * (pow(o / e, lambda) - lit(1.0))
+    val scaled = floor(term * 1e6 + lit(0.5)).cast(LongType)
+    val agg = base.select(scaled.as("__t")).agg(
+      (sum(col("__t")).cast(DoubleType) / 1e6).as("statistic"),
+      count(lit(1)).as("k"))
+    val dof = (col("k") - lit(1 + ddof)).cast(DoubleType)
+    agg.select(
+      col("k"), col("statistic"), dof.as("dof"),
+      chi2PvalUdf(col("statistic"), dof).as("pvalue"))
+  }
+
+  /** scipy.stats.chisquare = power_divergence at λ=1 (chisquare.py:24). */
+  def chisquare(df: DataFrame, obsCol: String, expCol: Option[String] = None,
+      ddof: Int = 0): DataFrame =
+    powerDivergence(df, obsCol, expCol, lambda = 1.0, ddof = ddof)
+
+  // ------------------------------------------------------------------
+  // two-sample Kolmogorov–Smirnov (ks.py:361 ks_2samp)
+  // ------------------------------------------------------------------
+
+  /** scipy.stats.ks_2samp (two-sided, asymptotic p-value). The statistic
+    * is computed EXACTLY in integers: D·n1·n2 = max over distinct values
+    * of |cum1·n2 − cum2·n1| — no floating point until the final division,
+    * so the result is identical under any partitioning and directly
+    * oracle-able as a BIGINT.
+    *
+    * Shape: union → groupBy(value) [one exchange, output = distinct
+    * values] → range-partitioned per-bucket prefix sums stitched with a
+    * bucket-summary window (≤ #partitions rows) — the checkMonotonic
+    * pattern; no global single-partition window over the data. */
+  def ks2Samp(df1: DataFrame, col1: String, df2: DataFrame, col2: String): DataFrame = {
+    val a = df1.select(df1(col1).cast(DoubleType).as("__v"), lit(1L).as("__c1"), lit(0L).as("__c2"))
+    val b = df2.select(df2(col2).cast(DoubleType).as("__v"), lit(0L).as("__c1"), lit(1L).as("__c2"))
+    val counts = a.unionAll(b)
+      .groupBy(col("__v"))
+      .agg(sum(col("__c1")).as("__c1"), sum(col("__c2")).as("__c2"))
+    val ranged = counts.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+    val within = ranged
+      .withColumn("__r1", sum(col("__c1")).over(wIn))
+      .withColumn("__r2", sum(col("__c2")).over(wIn))
+    // bucket totals: tiny (≤ #partitions rows); the ordered window over
+    // them is the only single-partition step, same as checkMonotonic
+    val totals = within.groupBy(col("__pid"))
+      .agg(max(col("__r1")).as("__t1"), max(col("__r2")).as("__t2"))
+    val wB = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      col("__pid"),
+      coalesce(sum(col("__t1")).over(wB), lit(0L)).as("__o1"),
+      coalesce(sum(col("__t2")).over(wB), lit(0L)).as("__o2"))
+    val stitched = within.join(broadcast(offsets), "__pid")
+      .select((col("__r1") + col("__o1")).as("__f1"), (col("__r2") + col("__o2")).as("__f2"))
+    val n = counts.agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"))
+    // cum·n products can pass 2^63 at full scale — go through DECIMAL(38,0)
+    // (exact 128-bit, mirroring DuckDB's HUGEINT intermediate) and narrow
+    // the final max back to BIGINT (|D|·n1·n2 ≤ n1·n2; still guarded)
+    val d38 = DecimalType(38, 0)
+    val dNum = stitched.crossJoin(broadcast(n))
+      .select(abs(col("__f1").cast(d38) * col("n2").cast(d38) -
+          col("__f2").cast(d38) * col("n1").cast(d38)).as("__d"),
+        col("n1"), col("n2"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("__d")).cast(LongType).as("d_num"))
+    val stat = col("d_num").cast(DoubleType) /
+      (col("n1").cast(DoubleType) * col("n2").cast(DoubleType))
+    dNum.select(
+      col("n1"), col("n2"), col("d_num"),
+      stat.as("statistic"),
+      ksPvalUdf(stat, col("n1"), col("n2")).as("pvalue"))
+  }
+
+  // ------------------------------------------------------------------
+  // rankdata (rankdata.py:19)
+  // ------------------------------------------------------------------
+
+  /** scipy.stats.rankdata: per-row ranks with tie methods average / min /
+    * max / dense (row-order-free) and ordinal (needs a row order — pass
+    * `orderCols` as the appearance order; scipy's stable argsort).
+    *
+    * Shape: groupBy(value) → per-value [cumBefore, cnt, denseIdx] via the
+    * range-partitioned prefix stitch → one shuffle join back on the value
+    * key. Never a global data-wide window; the per-value rank block table
+    * has one row per DISTINCT value. `average` is returned doubled
+    * (`rank2 = 2·rank`, always integral) so the output stays exact. */
+  def rankdata(df: DataFrame, valueCol: String, method: String = "average",
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(Set("average", "min", "max", "dense", "ordinal")(method),
+      s"method must be average|min|max|dense|ordinal: $method")
+    if (method == "ordinal") {
+      require(orderCols.nonEmpty, "ordinal ranks need orderCols (appearance order)")
+      // global ordinal over (value, appearance order): sort + zipWithIndex
+      // (per-partition counts, no collect — the rowIndex bridge pattern)
+      val sorted = df.orderBy(df(valueCol) +: orderCols.map(df(_)): _*)
+      val schema = sorted.schema.add(StructField("rank", LongType, nullable = false))
+      val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      return df.sparkSession.createDataFrame(ranked, schema)
+    }
+    val counts = df.groupBy(df(valueCol).as("__v")).agg(count(lit(1)).as("__cnt"))
+    val ranged = counts.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+    val within = ranged
+      .withColumn("__cum", sum(col("__cnt")).over(wIn))
+      .withColumn("__didx", count(lit(1)).over(wIn))
+    val totals = within.groupBy(col("__pid"))
+      .agg(max(col("__cum")).as("__tc"), max(col("__didx")).as("__td"))
+    val wB = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      col("__pid"),
+      coalesce(sum(col("__tc")).over(wB), lit(0L)).as("__oc"),
+      coalesce(sum(col("__td")).over(wB), lit(0L)).as("__od"))
+    val blocks = within.join(broadcast(offsets), "__pid").select(
+      col("__v"),
+      (col("__cum") + col("__oc") - col("__cnt")).as("__before"),
+      col("__cnt"),
+      (col("__didx") + col("__od")).as("__dense"))
+    val rankCol = method match {
+      case "min"     => col("__before") + lit(1L)
+      case "max"     => col("__before") + col("__cnt")
+      case "dense"   => col("__dense")
+      // average = before + (cnt+1)/2; doubled to stay in BIGINT
+      case "average" => lit(2L) * col("__before") + col("__cnt") + lit(1L)
+    }
+    val out = df.join(blocks, df(valueCol) === blocks("__v"))
+      .select(df.columns.map(df(_)) :+
+        rankCol.as(if (method == "average") "rank2" else "rank"): _*)
+    out
+  }
+}

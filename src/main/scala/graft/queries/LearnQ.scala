@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QHelpers._
-import graft.learn.Learn
+import graft.learn.{Learn, StatTests}
 
 /** Learn-module queries (SURVEY §2.15 / M10): model selection, regression,
   * clustering, decomposition, preprocessing, pairwise metrics. Oracles are
@@ -729,6 +729,227 @@ object LearnQ {
           (round($"slope", 4) + lit(0.0)).as("slope"),
           (round($"intercept", 4) + lit(0.0)).as("intercept"))
         .orderBy($"k")
+    },
+
+    // --- scipy.stats parity (mars/tensor/stats): hypothesis tests. The
+    //     gate columns are the exact BIGINT moment sums plus the t
+    //     statistic derived from them with an IDENTICAL expression shape
+    //     on both sides (deterministic IEEE arithmetic from exact
+    //     integers → round 6). p-values go through continued-fraction
+    //     special functions (no DuckDB equivalent) — spec-pinned against
+    //     closed forms in StatTestsSpec, not gated.
+    Q("learn_ttest_1samp",
+      """WITH m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        |  FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n, s1, s2,
+        |  round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(25.5 AS DOUBLE)) /
+        |    sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS t_stat
+        |FROM m ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val q = t(spark, dir, "lineitem").select($"l_quantity".cast("long").as("q"))
+      StatTests.ttest1Samp(q, "q", 25.5)
+        .select($"n", $"s1", $"s2",
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"))
+        .orderBy($"n")
+    },
+
+    // --- paired t-test: the 1-sample test on an exact integer diff
+    Q("learn_ttest_rel",
+      """WITH m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) - CAST(l_linenumber AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(SUM((CAST(l_quantity AS BIGINT) - CAST(l_linenumber AS BIGINT))
+        |         * (CAST(l_quantity AS BIGINT) - CAST(l_linenumber AS BIGINT))) AS BIGINT) AS s2
+        |  FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n, s1, s2,
+        |  round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(0.0 AS DOUBLE)) /
+        |    sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS t_stat
+        |FROM m ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val df = t(spark, dir, "lineitem")
+        .select($"l_quantity".cast("long").as("a"), $"l_linenumber".cast("long").as("b"))
+      StatTests.ttestRel(df, "a", "b")
+        .select($"n", $"s1", $"s2",
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"))
+        .orderBy($"n")
+    },
+
+    // --- two-sample pooled-variance t-test (Student), A vs R returnflags
+    Q("learn_ttest_ind",
+      """WITH g AS (SELECT
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n1,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2a,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n2,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1b,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2b
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |d AS (SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(s1a AS DOUBLE) AS s1ad, CAST(s2a AS DOUBLE) AS s2ad,
+        |  CAST(s1b AS DOUBLE) AS s1bd, CAST(s2b AS DOUBLE) AS s2bd, n1, n2 FROM g)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(n1d + n2d - 2.0 AS BIGINT) AS dof,
+        |  round((s1ad / n1d - s1bd / n2d) /
+        |    sqrt((((n1d - 1.0) * ((s2ad - s1ad * s1ad / n1d) / (n1d - 1.0))
+        |          + (n2d - 1.0) * ((s2bd - s1bd * s1bd / n2d) / (n2d - 1.0)))
+        |         / (n1d + n2d - 2.0)) * (1.0 / n1d + 1.0 / n2d)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS t_stat
+        |FROM d ORDER BY n1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val df = t(spark, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+      StatTests.ttestInd(df, "q", "l_returnflag", "A", "R", equalVar = true)
+        .select($"n1", $"n2", $"dof".cast("long").as("dof"),
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"))
+        .orderBy($"n1")
+    },
+
+    // --- Welch unequal-variance t-test: same sums, Welch–Satterthwaite
+    //     dof; dof is a chained double expression → round 6 both sides
+    Q("learn_ttest_welch",
+      """WITH g AS (SELECT
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n1,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2a,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n2,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1b,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2b
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |d AS (SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE) AS vn1,
+        |  ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) AS vn2,
+        |  CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |  CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2, n1, n2 FROM g)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round((vn1 + vn2) * (vn1 + vn2) /
+        |        (vn1 * vn1 / (n1d - 1.0) + vn2 * vn2 / (n2d - 1.0)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS dof,
+        |  round((m1 - m2) / sqrt(vn1 + vn2), 6) + CAST(0.0 AS DOUBLE) AS t_stat
+        |FROM d ORDER BY n1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val df = t(spark, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+      StatTests.ttestInd(df, "q", "l_returnflag", "A", "R", equalVar = false)
+        .select($"n1", $"n2",
+          (round($"dof", 6) + lit(0.0)).as("dof"),
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"))
+        .orderBy($"n1")
+    },
+
+    // --- Pearson χ² over the order-priority category counts vs the
+    //     uniform expectation. Per-category terms are quantized to 1e-6
+    //     BIGINTs and integer-summed (order-free) in BOTH engines —
+    //     counts are exact in double, so the terms are deterministic
+    //     arithmetic and the floor boundary is safe.
+    Q("learn_chisquare",
+      """WITH o AS (SELECT CAST(COUNT(*) AS DOUBLE) AS obs
+        |           FROM orders GROUP BY o_orderpriority),
+        |tot AS (SELECT SUM(obs) AS t, CAST(COUNT(*) AS DOUBLE) AS kk,
+        |               COUNT(*) AS k FROM o),
+        |terms AS (SELECT CAST(floor((obs - t / kk) * (obs - t / kk) / (t / kk)
+        |                            * 1e6 + 0.5) AS BIGINT) AS tt, k
+        |          FROM o, tot)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  round(CAST(SUM(tt) AS BIGINT) / 1e6, 6) + CAST(0.0 AS DOUBLE) AS stat
+        |FROM terms GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val counts = t(spark, dir, "orders")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("obs"))
+      StatTests.chisquare(counts, "obs")
+        .select($"k", (round($"statistic", 6) + lit(0.0)).as("stat"))
+        .orderBy($"k")
+    },
+
+    // --- G-test (power_divergence λ=0): 2·o·ln(o/e) per category, same
+    //     scaled-integer summation; ln is libm but sits inside the 1e-6
+    //     floor quantization (the ext_entropy convention)
+    Q("learn_gtest",
+      """WITH o AS (SELECT CAST(COUNT(*) AS DOUBLE) AS obs
+        |           FROM orders GROUP BY o_orderpriority),
+        |tot AS (SELECT SUM(obs) AS t, CAST(COUNT(*) AS DOUBLE) AS kk,
+        |               COUNT(*) AS k FROM o),
+        |terms AS (SELECT CAST(floor(CAST(2.0 AS DOUBLE) * obs * ln(obs / (t / kk))
+        |                            * 1e6 + 0.5) AS BIGINT) AS tt, k
+        |          FROM o, tot)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  round(CAST(SUM(tt) AS BIGINT) / 1e6, 6) + CAST(0.0 AS DOUBLE) AS stat
+        |FROM terms GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val counts = t(spark, dir, "orders")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("obs"))
+      StatTests.powerDivergence(counts, "obs", lambda = 0.0)
+        .select($"k", (round($"statistic", 6) + lit(0.0)).as("stat"))
+        .orderBy($"k")
+    },
+
+    // --- two-sample Kolmogorov–Smirnov, A vs R quantity distributions.
+    //     The gate is PURE INTEGERS: d_num = D·n1·n2 = max |cum1·n2 −
+    //     cum2·n1| — exact in both engines (DuckDB windows go through
+    //     HUGEINT internally, output cast BIGINT; Spark goes through
+    //     DECIMAL(38)).
+    Q("learn_ks2",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    COUNT(*) FILTER (WHERE l_returnflag = 'A') AS c1,
+        |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS c2
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |c AS (SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+        |             SUM(c2) OVER (ORDER BY v) AS f2 FROM v),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
+        |SELECT n1, n2, CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+        |FROM c, n GROUP BY n1, n2 ORDER BY n1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val a = li.where($"l_returnflag" === "A").select($"l_quantity".cast("long").as("q"))
+      val r = li.where($"l_returnflag" === "R").select($"l_quantity".cast("long").as("q"))
+      StatTests.ks2Samp(a, "q", r, "q")
+        .select($"n1", $"n2", $"d_num").orderBy($"n1")
+    },
+
+    // --- rankdata average ties, doubled (rank2 = 2·rank, always
+    //     integral): tie block at ordinals [b+1, b+c] has average rank
+    //     b + (c+1)/2 → rank2 = 2b + c + 1 = 2·rank() + cnt − 1
+    Q("learn_rankdata",
+      """SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |  CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(l_partkey AS BIGINT) AS pk,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(2 * rank() OVER (ORDER BY CAST(l_quantity AS BIGINT))
+        |       + COUNT(*) OVER (PARTITION BY CAST(l_quantity AS BIGINT)) - 1
+        |       AS BIGINT) AS rank2
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY ok, ln, pk, q""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sub = t(spark, dir, "lineitem").where($"l_orderkey" < 2000)
+        .select($"l_orderkey".cast("long").as("ok"), $"l_linenumber".cast("long").as("ln"),
+          $"l_partkey".cast("long").as("pk"), $"l_quantity".cast("long").as("q"))
+      StatTests.rankdata(sub, "q", "average")
+        .select($"ok", $"ln", $"pk", $"q", $"rank2")
+        .orderBy($"ok", $"ln", $"pk", $"q")
+    },
+
+    // --- rankdata dense ties (distinct-value index)
+    Q("learn_rankdata_dense",
+      """SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |  CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(l_partkey AS BIGINT) AS pk,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(dense_rank() OVER (ORDER BY CAST(l_quantity AS BIGINT))
+        |       AS BIGINT) AS rank
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY ok, ln, pk, q""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sub = t(spark, dir, "lineitem").where($"l_orderkey" < 2000)
+        .select($"l_orderkey".cast("long").as("ok"), $"l_linenumber".cast("long").as("ln"),
+          $"l_partkey".cast("long").as("pk"), $"l_quantity".cast("long").as("q"))
+      StatTests.rankdata(sub, "q", "dense")
+        .select($"ok", $"ln", $"pk", $"q", $"rank")
+        .orderBy($"ok", $"ln", $"pk", $"q")
     }
   )
 }

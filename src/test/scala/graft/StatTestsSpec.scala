@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.learn.StatTests
+
+/** scipy.stats parity checks for the hypothesis-test module. The
+  * statistics are differentially verified against DuckDB in LearnQ
+  * (learn_ttest_*, learn_chisquare, learn_gtest, learn_ks2,
+  * learn_rankdata*); here we pin the special-function p-value math
+  * against CLOSED FORMS (no scipy in the build environment):
+  *  - χ² survival with even dof: Q(x;2) = e^{−x/2}, Q(x;4) = e^{−x/2}(1+x/2)
+  *  - Student-t two-sided with df=1 (Cauchy): p = 1 − (2/π)·atan|t|;
+  *    df=2: p = 1 − |t|/√(2+t²)
+  *  - I_x(a,1) = x^a, I_x(1,b) = 1 − (1−x)^b
+  * plus hand-computed scipy doc examples for the statistics themselves.
+  */
+class StatTestsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol
+
+  test("lnGamma matches factorials and the half-integer closed form") {
+    // Γ(n) = (n−1)!
+    assert(approx(StatTests.lnGamma(5.0), math.log(24.0), 1e-12))
+    assert(approx(StatTests.lnGamma(10.0), math.log(362880.0), 1e-9))
+    // Γ(1/2) = √π
+    assert(approx(StatTests.lnGamma(0.5), 0.5 * math.log(math.Pi), 1e-12))
+    // Γ(3/2) = √π/2
+    assert(approx(StatTests.lnGamma(1.5), math.log(math.sqrt(math.Pi) / 2.0), 1e-12))
+  }
+
+  test("regIncBeta matches its closed forms and symmetry") {
+    for (x <- Seq(0.05, 0.3, 0.5, 0.77, 0.99)) {
+      assert(approx(StatTests.regIncBeta(1.0, 1.0, x), x, 1e-12))
+      assert(approx(StatTests.regIncBeta(2.5, 1.0, x), math.pow(x, 2.5), 1e-12))
+      assert(approx(StatTests.regIncBeta(1.0, 3.0, x), 1.0 - math.pow(1.0 - x, 3.0), 1e-12))
+      // I_x(a,b) = 1 − I_{1−x}(b,a)
+      assert(approx(StatTests.regIncBeta(2.0, 3.5, x),
+        1.0 - StatTests.regIncBeta(3.5, 2.0, 1.0 - x), 1e-12))
+    }
+  }
+
+  test("chi2Sf matches the even-dof closed forms") {
+    for (x <- Seq(0.5, 2.0, 3.84, 7.9)) {
+      assert(approx(StatTests.chi2Sf(x, 2.0), math.exp(-x / 2.0), 1e-10))
+      assert(approx(StatTests.chi2Sf(x, 4.0), math.exp(-x / 2.0) * (1.0 + x / 2.0), 1e-10))
+      assert(approx(StatTests.chi2Sf(x, 6.0),
+        math.exp(-x / 2.0) * (1.0 + x / 2.0 + x * x / 8.0), 1e-10))
+    }
+  }
+
+  test("studentTwoSidedP matches the df=1 (Cauchy) and df=2 closed forms") {
+    for (t <- Seq(0.5, 1.0, 1.7320508075688772, 3.0)) {
+      assert(approx(StatTests.studentTwoSidedP(t, 1.0),
+        1.0 - 2.0 / math.Pi * math.atan(t), 1e-10))
+      assert(approx(StatTests.studentTwoSidedP(t, 2.0),
+        1.0 - t / math.sqrt(2.0 + t * t), 1e-10))
+      // symmetry in t
+      assert(StatTests.studentTwoSidedP(-t, 5.0) == StatTests.studentTwoSidedP(t, 5.0))
+    }
+    assert(approx(StatTests.studentTwoSidedP(0.0, 7.0), 1.0, 1e-12))
+  }
+
+  test("kolmogorovSf is a proper survival function with known pivots") {
+    assert(StatTests.kolmogorovSf(0.0) == 1.0)
+    assert(StatTests.kolmogorovSf(10.0) < 1e-12)
+    // monotone decreasing
+    val xs = (1 to 40).map(_ * 0.1)
+    val vals = xs.map(StatTests.kolmogorovSf)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+    // the classical α=0.05 critical value λ≈1.358
+    val p = StatTests.kolmogorovSf(1.3581015)
+    assert(p > 0.045 && p < 0.055, s"K-sf(1.358)=$p")
+  }
+
+  test("ttest_1samp: scipy semantics on a hand-checked sample") {
+    // data [1,2,3], popmean 1 → mean 2, var 1, t = 1/√(1/3) = √3, df 2
+    // two-sided p (df=2 closed form) = 1 − √3/√5
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    val r = StatTests.ttest1Samp(df, "x", 1.0).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("s1") == 6L)
+    assert(r.getAs[Long]("s2") == 14L)
+    assert(approx(r.getAs[Double]("statistic"), math.sqrt(3.0), 1e-12))
+    assert(approx(r.getAs[Double]("pvalue"), 1.0 - math.sqrt(3.0 / 5.0), 1e-10))
+  }
+
+  test("ttest_1samp: fractional inputs go through exact decimal sums") {
+    // [1.5, 2.5, 3.5] popmean 2 → mean 2.5, var 1, t = 0.5/√(1/3)
+    val df = Seq(1.5, 2.5, 3.5).toDF("x")
+    val r = StatTests.ttest1Samp(df, "x", 2.0).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(approx(r.getAs[Double]("statistic"), 0.5 * math.sqrt(3.0), 1e-12))
+  }
+
+  test("ttest_rel equals ttest_1samp on the difference") {
+    val df = Seq((3L, 1L), (5L, 2L), (7L, 3L)).toDF("a", "b")
+    // diffs [2,3,4]: mean 3, var 1, t = 3/√(1/3) = 3√3
+    val r = StatTests.ttestRel(df, "a", "b").head()
+    assert(approx(r.getAs[Double]("statistic"), 3.0 * math.sqrt(3.0), 1e-12))
+  }
+
+  test("ttest_ind: pooled and Welch match the hand-computed forms") {
+    // a=[1,2,3,4] (m 2.5, v 5/3), b=[2,4,6,8] (m 5, v 20/3), n=4 each
+    // pooled: svar 25/6, t = −2.5/√(25/12) = −√3, df 6
+    // Welch: same t (equal n), df = (25/12)²/((5/12)²/3 + (20/12)²/3)
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++ Seq(2L, 4L, 6L, 8L).map(("b", _)))
+      .toDF("g", "x")
+    val pooled = StatTests.ttestInd(df, "x", "g", "a", "b", equalVar = true).head()
+    assert(pooled.getAs[Long]("n1") == 4L && pooled.getAs[Long]("n2") == 4L)
+    assert(approx(pooled.getAs[Double]("statistic"), -math.sqrt(3.0), 1e-12))
+    assert(approx(pooled.getAs[Double]("dof"), 6.0, 1e-12))
+    val welch = StatTests.ttestInd(df, "x", "g", "a", "b", equalVar = false).head()
+    assert(approx(welch.getAs[Double]("statistic"), -math.sqrt(3.0), 1e-12))
+    val vn1 = (5.0 / 3.0) / 4.0; val vn2 = (20.0 / 3.0) / 4.0
+    val dfW = (vn1 + vn2) * (vn1 + vn2) / (vn1 * vn1 / 3.0 + vn2 * vn2 / 3.0)
+    assert(approx(welch.getAs[Double]("dof"), dfW, 1e-9))
+  }
+
+  test("chisquare / G-test reproduce the scipy doc example") {
+    // scipy.stats.power_divergence([16,18,16,14,12,12]): χ²=2.0;
+    // λ=0 (G-test) statistic ≈ 2.006573 (2Σo·ln(o/e), e=88/6)
+    val obs = Seq(16L, 18L, 16L, 14L, 12L, 12L).toDF("obs")
+    val chi = StatTests.chisquare(obs, "obs").head()
+    assert(chi.getAs[Long]("k") == 6L)
+    // quantized at 1e-6 per term → within 6e-6 of exact
+    assert(approx(chi.getAs[Double]("statistic"), 2.0, 1e-5))
+    assert(approx(chi.getAs[Double]("dof"), 5.0, 1e-12))
+    val e = 88.0 / 6.0
+    val gExact = Seq(16.0, 18.0, 16.0, 14.0, 12.0, 12.0)
+      .map(o => 2.0 * o * math.log(o / e)).sum
+    val g = StatTests.powerDivergence(obs, "obs", lambda = 0.0).head()
+    assert(approx(g.getAs[Double]("statistic"), gExact, 1e-5))
+    // Cressie–Read λ=2/3 runs the generic branch
+    val crExact = Seq(16.0, 18.0, 16.0, 14.0, 12.0, 12.0)
+      .map(o => 2.0 / ((2.0 / 3.0) * (5.0 / 3.0)) * o * (math.pow(o / e, 2.0 / 3.0) - 1.0)).sum
+    val cr = StatTests.powerDivergence(obs, "obs", lambda = 2.0 / 3.0).head()
+    assert(approx(cr.getAs[Double]("statistic"), crExact, 1e-5))
+  }
+
+  test("ks_2samp: exact integer statistic on a hand-checked pair") {
+    // x=[1,2,3], y=[2,3,4]: D = 1/3 → d_num = D·9 = 3
+    val x = Seq(1L, 2L, 3L).toDF("v")
+    val y = Seq(2L, 3L, 4L).toDF("v")
+    val r = StatTests.ks2Samp(x, "v", y, "v").head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("d_num") == 3L)
+    assert(approx(r.getAs[Double]("statistic"), 1.0 / 3.0, 1e-15))
+    // identical samples → D = 0, p = 1
+    val same = StatTests.ks2Samp(x, "v", x, "v").head()
+    assert(same.getAs[Long]("d_num") == 0L)
+    assert(approx(same.getAs[Double]("pvalue"), 1.0, 1e-12))
+  }
+
+  test("rankdata: all five scipy tie methods on [1,2,2,3]") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+    def ranksOf(method: String, rankCol: String): Map[Long, Long] =
+      StatTests.rankdata(df, "v", method, orderCols = Seq("id"))
+        .select($"id", col(rankCol)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // average (doubled): [1, 2.5, 2.5, 4] → rank2 [2, 5, 5, 8]
+    assert(ranksOf("average", "rank2") == Map(1L -> 2L, 2L -> 5L, 3L -> 5L, 4L -> 8L))
+    assert(ranksOf("min", "rank") == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+    assert(ranksOf("max", "rank") == Map(1L -> 1L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+    assert(ranksOf("dense", "rank") == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+    // ordinal breaks the tie by appearance order (id)
+    assert(ranksOf("ordinal", "rank") == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("rankdata is partitioning-invariant (the prefix stitch is exact)") {
+    val base = (1 to 500).map(i => (i.toLong, (i % 37).toLong))
+    val one = StatTests.rankdata(base.toDF("id", "v").coalesce(1), "v", "average")
+      .select($"id", $"rank2").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val many = StatTests.rankdata(base.toDF("id", "v").repartition(7), "v", "average")
+      .select($"id", $"rank2").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == many)
+  }
+}
