@@ -46,7 +46,16 @@ object Ufuncs {
     "floor" -> floor _,
     "around" -> ((c: Column) => round(c, 0)),
     "sign" -> signum _,
-    "invert" -> bitwise_not _)
+    "invert" -> bitwise_not _,
+    // scipy.special subset (mars/tensor/special) — see Special.scala;
+    // all pure Column arithmetic, codegen'd like the rest of the table
+    "gamma" -> Special.gamma _,
+    "gammaln" -> Special.gammaln _,
+    "gammasgn" -> Special.gammasgn _,
+    "psi" -> Special.digamma _,
+    "erf" -> Special.erf _,
+    "erfc" -> Special.erfc _,
+    "entr" -> Special.entr _)
 
   /** Binary ufuncs (add/sub/mul/div are native Column operators already). */
   val binary: Map[String, (Column, Column) => Column] = Map(
@@ -73,7 +82,14 @@ object Ufuncs {
     "less" -> (_ < _),
     "less_equal" -> (_ <= _),
     "greater" -> (_ > _),
-    "greater_equal" -> (_ >= _))
+    "greater_equal" -> (_ >= _),
+    // scipy.special binaries (Special.scala)
+    "beta" -> (Special.beta(_, _)),
+    "betaln" -> (Special.betaln(_, _)),
+    "rel_entr" -> (Special.relEntr(_, _)),
+    "kl_div" -> (Special.klDiv(_, _)),
+    "xlogy" -> (Special.xlogy(_, _)),
+    "xlog1py" -> (Special.xlog1py(_, _)))
 
   def apply(name: String)(c: Column): Column =
     unary.getOrElse(name,

@@ -921,6 +921,76 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"p", $"q", $"x")
     },
 
+    // --- §2.14 scipy.special gamma family (mars/tensor/special/
+    //     gamma_funcs.py) as pure Column arithmetic (Special.scala,
+    //     Lanczos g=7 — no UDF). DuckDB has native lgamma/gamma; the two
+    //     approximations agree to ~1e-12, well inside round 6 (same
+    //     accepted libm-boundary risk class as op_ufunc_math). gammasgn
+    //     is exact integer logic on both sides. Args: q ∈ [1,50] for
+    //     lgamma; s = q/8+0.25 small so Γ(s) stays far from double
+    //     round-6 granularity; m = (5−q)/2 sweeps negative integers and
+    //     half-integers for the sign.
+    Q("op_special_gamma",
+      """SELECT l_orderkey, l_linenumber, q,
+        |  round(lgamma(q), 6) + CAST(0.0 AS DOUBLE) AS u_gammaln,
+        |  round(gamma(q / 8.0 + 0.25), 6) + CAST(0.0 AS DOUBLE) AS u_gamma,
+        |  round(lgamma(q / 8.0 + 0.25) + lgamma(2.5) - lgamma(q / 8.0 + 0.25 + 2.5), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_betaln,
+        |  CAST(CASE WHEN (5.0 - q) / 2.0 > 0.0 THEN 1
+        |            WHEN (5.0 - q) / 2.0 = floor((5.0 - q) / 2.0) THEN 0
+        |            WHEN mod(CAST(floor((5.0 - q) / 2.0) AS BIGINT), 2) = 0 THEN 1
+        |            ELSE -1 END AS BIGINT) AS u_gammasgn
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q
+        |      FROM lineitem WHERE l_orderkey < 600) base
+        |ORDER BY l_orderkey, l_linenumber, q""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity".cast("double").as("q"))
+      base.select($"l_orderkey", $"l_linenumber", $"q",
+        r6(Ufuncs("gammaln")($"q")).as("u_gammaln"),
+        r6(Ufuncs("gamma")($"q" / 8.0 + 0.25)).as("u_gamma"),
+        r6(Ufuncs("betaln", $"q" / 8.0 + 0.25, lit(2.5))).as("u_betaln"),
+        Ufuncs("gammasgn")((lit(5.0) - $"q") / 2.0).cast("long").as("u_gammasgn"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- §2.14 scipy.special information theory (info_theory.py +
+    //     convenience.py xlogy/xlog1py): probabilities p1 = q/64,
+    //     p2 = (51−q)/64 are EXACT binary fractions, so both engines see
+    //     bit-identical inputs; the ln composites mirror the operator
+    //     shapes → round 6.
+    Q("op_special_info",
+      """SELECT l_orderkey, l_linenumber, q,
+        |  round(-(q / 64.0) * ln(q / 64.0), 6) + CAST(0.0 AS DOUBLE) AS u_entr,
+        |  round((q / 64.0) * ln((q / 64.0) / ((51.0 - q) / 64.0)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_rel_entr,
+        |  round((q / 64.0) * ln((q / 64.0) / ((51.0 - q) / 64.0)) - q / 64.0
+        |        + (51.0 - q) / 64.0, 6) + CAST(0.0 AS DOUBLE) AS u_kl_div,
+        |  round((q / 64.0) * ln((51.0 - q) / 64.0), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_xlogy,
+        |  round((q / 64.0) * ln(1.0 + (51.0 - q) / 64.0), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_xlog1py
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q
+        |      FROM lineitem WHERE l_orderkey < 600) base
+        |ORDER BY l_orderkey, l_linenumber, q""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity".cast("double").as("q"))
+      val p1 = $"q" / 64.0
+      val p2 = (lit(51.0) - $"q") / 64.0
+      base.select($"l_orderkey", $"l_linenumber", $"q",
+        r6(Ufuncs("entr")(p1)).as("u_entr"),
+        r6(Ufuncs("rel_entr", p1, p2)).as("u_rel_entr"),
+        r6(Ufuncs("kl_div", p1, p2)).as("u_kl_div"),
+        r6(Ufuncs("xlogy", p1, p2)).as("u_xlogy"),
+        r6(Ufuncs("xlog1py", p1, p2)).as("u_xlog1py"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- §2.14 frame dot product (reference arithmetic/dot.py): tall
     //     (supplier × 3 features) · small (3 × 2 weights). The A entries go
     //     through the DECIMAL sum convention so both engines agree

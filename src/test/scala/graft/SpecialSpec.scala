@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Special, Ufuncs}
+
+/** Known-value pins for the scipy.special subset (Special.scala). The
+  * gamma/info-theory families are differentially verified against DuckDB
+  * (op_special_gamma, op_special_info); here we pin the functions DuckDB
+  * lacks (erf/erfc, digamma), the negative-axis reflections, and the
+  * scipy corner conventions — all against closed forms or published
+  * constants (no scipy in the build environment).
+  */
+class SpecialSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def eval1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      x: Double): Double =
+    Seq(x).toDF("x").select(f(col("x")).as("y")).head().getDouble(0)
+
+  private def eval2(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      x: Double, y: Double): Double =
+    Seq((x, y)).toDF("x", "y").select(f(col("x"), col("y")).as("z")).head().getDouble(0)
+
+  private val gammaEM = 0.5772156649015329 // Euler–Mascheroni
+
+  test("gamma matches factorials, the half-integer forms, and reflection") {
+    assert(math.abs(eval1(Special.gamma, 5.0) - 24.0) < 1e-9)
+    assert(math.abs(eval1(Special.gamma, 0.5) - math.sqrt(math.Pi)) < 1e-12)
+    assert(math.abs(eval1(Special.gamma, 1.5) - math.sqrt(math.Pi) / 2.0) < 1e-12)
+    // Γ(−0.5) = −2√π ; Γ(−1.5) = 4√π/3 (reflection + sign alternation)
+    assert(math.abs(eval1(Special.gamma, -0.5) - (-2.0 * math.sqrt(math.Pi))) < 1e-10)
+    assert(math.abs(eval1(Special.gamma, -1.5) - (4.0 * math.sqrt(math.Pi) / 3.0)) < 1e-10)
+  }
+
+  test("gammasgn alternates on the negative axis and is 0 at poles") {
+    assert(eval1(Special.gammasgn, 3.7) == 1.0)
+    assert(eval1(Special.gammasgn, -0.5) == -1.0)
+    assert(eval1(Special.gammasgn, -1.5) == 1.0)
+    assert(eval1(Special.gammasgn, -2.5) == -1.0)
+    assert(eval1(Special.gammasgn, -3.0) == 0.0)
+    assert(eval1(Special.gammasgn, 0.0) == 0.0)
+  }
+
+  test("beta matches the closed form B(a,b) = (a-1)!(b-1)!/(a+b-1)! on integers") {
+    // B(3,4) = 2!·3!/6! = 12/720 = 1/60
+    assert(math.abs(eval2(Special.beta, 3.0, 4.0) - 1.0 / 60.0) < 1e-12)
+    assert(math.abs(eval2(Special.beta, 0.5, 0.5) - math.Pi) < 1e-10)
+  }
+
+  test("digamma matches the published constants and recurrence") {
+    // ψ(1) = −γ ; ψ(0.5) = −γ − 2 ln 2 ; ψ(x+1) = ψ(x) + 1/x
+    assert(math.abs(eval1(Special.digamma, 1.0) - (-gammaEM)) < 1e-11)
+    assert(math.abs(eval1(Special.digamma, 0.5) - (-gammaEM - 2.0 * math.log(2.0))) < 1e-11)
+    for (x <- Seq(0.7, 2.3, 9.1)) {
+      assert(math.abs(eval1(Special.digamma, x + 1.0) -
+        (eval1(Special.digamma, x) + 1.0 / x)) < 1e-11)
+    }
+    // reflection: ψ(1−x) − ψ(x) = π cot(πx) at x = 0.25 → ψ(−0.25)... use
+    // ψ(0.75) − ψ(0.25) = π (cot is π·cot(π/4) = π)
+    assert(math.abs((eval1(Special.digamma, 0.75) - eval1(Special.digamma, 0.25)) -
+      math.Pi) < 1e-10)
+    // negative axis via reflection: ψ(−0.5) = 2 − γ − 2 ln 2
+    assert(math.abs(eval1(Special.digamma, -0.5) -
+      (2.0 - gammaEM - 2.0 * math.log(2.0))) < 1e-10)
+  }
+
+  test("erf/erfc match published values within the A&S 7.1.26 bound") {
+    val known = Seq( // x -> erf(x), 15-digit published values
+      0.5 -> 0.5204998778130465,
+      1.0 -> 0.8427007929497149,
+      2.0 -> 0.9953222650189527)
+    for ((x, v) <- known) {
+      assert(math.abs(eval1(Special.erf, x) - v) < 1.5e-7)
+      assert(math.abs(eval1(Special.erf, -x) - (-v)) < 1.5e-7)
+      assert(math.abs(eval1(Special.erfc, x) - (1.0 - v)) < 1.5e-7)
+    }
+    assert(eval1(Special.erf, 0.0) == 0.0)
+  }
+
+  test("info-theory corner conventions match scipy") {
+    assert(eval1(Special.entr, 0.0) == 0.0)
+    assert(eval1(Special.entr, -1.0).isNegInfinity)
+    assert(eval2(Special.relEntr, 0.0, 2.0) == 0.0)
+    assert(eval2(Special.relEntr, 1.0, 0.0).isPosInfinity)
+    assert(eval2(Special.klDiv, 0.0, 3.0) == 3.0)
+    assert(eval2(Special.xlogy, 0.0, 0.0) == 0.0)
+    assert(eval2(Special.xlog1py, 0.0, -1.0) == 0.0)
+  }
+
+  test("the ufunc registry resolves the special names") {
+    for (n <- Seq("gamma", "gammaln", "gammasgn", "psi", "erf", "erfc", "entr"))
+      assert(Ufuncs.unary.contains(n), n)
+    for (n <- Seq("beta", "betaln", "rel_entr", "kl_div", "xlogy", "xlog1py"))
+      assert(Ufuncs.binary.contains(n), n)
+  }
+
+  test("special columns stay inside whole-stage codegen (no UDFs)") {
+    val df = Seq(1.0, 2.5).toDF("x")
+      .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
+        Special.digamma(col("x")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"),
+      plan.take(400))
+  }
+}
