@@ -394,9 +394,98 @@ object StatTests {
       ksPvalUdf(stat, col("n1"), col("n2")).as("pvalue"))
   }
 
+  /** scipy.stats.ks_1samp (goodness of fit vs a given continuous CDF,
+    * asymptotic p-value; ks.py:389). Per DISTINCT value with ordinal
+    * rank block [before+1, before+cnt]:
+    *   D+ ≥ (before+cnt)/n − F(v),  D− ≥ F(v) − before/n
+    * and D = max over values — a max of per-row deterministic doubles,
+    * order-free by construction. `alternative` ∈ two-sided|less|greater
+    * (scipy: 'less' reports D−, 'greater' D+). Same shape as rankdata:
+    * groupBy value + prefix stitch, no data-wide window. */
+  def ks1Samp(df: DataFrame, valueCol: String, cdf: Column => Column,
+      alternative: String = "two-sided"): DataFrame = {
+    require(Set("two-sided", "less", "greater")(alternative), alternative)
+    val blocks = rankBlocks(df.select(df(valueCol).cast(DoubleType).as("__v")), "__v")
+    val n = blocks.groupBy().agg(max(col("__before") + col("__cnt")).as("n"))
+    val f = cdf(col("__v"))
+    val nd = col("n").cast(DoubleType)
+    val dPlus = (col("__before") + col("__cnt")).cast(DoubleType) / nd - f
+    val dMinus = f - col("__before").cast(DoubleType) / nd
+    val gap = alternative match {
+      case "two-sided" => greatest(dPlus, dMinus)
+      case "greater"   => dPlus
+      case "less"      => dMinus
+    }
+    val agg = blocks.crossJoin(broadcast(n))
+      .groupBy(col("n")).agg(max(gap).as("statistic"))
+    // one-sided asymptotic p = e^{−2nD²}; two-sided = Kolmogorov sf
+    val pv =
+      if (alternative == "two-sided")
+        udf((d: Double, nn: Long) => kolmogorovSf(math.sqrt(nn.toDouble) * d))
+          .apply(col("statistic"), col("n"))
+      else
+        udf((d: Double, nn: Long) =>
+          math.min(1.0, math.exp(-2.0 * nn.toDouble * d * d)))
+          .apply(col("statistic"), col("n"))
+    agg.select(col("n"), col("statistic"), pv.as("pvalue"))
+  }
+
+  /** Spearman rank correlation (pandas corr(method='spearman') — a Spark
+    * upside: the reference's corr tiles Pearson only,
+    * mars/dataframe/statistics/corr.py `_check_supported_methods`).
+    * Average-tie ranks from [[rankdata]] are doubled → all four moment
+    * sums are exact integers (DECIMAL(38) against overflow at scale);
+    * Pearson is affine-invariant so ρ(2·rank) = ρ(rank). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val withRx = rankdata(df, xCol, "average").withColumnRenamed("rank2", "__rx")
+    val withBoth = rankdata(withRx, yCol, "average").withColumnRenamed("rank2", "__ry")
+    val d38 = DecimalType(38, 0)
+    val rx = col("__rx").cast(d38); val ry = col("__ry").cast(d38)
+    val m = withBoth.agg(
+      count(lit(1)).as("n"),
+      sum(rx).cast(DoubleType).as("sx"),
+      sum(ry).cast(DoubleType).as("sy"),
+      sum(rx * rx).cast(DoubleType).as("sxx"),
+      sum(ry * ry).cast(DoubleType).as("syy"),
+      sum(rx * ry).cast(DoubleType).as("sxy"))
+    val nd = col("n").cast(DoubleType)
+    val rho = (nd * col("sxy") - col("sx") * col("sy")) /
+      sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+        (nd * col("syy") - col("sy") * col("sy")))
+    m.select(col("n"), rho.as("statistic"))
+  }
+
   // ------------------------------------------------------------------
   // rankdata (rankdata.py:19)
   // ------------------------------------------------------------------
+
+  /** Per-DISTINCT-value rank blocks [__v, __before, __cnt, __dense]:
+    * `__before` ordinal ranks precede the value's tie block, `__cnt` tie
+    * size, `__dense` 1-based distinct index. groupBy(value) → range
+    * partition → per-bucket window + ≤#partitions-row summary window
+    * (the checkMonotonic stitch) → broadcast join back on bucket id. */
+  private def rankBlocks(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(df(valueCol).as("__v")).agg(count(lit(1)).as("__cnt"))
+    val ranged = counts.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+    val within = ranged
+      .withColumn("__cum", sum(col("__cnt")).over(wIn))
+      .withColumn("__didx", count(lit(1)).over(wIn))
+    val totals = within.groupBy(col("__pid"))
+      .agg(max(col("__cum")).as("__tc"), max(col("__didx")).as("__td"))
+    val wB = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      col("__pid"),
+      coalesce(sum(col("__tc")).over(wB), lit(0L)).as("__oc"),
+      coalesce(sum(col("__td")).over(wB), lit(0L)).as("__od"))
+    within.join(broadcast(offsets), "__pid").select(
+      col("__v"),
+      (col("__cum") + col("__oc") - col("__cnt")).as("__before"),
+      col("__cnt"),
+      (col("__didx") + col("__od")).as("__dense"))
+  }
 
   /** scipy.stats.rankdata: per-row ranks with tie methods average / min /
     * max / dense (row-order-free) and ordinal (needs a row order — pass
@@ -422,26 +511,7 @@ object StatTests {
       }
       return df.sparkSession.createDataFrame(ranked, schema)
     }
-    val counts = df.groupBy(df(valueCol).as("__v")).agg(count(lit(1)).as("__cnt"))
-    val ranged = counts.repartitionByRange(col("__v"))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
-    val within = ranged
-      .withColumn("__cum", sum(col("__cnt")).over(wIn))
-      .withColumn("__didx", count(lit(1)).over(wIn))
-    val totals = within.groupBy(col("__pid"))
-      .agg(max(col("__cum")).as("__tc"), max(col("__didx")).as("__td"))
-    val wB = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(
-      col("__pid"),
-      coalesce(sum(col("__tc")).over(wB), lit(0L)).as("__oc"),
-      coalesce(sum(col("__td")).over(wB), lit(0L)).as("__od"))
-    val blocks = within.join(broadcast(offsets), "__pid").select(
-      col("__v"),
-      (col("__cum") + col("__oc") - col("__cnt")).as("__before"),
-      col("__cnt"),
-      (col("__didx") + col("__od")).as("__dense"))
+    val blocks = rankBlocks(df, valueCol)
     val rankCol = method match {
       case "min"     => col("__before") + lit(1L)
       case "max"     => col("__before") + col("__cnt")

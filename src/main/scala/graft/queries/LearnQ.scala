@@ -911,6 +911,57 @@ object LearnQ {
         .select($"n1", $"n2", $"d_num").orderBy($"n1")
     },
 
+    // --- one-sample KS goodness-of-fit vs the uniform(0,51] CDF. The
+    //     statistic is a MAX of per-distinct-value deterministic doubles
+    //     (exact-integer rank blocks ÷ n) — order-free, identical shape
+    //     both sides → round 6.
+    Q("learn_ks1",
+      """WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM v),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v)
+        |SELECT n, round(MAX(greatest(
+        |    CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) - v / CAST(51.0 AS DOUBLE),
+        |    v / CAST(51.0 AS DOUBLE)
+        |      - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)) / CAST(n AS DOUBLE))), 6)
+        |  + CAST(0.0 AS DOUBLE) AS stat
+        |FROM b, n GROUP BY n ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val q = t(spark, dir, "lineitem").select($"l_quantity".cast("double").as("q"))
+      StatTests.ks1Samp(q, "q", c => c / lit(51.0).cast("double"))
+        .select($"n", (round($"statistic", 6) + lit(0.0)).as("stat"))
+        .orderBy($"n")
+    },
+
+    // --- Spearman rank correlation (pandas corr(method='spearman');
+    //     Spark upside — the reference tiles Pearson only). Doubled
+    //     average ranks make all moment sums exact integers; ρ is the
+    //     Pearson closed form over them, identical shape both sides.
+    Q("learn_spearman",
+      """WITH r AS (SELECT
+        |    2 * rank() OVER (ORDER BY CAST(l_quantity AS BIGINT))
+        |      + COUNT(*) OVER (PARTITION BY CAST(l_quantity AS BIGINT)) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry
+        |  FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx, CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS rho
+        |FROM m ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val df = t(spark, dir, "lineitem")
+        .select($"l_quantity".cast("long").as("x"), $"l_extendedprice".as("y"))
+      StatTests.spearman(df, "x", "y")
+        .select($"n", (round($"statistic", 6) + lit(0.0)).as("rho"))
+        .orderBy($"n")
+    },
+
     // --- rankdata average ties, doubled (rank2 = 2·rank, always
     //     integral): tie block at ordinals [b+1, b+c] has average rank
     //     b + (c+1)/2 → rank2 = 2b + c + 1 = 2·rank() + cnt − 1

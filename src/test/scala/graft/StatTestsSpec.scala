@@ -153,6 +153,35 @@ class StatTestsSpec extends SparkSpecBase {
     assert(approx(same.getAs[Double]("pvalue"), 1.0, 1e-12))
   }
 
+  test("ks_1samp: hand-checked D against the uniform(0,1) CDF") {
+    // x = [0.1, 0.4, 0.7], F(x) = x: ecdf steps at 1/3, 2/3, 1
+    // D+ candidates: 1/3−0.1, 2/3−0.4, 1−0.7 = 0.3 (max);
+    // D− candidates: 0.1−0, 0.4−1/3, 0.7−2/3 → 0.1
+    val df = Seq(0.1, 0.4, 0.7).toDF("x")
+    val r = StatTests.ks1Samp(df, "x", c => c).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(approx(r.getAs[Double]("statistic"), 0.3, 1e-15))
+    val dMinus = StatTests.ks1Samp(df, "x", c => c, "less").head()
+    assert(approx(dMinus.getAs[Double]("statistic"), 0.1, 1e-15))
+    val dPlus = StatTests.ks1Samp(df, "x", c => c, "greater").head()
+    assert(approx(dPlus.getAs[Double]("statistic"), 0.3, 1e-15))
+    // one-sided asymptotic p = e^{−2nD²}
+    assert(approx(dPlus.getAs[Double]("pvalue"), math.exp(-2.0 * 3.0 * 0.09), 1e-12))
+  }
+
+  test("spearman: ±1 on monotonic data, ties handled via average ranks") {
+    val mono = Seq((1L, 10.0), (2L, 20.0), (3L, 35.0), (4L, 70.0)).toDF("x", "y")
+    assert(approx(StatTests.spearman(mono, "x", "y").head().getAs[Double]("statistic"),
+      1.0, 1e-12))
+    val anti = Seq((1L, 9.0), (2L, 7.0), (3L, 5.0), (4L, 1.0)).toDF("x", "y")
+    assert(approx(StatTests.spearman(anti, "x", "y").head().getAs[Double]("statistic"),
+      -1.0, 1e-12))
+    // scipy.stats.spearmanr([1,2,3,4,5], [5,6,7,8,7]) = 0.8207826816681233
+    val tied = Seq((1L, 5.0), (2L, 6.0), (3L, 7.0), (4L, 8.0), (5L, 7.0)).toDF("x", "y")
+    assert(approx(StatTests.spearman(tied, "x", "y").head().getAs[Double]("statistic"),
+      0.8207826816681233, 1e-12))
+  }
+
   test("rankdata: all five scipy tie methods on [1,2,2,3]") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
     def ranksOf(method: String, rankCol: String): Map[Long, Long] =
