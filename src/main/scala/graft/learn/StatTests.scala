@@ -357,24 +357,9 @@ object StatTests {
     val counts = a.unionAll(b)
       .groupBy(col("__v"))
       .agg(sum(col("__c1")).as("__c1"), sum(col("__c2")).as("__c2"))
-    val ranged = counts.repartitionByRange(col("__v"))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
-    val within = ranged
-      .withColumn("__r1", sum(col("__c1")).over(wIn))
-      .withColumn("__r2", sum(col("__c2")).over(wIn))
-    // bucket totals: tiny (≤ #partitions rows); the ordered window over
-    // them is the only single-partition step, same as checkMonotonic
-    val totals = within.groupBy(col("__pid"))
-      .agg(max(col("__r1")).as("__t1"), max(col("__r2")).as("__t2"))
-    val wB = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(
-      col("__pid"),
-      coalesce(sum(col("__t1")).over(wB), lit(0L)).as("__o1"),
-      coalesce(sum(col("__t2")).over(wB), lit(0L)).as("__o2"))
-    val stitched = within.join(broadcast(offsets), "__pid")
-      .select((col("__r1") + col("__o1")).as("__f1"), (col("__r2") + col("__o2")).as("__f2"))
+    val stitched = prefixStitch(counts, "__v", Seq("__c1", "__c2"))
+      .select((col("__c1_before") + col("__c1")).as("__f1"),
+        (col("__c2_before") + col("__c2")).as("__f2"))
     val n = counts.agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"))
     // cum·n products can pass 2^63 at full scale — go through DECIMAL(38,0)
     // (exact 128-bit, mirroring DuckDB's HUGEINT intermediate) and narrow
@@ -455,9 +440,81 @@ object StatTests {
     m.select(col("n"), rho.as("statistic"))
   }
 
+  /** Mann–Whitney U rank-sum test (scipy.stats.mannwhitneyu, two-sided,
+    * normal approximation with tie correction — an upside beyond the
+    * reference's stats module, natural here because the rank machinery
+    * is shared). U1 = R1 − n1(n1+1)/2 where R1 sums sample-1 average
+    * ranks over the pooled data; 2·U1 is an exact integer (doubled
+    * ranks), emitted as `u2`. Shape: one pooled groupBy(value) with
+    * per-side counts + the prefix stitch — no data-wide window. */
+  def mannWhitneyU(df1: DataFrame, col1: String, df2: DataFrame, col2: String): DataFrame = {
+    val a = df1.select(df1(col1).cast(DoubleType).as("__v"), lit(1L).as("__c1"), lit(0L).as("__c2"))
+    val b = df2.select(df2(col2).cast(DoubleType).as("__v"), lit(0L).as("__c1"), lit(1L).as("__c2"))
+    val counts = a.unionAll(b)
+      .groupBy(col("__v"))
+      .agg(sum(col("__c1")).as("__n1v"), sum(col("__c2")).as("__n2v"))
+      .withColumn("__cnt", col("__n1v") + col("__n2v"))
+    val blocks = prefixStitch(counts, "__v", Seq("__cnt"))
+    // doubled average rank of the tie block: 2·before + cnt + 1;
+    // R1·2 = Σ n1v · rank2 ; tie term Σ (cnt³ − cnt) feeds the variance
+    val d38 = DecimalType(38, 0)
+    val rank2 = lit(2L) * col("__cnt_before") + col("__cnt") + lit(1L)
+    val agg = blocks.agg(
+      sum(col("__n1v")).as("n1"),
+      sum(col("__n2v")).as("n2"),
+      sum(col("__n1v").cast(d38) * rank2.cast(d38)).as("__r1x2"),
+      sum((col("__cnt").cast(d38) * col("__cnt").cast(d38) * col("__cnt").cast(d38) -
+        col("__cnt").cast(d38))).as("__ties"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val u2 = col("__r1x2") - (col("n1").cast(d38) * (col("n1").cast(d38) + lit(1)))
+    val u1 = u2.cast(DoubleType) / lit(2.0)
+    val nTot = n1 + n2
+    val tieAdj = col("__ties").cast(DoubleType) / (nTot * (nTot - lit(1.0)))
+    val sigma = sqrt(n1 * n2 / lit(12.0) * (nTot + lit(1.0) - tieAdj))
+    val mu = n1 * n2 / lit(2.0)
+    // two-sided normal approx with 0.5 continuity correction (scipy
+    // method='asymptotic', use_continuity=True)
+    val z = (u1 - mu - lit(0.5) * signum(u1 - mu)) / sigma
+    val pv = udf((zz: Double) => {
+      val x = math.abs(zz) / math.sqrt(2.0)
+      // erfc via the A&S 7.1.26 polynomial (documented 1.5e-7 bound)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = t * (0.254829592 + t * (-0.284496736 +
+        t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+      math.min(1.0, poly * math.exp(-x * x))
+    }).apply(z)
+    agg.select(col("n1"), col("n2"),
+      u2.cast(LongType).as("u2"),
+      u1.as("statistic"), pv.as("pvalue"))
+  }
+
   // ------------------------------------------------------------------
   // rankdata (rankdata.py:19)
   // ------------------------------------------------------------------
+
+  /** Range-partitioned global prefix sums over `orderCol` for each of
+    * `sumCols` (emitted as `<col>_before` = sum strictly before the row's
+    * value block) — the checkMonotonic stitch generalized. */
+  private def prefixStitch(df: DataFrame, orderCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val within = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"${c}_cum", sum(col(c)).over(wIn))
+    }
+    val aggCols = sumCols.map(c => max(col(s"${c}_cum")).as(s"${c}_tot"))
+    val totals = within.groupBy(col("__pid")).agg(aggCols.head, aggCols.tail: _*)
+    val wB = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__pid") +: sumCols.map(c =>
+      coalesce(sum(col(s"${c}_tot")).over(wB), lit(0L)).as(s"${c}_off")): _*)
+    val joined = within.join(broadcast(offsets), "__pid")
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_before",
+        col(s"${c}_cum") + col(s"${c}_off") - col(c))
+    }
+  }
 
   /** Per-DISTINCT-value rank blocks [__v, __before, __cnt, __dense]:
     * `__before` ordinal ranks precede the value's tie block, `__cnt` tie
@@ -466,25 +523,12 @@ object StatTests {
     * (the checkMonotonic stitch) → broadcast join back on bucket id. */
   private def rankBlocks(df: DataFrame, valueCol: String): DataFrame = {
     val counts = df.groupBy(df(valueCol).as("__v")).agg(count(lit(1)).as("__cnt"))
-    val ranged = counts.repartitionByRange(col("__v"))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
-    val within = ranged
-      .withColumn("__cum", sum(col("__cnt")).over(wIn))
-      .withColumn("__didx", count(lit(1)).over(wIn))
-    val totals = within.groupBy(col("__pid"))
-      .agg(max(col("__cum")).as("__tc"), max(col("__didx")).as("__td"))
-    val wB = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(
-      col("__pid"),
-      coalesce(sum(col("__tc")).over(wB), lit(0L)).as("__oc"),
-      coalesce(sum(col("__td")).over(wB), lit(0L)).as("__od"))
-    within.join(broadcast(offsets), "__pid").select(
+      .withColumn("__one", lit(1L))
+    prefixStitch(counts, "__v", Seq("__cnt", "__one")).select(
       col("__v"),
-      (col("__cum") + col("__oc") - col("__cnt")).as("__before"),
+      col("__cnt_before").as("__before"),
       col("__cnt"),
-      (col("__didx") + col("__od")).as("__dense"))
+      (col("__one_before") + lit(1L)).as("__dense"))
   }
 
   /** scipy.stats.rankdata: per-row ranks with tie methods average / min /

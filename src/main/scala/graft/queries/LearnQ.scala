@@ -962,6 +962,29 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- Mann–Whitney U rank-sum, A vs R quantities: the gate is the
+    //     EXACT integer 2·U1 = Σ n1v·rank2 − n1(n1+1) over pooled
+    //     doubled average ranks (DuckDB HUGEINT internals, BIGINT out)
+    Q("learn_mannwhitney",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n1v,
+        |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n2v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |b AS (SELECT v, n1v, n2v, n1v + n2v AS cnt,
+        |    SUM(n1v + n2v) OVER (ORDER BY v) AS cum FROM v),
+        |m AS (SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+        |             CAST(SUM(n2v) AS BIGINT) AS n2,
+        |             SUM(n1v * (2 * (cum - cnt) + cnt + 1)) AS r1x2 FROM b)
+        |SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2
+        |FROM m ORDER BY n1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val a = li.where($"l_returnflag" === "A").select($"l_quantity".cast("long").as("q"))
+      val r = li.where($"l_returnflag" === "R").select($"l_quantity".cast("long").as("q"))
+      StatTests.mannWhitneyU(a, "q", r, "q")
+        .select($"n1", $"n2", $"u2").orderBy($"n1")
+    },
+
     // --- rankdata average ties, doubled (rank2 = 2·rank, always
     //     integral): tie block at ordinals [b+1, b+c] has average rank
     //     b + (c+1)/2 → rank2 = 2b + c + 1 = 2·rank() + cnt − 1

@@ -182,6 +182,38 @@ class StatTestsSpec extends SparkSpecBase {
       0.8207826816681233, 1e-12))
   }
 
+  test("mannwhitneyu: hand-checked U, U-symmetry, and tie correction") {
+    // x=[1,2,4], y=[3,5,6]: pooled ranks 1..6; R1 = 1+2+4 = 7,
+    // U1 = 7 − 3·4/2 = 1 → u2 = 2
+    val x = Seq(1L, 2L, 4L).toDF("v")
+    val y = Seq(3L, 5L, 6L).toDF("v")
+    val r = StatTests.mannWhitneyU(x, "v", y, "v").head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("u2") == 2L)
+    assert(approx(r.getAs[Double]("statistic"), 1.0, 1e-15))
+    // U1(x,y) + U1(y,x) = n1·n2
+    val rSwap = StatTests.mannWhitneyU(y, "v", x, "v").head()
+    assert(r.getAs[Long]("u2") + rSwap.getAs[Long]("u2") == 2L * 9L)
+    val p = r.getAs[Double]("pvalue")
+    // asymptotic two-sided with continuity: z = (1 − 4.5 + 0.5)/√5.25
+    val zExp = (1.0 - 4.5 + 0.5) / math.sqrt(5.25)
+    assert(p > 0.0 && p < 1.0)
+    assert(math.abs(p - erfcRef(math.abs(zExp) / math.sqrt(2.0))) < 1.5e-7)
+    // ties across the samples use average pooled ranks
+    val xt = Seq(1L, 2L, 2L).toDF("v")
+    val yt = Seq(2L, 3L, 3L).toDF("v")
+    // pooled [1,2,2,2,3,3]: ranks 1, 3, 3, 3, 5.5, 5.5 → R1 = 7, U1 = 1
+    val rt = StatTests.mannWhitneyU(xt, "v", yt, "v").head()
+    assert(rt.getAs[Long]("u2") == 2L)
+  }
+
+  private def erfcRef(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val poly = t * (0.254829592 + t * (-0.284496736 +
+      t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    poly * math.exp(-x * x)
+  }
+
   test("rankdata: all five scipy tie methods on [1,2,2,3]") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
     def ranksOf(method: String, rankCol: String): Map[Long, Long] =
