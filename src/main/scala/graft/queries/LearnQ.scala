@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QHelpers._
-import graft.learn.{Learn, StatTests}
+import graft.learn.{Distance, Learn, StatTests}
 
 /** Learn-module queries (SURVEY §2.15 / M10): model selection, regression,
   * clustering, decomposition, preprocessing, pairwise metrics. Oracles are
@@ -1024,6 +1024,106 @@ object LearnQ {
       StatTests.rankdata(sub, "q", "dense")
         .select($"ok", $"ln", $"pk", $"q", $"rank")
         .orderBy($"ok", $"ln", $"pk", $"q")
+    },
+
+    // --- scipy.spatial.distance cdist, full metric family (reference
+    //     mars/tensor/spatial/distance/cdist.py:211). Every metric is the
+    //     same left-fold shape on both sides (zip_with/aggregate vs
+    //     list_transform/list_sum), double math throughout. round 6 for
+    //     the pure +/*/abs/sqrt folds (deterministic IEEE, identical
+    //     shape); round 4 for minkowski (libm pow); cosine/correlation
+    //     get the +0.0 guard (1 − sim can round to −0.0); hamming is an
+    //     exact BIGINT count
+    Q("learn_cdist_metrics",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |           WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |      WHERE vec_id >= 100 AND vec_id < 115),
+        |m AS (
+        |  SELECT qid, cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |         * (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS sq,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> abs(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS l1,
+        |    list_max(list_transform(range(1, 65),
+        |      i -> abs(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS linf,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS na,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS nc,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN abs(CAST(qv[i] AS DOUBLE)) + abs(CAST(cv[i] AS DOUBLE)) = 0
+        |                THEN 0.0
+        |                ELSE abs(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |                   / (abs(CAST(qv[i] AS DOUBLE)) + abs(CAST(cv[i] AS DOUBLE)))
+        |           END)) AS canb,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> abs(CAST(qv[i] AS DOUBLE) + CAST(cv[i] AS DOUBLE)))) AS sabs,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN CAST(qv[i] AS DOUBLE) <> CAST(cv[i] AS DOUBLE)
+        |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamm,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> power(abs(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)), 3.0))) AS mk3
+        |  FROM q, c)
+        |SELECT qid, cid,
+        |  round(sqrt(sq), 6) AS euclid,
+        |  round(sq, 6) AS sqeuclid,
+        |  round(l1, 6) AS cityblock,
+        |  round(linf, 6) AS chebyshev,
+        |  round(1.0 - dot / (sqrt(na) * sqrt(nc)), 6) + CAST(0.0 AS DOUBLE) AS cosine_d,
+        |  round(canb, 6) AS canberra,
+        |  round(l1 / sabs, 6) AS braycurtis,
+        |  hamm AS hamming_diff,
+        |  round(power(mk3, 1.0/3.0), 4) AS minkowski3
+        |FROM m ORDER BY qid, cid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val qs = e.filter($"vec_id" < 4)
+        .select($"vec_id".as("aid"), $"embedding".as("avec"))
+      val cs = e.filter($"vec_id" >= 100 && $"vec_id" < 115)
+        .select($"vec_id".as("bid"), $"embedding".as("bvec"))
+      def m(name: String) = Distance.metricExpr(name)($"avec", $"bvec")
+      Distance.cdist(qs, cs).select(
+        $"aid".as("qid"), $"bid".as("cid"),
+        round(m("euclidean"), 6).as("euclid"),
+        round(m("sqeuclidean"), 6).as("sqeuclid"),
+        round(m("cityblock"), 6).as("cityblock"),
+        round(m("chebyshev"), 6).as("chebyshev"),
+        (round(m("cosine"), 6) + lit(0.0)).as("cosine_d"),
+        round(m("canberra"), 6).as("canberra"),
+        round(m("braycurtis"), 6).as("braycurtis"),
+        Distance.hammingDiffCount($"avec", $"bvec").as("hamming_diff"),
+        round(Distance.metricExpr("minkowski", 3.0)($"avec", $"bvec"), 4)
+          .as("minkowski3"))
+        .orderBy($"qid", $"cid")
+    },
+
+    // --- pdist (condensed upper triangle) expanded back through
+    //     squareform: both triangles + explicit zero diagonal (reference
+    //     pdist.py / squareform.py). 10 vectors → 45 condensed pairs →
+    //     100 square entries; integer ids + one round-6 euclidean
+    Q("learn_pdist_squareform",
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS dist
+        |  FROM x a JOIN x b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, dist FROM p
+        |UNION ALL SELECT id_b AS id_a, id_a AS id_b, dist FROM p
+        |UNION ALL SELECT vec_id AS id_a, vec_id AS id_b, CAST(0.0 AS DOUBLE) AS dist FROM x
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val x = t(spark, dir, "embeddings").filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding")
+      val condensed = Distance.pdist(x, "vec_id", "embedding")
+        .select($"id_a", $"id_b", round($"dist", 6).as("dist"))
+      Distance.squareform(condensed).orderBy($"id_a", $"id_b")
     }
   )
 }
