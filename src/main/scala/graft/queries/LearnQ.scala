@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QHelpers._
-import graft.learn.{Distance, Learn, StatTests}
+import graft.learn.{Distance, LabelProp, Learn, StatTests}
 
 /** Learn-module queries (SURVEY §2.15 / M10): model selection, regression,
   * clustering, decomposition, preprocessing, pairwise metrics. Oracles are
@@ -1124,6 +1124,69 @@ object LearnQ {
       val condensed = Distance.pdist(x, "vec_id", "embedding")
         .select($"id_a", $"id_b", round($"dist", 6).as("dist"))
       Distance.squareform(condensed).orderBy($"id_a", $"id_b")
+    },
+
+    // --- semi_supervised LabelPropagation (reference
+    //     _label_propagation.py:31): kNN connectivity kernel (k=4) over 40
+    //     embeddings, 12 labeled into 3 classes, 5 hard-clamped propagation
+    //     rounds, tol=0 (no early exit → plan-deterministic). Every
+    //     per-node sum on BOTH sides is a fold in key order (Spark
+    //     sort-then-aggregate vs DuckDB list_sum(list(x ORDER BY k))), so
+    //     the distribution is bit-identical and the argmax selection keys
+    //     can't diverge; `pred` ties break on the smaller class both sides.
+    Q("learn_label_prop", {
+      val iters = (1 to 5).map { t =>
+        s"""p$t AS (SELECT g.src AS id, d.cls,
+           |  list_sum(list(g.w * d.p ORDER BY g.dst)) AS p
+           |  FROM g JOIN d${t - 1} d ON g.dst = d.id GROUP BY g.src, d.cls),
+           |r$t AS (SELECT id, list_sum(list(p ORDER BY cls)) AS rs
+           |  FROM p$t GROUP BY id),
+           |n$t AS (SELECT p.id, p.cls,
+           |  CASE WHEN r.rs = 0 THEN 0.0 ELSE p.p / r.rs END AS p
+           |  FROM p$t p JOIN r$t r ON p.id = r.id),
+           |d$t AS (SELECT * FROM ys
+           |  UNION ALL
+           |  SELECT n.id, n.cls, n.p FROM n$t n JOIN ul ON n.id = ul.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+         |lab AS (SELECT vec_id AS id,
+         |  CASE WHEN vec_id < 12 THEN CAST(vec_id % 3 AS BIGINT)
+         |       ELSE CAST(-1 AS BIGINT) END AS label FROM x),
+         |pd AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         |         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS d2
+         |  FROM x a JOIN x b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS r FROM pd),
+         |ge AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM rk WHERE r <= 4),
+         |gs AS (SELECT src, list_sum(list(w ORDER BY dst)) AS ws FROM ge GROUP BY src),
+         |g AS (SELECT ge.src, ge.dst, ge.w / gs.ws AS w
+         |      FROM ge JOIN gs ON ge.src = gs.src),
+         |ys AS (SELECT id, label AS cls, CAST(1.0 AS DOUBLE) AS p
+         |       FROM lab WHERE label >= 0),
+         |ul AS (SELECT id FROM lab WHERE label = -1),
+         |d0 AS (SELECT * FROM ys),
+         |$iters,
+         |tr AS (SELECT id, cls,
+         |  row_number() OVER (PARTITION BY id ORDER BY p DESC, cls) AS r FROM d5)
+         |SELECT a.id, a.cls, round(a.p, 6) AS p, b.cls AS pred
+         |FROM d5 a JOIN (SELECT id, cls FROM tr WHERE r = 1) b ON a.id = b.id
+         |ORDER BY a.id, a.cls""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val x = t(spark, dir, "embeddings").filter($"vec_id" < 40)
+        .select($"vec_id", $"embedding")
+      val labels = x.select($"vec_id".as("id"),
+        when($"vec_id" < 12, ($"vec_id" % 3).cast("long"))
+          .otherwise(lit(-1L)).as("label"))
+      val edges = LabelProp.knnGraphEuclidean(x, "vec_id", "embedding", k = 4)
+      val dist = LabelProp.fitEdges(edges, labels, maxIter = 5, tol = 0.0)
+      val pred = LabelProp.transduction(dist, labels)
+      dist.join(pred, "id")
+        .select($"id", $"cls", round($"p", 6).as("p"), $"pred")
+        .orderBy($"id", $"cls")
     }
   )
 }
