@@ -90,4 +90,65 @@ object Distributions {
       .mkString(" ")
     s"(CASE $cases ELSE ${pvals.size - 1} END)"
   }
+
+  // ------------------------------------------------------- normal quantile
+  // Acklam's rational approximation to Φ⁻¹ (P. J. Acklam, 2003; |rel err|
+  // < 1.15e-9). This gives the random module a PORTABLE normal draw —
+  // Spark's randn() is engine-specific, but normalInv(uniform01(key))
+  // replays bit-identically in any engine that evaluates the same Horner
+  // chain, which is what makes normal-based generators (make_blobs,
+  // make_regression) oracle-able at all. Column and SQL forms are built
+  // from the SAME coefficient lists by the same Horner fold, so the
+  // expression shapes cannot drift apart.
+  private val acklamA = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02, -3.066479806614716e+01,
+    2.506628277459239e+00)
+  private val acklamB = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+  private val acklamC = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00, 4.374664141464968e+00,
+    2.938163982698783e+00)
+  private val acklamD = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00)
+  private val acklamPLow = 0.02425
+  private val acklamPHigh = 0.97575
+
+  private def horner(coefs: Seq[Double], x: Column): Column =
+    coefs.tail.foldLeft(lit(coefs.head): Column)((acc, c) => acc * x + lit(c))
+
+  private def sqlHorner(coefs: Seq[Double], x: String): String =
+    coefs.tail.foldLeft(s"CAST('${coefs.head}' AS DOUBLE)")((acc, c) =>
+      s"(($acc) * ($x) + CAST('$c' AS DOUBLE))")
+
+  /** Standard-normal quantile Φ⁻¹(u) (mt.random.randn / normal via inverse
+    * CDF; numpy draws box-muller, but the DISTRIBUTION is identical and
+    * this form is deterministic and portable). */
+  def normalInv(u: Column): Column = {
+    val qc = u - lit(0.5)
+    val rc = qc * qc
+    val central = horner(acklamA, rc) * qc / (horner(acklamB, rc) * rc + lit(1.0))
+    val ql = sqrt(lit(-2.0) * log(u))
+    val lower = horner(acklamC, ql) / (horner(acklamD, ql) * ql + lit(1.0))
+    val qh = sqrt(lit(-2.0) * log(lit(1.0) - u))
+    val upper = -(horner(acklamC, qh) / (horner(acklamD, qh) * qh + lit(1.0)))
+    // branch thresholds as parsed literals on BOTH sides (never computed:
+    // 1.0 - 0.02425 can differ from parse("0.97575") by an ulp, and a draw
+    // landing between would take different branches in the two engines)
+    when(u < lit(acklamPLow), lower)
+      .when(u > lit(acklamPHigh), upper)
+      .otherwise(central)
+  }
+
+  /** SQL mirror of [[normalInv]] — same branches, same Horner chains. */
+  def sqlNormalInv(u: String): String = {
+    val central = s"(${sqlHorner(acklamA, s"(($u) - 0.5) * (($u) - 0.5)")}" +
+      s" * (($u) - 0.5) / (${sqlHorner(acklamB, s"(($u) - 0.5) * (($u) - 0.5)")}" +
+      s" * ((($u) - 0.5) * (($u) - 0.5)) + 1.0))"
+    val ql = s"sqrt(-2.0 * ln($u))"
+    val lower = s"(${sqlHorner(acklamC, ql)} / (${sqlHorner(acklamD, ql)} * ($ql) + 1.0))"
+    val qh = s"sqrt(-2.0 * ln(1.0 - ($u)))"
+    val upper = s"(-(${sqlHorner(acklamC, qh)} / (${sqlHorner(acklamD, qh)} * ($qh) + 1.0)))"
+    s"(CASE WHEN ($u) < CAST('$acklamPLow' AS DOUBLE) THEN $lower " +
+      s"WHEN ($u) > CAST('$acklamPHigh' AS DOUBLE) THEN $upper ELSE $central END)"
+  }
 }

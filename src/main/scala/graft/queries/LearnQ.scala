@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QHelpers._
-import graft.learn.{Distance, LabelProp, Learn, StatTests}
+import graft.learn.{Datasets, Distance, LabelProp, Learn, StatTests}
 
 /** Learn-module queries (SURVEY §2.15 / M10): model selection, regression,
   * clustering, decomposition, preprocessing, pairwise metrics. Oracles are
@@ -1187,6 +1187,105 @@ object LearnQ {
       dist.join(pred, "id")
         .select($"id", $"cls", round($"p", 6).as("p"), $"pred")
         .orderBy($"id", $"cls")
+    },
+
+    // --- learn.datasets make_blobs (reference samples_generator.py:402):
+    //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
+    //     just its moments — replays exactly in any engine. round 6 + 0.0
+    //     (coordinates can round to −0.0 near a center line)
+    Q("learn_make_blobs", {
+      import graft.functions.{Distributions => D, PortableHash => H}
+      val centers = Seq(Seq(-4.0, 2.0), Seq(0.0, -3.0), Seq(5.0, 4.0))
+      def ctr(j: Int) = centers.zipWithIndex.map { case (c, i) =>
+        s"WHEN label = $i THEN CAST('${c(j)}' AS DOUBLE)" }.mkString(" ")
+      s"""WITH s AS (
+         |  SELECT i AS id, ${H.sqlBucket("i", 3)} AS label,
+         |    ${H.sqlUniform01("(i * 2 + 0 + 11)")} AS u0,
+         |    ${H.sqlUniform01("(i * 2 + 1 + 11)")} AS u1
+         |  FROM (SELECT unnest(range(0, 300)) AS i) t)
+         |SELECT id, CAST(label AS BIGINT) AS label,
+         |  round((CASE ${ctr(0)} END) + 1.2 * ${D.sqlNormalInv("u0")}, 6)
+         |    + CAST(0.0 AS DOUBLE) AS f0,
+         |  round((CASE ${ctr(1)} END) + 1.2 * ${D.sqlNormalInv("u1")}, 6)
+         |    + CAST(0.0 AS DOUBLE) AS f1
+         |FROM s ORDER BY id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      Datasets.makeBlobs(spark, 300,
+          Seq(Seq(-4.0, 2.0), Seq(0.0, -3.0), Seq(5.0, 4.0)),
+          clusterStd = 1.2, seed = 11L)
+        .select($"id", $"label",
+          (round($"f0", 6) + lit(0.0)).as("f0"),
+          (round($"f1", 6) + lit(0.0)).as("f1"))
+        .orderBy($"id")
+    },
+
+    // --- learn.datasets make_regression (samples_generator.py:268): the
+    //     linear response folds coefficients in column order on both sides
+    Q("learn_make_regression", {
+      import graft.functions.{Distributions => D, PortableHash => H}
+      def u(slot: Int) = H.sqlUniform01(s"(i * 4 + $slot + 5)")
+      s"""WITH s AS (
+         |  SELECT i AS id,
+         |    ${D.sqlNormalInv(u(0))} AS f0, ${D.sqlNormalInv(u(1))} AS f1,
+         |    ${D.sqlNormalInv(u(2))} AS f2, ${D.sqlNormalInv(u(3))} AS noise
+         |  FROM (SELECT unnest(range(0, 300)) AS i) t)
+         |SELECT id,
+         |  round(f0, 6) + CAST(0.0 AS DOUBLE) AS f0,
+         |  round(f1, 6) + CAST(0.0 AS DOUBLE) AS f1,
+         |  round(f2, 6) + CAST(0.0 AS DOUBLE) AS f2,
+         |  round(CAST('0.75' AS DOUBLE) + CAST('2.5' AS DOUBLE) * f0
+         |        + CAST('-1.5' AS DOUBLE) * f1 + CAST('0.5' AS DOUBLE) * f2
+         |        + CAST('0.1' AS DOUBLE) * noise, 6)
+         |    + CAST(0.0 AS DOUBLE) AS y
+         |FROM s ORDER BY id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      Datasets.makeRegression(spark, 300, Seq(2.5, -1.5, 0.5),
+          bias = 0.75, noiseStd = 0.1, seed = 5L)
+        .select($"id",
+          (round($"f0", 6) + lit(0.0)).as("f0"),
+          (round($"f1", 6) + lit(0.0)).as("f1"),
+          (round($"f2", 6) + lit(0.0)).as("f2"),
+          (round($"y", 6) + lit(0.0)).as("y"))
+        .orderBy($"id")
+    },
+
+    // --- learn.datasets make_classification (samples_generator.py:31,
+    //     the n_clusters_per_class=1 reduction): hypercube-corner blobs +
+    //     portable label flips; the oracle regenerates the corner table
+    //     from the same bit formula
+    Q("learn_make_classification", {
+      import graft.functions.{Distributions => D, PortableHash => H}
+      val k = 4; val d = 3; val sep = 2.0; val seed = 3L
+      val centers = (0 until k).map { c =>
+        (0 until d).map(j => if (((c >> (j % 31)) & 1) == 1) sep else -sep) }
+      def ctr(j: Int) = centers.zipWithIndex.map { case (c, i) =>
+        s"WHEN label0 = $i THEN CAST('${c(j)}' AS DOUBLE)" }.mkString(" ")
+      def u(slot: Int) = H.sqlUniform01(s"(i * $d + $slot + $seed)")
+      s"""WITH s AS (
+         |  SELECT i AS id, ${H.sqlBucket("i", k)} AS label0,
+         |    ${D.sqlNormalInv(u(0))} AS z0, ${D.sqlNormalInv(u(1))} AS z1,
+         |    ${D.sqlNormalInv(u(2))} AS z2,
+         |    ${H.sqlUniform01(s"(i + ${seed + 7919L})")} AS uf,
+         |    ${H.sqlBucket(s"(i + ${seed + 104729L})", k)} AS lflip
+         |  FROM (SELECT unnest(range(0, 400)) AS i) t)
+         |SELECT id,
+         |  CAST(CASE WHEN uf < CAST('0.1' AS DOUBLE) THEN lflip ELSE label0 END
+         |       AS BIGINT) AS label,
+         |  round((CASE ${ctr(0)} END) + z0, 6) + CAST(0.0 AS DOUBLE) AS f0,
+         |  round((CASE ${ctr(1)} END) + z1, 6) + CAST(0.0 AS DOUBLE) AS f1,
+         |  round((CASE ${ctr(2)} END) + z2, 6) + CAST(0.0 AS DOUBLE) AS f2
+         |FROM s ORDER BY id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      Datasets.makeClassification(spark, 400, d = 3, nClasses = 4,
+          classSep = 2.0, flipY = 0.1, seed = 3L)
+        .select($"id", $"label",
+          (round($"f0", 6) + lit(0.0)).as("f0"),
+          (round($"f1", 6) + lit(0.0)).as("f1"),
+          (round($"f2", 6) + lit(0.0)).as("f2"))
+        .orderBy($"id")
     }
   )
 }
