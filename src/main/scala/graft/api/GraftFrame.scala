@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.functions.aggregates
@@ -1095,6 +1096,24 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(joined.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Peak-to-peak (max − min) per column (reference
+    * mars/tensor/statistics/ptp.py:23 / pandas Series.ptp). One
+    * partial+final aggregate. */
+  def ptp(cols: Seq[String]): GraftFrame = {
+    val aggs = cols.map(c => (max(df(c)) - min(df(c))).as(s"${c}_ptp"))
+    GraftFrame(df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Weighted average Σw·x / Σw (reference
+    * mars/tensor/statistics/average.py:24, numpy average(weights=)). A
+    * single partial+final aggregate; with decimal/integer inputs the two
+    * sums are exact, so the result is partitioning-invariant up to the one
+    * final division. */
+  def averageWeighted(valueCol: String, weightCol: String, out: String): GraftFrame =
+    GraftFrame(df.agg(
+      (sum(df(valueCol) * df(weightCol)).cast("double") /
+        sum(df(weightCol)).cast("double")).as(out)))
+
   /** nunique across columns (reference reduction/nunique.py:118). */
   def nunique(cols: Seq[String]): GraftFrame =
     GraftFrame(df.agg(
@@ -1695,6 +1714,17 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
       .groupBy(keys.map(col): _*)
       .agg(avg(abs(col(valueCol) - col("__m"))).as(out)))
   }
+
+  /** Grouped peak-to-peak (reference ptp.py:23 with axis/groupby). */
+  def ptp(valueCol: String, out: String): GraftFrame =
+    GraftFrame(df.groupBy(keys.map(df(_)): _*)
+      .agg((functions.max(df(valueCol)) - functions.min(df(valueCol))).as(out)))
+
+  /** Grouped weighted average Σw·x / Σw (reference average.py:24). */
+  def averageWeighted(valueCol: String, weightCol: String, out: String): GraftFrame =
+    GraftFrame(df.groupBy(keys.map(df(_)): _*)
+      .agg((functions.sum(df(valueCol) * df(weightCol)).cast("double") /
+        functions.sum(df(weightCol)).cast("double")).as(out)))
 
   /** Two-phase salted aggregation for skewed group keys: partial aggregate
     * on (key, salt) splits a hot key over `saltFactor` tasks, then the

@@ -660,6 +660,38 @@ object OpsExtra {
         .df
     },
 
+    // --- §2.5/§2.13 ptp (max − min, tensor statistics/ptp.py:23) +
+    //     weighted average (average.py:24): grouped rows plus an 'ALL'
+    //     union row for the frame-level forms. Sums stay exact DECIMAL
+    //     until ONE final double division/cast per group
+    Q("op_ptp_wavg",
+      """SELECT l_returnflag AS grp,
+        |  CAST(max(l_quantity) - min(l_quantity) AS DOUBLE) AS qty_ptp,
+        |  round(CAST(SUM(l_extendedprice * l_quantity) AS DOUBLE)
+        |        / CAST(SUM(l_quantity) AS DOUBLE), 6) AS price_wavg
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL' AS grp,
+        |  CAST(max(l_quantity) - min(l_quantity) AS DOUBLE) AS qty_ptp,
+        |  round(CAST(SUM(l_extendedprice * l_quantity) AS DOUBLE)
+        |        / CAST(SUM(l_quantity) AS DOUBLE), 6) AS price_wavg
+        |FROM lineitem
+        |ORDER BY grp""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = gt(spark, dir, "lineitem")
+      val grouped = li.groupby("l_returnflag").ptp("l_quantity", "qty_ptp").df
+        .join(li.groupby("l_returnflag")
+          .averageWeighted("l_extendedprice", "l_quantity", "price_wavg").df,
+          "l_returnflag")
+        .select($"l_returnflag".as("grp"), $"qty_ptp".cast("double"),
+          round($"price_wavg", 6).as("price_wavg"))
+      val global = li.ptp(Seq("l_quantity")).df
+        .crossJoin(li.averageWeighted("l_extendedprice", "l_quantity", "price_wavg").df)
+        .select(lit("ALL").as("grp"), $"l_quantity_ptp".cast("double").as("qty_ptp"),
+          round($"price_wavg", 6).as("price_wavg"))
+      grouped.unionByName(global).orderBy($"grp")
+    },
+
     // --- §2.13 value_counts(normalize=true): proportion via a 1-row
     //     broadcast total (exact long division → identical doubles)
     Q("op_value_counts_norm",

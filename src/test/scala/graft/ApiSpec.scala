@@ -430,6 +430,21 @@ class ApiSpec extends SparkSpecBase {
     assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
   }
 
+  test("ptp and weighted average, frame-level and grouped") {
+    val f = GraftFrame(Seq((1L, 2.0, 1.0), (1L, 6.0, 3.0), (2L, 10.0, 2.0))
+      .toDF("k", "v", "w"))
+    assert(f.ptp(Seq("v")).df.head().getDouble(0) == 8.0)
+    // (2·1 + 6·3 + 10·2) / 6
+    assert(math.abs(f.averageWeighted("v", "w", "wa").df.head().getDouble(0)
+      - 40.0 / 6.0) < 1e-12)
+    val grouped = f.groupby("k").averageWeighted("v", "w", "wa")
+      .sortValues(Seq("k")).df.collect()
+    assert(grouped(0).getDouble(1) == 5.0) // (2·1 + 6·3) / 4
+    assert(grouped(1).getDouble(1) == 10.0) // 10·2 / 2
+    assert(f.groupby("k").ptp("v", "p").sortValues(Seq("k")).df
+      .collect().map(_.getDouble(1)).toSeq == Seq(4.0, 0.0))
+  }
+
   test("groupby agg registry covers product/all/any/sem") {
     val f = GraftFrame(Seq((1L, 2.0, true), (1L, 3.0, false), (2L, 4.0, true))
       .toDF("k", "v", "b"))
