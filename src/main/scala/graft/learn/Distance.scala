@@ -92,6 +92,22 @@ object Distance {
     xa.crossJoin(broadcast(xb))
       .withColumn("dist", metricExpr(metric, p)(col("avec"), col("bvec")))
 
+  /** pairwise_distances_topk (reference
+    * mars/learn/metrics/pairwise/pairwise_distances_topk.py:479): the k
+    * NEAREST b-rows per a-row under any cdist metric. Same broadcast
+    * shape as cdist plus one rank window partitioned by aid; ranking keys
+    * are the deterministic folds, ties break on bid — so the selection is
+    * engine-reproducible (the property that makes it oracle-able). */
+  def cdistTopK(xa: DataFrame, xb: DataFrame, k: Int,
+      metric: String = "euclidean", p: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("aid")).orderBy(col("dist"), col("bid"))
+    cdist(xa, xb, metric, p)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("aid"), col("bid"), col("dist"), col("rank"))
+  }
+
   /** scipy.spatial.distance.pdist: condensed upper-triangle self-distances
     * (`id_a` < `id_b`). All-pairs by contract → hard maxRows guard, same
     * policy as silhouetteByCluster. */

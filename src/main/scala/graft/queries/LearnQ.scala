@@ -1101,6 +1101,38 @@ object LearnQ {
         .orderBy($"qid", $"cid")
     },
 
+    // --- pairwise_distances_topk (pairwise_distances_topk.py:479): k=3
+    //     nearest under cityblock — a metric with NO libm in it, so the
+    //     ranking keys are bit-identical by construction and the
+    //     selection cannot diverge
+    Q("learn_pairwise_topk",
+      """WITH q AS (SELECT vec_id AS aid, embedding AS qv FROM embeddings
+        |           WHERE vec_id < 6),
+        |c AS (SELECT vec_id AS bid, embedding AS cv FROM embeddings
+        |      WHERE vec_id >= 200 AND vec_id < 240),
+        |m AS (
+        |  SELECT aid, bid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> abs(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS dist
+        |  FROM q, c)
+        |SELECT aid, bid, round(dist, 6) AS dist, rank FROM (
+        |  SELECT aid, bid, dist,
+        |    CAST(row_number() OVER (PARTITION BY aid ORDER BY dist, bid)
+        |         AS BIGINT) AS rank
+        |  FROM m) r
+        |WHERE rank <= 3 ORDER BY aid, rank""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val qs = e.filter($"vec_id" < 6)
+        .select($"vec_id".as("aid"), $"embedding".as("avec"))
+      val cs = e.filter($"vec_id" >= 200 && $"vec_id" < 240)
+        .select($"vec_id".as("bid"), $"embedding".as("bvec"))
+      Distance.cdistTopK(qs, cs, k = 3, metric = "cityblock")
+        .select($"aid", $"bid", round($"dist", 6).as("dist"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"aid", $"rank")
+    },
+
     // --- pdist (condensed upper triangle) expanded back through
     //     squareform: both triangles + explicit zero diagonal (reference
     //     pdist.py / squareform.py). 10 vectors → 45 condensed pairs →

@@ -85,6 +85,16 @@ class DistanceSpec extends SparkSpecBase {
     assert(condensed.exceptAll(back).count() === 0)
   }
 
+  test("cdistTopK returns the k nearest in rank order per query row") {
+    val qs = Seq((0L, Array(0.0f, 0.0f))).toDF("aid", "avec")
+    val cs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(5.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f)), (4L, Array(9.0f, 0.0f))).toDF("bid", "bvec")
+    val got = Distance.cdistTopK(qs, cs, k = 2, metric = "euclidean")
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 1.0, 1), (3L, 2.0, 2)))
+  }
+
   test("pdist refuses to plan an unguarded cartesian") {
     val big = spark.range(100).select($"id", array(lit(1.0f)).as("vec"))
     val e = intercept[IllegalArgumentException] {
