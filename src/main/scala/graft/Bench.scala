@@ -96,8 +96,11 @@ object Bench {
     // parses the last line, humans and the judge read the detail above it.
     val detail =
       s"""{"detail":"reps","reps":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadAfter}"""
+    // loadavg rides on the PARSED (summary) line too — ~60 bytes, still
+    // well under 1 KB — so the driver artifact carries the contention
+    // context even if only the parsed JSON survives.
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","failed":$failed,"queries":$qs,"loadavg_start":$loadStart,"loadavg_end":$loadAfter,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       detail + "\n" + summary + "\n")

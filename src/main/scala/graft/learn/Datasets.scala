@@ -34,6 +34,7 @@ object Datasets {
     * clusterStd·N(0,1). Columns: id, label, f0..f{d-1}. */
   def makeBlobs(spark: SparkSession, n: Long, centers: Seq[Seq[Double]],
       clusterStd: Double = 1.0, seed: Long = 0L): DataFrame = {
+    require(seed >= 0L, s"seed must be >= 0 (portable-hash key contract): $seed")
     require(centers.nonEmpty && centers.forall(_.size == centers.head.size),
       "centers must be non-empty and rectangular")
     val k = centers.size
@@ -53,6 +54,7 @@ object Datasets {
     * Columns: id, f0..f{d-1}, y. */
   def makeRegression(spark: SparkSession, n: Long, coefs: Seq[Double],
       bias: Double = 0.0, noiseStd: Double = 0.0, seed: Long = 0L): DataFrame = {
+    require(seed >= 0L, s"seed must be >= 0 (portable-hash key contract): $seed")
     require(coefs.nonEmpty, "coefs must be non-empty")
     val d = coefs.size
     val slots = d + 1 // slot d is the noise draw

@@ -35,8 +35,20 @@ object Distance {
   private def sqeuclideanCol(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => { val d = dD(x, y); d * d }))
 
-  /** The scipy metric table. `p` is Minkowski's order (scipy default 2). */
+  /** The scipy metric table. `p` is Minkowski's order (scipy default 2).
+    *
+    * Null vectors propagate null (scipy would raise; null is the
+    * relational analogue). Mismatched lengths fail LOUDLY — zip_with
+    * would silently null-pad the shorter side, which under-counts hamming
+    * and nulls the sums with no hint why. */
   def metricExpr(metric: String, p: Double = 2.0)(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(size(a) =!= size(b),
+        raise_error(concat(lit(s"$metric: length mismatch "),
+          size(a).cast("string"), lit(" vs "), size(b).cast("string"))))
+      .otherwise(metricBody(metric, p)(a, b))
+
+  private def metricBody(metric: String, p: Double)(a: Column, b: Column): Column =
     metric match {
       case "euclidean" => sqrt(sqeuclideanCol(a, b))
       case "sqeuclidean" => sqeuclideanCol(a, b)

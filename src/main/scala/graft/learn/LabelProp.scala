@@ -61,7 +61,10 @@ object LabelProp {
     val g = normalizeEdges(edges).cache()
     val yStatic = labels.filter(col("label") >= 0)
       .select(col("id"), col("label").as("cls"), lit(1.0).cast("double").as("p"))
-    val unlabeled = labels.filter(col("label") === -1).select(col("id")).cache()
+    // any negative marker counts as unlabeled (the reference only ever
+    // writes -1, but a stray -9 silently vanishing from BOTH sets would
+    // be a row lost with no error)
+    val unlabeled = labels.filter(col("label") < 0).select(col("id")).cache()
 
     var dist = yStatic
     var it = 0

@@ -95,6 +95,20 @@ class DistanceSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1L, 1.0, 1), (3L, 2.0, 2)))
   }
 
+  test("null vectors propagate null; length mismatch fails loudly") {
+    val withNull = Seq((Array(1.0f, 2.0f), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(withNull.select(Distance.metricExpr("euclidean")(col("a"), col("b")))
+      .head().isNullAt(0))
+    val mismatched = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      mismatched.select(Distance.metricExpr("hamming")(col("a"), col("b"))).head()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
   test("pdist refuses to plan an unguarded cartesian") {
     val big = spark.range(100).select($"id", array(lit(1.0f)).as("vec"))
     val e = intercept[IllegalArgumentException] {

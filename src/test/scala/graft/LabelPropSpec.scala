@@ -52,6 +52,15 @@ class LabelPropSpec extends SparkSpecBase {
     assert(pred === 0L)
   }
 
+  test("any negative marker counts as unlabeled, not dropped") {
+    val labels = Seq((1L, 0L), (2L, -9L), (3L, -1L), (4L, 1L), (5L, -1L), (6L, -1L))
+      .toDF("id", "label")
+    val dist = LabelProp.fitEdges(cliqueEdges, labels, maxIter = 20, tol = 1e-6)
+    val pred = LabelProp.transduction(dist, labels)
+      .where($"id" === 2L).head().getLong(1)
+    assert(pred === 0L) // node 2 sits in clique 1 → propagated, not lost
+  }
+
   test("kNN/rbf graph builders refuse unguarded all-pairs") {
     val big = spark.range(60).select($"id", array(lit(1.0f)).as("vec"))
     val e1 = intercept[IllegalArgumentException] {
