@@ -146,4 +146,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       "resample grid must join on (key, day), not cross-join a calendar")
   }
+
+  test("cdist broadcasts the small side and never shuffles the stream side") {
+    val a = (0 until 100).map(i => (i.toLong, Array(i.toFloat, 1.0f))).toDF("aid", "avec")
+    val b = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 2.0f))).toDF("bid", "bvec")
+    val out = graft.learn.Distance.cdist(a, b, "cityblock")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(shuffles(out) == 0, plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+  }
+
+  test("dataset generators are shuffle-free range projections") {
+    val blobs = graft.learn.Datasets.makeBlobs(spark, 1000,
+      Seq(Seq(0.0, 0.0), Seq(4.0, 4.0)), seed = 1L)
+    val reg = graft.learn.Datasets.makeRegression(spark, 1000, Seq(1.0, 2.0), seed = 1L)
+    assert(shuffles(blobs) == 0, blobs.queryExecution.executedPlan.toString.take(500))
+    assert(shuffles(reg) == 0, reg.queryExecution.executedPlan.toString.take(500))
+    // and fully expression-based: no UDF nodes anywhere in the plan
+    assert(!blobs.queryExecution.executedPlan.toString.contains("BatchEvalPython"))
+  }
 }
