@@ -347,6 +347,34 @@ object Learn {
         (sum(col("pos")) * (sum(col("n")) - sum(col("pos"))))).as("auc"))
   }
 
+  /** roc_curve (reference mars/learn/metrics/_ranking.py:624): one
+    * (threshold, fpr, tpr) row per DISTINCT score, thresholds descending
+    * — a prediction counts positive when score >= threshold. Cumulative
+    * TP/FP run through the range-partitioned prefix stitch (never a
+    * data-wide single-task window), and fpr/tpr are exact long/long
+    * rationals — no float accumulation anywhere, so the curve is
+    * partitioning-invariant and oracle-able unrounded. sklearn's
+    * synthetic leading (0,0) point at threshold=inf and its
+    * drop_intermediate thinning are omitted: the curve here is the full
+    * distinct-score staircase. */
+  def rocCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val byScore = df
+      .select(col(labelCol).cast("long").as("y"), col(scoreCol).cast("double").as("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+      .withColumn("__negs", -col("s"))
+    val stitched = StatTests.prefixStitch(byScore, "__negs", Seq("pos", "neg"))
+    val totals = df.agg(
+      sum(col(labelCol).cast("long")).as("npos"),
+      (count(lit(1)) - sum(col(labelCol).cast("long"))).as("nneg"))
+    stitched.crossJoin(broadcast(totals))
+      .select(col("s").as("threshold"),
+        ((col("neg_before") + col("neg")).cast("double") /
+          col("nneg").cast("double")).as("fpr"),
+        ((col("pos_before") + col("pos")).cast("double") /
+          col("npos").cast("double")).as("tpr"))
+  }
+
   // ---------------------------------------------------------- preprocessing
   /** Column-wise standard scaling (x - mean) / stddev as pure expressions —
     * the reference's StandardScaler on tabular data

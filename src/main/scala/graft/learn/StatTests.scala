@@ -495,7 +495,7 @@ object StatTests {
   /** Range-partitioned global prefix sums over `orderCol` for each of
     * `sumCols` (emitted as `<col>_before` = sum strictly before the row's
     * value block) — the checkMonotonic stitch generalized. */
-  private def prefixStitch(df: DataFrame, orderCol: String,
+  private[learn] def prefixStitch(df: DataFrame, orderCol: String,
       sumCols: Seq[String]): DataFrame = {
     val ranged = df.repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())

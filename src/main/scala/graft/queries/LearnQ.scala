@@ -1221,6 +1221,34 @@ object LearnQ {
         .orderBy($"id", $"cls")
     },
 
+    // --- metrics roc_curve (reference _ranking.py:624): one row per
+    //     distinct score, cumulative TP/FP descending; fpr/tpr are exact
+    //     long/long rationals — unrounded on both sides (no float sums
+    //     anywhere: counts are integers, one division per cell)
+    Q("learn_roc_curve",
+      s"""WITH d AS (
+         |  SELECT CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS y,
+         |         ${graft.functions.PortableHash.sqlUniform01("c_custkey")} AS s
+         |  FROM customer WHERE c_custkey < 2000),
+         |g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+         |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+         |      FROM d GROUP BY s),
+         |t AS (SELECT CAST(SUM(y) AS BIGINT) AS npos,
+         |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nneg FROM d),
+         |c AS (SELECT s, SUM(pos) OVER (ORDER BY s DESC) AS tps,
+         |             SUM(neg) OVER (ORDER BY s DESC) AS fps FROM g)
+         |SELECT s AS threshold,
+         |  CAST(fps AS DOUBLE) / CAST(nneg AS DOUBLE) AS fpr,
+         |  CAST(tps AS DOUBLE) / CAST(npos AS DOUBLE) AS tpr
+         |FROM c, t ORDER BY threshold""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "customer").filter($"c_custkey" < 2000)
+        .select(when($"c_custkey" % 3 === 0, 1L).otherwise(0L).as("y"),
+          graft.functions.PortableHash.uniform01($"c_custkey").as("s"))
+      Learn.rocCurve(d, "y", "s")
+        .orderBy($"threshold")
+    },
+
     // --- learn.datasets make_blobs (reference samples_generator.py:402):
     //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
     //     just its moments — replays exactly in any engine. round 6 + 0.0

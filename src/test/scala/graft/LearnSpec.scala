@@ -216,6 +216,29 @@ class LearnSpec extends SparkSpecBase {
     assert(math.abs(exact - grouped) < 1e-12, s"$exact vs $grouped")
   }
 
+  test("rocCurve staircase: endpoints, monotonicity, trapezoid == AUC") {
+    val r = new Random(43)
+    val rows = (1 to 400).map { _ =>
+      val s = math.round(r.nextDouble() * 30) / 30.0 // ties exercised
+      (if (r.nextDouble() < s) 1L else 0L, s)
+    }
+    val df = rows.toDF("label", "score")
+    val curve = Learn.rocCurve(df, "label", "score")
+      .orderBy($"threshold".desc).collect()
+      .map(row => (row.getDouble(1), row.getDouble(2)))
+    // staircase ends at (1,1); fpr/tpr nondecreasing as threshold drops
+    assert(curve.last == ((1.0, 1.0)))
+    curve.sliding(2).foreach { case Array((f0, t0), (f1, t1)) =>
+      assert(f1 >= f0 && t1 >= t0)
+    }
+    // trapezoid area under the (0,0)-prefixed staircase == rank AUC
+    val pts = (0.0, 0.0) +: curve.toSeq
+    val area = pts.sliding(2).map { case Seq((f0, t0), (f1, t1)) =>
+      (f1 - f0) * (t0 + t1) / 2.0 }.sum
+    val auc = Learn.aucRocGrouped(df, "label", "score").as[Double].collect().head
+    assert(math.abs(area - auc) < 1e-12, s"$area vs $auc")
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
