@@ -375,6 +375,29 @@ object Learn {
           col("npos").cast("double")).as("tpr"))
   }
 
+  /** precision_recall_curve (reference _ranking.py, same staircase shape
+    * as [[rocCurve]]): per distinct threshold descending, precision =
+    * TP/(TP+FP) and recall = TP/npos — exact long/long rationals through
+    * the same prefix stitch. sklearn's final (1, 0) sentinel point is
+    * omitted like rocCurve's (0,0). */
+  def precisionRecallCurve(df: DataFrame, labelCol: String, scoreCol: String)
+      : DataFrame = {
+    val byScore = df
+      .select(col(labelCol).cast("long").as("y"), col(scoreCol).cast("double").as("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+      .withColumn("__negs", -col("s"))
+    val stitched = StatTests.prefixStitch(byScore, "__negs", Seq("pos", "neg"))
+    val totals = df.agg(sum(col(labelCol).cast("long")).as("npos"))
+    stitched.crossJoin(broadcast(totals))
+      .select(col("s").as("threshold"),
+        ((col("pos_before") + col("pos")).cast("double") /
+          (col("pos_before") + col("pos") + col("neg_before") + col("neg"))
+            .cast("double")).as("precision"),
+        ((col("pos_before") + col("pos")).cast("double") /
+          col("npos").cast("double")).as("recall"))
+  }
+
   // ---------------------------------------------------------- preprocessing
   /** Column-wise standard scaling (x - mean) / stddev as pure expressions —
     * the reference's StandardScaler on tabular data

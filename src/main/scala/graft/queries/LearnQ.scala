@@ -1249,6 +1249,31 @@ object LearnQ {
         .orderBy($"threshold")
     },
 
+    // --- metrics precision_recall_curve (_ranking.py): same staircase,
+    //     precision/recall as exact rationals, unrounded
+    Q("learn_pr_curve",
+      s"""WITH d AS (
+         |  SELECT CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS y,
+         |         ${graft.functions.PortableHash.sqlUniform01("c_custkey")} AS s
+         |  FROM customer WHERE c_custkey < 1500),
+         |g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+         |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+         |      FROM d GROUP BY s),
+         |t AS (SELECT CAST(SUM(y) AS BIGINT) AS npos FROM d),
+         |c AS (SELECT s, SUM(pos) OVER (ORDER BY s DESC) AS tps,
+         |             SUM(neg) OVER (ORDER BY s DESC) AS fps FROM g)
+         |SELECT s AS threshold,
+         |  CAST(tps AS DOUBLE) / CAST(tps + fps AS DOUBLE) AS precision,
+         |  CAST(tps AS DOUBLE) / CAST(npos AS DOUBLE) AS recall
+         |FROM c, t ORDER BY threshold""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "customer").filter($"c_custkey" < 1500)
+        .select(when($"c_custkey" % 4 === 0, 1L).otherwise(0L).as("y"),
+          graft.functions.PortableHash.uniform01($"c_custkey").as("s"))
+      Learn.precisionRecallCurve(d, "y", "s")
+        .orderBy($"threshold")
+    },
+
     // --- learn.datasets make_blobs (reference samples_generator.py:402):
     //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
     //     just its moments — replays exactly in any engine. round 6 + 0.0

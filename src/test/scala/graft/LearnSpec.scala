@@ -239,6 +239,20 @@ class LearnSpec extends SparkSpecBase {
     assert(math.abs(area - auc) < 1e-12, s"$area vs $auc")
   }
 
+  test("precisionRecallCurve matches the hand-computed staircase") {
+    // scores desc: 0.9(+), 0.8(-), 0.7(+), 0.4(-)
+    val df = Seq((1L, 0.9), (0L, 0.8), (1L, 0.7), (0L, 0.4))
+      .toDF("label", "score")
+    val got = Learn.precisionRecallCurve(df, "label", "score")
+      .orderBy($"threshold".desc).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (0.9, 1.0, 0.5), // TP=1 FP=0
+      (0.8, 0.5, 0.5), // TP=1 FP=1
+      (0.7, 2.0 / 3.0, 1.0), // TP=2 FP=1
+      (0.4, 0.5, 1.0))) // TP=2 FP=2
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
