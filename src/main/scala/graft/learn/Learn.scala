@@ -398,6 +398,36 @@ object Learn {
           col("npos").cast("double")).as("recall"))
   }
 
+  /** average_precision_score (sklearn's step-sum definition, the scorer
+    * behind the reference's ranking metrics): AP = Σ_k (R_k − R_{k−1})·P_k
+    * over the distinct-score staircase, thresholds descending. Each term
+    * is per-threshold arithmetic over exact BIGINT cumulative counts
+    * (ΔR_k = pos_k/npos, P_k = tp_k/(tp_k+fp_k)); the cross-threshold sum
+    * runs as an ordered fold in threshold order, so the scalar is
+    * bit-deterministic across partitionings and oracle-able unrounded
+    * (DuckDB `list_sum(list(term ORDER BY k))` replays the same left
+    * fold). Same prefix-stitch plan as [[precisionRecallCurve]] — no
+    * data-wide window. */
+  def averagePrecision(df: DataFrame, labelCol: String, scoreCol: String)
+      : DataFrame = {
+    val byScore = df
+      .select(col(labelCol).cast("long").as("y"), col(scoreCol).cast("double").as("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+      .withColumn("__negs", -col("s"))
+    val stitched = StatTests.prefixStitch(byScore, "__negs", Seq("pos", "neg"))
+    val totals = df.agg(sum(col(labelCol).cast("long")).as("npos"))
+    val terms = stitched.crossJoin(broadcast(totals))
+      .select(col("__negs").as("k"),
+        (col("pos").cast("double") / col("npos").cast("double") *
+          ((col("pos_before") + col("pos")).cast("double") /
+            (col("pos_before") + col("pos") + col("neg_before") + col("neg"))
+              .cast("double"))).as("term"))
+    terms.agg(
+      aggregate(array_sort(collect_list(struct(col("k"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("avg_precision"))
+  }
+
   // ---------------------------------------------------------- preprocessing
   /** Column-wise standard scaling (x - mean) / stddev as pure expressions —
     * the reference's StandardScaler on tabular data

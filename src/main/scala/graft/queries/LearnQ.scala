@@ -1274,6 +1274,36 @@ object LearnQ {
         .orderBy($"threshold")
     },
 
+    // --- metrics average_precision_score: step-sum over the PR staircase.
+    //     Every term is identical-shape double arithmetic over exact
+    //     BIGINT counts on both sides; the cross-threshold sum is an
+    //     ordered fold (threshold-descending = k ascending), so the scalar
+    //     compares bit-exact with NO rounding (ordered-fold convention,
+    //     see learn_label_prop).
+    Q("learn_avg_precision",
+      s"""WITH d AS (
+         |  SELECT CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS y,
+         |         ${graft.functions.PortableHash.sqlUniform01("c_custkey")} AS s
+         |  FROM customer WHERE c_custkey < 1500),
+         |g AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+         |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+         |      FROM d GROUP BY s),
+         |t AS (SELECT CAST(SUM(y) AS BIGINT) AS npos FROM d),
+         |c AS (SELECT s, pos, SUM(pos) OVER (ORDER BY s DESC) AS tps,
+         |             SUM(neg) OVER (ORDER BY s DESC) AS fps FROM g),
+         |terms AS (SELECT -s AS k,
+         |  CAST(pos AS DOUBLE) / CAST(npos AS DOUBLE) *
+         |    (CAST(tps AS DOUBLE) / CAST(tps + fps AS DOUBLE)) AS term
+         |  FROM c, t)
+         |SELECT list_sum(list(term ORDER BY k)) AS avg_precision
+         |FROM terms""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "customer").filter($"c_custkey" < 1500)
+        .select(when($"c_custkey" % 4 === 0, 1L).otherwise(0L).as("y"),
+          graft.functions.PortableHash.uniform01($"c_custkey").as("s"))
+      Learn.averagePrecision(d, "y", "s")
+    },
+
     // --- learn.datasets make_blobs (reference samples_generator.py:402):
     //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
     //     just its moments — replays exactly in any engine. round 6 + 0.0

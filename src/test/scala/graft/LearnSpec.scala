@@ -253,6 +253,16 @@ class LearnSpec extends SparkSpecBase {
       (0.4, 0.5, 1.0))) // TP=2 FP=2
   }
 
+  test("averagePrecision matches sklearn's step sum on a hand case") {
+    // y=[1,0,1,1] scores=[0.9,0.8,0.7,0.6]:
+    // AP = 1/3·1 + 0·1/2 + 1/3·2/3 + 1/3·3/4 = 29/36
+    val df = Seq((1L, 0.9), (0L, 0.8), (1L, 0.7), (1L, 0.6))
+      .toDF("label", "score")
+    val ap = Learn.averagePrecision(df, "label", "score")
+      .as[Double].collect().head
+    assert(math.abs(ap - 29.0 / 36.0) < 1e-12, s"ap=$ap")
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
