@@ -18,13 +18,23 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright;
-      // read the raw int64 nanos and surface a microsecond TimestampType
-      // (Spark's native precision). DuckDB sees the same integers via
-      // epoch_us(), so oracle comparisons stay exact.
+      // events.ts has shipped as TIMESTAMP(NANOS) in some fixture builds
+      // (which Spark rejects outright) and plain timestamp[us] in others, so
+      // normalize adaptively to Spark's native microsecond TimestampType:
+      //  - int64 nanos (read via nanosAsLong) -> DIV 1000 -> timestamp_micros
+      //  - TIMESTAMP_NTZ (us, isAdjustedToUTC=false) -> cast; the session
+      //    timezone is pinned to UTC, so the cast is epoch-preserving
+      // DuckDB sees the same integers via epoch_us(), so oracle comparisons
+      // stay exact in every case.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (`lineitem`, `orders`, ...) so
