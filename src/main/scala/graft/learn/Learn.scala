@@ -956,4 +956,163 @@ object Learn {
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))).otherwise(lit(0.0)))
   }
+
+  /** precision_recall_fscore_support (reference
+    * mars/learn/metrics/_classification.py:690): one row per class of the
+    * sorted label∪pred set with precision, recall, Fβ and support, sklearn
+    * zero_division=0 semantics (an absent denominator yields 0.0, not
+    * null). Same single partial/final confusion aggregate as
+    * [[classificationReport]]; β generalizes F1
+    * (Fβ = (1+β²)·p·r / (β²·p + r)). Precision/recall are exact long/long
+    * rationals, so the per-class rows are engine-deterministic. */
+  def prfSupport(df: DataFrame, labelCol: String, predCol: String,
+      beta: Double = 1.0): DataFrame = {
+    val b2 = beta * beta
+    val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val actual = cm.groupBy(col("label").as("cls")).agg(sum("n").as("support"))
+    val predicted = cm.groupBy(col("pred").as("cls")).agg(sum("n").as("n_pred"))
+    actual
+      .join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("__tp"),
+        coalesce(col("n_pred"), lit(0L)).as("__np"))
+      .select(col("cls"), col("support"),
+        when(col("__np") > 0,
+          col("__tp").cast("double") / col("__np").cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("support") > 0,
+          col("__tp").cast("double") / col("support").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+      .withColumn("fbeta",
+        when(lit(b2) * col("precision") + col("recall") > 0.0,
+          lit(1.0 + b2) * col("precision") * col("recall") /
+            (lit(b2) * col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
+  /** Averaged precision/recall/Fβ — sklearn's precision_score /
+    * recall_score / fbeta_score with average='macro'|'micro'|'weighted',
+    * all three in one frame (reference _classification.py:955–1341 are
+    * thin wrappers over the same averaging). Cross-class sums run as
+    * ordered folds in class order (`aggregate(array_sort(collect_list`)
+    * — bit-deterministic across partitionings, oracle-able unrounded per
+    * the ordered-fold convention; class cardinality is small by
+    * definition, so the collect is bounded. Micro terms are one exact
+    * global rational (single-label multiclass: micro-p = micro-r =
+    * micro-Fβ = accuracy). */
+  def prfAveraged(df: DataFrame, labelCol: String, predCol: String,
+      beta: Double = 1.0): DataFrame = {
+    val perClass = prfSupport(df, labelCol, predCol, beta)
+    def arr = array_sort(collect_list(struct(
+      col("cls"), col("precision"), col("recall"), col("fbeta"),
+      col("support"))))
+    def foldSum(term: Column => Column) =
+      aggregate(arr, lit(0.0), (acc, x) => acc + term(x))
+    val folded = perClass.agg(
+      count(lit(1)).cast("double").as("__k"),
+      sum(col("support")).cast("double").as("__tot"),
+      foldSum(_.getField("precision")).as("__sp"),
+      foldSum(_.getField("recall")).as("__sr"),
+      foldSum(_.getField("fbeta")).as("__sf"),
+      foldSum(x => x.getField("support").cast("double") *
+        x.getField("precision")).as("__wp"),
+      foldSum(x => x.getField("support").cast("double") *
+        x.getField("recall")).as("__wr"),
+      foldSum(x => x.getField("support").cast("double") *
+        x.getField("fbeta")).as("__wf"))
+    val macroR = folded.select(lit("macro").as("average"),
+      (col("__sp") / col("__k")).as("precision"),
+      (col("__sr") / col("__k")).as("recall"),
+      (col("__sf") / col("__k")).as("fbeta"))
+    val weightedR = folded.select(lit("weighted").as("average"),
+      (col("__wp") / col("__tot")).as("precision"),
+      (col("__wr") / col("__tot")).as("recall"),
+      (col("__wf") / col("__tot")).as("fbeta"))
+    val microR = df.agg(
+      (sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("__acc"))
+      .select(lit("micro").as("average"), col("__acc").as("precision"),
+        col("__acc").as("recall"), col("__acc").as("fbeta"))
+    macroR.unionByName(microR).unionByName(weightedR)
+  }
+
+  /** multilabel_confusion_matrix for single-label multiclass input
+    * (reference _classification.py:342): per class of the sorted
+    * label∪pred set, the one-vs-rest 2×2 matrix as (tn, fp, fn, tp) —
+    * fn = support − tp, fp = predicted − tp, tn = n − tp − fn − fp. One
+    * confusion aggregate plus a broadcast of the single global count;
+    * all outputs exact BIGINTs. */
+  def multilabelConfusion(df: DataFrame, labelCol: String, predCol: String)
+      : DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val actual = cm.groupBy(col("label").as("cls")).agg(sum("n").as("support"))
+    val predicted = cm.groupBy(col("pred").as("cls")).agg(sum("n").as("n_pred"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    actual
+      .join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("__tp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("__fn"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("__fp"),
+        col("__n"))
+      .select(col("cls"),
+        (col("__n") - col("__tp") - col("__fn") - col("__fp")).as("tn"),
+        col("__fp").as("fp"), col("__fn").as("fn"), col("__tp").as("tp"))
+  }
+
+  /** Trapezoidal integral ∫ y dx over points ordered by x — the
+    * reference's generic metrics.auc (mars/learn/metrics/_ranking.py:32)
+    * and numpy trapz. x values must be distinct (curve points): with
+    * ties the neighbor pairing is order-ambiguous, as in numpy.
+    *
+    * Scale shape: adjacency-local like checkMonotonic — range-partition
+    * on x, per-bucket lag pairs under a bucket-partitioned window (never
+    * a data-wide single-task sort), and the cross-bucket boundary pair
+    * comes from a lag over ≤#partitions bucket summaries broadcast back.
+    * The cross-row sum of trapezoid terms runs as an ordered fold in x
+    * order — bit-deterministic across partitionings, oracle-able
+    * unrounded. */
+  def trapz(df: DataFrame, xCol: String, yCol: String,
+      out: String = "auc"): DataFrame = {
+    val ranged = df
+      .select(col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .repartitionByRange(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__x"))
+    val withPrev = ranged
+      .withColumn("__px", lag(col("__x"), 1).over(w))
+      .withColumn("__py", lag(col("__y"), 1).over(w))
+    // bucket ranges are ordered by __pid (RangePartitioner contract): the
+    // previous bucket's last point supplies each bucket's boundary pair
+    val edges = withPrev.groupBy(col("__pid")).agg(
+      max_by(struct(col("__x"), col("__y")), col("__x")).as("__last"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+    val prevLast = edges
+      .withColumn("__plast", lag(col("__last"), 1).over(wb))
+      .select(col("__pid"), col("__plast"))
+    val terms = withPrev.join(broadcast(prevLast), Seq("__pid"), "left")
+      .withColumn("__px2",
+        coalesce(col("__px"), col("__plast").getField("__x")))
+      .withColumn("__py2",
+        coalesce(col("__py"), col("__plast").getField("__y")))
+      .filter(col("__px2").isNotNull)
+      .select(col("__x"),
+        ((col("__x") - col("__px2")) * (col("__y") + col("__py2")) /
+          lit(2.0)).as("__term"))
+    terms.agg(
+      aggregate(array_sort(collect_list(struct(col("__x"), col("__term")))),
+        lit(0.0), (acc, x) => acc + x.getField("__term")).as(out))
+  }
 }

@@ -1304,6 +1304,174 @@ object LearnQ {
       Learn.averagePrecision(d, "y", "s")
     },
 
+    // --- metrics precision_recall_fscore_support (_classification.py:690):
+    //     per-class P/R/Fβ/support, β=0.5, 3×3 confusion over lineitem.
+    //     precision/recall are exact long/long rationals (unrounded); fbeta
+    //     is identical-shape chained arithmetic over them → round 6 per
+    //     convention (β²=0.25 and 1+β²=1.25 are exact binary literals,
+    //     CAST to DOUBLE — DuckDB bare decimals are DECIMAL)
+    Q("learn_prf_support",
+      """WITH d AS (
+        |  SELECT CASE WHEN l_quantity <= 17 THEN 'a'
+        |              WHEN l_quantity <= 34 THEN 'b' ELSE 'c' END AS label,
+        |         CASE WHEN l_partkey % 50 <= 17 THEN 'a'
+        |              WHEN l_partkey % 50 <= 34 THEN 'b' ELSE 'c' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, COUNT(*) AS n FROM d GROUP BY label, pred),
+        |tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+        |act AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY label),
+        |prd AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY pred),
+        |pc AS (SELECT act.cls AS cls,
+        |         CAST(COALESCE(act.support, 0) AS BIGINT) AS support,
+        |         CASE WHEN COALESCE(prd.n_pred, 0) > 0
+        |              THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS precision,
+        |         CASE WHEN COALESCE(act.support, 0) > 0
+        |              THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(act.support AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS recall
+        |       FROM act
+        |       FULL OUTER JOIN prd ON act.cls = prd.cls
+        |       LEFT JOIN tp ON act.cls = tp.cls)
+        |SELECT cls, support, precision, recall,
+        |  round(CASE WHEN CAST(0.25 AS DOUBLE) * precision + recall > CAST(0.0 AS DOUBLE)
+        |             THEN CAST(1.25 AS DOUBLE) * precision * recall
+        |                  / (CAST(0.25 AS DOUBLE) * precision + recall)
+        |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS fbeta
+        |FROM pc ORDER BY cls""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "lineitem").select(
+        when($"l_quantity" <= 17, "a").when($"l_quantity" <= 34, "b")
+          .otherwise("c").as("label"),
+        when($"l_partkey" % 50 <= 17, "a").when($"l_partkey" % 50 <= 34, "b")
+          .otherwise("c").as("pred"))
+      Learn.prfSupport(d, "label", "pred", beta = 0.5)
+        .withColumn("fbeta", round($"fbeta", 6))
+        .orderBy($"cls")
+    },
+
+    // --- metrics precision/recall/fbeta_score with average= macro/micro/
+    //     weighted (_classification.py:955–1341): cross-class sums are
+    //     ordered folds in class order (bit-exact unrounded, ordered-fold
+    //     convention); micro is one exact global rational
+    Q("learn_prf_averaged",
+      """WITH d AS (
+        |  SELECT CASE WHEN l_quantity <= 17 THEN 'a'
+        |              WHEN l_quantity <= 34 THEN 'b' ELSE 'c' END AS label,
+        |         CASE WHEN l_partkey % 50 <= 17 THEN 'a'
+        |              WHEN l_partkey % 50 <= 34 THEN 'b' ELSE 'c' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, COUNT(*) AS n FROM d GROUP BY label, pred),
+        |tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+        |act AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY label),
+        |prd AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY pred),
+        |pc AS (SELECT act.cls AS cls,
+        |         CAST(COALESCE(act.support, 0) AS BIGINT) AS support,
+        |         CASE WHEN COALESCE(prd.n_pred, 0) > 0
+        |              THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS p,
+        |         CASE WHEN COALESCE(act.support, 0) > 0
+        |              THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / CAST(act.support AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS r
+        |       FROM act
+        |       FULL OUTER JOIN prd ON act.cls = prd.cls
+        |       LEFT JOIN tp ON act.cls = tp.cls),
+        |pc2 AS (SELECT cls, support, p, r,
+        |         CASE WHEN CAST(0.25 AS DOUBLE) * p + r > CAST(0.0 AS DOUBLE)
+        |              THEN CAST(1.25 AS DOUBLE) * p * r / (CAST(0.25 AS DOUBLE) * p + r)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS f
+        |       FROM pc),
+        |folds AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS k,
+        |    CAST(SUM(support) AS DOUBLE) AS tot,
+        |    list_sum(list(p ORDER BY cls)) AS sp,
+        |    list_sum(list(r ORDER BY cls)) AS sr,
+        |    list_sum(list(f ORDER BY cls)) AS sf,
+        |    list_sum(list(CAST(support AS DOUBLE) * p ORDER BY cls)) AS wp,
+        |    list_sum(list(CAST(support AS DOUBLE) * r ORDER BY cls)) AS wr,
+        |    list_sum(list(CAST(support AS DOUBLE) * f ORDER BY cls)) AS wf
+        |  FROM pc2),
+        |micro AS (SELECT
+        |    CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS acc FROM d)
+        |SELECT 'macro' AS average, sp / k AS precision, sr / k AS recall,
+        |       sf / k AS fbeta FROM folds
+        |UNION ALL
+        |SELECT 'micro', acc, acc, acc FROM micro
+        |UNION ALL
+        |SELECT 'weighted', wp / tot, wr / tot, wf / tot FROM folds
+        |ORDER BY average""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "lineitem").select(
+        when($"l_quantity" <= 17, "a").when($"l_quantity" <= 34, "b")
+          .otherwise("c").as("label"),
+        when($"l_partkey" % 50 <= 17, "a").when($"l_partkey" % 50 <= 34, "b")
+          .otherwise("c").as("pred"))
+      Learn.prfAveraged(d, "label", "pred", beta = 0.5)
+        .orderBy($"average")
+    },
+
+    // --- metrics multilabel_confusion_matrix (_classification.py:342):
+    //     per-class one-vs-rest (tn, fp, fn, tp) — all exact BIGINTs
+    //     (every DuckDB output CAST AS BIGINT: SUM widens to HUGEINT and
+    //     propagates through the subtractions)
+    Q("learn_multilabel_cm",
+      """WITH d AS (
+        |  SELECT CASE WHEN l_quantity <= 17 THEN 'a'
+        |              WHEN l_quantity <= 34 THEN 'b' ELSE 'c' END AS label,
+        |         CASE WHEN l_partkey % 50 <= 17 THEN 'a'
+        |              WHEN l_partkey % 50 <= 34 THEN 'b' ELSE 'c' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, COUNT(*) AS n FROM d GROUP BY label, pred),
+        |tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+        |act AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY label),
+        |prd AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY pred),
+        |t AS (SELECT COUNT(*) AS n FROM d)
+        |SELECT act.cls AS cls,
+        |  CAST(t.n - COALESCE(tp.tp, 0)
+        |       - (COALESCE(act.support, 0) - COALESCE(tp.tp, 0))
+        |       - (COALESCE(prd.n_pred, 0) - COALESCE(tp.tp, 0)) AS BIGINT) AS tn,
+        |  CAST(COALESCE(prd.n_pred, 0) - COALESCE(tp.tp, 0) AS BIGINT) AS fp,
+        |  CAST(COALESCE(act.support, 0) - COALESCE(tp.tp, 0) AS BIGINT) AS fn,
+        |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+        |FROM act
+        |FULL OUTER JOIN prd ON act.cls = prd.cls
+        |LEFT JOIN tp ON act.cls = tp.cls
+        |CROSS JOIN t
+        |ORDER BY cls""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "lineitem").select(
+        when($"l_quantity" <= 17, "a").when($"l_quantity" <= 34, "b")
+          .otherwise("c").as("label"),
+        when($"l_partkey" % 50 <= 17, "a").when($"l_partkey" % 50 <= 34, "b")
+          .otherwise("c").as("pred"))
+      Learn.multilabelConfusion(d, "label", "pred").orderBy($"cls")
+    },
+
+    // --- metrics generic auc(x, y) / numpy trapz (_ranking.py:32):
+    //     trapezoid terms are identical-shape double arithmetic over
+    //     hash-uniform points (distinct x — 60-bit draws over <2k keys),
+    //     the cross-row sum an ordered fold in x order → bit-exact
+    //     unrounded
+    Q("learn_trapz",
+      s"""WITH pts AS (
+         |  SELECT ${graft.functions.PortableHash.sqlUniform01("c_custkey")} AS x,
+         |         ${graft.functions.PortableHash.sqlUniform01("c_custkey + 131071")} AS y
+         |  FROM customer WHERE c_custkey < 1200),
+         |p AS (SELECT x, y, lag(x) OVER (ORDER BY x) AS px,
+         |             lag(y) OVER (ORDER BY x) AS py FROM pts),
+         |terms AS (SELECT x, (x - px) * (y + py) / CAST(2.0 AS DOUBLE) AS term
+         |          FROM p WHERE px IS NOT NULL)
+         |SELECT list_sum(list(term ORDER BY x)) AS auc FROM terms""".stripMargin) {
+      (spark, dir) =>
+      import spark.implicits._
+      val pts = t(spark, dir, "customer").filter($"c_custkey" < 1200)
+        .select(
+          graft.functions.PortableHash.uniform01($"c_custkey").as("x"),
+          graft.functions.PortableHash.uniform01($"c_custkey" + lit(131071))
+            .as("y"))
+      Learn.trapz(pts, "x", "y")
+    },
+
     // --- learn.datasets make_blobs (reference samples_generator.py:402):
     //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
     //     just its moments — replays exactly in any engine. round 6 + 0.0

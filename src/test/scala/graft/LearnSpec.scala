@@ -263,6 +263,76 @@ class LearnSpec extends SparkSpecBase {
     assert(math.abs(ap - 29.0 / 36.0) < 1e-12, s"ap=$ap")
   }
 
+  test("prfSupport matches sklearn per-class P/R/F1 incl. zero_division=0") {
+    // y_true=[a,a,a,b,b,c], y_pred=[a,b,a,b,c,d]: class d appears only in
+    // predictions (support 0 → recall 0.0), class c is never predicted
+    // right (tp=0 under pred d)... recompute: pairs (a,a)(a,b)(a,a)(b,b)(b,c)(c,d)
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "c"),
+      ("c", "d")).toDF("yt", "yp")
+    val got = Learn.prfSupport(df, "yt", "yp").orderBy($"cls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // tp: a=2 b=1 c=0 d=0; support: a=3 b=2 c=1 d=0; n_pred: a=2 b=2 c=1 d=1
+    assert(got.toSeq == Seq(
+      ("a", 3L, 1.0, 2.0 / 3.0, 2.0 * 1.0 * (2.0 / 3.0) / (1.0 + 2.0 / 3.0)),
+      ("b", 2L, 0.5, 0.5, 0.5),
+      ("c", 1L, 0.0, 0.0, 0.0),
+      ("d", 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("prfAveraged: macro is the class mean, micro is accuracy, weighted is support-weighted") {
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "c"),
+      ("c", "c")).toDF("yt", "yp")
+    val per = Learn.prfSupport(df, "yt", "yp").orderBy($"cls").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val byName = Learn.prfAveraged(df, "yt", "yp").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val k = per.length.toDouble
+    val tot = per.map(_._1).sum.toDouble
+    assert(math.abs(byName("macro")._1 - per.map(_._2).sum / k) < 1e-15)
+    assert(math.abs(byName("macro")._3 - per.map(_._4).sum / k) < 1e-15)
+    assert(math.abs(byName("weighted")._2 -
+      per.map(p => p._1 * p._3).sum / tot) < 1e-15)
+    // micro = accuracy = 4/6 on this data, and p == r == f
+    assert(byName("micro") == ((4.0 / 6.0, 4.0 / 6.0, 4.0 / 6.0)))
+  }
+
+  test("multilabelConfusion: per-class one-vs-rest 2x2 counts") {
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "c"),
+      ("c", "c")).toDF("yt", "yp")
+    val got = Learn.multilabelConfusion(df, "yt", "yp").orderBy($"cls")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // n=6; a: tp=2 fn=1 fp=0 tn=3; b: tp=1 fn=1 fp=1 tn=3; c: tp=1 fn=0 fp=1 tn=4
+    assert(got.toSeq == Seq(
+      ("a", 3L, 0L, 1L, 2L),
+      ("b", 3L, 1L, 1L, 1L),
+      ("c", 4L, 1L, 0L, 1L)))
+  }
+
+  test("trapz: exact on a linear curve, 0 on degenerate input") {
+    val lin = Seq((0.0, 0.0), (0.25, 0.5), (0.5, 1.0), (1.0, 2.0))
+      .toDF("x", "y")
+    assert(Learn.trapz(lin, "x", "y").as[Double].collect().head == 1.0)
+    val one = Seq((3.0, 7.0)).toDF("x", "y")
+    assert(Learn.trapz(one, "x", "y").as[Double].collect().head == 0.0)
+  }
+
+  test("trapz is partitioning-invariant bit-exact across input orders") {
+    val r = new Random(7)
+    val pts = (1 to 1000).map(_ => (r.nextDouble(), r.nextDouble())).distinct
+    val sortedTerms = pts.sortBy(_._1).sliding(2).collect {
+      case Seq((x0, y0), (x1, y1)) => (x1 - x0) * (y1 + y0) / 2.0
+    }.toSeq
+    val expect = sortedTerms.foldLeft(0.0)(_ + _)
+    val a = Learn.trapz(pts.toDF("x", "y"), "x", "y")
+      .as[Double].collect().head
+    val b = Learn.trapz(Random.shuffle(pts).toDF("x", "y").repartition(7),
+      "x", "y").as[Double].collect().head
+    assert(a == expect && b == expect, s"$a / $b vs $expect")
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
