@@ -89,6 +89,47 @@ object VectorFunctions {
         lit(0.0), (acc, v) => acc + v))
   }
 
+  // ---- tensor/base per-row array manipulation (reference mars/tensor/
+  //      base/: roll.py, flip.py, tile.py, repeat.py, ediff1d.py,
+  //      searchsorted.py) — pure array expressions, no UDFs, no shuffle.
+
+  /** numpy roll along the row axis: cyclic shift right by k (any sign or
+    * magnitude — reduced mod length like numpy). Empty arrays pass
+    * through. */
+  def roll(a: Column, k: Int): Column = {
+    val n = size(a)
+    val s = pmod(lit(k), n)
+    when(n === 0 || s === 0, a)
+      .otherwise(concat(slice(a, n - s + 1, s), slice(a, lit(1), n - s)))
+  }
+
+  /** numpy flip along the row axis. */
+  def flip(a: Column): Column = reverse(a)
+
+  /** numpy tile: the whole array repeated k times end-to-end. */
+  def tile(a: Column, k: Int): Column =
+    flatten(array_repeat(a, k))
+
+  /** numpy repeat: each element repeated k times in place. */
+  def repeatElems(a: Column, k: Int): Column =
+    flatten(transform(a, x => array_repeat(x, k)))
+
+  /** numpy ediff1d: consecutive differences a[i+1] − a[i] as a zip of the
+    * tail slice with the init slice — preserves the element type and is
+    * naturally empty for arrays shorter than 2 (a `sequence(2, n)` index
+    * walk would count DOWN for n < 2). */
+  def ediff1d(a: Column): Column = {
+    val m = greatest(size(a) - 1, lit(0))
+    zip_with(slice(a, lit(2), m), slice(a, lit(1), m), (x, y) => x - y)
+  }
+
+  /** numpy searchsorted over a sorted row array: insertion index for v,
+    * side='right' (count of elements ≤ v); `side='left'` is the strict
+    * variant. */
+  def searchSorted(sortedArr: Column, v: Column, left: Boolean = false): Column =
+    size(filter(sortedArr,
+      x => if (left) x < v else x <= v)).cast("long")
+
   /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -1472,6 +1472,25 @@ object LearnQ {
       Learn.trapz(pts, "x", "y")
     },
 
+    // --- ensemble IsolationForest (_iforest.py): anomaly scores over a
+    //     2-feature customer projection. Tree construction replays
+    //     deterministically from (data, key, seed) but is not
+    //     SQL-expressible → rows-only driver check; the score ordering and
+    //     refit determinism are spec-pinned (LearnSpec)
+    Q.noOracle("learn_iforest") { (spark, dir) =>
+      import spark.implicits._
+      val c = t(spark, dir, "customer")
+        .select($"c_custkey", $"c_acctbal".cast("double").as("bal"),
+          ($"c_custkey" % 97).cast("double").as("f2"))
+      val model = graft.learn.IsolationForest.fit(c, Seq("bal", "f2"),
+        "c_custkey", numTrees = 50, sampleSize = 128, seed = 7L)
+      graft.learn.IsolationForest.score(model, c)
+        .orderBy(desc("anomaly_score"), $"c_custkey")
+        .limit(20)
+        .select($"c_custkey",
+          (round($"anomaly_score", 6) + lit(0.0)).as("score"))
+    },
+
     // --- learn.datasets make_blobs (reference samples_generator.py:402):
     //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
     //     just its moments — replays exactly in any engine. round 6 + 0.0

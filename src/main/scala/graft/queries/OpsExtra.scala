@@ -1190,6 +1190,42 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.14 tensor/base array manipulation (roll.py, flip.py, tile.py,
+    //     repeat.py, ediff1d.py, searchsorted.py): per-row pure array
+    //     expressions over the embedding column. Gate columns are scalar
+    //     probes (positions, lengths, one diff) — exact element picks and
+    //     identical-shape subtraction, no cross-row float accumulation.
+    Q("op_tensor_base",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |  FROM embeddings WHERE vec_id < 80),
+        |m AS (SELECT vec_id, a, len(a) AS n,
+        |    ((3 % len(a)) + len(a)) % len(a) AS s FROM e)
+        |SELECT vec_id,
+        |  CAST(n AS BIGINT) AS n,
+        |  list_concat(a[n-s+1:n], a[1:n-s])[1] AS roll1,
+        |  list_reverse(a)[1] AS flip1,
+        |  CAST(len(flatten(list_transform(range(1, 3), i -> a))) AS BIGINT) AS tile_n,
+        |  CAST(len(flatten(list_transform(a,
+        |    x -> list_transform(range(1, 3), i -> x)))) AS BIGINT) AS rep_n,
+        |  (a[2] - a[1]) AS d1,
+        |  CAST(len(list_filter(a, x -> x <= CAST(0.0 AS DOUBLE))) AS BIGINT) AS le0
+        |FROM m ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => x.cast("double"))
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          size(a).cast("long").as("n"),
+          element_at(roll(a, 3), 1).as("roll1"),
+          element_at(flip(a), 1).as("flip1"),
+          size(tile(a, 2)).cast("long").as("tile_n"),
+          size(repeatElems(a, 2)).cast("long").as("rep_n"),
+          element_at(ediff1d(a), 1).as("d1"),
+          searchSorted(a, lit(0.0)).as("le0"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.13 corrwith (reference statistics/corr.py:286): per-order
     //     lineitem aggregates correlated column-by-column against the
     //     order header after a key-aligned join. Correlations are ~0.9 by

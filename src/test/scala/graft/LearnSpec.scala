@@ -333,6 +333,35 @@ class LearnSpec extends SparkSpecBase {
     assert(a == expect && b == expect, s"$a / $b vs $expect")
   }
 
+  test("isolation forest: planted outliers outrank a tight blob, deterministic refit") {
+    import graft.learn.IsolationForest
+    val r = new Random(11)
+    val inliers = (1 to 300).map(i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian()))
+    val outliers = Seq((1001L, 12.0, 12.0), (1002L, -11.0, 10.5),
+      (1003L, 13.0, -12.0))
+    val df = (inliers ++ outliers).toDF("id", "x", "y")
+    val model = IsolationForest.fit(df, Seq("x", "y"), "id",
+      numTrees = 50, sampleSize = 128, seed = 3L)
+    val scored = IsolationForest.score(model, df)
+    val top = scored.orderBy(desc("anomaly_score")).select("id")
+      .limit(3).as[Long].collect().toSet
+    assert(top == Set(1001L, 1002L, 1003L), s"top=$top")
+    // same (data, key, seed) → the identical forest and identical scores
+    val again = IsolationForest.score(
+      IsolationForest.fit(df, Seq("x", "y"), "id", 50, 128, 3L), df)
+    assert(scored.orderBy("id").select("anomaly_score").as[Double].collect()
+      .toSeq ==
+      again.orderBy("id").select("anomaly_score").as[Double].collect().toSeq)
+    // predict: roughly the contamination fraction is flagged -1, and the
+    // planted outliers are inside the flagged set
+    val pred = IsolationForest.predict(model, df, contamination = 0.02)
+    val flagged = pred.filter($"prediction" === -1).select("id")
+      .as[Long].collect().toSet
+    assert(flagged.size >= 3 && flagged.size <= 20 &&
+      Set(1001L, 1002L, 1003L).subsetOf(flagged), s"flagged=$flagged")
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)

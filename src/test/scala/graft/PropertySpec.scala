@@ -323,4 +323,38 @@ class PropertySpec extends SparkSpecBase {
       assert(got == want)
     }
   }
+
+  test("property: array base ops match Scala-collection semantics incl. edges") {
+    import graft.functions.VectorFunctions
+    val arrGen = Gen.listOf(Gen.chooseNum(-50.0, 50.0))
+    val kGen = Gen.chooseNum(0, 12)
+    forAll(arrGen, kGen) { (xs, k) =>
+      val df = Seq(Tuple1(xs)).toDF("a")
+      val got = df.select(
+        VectorFunctions.roll($"a", k).as("roll"),
+        VectorFunctions.flip($"a").as("flip"),
+        VectorFunctions.tile($"a", 2).as("tile"),
+        VectorFunctions.repeatElems($"a", 3).as("rep"),
+        VectorFunctions.ediff1d($"a").as("diff")).collect()(0)
+      val n = xs.length
+      val rollWant =
+        if (n == 0) Nil
+        else { val s = ((k % n) + n) % n; xs.takeRight(s) ++ xs.dropRight(s) }
+      assert(got.getSeq[Double](0).toList == rollWant)
+      assert(got.getSeq[Double](1).toList == xs.reverse)
+      assert(got.getSeq[Double](2).toList == xs ++ xs)
+      assert(got.getSeq[Double](3).toList == xs.flatMap(x => List(x, x, x)))
+      assert(got.getSeq[Double](4).toList ==
+        (if (n < 2) Nil else xs.sliding(2).map(p => p(1) - p(0)).toList))
+    }
+    // searchsorted: insertion points on a sorted array, both sides
+    val sorted = Seq(Tuple1(Seq(1.0, 2.0, 2.0, 5.0))).toDF("a")
+    val r = sorted.select(
+      VectorFunctions.searchSorted($"a", lit(2.0)).as("right"),
+      VectorFunctions.searchSorted($"a", lit(2.0), left = true).as("left"),
+      VectorFunctions.searchSorted($"a", lit(0.0)).as("lo"),
+      VectorFunctions.searchSorted($"a", lit(9.0)).as("hi")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1L, 0L, 4L)))
+  }
 }
