@@ -112,6 +112,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("trapz: data windows are bucket-partitioned, no global data window") {
+    val df = (0 until 5000).map(i => (i * 1.0, i * 2.0)).toDF("x", "y")
+    val out = graft.learn.Learn.trapz(df, "x", "y")
+    val plan = out.queryExecution.executedPlan.toString
+    // points enter via a range exchange on x; per-bucket lag windows carry
+    // the bucket id — a data-wide single-task window would plan as
+    // "windowspecdefinition(__x ..." with no partition columns
+    assert(plan.contains("Exchange rangepartitioning(__x"), plan.take(800))
+    assert(!plan.contains("windowspecdefinition(__x"),
+      "data rows must never cross a single-task global window:\n" + plan.take(1200))
+    // only bucket summaries (≤ #partitions rows) reach the boundary join,
+    // and it broadcasts
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
+  test("isolation forest scoring is a narrow pass — zero exchanges") {
+    val df = (0 until 2000).map(i => (i.toLong, i * 1.0, (i % 13) * 1.0))
+      .toDF("id", "x", "y")
+    val model = graft.learn.IsolationForest.fit(df, Seq("x", "y"), "id",
+      numTrees = 10, sampleSize = 64, seed = 5L)
+    val out = graft.learn.IsolationForest.score(model, df)
+    assert(shuffles(out) == 0,
+      out.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("arithAligned: one full-outer equi-join, cells stay projections") {
     val l = GraftFrame((1 to 500).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
     val r = GraftFrame((200 to 700).map(i => (i.toLong, i * 2.0)).toDF("k", "v"))
