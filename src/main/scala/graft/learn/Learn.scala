@@ -347,6 +347,32 @@ object Learn {
         (sum(col("pos")) * (sum(col("n")) - sum(col("pos"))))).as("auc"))
   }
 
+  /** Multiclass ROC-AUC, one-vs-rest (reference
+    * mars/learn/metrics/_ranking.py:531 _multiclass_roc_auc_score,
+    * average='macro'): per class c, the binary rank AUC of (label == c)
+    * against the class's score slot in `scoreArrCol` (1-based slot c+1),
+    * plus a final 'macro' row. Each per-class AUC is [[aucRocGrouped]]
+    * (distinct-score aggregate, exact dyadic rank terms — order-free);
+    * the macro mean runs as an ordered fold over the k class rows, so
+    * the whole frame is engine-deterministic and oracle-able unrounded. */
+  def aucRocMulticlass(df: DataFrame, labelCol: String, scoreArrCol: String,
+      numClasses: Int): DataFrame = {
+    val perClass = (0 until numClasses).map { c =>
+      aucRocGrouped(
+        df.select(
+          when(col(labelCol) === c, lit(1.0)).otherwise(lit(0.0)).as("__y"),
+          element_at(col(scoreArrCol), c + 1).cast("double").as("__s")),
+        "__y", "__s")
+        .select(lit(c.toString).as("cls"), col("auc"))
+    }.reduce(_ unionByName _)
+    val macroRow = perClass.agg(
+      (aggregate(array_sort(collect_list(struct(col("cls"), col("auc")))),
+        lit(0.0), (acc, x) => acc + x.getField("auc")) /
+        lit(numClasses.toDouble)).as("auc"))
+      .select(lit("macro").as("cls"), col("auc"))
+    perClass.unionByName(macroRow)
+  }
+
   /** roc_curve (reference mars/learn/metrics/_ranking.py:624): one
     * (threshold, fpr, tpr) row per DISTINCT score, thresholds descending
     * — a prediction counts positive when score >= threshold. Cumulative

@@ -1472,6 +1472,50 @@ object LearnQ {
       Learn.trapz(pts, "x", "y")
     },
 
+    // --- metrics multiclass roc_auc_score OVR macro (_ranking.py:531):
+    //     per-class binary rank AUCs (exact dyadic rank terms — order-free
+    //     double sums, the learn_auc argument) + an ordered-fold macro
+    //     mean, unrounded
+    {
+      def aucCte(c: Int): String =
+        s"""b$c AS (SELECT s, SUM(y) AS pos, CAST(COUNT(*) AS DOUBLE) AS n
+           |  FROM (SELECT CASE WHEN lab = $c THEN CAST(1.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END AS y,
+           |               sc[${c + 1}] AS s FROM e) y$c GROUP BY s),
+           |r$c AS (SELECT s, pos, n,
+           |  COALESCE(SUM(n) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |    CAST(0.0 AS DOUBLE)) AS before FROM b$c),
+           |a$c AS (SELECT '$c' AS cls,
+           |  (SUM(pos * (before + (n + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)))
+           |   - SUM(pos) * (SUM(pos) + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+           |  / (SUM(pos) * (SUM(n) - SUM(pos))) AS auc FROM r$c)""".stripMargin
+      Q("learn_auc_multiclass",
+        s"""WITH e AS (SELECT CAST(label % 3 AS BIGINT) AS lab,
+           |    list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS sc
+           |  FROM embeddings),
+           |${aucCte(0)},
+           |${aucCte(1)},
+           |${aucCte(2)},
+           |percls AS (SELECT cls, auc FROM a0
+           |  UNION ALL SELECT cls, auc FROM a1
+           |  UNION ALL SELECT cls, auc FROM a2),
+           |mac AS (SELECT 'macro' AS cls,
+           |    list_sum(list(auc ORDER BY cls)) / CAST(3.0 AS DOUBLE) AS auc
+           |  FROM percls)
+           |SELECT cls, auc FROM percls
+           |UNION ALL SELECT cls, auc FROM mac
+           |ORDER BY cls""".stripMargin) { (spark, dir) =>
+        import spark.implicits._
+        val d = t(spark, dir, "embeddings")
+          .select(($"label" % 3).as("lab"),
+            transform(slice($"embedding", 1, 3), x => x.cast("double"))
+              .as("sc"))
+        Learn.aucRocMulticlass(d, "lab", "sc", numClasses = 3)
+          .orderBy($"cls")
+      }
+    },
+
     // --- ensemble IsolationForest (_iforest.py): anomaly scores over a
     //     2-feature customer projection. Tree construction replays
     //     deterministically from (data, key, seed) but is not

@@ -333,6 +333,25 @@ class LearnSpec extends SparkSpecBase {
     assert(a == expect && b == expect, s"$a / $b vs $expect")
   }
 
+  test("aucRocMulticlass: separable scores give per-class and macro AUC 1") {
+    // score slot c is 1.0 for rows of class c, 0.0 otherwise — perfect OVR
+    val rows = (0 until 90).map { i =>
+      val c = i % 3
+      (c.toLong, Seq(0, 1, 2).map(k => if (k == c) 1.0 else 0.0))
+    }
+    val df = rows.toDF("lab", "sc")
+    val got = Learn.aucRocMulticlass(df, "lab", "sc", 3).orderBy($"cls")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("0", 1.0), ("1", 1.0), ("2", 1.0), ("macro", 1.0)))
+    // a random-score class pins its AUC at 1/2 exactly (tie block):
+    // score slot 0 constant → AUC 0.5; macro = (0.5 + 1 + 1) / 3
+    val df2 = rows.map { case (c, sc) => (c, sc.updated(0, 0.25)) }
+      .toDF("lab", "sc")
+    val got2 = Learn.aucRocMulticlass(df2, "lab", "sc", 3).orderBy($"cls")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got2("0") == 0.5 && got2("macro") == (0.5 + 1.0 + 1.0) / 3.0)
+  }
+
   test("isolation forest: planted outliers outrank a tight blob, deterministic refit") {
     import graft.learn.IsolationForest
     val r = new Random(11)
