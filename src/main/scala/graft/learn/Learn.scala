@@ -1108,9 +1108,21 @@ object Learn {
     * comes from a lag over ≤#partitions bucket summaries broadcast back.
     * The cross-row sum of trapezoid terms runs as an ordered fold in x
     * order — bit-deterministic across partitionings, oracle-able
-    * unrounded. */
+    * unrounded.
+    *
+    * Scale guard: the final fold buffers one struct per point in a
+    * single aggregation buffer — exactly right for its metrics use
+    * (curve integration over distinct thresholds) and wrong for an
+    * arbitrary big frame, so `maxPoints` fails loudly (the
+    * silhouette/transposeSmall guard pattern) instead of building an
+    * unbounded collect. Pre-aggregate (e.g. to distinct thresholds)
+    * before integrating a larger series. */
   def trapz(df: DataFrame, xCol: String, yCol: String,
-      out: String = "auc"): DataFrame = {
+      out: String = "auc", maxPoints: Long = 2000000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxPoints,
+      s"trapz: $n points exceeds maxPoints=$maxPoints — the ordered-fold " +
+        "sum buffers every trapezoid term; pre-aggregate the curve first")
     val ranged = df
       .select(col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
       .repartitionByRange(col("__x"))

@@ -144,4 +144,15 @@ class GuardrailsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("dim"))
   }
+
+  test("trapz guards the ordered-fold buffer behind maxPoints") {
+    val pts = (1 to 100).map(i => (i * 1.0, i * 2.0)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.learn.Learn.trapz(pts, "x", "y", maxPoints = 50L)
+    }
+    assert(e.getMessage.contains("maxPoints"))
+    // under the guard it still integrates
+    assert(graft.learn.Learn.trapz(pts, "x", "y").collect().head.getDouble(0)
+      > 0.0)
+  }
 }
