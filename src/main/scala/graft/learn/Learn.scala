@@ -351,10 +351,12 @@ object Learn {
     * mars/learn/metrics/_ranking.py:531 _multiclass_roc_auc_score,
     * average='macro'): per class c, the binary rank AUC of (label == c)
     * against the class's score slot in `scoreArrCol` (1-based slot c+1),
-    * plus a final 'macro' row. Each per-class AUC is [[aucRocGrouped]]
-    * (distinct-score aggregate, exact dyadic rank terms — order-free);
-    * the macro mean runs as an ordered fold over the k class rows, so
-    * the whole frame is engine-deterministic and oracle-able unrounded. */
+    * plus final 'macro' and 'weighted' rows (sklearn's two multiclass
+    * averages: equal-weight vs true-instance-support weight). Each
+    * per-class AUC is [[aucRocGrouped]] (distinct-score aggregate, exact
+    * dyadic rank terms — order-free); both averages run as ordered folds
+    * over the k class rows, so the whole frame is engine-deterministic
+    * and oracle-able unrounded. */
   def aucRocMulticlass(df: DataFrame, labelCol: String, scoreArrCol: String,
       numClasses: Int): DataFrame = {
     val perClass = (0 until numClasses).map { c =>
@@ -365,12 +367,29 @@ object Learn {
         "__y", "__s")
         .select(lit(c.toString).as("cls"), col("auc"))
     }.reduce(_ unionByName _)
-    val macroRow = perClass.agg(
-      (aggregate(array_sort(collect_list(struct(col("cls"), col("auc")))),
-        lit(0.0), (acc, x) => acc + x.getField("auc")) /
-        lit(numClasses.toDouble)).as("auc"))
-      .select(lit("macro").as("cls"), col("auc"))
-    perClass.unionByName(macroRow)
+    val supports = df.groupBy(col(labelCol).cast("long").as("__lab"))
+      .agg(count(lit(1)).as("__sup"))
+      .select(col("__lab").cast("string").as("cls"), col("__sup"))
+    val withSup = perClass.join(broadcast(supports), Seq("cls"), "left")
+      .select(col("cls"), col("auc"),
+        coalesce(col("__sup"), lit(0L)).as("__sup"))
+    def fold(term: Column => Column) =
+      aggregate(array_sort(collect_list(struct(col("cls"), col("auc"),
+        col("__sup")))), lit(0.0), (acc, x) => acc + term(x))
+    val avgRows = withSup.agg(
+      fold(_.getField("auc")).as("__sa"),
+      fold(x => x.getField("__sup").cast("double") * x.getField("auc"))
+        .as("__wa"),
+      sum(col("__sup")).cast("double").as("__tot"))
+      .select(
+        array(
+          struct(lit("macro").as("cls"),
+            (col("__sa") / lit(numClasses.toDouble)).as("auc")),
+          struct(lit("weighted").as("cls"),
+            (col("__wa") / col("__tot")).as("auc"))).as("__rows"))
+      .select(explode(col("__rows")).as("__r"))
+      .select(col("__r.cls").as("cls"), col("__r.auc").as("auc"))
+    perClass.unionByName(avgRows)
   }
 
   /** roc_curve (reference mars/learn/metrics/_ranking.py:624): one

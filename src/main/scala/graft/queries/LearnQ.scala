@@ -1500,11 +1500,18 @@ object LearnQ {
            |percls AS (SELECT cls, auc FROM a0
            |  UNION ALL SELECT cls, auc FROM a1
            |  UNION ALL SELECT cls, auc FROM a2),
-           |mac AS (SELECT 'macro' AS cls,
-           |    list_sum(list(auc ORDER BY cls)) / CAST(3.0 AS DOUBLE) AS auc
-           |  FROM percls)
+           |sup AS (SELECT CAST(lab AS VARCHAR) AS cls, COUNT(*) AS sup
+           |  FROM e GROUP BY lab),
+           |ps AS (SELECT p.cls, p.auc, COALESCE(s.sup, 0) AS sup
+           |  FROM percls p LEFT JOIN sup s ON p.cls = s.cls),
+           |avgs AS (SELECT
+           |    list_sum(list(auc ORDER BY cls)) AS sa,
+           |    list_sum(list(CAST(sup AS DOUBLE) * auc ORDER BY cls)) AS wa,
+           |    CAST(SUM(sup) AS DOUBLE) AS tot
+           |  FROM ps)
            |SELECT cls, auc FROM percls
-           |UNION ALL SELECT cls, auc FROM mac
+           |UNION ALL SELECT 'macro', sa / CAST(3.0 AS DOUBLE) FROM avgs
+           |UNION ALL SELECT 'weighted', wa / tot FROM avgs
            |ORDER BY cls""".stripMargin) { (spark, dir) =>
         import spark.implicits._
         val d = t(spark, dir, "embeddings")

@@ -342,14 +342,17 @@ class LearnSpec extends SparkSpecBase {
     val df = rows.toDF("lab", "sc")
     val got = Learn.aucRocMulticlass(df, "lab", "sc", 3).orderBy($"cls")
       .collect().map(r => (r.getString(0), r.getDouble(1)))
-    assert(got.toSeq == Seq(("0", 1.0), ("1", 1.0), ("2", 1.0), ("macro", 1.0)))
+    assert(got.toSeq == Seq(("0", 1.0), ("1", 1.0), ("2", 1.0),
+      ("macro", 1.0), ("weighted", 1.0)))
     // a random-score class pins its AUC at 1/2 exactly (tie block):
-    // score slot 0 constant → AUC 0.5; macro = (0.5 + 1 + 1) / 3
+    // score slot 0 constant → AUC 0.5; balanced classes make
+    // macro == weighted == (0.5 + 1 + 1) / 3
     val df2 = rows.map { case (c, sc) => (c, sc.updated(0, 0.25)) }
       .toDF("lab", "sc")
     val got2 = Learn.aucRocMulticlass(df2, "lab", "sc", 3).orderBy($"cls")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    assert(got2("0") == 0.5 && got2("macro") == (0.5 + 1.0 + 1.0) / 3.0)
+    assert(got2("0") == 0.5 && got2("macro") == (0.5 + 1.0 + 1.0) / 3.0 &&
+      got2("weighted") == got2("macro"))
   }
 
   test("isolation forest: planted outliers outrank a tight blob, deterministic refit") {
