@@ -108,6 +108,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming isolation-forest scoring equals the batch scores") {
+    // the fitted forest is a broadcast-size closure, so scoring composes
+    // with readStream unchanged — the online anomaly-flagging path
+    implicit val sq = spark.sqlContext
+    import graft.learn.IsolationForest
+    val rows = (1 to 200).map(i => (i.toLong, (i % 17) * 1.0, (i % 5) * 3.0)) ++
+      Seq((900L, 400.0, -300.0))
+    val batch = rows.toDF("id", "x", "y")
+    val model = IsolationForest.fit(batch, Seq("x", "y"), "id",
+      numTrees = 20, sampleSize = 64, seed = 9L)
+    val want = IsolationForest.score(model, batch)
+      .select($"id", $"anomaly_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val input = MemoryStream[(Long, Double, Double)]
+    val q = IsolationForest.score(model, input.toDF().toDF("id", "x", "y"))
+      .writeStream.format("memory").queryName("ifscore")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+      val got = spark.table("ifscore").select($"id", $"anomaly_score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want)
+      // the planted outlier outranks everything, streaming or not
+      assert(got(900L) == got.values.max)
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter flags band collisions across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
