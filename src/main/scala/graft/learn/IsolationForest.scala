@@ -70,13 +70,18 @@ object IsolationForest {
   def fit(df: DataFrame, featureCols: Seq[String], keyCol: String,
       numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 1L): IForestModel = {
     require(numTrees > 0 && sampleSize > 1)
-    val n = df.count()
+    // null contract: rows with any null feature are excluded from the
+    // subsample draw (they cannot be placed in a split) — scoring gives
+    // them a null score; sklearn instead errors on NaN input
+    val clean = df.filter(featureCols.map(c => col(c).isNotNull)
+      .reduce(_ && _))
+    val n = clean.count()
     val psi = math.min(sampleSize.toLong, n).toInt
     // oversample 3x so every tree gets >= psi rows w.h.p.; the draw u is
     // also the deterministic truncation order back to exactly psi
     val p = math.min(1.0, 3.0 * psi / math.max(n, 1L))
     val key = col(keyCol).cast("long")
-    val draws = df
+    val draws = clean
       .select((key * numTrees + lit(seed * 1000003L)).as("__base"),
         array(featureCols.map(c => col(c).cast("double")): _*).as("__fv"))
       .select(col("__base"), col("__fv"), explode(filter(
@@ -120,8 +125,11 @@ object IsolationForest {
       val mean = trees.map(t => pathLength(t, a, 0)).sum / trees.length
       math.pow(2.0, -mean / cNorm)
     }
-    df.withColumn(out,
-      scoreUdf(array(model.features.map(c => col(c).cast("double")): _*)))
+    // null features short-circuit to a null score BEFORE the UDF — a null
+    // element inside the array would otherwise NPE opaquely at unboxing
+    val anyNull = model.features.map(c => col(c).isNull).reduce(_ || _)
+    df.withColumn(out, when(anyNull, lit(null).cast("double")).otherwise(
+      scoreUdf(array(model.features.map(c => col(c).cast("double")): _*))))
   }
 
   /** sklearn predict: −1 for anomalies (score above the quantile implied

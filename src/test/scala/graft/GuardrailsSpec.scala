@@ -145,6 +145,20 @@ class GuardrailsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("isolation forest: null features are excluded from fit, scored null") {
+    import graft.learn.IsolationForest
+    val df = Seq((1L, Some(1.0), Some(2.0)), (2L, None, Some(3.0)),
+      (3L, Some(2.0), Some(1.0)), (4L, Some(3.0), Some(4.0)),
+      (5L, Some(0.5), Some(2.5))).toDF("id", "x", "y")
+    val m = IsolationForest.fit(df, Seq("x", "y"), "id",
+      numTrees = 5, sampleSize = 4, seed = 2L)
+    val scored = IsolationForest.score(m, df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(scored(2L).isEmpty)
+    assert(Seq(1L, 3L, 4L, 5L).forall(scored(_).exists(s => s > 0 && s < 1)))
+  }
+
   test("trapz guards the ordered-fold buffer behind maxPoints") {
     val pts = (1 to 100).map(i => (i * 1.0, i * 2.0)).toDF("x", "y")
     val e = intercept[IllegalArgumentException] {
