@@ -324,6 +324,39 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: prfSupport and multilabelConfusion match a collections reference") {
+    import graft.learn.Learn
+    val pairGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.oneOf("a", "b", "c")))
+    forAll(pairGen) { pairs =>
+      val df = pairs.toDF("yt", "yp")
+      val classes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val n = pairs.length.toLong
+      val got = Learn.prfSupport(df, "yt", "yp").orderBy($"cls").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      val want = classes.map { c =>
+        val tp = pairs.count(p => p._1 == c && p._2 == c).toLong
+        val sup = pairs.count(_._1 == c).toLong
+        val np = pairs.count(_._2 == c).toLong
+        (c, sup,
+          if (np > 0) tp.toDouble / np else 0.0,
+          if (sup > 0) tp.toDouble / sup else 0.0)
+      }
+      assert(got == want)
+      val cm = Learn.multilabelConfusion(df, "yt", "yp").orderBy($"cls")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val wantCm = classes.map { c =>
+        val tp = pairs.count(p => p._1 == c && p._2 == c).toLong
+        val fn = pairs.count(_._1 == c).toLong - tp
+        val fp = pairs.count(_._2 == c).toLong - tp
+        (c, n - tp - fn - fp, fp, fn, tp)
+      }
+      assert(cm == wantCm)
+    }
+  }
+
   test("property: array base ops match Scala-collection semantics incl. edges") {
     import graft.functions.VectorFunctions
     val arrGen = Gen.listOf(Gen.chooseNum(-50.0, 50.0))
