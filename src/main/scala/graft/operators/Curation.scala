@@ -153,6 +153,32 @@ object Curation {
       .drop("__dn")
   }
 
+  /** Exact mixture-matching sample (resample a corpus to a TARGET domain
+    * mixture, the count-targeted sibling of [[stratifiedSample]]'s
+    * fractions): per domain d, keep exactly min(floor(totalN·w_d/Σw), |d|)
+    * documents in PortableHash order on the id — unbiased, rerun- and
+    * engine-stable. Domains absent from `weights` are dropped. Same
+    * one-window-per-domain shape and skew caveat as [[domainCap]]; for
+    * mega-domain skew compose [[domainCapApprox]] first to knock each
+    * domain near its target, then this for the exact count. */
+  def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], totalN: Long): DataFrame = {
+    require(totalN > 0 && weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureSample: totalN and every weight must be positive")
+    val wsum = weights.values.sum
+    val targetCol = weights.foldLeft(lit(-1L)) { case (acc, (d, w)) =>
+      when(col(domainCol) === d,
+        lit(math.floor(totalN * w / wsum).toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(PortableHash.hash32(col(idCol)), col(idCol))
+    docs.withColumn("__tgt", targetCol)
+      .filter(col("__tgt") >= 0L)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__tgt"))
+      .drop("__tgt", "__rn")
+  }
+
   /** Stratified sampling with per-domain fractions (domain-mixing weights:
     * "keep 10% of CommonCrawl, all of Wikipedia"). Deterministic via the
     * portable uniform on the id — reproducible across runs and engines,

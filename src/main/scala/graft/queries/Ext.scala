@@ -1044,6 +1044,32 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- mixture-matching sample: exact per-domain target counts
+    //     (floor(totalN·w_d), exact binary weights 0.5/0.25/0.25 so the
+    //     driver-side floor is unambiguous), hash-ordered take per domain
+    //     — the count-targeted sibling of ext_stratified
+    Q("ext_mixture_sample",
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.PortableHash.sqlHash32("doc_id")},
+         |               doc_id) AS rn
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |k AS (SELECT source, doc_id FROM r
+         |  WHERE rn <= CASE source WHEN 'src0' THEN 20
+         |                          WHEN 'src1' THEN 10 ELSE 10 END)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Curation.mixtureSample(t(spark, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), totalN = 40L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source")
+    },
+
     // --- quality-weighted importance resampling: keep-probability
     //     n_chars/400 clamped to [0,1]; identical IEEE division and
     //     compare on both engines (exact — no rounding needed).

@@ -50,6 +50,30 @@ class CurationSpec extends SparkSpecBase {
     assert(sizes("big") > 20L && sizes("big") < 90L, s"got ${sizes("big")}")
   }
 
+  test("mixtureSample hits exact per-domain targets, drops unlisted domains") {
+    val docs = (1 to 120).map(i =>
+      (i.toLong, s"dom${i % 4}", s"t$i")).toDF("doc_id", "source", "text")
+    // weights normalize (2:1:1 over sum 4); dom3 unlisted → dropped;
+    // targets: floor(24·2/4)=12, floor(24/4)=6, 6 — all under the 30/domain
+    val got = Curation.mixtureSample(docs, "source", "doc_id",
+        Map("dom0" -> 2.0, "dom1" -> 1.0, "dom2" -> 1.0), totalN = 24L)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("dom0" -> 12L, "dom1" -> 6L, "dom2" -> 6L))
+    // target above a domain's size saturates at the domain
+    val sat = Curation.mixtureSample(docs, "source", "doc_id",
+        Map("dom0" -> 1.0), totalN = 1000L)
+    assert(sat.count() == 30L)
+    // rerun-stable: the same rows come back
+    val a = Curation.mixtureSample(docs, "source", "doc_id",
+        Map("dom0" -> 1.0), totalN = 10L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.mixtureSample(docs.repartition(7), "source", "doc_id",
+        Map("dom0" -> 1.0), totalN = 10L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.length == 10)
+  }
+
   test("stratifiedSample honors 0 and 1 fractions exactly") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
       .toDF("doc_id", "source")
