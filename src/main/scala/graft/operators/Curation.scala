@@ -179,6 +179,29 @@ object Curation {
       .drop("__tgt", "__rn")
   }
 
+  /** Token-budget sampling — [[mixtureSample]] measured in tokens instead
+    * of documents (training mixtures are specified in tokens): per domain,
+    * keep documents in PortableHash order while the running token total
+    * stays within the domain's budget (first-fit prefix — a document that
+    * would overflow the budget stops the take, so kept ≤ budget always).
+    * One cumulative-sum window per domain over exact BIGINTs; domains
+    * absent from `budgets` are dropped. */
+  def tokenBudgetSample(docs: DataFrame, domainCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "tokenBudgetSample: every budget must be positive")
+    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (d, b)) =>
+      when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(PortableHash.hash32(col(idCol)), col(idCol))
+    docs.withColumn("__budget", budgetCol)
+      .filter(col("__budget") >= 0L)
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__budget", "__cum")
+  }
+
   /** Stratified sampling with per-domain fractions (domain-mixing weights:
     * "keep 10% of CommonCrawl, all of Wikipedia"). Deterministic via the
     * portable uniform on the id — reproducible across runs and engines,

@@ -1070,6 +1070,32 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- token-budget sample: per-domain first-fit prefix in hash order
+    //     under an exact BIGINT running total of n_chars — the
+    //     token-denominated sibling of ext_mixture_sample
+    Q("ext_token_budget",
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.PortableHash.sqlHash32("doc_id")},
+         |               doc_id) AS cum
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |k AS (SELECT source, doc_id, n_chars FROM r
+         |  WHERE cum <= CASE source WHEN 'src0' THEN 3000 ELSE 1500 END)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(n_chars) AS BIGINT) AS kept_tokens,
+         |       min(doc_id) AS first_doc
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Curation.tokenBudgetSample(t(spark, dir, "documents"), "source",
+          "doc_id", "n_chars", Map("src0" -> 3000L, "src1" -> 1500L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum($"n_chars").cast("long").as("kept_tokens"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"source")
+    },
+
     // --- quality-weighted importance resampling: keep-probability
     //     n_chars/400 clamped to [0,1]; identical IEEE division and
     //     compare on both engines (exact — no rounding needed).

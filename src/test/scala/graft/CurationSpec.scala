@@ -74,6 +74,24 @@ class CurationSpec extends SparkSpecBase {
     assert(a == b && a.length == 10)
   }
 
+  test("tokenBudgetSample: maximal first-fit prefix within the budget") {
+    import graft.functions.PortableHash
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 100L)).toDF("doc_id", "source", "tok")
+    val kept = Curation.tokenBudgetSample(docs, "source", "doc_id", "tok",
+        Map("a" -> 750L))
+      .collect().map(r => r.getLong(0)).toSet
+    // uniform 100-token docs: budget 750 keeps exactly 7 docs, and they
+    // are the 7 FIRST in portable-hash order of the 20 'a' docs
+    assert(kept.size == 7)
+    val hashOrder = docs.filter($"source" === "a")
+      .select($"doc_id", PortableHash.hash32($"doc_id").as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.map(_._2)
+    assert(kept == hashOrder.take(7).toSet)
+    // domain not in the budget map is dropped entirely
+    assert(!kept.exists(id => id % 2 == 1))
+  }
+
   test("stratifiedSample honors 0 and 1 fractions exactly") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
       .toDF("doc_id", "source")
