@@ -765,6 +765,18 @@ final case class GraftFrame(df: DataFrame) {
       fracs: Map[String, Double], defaultFrac: Double): GraftFrame =
     GraftFrame(Curation.stratifiedSample(df, domainCol, idCol, fracs, defaultFrac))
 
+  /** Mixture-matching sample (exact per-domain target counts) — see
+    * [[graft.operators.Curation.mixtureSample]]. */
+  def mixtureSample(domainCol: String, idCol: String,
+      weights: Map[String, Double], totalN: Long): GraftFrame =
+    GraftFrame(Curation.mixtureSample(df, domainCol, idCol, weights, totalN))
+
+  /** Token-budget sample (per-domain first-fit prefix) — see
+    * [[graft.operators.Curation.tokenBudgetSample]]. */
+  def tokenBudgetSample(domainCol: String, idCol: String, tokenCol: String,
+      budgets: Map[String, Long]): GraftFrame =
+    GraftFrame(Curation.tokenBudgetSample(df, domainCol, idCol, tokenCol, budgets))
+
   /** Importance resampling — see
     * [[graft.operators.Curation.importanceResample]]. */
   def importanceResample(weightCol: String, idCol: String): GraftFrame =
