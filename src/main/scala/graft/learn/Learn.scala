@@ -867,6 +867,27 @@ object Learn {
           col("__n").cast("double")).as("brier"))
   }
 
+  /** Multiclass log-loss (the multiclass branch of sklearn log_loss —
+    * reference mars/learn/metrics/_classification.py:206): per row,
+    * −log of the true class's probability slot after sklearn's
+    * eps-clip-then-row-renormalize; the clip keeps hard 0 slots finite
+    * and the renormalization is an in-row ordered fold (same order both
+    * engines). The cross-row mean sums exact scaled integers (CLAUDE.md
+    * convention) — deterministic across partitionings. `labelCol` must
+    * be an integral class index into the 1-based probability array. */
+  def logLossMulticlass(df: DataFrame, labelCol: String, probArrCol: String,
+      eps: Double = 1e-15): DataFrame = {
+    val clipped = transform(col(probArrCol), x =>
+      least(lit(1.0) - lit(eps), greatest(lit(eps), x.cast("double"))))
+    val rowSum = aggregate(clipped, lit(0.0), (a, v) => a + v)
+    val pick = element_at(clipped, col(labelCol).cast("int") + 1) / rowSum
+    df.select((-log(pick)).as("__t"))
+      .agg(sum(floor(col("__t") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .as("__ll"), count(lit(1)).as("__n"))
+      .select((col("__ll").cast("double") / lit(1000000.0) /
+        col("__n").cast("double")).as("log_loss"))
+  }
+
   def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val y = col(labelCol).cast("double")
     val err = y - col(predCol).cast("double")

@@ -1472,6 +1472,29 @@ object LearnQ {
       Learn.trapz(pts, "x", "y")
     },
 
+    // --- metrics multiclass log_loss (_classification.py:206 multiclass
+    //     branch): eps-clip → in-row renormalize (ordered fold) → −ln of
+    //     the true-class slot; cross-row mean as exact scaled integers
+    Q("learn_logloss_multiclass",
+      """WITH d AS (
+        |  SELECT CAST(label % 3 AS INT) AS lab,
+        |    list_transform(embedding[1:3], x ->
+        |      least(CAST(1.0 AS DOUBLE) - CAST(1e-15 AS DOUBLE),
+        |            greatest(CAST(1e-15 AS DOUBLE), CAST(x AS DOUBLE)))) AS cp
+        |  FROM embeddings),
+        |t AS (SELECT -ln(cp[lab + 1] / list_sum(cp)) AS term FROM d)
+        |SELECT CAST(CAST(SUM(CAST(floor(term * CAST(1000000.0 AS DOUBLE)
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |  / CAST(1000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |  AS log_loss
+        |FROM t""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "embeddings")
+        .select(($"label" % 3).cast("int").as("lab"),
+          slice($"embedding", 1, 3).as("probs"))
+      Learn.logLossMulticlass(d, "lab", "probs")
+    },
+
     // --- metrics multiclass roc_auc_score OVR macro (_ranking.py:531):
     //     per-class binary rank AUCs (exact dyadic rank terms — order-free
     //     double sums, the learn_auc argument) + an ordered-fold macro

@@ -333,6 +333,24 @@ class LearnSpec extends SparkSpecBase {
     assert(a == expect && b == expect, s"$a / $b vs $expect")
   }
 
+  test("logLossMulticlass matches the hand-computed sklearn value") {
+    // rows: (label, probs); probs already sum to 1 so renormalization is
+    // a no-op; ll = -(ln .7 + ln .5 + ln .8) / 3
+    val df = Seq(
+      (0, Seq(0.7, 0.2, 0.1)),
+      (1, Seq(0.3, 0.5, 0.2)),
+      (2, Seq(0.1, 0.1, 0.8))).toDF("lab", "probs")
+    val got = Learn.logLossMulticlass(df, "lab", "probs")
+      .as[Double].collect().head
+    val want = -(math.log(0.7) + math.log(0.5) + math.log(0.8)) / 3.0
+    assert(math.abs(got - want) < 2e-6, s"$got vs $want") // 1e-6 grid
+    // a hard-zero slot stays finite through the eps clip
+    val hard = Seq((1, Seq(1.0, 0.0, 0.0))).toDF("lab", "probs")
+    val h = Learn.logLossMulticlass(hard, "lab", "probs")
+      .as[Double].collect().head
+    assert(h > 30.0 && !h.isInfinite)
+  }
+
   test("aucRocMulticlass: separable scores give per-class and macro AUC 1") {
     // score slot c is 1.0 for rows of class c, 0.0 otherwise — perfect OVR
     val rows = (0 until 90).map { i =>
