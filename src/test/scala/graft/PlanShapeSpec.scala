@@ -137,6 +137,23 @@ class PlanShapeSpec extends SparkSpecBase {
       out.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("mixture and token-budget samplers: one domain exchange, no joins") {
+    import graft.operators.Curation
+    val docs = (1 to 2000).map(i => (i.toLong, s"d${i % 5}", 100L))
+      .toDF("doc_id", "source", "tok")
+    val mix = Curation.mixtureSample(docs, "source", "doc_id",
+      Map("d0" -> 1.0, "d1" -> 1.0), totalN = 100L)
+    val tokb = Curation.tokenBudgetSample(docs, "source", "doc_id", "tok",
+      Map("d0" -> 5000L))
+    for (out <- Seq(mix, tokb)) {
+      val plan = out.queryExecution.executedPlan.toString
+      // the per-domain window is the only exchange — target/budget
+      // assignment is a when-chain projection, never a join
+      assert(shuffles(out) == 1, plan.take(800))
+      assert(!plan.contains("Join"), plan.take(800))
+    }
+  }
+
   test("arithAligned: one full-outer equi-join, cells stay projections") {
     val l = GraftFrame((1 to 500).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
     val r = GraftFrame((200 to 700).map(i => (i.toLong, i * 2.0)).toDF("k", "v"))
