@@ -995,6 +995,21 @@ object Learn {
     df.agg((sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)) /
       count(lit(1)).cast("double")).as("accuracy"))
 
+  /** accuracy_score with sklearn's sample_weight and normalize params
+    * (reference mars/learn/metrics/_classification.py:136 `_weighted_sum`):
+    * Σ w·[y==ŷ] / Σ w, or the raw weighted hit count with
+    * normalize=false. One partial+final aggregate. Integer-valued weights
+    * keep both sums exact in doubles (order-free); arbitrary float
+    * weights make the final scalar order-dependent at the ulp level, as
+    * in sklearn. */
+  def accuracyWeighted(df: DataFrame, labelCol: String, predCol: String,
+      weightCol: String, normalize: Boolean = true): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val hit = sum(when(col(labelCol) === col(predCol), w).otherwise(lit(0.0)))
+    if (normalize) df.agg((hit / sum(w)).as("accuracy"))
+    else df.agg(hit.as("accuracy"))
+  }
+
   /** Per-class precision / recall / F1 from one confusion pass (the
     * reference's classification metrics, mars/learn/metrics/): a single
     * partial/final count aggregate keyed by (label, pred), then the three

@@ -1472,6 +1472,31 @@ object LearnQ {
       Learn.trapz(pts, "x", "y")
     },
 
+    // --- metrics accuracy_score with sample_weight + normalize
+    //     (_classification.py:136): integer-valued weights → both sums
+    //     exact in doubles (order-free) → unrounded compare
+    Q("learn_accuracy_weighted",
+      """WITH d AS (
+        |  SELECT CASE WHEN l_quantity <= 25 THEN 'lo' ELSE 'hi' END AS label,
+        |         CASE WHEN l_partkey % 50 <= 25 THEN 'lo' ELSE 'hi' END AS pred,
+        |         CAST(l_linenumber AS DOUBLE) AS w
+        |  FROM lineitem)
+        |SELECT
+        |  SUM(CASE WHEN label = pred THEN w ELSE CAST(0.0 AS DOUBLE) END)
+        |    / SUM(w) AS accuracy,
+        |  SUM(CASE WHEN label = pred THEN w ELSE CAST(0.0 AS DOUBLE) END)
+        |    AS hits
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val d = t(spark, dir, "lineitem").select(
+        when($"l_quantity" <= 25, "lo").otherwise("hi").as("label"),
+        when($"l_partkey" % 50 <= 25, "lo").otherwise("hi").as("pred"),
+        $"l_linenumber".cast("double").as("w"))
+      Learn.accuracyWeighted(d, "label", "pred", "w")
+        .crossJoin(Learn.accuracyWeighted(d, "label", "pred", "w",
+          normalize = false).select($"accuracy".as("hits")))
+    },
+
     // --- metrics multiclass log_loss (_classification.py:206 multiclass
     //     branch): eps-clip → in-row renormalize (ordered fold) → −ln of
     //     the true-class slot; cross-row mean as exact scaled integers

@@ -333,6 +333,17 @@ class LearnSpec extends SparkSpecBase {
     assert(a == expect && b == expect, s"$a / $b vs $expect")
   }
 
+  test("accuracyWeighted: weighted hits over weight total, raw with normalize=false") {
+    // hits: rows 1 (w=2) and 3 (w=5); total weight 2+3+5+10 = 20
+    val df = Seq(("a", "a", 2.0), ("a", "b", 3.0), ("b", "b", 5.0),
+      ("b", "a", 10.0)).toDF("yt", "yp", "w")
+    val norm = Learn.accuracyWeighted(df, "yt", "yp", "w")
+      .as[Double].collect().head
+    val raw = Learn.accuracyWeighted(df, "yt", "yp", "w", normalize = false)
+      .as[Double].collect().head
+    assert(norm == 7.0 / 20.0 && raw == 7.0)
+  }
+
   test("logLossMulticlass matches the hand-computed sklearn value") {
     // rows: (label, probs); probs already sum to 1 so renormalization is
     // a no-op; ll = -(ln .7 + ln .5 + ln .8) / 3
