@@ -738,6 +738,11 @@ final case class GraftFrame(df: DataFrame) {
   def gopherFlags(textCol: String, idCol: String): GraftFrame =
     GraftFrame(Curation.gopherFlags(df, textCol, idCol))
 
+  /** C4 line+document cleaning rules —
+    * [[graft.operators.Curation.c4Clean]]. */
+  def c4Clean(textCol: String, idCol: String): GraftFrame =
+    GraftFrame(Curation.c4Clean(df, textCol, idCol))
+
   /** Linear quality-classifier inference — see
     * [[graft.operators.Curation.linearTextScore]]. */
   def qualityClassifierScore(textCol: String, idCol: String,
@@ -770,6 +775,12 @@ final case class GraftFrame(df: DataFrame) {
   def mixtureSample(domainCol: String, idCol: String,
       weights: Map[String, Double], totalN: Long): GraftFrame =
     GraftFrame(Curation.mixtureSample(df, domainCol, idCol, weights, totalN))
+
+  /** Temperature-based re-mixing (p_d ∝ n_d^α) — see
+    * [[graft.operators.Curation.temperatureSample]]. */
+  def temperatureSample(domainCol: String, idCol: String, alpha: Double,
+      totalN: Long): GraftFrame =
+    GraftFrame(Curation.temperatureSample(df, domainCol, idCol, alpha, totalN))
 
   /** Token-budget sample (per-domain first-fit prefix) — see
     * [[graft.operators.Curation.tokenBudgetSample]]. */

@@ -165,7 +165,11 @@ object Curation {
       weights: Map[String, Double], totalN: Long): DataFrame = {
     require(totalN > 0 && weights.nonEmpty && weights.values.forall(_ > 0),
       "mixtureSample: totalN and every weight must be positive")
-    val wsum = weights.values.sum
+    // fold the normalizer in sorted domain order — a deterministic left
+    // fold any engine can replay (list_sum(list(w ORDER BY domain)));
+    // unordered Map iteration would make the float sum (and with it the
+    // floor'd targets) construction-order-dependent
+    val wsum = weights.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
     val targetCol = weights.foldLeft(lit(-1L)) { case (acc, (d, w)) =>
       when(col(domainCol) === d,
         lit(math.floor(totalN * w / wsum).toLong)).otherwise(acc)
@@ -178,6 +182,44 @@ object Curation {
       .filter(col("__rn") <= col("__tgt"))
       .drop("__tgt", "__rn")
   }
+
+  /** Temperature-smoothed domain weights (the multilingual / data-mixing
+    * standard — Arivazhagan et al. 2019, XLM-R: p_d ∝ (n_d/N)^α with
+    * α = 1/T): each domain's weight is its own document count raised to
+    * α, so α = 1 keeps natural proportions, α < 1 upsamples the tail,
+    * α = 0 is uniform. Returns the weight map for [[mixtureSample]].
+    *
+    * The per-domain counts are one partial+final aggregate; only the
+    * domain table (bounded by `maxDomains`, loud when exceeded) reaches
+    * the driver — the standard small-metadata collect, same contract as
+    * silhouette's guard. α = 0.5 routes through `sqrt` (IEEE
+    * correctly-rounded, so weights replay bit-identically in any
+    * engine); other α use `pow` (platform libm, ±1 ulp). */
+  def temperatureWeights(docs: DataFrame, domainCol: String,
+      alpha: Double, maxDomains: Int = 100000): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
+    val rows = docs.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxDomains + 1).collect()
+    require(rows.length <= maxDomains,
+      s"temperatureWeights: more than $maxDomains distinct domains — " +
+        "this is a domain-METADATA operator; raise maxDomains " +
+        "deliberately if the cardinality is intended")
+    rows.map { r =>
+      val n = r.getLong(1).toDouble
+      r.getString(0) -> (if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha))
+    }.toMap
+  }
+
+  /** Temperature-based corpus re-mixing: [[temperatureWeights]] composed
+    * with [[mixtureSample]] — resample to exactly
+    * floor(totalN · n_d^α / Σ n^α) documents per domain in PortableHash
+    * order. One count aggregate + one window per domain; rerun- and
+    * engine-stable. */
+  def temperatureSample(docs: DataFrame, domainCol: String, idCol: String,
+      alpha: Double, totalN: Long): DataFrame =
+    mixtureSample(docs, domainCol, idCol,
+      temperatureWeights(docs, domainCol, alpha), totalN)
 
   /** Token-budget sampling — [[mixtureSample]] measured in tokens instead
     * of documents (training mixtures are specified in tokens): per domain,
@@ -301,6 +343,52 @@ object Curation {
       col(idCol) +: size(ws).cast("long").as("n_words") +:
         flags.map { case (n, c) => c.as(n) } :+
         flags.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2, the public C4/mC4
+    * pipeline; the line-level sibling of [[gopherFlags]]'s document
+    * rules — the reference has no analog). A line survives iff it ends
+    * in terminal punctuation ('.', '!', '?', '"'), has at least
+    * `minLineWords` words, and does not mention "javascript"
+    * (case-insensitive). The whole document is dropped when the ORIGINAL
+    * text contains '{' (code) or any `badPhrases` entry
+    * (case-insensitive; C4's "lorem ipsum" placeholder rule), or when
+    * fewer than `minSentences` sentence enders ('.', '!', '?') survive
+    * line cleaning. Returns (id, n_lines, n_lines_kept, n_sentences,
+    * has_brace, has_phrase, kept, text_clean) — flags for audit, `kept`
+    * the verdict, `text_clean` the reassembled page.
+    *
+    * Pure per-row projection over the line split — zero shuffles,
+    * scan-speed at any corpus size, every rule deterministic string /
+    * integer arithmetic reproducible in any engine. */
+  def c4Clean(docs: DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      badPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    require(minLineWords >= 1 && minSentences >= 0,
+      s"need minLineWords >= 1 and minSentences >= 0, " +
+        s"got $minLineWords / $minSentences")
+    require(badPhrases.forall(p => p.nonEmpty && p == p.toLowerCase),
+      "badPhrases must be non-empty lowercase literals (matching is " +
+        "case-insensitive on a lowered copy of the text)")
+    val txt = col(textCol)
+    val lines = split(txt, "\n")
+    val keptLines = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, " ")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(keptLines, "\n")
+    val nSent = (length(clean) - length(translate(clean, ".!?", ""))).cast("long")
+    val hasBrace = txt.contains("{")
+    val hasPhrase = badPhrases.map(p => lower(txt).contains(p)).reduce(_ || _)
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(keptLines).cast("long").as("n_lines_kept"),
+      nSent.as("n_sentences"),
+      hasBrace.as("has_brace"),
+      hasPhrase.as("has_phrase"),
+      (!hasBrace && !hasPhrase && nSent >= minSentences).as("kept"),
+      clean.as("text_clean"))
   }
 
   /** fastText-style linear quality-classifier INFERENCE over hashed

@@ -1070,6 +1070,45 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- temperature-based re-mixing (p_d ∝ n_d^α, α = 0.5): the corpus
+    //     is skewed first (src0 full, src1 1-in-2, src2 1-in-5) so the
+    //     counts differ, then targets floor(totalN·√n_d / Σ√n) are
+    //     recomputed from scratch in SQL. √n is IEEE correctly-rounded
+    //     and the normalizer folds in sorted domain order on BOTH sides,
+    //     so the floor inputs are bit-identical — no boundary risk.
+    Q("ext_temperature_sample",
+      s"""WITH sub AS (
+         |  SELECT source, doc_id FROM documents
+         |  WHERE source = 'src0' OR (source = 'src1' AND doc_id % 40 = 1)
+         |     OR (source = 'src2' AND doc_id % 100 = 2)),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM sub GROUP BY source),
+         |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+         |s AS (SELECT list_sum(list(w ORDER BY source)) AS wsum FROM w),
+         |tgt AS (SELECT source,
+         |          CAST(floor(CAST(30 AS DOUBLE) * w / wsum) AS BIGINT) AS tgt
+         |        FROM w, s),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.PortableHash.sqlHash32("doc_id")},
+         |               doc_id) AS rn
+         |  FROM sub),
+         |k AS (SELECT r.source, doc_id FROM r JOIN tgt USING (source)
+         |      WHERE rn <= tgt)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sub = t(spark, dir, "documents").filter(
+        $"source" === "src0" || ($"source" === "src1" && $"doc_id" % 40 === 1) ||
+          ($"source" === "src2" && $"doc_id" % 100 === 2))
+      Curation.temperatureSample(sub, "source", "doc_id", alpha = 0.5, totalN = 30L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source")
+    },
+
     // --- token-budget sample: per-domain first-fit prefix in hash order
     //     under an exact BIGINT running total of n_chars — the
     //     token-denominated sibling of ext_mixture_sample
@@ -1597,6 +1636,84 @@ object Ext {
       graft.operators.Curation
         .gopherFlags(t(spark, dir, "documents"), "text", "doc_id")
         .orderBy($"doc_id")
+    },
+
+    // --- C4 line+document cleaning rules (Raffel et al. 2020 §2.2):
+    //     fixture texts are single-line and unpunctuated, so multi-line
+    //     pages are synthesized identically by both engines — each source
+    //     doc contributes one line whose ending cycles through the rule
+    //     space on doc_id % 7 (terminal '.', '!', '?', none, a short
+    //     line, a javascript line, a quote ending), and two gids get a brace /
+    //     lorem-ipsum line appended to trip the document rules. Every
+    //     output is exact string/integer arithmetic; the cleaned page is
+    //     fingerprinted.
+    Q("ext_c4_rules",
+      """WITH d AS (
+        |  SELECT doc_id, CASE doc_id % 7
+        |    WHEN 0 THEN text || '.'
+        |    WHEN 1 THEN text || '!'
+        |    WHEN 2 THEN text || '?'
+        |    WHEN 3 THEN text || ' and more'
+        |    WHEN 4 THEN 'short one.'
+        |    WHEN 5 THEN 'please enable JavaScript to view the page content.'
+        |    ELSE text || '."' END AS line
+        |  FROM documents WHERE doc_id < 240),
+        |synth AS (
+        |  SELECT gid, body || CASE
+        |      WHEN gid = 0 THEN chr(10) || 'var x = { code: 1 };'
+        |      WHEN gid = 1 THEN chr(10) ||
+        |        'this filler is Lorem Ipsum dolor sit amet placeholder text.'
+        |      ELSE '' END AS text
+        |  FROM (SELECT doc_id % 30 AS gid,
+        |               string_agg(line, chr(10) ORDER BY doc_id) AS body
+        |        FROM d GROUP BY doc_id % 30) b),
+        |k AS (
+        |  SELECT gid, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kl,
+        |    contains(text, '{') AS hb,
+        |    contains(lower(text), 'lorem ipsum') AS hp
+        |  FROM synth),
+        |c AS (SELECT gid, ls, kl, hb, hp,
+        |             array_to_string(kl, chr(10)) AS clean,
+        |             CAST(length(array_to_string(kl, chr(10)))
+        |               - length(translate(array_to_string(kl, chr(10)), '.!?', ''))
+        |               AS BIGINT) AS ns
+        |      FROM k)
+        |SELECT gid, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kl) AS BIGINT) AS n_lines_kept, ns AS n_sentences,
+        |  hb AS has_brace, hp AS has_phrase,
+        |  (NOT hb AND NOT hp AND ns >= 3) AS kept,
+        |  md5(clean) AS fp
+        |FROM c ORDER BY gid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val line = when($"doc_id" % 7 === 0, concat($"text", lit(".")))
+        .when($"doc_id" % 7 === 1, concat($"text", lit("!")))
+        .when($"doc_id" % 7 === 2, concat($"text", lit("?")))
+        .when($"doc_id" % 7 === 3, concat($"text", lit(" and more")))
+        .when($"doc_id" % 7 === 4, lit("short one."))
+        .when($"doc_id" % 7 === 5,
+          lit("please enable JavaScript to view the page content."))
+        .otherwise(concat($"text", lit(".\"")))
+      val synth = t(spark, dir, "documents").filter($"doc_id" < 240)
+        .withColumn("line", line)
+        .groupBy(($"doc_id" % 30).as("gid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"doc_id", $"line"))),
+          s => s.getField("line")), "\n").as("body"))
+        .select($"gid", concat($"body",
+          when($"gid" === 0, lit("\nvar x = { code: 1 };"))
+            .when($"gid" === 1,
+              lit("\nthis filler is Lorem Ipsum dolor sit amet placeholder text."))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Curation.c4Clean(synth, "text", "gid")
+        .select($"gid", $"n_lines", $"n_lines_kept", $"n_sentences",
+          $"has_brace", $"has_phrase", $"kept",
+          md5($"text_clean".cast("binary")).as("fp"))
+        .orderBy($"gid")
     },
 
     // --- linear quality-classifier inference (fastText-style): literal

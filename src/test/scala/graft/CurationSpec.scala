@@ -345,6 +345,52 @@ class CurationSpec extends SparkSpecBase {
     assert(math.abs(got(2L) - expected(Seq("gamma", "delta"))) < 1e-12)
   }
 
+  test("c4Clean: each line and document rule trips on a crafted offender") {
+    val long = (1 to 8).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // all three lines survive; 3 sentence enders → kept
+      (1L, s"$long.\n$long!\nis it $long?"),
+      // line rules: no terminal punct / too short / javascript mention
+      (2L, s"$long\nshort one.\nplease enable JavaScript to continue $long.\n$long.\n$long!\n$long?"),
+      // document rules: brace, lorem ipsum, too few sentences
+      (3L, s"$long. {x}\n$long!\n$long?"),
+      (4L, s"$long with Lorem Ipsum inside.\n$long!\n$long?"),
+      (5L, s"$long.\n$long!"),
+      // quote ending counts as terminal; '?' inside clean text counts a sentence
+      (6L, s"she said $long.\"\n$long!\nis it $long?"))
+      .toDF("doc_id", "text")
+    val got = Curation.c4Clean(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    // (n_lines, n_lines_kept, n_sentences, has_brace, has_phrase, kept)
+    assert(got(1L) === ((3L, 3L, 3L, false, false, true)))
+    assert(got(2L) === ((6L, 3L, 3L, false, false, true)),
+      "unpunctuated, short, and javascript lines drop; the rest keep the doc")
+    assert(got(3L)._4 && !got(3L)._6, "brace drops the page")
+    assert(got(4L)._5 && !got(4L)._6, "lorem ipsum drops the page")
+    assert(got(5L) === ((2L, 2L, 2L, false, false, false)),
+      "two sentences < minSentences=3")
+    assert(got(6L)._2 === 3L && got(6L)._6,
+      "a quote ending keeps its line; enders inside kept text count")
+  }
+
+  test("temperatureSample: α=1 keeps natural proportions, α=0.5 lifts the tail") {
+    val docs = ((1L to 160L).map(i => (i, "big")) ++
+      (161L to 170L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def kept(alpha: Double) =
+      Curation.temperatureSample(docs, "source", "doc_id", alpha, totalN = 50L)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+    // α=1: weights 160/10 → targets floor(50·160/170)=47, floor(50·10/170)=2
+    assert(kept(1.0) == Map("big" -> 47L, "small" -> 2L))
+    // α=0.5: √160≈12.649, √10≈3.162 → floor(50·w/Σ) = 40 and 10
+    assert(kept(0.5) == Map("big" -> 40L, "small" -> 10L))
+    // α=0: uniform weights → 25 each, capped by |small|=10
+    assert(kept(0.0) == Map("big" -> 25L, "small" -> 10L))
+    // deterministic across reruns
+    assert(kept(0.5) == kept(0.5))
+  }
+
   test("bm25 matches a hand-computed two-doc score") {
     import graft.functions.TextFunctions
     val docs = Seq(
