@@ -130,6 +130,66 @@ object VectorFunctions {
     size(filter(sortedArr,
       x => if (left) x < v else x <= v)).cast("long")
 
+  /** numpy take over the row axis (reference tensor/indexing/getitem.py
+    * fancy indexing / numpy take): literal index list, negative indices
+    * count from the end like numpy. Out-of-range indices fail loudly
+    * (ANSI element_at), matching numpy's IndexError. */
+  def take(a: Column, idx: Seq[Int]): Column = {
+    require(idx.nonEmpty, "take needs at least one index")
+    array(idx.map(i => element_at(a, if (i >= 0) i + 1 else i)): _*)
+  }
+
+  /** numpy compress over the row axis (reference
+    * tensor/indexing/compress.py): keep a[i] where the literal mask is
+    * true; like numpy, the mask may be shorter than the row (the tail is
+    * dropped) but a mask longer than the row fails loudly. */
+  def compress(a: Column, mask: Seq[Boolean]): Column = {
+    val kept = mask.zipWithIndex.collect { case (true, i) =>
+      element_at(a, i + 1)
+    }
+    if (kept.isEmpty) slice(a, 1, 0) else array(kept: _*)
+  }
+
+  /** numpy extract (reference tensor/indexing/extract.py): elements of
+    * `a` where the parallel condition array is true — the column-valued
+    * sibling of [[compress]]'s literal mask. Rows where the arrays have
+    * different lengths fail loudly (zip_with would silently null-pad). */
+  def extract(cond: Column, a: Column): Column = {
+    val checked = when(size(cond) === size(a), cond).otherwise(
+      raise_error(concat(lit("extract: condition length "),
+        size(cond).cast("string"), lit(" != array length "),
+        size(a).cast("string"))))
+    val z = zip_with(checked, a, (c, x) => struct(c.as("c"), x.as("x")))
+    transform(filter(z, s => s.getField("c")), s => s.getField("x"))
+  }
+
+  /** numpy flatnonzero (reference tensor/indexing/flatnonzero.py):
+    * 0-based indices of the non-zero (and non-null) elements. */
+  def flatnonzero(a: Column): Column =
+    filter(transform(a, (x, i) => when(x =!= 0, i.cast("long"))),
+      i => i.isNotNull)
+
+  /** numpy clip, elementwise over a row array (reference
+    * tensor/arithmetic/clip.py:154; the frame-level scalar clip lives on
+    * GraftFrame). */
+  def clipArray(a: Column, lo: Double, hi: Double): Column = {
+    require(lo <= hi, s"clip needs lo <= hi, got $lo > $hi")
+    transform(a, x => least(greatest(x, lit(lo)), lit(hi)))
+  }
+
+  /** numpy where(cond, a, b), elementwise over three parallel row arrays
+    * (reference tensor/base/where.py). Length mismatches fail loudly. */
+  def whereArray(cond: Column, a: Column, b: Column): Column = {
+    val checked = when(size(cond) === size(a) && size(a) === size(b), cond)
+      .otherwise(raise_error(concat(
+        lit("whereArray: lengths differ: cond="), size(cond).cast("string"),
+        lit(" a="), size(a).cast("string"),
+        lit(" b="), size(b).cast("string"))))
+    val ab = zip_with(a, b, (x, y) => struct(x.as("x"), y.as("y")))
+    zip_with(checked, ab, (c, s) =>
+      when(c, s.getField("x")).otherwise(s.getField("y")))
+  }
+
   /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -1226,6 +1226,56 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.14 tensor indexing family (indexing/getitem.py fancy index,
+    //     compress.py, extract.py, flatnonzero.py, arithmetic/clip.py,
+    //     base/where.py): per-row pure array expressions. Gate columns
+    //     are scalar probes — exact element picks, exact counts, and one
+    //     identical-shape clip/where pick; no cross-row float math.
+    Q("op_tensor_index",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |  FROM embeddings WHERE vec_id < 80),
+        |m AS (SELECT vec_id, a, len(a) AS n,
+        |    list_filter(a, x -> x > CAST(0.0 AS DOUBLE)) AS ex,
+        |    list_filter(list_transform(a,
+        |      (x, i) -> CASE WHEN x <> 0 THEN CAST(i - 1 AS BIGINT) END),
+        |      i -> i IS NOT NULL) AS nz,
+        |    list_transform(a, x -> least(greatest(x, CAST(-0.5 AS DOUBLE)),
+        |      CAST(0.5 AS DOUBLE))) AS cl
+        |  FROM e)
+        |SELECT vec_id,
+        |  a[1] AS t0, a[5] AS t4, a[n] AS tl,
+        |  a[3] AS cm2,
+        |  CAST(len(ex) AS BIGINT) AS ex_n,
+        |  CASE WHEN len(ex) > 0 THEN ex[1] END AS ex1,
+        |  CAST(len(nz) AS BIGINT) AS nz_n,
+        |  CASE WHEN len(nz) > 0 THEN nz[1] END AS nz1,
+        |  cl[1] AS clip1,
+        |  CASE WHEN a[1] > 0 THEN a[1] ELSE cl[1] END AS w1
+        |FROM m ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => x.cast("double"))
+      val tk = take(a, Seq(0, 4, -1))
+      val cm = compress(a, Seq(true, false, true))
+      val ex = extract(transform(a, x => x > 0.0), a)
+      val nz = flatnonzero(a)
+      val cl = clipArray(a, -0.5, 0.5)
+      val wh = whereArray(transform(a, x => x > 0.0), a, cl)
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          element_at(tk, 1).as("t0"), element_at(tk, 2).as("t4"),
+          element_at(tk, 3).as("tl"),
+          element_at(cm, 2).as("cm2"),
+          size(ex).cast("long").as("ex_n"),
+          when(size(ex) > 0, element_at(ex, 1)).as("ex1"),
+          size(nz).cast("long").as("nz_n"),
+          when(size(nz) > 0, element_at(nz, 1)).as("nz1"),
+          element_at(cl, 1).as("clip1"),
+          element_at(wh, 1).as("w1"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.13 corrwith (reference statistics/corr.py:286): per-order
     //     lineitem aggregates correlated column-by-column against the
     //     order header after a key-aligned join. Correlations are ~0.9 by

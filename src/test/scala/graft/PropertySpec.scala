@@ -390,4 +390,34 @@ class PropertySpec extends SparkSpecBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((3L, 1L, 0L, 4L)))
   }
+
+  test("tensor indexing ops: take/compress/extract/flatnonzero/clip/where") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(Tuple1(Seq(3.0, -1.0, 0.0, 7.0, -5.0))).toDF("a")
+    val cond = transform($"a", x => x > 0.0)
+    val got = df.select(
+      take($"a", Seq(0, 3, -1, -5)).as("tk"),
+      compress($"a", Seq(true, false, true)).as("cm"),
+      compress($"a", Seq(false, false)).as("cm0"),
+      extract(cond, $"a").as("ex"),
+      flatnonzero($"a").as("nz"),
+      clipArray($"a", -2.0, 2.0).as("cl"),
+      whereArray(cond, $"a", clipArray($"a", 0.0, 0.0)).as("wh")).collect()(0)
+    assert(got.getSeq[Double](0).toList == List(3.0, 7.0, -5.0, 3.0),
+      "take with positive, negative, and from-the-end indices")
+    assert(got.getSeq[Double](1).toList == List(3.0, 0.0),
+      "compress keeps masked positions; short mask drops the tail")
+    assert(got.getSeq[Double](2).toList == Nil, "all-false mask is empty")
+    assert(got.getSeq[Double](3).toList == List(3.0, 7.0))
+    assert(got.getSeq[Long](4).toList == List(0L, 1L, 3L, 4L),
+      "flatnonzero skips the exact zero")
+    assert(got.getSeq[Double](5).toList == List(2.0, -1.0, 0.0, 2.0, -2.0))
+    assert(got.getSeq[Double](6).toList == List(3.0, 0.0, 0.0, 7.0, 0.0),
+      "where(cond, a, 0) zeroes the non-positive slots")
+    // length-mismatch contracts fail loudly instead of null-padding
+    val bad = Seq((Seq(1.0, 2.0), Seq(true))).toDF("a", "c")
+    intercept[Exception] {
+      bad.select(extract($"c", $"a")).collect()
+    }
+  }
 }
