@@ -525,6 +525,59 @@ object Learn {
     scaled.drop(cols.flatMap(c => Seq(s"__md_$c", s"__q1_$c", s"__q3_$c")): _*)
   }
 
+  /** sklearn MaxAbsScaler (reference preprocessing/_data.py's scaler
+    * family): x / max|x| per column, one aggregate broadcast back.
+    * All-zero columns keep their zeros (sklearn's
+    * _handle_zeros_in_scale maps a 0 scale to 1). */
+  def maxAbsScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => max(abs(col(c))).as(s"__ma_$c"))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_scaled",
+        col(c) / when(col(s"__ma_$c") === 0.0, 1.0).otherwise(col(s"__ma_$c"))))
+    scaled.drop(cols.map(c => s"__ma_$c"): _*)
+  }
+
+  /** sklearn normalize(axis=1) over scalar columns (reference
+    * preprocessing/normalize.py:299): each row is scaled to unit l1/l2/
+    * max norm across `cols`; zero-norm rows keep their zeros (sklearn
+    * convention). Pure projection — zero shuffles, scan speed. */
+  def normalizeRows(df: DataFrame, cols: Seq[String], norm: String = "l2")
+      : DataFrame = {
+    require(cols.nonEmpty, "normalizeRows needs at least one column")
+    val xs = cols.map(c => col(c).cast("double"))
+    val n = norm match {
+      case "l1" => xs.map(abs).reduce(_ + _)
+      case "l2" => sqrt(xs.map(x => x * x).reduce(_ + _))
+      case "max" => greatest((xs.map(abs) :+ lit(0.0)): _*)
+      case o => throw new IllegalArgumentException(s"unknown norm: $o")
+    }
+    val safe = when(n === 0.0, 1.0).otherwise(n)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"${c}_norm", col(c).cast("double") / safe))
+  }
+
+  /** sklearn normalize over an `array<float>` embedding column — the
+    * l1/max generalization of [[l2Normalize]]; zero-norm rows keep
+    * their zeros. */
+  def normalizeArray(c: Column, ord: String = "l2"): Column = {
+    val n = rowNorm(c, ord)
+    val safe = when(n === 0.0, 1.0).otherwise(n)
+    transform(c, x => x.cast("double") / safe)
+  }
+
+  /** sklearn LabelEncoder (reference preprocessing/_label.py:39): codes
+    * 0..k−1 over the SORTED distinct labels. Delegates to the category
+    * dictionary-encode machinery (astypeCategory — identical contract:
+    * ordered distinct classes, broadcast join back); returns (encoded
+    * frame with `labelCol_code`, classes table (code, category)) — the
+    * classes table is `inverse_transform`. */
+  def labelEncode(df: DataFrame, labelCol: String): (DataFrame, DataFrame) = {
+    val (enc, classes) = graft.api.GraftFrame(df).astypeCategory(labelCol)
+    (enc.df, classes.df)
+  }
+
   /** Vector-wise MLlib StandardScaler over an `array<float>` column, for
     * embedding features. */
   def standardScaleVectors(df: DataFrame, featuresArrayCol: String): DataFrame = {

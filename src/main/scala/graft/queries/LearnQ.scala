@@ -346,6 +346,52 @@ object LearnQ {
         .orderBy($"c_custkey")
     },
 
+    // --- row normalize l1/l2/max + MaxAbsScaler (reference
+    //     preprocessing/normalize.py:299 and _data.py's scaler family):
+    //     every op is IEEE-exact arithmetic (abs/·²/+ in fixed column
+    //     order, sqrt, max, one division) on bit-identical inputs, so
+    //     the gate compares UNROUNDED doubles.
+    Q("learn_normalize",
+      """WITH b AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS x1,
+        |       CAST(c_custkey AS DOUBLE) AS x2,
+        |       CAST(c_nationkey AS DOUBLE) AS x3
+        |  FROM customer),
+        |n AS (SELECT c_custkey, x1, x2, x3,
+        |    abs(x1) + abs(x2) + abs(x3) AS n1,
+        |    sqrt(x1 * x1 + x2 * x2 + x3 * x3) AS n2,
+        |    greatest(greatest(greatest(abs(x1), abs(x2)), abs(x3)),
+        |      CAST(0.0 AS DOUBLE)) AS nm
+        |  FROM b),
+        |m AS (SELECT max(abs(CAST(c_acctbal AS DOUBLE))) AS ma FROM customer)
+        |SELECT c_custkey,
+        |  x1 / (CASE WHEN n1 = 0 THEN CAST(1.0 AS DOUBLE) ELSE n1 END) AS l1_acct,
+        |  x1 / (CASE WHEN n2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE n2 END) AS l2_acct,
+        |  x2 / (CASE WHEN n2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE n2 END) AS l2_key,
+        |  x1 / (CASE WHEN nm = 0 THEN CAST(1.0 AS DOUBLE) ELSE nm END) AS max_acct,
+        |  x1 / (CASE WHEN ma = 0 THEN CAST(1.0 AS DOUBLE) ELSE ma END) AS maxabs_acct
+        |FROM n, m WHERE c_custkey < 400 ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = t(spark, dir, "customer").select($"c_custkey",
+        $"c_acctbal".cast("double").as("x1"),
+        $"c_custkey".cast("double").as("x2"),
+        $"c_nationkey".cast("double").as("x3"))
+      val cols = Seq("x1", "x2", "x3")
+      val l1 = Learn.normalizeRows(base, cols, "l1")
+        .select($"c_custkey", $"x1_norm".as("l1_acct"))
+      val l2 = Learn.normalizeRows(base, cols, "l2")
+        .select($"c_custkey", $"x1_norm".as("l2_acct"), $"x2_norm".as("l2_key"))
+      val mx = Learn.normalizeRows(base, cols, "max")
+        .select($"c_custkey", $"x1_norm".as("max_acct"))
+      val ma = Learn.maxAbsScale(base, Seq("x1"))
+        .select($"c_custkey", $"x1_scaled".as("maxabs_acct"))
+      l1.join(l2, Seq("c_custkey")).join(mx, Seq("c_custkey"))
+        .join(ma, Seq("c_custkey"))
+        .filter($"c_custkey" < 400)
+        .select($"c_custkey", $"l1_acct", $"l2_acct", $"l2_key",
+          $"max_acct", $"maxabs_acct")
+        .orderBy($"c_custkey")
+    },
+
     // --- ridge regression, closed form (reference mars/learn Ridge
     //     surface): y ~ a + b·x with L2 penalty on the slope, solved as
     //     b = Sxy/(Sxx+λ) over centered sums. The five input sums go

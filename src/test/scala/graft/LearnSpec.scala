@@ -659,6 +659,36 @@ class LearnSpec extends SparkSpecBase {
       .select("x_scaled").collect().forall(_.isNullAt(0)))
   }
 
+  test("normalizeRows / normalizeArray / maxAbsScale / labelEncode semantics") {
+    val df = Seq((1L, 3.0, 4.0), (2L, 0.0, 0.0), (3L, -6.0, 8.0))
+      .toDF("id", "x", "y")
+    val l2 = Learn.normalizeRows(df, Seq("x", "y"), "l2")
+      .orderBy("id").select("x_norm", "y_norm").as[(Double, Double)].collect()
+    assert(l2.toList == List((0.6, 0.8), (0.0, 0.0), (-0.6, 0.8)),
+      "unit l2 rows; the all-zero row stays zero (sklearn)")
+    val l1 = Learn.normalizeRows(df, Seq("x", "y"), "l1")
+      .orderBy("id").select("x_norm").as[Double].collect()
+    assert(math.abs(l1(0) - 3.0 / 7.0) < 1e-15 && l1(2) === -6.0 / 14.0)
+    val mx = Learn.normalizeRows(df, Seq("x", "y"), "max")
+      .orderBy("id").select("x_norm", "y_norm").as[(Double, Double)].collect()
+    assert(mx.toList == List((0.75, 1.0), (0.0, 0.0), (-0.75, 1.0)))
+    val ma = Learn.maxAbsScale(df, Seq("x"))
+      .orderBy("id").select("x_scaled").as[Double].collect()
+    assert(ma.toList == List(0.5, 0.0, -1.0), "x / max|x| with max|x| = 6")
+    // array variant: l1 over a vector column, zero row intact
+    val arr = Seq(Tuple1(Seq(1.0f, -3.0f)), Tuple1(Seq(0.0f, 0.0f))).toDF("v")
+    val an = arr.select(Learn.normalizeArray(col("v"), "l1").as("n"))
+      .as[Seq[Double]].collect()
+    assert(an(0) == Seq(0.25, -0.75) && an(1) == Seq(0.0, 0.0))
+    // labelEncode: sorted distinct classes -> 0..k-1, inverse table returned
+    val labels = Seq("b", "a", "c", "a").toDF("y")
+    val (enc, classes) = Learn.labelEncode(labels, "y")
+    assert(enc.select("y", "y_code").as[(String, Long)].collect().toSet ==
+      Set(("a", 0L), ("b", 1L), ("c", 2L)))
+    assert(classes.orderBy("code").as[(Long, String)].collect().toList ==
+      List((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
   test("ridgeSimple: lambda=0 reproduces OLS; large lambda shrinks the slope") {
     // y = 3x + 2 exactly -> OLS slope 3, intercept 2
     val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 2.0)).toDF("x", "y")
