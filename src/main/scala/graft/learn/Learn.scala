@@ -820,6 +820,84 @@ object Learn {
         avg(col("x")).as("mean"), min(col("x")).as("mn"),
         max(col("x")).as("mx"), var_samp(col("x")).as("var"))
 
+  /** TruncatedSVD (reference mars/learn/decomposition/_truncated_svd.py):
+    * SVD of the UNCENTERED matrix — transform = X·V (= U·Σ), components
+    * = Vᵀ, singular values desc. Fit is the distributed RowMatrix SVD
+    * (one Gramian treeAggregate); transform broadcasts Vᵀ as a literal
+    * matvec — zero shuffle, scan speed at any row count. Returns
+    * (frame + `projection` array column, singular values, Vᵀ as k×dim).
+    * Explained-variance ratios follow sklearn: var_samp of each
+    * projection column over total input variance — compute them with
+    * ordinary aggregates on the returned frame (LearnSpec shows the
+    * recipe); they are not materialized here because transform is lazy. */
+  def truncatedSvd(df: DataFrame, featuresArrayCol: String, k: Int)
+      : (DataFrame, Array[Double], Seq[Seq[Double]]) = {
+    val (sv, v) = svd(df, featuresArrayCol, k)
+    val vt: Seq[Seq[Double]] =
+      (0 until k).map(j => v.indices.map(i => v(i)(j)).toSeq)
+    val out = df.withColumn("projection",
+      graft.functions.VectorFunctions.matvec(vt, col(featuresArrayCol)))
+    (out, sv, vt)
+  }
+
+  /** Distributed bagging bootstrap (reference
+    * mars/learn/ensemble/_bagging.py BaggingSample): `nEstimators`
+    * deterministic bootstrap samples in ONE pass — each row's
+    * multiplicity in sample t is Poisson(lambda) (the standard
+    * distributed approximation of sampling with replacement), drawn by
+    * inverse CDF over the portable uniform of key id·nEstimators + t, so
+    * samples are independent across estimators yet bit-reproducible
+    * across runs, partitionings, and engines. Rows with multiplicity 0
+    * are absent; survivors carry (estimator, weight). One projection +
+    * explode — no shuffle of the corpus.
+    *
+    * The inverse-CDF cutoffs are literal doubles in the plan (truncated
+    * at multiplicity 8, far beyond any mass at lambda ≤ 2 — documented
+    * cap, excess mass lands on 8). */
+  def baggingSample(df: DataFrame, idCol: String, nEstimators: Int,
+      lambda: Double = 1.0, seed: Long = 0L): DataFrame = {
+    require(nEstimators >= 1 && nEstimators <= 1000,
+      s"nEstimators must be in [1, 1000]: $nEstimators")
+    require(lambda > 0.0 && lambda <= 2.0,
+      s"lambda must be in (0, 2] (bootstrap fraction): $lambda")
+    require(seed >= 0, s"seed must be nonnegative (sqlHash32 contract): $seed")
+    val cut = poissonCdfCuts(lambda)
+    val est = explode(sequence(lit(0), lit(nEstimators - 1)))
+    val withEst = df.withColumn("estimator", est)
+    val key = col(idCol).cast("long") * nEstimators + col("estimator") +
+      lit(seed)
+    val u = graft.functions.PortableHash.uniform01(key)
+    val mult = cut.zipWithIndex.foldRight(lit(cut.length): Column) {
+      case ((c, i), acc) => when(u < lit(c), i).otherwise(acc)
+    }
+    withEst.withColumn("weight", mult.cast("long"))
+      .filter(col("weight") >= 1L)
+  }
+
+  /** Cumulative Poisson CDF cutoffs P(X ≤ m) for m = 0..7 — driver-side
+    * constants embedded as plan literals (and, via Double.toString's
+    * round-trip guarantee, as oracle SQL literals). */
+  def poissonCdfCuts(lambda: Double): Seq[Double] = {
+    var p = math.exp(-lambda)
+    var cum = p
+    val cuts = scala.collection.mutable.Buffer(cum)
+    for (m <- 1 to 7) { p = p * lambda / m; cum += p; cuts += cum }
+    cuts.toSeq
+  }
+
+  /** Majority vote across per-estimator predictions (reference
+    * mars/learn/ensemble/_blockwise.py BlockwiseVoting hard voting):
+    * one (id, estimator, prediction) frame in, the modal prediction per
+    * id out — deterministic min-label tiebreak. One count aggregate +
+    * one argmax aggregate, both partial+final. */
+  def baggingVote(pred: DataFrame, idCol: String, predCol: String): DataFrame =
+    pred.groupBy(col(idCol), col(predCol))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__votes"),
+        -col(predCol).cast("double"), col(predCol).as("__p")))
+        .getField("__p").as("prediction"))
+
   /** Matrix / vector-column norms (reference tensor norm): "fro" (whole
     * column of vectors), row-wise "l1"/"l2"/"linf" as expressions. */
   def frobeniusNorm(df: DataFrame, featuresArrayCol: String): Double =

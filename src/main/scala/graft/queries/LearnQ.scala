@@ -231,6 +231,68 @@ object LearnQ {
         .toDF("n_sv", "frob_sq", "monotonic")
     },
 
+    // --- decomposition: TruncatedSVD (uncentered SVD, transform = X·V).
+    //     Component signs are engine-specific, so the oracle checks the
+    //     input Frobenius energy exactly (per-element scaled-integer
+    //     cents — order-free BIGINT sum, no HUGEINT) and asserts the two
+    //     deterministic invariants Spark-side: ‖X·V‖²_F == Σσ² (the
+    //     projection captures exactly the top-k energy) and σ desc.
+    Q("learn_tsvd",
+      """SELECT CAST(4 AS BIGINT) AS n_components,
+        |  (SELECT CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |     * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   FROM (SELECT unnest(embedding) AS x FROM embeddings) e) AS frob_cents,
+        |  true AS energy_ok, true AS sv_sorted""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val (proj, sv, _) = Learn.truncatedSvd(e, "embedding", k = 4)
+      val projEnergy = proj.select(
+        sum(aggregate($"projection", lit(0.0), (acc, x) => acc + x * x)).as("pe"))
+        .collect().head.getDouble(0)
+      val svEnergy = sv.map(v => v * v).sum
+      val frobCents = e.select(
+        sum(aggregate($"embedding", lit(0L), (acc, x) =>
+          acc + floor(x.cast("double") * x.cast("double") * lit(100.0) +
+            lit(0.5)).cast("long"))).as("fc"))
+        .collect().head.getLong(0)
+      Seq((4L, frobCents,
+        math.abs(projEnergy - svEnergy) <= 1e-6 * svEnergy,
+        sv.zip(sv.tail).forall { case (a, b) => a >= b }))
+        .toDF("n_components", "frob_cents", "energy_ok", "sv_sorted")
+    },
+
+    // --- ensemble bagging bootstrap: 4 deterministic Poisson(1)
+    //     bootstrap samples in one pass; the oracle replays the portable
+    //     uniform and the literal inverse-CDF cutoffs (embedded via
+    //     Double.toString's round-trip guarantee, parsed as DOUBLE on
+    //     both sides) — counts, weights, and extrema all exact BIGINTs.
+    Q("learn_bagging", {
+      val cuts = graft.learn.Learn.poissonCdfCuts(1.0)
+      val caseArms = cuts.zipWithIndex.map { case (c, i) =>
+        s"WHEN u < CAST('$c' AS DOUBLE) THEN $i"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT c_custkey, unnest(range(4)) AS est
+         |  FROM customer WHERE c_custkey < 500),
+         |u AS (SELECT c_custkey, est,
+         |  ${graft.functions.PortableHash.sqlUniform01("c_custkey * 4 + est")} AS u
+         |  FROM t),
+         |m AS (SELECT c_custkey, est,
+         |  CASE $caseArms ELSE 8 END AS w FROM u)
+         |SELECT CAST(est AS BIGINT) AS estimator,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(w) AS BIGINT) AS total_weight,
+         |  min(c_custkey) AS first_key
+         |FROM m WHERE w >= 1 GROUP BY est ORDER BY estimator""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      Learn.baggingSample(t(spark, dir, "customer").filter($"c_custkey" < 500),
+          "c_custkey", nEstimators = 4, lambda = 1.0, seed = 0L)
+        .groupBy($"estimator".cast("long").as("estimator"))
+        .agg(count(lit(1)).as("n_rows"), sum($"weight").as("total_weight"),
+          min($"c_custkey").as("first_key"))
+        .orderBy($"estimator")
+    },
+
     // --- decomposition: pca. Eigenvector sign/order is engine-specific, so
     //     the oracle checks the total variance (recomputed exactly by
     //     DuckDB) plus deterministic spectrum invariants: the explained-

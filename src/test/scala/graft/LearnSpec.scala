@@ -659,6 +659,61 @@ class LearnSpec extends SparkSpecBase {
       .select("x_scaled").collect().forall(_.isNullAt(0)))
   }
 
+  test("truncatedSvd: k=dim captures all energy; rank-1 data needs one component") {
+    // rank-1 rows: i * (1, 2, 2) — one singular direction carries everything
+    val df = (1 to 40).map(i =>
+      Tuple1(Seq(i.toFloat, 2.0f * i, 2.0f * i))).toDF("embedding")
+    val (proj1, sv1, vt1) = Learn.truncatedSvd(df, "embedding", k = 1)
+    val total = df.select(
+      sum(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .as[Double].head()
+    assert(math.abs(sv1(0) * sv1(0) - total) < 1e-6 * total,
+      "rank-1 input: the single component carries the full Frobenius energy")
+    assert(vt1.length == 1 && vt1.head.length == 3)
+    val projEnergy = proj1.select(
+      sum(aggregate(col("projection"), lit(0.0), (acc, x) => acc + x * x)))
+      .as[Double].head()
+    assert(math.abs(projEnergy - total) < 1e-6 * total)
+    // sklearn explained-variance recipe over the projection column
+    val ev = proj1.select(var_samp(element_at(col("projection"), 1)))
+      .as[Double].head()
+    assert(ev > 0.0)
+  }
+
+  test("baggingSample: deterministic Poisson bootstrap; baggingVote majority") {
+    val df = (0L until 400L).map(i => (i, i % 2)).toDF("id", "y")
+    val s = Learn.baggingSample(df, "id", nEstimators = 3, lambda = 1.0)
+    val again = Learn.baggingSample(df, "id", nEstimators = 3, lambda = 1.0)
+    assert(s.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq, "bit-reproducible")
+    val perEst = s.groupBy("estimator")
+      .agg(sum("weight").as("w"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(perEst.keySet == Set(0, 1, 2))
+    // E[Σ weight] = 400·λ = 400 per estimator; loose binomial-ish bounds
+    perEst.values.foreach { case (w, n) =>
+      assert(w > 300 && w < 500, s"total weight $w far from 400")
+      assert(n > 200 && n < 320, s"kept rows $n far from 400(1-e^-1)≈253")
+    }
+    // the three samples are different draws
+    val ids = (0 to 2).map(t =>
+      s.filter(col("estimator") === t).select("id").as[Long].collect().toSet)
+    assert(ids(0) != ids(1) && ids(1) != ids(2))
+    // a different seed reshuffles the draws
+    val seeded = Learn.baggingSample(df, "id", nEstimators = 3, lambda = 1.0,
+      seed = 7L)
+    assert(seeded.filter(col("estimator") === 0).select("id")
+      .as[Long].collect().toSet != ids(0))
+    // majority vote with deterministic min-label tiebreak
+    val pred = Seq((1L, 0, 1.0), (1L, 1, 1.0), (1L, 2, 0.0),
+      (2L, 0, 0.0), (2L, 1, 1.0)).toDF("id", "estimator", "p")
+    val voted = Learn.baggingVote(pred, "id", "p")
+      .as[(Long, Double)].collect().toMap
+    assert(voted == Map(1L -> 1.0, 2L -> 0.0),
+      "id 1: 2-1 majority; id 2: 1-1 tie broken to the smaller label")
+  }
+
   test("normalizeRows / normalizeArray / maxAbsScale / labelEncode semantics") {
     val df = Seq((1L, 3.0, 4.0), (2L, 0.0, 0.0), (3L, -6.0, 8.0))
       .toDF("id", "x", "y")
