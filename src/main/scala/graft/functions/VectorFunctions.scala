@@ -190,6 +190,32 @@ object VectorFunctions {
       when(c, s.getField("x")).otherwise(s.getField("y")))
   }
 
+  // ---- tensor/base set routines (reference mars/tensor/base/: unique.py
+  //      per-row axis, in1d.py, setdiff1d.py; numpy also defines
+  //      intersect1d/union1d in the same family) — numpy returns SORTED
+  //      deduplicated results, so every op ends in sort∘distinct.
+
+  /** numpy unique over a row array: sorted distinct elements. */
+  def unique1d(a: Column): Column = array_sort(array_distinct(a))
+
+  /** numpy in1d (reference tensor/base/in1d.py): boolean mask of which
+    * elements of `a` appear in `b`. */
+  def in1d(a: Column, b: Column): Column =
+    transform(a, x => array_contains(b, x))
+
+  /** numpy intersect1d: sorted unique elements present in both arrays. */
+  def intersect1d(a: Column, b: Column): Column =
+    array_sort(array_distinct(array_intersect(a, b)))
+
+  /** numpy setdiff1d (reference tensor/base/setdiff1d.py): sorted unique
+    * elements of `a` not in `b`. */
+  def setdiff1d(a: Column, b: Column): Column =
+    array_sort(array_distinct(array_except(a, b)))
+
+  /** numpy union1d: sorted unique elements of either array. */
+  def union1d(a: Column, b: Column): Column =
+    array_sort(array_distinct(concat(a, b)))
+
   /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

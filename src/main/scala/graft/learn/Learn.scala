@@ -697,6 +697,66 @@ object Learn {
     new CholeskyDecomposition(new Array2DRowRealMatrix(a, false)).getL.getData
   }
 
+  /** Driver-local pivoted LU in the reference's scipy convention
+    * A = P·L·U (mt.linalg.lu — reference tensor/linalg/lu.py delegates
+    * to scipy.linalg.lu; broadcast-small regime like solve/inv — the
+    * tiled distributed factorization stays out of parity scope per
+    * SURVEY §2.14). commons-math factors P'·A = L·U with P' the row
+    * permutation, so the returned P is its transpose. */
+  def luSmall(a: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
+    import org.apache.commons.math3.linear._
+    val d = new LUDecomposition(new Array2DRowRealMatrix(a, false))
+    val p = d.getP.getData
+    val pT = Array.tabulate(p.length, p.length)((i, j) => p(j)(i))
+    (pT, d.getL.getData, d.getU.getData)
+  }
+
+  /** Driver-local triangular solve (mt.linalg.solve_triangular —
+    * reference tensor/linalg/solve_triangular.py): forward substitution
+    * for lower-triangular systems, back substitution for upper. Fails
+    * loudly on a zero pivot. */
+  def solveTriangularSmall(a: Array[Array[Double]], b: Array[Double],
+      lower: Boolean = true): Array[Double] = {
+    val n = a.length
+    require(a.forall(_.length == n) && b.length == n,
+      s"solveTriangularSmall needs a square n×n system matching b: n=$n")
+    val x = new Array[Double](n)
+    val order = if (lower) 0 until n else (n - 1) to 0 by -1
+    for (i <- order) {
+      var s = b(i)
+      if (lower) { var j = 0; while (j < i) { s -= a(i)(j) * x(j); j += 1 } }
+      else { var j = i + 1; while (j < n) { s -= a(i)(j) * x(j); j += 1 } }
+      require(a(i)(i) != 0.0, s"singular triangular matrix: zero pivot at $i")
+      x(i) = s / a(i)(i)
+    }
+    x
+  }
+
+  /** sklearn type_of_target (reference mars/learn/utils/multiclass.py):
+    * 'continuous' for numeric targets with fractional values, 'binary'
+    * for ≤ 2 distinct labels, 'multiclass' otherwise;
+    * 'multilabel-indicator' for array-valued targets. One partial+final
+    * aggregate over the column — nulls are ignored like sklearn (which
+    * rejects NaN before dispatch). */
+  def typeOfTarget(df: DataFrame, yCol: String): String = {
+    import org.apache.spark.sql.types._
+    df.schema(yCol).dataType match {
+      case _: ArrayType => "multilabel-indicator"
+      case _: NumericType =>
+        val y = col(yCol).cast("double")
+        val r = df.where(y.isNotNull).agg(
+          countDistinct(y).as("k"),
+          max((y =!= floor(y)).cast("int")).as("frac")).collect().head
+        if (r.getInt(1) == 1) "continuous"
+        else if (r.getLong(0) <= 2) "binary" else "multiclass"
+      case _ =>
+        val k = df.where(col(yCol).isNotNull)
+          .agg(countDistinct(col(yCol))).collect().head.getLong(0)
+        if (k <= 2) "binary" else "multiclass"
+    }
+  }
+
   /** Per-group simple OLS (y = intercept + slope·x) from ONE
     * partial+final moment aggregate — per-domain/per-segment trend
     * fitting at corpus scale: no window, no per-group second scan, the

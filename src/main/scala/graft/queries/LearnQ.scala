@@ -454,6 +454,40 @@ object LearnQ {
         .orderBy($"c_custkey")
     },
 
+    // --- sklearn type_of_target dispatch (reference
+    //     mars/learn/utils/multiclass.py): three live targets classified
+    //     from their own aggregates on both sides — fractional values →
+    //     continuous, ≤2 distinct → binary, else multiclass.
+    Q("learn_type_of_target",
+      """SELECT target, kind FROM (
+        |  SELECT 'acctbal' AS target, CASE
+        |    WHEN (SELECT max(CASE WHEN c_acctbal <> floor(c_acctbal)
+        |                     THEN 1 ELSE 0 END) FROM customer) = 1
+        |      THEN 'continuous'
+        |    WHEN (SELECT COUNT(DISTINCT c_acctbal) FROM customer) <= 2
+        |      THEN 'binary' ELSE 'multiclass' END AS kind
+        |  UNION ALL
+        |  SELECT 'nationkey', CASE
+        |    WHEN (SELECT max(CASE WHEN c_nationkey <> floor(c_nationkey)
+        |                     THEN 1 ELSE 0 END) FROM customer) = 1
+        |      THEN 'continuous'
+        |    WHEN (SELECT COUNT(DISTINCT c_nationkey) FROM customer) <= 2
+        |      THEN 'binary' ELSE 'multiclass' END
+        |  UNION ALL
+        |  SELECT 'parity', CASE
+        |    WHEN (SELECT COUNT(DISTINCT c_custkey % 2) FROM customer) <= 2
+        |      THEN 'binary' ELSE 'multiclass' END) t
+        |ORDER BY target""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val cust = t(spark, dir, "customer")
+      val withParity = cust.withColumn("parity", $"c_custkey" % 2)
+      Seq(
+        ("acctbal", Learn.typeOfTarget(cust, "c_acctbal")),
+        ("nationkey", Learn.typeOfTarget(cust, "c_nationkey")),
+        ("parity", Learn.typeOfTarget(withParity, "parity")))
+        .toDF("target", "kind").orderBy($"target")
+    },
+
     // --- ridge regression, closed form (reference mars/learn Ridge
     //     surface): y ~ a + b·x with L2 penalty on the slope, solved as
     //     b = Sxy/(Sxx+λ) over centered sums. The five input sums go

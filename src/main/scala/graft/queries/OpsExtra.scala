@@ -1276,6 +1276,51 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.14 tensor set routines (base/unique.py row axis, in1d.py,
+    //     setdiff1d.py + the numpy intersect1d/union1d siblings): the
+    //     float embeddings are bucketed to overlapping BIGINT grids
+    //     (floor(x·10), floor(x·7) — exact double ops) so the set
+    //     algebra is integer-exact; numpy's sorted-distinct convention
+    //     on both sides.
+    Q("op_tensor_setops",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS a,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 7) AS BIGINT)) AS b
+        |  FROM embeddings WHERE vec_id < 80),
+        |s AS (SELECT vec_id, a, b,
+        |    list_sort(list_distinct(a)) AS uq,
+        |    list_sort(list_distinct(list_intersect(a, b))) AS si,
+        |    list_sort(list_distinct(list_filter(a,
+        |      x -> NOT list_contains(b, x)))) AS sd,
+        |    list_sort(list_distinct(list_concat(a, b))) AS su
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(len(uq) AS BIGINT) AS uq_n, uq[1] AS uq1,
+        |  CAST(len(list_filter(a, x -> list_contains(b, x))) AS BIGINT) AS in_n,
+        |  CAST(len(si) AS BIGINT) AS int_n,
+        |  COALESCE(si[1], -999) AS int1,
+        |  CAST(len(sd) AS BIGINT) AS diff_n,
+        |  CAST(len(su) AS BIGINT) AS un_n
+        |FROM s ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => floor(x.cast("double") * 10).cast("long"))
+      val b = transform($"embedding", x => floor(x.cast("double") * 7).cast("long"))
+      val si = intersect1d(a, b)
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          size(unique1d(a)).cast("long").as("uq_n"),
+          element_at(unique1d(a), 1).as("uq1"),
+          size(filter(a, x => array_contains(b, x))).cast("long").as("in_n"),
+          size(si).cast("long").as("int_n"),
+          coalesce(when(size(si) > 0, element_at(si, 1)), lit(-999L)).as("int1"),
+          size(setdiff1d(a, b)).cast("long").as("diff_n"),
+          size(union1d(a, b)).cast("long").as("un_n"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.13 corrwith (reference statistics/corr.py:286): per-order
     //     lineitem aggregates correlated column-by-column against the
     //     order header after a key-aligned join. Correlations are ~0.9 by

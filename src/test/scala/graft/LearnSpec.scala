@@ -659,6 +659,50 @@ class LearnSpec extends SparkSpecBase {
       .select("x_scaled").collect().forall(_.isNullAt(0)))
   }
 
+  test("luSmall / solveTriangularSmall: reconstruction and substitution") {
+    val a = Array(
+      Array(0.0, 2.0, 1.0),
+      Array(4.0, 1.0, -1.0),
+      Array(2.0, 3.0, 5.0))
+    val (p, l, u) = Learn.luSmall(a)
+    // A = P·L·U in the scipy/reference convention
+    val n = 3
+    def mm(x: Array[Array[Double]], y: Array[Array[Double]]) =
+      Array.tabulate(n, n)((i, j) => (0 until n).map(k => x(i)(k) * y(k)(j)).sum)
+    val rec = mm(p, mm(l, u))
+    for (i <- 0 until n; j <- 0 until n)
+      assert(math.abs(rec(i)(j) - a(i)(j)) < 1e-12, s"PLU($i,$j)")
+    // L unit-lower, U upper
+    for (i <- 0 until n) assert(l(i)(i) === 1.0)
+    for (i <- 0 until n; j <- 0 until n if j > i) assert(l(i)(j) === 0.0)
+    for (i <- 0 until n; j <- 0 until n if j < i) assert(u(i)(j) === 0.0)
+    // triangular solves: forward on L, back on U
+    val lx = Learn.solveTriangularSmall(
+      Array(Array(2.0, 0.0), Array(1.0, 4.0)), Array(6.0, 11.0), lower = true)
+    assert(lx.toList == List(3.0, 2.0))
+    val ux = Learn.solveTriangularSmall(
+      Array(Array(3.0, 1.0), Array(0.0, 2.0)), Array(11.0, 4.0), lower = false)
+    assert(ux.toList == List(3.0, 2.0))
+    intercept[IllegalArgumentException] {
+      Learn.solveTriangularSmall(
+        Array(Array(0.0, 0.0), Array(1.0, 1.0)), Array(1.0, 1.0), lower = true)
+    }
+  }
+
+  test("typeOfTarget classifies continuous/binary/multiclass/multilabel") {
+    val df = Seq(
+      (1.5, 0L, "a", Seq(0, 1)),
+      (2.0, 1L, "b", Seq(1, 0)),
+      (3.5, 0L, "c", Seq(1, 1))).toDF("cont", "bin", "cls", "ml")
+    assert(Learn.typeOfTarget(df, "cont") == "continuous")
+    assert(Learn.typeOfTarget(df, "bin") == "binary")
+    assert(Learn.typeOfTarget(df, "cls") == "multiclass")
+    assert(Learn.typeOfTarget(df, "ml") == "multilabel-indicator")
+    // integer-valued doubles with 3 classes are multiclass, not continuous
+    val iv = Seq(1.0, 2.0, 3.0).toDF("y")
+    assert(Learn.typeOfTarget(iv, "y") == "multiclass")
+  }
+
   test("truncatedSvd: k=dim captures all energy; rank-1 data needs one component") {
     // rank-1 rows: i * (1, 2, 2) — one singular direction carries everything
     val df = (1 to 40).map(i =>
