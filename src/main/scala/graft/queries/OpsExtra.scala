@@ -953,6 +953,98 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"p", $"q", $"x")
     },
 
+    // --- §2.10/§2.14 ufunc surface, part 2 (the remaining
+    //     mars/tensor/arithmetic operands: square.py, reciprocal.py,
+    //     fabs.py, rint.py, trunc.py/fix.py, signbit.py, sinc.py,
+    //     maximum/minimum/fmax/fmin, hypot.py, logaddexp(.py/2.py),
+    //     copysign.py, fmod.py, float_power.py, lshift/rshift,
+    //     logical_*.py, isclose.py, nan_to_num.py, isfinite.py).
+    //     Exact-arith outputs compare unrounded; libm composites round
+    //     6. rint probes q/7 (never a .5 tie — 2q = 7·odd has no integer
+    //     solution), so DuckDB's half-away round agrees with Spark's
+    //     half-even rint; the tie semantics pin in UfuncsSpec. trunc of
+    //     a negative can be −0.0 in DuckDB but +0 via Spark's long ceil
+    //     → both sides append +0.0 per the signed-zero convention.
+    Q("op_ufunc_math2",
+      """SELECT l_orderkey, l_linenumber, p, q, x,
+        |  x * x AS u_square,
+        |  CAST(1.0 AS DOUBLE) / q AS u_reciprocal,
+        |  abs(x) AS u_fabs,
+        |  CAST(round(q / 7.0) AS BIGINT) AS u_rint,
+        |  trunc(-q / 7.0) + CAST(0.0 AS DOUBLE) AS u_trunc,
+        |  x < 0 AS u_signbit,
+        |  round(CASE WHEN x = 0 THEN CAST(1.0 AS DOUBLE)
+        |             ELSE sin(pi() * x) / (pi() * x) END, 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_sinc,
+        |  greatest(q, CAST(p % 50 AS DOUBLE)) AS u_max,
+        |  least(q, CAST(p % 50 AS DOUBLE)) AS u_min,
+        |  round(sqrt(x * x + (q / 10.0) * (q / 10.0)), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_hypot,
+        |  round(greatest(x, q / 50.0)
+        |    + ln(1.0 + exp(-abs(x - q / 50.0))), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_logaddexp,
+        |  round(greatest(x, q / 50.0)
+        |    + log2(1.0 + pow(2.0, -abs(x - q / 50.0))), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_logaddexp2,
+        |  CASE WHEN x < 0 THEN -abs(q) ELSE abs(q) END AS u_copysign,
+        |  fmod(q, 7.0) AS u_fmod,
+        |  round(pow(q, 0.3), 6) + CAST(0.0 AS DOUBLE) AS u_fpow,
+        |  CAST((p & 255) << 3 AS BIGINT) AS u_lshift,
+        |  CAST(p >> 2 AS BIGINT) AS u_rshift,
+        |  (x < 0 AND q >= 25) AS u_land,
+        |  (x < 0 OR q >= 25) AS u_lor,
+        |  (x < 0) <> (q >= 25) AS u_lxor,
+        |  NOT (x < 0) AS u_lnot,
+        |  abs(q - q * (CAST(1.0 AS DOUBLE) + CAST(0.000001 AS DOUBLE)))
+        |    <= CAST(0.00000001 AS DOUBLE)
+        |       + CAST(0.00001 AS DOUBLE)
+        |         * abs(q * (CAST(1.0 AS DOUBLE) + CAST(0.000001 AS DOUBLE))) AS u_close,
+        |  abs(q - (q + 1.0)) <= CAST(0.00000001 AS DOUBLE)
+        |    + CAST(0.00001 AS DOUBLE) * abs(q + 1.0) AS u_far,
+        |  x AS u_n2n,
+        |  true AS u_finite
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        l_discount - 0.05 AS x, CAST(l_quantity AS DOUBLE) AS q,
+        |        CAST(l_partkey AS BIGINT) AS p
+        |      FROM lineitem WHERE l_orderkey < 600) base
+        |ORDER BY l_orderkey, l_linenumber, p, q, x""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_discount" - 0.05).as("x"),
+          $"l_quantity".cast("double").as("q"),
+          $"l_partkey".cast("long").as("p"))
+      base.select($"l_orderkey", $"l_linenumber", $"p", $"q", $"x",
+        Ufuncs("square")($"x").as("u_square"),
+        Ufuncs("reciprocal")($"q").as("u_reciprocal"),
+        Ufuncs("fabs")($"x").as("u_fabs"),
+        Ufuncs("rint")($"q" / 7.0).cast("long").as("u_rint"),
+        (Ufuncs("trunc")(-$"q" / 7.0) + lit(0.0)).as("u_trunc"),
+        Ufuncs("signbit")($"x").as("u_signbit"),
+        r6(Ufuncs("sinc")($"x")).as("u_sinc"),
+        Ufuncs("maximum", $"q", ($"p" % 50).cast("double")).as("u_max"),
+        Ufuncs("minimum", $"q", ($"p" % 50).cast("double")).as("u_min"),
+        r6(Ufuncs("hypot", $"x", $"q" / 10.0)).as("u_hypot"),
+        r6(Ufuncs("logaddexp", $"x", $"q" / 50.0)).as("u_logaddexp"),
+        r6(Ufuncs("logaddexp2", $"x", $"q" / 50.0)).as("u_logaddexp2"),
+        Ufuncs("copysign", $"q", $"x").as("u_copysign"),
+        Ufuncs("fmod", $"q", lit(7.0)).as("u_fmod"),
+        r6(Ufuncs("float_power", $"q", lit(0.3))).as("u_fpow"),
+        Ufuncs("lshift", $"p".bitwiseAND(lit(255L)), lit(3)).as("u_lshift"),
+        Ufuncs("rshift", $"p", lit(2)).as("u_rshift"),
+        Ufuncs("logical_and", $"x" < 0, $"q" >= 25).as("u_land"),
+        Ufuncs("logical_or", $"x" < 0, $"q" >= 25).as("u_lor"),
+        Ufuncs("logical_xor", $"x" < 0, $"q" >= 25).as("u_lxor"),
+        Ufuncs("logical_not")($"x" < 0).as("u_lnot"),
+        Ufuncs("isclose", $"q", $"q" * (lit(1.0) + lit(1e-6))).as("u_close"),
+        Ufuncs("isclose", $"q", $"q" + 1.0).as("u_far"),
+        Ufuncs("nan_to_num")($"x").as("u_n2n"),
+        Ufuncs("isfinite")($"x").as("u_finite"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"p", $"q", $"x")
+    },
+
     // --- §2.14 scipy.special gamma family (mars/tensor/special/
     //     gamma_funcs.py) as pure Column arithmetic (Special.scala,
     //     Lanczos g=7 — no UDF). DuckDB has native lgamma/gamma; the two
