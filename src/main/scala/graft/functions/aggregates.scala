@@ -37,6 +37,26 @@ object aggregates {
   /** Product as a Column aggregate over a double column. */
   def product(c: Column): Column = udaf(new ProductAgg).apply(c)
 
+  /** Custom-reduction demo (reference reduction/custom_reduction.py:23,
+    * the user-defined pre/agg/post registry): Σ floor(x²·100 + 0.5) as
+    * exact cent-scaled BIGINTs — the accumulation is integer, so the
+    * reduction is order-free and replayable in any engine (the CLAUDE
+    * scaled-integer convention packaged as an [[Aggregator]]). Partial-
+    * aggregated map-side like every Aggregator. */
+  class SumSqCentsAgg extends Aggregator[Double, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: Double): Long =
+      b + math.floor(a * a * 100.0 + 0.5).toLong
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Sum-of-squares (in cents) as a Column aggregate — the custom
+    * [[Aggregator]] registry demo, oracle-checked in op_custom_agg. */
+  def sumSqCents(c: Column): Column = udaf(new SumSqCentsAgg).apply(c)
+
   /** Standard error of the mean: stddev_samp / sqrt(n), pandas `sem`. */
   def sem(c: Column): Column = stddev_samp(c) / sqrt(count(c))
 

@@ -276,6 +276,76 @@ object OpsRelational {
         .orderBy($"k")
     },
 
+    // --- §2.4 merge validate= (reference merge/core.py validate): the
+    //     m:1 uniqueness check PASSES on customer's unique key and the
+    //     validated merge must equal the plain join — which is exactly
+    //     what the oracle recomputes. (The failing direction raises and
+    //     is pinned in ReshapeSpec.)
+    Q("op_merge_validate",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 400
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "orders")
+        .rename("o_custkey" -> "c_custkey")
+        .mergeValidated(gt(spark, dir, "customer"), on = Seq("c_custkey"),
+          how = "inner", validate = "m:1")
+        .df.filter($"o_orderkey" < 400)
+        .select($"o_orderkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    // --- §2.8 nlargest/nsmallest: distributed TakeOrdered, never a full
+    //     output sort. Boundary ties make row IDENTITY ambiguous, so the
+    //     gate compares the value multiset (deterministic under ties).
+    Q("op_nlargest",
+      """SELECT v FROM (
+        |  (SELECT c_acctbal AS v FROM customer ORDER BY c_acctbal DESC LIMIT 15)
+        |  UNION ALL
+        |  (SELECT c_acctbal AS v FROM customer ORDER BY c_acctbal ASC LIMIT 15)) u
+        |ORDER BY v""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val c = gt(spark, dir, "customer")
+      c.nlargest(15, "c_acctbal").select("c_acctbal").rename("c_acctbal" -> "v")
+        .concatRows(
+          c.nsmallest(15, "c_acctbal").select("c_acctbal").rename("c_acctbal" -> "v"))
+        .sortValues(Seq("v")).df
+    },
+
+    // --- §2.3 rename / prefix / suffix / set_axis: the driver's compare
+    //     keys on COLUMN NAMES, so matching output headers IS the check.
+    Q("op_rename_axis",
+      """SELECT n_nationkey AS nk, n_name AS x_n_name_t, n_regionkey AS region
+        |FROM nation ORDER BY nk""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .addPrefix("x_").addSuffix("_t")
+        .setAxis(Seq("nk", "x_n_name_t", "region"))
+        .sortValues(Seq("nk")).df
+    },
+
+    // --- §2.5 CustomReduction registry (reduction/custom_reduction.py):
+    //     a user-defined Aggregator (Σ floor(x²·100+0.5) cents — integer
+    //     accumulation, order-free) through the same groupBy.agg path as
+    //     the built-ins, replayed exactly in SQL.
+    Q("op_custom_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(floor(l_quantity * l_quantity * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sumsq_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "lineitem").groupby("l_returnflag")
+        .aggCols(
+          "sumsq_cents" -> graft.functions.aggregates.sumSqCents(
+            $"l_quantity".cast("double")),
+          "n" -> count(lit(1)))
+        .sortValues(Seq("l_returnflag")).df
+    },
+
     // --- §2.4 concat (axis=0) via unionByName with different column order
     Q("op_concat_rows",
       """SELECT l_returnflag, COUNT(*) AS cnt FROM (
