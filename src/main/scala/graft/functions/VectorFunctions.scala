@@ -190,6 +190,38 @@ object VectorFunctions {
       when(c, s.getField("x")).otherwise(s.getField("y")))
   }
 
+  // ---- tensor reduction comparisons (reference mars/tensor/reduction/
+  //      allclose.py, array_equal.py; nanargmax.py/nanargmin.py) —
+  //      per-row expressions; reduce across rows with bool_and/every.
+
+  /** numpy allclose over two parallel row arrays: every pair within
+    * |a−b| ≤ atol + rtol·|b| (numpy defaults); false on length
+    * mismatch like a failed broadcast. */
+  def allcloseRows(a: Column, b: Column, rtol: Double = 1e-5,
+      atol: Double = 1e-8): Column =
+    size(a) === size(b) &&
+      forall(zip_with(a, b, (x, y) =>
+        abs(x.cast("double") - y.cast("double")) <=
+          lit(atol) + lit(rtol) * abs(y.cast("double"))), c => c)
+
+  /** numpy array_equal over two row arrays: same shape, same elements. */
+  def arrayEqualRows(a: Column, b: Column): Column =
+    size(a) === size(b) &&
+      forall(zip_with(a, b, (x, y) => x === y), c => c)
+
+  /** numpy nanargmax/nanargmin: 0-based index of the extreme non-NaN
+    * element (ties → first, numpy convention); null for all-NaN rows. */
+  def nanArgmax(a: Column): Column = {
+    val clean = filter(a, x => !isnan(x.cast("double")))
+    val m = array_max(clean)
+    when(size(clean) > 0, array_position(a, m).cast("long") - 1L)
+  }
+  def nanArgmin(a: Column): Column = {
+    val clean = filter(a, x => !isnan(x.cast("double")))
+    val m = array_min(clean)
+    when(size(clean) > 0, array_position(a, m).cast("long") - 1L)
+  }
+
   // ---- tensor/base set routines (reference mars/tensor/base/: unique.py
   //      per-row axis, in1d.py, setdiff1d.py; numpy also defines
   //      intersect1d/union1d in the same family) — numpy returns SORTED

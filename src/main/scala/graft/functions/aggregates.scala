@@ -60,6 +60,26 @@ object aggregates {
   /** Standard error of the mean: stddev_samp / sqrt(n), pandas `sem`. */
   def sem(c: Column): Column = stddev_samp(c) / sqrt(count(c))
 
+  // ---- NaN-skipping reductions (reference mars/tensor/reduction/
+  //      nansum.py and siblings): numpy's nan* family treats NaN as
+  //      missing. Spark aggregates skip NULL but PROPAGATE NaN, so the
+  //      whole family is one projection away: map NaN → null, then the
+  //      built-in (still partial+final, codegen'd).
+
+  /** NaN → null, the numpy-missing to SQL-missing bridge. */
+  def nanToNull(c: Column): Column =
+    when(isnan(c.cast("double")), lit(null)).otherwise(c.cast("double"))
+
+  def nanSum(c: Column): Column = sum(nanToNull(c))
+  def nanMean(c: Column): Column = avg(nanToNull(c))
+  def nanMax(c: Column): Column = max(nanToNull(c))
+  def nanMin(c: Column): Column = min(nanToNull(c))
+  def nanCount(c: Column): Column = count(nanToNull(c))
+  def nanVar(c: Column): Column = varFromMoments(nanToNull(c))
+  def nanStd(c: Column): Column = sqrt(varFromMoments(nanToNull(c)))
+  def nanProd(c: Column): Column = udaf(new ProductAgg).apply(
+    coalesce(nanToNull(c), lit(1.0)))
+
   /** Sample variance from explicit moment sums:
     * (m2 - m1^2/n) / (n - 1).
     * For integer-valued inputs the moment sums are exact in IEEE double, so

@@ -1413,6 +1413,87 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.14 NaN-skipping reductions (tensor/reduction/nansum.py and
+    //     siblings): NaNs are SYNTHESIZED deterministically (every 7th
+    //     quantity) on both sides — DuckDB parses 'NaN' — then mapped to
+    //     null and reduced. Sums/moments are integer-valued doubles
+    //     (exact, order-free); mean/var are fixed-shape closed forms
+    //     over them → unrounded bit-exact.
+    Q("op_nan_reductions",
+      """WITH b AS (SELECT l_returnflag,
+        |    CASE WHEN CAST(l_quantity AS BIGINT) % 7 = 0
+        |         THEN CAST('NaN' AS DOUBLE)
+        |         ELSE CAST(l_quantity AS DOUBLE) END AS x
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag,
+        |    CASE WHEN isnan(x) THEN NULL ELSE x END AS v FROM b)
+        |SELECT l_returnflag,
+        |  SUM(v) AS nansum,
+        |  CAST(COUNT(v) AS BIGINT) AS n,
+        |  max(v) AS nanmax, min(v) AS nanmin,
+        |  SUM(v) / CAST(COUNT(v) AS DOUBLE) AS nanmean,
+        |  (SUM(v * v) - SUM(v) * SUM(v) / CAST(COUNT(v) AS DOUBLE))
+        |    / (CAST(COUNT(v) AS DOUBLE) - 1.0) AS nanvar
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.aggregates._
+      val x = when($"l_quantity".cast("long") % 7 === 0, lit(Double.NaN))
+        .otherwise($"l_quantity".cast("double"))
+      t(spark, dir, "lineitem")
+        .select($"l_returnflag", x.as("x"))
+        .groupBy($"l_returnflag")
+        .agg(nanSum($"x").as("nansum"),
+          nanCount($"x").as("n"),
+          nanMax($"x").as("nanmax"), nanMin($"x").as("nanmin"),
+          (nanSum($"x") / nanCount($"x").cast("double")).as("nanmean"),
+          nanVar($"x").as("nanvar"))
+        .orderBy($"l_returnflag")
+    },
+
+    // --- §2.14 tensor comparison reductions (reduction/allclose.py,
+    //     array_equal.py, nanargmax.py/nanargmin.py): a 1e-9 relative
+    //     perturbation stays allclose, a +1 shift does not; equality and
+    //     arg extrema are exact. Fixed dim 64 lets the oracle walk
+    //     indices.
+    Q("op_allclose",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |  FROM embeddings WHERE vec_id < 80),
+        |m AS (SELECT vec_id, a,
+        |    list_transform(a, x -> x * (CAST(1.0 AS DOUBLE)
+        |      + CAST(0.000000001 AS DOUBLE))) AS b,
+        |    list_transform(a, x -> x + CAST(1.0 AS DOUBLE)) AS c
+        |  FROM e)
+        |SELECT vec_id,
+        |  len(list_filter(list_transform(range(1, 65),
+        |    i -> abs(a[i] - b[i]) <= CAST(0.00000001 AS DOUBLE)
+        |         + CAST(0.00001 AS DOUBLE) * abs(b[i])), t -> NOT t)) = 0
+        |    AS close_b,
+        |  len(list_filter(list_transform(range(1, 65),
+        |    i -> abs(a[i] - c[i]) <= CAST(0.00000001 AS DOUBLE)
+        |         + CAST(0.00001 AS DOUBLE) * abs(c[i])), t -> NOT t)) = 0
+        |    AS close_c,
+        |  (a = a) AS eq_a,
+        |  (a = b) AS eq_b,
+        |  CAST(list_position(a, list_max(a)) - 1 AS BIGINT) AS amax,
+        |  CAST(list_position(a, list_min(a)) - 1 AS BIGINT) AS amin
+        |FROM m ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => x.cast("double"))
+      val b = transform(a, x => x * (lit(1.0) + lit(1e-9)))
+      val c = transform(a, x => x + lit(1.0))
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          allcloseRows(a, b).as("close_b"),
+          allcloseRows(a, c).as("close_c"),
+          arrayEqualRows(a, a).as("eq_a"),
+          arrayEqualRows(a, b).as("eq_b"),
+          nanArgmax(a).as("amax"),
+          nanArgmin(a).as("amin"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.13 corrwith (reference statistics/corr.py:286): per-order
     //     lineitem aggregates correlated column-by-column against the
     //     order header after a key-aligned join. Correlations are ~0.9 by

@@ -45,6 +45,32 @@ class UfuncsSpec extends SparkSpecBase {
     assert(one(Ufuncs("reciprocal")(lit(4.0))) == 0.25)
   }
 
+  test("nan* reductions skip NaN; all-NaN groups return null") {
+    import graft.functions.aggregates._
+    val df = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0),
+      ("b", Double.NaN)).toDF("k", "x")
+    val r = df.groupBy("k").agg(
+      nanSum($"x").as("s"), nanCount($"x").as("n"),
+      nanMax($"x").as("mx"), nanMin($"x").as("mn"),
+      nanProd($"x").as("p"))
+      .orderBy("k").collect()
+    assert(r(0).getDouble(1) === 4.0 && r(0).getLong(2) === 2L)
+    assert(r(0).getDouble(3) === 3.0 && r(0).getDouble(4) === 1.0)
+    assert(r(0).getDouble(5) === 3.0, "nanprod skips the NaN")
+    assert(r(1).isNullAt(1) && r(1).getLong(2) === 0L,
+      "all-NaN group: null sum, zero count (numpy nansum of empty is 0; " +
+        "the SQL-missing convention surfaces null — callers coalesce)")
+    // nanargmax/min ignore NaN slots but index the ORIGINAL positions
+    import graft.functions.VectorFunctions._
+    val arr = Seq(
+      Tuple1(Seq(Double.NaN, 5.0, 2.0)),
+      Tuple1(Seq(Double.NaN, Double.NaN, Double.NaN))).toDF("a")
+    val got = arr.select(nanArgmax($"a").as("x"), nanArgmin($"a").as("n"))
+      .collect()
+    assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 2L)
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1), "all-NaN row → null")
+  }
+
   test("logaddexp is a stable log-sum-exp; hypot matches the closed form") {
     val g = one(Ufuncs("logaddexp", lit(700.0), lit(700.0))).asInstanceOf[Double]
     assert(math.abs(g - (700.0 + math.log(2.0))) < 1e-12,
