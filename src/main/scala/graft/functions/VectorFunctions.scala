@@ -190,6 +190,54 @@ object VectorFunctions {
       when(c, s.getField("x")).otherwise(s.getField("y")))
   }
 
+  // ---- tensor/base editing + order (reference mars/tensor/base/:
+  //      insert.py, delete.py, array_split.py, argsort.py/sort.py) —
+  //      pure slice/concat/struct-sort expressions, no UDFs.
+
+  /** numpy insert at a literal position (negative counts from the end;
+    * positions beyond the ends clamp, numpy's convention). */
+  def insertAt(a: Column, pos: Int, v: Column): Column = {
+    val n = size(a)
+    val p =
+      if (pos >= 0) least(lit(pos), n)
+      else greatest(n + lit(pos), lit(0))
+    concat(slice(a, lit(1), p), array(v), slice(a, p + 1, n - p))
+  }
+
+  /** numpy delete at a literal position (negative from the end);
+    * out-of-range fails loudly like numpy's IndexError. */
+  def deleteAt(a: Column, pos: Int): Column = {
+    val n = size(a)
+    val p0 = if (pos >= 0) lit(pos) else n + lit(pos)
+    val p = when(p0 >= 0 && p0 < n, p0).otherwise(raise_error(concat(
+      lit(s"deleteAt: index $pos out of range for length "), n.cast("string"))))
+    concat(slice(a, lit(1), p), slice(a, p + 2, n - p - 1))
+  }
+
+  /** numpy array_split into k parts: the first (n mod k) parts carry
+    * ⌈n/k⌉ elements, the rest ⌊n/k⌋ — uneven lengths allowed, unlike
+    * strict split. Returns an array of k subarrays. */
+  def arraySplit(a: Column, k: Int): Column = {
+    require(k >= 1, s"array_split needs k >= 1: $k")
+    val n = size(a)
+    // Column `/` is double division — floor back to the integer quotient
+    val base = floor(n / lit(k)).cast("int")
+    val rem = n % k
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      slice(a, i * base + least(i, rem) + 1,
+        when(i < rem, base + 1).otherwise(base)))
+  }
+
+  /** numpy argsort over a row array: 0-based indices sorting ascending,
+    * ties stable by original position (struct sort orders by value then
+    * index — the same lexicographic rule any engine applies). */
+  def argsortRow(a: Column): Column =
+    when(size(a) === 0, array().cast("array<long>")).otherwise(
+      transform(
+        array_sort(zip_with(a, sequence(lit(0), size(a) - 1),
+          (v, i) => struct(v.as("v"), i.as("i")))),
+        s => s.getField("i").cast("long")))
+
   // ---- tensor reduction comparisons (reference mars/tensor/reduction/
   //      allclose.py, array_equal.py; nanargmax.py/nanargmin.py) —
   //      per-row expressions; reduce across rows with bool_and/every.

@@ -1413,6 +1413,54 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.14 tensor editing + order (base/insert.py, delete.py,
+    //     array_split.py, argsort.py): slice/concat probes are exact
+    //     element picks; argsort's stable tie rule is the same
+    //     lexicographic (value, index) struct sort on both engines.
+    //     dim 64 = 5·12+4 exercises array_split's uneven-part rule.
+    Q("op_tensor_edit",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |  FROM embeddings WHERE vec_id < 80),
+        |m AS (SELECT vec_id, a, len(a) AS n,
+        |    list_transform(list_sort(list_transform(range(1, len(a) + 1),
+        |      i -> {'v': a[i], 'i': i - 1})), s -> CAST(s.i AS BIGINT)) AS srt
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(n + 1 AS BIGINT) AS ins_n,
+        |  CAST(-7.0 AS DOUBLE) AS ins_at3,
+        |  a[4] AS ins_at4,
+        |  CAST(n - 1 AS BIGINT) AS del_n,
+        |  a[2] AS del_first,
+        |  CAST(13 AS BIGINT) AS part1_n,
+        |  a[27] AS part3_first,
+        |  a[n] AS part5_last,
+        |  srt[1] AS as_first, srt[n] AS as_last
+        |FROM m ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => x.cast("double"))
+      val ins = insertAt(a, 3, lit(-7.0))
+      val del = deleteAt(a, 0)
+      val sp = arraySplit(a, 5)
+      val srt = argsortRow(a)
+      // part starts for n=64, k=5: sizes 13,13,13,13,12; part 3 starts at
+      // 0-based 26 → source a[27]; part 5 ends at the source tail
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          size(ins).cast("long").as("ins_n"),
+          element_at(ins, 4).as("ins_at3"),
+          element_at(ins, 5).as("ins_at4"),
+          size(del).cast("long").as("del_n"),
+          element_at(del, 1).as("del_first"),
+          size(element_at(sp, 1)).cast("long").as("part1_n"),
+          element_at(element_at(sp, 3), 1).as("part3_first"),
+          element_at(element_at(sp, 5), 12).as("part5_last"),
+          element_at(srt, 1).as("as_first"),
+          element_at(srt, size(srt)).as("as_last"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.14 NaN-skipping reductions (tensor/reduction/nansum.py and
     //     siblings): NaNs are SYNTHESIZED deterministically (every 7th
     //     quantity) on both sides — DuckDB parses 'NaN' — then mapped to

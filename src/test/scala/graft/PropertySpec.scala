@@ -391,6 +391,50 @@ class PropertySpec extends SparkSpecBase {
       ((3L, 1L, 0L, 4L)))
   }
 
+  test("property: array_split covers every element with numpy's uneven rule") {
+    import graft.functions.VectorFunctions
+    val nGen = Gen.chooseNum(0, 40)
+    val kGen = Gen.chooseNum(1, 7)
+    forAll(nGen, kGen) { (n, k) =>
+      val xs = (1 to n).map(_.toDouble)
+      val got = Seq(Tuple1(xs)).toDF("a")
+        .select(VectorFunctions.arraySplit($"a", k).as("p"))
+        .collect()(0).getSeq[scala.collection.Seq[Double]](0)
+      assert(got.length == k)
+      assert(got.flatten.toList == xs.toList, "concatenation restores the row")
+      val base = n / k; val rem = n % k
+      got.zipWithIndex.foreach { case (part, i) =>
+        assert(part.length == (if (i < rem) base + 1 else base),
+          s"part $i of n=$n k=$k")
+      }
+    }
+  }
+
+  test("insertAt/deleteAt/argsortRow: numpy edge conventions") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(Tuple1(Seq(30.0, 10.0, 20.0, 10.0))).toDF("a")
+    val got = df.select(
+      insertAt($"a", 1, lit(99.0)).as("ins"),
+      insertAt($"a", -1, lit(99.0)).as("insNeg"),
+      insertAt($"a", 100, lit(99.0)).as("insClamp"),
+      deleteAt($"a", -1).as("delNeg"),
+      argsortRow($"a").as("srt")).collect()(0)
+    assert(got.getSeq[Double](0).toList == List(30.0, 99.0, 10.0, 20.0, 10.0))
+    assert(got.getSeq[Double](1).toList == List(30.0, 10.0, 20.0, 99.0, 10.0),
+      "numpy insert at -1 puts the value before the last element")
+    assert(got.getSeq[Double](2).toList == List(30.0, 10.0, 20.0, 10.0, 99.0),
+      "past-the-end positions clamp to append")
+    assert(got.getSeq[Double](3).toList == List(30.0, 10.0, 20.0))
+    assert(got.getSeq[Long](4).toList == List(1L, 3L, 2L, 0L),
+      "stable: the tied 10.0s keep original order (index 1 before 3)")
+    intercept[Exception] {
+      df.select(deleteAt($"a", 7)).collect()
+    }
+    // empty row: argsort of [] is []
+    val empty = Seq(Tuple1(Seq.empty[Double])).toDF("a")
+    assert(empty.select(argsortRow($"a")).collect()(0).getSeq[Long](0).isEmpty)
+  }
+
   test("tensor indexing ops: take/compress/extract/flatnonzero/clip/where") {
     import graft.functions.VectorFunctions._
     val df = Seq(Tuple1(Seq(3.0, -1.0, 0.0, 7.0, -5.0))).toDF("a")
