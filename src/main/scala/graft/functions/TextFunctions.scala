@@ -127,6 +127,38 @@ object TextFunctions {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  // --- URL canonicalization (the CCNet/RefinedWeb URL-dedup key: crawls
+  //     revisit the same page under scheme/case/tracking-param/fragment
+  //     variants). Regexes avoid lookarounds so Java regex and RE2 agree.
+
+  /** Canonicalize a URL for dedup keying: lowercase scheme+host, https →
+    * http (scheme variants alias), strip the #fragment, strip tracking
+    * params (utm_*, fbclid, gclid, ref), drop an then-empty '?', drop
+    * one trailing slash (the root slash too: example.com and
+    * example.com/ alias). Pure codegen'd regexp_replace chain —
+    * scan-speed, no UDF. */
+  def normalizeUrl(url: Column): Column = {
+    // lowercase scheme://host (up to the first '/', '?' or '#'), keep
+    // the rest as-is: split via capture groups
+    val lowered = concat(
+      lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(url, "^[^/?#]*//[^/?#]*", ""))
+    val scheme = regexp_replace(lowered, "^https://", "http://")
+    val noFrag = regexp_replace(scheme, "#.*$", "")
+    // tracking params: a non-final param promotes its successor onto the
+    // separator ($1); applied twice so runs of up to three consecutive
+    // tracking params resolve (regexp_replace consumes the separator, so
+    // one pass skips adjacent matches); the tail form then drops a final
+    // tracking param outright
+    val trackMid = "([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&"
+    val noTrackMid = regexp_replace(
+      regexp_replace(noFrag, trackMid, "$1"), trackMid, "$1")
+    val noTrack = regexp_replace(noTrackMid,
+      "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
+    val noEmptyQ = regexp_replace(noTrack, "\\?$", "")
+    regexp_replace(noEmptyQ, "([^/])/$", "$1")
+  }
+
   /** Per-category PII hit counts on the raw text. */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
     "n_email" -> size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"),

@@ -72,6 +72,21 @@ object Dedup {
       Seq("__fp"), idCol)
       .drop("__fp")
 
+  /** URL-level dedup — the CCNet/RefinedWeb FIRST pass, before any
+    * content dedup (crawls revisit one page under scheme / case /
+    * tracking-param / fragment variants; the reference has no analog):
+    * canonicalize with [[TextFunctions.normalizeUrl]], keep the min-id
+    * document per canonical URL. Same keep-first semi-join shape as
+    * [[exactTextDedup]] — only (key, id) pairs shuffle for the keep
+    * decision, never document bodies. The canonical key survives as
+    * `url_norm`. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    dropDuplicates(
+      fanOutScan(docs).withColumn("__url_norm",
+        TextFunctions.normalizeUrl(col(urlCol))),
+      Seq("__url_norm"), idCol)
+      .withColumnRenamed("__url_norm", "url_norm")
+
   /** Exact LINE-level dedup across the corpus (the RefinedWeb/CCNet exact
     * substring pass that runs before document-level dedup): every line is
     * kept only at its FIRST occurrence over the total order

@@ -1638,6 +1638,60 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- URL canonicalization + dedup (the CCNet/RefinedWeb first pass):
+    //     five crawl variants of each page — host case, https, tracking
+    //     params (a run of two), fragment, and a REAL query param that
+    //     must survive — are synthesized identically; both engines
+    //     normalize and keep the min-id doc per canonical URL. Expected:
+    //     variants 0–3 collapse, the ?a=1 variant stays distinct.
+    Q("ext_url_dedup",
+      """WITH u AS (SELECT doc_id,
+        |    CASE CAST(doc_id // 100 AS BIGINT)
+        |      WHEN 0 THEN 'http://Example.COM/page/' || CAST(doc_id % 100 AS VARCHAR)
+        |      WHEN 1 THEN 'https://example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+        |      WHEN 2 THEN 'http://example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+        |                  || '?utm_source=feed&utm_medium=rss'
+        |      WHEN 3 THEN 'http://example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+        |                  || '#section-2'
+        |      ELSE 'http://example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+        |           || '?a=1&gclid=xyz' END AS url
+        |  FROM documents WHERE doc_id < 500),
+        |n0 AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1))
+        |      || regexp_replace(url, '^[^/?#]*//[^/?#]*', '') AS s FROM u),
+        |n1 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '^https://', 'http://'), '#.*$', '') AS s FROM n0),
+        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\1', 'g'),
+        |    '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\1', 'g') AS s
+        |  FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+        |    '\?$', ''), '([^/])/$', '\1') AS url_norm FROM n2),
+        |k AS (SELECT url_norm, min(doc_id) AS doc_id
+        |      FROM n3 GROUP BY url_norm)
+        |SELECT doc_id, url_norm FROM k ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val gidS = ($"doc_id" % 100).cast("string")
+      val url = when(($"doc_id" / 100).cast("long") === 0,
+          concat(lit("http://Example.COM/page/"), gidS))
+        .when(($"doc_id" / 100).cast("long") === 1,
+          concat(lit("https://example.com/page/"), gidS, lit("/")))
+        .when(($"doc_id" / 100).cast("long") === 2,
+          concat(lit("http://example.com/page/"), gidS,
+            lit("?utm_source=feed&utm_medium=rss")))
+        .when(($"doc_id" / 100).cast("long") === 3,
+          concat(lit("http://example.com/page/"), gidS, lit("#section-2")))
+        .otherwise(concat(lit("http://example.com/page/"), gidS,
+          lit("?a=1&gclid=xyz")))
+      Dedup.urlDedup(
+          t(spark, dir, "documents").filter($"doc_id" < 500)
+            .select($"doc_id", url.as("url")),
+          "url", "doc_id")
+        .select($"doc_id", $"url_norm")
+        .orderBy($"doc_id")
+    },
+
     // --- C4 line+document cleaning rules (Raffel et al. 2020 §2.2):
     //     fixture texts are single-line and unpunctuated, so multi-line
     //     pages are synthesized identically by both engines — each source

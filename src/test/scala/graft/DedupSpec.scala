@@ -409,4 +409,31 @@ class DedupSpec extends SparkSpecBase {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq(("a", 3L, 6L, 18L), ("b", 2L, 6L, 12L)))
   }
+
+  test("normalizeUrl canonicalizes crawl variants; urlDedup keeps min id") {
+    import graft.functions.TextFunctions
+    val urls = Seq(
+      "http://Example.COM/Page/1",            // host lowered, PATH case kept
+      "https://example.com/page/2/",          // scheme alias + trailing slash
+      "http://example.com/page/3?utm_source=a&utm_medium=b&utm_campaign=c",
+      "http://example.com/page/4?a=1&fbclid=zz#frag",
+      "http://example.com/page/5?utm_source=x&b=2",
+      "http://example.com/")    // root slash strips too: com and com/ alias
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val norm = urls.select(TextFunctions.normalizeUrl($"url"))
+      .as[String].collect().toList
+    assert(norm == List(
+      "http://example.com/Page/1",
+      "http://example.com/page/2",
+      "http://example.com/page/3",
+      "http://example.com/page/4?a=1",
+      "http://example.com/page/5?b=2",
+      "http://example.com"))
+    val docs = Seq((5L, "http://A.com/x"), (2L, "https://a.com/x/"),
+      (9L, "http://a.com/x#f"), (7L, "http://a.com/y"))
+      .toDF("doc_id", "url")
+    val kept = Dedup.urlDedup(docs, "url", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toList
+    assert(kept == List(2L, 7L), "min id per canonical URL")
+  }
 }
