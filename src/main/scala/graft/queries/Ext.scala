@@ -1638,6 +1638,95 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- curation pipeline v5, this round's ops end-to-end: URL dedup
+    //     (two crawl variants per page) → C4 line/document rules (a
+    //     brace page and a two-sentence page per 10 ids drop) →
+    //     temperature re-mix (α = 0.5, totalN = 60). Every stage is
+    //     replayed from scratch in SQL — url regex chain, line filter,
+    //     sentence count, √n targets through the sorted-domain fold.
+    Q("ext_curation5",
+      s"""WITH b AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id < 250
+         |         THEN 'http://site.com/p/' || CAST(doc_id % 250 AS VARCHAR)
+         |         ELSE 'https://site.com/p/' || CAST(doc_id % 250 AS VARCHAR)
+         |              || '/?utm_source=x' END AS url,
+         |    CASE WHEN doc_id % 10 = 3
+         |         THEN text || '.' || chr(10) || 'var x = { y };' || chr(10)
+         |              || text || '!'
+         |         WHEN doc_id % 10 = 7
+         |         THEN text || '.' || chr(10) || text || '!'
+         |         ELSE text || '.' || chr(10) || text || '!' || chr(10)
+         |              || 'is it ' || text || '?' END AS page
+         |  FROM documents WHERE doc_id < 500),
+         |n0 AS (SELECT doc_id,
+         |    lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1))
+         |      || regexp_replace(url, '^[^/?#]*//[^/?#]*', '') AS s FROM b),
+         |n3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(s, '^https://', 'http://'),
+         |      '#.*$$', ''),
+         |    '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+         |    '\\?$$', ''), '([^/])/$$', '\\1') AS url_norm FROM n0),
+         |uk AS (SELECT url_norm, min(doc_id) AS doc_id FROM n3
+         |       GROUP BY url_norm),
+         |ud AS (SELECT b.doc_id, b.source, b.page FROM b
+         |       JOIN uk ON b.doc_id = uk.doc_id),
+         |c AS (SELECT doc_id, source,
+         |    array_to_string(list_filter(string_split(page, chr(10)), l ->
+         |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+         |        OR ends_with(l, '"'))
+         |      AND len(string_split(l, ' ')) >= 5
+         |      AND NOT contains(lower(l), 'javascript')), chr(10)) AS clean,
+         |    contains(page, '{') AS hb,
+         |    contains(lower(page), 'lorem ipsum') AS hp
+         |  FROM ud),
+         |k AS (SELECT doc_id, source FROM c
+         |      WHERE NOT hb AND NOT hp
+         |        AND length(clean) - length(translate(clean, '.!?', '')) >= 3),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM k GROUP BY source),
+         |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+         |sm AS (SELECT list_sum(list(w ORDER BY source)) AS wsum FROM w),
+         |tgt AS (SELECT source,
+         |          CAST(floor(CAST(60 AS DOUBLE) * w / wsum) AS BIGINT) AS tgt
+         |        FROM w, sm),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.PortableHash.sqlHash32("doc_id")},
+         |               doc_id) AS rn
+         |  FROM k),
+         |f AS (SELECT r.source, doc_id FROM r JOIN tgt USING (source)
+         |      WHERE rn <= tgt)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM f GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val gidS = ($"doc_id" % 250).cast("string")
+      val url = when($"doc_id" < 250,
+          concat(lit("http://site.com/p/"), gidS))
+        .otherwise(concat(lit("https://site.com/p/"), gidS,
+          lit("/?utm_source=x")))
+      val page = when($"doc_id" % 10 === 3,
+          concat($"text", lit(".\nvar x = { y };\n"), $"text", lit("!")))
+        .when($"doc_id" % 10 === 7,
+          concat($"text", lit(".\n"), $"text", lit("!")))
+        .otherwise(concat($"text", lit(".\n"), $"text", lit("!\nis it "),
+          $"text", lit("?")))
+      val base = t(spark, dir, "documents").filter($"doc_id" < 500)
+        .select($"doc_id", $"source", url.as("url"), page.as("text"))
+      val afterUrl = Dedup.urlDedup(base, "url", "doc_id")
+        .select($"doc_id", $"source", $"text")
+      val kept = afterUrl.join(
+        graft.operators.Curation.c4Clean(afterUrl, "text", "doc_id")
+          .filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      graft.operators.Curation
+        .temperatureSample(kept, "source", "doc_id", alpha = 0.5, totalN = 60)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source")
+    },
+
     // --- URL canonicalization + dedup (the CCNet/RefinedWeb first pass):
     //     five crawl variants of each page — host case, https, tracking
     //     params (a run of two), fragment, and a REAL query param that
