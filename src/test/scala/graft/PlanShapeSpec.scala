@@ -154,6 +154,45 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("temperatureSample plans like mixtureSample; weights collect is one aggregate") {
+    import graft.operators.Curation
+    val docs = (1 to 2000).map(i => (i.toLong, s"d${i % 5}"))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureSample(docs, "source", "doc_id",
+      alpha = 0.5, totalN = 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    // after the (bounded, guarded) weights collect, the sample itself is
+    // the mixtureSample shape: one domain window exchange, no joins
+    assert(shuffles(out) == 1, plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
+  test("c4Clean and baggingSample are shuffle-free projections") {
+    import graft.operators.Curation
+    import graft.learn.Learn
+    val docs = (1 to 500).map(i => (i.toLong, s"line one is long enough now.\nshort $i"))
+      .toDF("doc_id", "text")
+    val c4 = Curation.c4Clean(docs, "text", "doc_id")
+    assert(shuffles(c4) == 0,
+      c4.queryExecution.executedPlan.toString.take(500))
+    val bag = Learn.baggingSample(docs, "doc_id", nEstimators = 4)
+    assert(shuffles(bag) == 0,
+      bag.queryExecution.executedPlan.toString.take(500))
+    assert(!bag.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("urlDedup: keep-decision aggregate + semi-join only, bodies never sort") {
+    import graft.operators.Dedup
+    val docs = (1 to 500).map(i => (i.toLong, s"http://a.com/p/${i % 100}"))
+      .toDF("doc_id", "url")
+    val out = Dedup.urlDedup(docs, "url", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    // same budget as exactTextDedup: the min-id aggregate (2 exchanges,
+    // partial+final) and the semi-join back; no window, no global sort
+    assert(shuffles(out) <= 3, plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("arithAligned: one full-outer equi-join, cells stay projections") {
     val l = GraftFrame((1 to 500).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
     val r = GraftFrame((200 to 700).map(i => (i.toLong, i * 2.0)).toDF("k", "v"))

@@ -261,6 +261,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("c4Clean (pure projection) cleans a stream identically to batch") {
+    import graft.operators.Curation
+    implicit val sq = spark.sqlContext
+    val long = (1 to 8).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$long.\n$long!\nis it $long?"),
+      (2L, s"$long. {x}\n$long!\n$long?"),
+      (3L, s"$long.\n$long!"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = Curation.c4Clean(input.toDF().toDF("doc_id", "text"),
+        "text", "doc_id")
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      val batch = Curation.c4Clean(docs.toDF("doc_id", "text"),
+          "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      assert(got == batch)
+      assert(got(1L) && !got(2L) && !got(3L))
+    } finally q.stop()
+  }
+
   test("streaming count-min cells equal the batch sketch over the same tokens") {
     import graft.operators.Sketches
     implicit val sq = spark.sqlContext
