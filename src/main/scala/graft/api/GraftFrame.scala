@@ -743,6 +743,11 @@ final case class GraftFrame(df: DataFrame) {
   def c4Clean(textCol: String, idCol: String): GraftFrame =
     GraftFrame(Curation.c4Clean(df, textCol, idCol))
 
+  /** URL canonicalization + keep-first dedup —
+    * [[graft.operators.Dedup.urlDedup]]. */
+  def urlDedup(urlCol: String, idCol: String): GraftFrame =
+    GraftFrame(graft.operators.Dedup.urlDedup(df, urlCol, idCol))
+
   /** Linear quality-classifier inference — see
     * [[graft.operators.Curation.linearTextScore]]. */
   def qualityClassifierScore(textCol: String, idCol: String,

@@ -97,6 +97,18 @@ object Special {
   /** erfc = 1 − erf (err_fresnel.py erfc). */
   def erfc(x: Column): Column = lit(1.0) - erf(x)
 
+  /** erfinv via the portable normal quantile (err_fresnel.py erfinv):
+    * erfinv(x) = Φ⁻¹((x+1)/2) / √2 — Acklam's rational Φ⁻¹ is already
+    * engine-replayable (Distributions.normalInv + its SQL mirror), so
+    * erfinv inherits oracle-ability; |rel err| ~1e-9, far tighter than
+    * the A&S forward erf. Domain (−1, 1); ±1 → ±∞ like scipy. */
+  def erfinv(x: Column): Column =
+    graft.functions.Distributions.normalInv((x + lit(1.0)) / lit(2.0)) /
+      lit(math.sqrt(2.0))
+
+  /** erfcinv(y) = erfinv(1 − y) (err_fresnel.py erfcinv), domain (0, 2). */
+  def erfcinv(y: Column): Column = erfinv(lit(1.0) - y)
+
   // ---------------- information theory (info_theory.py) ----------------
 
   /** entr(x) = −x ln x for x>0, 0 at x=0, −∞ for x<0 (info_theory.py:30). */

@@ -88,6 +88,8 @@ object Ufuncs {
     "psi" -> Special.digamma _,
     "erf" -> Special.erf _,
     "erfc" -> Special.erfc _,
+    "erfinv" -> Special.erfinv _,
+    "erfcinv" -> Special.erfcinv _,
     "entr" -> Special.entr _)
 
   /** Binary ufuncs (add/sub/mul/div are native Column operators already). */

@@ -1054,6 +1054,44 @@ object OpsExtra {
     //     lgamma; s = q/8+0.25 small so Γ(s) stays far from double
     //     round-6 granularity; m = (5−q)/2 sweeps negative integers and
     //     half-integers for the sign.
+    // --- §2.14 scipy.special erfinv/erfcinv (err_fresnel.py): routed
+    //     through the engine-portable Acklam Φ⁻¹ (erfinv(x) =
+    //     Φ⁻¹((x+1)/2)/√2), so central-branch values are pure rational
+    //     arithmetic and tail branches share the identical ln/sqrt
+    //     shape — round 6 + signed-zero guard (erfinv(0) = ±0). x sweeps
+    //     the central branch, x2 the upper tail, y the erfcinv domain.
+    Q("op_special_erfinv", {
+      val D = graft.functions.Distributions
+      val rt2 = math.sqrt(2.0).toString
+      s"""SELECT l_orderkey, l_linenumber, x,
+         |  round(${D.sqlNormalInv("(x + 1.0) / 2.0")}
+         |        / CAST('$rt2' AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS einv,
+         |  round(${D.sqlNormalInv("(x2 + 1.0) / 2.0")}
+         |        / CAST('$rt2' AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS einv_tail,
+         |  round(${D.sqlNormalInv("((1.0 - (y)) + 1.0) / 2.0")}
+         |        / CAST('$rt2' AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS ecinv
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        l_discount * 10.0 - 0.5 AS x,
+         |        0.98 + l_discount / 10.0 AS x2,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 AS y
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, x""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Special, Ufuncs}
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_discount" * 10.0 - 0.5).as("x"),
+          (lit(0.98) + $"l_discount" / 10.0).as("x2"),
+          ($"l_quantity".cast("double") / 50.0).as("y"))
+        .select($"l_orderkey", $"l_linenumber", $"x",
+          r6(Ufuncs("erfinv")($"x")).as("einv"),
+          r6(Special.erfinv($"x2")).as("einv_tail"),
+          r6(Ufuncs("erfcinv")($"y")).as("ecinv"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"x")
+    },
+
     Q("op_special_gamma",
       """SELECT l_orderkey, l_linenumber, q,
         |  round(lgamma(q), 6) + CAST(0.0 AS DOUBLE) AS u_gammaln,

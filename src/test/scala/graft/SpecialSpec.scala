@@ -77,6 +77,23 @@ class SpecialSpec extends SparkSpecBase {
     assert(eval1(Special.erf, 0.0) == 0.0)
   }
 
+  test("erfinv/erfcinv invert erf within Acklam precision") {
+    val known = Seq( // x -> erfinv(x), scipy 15-digit values
+      0.5 -> 0.4769362762044699,
+      0.9 -> 1.1630871536766743,
+      -0.5 -> -0.4769362762044699)
+    for ((x, v) <- known)
+      assert(math.abs(eval1(Special.erfinv, x) - v) < 1e-8, s"erfinv($x)")
+    assert(eval1(Special.erfinv, 0.0) == 0.0)
+    // erfcinv(y) = erfinv(1 - y); erfcinv(1) = 0
+    assert(math.abs(eval1(Special.erfcinv, 0.5) -
+      eval1(Special.erfinv, 0.5)) < 1e-12)
+    assert(eval1(Special.erfcinv, 1.0) == 0.0)
+    // round trip through the forward A&S erf at its looser bound
+    for (x <- Seq(0.25, 0.75))
+      assert(math.abs(eval1(c => Special.erf(Special.erfinv(c)), x) - x) < 1.5e-6)
+  }
+
   test("info-theory corner conventions match scipy") {
     assert(eval1(Special.entr, 0.0) == 0.0)
     assert(eval1(Special.entr, -1.0).isNegInfinity)
