@@ -488,6 +488,98 @@ object StatTests {
       u1.as("statistic"), pv.as("pvalue"))
   }
 
+  /** scipy.stats.f_oneway over a group column, any k ≥ 2 groups (upside
+    * beyond the reference's stats module — same exact-moment machinery
+    * as ttest): one grouped aggregate computes per-group (n, Σx, Σx²)
+    * exactly (BIGINT for integral inputs), then the k-row group table
+    * reduces to N/ΣΣx/ΣΣx² (exact, order-free) plus Σ (Σx_g)²/n_g — a
+    * cross-group DOUBLE sum, folded in sorted group order so the F
+    * statistic is bit-deterministic and engine-replayable (the ordered-
+    * fold convention). F = (SSb/(k−1)) / (SSw/(N−k)); two-sided p from
+    * the F survival I_{d2/(d2+d1·F)}(d2/2, d1/2). */
+  def fOneway(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val c = df(valueCol)
+    val integral = isIntegral(df.schema(valueCol).dataType)
+    val (x, x2): (Column, Column) =
+      if (integral) (c.cast(LongType), c.cast(LongType) * c.cast(LongType))
+      else {
+        val q = c.cast(DecimalType(24, 6))
+        (q.cast(DecimalType(38, 12)), (q * q).cast(DecimalType(38, 12)))
+      }
+    // per-group sums stay EXACT (decimal) through both aggregation
+    // levels — only the ssg fold and the final closed form go double
+    val perGroup = df
+      .select(df(groupCol).cast(StringType).as("__g"), x.as("__x"), x2.as("__x2"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).cast(DecimalType(38, 12)).as("__s1"),
+        sum(col("__x2")).cast(DecimalType(38, 12)).as("__s2"))
+    val folded = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).as("n_total"),
+      sum(col("__s1")).cast(DoubleType).as("__S1"),
+      sum(col("__s2")).cast(DoubleType).as("__S2"),
+      // Σ (Σx_g)²/n_g in sorted group order — deterministic left fold
+      aggregate(
+        array_sort(collect_list(struct(col("__g"),
+          (col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) /
+            col("__n").cast(DoubleType)).as("t")))),
+        lit(0.0), (acc, s) => acc + s.getField("t")).as("__ssg"))
+    val nd = col("n_total").cast(DoubleType)
+    val kd = col("k").cast(DoubleType)
+    val ssb = col("__ssg") - col("__S1") * col("__S1") / nd
+    val ssw = col("__S2") - col("__ssg")
+    val d1 = kd - lit(1.0)
+    val d2 = nd - kd
+    val f = (ssb / d1) / (ssw / d2)
+    folded.select(col("k"), col("n_total"),
+      ssb.as("ss_between"), ssw.as("ss_within"),
+      f.as("statistic"), d1.as("dof1"), d2.as("dof2"),
+      fPvalUdf(f, d1, d2).as("pvalue"))
+  }
+
+  private val fPvalUdf = udf((f: Double, d1: Double, d2: Double) =>
+    if (f.isNaN || d1 <= 0 || d2 <= 0) Double.NaN
+    else if (f <= 0.0) 1.0
+    else regIncBeta(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f)))
+
+  /** scipy.stats.wilcoxon (paired signed-rank; zero_method='wilcox',
+    * two-sided normal approximation without continuity correction —
+    * scipy mode='approx', correction=False). Zero differences drop,
+    * |d| ranks come from [[rankdata]]'s doubled average ranks, so the
+    * signed-rank sums are exact BIGINTs at any scale; the tie-corrected
+    * variance and z replay with identical shape in any engine. Emits
+    * `w2plus` = 2·W⁺ and `t2` = 2·min(W⁺, W⁻) exact, plus z and p. */
+  def wilcoxon(df: DataFrame, col1: String, col2: String): DataFrame = {
+    val d = (df(col1).cast(DoubleType) - df(col2).cast(DoubleType))
+    val nz = df.select(d.as("__d")).where(col("__d") =!= 0.0)
+      .withColumn("__ad", abs(col("__d")))
+    val ranked = rankdata(nz, "__ad", "average")
+    val d38 = DecimalType(38, 0)
+    val tieCounts = nz.groupBy(col("__ad")).agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t").cast(d38) * col("__t").cast(d38) * col("__t").cast(d38) -
+        col("__t").cast(d38)).as("ties"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__d") > 0, col("rank2")).otherwise(lit(0L))).cast(d38)
+        .as("w2plus"))
+      .crossJoin(broadcast(tieCounts))
+    val nd = col("n").cast(DoubleType)
+    val w2minus = col("n").cast(d38) * (col("n").cast(d38) + lit(1)) - col("w2plus")
+    val t2 = least(col("w2plus"), w2minus)
+    val mu2 = nd * (nd + lit(1.0)) / lit(2.0) // 2·n(n+1)/4
+    val sigma2 = sqrt(nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(6.0)
+      - col("ties").cast(DoubleType) / lit(12.0)) // 2·σ
+    val z = (t2.cast(DoubleType) - mu2) / sigma2
+    val pv = udf((zz: Double) =>
+      if (zz.isNaN) Double.NaN else regGammaQ(0.5, zz * zz / 2.0)).apply(z)
+    agg.select(col("n"),
+      col("w2plus").cast(LongType).as("w2plus"),
+      t2.cast(LongType).as("t2"),
+      col("ties").cast(LongType).as("ties"),
+      z.as("zstat"), pv.as("pvalue"))
+  }
+
   // ------------------------------------------------------------------
   // rankdata (rankdata.py:19)
   // ------------------------------------------------------------------

@@ -454,6 +454,77 @@ object LearnQ {
         .orderBy($"c_custkey")
     },
 
+    // --- one-way ANOVA (scipy f_oneway upside; exact-moment machinery
+    //     shared with the ttests): per-group BIGINT sums, the one
+    //     cross-group double term Σ(Σx_g)²/n_g folds in sorted group
+    //     order on both sides — every downstream double is then
+    //     bit-identical, so ssb/ssw/F gate UNROUNDED. p stays
+    //     spec-pinned (incomplete-beta UDF).
+    Q("learn_anova",
+      """WITH g AS (SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s2
+        |  FROM lineitem GROUP BY l_returnflag),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(s1) AS DOUBLE) AS sg1, CAST(SUM(s2) AS DOUBLE) AS sg2,
+        |    list_sum(list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                  / CAST(n AS DOUBLE) ORDER BY grp)) AS ssg
+        |  FROM g)
+        |SELECT k, n_total,
+        |  ssg - sg1 * sg1 / CAST(n_total AS DOUBLE) AS ss_between,
+        |  sg2 - ssg AS ss_within,
+        |  ((ssg - sg1 * sg1 / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        |    / ((sg2 - ssg) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    AS statistic
+        |FROM a ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      StatTests.fOneway(
+          t(spark, dir, "lineitem").select($"l_quantity".cast("long").as("q"),
+            $"l_returnflag"),
+          "q", "l_returnflag")
+        .select($"k", $"n_total", $"ss_between", $"ss_within", $"statistic")
+        .orderBy($"k")
+    },
+
+    // --- Wilcoxon signed-rank (scipy upside; shares the rankdata prefix
+    //     stitch): doubled ranks keep W⁺/T exact BIGINTs; z mirrors the
+    //     tie-corrected closed form shape-for-shape (round 6, +0.0 — a
+    //     symmetric sample can land z exactly 0).
+    Q("learn_wilcoxon",
+      """WITH d0 AS (SELECT CAST(l_quantity AS DOUBLE)
+        |      - 3.0 * CAST(l_linenumber AS DOUBLE) AS d
+        |    FROM lineitem WHERE l_orderkey < 2000),
+        |nz AS (SELECT d, abs(d) AS ad FROM d0 WHERE d <> 0),
+        |r AS (SELECT d,
+        |    CAST(2 * (rank() OVER (ORDER BY ad)) - 2
+        |         + (COUNT(*) OVER (PARTITION BY ad)) + 1 AS BIGINT) AS rank2
+        |  FROM nz),
+        |tc AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |       FROM (SELECT COUNT(*) AS t FROM nz GROUP BY ad) b),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN d > 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w2plus
+        |  FROM r)
+        |SELECT n, w2plus,
+        |  least(w2plus, n * (n + 1) - w2plus) AS t2, ties,
+        |  round((CAST(least(w2plus, n * (n + 1) - w2plus) AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+        |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+        |      - CAST(ties AS DOUBLE) / 12.0), 6) + CAST(0.0 AS DOUBLE) AS z
+        |FROM a, tc ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      StatTests.wilcoxon(
+          t(spark, dir, "lineitem").filter($"l_orderkey" < 2000)
+            .select($"l_quantity".cast("double").as("x"),
+              (lit(3.0) * $"l_linenumber".cast("double")).as("y")),
+          "x", "y")
+        .select($"n", $"w2plus", $"t2", $"ties",
+          (round($"zstat", 6) + lit(0.0)).as("z"))
+        .orderBy($"n")
+    },
+
     // --- sklearn type_of_target dispatch (reference
     //     mars/learn/utils/multiclass.py): three live targets classified
     //     from their own aggregates on both sides — fractional values →

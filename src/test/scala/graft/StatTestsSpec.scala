@@ -237,4 +237,51 @@ class StatTestsSpec extends SparkSpecBase {
       .select($"id", $"rank2").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(one == many)
   }
+
+  test("f_oneway: scipy value on a hand case; k=2 equals pooled t²") {
+    // f_oneway([1,2,3,4],[2,4,6,8],[5,5,5,5]): means 2.5/5/5, grand 25/6
+    // → SSb = 50/3, SSw = 25, F = (SSb/2)/(SSw/9) = 3 exactly;
+    // p = I_{9/15}(4.5, 1) = 0.10038772833369619 (independent betainc)
+    val df3 = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(2, 4, 6, 8).map(("b", _)) ++
+      Seq(5, 5, 5, 5).map(("c", _))).toDF("g", "x")
+    val r = StatTests.fOneway(df3, "x", "g").collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_total") == 12L)
+    assert(math.abs(r.getAs[Double]("statistic") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ss_between") - 50.0 / 3.0) < 1e-10)
+    assert(math.abs(r.getAs[Double]("ss_within") - 25.0) < 1e-10)
+    assert(math.abs(r.getAs[Double]("pvalue") - 0.10038772833369619) < 1e-9)
+    // two groups: F must equal the pooled two-sample t² with p agreeing
+    val df2 = (Seq(1, 2, 3, 4, 5).map(("a", _)) ++
+      Seq(3, 5, 7, 9, 11).map(("b", _))).toDF("g", "x")
+    val f2 = StatTests.fOneway(df2, "x", "g").collect().head
+    val t2 = StatTests.ttestInd(df2, "x", "g", "a", "b").collect().head
+    val tt = t2.getAs[Double]("statistic")
+    assert(math.abs(f2.getAs[Double]("statistic") - tt * tt) < 1e-10)
+    assert(math.abs(f2.getAs[Double]("pvalue") - t2.getAs[Double]("pvalue")) < 1e-9)
+  }
+
+  test("wilcoxon: hand-ranked signed-rank statistic, zeros dropped, ties counted") {
+    // pairs with diffs d = [-2, 4, -6, 8, 10, 0]: the zero drops (n=5),
+    // |d| = [2,4,6,8,10] all distinct → ranks 1..5; W+ = 2+4+5 = 11,
+    // W- = 4, T = 4. scipy.stats.wilcoxon(mode='approx',
+    // correction=False): z = (4 - 7.5)/sqrt(13.75) = -0.9439
+    val xs = Seq(1.0, 5.0, 1.0, 9.0, 11.0, 3.0)
+    val ys = Seq(3.0, 1.0, 7.0, 1.0, 1.0, 3.0)
+    val df = xs.zip(ys).toDF("x", "y")
+    val r = StatTests.wilcoxon(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("w2plus") == 22L, "2·W+ = 22")
+    assert(r.getAs[Long]("t2") == 8L, "2·min(W+,W-) = 8")
+    assert(r.getAs[Long]("ties") == 0L)
+    val z = r.getAs[Double]("zstat")
+    assert(math.abs(z - (4.0 - 7.5) / math.sqrt(13.75)) < 1e-12)
+    // p = erfc(|z|/√2): two-sided normal
+    assert(math.abs(r.getAs[Double]("pvalue") -
+      StatTests.regGammaQ(0.5, z * z / 2.0)) < 1e-15)
+    // tied |d| engage the tie correction
+    val dft = Seq((3.0, 1.0), (1.0, 3.0), (5.0, 3.0), (0.0, 2.0))
+      .toDF("x", "y") // d = 2, -2, 2, -2 → all |d|=2, t=4 → ties=60
+    val rt = StatTests.wilcoxon(dft, "x", "y").collect().head
+    assert(rt.getAs[Long]("ties") == 60L)
+  }
 }
