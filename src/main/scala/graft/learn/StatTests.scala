@@ -580,6 +580,88 @@ object StatTests {
       z.as("zstat"), pv.as("pvalue"))
   }
 
+  /** Kruskal–Wallis H (scipy.stats.kruskal — the rank ANOVA, any k ≥ 2
+    * groups; shares [[rankdata]]'s prefix stitch): pooled doubled
+    * average ranks make each group's rank sum an exact BIGINT; the one
+    * cross-group double term Σ R_g²/n_g folds in sorted group order
+    * (deterministic, engine-replayable). Tie-corrected
+    * H = [12/(N(N+1))·ΣR_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N));
+    * p = χ²-sf(H, k−1). */
+  def kruskal(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = df.select(df(valueCol).cast(DoubleType).as("__v"),
+      df(groupCol).cast(StringType).as("__g"))
+    val ranked = rankdata(base, "__v", "average")
+    val perGroup = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("rank2").cast(d38)).as("__r2"))
+    val ties = base.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t").cast(d38) * col("__t").cast(d38) * col("__t").cast(d38) -
+        col("__t").cast(d38)).as("ties"))
+    val folded = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).as("n_total"),
+      // Σ R_g²/n_g with R_g = R2_g/2, folded in sorted group order
+      aggregate(
+        array_sort(collect_list(struct(col("__g"),
+          (col("__r2").cast(DoubleType) * col("__r2").cast(DoubleType) /
+            (lit(4.0) * col("__n").cast(DoubleType))).as("t")))),
+        lit(0.0), (acc, s) => acc + s.getField("t")).as("__srg"))
+      .crossJoin(broadcast(ties))
+    val nd = col("n_total").cast(DoubleType)
+    val hRaw = lit(12.0) / (nd * (nd + lit(1.0))) * col("__srg") -
+      lit(3.0) * (nd + lit(1.0))
+    val tieAdj = lit(1.0) -
+      col("ties").cast(DoubleType) / (nd * nd * nd - nd)
+    val h = hRaw / tieAdj
+    val kd = col("k").cast(DoubleType)
+    val pv = udf((hh: Double, dof: Double) => chi2Sf(hh, dof)).apply(h, kd - 1.0)
+    folded.select(col("k"), col("n_total"),
+      col("ties").cast(LongType).as("ties"),
+      h.as("statistic"), pv.as("pvalue"))
+  }
+
+  /** Kendall τ-b (scipy.stats.kendalltau; upside — the reference's corr
+    * supports pearson only): all-pairs concordance over a self-join on
+    * the [[rankdata]]-free row index. O(n²) pairs by definition — hard
+    * `maxRows` guard (same contract as pdist/silhouette); at corpus
+    * scale compute τ on a deterministic sample. Every count is an exact
+    * BIGINT; τ-b's tie denominators replay exactly. z uses the
+    * no-tie normal approximation (scipy's tau-b p with ties differs
+    * slightly; documented). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+      maxRows: Int = 5000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"kendallTau is O(n²) pairs by definition: > $maxRows rows — sample " +
+        "first (deterministic PortableHash sample) or raise maxRows deliberately")
+    val idx = graft.api.GraftFrame(df.select(
+      df(xCol).cast(DoubleType).as("__x"),
+      df(yCol).cast(DoubleType).as("__y"))).withRowIndex("__i").df
+    val a = idx.select(col("__i").as("__ia"), col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = idx.select(col("__i").as("__ib"), col("__x").as("__xb"), col("__y").as("__yb"))
+    val pairs = a.join(b, col("__ia") < col("__ib"))
+    val sx = signum(col("__xb") - col("__xa"))
+    val sy = signum(col("__yb") - col("__ya"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(sx * sy > 0, lit(1))).as("concordant"),
+      count(when(sx * sy < 0, lit(1))).as("discordant"),
+      count(when(sx === 0 && sy =!= 0, lit(1))).as("tx"),
+      count(when(sy === 0 && sx =!= 0, lit(1))).as("ty"))
+    val c = col("concordant").cast(DoubleType)
+    val d = col("discordant").cast(DoubleType)
+    val tx = col("tx").cast(DoubleType); val ty = col("ty").cast(DoubleType)
+    val tau = (c - d) / sqrt((c + d + tx) * (c + d + ty))
+    val nd = lit(n.toDouble)
+    val z = lit(3.0) * (c - d) /
+      sqrt(nd * (nd - lit(1.0)) * (lit(2.0) * nd + lit(5.0)) / lit(2.0))
+    val pv = udf((zz: Double) =>
+      if (zz.isNaN) Double.NaN else regGammaQ(0.5, zz * zz / 2.0)).apply(z)
+    agg.select(col("n_pairs"), col("concordant"), col("discordant"),
+      col("tx"), col("ty"), tau.as("statistic"), z.as("zstat"),
+      pv.as("pvalue"))
+  }
+
   // ------------------------------------------------------------------
   // rankdata (rankdata.py:19)
   // ------------------------------------------------------------------

@@ -525,6 +525,75 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- Kruskal–Wallis rank ANOVA: pooled doubled ranks → exact BIGINT
+    //     group rank sums; Σ R_g²/n_g folds in sorted group order on
+    //     both sides, so H gates UNROUNDED (same determinism argument as
+    //     learn_anova). p stays spec-pinned (χ² sf UDF).
+    Q("learn_kruskal",
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    l_returnflag AS g FROM lineitem),
+        |r AS (SELECT g,
+        |    CAST(2 * (rank() OVER (ORDER BY v)) - 2
+        |         + (COUNT(*) OVER (PARTITION BY v)) + 1 AS BIGINT) AS rank2
+        |  FROM base),
+        |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(rank2) AS BIGINT) AS r2 FROM r GROUP BY g),
+        |tc AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |       FROM (SELECT COUNT(*) AS t FROM base GROUP BY v) b),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    list_sum(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |                  / (4.0 * CAST(n AS DOUBLE)) ORDER BY g)) AS srg
+        |  FROM pg)
+        |SELECT k, n_total, ties,
+        |  (12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+        |     * srg - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+        |  / (1.0 - CAST(ties AS DOUBLE)
+        |     / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |        * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+        |    AS statistic
+        |FROM f, tc ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      StatTests.kruskal(t(spark, dir, "lineitem"), "l_quantity", "l_returnflag")
+        .select($"k", $"n_total", $"ties", $"statistic")
+        .orderBy($"k")
+    },
+
+    // --- Kendall τ-b on a guarded subset (O(n²) pairs by definition;
+    //     concordance counts are orientation-independent, so the oracle
+    //     can pair on its own unique key): every count exact BIGINT, τ
+    //     a single sqrt expression over them — unrounded.
+    Q("learn_kendall",
+      """WITH s AS (SELECT row_number() OVER () AS rn,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_partkey % 97 AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 120),
+        |p AS (SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+        |      FROM s a JOIN s b ON a.rn < b.rn),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(*) FILTER (sx * sy > 0) AS BIGINT) AS concordant,
+        |    CAST(COUNT(*) FILTER (sx * sy < 0) AS BIGINT) AS discordant,
+        |    CAST(COUNT(*) FILTER (sx = 0 AND sy <> 0) AS BIGINT) AS tx,
+        |    CAST(COUNT(*) FILTER (sy = 0 AND sx <> 0) AS BIGINT) AS ty
+        |  FROM p)
+        |SELECT n_pairs, concordant, discordant, tx, ty,
+        |  (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+        |  / sqrt((CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+        |          + CAST(tx AS DOUBLE))
+        |       * (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+        |          + CAST(ty AS DOUBLE))) AS statistic
+        |FROM agg ORDER BY n_pairs""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      StatTests.kendallTau(
+          t(spark, dir, "lineitem").filter($"l_orderkey" < 120)
+            .select($"l_quantity".cast("double").as("x"),
+              ($"l_partkey" % 97).cast("double").as("y")),
+          "x", "y")
+        .select($"n_pairs", $"concordant", $"discordant", $"tx", $"ty",
+          $"statistic")
+        .orderBy($"n_pairs")
+    },
+
     // --- sklearn type_of_target dispatch (reference
     //     mars/learn/utils/multiclass.py): three live targets classified
     //     from their own aggregates on both sides — fractional values →

@@ -284,4 +284,35 @@ class StatTestsSpec extends SparkSpecBase {
     val rt = StatTests.wilcoxon(dft, "x", "y").collect().head
     assert(rt.getAs[Long]("ties") == 60L)
   }
+
+  test("kruskal: no-tie closed form and scipy two-group example") {
+    // kruskal([1,3,5,7],[2,4,6,8]): pooled ranks interleave; no ties.
+    // R1 = 1+3+5+7 = 16, R2 = 2+4+6+8 = 20, N=8 →
+    // H = 12/(8·9)·(16²/4 + 20²/4) − 3·9 = (12/72)·164 − 27 = 0.3333…
+    val df = (Seq(1, 3, 5, 7).map(("a", _)) ++ Seq(2, 4, 6, 8).map(("b", _)))
+      .toDF("g", "x")
+    val r = StatTests.kruskal(df, "x", "g").collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("ties") == 0L)
+    assert(math.abs(r.getAs[Double]("statistic") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pvalue") -
+      StatTests.chi2Sf(1.0 / 3.0, 1.0)) < 1e-15)
+  }
+
+  test("kendallTau: perfect order, perfect reversal, ties, and the guard") {
+    val up = (1 to 20).map(i => (i.toDouble, (i * 2).toDouble)).toDF("x", "y")
+    assert(math.abs(StatTests.kendallTau(up, "x", "y")
+      .collect().head.getAs[Double]("statistic") - 1.0) < 1e-12)
+    val down = (1 to 20).map(i => (i.toDouble, (21 - i).toDouble)).toDF("x", "y")
+    assert(math.abs(StatTests.kendallTau(down, "x", "y")
+      .collect().head.getAs[Double]("statistic") + 1.0) < 1e-12)
+    // scipy kendalltau([1,2,3,4],[1,3,2,4]) = 2/3 (c=5, d=1, no ties)
+    val mid = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)).toDF("x", "y")
+    val m = StatTests.kendallTau(mid, "x", "y").collect().head
+    assert(m.getAs[Long]("concordant") == 5L && m.getAs[Long]("discordant") == 1L)
+    assert(math.abs(m.getAs[Double]("statistic") - 2.0 / 3.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      StatTests.kendallTau((1 to 30).map(i => (i.toDouble, i.toDouble))
+        .toDF("x", "y"), "x", "y", maxRows = 10)
+    }
+  }
 }
