@@ -1148,6 +1148,25 @@ final case class GraftFrame(df: DataFrame) {
       countDistinct(df(cols.head)).as(s"${cols.head}_nunique"),
       cols.tail.map(c => countDistinct(df(c)).as(s"${c}_nunique")): _*))
 
+  /** pandas Series.corr(other, method=): 'pearson' is the native moment
+    * aggregate; 'spearman' routes through the exact doubled-average-rank
+    * moments (graft.learn.StatTests.spearman) and 'kendall' through the
+    * guarded all-pairs τ-b (StatTests.kendallTau, O(n²) — its maxRows
+    * contract applies). The reference's corr REFUSES non-pearson methods
+    * (statistics/corr.py _check_supported_methods), so both rank methods
+    * are upside surface. One-row frame (`statistic`). */
+  def corrScalar(x: String, y: String, method: String = "pearson"): GraftFrame =
+    method match {
+      case "pearson" =>
+        GraftFrame(df.agg(corr(df(x), df(y)).as("statistic")))
+      case "spearman" =>
+        GraftFrame(graft.learn.StatTests.spearman(df, x, y).select(col("statistic")))
+      case "kendall" =>
+        GraftFrame(graft.learn.StatTests.kendallTau(df, x, y).select(col("statistic")))
+      case m => throw new IllegalArgumentException(
+        s"corr method must be pearson|spearman|kendall: $m")
+    }
+
   /** Full pairwise Pearson correlation matrix over numeric columns
     * (pandas df.corr; reference statistics/corr.py:29 computes the same
     * cross-moment sums): ONE partial+final aggregate produces every

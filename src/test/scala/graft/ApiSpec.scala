@@ -879,6 +879,19 @@ class ApiSpec extends SparkSpecBase {
     assert(math.abs(got("y") - 1.0) < 1e-12) // y is also linear in b's y
   }
 
+  test("corrScalar dispatches pearson/spearman/kendall like pandas method=") {
+    // y = x³ is monotone but nonlinear: rank methods say 1, pearson < 1
+    val df = GraftFrame((1 to 15).map(i =>
+      (i.toDouble, math.pow(i.toDouble, 3))).toDF("x", "y"))
+    def stat(m: String) =
+      df.corrScalar("x", "y", m).df.collect().head.getDouble(0)
+    assert(math.abs(stat("spearman") - 1.0) < 1e-12)
+    assert(math.abs(stat("kendall") - 1.0) < 1e-12)
+    val p = stat("pearson")
+    assert(p > 0.9 && p < 0.9999, s"pearson on a convex curve: $p")
+    intercept[IllegalArgumentException] { df.corrScalar("x", "y", "cosine") }
+  }
+
   test("autocorr: lag-1 of a linear series is 1, alternating series is -1") {
     val lin = GraftFrame((1 to 20).map(i => ("g", i, i.toDouble)).toDF("g", "t", "v"))
     val l = lin.autocorr(Seq("g"), "t", "v").df.collect().head.getDouble(1)
