@@ -260,7 +260,7 @@ object Sessionize {
 
   /** [[resampleDaily]] generalized over the calendar unit — pandas
     * resample('1D' | '1W' | '1MS' | '1M' | '1QS' | '1YS' | '1H' |
-    * '15min'; reference dataframe/datasource/date_range.py frequency
+    * '1min' | '15min'; reference dataframe/datasource/date_range.py frequency
     * table): buckets are date_trunc(unit) starts (ISO Monday weeks;
     * epoch-aligned quarter hours), the per-key grid steps by one unit,
     * month/quarter/year grids handle unequal month lengths because
@@ -277,10 +277,11 @@ object Sessionize {
       unit: String): DataFrame = {
     require(
       Set("day", "week", "month", "month_end", "quarter", "year",
-        "hour", "15min")(unit),
-      s"unit must be day|week|month|month_end|quarter|year|hour|15min: $unit")
+        "hour", "minute", "15min")(unit),
+      s"unit must be day|week|month|month_end|quarter|year|hour|minute|15min: $unit")
     val bucket = unit match {
       case "hour" => date_trunc("hour", col(tsCol))
+      case "minute" => date_trunc("minute", col(tsCol))
       case "15min" =>
         // epoch-aligned 900 s buckets via integer arithmetic (a double
         // floor(x/900) could misround at bucket boundaries)

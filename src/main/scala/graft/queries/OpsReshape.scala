@@ -331,6 +331,40 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.16 resample('1min'): minute truncation; same integer-only
+    //     gate convention as op_resample_hour (epoch seconds, BIGINT
+    //     aggregates, gap-group ffill).
+    Q("op_resample_minute",
+      """WITH m AS (
+        |  SELECT user_id, date_trunc('minute', ts) AS day, COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
+        |  FROM events WHERE user_id < 2
+        |  GROUP BY user_id, date_trunc('minute', ts)),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM m GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 MINUTE)) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, COALESCE(h.cnt, 0) AS cnt, h.sum_val
+        |  FROM grid g LEFT JOIN m h ON g.user_id = h.user_id AND g.day = h.day),
+        |gg AS (
+        |  SELECT *, count(sum_val) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, epoch_us(day) // 1000000 AS day, cnt, sum_val,
+        |  CAST(max(sum_val) OVER (PARTITION BY user_id, grp) AS BIGINT)
+        |    AS sum_ffill
+        |FROM gg ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 2))
+        .resampleCalendar("user_id", "ts", floor($"value").cast("long"), "minute")
+        .assign("day" -> expr("unix_micros(day) div 1000000"))
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
     // --- §2.16 resample('15min'): epoch-aligned 900 s buckets via exact
     //     integer second arithmetic on both engines.
     Q("op_resample_15min",
