@@ -170,6 +170,30 @@ final case class GraftFrame(df: DataFrame) {
     (GraftFrame(encoded), GraftFrame(categories))
   }
 
+  /** pandas between_time over an explicit timestamp column (the
+    * DatetimeIndex method, reference tseries surface; the implicit-index
+    * form maps onto the explicit column per SURVEY §7.1): keep rows
+    * whose UTC time-of-day lies in [start, end] inclusive (pandas
+    * default bounds); start > end wraps across midnight. Times are
+    * "HH:mm" or "HH:mm:ss". Pure filter — scan speed, pushdown-safe. */
+  def betweenTime(tsCol: String, start: String, end: String): GraftFrame = {
+    def secs(s: String): Int = {
+      val p = s.split(":")
+      require(p.length == 2 || p.length == 3, s"time must be HH:mm[:ss]: $s")
+      p(0).toInt * 3600 + p(1).toInt * 60 + (if (p.length > 2) p(2).toInt else 0)
+    }
+    val tod = pmod(unix_timestamp(df(tsCol)), lit(86400L))
+    val (a, b) = (secs(start), secs(end))
+    val cond =
+      if (a <= b) tod >= a && tod <= b
+      else tod >= a || tod <= b
+    GraftFrame(df.filter(cond))
+  }
+
+  /** pandas at_time: rows at exactly this UTC time-of-day. */
+  def atTime(tsCol: String, time: String): GraftFrame =
+    betweenTime(tsCol, time, time)
+
   /** pandas to_datetime (reference tseries/to_datetime.py:37): parse with
     * an explicit format, null on failure like errors='coerce'. */
   def toDatetime(colName: String, out: String, fmt: String = "yyyy-MM-dd"): GraftFrame =
@@ -1719,6 +1743,19 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     val w = Window.partitionBy(keys.map(df(_)): _*).orderBy(orderBy: _*)
     GraftFrame(df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn"))
+  }
+
+  /** pandas groupby.nth(n) over an explicit order (reference
+    * groupby/getitem.py nth surface): the single n-th row per group,
+    * 0-based; negative n counts from the group's end. One row_number
+    * window (reversed for negative n — pass PLAIN ascending columns).
+    * No group materialization. */
+  def nth(n: Int, orderBy: Seq[Column]): GraftFrame = {
+    val ord = if (n >= 0) orderBy else orderBy.map(_.desc)
+    val pos = if (n >= 0) n + 1 else -n
+    val w = Window.partitionBy(keys.map(df(_)): _*).orderBy(ord: _*)
+    GraftFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === pos).drop("__rn"))
   }
 
   /** Per-group Bernoulli fraction sample, deterministic via row hashing —

@@ -1451,6 +1451,38 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- pandas between_time/at_time (tseries surface over the explicit
+    //     ts column): a daytime window and a midnight-WRAPPING window;
+    //     time-of-day compares as exact epoch-second arithmetic on both
+    //     engines (events.ts nanos → µs convention).
+    Q("op_between_time",
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    ((epoch_us(ts) // 1000000) % 86400) AS tod
+        |  FROM events WHERE user_id < 50)
+        |SELECT win, user_id, n, v, first_ev FROM (
+        |  SELECT 'day' AS win, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v,
+        |      min(event_id) AS first_ev
+        |  FROM e WHERE tod >= 23400 AND tod <= 67500 GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'night', user_id, CAST(COUNT(*) AS BIGINT),
+        |      CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT),
+        |      min(event_id)
+        |  FROM e WHERE tod >= 79200 OR tod <= 10800 GROUP BY user_id) u
+        |ORDER BY win, user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = graft.api.GraftFrame(t(spark, dir, "events").filter($"user_id" < 50))
+      def tally(f: graft.api.GraftFrame, tag: String) =
+        f.df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"value").cast("long")).as("v"),
+            min($"event_id").as("first_ev"))
+          .select(lit(tag).as("win"), $"user_id", $"n", $"v", $"first_ev")
+      tally(ev.betweenTime("ts", "06:30", "18:45"), "day")
+        .unionAll(tally(ev.betweenTime("ts", "22:00", "03:00"), "night"))
+        .orderBy($"win", $"user_id")
+    },
+
     // --- §2.14 tensor editing + order (base/insert.py, delete.py,
     //     array_split.py, argsort.py): slice/concat probes are exact
     //     element picks; argsort's stable tie rule is the same

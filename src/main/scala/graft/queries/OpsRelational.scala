@@ -346,6 +346,31 @@ object OpsRelational {
         .sortValues(Seq("l_returnflag")).df
     },
 
+    // --- §2.6 groupby.nth over the explicit event order: nth(2) and
+    //     nth(-1) (from-the-end), groups too small for the positive nth
+    //     drop like pandas. event_id is unique per user so the order is
+    //     total; all outputs exact BIGINTs.
+    Q("op_groupby_nth",
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE user_id < 30)
+        |SELECT user_id,
+        |  CAST(max(CASE WHEN rn = 3 THEN event_id END) AS BIGINT) AS nth2,
+        |  CAST(max(CASE WHEN rn = n THEN event_id END) AS BIGINT) AS last_ev
+        |FROM r GROUP BY user_id HAVING COUNT(*) >= 3
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events").filter($"user_id" < 30)
+      val a = graft.api.GraftFrame(ev).groupby("user_id")
+        .nth(2, Seq(col("event_id")))
+        .df.select($"user_id", $"event_id".as("nth2"))
+      val b = graft.api.GraftFrame(ev).groupby("user_id")
+        .nth(-1, Seq(col("event_id")))
+        .df.select($"user_id", $"event_id".as("last_ev"))
+      a.join(b, Seq("user_id")).orderBy($"user_id")
+    },
+
     // --- §2.4 concat (axis=0) via unionByName with different column order
     Q("op_concat_rows",
       """SELECT l_returnflag, COUNT(*) AS cnt FROM (

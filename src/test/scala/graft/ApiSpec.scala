@@ -879,6 +879,42 @@ class ApiSpec extends SparkSpecBase {
     assert(math.abs(got("y") - 1.0) < 1e-12) // y is also linear in b's y
   }
 
+  test("groupby.nth: 0-based position, negative from the end, short groups drop") {
+    val df = GraftFrame(Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+      ("b", 1, 40.0), ("b", 2, 50.0)).toDF("g", "t", "v"))
+    val n1 = df.groupby("g").nth(1, Seq(col("t"))).df
+      .select("g", "v").as[(String, Double)].collect().toMap
+    assert(n1 == Map("a" -> 20.0, "b" -> 50.0))
+    val n2 = df.groupby("g").nth(2, Seq(col("t"))).df
+      .select("g", "v").as[(String, Double)].collect().toMap
+    assert(n2 == Map("a" -> 30.0), "group b has no 3rd row")
+    val last = df.groupby("g").nth(-1, Seq(col("t"))).df
+      .select("g", "v").as[(String, Double)].collect().toMap
+    assert(last == Map("a" -> 30.0, "b" -> 50.0))
+    val secondLast = df.groupby("g").nth(-2, Seq(col("t"))).df
+      .select("g", "v").as[(String, Double)].collect().toMap
+    assert(secondLast == Map("a" -> 20.0, "b" -> 40.0))
+  }
+
+  test("betweenTime keeps the inclusive window and wraps over midnight") {
+    val rows = Seq(
+      (1L, "2024-03-01 06:29:59"), (2L, "2024-03-01 06:30:00"),
+      (3L, "2024-03-01 12:00:00"), (4L, "2024-03-01 18:45:00"),
+      (5L, "2024-03-01 18:45:01"), (6L, "2024-03-01 23:30:00"),
+      (7L, "2024-03-02 02:59:59"), (8L, "2024-03-02 03:00:01"))
+    val df = GraftFrame(rows.toDF("id", "s")
+      .select($"id", to_timestamp($"s").as("ts")))
+    val day = df.betweenTime("ts", "06:30", "18:45")
+      .df.select("id").as[Long].collect().toSet
+    assert(day == Set(2L, 3L, 4L), "inclusive bounds, 06:29:59/18:45:01 out")
+    val night = df.betweenTime("ts", "22:00", "03:00")
+      .df.select("id").as[Long].collect().toSet
+    assert(night == Set(6L, 7L), "wraps over midnight; 03:00:01 out")
+    assert(df.atTime("ts", "12:00").df.select("id").as[Long].collect().toSet
+      == Set(3L))
+  }
+
   test("corrScalar dispatches pearson/spearman/kendall like pandas method=") {
     // y = x³ is monotone but nonlinear: rank methods say 1, pearson < 1
     val df = GraftFrame((1 to 15).map(i =>
