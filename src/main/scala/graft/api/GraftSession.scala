@@ -45,6 +45,22 @@ final class GraftSession(val spark: SparkSession) {
       .withColumn("doc_id", xxhash64(col("source_file"), col("text"))))
   }
 
+  /** Raw-media ingestion — the multimodal pipeline's entry point
+    * (Spark's built-in `binaryFile` source; the reference's closest
+    * surface is its image/file readers): one row per file — source
+    * path, byte length, opaque `content` binary — plus a deterministic
+    * content-addressed media id (xxhash64 of path+length). Feed the
+    * `content` column to `graft.multimodal`'s partition-wise
+    * decode/feature plumbing. Narrow scan, no shuffle; use
+    * `pathGlobFilter` ("*.jpg") to prune at the listing. */
+  def readBinaryFiles(path: String, pathGlobFilter: String = "*"): GraftFrame = {
+    import org.apache.spark.sql.functions._
+    GraftFrame(spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlobFilter).load(path)
+      .select(col("path").as("source_file"), col("length"), col("content"))
+      .withColumn("media_id", xxhash64(col("source_file"), col("length"))))
+  }
+
   def readCsv(
       path: String,
       sep: String = ",",

@@ -827,6 +827,22 @@ class ApiSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(2)).distinct.length == 3, "content ids unique here")
   }
 
+  test("readBinaryFiles ingests opaque media bytes with provenance and glob pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.jpg").toPath,
+      Array[Byte](-1, -40, -1, 1, 2, 3)) // JFIF-ish magic + payload
+    java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath,
+      Array[Byte](82, 73, 70, 70))
+    val all = g.readBinaryFiles(dir.getAbsolutePath).df.collect()
+    assert(all.length == 2)
+    assert(all.forall(r => r.getAs[Array[Byte]]("content").nonEmpty &&
+      r.getAs[Long]("length") == r.getAs[Array[Byte]]("content").length))
+    val jpg = g.readBinaryFiles(dir.getAbsolutePath, "*.jpg").df.collect()
+    assert(jpg.length == 1 && jpg.head.getAs[Long]("length") == 6L)
+    assert(jpg.head.getAs[Array[Byte]]("content").take(3).toSeq ==
+      Seq(-1.toByte, -40.toByte, -1.toByte), "bytes arrive untouched")
+  }
+
   test("idxmax/idxmin break value ties deterministically by id") {
     val f = GraftFrame(Seq(
       ("a", 5.0, 1L), ("a", 5.0, 9L), ("a", 1.0, 3L), ("a", 1.0, 2L),
