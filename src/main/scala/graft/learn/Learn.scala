@@ -958,6 +958,60 @@ object Learn {
         -col(predCol).cast("double"), col(predCol).as("__p")))
         .getField("__p").as("prediction"))
 
+  /** Ranking/retrieval metrics per query — the evaluation half of the
+    * ANN/similarity stack (sklearn ndcg_score semantics; P@k / R@k /
+    * MRR are the standard IR trio): input is one row per (query,
+    * candidate) with a retrieval `score` and a graded `rel`evance.
+    * Candidates rank by score desc (ties → lower id first — the same
+    * deterministic tiebreak every oracle needs); the ideal ranking
+    * sorts by relevance desc.
+    *
+    * Returns per query: n_candidates, n_relevant, precision@k,
+    * recall@k (exact rationals), mrr (exact rational 1/first-hit rank),
+    * dcg@k, idcg@k and ndcg@k. The DCG sums fold in rank order
+    * (ordered fold — deterministic across partitionings and engines;
+    * k terms per query, bounded state). One window + one aggregate per
+    * query key — no global windows, no self-joins. */
+  def retrievalMetrics(df: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wIdeal = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).cast("double").desc, col(idCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__ri", row_number().over(wIdeal))
+    val rel = col(relCol).cast("double")
+    val dcgTerm = struct(col("__r").as("r"),
+      (rel / log2(col("__r").cast("double") + lit(1.0))).as("t"))
+    val idcgTerm = struct(col("__ri").as("r"),
+      (rel / log2(col("__ri").cast("double") + lit(1.0))).as("t"))
+    def foldSum(c: Column) = aggregate(array_sort(c), lit(0.0),
+      (acc, s) => acc + s.getField("t"))
+    val agg = ranked.groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(rel > 0, lit(1))).as("n_relevant"),
+        count(when(col("__r") <= k && rel > 0, lit(1))).as("__hits"),
+        min(when(rel > 0, col("__r"))).as("__first"),
+        collect_list(when(col("__r") <= k, dcgTerm)).as("__dcg"),
+        collect_list(when(col("__ri") <= k, idcgTerm)).as("__idcg"))
+    val dcg = foldSum(col("__dcg"))
+    val idcg = foldSum(col("__idcg"))
+    agg.select(col(queryCol),
+      col("n_candidates"), col("n_relevant"),
+      (col("__hits").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+      when(col("n_relevant") > 0,
+        col("__hits").cast("double") / col("n_relevant").cast("double"))
+        .otherwise(lit(0.0)).as("recall_at_k"),
+      when(col("__first").isNotNull,
+        lit(1.0) / col("__first").cast("double")).otherwise(lit(0.0)).as("mrr"),
+      dcg.as("dcg_at_k"), idcg.as("idcg_at_k"),
+      when(idcg > 0.0, dcg / idcg).otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
+
   /** Matrix / vector-column norms (reference tensor norm): "fro" (whole
     * column of vectors), row-wise "l1"/"l2"/"linf" as expressions. */
   def frobeniusNorm(df: DataFrame, featuresArrayCol: String): Double =

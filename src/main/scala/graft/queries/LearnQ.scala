@@ -525,6 +525,56 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- retrieval metrics (sklearn ndcg + the IR P@k/R@k/MRR trio —
+    //     the evaluation half of the ANN stack): deterministic rank
+    //     tiebreaks, exact-rational precision/recall/mrr (unrounded),
+    //     DCG folds in rank order with round-6 at the end (per-row
+    //     log2 is libm).
+    Q("learn_retrieval",
+      """WITH c AS (SELECT user_id, event_id, value AS score,
+        |    CASE WHEN event_id % 3 = 0 THEN 2.0
+        |         WHEN event_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM events WHERE user_id < 40),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY score DESC, event_id) AS rk,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rel DESC, event_id) AS rki
+        |  FROM c),
+        |a AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    CAST(COUNT(*) FILTER (rel > 0) AS BIGINT) AS n_relevant,
+        |    CAST(COUNT(*) FILTER (rk <= 5 AND rel > 0) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel > 0 THEN rk END) AS first,
+        |    list_sum(list(rel / log2(CAST(rk AS DOUBLE) + 1.0) ORDER BY rk)
+        |      FILTER (rk <= 5)) AS dcg,
+        |    list_sum(list(rel / log2(CAST(rki AS DOUBLE) + 1.0) ORDER BY rki)
+        |      FILTER (rki <= 5)) AS idcg
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, n_candidates, n_relevant,
+        |  CAST(hits AS DOUBLE) / 5.0 AS precision_at_k,
+        |  CASE WHEN n_relevant > 0
+        |       THEN CAST(hits AS DOUBLE) / CAST(n_relevant AS DOUBLE)
+        |       ELSE 0.0 END AS recall_at_k,
+        |  CASE WHEN first IS NOT NULL THEN 1.0 / CAST(first AS DOUBLE)
+        |       ELSE 0.0 END AS mrr,
+        |  round(dcg, 6) + CAST(0.0 AS DOUBLE) AS dcg_at_k,
+        |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+        |    + CAST(0.0 AS DOUBLE) AS ndcg_at_k
+        |FROM a ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val c = t(spark, dir, "events").filter($"user_id" < 40)
+        .select($"user_id", $"event_id", $"value".as("score"),
+          when($"event_id" % 3 === 0, 2.0)
+            .when($"event_id" % 5 === 0, 1.0).otherwise(0.0).as("rel"))
+      Learn.retrievalMetrics(c, "user_id", "event_id", "score", "rel", k = 5)
+        .select($"user_id", $"n_candidates", $"n_relevant",
+          $"precision_at_k", $"recall_at_k", $"mrr",
+          (round($"dcg_at_k", 6) + lit(0.0)).as("dcg_at_k"),
+          (round($"ndcg_at_k", 6) + lit(0.0)).as("ndcg_at_k"))
+        .orderBy($"user_id")
+    },
+
     // --- Kruskal–Wallis rank ANOVA: pooled doubled ranks → exact BIGINT
     //     group rank sums; Σ R_g²/n_g folds in sorted group order on
     //     both sides, so H gates UNROUNDED (same determinism argument as

@@ -703,6 +703,37 @@ class LearnSpec extends SparkSpecBase {
     assert(Learn.typeOfTarget(iv, "y") == "multiclass")
   }
 
+  test("retrievalMetrics: perfect ranking gives ndcg 1; hand-checked mixed case") {
+    // q1: scores rank the two relevant docs (rel 2, 1) first → ideal
+    // q2: the single relevant doc (rel 1) lands at rank 3 →
+    //     dcg = 1/log2(4) = 0.5, idcg = 1 → ndcg 0.5, mrr 1/3, P@2 0, R 0
+    // q3: nothing relevant → all zeros
+    val df = Seq(
+      ("q1", 1L, 9.0, 2.0), ("q1", 2L, 8.0, 1.0), ("q1", 3L, 7.0, 0.0),
+      ("q2", 1L, 9.0, 0.0), ("q2", 2L, 8.0, 0.0), ("q2", 3L, 7.0, 1.0),
+      ("q3", 1L, 9.0, 0.0))
+      .toDF("q", "id", "score", "rel")
+    val m = Learn.retrievalMetrics(df, "q", "id", "score", "rel", k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = m("q1")
+    assert(q1.getAs[Double]("ndcg_at_k") === 1.0, "ranking matches the ideal")
+    assert(q1.getAs[Double]("precision_at_k") === 1.0 &&
+      q1.getAs[Double]("recall_at_k") === 1.0 && q1.getAs[Double]("mrr") === 1.0)
+    val q2 = m("q2")
+    assert(q2.getAs[Double]("precision_at_k") === 0.0)
+    assert(q2.getAs[Double]("recall_at_k") === 0.0)
+    assert(math.abs(q2.getAs[Double]("mrr") - 1.0 / 3.0) < 1e-15)
+    assert(q2.getAs[Double]("dcg_at_k") === 0.0, "relevant doc outside top-2")
+    val q3 = m("q3")
+    assert(q3.getAs[Double]("ndcg_at_k") === 0.0 &&
+      q3.getAs[Double]("mrr") === 0.0 && q3.getAs[Long]("n_relevant") === 0L)
+    // k larger than the list: q2's dcg picks up the rank-3 hit
+    val wide = Learn.retrievalMetrics(df, "q", "id", "score", "rel", k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(wide("q2").getAs[Double]("dcg_at_k") - 0.5) < 1e-15)
+    assert(math.abs(wide("q2").getAs[Double]("ndcg_at_k") - 0.5) < 1e-15)
+  }
+
   test("truncatedSvd: k=dim captures all energy; rank-1 data needs one component") {
     // rank-1 rows: i * (1, 2, 2) — one singular direction carries everything
     val df = (1 to 40).map(i =>
