@@ -958,6 +958,32 @@ object Learn {
         -col(predCol).cast("double"), col(predCol).as("__p")))
         .getField("__p").as("prediction"))
 
+  /** sklearn calibration_curve (strategy='uniform'): nBins equal-width
+    * probability buckets; per bin the positive fraction (exact
+    * rational) and the mean predicted probability. The cross-row
+    * probability sum goes through exact 1e-6-scaled BIGINTs (the
+    * probMetrics convention) so the curve is order-free and
+    * engine-replayable; p = 1.0 lands in the top bin like sklearn.
+    * One partial+final aggregate — scan speed. */
+  def calibrationCurve(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bin = least(floor(p * nBins).cast("long"), lit(nBins - 1L))
+    df.select(bin.as("bin"), p.as("__p"), y.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast("long")).as("n_pos"),
+        sum(floor(col("__p") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("__psum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("frac_positive"),
+        (col("__psum").cast("double") / lit(1000000.0) /
+          col("n").cast("double")).as("mean_predicted"))
+  }
+
   /** Ranking/retrieval metrics per query — the evaluation half of the
     * ANN/similarity stack (sklearn ndcg_score semantics; P@k / R@k /
     * MRR are the standard IR trio): input is one row per (query,

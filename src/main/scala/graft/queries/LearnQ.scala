@@ -525,6 +525,38 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- calibration curve (sklearn calibration_curve, uniform bins):
+    //     probabilities from the portable uniform, labels from a
+    //     deterministic threshold rule; per-bin positive fraction is an
+    //     exact rational and the mean prediction goes through
+    //     1e-6-scaled BIGINT sums — every output deterministic.
+    Q("learn_calibration",
+      s"""WITH b AS (SELECT
+         |    ${graft.functions.PortableHash.sqlUniform01("c_custkey")} AS p,
+         |    CASE WHEN ${graft.functions.PortableHash.sqlUniform01("c_custkey + 1000000")}
+         |              < ${graft.functions.PortableHash.sqlUniform01("c_custkey")}
+         |         THEN 1 ELSE 0 END AS y
+         |  FROM customer),
+         |g AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         |    CAST(y AS BIGINT) AS y,
+         |    CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS ps
+         |  FROM b)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_positive,
+         |  CAST(SUM(ps) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_predicted
+         |FROM g GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.PortableHash
+      val b = t(spark, dir, "customer").select(
+        PortableHash.uniform01($"c_custkey").as("p"),
+        when(PortableHash.uniform01($"c_custkey" + 1000000L) <
+          PortableHash.uniform01($"c_custkey"), 1).otherwise(0).as("y"))
+      Learn.calibrationCurve(b, "p", "y", nBins = 10)
+        .orderBy($"bin")
+    },
+
     // --- retrieval metrics (sklearn ndcg + the IR P@k/R@k/MRR trio —
     //     the evaluation half of the ANN stack): deterministic rank
     //     tiebreaks, exact-rational precision/recall/mrr (unrounded),

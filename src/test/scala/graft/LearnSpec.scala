@@ -703,6 +703,29 @@ class LearnSpec extends SparkSpecBase {
     assert(Learn.typeOfTarget(iv, "y") == "multiclass")
   }
 
+  test("calibrationCurve: exact bins, p=1 in the top bin, calibrated data is diagonal") {
+    val hand = Seq((0.05, 0), (0.08, 1), (0.95, 1), (1.0, 1), (0.55, 0))
+      .toDF("p", "y")
+    val got = Learn.calibrationCurve(hand, "p", "y", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(0L, 5L, 9L))
+    assert(got(0L) === ((2L, 1L, 0.5, 0.065)), "bin 0: probs .05/.08")
+    assert(got(5L) === ((1L, 0L, 0.0, 0.55)))
+    assert(got(9L)._1 == 2L && got(9L)._2 == 2L, "p = 1.0 clamps into bin 9")
+    assert(math.abs(got(9L)._4 - 0.975) < 1e-9)
+    // y ~ Bernoulli(p) synthetic: frac_positive tracks mean_predicted
+    import graft.functions.PortableHash
+    val syn = spark.range(0, 20000).toDF("id").select(
+      PortableHash.uniform01(col("id")).as("p"),
+      when(PortableHash.uniform01(col("id") + 500000L) <
+        PortableHash.uniform01(col("id")), 1).otherwise(0).as("y"))
+    Learn.calibrationCurve(syn, "p", "y", nBins = 10).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 0.05,
+        s"bin ${r.getLong(0)}: frac ${r.getDouble(3)} vs mean ${r.getDouble(4)}")
+    }
+  }
+
   test("retrievalMetrics: perfect ranking gives ndcg 1; hand-checked mixed case") {
     // q1: scores rank the two relevant docs (rel 2, 1) first → ideal
     // q2: the single relevant doc (rel 1) lands at rank 3 →
