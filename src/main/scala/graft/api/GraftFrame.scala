@@ -325,6 +325,19 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(others.foldLeft(df)((acc, o) =>
       acc.unionByName(o.df, allowMissingColumns = true)))
 
+  /** pandas concat(keys=) — row concat with a provenance label per input
+    * frame (the hierarchical-index level becomes an ordinary `key`
+    * column, SURVEY §7.1's columns-as-index model). `frames` pairs each
+    * key with its frame; this frame is not implicitly included. */
+  def concatRowsKeys(frames: Seq[(String, GraftFrame)],
+      keyName: String = "key"): GraftFrame = {
+    require(frames.nonEmpty, "concatRowsKeys needs at least one (key, frame)")
+    val tagged = frames.map { case (k, f) =>
+      f.df.withColumn(keyName, lit(k))
+    }
+    GraftFrame(tagged.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
   /** Column concat (pandas concat axis=1; reference merge/concat.py:41
     * axis=1): frames aligned on explicit `on` keys (the engine has no
     * implicit row index — SURVEY §7.1). join="outer" keeps the union of

@@ -1281,6 +1281,48 @@ object Learn {
     else df.agg(hit.as("accuracy"))
   }
 
+  /** Binary Matthews correlation coefficient (sklearn matthews_corrcoef;
+    * same confusion-count machinery as the kappa/report family): labels
+    * and predictions in {0, 1}. MCC = (tp·tn − fp·fn) /
+    * √((tp+fp)(tp+fn)(tn+fp)(tn+fn)); a zero denominator factor → 0
+    * like sklearn. All four counts come from ONE partial+final
+    * aggregate as exact longs, so the statistic is deterministic and
+    * engine-replayable (the products go through double before the
+    * sqrt — exact to 2⁵³, loud well past any real confusion table). */
+  def matthewsCorr(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val p = col(predCol).cast("long")
+    val agg = df.agg(
+      count(when(y === 1 && p === 1, lit(1))).as("tp"),
+      count(when(y === 0 && p === 0, lit(1))).as("tn"),
+      count(when(y === 0 && p === 1, lit(1))).as("fp"),
+      count(when(y === 1 && p === 0, lit(1))).as("fn"))
+    val tp = col("tp").cast("double"); val tn = col("tn").cast("double")
+    val fp = col("fp").cast("double"); val fn = col("fn").cast("double")
+    val denomSq = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    agg.select(col("tp"), col("tn"), col("fp"), col("fn"),
+      when(denomSq > 0.0, (tp * tn - fp * fn) / sqrt(denomSq))
+        .otherwise(lit(0.0)).as("mcc"))
+  }
+
+  /** sklearn balanced_accuracy_score: the macro average of per-class
+    * recall — robust to class imbalance where plain accuracy saturates.
+    * Per-class recalls are exact long/long rationals; the cross-class
+    * mean folds in sorted class order (deterministic, engine-
+    * replayable). Classes are the distinct LABELS, like sklearn. */
+  def balancedAccuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val perClass = df.groupBy(col(labelCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col(labelCol) === col(predCol), lit(1))).as("__hit"))
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      (aggregate(
+        array_sort(collect_list(struct(col("__c"),
+          (col("__hit").cast("double") / col("__n").cast("double")).as("r")))),
+        lit(0.0), (acc, s) => acc + s.getField("r")) /
+        count(lit(1)).cast("double")).as("balanced_accuracy"))
+  }
+
   /** Per-class precision / recall / F1 from one confusion pass (the
     * reference's classification metrics, mars/learn/metrics/): a single
     * partial/final count aggregate keyed by (label, pred), then the three

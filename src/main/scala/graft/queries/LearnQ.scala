@@ -525,6 +525,62 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- Matthews correlation + balanced accuracy (sklearn
+    //     matthews_corrcoef / balanced_accuracy_score): confusion counts
+    //     exact, MCC one sqrt over exact products (unrounded), balanced
+    //     accuracy folds per-class recalls in sorted class order.
+    Q("learn_mcc", {
+      val u1 = graft.functions.PortableHash.sqlUniform01("c_custkey")
+      val u2 = graft.functions.PortableHash.sqlUniform01("c_custkey + 777")
+      s"""WITH b AS (SELECT
+         |    CASE WHEN u1 < 0.3 THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN (u1 < 0.3 AND u2 < 0.8) OR (u1 >= 0.3 AND u2 < 0.2)
+         |         THEN 1 ELSE 0 END AS p
+         |  FROM (SELECT $u1 AS u1, $u2 AS u2 FROM customer) t),
+         |m AS (SELECT
+         |    CAST(COUNT(*) FILTER (y = 1 AND p = 1) AS BIGINT) AS tp,
+         |    CAST(COUNT(*) FILTER (y = 0 AND p = 0) AS BIGINT) AS tn,
+         |    CAST(COUNT(*) FILTER (y = 0 AND p = 1) AS BIGINT) AS fp,
+         |    CAST(COUNT(*) FILTER (y = 1 AND p = 0) AS BIGINT) AS fn
+         |  FROM b),
+         |pc AS (SELECT CAST(y AS VARCHAR) AS c, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(COUNT(*) FILTER (y = p) AS BIGINT) AS hit
+         |       FROM b GROUP BY y),
+         |ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |       list_sum(list(CAST(hit AS DOUBLE) / CAST(n AS DOUBLE)
+         |                     ORDER BY c)) / CAST(COUNT(*) AS DOUBLE) AS bacc
+         |       FROM pc)
+         |SELECT tp, tn, fp, fn,
+         |  CASE WHEN (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+         |         * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+         |         * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+         |         * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)) > 0
+         |    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+         |          - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+         |      / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+         |         * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+         |         * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+         |         * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+         |    ELSE 0.0 END AS mcc,
+         |  n_classes, bacc
+         |FROM m, ba ORDER BY tp""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.PortableHash
+      val b = t(spark, dir, "customer").select(
+        PortableHash.uniform01($"c_custkey").as("u1"),
+        PortableHash.uniform01($"c_custkey" + 777L).as("u2"))
+        .select(
+          when($"u1" < 0.3, 1).otherwise(0).as("y"),
+          when(($"u1" < 0.3 && $"u2" < 0.8) ||
+            ($"u1" >= 0.3 && $"u2" < 0.2), 1).otherwise(0).as("p"))
+      Learn.matthewsCorr(b, "y", "p")
+        .crossJoin(Learn.balancedAccuracy(b, "y", "p"))
+        .select($"tp", $"tn", $"fp", $"fn", $"mcc", $"n_classes",
+          $"balanced_accuracy".as("bacc"))
+        .orderBy($"tp")
+    },
+
     // --- calibration curve (sklearn calibration_curve, uniform bins):
     //     probabilities from the portable uniform, labels from a
     //     deterministic threshold rule; per-bin positive fraction is an

@@ -346,6 +346,27 @@ object OpsRelational {
         .sortValues(Seq("l_returnflag")).df
     },
 
+    // --- §2.4 pandas concat(keys=): the hierarchical concat level
+    //     becomes an ordinary provenance column.
+    Q("op_concat_keys",
+      """SELECT key, CAST(COUNT(*) AS BIGINT) AS n, min(c_custkey) AS lo
+        |FROM (
+        |  SELECT 'low' AS key, c_custkey FROM customer WHERE c_custkey < 200
+        |  UNION ALL
+        |  SELECT 'high', c_custkey FROM customer WHERE c_custkey >= 1400) u
+        |GROUP BY key ORDER BY key""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val c = gt(spark, dir, "customer")
+      val low = graft.api.GraftFrame(c.df.filter($"c_custkey" < 200))
+        .select("c_custkey")
+      val high = graft.api.GraftFrame(c.df.filter($"c_custkey" >= 1400))
+        .select("c_custkey")
+      low.concatRowsKeys(Seq("low" -> low, "high" -> high))
+        .df.groupBy($"key")
+        .agg(count(lit(1)).as("n"), min($"c_custkey").as("lo"))
+        .orderBy($"key")
+    },
+
     // --- §2.6 groupby.nth over the explicit event order: nth(2) and
     //     nth(-1) (from-the-end), groups too small for the positive nth
     //     drop like pandas. event_id is unique per user so the order is

@@ -703,6 +703,25 @@ class LearnSpec extends SparkSpecBase {
     assert(Learn.typeOfTarget(iv, "y") == "multiclass")
   }
 
+  test("matthewsCorr and balancedAccuracy match sklearn hand cases") {
+    // confusion tp=2 tn=3 fp=1 fn=1: mcc = (6-1)/sqrt(3*3*4*4) = 5/12
+    val df = Seq((1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+      .toDF("y", "p")
+    val m = Learn.matthewsCorr(df, "y", "p").collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((2L, 3L, 1L, 1L)))
+    assert(math.abs(m.getAs[Double]("mcc") - 5.0 / 12.0) < 1e-15)
+    // balanced accuracy = mean(recall_1, recall_0) = (2/3 + 3/4)/2
+    val b = Learn.balancedAccuracy(df, "y", "p").collect().head
+    assert(b.getLong(0) == 2L)
+    assert(math.abs(b.getAs[Double]("balanced_accuracy") -
+      (2.0 / 3.0 + 3.0 / 4.0) / 2.0) < 1e-15)
+    // degenerate single-class predictions: zero denominator -> mcc 0
+    val const = Seq((1, 1), (0, 1)).toDF("y", "p")
+    assert(Learn.matthewsCorr(const, "y", "p")
+      .collect().head.getAs[Double]("mcc") === 0.0)
+  }
+
   test("calibrationCurve: exact bins, p=1 in the top bin, calibrated data is diagonal") {
     val hand = Seq((0.05, 0), (0.08, 1), (0.95, 1), (1.0, 1), (0.55, 0))
       .toDF("p", "y")
