@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
   * erf/erfc use Abramowitz–Stegun 7.1.26 (|ε| ≤ 1.5e-7 — documented,
   * spec-pinned; enough for the quality-scoring/statistics use cases, and
   * exact p-value work goes through StatTests' iterative forms instead).
-  * The airy/bessel/elliptic/hypergeometric families stay out of parity
-  * scope (SURVEY §2.14).
+  * Bessel J0/J1/Y0/Y1/I0/I1/K0/K1 (bessel.py) use the Abramowitz–Stegun
+  * 9.4.1–9.4.6 / 9.8.1–9.8.8 polynomial approximations (|ε| ≲ 1e-7,
+  * spec-pinned against tabulated values); complete elliptic integrals
+  * K(m)/E(m) (ellip_func_integrals.py) use eight unrolled AGM steps —
+  * pure IEEE +·/√ arithmetic, so the value is BIT-identical on any
+  * IEEE-754 engine (the oracle compares them unrounded). Each family
+  * ships a `sql*` mirror emitting the identical Horner/AGM shape as
+  * DuckDB SQL. The airy/hypergeometric/fresnel families stay out of
+  * parity scope (SURVEY §2.14): scipy-grade accuracy there needs the
+  * Cephes coefficient tables, not a fixed-degree composition.
   */
 object Special {
 
@@ -137,4 +145,248 @@ object Special {
   /** xlog1py(x,y) = x ln(1+y), 0 at x=0. */
   def xlog1py(x: Column, y: Column): Column =
     when(x === 0.0, lit(0.0)).otherwise(x * log1p(y))
+
+  // ---------------- Bessel functions (bessel.py) ----------------
+  // Abramowitz–Stegun polynomial approximations (public-domain NBS
+  // handbook, §9.4 and §9.8). Coefficients stored ascending as
+  // published; Horner evaluation runs high→low with the SAME shape on
+  // the Column side and in the sql* mirrors, so both engines perform
+  // the identical IEEE operation sequence (libm enters only through
+  // cos/sin/ln/exp/sqrt of identical inputs).
+
+  private def hornerAsc(coefs: Seq[Double], x: Column): Column =
+    coefs.reverse.tail.foldLeft(lit(coefs.last))((acc, c) => acc * x + lit(c))
+  private def sqlHornerAsc(coefs: Seq[Double], x: String): String =
+    coefs.reverse.tail.foldLeft(s"CAST('${coefs.last}' AS DOUBLE)")((acc, c) =>
+      s"(($acc) * ($x) + CAST('$c' AS DOUBLE))")
+
+  // A&S 9.4.1 / 9.4.2 / 9.4.4 / 9.4.5: |x| < 3, argument t = (x/3)^2
+  private val j0Small = Seq(1.0, -2.2499997, 1.2656208, -0.3163866,
+    0.0444479, -0.0039444, 0.0002100)
+  private val y0Small = Seq(0.36746691, 0.60559366, -0.74350384, 0.25300117,
+    -0.04261214, 0.00427916, -0.00024846)
+  private val j1Small = Seq(0.5, -0.56249985, 0.21093573, -0.03954289,
+    0.00443319, -0.00031761, 0.00001109)
+  private val y1Small = Seq(-0.6366198, 0.2212091, 2.1682709, -1.3164827,
+    0.3123951, -0.0400976, 0.0027873)
+  // A&S 9.4.3 / 9.4.6: |x| ≥ 3, modulus f and phase θ in z = 3/x
+  private val f0Mod = Seq(0.79788456, -0.00000077, -0.00552740, -0.00009512,
+    0.00137237, -0.00072805, 0.00014476)
+  private val th0Ph = Seq(-0.78539816, -0.04166397, -0.00003954, 0.00262573,
+    -0.00054125, -0.00029333, 0.00013558)
+  private val f1Mod = Seq(0.79788456, 0.00000156, 0.01659667, 0.00017105,
+    -0.00249511, 0.00113653, -0.00020033)
+  private val th1Ph = Seq(-2.35619449, 0.12499612, 0.00005650, -0.00637879,
+    0.00074348, 0.00079824, -0.00029166)
+  // A&S 9.8.1–9.8.8: I in t = (x/3.75)^2 (small) / w = 3.75/x (large),
+  // K in t = (x/2)^2 (small) / w = 2/x (large)
+  private val i0Small = Seq(1.0, 3.5156229, 3.0899424, 1.2067492,
+    0.2659732, 0.0360768, 0.0045813)
+  private val i0Large = Seq(0.39894228, 0.01328592, 0.00225319, -0.00157565,
+    0.00916281, -0.02057706, 0.02635537, -0.01647633, 0.00392377)
+  private val i1Small = Seq(0.5, 0.87890594, 0.51498869, 0.15084934,
+    0.02658733, 0.00301532, 0.00032411)
+  private val i1Large = Seq(0.39894228, -0.03988024, -0.00362018, 0.00163801,
+    -0.01031555, 0.02282967, -0.02895312, 0.01787654, -0.00420059)
+  private val k0Small = Seq(-0.57721566, 0.42278420, 0.23069756, 0.03488590,
+    0.00262698, 0.00010750, 0.00000740)
+  private val k0Large = Seq(1.25331414, -0.07832358, 0.02189568, -0.01062446,
+    0.00587872, -0.00251540, 0.00053208)
+  private val k1Small = Seq(1.0, 0.15443144, -0.67278579, -0.18156897,
+    -0.01919402, -0.00110404, -0.00004686)
+  private val k1Large = Seq(1.25331414, 0.23498619, -0.03655620, 0.01504268,
+    -0.00780353, 0.00325614, -0.00068245)
+
+  /** J₀(x) (bessel.py j0): A&S 9.4.1 for |x|<3, 9.4.3 beyond; even. */
+  def besselJ0(x: Column): Column = {
+    val ax = abs(x)
+    val small = hornerAsc(j0Small, (x / lit(3.0)) * (x / lit(3.0)))
+    val z = lit(3.0) / ax
+    val large = hornerAsc(f0Mod, z) * cos(ax + hornerAsc(th0Ph, z)) / sqrt(ax)
+    when(ax < 3.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselJ0]]; `x` is a SQL double expression. */
+  def sqlBesselJ0(x: String): String = {
+    val small = sqlHornerAsc(j0Small, s"(($x) / 3.0) * (($x) / 3.0)")
+    val z = s"(3.0 / abs($x))"
+    val large = s"(${sqlHornerAsc(f0Mod, z)}) * cos(abs($x) + " +
+      s"(${sqlHornerAsc(th0Ph, z)})) / sqrt(abs($x))"
+    s"(CASE WHEN abs($x) < 3.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** J₁(x) (bessel.py j1): A&S 9.4.4 / 9.4.6; odd. */
+  def besselJ1(x: Column): Column = {
+    val ax = abs(x)
+    val small = x * hornerAsc(j1Small, (x / lit(3.0)) * (x / lit(3.0)))
+    val z = lit(3.0) / ax
+    val large = signum(x) *
+      hornerAsc(f1Mod, z) * cos(ax + hornerAsc(th1Ph, z)) / sqrt(ax)
+    when(ax < 3.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselJ1]]. */
+  def sqlBesselJ1(x: String): String = {
+    val small = s"($x) * (${sqlHornerAsc(j1Small, s"(($x) / 3.0) * (($x) / 3.0)")})"
+    val z = s"(3.0 / abs($x))"
+    val large = s"sign($x) * (${sqlHornerAsc(f1Mod, z)}) * cos(abs($x) + " +
+      s"(${sqlHornerAsc(th1Ph, z)})) / sqrt(abs($x))"
+    s"(CASE WHEN abs($x) < 3.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** Y₀(x), x > 0 (bessel.py y0): A&S 9.4.2 / 9.4.3. */
+  def besselY0(x: Column): Column = {
+    val small = lit(2.0 / math.Pi) * log(x / lit(2.0)) * besselJ0(x) +
+      hornerAsc(y0Small, (x / lit(3.0)) * (x / lit(3.0)))
+    val z = lit(3.0) / x
+    val large = hornerAsc(f0Mod, z) * sin(x + hornerAsc(th0Ph, z)) / sqrt(x)
+    when(x < 3.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselY0]]; caller guarantees x > 0. */
+  def sqlBesselY0(x: String): String = {
+    val small = s"CAST('${2.0 / math.Pi}' AS DOUBLE) * ln(($x) / 2.0) * " +
+      s"(${sqlBesselJ0(x)}) + (${sqlHornerAsc(y0Small, s"(($x) / 3.0) * (($x) / 3.0)")})"
+    val z = s"(3.0 / ($x))"
+    val large = s"(${sqlHornerAsc(f0Mod, z)}) * sin(($x) + " +
+      s"(${sqlHornerAsc(th0Ph, z)})) / sqrt($x)"
+    s"(CASE WHEN ($x) < 3.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** Y₁(x), x > 0 (bessel.py y1): A&S 9.4.5 / 9.4.6. */
+  def besselY1(x: Column): Column = {
+    val small = (lit(2.0 / math.Pi) * x * log(x / lit(2.0)) * besselJ1(x) +
+      hornerAsc(y1Small, (x / lit(3.0)) * (x / lit(3.0)))) / x
+    val z = lit(3.0) / x
+    val large = hornerAsc(f1Mod, z) * sin(x + hornerAsc(th1Ph, z)) / sqrt(x)
+    when(x < 3.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselY1]]; caller guarantees x > 0. */
+  def sqlBesselY1(x: String): String = {
+    val small = s"(CAST('${2.0 / math.Pi}' AS DOUBLE) * ($x) * ln(($x) / 2.0) * " +
+      s"(${sqlBesselJ1(x)}) + (${sqlHornerAsc(y1Small, s"(($x) / 3.0) * (($x) / 3.0)")})) / ($x)"
+    val z = s"(3.0 / ($x))"
+    val large = s"(${sqlHornerAsc(f1Mod, z)}) * sin(($x) + " +
+      s"(${sqlHornerAsc(th1Ph, z)})) / sqrt($x)"
+    s"(CASE WHEN ($x) < 3.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** I₀(x) (bessel.py i0): A&S 9.8.1 / 9.8.2; even. */
+  def besselI0(x: Column): Column = {
+    val ax = abs(x)
+    val small = hornerAsc(i0Small, (x / lit(3.75)) * (x / lit(3.75)))
+    val large = exp(ax) / sqrt(ax) * hornerAsc(i0Large, lit(3.75) / ax)
+    when(ax < 3.75, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselI0]]. */
+  def sqlBesselI0(x: String): String = {
+    val small = sqlHornerAsc(i0Small, s"(($x) / 3.75) * (($x) / 3.75)")
+    val large = s"exp(abs($x)) / sqrt(abs($x)) * " +
+      s"(${sqlHornerAsc(i0Large, s"(3.75 / abs($x))")})"
+    s"(CASE WHEN abs($x) < 3.75 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** I₁(x) (bessel.py i1): A&S 9.8.3 / 9.8.4; odd. */
+  def besselI1(x: Column): Column = {
+    val ax = abs(x)
+    val small = x * hornerAsc(i1Small, (x / lit(3.75)) * (x / lit(3.75)))
+    val large = signum(x) * exp(ax) / sqrt(ax) * hornerAsc(i1Large, lit(3.75) / ax)
+    when(ax < 3.75, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselI1]]. */
+  def sqlBesselI1(x: String): String = {
+    val small = s"($x) * (${sqlHornerAsc(i1Small, s"(($x) / 3.75) * (($x) / 3.75)")})"
+    val large = s"sign($x) * exp(abs($x)) / sqrt(abs($x)) * " +
+      s"(${sqlHornerAsc(i1Large, s"(3.75 / abs($x))")})"
+    s"(CASE WHEN abs($x) < 3.75 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** K₀(x), x > 0 (bessel.py k0): A&S 9.8.5 / 9.8.6. */
+  def besselK0(x: Column): Column = {
+    val small = -log(x / lit(2.0)) * besselI0(x) +
+      hornerAsc(k0Small, (x / lit(2.0)) * (x / lit(2.0)))
+    val large = exp(-x) / sqrt(x) * hornerAsc(k0Large, lit(2.0) / x)
+    when(x < 2.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselK0]]; caller guarantees x > 0. */
+  def sqlBesselK0(x: String): String = {
+    val small = s"-ln(($x) / 2.0) * (${sqlBesselI0(x)}) + " +
+      s"(${sqlHornerAsc(k0Small, s"(($x) / 2.0) * (($x) / 2.0)")})"
+    val large = s"exp(-($x)) / sqrt($x) * (${sqlHornerAsc(k0Large, s"(2.0 / ($x))")})"
+    s"(CASE WHEN ($x) < 2.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** K₁(x), x > 0 (bessel.py k1): A&S 9.8.7 / 9.8.8. */
+  def besselK1(x: Column): Column = {
+    val small = (x * log(x / lit(2.0)) * besselI1(x) +
+      hornerAsc(k1Small, (x / lit(2.0)) * (x / lit(2.0)))) / x
+    val large = exp(-x) / sqrt(x) * hornerAsc(k1Large, lit(2.0) / x)
+    when(x < 2.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[besselK1]]; caller guarantees x > 0. */
+  def sqlBesselK1(x: String): String = {
+    val small = s"(($x) * ln(($x) / 2.0) * (${sqlBesselI1(x)}) + " +
+      s"(${sqlHornerAsc(k1Small, s"(($x) / 2.0) * (($x) / 2.0)")})) / ($x)"
+    val large = s"exp(-($x)) / sqrt($x) * (${sqlHornerAsc(k1Large, s"(2.0 / ($x))")})"
+    s"(CASE WHEN ($x) < 2.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  // ------- complete elliptic integrals (ellip_func_integrals.py) -------
+  // Eight unrolled AGM steps: a₀ = 1, b₀ = √(1−m), c₀ = √m;
+  // aₙ₊₁ = (aₙ+bₙ)/2, bₙ₊₁ = √(aₙbₙ), cₙ₊₁ = (aₙ−bₙ)/2.
+  // K(m) = π/(2a₈); E(m) = K·(1 − Σₙ 2ⁿ⁻¹cₙ²). Quadratic convergence:
+  // eight steps reach machine precision for every m ∈ [0, 1). Only
+  // IEEE-exact +·/√ enter, so the result is bit-identical across
+  // engines — [[sqlEllipKE]] replays the same steps as nested
+  // subqueries (the fragment form would duplicate subtrees 2⁸ times).
+  private val agmSteps = 8
+
+  /** (K(m), E(m)) as Columns; scipy ellipk/ellipe parameter m = k². */
+  def ellipKE(m: Column): (Column, Column) = {
+    var a = lit(1.0); var b = sqrt(lit(1.0) - m); var s = m / lit(2.0)
+    var pow = 1.0
+    for (_ <- 1 to agmSteps) {
+      val c = (a - b) / lit(2.0)
+      s = s + lit(pow) * c * c
+      val a2 = (a + b) / lit(2.0); val b2 = sqrt(a * b)
+      a = a2; b = b2; pow *= 2.0
+    }
+    val k = lit(math.Pi) / (lit(2.0) * a)
+    (k, k * (lit(1.0) - s))
+  }
+
+  def ellipk(m: Column): Column = ellipKE(m)._1
+  def ellipe(m: Column): Column = ellipKE(m)._2
+
+  /** DuckDB mirror of [[ellipKE]]: wraps `from` (a subquery/table whose
+    * columns include each parameter in `ms` plus the pass-through
+    * columns in `carry`) in `agmSteps` staged subselects and exposes
+    * `ell_k_<sfx>` / `ell_e_<sfx>` per (sfx, mCol) pair. */
+  def sqlEllipKE(from: String, ms: Seq[(String, String)],
+                 carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep, " + ms.map { case (sfx, mCol) =>
+      s"$mCol AS m_$sfx, 1.0 AS a_$sfx, sqrt(1.0 - ($mCol)) AS b_$sfx, " +
+        s"($mCol) / 2.0 AS s_$sfx"
+    }.mkString(", ") + s" FROM $from"
+    var pow = 1.0
+    for (_ <- 1 to agmSteps) {
+      q = s"SELECT $keep, " + ms.map { case (sfx, _) =>
+        s"m_$sfx, (a_$sfx + b_$sfx) / 2.0 AS a_$sfx, " +
+          s"sqrt(a_$sfx * b_$sfx) AS b_$sfx, " +
+          s"s_$sfx + CAST('$pow' AS DOUBLE) * ((a_$sfx - b_$sfx) / 2.0) * " +
+          s"((a_$sfx - b_$sfx) / 2.0) AS s_$sfx"
+      }.mkString(", ") + s" FROM ($q)"
+      pow *= 2.0
+    }
+    s"SELECT $keep, " + ms.map { case (sfx, _) =>
+      s"m_$sfx, CAST('${math.Pi}' AS DOUBLE) / (2.0 * a_$sfx) AS ell_k_$sfx, " +
+        s"CAST('${math.Pi}' AS DOUBLE) / (2.0 * a_$sfx) * (1.0 - s_$sfx) AS ell_e_$sfx"
+    }.mkString(", ") + s" FROM ($q)"
+  }
 }

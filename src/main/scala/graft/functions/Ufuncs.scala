@@ -90,7 +90,17 @@ object Ufuncs {
     "erfc" -> Special.erfc _,
     "erfinv" -> Special.erfinv _,
     "erfcinv" -> Special.erfcinv _,
-    "entr" -> Special.entr _)
+    "entr" -> Special.entr _,
+    "j0" -> Special.besselJ0 _,
+    "j1" -> Special.besselJ1 _,
+    "y0" -> Special.besselY0 _,
+    "y1" -> Special.besselY1 _,
+    "i0" -> Special.besselI0 _,
+    "i1" -> Special.besselI1 _,
+    "k0" -> Special.besselK0 _,
+    "k1" -> Special.besselK1 _,
+    "ellipk" -> Special.ellipk _,
+    "ellipe" -> Special.ellipe _)
 
   /** Binary ufuncs (add/sub/mul/div are native Column operators already). */
   val binary: Map[String, (Column, Column) => Column] = Map(

@@ -1153,6 +1153,89 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- §2.14 scipy.special Bessel family (bessel.py j0/j1/y0/y1/
+    //     i0/i1/k0/k1): A&S 9.4/9.8 polynomial approximations — the SQL
+    //     side replays the IDENTICAL Horner + branch shape via the
+    //     Special.sqlBessel* mirrors, so the only divergence channel is
+    //     libm (cos/sin/ln/exp) on identical inputs → round 6 (+0.0:
+    //     the oscillatory J/Y cross zero). Arguments: x = q/4 − 6.125
+    //     (signed, never 0, crosses ±3 off-grid), xp = q/4 (positive,
+    //     crosses the 2 and 3 branch points exactly ON grid at q∈{8,12}
+    //     — same double, same `<` verdict both engines), xi = (q−25)/4
+    //     (signed, crosses ±3.75 on grid at q∈{10,40}). Magnitudes stay
+    //     ≤ I0(6.25) ≈ 90, keeping absolute round-6 far above libm ulp.
+    Q("op_special_bessel", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlBesselJ0("x")}, 6) + CAST(0.0 AS DOUBLE) AS b_j0,
+         |  round(${S.sqlBesselJ1("x")}, 6) + CAST(0.0 AS DOUBLE) AS b_j1,
+         |  round(${S.sqlBesselY0("xp")}, 6) + CAST(0.0 AS DOUBLE) AS b_y0,
+         |  round(${S.sqlBesselY1("xp")}, 6) + CAST(0.0 AS DOUBLE) AS b_y1,
+         |  round(${S.sqlBesselI0("xi")}, 6) + CAST(0.0 AS DOUBLE) AS b_i0,
+         |  round(${S.sqlBesselI1("xi")}, 6) + CAST(0.0 AS DOUBLE) AS b_i1,
+         |  round(${S.sqlBesselK0("xp")}, 6) + CAST(0.0 AS DOUBLE) AS b_k0,
+         |  round(${S.sqlBesselK1("xp")}, 6) + CAST(0.0 AS DOUBLE) AS b_k1
+         |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 4.0 - 6.125 AS x,
+         |        CAST(l_quantity AS DOUBLE) / 4.0 AS xp,
+         |        (CAST(l_quantity AS DOUBLE) - 25.0) / 4.0 AS xi
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 4.0 - 6.125).as("x"),
+          ($"l_quantity".cast("double") / 4.0).as("xp"),
+          (($"l_quantity".cast("double") - 25.0) / 4.0).as("xi"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Ufuncs("j0")($"x")).as("b_j0"),
+          r6(Ufuncs("j1")($"x")).as("b_j1"),
+          r6(Ufuncs("y0")($"xp")).as("b_y0"),
+          r6(Ufuncs("y1")($"xp")).as("b_y1"),
+          r6(Ufuncs("i0")($"xi")).as("b_i0"),
+          r6(Ufuncs("i1")($"xi")).as("b_i1"),
+          r6(Ufuncs("k0")($"xp")).as("b_k0"),
+          r6(Ufuncs("k1")($"xp")).as("b_k1"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- §2.14 complete elliptic integrals K(m)/E(m)
+    //     (ellip_func_integrals.py ellipk/ellipe): eight unrolled AGM
+    //     steps of pure IEEE +·/√ — bit-identical across engines, so
+    //     the doubles are compared UNROUNDED (the strongest form of the
+    //     oracle; any divergence fails loudly). m₁ = q/64 and
+    //     m₂ = (q+12)/64 are exact binary fractions in [1/64, 62/64].
+    Q("op_special_ellip", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) / 64.0 AS m1, " +
+        "(CAST(l_quantity AS DOUBLE) + 12.0) / 64.0 AS m2 " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val staged = S.sqlEllipKE(inner, Seq("lo" -> "m1", "hi" -> "m2"),
+        Seq("l_orderkey", "l_linenumber"))
+      s"""SELECT l_orderkey, l_linenumber, m_lo, m_hi,
+         |  ell_k_lo, ell_e_lo, ell_k_hi, ell_e_hi
+         |FROM ($staged)
+         |ORDER BY l_orderkey, l_linenumber, m_lo""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_quantity".cast("double") / 64.0).as("m_lo"),
+          (($"l_quantity".cast("double") + 12.0) / 64.0).as("m_hi"))
+      val (kLo, eLo) = Special.ellipKE($"m_lo")
+      val (kHi, eHi) = Special.ellipKE($"m_hi")
+      base.select($"l_orderkey", $"l_linenumber", $"m_lo", $"m_hi",
+        kLo.as("ell_k_lo"), eLo.as("ell_e_lo"),
+        kHi.as("ell_k_hi"), eHi.as("ell_e_hi"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"m_lo")
+    },
+
     // --- §2.14 frame dot product (reference arithmetic/dot.py): tall
     //     (supplier × 3 features) · small (3 × 2 weights). The A entries go
     //     through the DECIMAL sum convention so both engines agree

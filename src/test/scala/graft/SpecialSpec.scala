@@ -111,6 +111,58 @@ class SpecialSpec extends SparkSpecBase {
       assert(Ufuncs.binary.contains(n), n)
   }
 
+  // Abramowitz–Stegun tables 9.1/9.8 values (|ε| of the 9.4/9.8
+  // polynomial fits is ≤ ~1e-7; tolerances sized to the published bounds)
+  test("bessel J/Y match tabulated values on both branches") {
+    assert(math.abs(eval1(Special.besselJ0, 1.0) - 0.7651976866) < 5e-7)
+    assert(math.abs(eval1(Special.besselJ0, 2.0) - 0.2238907791) < 5e-7)
+    assert(math.abs(eval1(Special.besselJ0, 5.0) - (-0.1775967713)) < 5e-7)
+    assert(math.abs(eval1(Special.besselJ0, 10.0) - (-0.2459357645)) < 5e-7)
+    assert(math.abs(eval1(Special.besselJ0, -5.0) - (-0.1775967713)) < 5e-7) // even
+    assert(math.abs(eval1(Special.besselJ1, 1.0) - 0.4400505857) < 5e-7)
+    assert(math.abs(eval1(Special.besselJ1, 5.0) - (-0.3275791376)) < 5e-7)
+    assert(math.abs(eval1(Special.besselJ1, -5.0) - 0.3275791376) < 5e-7) // odd
+    assert(math.abs(eval1(Special.besselY0, 1.0) - 0.0882569642) < 5e-7)
+    assert(math.abs(eval1(Special.besselY0, 5.0) - (-0.3085176252)) < 5e-7)
+    assert(math.abs(eval1(Special.besselY1, 1.0) - (-0.7812128213)) < 5e-7)
+    assert(math.abs(eval1(Special.besselY1, 5.0) - 0.1478631434) < 5e-7)
+  }
+
+  test("bessel I/K match tabulated values on both branches") {
+    assert(math.abs(eval1(Special.besselI0, 1.0) - 1.2660658778) < 5e-7)
+    assert(math.abs(eval1(Special.besselI0, 5.0) - 27.2398718236) / 27.24 < 3e-7)
+    assert(math.abs(eval1(Special.besselI0, -5.0) - 27.2398718236) / 27.24 < 3e-7)
+    assert(math.abs(eval1(Special.besselI1, 1.0) - 0.5651591040) < 5e-7)
+    assert(math.abs(eval1(Special.besselI1, 5.0) - 24.3356421424) / 24.34 < 3e-7)
+    assert(math.abs(eval1(Special.besselI1, -5.0) + 24.3356421424) / 24.34 < 3e-7)
+    assert(math.abs(eval1(Special.besselK0, 1.0) - 0.4210244382) < 5e-7)
+    assert(math.abs(eval1(Special.besselK0, 5.0) - 0.0036910983) < 5e-8)
+    assert(math.abs(eval1(Special.besselK1, 1.0) - 0.6019072302) < 5e-7)
+    assert(math.abs(eval1(Special.besselK1, 5.0) - 0.0040446134) < 5e-8)
+  }
+
+  test("elliptic K/E match published values to machine precision") {
+    // scipy.special.ellipk/ellipe (parameter m = k²) reference values
+    assert(math.abs(eval1(Special.ellipk, 0.0) - math.Pi / 2.0) < 1e-15)
+    assert(math.abs(eval1(Special.ellipe, 0.0) - math.Pi / 2.0) < 1e-15)
+    assert(math.abs(eval1(Special.ellipk, 0.5) - 1.8540746773013719) < 1e-12)
+    assert(math.abs(eval1(Special.ellipe, 0.5) - 1.3506438810476755) < 1e-12)
+    assert(math.abs(eval1(Special.ellipk, 0.9) - 2.5780921133481733) < 1e-12)
+    assert(math.abs(eval1(Special.ellipe, 0.9) - 1.1047747327040733) < 1e-12)
+    // Legendre relation E(m)K(1−m) + E(1−m)K(m) − K(m)K(1−m) = π/2
+    val m = 0.37
+    val lhs = eval1(Special.ellipe, m) * eval1(Special.ellipk, 1.0 - m) +
+      eval1(Special.ellipe, 1.0 - m) * eval1(Special.ellipk, m) -
+      eval1(Special.ellipk, m) * eval1(Special.ellipk, 1.0 - m)
+    assert(math.abs(lhs - math.Pi / 2.0) < 1e-12)
+  }
+
+  test("the ufunc registry resolves the bessel/elliptic names") {
+    for (n <- Seq("j0", "j1", "y0", "y1", "i0", "i1", "k0", "k1",
+      "ellipk", "ellipe"))
+      assert(Ufuncs.unary.contains(n), n)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
