@@ -336,6 +336,123 @@ object Special {
     s"(CASE WHEN ($x) < 2.0 THEN ($small) ELSE ($large) END)"
   }
 
+  // ---------------- Fresnel / Dawson (err_fresnel.py) ----------------
+  // Fixed-degree series + asymptotic compositions, branch at |x| = 4:
+  //  C(x) = Σ (−1)ᵏ(π/2)²ᵏ x⁴ᵏ⁺¹/((2k)!(4k+1)), S the odd companion —
+  //  evaluated as x·Horner in x⁴ (45 terms; worst cancellation at the
+  //  branch point ≈ 6e-8 absolute);
+  //  beyond: C = ½ + f·sin(z) − g·cos(z), S = ½ − f·cos(z) − g·sin(z),
+  //  z = πx²/2, f/g the standard (4k∓1)!! series in 1/(πx²) (10 terms,
+  //  truncation ≲ 1e-11). Dawson F(x) = x·Horner in x² (56 terms) /
+  //  (1/(2x))·Horner in 1/(2x²) (16 terms, ≲ 2e-8); erfi(x) =
+  //  (2/√π)·exp(x²)·F(x). All are odd; coefficients are generated by
+  //  exact double recurrences at class load and rendered identically
+  //  into the Column tree and the sql* mirrors.
+
+  private val fresnelCc: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 44) {
+      b += a / (4 * k + 1)
+      a *= -(math.Pi / 2.0) * (math.Pi / 2.0) / ((2 * k + 1) * (2 * k + 2))
+    }
+    b.result()
+  }
+  private val fresnelSc: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = math.Pi / 2.0
+    for (k <- 0 to 44) {
+      b += a / (4 * k + 3)
+      a *= -(math.Pi / 2.0) * (math.Pi / 2.0) / ((2 * k + 2) * (2 * k + 3))
+    }
+    b.result()
+  }
+  // f: Σ (−1)ᵏ(4k−1)!!·uᵏ, g: Σ (−1)ᵏ(4k+1)!!·uᵏ in u = 1/(πx²)²
+  private val fresnelFc: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 9) { b += a; a *= -(4.0 * k + 1.0) * (4.0 * k + 3.0) }
+    b.result()
+  }
+  private val fresnelGc: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 9) { b += a; a *= -(4.0 * k + 3.0) * (4.0 * k + 5.0) }
+    b.result()
+  }
+  private val dawsnSmall: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 55) { b += a; a *= -2.0 / (2.0 * k + 3.0) }
+    b.result()
+  }
+  private val dawsnLarge: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 15) { b += a; a *= 2.0 * k + 1.0 }
+    b.result()
+  }
+
+  /** (C(x), S(x)) Fresnel integrals (err_fresnel.py fresnel). */
+  def fresnel(x: Column): (Column, Column) = {
+    val ax = abs(x)
+    val t4 = (ax * ax) * (ax * ax)
+    val cSmall = ax * hornerAsc(fresnelCc, t4)
+    val sSmall = ax * (ax * ax) * hornerAsc(fresnelSc, t4)
+    val z = lit(math.Pi / 2.0) * (ax * ax)
+    val u = lit(1.0) / (lit(math.Pi) * (ax * ax))
+    // f = (1/(πx))·Σ(−1)ᵏ(4k−1)!!u²ᵏ, g = f's companion times one more u
+    val fC = hornerAsc(fresnelFc, u * u) / (lit(math.Pi) * ax)
+    val gC = hornerAsc(fresnelGc, u * u) / (lit(math.Pi) * ax) * u
+    val cLarge = lit(0.5) + fC * sin(z) - gC * cos(z)
+    val sLarge = lit(0.5) - fC * cos(z) - gC * sin(z)
+    val c = when(ax < 4.0, cSmall).otherwise(cLarge)
+    val s = when(ax < 4.0, sSmall).otherwise(sLarge)
+    (signum(x) * c, signum(x) * s)
+  }
+
+  def fresnelC(x: Column): Column = fresnel(x)._1
+  def fresnelS(x: Column): Column = fresnel(x)._2
+
+  /** sql mirrors of [[fresnelC]]/[[fresnelS]]. */
+  private def sqlFresnel(x: String, wantC: Boolean): String = {
+    val ax = s"abs($x)"
+    val t4 = s"(($ax) * ($ax)) * (($ax) * ($ax))"
+    val z = s"(CAST('${math.Pi / 2.0}' AS DOUBLE) * (($ax) * ($ax)))"
+    val u = s"(1.0 / (CAST('${math.Pi}' AS DOUBLE) * (($ax) * ($ax))))"
+    val fC = s"((${sqlHornerAsc(fresnelFc, s"($u) * ($u)")}) / " +
+      s"(CAST('${math.Pi}' AS DOUBLE) * ($ax)))"
+    val gC = s"((${sqlHornerAsc(fresnelGc, s"($u) * ($u)")}) / " +
+      s"(CAST('${math.Pi}' AS DOUBLE) * ($ax)) * ($u))"
+    val (small, large) =
+      if (wantC) (s"($ax) * (${sqlHornerAsc(fresnelCc, t4)})",
+        s"0.5 + ($fC) * sin($z) - ($gC) * cos($z)")
+      else (s"($ax) * (($ax) * ($ax)) * (${sqlHornerAsc(fresnelSc, t4)})",
+        s"0.5 - ($fC) * cos($z) - ($gC) * sin($z)")
+    s"(sign($x) * (CASE WHEN abs($x) < 4.0 THEN ($small) ELSE ($large) END))"
+  }
+  def sqlFresnelC(x: String): String = sqlFresnel(x, wantC = true)
+  def sqlFresnelS(x: String): String = sqlFresnel(x, wantC = false)
+
+  /** Dawson integral F(x) = e^(−x²)∫₀ˣe^(t²)dt (err_fresnel.py dawsn). */
+  def dawsn(x: Column): Column = {
+    val small = x * hornerAsc(dawsnSmall, x * x)
+    val w = lit(1.0) / (lit(2.0) * x * x)
+    val large = hornerAsc(dawsnLarge, w) / (lit(2.0) * x)
+    when(abs(x) < 4.0, small).otherwise(large)
+  }
+
+  /** sql mirror of [[dawsn]]. */
+  def sqlDawsn(x: String): String = {
+    val small = s"($x) * (${sqlHornerAsc(dawsnSmall, s"($x) * ($x)")})"
+    val w = s"(1.0 / (2.0 * ($x) * ($x)))"
+    val large = s"(${sqlHornerAsc(dawsnLarge, w)}) / (2.0 * ($x))"
+    s"(CASE WHEN abs($x) < 4.0 THEN ($small) ELSE ($large) END)"
+  }
+
+  /** erfi(x) = −i·erf(ix) = (2/√π)·exp(x²)·F(x) (err_fresnel.py erfi). */
+  def erfi(x: Column): Column =
+    lit(2.0 / math.sqrt(math.Pi)) * exp(x * x) * dawsn(x)
+
+  /** sql mirror of [[erfi]]. */
+  def sqlErfi(x: String): String =
+    s"(CAST('${2.0 / math.sqrt(math.Pi)}' AS DOUBLE) * exp(($x) * ($x)) * " +
+      s"(${sqlDawsn(x)}))"
+
   // ------- complete elliptic integrals (ellip_func_integrals.py) -------
   // Eight unrolled AGM steps: a₀ = 1, b₀ = √(1−m), c₀ = √m;
   // aₙ₊₁ = (aₙ+bₙ)/2, bₙ₊₁ = √(aₙbₙ), cₙ₊₁ = (aₙ−bₙ)/2.

@@ -100,7 +100,11 @@ object Ufuncs {
     "k0" -> Special.besselK0 _,
     "k1" -> Special.besselK1 _,
     "ellipk" -> Special.ellipk _,
-    "ellipe" -> Special.ellipe _)
+    "ellipe" -> Special.ellipe _,
+    "fresnel_c" -> Special.fresnelC _,
+    "fresnel_s" -> Special.fresnelS _,
+    "dawsn" -> Special.dawsn _,
+    "erfi" -> Special.erfi _)
 
   /** Binary ufuncs (add/sub/mul/div are native Column operators already). */
   val binary: Map[String, (Column, Column) => Column] = Map(

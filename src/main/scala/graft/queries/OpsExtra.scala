@@ -1203,6 +1203,44 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- §2.14 Fresnel S/C, Dawson, erfi (err_fresnel.py fresnel/
+    //     dawsn/erfi): fixed-degree series + asymptotic compositions
+    //     with the branch at |x| = 4 — the SQL side replays the same
+    //     Horner/branch shape (Special.sqlFresnel*/sqlDawsn/sqlErfi),
+    //     libm enters only via sin/cos/exp of identical inputs →
+    //     round 6 (+0.0: the oscillatory C/S and odd dawsn cross zero).
+    //     x = q/4 − 6.125 (signed, never 0, crosses ±4 off-grid);
+    //     erfi over xe = q/20 ∈ [0.05, 2.5] keeps exp(x²) ≤ e^6.25 so
+    //     absolute round-6 stays far above ulp noise.
+    Q("op_special_fresnel", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlFresnelC("x")}, 6) + CAST(0.0 AS DOUBLE) AS f_c,
+         |  round(${S.sqlFresnelS("x")}, 6) + CAST(0.0 AS DOUBLE) AS f_s,
+         |  round(${S.sqlDawsn("x")}, 6) + CAST(0.0 AS DOUBLE) AS f_daw,
+         |  round(${S.sqlErfi("xe")}, 6) + CAST(0.0 AS DOUBLE) AS f_erfi
+         |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 4.0 - 6.125 AS x,
+         |        CAST(l_quantity AS DOUBLE) / 20.0 AS xe
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 4.0 - 6.125).as("x"),
+          ($"l_quantity".cast("double") / 20.0).as("xe"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Ufuncs("fresnel_c")($"x")).as("f_c"),
+          r6(Ufuncs("fresnel_s")($"x")).as("f_s"),
+          r6(Ufuncs("dawsn")($"x")).as("f_daw"),
+          r6(Ufuncs("erfi")($"xe")).as("f_erfi"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- §2.14 complete elliptic integrals K(m)/E(m)
     //     (ellip_func_integrals.py ellipk/ellipe): eight unrolled AGM
     //     steps of pure IEEE +·/√ — bit-identical across engines, so

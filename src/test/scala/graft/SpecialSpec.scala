@@ -159,8 +159,30 @@ class SpecialSpec extends SparkSpecBase {
 
   test("the ufunc registry resolves the bessel/elliptic names") {
     for (n <- Seq("j0", "j1", "y0", "y1", "i0", "i1", "k0", "k1",
-      "ellipk", "ellipe"))
+      "ellipk", "ellipe", "fresnel_c", "fresnel_s", "dawsn", "erfi"))
       assert(Ufuncs.unary.contains(n), n)
+  }
+
+  test("fresnel C/S match tabulated values on both branches and are odd") {
+    assert(math.abs(eval1(Special.fresnelC, 1.0) - 0.7798934003768228) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelS, 1.0) - 0.4382591473903548) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelC, 2.0) - 0.4882534060753408) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelS, 2.0) - 0.3434156783636982) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelC, 5.0) - 0.5636311887040122) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelS, 5.0) - 0.4991913819171169) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelC, -2.0) + 0.4882534060753408) < 5e-7)
+    assert(math.abs(eval1(Special.fresnelS, -5.0) + 0.4991913819171169) < 5e-7)
+    assert(eval1(Special.fresnelC, 0.0) == 0.0)
+  }
+
+  test("dawsn and erfi match tabulated values on both branches") {
+    assert(math.abs(eval1(Special.dawsn, 0.5) - 0.4244363835020223) < 5e-7)
+    assert(math.abs(eval1(Special.dawsn, 1.0) - 0.5380795069127684) < 5e-7)
+    assert(math.abs(eval1(Special.dawsn, 2.0) - 0.3013403889237920) < 5e-7)
+    assert(math.abs(eval1(Special.dawsn, 5.0) - 0.1021340744242768) < 5e-7)
+    assert(math.abs(eval1(Special.dawsn, -1.0) + 0.5380795069127684) < 5e-7)
+    assert(math.abs(eval1(Special.erfi, 1.0) - 1.6504257587975428) < 2e-6)
+    assert(math.abs(eval1(Special.erfi, 2.0) - 18.564802414575552) / 18.56 < 5e-7)
   }
 
   test("special columns stay inside whole-stage codegen (no UDFs)") {
