@@ -777,6 +777,44 @@ object Learn {
         ((col("__sy") - slope * col("__sx")) / col("__n")).as("intercept"))
   }
 
+  /** Blockwise ensemble (reference mars/learn/ensemble/_blockwise.py
+    * BlockwiseEnsembleFit/Predict): fit one estimator per data block,
+    * then combine every estimator's prediction per test row — mean for
+    * the regressor, majority vote for the hard classifier (the
+    * reference's two voting modes). The sub-estimator here is the
+    * closed-form simple OLS (the same exact moment sums as
+    * [[groupedOls]]); blocks come from the portable hash so the
+    * partition→estimator mapping is deterministic and engine-replayable
+    * rather than an accident of chunking.
+    *
+    * Scale shape: the models frame is nBlocks rows → broadcast to the
+    * test side (no shuffle of test data); the per-row mean folds the
+    * nBlocks predictions in block order (ordered fold — deterministic
+    * across partitionings, DuckDB `list_sum(list(v ORDER BY k))`
+    * replayable); the vote is exact integer counting. */
+  def blockwiseOls(train: DataFrame, test: DataFrame, idCol: String,
+      xCol: String, yCol: String, nBlocks: Int,
+      threshold: Double): DataFrame = {
+    require(nBlocks >= 2 && nBlocks <= 64, s"nBlocks must be in [2,64]: $nBlocks")
+    val models = groupedOls(
+      train.withColumn("__blk",
+        graft.functions.PortableHash.bucket(col(idCol), nBlocks)),
+      "__blk", xCol, yCol)
+    val pred = col("intercept") + col("slope") * col(xCol).cast("double")
+    val joined = test.select(col(idCol), col(xCol))
+      .crossJoin(broadcast(models))
+      .select(col(idCol), col("__blk"), pred.as("__pred"))
+    val folded = joined.groupBy(col(idCol))
+      .agg(collect_list(struct(col("__blk"), col("__pred").as("v"))).as("__ps"),
+        count(when(col("__pred") > threshold, lit(1))).as("votes_over"))
+    folded.select(col(idCol),
+      (aggregate(array_sort(col("__ps")), lit(0.0),
+        (acc, s) => acc + s.getField("v")) / lit(nBlocks.toDouble))
+        .as("prediction"),
+      col("votes_over"),
+      (col("votes_over") * 2L > nBlocks.toLong).cast("int").as("vote_label"))
+  }
+
   /** Distributed sparse matrix multiply in COO form — the reference's
     * `mt.dot`/`tensordot` (mars/tensor/linalg/dot.py, tensordot/core.py)
     * for the regime where BOTH operands are too large to broadcast:

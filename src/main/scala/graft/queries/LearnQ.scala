@@ -1151,6 +1151,58 @@ object LearnQ {
         .orderBy($"k")
     },
 
+    // --- blockwise ensemble (mars/learn/ensemble/_blockwise.py): one
+    //     OLS per hash-assigned block, mean-combined regression
+    //     prediction (ordered fold over block id — the list_sum(list(v
+    //     ORDER BY k)) equivalence) + hard majority vote. Slopes come
+    //     from the grouped-OLS moment shape (round 4 precedent); the
+    //     per-row mean replays the identical fold; votes are exact
+    //     integers.
+    Q("learn_blockwise", {
+      val blk = graft.functions.PortableHash.sqlBucket("id", 4)
+      """WITH tr AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 4000),
+        |mo AS (SELECT BLK AS blk, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |  FROM tr GROUP BY 1),
+        |m AS (SELECT blk,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+        |  FROM mo),
+        |te AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    MIN(CAST(l_quantity AS DOUBLE)) AS x
+        |  FROM lineitem WHERE l_orderkey >= 4000 AND l_orderkey < 4600
+        |  GROUP BY 1),
+        |p AS (SELECT te.id, m.blk, m.intercept + m.slope * te.x AS pred
+        |  FROM te CROSS JOIN m)
+        |SELECT id,
+        |  round(list_sum(list(pred ORDER BY blk)) / 4.0, 4)
+        |    + CAST(0.0 AS DOUBLE) AS prediction,
+        |  CAST(COUNT(*) FILTER (WHERE pred > 30000.0) AS BIGINT) AS votes_over,
+        |  CAST(CASE WHEN COUNT(*) FILTER (WHERE pred > 30000.0) * 2 > 4
+        |       THEN 1 ELSE 0 END AS BIGINT) AS vote_label
+        |FROM p GROUP BY id ORDER BY id""".stripMargin
+        .replace("BLK", blk)
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val id = ($"l_orderkey" * 8 + $"l_linenumber").as("id")
+      val train = li.filter($"l_orderkey" < 4000)
+        .select(id, $"l_quantity", $"l_extendedprice")
+      // (orderkey, linenumber) repeats in the fixture — collapse to one
+      // row per id so the fold's tie order can't differ across engines
+      val test = li.filter($"l_orderkey" >= 4000 && $"l_orderkey" < 4600)
+        .select(id, $"l_quantity")
+        .groupBy($"id").agg(min($"l_quantity").as("l_quantity"))
+      Learn.blockwiseOls(train, test, "id", "l_quantity", "l_extendedprice",
+          nBlocks = 4, threshold = 30000.0)
+        .select($"id", (round($"prediction", 4) + lit(0.0)).as("prediction"),
+          $"votes_over", $"vote_label".cast("long").as("vote_label"))
+        .orderBy($"id")
+    },
+
     // --- scipy.stats parity (mars/tensor/stats): hypothesis tests. The
     //     gate columns are the exact BIGINT moment sums plus the t
     //     statistic derived from them with an IDENTICAL expression shape

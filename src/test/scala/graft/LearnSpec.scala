@@ -892,4 +892,22 @@ class LearnSpec extends SparkSpecBase {
     assert(out(("a", "pos"))._5 === "pos")       // argmax predictions
     assert(out(("b", "neg"))._5 === "neg")
   }
+
+  test("blockwiseOls: per-block fits combine by mean and majority vote") {
+    import graft.learn.Learn
+    // y = 2x exactly in every block → every sub-estimator recovers the
+    // same line, so the ensemble mean must equal 2x regardless of blocks
+    val train = (1 to 200).map(i => (i.toLong, i % 37 + 1.0, 2.0 * (i % 37 + 1)))
+      .toDF("id", "x", "y")
+    val test = Seq((1000L, 10.0), (1001L, 25.0)).toDF("id", "x")
+    val out = Learn.blockwiseOls(train, test, "id", "x", "y",
+      nBlocks = 4, threshold = 30.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getInt(3))).toMap
+    assert(math.abs(out(1000L)._1 - 20.0) < 1e-9)
+    assert(math.abs(out(1001L)._1 - 50.0) < 1e-9)
+    // 20 < 30 → no block votes over; 50 > 30 → all four do
+    assert(out(1000L)._2 === 0L && out(1000L)._3 === 0)
+    assert(out(1001L)._2 === 4L && out(1001L)._3 === 1)
+  }
 }
