@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * pure IEEE +·/√ arithmetic, so the value is BIT-identical on any
   * IEEE-754 engine (the oracle compares them unrounded). Each family
   * ships a `sql*` mirror emitting the identical Horner/AGM shape as
-  * DuckDB SQL. The airy/hypergeometric/fresnel families stay out of
-  * parity scope (SURVEY §2.14): scipy-grade accuracy there needs the
-  * Cephes coefficient tables, not a fixed-degree composition.
+  * DuckDB SQL. Fresnel C/S, Dawson F and erfi (err_fresnel.py) branch
+  * series/asymptotic at |x| = 4; Airy Ai/Ai′/Bi/Bi′ (airy.py) are
+  * series-windowed to |x| ≤ 6. Out of parity scope (SURVEY §2.14):
+  * wofz/modfresnel and the hypergeometric family — scipy-grade accuracy
+  * there needs the Cephes coefficient tables, not a fixed-degree
+  * composition.
   */
 object Special {
 
@@ -452,6 +455,73 @@ object Special {
   def sqlErfi(x: String): String =
     s"(CAST('${2.0 / math.sqrt(math.Pi)}' AS DOUBLE) * exp(($x) * ($x)) * " +
       s"(${sqlDawsn(x)}))"
+
+  // ---------------- Airy functions (airy.py) ----------------
+  // Maclaurin series Ai = c₁f − c₂g, Bi = √3(c₁f + c₂g) with
+  // f = Σ aₖx³ᵏ, g = x·Σ bₖx³ᵏ (A&S 10.4.2–10.4.5); 25 terms converge
+  // to machine precision for |x| ≤ 6, where the worst f/g cancellation
+  // leaves Ai with ~2e-13 absolute error. Beyond |x| = 6 the series
+  // cancellation would swamp Ai's exponential decay, so the functions
+  // return NaN there (documented window — the asymptotic regime needs
+  // Cephes-style rational fits, out of parity scope like wofz).
+  private val airyA: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 24) { b += a; a /= (3.0 * k + 3.0) * (3.0 * k + 2.0) }
+    b.result()
+  }
+  private val airyB: Seq[Double] = {
+    val b = Seq.newBuilder[Double]; var a = 1.0
+    for (k <- 0 to 24) { b += a; a /= (3.0 * k + 3.0) * (3.0 * k + 4.0) }
+    b.result()
+  }
+  private val airyAp: Seq[Double] = // f' = x²·Σ a'ₖ x³ᵏ, a'ₖ = aₖ₊₁(3k+3)
+    airyA.drop(1).zipWithIndex.map { case (a, k) => a * (3.0 * k + 3.0) }
+  private val airyBp: Seq[Double] = // g' = Σ b'ₖ x³ᵏ, b'ₖ = bₖ(3k+1)
+    airyB.zipWithIndex.map { case (b, k) => b * (3.0 * k + 1.0) }
+  private val airyC1 = 0.3550280538878172 // Ai(0)  = 3^(−2/3)/Γ(2/3)
+  private val airyC2 = 0.2588194037928068 // −Ai′(0) = 3^(−1/3)/Γ(1/3)
+  private val sqrt3 = math.sqrt(3.0)
+
+  /** (Ai, Ai′, Bi, Bi′) (airy.py airy), |x| ≤ 6 window (NaN outside). */
+  def airy(x: Column): (Column, Column, Column, Column) = {
+    val t = x * x * x
+    val fS = hornerAsc(airyA, t)
+    val gS = x * hornerAsc(airyB, t)
+    val fpS = x * x * hornerAsc(airyAp, t)
+    val gpS = hornerAsc(airyBp, t)
+    def win(c: Column) = when(abs(x) <= 6.0, c).otherwise(lit(Double.NaN))
+    (win(lit(airyC1) * fS - lit(airyC2) * gS),
+      win(lit(airyC1) * fpS - lit(airyC2) * gpS),
+      win(lit(sqrt3) * (lit(airyC1) * fS + lit(airyC2) * gS)),
+      win(lit(sqrt3) * (lit(airyC1) * fpS + lit(airyC2) * gpS)))
+  }
+
+  def airyAi(x: Column): Column = airy(x)._1
+  def airyAip(x: Column): Column = airy(x)._2
+  def airyBi(x: Column): Column = airy(x)._3
+  def airyBip(x: Column): Column = airy(x)._4
+
+  /** sql mirrors of the four [[airy]] outputs; callers keep |x| ≤ 6. */
+  private def sqlAiry(x: String, which: Int): String = {
+    val t = s"(($x) * ($x) * ($x))"
+    val fS = sqlHornerAsc(airyA, t)
+    val gS = s"(($x) * (${sqlHornerAsc(airyB, t)}))"
+    val fpS = s"(($x) * ($x) * (${sqlHornerAsc(airyAp, t)}))"
+    val gpS = sqlHornerAsc(airyBp, t)
+    val c1 = s"CAST('$airyC1' AS DOUBLE)"; val c2 = s"CAST('$airyC2' AS DOUBLE)"
+    val s3 = s"CAST('$sqrt3' AS DOUBLE)"
+    val core = which match {
+      case 0 => s"$c1 * ($fS) - $c2 * ($gS)"
+      case 1 => s"$c1 * ($fpS) - $c2 * ($gpS)"
+      case 2 => s"$s3 * ($c1 * ($fS) + $c2 * ($gS))"
+      case _ => s"$s3 * ($c1 * ($fpS) + $c2 * ($gpS))"
+    }
+    s"(CASE WHEN abs($x) <= 6.0 THEN ($core) ELSE CAST('nan' AS DOUBLE) END)"
+  }
+  def sqlAiryAi(x: String): String = sqlAiry(x, 0)
+  def sqlAiryAip(x: String): String = sqlAiry(x, 1)
+  def sqlAiryBi(x: String): String = sqlAiry(x, 2)
+  def sqlAiryBip(x: String): String = sqlAiry(x, 3)
 
   // ------- complete elliptic integrals (ellip_func_integrals.py) -------
   // Eight unrolled AGM steps: a₀ = 1, b₀ = √(1−m), c₀ = √m;

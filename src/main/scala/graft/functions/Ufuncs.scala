@@ -104,7 +104,11 @@ object Ufuncs {
     "fresnel_c" -> Special.fresnelC _,
     "fresnel_s" -> Special.fresnelS _,
     "dawsn" -> Special.dawsn _,
-    "erfi" -> Special.erfi _)
+    "erfi" -> Special.erfi _,
+    "airy_ai" -> Special.airyAi _,
+    "airy_aip" -> Special.airyAip _,
+    "airy_bi" -> Special.airyBi _,
+    "airy_bip" -> Special.airyBip _)
 
   /** Binary ufuncs (add/sub/mul/div are native Column operators already). */
   val binary: Map[String, (Column, Column) => Column] = Map(

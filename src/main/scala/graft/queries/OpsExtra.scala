@@ -1241,6 +1241,44 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- §2.14 Airy Ai/Ai′/Bi/Bi′ (airy.py): Maclaurin compositions
+    //     inside the |x| ≤ 6 window, identical series shape both sides
+    //     → round 6 (+0.0: Ai/Bi oscillate through zero on the negative
+    //     axis). x = q/8 − 3.2 sweeps the oscillatory side, x2 = q/10
+    //     the positive decay/growth side.
+    Q("op_special_airy", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlAiryAi("x")}, 6) + CAST(0.0 AS DOUBLE) AS a_ai,
+         |  round(${S.sqlAiryAip("x")}, 6) + CAST(0.0 AS DOUBLE) AS a_aip,
+         |  round(${S.sqlAiryBi("x")}, 6) + CAST(0.0 AS DOUBLE) AS a_bi,
+         |  round(${S.sqlAiryBip("x")}, 6) + CAST(0.0 AS DOUBLE) AS a_bip,
+         |  round(${S.sqlAiryAi("x2")}, 6) + CAST(0.0 AS DOUBLE) AS a_ai_pos,
+         |  round(${S.sqlAiryBi("x2")}, 6) + CAST(0.0 AS DOUBLE) AS a_bi_pos
+         |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 8.0 - 3.2 AS x,
+         |        CAST(l_quantity AS DOUBLE) / 10.0 AS x2
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 8.0 - 3.2).as("x"),
+          ($"l_quantity".cast("double") / 10.0).as("x2"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Ufuncs("airy_ai")($"x")).as("a_ai"),
+          r6(Ufuncs("airy_aip")($"x")).as("a_aip"),
+          r6(Ufuncs("airy_bi")($"x")).as("a_bi"),
+          r6(Ufuncs("airy_bip")($"x")).as("a_bip"),
+          r6(Ufuncs("airy_ai")($"x2")).as("a_ai_pos"),
+          r6(Ufuncs("airy_bi")($"x2")).as("a_bi_pos"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- §2.14 complete elliptic integrals K(m)/E(m)
     //     (ellip_func_integrals.py ellipk/ellipe): eight unrolled AGM
     //     steps of pure IEEE +·/√ — bit-identical across engines, so

@@ -175,6 +175,25 @@ class SpecialSpec extends SparkSpecBase {
     assert(eval1(Special.fresnelC, 0.0) == 0.0)
   }
 
+  test("airy matches tabulated values inside the series window") {
+    // scipy.special.airy reference values
+    assert(math.abs(eval1(Special.airyAi, 0.0) - 0.3550280538878172) < 1e-12)
+    assert(math.abs(eval1(Special.airyAip, 0.0) + 0.2588194037928068) < 1e-12)
+    assert(math.abs(eval1(Special.airyAi, 1.0) - 0.1352924163128814) < 1e-10)
+    assert(math.abs(eval1(Special.airyBi, 1.0) - 1.2074235949528713) < 1e-10)
+    assert(math.abs(eval1(Special.airyAi, -2.0) - 0.2274074282016855) < 1e-10)
+    assert(math.abs(eval1(Special.airyBi, -2.0) + 0.4123025879563984) < 1e-10)
+    assert(math.abs(eval1(Special.airyAi, 5.0) - 1.0834442813607441e-4) < 1e-9)
+    assert(math.abs(eval1(Special.airyBi, 5.0) - 657.7920441711711) / 657.8 < 1e-10)
+    // Wronskian Ai·Bi′ − Ai′·Bi = 1/π at several points
+    for (x <- Seq(-3.0, -1.0, 0.5, 2.0, 4.0)) {
+      val w = eval1(Special.airyAi, x) * eval1(Special.airyBip, x) -
+        eval1(Special.airyAip, x) * eval1(Special.airyBi, x)
+      assert(math.abs(w - 1.0 / math.Pi) < 1e-9, s"wronskian at $x: $w")
+    }
+    assert(eval1(Special.airyAi, 7.0).isNaN) // outside the window
+  }
+
   test("dawsn and erfi match tabulated values on both branches") {
     assert(math.abs(eval1(Special.dawsn, 0.5) - 0.4244363835020223) < 5e-7)
     assert(math.abs(eval1(Special.dawsn, 1.0) - 0.5380795069127684) < 5e-7)
