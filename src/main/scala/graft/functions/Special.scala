@@ -339,6 +339,212 @@ object Special {
     s"(CASE WHEN ($x) < 2.0 THEN ($small) ELSE ($large) END)"
   }
 
+  // ------- regularized incomplete gamma / beta (gamma_funcs.py) -------
+  // gammainc/gammaincc/betainc as FIXED-DEPTH compositions — the same
+  // algorithms StatTests iterates adaptively, but unrolled inside-out
+  // so the whole computation is one deterministic expression tree with
+  // LINEAR size (a continued fraction built bottom-up needs no Lentz
+  // normalization), mirrorable operation-for-operation into DuckDB SQL.
+  // This is what upgrades p-values from spec-pinned to differentially
+  // verified: P(a,x) for x < a+1 by the ascending series
+  //   P = e^(−x + a·ln x − lnΓ(a)) · (1/a)·(1 + x/(a+1)(1 + x/(a+2)(…)))
+  // (80 nested terms), Q(a,x) for x ≥ a+1 by the classical CF
+  //   Q = e^(−x + a·ln x − lnΓ(a)) / (x+1−a + K_i(−i(i−a)/(x+1−a+2i)))
+  // (60 levels). Accuracy ~1e-14 for a ∈ (0, 60], x ∈ [0, 200] —
+  // beyond that the fixed depths run out (the adaptive StatTests forms
+  // remain the general path). gammaln's mirror covers x > 0.5 (the
+  // Lanczos direct branch — incomplete-gamma callers have a > 0.5).
+
+  private val seriesDepth = 80
+  private val cfDepth = 60
+
+  /** sql mirror of [[gammaln]]'s direct (x > 0.5) branch. */
+  def sqlGammalnPos(x: String): String = {
+    val z = s"(($x) - 1.0)"
+    val series = lanczosC.zipWithIndex.tail.foldLeft(
+      s"CAST('${lanczosC.head}' AS DOUBLE)") { case (acc, (ci, i)) =>
+      s"(($acc) + CAST('$ci' AS DOUBLE) / (($z) + CAST('${i.toDouble}' AS DOUBLE)))"
+    }
+    val t = s"(($z) + 7.5)"
+    s"(CAST('${0.5 * math.log(2.0 * math.Pi)}' AS DOUBLE) + " +
+      s"(($z) + 0.5) * ln($t) - ($t) + ln($series))"
+  }
+
+  private def gammaPrefix(a: Column, x: Column): Column =
+    exp(-x + a * log(x) - gammalnPos(a))
+  // gammaln restricted to the direct branch so Column and SQL shapes match
+  private def gammalnPos(a: Column): Column = lanczosCore(a - lit(1.0))
+  private def sqlGammaPrefix(a: String, x: String): String =
+    s"exp(-($x) + ($a) * ln($x) - (${sqlGammalnPos(a)}))"
+
+  /** Regularized lower incomplete gamma P(a,x) (gamma_funcs.py
+    * gammainc), a ∈ (0, 60], x ≥ 0; P(a,0) = 0. */
+  def gammaincP(a: Column, x: Column): Column = {
+    // ascending series, 80 terms nested inside-out
+    var s: Column = lit(1.0)
+    for (n <- seriesDepth to 1 by -1)
+      s = lit(1.0) + x / (a + lit(n.toDouble)) * s
+    val pSeries = gammaPrefix(a, x) * s / a
+    // continued fraction for Q, 60 levels bottom-up
+    var f: Column = x + lit(1.0) - a + lit(2.0 * cfDepth)
+    for (i <- cfDepth to 1 by -1)
+      f = x + lit(1.0) - a + lit(2.0 * (i - 1)) +
+        lit(-i.toDouble) * (lit(i.toDouble) - a) / f
+    val qCf = gammaPrefix(a, x) / f
+    when(x === 0.0, lit(0.0))
+      .when(x < a + lit(1.0), pSeries)
+      .otherwise(lit(1.0) - qCf)
+  }
+
+  /** Regularized upper incomplete gamma Q(a,x) = 1 − P(a,x)
+    * (gamma_funcs.py gammaincc). */
+  def gammaincQ(a: Column, x: Column): Column = {
+    var s: Column = lit(1.0)
+    for (n <- seriesDepth to 1 by -1)
+      s = lit(1.0) + x / (a + lit(n.toDouble)) * s
+    val pSeries = gammaPrefix(a, x) * s / a
+    var f: Column = x + lit(1.0) - a + lit(2.0 * cfDepth)
+    for (i <- cfDepth to 1 by -1)
+      f = x + lit(1.0) - a + lit(2.0 * (i - 1)) +
+        lit(-i.toDouble) * (lit(i.toDouble) - a) / f
+    val qCf = gammaPrefix(a, x) / f
+    when(x === 0.0, lit(1.0))
+      .when(x < a + lit(1.0), lit(1.0) - pSeries)
+      .otherwise(qCf)
+  }
+
+  /** DuckDB mirror of [[gammaincP]]/[[gammaincQ]]. DuckDB's expression
+    * binder caps nesting at 128, so the 80-term series / 60-level CF
+    * cannot be emitted as one fragment — instead this wraps `from` in
+    * one staged subselect PER ITERATION (same trick as [[sqlEllipKE]];
+    * the per-stage update replays the identical operation shape as the
+    * Column loop). Emits `g_p_<sfx>` / `g_q_<sfx>` per (sfx, aExpr,
+    * xExpr) triple, with `carry` passed through. */
+  def sqlGammaincPQ(from: String, pairs: Seq[(String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep, " + pairs.map { case (sfx, a, x) =>
+      s"CAST(($a) AS DOUBLE) AS a_$sfx, CAST(($x) AS DOUBLE) AS x_$sfx"
+    }.mkString(", ") + s" FROM $from"
+    q = s"SELECT $keep, " + pairs.map { case (sfx, _, _) =>
+      s"a_$sfx, x_$sfx, CAST(1.0 AS DOUBLE) AS s_$sfx, " +
+        s"(x_$sfx + 1.0 - a_$sfx + CAST('${2.0 * cfDepth}' AS DOUBLE)) AS f_$sfx"
+    }.mkString(", ") + s" FROM ($q)"
+    for (k <- seriesDepth to 1 by -1) {
+      q = s"SELECT $keep, " + pairs.map { case (sfx, _, _) =>
+        val sNew = s"(1.0 + x_$sfx / (a_$sfx + " +
+          s"CAST('${k.toDouble}' AS DOUBLE)) * s_$sfx)"
+        val fNew = if (k <= cfDepth)
+          s"(x_$sfx + 1.0 - a_$sfx + CAST('${2.0 * (k - 1)}' AS DOUBLE) + " +
+            s"CAST('${-k.toDouble}' AS DOUBLE) * " +
+            s"(CAST('${k.toDouble}' AS DOUBLE) - a_$sfx) / f_$sfx)"
+        else s"f_$sfx"
+        s"a_$sfx, x_$sfx, $sNew AS s_$sfx, $fNew AS f_$sfx"
+      }.mkString(", ") + s" FROM ($q)"
+    }
+    s"SELECT $keep, " + pairs.map { case (sfx, _, _) =>
+      val a = s"a_$sfx"; val x = s"x_$sfx"
+      val prefix = sqlGammaPrefix(a, x)
+      val pSeries = s"(($prefix) * (s_$sfx) / ($a))"
+      val qCf = s"(($prefix) / (f_$sfx))"
+      s"(CASE WHEN ($x) = 0.0 THEN 0.0 WHEN ($x) < ($a) + 1.0 " +
+        s"THEN ($pSeries) ELSE (1.0 - ($qCf)) END) AS g_p_$sfx, " +
+        s"(CASE WHEN ($x) = 0.0 THEN 1.0 WHEN ($x) < ($a) + 1.0 " +
+        s"THEN (1.0 - ($pSeries)) ELSE ($qCf) END) AS g_q_$sfx"
+    }.mkString(", ") + s" FROM ($q)"
+  }
+
+  /** Regularized incomplete beta I_x(a,b) (gamma_funcs.py betainc):
+    * the classical even/odd-d continued fraction, 2·40 levels unrolled
+    * bottom-up, with the standard symmetry switch at
+    * x = (a+1)/(a+b+2). Accuracy ~1e-13 for a,b ∈ (0, 60]. */
+  def betaincReg(a: Column, b: Column, x: Column): Column = {
+    def cf(aa: Column, bb: Column, xx: Column): Column = {
+      // d_1..d_80 from the bottom: CF = 1 + d1/(1 + d2/(1 + …))
+      var f: Column = lit(1.0)
+      for (m <- 40 to 1 by -1) {
+        val mD = lit(m.toDouble)
+        val dEven = mD * (bb - mD) * xx /
+          ((aa + lit(2.0) * mD - lit(1.0)) * (aa + lit(2.0) * mD))
+        f = lit(1.0) + dEven / f
+        val dOdd = -(aa + mD - lit(1.0)) * (aa + bb + mD - lit(1.0)) * xx /
+          ((aa + lit(2.0) * mD - lit(2.0)) * (aa + lit(2.0) * mD - lit(1.0)))
+        f = lit(1.0) + dOdd / f
+      }
+      exp(aa * log(xx) + bb * log(lit(1.0) - xx) +
+        gammalnPos(aa + bb) - gammalnPos(aa) - gammalnPos(bb)) / (aa * f)
+    }
+    val direct = cf(a, b, x)
+    val flipped = lit(1.0) - cf(b, a, lit(1.0) - x)
+    when(x === 0.0, lit(0.0)).when(x === 1.0, lit(1.0))
+      .when(x < (a + lit(1.0)) / (a + b + lit(2.0)), direct)
+      .otherwise(flipped)
+  }
+
+  /** DuckDB mirror of [[betaincReg]], staged like [[sqlGammaincPQ]]
+    * (binder depth): each (sfx, a, b, x) quadruple runs TWO CF chains —
+    * direct (a,b,x) and flipped (b,a,1−x), the symmetry switch picking
+    * per row — and emits `bi_<sfx>`. */
+  def sqlBetaincStaged(from: String, pairs: Seq[(String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep, " + pairs.map { case (sfx, a, b, x) =>
+      s"CAST(($a) AS DOUBLE) AS ad_$sfx, CAST(($b) AS DOUBLE) AS bd_$sfx, " +
+        s"CAST(($x) AS DOUBLE) AS xd_$sfx"
+    }.mkString(", ") + s" FROM $from"
+    q = s"SELECT $keep, " + pairs.map { case (sfx, _, _, _) =>
+      s"ad_$sfx, bd_$sfx, xd_$sfx, bd_$sfx AS af_$sfx, ad_$sfx AS bf_$sfx, " +
+        s"(1.0 - xd_$sfx) AS xf_$sfx, " +
+        s"CAST(1.0 AS DOUBLE) AS fd_$sfx, CAST(1.0 AS DOUBLE) AS ff_$sfx"
+    }.mkString(", ") + s" FROM ($q)"
+    for (m <- 40 to 1 by -1) {
+      val mD = s"CAST('${m.toDouble}' AS DOUBLE)"
+      def step(aa: String, bb: String, xx: String, f: String): String = {
+        val dEven = s"($mD * (($bb) - $mD) * ($xx) / " +
+          s"((($aa) + 2.0 * $mD - 1.0) * (($aa) + 2.0 * $mD)))"
+        val dOdd = s"(-(($aa) + $mD - 1.0) * (($aa) + ($bb) + $mD - 1.0) * ($xx) / " +
+          s"((($aa) + 2.0 * $mD - 2.0) * (($aa) + 2.0 * $mD - 1.0)))"
+        s"(1.0 + ($dOdd) / (1.0 + ($dEven) / ($f)))"
+      }
+      q = s"SELECT $keep, " + pairs.map { case (sfx, _, _, _) =>
+        s"ad_$sfx, bd_$sfx, xd_$sfx, af_$sfx, bf_$sfx, xf_$sfx, " +
+          s"${step(s"ad_$sfx", s"bd_$sfx", s"xd_$sfx", s"fd_$sfx")} AS fd_$sfx, " +
+          s"${step(s"af_$sfx", s"bf_$sfx", s"xf_$sfx", s"ff_$sfx")} AS ff_$sfx"
+      }.mkString(", ") + s" FROM ($q)"
+    }
+    s"SELECT $keep, " + pairs.map { case (sfx, _, _, _) =>
+      def bt(aa: String, bb: String, xx: String, f: String) =
+        s"(exp(($aa) * ln($xx) + ($bb) * ln(1.0 - ($xx)) + " +
+          s"(${sqlGammalnPos(s"(($aa) + ($bb))")}) - (${sqlGammalnPos(aa)}) - " +
+          s"(${sqlGammalnPos(bb)})) / (($aa) * ($f)))"
+      val direct = bt(s"ad_$sfx", s"bd_$sfx", s"xd_$sfx", s"fd_$sfx")
+      val flipped = s"(1.0 - ${bt(s"af_$sfx", s"bf_$sfx", s"xf_$sfx", s"ff_$sfx")})"
+      s"(CASE WHEN (xd_$sfx) = 0.0 THEN 0.0 WHEN (xd_$sfx) = 1.0 THEN 1.0 " +
+        s"WHEN (xd_$sfx) < ((ad_$sfx) + 1.0) / ((ad_$sfx) + (bd_$sfx) + 2.0) " +
+        s"THEN ($direct) ELSE ($flipped) END) AS bi_$sfx"
+    }.mkString(", ") + s" FROM ($q)"
+  }
+
+  /** Kolmogorov–Smirnov survival function
+    * 2Σ(−1)^(k−1)·e^(−2k²λ²), 20 terms (ks.py two-sided p). */
+  def kolmogorovSfFixed(lambda: Column): Column = {
+    val l2 = lambda * lambda
+    val sum = (1 to 20).map(k =>
+      lit(if (k % 2 == 1) 2.0 else -2.0) * exp(lit(-2.0 * k * k) * l2))
+      .reduceLeft(_ + _)
+    greatest(lit(0.0), least(lit(1.0), sum))
+  }
+
+  /** sql mirror of [[kolmogorovSfFixed]]. */
+  def sqlKolmogorovSfFixed(lambda: String): String = {
+    val l2 = s"(($lambda) * ($lambda))"
+    val sum = (1 to 20).map(k =>
+      s"CAST('${if (k % 2 == 1) 2.0 else -2.0}' AS DOUBLE) * " +
+        s"exp(CAST('${-2.0 * k * k}' AS DOUBLE) * $l2)")
+      .reduceLeft((a, b) => s"(($a) + ($b))")
+    s"greatest(0.0, least(1.0, ($sum)))"
+  }
+
   // ---------------- Fresnel / Dawson (err_fresnel.py) ----------------
   // Fixed-degree series + asymptotic compositions, branch at |x| = 4:
   //  C(x) = Σ (−1)ᵏ(π/2)²ᵏ x⁴ᵏ⁺¹/((2k)!(4k+1)), S the odd companion —

@@ -1203,6 +1203,59 @@ object LearnQ {
         .orderBy($"id")
     },
 
+    // --- t-test p-values, differentially verified end-to-end: the
+    //     two-sided p = I_{ν/(ν+t²)}(ν/2, ½) through the fixed-depth
+    //     incomplete-beta composition (Special.betaincReg + its SQL
+    //     mirror) — the construct that upgrades the stats family's
+    //     p-values from spec-pinned to oracled. Small slice keeps
+    //     ν/2 ≤ ~35, well inside the 80-term CF depth (StatTestsSpec
+    //     pins the fixed-depth form against the adaptive Lentz form).
+    //     t comes from the exact BIGINT moments with the learn_ttest
+    //     shape; ν, x and p replay identically.
+    Q("learn_pvalues", {
+      val S = graft.functions.Special
+      val inner = """(WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        |  FROM lineitem WHERE l_orderkey < 60 GROUP BY 1),
+        |s AS (SELECT l_returnflag, n, s1, s2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(25.5 AS DOUBLE)) /
+        |      sqrt(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)) AS t_stat
+        |  FROM g),
+        |v AS (SELECT l_returnflag, n, s1, s2, t_stat,
+        |    CAST(n AS DOUBLE) - 1.0 AS nu FROM s)
+        |SELECT l_returnflag, n, s1, s2, t_stat, nu,
+        |    nu / (nu + t_stat * t_stat) AS bx FROM v)""".stripMargin
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("p", "(nu / 2.0)", "CAST(0.5 AS DOUBLE)", "bx")),
+        Seq("l_returnflag", "n", "s1", "s2", "t_stat"))
+      s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n, s1, s2,
+         |  round(t_stat, 6) + CAST(0.0 AS DOUBLE) AS t_stat,
+         |  round(bi_p, 6) + CAST(0.0 AS DOUBLE) AS p_two
+         |FROM ($staged)
+         |ORDER BY l_returnflag""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val g = t(spark, dir, "lineitem").filter($"l_orderkey" < 60)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("long")).as("s1"),
+          sum($"l_quantity".cast("long") * $"l_quantity".cast("long")).as("s2"))
+      val tStat = ($"s1".cast("double") / $"n".cast("double") - lit(25.5).cast("double")) /
+        sqrt((($"s2".cast("double") - $"s1".cast("double") * $"s1".cast("double") / $"n".cast("double"))
+          / ($"n".cast("double") - 1.0)) / $"n".cast("double"))
+      g.withColumn("t_stat", tStat)
+        .withColumn("nu", $"n".cast("double") - 1.0)
+        .withColumn("bx", $"nu" / ($"nu" + $"t_stat" * $"t_stat"))
+        .select($"l_returnflag", $"n".cast("long").as("n"), $"s1", $"s2",
+          (round($"t_stat", 6) + lit(0.0)).as("t_stat"),
+          (round(Special.betaincReg($"nu" / 2.0, lit(0.5), $"bx"), 6) + lit(0.0))
+            .as("p_two"))
+        .orderBy($"l_returnflag")
+    },
+
     // --- scipy.stats parity (mars/tensor/stats): hypothesis tests. The
     //     gate columns are the exact BIGINT moment sums plus the t
     //     statistic derived from them with an IDENTICAL expression shape

@@ -1279,6 +1279,83 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- §2.14 regularized incomplete gamma P/Q (gamma_funcs.py
+    //     gammainc/gammaincc): fixed-depth series/CF compositions with
+    //     the identical inside-out shape both sides (Special.scala) →
+    //     round 6. a = q/8 + 0.5 keeps the Lanczos direct branch;
+    //     x = q/3 crosses the series/CF switch at x = a+1. The KS
+    //     survival function rides along over λ = q/16 (20-term
+    //     alternating series, ks.py two-sided p).
+    Q("op_special_gammainc", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 8.0 + 0.5 AS ga, " +
+        "CAST(l_quantity AS DOUBLE) / 3.0 AS gx, " +
+        "CAST(l_quantity AS DOUBLE) / 16.0 AS lam " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val staged = S.sqlGammaincPQ(inner, Seq(("g", "ga", "gx")),
+        Seq("l_orderkey", "l_linenumber", "q", "lam"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(g_p_g, 6) + CAST(0.0 AS DOUBLE) AS g_p,
+         |  round(g_q_g, 6) + CAST(0.0 AS DOUBLE) AS g_q,
+         |  round(${S.sqlKolmogorovSfFixed("lam")}, 6) + CAST(0.0 AS DOUBLE) AS ks_sf
+         |FROM ($staged)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 8.0 + 0.5).as("ga"),
+          ($"l_quantity".cast("double") / 3.0).as("gx"),
+          ($"l_quantity".cast("double") / 16.0).as("lam"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.gammaincP($"ga", $"gx")).as("g_p"),
+          r6(Special.gammaincQ($"ga", $"gx")).as("g_q"),
+          r6(Special.kolmogorovSfFixed($"lam")).as("ks_sf"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- §2.14 regularized incomplete beta I_x(a,b) (gamma_funcs.py
+    //     betainc): the classical CF, 80 d-terms unrolled bottom-up,
+    //     symmetry switch at x = (a+1)/(a+b+2) — identical shape both
+    //     sides → round 6. Sweeps both branches (x = q/64 against the
+    //     switch point) and asymmetric (a, b) pairs.
+    Q("op_special_betainc", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 8.0 + 0.5 AS ba, " +
+        "(51.0 - CAST(l_quantity AS DOUBLE)) / 8.0 + 0.5 AS bb, " +
+        "CAST(l_quantity AS DOUBLE) / 64.0 AS bx " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("a", "ba", "bb", "bx"), ("s", "bb", "ba", "bx")),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(bi_a, 6) + CAST(0.0 AS DOUBLE) AS bi,
+         |  round(bi_s, 6) + CAST(0.0 AS DOUBLE) AS bi_swap
+         |FROM ($staged)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 8.0 + 0.5).as("ba"),
+          ((lit(51.0) - $"l_quantity".cast("double")) / 8.0 + 0.5).as("bb"),
+          ($"l_quantity".cast("double") / 64.0).as("bx"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.betaincReg($"ba", $"bb", $"bx")).as("bi"),
+          r6(Special.betaincReg($"bb", $"ba", $"bx")).as("bi_swap"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- §2.14 complete elliptic integrals K(m)/E(m)
     //     (ellip_func_integrals.py ellipk/ellipe): eight unrolled AGM
     //     steps of pure IEEE +·/√ — bit-identical across engines, so

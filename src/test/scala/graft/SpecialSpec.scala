@@ -175,6 +175,53 @@ class SpecialSpec extends SparkSpecBase {
     assert(eval1(Special.fresnelC, 0.0) == 0.0)
   }
 
+  test("fixed-depth incomplete gamma matches the adaptive Lentz forms") {
+    import graft.learn.StatTests
+    def evalPQ(a: Double, x: Double): (Double, Double) = {
+      val r = Seq((a, x)).toDF("a", "x")
+        .select(Special.gammaincP(col("a"), col("x")).as("p"),
+          Special.gammaincQ(col("a"), col("x")).as("q")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // closed forms: P(1,x) = 1 − e^(−x)
+    assert(math.abs(evalPQ(1.0, 2.0)._1 - (1.0 - math.exp(-2.0))) < 1e-12)
+    for (a <- Seq(0.6, 1.5, 5.0, 12.0, 30.0, 55.0);
+         x <- Seq(0.1, 1.0, 4.0, 9.0, 25.0, 60.0, 110.0)) {
+      val (p, q) = evalPQ(a, x)
+      assert(math.abs(p + q - 1.0) < 1e-11, s"P+Q at ($a,$x)")
+      assert(math.abs(p - StatTests.regGammaP(a, x)) < 1e-9,
+        s"P($a,$x): $p vs ${StatTests.regGammaP(a, x)}")
+    }
+  }
+
+  test("fixed-depth incomplete beta matches the adaptive Lentz form") {
+    import graft.learn.StatTests
+    def evalI(a: Double, b: Double, x: Double): Double =
+      Seq((a, b, x)).toDF("a", "b", "x")
+        .select(Special.betaincReg(col("a"), col("b"), col("x")).as("i"))
+        .head().getDouble(0)
+    // closed form: I_x(1,1) = x; I_x(2,1) = x²
+    assert(math.abs(evalI(1.0, 1.0, 0.37) - 0.37) < 1e-12)
+    assert(math.abs(evalI(2.0, 1.0, 0.5) - 0.25) < 1e-12)
+    for (a <- Seq(0.5, 2.0, 10.0, 35.0, 60.0);
+         b <- Seq(0.5, 3.0, 25.0, 60.0);
+         x <- Seq(0.02, 0.2, 0.5, 0.8, 0.97, 0.995)) {
+      val i = evalI(a, b, x)
+      val ref = StatTests.regIncBeta(a, b, x)
+      assert(math.abs(i - ref) < 1e-8, s"I_$x($a,$b): $i vs $ref")
+      // symmetry I_x(a,b) = 1 − I_{1−x}(b,a)
+      assert(math.abs(i - (1.0 - evalI(b, a, 1.0 - x))) < 1e-9)
+    }
+  }
+
+  test("kolmogorovSfFixed matches the adaptive KS series") {
+    import graft.learn.StatTests
+    for (l <- Seq(0.3, 0.6, 1.0, 1.5, 2.5)) {
+      val v = eval1(Special.kolmogorovSfFixed, l)
+      assert(math.abs(v - StatTests.kolmogorovSf(l)) < 1e-10, s"λ=$l")
+    }
+  }
+
   test("airy matches tabulated values inside the series window") {
     // scipy.special.airy reference values
     assert(math.abs(eval1(Special.airyAi, 0.0) - 0.3550280538878172) < 1e-12)
