@@ -1390,6 +1390,45 @@ object LearnQ {
         .orderBy($"k")
     },
 
+    // --- χ² p-value, differentially verified: the learn_chisquare stat
+    //     (exact scaled-integer sum — bit-identical double both sides)
+    //     fed through the fixed-depth incomplete-gamma composition,
+    //     p = Q(dof/2, stat/2). Closes the loop the p-value columns
+    //     were spec-only for (StatTests keeps the adaptive forms; this
+    //     pins the same value through the oracle gate).
+    Q("learn_chisq_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH o AS (SELECT CAST(COUNT(*) AS DOUBLE) AS obs
+        |           FROM orders GROUP BY o_orderpriority),
+        |tot AS (SELECT SUM(obs) AS t, CAST(COUNT(*) AS DOUBLE) AS kk,
+        |               COUNT(*) AS k FROM o),
+        |terms AS (SELECT CAST(floor((obs - t / kk) * (obs - t / kk) / (t / kk)
+        |                            * 1e6 + 0.5) AS BIGINT) AS tt, k
+        |          FROM o, tot),
+        |st AS (SELECT k, CAST(SUM(tt) AS BIGINT) / 1e6 AS stat
+        |       FROM terms GROUP BY k)
+        |SELECT k, stat, CAST(k - 1 AS DOUBLE) / 2.0 AS ga,
+        |       stat / 2.0 AS gx FROM st)""".stripMargin
+      val staged = S.sqlGammaincPQ(inner, Seq(("c", "ga", "gx")),
+        Seq("k", "stat"))
+      s"""SELECT CAST(k AS BIGINT) AS k,
+         |  round(stat, 6) + CAST(0.0 AS DOUBLE) AS stat,
+         |  round(g_q_c, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM ($staged)
+         |ORDER BY k""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val counts = t(spark, dir, "orders")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("obs"))
+      StatTests.chisquare(counts, "obs")
+        .select($"k".cast("long").as("k"),
+          (round($"statistic", 6) + lit(0.0)).as("stat"),
+          (round(Special.gammaincQ($"dof" / 2.0, $"statistic" / 2.0), 6)
+            + lit(0.0)).as("p_value"))
+        .orderBy($"k")
+    },
+
     // --- G-test (power_divergence λ=0): 2·o·ln(o/e) per category, same
     //     scaled-integer summation; ln is libm but sits inside the 1e-6
     //     floor quantization (the ext_entropy convention)
