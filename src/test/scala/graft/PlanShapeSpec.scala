@@ -68,6 +68,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles(out) == 0, out.queryExecution.executedPlan.toString.take(500))
   }
 
+  test("the special-function families are pure projections — zero exchanges") {
+    import graft.functions.Special
+    val df = Seq(1.5, 2.5).toDF("x")
+    val out = df.select(
+      Special.besselJ0(col("x")), Special.besselK1(col("x")),
+      Special.ellipk(col("x") / 10.0), Special.fresnelC(col("x")),
+      Special.dawsn(col("x")), Special.airyAi(col("x")),
+      Special.gammaincP(col("x") + 1.0, col("x")),
+      Special.betaincReg(col("x"), col("x"), col("x") / 10.0))
+    assert(shuffles(out) == 0,
+      out.queryExecution.executedPlan.toString.take(500))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), plan.take(300))
+  }
+
+  test("blockwiseOls broadcasts the models frame to the test side") {
+    import graft.learn.Learn
+    val train = (1 to 120).map(i => (i.toLong, i % 13 + 1.0, 3.0 * (i % 13)))
+      .toDF("id", "x", "y")
+    val test = (1 to 20).map(i => (1000L + i, i + 0.5)).toDF("id", "x")
+    val out = Learn.blockwiseOls(train, test, "id", "x", "y", 4, 10.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("axisStats and groupedOls are single partial+final aggregates") {
     import graft.learn.Learn
     val vecs = (1 to 50).map(i => (i.toLong, Seq(i.toFloat, (i * 2).toFloat)))
