@@ -488,6 +488,95 @@ object LearnQ {
         .orderBy($"k")
     },
 
+    // --- ANOVA F p-value through the fixed-depth incomplete beta:
+    //     p = I_{d2/(d2+d1·F)}(d2/2, d1/2). Small slice keeps
+    //     d2/2 ≤ ~60 (the SpecialSpec-pinned depth envelope); the F
+    //     statistic comes from the learn_anova exact-moment shape.
+    Q("learn_anova_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH g AS (SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s2
+        |  FROM lineitem WHERE l_orderkey < 30 GROUP BY l_returnflag),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(s1) AS DOUBLE) AS sg1, CAST(SUM(s2) AS DOUBLE) AS sg2,
+        |    list_sum(list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                  / CAST(n AS DOUBLE) ORDER BY grp)) AS ssg
+        |  FROM g),
+        |f AS (SELECT k, n_total,
+        |    ((ssg - sg1 * sg1 / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        |      / ((sg2 - ssg) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      AS statistic
+        |  FROM a),
+        |d AS (SELECT k, n_total, statistic,
+        |    CAST(k AS DOUBLE) - 1.0 AS fd1,
+        |    CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE) AS fd2 FROM f)
+        |SELECT k, n_total, statistic, fd1, fd2,
+        |    fd2 / (fd2 + fd1 * statistic) AS bx FROM d)""".stripMargin
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("f", "(fd2 / 2.0)", "(fd1 / 2.0)", "bx")),
+        Seq("k", "n_total", "statistic"))
+      s"""SELECT k, n_total,
+         |  round(statistic, 6) + CAST(0.0 AS DOUBLE) AS f_stat,
+         |  round(bi_f, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM ($staged)
+         |ORDER BY k""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      StatTests.fOneway(
+          t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+            .select($"l_quantity".cast("long").as("q"), $"l_returnflag"),
+          "q", "l_returnflag")
+        .withColumn("fd1", $"k".cast("double") - 1.0)
+        .withColumn("fd2", $"n_total".cast("double") - $"k".cast("double"))
+        .withColumn("bx", $"fd2" / ($"fd2" + $"fd1" * $"statistic"))
+        .select($"k", $"n_total",
+          (round($"statistic", 6) + lit(0.0)).as("f_stat"),
+          (round(Special.betaincReg($"fd2" / 2.0, $"fd1" / 2.0, $"bx"), 6)
+            + lit(0.0)).as("p_value"))
+        .orderBy($"k")
+    },
+
+    // --- two-sample KS p-value: λ = √(n1·n2/(n1+n2))·D from the exact
+    //     integer d_num, p through the 20-term Kolmogorov series —
+    //     identical composition both sides (the learn_ks2 statistic
+    //     stays exact-integer; this gates the asymptotic p on top).
+    Q("learn_ks2_pvalue", {
+      val S = graft.functions.Special
+      val lam = "(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * " +
+        "(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))"
+      s"""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+         |    COUNT(*) FILTER (WHERE l_returnflag = 'A') AS c1,
+         |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS c2
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+         |c AS (SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+         |             SUM(c2) OVER (ORDER BY v) AS f2 FROM v),
+         |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |             CAST(SUM(c2) AS BIGINT) AS n2 FROM v),
+         |d AS (SELECT n1, n2, CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+         |  FROM c, n GROUP BY n1, n2)
+         |SELECT n1, n2, d_num,
+         |  round(${S.sqlKolmogorovSfFixed(lam)}, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM d ORDER BY n1""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val li = t(spark, dir, "lineitem")
+      val a = li.where($"l_returnflag" === "A").select($"l_quantity".cast("long").as("q"))
+      val r = li.where($"l_returnflag" === "R").select($"l_quantity".cast("long").as("q"))
+      val lam = sqrt($"n1".cast("double") * $"n2".cast("double") /
+          ($"n1".cast("double") + $"n2".cast("double"))) *
+        ($"d_num".cast("double") / ($"n1".cast("double") * $"n2".cast("double")))
+      StatTests.ks2Samp(a, "q", r, "q")
+        .select($"n1", $"n2", $"d_num",
+          (round(Special.kolmogorovSfFixed(lam), 6) + lit(0.0)).as("p_value"))
+        .orderBy($"n1")
+    },
+
     // --- Wilcoxon signed-rank (scipy upside; shares the rankdata prefix
     //     stitch): doubled ranks keep W⁺/T exact BIGINTs; z mirrors the
     //     tie-corrected closed form shape-for-shape (round 6, +0.0 — a
