@@ -525,6 +525,27 @@ object Special {
     }.mkString(", ") + s" FROM ($q)"
   }
 
+  /** Two-sided normal-approximation p-value p = erfc(|z|/√2) via the
+    * A&S 7.1.26 polynomial — the exact op sequence StatTests' rank-test
+    * UDFs run, as a Column so the oracle can replay it. */
+  def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    least(lit(1.0), poly * exp(-x * x))
+  }
+
+  /** sql mirror of [[normalTwoSidedP]]. */
+  def sqlNormalTwoSidedP(z: String): String = {
+    val x = s"(abs($z) / CAST('${math.sqrt(2.0)}' AS DOUBLE))"
+    val t = s"(1.0 / (1.0 + CAST('0.3275911' AS DOUBLE) * $x))"
+    val poly = s"($t * (CAST('0.254829592' AS DOUBLE) + $t * " +
+      s"(CAST('-0.284496736' AS DOUBLE) + $t * (CAST('1.421413741' AS DOUBLE) + " +
+      s"$t * (CAST('-1.453152027' AS DOUBLE) + $t * CAST('1.061405429' AS DOUBLE))))))"
+    s"least(1.0, ($poly) * exp(-($x) * ($x)))"
+  }
+
   /** Kolmogorov–Smirnov survival function
     * 2Σ(−1)^(k−1)·e^(−2k²λ²), 20 terms (ks.py two-sided p). */
   def kolmogorovSfFixed(lambda: Column): Column = {

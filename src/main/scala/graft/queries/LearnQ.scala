@@ -786,6 +786,99 @@ object LearnQ {
         .orderBy($"k")
     },
 
+    // --- Mann-Whitney asymptotic p-value: the exact-integer U/tie
+    //     machinery (learn_mannwhitney) extended through μ, σ, the
+    //     0.5-continuity z and p = erfc(|z|/√2) — the A&S polynomial
+    //     mirrored op-for-op (Special.normalTwoSidedP), so the rank
+    //     tests' normal-approximation p-values join the oracle gate.
+    Q("learn_mw_pvalue", {
+      val S = graft.functions.Special
+      s"""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+         |    COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n1v,
+         |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n2v
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+         |b AS (SELECT v, n1v, n2v, n1v + n2v AS cnt,
+         |    SUM(n1v + n2v) OVER (ORDER BY v) AS cum FROM v),
+         |m AS (SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+         |             CAST(SUM(n2v) AS BIGINT) AS n2,
+         |             SUM(n1v * (2 * (cum - cnt) + cnt + 1)) AS r1x2,
+         |             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties FROM b),
+         |u AS (SELECT n1, n2, ties,
+         |             CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2 FROM m),
+         |z AS (SELECT n1, n2, u2,
+         |    (CAST(u2 AS DOUBLE) / 2.0
+         |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+         |     - 0.5 * sign(CAST(u2 AS DOUBLE) / 2.0
+         |                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0))
+         |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+         |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0
+         |         - CAST(ties AS DOUBLE) /
+         |           ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+         |            (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS zz
+         |  FROM u)
+         |SELECT n1, n2, u2,
+         |  round(${S.sqlNormalTwoSidedP("zz")}, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM z ORDER BY n1""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val a = li.where($"l_returnflag" === "A").select($"l_quantity".cast("long").as("q"))
+      val r = li.where($"l_returnflag" === "R").select($"l_quantity".cast("long").as("q"))
+      StatTests.mannWhitneyU(a, "q", r, "q")
+        .select($"n1", $"n2", $"u2",
+          (round($"pvalue", 6) + lit(0.0)).as("p_value"))
+        .orderBy($"n1")
+    },
+
+    // --- Kruskal-Wallis p-value: H is χ²(k−1) asymptotically; the
+    //     tie-corrected H from learn_kruskal feeds the staged
+    //     incomplete-gamma Q(dof/2, H/2).
+    Q("learn_kruskal_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    l_returnflag AS g FROM lineitem),
+        |r AS (SELECT g,
+        |    CAST(2 * (rank() OVER (ORDER BY v)) - 2
+        |         + (COUNT(*) OVER (PARTITION BY v)) + 1 AS BIGINT) AS rank2
+        |  FROM base),
+        |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(rank2) AS BIGINT) AS r2 FROM r GROUP BY g),
+        |tc AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |       FROM (SELECT COUNT(*) AS t FROM base GROUP BY v) b),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    list_sum(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |                  / (4.0 * CAST(n AS DOUBLE)) ORDER BY g)) AS srg
+        |  FROM pg),
+        |h AS (SELECT k, n_total,
+        |  (12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+        |     * srg - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+        |  / (1.0 - CAST(ties AS DOUBLE)
+        |     / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |        * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+        |    AS statistic
+        |  FROM f, tc)
+        |SELECT k, n_total, statistic,
+        |    (CAST(k AS DOUBLE) - 1.0) / 2.0 AS ga,
+        |    statistic / 2.0 AS gx FROM h)""".stripMargin
+      val staged = S.sqlGammaincPQ(inner, Seq(("h", "ga", "gx")),
+        Seq("k", "n_total", "statistic"))
+      s"""SELECT k, n_total,
+         |  round(statistic, 6) + CAST(0.0 AS DOUBLE) AS h_stat,
+         |  round(g_q_h, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM ($staged)
+         |ORDER BY k""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      StatTests.kruskal(t(spark, dir, "lineitem"), "l_quantity", "l_returnflag")
+        .select($"k", $"n_total",
+          (round($"statistic", 6) + lit(0.0)).as("h_stat"),
+          (round(Special.gammaincQ(($"k".cast("double") - 1.0) / 2.0,
+            $"statistic" / 2.0), 6) + lit(0.0)).as("p_value"))
+        .orderBy($"k")
+    },
+
     // --- Kendall τ-b on a guarded subset (O(n²) pairs by definition;
     //     concordance counts are orientation-independent, so the oracle
     //     can pair on its own unique key): every count exact BIGINT, τ
