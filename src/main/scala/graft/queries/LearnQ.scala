@@ -614,6 +614,56 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- Wilcoxon signed-rank p-value: p = Q(½, z²/2) ≡ erfc(|z|/√2),
+    //     the identity StatTests' adaptive UDF uses — here BOTH sides
+    //     run the fixed-depth incomplete-gamma composition on the
+    //     unrounded tie-corrected z, so the p joins the oracle gate.
+    Q("learn_wilcoxon_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH d0 AS (SELECT CAST(l_quantity AS DOUBLE)
+        |      - 3.0 * CAST(l_linenumber AS DOUBLE) AS d
+        |    FROM lineitem WHERE l_orderkey < 2000),
+        |nz AS (SELECT d, abs(d) AS ad FROM d0 WHERE d <> 0),
+        |r AS (SELECT d,
+        |    CAST(2 * (rank() OVER (ORDER BY ad)) - 2
+        |         + (COUNT(*) OVER (PARTITION BY ad)) + 1 AS BIGINT) AS rank2
+        |  FROM nz),
+        |tc AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |       FROM (SELECT COUNT(*) AS t FROM nz GROUP BY ad) b),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN d > 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w2plus
+        |  FROM r),
+        |zz AS (SELECT n, w2plus,
+        |  (CAST(least(w2plus, n * (n + 1) - w2plus) AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+        |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+        |      - CAST(ties AS DOUBLE) / 12.0) AS z
+        |  FROM a, tc)
+        |SELECT n, w2plus, z, CAST(0.5 AS DOUBLE) AS ga,
+        |       z * z / 2.0 AS gx FROM zz)""".stripMargin
+      val staged = S.sqlGammaincPQ(inner, Seq(("w", "ga", "gx")),
+        Seq("n", "w2plus", "z"))
+      s"""SELECT n, w2plus,
+         |  round(z, 6) + CAST(0.0 AS DOUBLE) AS z,
+         |  round(g_q_w, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM ($staged)
+         |ORDER BY n""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      StatTests.wilcoxon(
+          t(spark, dir, "lineitem").filter($"l_orderkey" < 2000)
+            .select($"l_quantity".cast("double").as("x"),
+              (lit(3.0) * $"l_linenumber".cast("double")).as("y")),
+          "x", "y")
+        .select($"n", $"w2plus",
+          (round($"zstat", 6) + lit(0.0)).as("z"),
+          (round(Special.gammaincQ(lit(0.5), $"zstat" * $"zstat" / 2.0), 6)
+            + lit(0.0)).as("p_value"))
+        .orderBy($"n")
+    },
+
     // --- Matthews correlation + balanced accuracy (sklearn
     //     matthews_corrcoef / balanced_accuracy_score): confusion counts
     //     exact, MCC one sqrt over exact products (unrounded), balanced
