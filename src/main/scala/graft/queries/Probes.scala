@@ -226,5 +226,28 @@ object Probes {
           (round(col("o_custkey").cast("double") /
             (col("o_orderkey") + 1).cast("double"), 6) + lit(0.0)).as("r6"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // --- deep staged-subselect nesting alone (the construct the r8
+    //     incomplete-gamma/beta mirrors rely on — ~84 wrapped
+    //     subselects): a 90-level affine chain with an exactly-
+    //     representable fixpoint-free result. Red here would name the
+    //     driver build's subquery-depth limit directly; green confirms
+    //     the staged-mirror family is portable.
+    Q("probe_staged_depth", {
+      var q = "SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS s " +
+        "FROM orders WHERE o_orderkey < 500"
+      for (_ <- 1 to 90)
+        q = s"SELECT o_orderkey, 1.0 + 0.5 * s AS s FROM ($q)"
+      s"""SELECT o_orderkey, round(s, 6) + CAST(0.0 AS DOUBLE) AS s
+         |FROM ($q) ORDER BY o_orderkey""".stripMargin
+    }) { (spark, dir) =>
+      val base = t(spark, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_custkey").cast("double").as("s"))
+      val chained = (1 to 90).foldLeft(base)((df, _) =>
+        df.select(col("o_orderkey"), (lit(1.0) + lit(0.5) * col("s")).as("s")))
+      chained.select(col("o_orderkey"),
+          (round(col("s"), 6) + lit(0.0)).as("s"))
+        .orderBy(col("o_orderkey"))
     })
 }
