@@ -1598,6 +1598,55 @@ object LearnQ {
         .orderBy($"n1")
     },
 
+    // --- Welch p-value: the fractional Welch–Satterthwaite ν feeds the
+    //     fixed-depth incomplete beta — the corner where the dof is a
+    //     genuine double (ν/2 non-integral), p = I_{ν/(ν+t²)}(ν/2, ½).
+    //     Small slice keeps ν/2 inside the pinned depth envelope.
+    Q("learn_welch_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH g AS (SELECT
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n1,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2a,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n2,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1b,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2b
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') AND l_orderkey < 30),
+        |d AS (SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE) AS vn1,
+        |  ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) AS vn2,
+        |  CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |  CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2, n1, n2 FROM g),
+        |s AS (SELECT n1, n2,
+        |  (vn1 + vn2) * (vn1 + vn2) /
+        |    (vn1 * vn1 / (n1d - 1.0) + vn2 * vn2 / (n2d - 1.0)) AS dof,
+        |  (m1 - m2) / sqrt(vn1 + vn2) AS t_stat FROM d)
+        |SELECT n1, n2, dof, t_stat,
+        |  dof / (dof + t_stat * t_stat) AS bx FROM s)""".stripMargin
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("w", "(dof / 2.0)", "CAST(0.5 AS DOUBLE)", "bx")),
+        Seq("n1", "n2", "dof", "t_stat"))
+      s"""SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  round(dof, 6) + CAST(0.0 AS DOUBLE) AS dof,
+         |  round(t_stat, 6) + CAST(0.0 AS DOUBLE) AS t_stat,
+         |  round(bi_w, 6) + CAST(0.0 AS DOUBLE) AS p_two
+         |FROM ($staged)
+         |ORDER BY n1""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val df = t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+        .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+      StatTests.ttestInd(df, "q", "l_returnflag", "A", "R", equalVar = false)
+        .withColumn("bx", $"dof" / ($"dof" + $"statistic" * $"statistic"))
+        .select($"n1", $"n2",
+          (round($"dof", 6) + lit(0.0)).as("dof"),
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"),
+          (round(Special.betaincReg($"dof" / 2.0, lit(0.5), $"bx"), 6)
+            + lit(0.0)).as("p_two"))
+        .orderBy($"n1")
+    },
+
     // --- Pearson χ² over the order-priority category counts vs the
     //     uniform expectation. Per-category terms are quantized to 1e-6
     //     BIGINTs and integer-summed (order-free) in BOTH engines —
