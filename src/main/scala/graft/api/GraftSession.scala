@@ -162,6 +162,25 @@ final class GraftSession(val spark: SparkSession) {
       transform(sequence(lit(0), lit(n - 1)),
         j => when(j === col("id").cast("int"), 1.0).otherwise(0.0))))
 
+  /** 2-D coordinate grid in long form (reference mt.meshgrid,
+    * tensor/base; and the mgrid/ogrid nd_grid of
+    * tensor/lib/index_tricks.py:30): rows (i, j, xv, yv) with
+    * xv = x₀ + j·dx, yv = y₀ + i·dy — numpy 'xy' indexing (x varies
+    * along columns). Generated as spark.range(ny) × broadcast
+    * spark.range(nx): the row axis distributes, the column axis is the
+    * small broadcast side, values are projections — no driver
+    * materialization at any size. */
+  def meshgrid(x0: Double, dx: Double, nx: Int,
+      y0: Double, dy: Double, ny: Int): GraftFrame = {
+    require(nx >= 1 && ny >= 1, s"meshgrid needs nx, ny >= 1: $nx, $ny")
+    val xs = spark.range(0, nx).select(col("id").as("j"))
+    val ys = spark.range(0, ny).select(col("id").as("i"))
+    GraftFrame(ys.crossJoin(broadcast(xs))
+      .select(col("i"), col("j"),
+        (lit(x0) + col("j").cast("double") * lit(dx)).as("xv"),
+        (lit(y0) + col("i").cast("double") * lit(dy)).as("yv")))
+  }
+
   /** Daily date_range (reference datasource/date_range.py:122): `periods`
     * dates starting at `start`, spaced `freqDays` apart — generated
     * distributed via spark.range, never on the driver. */

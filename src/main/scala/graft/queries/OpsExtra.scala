@@ -367,6 +367,24 @@ object OpsExtra {
         .orderBy($"id", $"j")
     },
 
+    // --- §2.1 meshgrid / mgrid (reference mt.meshgrid + the nd_grid of
+    //     tensor/lib/index_tricks.py): long-form (i, j, xv, yv) grid,
+    //     numpy 'xy' indexing — affine coordinates are identical IEEE
+    //     ops both sides, bit-exact unrounded.
+    Q("op_meshgrid",
+      """SELECT i, CAST(j AS BIGINT) AS j,
+        |  CAST(-1.5 AS DOUBLE) + CAST(j AS DOUBLE) * CAST(0.25 AS DOUBLE) AS xv,
+        |  CAST(2.0 AS DOUBLE) + CAST(i AS DOUBLE) * CAST(0.5 AS DOUBLE) AS yv
+        |FROM (SELECT unnest(range(0, 9)) AS i) a,
+        |     (SELECT unnest(range(0, 13)) AS j) b
+        |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftSession(spark)
+        .meshgrid(x0 = -1.5, dx = 0.25, nx = 13, y0 = 2.0, dy = 0.5, ny = 9)
+        .df.select($"i", $"j".cast("long").as("j"), $"xv", $"yv")
+        .orderBy($"i", $"j")
+    },
+
     // --- §2.10 rebalance/rechunk (reference base/rebalance.py:25,
     //     rechunk.py:32): pure physical re-layout — the oracle proves the
     //     DATA is untouched (no lost/duplicated rows) through a
