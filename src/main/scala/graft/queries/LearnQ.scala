@@ -1807,6 +1807,56 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- Spearman p-value: t = ρ√(ν/(1−ρ²)), ν = n−2, through the
+    //     fixed-depth incomplete beta (small slice keeps ν/2 ≤ ~60).
+    //     ρ replays the exact doubled-rank moment shape.
+    Q("learn_spearman_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH r AS (SELECT
+        |    2 * rank() OVER (ORDER BY CAST(l_quantity AS BIGINT))
+        |      + COUNT(*) OVER (PARTITION BY CAST(l_quantity AS BIGINT)) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry
+        |  FROM lineitem WHERE l_orderkey < 30),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx, CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy FROM r),
+        |rho AS (SELECT n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |         * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+        |  FROM m),
+        |tt AS (SELECT n, rho, CAST(n AS DOUBLE) - 2.0 AS nu,
+        |  rho * sqrt((CAST(n AS DOUBLE) - 2.0) / (1.0 - rho * rho)) AS t_stat
+        |  FROM rho)
+        |SELECT n, rho, nu, t_stat,
+        |  nu / (nu + t_stat * t_stat) AS bx FROM tt)""".stripMargin
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("r", "(nu / 2.0)", "CAST(0.5 AS DOUBLE)", "bx")),
+        Seq("n", "rho"))
+      s"""SELECT CAST(n AS BIGINT) AS n,
+         |  round(rho, 6) + CAST(0.0 AS DOUBLE) AS rho,
+         |  round(bi_r, 6) + CAST(0.0 AS DOUBLE) AS p_two
+         |FROM ($staged)
+         |ORDER BY n""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val df = t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+        .select($"l_quantity".cast("long").as("x"), $"l_extendedprice".as("y"))
+      StatTests.spearman(df, "x", "y")
+        .withColumn("nu", $"n".cast("double") - 2.0)
+        .withColumn("t_stat", $"statistic" *
+          sqrt(($"n".cast("double") - 2.0) / (lit(1.0) - $"statistic" * $"statistic")))
+        .withColumn("bx", $"nu" / ($"nu" + $"t_stat" * $"t_stat"))
+        .select($"n".cast("long").as("n"),
+          (round($"statistic", 6) + lit(0.0)).as("rho"),
+          (round(Special.betaincReg($"nu" / 2.0, lit(0.5), $"bx"), 6)
+            + lit(0.0)).as("p_two"))
+        .orderBy($"n")
+    },
+
     // --- Mann–Whitney U rank-sum, A vs R quantities: the gate is the
     //     EXACT integer 2·U1 = Σ n1v·rank2 − n1(n1+1) over pooled
     //     doubled average ranks (DuckDB HUGEINT internals, BIGINT out)
