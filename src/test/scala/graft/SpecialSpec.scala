@@ -141,6 +141,20 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(eval1(Special.besselK1, 5.0) - 0.0040446134) < 5e-8)
   }
 
+  test("bessel cross-product identities hold across the branch points") {
+    // J₁Y₀ − J₀Y₁ = 2/(πx) and I₀K₁ + I₁K₀ = 1/x — each ties all four
+    // members of a family together at once, including across the
+    // small/large approximation branches (A&S 9.1.16, 9.6.15)
+    for (x <- Seq(0.4, 1.0, 1.9, 2.0, 2.7, 3.0, 3.5, 3.75, 5.0, 8.0, 11.0)) {
+      val jy = eval1(Special.besselJ1, x) * eval1(Special.besselY0, x) -
+        eval1(Special.besselJ0, x) * eval1(Special.besselY1, x)
+      assert(math.abs(jy - 2.0 / (math.Pi * x)) < 2e-6, s"JY at $x: $jy")
+      val ik = eval1(Special.besselI0, x) * eval1(Special.besselK1, x) +
+        eval1(Special.besselI1, x) * eval1(Special.besselK0, x)
+      assert(math.abs(ik - 1.0 / x) < 2e-6 * math.max(1.0, ik * x), s"IK at $x: $ik")
+    }
+  }
+
   test("elliptic K/E match published values to machine precision") {
     // scipy.special.ellipk/ellipe (parameter m = k²) reference values
     assert(math.abs(eval1(Special.ellipk, 0.0) - math.Pi / 2.0) < 1e-15)
