@@ -1732,6 +1732,42 @@ object LearnQ {
         .orderBy($"k")
     },
 
+    // --- G-test p-value: the λ=0 power-divergence stat (exact
+    //     scaled-integer sum) through the χ² tail Q(dof/2, G/2) —
+    //     completes the power-divergence family's gated p.
+    Q("learn_gtest_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH o AS (SELECT CAST(COUNT(*) AS DOUBLE) AS obs
+        |           FROM orders GROUP BY o_orderpriority),
+        |tot AS (SELECT SUM(obs) AS t, CAST(COUNT(*) AS DOUBLE) AS kk,
+        |               COUNT(*) AS k FROM o),
+        |terms AS (SELECT CAST(floor(CAST(2.0 AS DOUBLE) * obs * ln(obs / (t / kk))
+        |                            * 1e6 + 0.5) AS BIGINT) AS tt, k
+        |          FROM o, tot),
+        |st AS (SELECT k, CAST(SUM(tt) AS BIGINT) / 1e6 AS stat
+        |       FROM terms GROUP BY k)
+        |SELECT k, stat, CAST(k - 1 AS DOUBLE) / 2.0 AS ga,
+        |       stat / 2.0 AS gx FROM st)""".stripMargin
+      val staged = S.sqlGammaincPQ(inner, Seq(("g", "ga", "gx")),
+        Seq("k", "stat"))
+      s"""SELECT CAST(k AS BIGINT) AS k,
+         |  round(stat, 6) + CAST(0.0 AS DOUBLE) AS stat,
+         |  round(g_q_g, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM ($staged)
+         |ORDER BY k""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val counts = t(spark, dir, "orders")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("obs"))
+      StatTests.powerDivergence(counts, "obs", lambda = 0.0)
+        .select($"k".cast("long").as("k"),
+          (round($"statistic", 6) + lit(0.0)).as("stat"),
+          (round(Special.gammaincQ($"dof" / 2.0, $"statistic" / 2.0), 6)
+            + lit(0.0)).as("p_value"))
+        .orderBy($"k")
+    },
+
     // --- two-sample Kolmogorov–Smirnov, A vs R quantity distributions.
     //     The gate is PURE INTEGERS: d_num = D·n1·n2 = max |cum1·n2 −
     //     cum2·n1| — exact in both engines (DuckDB windows go through
