@@ -1814,6 +1814,82 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- one-sample KS p-value: p = kolmogorov_sf(√n·D) on the
+    //     unrounded order-free D (max of per-value deterministic
+    //     doubles) — the 20-term series mirrored as one fragment.
+    Q("learn_ks1_pvalue", {
+      val S = graft.functions.Special
+      val lam = "(sqrt(CAST(n AS DOUBLE)) * stat)"
+      s"""WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |b AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM v),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v),
+         |d AS (SELECT n, MAX(greatest(
+         |    CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) - v / CAST(51.0 AS DOUBLE),
+         |    v / CAST(51.0 AS DOUBLE)
+         |      - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)) / CAST(n AS DOUBLE)))
+         |    AS stat
+         |  FROM b, n GROUP BY n)
+         |SELECT n, round(stat, 6) + CAST(0.0 AS DOUBLE) AS stat,
+         |  round(${S.sqlKolmogorovSfFixed(lam)}, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM d ORDER BY n""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val q = t(spark, dir, "lineitem").select($"l_quantity".cast("double").as("q"))
+      StatTests.ks1Samp(q, "q", c => c / lit(51.0).cast("double"))
+        .select($"n", (round($"statistic", 6) + lit(0.0)).as("stat"),
+          (round(Special.kolmogorovSfFixed(
+            sqrt($"n".cast("double")) * $"statistic"), 6) + lit(0.0))
+            .as("p_value"))
+        .orderBy($"n")
+    },
+
+    // --- Kendall τ p-value: the no-ties normal approximation
+    //     z = 3(c−d)/√(n(n−1)(2n+5)/2) on exact pair counts, p through
+    //     Q(½, z²/2) — same tail identity as the Wilcoxon gate.
+    Q("learn_kendall_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH s AS (SELECT row_number() OVER () AS rn,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_partkey % 97 AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 120),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+        |p AS (SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+        |      FROM s a JOIN s b ON a.rn < b.rn),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(*) FILTER (sx * sy > 0) AS BIGINT) AS concordant,
+        |    CAST(COUNT(*) FILTER (sx * sy < 0) AS BIGINT) AS discordant
+        |  FROM p),
+        |z AS (SELECT n_pairs, concordant, discordant,
+        |    3.0 * (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |           * (2.0 * CAST(n AS DOUBLE) + 5.0) / 2.0) AS zz
+        |  FROM agg, cnt)
+        |SELECT n_pairs, concordant, discordant, zz,
+        |    CAST(0.5 AS DOUBLE) AS ga, zz * zz / 2.0 AS gx FROM z)""".stripMargin
+      val staged = S.sqlGammaincPQ(inner, Seq(("k", "ga", "gx")),
+        Seq("n_pairs", "concordant", "discordant", "zz"))
+      s"""SELECT n_pairs, concordant, discordant,
+         |  round(zz, 6) + CAST(0.0 AS DOUBLE) AS z,
+         |  round(g_q_k, 6) + CAST(0.0 AS DOUBLE) AS p_value
+         |FROM ($staged)
+         |ORDER BY n_pairs""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      StatTests.kendallTau(
+          t(spark, dir, "lineitem").filter($"l_orderkey" < 120)
+            .select($"l_quantity".cast("double").as("x"),
+              ($"l_partkey" % 97).cast("double").as("y")),
+          "x", "y")
+        .select($"n_pairs", $"concordant", $"discordant",
+          (round($"zstat", 6) + lit(0.0)).as("z"),
+          (round(Special.gammaincQ(lit(0.5), $"zstat" * $"zstat" / 2.0), 6)
+            + lit(0.0)).as("p_value"))
+        .orderBy($"n_pairs")
+    },
+
     // --- Spearman rank correlation (pandas corr(method='spearman');
     //     Spark upside — the reference tiles Pearson only). Doubled
     //     average ranks make all moment sums exact integers; ρ is the
