@@ -566,6 +566,90 @@ object Special {
     s"greatest(0.0, least(1.0, ($sum)))"
   }
 
+  // ------- windowed hypergeometric functions (hypergeometric_funcs.py)
+  // Gauss ₂F₁(a,b;c;x) and Kummer ₁F₁(a;b;x) as fixed-depth nested
+  // series (60 / 80 terms, built inside-out — linear expression trees):
+  //   S = 1 + (a+k−1)(b+k−1)/((c+k−1)k)·x·S   (₂F₁)
+  //   S = 1 + (a+k−1)/((b+k−1)k)·x·S          (₁F₁)
+  // Windows: ₂F₁ needs |x| ≤ 0.7 (tail ≲ 0.7⁶⁰ ≈ 5e-10 for moderate
+  // parameters), ₁F₁ |x| ≤ 20 (x⁸⁰/80! ≈ 1e-7; worst negative-x
+  // cancellation ~1e-7 relative) — NaN outside, parameters |·| ≤ ~30
+  // and c (resp. b) not a non-positive integer are the caller's
+  // contract. The sql*Staged mirrors stage one subselect per term
+  // (binder depth). The full-plane analytic continuations stay out of
+  // scope (Cephes-grade machinery).
+
+  private val hyp2f1Depth = 60
+  private val hyp1f1Depth = 80
+
+  /** ₂F₁(a,b;c;x), |x| ≤ 0.7 window (NaN outside). */
+  def hyp2f1(a: Column, b: Column, c: Column, x: Column): Column = {
+    var s: Column = lit(1.0)
+    for (k <- hyp2f1Depth to 1 by -1) {
+      val km1 = lit((k - 1).toDouble); val kD = lit(k.toDouble)
+      s = lit(1.0) + (a + km1) * (b + km1) / ((c + km1) * kD) * x * s
+    }
+    when(abs(x) <= 0.7, s).otherwise(lit(Double.NaN))
+  }
+
+  /** ₁F₁(a;b;x), |x| ≤ 20 window (NaN outside). */
+  def hyp1f1(a: Column, b: Column, x: Column): Column = {
+    var s: Column = lit(1.0)
+    for (k <- hyp1f1Depth to 1 by -1) {
+      val km1 = lit((k - 1).toDouble); val kD = lit(k.toDouble)
+      s = lit(1.0) + (a + km1) / ((b + km1) * kD) * x * s
+    }
+    when(abs(x) <= 20.0, s).otherwise(lit(Double.NaN))
+  }
+
+  /** DuckDB mirror of [[hyp2f1]]/[[hyp1f1]], staged like
+    * [[sqlGammaincPQ]]: `gauss` entries (sfx, a, b, c, x) emit
+    * `h2_<sfx>`; `kummer` entries (sfx, a, b, x) emit `h1_<sfx>`. */
+  def sqlHypStaged(from: String, gauss: Seq[(String, String, String, String, String)],
+      kummer: Seq[(String, String, String, String)], carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep" +
+      gauss.map { case (sfx, a, b, c, x) =>
+        s", CAST(($a) AS DOUBLE) AS g2a_$sfx, CAST(($b) AS DOUBLE) AS g2b_$sfx, " +
+          s"CAST(($c) AS DOUBLE) AS g2c_$sfx, CAST(($x) AS DOUBLE) AS g2x_$sfx, " +
+          s"CAST(1.0 AS DOUBLE) AS g2s_$sfx"
+      }.mkString +
+      kummer.map { case (sfx, a, b, x) =>
+        s", CAST(($a) AS DOUBLE) AS k1a_$sfx, CAST(($b) AS DOUBLE) AS k1b_$sfx, " +
+          s"CAST(($x) AS DOUBLE) AS k1x_$sfx, CAST(1.0 AS DOUBLE) AS k1s_$sfx"
+      }.mkString + s" FROM $from"
+    val maxDepth = math.max(if (gauss.nonEmpty) hyp2f1Depth else 0,
+      if (kummer.nonEmpty) hyp1f1Depth else 0)
+    for (k <- maxDepth to 1 by -1) {
+      val km1 = s"CAST('${(k - 1).toDouble}' AS DOUBLE)"
+      val kD = s"CAST('${k.toDouble}' AS DOUBLE)"
+      q = s"SELECT $keep" +
+        gauss.map { case (sfx, _, _, _, _) =>
+          val sNew = if (k <= hyp2f1Depth)
+            s"(1.0 + (g2a_$sfx + $km1) * (g2b_$sfx + $km1) / " +
+              s"((g2c_$sfx + $km1) * $kD) * g2x_$sfx * g2s_$sfx)"
+          else s"g2s_$sfx"
+          s", g2a_$sfx, g2b_$sfx, g2c_$sfx, g2x_$sfx, $sNew AS g2s_$sfx"
+        }.mkString +
+        kummer.map { case (sfx, _, _, _) =>
+          val sNew = if (k <= hyp1f1Depth)
+            s"(1.0 + (k1a_$sfx + $km1) / ((k1b_$sfx + $km1) * $kD) * " +
+              s"k1x_$sfx * k1s_$sfx)"
+          else s"k1s_$sfx"
+          s", k1a_$sfx, k1b_$sfx, k1x_$sfx, $sNew AS k1s_$sfx"
+        }.mkString + s" FROM ($q)"
+    }
+    s"SELECT $keep" +
+      gauss.map { case (sfx, _, _, _, _) =>
+        s", (CASE WHEN abs(g2x_$sfx) <= 0.7 THEN g2s_$sfx " +
+          s"ELSE CAST('nan' AS DOUBLE) END) AS h2_$sfx"
+      }.mkString +
+      kummer.map { case (sfx, _, _, _) =>
+        s", (CASE WHEN abs(k1x_$sfx) <= 20.0 THEN k1s_$sfx " +
+          s"ELSE CAST('nan' AS DOUBLE) END) AS h1_$sfx"
+      }.mkString + s" FROM ($q)"
+  }
+
   // ---------------- Fresnel / Dawson (err_fresnel.py) ----------------
   // Fixed-degree series + asymptotic compositions, branch at |x| = 4:
   //  C(x) = Σ (−1)ᵏ(π/2)²ᵏ x⁴ᵏ⁺¹/((2k)!(4k+1)), S the odd companion —

@@ -1374,6 +1374,53 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- §2.14 windowed hypergeometric ₂F₁/₁F₁
+    //     (hypergeometric_funcs.py hyp2f1/hyp1f1): fixed-depth nested
+    //     series, staged SQL mirrors — identical term shapes both
+    //     sides → round 6. x₂F₁ = (q−25)/75 ∈ [−0.32, 0.33] stays well
+    //     inside the 0.7 window; x₁F₁ = (q−25.5)/5 sweeps ±4.9
+    //     (negative-x cancellation ≤ ~1e-7 relative, inside round 6).
+    Q("op_special_hyp", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 16.0 AS ha, " +
+        "CAST(1.5 AS DOUBLE) AS hb, " +
+        "CAST(l_quantity AS DOUBLE) / 10.0 + 1.0 AS hc, " +
+        "(CAST(l_quantity AS DOUBLE) - 25.0) / 75.0 AS hx, " +
+        "CAST(l_quantity AS DOUBLE) / 8.0 + 0.5 AS ka, " +
+        "CAST(l_quantity AS DOUBLE) / 10.0 + 1.5 AS kb, " +
+        "(CAST(l_quantity AS DOUBLE) - 25.5) / 5.0 AS kx " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val staged = S.sqlHypStaged(inner,
+        gauss = Seq(("g", "ha", "hb", "hc", "hx")),
+        kummer = Seq(("k", "ka", "kb", "kx")),
+        carry = Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(h2_g, 6) + CAST(0.0 AS DOUBLE) AS hyp2f1,
+         |  round(h1_k, 6) + CAST(0.0 AS DOUBLE) AS hyp1f1
+         |FROM ($staged)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 16.0).as("ha"),
+          lit(1.5).cast("double").as("hb"),
+          ($"l_quantity".cast("double") / 10.0 + 1.0).as("hc"),
+          (($"l_quantity".cast("double") - 25.0) / 75.0).as("hx"),
+          ($"l_quantity".cast("double") / 8.0 + 0.5).as("ka"),
+          ($"l_quantity".cast("double") / 10.0 + 1.5).as("kb"),
+          (($"l_quantity".cast("double") - 25.5) / 5.0).as("kx"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.hyp2f1($"ha", $"hb", $"hc", $"hx")).as("hyp2f1"),
+          r6(Special.hyp1f1($"ka", $"kb", $"kx")).as("hyp1f1"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- §2.14 complete elliptic integrals K(m)/E(m)
     //     (ellip_func_integrals.py ellipk/ellipe): eight unrolled AGM
     //     steps of pure IEEE +·/√ — bit-identical across engines, so

@@ -228,6 +228,35 @@ class SpecialSpec extends SparkSpecBase {
     }
   }
 
+  test("hypergeometric 2F1/1F1 match closed forms and transformations") {
+    def eval2f1(a: Double, b: Double, c: Double, x: Double): Double =
+      Seq((a, b, c, x)).toDF("a", "b", "c", "x")
+        .select(Special.hyp2f1(col("a"), col("b"), col("c"), col("x")).as("v"))
+        .head().getDouble(0)
+    def eval1f1(a: Double, b: Double, x: Double): Double =
+      Seq((a, b, x)).toDF("a", "b", "x")
+        .select(Special.hyp1f1(col("a"), col("b"), col("x")).as("v"))
+        .head().getDouble(0)
+    // ₂F₁(1,1;2;x) = −ln(1−x)/x ; ₂F₁(a,b;b;x) = (1−x)^(−a)
+    assert(math.abs(eval2f1(1.0, 1.0, 2.0, 0.5) -
+      (-math.log(0.5) / 0.5)) < 1e-9)
+    assert(math.abs(eval2f1(2.5, 3.0, 3.0, 0.3) -
+      math.pow(0.7, -2.5)) < 1e-9)
+    assert(eval2f1(1.3, 0.7, 2.1, 0.0) == 1.0)
+    assert(eval2f1(1.0, 1.0, 2.0, 0.9).isNaN) // outside the window
+    // Euler transformation ₂F₁(a,b;c;x) = (1−x)^(c−a−b)·₂F₁(c−a,c−b;c;x)
+    val lhs = eval2f1(1.2, 0.8, 2.3, 0.5)
+    val rhs = math.pow(0.5, 2.3 - 1.2 - 0.8) * eval2f1(1.1, 1.5, 2.3, 0.5)
+    assert(math.abs(lhs - rhs) < 1e-9, s"euler: $lhs vs $rhs")
+    // ₁F₁(1;1;x) = eˣ ; ₁F₁(1;2;x) = (eˣ−1)/x ; Kummer transform
+    assert(math.abs(eval1f1(1.0, 1.0, 3.0) - math.exp(3.0)) < 1e-8)
+    assert(math.abs(eval1f1(1.0, 2.0, 2.0) - (math.exp(2.0) - 1.0) / 2.0) < 1e-9)
+    val kLhs = eval1f1(0.7, 2.1, 5.0)
+    val kRhs = math.exp(5.0) * eval1f1(1.4, 2.1, -5.0)
+    assert(math.abs(kLhs - kRhs) / kLhs < 1e-7, s"kummer: $kLhs vs $kRhs")
+    assert(eval1f1(1.0, 2.0, 25.0).isNaN) // outside the window
+  }
+
   test("kolmogorovSfFixed matches the adaptive KS series") {
     import graft.learn.StatTests
     for (l <- Seq(0.3, 0.6, 1.0, 1.5, 2.5)) {
