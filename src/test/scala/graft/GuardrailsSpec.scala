@@ -169,4 +169,24 @@ class GuardrailsSpec extends SparkSpecBase {
     assert(graft.learn.Learn.trapz(pts, "x", "y").collect().head.getDouble(0)
       > 0.0)
   }
+
+  test("blockwiseOls and meshgrid fail fast on bad shapes") {
+    import spark.implicits._
+    val train = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
+    val test = Seq((2L, 1.0)).toDF("id", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.learn.Learn.blockwiseOls(train, test, "id", "x", "y",
+        nBlocks = 1, threshold = 0.0)
+    }
+    assert(e1.getMessage.contains("nBlocks"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.learn.Learn.blockwiseOls(train, test, "id", "x", "y",
+        nBlocks = 100, threshold = 0.0)
+    }
+    assert(e2.getMessage.contains("nBlocks"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.api.GraftSession(spark).meshgrid(0.0, 1.0, 0, 0.0, 1.0, 5)
+    }
+    assert(e3.getMessage.contains("meshgrid"))
+  }
 }
