@@ -175,7 +175,9 @@ object Ufuncs {
     "rel_entr" -> (Special.relEntr(_, _)),
     "kl_div" -> (Special.klDiv(_, _)),
     "xlogy" -> (Special.xlogy(_, _)),
-    "xlog1py" -> (Special.xlog1py(_, _)))
+    "xlog1py" -> (Special.xlog1py(_, _)),
+    "gammainc" -> (Special.gammaincP(_, _)),
+    "gammaincc" -> (Special.gammaincQ(_, _)))
 
   def apply(name: String)(c: Column): Column =
     unary.getOrElse(name,

@@ -107,7 +107,8 @@ class SpecialSpec extends SparkSpecBase {
   test("the ufunc registry resolves the special names") {
     for (n <- Seq("gamma", "gammaln", "gammasgn", "psi", "erf", "erfc", "entr"))
       assert(Ufuncs.unary.contains(n), n)
-    for (n <- Seq("beta", "betaln", "rel_entr", "kl_div", "xlogy", "xlog1py"))
+    for (n <- Seq("beta", "betaln", "rel_entr", "kl_div", "xlogy", "xlog1py",
+      "gammainc", "gammaincc"))
       assert(Ufuncs.binary.contains(n), n)
   }
 
