@@ -228,6 +228,53 @@ object Probes {
         .orderBy(col("o_orderkey"))
     },
 
+    // --- the ordered-fold construct alone (list_sum(list(v ORDER BY k))
+    //     == aggregate(array_sort(collect_list(struct(k,v))), …) — the
+    //     equivalence a dozen green queries lean on for order-dependent
+    //     double sums): per-group left fold of noisy doubles in key
+    //     order, UNROUNDED. Red here would name the fold construct
+    //     directly.
+    Q("probe_ordered_fold",
+      """SELECT o_orderpriority,
+        |  list_sum(list(CAST(o_totalprice AS DOUBLE) / 7.0
+        |                ORDER BY o_orderkey)) AS s
+        |FROM orders WHERE o_orderkey < 2000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      t(spark, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .groupBy(col("o_orderpriority"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("o_orderkey").as("k"),
+            (col("o_totalprice").cast("double") / lit(7.0)).as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("s"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- the recursive-CTE sequential replay alone (the op_ewm family's
+    //     oracle construct): a 40-step affine recurrence per group,
+    //     replayed by Spark as 40 chained column updates — identical
+    //     IEEE sequence, compared UNROUNDED.
+    Q("probe_recursive_cte",
+      """WITH RECURSIVE seed AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS x0
+        |  FROM orders WHERE o_orderkey < 2000 GROUP BY 1),
+        |it AS (
+        |  SELECT o_orderpriority, 0 AS k, x0 AS x FROM seed
+        |  UNION ALL
+        |  SELECT o_orderpriority, k + 1, x * 0.75 + 2.0 FROM it WHERE k < 40)
+        |SELECT o_orderpriority, x
+        |FROM it WHERE k = 40 ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val seed = t(spark, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("x0"))
+      (1 to 40).foldLeft(seed.withColumn("x", col("x0")))((df, _) =>
+        df.withColumn("x", col("x") * lit(0.75) + lit(2.0)))
+        .select(col("o_orderpriority"), col("x"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // --- deep staged-subselect nesting alone (the construct the r8
     //     incomplete-gamma/beta mirrors rely on — ~84 wrapped
     //     subselects): a 90-level affine chain with an exactly-
