@@ -1566,6 +1566,53 @@ object LearnQ {
         .orderBy($"n1")
     },
 
+    // --- pooled-variance Student p-value (the third t variant; 1-sample
+    //     and Welch already gate): slice keeps ν/2 inside the pinned
+    //     betainc depth envelope, p = I_{ν/(ν+t²)}(ν/2, ½).
+    Q("learn_student_pvalue", {
+      val S = graft.functions.Special
+      val inner = """(WITH g AS (SELECT
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n1,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2a,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n2,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1b,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2b
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') AND l_orderkey < 30),
+        |d AS (SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(s1a AS DOUBLE) AS s1ad, CAST(s2a AS DOUBLE) AS s2ad,
+        |  CAST(s1b AS DOUBLE) AS s1bd, CAST(s2b AS DOUBLE) AS s2bd, n1, n2 FROM g),
+        |s AS (SELECT n1, n2, n1d + n2d - 2.0 AS nu,
+        |  (s1ad / n1d - s1bd / n2d) /
+        |    sqrt((((n1d - 1.0) * ((s2ad - s1ad * s1ad / n1d) / (n1d - 1.0))
+        |          + (n2d - 1.0) * ((s2bd - s1bd * s1bd / n2d) / (n2d - 1.0)))
+        |         / (n1d + n2d - 2.0)) * (1.0 / n1d + 1.0 / n2d)) AS t_stat
+        |  FROM d)
+        |SELECT n1, n2, nu, t_stat,
+        |  nu / (nu + t_stat * t_stat) AS bx FROM s)""".stripMargin
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("s", "(nu / 2.0)", "CAST(0.5 AS DOUBLE)", "bx")),
+        Seq("n1", "n2", "nu", "t_stat"))
+      s"""SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(nu AS BIGINT) AS dof,
+         |  round(t_stat, 6) + CAST(0.0 AS DOUBLE) AS t_stat,
+         |  round(bi_s, 6) + CAST(0.0 AS DOUBLE) AS p_two
+         |FROM ($staged)
+         |ORDER BY n1""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val df = t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+        .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+      StatTests.ttestInd(df, "q", "l_returnflag", "A", "R", equalVar = true)
+        .withColumn("bx", $"dof" / ($"dof" + $"statistic" * $"statistic"))
+        .select($"n1", $"n2", $"dof".cast("long").as("dof"),
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"),
+          (round(Special.betaincReg($"dof" / 2.0, lit(0.5), $"bx"), 6)
+            + lit(0.0)).as("p_two"))
+        .orderBy($"n1")
+    },
+
     // --- Welch unequal-variance t-test: same sums, Welch–Satterthwaite
     //     dof; dof is a chained double expression → round 6 both sides
     Q("learn_ttest_welch",
