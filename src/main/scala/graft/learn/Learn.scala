@@ -1084,6 +1084,37 @@ object Learn {
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("s"))
       .collect().head.getDouble(0))
 
+  /** The matrix-norm orders of mt.linalg.norm (norm.py:128-168) over a
+    * row-vector matrix: Frobenius, ∞ (max row abs-sum), 1 (max column
+    * abs-sum), spectral (σ₁) and nuclear (Σσ). The first three are one
+    * distributed pass — fro through the scaled-integer cross-row sum
+    * (order-free, engine-replayable), ∞ a max of per-row ordered folds,
+    * 1 a posexplode keyed by position (≤ dim groups) — and the σ-based
+    * pair reuses the audited [[svd]] Gramian path (k = dim, driver-side
+    * eigen factor only; the data is never collected). */
+  def matrixNorms(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(vecCol)
+    val rowSqScaled = floor(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")) * lit(1000000.0) +
+      lit(0.5)).cast("long")
+    val rowAbs = aggregate(v, lit(0.0), (acc, x) => acc + abs(x.cast("double")))
+    val froInf = df.select(rowSqScaled.as("__sq"), rowAbs.as("__ra"))
+      .agg(count(lit(1)).as("n_rows"),
+        sqrt(sum(col("__sq")).cast("double") / lit(1000000.0)).as("fro"),
+        max(col("__ra")).as("norm_inf"))
+    val colScaled = df.select(posexplode(v).as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg(sum(floor(abs(col("__x").cast("double")) * lit(1000000.0) +
+        lit(0.5)).cast("long")).as("__s"))
+      .agg((max(col("__s")).cast("double") / lit(1000000.0)).as("norm_one"))
+    val dim = df.select(size(v)).head().getInt(0)
+    val sigma = svd(df, vecCol, dim)._1
+    froInf.crossJoin(colScaled)
+      .withColumn("spectral", lit(sigma.head))
+      .withColumn("nuclear", lit(sigma.sum))
+  }
+
   def rowNorm(c: Column, ord: String = "l2"): Column = ord match {
     case "l2" => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))

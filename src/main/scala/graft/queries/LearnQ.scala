@@ -1358,6 +1358,43 @@ object LearnQ {
         .orderBy($"idx")
     },
 
+    // --- matrix norms (mt.linalg.norm ord=fro/inf/1, norm.py:128-168)
+    //     over the embeddings row-vector matrix: fro through the
+    //     scaled-integer cross-row sum, ∞ a max of per-row ordered
+    //     folds (list_sum(list_transform) == the array fold), 1 the
+    //     per-position scaled column sums. The σ-based orders
+    //     (spectral/nuclear) ride the svd Gramian path — spec-pinned,
+    //     not gated (driver-side eigen factor).
+    Q("learn_matrix_norms",
+      """WITH r AS (SELECT
+        |    list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ra,
+        |    CAST(floor(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5)
+        |      AS BIGINT) AS sq
+        |  FROM embeddings),
+        |fi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    sqrt(CAST(SUM(sq) AS BIGINT) / 1e6) AS fro,
+        |    MAX(ra) AS norm_inf FROM r),
+        |c AS (SELECT i, CAST(SUM(CAST(floor(abs(CAST(v AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT)) AS BIGINT) AS s
+        |  FROM (SELECT unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings) t GROUP BY i),
+        |co AS (SELECT CAST(MAX(s) AS DOUBLE) / 1e6 AS norm_one FROM c)
+        |SELECT n_rows,
+        |  round(fro, 6) + CAST(0.0 AS DOUBLE) AS fro,
+        |  round(norm_inf, 6) + CAST(0.0 AS DOUBLE) AS norm_inf,
+        |  round(norm_one, 6) + CAST(0.0 AS DOUBLE) AS norm_one
+        |FROM fi, co ORDER BY n_rows""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Learn.matrixNorms(t(spark, dir, "embeddings"), "embedding")
+        .select($"n_rows",
+          (round($"fro", 6) + lit(0.0)).as("fro"),
+          (round($"norm_inf", 6) + lit(0.0)).as("norm_inf"),
+          (round($"norm_one", 6) + lit(0.0)).as("norm_one"))
+        .orderBy($"n_rows")
+    },
+
     // --- per-group OLS (grouped regression trend fit): the closed form
     //     on five moment sums per key, one aggregate; slope/intercept
     //     mirror the identical arithmetic shape → round 4.

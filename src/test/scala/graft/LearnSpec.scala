@@ -893,6 +893,21 @@ class LearnSpec extends SparkSpecBase {
     assert(out(("b", "neg"))._5 === "neg")
   }
 
+  test("matrixNorms matches the hand-computed orders on a 2x2 matrix") {
+    import graft.learn.Learn
+    // A = [[3,-4],[0,5]]: fro=sqrt(50), inf=max(7,5)=7, one=max(3,9)=9,
+    // A'A eigenvalues 45 and 5 -> spectral=sqrt(45), nuclear=sqrt(45)+sqrt(5)
+    val df = Seq(Seq(3.0f, -4.0f), Seq(0.0f, 5.0f)).toDF("embedding")
+    val r = Learn.matrixNorms(df, "embedding").collect().head
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(math.abs(r.getAs[Double]("fro") - math.sqrt(50.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("norm_inf") - 7.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("norm_one") - 9.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("spectral") - math.sqrt(45.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("nuclear") -
+      (math.sqrt(45.0) + math.sqrt(5.0))) < 1e-6)
+  }
+
   test("blockwiseOls: per-block fits combine by mean and majority vote") {
     import graft.learn.Learn
     // y = 2x exactly in every block → every sub-estimator recovers the
