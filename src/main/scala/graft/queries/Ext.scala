@@ -1589,6 +1589,75 @@ object Ext {
         .df
     },
 
+    // --- CCNet-style perplexity bucketing (the head/middle/tail split
+    //     of Wenzek et al.): per-doc LM cross-entropy (the
+    //     ext_bigram_xent machinery, UNROUNDED — exact scaled-integer
+    //     sums divided by exact counts, bit-identical both sides) →
+    //     ntile(3) over the (xent, doc_id) total order → per-bucket
+    //     counts, id range and the scaled-integer mean. Safe as a
+    //     selection-by-computed-double: adjacent doc xents differ by
+    //     ~1e-3 while the worst floor-boundary wobble is ~1e-6/bigrams.
+    //     Scale shape: the corpus-wide joins are the audited xent shape;
+    //     the ntile window runs on the ≤200-row per-doc summary.
+    Q("ext_ccnet_buckets",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS v, ws[i+1] AS w
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |             FROM base WHERE len(ws) >= 2) t),
+        |dbg AS (SELECT doc_id, v, w, COUNT(*) AS c FROM bg
+        |        WHERE doc_id < 200 GROUP BY doc_id, v, w),
+        |cbg AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY v, w),
+        |ctx AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM cbg GROUP BY v),
+        |tok AS (SELECT unnest(ws) AS w FROM base),
+        |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |sc AS (SELECT doc_id,
+        |  -(CAST(CAST(SUM(CAST(floor(
+        |      CAST(c AS DOUBLE) * log2(
+        |        CAST(0.75 AS DOUBLE)
+        |          * COALESCE(CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE),
+        |                     CAST(0.0 AS DOUBLE))
+        |        + (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          * COALESCE(CAST(cw AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |          / CAST(n AS DOUBLE))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      FILTER (WHERE cw IS NOT NULL) AS BIGINT) AS DOUBLE)
+        |    / CAST(1000000.0 AS DOUBLE)
+        |    / CAST(SUM(c) FILTER (WHERE cw IS NOT NULL) AS DOUBLE)) AS xent
+        |  FROM dbg LEFT JOIN cbg USING (v, w) LEFT JOIN ctx USING (v)
+        |       LEFT JOIN uni USING (w), tot
+        |  GROUP BY doc_id),
+        |b AS (SELECT doc_id, xent,
+        |        ntile(3) OVER (ORDER BY xent, doc_id) AS bucket
+        |      FROM sc WHERE xent IS NOT NULL)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+        |  round(CAST(SUM(CAST(floor(xent * 1000000.0 + 0.5) AS BIGINT))
+        |          AS BIGINT) / 1000000.0 / COUNT(*), 6)
+        |    + CAST(0.0 AS DOUBLE) AS mean_xent
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(spark, dir, "documents")
+      val scored = TextFunctions.bigramCrossEntropy(
+          docs.filter($"doc_id" < 200), "doc_id", "text",
+          corpus = docs, lambda = 0.75)
+        .filter($"xent".isNotNull)
+      scored
+        .withColumn("bucket",
+          ntile(3).over(Window.orderBy($"xent", $"doc_id")))
+        .groupBy($"bucket".cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").cast("long").as("min_doc"),
+          max($"doc_id").cast("long").as("max_doc"),
+          (round(sum(floor($"xent" * 1000000.0 + 0.5).cast("long"))
+            .cast("double") / 1000000.0 / count(lit(1)), 6) + lit(0.0))
+            .as("mean_xent"))
+        .orderBy($"bucket")
+    },
+
     // --- Gopher quality-rule flags: every rule replayed as identical
     //     per-row arithmetic (exact integer counts and IEEE divisions on
     //     both engines — booleans compare bit-exact).
