@@ -149,6 +149,87 @@ object Special {
   def xlog1py(x: Column, y: Column): Column =
     when(x === 0.0, lit(0.0)).otherwise(x * log1p(y))
 
+  /** ψ′(x) trigamma = polygamma(1, x) (gamma_funcs.py polygamma, n=1):
+    * shift-by-8 recurrence ψ′(x) = ψ′(x+8) + Σ_{k=0..7} 1/(x+k)², then
+    * the asymptotic series ψ′(y) ≈ 1/y + 1/2y² + (1/6 − y⁻²/30 + y⁻⁴/42
+    * − y⁻⁶/30)/y³ (truncation ≲ 9e-12 at y = 8). Negative non-integers
+    * via the reflection ψ′(x) = π²/sin²(πx) − ψ′(1−x). */
+  def trigamma(x: Column): Column = {
+    def positive(xp: Column): Column = {
+      val shift = (0 until 8)
+        .map(k => lit(1.0) / ((xp + lit(k.toDouble)) * (xp + lit(k.toDouble))))
+        .reduce(_ + _)
+      val y = xp + lit(8.0)
+      val y2 = lit(1.0) / (y * y)
+      lit(1.0) / y + lit(0.5) * y2 +
+        y2 / y * (lit(1.0 / 6.0) - y2 * (lit(1.0 / 30.0) -
+          y2 * (lit(1.0 / 42.0) - y2 * lit(1.0 / 30.0)))) +
+        shift
+    }
+    val s = sin(lit(math.Pi) * x)
+    when(x > 0.0, positive(x))
+      .otherwise(lit(math.Pi * math.Pi) / (s * s) - positive(lit(1.0) - x))
+  }
+
+  /** polygamma(n, x) for n ∈ {0, 1} (gamma_funcs.py polygamma): the
+    * reference accepts any derivative order; the fixed-composition
+    * profile here covers the two orders with closed asymptotic forms
+    * (ψ, ψ′) and fails loudly beyond them. */
+  def polygamma(n: Int, x: Column): Column = n match {
+    case 0 => digamma(x)
+    case 1 => trigamma(x)
+    case _ => throw new IllegalArgumentException(
+      s"polygamma: derivative order $n outside the fixed-composition " +
+        "profile (supported: n = 0 digamma, n = 1 trigamma)")
+  }
+
+  /** Pochhammer (x)_m = Γ(x+m)/Γ(x) (gamma_funcs.py poch) on the
+    * positive axis x > 0, x+m > 0 (the general signed case needs Γ
+    * reflection bookkeeping outside the parity profile). */
+  def poch(x: Column, m: Column): Column = exp(gammaln(x + m) - gammaln(x))
+
+  /** 1/Γ(x) (gamma_funcs.py rgamma): entire function — the poles of Γ at
+    * non-positive integers map to exact 0, matching scipy. */
+  def rgamma(x: Column): Column =
+    when(x <= 0.0 && x === floor(x), lit(0.0))
+      .otherwise(gammasgn(x) * exp(-gammaln(x)))
+
+  /** ln Γ_d(a), the log multivariate gamma (gamma_funcs.py
+    * multigammaln): d(d−1)/4 · ln π + Σ_{j=1..d} ln Γ(a + (1−j)/2);
+    * requires a > (d−1)/2 so every shifted argument stays positive. */
+  def multigammaln(a: Column, d: Int): Column = {
+    require(d >= 1, s"multigammaln: dimension d must be ≥ 1, got $d")
+    (1 to d).map(j => gammaln(a + lit((1.0 - j) / 2.0)))
+      .reduce(_ + _) + lit(d * (d - 1) / 4.0 * math.log(math.Pi))
+  }
+
+  /** SQL mirror of [[digamma]]'s positive branch — the identical
+    * shift-by-8 + asymptotic-series op shape (callers keep x > 0). */
+  def sqlDigammaPos(x: String): String = {
+    val shift = (0 until 8).map(k =>
+      s"1.0 / (($x) + CAST('${k.toDouble}' AS DOUBLE))").mkString(" + ")
+    val y = s"(($x) + 8.0)"
+    val y2 = s"(1.0 / ($y * $y))"
+    s"(ln($y) - 0.5 / $y - $y2 * (CAST('${1.0 / 12.0}' AS DOUBLE) - " +
+      s"$y2 * (CAST('${1.0 / 120.0}' AS DOUBLE) - " +
+      s"$y2 * (CAST('${1.0 / 252.0}' AS DOUBLE) - " +
+      s"$y2 * CAST('${1.0 / 240.0}' AS DOUBLE)))) - ($shift))"
+  }
+
+  /** SQL mirror of [[trigamma]]'s positive branch, same op shape. */
+  def sqlTrigammaPos(x: String): String = {
+    val shift = (0 until 8).map { k =>
+      val xk = s"(($x) + CAST('${k.toDouble}' AS DOUBLE))"
+      s"1.0 / ($xk * $xk)"
+    }.mkString(" + ")
+    val y = s"(($x) + 8.0)"
+    val y2 = s"(1.0 / ($y * $y))"
+    s"(1.0 / $y + 0.5 * $y2 + $y2 / $y * (CAST('${1.0 / 6.0}' AS DOUBLE) - " +
+      s"$y2 * (CAST('${1.0 / 30.0}' AS DOUBLE) - " +
+      s"$y2 * (CAST('${1.0 / 42.0}' AS DOUBLE) - " +
+      s"$y2 * CAST('${1.0 / 30.0}' AS DOUBLE)))) + ($shift))"
+  }
+
   // ---------------- Bessel functions (bessel.py) ----------------
   // Abramowitz–Stegun polynomial approximations (public-domain NBS
   // handbook, §9.4 and §9.8). Coefficients stored ascending as

@@ -86,6 +86,9 @@ object Ufuncs {
     "gammaln" -> Special.gammaln _,
     "gammasgn" -> Special.gammasgn _,
     "psi" -> Special.digamma _,
+    "digamma" -> Special.digamma _,
+    "trigamma" -> Special.trigamma _,
+    "rgamma" -> Special.rgamma _,
     "erf" -> Special.erf _,
     "erfc" -> Special.erfc _,
     "erfinv" -> Special.erfinv _,
@@ -177,7 +180,8 @@ object Ufuncs {
     "xlogy" -> (Special.xlogy(_, _)),
     "xlog1py" -> (Special.xlog1py(_, _)),
     "gammainc" -> (Special.gammaincP(_, _)),
-    "gammaincc" -> (Special.gammaincQ(_, _)))
+    "gammaincc" -> (Special.gammaincQ(_, _)),
+    "poch" -> (Special.poch(_, _)))
 
   def apply(name: String)(c: Column): Column =
     unary.getOrElse(name,

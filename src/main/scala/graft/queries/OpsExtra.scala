@@ -1136,6 +1136,53 @@ object OpsExtra {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- §2.14 scipy.special psi family completion (gamma_funcs.py psi/
+    //     polygamma/poch/rgamma/multigammaln): x = q/8 + 0.5 and
+    //     a = q/4 + 2 are exact dyadic rationals > 0.5, so every gammaln
+    //     stays on the direct Lanczos branch and both engines replay the
+    //     identical shift-by-8 / series / Lanczos op shapes
+    //     (sqlDigammaPos / sqlTrigammaPos / sqlGammalnPos mirrors);
+    //     libm enters only through ln/exp of identical inputs → round 6.
+    Q("op_special_psi", {
+      import graft.functions.Special
+      val psi = Special.sqlDigammaPos("x")
+      val tri = Special.sqlTrigammaPos("x")
+      val lgX = Special.sqlGammalnPos("x")
+      val lgXm = Special.sqlGammalnPos("(x + 3.5)")
+      val mvg = Seq("(a + 0.0)", "(a + -0.5)", "(a + -1.0)")
+        .map(Special.sqlGammalnPos).mkString(" + ")
+      val mvgC = 3.0 * 2.0 / 4.0 * math.log(math.Pi)
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_quantity AS DOUBLE) / 8.0 + 0.5 AS x,
+        |    CAST(l_quantity AS DOUBLE) / 4.0 + 2.0 AS a
+        |  FROM lineitem WHERE l_orderkey < 600)
+        |SELECT l_orderkey, l_linenumber, q,
+        |  round($psi, 6) + CAST(0.0 AS DOUBLE) AS u_psi,
+        |  round($tri, 6) + CAST(0.0 AS DOUBLE) AS u_trigamma,
+        |  round(exp(($lgXm) - ($lgX)), 6) + CAST(0.0 AS DOUBLE) AS u_poch,
+        |  round(1.0 * exp(-($lgX)), 6) + CAST(0.0 AS DOUBLE) AS u_rgamma,
+        |  round($mvg + CAST('$mvgC' AS DOUBLE), 6)
+        |    + CAST(0.0 AS DOUBLE) AS u_mvgammaln
+        |FROM base ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Special, Ufuncs}
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 8.0 + 0.5).as("x"),
+          ($"l_quantity".cast("double") / 4.0 + 2.0).as("a"))
+      base.select($"l_orderkey", $"l_linenumber", $"q",
+        r6(Ufuncs("psi")($"x")).as("u_psi"),
+        r6(Ufuncs("trigamma")($"x")).as("u_trigamma"),
+        r6(Ufuncs("poch", $"x", lit(3.5))).as("u_poch"),
+        r6(Ufuncs("rgamma")($"x")).as("u_rgamma"),
+        r6(Special.multigammaln($"a", 3)).as("u_mvgammaln"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- §2.14 scipy.special information theory (info_theory.py +
     //     convenience.py xlogy/xlog1py): probabilities p1 = q/64,
     //     p2 = (51−q)/64 are EXACT binary fractions, so both engines see

@@ -64,6 +64,58 @@ class SpecialSpec extends SparkSpecBase {
       (2.0 - gammaEM - 2.0 * math.log(2.0))) < 1e-10)
   }
 
+  test("trigamma matches the published constants, recurrence, reflection") {
+    val pi2 = math.Pi * math.Pi
+    // ψ′(1) = π²/6 ; ψ′(0.5) = π²/2 ; ψ′(2) = π²/6 − 1
+    assert(math.abs(eval1(Special.trigamma, 1.0) - pi2 / 6.0) < 1e-10)
+    assert(math.abs(eval1(Special.trigamma, 0.5) - pi2 / 2.0) < 1e-10)
+    assert(math.abs(eval1(Special.trigamma, 2.0) - (pi2 / 6.0 - 1.0)) < 1e-10)
+    // recurrence ψ′(x+1) = ψ′(x) − 1/x²
+    for (x <- Seq(0.7, 2.3, 9.1)) {
+      assert(math.abs(eval1(Special.trigamma, x + 1.0) -
+        (eval1(Special.trigamma, x) - 1.0 / (x * x))) < 1e-10)
+    }
+    // reflection: ψ′(−0.5) = π²/2 + 4 (from ψ′(x) + ψ′(1−x) = π²/sin²πx)
+    assert(math.abs(eval1(Special.trigamma, -0.5) - (pi2 / 2.0 + 4.0)) < 1e-9)
+  }
+
+  test("polygamma dispatches n = 0/1 and rejects higher orders loudly") {
+    assert(math.abs(eval1(Special.polygamma(0, _), 1.0) - (-gammaEM)) < 1e-11)
+    assert(math.abs(eval1(Special.polygamma(1, _), 1.0) -
+      math.Pi * math.Pi / 6.0) < 1e-10)
+    val e = intercept[IllegalArgumentException](Special.polygamma(2, lit(1.0)))
+    assert(e.getMessage.contains("polygamma"))
+  }
+
+  test("poch matches rising factorials and the empty product") {
+    // (3)_4 = 3·4·5·6 = 360 ; (x)_0 = 1 ; half-integers via Γ ratios:
+    // (0.5)_2 = 0.5 · 1.5 = 0.75
+    assert(math.abs(eval2(Special.poch, 3.0, 4.0) - 360.0) < 1e-7)
+    assert(math.abs(eval2(Special.poch, 2.7, 0.0) - 1.0) < 1e-12)
+    assert(math.abs(eval2(Special.poch, 0.5, 2.0) - 0.75) < 1e-11)
+  }
+
+  test("rgamma inverts gamma and is exactly 0 at the poles") {
+    assert(math.abs(eval1(Special.rgamma, 5.0) - 1.0 / 24.0) < 1e-12)
+    assert(math.abs(eval1(Special.rgamma, 0.5) - 1.0 / math.sqrt(math.Pi)) < 1e-12)
+    // entire across the poles — scipy rgamma(−n) = 0 exactly
+    assert(eval1(Special.rgamma, 0.0) == 0.0)
+    assert(eval1(Special.rgamma, -3.0) == 0.0)
+    // negative non-integer keeps the reflection sign: 1/Γ(−0.5) = −1/(2√π)
+    assert(math.abs(eval1(Special.rgamma, -0.5) -
+      (-1.0 / (2.0 * math.sqrt(math.Pi)))) < 1e-10)
+  }
+
+  test("multigammaln matches the closed form at d = 1 and d = 3") {
+    // d = 1 degenerates to gammaln
+    assert(math.abs(eval1(Special.multigammaln(_, 1), 4.0) - math.log(6.0)) < 1e-11)
+    // ln Γ₃(4) = 1.5 ln π + ln Γ(4) + ln Γ(3.5) + ln Γ(3); with
+    // Γ(3.5) = 15√π/8 this collapses to 2 ln π + ln 22.5
+    assert(math.abs(eval1(Special.multigammaln(_, 3), 4.0) -
+      (2.0 * math.log(math.Pi) + math.log(22.5))) < 1e-10)
+    intercept[IllegalArgumentException](Special.multigammaln(lit(4.0), 0))
+  }
+
   test("erf/erfc match published values within the A&S 7.1.26 bound") {
     val known = Seq( // x -> erf(x), 15-digit published values
       0.5 -> 0.5204998778130465,
