@@ -620,6 +620,90 @@ object StatTests {
       h.as("statistic"), pv.as("pvalue"))
   }
 
+  /** D'Agostino skewtest + Anscombe–Glynn kurtosistest + the combined
+    * D'Agostino–Pearson K² omnibus (scipy.stats skewtest / kurtosistest /
+    * normaltest), one row per group. The data pass is ONE partial+final
+    * aggregate of exact BIGINT power sums S1..S4 (integral value column
+    * required — the same exactness contract as the t family); everything
+    * after is scalar arithmetic replayed shape-for-shape by the oracle:
+    * biased moments m2..m4 from the power sums, g1 = m3/(m2·√m2),
+    * b2 = m4/m2², the published Z transforms, K² = Z₁² + Z₂², p_skew /
+    * p_kurt via the A&S erfc polynomial ([[graft.functions.Special
+    * .normalTwoSidedP]]) and p_k2 = exp(−K²/2) (the χ²₂ tail in closed
+    * form). Requires n ≥ 20 per group (scipy's own warning threshold —
+    * the Z approximations degrade below it); S4 needs Σx⁴ < 2⁶³, i.e.
+    * |x| ≤ 50 holds to ~1.4e12 rows per group — quantize/scale wider
+    * inputs first. */
+  def dagostino(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    require(isIntegral(df.schema(valueCol).dataType),
+      s"dagostino: $valueCol must be integral (exact power-sum contract)")
+    import graft.functions.Special
+    val v = df(valueCol).cast(LongType)
+    val g = df.groupBy(df(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+      .withColumn("nd", col("n").cast(DoubleType))
+      .withColumn("s1d", col("s1").cast(DoubleType))
+      .withColumn("s2d", col("s2").cast(DoubleType))
+      .withColumn("s3d", col("s3").cast(DoubleType))
+      .withColumn("s4d", col("s4").cast(DoubleType))
+      .withColumn("mean", col("s1d") / col("nd"))
+      .withColumn("m2", col("s2d") / col("nd") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3d") / col("nd") -
+        lit(3.0) * col("mean") * (col("s2d") / col("nd")) +
+        lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4d") / col("nd") -
+        lit(4.0) * col("mean") * (col("s3d") / col("nd")) +
+        lit(6.0) * (col("mean") * col("mean")) * (col("s2d") / col("nd")) -
+        lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .withColumn("g1", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("b2", col("m4") / (col("m2") * col("m2")))
+    val nd = col("nd")
+    // --- skewtest (D'Agostino 1970, the exact scipy op sequence)
+    val sk = g
+      .withColumn("y", col("g1") *
+        sqrt((nd + lit(1.0)) * (nd + lit(3.0)) / (lit(6.0) * (nd - lit(2.0)))))
+      .withColumn("beta2",
+        lit(3.0) * (nd * nd + lit(27.0) * nd - lit(70.0)) *
+          (nd + lit(1.0)) * (nd + lit(3.0)) /
+          ((nd - lit(2.0)) * (nd + lit(5.0)) * (nd + lit(7.0)) * (nd + lit(9.0))))
+      .withColumn("w2", lit(-1.0) + sqrt(lit(2.0) * (col("beta2") - lit(1.0))))
+      .withColumn("delta", lit(1.0) / sqrt(lit(0.5) * log(col("w2"))))
+      .withColumn("alpha", sqrt(lit(2.0) / (col("w2") - lit(1.0))))
+      .withColumn("z1", col("delta") *
+        log(col("y") / col("alpha") +
+          sqrt(col("y") / col("alpha") * (col("y") / col("alpha")) + lit(1.0))))
+    // --- kurtosistest (Anscombe–Glynn 1983, the exact scipy op sequence)
+    val kt = sk
+      .withColumn("eb2", lit(3.0) * (nd - lit(1.0)) / (nd + lit(1.0)))
+      .withColumn("vb2", lit(24.0) * nd * (nd - lit(2.0)) * (nd - lit(3.0)) /
+        ((nd + lit(1.0)) * (nd + lit(1.0)) * (nd + lit(3.0)) * (nd + lit(5.0))))
+      .withColumn("xt", (col("b2") - col("eb2")) / sqrt(col("vb2")))
+      .withColumn("sqb1",
+        lit(6.0) * (nd * nd - lit(5.0) * nd + lit(2.0)) /
+          ((nd + lit(7.0)) * (nd + lit(9.0))) *
+          sqrt(lit(6.0) * (nd + lit(3.0)) * (nd + lit(5.0)) /
+            (nd * (nd - lit(2.0)) * (nd - lit(3.0)))))
+      .withColumn("aa", lit(6.0) + lit(8.0) / col("sqb1") *
+        (lit(2.0) / col("sqb1") +
+          sqrt(lit(1.0) + lit(4.0) / (col("sqb1") * col("sqb1")))))
+      .withColumn("term1", lit(1.0) - lit(2.0) / (lit(9.0) * col("aa")))
+      .withColumn("denom", lit(1.0) +
+        col("xt") * sqrt(lit(2.0) / (col("aa") - lit(4.0))))
+      .withColumn("term2",
+        when(col("denom") < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+          pow((lit(1.0) - lit(2.0) / col("aa")) / abs(col("denom")), lit(1.0 / 3.0)))
+      .withColumn("z2", (col("term1") - col("term2")) /
+        sqrt(lit(2.0) / (lit(9.0) * col("aa"))))
+    kt.withColumn("k2", col("z1") * col("z1") + col("z2") * col("z2"))
+      .select(col("grp"), col("n"), col("s1"), col("s2"), col("s3"), col("s4"),
+        col("g1"), col("b2"),
+        col("z1").as("z_skew"), col("z2").as("z_kurt"), col("k2"),
+        Special.normalTwoSidedP(col("z1")).as("p_skew"),
+        Special.normalTwoSidedP(col("z2")).as("p_kurt"),
+        exp(-col("k2") / lit(2.0)).as("p_k2"))
+  }
+
   /** Kendall τ-b (scipy.stats.kendalltau; upside — the reference's corr
     * supports pearson only): all-pairs concordance over a self-join on
     * the [[rankdata]]-free row index. O(n²) pairs by definition — hard

@@ -1573,6 +1573,88 @@ object LearnQ {
         .orderBy($"n")
     },
 
+    // --- D'Agostino–Pearson normality battery (scipy.stats skewtest /
+    //     kurtosistest / normaltest) per returnflag: ONE aggregate of
+    //     exact BIGINT power sums S1..S4, then the published Z
+    //     transforms replayed op-for-op in SQL from the same integers.
+    //     p_skew/p_kurt go through the mirrored A&S erfc polynomial;
+    //     p_k2 = exp(−K²/2) is the closed-form χ²₂ tail. The value is a
+    //     sum of three ≈uniform integer residues (CLT: b2 ≈ 2.6 at
+    //     k = 3) and the slice keeps n ≈ 10² per group, so all six
+    //     p-values land strictly inside (0, 1) — nontrivial at round 6.
+    Q("learn_normaltest", {
+      val S = graft.functions.Special
+      s"""WITH b0 AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) + CAST(l_partkey AS BIGINT) % 50
+        |      + CAST(l_suppkey AS BIGINT) % 50 AS v
+        |  FROM lineitem WHERE l_orderkey < 200),
+        |g AS (SELECT l_returnflag AS grp, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s1,
+        |    CAST(SUM(v * v) AS BIGINT) AS s2,
+        |    CAST(SUM(v * v * v) AS BIGINT) AS s3,
+        |    CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+        |  FROM b0 GROUP BY l_returnflag),
+        |d AS (SELECT grp, n, s1, s2, s3, s4, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d FROM g),
+        |m1 AS (SELECT *, s1d / nd AS mean FROM d),
+        |ms AS (SELECT *, s2d / nd - mean * mean AS m2,
+        |    s3d / nd - 3.0 * mean * (s2d / nd) + 2.0 * mean * mean * mean AS m3,
+        |    s4d / nd - 4.0 * mean * (s3d / nd) + 6.0 * (mean * mean) * (s2d / nd)
+        |      - 3.0 * mean * mean * mean * mean AS m4 FROM m1),
+        |gb AS (SELECT *, m3 / (m2 * sqrt(m2)) AS g1, m4 / (m2 * m2) AS b2 FROM ms),
+        |sk1 AS (SELECT *,
+        |    g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+        |    3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0) /
+        |      ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)) AS beta2 FROM gb),
+        |sk2 AS (SELECT *, -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2 FROM sk1),
+        |sk3 AS (SELECT *, 1.0 / sqrt(0.5 * ln(w2)) AS delta,
+        |    sqrt(2.0 / (w2 - 1.0)) AS alpha FROM sk2),
+        |sk4 AS (SELECT *,
+        |    delta * ln(y / alpha + sqrt(y / alpha * (y / alpha) + 1.0)) AS z1 FROM sk3),
+        |kt1 AS (SELECT *, 3.0 * (nd - 1.0) / (nd + 1.0) AS eb2,
+        |    24.0 * nd * (nd - 2.0) * (nd - 3.0) /
+        |      ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)) AS vb2,
+        |    6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0)) *
+        |      sqrt(6.0 * (nd + 3.0) * (nd + 5.0) /
+        |        (nd * (nd - 2.0) * (nd - 3.0))) AS sqb1 FROM sk4),
+        |kt2 AS (SELECT *, (b2 - eb2) / sqrt(vb2) AS xt,
+        |    6.0 + 8.0 / sqb1 * (2.0 / sqb1 + sqrt(1.0 + 4.0 / (sqb1 * sqb1))) AS aa
+        |  FROM kt1),
+        |kt3 AS (SELECT *, 1.0 - 2.0 / (9.0 * aa) AS term1,
+        |    1.0 + xt * sqrt(2.0 / (aa - 4.0)) AS denom FROM kt2),
+        |kt4 AS (SELECT *, (CASE WHEN denom < 0.0 THEN -1.0 ELSE 1.0 END) *
+        |    pow((1.0 - 2.0 / aa) / abs(denom), CAST('${1.0 / 3.0}' AS DOUBLE)) AS term2
+        |  FROM kt3),
+        |kt5 AS (SELECT *, (term1 - term2) / sqrt(2.0 / (9.0 * aa)) AS z2 FROM kt4),
+        |fin AS (SELECT *, z1 * z1 + z2 * z2 AS k2 FROM kt5)
+        |SELECT grp, CAST(n AS BIGINT) AS n, s1, s2, s3, s4,
+        |  round(g1, 6) + CAST(0.0 AS DOUBLE) AS g1,
+        |  round(b2, 6) + CAST(0.0 AS DOUBLE) AS b2,
+        |  round(z1, 6) + CAST(0.0 AS DOUBLE) AS z_skew,
+        |  round(z2, 6) + CAST(0.0 AS DOUBLE) AS z_kurt,
+        |  round(k2, 6) + CAST(0.0 AS DOUBLE) AS k2,
+        |  round(${S.sqlNormalTwoSidedP("z1")}, 6) + CAST(0.0 AS DOUBLE) AS p_skew,
+        |  round(${S.sqlNormalTwoSidedP("z2")}, 6) + CAST(0.0 AS DOUBLE) AS p_kurt,
+        |  round(exp(-(k2) / 2.0), 6) + CAST(0.0 AS DOUBLE) AS p_k2
+        |FROM fin ORDER BY grp""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val df = t(spark, dir, "lineitem").filter($"l_orderkey" < 200)
+        .select($"l_returnflag",
+          ($"l_quantity".cast("long") + $"l_partkey".cast("long") % 50
+            + $"l_suppkey".cast("long") % 50).as("q"))
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      StatTests.dagostino(df, "q", "l_returnflag")
+        .select($"grp", $"n".cast("long").as("n"), $"s1", $"s2", $"s3", $"s4",
+          r6($"g1").as("g1"), r6($"b2").as("b2"),
+          r6($"z_skew").as("z_skew"), r6($"z_kurt").as("z_kurt"),
+          r6($"k2").as("k2"),
+          r6($"p_skew").as("p_skew"), r6($"p_kurt").as("p_kurt"),
+          r6($"p_k2").as("p_k2"))
+        .orderBy($"grp")
+    },
+
     // --- two-sample pooled-variance t-test (Student), A vs R returnflags
     Q("learn_ttest_ind",
       """WITH g AS (SELECT

@@ -315,4 +315,34 @@ class StatTestsSpec extends SparkSpecBase {
         .toDF("x", "y"), "x", "y", maxRows = 10)
     }
   }
+
+  test("dagostino: symmetry, platykurtic sign, the K² identity, shift invariance") {
+    // a perfectly symmetric sample has m3 = 0 EXACTLY (integer sums) →
+    // z_skew = 0 and the two-sided p_skew = 1
+    val sym = ((1 to 60) ++ (1 to 60).map(v => 122 - v))
+      .map(v => ("g", v.toLong)).toDF("grp", "v")
+    val rs = StatTests.dagostino(sym, "v", "grp").collect().head
+    assert(rs.getAs[Double]("z_skew") == 0.0)
+    // p(z = 0) carries the A&S 7.1.26 constant-term defect: 0.999999999,
+    // not 1 exactly (the same value the SQL mirror computes)
+    assert(approx(rs.getAs[Double]("p_skew"), 1.0, 2e-9))
+    // uniform integers are platykurtic: b2 ≈ 1.8 < 3 → z_kurt < 0; and
+    // the omnibus identity K² = z_skew² + z_kurt², p_k2 = exp(−K²/2)
+    val uni = (1 to 200).map(v => ("g", (v % 50).toLong)).toDF("grp", "v")
+    val ru = StatTests.dagostino(uni, "v", "grp").collect().head
+    assert(ru.getAs[Double]("z_kurt") < -1.0)
+    val z1 = ru.getAs[Double]("z_skew"); val z2 = ru.getAs[Double]("z_kurt")
+    assert(approx(ru.getAs[Double]("k2"), z1 * z1 + z2 * z2, 1e-12))
+    assert(approx(ru.getAs[Double]("p_k2"),
+      math.exp(-ru.getAs[Double]("k2") / 2.0), 1e-15))
+    // location shift leaves the standardized moments (hence Zs) invariant
+    val shifted = (1 to 200).map(v => ("g", (v % 50).toLong + 1000L)).toDF("grp", "v")
+    val rh = StatTests.dagostino(shifted, "v", "grp").collect().head
+    assert(approx(rh.getAs[Double]("z_skew"), z1, 1e-6))
+    assert(approx(rh.getAs[Double]("z_kurt"), z2, 1e-6))
+    // non-integral value column is rejected loudly
+    intercept[IllegalArgumentException] {
+      StatTests.dagostino(Seq(("g", 1.5)).toDF("grp", "v"), "v", "grp")
+    }
+  }
 }
