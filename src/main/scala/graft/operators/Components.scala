@@ -57,6 +57,95 @@ object Components {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** Connected components by two-phase star contraction (the public
+    * large-star / small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — the standard at-scale
+    * replacement for min-label propagation): converges in O(log n)
+    * rounds REGARDLESS of graph diameter, where [[connectedComponents]]
+    * needs O(diameter) rounds. Dup clusters are near-cliques (diameter
+    * ≤ ~3) so min-label wins there; this is the right engine for
+    * long-chain graphs — URL redirect chains, session stitching,
+    * citation paths — where the diameter is O(n).
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *     m(u) = min(Γ(u) ∪ u);
+    *   small-star(u): every neighbor v ≤ u (plus u) attaches to m(u).
+    *
+    * Both phases are one groupBy(min) + one self-join of the edge list —
+    * the same shuffle shape as a min-label round — and the edge count
+    * never grows. Convergence = edge multiset unchanged, checked by a
+    * (count, Σu, Σv, Σxxhash64) signature (one tiny aggregate per
+    * round); monotone convergence is the paper's theorem, the signature
+    * only detects it. Returns (node, cluster) with cluster = smallest
+    * member id — identical output contract to [[connectedComponents]]
+    * (spec-pinned equal on random graphs; ext_cc_star gates it against
+    * the same recursive-CTE oracle). */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 40): DataFrame = {
+    val raw = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val allNodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct().localCheckpoint()
+    var edges = raw.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // DECIMAL(38) sums: exact and overflow-free under ANSI mode (a
+    // BIGINT sum of 64-bit hashes overflows)
+    def signature(e: DataFrame): Seq[Any] = {
+      val d = org.apache.spark.sql.types.DecimalType(38, 0)
+      e.agg(count(lit(1)), sum(col("u").cast(d)), sum(col("v").cast(d)),
+        sum(xxhash64(col("u"), col("v")).cast(d))).head().toSeq
+    }
+
+    // one phase: directed = edge list oriented so the GROUPING side is
+    // `u`. large-star (keepLarger) re-attaches only the strictly larger
+    // neighbors to m(u) = min(Γ(u) ∪ u); small-star re-attaches every
+    // (smaller) neighbor AND u itself. Self-loops and duplicates drop;
+    // output is canonically (larger, smaller).
+    def phase(directed: DataFrame, keepLarger: Boolean): DataFrame = {
+      val mins = directed.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val kept =
+        if (keepLarger) directed.filter(col("v") > col("u"))
+        else directed
+      val reattached = kept.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val withSelf =
+        if (keepLarger) reattached
+        else reattached.union(mins.select(col("u"), col("m").as("v")))
+      withSelf
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    var sig: Seq[Any] = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star groups on BOTH orientations (Γ(u) is the full
+      // neighborhood); small-star groups on the larger endpoint only
+      val bothWays = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val afterLarge = phase(bothWays, keepLarger = true)
+      val afterSmall = phase(afterLarge, keepLarger = false).localCheckpoint()
+      val nextSig = signature(afterSmall)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = afterSmall
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIters rounds — " +
+        "raise maxIters (expected rounds ~ log2 of the largest component)")
+    // at the fixpoint every edge is (member, component-min); members not
+    // on the left are the representatives (and self-loop-only nodes)
+    allNodes.join(edges.select(col("u").as("node"), col("v").as("cluster")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
   /** Keep the BEST document per duplicate cluster by an explicit score
     * (quality-aware representative selection — pipelines keep the
     * highest-quality member, not the lowest id; ties break to the smallest

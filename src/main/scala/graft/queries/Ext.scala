@@ -171,6 +171,39 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- the same components, resolved by two-phase star contraction
+    //     (large-star/small-star, O(log n) rounds independent of graph
+    //     diameter — the scale path for long-chain graphs where
+    //     min-label's O(diameter) rounds blow up). Identical output
+    //     contract, identical recursive-CTE oracle.
+    Q("ext_cc_star",
+      s"""WITH RECURSIVE $shinglesCte,
+         |jp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pe AS (
+         |  SELECT doc_a, doc_b FROM jp
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pe
+         |          UNION SELECT doc_b, doc_a FROM pe),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON e.a = cc.node)
+         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Components
+      val pairs = Dedup.minhashDedupPairs(t(spark, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+      Components.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .select($"node".as("doc_id"), $"cluster")
+        .orderBy($"doc_id")
+    },
+
     // --- incremental near-dup detection: a NEW batch (doc_id >= 400)
     //     probed against the EXISTING corpus (doc_id < 400) — cross-side
     //     candidates only, exact-verified. The daily-crawl-vs-history

@@ -213,6 +213,33 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 99L -> 1L))
   }
 
+  test("connectedComponentsStar matches min-label and converges in O(log n) on a path") {
+    import graft.operators.Components
+    // same fixture as the min-label test, plus a self-loop-only node
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (99L, 1L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 99L -> 1L))
+    // the scale claim: a 120-node PATH (diameter 119) resolves within the
+    // O(log n) round budget where min-label would need ~119 rounds —
+    // maxIters = 15 would abort if rounds scaled with diameter
+    val path = (1L until 120L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    val stars = Components.connectedComponentsStar(path, "doc_a", "doc_b",
+      maxIters = 15).as[(Long, Long)].collect()
+    assert(stars.length == 120 && stars.forall(_._2 == 1L))
+    // random-ish graph: star output == min-label output exactly
+    val rnd = new scala.util.Random(7)
+    val rpairs = (1 to 150).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .toDF("doc_a", "doc_b")
+    val a = Components.connectedComponents(rpairs, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    val b = Components.connectedComponentsStar(rpairs, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("dedupByCluster keeps exactly one representative per component") {
     import graft.operators.Components
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 42L)
