@@ -56,6 +56,15 @@ object TextFunctions {
     transform(words(text),
       t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
 
+  /** Distinct word n-gram shingles as 60-bit md5 hashes — the
+    * engine-portable cousin of [[hashedShingles]], same family as
+    * [[md5TokenHashes]]: any engine with md5 + hex parsing derives the
+    * identical longs. Used where the LSH internals themselves must
+    * replay in an oracle (Dedup.minhashBandsPortable / lshAudit). */
+  def md5ShingleHashes(text: Column, n: Int): Column =
+    transform(distinctShingles(text, n),
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+
   /** md5 fingerprint of the first `nWords` words — a cheap prefix
     * fingerprint that clusters near-duplicates sharing a prefix. */
   def prefixFingerprint(text: Column, nWords: Int): Column =

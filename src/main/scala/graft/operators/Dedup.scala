@@ -465,6 +465,104 @@ object Dedup {
       .select(col("new_id"), col("index_id"), col("jaccard"))
   }
 
+  // ------------------------------------------------------------------
+  // engine-portable MinHash — oracle-replayable LSH internals
+  // ------------------------------------------------------------------
+
+  /** The (a_i, b_i) universal-hash coefficients shared by the murmur and
+    * portable signatures — deterministic in (numHashes, seed); the audit
+    * oracle interpolates the identical values as SQL literals. */
+  private[graft] def minhashCoefs(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) =
+    ((0 until numHashes).map(i => 1L + 2L * Math.floorMod(mix64(seed + 2L * i), 1000000000L)),
+      (0 until numHashes).map(i => Math.floorMod(mix64(seed + 2L * i + 1), 1000000000L)))
+
+  private val lshP = 2147483647L // 2^31 − 1
+  private[graft] val lshBucketM = 1000003L // polynomial band-fold multiplier
+
+  /** Per-document LSH band buckets from ENGINE-PORTABLE arithmetic: the
+    * same universal-hash signature fold as [[minhashBands]], but the base
+    * hash is the md5 60-bit family ([[TextFunctions.md5ShingleHashes]])
+    * reduced mod 2³¹−1 instead of murmur, and the band bucket is a
+    * polynomial fold (acc·1000003 + sᵢ mod 2³¹−1) instead of `hash(...)`
+    * — every operation is exact nonnegative integer arithmetic any
+    * engine reproduces. Murmur stays the hot-path default (md5 costs
+    * ~3× the hashing); this variant exists so LSH CANDIDATES — not just
+    * the verified pairs — can be differentially audited (ext_lsh_recall
+    * gates candidate counts, precision and recall bit-exactly against a
+    * DuckDB replay). Documents shorter than n words are excluded (their
+    * empty shingle set would collide in every band). */
+  def minhashBandsPortable(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val (as, bs) = minhashCoefs(numHashes, seed)
+    val aCoefs = typedlit(as)
+    val bCoefs = typedlit(bs)
+    // h < p and a ≤ 2e9+1, b < 1e9 → h·a + b < 2^63: no ANSI overflow
+    val hp = transform(TextFunctions.md5ShingleHashes(col(textCol), n),
+      h => pmod(h, lit(lshP)))
+    val sig = aggregate(
+      hp,
+      array_repeat(lit(lshP), numHashes),
+      (acc, h) => transform(acc, (m, i) =>
+        least(m, pmod(h * element_at(aCoefs, i + 1) + element_at(bCoefs, i + 1),
+          lit(lshP)))))
+    // acc < p so acc·M + s < 2^52: no overflow
+    def bucket(sigCol: Column, b: Int): Column =
+      (0 until rowsPerBand).foldLeft(lit(0L): Column)((acc, j) =>
+        pmod(acc * lit(lshBucketM) +
+          element_at(sigCol, b * rowsPerBand + j + 1), lit(lshP)))
+    fanOutScan(docs.filter(size(TextFunctions.words(col(textCol))) >= n))
+      .select(col(idCol).as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => bucket(col("sig"), b)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b, distinct) from the portable banding
+    * — the pre-verification front half of the LSH pipeline. */
+  def minhashCandidatesPortable(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val banded = minhashBandsPortable(docs, textCol, idCol, n, bands, rowsPerBand, seed)
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** LSH candidate-quality audit: ONE row — (truth_pairs, cand_pairs,
+    * tp, fp, fn, prec, rec) comparing the portable-LSH candidate set
+    * against the exact-Jaccard ground truth at `threshold`. This is the
+    * (bands, rowsPerBand) TUNING instrument: the S-curve predicts
+    * recall 1 − (1 − jʳ)ᵇ at true Jaccard j, the audit measures it.
+    *
+    * Scale shape: truth reuses [[ngramJaccardPairs]]'s df-capped
+    * inverted-index explosion; candidates are the banding self-join; the
+    * comparison is one full-outer join on the pair key feeding a
+    * single-row aggregate. Ground truth is inherently quadratic in
+    * near-dup density — at corpus scale run the audit on a deterministic
+    * sample ([[graft.functions.PortableHash]]) to pick parameters, then
+    * run only the LSH at full width. */
+  def lshAudit(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8, bands: Int = 16,
+      rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val truth = ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+      .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1))
+    val cands = minhashCandidatesPortable(docs, textCol, idCol, n, bands,
+      rowsPerBand, seed).withColumn("c", lit(1))
+    truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count("t").as("truth_pairs"), count("c").as("cand_pairs"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1))).as("tp"))
+      .select(col("truth_pairs"), col("cand_pairs"), col("tp"),
+        (col("cand_pairs") - col("tp")).as("fp"),
+        (col("truth_pairs") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("cand_pairs").cast("double")).as("prec"),
+        (col("tp").cast("double") / col("truth_pairs").cast("double")).as("rec"))
+  }
+
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token
     * hashes. Documents within `maxHamming` of each other are near-dups.
     *

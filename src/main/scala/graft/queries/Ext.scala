@@ -204,6 +204,80 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- LSH candidate-quality audit over the ENGINE-PORTABLE MinHash
+    //     (md5-60-bit shingle hashes mod 2³¹−1, universal-hash signature
+    //     fold, polynomial band buckets): DuckDB replays the ENTIRE LSH
+    //     pipeline — signature, banding, candidate join — with the same
+    //     interpolated (aᵢ, bᵢ) literals, so candidate counts, precision
+    //     and recall gate bit-exactly (counts are BIGINT; prec/rec are
+    //     exact long/long rationals, unrounded). Two parameter points —
+    //     the production 16×4 and a deliberately coarse 4×2 (higher
+    //     collision rate, lower precision) — so the instrument shows the
+    //     S-curve trade-off it exists to measure.
+    Q("ext_lsh_recall", {
+      val (as, bs) = graft.operators.Dedup.minhashCoefs(64, 42L)
+      val coefRows = (0 until 64)
+        .map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
+      // one banding chain per config; the 4×2 point reuses coefficients
+      // i < 8 (minhashCoefs is per-i deterministic, so the first 8 of the
+      // 64-wide table ARE the 8-wide table)
+      def chain(tag: String, bands: Int, rows: Int): String = {
+        val nh = bands * rows
+        val ss = (0 until rows).map(j =>
+          s"MAX(CASE WHEN i % $rows = $j THEN s END) AS s$j").mkString(",\n         |    ")
+        val fold = (0 until rows).foldLeft("0")((acc, j) =>
+          s"(($acc * 1000003 + s$j) % 2147483647)")
+        s"""piv_$tag AS (SELECT doc_id, i // $rows AS band,
+         |    $ss
+         |  FROM sig WHERE i < $nh GROUP BY doc_id, i // $rows),
+         |bk_$tag AS (SELECT doc_id, band, $fold AS bucket FROM piv_$tag),
+         |cand_$tag AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk_$tag a JOIN bk_$tag b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |m_$tag AS (SELECT '$tag' AS cfg,
+         |    (SELECT COUNT(*) FROM pe) AS truth_pairs,
+         |    (SELECT COUNT(*) FROM cand_$tag) AS cand_pairs,
+         |    (SELECT COUNT(*) FROM pe JOIN cand_$tag USING (doc_a, doc_b)) AS tp)"""
+      }
+      s"""WITH $shinglesCte,
+         |hp AS (SELECT doc_id,
+         |    (CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) % 2147483647 AS hp
+         |  FROM sh),
+         |coef(i, a, b) AS (VALUES $coefRows),
+         |sig AS (SELECT doc_id, i, MIN((hp * a + b) % 2147483647) AS s
+         |  FROM hp CROSS JOIN coef GROUP BY doc_id, i),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pe AS (SELECT doc_a, doc_b FROM jp
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+         |${chain("b16r4", 16, 4)},
+         |${chain("b4r2", 4, 2)},
+         |u AS (SELECT * FROM m_b16r4 UNION ALL SELECT * FROM m_b4r2)
+         |SELECT cfg, CAST(truth_pairs AS BIGINT) AS truth_pairs,
+         |  CAST(cand_pairs AS BIGINT) AS cand_pairs,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  CAST(cand_pairs - tp AS BIGINT) AS fp,
+         |  CAST(truth_pairs - tp AS BIGINT) AS fn,
+         |  CAST(tp AS DOUBLE) / CAST(cand_pairs AS DOUBLE) AS prec,
+         |  CAST(tp AS DOUBLE) / CAST(truth_pairs AS DOUBLE) AS rec
+         |FROM u ORDER BY cfg""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      Dedup.lshAudit(docs, "text", "doc_id",
+          n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+        .withColumn("cfg", lit("b16r4")).select("cfg", "truth_pairs",
+          "cand_pairs", "tp", "fp", "fn", "prec", "rec")
+        .unionAll(Dedup.lshAudit(docs, "text", "doc_id",
+            n = 3, threshold = 0.8, bands = 4, rowsPerBand = 2)
+          .withColumn("cfg", lit("b4r2")).select("cfg", "truth_pairs",
+            "cand_pairs", "tp", "fp", "fn", "prec", "rec"))
+        .orderBy($"cfg")
+    },
+
     // --- incremental near-dup detection: a NEW batch (doc_id >= 400)
     //     probed against the EXISTING corpus (doc_id < 400) — cross-side
     //     candidates only, exact-verified. The daily-crawl-vs-history

@@ -240,6 +240,35 @@ class DedupSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("portable LSH audit: candidates cover truth, counts reconcile") {
+    import graft.operators.Dedup
+    // three exact near-dup pairs (identical text → jaccard 1, so every
+    // band collides regardless of coefficients), plus unrelated docs and
+    // one too-short doc that must be excluded, not band-collided
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "totally different words in this document here"),
+      (6L, "short doc")).toDF("doc_id", "text")
+    val audit = Dedup.lshAudit(docs, "text", "doc_id").collect().head
+    assert(audit.getAs[Long]("truth_pairs") == 2L)
+    assert(audit.getAs[Long]("tp") == 2L)
+    assert(audit.getAs[Long]("fn") == 0L)
+    assert(audit.getAs[Double]("rec") == 1.0)
+    // identity fp = cand − tp holds by construction; assert it anyway
+    assert(audit.getAs[Long]("fp") ==
+      audit.getAs[Long]("cand_pairs") - audit.getAs[Long]("tp"))
+    // the short doc never reaches banding
+    val banded = Dedup.minhashBandsPortable(docs, "text", "doc_id")
+    assert(banded.filter($"doc_id" === 6L).count() == 0L)
+    // portable and murmur bandings agree on which IDENTICAL docs collide
+    val cands = Dedup.minhashCandidatesPortable(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)) && cands.contains((3L, 4L)))
+  }
+
   test("dedupByCluster keeps exactly one representative per component") {
     import graft.operators.Components
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 42L)
