@@ -11,6 +11,13 @@ import graft.functions.aggregates
   */
 object OpsExtra {
 
+  /** Unique memory-sink names for the streaming-parity query (Verify may
+    * build the same query more than once in one JVM). */
+  private object StreamParity {
+    private val c = new java.util.concurrent.atomic.AtomicLong(0L)
+    def next(): Long = c.incrementAndGet()
+  }
+
   /** Dialect-neutral ANSI SQL executed verbatim by both engines. */
   val sqlSurfaceQuery: String =
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
@@ -486,6 +493,188 @@ object OpsExtra {
         .agg(("n_nations", "count", "n_regionkey"), ("first_nation", "min", "n_name"))
         .sortValues(Seq("n_regionkey"))
         .df
+    },
+
+    // --- §2.2 ORC roundtrip (reference to_orc/read_orc): DuckDB reads no
+    //     ORC, so the oracle is the IDENTITY contract — Spark writes the
+    //     slice as ORC, reads it back and aggregates; the oracle
+    //     aggregates the parquet source directly. Any loss/reorder/type
+    //     drift in the ORC path breaks the hash.
+    Q("op_orc_roundtrip",
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  min(n_name) AS first_nation,
+        |  CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+      val out = "/root/repo/target/orc_rt"
+      gt(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .toOrc(out)
+      graft.api.GraftSession(spark).readOrc(out)
+        .astype("n_regionkey" -> "long", "n_nationkey" -> "long")
+        .groupby("n_regionkey")
+        .agg(("n_nations", "count", "n_regionkey"), ("first_nation", "min", "n_name"),
+          ("key_sum", "sum", "n_nationkey"))
+        .sortValues(Seq("n_regionkey"))
+        .df
+    },
+
+    // --- §2.2 zarr v2 roundtrip (reference to_zarr/from_zarr): doubles
+    //     through the clean-room binary chunk store and back; the
+    //     aggregate uses the order-free scaled-integer convention
+    //     (acctbal·100 is exact in double), so any corruption, chunk
+    //     misalignment or row loss in the zarr path breaks the hash.
+    Q("op_zarr_roundtrip",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(SUM(CAST(c_custkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |  CAST(min(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) AS bmin,
+        |  CAST(max(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) AS bmax
+        |FROM customer WHERE c_custkey < 300 ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val out = "/root/repo/target/zarr_rt"
+      gt(spark, dir, "customer").df.filter($"c_custkey" < 300)
+        .select($"c_custkey".cast("double").as("k"),
+          $"c_acctbal".cast("double").as("bal"))
+        .transform(d => { graft.api.GraftFrame(d).toZarr(out, Seq("k", "bal")); d })
+      graft.api.GraftSession(spark).readZarr(out, Seq("k", "bal")).df
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"bal" * 100 + 0.5).cast("long")).as("cents"),
+          sum($"k".cast("long")).as("key_sum"),
+          min($"bal").as("bmin"), max($"bal").as("bmax"))
+        .orderBy($"n")
+    },
+
+    // --- §2.1/§2.2 JDBC roundtrip (reference to_sql/read_sql): the slice
+    //     goes through an embedded Derby table and comes back via the
+    //     PARTITIONED jdbc scan (4 ranged partitions on r_regionkey) —
+    //     the reference's read_sql(partition_col, num_partitions) shape.
+    Q("op_jdbc_roundtrip",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) {
+      (spark, dir) =>
+      val url = "jdbc:derby:/root/repo/target/derby_rt;create=true"
+      gt(spark, dir, "region").select("r_regionkey", "r_name").df
+        .transform(d => { graft.api.GraftFrame(d).toJdbc(url, "region_rt"); d })
+      graft.api.GraftSession(spark)
+        .readJdbc(url, "region_rt", partitionColumn = Some("r_regionkey"),
+          lowerBound = 0L, upperBound = 5L, numPartitions = 4)
+        .astype("r_regionkey" -> "long")
+        .sortValues(Seq("r_regionkey"))
+        .df.select("r_regionkey", "r_name")
+    },
+
+    // --- §2.4 bucketed-table roundtrip: both sides written as 8-bucket
+    //     sorted tables on the join key, read back through the catalog
+    //     and joined (BucketingSpec pins the NO-SHUFFLE plan; this gates
+    //     the data fidelity of the bucketed write/read path).
+    Q("op_bucketed_join",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // the in-memory catalog is fresh per JVM but the warehouse DIR
+      // persists — drop both the entry and any orphan location
+      Seq("graft_rt_cust_bkt", "graft_rt_ord_bkt").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      gt(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+        .toBucketedTable("graft_rt_cust_bkt", 8, Seq("c_custkey"))
+      gt(spark, dir, "orders").select("o_orderkey", "o_custkey")
+        .toBucketedTable("graft_rt_ord_bkt", 8, Seq("o_custkey"))
+      spark.table("graft_rt_ord_bkt")
+        .join(spark.table("graft_rt_cust_bkt"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_orderkey".cast("long")).as("key_sum"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // --- §2.11 set_index/reset_index (reference indexing/set_index.py):
+    //     the columns-as-index model's one observable effect — index
+    //     columns move to the front; reset_index is the identity.
+    Q("op_set_index",
+      """SELECT n_regionkey, n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .setIndex("n_regionkey")
+        .resetIndex()
+        .sortValues(Seq("n_nationkey"))
+        .df
+    },
+
+    // --- §2.12 mr.spawn with a DETERMINISTIC remote function (reference
+    //     remote/run_script spawn surface; the π spawn in MicroBench uses
+    //     an RNG so only its timing is comparable — this one is
+    //     arithmetic, so the oracle replays each remote call in SQL).
+    Q("op_spawn",
+      """SELECT s, CAST(SUM((s * 1000 + i) % 97) AS BIGINT) AS v
+        |FROM (SELECT unnest(range(8)) AS s), (SELECT unnest(range(1000)) AS i)
+        |GROUP BY s ORDER BY s""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val results = graft.remote.Spawn.spawnMap(spark, (0L until 8L)) { s =>
+        var acc = 0L
+        var i = 0L
+        while (i < 1000L) { acc += (s * 1000L + i) % 97L; i += 1 }
+        (s, acc)
+      }
+      results.toDF("s", "v").orderBy($"s")
+    },
+
+    // --- §2.16 STREAMING ≡ BATCH differential: the op_events_tumbling
+    //     aggregation run as a real Structured Streaming query (parquet
+    //     file source → event-time window aggregate → memory sink,
+    //     complete mode) and gated against the batch oracle — upgrades
+    //     streaming from spec-only to differentially verified.
+    Q("op_stream_batch_parity",
+      """SELECT event_type,
+        |  CAST(floor(epoch_us(ts) / 3600000000.0) * 3600 AS BIGINT) AS w_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // the file stream source lists a DIRECTORY — stage the (read-only)
+      // fixture file into one under target/, keyed by SF dir
+      val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val stageDir = java.nio.file.Paths.get("/root/repo/target/stream_src",
+        srcPath.getParent.getFileName.toString)
+      java.nio.file.Files.createDirectories(stageDir)
+      val staged = stageDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(staged) ||
+          java.nio.file.Files.size(staged) != java.nio.file.Files.size(srcPath))
+        java.nio.file.Files.copy(srcPath, staged,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // replicate Tables.load's ts normalization on the stream side
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(staged.toString).schema
+      val raw = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val ev = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ =>
+          raw.withColumn("ts", $"ts".cast(org.apache.spark.sql.types.TimestampType))
+      }
+      val sinkName = s"strm_parity_${StreamParity.next()}"
+      val q = ev
+        .groupBy($"event_type", window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("n"), sumD(dec12($"value")).as("total"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sinkName)
+        .select($"event_type",
+          expr("unix_micros(window.start) DIV 1000000").as("w_start"),
+          $"n", $"total")
+        .orderBy($"event_type", $"w_start")
     },
 
     // --- §2.10 str accessor, wide coverage (reference base/string_.py:34;
