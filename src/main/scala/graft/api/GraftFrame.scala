@@ -694,6 +694,43 @@ final case class GraftFrame(df: DataFrame) {
     * Never a global single-task rank over the data. Exact rationals:
     * u is bit-identical on any engine, no rounding. Nulls pass through
     * with a null transform. */
+  /** pandas quantile(interpolation=) beyond 'linear' (reference
+    * statistics/quantile.py interpolation=): the exact k-th order
+    * statistics h = (n−1)q, k ∈ {⌊h⌋, ⌈h⌉, rint(h)} selected via
+    * distributed value-count prefix sums — the [[quantileTransform]]
+    * machinery (range partition + partition-offset stitch), NO global
+    * sort and no single-task rank. One row out: (n, lo = 'lower',
+    * hi = 'higher', near = 'nearest', mid = 'midpoint'). 'nearest'
+    * follows numpy's banker's rounding at exact .5, like pandas. */
+  def quantileInterp(valueCol: String, q: Double): GraftFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantileInterp: q must be in [0, 1]: $q")
+    val g = df.filter(df(valueCol).isNotNull)
+      .groupBy(df(valueCol).cast("double").as("__v")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = g.withColumn("__bl", coalesce(sum(col("__c")).over(wLocal), lit(0L)))
+    val wPid = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__c")).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(wPid), lit(0L)))
+    val total = offsets.agg(sum(col("__pc")).as("__n"))
+    val cum = local
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__start", col("__bl") + col("__off"))
+    val h = (col("__n").cast("double") - lit(1.0)) * lit(q)
+    def at(k: Column) = min(when(col("__start") <= k &&
+      k < col("__start") + col("__c"), col("__v")))
+    val res = cum.agg(max(col("__n")).as("n"),
+        at(floor(h).cast("long")).as("lo"),
+        at(ceil(h).cast("long")).as("hi"),
+        at(rint(h).cast("long")).as("near"))
+      .withColumn("mid", (col("lo") + col("hi")) / 2.0)
+    GraftFrame(res)
+  }
+
   def quantileTransform(valueCol: String, out: String,
       distribution: String = "uniform"): GraftFrame = {
     require(Set("uniform", "logistic")(distribution),

@@ -242,6 +242,33 @@ object OpsRelational {
         round(percentile($"l_extendedprice", lit(0.5)), 6).as("med_price"))
     },
 
+    // --- §2.13 quantile(interpolation=lower|higher|nearest|midpoint):
+    //     exact order statistics at h = (n−1)·0.3 — k-th elements are
+    //     EXACT doubles (decimal prices cast), no rounding anywhere; h's
+    //     banker's tie branch is spelled out in SQL so both engines pick
+    //     the identical k even at h = x.5.
+    Q("op_quantile_interp",
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |o AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rn FROM v),
+        |nn AS (SELECT COUNT(*) AS n FROM v),
+        |k AS (SELECT n, (CAST(n AS DOUBLE) - 1.0) * CAST(0.3 AS DOUBLE) AS h FROM nn),
+        |kk AS (SELECT n, h, CAST(floor(h) AS BIGINT) AS kl,
+        |    CAST(ceil(h) AS BIGINT) AS kh,
+        |    CAST(CASE WHEN h - floor(h) = 0.5
+        |          THEN CASE WHEN CAST(floor(h) AS BIGINT) % 2 = 0
+        |               THEN floor(h) ELSE ceil(h) END
+        |          ELSE round(h) END AS BIGINT) AS kn FROM k)
+        |SELECT CAST(kk.n AS BIGINT) AS n, ol.x AS lo, oh.x AS hi,
+        |  onr.x AS near, (ol.x + oh.x) / 2.0 AS mid
+        |FROM kk JOIN o ol ON ol.rn = kk.kl JOIN o oh ON oh.rn = kk.kh
+        |  JOIN o onr ON onr.rn = kk.kn
+        |ORDER BY n""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "lineitem")
+        .quantileInterp("l_extendedprice", 0.3)
+        .sortValues(Seq("n"))
+        .df
+    },
+
     // --- §2.13 corr / covariance
     Q("op_corr",
       """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -953,4 +953,22 @@ class ApiSpec extends SparkSpecBase {
     val a2 = alt.autocorr(Seq("g"), "t", "v").df.collect().head.getDouble(1)
     assert(math.abs(a2 + 1.0) < 1e-12, s"alternating: $a2")
   }
+
+  test("quantileInterp matches the pandas interpolation methods by hand") {
+    val df = GraftFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"))
+    // q = 0.25: h = 0.75 → lower 1, higher 2, nearest rint(.75)=1 → 2
+    val r1 = df.quantileInterp("x", 0.25).df.collect().head
+    assert(r1.getAs[Long]("n") == 4L)
+    assert(r1.getAs[Double]("lo") == 1.0 && r1.getAs[Double]("hi") == 2.0)
+    assert(r1.getAs[Double]("near") == 2.0 && r1.getAs[Double]("mid") == 1.5)
+    // q = 0.5: h = 1.5 → lower 2, higher 3; banker's rint(1.5) = 2 → 3
+    val r2 = df.quantileInterp("x", 0.5).df.collect().head
+    assert(r2.getAs[Double]("lo") == 2.0 && r2.getAs[Double]("hi") == 3.0)
+    assert(r2.getAs[Double]("near") == 3.0 && r2.getAs[Double]("mid") == 2.5)
+    // duplicates: the k-th VALUE is order-of-ties independent
+    val dup = GraftFrame(Seq(5.0, 5.0, 5.0, 9.0).toDF("x"))
+    val r3 = dup.quantileInterp("x", 0.5).df.collect().head
+    assert(r3.getAs[Double]("lo") == 5.0 && r3.getAs[Double]("hi") == 5.0)
+    intercept[IllegalArgumentException] { df.quantileInterp("x", 1.5) }
+  }
 }
