@@ -694,6 +694,21 @@ final case class GraftFrame(df: DataFrame) {
     * Never a global single-task rank over the data. Exact rationals:
     * u is bit-identical on any engine, no rounding. Nulls pass through
     * with a null transform. */
+  /** Deterministic scalar mode per group (reference reduction surface's
+    * mode; pandas Series.mode returns ALL modal values — the scalar form
+    * here resolves ties to the SMALLEST value so the answer reproduces
+    * across engines and partitionings, unlike the built-in `mode` whose
+    * tie pick is arbitrary). Numeric value columns only (the tie rule
+    * negates). Two partial+final aggregates, no sort. */
+  def modeDet(keys: Seq[String], valueCol: String): GraftFrame = {
+    val counts = df.groupBy((keys :+ valueCol).map(df(_)): _*)
+      .agg(count(lit(1)).as("__c"))
+    GraftFrame(counts.groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__c"), (-col(valueCol)).as("__nv")))
+        .getField("__nv").as("__nv"))
+      .select((keys.map(col) :+ (-col("__nv")).as(s"${valueCol}_mode")): _*))
+  }
+
   /** pandas quantile(interpolation=) beyond 'linear' (reference
     * statistics/quantile.py interpolation=): the exact k-th order
     * statistics h = (n−1)q, k ∈ {⌊h⌋, ⌈h⌉, rint(h)} selected via

@@ -242,6 +242,25 @@ object OpsRelational {
         round(percentile($"l_extendedprice", lit(0.5)), 6).as("med_price"))
     },
 
+    // --- §2.5 deterministic mode per group (ties → smallest value): the
+    //     oracle encodes the (count, −value) lexicographic argmax as
+    //     exact integer arithmetic — key = c·64 + (63 − q) with q ≤ 50 —
+    //     so the tie rule replays without struct comparison.
+    Q("op_mode",
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    COUNT(*) AS c FROM lineitem GROUP BY l_returnflag, q)
+        |SELECT l_returnflag,
+        |  CAST(63 - (MAX(c * 64 + (63 - q)) % 64) AS BIGINT) AS l_quantity_mode
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "lineitem")
+          .select($"l_returnflag", $"l_quantity".cast("long").as("l_quantity")))
+        .modeDet(Seq("l_returnflag"), "l_quantity")
+        .sortValues(Seq("l_returnflag"))
+        .df
+    },
+
     // --- §2.13 quantile(interpolation=lower|higher|nearest|midpoint):
     //     exact order statistics at h = (n−1)·0.3 — k-th elements are
     //     EXACT doubles (decimal prices cast), no rounding anywhere; h's

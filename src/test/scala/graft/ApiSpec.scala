@@ -954,6 +954,15 @@ class ApiSpec extends SparkSpecBase {
     assert(math.abs(a2 + 1.0) < 1e-12, s"alternating: $a2")
   }
 
+  test("modeDet picks the most frequent value, ties to the smallest") {
+    val df = GraftFrame(Seq(("a", 3L), ("a", 3L), ("a", 7L), ("a", 7L),
+      ("a", 9L), ("b", 5L)).toDF("g", "v"))
+    val got = df.modeDet(Seq("g"), "v").sortValues(Seq("g"))
+      .df.as[(String, Long)].collect().toSeq
+    // group a: 3 and 7 tie at count 2 → smallest (3); group b: 5
+    assert(got == Seq(("a", 3L), ("b", 5L)))
+  }
+
   test("quantileInterp matches the pandas interpolation methods by hand") {
     val df = GraftFrame(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"))
     // q = 0.25: h = 0.75 → lower 1, higher 2, nearest rint(.75)=1 → 2
