@@ -11,11 +11,26 @@ import graft.functions.aggregates
   */
 object OpsExtra {
 
-  /** Unique memory-sink names for the streaming-parity query (Verify may
-    * build the same query more than once in one JVM). */
+  /** Unique memory-sink names for the streaming-parity queries (Verify
+    * may build the same query more than once in one JVM). */
   private object StreamParity {
     private val c = new java.util.concurrent.atomic.AtomicLong(0L)
     def next(): Long = c.incrementAndGet()
+
+    /** The file stream source lists a DIRECTORY — stage the (read-only)
+      * fixture file into one under target/, keyed by SF dir + table. */
+    def stage(dir: String, table: String): java.nio.file.Path = {
+      val srcPath = java.nio.file.Paths.get(s"$dir/$table.parquet")
+      val stageDir = java.nio.file.Paths.get("/root/repo/target/stream_src",
+        srcPath.getParent.getFileName.toString, table)
+      java.nio.file.Files.createDirectories(stageDir)
+      val staged = stageDir.resolve(s"$table.parquet")
+      if (!java.nio.file.Files.exists(staged) ||
+          java.nio.file.Files.size(staged) != java.nio.file.Files.size(srcPath))
+        java.nio.file.Files.copy(srcPath, staged,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      stageDir
+    }
   }
 
   /** Dialect-neutral ANSI SQL executed verbatim by both engines. */
@@ -641,20 +656,10 @@ object OpsExtra {
         |FROM events GROUP BY event_type, w_start
         |ORDER BY event_type, w_start""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      // the file stream source lists a DIRECTORY — stage the (read-only)
-      // fixture file into one under target/, keyed by SF dir
-      val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val stageDir = java.nio.file.Paths.get("/root/repo/target/stream_src",
-        srcPath.getParent.getFileName.toString)
-      java.nio.file.Files.createDirectories(stageDir)
-      val staged = stageDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(staged) ||
-          java.nio.file.Files.size(staged) != java.nio.file.Files.size(srcPath))
-        java.nio.file.Files.copy(srcPath, staged,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stageDir = StreamParity.stage(dir, "events")
       // replicate Tables.load's ts normalization on the stream side
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = spark.read.parquet(staged.toString).schema
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
       val raw = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
       val ev = rawSchema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -675,6 +680,32 @@ object OpsExtra {
           expr("unix_micros(window.start) DIV 1000000").as("w_start"),
           $"n", $"total")
         .orderBy($"event_type", $"w_start")
+    },
+
+    // --- §2.16 streaming exact dedup ≡ batch: the flatMapGroupsWithState
+    //     first-seen dedup run as a real streaming query over the staged
+    //     documents file (one micro-batch → first-seen = min doc_id per
+    //     fingerprint, fully deterministic) against the md5-fingerprint
+    //     keep-first oracle.
+    Q("op_stream_dedup_parity",
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                            ' +', ' ', 'g'))) AS f
+        |  FROM documents)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, f AS fp
+        |FROM fp GROUP BY f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(dir, "documents")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val sinkName = s"strm_dedup_${StreamParity.next()}"
+      val q = graft.streaming.StreamOps.streamingExactDedup(stream)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sinkName)
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
     },
 
     // --- §2.10 str accessor, wide coverage (reference base/string_.py:34;
