@@ -708,6 +708,35 @@ object OpsExtra {
         .orderBy($"doc_id")
     },
 
+    // --- §2.16 streaming count-min ≡ batch: the unbounded-firehose CMS
+    //     state (4×256 cells, md5-portable bucket arithmetic) built by a
+    //     real streaming aggregation and gated cell-by-cell against the
+    //     SQL replay — the ext_cms_counts cell CTE.
+    Q("op_stream_cms_parity",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |rows_ AS (SELECT unnest(range(4)) AS r),
+        |sk AS (SELECT r, CAST('0x' || substr(md5('cm' || r || '|' || w), 1, 15)
+        |                     AS BIGINT) % 256 AS bucket,
+        |              CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tok, rows_ GROUP BY 1, 2)
+        |SELECT CAST(r AS BIGINT) AS row, bucket, c
+        |FROM sk ORDER BY row, bucket""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(dir, "documents")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val tokens = stream.select(
+        explode(graft.functions.TextFunctions.words($"text")).as("w"))
+      val sinkName = s"strm_cms_${StreamParity.next()}"
+      val q = graft.streaming.StreamOps.streamingCountMin(tokens, "w")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sinkName)
+        .select($"row".cast("long").as("row"), $"bucket", $"c")
+        .orderBy($"row", $"bucket")
+    },
+
     // --- §2.10 str accessor, wide coverage (reference base/string_.py:34;
     //     the 8-method op_str_ops plus this cover the commonly-used surface,
     //     AccessorSpec covers the remainder on literal frames)
