@@ -24,6 +24,31 @@ object Ext {
       |             FROM d WHERE len(w) >= 3) t),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB fragment: the engine-portable MinHash banding over `sh` →
+    * bk(doc_id, band, bucket) — md5-60-bit hashes mod 2³¹−1, the
+    * interpolated (aᵢ, bᵢ) universal-hash fold, polynomial band buckets
+    * (the exact arithmetic of `Dedup.minhashBandsPortable` at 16×4). */
+  private def portableBkCte: String = {
+    val (as, bs) = graft.operators.Dedup.minhashCoefs(64, 42L)
+    val coefRows = (0 until 64).map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""hp AS (SELECT doc_id,
+       |    (CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) % 2147483647 AS hp
+       |  FROM sh),
+       |coef(i, a, b) AS (VALUES $coefRows),
+       |sig AS (SELECT doc_id, i, MIN((hp * a + b) % 2147483647) AS s
+       |  FROM hp CROSS JOIN coef GROUP BY doc_id, i),
+       |piv AS (SELECT doc_id, i // 4 AS band,
+       |    MAX(CASE WHEN i % 4 = 0 THEN s END) AS s0,
+       |    MAX(CASE WHEN i % 4 = 1 THEN s END) AS s1,
+       |    MAX(CASE WHEN i % 4 = 2 THEN s END) AS s2,
+       |    MAX(CASE WHEN i % 4 = 3 THEN s END) AS s3
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |bk AS (SELECT doc_id, band,
+       |    (((((((0 * 1000003 + s0) % 2147483647) * 1000003 + s1) % 2147483647)
+       |       * 1000003 + s2) % 2147483647) * 1000003 + s3) % 2147483647 AS bucket
+       |  FROM piv)""".stripMargin
+  }
+
   /** Twin corpus for the oracled ANN queries: embeddings unioned with an
     * id-shifted identical copy — every query's exact top-1 is its twin at
     * cosine 1.0, ground truth any engine can recompute. */
@@ -276,6 +301,33 @@ object Ext {
           .withColumn("cfg", lit("b4r2")).select("cfg", "truth_pairs",
             "cand_pairs", "tp", "fp", "fn", "prec", "rec"))
         .orderBy($"cfg")
+    },
+
+    // --- §2.16 streaming near-dup filter ≡ batch banding: the stateful
+    //     bucket-ownership filter (flatMapGroupsWithState) run over the
+    //     PORTABLE banding as a real streaming query; the per-doc verdict
+    //     (some band bucket already claimed by a smaller doc) replays as
+    //     the min-owner SQL over the identical bk chain.
+    Q("op_stream_neardup_parity",
+      s"""WITH $shinglesCte,
+         |$portableBkCte,
+         |own AS (SELECT band, bucket, MIN(doc_id) AS mn
+         |        FROM bk GROUP BY band, bucket)
+         |SELECT b.doc_id, bool_or(b.doc_id > o.mn) AS near_dup_candidate
+         |FROM bk b JOIN own o ON b.band = o.band AND b.bucket = o.bucket
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      val stageDir = OpsExtra.StreamParity.stage(dir, "documents")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val sinkName = s"strm_neardup_${OpsExtra.StreamParity.next()}"
+      val q = StreamOps.streamingNearDupCandidates(stream, portable = true)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      StreamOps.nearDupVerdicts(spark.table(sinkName))
+        .orderBy($"doc_id")
     },
 
     // --- incremental near-dup detection: a NEW batch (doc_id >= 400)

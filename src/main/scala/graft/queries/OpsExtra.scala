@@ -13,7 +13,7 @@ object OpsExtra {
 
   /** Unique memory-sink names for the streaming-parity queries (Verify
     * may build the same query more than once in one JVM). */
-  private object StreamParity {
+  private[queries] object StreamParity {
     private val c = new java.util.concurrent.atomic.AtomicLong(0L)
     def next(): Long = c.incrementAndGet()
 

@@ -137,16 +137,24 @@ object StreamOps {
     * aggregation in the same query would need a watermark; the per-bucket
     * rows are the complete signal). */
   def streamingNearDupCandidates(docs: DataFrame, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
-    graft.operators.Dedup
-      .minhashBands(docs, "text", "doc_id", n, bands, rowsPerBand, seed)
-      .select(col("doc_id"), col("band"), col("bucket"))
-      .as[(Long, Int, Int)]
+    // portable = the md5/polynomial banding (Dedup.minhashBandsPortable)
+    // whose collisions any engine replays — the oracled variant
+    // (op_stream_neardup_parity); murmur banding stays the hot default
+    val banded =
+      if (portable) graft.operators.Dedup
+        .minhashBandsPortable(docs, "text", "doc_id", n, bands, rowsPerBand, seed)
+      else graft.operators.Dedup
+        .minhashBands(docs, "text", "doc_id", n, bands, rowsPerBand, seed)
+    banded
+      .select(col("doc_id"), col("band"), col("bucket").cast("long").as("bucket"))
+      .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (Int, Int), rows: Iterator[(Long, Int, Int)], state: GroupState[Long]) =>
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Long]) =>
           // deterministic within-batch order: lowest doc_id claims first
           val ids = rows.map(_._1).toVector.distinct.sorted
           val owner = state.getOption
