@@ -737,6 +737,52 @@ object OpsExtra {
         .orderBy($"row", $"bucket")
     },
 
+    // --- §2.16 streaming session_window ≡ batch: gap-based sessions via
+    //     the NATIVE session_window aggregate as a streaming query.
+    //     session_window merges event windows [t, t+gap) on OVERLAP, so a
+    //     pair exactly `gap` apart SPLITS (half-open) — the oracle's
+    //     is_new uses >= where the lag-based batch op (op_events_session)
+    //     uses >; both semantics are pinned, each against its own rule.
+    Q("op_stream_session_parity",
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS s_start_us,
+        |       COUNT(*) AS n_events, min(event_id) AS first_event
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, s_start_us""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(dir, "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val raw = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val ev = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ =>
+          raw.withColumn("ts", $"ts".cast(org.apache.spark.sql.types.TimestampType))
+      }
+      val sinkName = s"strm_sess_${StreamParity.next()}"
+      val q = graft.streaming.StreamOps.sessionCounts(ev, "30 minutes", "0 seconds")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sinkName)
+        .select($"user_id", expr("unix_micros(s_start)").as("s_start_us"),
+          $"n_events", $"first_event")
+        .orderBy($"user_id", $"s_start_us")
+    },
+
     // --- §2.10 str accessor, wide coverage (reference base/string_.py:34;
     //     the 8-method op_str_ops plus this cover the commonly-used surface,
     //     AccessorSpec covers the remainder on literal frames)
