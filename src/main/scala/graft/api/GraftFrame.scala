@@ -694,6 +694,24 @@ final case class GraftFrame(df: DataFrame) {
     * Never a global single-task rank over the data. Exact rationals:
     * u is bit-identical on any engine, no rounding. Nulls pass through
     * with a null transform. */
+  /** Keep the lower triangle of a row-vector matrix frame (reference
+    * mt.tril, the tensor-base triangle family): vec[j] survives where
+    * j ≤ id + k, the rest zero. Pure per-row projection — no exchange. */
+  def trilMask(idCol: String, vecCol: String, k: Int = 0): GraftFrame =
+    GraftFrame(df.withColumn(vecCol, transform(df(vecCol), (x, j) =>
+      when(j <= df(idCol).cast("int") + k, x).otherwise(lit(0.0)))))
+
+  /** Upper-triangle counterpart (reference mt.triu): j ≥ id + k. */
+  def triuMask(idCol: String, vecCol: String, k: Int = 0): GraftFrame =
+    GraftFrame(df.withColumn(vecCol, transform(df(vecCol), (x, j) =>
+      when(j >= df(idCol).cast("int") + k, x).otherwise(lit(0.0)))))
+
+  /** Extract the main diagonal of a row-vector matrix frame (reference
+    * mt.diag of a 2-D input): out = vec[id]. */
+  def diagonal(idCol: String, vecCol: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out,
+      element_at(df(vecCol), df(idCol).cast("int") + 1)))
+
   /** Deterministic scalar mode per group (reference reduction surface's
     * mode; pandas Series.mode returns ALL modal values — the scalar form
     * here resolves ties to the SMALLEST value so the answer reproduces

@@ -162,6 +162,27 @@ final class GraftSession(val spark: SparkSession) {
       transform(sequence(lit(0), lit(n - 1)),
         j => when(j === col("id").cast("int"), 1.0).otherwise(0.0))))
 
+  /** Lower-triangle ones matrix (reference mt.tri, datasource/tri.py):
+    * n×m rows (id, vec) with vec[j] = 1 where j ≤ id + k. Same
+    * distributed row-vector layout as [[eye]]. */
+  def tri(n: Int, m: Int, k: Int = 0): GraftFrame =
+    GraftFrame(spark.range(0, n).toDF("id").withColumn("vec",
+      transform(sequence(lit(0), lit(m - 1)),
+        j => when(j <= col("id").cast("int") + k, 1.0).otherwise(0.0))))
+
+  /** Square matrix with `values` on the diagonal (reference mt.diag /
+    * mt.diagflat of a vector, datasource/diag.py, diagflat.py). The
+    * values ship as one broadcast literal — diag sizes are vector-sized,
+    * not corpus-sized. */
+  def diagMatrix(values: Seq[Double]): GraftFrame = {
+    val n = values.length
+    val v = typedlit(values)
+    GraftFrame(spark.range(0, n.toLong).toDF("id").withColumn("vec",
+      transform(sequence(lit(0), lit(n - 1)),
+        j => when(j === col("id").cast("int"),
+          element_at(v, col("id").cast("int") + 1)).otherwise(0.0))))
+  }
+
   /** 2-D coordinate grid in long form (reference mt.meshgrid,
     * tensor/base; and the mgrid/ogrid nd_grid of
     * tensor/lib/index_tricks.py:30): rows (i, j, xv, yv) with

@@ -389,6 +389,44 @@ object OpsExtra {
         .orderBy($"id", $"j")
     },
 
+    // --- §2.1/§2.14 triangle + diag family (reference mt.tri / tril /
+    //     triu / diag / diagflat, tensor/datasource/tri.py, diag.py):
+    //     row-sum and diagonal probes over the row-vector layout; all
+    //     cells are exact integer-valued doubles, sums are order-free.
+    Q("op_tensor_tri",
+      """SELECT CAST(i AS BIGINT) AS id,
+        |  list_sum(list_transform(range(0, 12),
+        |    j -> CASE WHEN j <= i THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END)) AS tri_sum,
+        |  list_sum(list_transform(range(0, 12),
+        |    j -> CASE WHEN j <= i THEN CAST(i * 12 + j AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END)) AS tril_sum,
+        |  list_sum(list_transform(range(0, 12),
+        |    j -> CASE WHEN j >= i THEN CAST(i * 12 + j AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END)) AS triu_sum,
+        |  CAST(i * 12 + i AS DOUBLE) AS diagv,
+        |  CAST(2.5 AS DOUBLE) * CAST(i AS DOUBLE) AS dmat_sum
+        |FROM (SELECT unnest(range(0, 12)) AS i)
+        |ORDER BY id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sess = graft.api.GraftSession(spark)
+      def rowSum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, x) => a + x)
+      val mat = spark.range(0, 12).toDF("id").withColumn("vec",
+        transform(sequence(lit(0), lit(11)), j => (col("id") * 12 + j).cast("double")))
+      val tri = sess.tri(12, 12).df.select($"id", rowSum($"vec").as("tri_sum"))
+      val tl = graft.api.GraftFrame(mat).trilMask("id", "vec").df
+        .select($"id", rowSum($"vec").as("tril_sum"))
+      val tu = graft.api.GraftFrame(mat).triuMask("id", "vec").df
+        .select($"id", rowSum($"vec").as("triu_sum"))
+      val dg = graft.api.GraftFrame(mat).diagonal("id", "vec", "diagv").df
+        .select($"id", $"diagv")
+      val dm = sess.diagMatrix((0 until 12).map(_ * 2.5)).df
+        .select($"id", rowSum($"vec").as("dmat_sum"))
+      tri.join(tl, "id").join(tu, "id").join(dg, "id").join(dm, "id")
+        .orderBy($"id")
+    },
+
     // --- §2.1 meshgrid / mgrid (reference mt.meshgrid + the nd_grid of
     //     tensor/lib/index_tricks.py): long-form (i, j, xv, yv) grid,
     //     numpy 'xy' indexing — affine coordinates are identical IEEE
