@@ -274,4 +274,45 @@ class PlanShapeSpec extends SparkSpecBase {
     // and fully expression-based: no UDF nodes anywhere in the plan
     assert(!blobs.queryExecution.executedPlan.toString.contains("BatchEvalPython"))
   }
+
+  test("quantileInterp: prefix-sum selection, no global data sort") {
+    val df = GraftFrame((1 to 2000).map(i => ((i * 37) % 1000).toDouble).toDF("x"))
+    val out = df.quantileInterp("x", 0.3).df
+    val plan = out.queryExecution.executedPlan.toString
+    // one value-count aggregate + one range partition of DISTINCT values
+    // + tiny pid/total aggregates; the broadcast subtrees repeat the
+    // shared lineage in the plan STRING (runtime reuses them), so the
+    // count is bounded loosely — the real pins are: no global limit, and
+    // every window runs over distinct-value/pid rows, never raw data
+    assert(shuffles(out) <= 12, plan.take(800))
+    assert(!plan.contains("GlobalLimit"), plan.take(400))
+    assert("Window".r.findAllIn(plan).size <= 4)
+  }
+
+  test("modeDet: two hash aggregates, no sort, no window") {
+    val df = GraftFrame((1 to 900).map(i => (s"g${i % 3}", (i % 7).toLong))
+      .toDF("g", "v"))
+    val out = df.modeDet(Seq("g"), "v").df
+    val plan = out.queryExecution.executedPlan.toString
+    assert(shuffles(out) <= 2, plan.take(800))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("portable MinHash banding is a zero-exchange projection until the candidate join") {
+    val docs = (1 to 50).map(i => (i.toLong, s"word$i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val banded = graft.operators.Dedup.minhashBandsPortable(docs, "text", "doc_id")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(shuffles(banded) == 0, plan.take(800))
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("dagostino: one grouped power-sum aggregate, scalar tail") {
+    val df = (1 to 600).map(i => (s"g${i % 3}", (i % 50).toLong)).toDF("g", "v")
+    val out = graft.learn.StatTests.dagostino(df, "v", "g")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(shuffles(out) == 1, plan.take(800))
+    assert(!plan.contains("Window"))
+  }
 }
