@@ -533,6 +533,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-Jaccard verification of an externally produced candidate pair
+    * list — the public back half of candidates-then-verify, for
+    * pipelines that generate candidates elsewhere (the portable-LSH
+    * pipeline whose candidate set the oracle replays, an incremental
+    * index probe, a cross-source blocking key). Same shape as the
+    * verification inside [[minhashDedupPairs]]: two narrow shingle
+    * joins + the guarded intersection. */
+  def verifyCandidatePairs(docs: DataFrame, cands: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shingled = fanOutScan(docs).select(col(idCol).as("doc_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs"))
+    verifyJaccard(cands
+        .join(shingled.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+        .join(shingled.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b")),
+        "shs_a", "shs_b", threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** LSH candidate-quality audit: ONE row — (truth_pairs, cand_pairs,
     * tp, fp, fn, prec, rec) comparing the portable-LSH candidate set
     * against the exact-Jaccard ground truth at `threshold`. This is the

@@ -1955,6 +1955,59 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- curation pipeline v6, session-4 composition: PORTABLE-LSH
+    //     candidates → exact-Jaccard verification → star-contraction
+    //     connected components → quality-aware best-member keep (longest
+    //     text, ties → smallest id). Every stage replays in SQL: the
+    //     banding chain, the candidate∩verified intersection, the
+    //     recursive-CTE min-label (≡ star output), and the integer-argmax
+    //     keep rule (len·100000 + (99999 − id); doc_id < 100000, len
+    //     < ~10⁴ in the fixture → no overflow, ties exact).
+    Q("ext_curation6",
+      s"""WITH RECURSIVE $shinglesCte,
+         |$portableBkCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pe AS (SELECT doc_a, doc_b FROM jp
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+         |vp AS (SELECT doc_a, doc_b FROM pe JOIN cand USING (doc_a, doc_b)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp
+         |          UNION SELECT doc_b, doc_a FROM vp),
+         |cc AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON e.a = cc.node),
+         |cl AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+         |sc AS (SELECT cl.cluster, cl.doc_id, length(d.text) AS len
+         |       FROM cl JOIN documents d USING (doc_id))
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS members,
+         |  CAST(99999 - (MAX(len * 100000 + (99999 - doc_id)) % 100000) AS BIGINT)
+         |    AS keep_doc
+         |FROM sc GROUP BY cluster ORDER BY cluster""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.{Components, Dedup}
+      val docs = t(spark, dir, "documents")
+      val cands = Dedup.minhashCandidatesPortable(docs, "text", "doc_id")
+      val pairs = Dedup.verifyCandidatePairs(docs, cands, "text", "doc_id",
+        n = 3, threshold = 0.8)
+      val members = Components.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .select($"node".as("doc_id"), $"cluster")
+      docs.select($"doc_id", length($"text").cast("long").as("len"))
+        .join(members, Seq("doc_id"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("members"),
+          (lit(99999L) - pmod(max($"len" * 100000L + (lit(99999L) - $"doc_id")),
+            lit(100000L))).as("keep_doc"))
+        .orderBy($"cluster")
+    },
+
     // --- URL canonicalization + dedup (the CCNet/RefinedWeb first pass):
     //     five crawl variants of each page — host case, https, tracking
     //     params (a run of two), fragment, and a REAL query param that
