@@ -678,22 +678,6 @@ final case class GraftFrame(df: DataFrame) {
       .drop("__ri"))
   }
 
-  /** sklearn QuantileTransformer / rank-based quantile normalization
-    * (reference mars/learn/preprocessing neighborhood; the standard
-    * feature-pipeline step): each value maps to its exact global midrank
-    * u = (#smaller + #equal/2) / n ∈ (0, 1), optionally pushed through
-    * the logistic inverse CDF (`ln(u/(1-u))`). The normal target needs
-    * Φ⁻¹, which neither engine exposes — logistic is the closed-form
-    * heavy-tail alternative.
-    *
-    * Scale shape: distinct values aggregate first (the only data-sized
-    * shuffle), then the checkMonotonic bucketing — range-partition the
-    * distinct values, per-bucket cumulative counts under a bucket-local
-    * window, stitch with per-bucket offsets (≤ shuffle.partitions rows
-    * through a tiny global window) — and one value-keyed join back.
-    * Never a global single-task rank over the data. Exact rationals:
-    * u is bit-identical on any engine, no rounding. Nulls pass through
-    * with a null transform. */
   /** Keep the lower triangle of a row-vector matrix frame (reference
     * mt.tril, the tensor-base triangle family): vec[j] survives where
     * j ≤ id + k, the rest zero. Pure per-row projection — no exchange. */
@@ -764,6 +748,22 @@ final case class GraftFrame(df: DataFrame) {
     GraftFrame(res)
   }
 
+  /** sklearn QuantileTransformer / rank-based quantile normalization
+    * (reference mars/learn/preprocessing neighborhood; the standard
+    * feature-pipeline step): each value maps to its exact global midrank
+    * u = (#smaller + #equal/2) / n ∈ (0, 1), optionally pushed through
+    * the logistic inverse CDF (`ln(u/(1-u))`). The normal target needs
+    * Φ⁻¹, which neither engine exposes — logistic is the closed-form
+    * heavy-tail alternative.
+    *
+    * Scale shape: distinct values aggregate first (the only data-sized
+    * shuffle), then the checkMonotonic bucketing — range-partition the
+    * distinct values, per-bucket cumulative counts under a bucket-local
+    * window, stitch with per-bucket offsets (≤ shuffle.partitions rows
+    * through a tiny global window) — and one value-keyed join back.
+    * Never a global single-task rank over the data. Exact rationals:
+    * u is bit-identical on any engine, no rounding. Nulls pass through
+    * with a null transform. */
   def quantileTransform(valueCol: String, out: String,
       distribution: String = "uniform"): GraftFrame = {
     require(Set("uniform", "logistic")(distribution),

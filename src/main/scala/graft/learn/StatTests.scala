@@ -659,10 +659,13 @@ object StatTests {
       .withColumn("g1", col("m3") / (col("m2") * sqrt(col("m2"))))
       .withColumn("b2", col("m4") / (col("m2") * col("m2")))
     val nd = col("nd")
-    // --- skewtest (D'Agostino 1970, the exact scipy op sequence)
+    // --- skewtest (D'Agostino 1970, the exact scipy op sequence —
+    //     including scipy's y == 0 → 1 substitution, so an exactly
+    //     symmetric sample gets Z = δ·asinh(1/α), not 0)
     val sk = g
       .withColumn("y", col("g1") *
         sqrt((nd + lit(1.0)) * (nd + lit(3.0)) / (lit(6.0) * (nd - lit(2.0)))))
+      .withColumn("y", when(col("y") === 0.0, lit(1.0)).otherwise(col("y")))
       .withColumn("beta2",
         lit(3.0) * (nd * nd + lit(27.0) * nd - lit(70.0)) *
           (nd + lit(1.0)) * (nd + lit(3.0)) /
@@ -691,8 +694,9 @@ object StatTests {
       .withColumn("denom", lit(1.0) +
         col("xt") * sqrt(lit(2.0) / (col("aa") - lit(4.0))))
       .withColumn("term2",
-        when(col("denom") < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
-          pow((lit(1.0) - lit(2.0) / col("aa")) / abs(col("denom")), lit(1.0 / 3.0)))
+        when(col("denom") === 0.0, lit(Double.NaN)).otherwise(
+          when(col("denom") < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+            pow((lit(1.0) - lit(2.0) / col("aa")) / abs(col("denom")), lit(1.0 / 3.0))))
       .withColumn("z2", (col("term1") - col("term2")) /
         sqrt(lit(2.0) / (lit(9.0) * col("aa"))))
     kt.withColumn("k2", col("z1") * col("z1") + col("z2") * col("z2"))

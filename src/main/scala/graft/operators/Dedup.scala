@@ -307,11 +307,10 @@ object Dedup {
     * form (one `array_min(transform(...))` per hash function) whose
     * numHashes× re-hash of every shingle dominated the r1 benchmark. */
   def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val p = 2147483647L // 2^31 - 1
-    val aCoefs = typedlit((0 until numHashes).map(i =>
-      1L + 2L * Math.floorMod(mix64(seed + 2L * i), 1000000000L)))
-    val bCoefs = typedlit((0 until numHashes).map(i =>
-      Math.floorMod(mix64(seed + 2L * i + 1), 1000000000L)))
+    val p = lshP // 2^31 - 1
+    val (as, bs) = minhashCoefs(numHashes, seed) // shared with the portable family
+    val aCoefs = typedlit(as)
+    val bCoefs = typedlit(bs)
     // Hash every shingle once; h < p and a < 2e9+1 so h*a+b < 2^63 (no
     // overflow under ANSI arithmetic).
     val shingleHashes = transform(shingleArr, s => pmod(hash(s).cast("long"), lit(p)))
@@ -567,7 +566,13 @@ object Dedup {
   def lshAudit(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8, bands: Int = 16,
       rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val truth = ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+    // ground truth runs UNCAPPED (maxShingleDf = None): the audit's truth
+    // universe must match the uncapped candidate set (and the oracle's
+    // uncapped jp/pe replay) — a df-capped truth would silently shift
+    // jaccard values on stop-phrase corpora. The quadratic stop-phrase
+    // risk is the caller's to manage by auditing a sample (doc above).
+    val truth = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
+        maxShingleDf = None)
       .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1))
     val cands = minhashCandidatesPortable(docs, textCol, idCol, n, bands,
       rowsPerBand, seed).withColumn("c", lit(1))

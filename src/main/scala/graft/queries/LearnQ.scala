@@ -1604,10 +1604,11 @@ object LearnQ {
         |      - 3.0 * mean * mean * mean * mean AS m4 FROM m1),
         |gb AS (SELECT *, m3 / (m2 * sqrt(m2)) AS g1, m4 / (m2 * m2) AS b2 FROM ms),
         |sk1 AS (SELECT *,
-        |    g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+        |    g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y0,
         |    3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0) /
         |      ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)) AS beta2 FROM gb),
-        |sk2 AS (SELECT *, -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2 FROM sk1),
+        |sk2 AS (SELECT *, CASE WHEN y0 = 0.0 THEN CAST(1.0 AS DOUBLE) ELSE y0 END AS y,
+        |    -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2 FROM sk1),
         |sk3 AS (SELECT *, 1.0 / sqrt(0.5 * ln(w2)) AS delta,
         |    sqrt(2.0 / (w2 - 1.0)) AS alpha FROM sk2),
         |sk4 AS (SELECT *,
@@ -1623,8 +1624,9 @@ object LearnQ {
         |  FROM kt1),
         |kt3 AS (SELECT *, 1.0 - 2.0 / (9.0 * aa) AS term1,
         |    1.0 + xt * sqrt(2.0 / (aa - 4.0)) AS denom FROM kt2),
-        |kt4 AS (SELECT *, (CASE WHEN denom < 0.0 THEN -1.0 ELSE 1.0 END) *
-        |    pow((1.0 - 2.0 / aa) / abs(denom), CAST('${1.0 / 3.0}' AS DOUBLE)) AS term2
+        |kt4 AS (SELECT *, CASE WHEN denom = 0.0 THEN CAST('nan' AS DOUBLE)
+        |    ELSE (CASE WHEN denom < 0.0 THEN -1.0 ELSE 1.0 END) *
+        |      pow((1.0 - 2.0 / aa) / abs(denom), CAST('${1.0 / 3.0}' AS DOUBLE)) END AS term2
         |  FROM kt3),
         |kt5 AS (SELECT *, (term1 - term2) / sqrt(2.0 / (9.0 * aa)) AS z2 FROM kt4),
         |fin AS (SELECT *, z1 * z1 + z2 * z2 AS k2 FROM kt5)

@@ -318,14 +318,22 @@ class StatTestsSpec extends SparkSpecBase {
 
   test("dagostino: symmetry, platykurtic sign, the K² identity, shift invariance") {
     // a perfectly symmetric sample has m3 = 0 EXACTLY (integer sums) →
-    // z_skew = 0 and the two-sided p_skew = 1
+    // y = 0, and scipy's y == 0 → 1 substitution kicks in:
+    // Z = δ·ln(1/α + √(1/α² + 1)), NOT 0 (scipy.stats.skewtest source)
     val sym = ((1 to 60) ++ (1 to 60).map(v => 122 - v))
       .map(v => ("g", v.toLong)).toDF("grp", "v")
     val rs = StatTests.dagostino(sym, "v", "grp").collect().head
-    assert(rs.getAs[Double]("z_skew") == 0.0)
-    // p(z = 0) carries the A&S 7.1.26 constant-term defect: 0.999999999,
-    // not 1 exactly (the same value the SQL mirror computes)
-    assert(approx(rs.getAs[Double]("p_skew"), 1.0, 2e-9))
+    val nD = 120.0
+    val b2t = 3.0 * (nD * nD + 27.0 * nD - 70.0) * (nD + 1.0) * (nD + 3.0) /
+      ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
+    val w2t = -1.0 + math.sqrt(2.0 * (b2t - 1.0))
+    val deltaT = 1.0 / math.sqrt(0.5 * math.log(w2t))
+    val alphaT = math.sqrt(2.0 / (w2t - 1.0))
+    val zExp = deltaT * math.log(1.0 / alphaT +
+      math.sqrt(1.0 / alphaT * (1.0 / alphaT) + 1.0))
+    assert(approx(rs.getAs[Double]("z_skew"), zExp, 1e-9))
+    val pSym = rs.getAs[Double]("p_skew")
+    assert(pSym > 0.0 && pSym < 1.0)
     // uniform integers are platykurtic: b2 ≈ 1.8 < 3 → z_kurt < 0; and
     // the omnibus identity K² = z_skew² + z_kurt², p_k2 = exp(−K²/2)
     val uni = (1 to 200).map(v => ("g", (v % 50).toLong)).toDF("grp", "v")
