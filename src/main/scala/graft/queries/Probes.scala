@@ -296,5 +296,32 @@ object Probes {
       chained.select(col("o_orderkey"),
           (round(col("s"), 6) + lit(0.0)).as("s"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // --- named-column VALUES CTE — the one construct NEW in r8s4's
+    //     oracles (the interpolated minhash coefficient table in
+    //     ext_lsh_recall / ext_curation6 / op_stream_neardup_parity:
+    //     `coef(i, a, b) AS (VALUES ...)` cross-joined and aggregated).
+    //     Isolated here over a literal 8-row table so a driver-build
+    //     divergence names the construct, not three whole pipelines.
+    Q("probe_values_cte", {
+      val rows = (0 until 8)
+        .map(i => s"($i, ${1000L + 17L * i}, ${3L + 7L * i})").mkString(", ")
+      s"""WITH coef(i, a, b) AS (VALUES $rows),
+         |k AS (SELECT unnest(range(5)) AS k)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(SUM((k * a + b) % 101) AS BIGINT) AS v,
+         |  CAST(MIN(a * b) AS BIGINT) AS ab_min
+         |FROM k CROSS JOIN coef GROUP BY k ORDER BY k""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val coef = (0 until 8).map(i => (i.toLong, 1000L + 17L * i, 3L + 7L * i))
+        .toDF("i", "a", "b")
+      spark.range(0, 5).toDF("k")
+        .crossJoin(coef)
+        .groupBy($"k")
+        .agg(sum(pmod($"k" * $"a" + $"b", lit(101L))).as("v"),
+          min($"a" * $"b").as("ab_min"))
+        .orderBy($"k")
     })
 }
