@@ -51,6 +51,38 @@ object Windows {
   def expanding(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+  /** Windowed Pearson correlation + sample covariance from EXACT integer
+    * window sums (pandas expanding()/rolling().corr()/cov(); reference
+    * window/expanding, window/rolling): native streamed-moment
+    * corr/var_samp windows drift ~1e-4 across engines at money
+    * magnitudes, so both statistics derive from (n, Σx, Σy, Σx², Σy²,
+    * Σxy) accumulated in DECIMAL(38) — order-free and exact — with ONE
+    * cast to double per factor at the end:
+    *   cov = (nΣxy − ΣxΣy) / (n(n−1)),
+    *   corr = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ᵗᵒᵗ)(nΣy²−Σy²ᵗᵒᵗ)).
+    * `x`/`y` must be integral (quantize money to cents first); null
+    * where the frame has n ≤ 1 (cov) or a zero-variance side (corr) —
+    * pandas semantics. */
+  def corrCovExact(x: Column, y: Column, w: WindowSpec): (Column, Column) = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xd = x.cast(d38)
+    val yd = y.cast(d38)
+    val n = count(lit(1)).over(w)
+    val nd = n.cast(d38)
+    val sx = sum(xd).over(w)
+    val sy = sum(yd).over(w)
+    val sxx = sum((xd * xd).cast(d38)).over(w)
+    val syy = sum((yd * yd).cast(d38)).over(w)
+    val sxy = sum((xd * yd).cast(d38)).over(w)
+    val num = (nd * sxy - sx * sy).cast(DoubleType)
+    val f1 = (nd * sxx - sx * sx).cast(DoubleType)
+    val f2 = (nd * syy - sy * sy).cast(DoubleType)
+    val corrC = when(f1 > 0.0 && f2 > 0.0, num / sqrt(f1 * f2))
+    val covC = when(n > 1,
+      num / (n.cast(DoubleType) * (n.cast(DoubleType) - lit(1.0))))
+    (corrC, covC)
+  }
+
   /** Time-offset rolling window: `rangeBetween` over epoch MICROseconds of
     * `tsCol` — pandas rolling('3d') equivalent. Microsecond resolution
     * matters: ranging over whole seconds (the r2 form) silently

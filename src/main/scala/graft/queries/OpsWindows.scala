@@ -489,6 +489,57 @@ object OpsWindows {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     },
 
+    // --- §2.7 expanding corr/cov (pandas expanding().corr()/cov()): the
+    //     exact-integer-sums formulation — native streamed-moment corr
+    //     windows drift across engines at money magnitudes (the
+    //     op_expanding_stats lesson), so both sides build
+    //     (n, Σx, Σy, Σx², Σy², Σxy) exactly (Spark DECIMAL(38), DuckDB
+    //     HUGEINT — identical integers) and cast each factor to double
+    //     ONCE. y is extendedprice in exact cents.
+    Q("op_expanding_corr",
+      """WITH b AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem WHERE l_suppkey < 10),
+        |s AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER w AS syy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER w AS sxy
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS f1,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS f2 FROM s)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  round(CASE WHEN f1 > 0.0 AND f2 > 0.0 THEN num / sqrt(f1 * f2) END, 6)
+        |    + CAST(0.0 AS DOUBLE) AS exp_corr,
+        |  round(CASE WHEN n > 1
+        |        THEN num / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END, 6)
+        |    + CAST(0.0 AS DOUBLE) AS exp_cov
+        |FROM f
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) {
+      (spark, dir) =>
+      import spark.implicits._
+      val part = Seq("l_suppkey")
+      val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val w = Windows.expanding(Windows.spec(part, ord))
+      val (c, v) = Windows.corrCovExact(
+        $"l_quantity".cast("long"),
+        (dec12($"l_extendedprice") * 100).cast("long"), w)
+      t(spark, dir, "lineitem").filter($"l_suppkey" < 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"l_quantity",
+          (round(c, 6) + lit(0.0)).as("exp_corr"),
+          (round(v, 6) + lit(0.0)).as("exp_cov"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"l_quantity")
+    },
+
     // --- §2.7 weighted rolling mean (pandas win_type='triang'): a sum of
     //     lags with exact small-integer weights — bit-exact, null until the
     //     trailing window is full on both sides
