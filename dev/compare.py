@@ -67,11 +67,11 @@ def main():
             # this replica would pass — but the driver's fetch path does
             # NOT (r7's 5 hash-reds were exactly the 5 oracles with a
             # HUGEINT column). Fail loudly here so it can't recur.
-            # probe_hugeint_sum keeps the construct deliberately (it is
-            # the control probe for the driver-side diagnosis).
+            # (The r8 control probe probe_hugeint_sum that kept the
+            # construct deliberately was retired in r9 — no exceptions.)
             wide = [c for c, t in zip(oq.columns, oq.types)
                     if "HUGEINT" in str(t).upper()]
-            if wide and name != "probe_hugeint_sum":
+            if wide:
                 n_fail += 1
                 print(f"  [TYPE-LINT] {name}: HUGEINT oracle columns {wide} "
                       f"— CAST(... AS BIGINT) in the oracle SQL")

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   * ships a `sql*` mirror emitting the identical Horner/AGM shape as
   * DuckDB SQL. Fresnel C/S, Dawson F and erfi (err_fresnel.py) branch
   * series/asymptotic at |x| = 4; Airy Ai/Ai′/Bi/Bi′ (airy.py) are
-  * series-windowed to |x| ≤ 6. Out of parity scope (SURVEY §2.14):
-  * wofz/modfresnel and the hypergeometric family — scipy-grade accuracy
-  * there needs the Cephes coefficient tables, not a fixed-degree
-  * composition.
+  * series-windowed to |x| ≤ 6; hyp1f1/hyp2f1 are series-windowed to
+  * their convergent domains (|x| bounded away from 1 for 2F1) with
+  * staged SQL mirrors, gated via op_special_hyp. Out of parity scope
+  * (SURVEY §2.14): wofz/modfresnel and the full-plane analytic
+  * continuations of the hypergeometric family — scipy-grade accuracy
+  * there needs the Cephes coefficient tables and connection formulas,
+  * not a fixed-degree composition.
   */
 object Special {
 

@@ -799,7 +799,19 @@ object Learn {
     val models = groupedOls(
       train.withColumn("__blk",
         graft.functions.PortableHash.bucket(col(idCol), nBlocks)),
-      "__blk", xCol, yCol)
+      "__blk", xCol, yCol).cache()
+    // Fail loudly if any hash block got no training rows (missing model
+    // row) or zero x-variance (null slope from the closed form): the
+    // mean below divides by nBlocks and the vote compares against
+    // nBlocks, so a silently absent/NaN block would bias every test row.
+    val nFit = models
+      .filter(col("slope").isNotNull && !isnan(col("slope")) &&
+        col("intercept").isNotNull && !isnan(col("intercept")))
+      .count()
+    require(nFit == nBlocks,
+      s"blockwiseOls: only $nFit of $nBlocks hash blocks produced a usable " +
+        "model (empty or zero-x-variance block) — reduce nBlocks or check " +
+        "the block key distribution")
     val pred = col("intercept") + col("slope") * col(xCol).cast("double")
     val joined = test.select(col(idCol), col(xCol))
       .crossJoin(broadcast(models))

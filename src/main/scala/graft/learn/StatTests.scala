@@ -642,7 +642,17 @@ object StatTests {
     val g = df.groupBy(df(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
         sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
-      .withColumn("nd", col("n").cast(DoubleType))
+      // fail loudly below the hard validity floor (scipy skewtest raises
+      // for n < 8; below it the beta2/aa terms go negative and every Z
+      // would silently be NaN). Guard lives INSIDE nd so Catalyst cannot
+      // prune it; n in [8, 20) still computes, per the scaladoc warning.
+      .withColumn("nd",
+        when(col("n") < 8, raise_error(concat(
+          lit("dagostino: group "), col("grp").cast(StringType),
+          lit(" has n = "), col("n").cast(StringType),
+          lit(" < 8 — Z approximations undefined (scipy raises); " +
+            "filter small groups first"))))
+          .otherwise(col("n").cast(DoubleType)))
       .withColumn("s1d", col("s1").cast(DoubleType))
       .withColumn("s2d", col("s2").cast(DoubleType))
       .withColumn("s3d", col("s3").cast(DoubleType))

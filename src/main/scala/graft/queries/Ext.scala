@@ -318,14 +318,18 @@ object Ext {
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       import graft.streaming.StreamOps
-      val stageDir = OpsExtra.StreamParity.stage(dir, "documents")
+      val stageDir = OpsExtra.StreamParity.stage(spark, dir, "documents", "doc_id")
       val rawSchema = spark.read.parquet(stageDir.toString).schema
-      val stream = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
       val sinkName = s"strm_neardup_${OpsExtra.StreamParity.next()}"
       val q = StreamOps.streamingNearDupCandidates(stream, portable = true)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        OpsExtra.StreamParity.assertMultiBatch(q)
+      } finally q.stop()
       StreamOps.nearDupVerdicts(spark.table(sinkName))
         .orderBy($"doc_id")
     },

@@ -13,23 +13,86 @@ object OpsExtra {
 
   /** Unique memory-sink names for the streaming-parity queries (Verify
     * may build the same query more than once in one JVM). */
-  private[queries] object StreamParity {
+  private[graft] object StreamParity {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.charset.StandardCharsets.UTF_8
+
     private val c = new java.util.concurrent.atomic.AtomicLong(0L)
     def next(): Long = c.incrementAndGet()
 
+    /** Micro-batches every parity query must observe (one per staged
+      * range file — see [[stage]]). */
+    val Parts = 3
+
     /** The file stream source lists a DIRECTORY — stage the (read-only)
-      * fixture file into one under target/, keyed by SF dir + table. */
-    def stage(dir: String, table: String): java.nio.file.Path = {
-      val srcPath = java.nio.file.Paths.get(s"$dir/$table.parquet")
-      val stageDir = java.nio.file.Paths.get("/root/repo/target/stream_src",
+      * fixture file into one under target/, keyed by SF dir + table.
+      *
+      * r9: the fixture is split into [[Parts]] RANGE files on `orderCol`
+      * (ascending across both file names and mtimes), so a
+      * `maxFilesPerTrigger=1` stream replays it as [[Parts]] deterministic
+      * micro-batches in key order — keyed state (first-seen dedup, bucket
+      * ownership) now crosses real batch boundaries instead of the r8
+      * one-file-one-batch shape, while the first-seen = min-key rules stay
+      * oracle-able (earlier batches hold strictly smaller keys, and
+      * event-time batches arrive in ts order so a 0-second watermark never
+      * drops a row). Restages whenever the source file's size OR mtime
+      * changes (r8 compared size only — a regenerated same-size fixture
+      * would have served stale data, ADVICE r8). */
+    def stage(spark: org.apache.spark.sql.SparkSession, dir: String,
+        table: String, orderCol: String): Path = {
+      val srcPath = Paths.get(s"$dir/$table.parquet")
+      val stageDir = Paths.get("/root/repo/target/stream_src",
         srcPath.getParent.getFileName.toString, table)
-      java.nio.file.Files.createDirectories(stageDir)
-      val staged = stageDir.resolve(s"$table.parquet")
-      if (!java.nio.file.Files.exists(staged) ||
-          java.nio.file.Files.size(staged) != java.nio.file.Files.size(srcPath))
-        java.nio.file.Files.copy(srcPath, staged,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val marker = stageDir.resolve("_staged.marker")
+      val stamp = s"${Files.size(srcPath)}:" +
+        s"${Files.getLastModifiedTime(srcPath).toMillis}:$Parts:$orderCol:v2"
+      if (Files.exists(marker) &&
+          new String(Files.readAllBytes(marker), UTF_8) == stamp)
+        return stageDir
+      this.synchronized {
+        val tmp = stageDir.resolveSibling(s"$table.__tmp")
+        def wipe(p: Path): Unit = if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).iterator().asScala.toVector.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+        wipe(stageDir); wipe(tmp)
+        // events.ts can be TIMESTAMP(NANOS) parquet — read as int64 nanos
+        // (still range-orderable); the parity queries re-normalize from the
+        // staged schema exactly as Tables.load does.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(srcPath.toString)
+          .repartitionByRange(Parts, org.apache.spark.sql.functions.col(orderCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val partFiles = Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toVector.sortBy(_.getFileName.toString)
+        require(partFiles.size == Parts,
+          s"staging $table: expected $Parts range files, got ${partFiles.size}")
+        Files.createDirectories(stageDir)
+        val base = Files.getLastModifiedTime(srcPath).toMillis
+        partFiles.zipWithIndex.foreach { case (p, i) =>
+          val dest = stageDir.resolve(f"$i%03d.parquet")
+          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+          // strictly ascending mtimes: the file source orders by timestamp,
+          // so batch order == range order, deterministically
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        }
+        wipe(tmp)
+        Files.write(marker, stamp.getBytes(UTF_8))
+      }
       stageDir
+    }
+
+    /** Assert the parity query actually ran as multiple micro-batches
+      * (one per staged file; an extra empty trigger at the end is fine). */
+    def assertMultiBatch(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val nb = q.recentProgress.count(_.numInputRows > 0)
+      require(nb >= Parts,
+        s"streaming parity expected >= $Parts non-empty micro-batches " +
+          s"(maxFilesPerTrigger=1 over the staged range files), got $nb")
     }
   }
 
@@ -694,11 +757,12 @@ object OpsExtra {
         |FROM events GROUP BY event_type, w_start
         |ORDER BY event_type, w_start""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val stageDir = StreamParity.stage(dir, "events")
+      val stageDir = StreamParity.stage(spark, dir, "events", "ts")
       // replicate Tables.load's ts normalization on the stream side
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = spark.read.parquet(stageDir.toString).schema
-      val raw = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val raw = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
       val ev = rawSchema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -712,7 +776,10 @@ object OpsExtra {
         .agg(count(lit(1)).as("n"), sumD(dec12($"value")).as("total"))
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
       spark.table(sinkName)
         .select($"event_type",
           expr("unix_micros(window.start) DIV 1000000").as("w_start"),
@@ -733,14 +800,18 @@ object OpsExtra {
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, f AS fp
         |FROM fp GROUP BY f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val stageDir = StreamParity.stage(dir, "documents")
+      val stageDir = StreamParity.stage(spark, dir, "documents", "doc_id")
       val rawSchema = spark.read.parquet(stageDir.toString).schema
-      val stream = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
       val sinkName = s"strm_dedup_${StreamParity.next()}"
       val q = graft.streaming.StreamOps.streamingExactDedup(stream)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
       spark.table(sinkName)
         .select($"doc_id", $"fp")
         .orderBy($"doc_id")
@@ -760,16 +831,20 @@ object OpsExtra {
         |SELECT CAST(r AS BIGINT) AS row, bucket, c
         |FROM sk ORDER BY row, bucket""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val stageDir = StreamParity.stage(dir, "documents")
+      val stageDir = StreamParity.stage(spark, dir, "documents", "doc_id")
       val rawSchema = spark.read.parquet(stageDir.toString).schema
-      val stream = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
       val tokens = stream.select(
         explode(graft.functions.TextFunctions.words($"text")).as("w"))
       val sinkName = s"strm_cms_${StreamParity.next()}"
       val q = graft.streaming.StreamOps.streamingCountMin(tokens, "w")
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
       spark.table(sinkName)
         .select($"row".cast("long").as("row"), $"bucket", $"c")
         .orderBy($"row", $"bucket")
@@ -799,10 +874,11 @@ object OpsExtra {
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, s_start_us""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val stageDir = StreamParity.stage(dir, "events")
+      val stageDir = StreamParity.stage(spark, dir, "events", "ts")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = spark.read.parquet(stageDir.toString).schema
-      val raw = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val raw = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
       val ev = rawSchema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -814,7 +890,10 @@ object OpsExtra {
       val q = graft.streaming.StreamOps.sessionCounts(ev, "30 minutes", "0 seconds")
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
       spark.table(sinkName)
         .select($"user_id", expr("unix_micros(s_start)").as("s_start_us"),
           $"n_events", $"first_event")

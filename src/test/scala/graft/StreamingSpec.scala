@@ -337,4 +337,54 @@ class StreamingSpec extends SparkSpecBase {
         "late older batch regressed the last-seen high-water mark")
     } finally q.stop()
   }
+
+  test("StreamParity.stage splits into ordered range files and restages on mtime change") {
+    import java.nio.file.{Files, Paths}
+    val parity = graft.queries.OpsExtra.StreamParity
+    // synthesize a single-file "fixture" table under a unique dir name
+    val fixDir = Files.createTempDirectory("stage_fix")
+    val tmpOut = fixDir.resolve("w")
+    (0L until 30L).toDF("doc_id").coalesce(1)
+      .write.parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).iterator()
+    val src = fixDir.resolve("documents.parquet")
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.startsWith("part-")) {
+        Files.move(p, src); moved = true
+      }
+    }
+    assert(moved)
+
+    val staged = parity.stage(spark, fixDir.toString, "documents", "doc_id")
+    val files = Files.list(staged).iterator()
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    while (files.hasNext) names += files.next().getFileName.toString
+    assert(names.count(_.endsWith(".parquet")) == parity.Parts)
+    // range order: each file's doc_ids sit strictly below the next file's
+    val maxes = (0 until parity.Parts).map { i =>
+      spark.read.parquet(staged.resolve(f"$i%03d.parquet").toString)
+        .agg(min("doc_id"), max("doc_id")).as[(Long, Long)].head()
+    }
+    maxes.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"range files out of order: $maxes")
+    }
+    // mtimes strictly ascending (the file source orders batches by them)
+    val mts = (0 until parity.Parts).map(i =>
+      Files.getLastModifiedTime(staged.resolve(f"$i%03d.parquet")).toMillis)
+    assert(mts == mts.sorted && mts.distinct.size == mts.size)
+
+    // same size, new mtime → must restage (r8 compared size only)
+    Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(src).toMillis + 12345L))
+    val restaged = parity.stage(spark, fixDir.toString, "documents", "doc_id")
+    assert(restaged == staged)
+    // the marker must now record the NEW source mtime (i.e. a restage ran)
+    val stamp = new String(Files.readAllBytes(staged.resolve("_staged.marker")))
+    assert(stamp.startsWith(s"${Files.size(src)}:" +
+      s"${Files.getLastModifiedTime(src).toMillis}:"),
+      "stage did not refresh after a same-size mtime change")
+  }
 }
