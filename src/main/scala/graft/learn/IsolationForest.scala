@@ -123,7 +123,10 @@ object IsolationForest {
     val scoreUdf = udf { (fv: Seq[Double]) =>
       val a = fv.toArray
       val mean = trees.map(t => pathLength(t, a, 0)).sum / trees.length
-      math.pow(2.0, -mean / cNorm)
+      // StrictMath, not math: Catalyst's pow Column codegen calls
+      // StrictMath.pow, and the two differ in the last ulp — this keeps
+      // the UDF bit-identical to the pathMeanCol replay (LearnSpec)
+      java.lang.StrictMath.pow(2.0, -mean / cNorm)
     }
     // null features short-circuit to a null score BEFORE the UDF — a null
     // element inside the array would otherwise NPE opaquely at unboxing
@@ -131,6 +134,61 @@ object IsolationForest {
     df.withColumn(out, when(anyNull, lit(null).cast("double")).otherwise(
       scoreUdf(array(model.features.map(c => col(c).cast("double")): _*))))
   }
+
+  // ---------------------------------------------------------------------
+  // Pinned-forest replay (r9): tree GROWTH is data-dependent and can never
+  // be interpolated into registry-construction-time oracle SQL (CLAUDE.md
+  // rule), but SCORING a *pinned literal* forest is deterministic
+  // arithmetic both engines replay op-for-op — the same literal-embedding
+  // trick as the broadcast bloom filter. The pinned forest lives in
+  // [[PinnedForest]] (generated once by [[PinnedForestGen]], committed as
+  // source); every leaf's path length depth + c(size) is a compile-time
+  // double literal, the per-tree traversal is a nested CASE, and the mean
+  // folds the trees left-to-right in tree order, so path_mean is
+  // BIT-IDENTICAL on any IEEE engine (gate it unrounded; only the final
+  // 2^(−mean/c) score goes through libm pow → round 4).
+  // ---------------------------------------------------------------------
+
+  /** Path length depth + c(leafSize) — a constant once the tree is pinned. */
+  private def pathConst(depth: Int, size: Int): Double =
+    depth + avgPath(size.toDouble)
+
+  private def treeCol(node: Node, feats: Seq[org.apache.spark.sql.Column],
+      depth: Int): org.apache.spark.sql.Column = node match {
+    case Leaf(n) => lit(pathConst(depth, n))
+    case Split(f, thr, l, r) =>
+      when(feats(f) < lit(thr), treeCol(l, feats, depth + 1))
+        .otherwise(treeCol(r, feats, depth + 1))
+  }
+
+  private def treeSql(node: Node, feats: Seq[String], depth: Int): String =
+    node match {
+      case Leaf(n) => s"CAST('${pathConst(depth, n)}' AS DOUBLE)"
+      case Split(f, thr, l, r) =>
+        s"(CASE WHEN ${feats(f)} < CAST('$thr' AS DOUBLE) " +
+          s"THEN ${treeSql(l, feats, depth + 1)} " +
+          s"ELSE ${treeSql(r, feats, depth + 1)} END)"
+    }
+
+  /** Mean path length E[h(x)] of a pinned model as a pure Column
+    * composition (no UDF): left fold over trees in tree order — the
+    * identical IEEE sum [[score]]'s UDF performs, so the two agree
+    * bit-exactly (spec-pinned). */
+  def pathMeanCol(model: IForestModel,
+      feats: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    model.trees.map(t => treeCol(t, feats, 0)).reduceLeft(_ + _) /
+      lit(model.trees.length.toDouble)
+
+  /** DuckDB mirror of [[pathMeanCol]]: same nested-CASE traversal, same
+    * left-assoc tree-order sum, literals rendered via the round-trip
+    * string form — bit-identical on any IEEE engine. */
+  def sqlPathMean(model: IForestModel, feats: Seq[String]): String =
+    "(" + model.trees.map(t => treeSql(t, feats, 0)).mkString(" + ") +
+      s") / CAST('${model.trees.length.toDouble}' AS DOUBLE)"
+
+  /** The score normalizer c(psi) as a literal (for the SQL side). */
+  def sqlCNorm(model: IForestModel): String =
+    s"CAST('${avgPath(model.sampleSize.toDouble)}' AS DOUBLE)"
 
   /** sklearn predict: −1 for anomalies (score above the quantile implied
     * by `contamination`), 1 for inliers, via one distributed approx

@@ -2765,6 +2765,44 @@ object LearnQ {
           (round($"anomaly_score", 6) + lit(0.0)).as("score"))
     },
 
+    // --- IsolationForest SCORING oracled via the pinned literal forest
+    //     (r9 — the fit stays rows-only/spec-checked above, but scoring a
+    //     committed constant forest is deterministic arithmetic): each
+    //     tree replays as a nested CASE whose leaves are compile-time
+    //     path-length literals, the tree-order left fold makes path_mean
+    //     BIT-exact on both engines (gated unrounded); only the final
+    //     2^(−mean/c) goes through libm pow → round 4 + 0.0.
+    Q("learn_iforest_score", {
+      import graft.learn.{IsolationForest => IF, PinnedForest}
+      val m = PinnedForest.model
+      s"""WITH base AS (
+         |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+         |         CAST(c_custkey % 97 AS DOUBLE) AS f2
+         |  FROM customer WHERE c_custkey <= 300),
+         |pm AS (SELECT c_custkey,
+         |  ${IF.sqlPathMean(m, Seq("bal", "f2"))} AS path_mean
+         |  FROM base)
+         |SELECT c_custkey, path_mean,
+         |  round(pow(CAST(2.0 AS DOUBLE), -path_mean / ${IF.sqlCNorm(m)}), 4)
+         |    + CAST(0.0 AS DOUBLE) AS score
+         |FROM pm ORDER BY c_custkey""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.learn.{IsolationForest => IF, PinnedForest}
+      val m = PinnedForest.model
+      val base = t(spark, dir, "customer")
+        .filter($"c_custkey" <= 300)
+        .select($"c_custkey", $"c_acctbal".cast("double").as("bal"),
+          ($"c_custkey" % 97).cast("double").as("f2"))
+      val cNorm = IF.avgPath(m.sampleSize.toDouble)
+      base.select($"c_custkey",
+          IF.pathMeanCol(m, Seq($"bal", $"f2")).as("path_mean"))
+        .select($"c_custkey", $"path_mean",
+          (round(pow(lit(2.0), -$"path_mean" / lit(cNorm)), 4) + lit(0.0))
+            .as("score"))
+        .orderBy($"c_custkey")
+    },
+
     // --- learn.datasets make_blobs (reference samples_generator.py:402):
     //     every draw is hash-uniform → Acklam Φ⁻¹, so the dataset — not
     //     just its moments — replays exactly in any engine. round 6 + 0.0

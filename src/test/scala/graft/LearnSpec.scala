@@ -413,6 +413,27 @@ class LearnSpec extends SparkSpecBase {
       Set(1001L, 1002L, 1003L).subsetOf(flagged), s"flagged=$flagged")
   }
 
+  test("pinned-forest Column replay scores equal the UDF scorer bit-exactly") {
+    import graft.learn.{IsolationForest, PinnedForest}
+    val m = PinnedForest.model
+    // spread probes across both feature ranges, including values far
+    // outside the training envelope and exact negatives
+    val df = (0 until 400).map { i =>
+      (i.toLong, -2000.0 + i * 31.25, (i * 7 % 120).toDouble)
+    }.toDF("id", "bal", "f2")
+    val viaUdf = IsolationForest.score(m, df)
+      .orderBy("id").select("anomaly_score").as[Double].collect().toSeq
+    val cNorm = IsolationForest.avgPath(m.sampleSize.toDouble)
+    val viaCol = df
+      .select($"id", IsolationForest.pathMeanCol(m, Seq($"bal", $"f2")).as("pm"))
+      .select($"id", pow(lit(2.0), -$"pm" / lit(cNorm)).as("s"))
+      .orderBy("id").select("s").as[Double].collect().toSeq
+    // identical op sequence (tree-order left fold, same literals) →
+    // bit-exact equality, which is what lets the oracle gate path_mean
+    // unrounded (learn_iforest_score)
+    assert(viaUdf == viaCol)
+  }
+
   test("spawnMap runs functions in parallel preserving order") {
     import graft.remote.Spawn
     val got = Spawn.spawnMap(spark, (1 to 20))(i => i * i)
