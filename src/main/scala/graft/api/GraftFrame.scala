@@ -24,7 +24,7 @@ import graft.operators.{Curation, Dedup, Sessionize, Windows}
   * itself relaxes index guarantees under parallelism (Note [Index of Merge],
   * mars/dataframe/merge/tests/test_merge_execution.py:44-50).
   */
-final case class GraftFrame(df: DataFrame) {
+final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   // ---------------------------------------------------------------- access
   /** Column by name (pandas `df[col]`, reference indexing/getitem.py:44). */
@@ -88,17 +88,21 @@ final case class GraftFrame(df: DataFrame) {
 
   /** set_index (reference indexing/set_index.py): the engine's index IS a
     * set of ordinary columns (SURVEY §7.1) — setting the index moves the
-    * named columns to the front, the one observable effect the
-    * column-as-index model has. */
+    * named columns to the front AND records them as the frame's declared
+    * index, which the aligned binary ops ([[arithAligned]],
+    * [[arithAlignedSeries]]) use as their implicit join keys when no
+    * explicit `on` is given (r9 — pandas alignment semantics without the
+    * implicit-index machinery). */
   def setIndex(cols: String*): GraftFrame = {
     val rest = df.columns.filterNot(cols.contains)
-    GraftFrame(df.select((cols ++ rest).map(df(_)): _*))
+    GraftFrame(df.select((cols ++ rest).map(df(_)): _*), cols.toSeq)
   }
 
-  /** reset_index(drop=true) — the index is already ordinary columns, so
-    * this is the identity; with drop=false semantics use [[withRowId]]-style
-    * explicit ids instead (there is no implicit row order to restore). */
-  def resetIndex(): GraftFrame = this
+  /** reset_index(drop=true) — the index columns stay as ordinary columns;
+    * only the declared-index marker is cleared. With drop=false semantics
+    * use [[withRowId]]-style explicit ids instead (there is no implicit
+    * row order to restore). */
+  def resetIndex(): GraftFrame = GraftFrame(df)
 
   /** rename_axis / set_axis over columns (reference
     * indexing/rename_axis.py, set_axis.py): positional column renames. */
@@ -411,50 +415,88 @@ final case class GraftFrame(df: DataFrame) {
     * every cell rule is a per-row projection on top. Output cells are
     * double (the common numeric type of the aligned arithmetic).
     * `op`: add | sub | mul | div | floordiv | mod | pow. */
-  def arithAligned(other: GraftFrame, on: Seq[String], op: String,
+  def arithAligned(other: GraftFrame, on: Seq[String] = Nil, op: String,
       fillValue: Option[Double] = None): GraftFrame = {
-    require(on.nonEmpty, "arithAligned needs at least one index column")
-    def numericCols(d: org.apache.spark.sql.DataFrame): Seq[String] = {
-      val numeric = Set("byte", "short", "integer", "long",
-        "float", "double", "decimal")
-      d.schema.fields
-        .filter(f => !on.contains(f.name) &&
-          numeric.exists(f.dataType.typeName.startsWith))
-        .map(_.name).toSeq
-    }
-    val lCols = numericCols(df)
-    val rCols = numericCols(other.df)
+    val keys = alignKeys(on, "arithAligned")
+    val lCols = GraftFrame.numericValueCols(df, keys)
+    val rCols = GraftFrame.numericValueCols(other.df, keys)
     val allCols = lCols ++ rCols.filterNot(lCols.contains)
     require(allCols.nonEmpty, "arithAligned: no numeric value columns")
-    val opFn: (Column, Column) => Column = op match {
-      case "add" => _ + _
-      case "sub" => _ - _
-      case "mul" => _ * _
-      case "div" => _ / _
-      case "floordiv" => (a, b) => floor(a / b)
-      case "mod" => (a, b) => pmod(a, b) // python sign-of-divisor semantics
-      case "pow" => (a, b) => pow(a, b)
-      case o => throw new IllegalArgumentException(
-        s"arithAligned op must be add|sub|mul|div|floordiv|mod|pow: $o")
-    }
-    val l = lCols.foldLeft(df.select((on ++ lCols).map(df(_)): _*))(
+    val opFn = GraftFrame.alignedOp(op)
+    val l = lCols.foldLeft(df.select((keys ++ lCols).map(df(_)): _*))(
       (d, c) => d.withColumnRenamed(c, c + "__bl"))
-    val r = rCols.foldLeft(other.df.select((on ++ rCols).map(other.df(_)): _*))(
+    val r = rCols.foldLeft(other.df.select((keys ++ rCols).map(other.df(_)): _*))(
       (d, c) => d.withColumnRenamed(c, c + "__br"))
-    val joined = l.join(r, on, "full_outer")
+    val joined = l.join(r, keys, "full_outer")
     val cells = allCols.map { c =>
       val lv = (if (lCols.contains(c)) col(c + "__bl")
         else lit(null)).cast("double")
       val rv = (if (rCols.contains(c)) col(c + "__br")
         else lit(null)).cast("double")
-      val (lf, rf) = fillValue match {
-        case Some(v) => (coalesce(lv, lit(v)), coalesce(rv, lit(v)))
-        case None => (lv, rv)
-      }
-      when(lv.isNull && rv.isNull, lit(null).cast("double"))
-        .otherwise(opFn(lf, rf)).as(c)
+      GraftFrame.alignedCell(opFn, lv, rv, fillValue).as(c)
     }
-    GraftFrame(joined.select(on.map(col) ++ cells: _*))
+    // the align keys become the result's declared index (pandas keeps the
+    // aligned index), so chained aligned ops keep working implicitly
+    GraftFrame(joined.select(keys.map(col) ++ cells: _*), keys)
+  }
+
+  /** pandas `df.op(series, axis=0)` — `other` is a Series: a frame with
+    * the index keys plus exactly ONE numeric value column. After an outer
+    * key align, every numeric column of this frame combines with the
+    * series value row-wise under the same missing-cell rules as
+    * [[arithAligned]]. Keys default to the [[setIndex]]-declared index.
+    * Scale shape: one full-outer equi-join on the keys (broadcast-able
+    * when the series is small), then per-row projections. */
+  def arithAlignedSeries(other: GraftFrame, op: String,
+      on: Seq[String] = Nil, fillValue: Option[Double] = None): GraftFrame = {
+    val keys = alignKeys(on, "arithAlignedSeries")
+    val sCols = GraftFrame.numericValueCols(other.df, keys)
+    require(sCols.size == 1,
+      s"arithAlignedSeries: other must carry exactly one numeric value " +
+        s"column (a Series), got ${sCols.mkString(", ")}")
+    val vCols = GraftFrame.numericValueCols(df, keys)
+    require(vCols.nonEmpty, "arithAlignedSeries: no numeric value columns")
+    val opFn = GraftFrame.alignedOp(op)
+    val l = vCols.foldLeft(df.select((keys ++ vCols).map(df(_)): _*))(
+      (d, c) => d.withColumnRenamed(c, c + "__bl"))
+    val r = other.df.select((keys.map(other.df(_)) :+
+      other.df(sCols.head).cast("double").as("__sv")): _*)
+    val joined = l.join(r, keys, "full_outer")
+    val cells = vCols.map { c =>
+      GraftFrame.alignedCell(opFn, col(c + "__bl").cast("double"),
+        col("__sv"), fillValue).as(c)
+    }
+    GraftFrame(joined.select(keys.map(col) ++ cells: _*), keys)
+  }
+
+  /** pandas `df.op(series, axis=1)` — the series is indexed BY COLUMN
+    * NAME (one scalar per column): a pure projection, no shuffle at any
+    * scale. Columns absent from `values` behave as missing on the right
+    * (fill when `fillValue` is given, else null — pandas NaN). */
+  def arithColumnBroadcast(values: Map[String, Double], op: String,
+      fillValue: Option[Double] = None): GraftFrame = {
+    val keys = index
+    val vCols = GraftFrame.numericValueCols(df, keys)
+    require(vCols.nonEmpty, "arithColumnBroadcast: no numeric value columns")
+    val opFn = GraftFrame.alignedOp(op)
+    val cells = vCols.map { c =>
+      val rv = values.get(c) match {
+        case Some(v) => lit(v)
+        case None => lit(null).cast("double")
+      }
+      GraftFrame.alignedCell(opFn, df(c).cast("double"), rv, fillValue).as(c)
+    }
+    val passthrough = df.columns.toSeq.filterNot(vCols.contains).map(df(_))
+    GraftFrame(df.select(passthrough ++ cells: _*), index)
+  }
+
+  /** Keys for the aligned binops: explicit `on` wins, else the
+    * [[setIndex]]-declared index. */
+  private def alignKeys(on: Seq[String], what: String): Seq[String] = {
+    val keys = if (on.nonEmpty) on else index
+    require(keys.nonEmpty,
+      s"$what needs index columns: pass on=, or declare them with setIndex")
+    keys
   }
 
   /** pandas df.add(other, fill_value=) — see [[arithAligned]]. */
@@ -476,6 +518,21 @@ final case class GraftFrame(df: DataFrame) {
   def divAligned(other: GraftFrame, on: Seq[String],
       fillValue: Option[Double] = None): GraftFrame =
     arithAligned(other, on, "div", fillValue)
+
+  /** pandas df.mod(other, fill_value=) — see [[arithAligned]]. */
+  def modAligned(other: GraftFrame, on: Seq[String] = Nil,
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "mod", fillValue)
+
+  /** pandas df.pow(other, fill_value=) — see [[arithAligned]]. */
+  def powAligned(other: GraftFrame, on: Seq[String] = Nil,
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "pow", fillValue)
+
+  /** pandas df.floordiv(other, fill_value=) — see [[arithAligned]]. */
+  def floordivAligned(other: GraftFrame, on: Seq[String] = Nil,
+      fillValue: Option[Double] = None): GraftFrame =
+    arithAligned(other, on, "floordiv", fillValue)
 
   /** pandas DataFrame.update: `other`'s NON-NULL values overwrite this
     * frame's values on key-aligned rows; rows only in `other` are ignored
@@ -2055,4 +2112,46 @@ final case class GraftRolling(df: DataFrame, w: org.apache.spark.sql.expressions
   /** Pairwise rolling sample covariance (pandas rolling.cov(other)). */
   def cov(x: String, y: String, out: String): GraftFrame =
     GraftFrame(df.withColumn(out, mp(F.covar_samp(df(x), df(y)).over(w))))
+}
+
+/** Shared pieces of the aligned binary-op family (add/sub/.../pow over
+  * key-aligned frames, Series, and column broadcasts). */
+object GraftFrame {
+
+  /** Numeric non-key columns, in frame order. */
+  private[api] def numericValueCols(d: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val numeric = Set("byte", "short", "integer", "long",
+      "float", "double", "decimal")
+    d.schema.fields
+      .filter(f => !keys.contains(f.name) &&
+        numeric.exists(f.dataType.typeName.startsWith))
+      .map(_.name).toSeq
+  }
+
+  private[api] def alignedOp(op: String): (Column, Column) => Column =
+    op match {
+      case "add" => _ + _
+      case "sub" => _ - _
+      case "mul" => _ * _
+      case "div" => _ / _
+      case "floordiv" => (a, b) => floor(a / b)
+      case "mod" => (a, b) => pmod(a, b) // python sign-of-divisor semantics
+      case "pow" => (a, b) => pow(a, b)
+      case o => throw new IllegalArgumentException(
+        s"aligned op must be add|sub|mul|div|floordiv|mod|pow: $o")
+    }
+
+  /** Pandas missing-cell rule: missing on BOTH sides → null regardless of
+    * fill; present on one side uses the fill for the other when given,
+    * else the op sees the null and yields null (pandas NaN). */
+  private[api] def alignedCell(opFn: (Column, Column) => Column,
+      lv: Column, rv: Column, fillValue: Option[Double]): Column = {
+    val (lf, rf) = fillValue match {
+      case Some(v) => (coalesce(lv, lit(v)), coalesce(rv, lit(v)))
+      case None => (lv, rv)
+    }
+    when(lv.isNull && rv.isNull, lit(null).cast("double"))
+      .otherwise(opFn(lf, rf))
+  }
 }

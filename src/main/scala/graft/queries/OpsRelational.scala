@@ -550,6 +550,75 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.4/§2.10 the REST of the aligned-binop family (r9, VERDICT
+    //     task 5): pow and mod over name-aligned cells, Series broadcast
+    //     (axis=0) through the setIndex-DECLARED implicit keys, and a
+    //     column broadcast (axis=1) on top. pow is libm → round 4 + 0.0;
+    //     mod is exact fmod over positive operands (Spark pmod == plain
+    //     fmod there) and sub/mul are deterministic-same-shape → round 6.
+    Q("op_binop_align2",
+      """WITH l AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(o_totalprice AS DOUBLE) / CAST(100000.0 AS DOUBLE) AS a,
+        |         CAST(o_totalprice AS DOUBLE) AS m
+        |  FROM orders WHERE o_orderkey < 1500),
+        |r AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(o_custkey % 4 + 2 AS DOUBLE) AS e,
+        |         CAST(o_custkey + 13 AS DOUBLE) AS d,
+        |         CAST(o_orderkey % 9 + 1 AS DOUBLE) AS s
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2500)
+        |SELECT COALESCE(l.k, r.k) AS k,
+        |  CASE WHEN l.a IS NULL AND r.e IS NULL THEN NULL
+        |       ELSE round(pow(COALESCE(l.a, CAST(2.0 AS DOUBLE)),
+        |                      COALESCE(r.e, CAST(2.0 AS DOUBLE))), 4)
+        |            + CAST(0.0 AS DOUBLE) END AS pow_a,
+        |  CASE WHEN l.m IS NULL AND r.d IS NULL THEN NULL
+        |       ELSE round(fmod(l.m, r.d), 6) + CAST(0.0 AS DOUBLE)
+        |       END AS mod_m,
+        |  CASE WHEN l.a IS NULL AND r.s IS NULL THEN NULL
+        |       ELSE round((COALESCE(l.a, CAST(1.0 AS DOUBLE))
+        |                   - COALESCE(r.s, CAST(1.0 AS DOUBLE)))
+        |                  * CAST(10.0 AS DOUBLE), 6)
+        |            + CAST(0.0 AS DOUBLE) END AS sub_mul_a
+        |FROM l FULL OUTER JOIN r ON l.k = r.k
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = gt(spark, dir, "orders")
+      val lA = orders.query("o_orderkey < 1500")
+        .selectCols($"o_orderkey".as("k"),
+          ($"o_totalprice".cast("double") / lit(100000.0)).as("a"))
+      val lM = orders.query("o_orderkey < 1500")
+        .selectCols($"o_orderkey".as("k"),
+          $"o_totalprice".cast("double").as("m"))
+      val rRange = "o_orderkey >= 1000 AND o_orderkey < 2500"
+      // exponent/divisor columns NAMED like the left's, so cells align
+      val rA = orders.query(rRange).selectCols($"o_orderkey".as("k"),
+        ($"o_custkey" % 4 + 2).cast("double").as("a"))
+      val rM = orders.query(rRange).selectCols($"o_orderkey".as("k"),
+        ($"o_custkey" + 13).cast("double").as("m"))
+      val series = orders.query(rRange).selectCols($"o_orderkey".as("k"),
+        ($"o_orderkey" % 9 + 1).cast("double").as("s"))
+      val powed = lA.powAligned(rA, on = Seq("k"), fillValue = Some(2.0))
+        .rename("a" -> "pow_a")
+      val modded = lM.modAligned(rM, on = Seq("k"))
+        .rename("m" -> "mod_m")
+      // axis=0 Series broadcast over the setIndex-DECLARED keys, then an
+      // axis=1 column broadcast on the result
+      val subMul = lA.setIndex("k")
+        .arithAlignedSeries(series, "sub", fillValue = Some(1.0))
+        .arithColumnBroadcast(Map("a" -> 10.0), "mul")
+        .rename("a" -> "sub_mul_a")
+      powed.df
+        .join(modded.df, Seq("k"))
+        .join(subMul.df, Seq("k"))
+        .select($"k",
+          (round($"pow_a", 4) + lit(0.0)).as("pow_a"),
+          (round($"mod_m", 6) + lit(0.0)).as("mod_m"),
+          (round($"sub_mul_a", 6) + lit(0.0)).as("sub_mul_a"))
+        .orderBy($"k")
+    },
+
     // --- §2.9 set ops: union / intersect / except
     Q("op_setops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

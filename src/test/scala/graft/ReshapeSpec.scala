@@ -194,6 +194,48 @@ class ReshapeSpec extends SparkSpecBase {
     assert(e.getMessage.contains("add|sub|mul|div"))
   }
 
+  test("series alignment (axis=0), implicit setIndex keys, column broadcast (axis=1)") {
+    val l = GraftFrame(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
+      .toDF("k", "v", "c")).setIndex("k")
+    val s = GraftFrame(Seq((2L, 5.0), (3L, 7.0)).toDF("k", "s"))
+    // keys come from setIndex (no on=); the one series value hits EVERY
+    // numeric column; fill covers one-sided cells
+    val sub = l.arithAlignedSeries(s, "sub", fillValue = Some(0.0))
+      .df.orderBy("k").select("k", "v", "c")
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(sub.toSeq === Seq(
+      (1L, Some(10.0), Some(100.0)),  // series missing -> v - 0, c - 0
+      (2L, Some(15.0), Some(195.0)),
+      (3L, Some(-7.0), Some(-7.0)))) // frame row missing -> 0 - s
+    // without fill, one-sided cells are null
+    val bare = l.arithAlignedSeries(s, "sub").df.orderBy("k")
+      .select("v").as[Option[Double]].collect()
+    assert(bare.toSeq === Seq(None, Some(15.0), None))
+    // no keys anywhere -> loud failure
+    val e = intercept[IllegalArgumentException](
+      GraftFrame(l.df).arithAlignedSeries(s, "sub"))
+    assert(e.getMessage.contains("setIndex"))
+    // aligned output keeps its keys as the declared index, so a chained
+    // axis=1 broadcast never treats them as value columns
+    val chained = l.arithAlignedSeries(s, "sub", fillValue = Some(0.0))
+      .arithColumnBroadcast(Map("v" -> 10.0), "mul")
+      .df.orderBy("k").select("k", "v", "c")
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(chained.toSeq === Seq(
+      (1L, Some(100.0), None),   // c not in the map, no fill -> null
+      (2L, Some(150.0), None),
+      (3L, Some(-70.0), None)))
+    // pow/mod route through the same aligned family
+    val p = GraftFrame(Seq((1L, 3.0)).toDF("k", "v"))
+      .powAligned(GraftFrame(Seq((1L, 2.0)).toDF("k", "v")), Seq("k"))
+      .df.select("v").as[Double].head()
+    assert(p === 9.0)
+    val m = GraftFrame(Seq((1L, -7.0)).toDF("k", "v"))
+      .modAligned(GraftFrame(Seq((1L, 3.0)).toDF("k", "v")), Seq("k"))
+      .df.select("v").as[Double].head()
+    assert(m === 2.0) // python sign-of-divisor mod
+  }
+
   test("covMatrix matches hand-computed sample covariances") {
     val df = GraftFrame(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
     val got = df.covMatrix(Seq("x", "y")).df
