@@ -275,10 +275,15 @@ object Sessionize {
       tsCol: String,
       sumCol: Column,
       unit: String): DataFrame = {
+    val weekAnchor = "(?i)^W-(MON|TUE|WED|THU|FRI|SAT|SUN)$".r
+    val ysAnchor = "(?i)^YS-([A-Z]{3})$".r
     require(
       Set("day", "week", "month", "month_end", "quarter", "year",
-        "hour", "minute", "15min")(unit),
-      s"unit must be day|week|month|month_end|quarter|year|hour|minute|15min: $unit")
+        "year_end", "hour", "minute", "15min")(unit) ||
+        weekAnchor.matches(unit) || ysAnchor.matches(unit),
+      "unit must be day|week|month|month_end|quarter|year|year_end|hour|" +
+        s"minute|15min or an anchored W-MON..W-SUN / YS-JAN..YS-DEC: $unit")
+    val d = col(tsCol).cast("date")
     val bucket = unit match {
       case "hour" => date_trunc("hour", col(tsCol))
       case "minute" => date_trunc("minute", col(tsCol))
@@ -288,6 +293,15 @@ object Sessionize {
         val secs = unix_timestamp(col(tsCol))
         timestamp_seconds(secs - pmod(secs, lit(900L)))
       case "month_end" => date_trunc("month", col(tsCol)).cast("date")
+      case "year_end" => date_trunc("year", col(tsCol)).cast("date")
+      // pandas 'W-XXX' (right-closed, right-labeled): the bin label is
+      // the first anchor weekday >= the date — next_day is STRICTLY
+      // after, so probe from the previous day
+      case weekAnchor(a) => next_day(date_sub(d, 1), a.capitalize)
+      // pandas 'AS-XXX' / 'YS-XXX': the most recent month-anchor 1st <= d
+      case ysAnchor(mon) =>
+        val m = Sessionize.monthNumber(mon)
+        make_date(year(d) - when(month(d) < m, 1).otherwise(0), lit(m), lit(1))
       case u => date_trunc(u, col(tsCol)).cast("date")
     }
     val step = unit match {
@@ -296,6 +310,9 @@ object Sessionize {
       // a quarter is exactly 3 calendar months; stepping months (not a
       // fixed duration) keeps quarter starts exact across month lengths
       case "quarter" => expr("INTERVAL 3 MONTH")
+      case "year_end" => expr("INTERVAL 1 YEAR")
+      case weekAnchor(_) => expr("INTERVAL 1 WEEK")
+      case ysAnchor(_) => expr("INTERVAL 1 YEAR")
       case u => expr(s"INTERVAL 1 ${u.toUpperCase}")
     }
     val perBucket = events
@@ -314,9 +331,21 @@ object Sessionize {
       col("sum_val"),
       last(col("sum_val"), ignoreNulls = true).over(wBack).as("sum_ffill"))
     // '1M' labels each month bucket with its LAST day (grid/ffill ran on
-    // month starts, which last_day maps monotonically)
+    // month starts, which last_day maps monotonically); '1Y'/'1A'
+    // likewise labels each year with its Dec 31
     if (unit == "month_end") out.withColumn("day", last_day(col("day")))
+    else if (unit == "year_end")
+      out.withColumn("day", make_date(year(col("day")), lit(12), lit(31)))
     else out
+  }
+
+  /** JAN..DEC → 1..12 (the YS- anchor grammar). */
+  private[operators] def monthNumber(mon: String): Int = {
+    val months = Vector("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+      "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+    val i = months.indexOf(mon.toUpperCase)
+    require(i >= 0, s"unknown month anchor: $mon (use JAN..DEC)")
+    i + 1
   }
 
   /** Markov transition counts over per-key event sequences: how often

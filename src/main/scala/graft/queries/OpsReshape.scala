@@ -295,6 +295,76 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.16 ANCHORED resample offsets (r9, VERDICT task 8 — pandas
+    //     'W-WED' / '1Y' year-end / 'AS-JUL' fiscal-year anchors,
+    //     reference datasource/date_range.py offset table) over the
+    //     multi-year o_orderdate span: right-labeled anchored weeks
+    //     (label = first Wednesday >= date), years labeled Dec 31, and
+    //     July-anchored fiscal years. Same gap-free grid + gap-group
+    //     ffill construct as op_resample; integer-only output columns
+    //     (epoch days, BIGINT aggregates) per the r8 gate convention.
+    Q("op_resample_anchored", {
+      def block(tag: String, bucketSql: String, stepSql: String,
+          freq: String): String =
+        s"""${tag}_b AS (
+           |  SELECT pri, $bucketSql AS day, COUNT(*) AS cnt,
+           |         CAST(SUM(v) AS BIGINT) AS sum_val
+           |  FROM o GROUP BY 1, 2),
+           |${tag}_bounds AS (
+           |  SELECT pri, min(day) AS d0, max(day) AS d1
+           |  FROM ${tag}_b GROUP BY pri),
+           |${tag}_grid AS (
+           |  SELECT pri, CAST(unnest(generate_series(d0, d1, $stepSql))
+           |              AS DATE) AS day
+           |  FROM ${tag}_bounds),
+           |${tag}_j AS (
+           |  SELECT g.pri, g.day, COALESCE(b.cnt, 0) AS cnt, b.sum_val
+           |  FROM ${tag}_grid g
+           |  LEFT JOIN ${tag}_b b ON g.pri = b.pri AND g.day = b.day),
+           |${tag}_gg AS (
+           |  SELECT *, count(sum_val) OVER (
+           |    PARTITION BY pri ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           |  FROM ${tag}_j),
+           |${tag}_out AS (
+           |  SELECT '$freq' AS freq, pri,
+           |    CAST(day - DATE '1970-01-01' AS BIGINT) AS day, cnt, sum_val,
+           |    CAST(max(sum_val) OVER (PARTITION BY pri, grp) AS BIGINT)
+           |      AS sum_ffill
+           |  FROM ${tag}_gg)""".stripMargin
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+         |         o_custkey AS v
+         |  FROM orders WHERE o_orderkey < 8000),
+         |${block("wk",
+             "d + CAST((10 - dayofweek(d)) % 7 AS INTEGER)",
+             "INTERVAL 1 WEEK", "W-WED")},
+         |${block("yr", "make_date(CAST(year(d) AS INTEGER), 12, 31)",
+             "INTERVAL 1 YEAR", "YE")},
+         |${block("fy",
+             "make_date(CAST(year(d) - CASE WHEN month(d) < 7 THEN 1 " +
+               "ELSE 0 END AS INTEGER), 7, 1)",
+             "INTERVAL 1 YEAR", "YS-JUL")}
+         |SELECT * FROM wk_out
+         |UNION ALL SELECT * FROM yr_out
+         |UNION ALL SELECT * FROM fy_out
+         |ORDER BY freq, pri, day""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val o = t(spark, dir, "orders").filter($"o_orderkey" < 8000)
+        .select($"o_orderpriority".as("pri"), $"o_orderdate".as("d"),
+          $"o_custkey".as("v"))
+      def variant(unit: String, freq: String) =
+        graft.api.GraftFrame(o).resampleCalendar("pri", "d", col("v"), unit)
+          .assign("day" -> datediff(col("day"), lit("1970-01-01")).cast("long"))
+          .df.select(lit(freq).as("freq"), col("pri"), col("day"),
+            col("cnt"), col("sum_val"), col("sum_ffill"))
+      variant("W-WED", "W-WED")
+        .unionAll(variant("year_end", "YE"))
+        .unionAll(variant("YS-JUL", "YS-JUL"))
+        .orderBy($"freq", $"pri", $"day")
+    },
+
     // --- §2.16 resample('1H'): sub-daily hourly grid (the events fixture
     //     is sub-daily, so the hour grid is the natural pandas
     //     resample('1H') shape) — same gap-free completion, cnt=0 gaps,

@@ -169,6 +169,44 @@ class ReshapeSpec extends SparkSpecBase {
       ("2025-01-01", 1L, 1L)))
   }
 
+  test("anchored resample offsets: W-WED right labels, YE Dec-31 labels, YS-JUL fiscal years") {
+    import graft.operators.Sessionize
+    // 2024-01-01 is a Monday; 2024-01-03 a Wednesday
+    val df = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-03 05:00:00"), 2L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-04 05:00:00"), 4L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-17 05:00:00"), 8L))
+      .toDF("k", "ts", "v")
+    val wk = Sessionize.resampleCalendar(df, "k", "ts", col("v"), "W-WED")
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("cnt"), col("sum_val"))
+      .as[(String, Long, Option[Long])].collect().toSeq
+    // Jan 1 + Jan 3 label to Wed Jan 3 (a Wednesday labels itself);
+    // Jan 4 to Jan 10; Jan 17 to Jan 17 with a cnt=0 gap week between
+    assert(wk === Seq(("2024-01-03", 2L, Some(3L)),
+      ("2024-01-10", 1L, Some(4L)), ("2024-01-17", 1L, Some(8L))))
+    val yrs = Seq(
+      ("k", java.sql.Timestamp.valueOf("2023-06-30 00:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2023-07-01 00:00:00"), 2L),
+      ("k", java.sql.Timestamp.valueOf("2024-06-30 00:00:00"), 4L),
+      ("k", java.sql.Timestamp.valueOf("2024-07-02 00:00:00"), 8L))
+      .toDF("k", "ts", "v")
+    val ye = Sessionize.resampleCalendar(yrs, "k", "ts", col("v"), "year_end")
+      .orderBy("day").select(date_format(col("day"), "yyyy-MM-dd"), col("sum_val"))
+      .as[(String, Option[Long])].collect().toSeq
+    assert(ye === Seq(("2023-12-31", Some(3L)), ("2024-12-31", Some(12L))))
+    // fiscal years starting July: FY23 = [2022-07-01, 2023-07-01) etc.
+    val fy = Sessionize.resampleCalendar(yrs, "k", "ts", col("v"), "YS-JUL")
+      .orderBy("day").select(date_format(col("day"), "yyyy-MM-dd"), col("sum_val"))
+      .as[(String, Option[Long])].collect().toSeq
+    assert(fy === Seq(("2022-07-01", Some(1L)), ("2023-07-01", Some(6L)),
+      ("2024-07-01", Some(8L))))
+    val e = intercept[IllegalArgumentException](
+      Sessionize.resampleCalendar(df, "k", "ts", col("v"), "W-XYZ"))
+    assert(e.getMessage.contains("W-MON"))
+  }
+
   test("arithAligned applies pandas fill_value cell rules") {
     val l = GraftFrame(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
       .toDF("k", "v", "c"))
