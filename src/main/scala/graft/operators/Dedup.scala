@@ -38,6 +38,34 @@ object Dedup {
     }
   }
 
+  /** Exchange width proportional to the (compressed) input size — the
+    * scale-aware form of a hard `numShufflePartitions` pin for exchanges
+    * whose downstream fan-out must keep explicit width (AQE-exempt
+    * REPARTITION_BY_NUM, see the ngramJaccardPairs note): a small corpus
+    * gets a few tasks (r9 measurement: per-task scheduling overhead, not
+    * compute, dominated the sf0.1 jaccard floor at 3 × 32-task stages on a
+    * 0.6 MB input), a big corpus saturates the configured width — ~1 task
+    * per 256 KiB of input file bytes, read from scan METADATA (no data
+    * pass; at 100 TB the clamp hits the configured width immediately).
+    * Falls back to the configured width when file sizes are unknowable
+    * (non-file sources). */
+  private[operators] def sizedWidth(df: DataFrame): Int = {
+    val confWidth = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes =
+      try {
+        val files = df.inputFiles
+        if (files.isEmpty) -1L
+        else files.map { p =>
+          val uri = new java.net.URI(p)
+          if (uri.getScheme == null || uri.getScheme == "file")
+            new java.io.File(uri.getPath).length
+          else -1L
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    if (bytes < 0) confWidth
+    else math.max(1L, math.min(confWidth.toLong, bytes / (256L << 10) + 1)).toInt
+  }
+
   /** Exact dedup on arbitrary key columns, keeping the row with the lowest
     * `order` value per key (pandas keep='first' with an explicit order —
     * the reference itself relaxes positional semantics under parallelism).
@@ -223,8 +251,7 @@ object Dedup {
     // would funnel the entire pair fan-out through one task.
     // (REPARTITION_BY_NUM is exempt from AQE coalescing.) The aggregation
     // below reuses this partitioning, so no second exchange is planned.
-    val sh = shRaw.repartition(
-      docs.sparkSession.sessionState.conf.numShufflePartitions, col("sh"))
+    val sh = shRaw.repartition(sizedWidth(docs), col("sh"))
     // One aggregation groups doc ids per shingle; pair generation then
     // explodes the C(df, 2) combinations per shingle directly — same
     // output as the self-join formulation but with half the shuffle
@@ -275,18 +302,23 @@ object Dedup {
         docs.select(col(idCol).as("doc_id"),
           size(TextFunctions.hashedShingles(col(textCol), n)).cast("long").as("sz"))
     }
-    // Two-level pair generation keeps per-row memory linear in df: first
-    // posexplode one (ids, i, x) row per member, then expand only x's
-    // suffix pairs per row — the single flattened C(df,2)-element array the
-    // r2 version built in one row was an OOM risk for uncapped stop-phrase
-    // shingles (df=k ⇒ a k²/2-struct array in one task).
+    // Pair generation as two chained posexplodes + a position filter
+    // (i < j over the per-shingle SORTED id list, so a < b for free):
+    // generators stream row-at-a-time (per-row memory linear in df — the
+    // single flattened C(df,2)-struct array the r2 version built in one
+    // row was an OOM risk for uncapped stop-phrase shingles) and stay in
+    // codegen. The r8 transform(slice(...)) suffix-pair formulation
+    // evaluated an interpreted higher-order lambda per pair and was the
+    // query's dominant stage at ~0.75 s (sf0.1, r9 stage profile); this
+    // shape emits 2× the rows (df² filtered to C(df,2)) but cut that
+    // stage ~4× — see PERF.md r9.
     val common = byShingle
       .filter(size(col("ids")) > 1)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
-      .select(explode(
-        transform(slice(col("ids"), col("i") + 2, size(col("ids"))), y =>
-          struct(least(col("x"), y).as("a"), greatest(col("x"), y).as("b")))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .withColumn("ids", sort_array(col("ids")))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))
+      .filter(col("j") > col("i"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
