@@ -277,12 +277,15 @@ object Sessionize {
       unit: String): DataFrame = {
     val weekAnchor = "(?i)^W-(MON|TUE|WED|THU|FRI|SAT|SUN)$".r
     val ysAnchor = "(?i)^YS-([A-Z]{3})$".r
+    val qsAnchor = "(?i)^QS-([A-Z]{3})$".r
     require(
-      Set("day", "week", "month", "month_end", "quarter", "year",
-        "year_end", "hour", "minute", "15min")(unit) ||
-        weekAnchor.matches(unit) || ysAnchor.matches(unit),
-      "unit must be day|week|month|month_end|quarter|year|year_end|hour|" +
-        s"minute|15min or an anchored W-MON..W-SUN / YS-JAN..YS-DEC: $unit")
+      Set("day", "week", "month", "month_end", "quarter", "quarter_end",
+        "year", "year_end", "hour", "minute", "15min")(unit) ||
+        weekAnchor.matches(unit) || ysAnchor.matches(unit) ||
+        qsAnchor.matches(unit),
+      "unit must be day|week|month|month_end|quarter|quarter_end|year|" +
+        "year_end|hour|minute|15min or an anchored W-MON..W-SUN / " +
+        s"YS-JAN..YS-DEC / QS-JAN..QS-DEC: $unit")
     val d = col(tsCol).cast("date")
     val bucket = unit match {
       case "hour" => date_trunc("hour", col(tsCol))
@@ -294,6 +297,7 @@ object Sessionize {
         timestamp_seconds(secs - pmod(secs, lit(900L)))
       case "month_end" => date_trunc("month", col(tsCol)).cast("date")
       case "year_end" => date_trunc("year", col(tsCol)).cast("date")
+      case "quarter_end" => date_trunc("quarter", col(tsCol)).cast("date")
       // pandas 'W-XXX' (right-closed, right-labeled): the bin label is
       // the first anchor weekday >= the date — next_day is STRICTLY
       // after, so probe from the previous day
@@ -302,6 +306,12 @@ object Sessionize {
       case ysAnchor(mon) =>
         val m = Sessionize.monthNumber(mon)
         make_date(year(d) - when(month(d) < m, 1).otherwise(0), lit(m), lit(1))
+      // pandas 'QS-XXX': quarter starts at months {m, m+3, m+6, m+9}
+      // (mod 12) — step back (months-since-anchor mod 3) from the month
+      case qsAnchor(mon) =>
+        val m = Sessionize.monthNumber(mon)
+        add_months(date_trunc("month", col(tsCol)).cast("date"),
+          pmod(month(d) - lit(m), lit(12)) % lit(3) * lit(-1))
       case u => date_trunc(u, col(tsCol)).cast("date")
     }
     val step = unit match {
@@ -311,8 +321,10 @@ object Sessionize {
       // fixed duration) keeps quarter starts exact across month lengths
       case "quarter" => expr("INTERVAL 3 MONTH")
       case "year_end" => expr("INTERVAL 1 YEAR")
+      case "quarter_end" => expr("INTERVAL 3 MONTH")
       case weekAnchor(_) => expr("INTERVAL 1 WEEK")
       case ysAnchor(_) => expr("INTERVAL 1 YEAR")
+      case qsAnchor(_) => expr("INTERVAL 3 MONTH")
       case u => expr(s"INTERVAL 1 ${u.toUpperCase}")
     }
     val perBucket = events
@@ -336,6 +348,10 @@ object Sessionize {
     if (unit == "month_end") out.withColumn("day", last_day(col("day")))
     else if (unit == "year_end")
       out.withColumn("day", make_date(year(col("day")), lit(12), lit(31)))
+    else if (unit == "quarter_end")
+      // grid/ffill ran on quarter STARTS (quarter-end labels don't step
+      // uniformly: Sep 30 + 3 months = Dec 30); relabel monotonically
+      out.withColumn("day", last_day(add_months(col("day"), 2)))
     else out
   }
 

@@ -296,16 +296,19 @@ object OpsReshape {
     },
 
     // --- §2.16 ANCHORED resample offsets (r9, VERDICT task 8 — pandas
-    //     'W-WED' / '1Y' year-end / 'AS-JUL' fiscal-year anchors,
-    //     reference datasource/date_range.py offset table) over the
-    //     multi-year o_orderdate span: right-labeled anchored weeks
-    //     (label = first Wednesday >= date), years labeled Dec 31, and
-    //     July-anchored fiscal years. Same gap-free grid + gap-group
-    //     ffill construct as op_resample; integer-only output columns
-    //     (epoch days, BIGINT aggregates) per the r8 gate convention.
+    //     'W-WED' / '1Y' year-end / 'AS-JUL' fiscal-year / '1Q'
+    //     quarter-end / 'QS-FEB' fiscal-quarter anchors, reference
+    //     datasource/date_range.py offset table) over the multi-year
+    //     o_orderdate span: right-labeled anchored weeks (label = first
+    //     Wednesday >= date), years labeled Dec 31, July-anchored fiscal
+    //     years, quarters labeled by last day (grid on starts — quarter
+    //     ENDS don't step uniformly), and Feb-anchored quarter starts.
+    //     Same gap-free grid + gap-group ffill construct as op_resample;
+    //     integer-only output columns (epoch days, BIGINT aggregates)
+    //     per the r8 gate convention.
     Q("op_resample_anchored", {
       def block(tag: String, bucketSql: String, stepSql: String,
-          freq: String): String =
+          freq: String, relabelSql: String = "day"): String =
         s"""${tag}_b AS (
            |  SELECT pri, $bucketSql AS day, COUNT(*) AS cnt,
            |         CAST(SUM(v) AS BIGINT) AS sum_val
@@ -328,7 +331,8 @@ object OpsReshape {
            |  FROM ${tag}_j),
            |${tag}_out AS (
            |  SELECT '$freq' AS freq, pri,
-           |    CAST(day - DATE '1970-01-01' AS BIGINT) AS day, cnt, sum_val,
+           |    CAST($relabelSql - DATE '1970-01-01' AS BIGINT) AS day,
+           |    cnt, sum_val,
            |    CAST(max(sum_val) OVER (PARTITION BY pri, grp) AS BIGINT)
            |      AS sum_ffill
            |  FROM ${tag}_gg)""".stripMargin
@@ -344,10 +348,20 @@ object OpsReshape {
          |${block("fy",
              "make_date(CAST(year(d) - CASE WHEN month(d) < 7 THEN 1 " +
                "ELSE 0 END AS INTEGER), 7, 1)",
-             "INTERVAL 1 YEAR", "YS-JUL")}
+             "INTERVAL 1 YEAR", "YS-JUL")},
+         |${block("qe", "CAST(date_trunc('quarter', d) AS DATE)",
+             "INTERVAL 3 MONTH", "QE",
+             relabelSql = "last_day(day + INTERVAL 2 MONTH)")},
+         |${block("qs",
+             "CAST(date_trunc('month', d) " +
+               "- to_months(CAST((month(d) - 2 + 12) % 12 % 3 AS INTEGER)) " +
+               "AS DATE)",
+             "INTERVAL 3 MONTH", "QS-FEB")}
          |SELECT * FROM wk_out
          |UNION ALL SELECT * FROM yr_out
          |UNION ALL SELECT * FROM fy_out
+         |UNION ALL SELECT * FROM qe_out
+         |UNION ALL SELECT * FROM qs_out
          |ORDER BY freq, pri, day""".stripMargin
     }) { (spark, dir) =>
       import spark.implicits._
@@ -362,6 +376,8 @@ object OpsReshape {
       variant("W-WED", "W-WED")
         .unionAll(variant("year_end", "YE"))
         .unionAll(variant("YS-JUL", "YS-JUL"))
+        .unionAll(variant("quarter_end", "QE"))
+        .unionAll(variant("QS-FEB", "QS-FEB"))
         .orderBy($"freq", $"pri", $"day")
     },
 

@@ -202,6 +202,17 @@ class ReshapeSpec extends SparkSpecBase {
       .as[(String, Option[Long])].collect().toSeq
     assert(fy === Seq(("2022-07-01", Some(1L)), ("2023-07-01", Some(6L)),
       ("2024-07-01", Some(8L))))
+    // quarter end: Q2-2023 labels Jun 30, Q3 Sep 30 (grid ran on starts)
+    val qe = Sessionize.resampleCalendar(yrs, "k", "ts", col("v"), "quarter_end")
+      .orderBy("day").select(date_format(col("day"), "yyyy-MM-dd"), col("sum_val"))
+      .as[(String, Option[Long])].collect().toSeq
+    assert(qe.head === ("2023-06-30", Some(1L)) &&
+      qe(1) === ("2023-09-30", Some(2L)), s"qe=$qe")
+    // Feb-anchored fiscal quarters start Feb/May/Aug/Nov: Jun 30 -> May 1
+    val qs = Sessionize.resampleCalendar(yrs, "k", "ts", col("v"), "QS-FEB")
+      .orderBy("day").select(date_format(col("day"), "yyyy-MM-dd"), col("sum_val"))
+      .as[(String, Option[Long])].collect().toSeq
+    assert(qs.head === ("2023-05-01", Some(3L)), s"qs=$qs")
     val e = intercept[IllegalArgumentException](
       Sessionize.resampleCalendar(df, "k", "ts", col("v"), "W-XYZ"))
     assert(e.getMessage.contains("W-MON"))
