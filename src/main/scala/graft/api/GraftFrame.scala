@@ -440,6 +440,46 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     GraftFrame(joined.select(keys.map(col) ++ cells: _*), keys)
   }
 
+  /** pandas aligned comparison ops — df.eq/ne/lt/le/gt/ge(other): the
+    * same outer key align as [[arithAligned]], one boolean column per
+    * (value column, op) named `<col>_<op>`. Missing-cell semantics follow
+    * pandas NaN comparisons: a cell absent on EITHER side compares false
+    * for eq/lt/le/gt/ge, and ne is eq's negation (NaN != x is True).
+    * No fill_value — pandas raises there too. */
+  def compareAligned(other: GraftFrame, ops: Seq[String],
+      on: Seq[String] = Nil): GraftFrame = {
+    val keys = alignKeys(on, "compareAligned")
+    require(ops.nonEmpty, "compareAligned needs at least one op")
+    val lCols = GraftFrame.numericValueCols(df, keys)
+    val rCols = GraftFrame.numericValueCols(other.df, keys)
+    val allCols = lCols ++ rCols.filterNot(lCols.contains)
+    require(allCols.nonEmpty, "compareAligned: no numeric value columns")
+    val l = lCols.foldLeft(df.select((keys ++ lCols).map(df(_)): _*))(
+      (d, c) => d.withColumnRenamed(c, c + "__bl"))
+    val r = rCols.foldLeft(other.df.select((keys ++ rCols).map(other.df(_)): _*))(
+      (d, c) => d.withColumnRenamed(c, c + "__br"))
+    val joined = l.join(r, keys, "full_outer")
+    val cells = for (c <- allCols; op <- ops) yield {
+      val lv = (if (lCols.contains(c)) col(c + "__bl")
+        else lit(null)).cast("double")
+      val rv = (if (rCols.contains(c)) col(c + "__br")
+        else lit(null)).cast("double")
+      val eq = coalesce(lv === rv, lit(false))
+      val cmp = op match {
+        case "eq" => eq
+        case "ne" => !eq
+        case "lt" => coalesce(lv < rv, lit(false))
+        case "le" => coalesce(lv <= rv, lit(false))
+        case "gt" => coalesce(lv > rv, lit(false))
+        case "ge" => coalesce(lv >= rv, lit(false))
+        case o => throw new IllegalArgumentException(
+          s"compareAligned op must be eq|ne|lt|le|gt|ge: $o")
+      }
+      cmp.as(s"${c}_$op")
+    }
+    GraftFrame(joined.select(keys.map(col) ++ cells: _*), keys)
+  }
+
   /** pandas `df.op(series, axis=0)` — `other` is a Series: a frame with
     * the index keys plus exactly ONE numeric value column. After an outer
     * key align, every numeric column of this frame combines with the
@@ -2138,8 +2178,17 @@ object GraftFrame {
       case "floordiv" => (a, b) => floor(a / b)
       case "mod" => (a, b) => pmod(a, b) // python sign-of-divisor semantics
       case "pow" => (a, b) => pow(a, b)
+      // pandas reversed binops (df.rsub(other) == other - df, etc.)
+      case "radd" => (a, b) => b + a
+      case "rsub" => (a, b) => b - a
+      case "rmul" => (a, b) => b * a
+      case "rdiv" => (a, b) => b / a
+      case "rfloordiv" => (a, b) => floor(b / a)
+      case "rmod" => (a, b) => pmod(b, a)
+      case "rpow" => (a, b) => pow(b, a)
       case o => throw new IllegalArgumentException(
-        s"aligned op must be add|sub|mul|div|floordiv|mod|pow: $o")
+        s"aligned op must be add|sub|mul|div|floordiv|mod|pow or an " +
+          s"r-reversed form: $o")
     }
 
   /** Pandas missing-cell rule: missing on BOTH sides → null regardless of

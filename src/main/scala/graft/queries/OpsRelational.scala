@@ -619,6 +619,54 @@ object OpsRelational {
         .orderBy($"k")
     },
 
+    // --- §2.4/§2.10 aligned COMPARISONS + reversed binops (r9): pandas
+    //     df.eq/ne/lt(other) with NaN-comparison semantics (missing on
+    //     either side → eq/lt false, ne true) and df.rsub(other) =
+    //     other − df under the standard fill rules. Booleans gate as
+    //     BIGINT 0/1 per the integer-columns convention.
+    Q("op_binop_align3",
+      """WITH l AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey < 1500),
+        |r AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS DOUBLE)
+        |              ELSE CAST(o_totalprice AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |         END AS v
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2500)
+        |SELECT COALESCE(l.k, r.k) AS k,
+        |  CAST(CASE WHEN l.v IS NOT NULL AND r.v IS NOT NULL AND l.v = r.v
+        |            THEN 1 ELSE 0 END AS BIGINT) AS v_eq,
+        |  CAST(CASE WHEN l.v IS NOT NULL AND r.v IS NOT NULL AND l.v = r.v
+        |            THEN 0 ELSE 1 END AS BIGINT) AS v_ne,
+        |  CAST(CASE WHEN l.v IS NOT NULL AND r.v IS NOT NULL AND l.v < r.v
+        |            THEN 1 ELSE 0 END AS BIGINT) AS v_lt,
+        |  CASE WHEN l.v IS NULL AND r.v IS NULL THEN NULL
+        |       ELSE round(COALESCE(r.v, CAST(0.0 AS DOUBLE))
+        |                  - COALESCE(l.v, CAST(0.0 AS DOUBLE)), 6)
+        |            + CAST(0.0 AS DOUBLE) END AS v_rsub
+        |FROM l FULL OUTER JOIN r ON l.k = r.k
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = gt(spark, dir, "orders")
+      val l = orders.query("o_orderkey < 1500")
+        .selectCols($"o_orderkey".as("k"), $"o_totalprice".cast("double").as("v"))
+      val r = orders.query("o_orderkey >= 1000 AND o_orderkey < 2500")
+        .selectCols($"o_orderkey".as("k"),
+          when($"o_orderkey" % 3 === 0, $"o_totalprice".cast("double"))
+            .otherwise($"o_totalprice".cast("double") + lit(1.0)).as("v"))
+      val cmp = l.compareAligned(r, Seq("eq", "ne", "lt"), on = Seq("k"))
+      val rsub = l.arithAligned(r, Seq("k"), "rsub", fillValue = Some(0.0))
+        .rename("v" -> "v_rsub")
+      cmp.df.join(rsub.df, Seq("k"))
+        .select($"k",
+          $"v_eq".cast("long").as("v_eq"),
+          $"v_ne".cast("long").as("v_ne"),
+          $"v_lt".cast("long").as("v_lt"),
+          (round($"v_rsub", 6) + lit(0.0)).as("v_rsub"))
+        .orderBy($"k")
+    },
+
     // --- §2.9 set ops: union / intersect / except
     Q("op_setops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -283,6 +283,20 @@ class ReshapeSpec extends SparkSpecBase {
       .modAligned(GraftFrame(Seq((1L, 3.0)).toDF("k", "v")), Seq("k"))
       .df.select("v").as[Double].head()
     assert(m === 2.0) // python sign-of-divisor mod
+    // reversed binop: rsub = other - this
+    val rs = GraftFrame(Seq((1L, 3.0)).toDF("k", "v"))
+      .arithAligned(GraftFrame(Seq((1L, 10.0)).toDF("k", "v")), Seq("k"), "rsub")
+      .df.select("v").as[Double].head()
+    assert(rs === 7.0)
+    // aligned comparisons: pandas NaN semantics — missing on either side
+    // compares false (eq/lt), true for ne
+    val cl = GraftFrame(Seq((1L, 5.0), (2L, 5.0)).toDF("k", "v"))
+    val cr = GraftFrame(Seq((2L, 5.0), (3L, 9.0)).toDF("k", "v"))
+    val cres = cl.compareAligned(cr, Seq("eq", "ne", "lt"), Seq("k"))
+      .df.orderBy("k").select("k", "v_eq", "v_ne", "v_lt")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(cres === Seq((1L, false, true, false), (2L, true, false, false),
+      (3L, false, true, false)))
   }
 
   test("covMatrix matches hand-computed sample covariances") {
