@@ -281,11 +281,11 @@ object Fft {
     F.concat(F.slice(c, n - s + 1, s), F.slice(c, F.lit(1), n - s))
   }
 
-  // --- 2-D per-row FFT (reference mars/tensor/fft/fft2.py:30 / ifft2.py:30;
-  // fftn beyond 2 axes stays out — the distributed long-form path covers
-  // one giant axis, and >2-D per-row tensors have no frame column type).
-  // One new UDF pair with the same justification as the 1-D kernels: a
-  // row-and-column butterfly loop has no builtin equivalent.
+  // --- 2-D per-row FFT (reference mars/tensor/fft/fft2.py:30 /
+  // ifft2.py:30) over a natural matrix column; >2-axis tensors go
+  // through the flat+shape fftnReal/ifftn pair below (r9). One UDF pair
+  // with the same justification as the 1-D kernels: a row-and-column
+  // butterfly loop has no builtin equivalent.
 
   final case class Complex2M(re: Seq[Seq[Double]], im: Seq[Seq[Double]])
 
@@ -349,5 +349,86 @@ object Fft {
       }
     })
     (a, b) => f(a, b)
+  }
+
+  // --- N-D per-row FFT (reference mars/tensor/fft/fftn.py:30 /
+  // ifftn.py:30 — closes the r8 ">2-axis fftn" de-scope): an N-D tensor
+  // lives in a frame column as a FLAT row-major array + shape (frames
+  // have no nested-N column type); the DFT separates per axis, so the
+  // 1-D kernel runs along every axis in turn (same separability fft2
+  // already uses for 2). Inverse scales 1/len per axis = 1/total overall,
+  // matching numpy.fft.ifftn.
+
+  final case class ComplexN(re: Seq[Double], im: Seq[Double])
+
+  /** In-place N-D transform over a flat row-major tensor. Every dim must
+    * be a power of two. Lines along axis `a` sit at stride
+    * `inner = Π shape(a+1..)`; iterate (outer, inner) offsets. */
+  private[graft] def transformN(re: Array[Double], im: Array[Double],
+      shape: Array[Int], inverse: Boolean): Unit = {
+    require(shape.nonEmpty, "fftn: empty shape")
+    val total = shape.product
+    require(total == re.length && total == im.length,
+      s"fftn: flat length ${re.length} != product(shape) = $total")
+    var inner = 1
+    var axis = shape.length - 1
+    while (axis >= 0) {
+      val len = shape(axis)
+      val outer = total / (len * inner)
+      val lr = new Array[Double](len)
+      val li = new Array[Double](len)
+      var o = 0
+      while (o < outer) {
+        var i = 0
+        while (i < inner) {
+          val base = o * len * inner + i
+          var k = 0
+          while (k < len) {
+            lr(k) = re(base + k * inner); li(k) = im(base + k * inner); k += 1
+          }
+          transform(lr, li, inverse)
+          k = 0
+          while (k < len) {
+            re(base + k * inner) = lr(k); im(base + k * inner) = li(k); k += 1
+          }
+          i += 1
+        }
+        o += 1
+      }
+      inner *= len
+      axis -= 1
+    }
+  }
+
+  /** N-D FFT of a real flat row-major tensor + shape → struct of flat
+    * re/im (numpy.fft.fftn on one tensor per row). */
+  val fftnReal: (Column, Column) => Column = {
+    val f = udf((xs: Seq[java.lang.Double], shape: Seq[Int]) => {
+      if (xs == null || shape == null) null
+      else {
+        val re = checkedArray(xs, "tensor")
+        val im = new Array[Double](re.length)
+        transformN(re, im, shape.toArray, inverse = false)
+        ComplexN(re.toSeq, im.toSeq)
+      }
+    })
+    (a, b) => f(a, b)
+  }
+
+  /** Inverse N-D FFT of flat re/im + shape → struct(re, im). */
+  val ifftn: (Column, Column, Column) => Column = {
+    val f = udf((res: Seq[java.lang.Double], ims: Seq[java.lang.Double],
+        shape: Seq[Int]) => {
+      if (res == null || ims == null || shape == null) null
+      else {
+        val re = checkedArray(res, "re")
+        val im = checkedArray(ims, "im")
+        require(re.length == im.length,
+          s"ifftn: re has ${re.length} elements, im has ${im.length}")
+        transformN(re, im, shape.toArray, inverse = true)
+        ComplexN(re.toSeq, im.toSeq)
+      }
+    })
+    (a, b, c) => f(a, b, c)
   }
 }

@@ -173,6 +173,55 @@ class ApiSpec extends SparkSpecBase {
     assert(ne.getMessage.contains("null element"))
   }
 
+  test("fftn matches the naive N-D DFT, reduces to fft/fft2, and inverts") {
+    import graft.functions.Fft
+    val rnd = new scala.util.Random(7)
+    val shape = Array(2, 4, 8) // three axes (the r8 de-scope this closes)
+    val total = shape.product
+    val xs = Array.fill(total)(rnd.nextDouble() * 10 - 5)
+    val re = xs.clone(); val im = new Array[Double](total)
+    Fft.transformN(re, im, shape, inverse = false)
+    // naive 3-D DFT over the row-major decomposition
+    def coords(f: Int) = (f / 32, (f / 8) % 4, f % 8)
+    for (kf <- 0 until total) {
+      val (k1, k2, k3) = coords(kf)
+      var dr = 0.0; var di = 0.0
+      for (nf <- 0 until total) {
+        val (n1, n2, n3) = coords(nf)
+        val ang = -2 * math.Pi * (n1 * k1 / 2.0 + n2 * k2 / 4.0 + n3 * k3 / 8.0)
+        dr += xs(nf) * math.cos(ang); di += xs(nf) * math.sin(ang)
+      }
+      assert(math.abs(re(kf) - dr) < 1e-8 && math.abs(im(kf) - di) < 1e-8,
+        s"bin $kf: fftn (${re(kf)}, ${im(kf)}) vs dft ($dr, $di)")
+    }
+    // inverse round trip (scales 1/total like numpy ifftn)
+    Fft.transformN(re, im, shape, inverse = true)
+    xs.indices.foreach { i =>
+      assert(math.abs(re(i) - xs(i)) < 1e-10 && math.abs(im(i)) < 1e-10)
+    }
+    // 1-axis fftn == plain fft; 2-axis fftn == fft2 on the same data
+    val re1 = xs.take(16).toArray; val im1 = new Array[Double](16)
+    Fft.transformN(re1, im1, Array(16), inverse = false)
+    val re1b = xs.take(16).toArray; val im1b = new Array[Double](16)
+    Fft.transform(re1b, im1b, inverse = false)
+    assert(re1.sameElements(re1b) && im1.sameElements(im1b))
+    val re2 = xs.take(32).toArray; val im2 = new Array[Double](32)
+    Fft.transformN(re2, im2, Array(4, 8), inverse = false)
+    val m = Array.tabulate(4, 8)((r, c) => xs(r * 8 + c))
+    val mi = Array.fill(4)(new Array[Double](8))
+    Fft.transform2(m, mi, inverse = false)
+    for (r <- 0 until 4; c <- 0 until 8) {
+      assert(math.abs(re2(r * 8 + c) - m(r)(c)) < 1e-12 &&
+        math.abs(im2(r * 8 + c) - mi(r)(c)) < 1e-12)
+    }
+    // column form: shape/length mismatch fails loudly
+    val badN = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(2, 4))).toDF("xs", "shape")
+    val eN = intercept[Exception] {
+      badN.select(Fft.fftnReal(col("xs"), col("shape"))).collect()
+    }
+    assert(eN.getMessage.contains("product(shape)"))
+  }
+
   test("fftLong (distributed four-step) matches the per-row FFT bin-exact-ish") {
     import graft.functions.Fft
     val rnd = new scala.util.Random(5)
