@@ -900,6 +900,56 @@ object OpsExtra {
         .orderBy($"user_id", $"s_start_us")
     },
 
+    // --- §2.16 STREAM-STREAM interval join ≡ batch (r9 — upgrades
+    //     intervalJoinStream from spec-only to differentially gated):
+    //     even-id events stream-joined to odd-id events of the same user
+    //     within 24 h, both sides watermarked, run over the 3-range-file
+    //     staging with maxFilesPerTrigger=1 so join STATE carries left
+    //     rows across real batch boundaries (a left row's matches arrive
+    //     in later micro-batches). ts-ordered batches + a 0 s watermark
+    //     mean nothing is ever late, so the append-mode result set equals
+    //     the batch join exactly.
+    Q("op_stream_interval_parity",
+      """WITH e AS (SELECT user_id, event_id, ts FROM events WHERE user_id < 20)
+        |SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) < epoch_us(l.ts) + 86400000000
+        |WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        |ORDER BY l.user_id, left_id, right_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(spark, dir, "events", "ts")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      def stream() = {
+        val raw = spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+        val ev = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case org.apache.spark.sql.types.TimestampType => raw
+          case _ =>
+            raw.withColumn("ts",
+              $"ts".cast(org.apache.spark.sql.types.TimestampType))
+        }
+        ev.filter($"user_id" < 20).select($"user_id", $"event_id", $"ts")
+      }
+      val left = stream().filter($"event_id" % 2 === 0)
+      val right = stream().filter($"event_id" % 2 === 1)
+      val sinkName = s"strm_ij_${StreamParity.next()}"
+      val q = graft.streaming.StreamOps
+        .intervalJoinStream(left, right, windowSeconds = 86400L, "0 seconds")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.table(sinkName)
+        .select($"user_id", $"left_id", $"right_id")
+        .orderBy($"user_id", $"left_id", $"right_id")
+    },
+
     // --- §2.10 str accessor, wide coverage (reference base/string_.py:34;
     //     the 8-method op_str_ops plus this cover the commonly-used surface,
     //     AccessorSpec covers the remainder on literal frames)
