@@ -900,6 +900,54 @@ object OpsExtra {
         .orderBy($"user_id", $"s_start_us")
     },
 
+    // --- §2.16 streaming SLIDING windows ≡ batch (r9): the 2h/1h
+    //     sliding aggregate as a real streaming query (complete mode,
+    //     state accumulating across the 3 ts-range micro-batches); the
+    //     oracle enumerates each event's two member windows directly
+    //     (starts at floor(t/1h)·1h and one hour earlier).
+    Q("op_stream_sliding_parity",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS tsec, value
+        |  FROM events WHERE user_id < 40),
+        |m AS (
+        |  SELECT event_type,
+        |         (tsec // 3600 - j) * 3600 AS w_start, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(2)) AS j) js)
+        |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(spark, dir, "events", "ts")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val raw = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      val ev = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ =>
+          raw.withColumn("ts", $"ts".cast(org.apache.spark.sql.types.TimestampType))
+      }
+      val sinkName = s"strm_slide_${StreamParity.next()}"
+      val q = ev.filter($"user_id" < 40)
+        .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumD(dec12($"value")).as("total"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.table(sinkName)
+        .select($"event_type",
+          expr("unix_micros(window.start) DIV 1000000").as("w_start"),
+          $"n", $"total")
+        .orderBy($"event_type", $"w_start")
+    },
+
     // --- §2.16 STREAM-STREAM interval join ≡ batch (r9 — upgrades
     //     intervalJoinStream from spec-only to differentially gated):
     //     even-id events stream-joined to odd-id events of the same user
