@@ -234,6 +234,38 @@ class PlanShapeSpec extends SparkSpecBase {
       || plan.contains("FullOuter"), plan.take(800))
   }
 
+  test("series alignment and comparisons: one key join, cells stay projections") {
+    val l = GraftFrame((1 to 500).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+      .setIndex("k")
+    val s = GraftFrame((200 to 700).map(i => (i.toLong, i * 2.0)).toDF("k", "s"))
+    val ser = l.arithAlignedSeries(s, "sub", fillValue = Some(0.0)).df
+    assert(shuffles(ser) <= 2, ser.queryExecution.executedPlan.toString.take(800))
+    assert(!ser.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val cmp = l.compareAligned(GraftFrame(s.df.toDF("k", "v")),
+      Seq("eq", "ne", "lt")).df
+    assert(shuffles(cmp) <= 2, cmp.queryExecution.executedPlan.toString.take(800))
+    // axis=1 column broadcast is a PURE projection — zero exchanges
+    val bc = l.arithColumnBroadcast(Map("v" -> 2.0), "mul").df
+    assert(shuffles(bc) == 0, bc.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("jaccard pair generation stays in codegen generators (no interpreted HOF fan-out)") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta tok$i word${i % 7} end${i % 3}"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.1)
+    val plan = out.queryExecution.executedPlan.toString
+    // the r9 pair path: chained Generate(posexplode) nodes + the i<j
+    // position filter — the r8 transform(slice(...)) shape planned an
+    // interpreted higher-order lambda per PAIR and dominated the stage
+    // (PERF.md r9). (The shingle GENERATION still uses a per-row
+    // transform over small word arrays — that one is fine.)
+    assert("Generate posexplode".r.findAllIn(plan).size >= 2, plan.take(1200))
+    assert("Filter \\(j#\\d+ > i#\\d+\\)".r.findAllIn(plan).nonEmpty,
+      plan.take(1200))
+  }
+
   test("fftLong: two group-FFT exchanges, no window, no cartesian") {
     val df = (0 until 64).map(i => (i.toLong, i * 1.0, 0.0)).toDF("pos", "re", "im")
     val out = graft.functions.Fft.fftLong(df, "pos", "re", "im", 64L)
