@@ -900,6 +900,52 @@ object OpsExtra {
         .orderBy($"user_id", $"s_start_us")
     },
 
+    // --- §2.16 streaming DECONTAMINATION ≡ batch (r9): the stream-static
+    //     ingest filter (incoming docs' shingles probed against a
+    //     broadcast benchmark table) run as a real multi-batch streaming
+    //     aggregation in complete mode, against the exact-overlap batch
+    //     oracle (ext_decontaminate's construct at the same parameters).
+    Q("op_stream_decon_parity",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS sh
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+        |             FROM d WHERE len(w) >= 3) t),
+        |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+        |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+        |         FROM sh s JOIN bsh ON s.sh = bsh.sh
+        |         WHERE s.doc_id >= 20 GROUP BY s.doc_id)
+        |SELECT c.doc_id,
+        |       COALESCE(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+        |       COALESCE(h.n_contaminated_ngrams, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) c
+        |LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(spark, dir, "documents", "doc_id")
+      // the benchmark set is STATIC (batch-read); the corpus streams
+      val bench = spark.read.parquet(stageDir.toString)
+        .filter($"doc_id" < 20)
+        .select(explode(graft.functions.TextFunctions
+          .hashedShingles($"text", 3)).as("__sh"))
+        .distinct()
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+        .filter($"doc_id" >= 20)
+      val sinkName = s"strm_decon_${StreamParity.next()}"
+      val q = graft.streaming.StreamOps
+        .decontaminateStream(stream, bench, n = 3, minOverlap = 3)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.table(sinkName)
+        .select($"doc_id", $"n_contaminated_ngrams", $"contaminated")
+        .orderBy($"doc_id")
+    },
+
     // --- §2.16 streaming SLIDING windows ≡ batch (r9): the 2h/1h
     //     sliding aggregate as a real streaming query (complete mode,
     //     state accumulating across the 3 ts-range micro-batches); the
