@@ -464,4 +464,72 @@ class PropertySpec extends SparkSpecBase {
       bad.select(extract($"c", $"a")).collect()
     }
   }
+
+  test("aligned-binop algebra: reversed ops, commutativity, comparison duality") {
+    val pairGen: Gen[(List[(Long, Double)], List[(Long, Double)])] = {
+      val side = Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 15L)
+        v <- Gen.choose(1, 50).map(_.toDouble) // positive: safe for div/mod
+      } yield (k, v)).map(_.distinctBy(_._1))
+      Gen.zip(side, side)
+    }
+    forAll(pairGen) { case (la, ra) =>
+      val l = GraftFrame(la.toDF("k", "v"))
+      val r = GraftFrame(ra.toDF("k", "v"))
+      def cells(f: GraftFrame): Map[Long, Option[Double]] =
+        f.df.select("k", "v").collect()
+          .map(row => row.getLong(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+      // rOP(l, r) == OP(r, l) cell-for-cell, with and without fill
+      for (fill <- Seq(None, Some(1.0)); op <- Seq("sub", "div", "mod")) {
+        assert(cells(l.arithAligned(r, Seq("k"), "r" + op, fill)) ==
+          cells(r.arithAligned(l, Seq("k"), op, fill)),
+          s"r$op(l,r) != $op(r,l) fill=$fill")
+      }
+      // add/mul commute
+      for (op <- Seq("add", "mul")) {
+        assert(cells(l.arithAligned(r, Seq("k"), op, Some(0.0))) ==
+          cells(r.arithAligned(l, Seq("k"), op, Some(0.0))), s"$op not commutative")
+      }
+      // comparison duality: lt(l,r) == gt(r,l); ne == !eq on every key
+      def bools(f: GraftFrame, c: String): Map[Long, Boolean] =
+        f.df.select(col("k"), col(c)).collect()
+          .map(row => row.getLong(0) -> row.getBoolean(1)).toMap
+      val fwd = l.compareAligned(r, Seq("eq", "ne", "lt"), Seq("k"))
+      val bwd = r.compareAligned(l, Seq("gt"), Seq("k"))
+      assert(bools(fwd, "v_lt") == bools(bwd, "v_gt"), "lt(l,r) != gt(r,l)")
+      val eqm = bools(fwd, "v_eq"); val nem = bools(fwd, "v_ne")
+      assert(eqm.keySet == nem.keySet && eqm.forall { case (k, b) => nem(k) == !b },
+        "ne is not eq's negation")
+      // a Series of the same keyed values subtracts to zero on shared keys
+      val series = GraftFrame(ra.toDF("k", "s"))
+      val z = cells(r.setIndex("k").arithAlignedSeries(series, "sub"))
+      ra.foreach { case (k, _) => assert(z(k).contains(0.0), s"self-sub at $k") }
+    }
+  }
+
+  test("anchored week labels land on the anchor weekday, within 6 days ahead") {
+    import graft.operators.Sessionize
+    val dayGen: Gen[List[Int]] =
+      Gen.nonEmptyListOf(Gen.choose(0, 3650)) // ~10y of epoch days
+    forAll(dayGen) { offsets =>
+      val df = offsets.distinct.map(o => ("k", o)).toDF("k", "off")
+        .select($"k", expr("timestamp_seconds(CAST(off AS BIGINT) * 86400)").as("ts"),
+          lit(1L).as("v"))
+      for ((anchor, dow) <- Seq(("W-MON", 1), ("W-FRI", 5))) {
+        val labels = Sessionize.resampleCalendar(df, "k", "ts", $"v", anchor)
+          .filter($"cnt" > 0)
+          .select(dayofweek($"day"), datediff($"day", lit("1970-01-01")))
+          .as[(Int, Int)].collect()
+        // Spark dayofweek: 1=Sunday..7=Saturday; anchor MON=2, FRI=6
+        labels.foreach { case (d, _) => assert(d == dow + 1, s"$anchor label dow=$d") }
+        // every observed day maps to a label 0..6 days AHEAD (right label)
+        val lblSet = labels.map(_._2).toSet
+        offsets.distinct.foreach { o =>
+          assert((0 to 6).exists(j => lblSet.contains(o + j)),
+            s"day $o has no $anchor label within 6 days ahead")
+        }
+      }
+    }
+  }
 }
