@@ -90,8 +90,29 @@ object ScaleBench {
       },
       "curation6" -> { (s: SparkSession, dir: String) =>
         SparkEntry.queries("ext_curation6")(s, dir).count()
+      },
+      "stream_dedup" -> { (s: SparkSession, dir: String) =>
+        // streaming first-seen dedup over the staged files in ~4
+        // micro-batches — the ingest-time filter's throughput curve
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val nFiles = new java.io.File(path).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        val perTrigger = math.max(1, nFiles / 4)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger).parquet(path)
+        val sink = s"scale_dedup_${streamSinkSeq.incrementAndGet()}"
+        val q = graft.streaming.StreamOps.streamingExactDedup(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          s.table(sink).count()
+        } finally q.stop()
       })
   }
+
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,100")
