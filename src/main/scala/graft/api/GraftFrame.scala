@@ -210,18 +210,36 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   /** pandas rank over explicit partition/order (reference: sort-based rank;
     * Spark ranking windows are free capability — SURVEY §2.7).
-    * method: "min" (pandas rank ties→min), "dense", "first" (row_number). */
+    * method: "min" (pandas rank ties→min), "dense", "first" (row_number),
+    * "max" (ties→max = min-rank + tie-group size − 1), and pandas'
+    * DEFAULT "average" (min + (ties−1)/2 — an exact .0/.5 double since
+    * the tie count is an integer, so it stays oracle-exact). max/average
+    * add one count window over (partition, order-key) tie groups —
+    * same partitioning, no extra shuffle. */
   def rank(out: String, partitionBy: Seq[String], orderBy: Seq[Column],
       method: String = "min"): GraftFrame = {
     val w = (if (partitionBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(partitionBy.map(df(_)): _*)).orderBy(orderBy: _*)
-    val r = method match {
-      case "min" => org.apache.spark.sql.functions.rank()
-      case "dense" => dense_rank()
-      case "first" => row_number()
+    method match {
+      case "min" =>
+        assign(out -> org.apache.spark.sql.functions.rank().over(w).cast("long"))
+      case "dense" => assign(out -> dense_rank().over(w).cast("long"))
+      case "first" => assign(out -> row_number().over(w).cast("long"))
+      case "max" | "average" =>
+        // tie-group size via the min-rank VALUE (rows tie ⟺ equal rank),
+        // so asc/desc order columns need no unwrapping; the count window
+        // shares the rank window's partitioning — no extra shuffle
+        val withR = df.withColumn("__tmprank",
+          org.apache.spark.sql.functions.rank().over(w).cast("long"))
+        val ties = count(lit(1)).over(Window.partitionBy(
+          (partitionBy.map(col) :+ col("__tmprank")): _*))
+        val r =
+          if (method == "max") col("__tmprank") + ties - 1L
+          else col("__tmprank").cast("double") +
+            (ties - 1L).cast("double") / lit(2.0)
+        GraftFrame(withR.withColumn(out, r).drop("__tmprank"), index)
       case m => throw new IllegalArgumentException(s"unknown rank method: $m")
     }
-    assign(out -> r.over(w).cast("long"))
   }
 
   /** pandas rank(pct=True): rank divided by the NON-NULL group size — an

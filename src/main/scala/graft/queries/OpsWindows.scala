@@ -268,6 +268,41 @@ object OpsWindows {
         .df
     },
 
+    // --- §2.7 the remaining pandas rank methods (r9): ties→max and the
+    //     pandas DEFAULT 'average' (min + (ties−1)/2 — exact .0/.5
+    //     doubles, no rounding needed) over integer quantities with
+    //     heavy ties. Rows sharing (g, id, q) are wholly determined by
+    //     (g, q), so the ORDER BY is hash-stable.
+    Q("op_rank_methods",
+      """SELECT l_returnflag AS g, l_orderkey * 8 + l_linenumber AS id,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(rank() OVER w AS BIGINT) AS r_min,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS r_dense,
+        |  CAST(rank() OVER w
+        |       + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |       - 1 AS BIGINT) AS r_max,
+        |  CAST(rank() OVER w AS DOUBLE)
+        |    + CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |           - 1 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS r_avg
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY g, id, q""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ord = Seq($"l_quantity".asc)
+      gt(spark, dir, "lineitem")
+        .query("l_orderkey < 2000")
+        .eval("g", "l_returnflag")
+        .eval("id", "l_orderkey * 8 + l_linenumber")
+        .eval("q", "CAST(l_quantity AS LONG)")
+        .rank("r_min", Seq("g"), ord, "min")
+        .rank("r_dense", Seq("g"), ord, "dense")
+        .rank("r_max", Seq("g"), ord, "max")
+        .rank("r_avg", Seq("g"), ord, "average")
+        .select("g", "id", "q", "r_min", "r_dense", "r_max", "r_avg")
+        .sortValues(Seq("g", "id", "q"))
+        .df
+    },
+
     // --- §2.6 groupby.head: top-k per group
     Q("op_groupby_head",
       """SELECT n_name, s_name, s_acctbal FROM (
