@@ -1111,6 +1111,12 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       unit: String): GraftFrame =
     GraftFrame(Sessionize.resampleCalendar(df, keyCol, tsCol, sumCol, unit))
 
+  /** pandas resample(unit).agg(name -> aggExpr, ...) — caller-chosen
+    * aggregates on the gap-free calendar grid (holes carry nulls). */
+  def resampleAgg(keyCol: String, tsCol: String, unit: String,
+      aggs: (String, Column)*): GraftFrame =
+    GraftFrame(Sessionize.resampleAgg(df, keyCol, tsCol, unit, aggs))
+
   def clip(colName: String, lower: Double, upper: Double): GraftFrame =
     assign(colName -> least(greatest(df(colName), lit(lower)), lit(upper)))
 

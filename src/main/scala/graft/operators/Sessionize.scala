@@ -275,6 +275,55 @@ object Sessionize {
       tsCol: String,
       sumCol: Column,
       unit: String): DataFrame = {
+    val (bucket, step, relabel) = calendarBucketSpec(unit, tsCol)
+    val perBucket = events
+      .groupBy(col(keyCol), bucket.as("day"))
+      .agg(count(lit(1)).as("cnt"), sum(sumCol).as("sum_val"))
+    val grid = events
+      .groupBy(col(keyCol))
+      .agg(min(bucket).as("__d0"), max(bucket).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), step)).as("day"))
+    val joined = grid.join(perBucket, Seq(keyCol, "day"), "left")
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    relabel(joined.select(col(keyCol), col("day"),
+      coalesce(col("cnt"), lit(0L)).as("cnt"),
+      col("sum_val"),
+      last(col("sum_val"), ignoreNulls = true).over(wBack).as("sum_ffill")))
+  }
+
+  /** pandas resample(unit).agg(...) — the [[resampleCalendar]] gap-free
+    * grid with CALLER-CHOSEN aggregates instead of the fixed
+    * cnt/sum/ffill triple: each (name, aggExpr) lands per bucket, grid
+    * holes carry nulls (pandas NaN on empty bins). Same unit grammar
+    * (including the anchored offsets) and the same scale shape: one
+    * partial+final aggregate + the per-key grid join. */
+  def resampleAgg(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      unit: String,
+      aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty, "resampleAgg needs at least one aggregate")
+    val (bucket, step, relabel) = calendarBucketSpec(unit, tsCol)
+    val perBucket = events
+      .groupBy(col(keyCol), bucket.as("day"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val grid = events
+      .groupBy(col(keyCol))
+      .agg(min(bucket).as("__d0"), max(bucket).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), step)).as("day"))
+    relabel(grid.join(perBucket, Seq(keyCol, "day"), "left"))
+  }
+
+  /** The calendar-unit grammar shared by the resample family: bucket
+    * expression, grid step, and the post-ffill label rewrite (end-labeled
+    * units grid on period STARTS — ends don't step uniformly). */
+  private def calendarBucketSpec(unit: String, tsCol: String)
+      : (Column, Column, DataFrame => DataFrame) = {
     val weekAnchor = "(?i)^W-(MON|TUE|WED|THU|FRI|SAT|SUN)$".r
     val ysAnchor = "(?i)^YS-([A-Z]{3})$".r
     val qsAnchor = "(?i)^QS-([A-Z]{3})$".r
@@ -327,32 +376,19 @@ object Sessionize {
       case qsAnchor(_) => expr("INTERVAL 3 MONTH")
       case u => expr(s"INTERVAL 1 ${u.toUpperCase}")
     }
-    val perBucket = events
-      .groupBy(col(keyCol), bucket.as("day"))
-      .agg(count(lit(1)).as("cnt"), sum(sumCol).as("sum_val"))
-    val grid = events
-      .groupBy(col(keyCol))
-      .agg(min(bucket).as("__d0"), max(bucket).as("__d1"))
-      .select(col(keyCol),
-        explode(sequence(col("__d0"), col("__d1"), step)).as("day"))
-    val joined = grid.join(perBucket, Seq(keyCol, "day"), "left")
-    val wBack = Window.partitionBy(col(keyCol)).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = joined.select(col(keyCol), col("day"),
-      coalesce(col("cnt"), lit(0L)).as("cnt"),
-      col("sum_val"),
-      last(col("sum_val"), ignoreNulls = true).over(wBack).as("sum_ffill"))
-    // '1M' labels each month bucket with its LAST day (grid/ffill ran on
+    // '1M' labels each month bucket with its LAST day (grid/ffill run on
     // month starts, which last_day maps monotonically); '1Y'/'1A'
-    // likewise labels each year with its Dec 31
-    if (unit == "month_end") out.withColumn("day", last_day(col("day")))
-    else if (unit == "year_end")
-      out.withColumn("day", make_date(year(col("day")), lit(12), lit(31)))
-    else if (unit == "quarter_end")
-      // grid/ffill ran on quarter STARTS (quarter-end labels don't step
-      // uniformly: Sep 30 + 3 months = Dec 30); relabel monotonically
-      out.withColumn("day", last_day(add_months(col("day"), 2)))
-    else out
+    // likewise labels each year with its Dec 31; '1Q' with the quarter's
+    // last day (Sep 30 + 3 months = Dec 30 — ends don't step uniformly)
+    val relabel: DataFrame => DataFrame = unit match {
+      case "month_end" => _.withColumn("day", last_day(col("day")))
+      case "year_end" =>
+        _.withColumn("day", make_date(year(col("day")), lit(12), lit(31)))
+      case "quarter_end" =>
+        _.withColumn("day", last_day(add_months(col("day"), 2)))
+      case _ => identity
+    }
+    (bucket, step, relabel)
   }
 
   /** JAN..DEC → 1..12 (the YS- anchor grammar). */

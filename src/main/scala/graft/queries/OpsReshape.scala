@@ -381,6 +381,44 @@ object OpsReshape {
         .orderBy($"freq", $"pri", $"day")
     },
 
+    // --- §2.16 resample(unit).agg(...) with CALLER-CHOSEN aggregates
+    //     (r9): weekly min/max/count/mean over integer values on the
+    //     gap-free grid, holes null (pandas NaN bins). mean is an exact
+    //     BIGINT-sum / BIGINT-count double division — no rounding.
+    Q("op_resample_agg",
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS day,
+        |         CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 15),
+        |wk AS (
+        |  SELECT user_id, day, COUNT(*) AS n,
+        |         min(v) AS vmin, max(v) AS vmax,
+        |         CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS vavg
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM wk GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 WEEK)) AS DATE) AS day
+        |  FROM bounds)
+        |SELECT g.user_id, CAST(g.day - DATE '1970-01-01' AS BIGINT) AS day,
+        |       w.n, w.vmin, w.vmax, w.vavg
+        |FROM grid g LEFT JOIN wk w ON g.user_id = w.user_id AND g.day = w.day
+        |ORDER BY g.user_id, day""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir, "events").filter($"user_id" < 15)
+        .select($"user_id", $"ts", floor($"value").cast("long").as("v"))
+      graft.api.GraftFrame(ev)
+        .resampleAgg("user_id", "ts", "week",
+          "n" -> count(lit(1)),
+          "vmin" -> min($"v"), "vmax" -> max($"v"),
+          "vavg" -> (sum($"v").cast("double") / count(lit(1)).cast("double")))
+        .assign("day" -> datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .select("user_id", "day", "n", "vmin", "vmax", "vavg")
+        .sortValues(Seq("user_id", "day"))
+        .df
+    },
+
     // --- §2.16 resample('1H'): sub-daily hourly grid (the events fixture
     //     is sub-daily, so the hour grid is the natural pandas
     //     resample('1H') shape) — same gap-free completion, cnt=0 gaps,
