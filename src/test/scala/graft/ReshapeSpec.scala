@@ -218,6 +218,42 @@ class ReshapeSpec extends SparkSpecBase {
     assert(e.getMessage.contains("W-MON"))
   }
 
+  test("resampleAgg: chosen aggregates on the gap-free grid, end labels apply") {
+    import graft.operators.Sessionize
+    val df = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 10L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), 4L),
+      // February empty; March has two rows
+      ("k", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 7L),
+      ("k", java.sql.Timestamp.valueOf("2024-03-30 00:00:00"), 1L))
+      .toDF("k", "ts", "v")
+    val got = Sessionize.resampleAgg(df, "k", "ts", "month_end",
+        Seq("n" -> count(lit(1)), "vmin" -> min(col("v")), "vmax" -> max(col("v"))))
+      .orderBy("day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("n"), col("vmin"), col("vmax"))
+      .as[(String, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-31", Some(2L), Some(4L), Some(10L)),
+      ("2024-02-29", None, None, None), // gap month: null bin (leap-aware label)
+      ("2024-03-31", Some(2L), Some(1L), Some(7L))))
+  }
+
+  test("rank method='average'/'max' reproduce pandas tie rules") {
+    val df = Seq(1L -> 10.0, 2L -> 20.0, 3L -> 20.0, 4L -> 20.0, 5L -> 30.0)
+      .toDF("id", "v")
+    // pandas: [1, 3, 3, 3, 5] avg; [1, 4, 4, 4, 5] max
+    val avg = GraftFrame(df).rank("r", Nil, Seq(col("v")), "average")
+      .df.orderBy("id").select("r").as[Double].collect().toSeq
+    assert(avg === Seq(1.0, 3.0, 3.0, 3.0, 5.0))
+    val mx = GraftFrame(df).rank("r", Nil, Seq(col("v")), "max")
+      .df.orderBy("id").select("r").as[Long].collect().toSeq
+    assert(mx === Seq(1L, 4L, 4L, 4L, 5L))
+    // desc order columns work (tie groups via the rank value)
+    val avgD = GraftFrame(df).rank("r", Nil, Seq(col("v").desc), "average")
+      .df.orderBy("id").select("r").as[Double].collect().toSeq
+    assert(avgD === Seq(5.0, 3.0, 3.0, 3.0, 1.0))
+  }
+
   test("arithAligned applies pandas fill_value cell rules") {
     val l = GraftFrame(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
       .toDF("k", "v", "c"))
