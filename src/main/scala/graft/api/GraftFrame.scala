@@ -255,16 +255,38 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     val valid = orderBy.map(_.isNotNull).reduce(_ && _)
     val nValid = sum(when(valid, 1L).otherwise(0L)).over(part)
     val nNull = count(lit(1)).over(part) - nValid
-    val (r, shift) = method match {
-      // nulls-first ordering gives null rows the lowest ranks; the shift
-      // restores the pandas 1..m ranking over non-null rows only
-      case "min" => (org.apache.spark.sql.functions.rank(), nNull)
-      case "dense" => (dense_rank(), when(nNull > 0, 1L).otherwise(0L))
-      case "first" => (row_number(), nNull)
-      case m => throw new IllegalArgumentException(s"unknown rank method: $m")
+    method match {
+      case "max" | "average" =>
+        // ties via the min-rank value (same trick as [[rank]]); pct stays
+        // an exact rational (integers + a half) over the non-null count
+        val withR = df
+          .withColumn("__tmpnv", nValid)
+          .withColumn("__tmpsh", nNull)
+          .withColumn("__tmpok", valid)
+          .withColumn("__tmprank",
+            org.apache.spark.sql.functions.rank().over(w).cast("long"))
+        val ties = count(lit(1)).over(Window.partitionBy(
+          (partitionBy.map(col) :+ col("__tmprank")): _*))
+        val adj =
+          if (method == "max")
+            (col("__tmprank") - col("__tmpsh") + ties - 1L).cast("double")
+          else (col("__tmprank") - col("__tmpsh")).cast("double") +
+            (ties - 1L).cast("double") / lit(2.0)
+        GraftFrame(withR.withColumn(out,
+            when(col("__tmpok"), adj / col("__tmpnv").cast("double")))
+          .drop("__tmpnv", "__tmpsh", "__tmpok", "__tmprank"), index)
+      case _ =>
+        val (r, shift) = method match {
+          // nulls-first ordering gives null rows the lowest ranks; the
+          // shift restores the pandas 1..m ranking over non-null rows only
+          case "min" => (org.apache.spark.sql.functions.rank(), nNull)
+          case "dense" => (dense_rank(), when(nNull > 0, 1L).otherwise(0L))
+          case "first" => (row_number(), nNull)
+          case m => throw new IllegalArgumentException(s"unknown rank method: $m")
+        }
+        assign(out -> when(valid,
+          (r.over(w).cast("long") - shift).cast("double") / nValid.cast("double")))
     }
-    assign(out -> when(valid,
-      (r.over(w).cast("long") - shift).cast("double") / nValid.cast("double")))
   }
 
   /** Positional column insert (reference indexing/insert.py:28). */

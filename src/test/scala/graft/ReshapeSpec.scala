@@ -252,6 +252,19 @@ class ReshapeSpec extends SparkSpecBase {
     val avgD = GraftFrame(df).rank("r", Nil, Seq(col("v").desc), "average")
       .df.orderBy("id").select("r").as[Double].collect().toSeq
     assert(avgD === Seq(5.0, 3.0, 3.0, 3.0, 1.0))
+    // pct variants: exact rationals over the non-null count
+    val avgPct = GraftFrame(df).rankPct("r", Nil, Seq(col("v")), "average")
+      .df.orderBy("id").select("r").as[Double].collect().toSeq
+    assert(avgPct === Seq(0.2, 0.6, 0.6, 0.6, 1.0))
+    val maxPct = GraftFrame(df).rankPct("r", Nil, Seq(col("v")), "max")
+      .df.orderBy("id").select("r").as[Double].collect().toSeq
+    assert(maxPct === Seq(0.2, 0.8, 0.8, 0.8, 1.0))
+    // null order keys stay null and don't shift the non-null ranking
+    val withNull = Seq((1L, Some(10.0)), (2L, None), (3L, Some(20.0)))
+      .toDF("id", "v")
+    val np = GraftFrame(withNull).rankPct("r", Nil, Seq(col("v")), "average")
+      .df.orderBy("id").select("r").as[Option[Double]].collect().toSeq
+    assert(np === Seq(Some(0.5), None, Some(1.0)))
   }
 
   test("arithAligned applies pandas fill_value cell rules") {
