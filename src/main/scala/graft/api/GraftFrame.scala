@@ -667,6 +667,36 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     GraftFrame(counted.na.fill(0L, fillCols))
   }
 
+  /** pandas crosstab(normalize='all'|'index'|'columns'): the [[crosstab]]
+    * counts divided by the grand total, each row's total, or each
+    * column's total — exact long/long rational divisions, so the result
+    * is oracle-exact. 'columns' adds one tiny aggregate over the count
+    * matrix (rows ∝ distinct row keys, never the data). */
+  def crosstabNormalized(rowCol: String, colCol: String, normalize: String,
+      colValues: Seq[Any] = Nil): GraftFrame = {
+    val counts = crosstab(rowCol, colCol, colValues).df
+    val cellCols = counts.columns.filterNot(_ == rowCol).toSeq
+    val out = normalize match {
+      case "all" =>
+        val w = Window.partitionBy()
+        val total = cellCols.map(c => sum(col(c)).over(w)).reduce(_ + _)
+        counts.select(col(rowCol) +: cellCols.map(c =>
+          (col(c).cast("double") / total.cast("double")).as(c)): _*)
+      case "index" =>
+        val rowTotal = cellCols.map(col).reduce(_ + _)
+        counts.select(col(rowCol) +: cellCols.map(c =>
+          (col(c).cast("double") / rowTotal.cast("double")).as(c)): _*)
+      case "columns" =>
+        val w = Window.partitionBy()
+        counts.select(col(rowCol) +: cellCols.map(c =>
+          (col(c).cast("double") /
+            sum(col(c)).over(w).cast("double")).as(c)): _*)
+      case n => throw new IllegalArgumentException(
+        s"normalize must be all|index|columns: $n")
+    }
+    GraftFrame(out)
+  }
+
   /** pandas pipe: apply a frame-to-frame function in a chain. */
   def pipe(f: GraftFrame => GraftFrame): GraftFrame = f(this)
 

@@ -141,6 +141,50 @@ object OpsReshape {
         .df
     },
 
+    // --- §2.10 crosstab(normalize=) (r9): the count matrix divided by
+    //     the grand total / row totals / column totals — exact long/long
+    //     rational divisions, no rounding needed (CLAUDE.md exact-
+    //     rationals rule); all three pandas normalize modes in one gate.
+    Q("op_crosstab_norm",
+      """WITH ct AS (
+        |  SELECT o_orderpriority AS pri,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(f + o + p) AS DOUBLE) AS t,
+        |         CAST(SUM(f) AS DOUBLE) AS tf,
+        |         CAST(SUM(o) AS DOUBLE) AS tn,
+        |         CAST(SUM(p) AS DOUBLE) AS tp
+        |  FROM ct)
+        |SELECT 'all' AS norm, pri,
+        |  CAST(f AS DOUBLE) / t AS "F", CAST(o AS DOUBLE) / t AS "O",
+        |  CAST(p AS DOUBLE) / t AS "P"
+        |FROM ct, tot
+        |UNION ALL
+        |SELECT 'index', pri,
+        |  CAST(f AS DOUBLE) / CAST(f + o + p AS DOUBLE),
+        |  CAST(o AS DOUBLE) / CAST(f + o + p AS DOUBLE),
+        |  CAST(p AS DOUBLE) / CAST(f + o + p AS DOUBLE)
+        |FROM ct
+        |UNION ALL
+        |SELECT 'columns', pri,
+        |  CAST(f AS DOUBLE) / tf, CAST(o AS DOUBLE) / tn,
+        |  CAST(p AS DOUBLE) / tp
+        |FROM ct, tot
+        |ORDER BY norm, pri""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      def variant(mode: String) =
+        gt(spark, dir, "orders")
+          .crosstabNormalized("o_orderpriority", "o_orderstatus", mode,
+            Seq("F", "O", "P"))
+          .df.select(lit(mode).as("norm"), $"o_orderpriority".as("pri"),
+            $"F", $"O", $"P")
+      variant("all").unionAll(variant("index")).unionAll(variant("columns"))
+        .orderBy($"norm", $"pri")
+    },
+
     // --- §2.10 pivot_table(margins=True): conditional sums over
     //     cube(index) — the cube's grand-total grouping set IS the margin
     //     row; no union, no second scan. Exact DECIMAL sums → double.
