@@ -95,10 +95,15 @@ class GuardrailsSpec extends SparkSpecBase {
   }
 
   test("rankPct and rank reject unknown methods") {
+    // 'average' and 'max' are supported since r9 — probe a real unknown
     val e = intercept[IllegalArgumentException] {
-      tiny.rankPct("p", Seq("k"), Seq(col("v")), "average")
+      tiny.rankPct("p", Seq("k"), Seq(col("v")), "median")
     }
     assert(e.getMessage.contains("rank method"))
+    val e2 = intercept[IllegalArgumentException] {
+      tiny.rank("p", Seq("k"), Seq(col("v")), "median")
+    }
+    assert(e2.getMessage.contains("rank method"))
   }
 
   test("pqFit rejects a dim that does not divide into subspaces") {
