@@ -1472,6 +1472,55 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       .select(col("r.col_a"), col("r.col_b"), col("r.corr")))
   }
 
+  /** pandas df.corr(method='spearman') (scipy.stats.spearmanr matrix):
+    * Pearson over EXACT average ranks. Ranks are carried as integer
+    * DOUBLE-ranks r2 = 2·below + count (average rank × 2 — always an
+    * integer, so the moment sums are exact DECIMAL(38,0) on any engine
+    * and the matrix is oracle-able at round-4 like the grouped-OLS
+    * closed form; a raw covar_samp over rank doubles would be an
+    * order-dependent float sum). Rows with a null in ANY column are
+    * dropped first (scipy's listwise matrix; pandas' pairwise-complete
+    * differs — documented divergence).
+    *
+    * Scale shape: per column, the [[quantileTransform]] bucketed
+    * two-pass (distinct values → range-partitioned cumulative counts →
+    * value-keyed join back — never a single-task global rank), then ONE
+    * partial+final moment aggregate for all pairs. DECIMAL(38,0) holds
+    * Σ r2² = 4n³ exactly to n ≈ 2.9e12 rows. */
+  def corrMatrixSpearman(cols: Seq[String]): GraftFrame = {
+    require(cols.size >= 2, "corrMatrixSpearman needs at least two columns")
+    val complete = df.filter(cols.map(df(_).isNotNull).reduce(_ && _))
+    val ranked = cols.foldLeft(complete)((d, c) =>
+      GraftFrame.doubleRank(d, c, s"__r2_$c"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def r2(c: String) = col(s"__r2_$c").cast(dec)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).cast(dec).as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(r2(c)).as(s"__s_$c"),
+        sum(r2(c) * r2(c)).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(r2(a) * r2(b)).as(s"__sp_${a}__$b")
+      }
+    val stats = ranked.agg(aggs.head, aggs.tail: _*)
+    val nd = col("__n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val num = nd * col(s"__sp_${a}__$b").cast("double") -
+        col(s"__s_$a").cast("double") * col(s"__s_$b").cast("double")
+      val den = sqrt(
+        (nd * col(s"__ss_$a").cast("double") -
+          col(s"__s_$a").cast("double") * col(s"__s_$a").cast("double")) *
+        (nd * col(s"__ss_$b").cast("double") -
+          col(s"__s_$b").cast("double") * col(s"__s_$b").cast("double")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("rho"))
+    }
+    GraftFrame(stats
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.rho")))
+  }
+
   /** pandas df.cov(): full pairwise sample-covariance matrix from the
     * same single-aggregate shape as [[corrMatrix]] — all cross-moments in
     * one partial+final pass, matrix exploded from the 1-row result. */
@@ -2266,6 +2315,32 @@ object GraftFrame {
         s"aligned op must be add|sub|mul|div|floordiv|mod|pow or an " +
           s"r-reversed form: $o")
     }
+
+  /** Exact integer DOUBLE-rank (2 × average rank = 2·count-below + tie
+    * count, always an integer) of `valueCol` over the whole frame, joined
+    * back as `out` — the quantileTransform bucketed two-pass (distinct
+    * values → range-partitioned cumulative counts stitched with
+    * per-bucket offsets → value-keyed join back) without the /n
+    * normalization, so downstream moment sums stay exact integers. */
+  private[api] def doubleRank(d: DataFrame, valueCol: String,
+      out: String): DataFrame = {
+    val g = d.groupBy(d(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = g.withColumn("__bl",
+      coalesce(sum(col("__c")).over(wLocal), lit(0L)))
+    val wPid = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__c")).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(wPid), lit(0L)))
+    val rankMap = local
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))), Seq("__pid"))
+      .select(col("__v"),
+        (lit(2L) * (col("__bl") + col("__off")) + col("__c")).as(out))
+    d.join(rankMap, d(valueCol) === rankMap("__v")).drop("__v")
+  }
 
   /** Pandas missing-cell rule: missing on BOTH sides → null regardless of
     * fill; present on one side uses the fill for the other when given,

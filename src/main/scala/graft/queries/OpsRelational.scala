@@ -920,6 +920,69 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.13 df.corr(method='spearman') matrix (r9): Pearson over
+    //     EXACT integer double-ranks (2·below + ties — the moment sums
+    //     are exact on both engines, so the closed form is deterministic
+    //     same-shape arithmetic; round 4 like the grouped-OLS precedent).
+    Q("op_corr_spearman_matrix",
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |         CAST(l_extendedprice AS DOUBLE) AS y,
+        |         CAST(l_discount AS DOUBLE) AS z
+        |  FROM lineitem WHERE l_orderkey < 4000),
+        |cx AS (SELECT x AS v, COUNT(*) AS c FROM base GROUP BY x),
+        |rx AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c
+        |         AS r2 FROM cx),
+        |cy AS (SELECT y AS v, COUNT(*) AS c FROM base GROUP BY y),
+        |ry AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c
+        |         AS r2 FROM cy),
+        |cz AS (SELECT z AS v, COUNT(*) AS c FROM base GROUP BY z),
+        |rz AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c
+        |         AS r2 FROM cz),
+        |rk AS (SELECT rx.r2 AS a, ry.r2 AS b, rz.r2 AS d FROM base
+        |       JOIN rx ON base.x = rx.v
+        |       JOIN ry ON base.y = ry.v
+        |       JOIN rz ON base.z = rz.v),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+        |  CAST(SUM(d) AS DOUBLE) AS sd,
+        |  CAST(SUM(a * a) AS DOUBLE) AS saa,
+        |  CAST(SUM(b * b) AS DOUBLE) AS sbb,
+        |  CAST(SUM(d * d) AS DOUBLE) AS sdd,
+        |  CAST(SUM(a * b) AS DOUBLE) AS sab,
+        |  CAST(SUM(a * d) AS DOUBLE) AS sad,
+        |  CAST(SUM(b * d) AS DOUBLE) AS sbd
+        |  FROM rk)
+        |SELECT col_a, col_b, round(rho, 4) + CAST(0.0 AS DOUBLE) AS rho
+        |FROM (
+        |  SELECT 'x' AS col_a, 'y' AS col_b,
+        |    (n * sab - sa * sb)
+        |      / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS rho
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'x', 'z',
+        |    (n * sad - sa * sd)
+        |      / sqrt((n * saa - sa * sa) * (n * sdd - sd * sd)) FROM m
+        |  UNION ALL
+        |  SELECT 'y', 'z',
+        |    (n * sbd - sb * sd)
+        |      / sqrt((n * sbb - sb * sb) * (n * sdd - sd * sd)) FROM m) t
+        |ORDER BY col_a, col_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.api.GraftFrame(t(spark, dir, "lineitem")
+          .filter($"l_orderkey" < 4000)
+          .select($"l_quantity".cast("double").as("x"),
+            $"l_extendedprice".cast("double").as("y"),
+            $"l_discount".cast("double").as("z")))
+        .corrMatrixSpearman(Seq("x", "y", "z"))
+        .df.select($"col_a", $"col_b",
+          (round($"rho", 4) + lit(0.0)).as("rho"))
+        .orderBy($"col_a", $"col_b")
+    },
+
     // --- §2.11 positional slice over an explicit total order (pandas
     //     iloc[start:end]) — zipWithIndex-based, no global window
     Q("op_iloc_slice",

@@ -267,6 +267,31 @@ class ReshapeSpec extends SparkSpecBase {
     assert(np === Seq(Some(0.5), None, Some(1.0)))
   }
 
+  test("corrMatrixSpearman: monotone invariance, sign, and scipy tie value") {
+    // y = x³ is a monotone transform -> rho(x,y) = 1 exactly;
+    // z = -x -> rho(x,z) = -1; ranks are exact so the values are too
+    val df = GraftFrame(Seq(1.0, 3.0, 2.0, 5.0, 4.0, 9.0, 7.0)
+      .map(x => (x, x * x * x, -x)).toDF("x", "y", "z"))
+    val got = df.corrMatrixSpearman(Seq("x", "y", "z")).df
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("x", "y")) === 1.0 && got(("x", "z")) === -1.0 &&
+      got(("y", "z")) === -1.0)
+    // tie case, hand-computed (scipy.stats.spearmanr agrees):
+    // x=[1,2,2,3] -> avg ranks [1, 2.5, 2.5, 4]; y=[1,3,2,4] -> [1,3,2,4]
+    // pearson of those = 4.5 / sqrt(4.5 * 5) = 3/sqrt(10)
+    val tied = GraftFrame(Seq((1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0))
+      .toDF("x", "y"))
+    val rho = tied.corrMatrixSpearman(Seq("x", "y")).df
+      .select("rho").as[Double].head()
+    assert(math.abs(rho - 3.0 / math.sqrt(10.0)) < 1e-12, s"rho=$rho")
+    // rows with any null drop (listwise): the null row can't perturb rho
+    val withNull = GraftFrame(Seq((Some(1.0), Some(1.0)), (Some(2.0), None),
+      (Some(3.0), Some(2.0)), (Some(4.0), Some(3.0))).toDF("x", "y"))
+    val rho2 = withNull.corrMatrixSpearman(Seq("x", "y")).df
+      .select("rho").as[Double].head()
+    assert(rho2 === 1.0)
+  }
+
   test("arithAligned applies pandas fill_value cell rules") {
     val l = GraftFrame(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
       .toDF("k", "v", "c"))
