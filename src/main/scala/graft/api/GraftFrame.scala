@@ -2006,6 +2006,28 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(grouped.agg(named.head, named.tail: _*))
   }
 
+  /** pandas groupby().corr() for one column pair — per-group Pearson
+    * from EXACT moment sums in one partial+final aggregate (the grouped
+    * OLS shape), then the closed form on doubles cast from the exact
+    * sums: deterministic same-shape arithmetic on any engine, so the
+    * result is oracle-able at round-4. Pass DECIMAL-cast columns
+    * (e.g. through the dec12 convention) for exact sums; zero-variance
+    * groups return null (0/0 guarded). */
+  def corr(x: Column, y: Column, out: String = "corr"): GraftFrame = {
+    val m = grouped.agg(
+      functions.count(lit(1)).cast("double").as("__n"),
+      functions.sum(x).cast("double").as("__sx"),
+      functions.sum(y).cast("double").as("__sy"),
+      functions.sum(x * y).cast("double").as("__sxy"),
+      functions.sum(x * x).cast("double").as("__sxx"),
+      functions.sum(y * y).cast("double").as("__syy"))
+    val den2 = (col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+      (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+    val rho = when(den2 > 0.0,
+      (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / sqrt(den2))
+    GraftFrame(m.select(keys.map(col) :+ rho.as(out): _*))
+  }
+
   /** pandas groupby.filter: keep every ROW of groups whose aggregate
     * satisfies the predicate (e.g. `count >= 3`). One window aggregate
     * over the group keys — no join back, no second scan. */

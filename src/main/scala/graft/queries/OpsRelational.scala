@@ -920,6 +920,36 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.13 groupby().corr() (r9): per-group Pearson from exact
+    //     DECIMAL moment sums (the grouped-OLS shape) — the closed form
+    //     on the exact sums is deterministic same-shape arithmetic both
+    //     engines; round 4 per the grouped-OLS precedent.
+    Q("op_groupby_corr",
+      """WITH m AS (
+        |  SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT g,
+        |  round((n * sxy - sx * sy)
+        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |    + CAST(0.0 AS DOUBLE) AS corr
+        |FROM m ORDER BY g""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      graft.api.GraftFrame(li.withColumn("g", $"l_returnflag"))
+        .groupby("g")
+        .corr(dec12($"l_quantity"), dec12($"l_extendedprice"))
+        .df.select($"g", (round($"corr", 4) + lit(0.0)).as("corr"))
+        .orderBy($"g")
+    },
+
     // --- §2.13 df.corr(method='spearman') matrix (r9): Pearson over
     //     EXACT integer double-ranks (2·below + ties — the moment sums
     //     are exact on both engines, so the closed form is deterministic
