@@ -23,8 +23,25 @@ import graft.operators.{Curation, Dedup, Sessionize, Windows}
   * The reference
   * itself relaxes index guarantees under parallelism (Note [Index of Merge],
   * mars/dataframe/merge/tests/test_merge_execution.py:44-50).
+  *
+  * Declared-index propagation (r10, ADVICE r9): the [[setIndex]]-declared
+  * index survives every transformation that keeps ALL of its columns —
+  * select/assign/eval/query/filter/rename (names mapped)/insert/drop/
+  * prefix/suffix and the rank family — and is cleared whenever an index
+  * column is dropped or the shape changes (reshape, groupby, joins other
+  * than the aligned family, which re-declare their keys). So aligned
+  * binops behave identically regardless of which of these methods ran in
+  * between.
   */
 final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
+
+  /** Result frame keeping the declared index iff every index column is
+    * still present (partial survival would silently change aligned-op
+    * keys, so it clears instead). */
+  private def sameIndex(d: DataFrame): GraftFrame = {
+    val cols = d.columns.toSet
+    GraftFrame(d, if (index.nonEmpty && index.forall(cols)) index else Nil)
+  }
 
   // ---------------------------------------------------------------- access
   /** Column by name (pandas `df[col]`, reference indexing/getitem.py:44). */
@@ -34,21 +51,21 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   // ------------------------------------------------------- projection §2.3
   /** Column subset (reference indexing/getitem.py:266). */
-  def select(cols: String*): GraftFrame = GraftFrame(df.select(cols.map(df(_)): _*))
-  def selectCols(cols: Column*): GraftFrame = GraftFrame(df.select(cols: _*))
+  def select(cols: String*): GraftFrame = sameIndex(df.select(cols.map(df(_)): _*))
+  def selectCols(cols: Column*): GraftFrame = sameIndex(df.select(cols: _*))
 
   /** `df[c] = expr` (reference indexing/setitem.py:35). */
   def assign(pairs: (String, Column)*): GraftFrame =
-    GraftFrame(pairs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+    sameIndex(pairs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
 
   /** String-expression assign — the reference's `df.eval` (base/eval.py:263);
     * Catalyst is the expression engine. */
   def eval(name: String, sqlExpr: String): GraftFrame =
-    GraftFrame(df.withColumn(name, expr(sqlExpr)))
+    sameIndex(df.withColumn(name, expr(sqlExpr)))
 
   /** Row filter from a SQL boolean expression — the reference's `df.query`
     * (base/eval.py:263 with DataFrameBoolEvalToQuery). */
-  def query(sqlExpr: String): GraftFrame = GraftFrame(df.filter(sqlExpr))
+  def query(sqlExpr: String): GraftFrame = sameIndex(df.filter(sqlExpr))
 
   /** [[eval]] accepting the pandas/Python expression dialect (`and/or/
     * not`, `&/|/~`, `**`, `//`, `in [..]`, True/None, backtick columns) —
@@ -69,7 +86,7 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     graft.functions.PandasExpr.translateAssignments(program)
       .foldLeft(this) { case (f, (target, sqlExpr)) => f.eval(target, sqlExpr) }
 
-  def filter(cond: Column): GraftFrame = GraftFrame(df.filter(cond))
+  def filter(cond: Column): GraftFrame = sameIndex(df.filter(cond))
 
   /** Conditional replace keeping shape (reference indexing/where.py:28):
     * pandas `where` keeps rows satisfying cond, replaces others. */
@@ -77,14 +94,21 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     assign(col -> when(cond, df(col)).otherwise(other))
 
   /** Drop columns (reference base/drop.py:29). */
-  def drop(cols: String*): GraftFrame = GraftFrame(df.drop(cols: _*))
+  def drop(cols: String*): GraftFrame = sameIndex(df.drop(cols: _*))
 
-  /** Rename columns (reference indexing/rename.py:26). */
-  def rename(mapping: (String, String)*): GraftFrame =
-    GraftFrame(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+  /** Rename columns (reference indexing/rename.py:26); declared-index
+    * names follow the mapping. */
+  def rename(mapping: (String, String)*): GraftFrame = {
+    val m = mapping.toMap
+    GraftFrame(
+      mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
+      index.map(n => m.getOrElse(n, n)))
+  }
 
-  def addPrefix(p: String): GraftFrame = GraftFrame(df.toDF(df.columns.toSeq.map(p + _): _*))
-  def addSuffix(s: String): GraftFrame = GraftFrame(df.toDF(df.columns.toSeq.map(_ + s): _*))
+  def addPrefix(p: String): GraftFrame =
+    GraftFrame(df.toDF(df.columns.toSeq.map(p + _): _*), index.map(p + _))
+  def addSuffix(s: String): GraftFrame =
+    GraftFrame(df.toDF(df.columns.toSeq.map(_ + s): _*), index.map(_ + s))
 
   /** set_index (reference indexing/set_index.py): the engine's index IS a
     * set of ordinary columns (SURVEY §7.1) — setting the index moves the
@@ -292,7 +316,7 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
   /** Positional column insert (reference indexing/insert.py:28). */
   def insert(pos: Int, name: String, value: Column): GraftFrame = {
     val (before, after) = df.columns.splitAt(pos)
-    GraftFrame(df.select(
+    sameIndex(df.select(
       (before.map(df(_)) ++ Seq(value.as(name)) ++ after.map(df(_))).toSeq: _*))
   }
 
@@ -554,8 +578,11 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     * scale. Columns absent from `values` behave as missing on the right
     * (fill when `fillValue` is given, else null — pandas NaN). */
   def arithColumnBroadcast(values: Map[String, Double], op: String,
-      fillValue: Option[Double] = None): GraftFrame = {
-    val keys = index
+      fillValue: Option[Double] = None, on: Seq[String] = Nil): GraftFrame = {
+    // same key discipline as alignKeys (ADVICE r9): without a declared
+    // index a numeric key column would silently be op-applied/nulled as
+    // a value column — fail loudly instead
+    val keys = alignKeys(on, "arithColumnBroadcast")
     val vCols = GraftFrame.numericValueCols(df, keys)
     require(vCols.nonEmpty, "arithColumnBroadcast: no numeric value columns")
     val opFn = GraftFrame.alignedOp(op)
@@ -567,7 +594,33 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       GraftFrame.alignedCell(opFn, df(c).cast("double"), rv, fillValue).as(c)
     }
     val passthrough = df.columns.toSeq.filterNot(vCols.contains).map(df(_))
-    GraftFrame(df.select(passthrough ++ cells: _*), index)
+    GraftFrame(df.select(passthrough ++ cells: _*), keys)
+  }
+
+  /** pandas default-RangeIndex alignment (r10, VERDICT task 3; reference
+    * mars/dataframe/align.py:48 plus the arithmetic/core.py machinery):
+    * when NEITHER frame declares an index, pandas aligns binops on the
+    * implicit row POSITION. Both frames get a materialized position
+    * ([[withRowIndex]] — deterministic whenever the upstream order is,
+    * e.g. after [[sortValues]] or a single-file read) and the
+    * [[arithAligned]] cell rules apply over that position key; the
+    * result keeps the position as `posCol` and declares it as the
+    * index. Length mismatch behaves exactly like pandas: the longer
+    * frame's tail aligns against missing cells (fill_value when given,
+    * else null).
+    *
+    * Scale shape: two narrow per-partition zipWithIndex passes + ONE
+    * full-outer equi-join on the position — no extra shuffles. */
+  def arithPositional(other: GraftFrame, op: String,
+      fillValue: Option[Double] = None,
+      posCol: String = "row_pos"): GraftFrame = {
+    require(index.isEmpty && other.index.isEmpty,
+      "arithPositional is the no-declared-index (default RangeIndex) " +
+        s"path, but an index is declared " +
+        s"(${(index ++ other.index).distinct.mkString(", ")}) — " +
+        "use arithAligned / the *Aligned family instead")
+    withRowIndex(posCol).arithAligned(other.withRowIndex(posCol),
+      Seq(posCol), op, fillValue)
   }
 
   /** Keys for the aligned binops: explicit `on` wins, else the

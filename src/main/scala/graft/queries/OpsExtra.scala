@@ -50,6 +50,12 @@ object OpsExtra {
           new String(Files.readAllBytes(marker), UTF_8) == stamp)
         return stageDir
       this.synchronized {
+        // re-check under the lock (ADVICE r9): a thread that raced past
+        // the fast path must not wipe files a winner just staged (and a
+        // concurrently built streaming query may already be reading)
+        if (Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), UTF_8) == stamp)
+          return stageDir
         val tmp = stageDir.resolveSibling(s"$table.__tmp")
         def wipe(p: Path): Unit = if (Files.exists(p)) {
           import scala.jdk.CollectionConverters._
@@ -59,11 +65,19 @@ object OpsExtra {
         wipe(stageDir); wipe(tmp)
         // events.ts can be TIMESTAMP(NANOS) parquet — read as int64 nanos
         // (still range-orderable); the parity queries re-normalize from the
-        // staged schema exactly as Tables.load does.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(srcPath.toString)
-          .repartitionByRange(Parts, org.apache.spark.sql.functions.col(orderCol))
-          .write.mode("overwrite").parquet(tmp.toString)
+        // staged schema exactly as Tables.load does. Scoped set/restore
+        // (ADVICE r9): the flip must not leak into unrelated reads.
+        val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+        val prevNanos = spark.conf.getOption(nanosKey)
+        spark.conf.set(nanosKey, "true")
+        try {
+          spark.read.parquet(srcPath.toString)
+            .repartitionByRange(Parts, org.apache.spark.sql.functions.col(orderCol))
+            .write.mode("overwrite").parquet(tmp.toString)
+        } finally prevNanos match {
+          case Some(v) => spark.conf.set(nanosKey, v)
+          case None => spark.conf.unset(nanosKey)
+        }
         import scala.jdk.CollectionConverters._
         val partFiles = Files.list(tmp).iterator().asScala
           .filter(_.getFileName.toString.startsWith("part-"))
