@@ -667,6 +667,52 @@ object OpsRelational {
         .orderBy($"k")
     },
 
+    // --- §2.4/§2.10 positional implicit-index alignment (r10, VERDICT
+    //     task 3; reference align.py:48): pandas' default-RangeIndex
+    //     semantics — neither side declares an index, so the binop keys
+    //     on the materialized row POSITION of each (sorted) frame. The
+    //     two slices have different lengths, so the longer side's tail
+    //     exercises the fill_value path; `c` exists only on the left
+    //     (fills where the left row exists, null past its end). The
+    //     oracle replays the position as row_number()-1 over the same
+    //     total order. Per-row double adds → round-6 + +0.0 guard.
+    Q("op_binop_positional",
+      """WITH l AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_pos,
+        |         o_totalprice AS v, CAST(o_custkey AS DOUBLE) AS c
+        |  FROM orders WHERE o_orderkey < 1200),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_pos,
+        |         o_totalprice * CAST(2.0 AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 2300)
+        |SELECT COALESCE(l.row_pos, r.row_pos) AS row_pos,
+        |  CASE WHEN l.v IS NULL AND r.v IS NULL THEN NULL
+        |       ELSE round(COALESCE(l.v, CAST(0.0 AS DOUBLE))
+        |                  + COALESCE(r.v, CAST(0.0 AS DOUBLE)), 6)
+        |            + CAST(0.0 AS DOUBLE) END AS v,
+        |  CASE WHEN l.c IS NULL THEN NULL
+        |       ELSE round(l.c + CAST(0.0 AS DOUBLE), 6)
+        |            + CAST(0.0 AS DOUBLE) END AS c
+        |FROM l FULL OUTER JOIN r ON l.row_pos = r.row_pos
+        |ORDER BY row_pos""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val l = gt(spark, dir, "orders")
+        .query("o_orderkey < 1200")
+        .sortValues(Seq("o_orderkey"))
+        .selectCols($"o_totalprice".as("v"),
+          $"o_custkey".cast("double").as("c"))
+      val r = gt(spark, dir, "orders")
+        .query("o_orderkey >= 800 AND o_orderkey < 2300")
+        .sortValues(Seq("o_orderkey"))
+        .selectCols(($"o_totalprice" * lit(2.0)).as("v"))
+      l.arithPositional(r, "add", fillValue = Some(0.0))
+        .assign(
+          "v" -> (round(col("v"), 6) + lit(0.0)),
+          "c" -> (round(col("c"), 6) + lit(0.0)))
+        .sortValues(Seq("row_pos"))
+        .df
+    },
+
     // --- §2.9 set ops: union / intersect / except
     Q("op_setops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -373,6 +373,47 @@ class ReshapeSpec extends SparkSpecBase {
       (3L, false, true, false)))
   }
 
+  test("arithPositional aligns on the implicit row position (default RangeIndex)") {
+    // different lengths: the longer frame's tail fills (or nulls)
+    val l = GraftFrame(Seq(10.0, 20.0, 30.0).toDF("v"))
+    val r = GraftFrame(Seq(1.0, 2.0).toDF("v"))
+    val filled = l.arithPositional(r, "add", fillValue = Some(0.0))
+      .df.orderBy("row_pos").select("row_pos", "v")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(filled === Seq((0L, Some(11.0)), (1L, Some(22.0)), (2L, Some(30.0))))
+    val bare = l.arithPositional(r, "add").df.orderBy("row_pos")
+      .select("v").as[Option[Double]].collect().toSeq
+    assert(bare === Seq(Some(11.0), Some(22.0), None))
+    // the position key survives as the declared index for chaining
+    val out = l.arithPositional(r, "add", fillValue = Some(0.0))
+    assert(out.index === Seq("row_pos"))
+    // a declared index on either side is a loud error — that's the
+    // arithAligned path
+    val e = intercept[IllegalArgumentException](
+      l.setIndex("v").arithPositional(r, "add"))
+    assert(e.getMessage.contains("arithAligned"))
+  }
+
+  test("declared index propagates through index-preserving transformations") {
+    val f = GraftFrame(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")).setIndex("k")
+    assert(f.assign("w" -> (f("v") * 2)).index === Seq("k"))
+    assert(f.query("v > 5").index === Seq("k"))
+    assert(f.filter(f("v") > 5).index === Seq("k"))
+    assert(f.eval("w", "v + 1").index === Seq("k"))
+    assert(f.insert(1, "w", f("v")).index === Seq("k"))
+    assert(f.drop("v").index === Seq("k"))
+    // rename maps index names through the mapping
+    assert(f.rename("k" -> "kk").index === Seq("kk"))
+    assert(f.addPrefix("p_").index === Seq("p_k"))
+    assert(f.addSuffix("_s").index === Seq("k_s"))
+    // dropping an index column clears the whole declared index
+    assert(f.select("v").index === Nil)
+    assert(f.drop("k").index === Nil)
+    // rank keeps the index on every method branch (ADVICE r9)
+    for (m <- Seq("min", "dense", "first", "max", "average"))
+      assert(f.rank("r", Seq.empty, Seq(f("v")), m).index === Seq("k"), m)
+  }
+
   test("covMatrix matches hand-computed sample covariances") {
     val df = GraftFrame(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
     val got = df.covMatrix(Seq("x", "y")).df
