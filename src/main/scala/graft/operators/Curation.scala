@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,18 +125,93 @@ object Curation {
         col("col").as("chunk"))
   }
 
+  /** Structural skew valve for the per-domain ordered-prefix samplers
+    * (r10, VERDICT task 2). [[domainCap]], [[mixtureSample]] and
+    * [[tokenBudgetSample]] all keep a per-domain PREFIX of the
+    * (hash32(id), id) order — previously via one window task per domain,
+    * which a mega-domain could turn into a single straggler task. This
+    * valve pre-filters every domain larger than `threshold` rows with
+    * `uniform01(id) < p_d` BEFORE the window runs. [[PortableHash.uniform01]]
+    * is strictly monotone in hash32, so the filter keeps exactly a
+    * downward-closed prefix of the window order: row_number and
+    * cumulative sums over the survivors EQUAL their full-domain values
+    * and the selected set is identical — exact, never approximate.
+    *
+    * p_d = min(1, (oversample·B_d + 64·wmax_d)/W_d), with B_d the
+    * domain's budget and W_d its total selection weight (rows for the
+    * count samplers, tokens for the budget sampler): surviving weight
+    * concentrates around oversample× the budget plus an absolute slack,
+    * so undershoot is Chernoff-negligible. A window aggregate over the
+    * (now small) survivors still VERIFIES that each thinned domain
+    * either covers its budget or survived whole, and raises loudly with
+    * a remedy (raise oversample) on the astronomically-unlikely
+    * deterministic miss — correctness is never silent.
+    *
+    * Scale shape: one partial+final aggregate to a per-domain table
+    * (broadcast back), a scan-side filter, then the caller's window sees
+    * O(oversample·budget) rows per mega-domain instead of the whole
+    * domain. Null ids always survive the filter (they sort first in the
+    * window order, so they are part of every prefix). The output keeps
+    * the caller's columns plus `__bud` (the guarded double budget) —
+    * callers filter against `__bud` so Catalyst cannot prune the guard.
+    * `threshold = Long.MaxValue` opts out entirely (plain window). */
+  private[operators] def prefixSkewValve(docs: DataFrame, domainCol: String,
+      idCol: String, weight: Column, budget: Column, threshold: Long,
+      oversample: Double): DataFrame = {
+    require(oversample >= 1.0, s"oversample must be >= 1: $oversample")
+    if (threshold == Long.MaxValue)
+      return docs.withColumn("__bud", budget.cast("double"))
+    val tagged = docs.withColumn("__psv_w", weight.cast("double"))
+      .withColumn("__bud", budget.cast("double"))
+    val stats = tagged.groupBy(col(domainCol).as("__psv_d")).agg(
+      count(lit(1)).as("__psv_n"), sum(col("__psv_w")).as("__psv_wsum"),
+      max(col("__psv_w")).as("__psv_wmax"), first(col("__bud")).as("__psv_b"))
+    val p = when(col("__psv_n") <= threshold, lit(1.0)).otherwise(
+      least(lit(1.0), (lit(oversample) * col("__psv_b") +
+        lit(64.0) * greatest(col("__psv_wmax"), lit(1.0))) / col("__psv_wsum")))
+    val dim = stats.select(col("__psv_d"), p.as("__psv_p"), col("__psv_n"))
+    val thin = tagged
+      .join(broadcast(dim), col(domainCol) <=> col("__psv_d"))
+      .filter(col("__psv_p") === 1.0 || col(idCol).isNull ||
+        PortableHash.uniform01(col(idCol)) < col("__psv_p"))
+    // coverage proof over the survivors: same partitioning as the
+    // caller's window (one exchange, two Window operators)
+    val wAll = Window.partitionBy(col(domainCol))
+    val covered = sum(col("__psv_w")).over(wAll) >= col("__bud") ||
+      count(lit(1)).over(wAll) === col("__psv_n")
+    thin.withColumn("__bud",
+        when(col("__psv_p") < 1.0 && !covered,
+          raise_error(concat(lit("prefixSkewValve: thinned domain '"),
+            col(domainCol).cast("string"),
+            lit("' does not cover its budget — raise oversample " +
+              "(deterministic for this dataset, not a flaky draw)"))))
+          .otherwise(col("__bud")))
+      .drop("__psv_d", "__psv_w", "__psv_p", "__psv_n")
+  }
+
+  /** Default mega-domain threshold for the prefix valve: one window task
+    * sorting ~1M rows is comfortably bounded; anything larger thins. */
+  private[operators] val SkewThreshold = 1000000L
+
   /** Exact per-domain document cap: keep at most `cap` documents per
     * domain, chosen by PortableHash order on the id (an unbiased,
     * rerun-stable sample — ingestion order would systematically prefer
-    * old crawls). One row_number window per domain: correct whenever no
-    * single domain dwarfs an executor (the usual case after CC bucketing);
-    * for mega-domain skew use [[domainCapApprox]] which never windows. */
-  def domainCap(docs: DataFrame, domainCol: String, idCol: String, cap: Int)
+    * old crawls). Skew-safe BY CONSTRUCTION (r10): domains above
+    * `skewThreshold` rows are pre-thinned to an exact prefix of the
+    * window order by [[prefixSkewValve]], so the per-domain window task
+    * is O(oversample·cap) even for a mega-domain — results identical to
+    * the plain window at every scale. [[domainCapApprox]] remains the
+    * zero-window approximate alternative. */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String, cap: Int,
+      skewThreshold: Long = SkewThreshold, oversample: Double = 4.0)
       : DataFrame = {
+    val cands = prefixSkewValve(docs, domainCol, idCol, lit(1.0),
+      lit(cap.toDouble), skewThreshold, oversample)
     val w = Window.partitionBy(col(domainCol))
       .orderBy(PortableHash.hash32(col(idCol)), col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap).drop("__rn")
+    cands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__bud").cast("long"))
+      .drop("__rn", "__bud")
   }
 
   /** Approximate per-domain cap for the mega-domain regime: per-domain
@@ -157,12 +232,14 @@ object Curation {
     * mixture, the count-targeted sibling of [[stratifiedSample]]'s
     * fractions): per domain d, keep exactly min(floor(totalN·w_d/Σw), |d|)
     * documents in PortableHash order on the id — unbiased, rerun- and
-    * engine-stable. Domains absent from `weights` are dropped. Same
-    * one-window-per-domain shape and skew caveat as [[domainCap]]; for
-    * mega-domain skew compose [[domainCapApprox]] first to knock each
-    * domain near its target, then this for the exact count. */
+    * engine-stable. Domains absent from `weights` are dropped. Skew-safe
+    * by construction (r10): [[prefixSkewValve]] pre-thins every domain
+    * above `skewThreshold` rows to an exact prefix of the window order,
+    * so a mega-domain can no longer pin its whole row set on one window
+    * task — results identical at every scale. */
   def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
-      weights: Map[String, Double], totalN: Long): DataFrame = {
+      weights: Map[String, Double], totalN: Long,
+      skewThreshold: Long = SkewThreshold, oversample: Double = 4.0): DataFrame = {
     require(totalN > 0 && weights.nonEmpty && weights.values.forall(_ > 0),
       "mixtureSample: totalN and every weight must be positive")
     // fold the normalizer in sorted domain order — a deterministic left
@@ -174,13 +251,14 @@ object Curation {
       when(col(domainCol) === d,
         lit(math.floor(totalN * w / wsum).toLong)).otherwise(acc)
     }
+    val cands = prefixSkewValve(
+      docs.withColumn("__tgt", targetCol).filter(col("__tgt") >= 0L),
+      domainCol, idCol, lit(1.0), col("__tgt"), skewThreshold, oversample)
     val w = Window.partitionBy(col(domainCol))
       .orderBy(PortableHash.hash32(col(idCol)), col(idCol))
-    docs.withColumn("__tgt", targetCol)
-      .filter(col("__tgt") >= 0L)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__tgt"))
-      .drop("__tgt", "__rn")
+    cands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__bud").cast("long"))
+      .drop("__tgt", "__rn", "__bud")
   }
 
   /** Temperature-smoothed domain weights (the multilingual / data-mixing
@@ -227,21 +305,26 @@ object Curation {
     * stays within the domain's budget (first-fit prefix — a document that
     * would overflow the budget stops the take, so kept ≤ budget always).
     * One cumulative-sum window per domain over exact BIGINTs; domains
-    * absent from `budgets` are dropped. */
+    * absent from `budgets` are dropped. Skew-safe by construction (r10):
+    * [[prefixSkewValve]] pre-thins mega-domains (weighted in TOKENS
+    * here) to an exact prefix of the window order before the cumsum. */
   def tokenBudgetSample(docs: DataFrame, domainCol: String, idCol: String,
-      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+      tokenCol: String, budgets: Map[String, Long],
+      skewThreshold: Long = SkewThreshold, oversample: Double = 4.0): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ > 0),
       "tokenBudgetSample: every budget must be positive")
     val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (d, b)) =>
       when(col(domainCol) === d, lit(b)).otherwise(acc)
     }
+    val cands = prefixSkewValve(
+      docs.withColumn("__budget", budgetCol).filter(col("__budget") >= 0L),
+      domainCol, idCol, col(tokenCol).cast("double"), col("__budget"),
+      skewThreshold, oversample)
     val w = Window.partitionBy(col(domainCol))
       .orderBy(PortableHash.hash32(col(idCol)), col(idCol))
-    docs.withColumn("__budget", budgetCol)
-      .filter(col("__budget") >= 0L)
-      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
-      .filter(col("__cum") <= col("__budget"))
-      .drop("__budget", "__cum")
+    cands.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__bud").cast("long"))
+      .drop("__budget", "__cum", "__bud")
   }
 
   /** Stratified sampling with per-domain fractions (domain-mixing weights:

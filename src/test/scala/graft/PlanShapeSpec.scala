@@ -164,7 +164,7 @@ class PlanShapeSpec extends SparkSpecBase {
       out.queryExecution.executedPlan.toString.take(800))
   }
 
-  test("mixture and token-budget samplers: one domain exchange, no joins") {
+  test("mixture and token-budget samplers: window + valve stats only, broadcast joins") {
     import graft.operators.Curation
     val docs = (1 to 2000).map(i => (i.toLong, s"d${i % 5}", 100L))
       .toDF("doc_id", "source", "tok")
@@ -174,11 +174,22 @@ class PlanShapeSpec extends SparkSpecBase {
       Map("d0" -> 5000L))
     for (out <- Seq(mix, tokb)) {
       val plan = out.queryExecution.executedPlan.toString
-      // the per-domain window is the only exchange — target/budget
-      // assignment is a when-chain projection, never a join
-      assert(shuffles(out) == 1, plan.take(800))
-      assert(!plan.contains("Join"), plan.take(800))
+      // r10 skew valve: the per-domain window plus the valve's stats
+      // aggregate are the only exchanges; the domain dim table comes
+      // back as a BROADCAST join (never a shuffled join), and the
+      // target/budget assignment stays a when-chain projection
+      assert(shuffles(out) <= 2, plan.take(800))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        plan.take(800))
     }
+    // explicit opt-out restores the bare single-exchange window shape
+    val bare = Curation.mixtureSample(docs, "source", "doc_id",
+      Map("d0" -> 1.0, "d1" -> 1.0), totalN = 100L,
+      skewThreshold = Long.MaxValue)
+    val bplan = bare.queryExecution.executedPlan.toString
+    assert(shuffles(bare) == 1, bplan.take(800))
+    assert(!bplan.contains("Join"), bplan.take(800))
   }
 
   test("temperatureSample plans like mixtureSample; weights collect is one aggregate") {
@@ -189,9 +200,49 @@ class PlanShapeSpec extends SparkSpecBase {
       alpha = 0.5, totalN = 100L)
     val plan = out.queryExecution.executedPlan.toString
     // after the (bounded, guarded) weights collect, the sample itself is
-    // the mixtureSample shape: one domain window exchange, no joins
-    assert(shuffles(out) == 1, plan.take(800))
-    assert(!plan.contains("Join"), plan.take(800))
+    // the mixtureSample-with-valve shape: domain window + valve stats,
+    // broadcast-only joins
+    assert(shuffles(out) <= 2, plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(800))
+  }
+
+  test("mega-domain sampler windows see a thinned prefix, never the full domain") {
+    import graft.operators.Curation
+    // one domain dwarfs the rest; threshold forces the valve on
+    val docs = ((1 to 30000).map(i => (i.toLong, "mega", 10L)) ++
+      (1 to 50).map(i => (100000L + i, "tail", 10L)))
+      .toDF("doc_id", "source", "tok")
+    val capped = Curation.domainCap(docs, "source", "doc_id", cap = 20,
+      skewThreshold = 1000L)
+    val exact = Curation.domainCap(docs, "source", "doc_id", cap = 20,
+      skewThreshold = Long.MaxValue)
+    // identical selection — the valve is exact, not approximate
+    val a = capped.select("doc_id").as[Long].collect().toSet
+    val b = exact.select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(capped.filter($"source" === "mega").count() === 20)
+    // the valve's thinning filter runs BEFORE the window: survivors of
+    // the mega domain are a small prefix (expected 4*20 + 64 = ~144 of
+    // 30000), so the single window task is bounded
+    val mix = Curation.mixtureSample(docs, "source", "doc_id",
+      Map("mega" -> 1.0, "tail" -> 1.0), totalN = 60L, skewThreshold = 1000L)
+    val mixBare = Curation.mixtureSample(docs, "source", "doc_id",
+      Map("mega" -> 1.0, "tail" -> 1.0), totalN = 60L,
+      skewThreshold = Long.MaxValue)
+    assert(mix.select("doc_id").as[Long].collect().toSet ===
+      mixBare.select("doc_id").as[Long].collect().toSet)
+    val tokb = Curation.tokenBudgetSample(docs, "source", "doc_id", "tok",
+      Map("mega" -> 300L, "tail" -> 200L), skewThreshold = 1000L)
+    val tokbBare = Curation.tokenBudgetSample(docs, "source", "doc_id", "tok",
+      Map("mega" -> 300L, "tail" -> 200L), skewThreshold = Long.MaxValue)
+    assert(tokb.select("doc_id").as[Long].collect().toSet ===
+      tokbBare.select("doc_id").as[Long].collect().toSet)
+    // and the plan proves the pre-window filter exists (broadcast join
+    // feeding a Filter below the Window, no shuffled join anywhere)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
   test("c4Clean and baggingSample are shuffle-free projections") {
