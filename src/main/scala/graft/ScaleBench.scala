@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical scaling-curve harness (r9, VERDICT task 1): measures the five
-  * flagship pipelines at 1×/10×/100× of the sf0.1 corpus and reports
+/** Empirical scaling-curve harness (r9, VERDICT task 1): measures six
+  * flagship pipelines (the original five + the r9 stream_dedup addition)
+  * at 1×/10×/100× of the sf0.1 corpus and reports
   * per-decade log-log slopes, turning the 100 TB plan-shape arguments
   * into measured exponents.
   *
@@ -19,12 +20,51 @@ import org.apache.spark.sql.functions._
   * Embeddings are re-keyed only (runtime is value-independent; queries
   * stay the base vec_id < 10 set, so ANN work is 10 × corpus).
   *
-  * Usage: graft.ScaleBench [scales=1,10,100] [reps=2]
+  * r10 (VERDICT task 1): every cell also records the MEMORY ENVELOPE —
+  * peak per-task execution memory, shuffle bytes read/written, and
+  * memory/disk spill from SparkListener task metrics — so the slopes
+  * are wall-time AND state curves; and an optional big cell (default
+  * 1000×) runs the two stateful-heaviest pipelines (minhash_dedup,
+  * curation6) a full decade past the standard grid.
+  *
+  * Usage: graft.ScaleBench [scales=1,10,100] [reps=2] [bigScale=1000|0]
   * Writes scaled corpora under target/scale/x<K>/ (restaged when the
   * fixture changes) and prints one JSON line per (pipeline, scale) plus
   * a slope summary.
   */
 object ScaleBench {
+
+  /** Windowed task-metrics accumulator: reset before a measured run,
+    * snapshot after. Values aggregate over every task that ENDED in the
+    * window (min-of-reps timing reports the matching rep's snapshot). */
+  private final class TaskMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new AtomicLong(0L)
+    val shuffleWrite = new AtomicLong(0L)
+    val memSpill = new AtomicLong(0L)
+    val diskSpill = new AtomicLong(0L)
+    val peakTaskMem = new AtomicLong(0L)
+    val inputBytes = new AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = Seq(shuffleRead, shuffleWrite, memSpill, diskSpill,
+      peakTaskMem, inputBytes).foreach(_.set(0L))
+    def snapshot: Map[String, Long] = Map(
+      "peak_task_mem" -> peakTaskMem.get, "shuffle_read" -> shuffleRead.get,
+      "shuffle_write" -> shuffleWrite.get, "mem_spill" -> memSpill.get,
+      "disk_spill" -> diskSpill.get, "input_bytes" -> inputBytes.get)
+  }
 
   private val BaseDir = "/root/testdata/sf0.1"
   private val Stride = 1000000L
@@ -62,7 +102,8 @@ object ScaleBench {
     dir
   }
 
-  /** The five flagship pipelines, each forced with a count(). */
+  /** The six flagship pipelines (stream_dedup joined in r9), each forced
+    * with a count(). */
   private def pipelines: Seq[(String, (SparkSession, String) => Long)] = {
     import graft.operators.{Components, Dedup, Similarity}
     Seq(
@@ -118,6 +159,9 @@ object ScaleBench {
     val scales = args.headOption.getOrElse("1,10,100")
       .split(",").map(_.trim.toInt).toSeq
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    // the decade-beyond cell for the stateful-heaviest pipelines; 0 skips
+    val bigScale = args.lift(2).map(_.toInt).getOrElse(1000)
+    val bigPipelines = Set("minhash_dedup", "curation6")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -130,30 +174,69 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dirs = scales.map(k => k -> stage(spark, k)).toMap
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
     val results = collection.mutable.Map[(String, Int), Double]()
-    for ((name, fn) <- pipelines; k <- scales) {
-      val times = (1 to reps).map { _ =>
+    val metrics = collection.mutable.Map[(String, Int), Map[String, Long]]()
+
+    def runCell(name: String, fn: (SparkSession, String) => Long,
+        k: Int, dir: String): Unit = {
+      val runs = (1 to reps).map { _ =>
+        listener.reset()
         val t0 = System.nanoTime()
-        val n = fn(spark, dirs(k))
+        val n = fn(spark, dir)
         val dt = (System.nanoTime() - t0) / 1e9
-        (dt, n)
+        Thread.sleep(300) // drain the async listener bus before snapshot
+        (dt, n, listener.snapshot)
       }
-      val best = times.map(_._1).min
+      val (best, rows, snap) = runs.minBy(_._1)
       results((name, k)) = best
+      metrics((name, k)) = snap
+      val mjson = snap.toSeq.sortBy(_._1)
+        .map { case (mk, v) => s""""$mk":$v""" }.mkString(",")
       println(f"""{"pipeline":"$name","scale":$k,"sec":$best%.3f,""" +
-        s""""rows":${times.head._2},"reps":${times.map(t => f"${t._1}%.2f").mkString("[", ",", "]")}}""")
+        s""""rows":$rows,"reps":${runs.map(t => f"${t._1}%.2f").mkString("[", ",", "]")},$mjson}""")
     }
+
+    val dirs = scales.map(k => k -> stage(spark, k)).toMap
+    for ((name, fn) <- pipelines; k <- scales) runCell(name, fn, k, dirs(k))
+
+    // the decade-beyond memory-envelope cells (stateful-heaviest only)
+    val bigScales: Seq[Int] =
+      if (bigScale > scales.max) {
+        val bigDir = stage(spark, bigScale)
+        for ((name, fn) <- pipelines.filter(p => bigPipelines(p._1)))
+          runCell(name, fn, bigScale, bigDir)
+        Seq(bigScale)
+      } else Seq.empty
+
     // per-decade slopes: s = log(t_b/t_a) / log(b/a); slope 1 = linear
-    println("pipeline          " + scales.sliding(2).map { case Seq(a, b) =>
-      f"slope_${a}x_${b}x" }.mkString("  "))
-    for ((name, _) <- pipelines) {
-      val slopes = scales.sliding(2).map { case Seq(a, b) =>
-        val s = math.log(results((name, b)) / results((name, a))) /
-          math.log(b.toDouble / a)
-        f"$s%12.2f"
+    def slopeRow(name: String, pts: Seq[Int],
+        value: (String, Int) => Double): String =
+      pts.sliding(2).map { case Seq(a, b) =>
+        val va = value(name, a); val vb = value(name, b)
+        if (va <= 0.0 || vb <= 0.0) f"${Double.NaN}%12.2f"
+        else f"${math.log(vb / va) / math.log(b.toDouble / a)}%12.2f"
       }.mkString("  ")
-      println(f"$name%-18s$slopes")
+    println("pipeline          " + scales.sliding(2).map { case Seq(a, b) =>
+      f"slope_${a}x_${b}x" }.mkString("  ") +
+      bigScales.map(b => f"  slope_${scales.max}x_${b}x (big cells)").mkString)
+    for ((name, _) <- pipelines) {
+      val pts = scales ++ bigScales.filter(_ => bigPipelines(name))
+      println(f"$name%-18s${slopeRow(name, pts, (n, k) => results((n, k)))}")
+    }
+    // state slopes: peak task memory + total spill must stay bounded —
+    // a wall-time slope of 0.8 with a memory slope near 1 is the 100 TB
+    // red flag the r9 verdict asked this harness to catch
+    println("-- memory envelope slopes (peak_task_mem; spill printed raw) --")
+    for ((name, _) <- pipelines) {
+      val pts = scales ++ bigScales.filter(_ => bigPipelines(name))
+      val memSlope = slopeRow(name, pts,
+        (n, k) => metrics((n, k))("peak_task_mem").toDouble)
+      val spills = pts.map(k => metrics((name, k))("mem_spill") +
+        metrics((name, k))("disk_spill"))
+      println(f"$name%-18s$memSlope  spill=${spills.mkString("[", ",", "]")}")
     }
     spark.stop()
   }

@@ -387,4 +387,73 @@ class StreamingSpec extends SparkSpecBase {
       s"${Files.getLastModifiedTime(src).toMillis}:"),
       "stage did not refresh after a same-size mtime change")
   }
+
+  test("streaming dedup restart-recovery: checkpoint resume equals the uninterrupted run") {
+    // r10 (VERDICT task 5): the 8 parity gates prove multi-batch state;
+    // this proves RECOVERY — a checkpointed streaming dedup stopped after
+    // batch k and restarted from the checkpoint must produce exactly the
+    // uninterrupted run's output: keyed state (seen fingerprints) reloads
+    // from the state store and the file sink's _spark_metadata keeps the
+    // output exactly-once across the restart.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get("target/restart_spec")
+    def wipe(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toVector.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    wipe(base); Files.createDirectories(base)
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val batches = Seq(
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")),   // dup inside batch
+      Seq((11L, "beta"), (12L, "gamma"), (13L, "delta")), // dup across batches
+      Seq((21L, "gamma"), (22L, "epsilon"), (23L, "alpha")))
+    // one parquet file per micro-batch, ascending names + mtimes
+    def stageFile(i: Int): Unit = {
+      val tmp = base.resolve(s"tmp$i")
+      batches(i).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dest = srcDir.resolve(f"$i%03d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 2000L))
+      wipe(tmp)
+    }
+    stageFile(0)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def run(out: String, cp: String): Int = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val q = StreamOps.streamingExactDedup(stream)
+        .writeStream.format("parquet")
+        .option("path", base.resolve(out).toString)
+        .option("checkpointLocation", base.resolve(cp).toString)
+        .outputMode("append").start()
+      try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    }
+    // interrupted run: sees ONLY batch 0, commits state, stops
+    val b0 = run("outB", "cpB")
+    assert(b0 >= 1, "interrupted phase committed no batch")
+    val mid = spark.read.parquet(base.resolve("outB").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mid === Set(1L, 2L), s"pre-restart output wrong: $mid")
+    // the rest of the stream arrives while the query is DOWN
+    stageFile(1); stageFile(2)
+    // restart from the same checkpoint: seen-state must reload (11 is a
+    // dup of batch 0's beta and must NOT re-emit), output must extend
+    val b1 = run("outB", "cpB")
+    assert(b1 >= 2, s"restart should process the 2 new files, got $b1 batches")
+    // uninterrupted reference over the complete source
+    run("outA", "cpA")
+    val a = spark.read.parquet(base.resolve("outA").toString)
+      .select("doc_id", "fp").as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(base.resolve("outB").toString)
+      .select("doc_id", "fp").as[(Long, String)].collect().toSet
+    assert(b === a, s"restarted run diverged: ${b.map(_._1)} vs ${a.map(_._1)}")
+    assert(a.map(_._1) === Set(1L, 2L, 12L, 13L, 22L))
+  }
 }
