@@ -532,4 +532,125 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  // ------------------------------------------------------ aligned binops
+  // r10 (VERDICT task 7): the aligned family's documented cell rules vs a
+  // Scala-collections mirror on null-heavy / duplicate-key / empty frames
+  // — drift the fixture oracles can't catch.
+
+  private type ARow = (Long, Option[Double], Option[Double])
+
+  private val alignedRowGen: Gen[ARow] = for {
+    k <- Gen.choose(0L, 3L) // tiny key space forces dups AND missing keys
+    a <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
+    b <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
+  } yield (k, a, b)
+
+  /** Frames may be EMPTY (listOf, not nonEmptyListOf). */
+  private val alignedFrameGen: Gen[List[ARow]] = Gen.listOf(alignedRowGen)
+
+  /** Full-outer pairing with duplicate keys: both sides present → cross
+    * product per key; one side absent → the other side vs missing. */
+  private def outerPairs(l: List[ARow], r: List[ARow])
+      : List[(Long, Option[ARow], Option[ARow])] = {
+    val keys = (l.map(_._1) ++ r.map(_._1)).distinct
+    keys.flatMap { k =>
+      val ls = l.filter(_._1 == k); val rs = r.filter(_._1 == k)
+      if (ls.nonEmpty && rs.nonEmpty)
+        for (a <- ls; b <- rs) yield (k, Some(a), Some(b))
+      else ls.map(a => (k, Some(a), Option.empty[ARow])) ++
+        rs.map(b => (k, Option.empty[ARow], Some(b)))
+    }
+  }
+
+  /** The documented cell rule: both missing → null; else fill one-sided
+    * cells when fillValue is given, null otherwise. A null VALUE in a
+    * present row counts as missing, exactly like an absent row. */
+  private def cellRule(op: (Double, Double) => Double, lv: Option[Double],
+      rv: Option[Double], fv: Option[Double]): Option[Double] =
+    if (lv.isEmpty && rv.isEmpty) None
+    else fv match {
+      case Some(f) => Some(op(lv.getOrElse(f), rv.getOrElse(f)))
+      case None => for { x <- lv; y <- rv } yield op(x, y)
+    }
+
+  private def multiset[A](xs: Seq[A]): Map[A, Int] =
+    xs.groupBy(identity).view.mapValues(_.size).toMap
+
+  test("arithAligned cell rules match the Scala mirror on nulls/dups/empties") {
+    val ops = Seq[(String, (Double, Double) => Double)](
+      "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _),
+      "rsub" -> ((a, b) => b - a))
+    forAll(alignedFrameGen, alignedFrameGen) { (l, r) =>
+      // left carries (a, b); right carries (a, c): a shared, b left-only,
+      // c right-only (one-frame columns behave as all-missing other side)
+      val lDf = l.toDF("k", "a", "b")
+      val rDf = r.toDF("k", "a", "c")
+      for ((opName, opFn) <- ops; fv <- Seq(None, Some(0.0), Some(2.0))) {
+        val got = GraftFrame(lDf)
+          .arithAligned(GraftFrame(rDf), Seq("k"), opName, fv)
+          .df.select("k", "a", "b", "c")
+          .as[(Long, Option[Double], Option[Double], Option[Double])]
+          .collect().toSeq
+        val exp = outerPairs(l, r).map { case (k, lo, ro) =>
+          (k,
+            cellRule(opFn, lo.flatMap(_._2), ro.flatMap(_._2), fv),
+            cellRule(opFn, lo.flatMap(_._3), None, fv),
+            cellRule(opFn, None, ro.flatMap(_._3), fv))
+        }
+        assert(multiset(got) == multiset(exp),
+          s"op=$opName fv=$fv l=$l r=$r")
+      }
+    }
+  }
+
+  test("compareAligned NaN rules match the Scala mirror on nulls/dups/empties") {
+    forAll(alignedFrameGen, alignedFrameGen) { (l, r) =>
+      val lDf = l.map(t => (t._1, t._2)).toDF("k", "v")
+      val rDf = r.map(t => (t._1, t._2)).toDF("k", "v")
+      val got = GraftFrame(lDf)
+        .compareAligned(GraftFrame(rDf), Seq("eq", "ne", "lt", "ge"), Seq("k"))
+        .df.select("k", "v_eq", "v_ne", "v_lt", "v_ge")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+      val exp = outerPairs(l.map(t => (t._1, t._2, None: Option[Double])),
+          r.map(t => (t._1, t._2, None: Option[Double]))).map { case (k, lo, ro) =>
+        val lv = lo.flatMap(_._2); val rv = ro.flatMap(_._2)
+        // missing on either side: eq/lt/ge false, ne true (NaN != x)
+        val eq = (for { x <- lv; y <- rv } yield x == y).getOrElse(false)
+        val lt = (for { x <- lv; y <- rv } yield x < y).getOrElse(false)
+        val ge = (for { x <- lv; y <- rv } yield x >= y).getOrElse(false)
+        (k, eq, !eq, lt, ge)
+      }
+      assert(multiset(got) == multiset(exp), s"l=$l r=$r")
+    }
+  }
+
+  test("arithAlignedSeries matches the Scala mirror (series hits every column)") {
+    val seriesGen: Gen[List[(Long, Option[Double])]] =
+      Gen.listOf(for {
+        k <- Gen.choose(0L, 3L)
+        v <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
+      } yield (k, v))
+    forAll(alignedFrameGen, seriesGen) { (l, s0) =>
+      // a series must be unique-keyed (pandas reindex would raise too);
+      // keep the first row per key
+      val s = s0.groupBy(_._1).view.mapValues(_.head._2).toList
+        .map { case (k, v) => (k, v) }.sortBy(_._1)
+      val lDf = l.toDF("k", "a", "b")
+      val sDf = s.toDF("k", "s")
+      for (fv <- Seq(None, Some(0.0))) {
+        val got = GraftFrame(lDf)
+          .arithAlignedSeries(GraftFrame(sDf), "sub", Seq("k"), fv)
+          .df.select("k", "a", "b")
+          .as[(Long, Option[Double], Option[Double])].collect().toSeq
+        val exp = outerPairs(l, s.map(t => (t._1, t._2, None: Option[Double])))
+          .map { case (k, lo, ro) =>
+            val sv = ro.flatMap(_._2)
+            (k, cellRule(_ - _, lo.flatMap(_._2), sv, fv),
+              cellRule(_ - _, lo.flatMap(_._3), sv, fv))
+          }
+        assert(multiset(got) == multiset(exp), s"fv=$fv l=$l s=$s")
+      }
+    }
+  }
 }
