@@ -30,11 +30,23 @@ object Dedup {
     * fan-out that follows. Every consumer below is order-insensitive
     * (min/groupBy/signature folds), so the nondeterministic round-robin
     * placement cannot change results. */
-  private[operators] def fanOutScan(df: DataFrame): DataFrame = {
+  private[operators] def fanOutScan(df: DataFrame,
+      sized: Boolean = false): DataFrame = {
     if (df.isStreaming) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+      // r10: `sized = true` fans out only to the input-byte-sized width —
+      // right when the downstream per-byte CPU is LIGHT (one md5 / url
+      // normalization per row: at sf0.1 two 32-near-empty-task stages
+      // were pure scheduling overhead on the ext_dedup_exact floor, the
+      // r9 jaccard-exchange lesson again). Heavy fan-out consumers
+      // (shingle explosion + MinHash signature folds, CPU ∝ shingles ≫
+      // input bytes) keep the full width: an A/B at sf0.1 showed sizing
+      // THEM regressed minhash 0.8→1.5 s while sizing md5-only paths cut
+      // exact 1.16→1.01 s. At real scale both variants no-op (wide scans
+      // pass through; sizedWidth clamps to the configured width).
+      val width = if (sized) math.min(p, sizedWidth(df)) else p
+      if (df.rdd.getNumPartitions * 2 < width) df.repartition(width) else df
     }
   }
 
@@ -96,7 +108,7 @@ object Dedup {
   /** Exact text dedup via md5 of normalized text. Returns the kept rows. */
   def exactTextDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     dropDuplicates(
-      fanOutScan(docs).withColumn("__fp", TextFunctions.md5Fingerprint(col(textCol))),
+      fanOutScan(docs, sized = true).withColumn("__fp", TextFunctions.md5Fingerprint(col(textCol))),
       Seq("__fp"), idCol)
       .drop("__fp")
 
@@ -110,7 +122,7 @@ object Dedup {
     * `url_norm`. */
   def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
     dropDuplicates(
-      fanOutScan(docs).withColumn("__url_norm",
+      fanOutScan(docs, sized = true).withColumn("__url_norm",
         TextFunctions.normalizeUrl(col(urlCol))),
       Seq("__url_norm"), idCol)
       .withColumnRenamed("__url_norm", "url_norm")
