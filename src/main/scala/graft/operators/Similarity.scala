@@ -338,4 +338,31 @@ object Similarity {
       .join(dupOf.withColumn("__dup", lit(true)), Seq("cid"), "left")
       .select(col("cid"), col("cluster"), col("__dup").isNull.as("keep"))
   }
+
+  /** SEMANTIC benchmark decontamination (r10) — the embedding analog of
+    * [[graft.operators.Curation.decontaminate]]'s n-gram overlap filter:
+    * a corpus vector is contaminated when its max cosine against ANY
+    * benchmark vector reaches `threshold` (paraphrased or re-templated
+    * eval items that share no 13-gram still sit next to the benchmark in
+    * embedding space). The benchmark set is small by nature, so it
+    * BROADCASTS; the corpus streams through a BroadcastNestedLoop scan +
+    * one partial/final max aggregate keyed by cid — the corpus never
+    * shuffles bodies, only (cid, partial-max) pairs, and no corpus
+    * self-join exists at any scale. Per-pair sims are round-4 BEFORE the
+    * max (order-free, engine-exact — same convention as
+    * [[nearDupPairsExact]]); thresholds must keep the documented ~1e-4
+    * gap from data sims. Returns (cid, max_sim, contaminated). */
+  def semanticDecontaminate(
+      corpus: DataFrame, // (cid, cvec)
+      bench: DataFrame, // (bvec)
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    corpus.crossJoin(broadcast(bench.select(col("bvec"))))
+      .withColumn("__bsim", round(cosineCol(corpus, col("cvec"), col("bvec")), 4))
+      .groupBy(col("cid"))
+      .agg(max(col("__bsim")).as("max_sim"))
+      .select(col("cid"), (col("max_sim") + lit(0.0)).as("max_sim"),
+        (col("max_sim") >= threshold).as("contaminated"))
+  }
 }

@@ -1139,6 +1139,44 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- SEMANTIC benchmark decontamination (r10): the embedding analog
+    //     of the n-gram filter — corpus vectors whose max cosine against
+    //     any benchmark vector reaches 0.999 are contaminated. Corpus =
+    //     embeddings + exact twins (+10000), bench = vec_id < 100, so
+    //     every bench member and its twin scores exactly 1.0; round-4
+    //     sims are bit-identical ordered folds on both engines, so the
+    //     threshold comparison can never disagree even at a boundary.
+    //     Scale shape: bench broadcasts, corpus never self-joins.
+    Q("ext_semantic_decon",
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings),
+        |b AS (SELECT embedding AS bvec FROM embeddings WHERE vec_id < 100),
+        |p AS (
+        |  SELECT c.vec_id,
+        |    max(round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(b.bvec[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE))))),
+        |      4)) AS max_sim
+        |  FROM c CROSS JOIN b GROUP BY c.vec_id)
+        |SELECT vec_id, max_sim + CAST(0.0 AS DOUBLE) AS max_sim,
+        |       max_sim >= 0.999 AS contaminated
+        |FROM p ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val corpus = e.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        .unionAll(e.select(($"vec_id" + 10000).as("cid"), $"embedding".as("cvec")))
+      val bench = e.filter($"vec_id" < 100).select($"embedding".as("bvec"))
+      Similarity.semanticDecontaminate(corpus, bench, threshold = 0.999)
+        .select($"cid".as("vec_id"), $"max_sim", $"contaminated")
+        .orderBy($"vec_id")
+    },
+
     // --- per-doc cross-entropy vs the corpus unigram distribution (the
     //     CCNet-style LM quality signal): the Σ c·log2(p) term is summed
     //     as exact scaled integers on BOTH sides (ext_entropy pattern —

@@ -220,4 +220,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.filter(!col("keep")).count() == 0)
     assert(out.select("cluster").distinct().count() <= 3)
   }
+
+  test("semanticDecontaminate flags exactly the benchmark neighborhood") {
+    val r = new Random(7)
+    val vecs = (0L until 40L).map(i => (i, randVec(r, 16)))
+    val corpus = vecs.toDF("cid", "cvec")
+    // benchmark = copies of vectors 0..9 (cosine exactly 1.0 to them)
+    val bench = vecs.take(10).map(_._2).toDF("bvec")
+    val out = Similarity.semanticDecontaminate(corpus, bench, 0.999)
+      .select("cid", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 40)
+    (0L until 40L).foreach { i =>
+      assert(out(i) == (i < 10L), s"vector $i flagged=${out(i)}")
+    }
+    // scale shape: bench broadcasts, corpus never self-joins or shuffles
+    // beyond the (cid, partial-max) aggregate
+    val plan = Similarity.semanticDecontaminate(corpus, bench, 0.999)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
 }
