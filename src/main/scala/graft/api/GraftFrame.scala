@@ -623,6 +623,19 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       Seq(posCol), op, fillValue)
   }
 
+  /** Positional aligned comparisons — [[compareAligned]] over the
+    * implicit row position, completing the default-RangeIndex family
+    * next to [[arithPositional]]. Same missing-cell semantics (absent
+    * or longer-tail cells compare false; ne is eq's negation). */
+  def comparePositional(other: GraftFrame, ops: Seq[String],
+      posCol: String = "row_pos"): GraftFrame = {
+    require(index.isEmpty && other.index.isEmpty,
+      "comparePositional is the no-declared-index (default RangeIndex) " +
+        "path — use compareAligned with on=/setIndex keys instead")
+    withRowIndex(posCol).compareAligned(other.withRowIndex(posCol),
+      ops, Seq(posCol))
+  }
+
   /** Keys for the aligned binops: explicit `on` wins, else the
     * [[setIndex]]-declared index. */
   private def alignKeys(on: Seq[String], what: String): Seq[String] = {

@@ -713,6 +713,48 @@ object OpsRelational {
         .df
     },
 
+    // --- §2.4/§2.10 positional aligned COMPARISONS (r10): the
+    //     default-RangeIndex form of compareAligned — different-length
+    //     slices, missing tail cells compare false (ne true). Booleans
+    //     as BIGINT per the op_binop_align3 convention.
+    Q("op_cmp_positional",
+      """WITH l AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_pos,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey < 1500),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_pos,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+        |              ELSE o_totalprice + CAST(1.0 AS DOUBLE) END AS v
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2800)
+        |SELECT COALESCE(l.row_pos, r.row_pos) AS row_pos,
+        |  CAST(CASE WHEN l.v IS NOT NULL AND r.v IS NOT NULL AND l.v = r.v
+        |            THEN 1 ELSE 0 END AS BIGINT) AS v_eq,
+        |  CAST(CASE WHEN l.v IS NOT NULL AND r.v IS NOT NULL AND l.v = r.v
+        |            THEN 0 ELSE 1 END AS BIGINT) AS v_ne,
+        |  CAST(CASE WHEN l.v IS NOT NULL AND r.v IS NOT NULL AND l.v < r.v
+        |            THEN 1 ELSE 0 END AS BIGINT) AS v_lt
+        |FROM l FULL OUTER JOIN r ON l.row_pos = r.row_pos
+        |ORDER BY row_pos""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val l = gt(spark, dir, "orders")
+        .query("o_orderkey < 1500")
+        .sortValues(Seq("o_orderkey"))
+        .selectCols($"o_totalprice".as("v"))
+      val r = gt(spark, dir, "orders")
+        .query("o_orderkey >= 1000 AND o_orderkey < 2800")
+        .sortValues(Seq("o_orderkey"))
+        .selectCols(when($"o_orderkey" % 2 === 0, $"o_totalprice")
+          .otherwise($"o_totalprice" + lit(1.0)).as("v"))
+      l.comparePositional(r, Seq("eq", "ne", "lt"))
+        .selectCols(col("row_pos"),
+          col("v_eq").cast("long").as("v_eq"),
+          col("v_ne").cast("long").as("v_ne"),
+          col("v_lt").cast("long").as("v_lt"))
+        .sortValues(Seq("row_pos"))
+        .df
+    },
+
     // --- §2.9 set ops: union / intersect / except
     Q("op_setops",
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -392,6 +392,12 @@ class ReshapeSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       l.setIndex("v").arithPositional(r, "add"))
     assert(e.getMessage.contains("arithAligned"))
+    // positional comparisons: tail positions compare false (ne true)
+    val cmp = l.comparePositional(GraftFrame(Seq(10.0, 21.0).toDF("v")),
+        Seq("eq", "ne"))
+      .df.orderBy("row_pos").select("v_eq", "v_ne")
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(cmp === Seq((true, false), (false, true), (false, true)))
   }
 
   test("declared index propagates through index-preserving transformations") {
