@@ -960,6 +960,53 @@ object OpsExtra {
         .orderBy($"doc_id")
     },
 
+    // --- streaming SEMANTIC decontamination parity (r10): the embedding
+    //     max-cosine filter (static benchmark vectors broadcast per
+    //     batch) as a real multi-batch streaming aggregation in complete
+    //     mode, against the ext_semantic_decon construct. Round-4 sims
+    //     are bit-identical ordered folds on both engines, so the 0.9
+    //     threshold comparison can never disagree.
+    Q("op_stream_semdecon_parity",
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+        |b AS (SELECT embedding AS bvec FROM embeddings WHERE vec_id < 50),
+        |p AS (
+        |  SELECT c.vec_id,
+        |    max(round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(b.bvec[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE))))),
+        |      4)) AS max_sim
+        |  FROM c CROSS JOIN b GROUP BY c.vec_id)
+        |SELECT vec_id, max_sim + CAST(0.0 AS DOUBLE) AS max_sim,
+        |       max_sim >= 0.9 AS contaminated
+        |FROM p ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stageDir = StreamParity.stage(spark, dir, "embeddings", "vec_id")
+      val bench = spark.read.parquet(stageDir.toString)
+        .filter($"vec_id" < 50)
+        .select($"embedding".as("bvec"))
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+        .filter($"vec_id" >= 50)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val sinkName = s"strm_semdecon_${StreamParity.next()}"
+      val q = graft.streaming.StreamOps
+        .semanticDecontaminateStream(stream, bench, threshold = 0.9)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.table(sinkName)
+        .select($"cid".as("vec_id"), $"max_sim", $"contaminated")
+        .orderBy($"vec_id")
+    },
+
     // --- §2.16 streaming SLIDING windows ≡ batch (r9): the 2h/1h
     //     sliding aggregate as a real streaming query (complete mode,
     //     state accumulating across the 3 ts-range micro-batches); the

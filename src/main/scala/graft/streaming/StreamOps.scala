@@ -98,6 +98,18 @@ object StreamOps {
         (col("n_contaminated_ngrams") >= minOverlap).as("contaminated"))
   }
 
+  /** Streaming SEMANTIC decontamination (r10) — the stream–static form of
+    * [[graft.operators.Similarity.semanticDecontaminate]]: incoming
+    * embedding rows score their max cosine against the STATIC benchmark
+    * vector table (broadcast per batch, like [[decontaminateStream]]'s
+    * shingle table). The per-cid max aggregate runs in complete mode;
+    * per-pair sims are round-4 before the order-free max, so batch and
+    * streaming results are bit-identical. Input (cid, cvec); output
+    * (cid, max_sim, contaminated). */
+  def semanticDecontaminateStream(corpus: DataFrame, bench: DataFrame,
+      threshold: Double): DataFrame =
+    graft.operators.Similarity.semanticDecontaminate(corpus, bench, threshold)
+
   /** Stream–stream interval join: right-stream events falling in
     * [left.ts, left.ts + windowSeconds) for the same key — the streaming
     * form of [[graft.operators.Sessionize.intervalJoin]] (clicks within an
