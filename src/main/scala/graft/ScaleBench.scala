@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
   * curation6) a full decade past the standard grid.
   *
   * Usage: graft.ScaleBench [scales=1,10,100] [reps=2] [bigScale=1000|0]
+  *        [pipelineFilter (comma-separated names; default all)]
   * Writes scaled corpora under target/scale/x<K>/ (restaged when the
   * fixture changes) and prints one JSON line per (pipeline, scale) plus
   * a slope summary.
@@ -162,6 +163,8 @@ object ScaleBench {
     // the decade-beyond cell for the stateful-heaviest pipelines; 0 skips
     val bigScale = args.lift(2).map(_.toInt).getOrElse(1000)
     val bigPipelines = Set("minhash_dedup", "curation6")
+    // optional one-off subset, e.g. `1000 1 0 stream_dedup`
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -199,14 +202,20 @@ object ScaleBench {
         s""""rows":$rows,"reps":${runs.map(t => f"${t._1}%.2f").mkString("[", ",", "]")},$mjson}""")
     }
 
+    val active = pipelines.filter(p => only.forall(_(p._1)))
+    require(active.nonEmpty,
+      s"no pipeline matches filter ${only.getOrElse(Set())}; " +
+        s"known: ${pipelines.map(_._1).mkString(", ")}")
     val dirs = scales.map(k => k -> stage(spark, k)).toMap
-    for ((name, fn) <- pipelines; k <- scales) runCell(name, fn, k, dirs(k))
+    for ((name, fn) <- active; k <- scales) runCell(name, fn, k, dirs(k))
 
-    // the decade-beyond memory-envelope cells (stateful-heaviest only)
+    // the decade-beyond memory-envelope cells (stateful-heaviest only,
+    // or whatever the explicit filter names)
+    val bigSet = if (only.isDefined) active.map(_._1).toSet else bigPipelines
     val bigScales: Seq[Int] =
       if (bigScale > scales.max) {
         val bigDir = stage(spark, bigScale)
-        for ((name, fn) <- pipelines.filter(p => bigPipelines(p._1)))
+        for ((name, fn) <- active.filter(p => bigSet(p._1)))
           runCell(name, fn, bigScale, bigDir)
         Seq(bigScale)
       } else Seq.empty
@@ -214,24 +223,26 @@ object ScaleBench {
     // per-decade slopes: s = log(t_b/t_a) / log(b/a); slope 1 = linear
     def slopeRow(name: String, pts: Seq[Int],
         value: (String, Int) => Double): String =
-      pts.sliding(2).map { case Seq(a, b) =>
+      // sliding(2) on a 1-element grid yields a 1-element window —
+      // filter it out instead of MatchError-ing (single-scale filter runs)
+      pts.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
         val va = value(name, a); val vb = value(name, b)
         if (va <= 0.0 || vb <= 0.0) f"${Double.NaN}%12.2f"
         else f"${math.log(vb / va) / math.log(b.toDouble / a)}%12.2f"
       }.mkString("  ")
-    println("pipeline          " + scales.sliding(2).map { case Seq(a, b) =>
-      f"slope_${a}x_${b}x" }.mkString("  ") +
+    println("pipeline          " + scales.sliding(2).filter(_.size == 2)
+      .map { case Seq(a, b) => f"slope_${a}x_${b}x" }.mkString("  ") +
       bigScales.map(b => f"  slope_${scales.max}x_${b}x (big cells)").mkString)
-    for ((name, _) <- pipelines) {
-      val pts = scales ++ bigScales.filter(_ => bigPipelines(name))
+    for ((name, _) <- active) {
+      val pts = scales ++ bigScales.filter(_ => bigSet(name))
       println(f"$name%-18s${slopeRow(name, pts, (n, k) => results((n, k)))}")
     }
     // state slopes: peak task memory + total spill must stay bounded —
     // a wall-time slope of 0.8 with a memory slope near 1 is the 100 TB
     // red flag the r9 verdict asked this harness to catch
     println("-- memory envelope slopes (peak_task_mem; spill printed raw) --")
-    for ((name, _) <- pipelines) {
-      val pts = scales ++ bigScales.filter(_ => bigPipelines(name))
+    for ((name, _) <- active) {
+      val pts = scales ++ bigScales.filter(_ => bigSet(name))
       val memSlope = slopeRow(name, pts,
         (n, k) => metrics((n, k))("peak_task_mem").toDouble)
       val spills = pts.map(k => metrics((name, k))("mem_spill") +

@@ -21,6 +21,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // full dumps prune result dirs of queries no longer in the registry —
+    // a stale dir from an older binary reads as a bogus [no-oracle] row
+    // in the differential (bit us twice in r10 with the retired probe)
+    if (only.isEmpty) {
+      val live = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live(f.getName))
+        .foreach { d =>
+          System.err.println(s"[verify] pruning stale result dir: ${d.getName}")
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d.toPath).iterator().asScala
+            .toVector.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -27,7 +27,8 @@ import graft.operators.{Curation, Dedup, Sessionize, Windows}
   * Declared-index propagation (r10, ADVICE r9): the [[setIndex]]-declared
   * index survives every transformation that keeps ALL of its columns —
   * select/assign/eval/query/filter/rename (names mapped)/insert/drop/
-  * prefix/suffix and the rank family — and is cleared whenever an index
+  * prefix/suffix/sortValues/head/fillna/dropna(Thresh)/astype/clip and
+  * the rank family — and is cleared whenever an index
   * column is dropped or the shape changes (reshape, groupby, joins other
   * than the aligned family, which re-declare their keys). So aligned
   * binops behave identically regardless of which of these methods ran in
@@ -176,7 +177,7 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   /** dtype casts by column (reference base/astype.py:32). */
   def astype(casts: (String, String)*): GraftFrame =
-    GraftFrame(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })
+    sameIndex(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d(c).cast(t)) })
 
   /** astype('category') — dictionary-encode a string column exactly like
     * the reference's two-pass category gathering (base/astype.py:32,
@@ -833,12 +834,12 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
         case (false, _) => df(c).desc_nulls_first
       }
     }
-    GraftFrame(df.orderBy(cols: _*))
+    sameIndex(df.orderBy(cols: _*))
   }
 
   /** head(n) (reference indexing/iloc.py:251 / HeadPushDown — Catalyst's
     * LimitPushDown does the pushdown). */
-  def head(n: Int): GraftFrame = GraftFrame(df.limit(n))
+  def head(n: Int): GraftFrame = sameIndex(df.limit(n))
 
   /** tail(n) over an explicit order (no implicit row index — SURVEY §7.1):
     * the last n rows by `by` ascending. A reversed TakeOrdered, so it never
@@ -1174,16 +1175,16 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   // --------------------------------------------------- missing data §2.10
   /** fillna with per-column values (reference missing/fillna.py:36). */
-  def fillna(values: Map[String, Any]): GraftFrame = GraftFrame(df.na.fill(values))
+  def fillna(values: Map[String, Any]): GraftFrame = sameIndex(df.na.fill(values))
 
   /** dropna (reference missing/dropna.py:33). how: "any"/"all". */
   def dropna(how: String = "any", subset: Seq[String] = Nil): GraftFrame =
-    GraftFrame(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+    sameIndex(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
 
   /** pandas dropna(thresh=): keep rows with at least `thresh` non-null
     * values among `subset` (all columns when empty). */
   def dropnaThresh(thresh: Int, subset: Seq[String] = Nil): GraftFrame =
-    GraftFrame(if (subset.isEmpty) df.na.drop(thresh)
+    sameIndex(if (subset.isEmpty) df.na.drop(thresh)
       else df.na.drop(thresh, subset))
 
   /** Group-wise forward fill (reference groupby/fill.py:149) — window

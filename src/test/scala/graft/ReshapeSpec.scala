@@ -418,6 +418,14 @@ class ReshapeSpec extends SparkSpecBase {
     // rank keeps the index on every method branch (ADVICE r9)
     for (m <- Seq("min", "dense", "first", "max", "average"))
       assert(f.rank("r", Seq.empty, Seq(f("v")), m).index === Seq("k"), m)
+    // the rest of the column-preserving family
+    assert(f.sortValues(Seq("v")).index === Seq("k"))
+    assert(f.head(1).index === Seq("k"))
+    assert(f.fillna(Map("v" -> 0.0)).index === Seq("k"))
+    assert(f.dropna().index === Seq("k"))
+    assert(f.dropnaThresh(1).index === Seq("k"))
+    assert(f.astype("v" -> "long").index === Seq("k"))
+    assert(f.clip("v", 0.0, 5.0).index === Seq("k"))
   }
 
   test("covMatrix matches hand-computed sample covariances") {
