@@ -145,10 +145,16 @@ object Dedup {
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .select(col(idCol), col("pos").cast("long").as("__idx"), col("col").as("__line"))
-    val w = Window.partitionBy(col("__line")).orderBy(col(idCol), col("__idx"))
+    // r10: keep-first is a pure MIN aggregate over (id, idx) — partial
+    // aggregation collapses a mega-hot boilerplate line map-side, where
+    // the previous row_number window pinned all its occurrences on one
+    // (AQE-unsplittable) task. Lexicographic struct-min == first
+    // occurrence over the total order, so results are identical.
     val kept = lines
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__f"))
+      .select(col("__f").getField(idCol).as(idCol),
+        col("__f").getField("__idx").as("__idx"), col("__line"))
     kept
       .groupBy(col(idCol))
       .agg(
@@ -203,10 +209,18 @@ object Dedup {
         j => conv(substring(md5(array_join(slice(col("__ws"), j + lit(1), lit(n)), " ")), 1, 15), 16, 10)
           .cast("long"))))
       .select(col(idCol), col("pos").cast("long").as("__s"), col("col").as("__gh"))
-    val keepFirst = Window.partitionBy(col("__gh")).orderBy(col(idCol), col("__s"))
+    // r10: non-first occurrences = grams minus the per-gram struct-min,
+    // as a join against the partial-aggregated min side instead of a
+    // row_number window — a stop-phrase gram's occurrences previously
+    // sorted on ONE window task (AQE cannot split window partitions);
+    // the SMJ here is skew-splittable and the min side collapses
+    // map-side. Lexicographic struct-min == keep-first total order.
+    val firstPerGram = grams.groupBy(col("__gh"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__s").as("__fs"))).as("__f"))
     val dupStarts = grams
-      .withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") > 1)
+      .join(firstPerGram, Seq("__gh"))
+      .filter(!(col(idCol) === col("__f").getField("__fid") &&
+        col("__s") === col("__f").getField("__fs")))
       .select(col(idCol), col("__s").as("__i"),
         lit(null).cast("string").as("__w"), lit(1).as("__start"))
     // interval merge: at equal position the start sorts first (__start
