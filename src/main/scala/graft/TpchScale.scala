@@ -69,9 +69,16 @@ object TpchScale {
                 w => concat(w, lit(s"q${i}z"))), " "))
           else strided
         }.reduce(_ unionAll _)
-      // one file per table — the layout compare.py / the driver read
+      // one file per table — the layout compare.py / the driver read.
+      // coalesce(1) would collapse the whole union into ONE task (the
+      // k scan+tag projections run serially inside it); past ~100
+      // copies that serializes gigabytes of compute, so large stagings
+      // compute wide and gather through a single-partition shuffle —
+      // the writer task then just drains shuffle blocks.
+      val single =
+        if (k > 100) scaled.repartition(1) else scaled.coalesce(1)
       val tmp = Paths.get(dir, s"__tmp_$table")
-      scaled.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      single.write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
       val partFile = Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.startsWith("part-")).get
