@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scaling-curve harness (r9, VERDICT task 1): measures six
-  * flagship pipelines (the original five + the r9 stream_dedup addition)
+  * flagship pipelines (the original five + the r9 stream_dedup addition;
+  * r10 adds the adversarial-skew pair skew_domain_cap{,_novalve}, run
+  * on demand via the pipeline filter)
   * at 1×/10×/100× of the sf0.1 corpus and reports
   * per-decade log-log slopes, turning the 100 TB plan-shape arguments
   * into measured exponents.
@@ -106,7 +108,46 @@ object ScaleBench {
   /** The six flagship pipelines (stream_dedup joined in r9), each forced
     * with a count(). */
   private def pipelines: Seq[(String, (SparkSession, String) => Long)] = {
-    import graft.operators.{Components, Dedup, Similarity}
+    import graft.operators.{Components, Curation, Dedup, Similarity}
+    // Adversarial-skew fixture (r10): 80% of every corpus lands in ONE
+    // synthetic mega-domain, the rest spreads over 1000 small domains —
+    // the worst case for per-domain windows. Not staged: a projection
+    // over the scaled documents table, so the same cells run at every
+    // scale. skew_domain_cap runs the structural valve (threshold low
+    // enough to trip from 100× up); skew_domain_cap_novalve is the
+    // negative control (plain full-domain window) — the wall/peak-mem
+    // gap between the two IS the measured value of the valve.
+    // GRAFT_SKEW_AMP=A (default 1) unions A re-strided copies of the
+    // scaled corpus on the fly — the mega-domain crossover (where the
+    // one-task window sort stops being cheap) sits beyond the staged
+    // grid, so the amplified cell probes it without staging a decade of
+    // parquet. Only the doc_id/domain projection is amplified; ids stay
+    // distinct (stride 10^11 clears every staged id space).
+    def skewed(s: SparkSession, dir: String): DataFrame = {
+      val amp = sys.env.getOrElse("GRAFT_SKEW_AMP", "1").toInt
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val docs =
+        if (amp <= 1) base
+        else (0 until amp).map(a => base.withColumn("doc_id",
+          col("doc_id") + lit(a * 100000000000L))).reduce(_ unionAll _)
+      docs.withColumn("domain",
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("mega.example.com"))
+          .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(1000)))))
+    }
+    // force the capped TEXT through the plan by writing the full capped
+    // frame to the noop sink — what an exporting user does. A bare
+    // count() lets Catalyst prune the payload out of the window shuffle
+    // entirely, and even agg(sum(octet_length(text))) gets the length
+    // projection PUSHED BELOW the window (text crosses the shuffle as an
+    // 8-byte int) — both silently remove the phenomenon the skew cells
+    // measure: the mega-domain's bytes funneling into one window task.
+    // returns the written byte volume (listener outputMetrics are zero
+    // for noop, so sum octet lengths of what crossed: cells report it
+    // via the shuffle_read metric instead; rows := 0 sentinel)
+    def forceText(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save()
+      0L
+    }
     Seq(
       "minhash_dedup" -> { (s: SparkSession, dir: String) =>
         Dedup.minhashDedupPairs(Tables.load(s, dir, "documents"),
@@ -132,6 +173,14 @@ object ScaleBench {
       },
       "curation6" -> { (s: SparkSession, dir: String) =>
         SparkEntry.queries("ext_curation6")(s, dir).count()
+      },
+      "skew_domain_cap" -> { (s: SparkSession, dir: String) =>
+        forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",
+          cap = 1000, skewThreshold = 100000L))
+      },
+      "skew_domain_cap_novalve" -> { (s: SparkSession, dir: String) =>
+        forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",
+          cap = 1000, skewThreshold = Long.MaxValue))
       },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
@@ -202,7 +251,13 @@ object ScaleBench {
         s""""rows":$rows,"reps":${runs.map(t => f"${t._1}%.2f").mkString("[", ",", "]")},$mjson}""")
     }
 
-    val active = pipelines.filter(p => only.forall(_(p._1)))
+    // skew_* cells are on-demand diagnostics (explicit filter only) —
+    // the default grid stays the six-pipeline table comparable across
+    // rounds
+    val active = pipelines.filter(p => only match {
+      case Some(names) => names(p._1)
+      case None => !p._1.startsWith("skew_")
+    })
     require(active.nonEmpty,
       s"no pipeline matches filter ${only.getOrElse(Set())}; " +
         s"known: ${pipelines.map(_._1).mkString(", ")}")
