@@ -893,6 +893,45 @@ object Learn {
     }
   }
 
+  /** tensordot over COO frames (reference mt.tensordot,
+    * mars/tensor/linalg/tensordot.py — the chunk plan there contracts
+    * paired axes the same way): contract each (aAxis, bAxis) pair; free
+    * axes pass through in (a-free, b-free) order. One equi-join on the
+    * paired axes + one partial+final sum — the cooMatmul/einsumCoo
+    * scale shape generalized to arbitrary axis pairings (einsumCoo
+    * needs shared-letter column names; tensordot maps differently-named
+    * axes). All-axes contraction degenerates to a single scalar row —
+    * which is exactly vdot/inner ([[cooVdot]]). */
+  def cooTensordot(a: DataFrame, aIdx: Seq[String], b: DataFrame,
+      bIdx: Seq[String], axes: Seq[(String, String)]): DataFrame = {
+    require(axes.nonEmpty,
+      "tensordot with no contracted axes is an outer product — build it explicitly")
+    require(axes.map(_._1).forall(aIdx.contains) &&
+      axes.map(_._2).forall(bIdx.contains),
+      s"contracted axes $axes must name index columns of a=$aIdx / b=$bIdx")
+    val aFree = aIdx.filterNot(axes.map(_._1).toSet)
+    val bFree = bIdx.filterNot(axes.map(_._2).toSet)
+    require((aFree ++ bFree).distinct.size == aFree.size + bFree.size,
+      s"free axis names collide between operands: $aFree vs $bFree")
+    val l = a.select(aIdx.map(col) :+ col("v").as("__va"): _*)
+    val r = b.select(bIdx.map(col) :+ col("v").as("__vb"): _*)
+    val joined = l.join(r,
+      axes.map { case (x, y) => l(x) === r(y) }.reduce(_ && _))
+    val outCols = aFree.map(l(_)) ++ bFree.map(r(_))
+    if (outCols.isEmpty)
+      joined.agg(sum(col("__va") * col("__vb")).as("v"))
+    else
+      joined.groupBy(outCols: _*).agg(sum(col("__va") * col("__vb")).as("v"))
+  }
+
+  /** vdot / inner over identically-indexed COO frames (reference
+    * mt.vdot, mars/tensor/linalg/vdot.py:21 and mt.inner, inner.py:21 —
+    * flatten-and-dot): full contraction over ALL index columns,
+    * Σ A∘B as one scalar row. Implicit zeros make the inner join
+    * correct: absent cells contribute nothing. */
+  def cooVdot(a: DataFrame, idx: Seq[String], b: DataFrame): DataFrame =
+    cooTensordot(a, idx, b, idx, idx.map(x => (x, x)))
+
   /** Sparse elementwise add in COO form (reference mt.add over sparse
     * tensors, mars/tensor/arithmetic + lib/sparse/): one full outer join
     * on (i, j), absent cells are implicit zeros; exact for integer/

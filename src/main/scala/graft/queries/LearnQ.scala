@@ -1309,6 +1309,54 @@ object LearnQ {
         .orderBy($"b", $"i", $"k")
     },
 
+    // --- tensordot with RENAMED contracted axes (reference
+    //     mt.tensordot, mars/tensor/linalg/tensordot.py): contract a's
+    //     j against b's m — the axis-pairing einsumCoo's shared-letter
+    //     contract can't express. Exact integer values throughout.
+    Q("learn_tensordot",
+      """WITH a AS (SELECT l_orderkey % 6 AS i, l_partkey % 4 AS j,
+        |                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_suppkey % 4 AS m, l_orderkey % 5 AS k,
+        |             CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS v
+        |      FROM lineitem GROUP BY 1, 2)
+        |SELECT a.i AS i, b.k AS k, CAST(SUM(a.v * b.v) AS BIGINT) AS v
+        |FROM a JOIN b ON a.j = b.m
+        |GROUP BY a.i, b.k
+        |ORDER BY i, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val a = li.groupBy(($"l_orderkey" % 6).as("i"), ($"l_partkey" % 4).as("j"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      val b = li.groupBy(($"l_suppkey" % 4).as("m"), ($"l_orderkey" % 5).as("k"))
+        .agg(sum($"l_linenumber".cast("long")).as("v"))
+      Learn.cooTensordot(a, Seq("i", "j"), b, Seq("m", "k"),
+        axes = Seq(("j", "m"))).orderBy($"i", $"k")
+    },
+
+    // --- vdot / inner: full contraction of two identically-indexed
+    //     sparse matrices to ONE scalar (reference mt.vdot
+    //     vdot.py:21 / mt.inner inner.py:21). Implicit-zero semantics
+    //     make the inner join exact; BIGINT end-to-end.
+    Q("learn_vdot",
+      """WITH a AS (SELECT l_orderkey % 7 AS i, l_partkey % 5 AS j,
+        |                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_orderkey % 7 AS i, l_partkey % 5 AS j,
+        |             CAST(SUM(CAST(l_suppkey AS BIGINT) % 11) AS BIGINT) AS v
+        |      FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(SUM(a.v * b.v) AS BIGINT) AS v
+        |FROM a JOIN b ON a.i = b.i AND a.j = b.j
+        |ORDER BY v""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val a = li.groupBy(($"l_orderkey" % 7).as("i"), ($"l_partkey" % 5).as("j"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      val b = li.groupBy(($"l_orderkey" % 7).as("i"), ($"l_partkey" % 5).as("j"))
+        .agg(sum($"l_suppkey".cast("long") % 11).as("v"))
+      Learn.cooVdot(a, Seq("i", "j"), b)
+    },
+
     // --- sparse COO elementwise algebra (reference mt.add / transpose /
     //     scalar multiply over sparse tensors, mars/lib/sparse/): full
     //     outer join on (i,j) with implicit zeros, index-swap transpose

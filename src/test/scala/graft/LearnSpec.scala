@@ -553,6 +553,32 @@ class LearnSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Learn.einsumCoo("ij,jk->iz", a, b))
   }
 
+  test("cooTensordot contracts renamed axes; cooVdot is the all-axes scalar") {
+    // A = [[1,2],[3,4]] indexed (i,j); B = [[5,6],[7,8]] indexed (m,k):
+    // contracting j~m is plain matmul A·B
+    val a = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 0L, 3.0), (1L, 1L, 4.0))
+      .toDF("i", "j", "v")
+    val b = Seq((0L, 0L, 5.0), (0L, 1L, 6.0), (1L, 0L, 7.0), (1L, 1L, 8.0))
+      .toDF("m", "k", "v")
+    val td = Learn.cooTensordot(a, Seq("i", "j"), b, Seq("m", "k"),
+      axes = Seq(("j", "m")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(td === Map((0L, 0L) -> 19.0, (0L, 1L) -> 22.0,
+      (1L, 0L) -> 43.0, (1L, 1L) -> 50.0))
+    // vdot: Σ A∘B with implicit zeros — drop one cell of b, its product
+    // vanishes from the sum
+    val bIj = b.toDF("i", "j", "v")
+    assert(Learn.cooVdot(a, Seq("i", "j"), bIj).collect().head.getDouble(0) ===
+      1 * 5 + 2 * 6 + 3 * 7 + 4 * 8.0)
+    assert(Learn.cooVdot(a, Seq("i", "j"), bIj.filter($"i" =!= 1L || $"j" =!= 1L))
+      .collect().head.getDouble(0) === 1 * 5 + 2 * 6 + 3 * 7.0)
+    intercept[IllegalArgumentException](
+      Learn.cooTensordot(a, Seq("i", "j"), b, Seq("m", "k"), axes = Nil))
+    intercept[IllegalArgumentException](
+      Learn.cooTensordot(a, Seq("i", "j"), b, Seq("m", "k"),
+        axes = Seq(("z", "m"))))
+  }
+
   test("probMetrics matches hand-computed log-loss and Brier score") {
     val df = Seq((1.0, 0.8), (0.0, 0.3), (1.0, 0.6)).toDF("y", "p")
     val r = Learn.probMetrics(df, "y", "p").collect().head

@@ -245,6 +245,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("valve stays exact when EVERY domain crosses the threshold") {
+    import graft.operators.Curation
+    // the 150M-doc skew-cell regime in miniature (PERF.md r10): no
+    // domain is under the threshold, so the valve pre-thins all of
+    // them — selection must still be identical to the plain window
+    val docs = (1 to 3).flatMap(d =>
+      (1 to 5000).map(i => (d * 1000000L + i, s"d$d", 7L)))
+      .toDF("doc_id", "source", "tok")
+    val capped = Curation.domainCap(docs, "source", "doc_id", cap = 40,
+      skewThreshold = 1000L, oversample = 4.0)
+    val exact = Curation.domainCap(docs, "source", "doc_id", cap = 40,
+      skewThreshold = Long.MaxValue)
+    assert(capped.select("doc_id").as[Long].collect().toSet ===
+      exact.select("doc_id").as[Long].collect().toSet)
+    assert(capped.groupBy("source").count().as[(String, Long)]
+      .collect().toMap.values.toSet === Set(40L))
+    val tokb = Curation.tokenBudgetSample(docs, "source", "doc_id", "tok",
+      Map("d1" -> 350L, "d2" -> 700L, "d3" -> 70L), skewThreshold = 1000L)
+    val tokbBare = Curation.tokenBudgetSample(docs, "source", "doc_id", "tok",
+      Map("d1" -> 350L, "d2" -> 700L, "d3" -> 70L),
+      skewThreshold = Long.MaxValue)
+    assert(tokb.select("doc_id").as[Long].collect().toSet ===
+      tokbBare.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("c4Clean and baggingSample are shuffle-free projections") {
     import graft.operators.Curation
     import graft.learn.Learn
