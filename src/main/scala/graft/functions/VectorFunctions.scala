@@ -190,6 +190,40 @@ object VectorFunctions {
       when(c, s.getField("x")).otherwise(s.getField("y")))
   }
 
+  /** numpy choose (reference tensor/indexing/choose.py): out[k] =
+    * choices[sel[k]][k] — per-element selection among N parallel
+    * arrays. Out-of-range selectors fail loudly (numpy mode='raise'). */
+  def choose(sel: Column, choices: Seq[Column]): Column = {
+    require(choices.nonEmpty, "choose needs at least one choice array")
+    val opts = array(choices: _*)
+    transform(sel, (s, i) =>
+      when(s >= 0 && s < choices.length,
+        element_at(element_at(opts, s.cast("int") + 1), i + 1))
+        .otherwise(raise_error(concat(lit("choose: selector "),
+          s.cast("string"), lit(s" out of range [0, ${choices.length})")))))
+  }
+
+  /** numpy unravel_index, C order (reference
+    * tensor/indexing/unravel_index.py): coordinates of a flat index in
+    * `shape`, coord_k = (flat / stride_k) % shape_k with row-major
+    * strides. Flat indices outside [0, prod(shape)) fail loudly. */
+  def unravelIndex(flat: Column, shape: Seq[Long]): Column = {
+    require(shape.nonEmpty && shape.forall(_ > 0),
+      s"unravelIndex needs a positive shape: $shape")
+    val total = shape.product
+    require(total <= (1L << 53), s"shape too large for exact math: $shape")
+    val checked = when(flat >= 0 && flat < total, flat.cast("long"))
+      .otherwise(raise_error(concat(lit("unravel_index: "),
+        flat.cast("string"), lit(s" out of range [0, $total)"))))
+    val strides = shape.tails.toSeq.tail.map(_.product)
+    // exact integer division: subtract the remainder first so the double
+    // divide is of a multiple of st (quotient ≤ 2^53 → exact)
+    array(strides.zip(shape).map { case (st, dim) =>
+      pmod(((checked - pmod(checked, lit(st))) / lit(st)).cast("long"),
+        lit(dim))
+    }: _*)
+  }
+
   // ---- tensor/base editing + order (reference mars/tensor/base/:
   //      insert.py, delete.py, array_split.py, argsort.py/sort.py) —
   //      pure slice/concat/struct-sort expressions, no UDFs.

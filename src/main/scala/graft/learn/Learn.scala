@@ -946,6 +946,25 @@ object Learn {
     if (dropZeros) merged.filter(col("v") =!= 0.0) else merged
   }
 
+  /** numpy fill_diagonal over an n×n COO frame (reference
+    * tensor/indexing/fill_diagonal.py): present diagonal cells are
+    * overwritten by a projection; ABSENT diagonal cells are inserted
+    * (numpy writes every [k,k], dense or not) via a left-anti join of
+    * the generated diagonal against the existing cells — shuffles only
+    * the n-row diagonal plus the matched keys, never the matrix body. */
+  def cooFillDiagonal(m: DataFrame, n: Long, value: Double): DataFrame = {
+    require(n > 0, s"fill_diagonal needs n > 0: $n")
+    val spark = m.sparkSession
+    val overwritten = m.select(col("i"), col("j"),
+      when(col("i") === col("j"), lit(value)).otherwise(col("v")).as("v"))
+    val missing = spark.range(n)
+      .select(col("id").as("i"), col("id").as("j"))
+      .join(m.select("i", "j").where(col("i") === col("j")),
+        Seq("i", "j"), "left_anti")
+      .select(col("i"), col("j"), lit(value).as("v"))
+    overwritten.unionByName(missing)
+  }
+
   /** Sparse transpose in COO form — a pure projection, zero shuffle
     * (the reference re-tiles chunks for this; COO just swaps indices). */
   def cooTranspose(a: DataFrame): DataFrame =

@@ -1362,6 +1362,35 @@ object LearnQ {
     //     outer join on (i,j) with implicit zeros, index-swap transpose
     //     (pure projection), scalar multiply — 2.5·(A + Aᵀ) over an
     //     exact integer-valued matrix; ×2.5 keeps half-steps exact.
+    // --- fill_diagonal over a SPARSE COO matrix (reference
+    //     tensor/indexing/fill_diagonal.py): present diagonal cells are
+    //     overwritten, absent ones INSERTED (numpy writes every [k,k]).
+    //     The 40×40 grid is sparse by construction — j = c_nationkey has
+    //     no values ≥ 25, so diagonal cells k ≥ 25 always exercise the
+    //     anti-join insert path. Integer-exact end-to-end.
+    Q("learn_fill_diagonal",
+      """WITH m AS (SELECT c_custkey % 40 AS i, c_nationkey AS j,
+        |                  CAST(SUM(CAST(c_custkey AS BIGINT) % 100) AS BIGINT) AS v
+        |           FROM customer GROUP BY 1, 2),
+        |f AS (SELECT i, j, CASE WHEN i = j THEN 7 ELSE v END AS v FROM m
+        |      UNION ALL
+        |      SELECT r.k, r.k, 7
+        |      FROM (SELECT range AS k FROM range(0, 40)) r
+        |      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.i = r.k AND m.j = r.k))
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |       CAST(v AS BIGINT) AS v
+        |FROM f ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val m = t(spark, dir, "customer")
+        .groupBy(($"c_custkey" % 40).cast("long").as("i"),
+          $"c_nationkey".cast("long").as("j"))
+        .agg(sum($"c_custkey".cast("long") % 100).as("v"))
+      Learn.cooFillDiagonal(m, n = 40L, value = 7.0)
+        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+          $"v".cast("long").as("v"))
+        .orderBy($"i", $"j")
+    },
+
     Q("learn_coo_ops",
       """WITH a AS (SELECT l_orderkey % 13 AS i, l_partkey % 13 AS j,
         |                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v

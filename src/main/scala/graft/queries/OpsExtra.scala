@@ -2371,6 +2371,55 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.14 tensor indexing family, part 2 (indexing/choose.py,
+    //     unravel_index.py): choose selects per-element among 3 parallel
+    //     arrays by a pmod-derived selector (nonneg on BOTH sides —
+    //     DuckDB % follows the dividend sign, so the oracle spells
+    //     ((x%3)+3)%3); unravel_index emits C-order coords of a flat
+    //     index in shape (2,3,4) via exact integer div/mod. Per-row
+    //     deterministic arithmetic, identical op shapes both sides.
+    Q("op_tensor_index2",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a,
+        |    ((CAST(vec_id AS BIGINT) * 31 + 7) % 24) AS flat
+        |  FROM embeddings WHERE vec_id < 80),
+        |m AS (SELECT vec_id, a, flat,
+        |    list_transform(a[1:3], x ->
+        |      ((CAST(floor(x * 10) AS BIGINT) % 3) + 3) % 3) AS sel,
+        |    list_transform(a, x -> least(greatest(x,
+        |      CAST(-0.5 AS DOUBLE)), CAST(0.5 AS DOUBLE))) AS cl
+        |  FROM e),
+        |c AS (SELECT vec_id, flat,
+        |    list_transform(sel, (s, k) -> CASE s
+        |      WHEN 0 THEN a[k] WHEN 1 THEN cl[k]
+        |      ELSE a[k] * CAST(2.0 AS DOUBLE) END) AS ch
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST((flat // 12) % 2 AS BIGINT) AS i1,
+        |  CAST((flat // 4) % 3 AS BIGINT) AS i2,
+        |  CAST(flat % 4 AS BIGINT) AS i3,
+        |  ch[1] AS ch1, ch[2] AS ch2, ch[3] AS ch3
+        |FROM c ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => x.cast("double"))
+      val flat = pmod($"vec_id".cast("long") * 31 + 7, lit(24L))
+      val sel = transform(slice(a, 1, 3),
+        x => pmod(floor(x * 10).cast("long"), lit(3L)))
+      val ch = choose(sel,
+        Seq(a, clipArray(a, -0.5, 0.5), transform(a, x => x * 2.0)))
+      val coords = unravelIndex(flat, Seq(2L, 3L, 4L))
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          element_at(coords, 1).as("i1"),
+          element_at(coords, 2).as("i2"),
+          element_at(coords, 3).as("i3"),
+          element_at(ch, 1).as("ch1"),
+          element_at(ch, 2).as("ch2"),
+          element_at(ch, 3).as("ch3"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.14 tensor set routines (base/unique.py row axis, in1d.py,
     //     setdiff1d.py + the numpy intersect1d/union1d siblings): the
     //     float embeddings are bucketed to overlapping BIGINT grids

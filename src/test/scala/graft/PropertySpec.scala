@@ -465,6 +465,38 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("tensor indexing part 2: choose/unravelIndex/cooFillDiagonal") {
+    import graft.functions.VectorFunctions._
+    import graft.learn.Learn
+    val df = Seq(Tuple1(Seq(0L, 2L, 1L))).toDF("sel")
+    // choices A=[10,20,30], B=[40,50,60], C=[70,80,90]:
+    // out[k] = choices[sel[k]][k] -> [A[0], C[1], B[2]] = [10, 80, 60]
+    val abc = Seq(Seq(10.0, 20.0, 30.0), Seq(40.0, 50.0, 60.0),
+      Seq(70.0, 80.0, 90.0)).map(s => array(s.map(lit): _*))
+    assert(df.select(choose($"sel", abc)).collect()(0)
+      .getSeq[Double](0).toList == List(10.0, 80.0, 60.0))
+    intercept[Exception] {
+      Seq(Tuple1(Seq(3L))).toDF("sel")
+        .select(choose($"sel", abc)).collect() // selector out of range
+    }
+    // numpy.unravel_index(17, (2,3,4)) == (1, 1, 1); 23 -> (1, 2, 3)
+    val flat = Seq(17L, 23L, 0L).toDF("f")
+    assert(flat.select(unravelIndex($"f", Seq(2L, 3L, 4L))).collect()
+      .map(_.getSeq[Long](0).toList).toList ==
+      List(List(1L, 1L, 1L), List(1L, 2L, 3L), List(0L, 0L, 0L)))
+    intercept[Exception] {
+      Seq(Tuple1(24L)).toDF("f")
+        .select(unravelIndex($"f", Seq(2L, 3L, 4L))).collect()
+    }
+    // fill_diagonal: [1,1] present (overwritten), [0,0]/[2,2] absent
+    // (inserted); off-diagonal untouched
+    val m = Seq((1L, 1L, 5.0), (0L, 2L, 9.0)).toDF("i", "j", "v")
+    val filled = Learn.cooFillDiagonal(m, n = 3L, value = 7.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(filled === Map((1L, 1L) -> 7.0, (0L, 2L) -> 9.0,
+      (0L, 0L) -> 7.0, (2L, 2L) -> 7.0))
+  }
+
   test("aligned-binop algebra: reversed ops, commutativity, comparison duality") {
     val pairGen: Gen[(List[(Long, Double)], List[(Long, Double)])] = {
       val side = Gen.nonEmptyListOf(for {
