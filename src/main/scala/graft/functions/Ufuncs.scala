@@ -15,8 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Ufuncs {
 
+  /** numpy frexp exponent (reference tensor/arithmetic/frexp.py):
+    * x = m·2^e with 0.5 ≤ |m| < 1. e₀ = ⌊log2|x|⌋+1 can err by one ulp
+    * of log2 near powers of two, so two exact power-of-two comparisons
+    * correct it — pow(2, k) is exact for integer k, making e exact and
+    * therefore ORACLE-ABLE (the same correction runs in SQL). 0, ±inf,
+    * NaN → e = 0 (numpy). */
+  private def frexpExp(c: Column): Column = {
+    val x = abs(c.cast("double"))
+    val e0 = floor(log2(x)).cast("long") + 1
+    val eUp = when(x >= pow(lit(2.0), e0.cast("double")), e0 + 1)
+      .otherwise(e0)
+    val e = when(x < pow(lit(2.0), (eUp - 1).cast("double")), eUp - 1)
+      .otherwise(eUp)
+    when(c === 0.0 || isnan(c) ||
+      abs(c) === lit(Double.PositiveInfinity), 0L).otherwise(e)
+  }
+
+  /** numpy frexp mantissa: x·2^(−e) — an exact scale by a power of two
+    * (the result is normal for finite nonzero x, so no rounding). */
+  private def frexpMant(c: Column): Column =
+    c.cast("double") * pow(lit(2.0), (-frexpExp(c)).cast("double"))
+
   /** Unary ufuncs, keyed by the reference's numpy-style names. */
   val unary: Map[String, Column => Column] = Map(
+    "frexp_exp" -> frexpExp _,
+    "frexp_mant" -> frexpMant _,
     "abs" -> abs _,
     "negative" -> ((c: Column) => -c),
     "sqrt" -> sqrt _,
@@ -172,6 +196,11 @@ object Ufuncs {
     "isclose" -> ((a, b) =>
       abs(a.cast("double") - b.cast("double")) <=
         lit(1e-8) + lit(1e-5) * abs(b.cast("double"))),
+    // numpy ldexp (reference tensor/arithmetic/ldexp.py): m·2^e.
+    // pow(2, e) is exact for integer e in double range, so the multiply
+    // is the IEEE scalb — overflow → inf, underflow → 0, like numpy.
+    "ldexp" -> ((m, e) =>
+      m.cast("double") * pow(lit(2.0), e.cast("long").cast("double"))),
     // scipy.special binaries (Special.scala)
     "beta" -> (Special.beta(_, _)),
     "betaln" -> (Special.betaln(_, _)),

@@ -265,6 +265,29 @@ object VectorFunctions {
   /** numpy argsort over a row array: 0-based indices sorting ascending,
     * ties stable by original position (struct sort orders by value then
     * index — the same lexicographic rule any engine applies). */
+  /** mars argtopk / topk (reference tensor/base/argtopk.py, topk.py):
+    * indices (0-based) / values of the k largest elements, descending
+    * value with ascending-index ties (deterministic; PSRS-free — per
+    * row the array is small by contract). k > len returns all, like
+    * slice. NaNs compare neither greater nor less, so they keep index
+    * order at the tail of equal runs — fixtures carry none. */
+  private def topPairs(a: Column, k: Int): Column = {
+    require(k >= 1, s"topk needs k >= 1: $k")
+    val pairs = zip_with(a, sequence(lit(0), size(a) - 1),
+      (v, i) => struct(v.as("v"), i.as("i")))
+    val sorted = array_sort(pairs, (l, r) =>
+      when(l.getField("v") > r.getField("v"), -1)
+        .when(l.getField("v") < r.getField("v"), 1)
+        .otherwise((l.getField("i") - r.getField("i")).cast("int")))
+    slice(sorted, 1, k)
+  }
+
+  def argtopkRow(a: Column, k: Int): Column =
+    transform(topPairs(a, k), s => s.getField("i").cast("long"))
+
+  def topkRow(a: Column, k: Int): Column =
+    transform(topPairs(a, k), s => s.getField("v"))
+
   def argsortRow(a: Column): Column =
     when(size(a) === 0, array().cast("array<long>")).otherwise(
       transform(

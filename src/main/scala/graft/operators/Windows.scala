@@ -198,6 +198,16 @@ object Windows {
   }
 
   def cumsum(c: Column, w: WindowSpec): Column = sum(c).over(expanding(w))
+  /** numpy nancumsum / nancumprod (reference
+    * tensor/reduction/nancumsum.py, nancumprod.py): NaN contributes the
+    * identity (0 / 1), and the output at a NaN position is the running
+    * total — numpy semantics, unlike SQL SUM which skips NULLs but
+    * poisons on NaN. */
+  def nancumsum(c: Column, w: WindowSpec): Column =
+    sum(when(isnan(c), lit(0.0)).otherwise(c)).over(expanding(w))
+  def nancumprod(c: Column, w: WindowSpec): Column =
+    graft.functions.aggregates.product(
+      when(isnan(c), lit(1.0)).otherwise(c)).over(expanding(w))
   def cummax(c: Column, w: WindowSpec): Column = max(c).over(expanding(w))
   def cummin(c: Column, w: WindowSpec): Column = min(c).over(expanding(w))
   def cumcount(w: WindowSpec): Column = row_number().over(w)

@@ -2420,6 +2420,126 @@ object OpsExtra {
         .orderBy($"vec_id")
     },
 
+    // --- §2.10 frexp/ldexp (arithmetic/frexp.py, ldexp.py): the
+    //     mantissa/exponent split is BIT-exact oracle-able because the
+    //     exponent is corrected against exact power-of-two comparisons
+    //     (log2's engine ulp divergence is absorbed by the two CASE
+    //     corrections — see Ufuncs.frexpExp), and the mantissa/ldexp
+    //     scaling by 2^±e is exact IEEE. l_quantity hits exact powers
+    //     of two (the correction's critical inputs); a planted 0.0 row
+    //     exercises the e=0 edge. No rounding anywhere.
+    Q("op_ufunc_float",
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    CASE WHEN l_linenumber = 1 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE CAST(l_extendedprice AS DOUBLE) END AS x1,
+        |    CAST(l_quantity AS DOUBLE) AS x2
+        |  FROM lineitem WHERE l_orderkey < 60),
+        |f AS (SELECT *,
+        |    CASE WHEN x1 = 0 THEN CAST(1.0 AS DOUBLE) ELSE abs(x1) END AS a1,
+        |    CASE WHEN x2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE abs(x2) END AS a2
+        |  FROM src),
+        |e0 AS (SELECT *,
+        |    CAST(floor(log2(a1)) AS BIGINT) + 1 AS e1a,
+        |    CAST(floor(log2(a2)) AS BIGINT) + 1 AS e2a FROM f),
+        |eu AS (SELECT *,
+        |    CASE WHEN a1 >= power(2.0, e1a) THEN e1a + 1 ELSE e1a END AS e1b,
+        |    CASE WHEN a2 >= power(2.0, e2a) THEN e2a + 1 ELSE e2a END AS e2b
+        |  FROM e0),
+        |ef AS (SELECT *,
+        |    CASE WHEN x1 = 0 THEN 0 WHEN a1 < power(2.0, e1b - 1)
+        |         THEN e1b - 1 ELSE e1b END AS e1,
+        |    CASE WHEN x2 = 0 THEN 0 WHEN a2 < power(2.0, e2b - 1)
+        |         THEN e2b - 1 ELSE e2b END AS e2
+        |  FROM eu)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(e1 AS BIGINT) AS exp1, x1 * power(2.0, -e1) AS mant1,
+        |  CAST(e2 AS BIGINT) AS exp2, x2 * power(2.0, -e2) AS mant2,
+        |  (x1 * power(2.0, -e1)) * power(2.0, e1) AS back1
+        |FROM ef
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      val x1 = when($"l_linenumber" === 1, lit(0.0))
+        .otherwise($"l_extendedprice".cast("double"))
+      val x2 = $"l_quantity".cast("double")
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 60)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          Ufuncs("frexp_exp")(x1).as("exp1"),
+          Ufuncs("frexp_mant")(x1).as("mant1"),
+          Ufuncs("frexp_exp")(x2).as("exp2"),
+          Ufuncs("frexp_mant")(x2).as("mant2"),
+          Ufuncs("ldexp", Ufuncs("frexp_mant")(x1),
+            Ufuncs("frexp_exp")(x1)).as("back1"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .drop("l_quantity")
+    },
+
+    // --- §2.5 nancumsum/nancumprod (reduction/nancumsum.py,
+    //     nancumprod.py): NaN contributes the identity and the output at
+    //     the NaN position is the running total (numpy), planted NaNs on
+    //     l_partkey % 7 = 0. Integer-valued doubles → exact products
+    //     (≤ 50^7 < 2^53); both engines multiply in the same row order.
+    Q("op_nancum",
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    CASE WHEN l_partkey % 7 = 0 THEN CAST('nan' AS DOUBLE)
+        |         ELSE CAST(l_quantity AS DOUBLE) END AS x
+        |  FROM lineitem WHERE l_orderkey < 30)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  SUM(CASE WHEN isnan(x) THEN CAST(0.0 AS DOUBLE) ELSE x END)
+        |    OVER w AS ncs,
+        |  product(CASE WHEN isnan(x) THEN CAST(1.0 AS DOUBLE) ELSE x END)
+        |    OVER w AS ncp
+        |FROM src
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_partkey, l_quantity
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Windows
+      val x = when(pmod($"l_partkey", lit(7)) === 0, lit(Double.NaN))
+        .otherwise($"l_quantity".cast("double"))
+      val w = Windows.spec(Seq("l_orderkey"),
+        Seq("l_linenumber", "l_partkey", "l_quantity"))
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 30)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          Windows.nancumsum(x, w).as("ncs"),
+          Windows.nancumprod(x, w).as("ncp"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .drop("l_quantity")
+    },
+
+    // --- §2.14 argtopk / topk (base/argtopk.py, topk.py): k largest
+    //     per row, descending value with ascending-index ties — the
+    //     DuckDB replay sorts unnested (v, k) structs under the same
+    //     ORDER BY rule. Exact element picks, no float math.
+    Q("op_argtopk",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |  FROM embeddings WHERE vec_id < 80),
+        |t AS (SELECT vec_id,
+        |    UNNEST(list_transform(a, (x, k) -> {'v': x, 'k': k - 1})) AS s
+        |  FROM e),
+        |g AS (SELECT vec_id,
+        |    list(CAST(s.k AS BIGINT) ORDER BY s.v DESC, s.k) AS ai,
+        |    list(s.v ORDER BY s.v DESC, s.k) AS av
+        |  FROM t GROUP BY vec_id)
+        |SELECT vec_id, ai[1] AS i1, ai[3] AS i3, ai[5] AS i5,
+        |       av[1] AS v1, av[3] AS v3, av[5] AS v5
+        |FROM g ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions._
+      val a = transform($"embedding", x => x.cast("double"))
+      val ai = argtopkRow(a, 5)
+      val av = topkRow(a, 5)
+      t(spark, dir, "embeddings").filter($"vec_id" < 80)
+        .select($"vec_id",
+          element_at(ai, 1).as("i1"), element_at(ai, 3).as("i3"),
+          element_at(ai, 5).as("i5"),
+          element_at(av, 1).as("v1"), element_at(av, 3).as("v3"),
+          element_at(av, 5).as("v5"))
+        .orderBy($"vec_id")
+    },
+
     // --- §2.14 tensor set routines (base/unique.py row axis, in1d.py,
     //     setdiff1d.py + the numpy intersect1d/union1d siblings): the
     //     float embeddings are bucketed to overlapping BIGINT grids

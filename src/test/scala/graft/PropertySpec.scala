@@ -497,6 +497,45 @@ class PropertySpec extends SparkSpecBase {
       (0L, 0L) -> 7.0, (2L, 2L) -> 7.0))
   }
 
+  test("frexp/ldexp roundtrip; argtopk/topk order; nancum identities") {
+    import graft.functions.{Ufuncs, VectorFunctions}
+    // numpy: frexp(8.0) == (0.5, 4) — the exact-power-of-two boundary
+    // the log2-ulp correction exists for; frexp(0.7) == (0.7, 0);
+    // frexp(-3.0) == (-0.75, 2); frexp(0.0) == (0.0, 0)
+    val f = Seq(8.0, 0.7, -3.0, 0.0, 1e-300, 6.25e17).toDF("x")
+      .select($"x", Ufuncs("frexp_mant")($"x").as("m"),
+        Ufuncs("frexp_exp")($"x").as("e"))
+    val rows = f.collect().map(r => r.getDouble(0) ->
+      (r.getDouble(1), r.getLong(2))).toMap
+    assert(rows(8.0) === ((0.5, 4L)))
+    assert(rows(0.7) === ((0.7, 0L)))
+    assert(rows(-3.0) === ((-0.75, 2L)))
+    assert(rows(0.0) === ((0.0, 0L)))
+    // mantissa range contract + exact roundtrip on every input
+    f.filter($"x" =!= 0.0).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1)) >= 0.5 && math.abs(r.getDouble(1)) < 1.0)
+    }
+    assert(f.select(Ufuncs("ldexp", $"m", $"e") === $"x")
+      .collect().forall(_.getBoolean(0)))
+    // argtopk: descending values, ascending-index ties
+    val at = Seq(Tuple1(Seq(3.0, 9.0, 1.0, 9.0, 5.0))).toDF("a")
+      .select(VectorFunctions.argtopkRow($"a", 3).as("i"),
+        VectorFunctions.topkRow($"a", 3).as("v")).collect()(0)
+    assert(at.getSeq[Long](0).toList == List(1L, 3L, 4L))
+    assert(at.getSeq[Double](1).toList == List(9.0, 9.0, 5.0))
+    // nancumsum/nancumprod: numpy([1, nan, 2]) -> sums [1,1,3],
+    // products [1,1,2]
+    import graft.operators.Windows
+    val w = Windows.spec(Seq("g"), Seq("k"))
+    val nc = Seq((1L, 1L, 1.0), (1L, 2L, Double.NaN), (1L, 3L, 2.0))
+      .toDF("g", "k", "x")
+      .select($"k", Windows.nancumsum($"x", w).as("s"),
+        Windows.nancumprod($"x", w).as("p"))
+      .orderBy($"k").collect()
+    assert(nc.map(_.getDouble(1)).toList == List(1.0, 1.0, 3.0))
+    assert(nc.map(_.getDouble(2)).toList == List(1.0, 1.0, 2.0))
+  }
+
   test("aligned-binop algebra: reversed ops, commutativity, comparison duality") {
     val pairGen: Gen[(List[(Long, Double)], List[(Long, Double)])] = {
       val side = Gen.nonEmptyListOf(for {
