@@ -415,6 +415,43 @@ object Fft {
     (a, b) => f(a, b)
   }
 
+  /** numpy.fft.rfftn (reference mars/tensor/fft/rfftn.py:28; rfft2.py:28
+    * is the 2-axis case): the real-input N-D transform keeps only the
+    * non-negative last-axis frequencies — Hermitian symmetry makes the
+    * other half redundant, so this is the FULL kernel truncated to flat
+    * indices whose last-axis coordinate ≤ d/2 (numpy's d/2 + 1 bins).
+    * Composed by an order-preserving filter over the flat spectrum — no
+    * new UDF; the shape is a plan-time literal like fftnReal call sites. */
+  def rfftnReal(xs: Column, shapeLit: Seq[Int]): Column = {
+    require(shapeLit.nonEmpty && shapeLit.forall(_ > 0),
+      s"rfftn needs a positive shape: $shapeLit")
+    val f = fftnReal(xs, F.typedlit(shapeLit))
+    val dLast = shapeLit.last
+    val half = dLast / 2
+    def trunc(a: Column) = {
+      val z = F.zip_with(a, F.sequence(F.lit(0), F.size(a) - 1),
+        (v, i) => F.struct(v.as("v"), i.as("i")))
+      F.transform(
+        F.filter(z, s => F.pmod(s.getField("i"), F.lit(dLast)) <= half),
+        s => s.getField("v"))
+    }
+    F.struct(trunc(f.getField("re")).as("re"),
+      trunc(f.getField("im")).as("im"))
+  }
+
+  /** numpy.fft.rfft2 over the natural matrix encoding (reference
+    * mars/tensor/fft/rfft2.py:28): each spectrum row truncated to its
+    * first ⌊cols/2⌋+1 bins. */
+  val rfft2Real: Column => Column = { c =>
+    val f = fft2Real(c)
+    def trunc(m: Column) = F.transform(m, r =>
+      F.slice(r, F.lit(1),
+        ((F.size(r) - F.pmod(F.size(r), F.lit(2))) / F.lit(2))
+          .cast("int") + F.lit(1)))
+    F.struct(trunc(f.getField("re")).as("re"),
+      trunc(f.getField("im")).as("im"))
+  }
+
   /** Inverse N-D FFT of flat re/im + shape → struct(re, im). */
   val ifftn: (Column, Column, Column) => Column = {
     val f = udf((res: Seq[java.lang.Double], ims: Seq[java.lang.Double],

@@ -1142,6 +1142,58 @@ object OpsWindows {
         .orderBy($"user_id", $"k")
     },
 
+    // --- §2.14 real-input N-D FFT (reference mars/tensor/fft/rfftn.py,
+    //     rfft2.py): the op_fftn transform truncated to last-axis
+    //     frequencies k%4 ≤ 2 (Hermitian redundancy dropped, numpy's
+    //     d/2+1 bins). Spark reconstructs the ORIGINAL flat index from
+    //     the truncated position ((pos÷3)·4 + pos mod 3) so both sides
+    //     key the spectrum identically; same round-4 + signed-zero
+    //     conventions as the whole fft family.
+    Q("op_fft_rfftn",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 6),
+        |sig AS (
+        |  SELECT user_id, list(floor(value) ORDER BY rn) AS xs
+        |  FROM s WHERE rn <= 16 GROUP BY user_id HAVING COUNT(*) = 16),
+        |ks AS (SELECT unnest(range(0, 16)) AS k),
+        |d AS (
+        |  SELECT user_id, k,
+        |    list_sum(list_transform(range(0, 16), n ->
+        |      CAST(xs[n+1] AS DOUBLE) * cos(2 * pi() *
+        |        ((n // 8) * (k // 8) / 2.0 + ((n // 4) % 2) * ((k // 4) % 2) / 2.0
+        |         + (n % 4) * (k % 4) / 4.0)))) AS re_raw,
+        |    -list_sum(list_transform(range(0, 16), n ->
+        |      CAST(xs[n+1] AS DOUBLE) * sin(2 * pi() *
+        |        ((n // 8) * (k // 8) / 2.0 + ((n // 4) % 2) * ((k // 4) % 2) / 2.0
+        |         + (n % 4) * (k % 4) / 4.0)))) AS im_raw
+        |  FROM sig, ks WHERE k % 4 <= 2)
+        |SELECT user_id, CAST(k AS BIGINT) AS k,
+        |  round(re_raw, 4) + CAST(0.0 AS DOUBLE) AS re,
+        |  round(im_raw, 4) + CAST(0.0 AS DOUBLE) AS im
+        |FROM d ORDER BY user_id, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val sig = t(spark, dir, "events").filter($"user_id" < 6)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 16)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"rn", floor($"value").as("v")))).as("s"))
+        .filter(size($"s") === 16)
+        .select($"user_id",
+          transform($"s", x => x("v").cast("double")).as("xs"))
+      sig
+        .withColumn("f", graft.functions.Fft.rfftnReal($"xs", Seq(2, 2, 4)))
+        .select($"user_id", posexplode(arrays_zip($"f.re", $"f.im")))
+        .select($"user_id",
+          (($"pos" - pmod($"pos", lit(3))) / lit(3) * 4 +
+            pmod($"pos", lit(3))).cast("long").as("k"),
+          (round($"col.re", 4) + lit(0.0)).as("re"),
+          (round($"col.im", 4) + lit(0.0)).as("im"))
+        .orderBy($"user_id", $"k")
+    },
+
     // --- §2.14 DISTRIBUTED single-axis FFT (four-step decomposition,
     //     Fft.fftLong — closes the cross-partition FFT de-scope): one
     //     256-point signal held as 256 ROWS goes through two group-FFT

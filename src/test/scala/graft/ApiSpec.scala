@@ -222,6 +222,32 @@ class ApiSpec extends SparkSpecBase {
     assert(eN.getMessage.contains("product(shape)"))
   }
 
+  test("rfftnReal / rfft2Real keep exactly the non-negative last-axis bins") {
+    import graft.functions.Fft
+    val xs = (1 to 16).map(_.toDouble)
+    val df = Seq(Tuple1(xs)).toDF("xs")
+    val full = df.select(Fft.fftnReal(col("xs"),
+      typedlit(Seq(2, 2, 4))).as("f")).select(col("f.re"), col("f.im"))
+      .collect()(0)
+    val half = df.select(Fft.rfftnReal(col("xs"), Seq(2, 2, 4)).as("f"))
+      .select(col("f.re"), col("f.im")).collect()(0)
+    val keptIdx = (0 until 16).filter(_ % 4 <= 2)
+    assert(half.getSeq[Double](0).size === 12)
+    assert(half.getSeq[Double](0) === keptIdx.map(full.getSeq[Double](0)))
+    assert(half.getSeq[Double](1) === keptIdx.map(full.getSeq[Double](1)))
+    // matrix form: rfft2 rows are the fft2 rows truncated to cols/2+1
+    val m = Seq(Tuple1(Seq(Seq(1.0, 2.0, 3.0, 4.0), Seq(5.0, 6.0, 7.0, 8.0))))
+      .toDF("m")
+    val f2 = m.select(Fft.fft2Real(col("m")).as("f"))
+      .select(col("f.re")).collect()(0)
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toList).toList
+    val r2 = m.select(Fft.rfft2Real(col("m")).as("f"))
+      .select(col("f.re")).collect()(0)
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toList).toList
+    assert(r2.map(_.size) === List(3, 3))
+    assert(r2 === f2.map(_.take(3)))
+  }
+
   test("fftLong (distributed four-step) matches the per-row FFT bin-exact-ish") {
     import graft.functions.Fft
     val rnd = new scala.util.Random(5)
