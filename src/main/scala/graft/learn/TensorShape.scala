@@ -1,0 +1,222 @@
+package graft.learn
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** numpy shape-manipulation surface over COO tensor frames (reference
+  * mars/tensor/base/ — one operand file per function: ravel.py,
+  * swapaxes.py, moveaxis.py, squeeze.py, flip*.py, roll.py, split.py,
+  * vstack.py and siblings; mars/tensor/merge/ for the stack family).
+  *
+  * Representation: a COO frame has one BIGINT column per axis (caller
+  * names them, e.g. i, j, k) and a value column `v`; absent cells are
+  * implicit zeros. The reference re-tiles dense chunks for each of
+  * these ops; in COO form every one of them is *index arithmetic* —
+  * a projection, a filter, or a union with index offsets — so each op
+  * is zero-shuffle and scan-speed at any scale (the 100 TB cost is the
+  * scan; nothing here ever exchanges). Shapes are not carried by the
+  * frame, so shape-dependent ops take explicit axis lengths, exactly
+  * like the reference operands carry `shape` on the Tileable.
+  *
+  * Everything is exact BIGINT arithmetic end-to-end → every op in this
+  * file is bit-exactly oracle-able.
+  */
+object TensorShape {
+
+  private def idxCols(idx: Seq[String]): Seq[Column] = idx.map(col)
+
+  /** numpy swapaxes (base/swapaxes.py): exchange two axes — a pure
+    * projection that renames the two index columns. */
+  def swapaxes(a: DataFrame, idx: Seq[String], ax1: Int, ax2: Int): DataFrame = {
+    require(ax1 >= 0 && ax1 < idx.size && ax2 >= 0 && ax2 < idx.size,
+      s"swapaxes: axes out of range for ${idx.size}-d: $ax1, $ax2")
+    val order = idx.indices.map { k =>
+      if (k == ax1) ax2 else if (k == ax2) ax1 else k
+    }
+    a.select(order.map(src => col(idx(src))).zip(idx)
+      .map { case (c, name) => c.as(name) } :+ col("v"): _*)
+  }
+
+  /** numpy moveaxis (base/moveaxis.py): move one axis to a new
+    * position, others keep relative order — projection only. */
+  def moveaxis(a: DataFrame, idx: Seq[String], from: Int, to: Int): DataFrame = {
+    require(from >= 0 && from < idx.size && to >= 0 && to < idx.size,
+      s"moveaxis: axes out of range for ${idx.size}-d: $from, $to")
+    val rest = idx.indices.filterNot(_ == from)
+    val order = (rest.take(to) :+ from) ++ rest.drop(to)
+    a.select(order.map(src => col(idx(src))).zip(idx)
+      .map { case (c, name) => c.as(name) } :+ col("v"): _*)
+  }
+
+  /** numpy rollaxis (base/rollaxis.py): roll `axis` until it lies at
+    * `start` — the legacy cousin of moveaxis with numpy's off-by-one
+    * rule (start > axis inserts BEFORE start, so the effective target
+    * is start − 1). */
+  def rollaxis(a: DataFrame, idx: Seq[String], axis: Int, start: Int): DataFrame =
+    moveaxis(a, idx, axis, if (start > axis) start - 1 else start)
+
+  /** numpy ravel, C order (base/ravel.py): flat = Σ i_k · stride_k with
+    * row-major strides from `shape`. One projection; the flat index is
+    * exact BIGINT for products < 2^63. */
+  def ravel(a: DataFrame, idx: Seq[String], shape: Seq[Long],
+      out: String = "flat"): DataFrame = {
+    require(idx.size == shape.size && shape.forall(_ > 0),
+      s"ravel: shape $shape must match ${idx.size} axes and be positive")
+    val strides = shape.scanRight(1L)(_ * _).tail // C-order strides
+    val flat = idx.zip(strides)
+      .map { case (c, s) => col(c) * lit(s) }
+      .reduce(_ + _)
+    a.select(flat.cast("long").as(out), col("v"))
+  }
+
+  /** numpy squeeze (base/squeeze.py): drop a length-1 axis. The COO
+    * contract is checked loudly — a cell off the hyperplane means the
+    * axis was not length 1. */
+  def squeeze(a: DataFrame, idx: Seq[String], axis: Int): DataFrame = {
+    require(axis >= 0 && axis < idx.size, s"squeeze: bad axis $axis")
+    val guard = when(col(idx(axis)) =!= 0L,
+      raise_error(concat(lit(s"squeeze: axis $axis not length 1 at index "),
+        col(idx(axis)).cast("string")))).otherwise(col("v"))
+    a.select(idx.zipWithIndex.collect { case (c, k) if k != axis => col(c) } :+
+      guard.as("v"): _*)
+  }
+
+  /** numpy expand_dims (base/expand_dims.py): insert a length-1 axis at
+    * `pos` named `name` — a projection adding a constant-0 index. */
+  def expandDims(a: DataFrame, idx: Seq[String], pos: Int, name: String): DataFrame = {
+    require(pos >= 0 && pos <= idx.size, s"expand_dims: bad position $pos")
+    val cols = (idx.take(pos).map(col) :+ lit(0L).as(name)) ++
+      idx.drop(pos).map(col)
+    a.select(cols :+ col("v"): _*)
+  }
+
+  /** numpy flip along one axis (base/flip.py; fliplr.py = axis 1,
+    * flipud.py = axis 0): i → n−1−i, a pure projection. */
+  def flip(a: DataFrame, idx: Seq[String], axis: Int, n: Long): DataFrame = {
+    require(axis >= 0 && axis < idx.size && n > 0,
+      s"flip: bad axis $axis or length $n")
+    a.select(idx.zipWithIndex.map { case (c, k) =>
+      if (k == axis) (lit(n - 1) - col(c)).as(c) else col(c)
+    } :+ col("v"): _*)
+  }
+
+  /** numpy roll along one axis (base/roll.py): i → (i + shift) mod n,
+    * shift may be negative — pmod keeps the result in [0, n). */
+  def roll(a: DataFrame, idx: Seq[String], axis: Int, shift: Long, n: Long): DataFrame = {
+    require(axis >= 0 && axis < idx.size && n > 0,
+      s"roll: bad axis $axis or length $n")
+    a.select(idx.zipWithIndex.map { case (c, k) =>
+      if (k == axis) pmod(col(c) + lit(shift), lit(n)).as(c) else col(c)
+    } :+ col("v"): _*)
+  }
+
+  /** The stack family (merge/vstack.py, hstack.py, dstack.py,
+    * column_stack.py, concatenate.py): concatenate COO frames along
+    * `axis` by offsetting that axis with the cumulative lengths of the
+    * earlier operands. A union of projections — no shuffle, and at
+    * scale the union is exactly as parallel as its inputs. */
+  def concatAxis(frames: Seq[DataFrame], idx: Seq[String], axis: Int,
+      sizes: Seq[Long]): DataFrame = {
+    require(frames.nonEmpty && frames.size == sizes.size,
+      s"concatAxis: ${frames.size} frames but ${sizes.size} sizes")
+    require(axis >= 0 && axis < idx.size, s"concatAxis: bad axis $axis")
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    frames.zip(offsets).map { case (f, off) =>
+      f.select(idx.zipWithIndex.map { case (c, k) =>
+        if (k == axis) (col(c) + lit(off)).as(c) else col(c)
+      } :+ col("v"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** numpy split / array_split / vsplit / hsplit / dsplit
+    * (base/split.py and siblings) — in COO form one labeled frame:
+    * `part` = which piece, the split axis re-based to the piece-local
+    * index. `bounds` are the interior cut points (ascending). A single
+    * projection; callers wanting separate frames filter on `part`. */
+  def splitAxis(a: DataFrame, idx: Seq[String], axis: Int,
+      bounds: Seq[Long]): DataFrame = {
+    require(axis >= 0 && axis < idx.size, s"splitAxis: bad axis $axis")
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      s"splitAxis: bounds must be strictly ascending: $bounds")
+    val ax = col(idx(axis))
+    val part = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      when(ax >= b, acc + 1L).otherwise(acc)
+    }
+    val rebase = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      when(ax >= b, lit(b)).otherwise(acc)
+    }
+    a.select(part.as("part") +: idx.zipWithIndex.map { case (c, k) =>
+      if (k == axis) (ax - rebase).as(c) else col(c)
+    } :+ col("v"): _*)
+  }
+
+  /** numpy argwhere (indexing/argwhere.py): index tuples of the
+    * non-zero cells in row-major order — for COO that is the index
+    * projection of cells with v ≠ 0 (callers order by the axes). */
+  def argwhere(a: DataFrame, idx: Seq[String]): DataFrame =
+    a.filter(col("v") =!= 0).select(idxCols(idx): _*)
+
+  /** numpy take along one axis (indexing/take.py): gather positions
+    * `positions` (in order) — the output axis index is the POSITION in
+    * the request, duplicates allowed, like numpy fancy indexing. The
+    * positions list broadcasts; the tensor side never shuffles. */
+  def takeAxis(a: DataFrame, idx: Seq[String], axis: Int,
+      positions: Seq[Long]): DataFrame = {
+    require(axis >= 0 && axis < idx.size, s"takeAxis: bad axis $axis")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val sel = positions.zipWithIndex
+      .map { case (p, o) => (p, o.toLong) }.toDF("__src", "__out")
+    a.join(broadcast(sel), col(idx(axis)) === col("__src"))
+      .select(idx.zipWithIndex.map { case (c, k) =>
+        if (k == axis) col("__out").as(c) else col(c)
+      } :+ col("v"): _*)
+  }
+
+  /** numpy compress / boolean-mask extract along an axis
+    * (indexing/compress.py, extract.py): keep the selected indices and
+    * re-base to the compacted coordinate — equivalent to takeAxis of
+    * the true positions. */
+  def compressAxis(a: DataFrame, idx: Seq[String], axis: Int,
+      mask: Seq[Boolean]): DataFrame =
+    takeAxis(a, idx, axis,
+      mask.zipWithIndex.collect { case (true, p) => p.toLong })
+
+  /** numpy broadcast_to a new leading axis of length `n`
+    * (base/broadcast_to.py): replicate every cell for each new-axis
+    * value — sequence + explode so the fan-out happens executor-side
+    * (rows × n, the inherent output size; no shuffle). */
+  def broadcastToAxis(a: DataFrame, idx: Seq[String], name: String,
+      n: Long): DataFrame = {
+    require(n > 0, s"broadcastToAxis: need n > 0: $n")
+    a.select(explode(sequence(lit(0L), lit(n - 1))).as(name) +:
+      (idxCols(idx) :+ col("v")): _*)
+  }
+
+  /** numpy tile along one axis (base/tile.py): reps copies laid end to
+    * end — i → i + r·n for r in [0, reps). Same executor-side fan-out
+    * shape as broadcast_to. */
+  def tileAxis(a: DataFrame, idx: Seq[String], axis: Int, reps: Long,
+      n: Long): DataFrame = {
+    require(axis >= 0 && axis < idx.size && reps > 0 && n > 0,
+      s"tileAxis: bad axis/reps/n: $axis/$reps/$n")
+    a.select(explode(sequence(lit(0L), lit(reps - 1))).as("__r") +:
+        (idxCols(idx) :+ col("v")): _*)
+      .select(idx.zipWithIndex.map { case (c, k) =>
+        if (k == axis) (col(c) + col("__r") * lit(n)).as(c) else col(c)
+      } :+ col("v"): _*)
+  }
+
+  /** numpy repeat along one axis (base/repeat.py): each index repeated
+    * `reps` times consecutively — i → i·reps + r. */
+  def repeatAxis(a: DataFrame, idx: Seq[String], axis: Int,
+      reps: Long): DataFrame = {
+    require(axis >= 0 && axis < idx.size && reps > 0,
+      s"repeatAxis: bad axis/reps: $axis/$reps")
+    a.select(explode(sequence(lit(0L), lit(reps - 1))).as("__r") +:
+        (idxCols(idx) :+ col("v")): _*)
+      .select(idx.zipWithIndex.map { case (c, k) =>
+        if (k == axis) (col(c) * lit(reps) + col("__r")).as(c) else col(c)
+      } :+ col("v"): _*)
+  }
+}

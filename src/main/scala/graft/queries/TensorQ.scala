@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.learn.TensorShape
+import QHelpers._
+
+/** Coverage queries for the numpy shape-manipulation family over COO
+  * tensor frames (reference mars/tensor/base and mars/tensor/merge —
+  * swapaxes/moveaxis/rollaxis/ravel/squeeze/expand_dims/flip/roll,
+  * the stack/split families, take/compress/argwhere,
+  * broadcast_to/tile/repeat). All index arithmetic is exact BIGINT,
+  * so every query gates bit-exactly.
+  *
+  * Shared base operands (built in-query from lineitem/part): a 3-d COO
+  * a3 (7×5×3), its 2-d slice a2 (7×5), and a second 2-d operand b2
+  * (4×5) — integer-valued throughout.
+  */
+object TensorQ {
+
+  /** DuckDB CTE for the 3-d operand. */
+  private val sqlA3 =
+    """a AS (SELECT l_orderkey % 7 AS i, l_partkey % 5 AS j,
+      |             l_suppkey % 3 AS k,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+      |      FROM lineitem GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB CTE for the 2-d operand. */
+  private val sqlA2 =
+    """a AS (SELECT l_orderkey % 7 AS i, l_partkey % 5 AS j,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+      |      FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  private val sqlB2 =
+    """b AS (SELECT p_partkey % 4 AS i, p_size % 5 AS j,
+      |             CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS v
+      |      FROM part GROUP BY 1, 2)""".stripMargin
+
+  private def a3(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy(($"l_orderkey" % 7).as("i"), ($"l_partkey" % 5).as("j"),
+        ($"l_suppkey" % 3).as("k"))
+      .agg(sum($"l_quantity".cast("long")).as("v"))
+  }
+
+  private def a2(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy(($"l_orderkey" % 7).as("i"), ($"l_partkey" % 5).as("j"))
+      .agg(sum($"l_quantity".cast("long")).as("v"))
+  }
+
+  private def b2(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .groupBy(($"p_partkey" % 4).as("i"), ($"p_size" % 5).as("j"))
+      .agg(sum($"p_size".cast("long")).as("v"))
+  }
+
+  val all: Vector[Q] = Vector(
+
+    // --- swapaxes / moveaxis / rollaxis (base/swapaxes.py,
+    //     moveaxis.py, rollaxis.py): three axis permutations of the
+    //     same 3-d operand, tagged, each a pure projection. rollaxis
+    //     exercises numpy's start > axis off-by-one (start=3 → target
+    //     position 2).
+    Q("learn_tensor_axes",
+      s"""WITH $sqlA3
+         |SELECT tag, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |       CAST(k AS BIGINT) AS k, v FROM (
+         |  SELECT 'swap02' AS tag, k AS i, j, i AS k, v FROM a
+         |  UNION ALL
+         |  SELECT 'move20' AS tag, k AS i, i AS j, j AS k, v FROM a
+         |  UNION ALL
+         |  SELECT 'roll03' AS tag, j AS i, k AS j, i AS k, v FROM a) u
+         |ORDER BY tag, i, j, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a3(spark, dir)
+      val idx = Seq("i", "j", "k")
+      def tagd(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), $"i".cast("long").as("i"),
+          $"j".cast("long").as("j"), $"k".cast("long").as("k"), $"v")
+      tagd("swap02", TensorShape.swapaxes(a, idx, 0, 2))
+        .unionByName(tagd("move20", TensorShape.moveaxis(a, idx, 2, 0)))
+        .unionByName(tagd("roll03", TensorShape.rollaxis(a, idx, 0, 3)))
+        .orderBy($"tag", $"i", $"j", $"k")
+    },
+
+    // --- ravel C-order + the expand_dims→squeeze round trip
+    //     (base/ravel.py, expand_dims.py, squeeze.py): flat = 15i+3j+k
+    //     for shape (7,5,3); the round trip is the identity, so the
+    //     'rt' rows replay the identical flat expression — a real gate
+    //     on squeeze's axis-drop and expand_dims' axis-insert both
+    //     being position-exact.
+    Q("learn_tensor_ravel",
+      s"""WITH $sqlA3
+         |SELECT tag, CAST(flat AS BIGINT) AS flat, v FROM (
+         |  SELECT 'ravel' AS tag, i * 15 + j * 3 + k AS flat, v FROM a
+         |  UNION ALL
+         |  SELECT 'rt' AS tag, i * 15 + j * 3 + k AS flat, v FROM a) u
+         |ORDER BY tag, flat""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a3(spark, dir)
+      val idx = Seq("i", "j", "k")
+      val shape = Seq(7L, 5L, 3L)
+      val direct = TensorShape.ravel(a, idx, shape)
+        .select(lit("ravel").as("tag"), $"flat", $"v")
+      val roundTrip = TensorShape.ravel(
+        TensorShape.squeeze(
+          TensorShape.expandDims(a, idx, 1, "m"), Seq("i", "m", "j", "k"), 1),
+        idx, shape)
+        .select(lit("rt").as("tag"), $"flat", $"v")
+      direct.unionByName(roundTrip).orderBy($"tag", $"flat")
+    },
+
+    // --- flip / fliplr / flipud / roll (base/flip*.py, roll.py) over
+    //     the 7×5 operand: index reflections and modular shifts, all
+    //     projections; the negative-shift roll goes through pmod.
+    Q("learn_tensor_flip",
+      s"""WITH $sqlA2
+         |SELECT tag, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, v FROM (
+         |  SELECT 'ud' AS tag, 6 - i AS i, j, v FROM a
+         |  UNION ALL
+         |  SELECT 'lr' AS tag, i, 4 - j AS j, v FROM a
+         |  UNION ALL
+         |  SELECT 'rp' AS tag, (i + 3) % 7 AS i, j, v FROM a
+         |  UNION ALL
+         |  SELECT 'rn' AS tag, i, ((j - 2) % 5 + 5) % 5 AS j, v FROM a) u
+         |ORDER BY tag, i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a2(spark, dir)
+      val idx = Seq("i", "j")
+      def tagd(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), $"i".cast("long").as("i"),
+          $"j".cast("long").as("j"), $"v")
+      tagd("ud", TensorShape.flip(a, idx, 0, 7))
+        .unionByName(tagd("lr", TensorShape.flip(a, idx, 1, 5)))
+        .unionByName(tagd("rp", TensorShape.roll(a, idx, 0, 3, 7)))
+        .unionByName(tagd("rn", TensorShape.roll(a, idx, 1, -2, 5)))
+        .orderBy($"tag", $"i", $"j")
+    },
+
+    // --- the stack family (merge/vstack.py, hstack.py, dstack.py,
+    //     column_stack.py): vstack offsets axis 0 by a's height 7,
+    //     hstack offsets axis 1 by width 5, dstack expands both to
+    //     depth-1 and concatenates along the new axis, column_stack
+    //     stacks two 1-d slices (a at j=0 / j=1) along a new axis 1.
+    //     2-d results carry d = 0 so one tagged union gates all four.
+    Q("learn_tensor_stack",
+      s"""WITH $sqlA2, $sqlB2
+         |SELECT tag, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |       CAST(d AS BIGINT) AS d, v FROM (
+         |  SELECT 'v' AS tag, i, j, 0 AS d, v FROM a
+         |  UNION ALL
+         |  SELECT 'v' AS tag, i + 7 AS i, j, 0 AS d, v FROM b
+         |  UNION ALL
+         |  SELECT 'h' AS tag, i, j, 0 AS d, v FROM a
+         |  UNION ALL
+         |  SELECT 'h' AS tag, i, j + 5 AS j, 0 AS d, v FROM b
+         |  UNION ALL
+         |  SELECT 'd' AS tag, i, j, 0 AS d, v FROM a
+         |  UNION ALL
+         |  SELECT 'd' AS tag, i, j, 1 AS d, v FROM b
+         |  UNION ALL
+         |  SELECT 'cs' AS tag, i, 0 AS j, 0 AS d, v FROM a WHERE j = 0
+         |  UNION ALL
+         |  SELECT 'cs' AS tag, i, 1 AS j, 0 AS d, v FROM a WHERE j = 1) u
+         |ORDER BY tag, i, j, d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a2(spark, dir)
+      val b = b2(spark, dir)
+      val idx = Seq("i", "j")
+      def tag2(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), $"i".cast("long").as("i"),
+          $"j".cast("long").as("j"), lit(0L).as("d"), $"v")
+      def tag3(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), $"i".cast("long").as("i"),
+          $"j".cast("long").as("j"), $"d".cast("long").as("d"), $"v")
+      val vst = tag2("v", TensorShape.concatAxis(Seq(a, b), idx, 0, Seq(7L, 4L)))
+      val hst = tag2("h", TensorShape.concatAxis(Seq(a, b), idx, 1, Seq(5L, 5L)))
+      val dst = tag3("d", TensorShape.concatAxis(
+        Seq(TensorShape.expandDims(a, idx, 2, "d"),
+          TensorShape.expandDims(b, idx, 2, "d")),
+        Seq("i", "j", "d"), 2, Seq(1L, 1L)))
+      val v0 = a.filter($"j" === 0).select($"i", $"v")
+      val v1 = a.filter($"j" === 1).select($"i", $"v")
+      val cst = tag2("cs", TensorShape.concatAxis(
+        Seq(TensorShape.expandDims(v0, Seq("i"), 1, "j"),
+          TensorShape.expandDims(v1, Seq("i"), 1, "j")),
+        idx, 1, Seq(1L, 1L)))
+      vst.unionByName(hst).unionByName(dst).unionByName(cst)
+        .orderBy($"tag", $"i", $"j", $"d")
+    },
+
+    // --- split family (base/split.py; vsplit/hsplit are axis 0/1):
+    //     interior cut points label each cell with its piece and
+    //     re-base the split axis to piece-local coordinates — one
+    //     projection, no data movement (the reference materializes one
+    //     sub-tensor per piece; filtering `part` here is the same).
+    Q("learn_tensor_split",
+      s"""WITH $sqlA2
+         |SELECT tag, CAST(part AS BIGINT) AS part, CAST(i AS BIGINT) AS i,
+         |       CAST(j AS BIGINT) AS j, v FROM (
+         |  SELECT 'vs' AS tag,
+         |         CASE WHEN i >= 5 THEN 2 WHEN i >= 2 THEN 1 ELSE 0 END AS part,
+         |         i - CASE WHEN i >= 5 THEN 5 WHEN i >= 2 THEN 2 ELSE 0 END AS i,
+         |         j, v FROM a
+         |  UNION ALL
+         |  SELECT 'hs' AS tag,
+         |         CASE WHEN j >= 3 THEN 1 ELSE 0 END AS part,
+         |         i, j - CASE WHEN j >= 3 THEN 3 ELSE 0 END AS j, v FROM a) u
+         |ORDER BY tag, part, i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a2(spark, dir)
+      val idx = Seq("i", "j")
+      def tagd(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), $"part".cast("long").as("part"),
+          $"i".cast("long").as("i"), $"j".cast("long").as("j"), $"v")
+      tagd("vs", TensorShape.splitAxis(a, idx, 0, Seq(2L, 5L)))
+        .unionByName(tagd("hs", TensorShape.splitAxis(a, idx, 1, Seq(3L))))
+        .orderBy($"tag", $"part", $"i", $"j")
+    },
+
+    // --- take with duplicate positions + boolean compress
+    //     (indexing/take.py, compress.py): the positions list is the
+    //     broadcast side; output index = request position, so row 3
+    //     appears twice under different output indices.
+    Q("learn_tensor_take",
+      s"""WITH $sqlA2
+         |SELECT tag, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, v FROM (
+         |  SELECT 'take' AS tag, s.o AS i, a.j, a.v
+         |  FROM a JOIN (VALUES (3, 0), (0, 1), (3, 2), (6, 3)) s(p, o)
+         |    ON a.i = s.p
+         |  UNION ALL
+         |  SELECT 'comp' AS tag, a.i, s.o AS j, a.v
+         |  FROM a JOIN (VALUES (0, 0), (2, 1), (4, 2)) s(p, o)
+         |    ON a.j = s.p) u
+         |ORDER BY tag, i, j, v""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a2(spark, dir)
+      val idx = Seq("i", "j")
+      def tagd(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), $"i".cast("long").as("i"),
+          $"j".cast("long").as("j"), $"v")
+      tagd("take", TensorShape.takeAxis(a, idx, 0, Seq(3L, 0L, 3L, 6L)))
+        .unionByName(tagd("comp", TensorShape.compressAxis(a, idx, 1,
+          Seq(true, false, true, false, true))))
+        .orderBy($"tag", $"i", $"j", $"v")
+    },
+
+    // --- argwhere (indexing/argwhere.py): index tuples of non-zero
+    //     cells in row-major order. The operand's values are signed
+    //     (suppkey mod 11 − 5 summed) so true zeros occur and the
+    //     v ≠ 0 filter is exercised, not vacuous.
+    Q("learn_tensor_argwhere",
+      """WITH a AS (SELECT l_orderkey % 9 AS i, l_partkey % 6 AS j,
+        |             CAST(SUM(CAST(l_suppkey AS BIGINT) % 11 - 5) AS BIGINT) AS v
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+        |FROM a WHERE v <> 0
+        |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = t(spark, dir, "lineitem")
+        .groupBy(($"l_orderkey" % 9).as("i"), ($"l_partkey" % 6).as("j"))
+        .agg(sum($"l_suppkey".cast("long") % 11 - 5).as("v"))
+      TensorShape.argwhere(a, Seq("i", "j"))
+        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"))
+        .orderBy($"i", $"j")
+    },
+
+    // --- broadcast_to / tile / repeat (base/broadcast_to.py, tile.py,
+    //     repeat.py): executor-side fan-outs — broadcast_to replicates
+    //     under a new leading axis b∈[0,3), tile lays 2 copies of axis
+    //     1 end to end (j + 5r), repeat triples each axis-0 index in
+    //     place (3i + r). Output rows = 3×+2×+3× the operand — the
+    //     inherent output size; no exchange anywhere.
+    Q("learn_tensor_fanout",
+      s"""WITH $sqlA2
+         |SELECT tag, CAST(b AS BIGINT) AS b, CAST(i AS BIGINT) AS i,
+         |       CAST(j AS BIGINT) AS j, v FROM (
+         |  SELECT 'bc' AS tag, r.range AS b, i, j, v
+         |  FROM a CROSS JOIN range(0, 3) r
+         |  UNION ALL
+         |  SELECT 'tile' AS tag, 0 AS b, i, j + 5 * r.range AS j, v
+         |  FROM a CROSS JOIN range(0, 2) r
+         |  UNION ALL
+         |  SELECT 'rep' AS tag, 0 AS b, i * 3 + r.range AS i, j, v
+         |  FROM a CROSS JOIN range(0, 3) r) u
+         |ORDER BY tag, b, i, j""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a2(spark, dir)
+      val idx = Seq("i", "j")
+      val bc = TensorShape.broadcastToAxis(a, idx, "b", 3L)
+        .select(lit("bc").as("tag"), $"b".cast("long").as("b"),
+          $"i".cast("long").as("i"), $"j".cast("long").as("j"), $"v")
+      def tagd(tag: String, f: org.apache.spark.sql.DataFrame) =
+        f.select(lit(tag).as("tag"), lit(0L).as("b"),
+          $"i".cast("long").as("i"), $"j".cast("long").as("j"), $"v")
+      bc.unionByName(tagd("tile", TensorShape.tileAxis(a, idx, 1, 2L, 5L)))
+        .unionByName(tagd("rep", TensorShape.repeatAxis(a, idx, 0, 3L)))
+        .orderBy($"tag", $"b", $"i", $"j")
+    })
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.learn.TensorShape
+
+/** Hand-checked cases for the COO shape-manipulation family — a tiny
+  * dense 2×3 / 2×2×2 tensor where every expected cell is written out,
+  * so axis-permutation and re-basing bugs can't cancel the way a
+  * composed round trip could. The registry queries (TensorQ) gate the
+  * same ops differentially at fixture scale.
+  */
+class TensorShapeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // dense 2×3: v = 10i + j, every cell present
+  private def m23 = (for { i <- 0L to 1L; j <- 0L to 2L }
+    yield (i, j, (10 * i + j).toDouble)).toDF("i", "j", "v")
+
+  private def cells(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("i").cast("long"), col("j").cast("long"),
+      col("v").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("swapaxes transposes the 2×3") {
+    assert(cells(TensorShape.swapaxes(m23, Seq("i", "j"), 0, 1)) ==
+      Set((0L, 0L, 0.0), (1L, 0L, 1.0), (2L, 0L, 2.0),
+        (0L, 1L, 10.0), (1L, 1L, 11.0), (2L, 1L, 12.0)))
+  }
+
+  test("moveaxis in 3-d places the source axis exactly at `to`") {
+    // 2×2×2: v = 4i + 2j + k
+    val t3 = (for { i <- 0L to 1L; j <- 0L to 1L; k <- 0L to 1L }
+      yield (i, j, k, (4 * i + 2 * j + k).toDouble)).toDF("i", "j", "k", "v")
+    // moveaxis(2 → 0): out (k, i, j)
+    val moved = TensorShape.moveaxis(t3, Seq("i", "j", "k"), 2, 0)
+      .select(col("i").cast("long"), col("j").cast("long"),
+        col("k").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(moved == (for { i <- 0L to 1L; j <- 0L to 1L; k <- 0L to 1L }
+      yield (k, i, j, (4 * i + 2 * j + k).toDouble)).toSet)
+    // rollaxis(axis=0, start=3) == moveaxis(0 → 2): out (j, k, i)
+    val rolled = TensorShape.rollaxis(t3, Seq("i", "j", "k"), 0, 3)
+      .select(col("i").cast("long"), col("j").cast("long"),
+        col("k").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rolled == (for { i <- 0L to 1L; j <- 0L to 1L; k <- 0L to 1L }
+      yield (j, k, i, (4 * i + 2 * j + k).toDouble)).toSet)
+  }
+
+  test("ravel C-order flat index and flip reflections") {
+    val flat = TensorShape.ravel(m23, Seq("i", "j"), Seq(2L, 3L))
+      .select(col("flat").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(flat == Set((0L, 0.0), (1L, 1.0), (2L, 2.0),
+      (3L, 10.0), (4L, 11.0), (5L, 12.0)))
+    assert(cells(TensorShape.flip(m23, Seq("i", "j"), 1, 3L)) ==
+      Set((0L, 2L, 0.0), (0L, 1L, 1.0), (0L, 0L, 2.0),
+        (1L, 2L, 10.0), (1L, 1L, 11.0), (1L, 0L, 12.0)))
+  }
+
+  test("roll wraps negative shifts through pmod") {
+    assert(cells(TensorShape.roll(m23, Seq("i", "j"), 1, -1L, 3L)) ==
+      Set((0L, 2L, 0.0), (0L, 0L, 1.0), (0L, 1L, 2.0),
+        (1L, 2L, 10.0), (1L, 0L, 11.0), (1L, 1L, 12.0)))
+  }
+
+  test("splitAxis labels pieces and re-bases the split axis") {
+    val parts = TensorShape.splitAxis(m23, Seq("i", "j"), 1, Seq(2L))
+      .select(col("part").cast("long"), col("i").cast("long"),
+        col("j").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(parts == Set(
+      (0L, 0L, 0L, 0.0), (0L, 0L, 1L, 1.0), (1L, 0L, 0L, 2.0),
+      (0L, 1L, 0L, 10.0), (0L, 1L, 1L, 11.0), (1L, 1L, 0L, 12.0)))
+  }
+
+  test("takeAxis honors duplicates and request order") {
+    assert(cells(TensorShape.takeAxis(m23, Seq("i", "j"), 0, Seq(1L, 1L, 0L))) ==
+      Set((0L, 0L, 10.0), (0L, 1L, 11.0), (0L, 2L, 12.0),
+        (1L, 0L, 10.0), (1L, 1L, 11.0), (1L, 2L, 12.0),
+        (2L, 0L, 0.0), (2L, 1L, 1.0), (2L, 2L, 2.0)))
+  }
+
+  test("squeeze raises loudly when the axis is not length 1") {
+    val bad = Seq((0L, 1L, 1.0)).toDF("i", "j", "v") // j = 1 off-hyperplane
+    val ex = intercept[Exception] {
+      TensorShape.squeeze(bad, Seq("i", "j"), 1).collect()
+    }
+    assert(ex.getMessage.contains("squeeze") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("squeeze"))
+  }
+
+  test("concatAxis offsets later operands by cumulative sizes") {
+    val b = Seq((0L, 0L, 99.0)).toDF("i", "j", "v")
+    val stacked = cells(TensorShape.concatAxis(Seq(m23, b), Seq("i", "j"), 0,
+      Seq(2L, 1L)))
+    assert(stacked.contains((2L, 0L, 99.0)) && stacked.size == 7)
+  }
+
+  test("fan-out ops multiply rows by exactly the replication factor") {
+    assert(TensorShape.broadcastToAxis(m23, Seq("i", "j"), "b", 4L).count() == 24L)
+    assert(TensorShape.tileAxis(m23, Seq("i", "j"), 1, 2L, 3L).count() == 12L)
+    val rep = TensorShape.repeatAxis(m23, Seq("i", "j"), 0, 2L)
+    assert(rep.count() == 12L)
+    // repeat is consecutive: source row 1 lands at output rows 2 and 3
+    assert(rep.filter(col("i") === 2L || col("i") === 3L)
+      .filter(col("j") === 0L).select(col("v")).as[Double]
+      .collect().toSeq == Seq(10.0, 10.0))
+  }
+}
