@@ -37,10 +37,23 @@ object Ufuncs {
   private def frexpMant(c: Column): Column =
     c.cast("double") * pow(lit(2.0), (-frexpExp(c)).cast("double"))
 
+  /** numpy modf integral part (reference tensor/arithmetic/modf.py):
+    * truncation toward zero, exact IEEE (doubles ≥ 2^52 are already
+    * integral, below that trunc is representable). */
+  private def modfInt(c: Column): Column = {
+    val x = c.cast("double")
+    when(x < 0, ceil(x)).otherwise(floor(x)).cast("double")
+  }
+
   /** Unary ufuncs, keyed by the reference's numpy-style names. */
   val unary: Map[String, Column => Column] = Map(
     "frexp_exp" -> frexpExp _,
     "frexp_mant" -> frexpMant _,
+    "modf_int" -> modfInt _,
+    // fractional part keeps the sign of x; x − trunc(x) is exact IEEE
+    // (Sterbenz: the operands are within a factor of 2 once |x| ≥ 1,
+    // and below 1 the subtraction is exact by construction)
+    "modf_frac" -> ((c: Column) => c.cast("double") - modfInt(c)),
     "abs" -> abs _,
     "negative" -> ((c: Column) => -c),
     "sqrt" -> sqrt _,
@@ -189,6 +202,10 @@ object Ufuncs {
     "float_power" -> ((a, b) => pow(a.cast("double"), b.cast("double"))),
     "lshift" -> ((a, b) => call_function("shiftleft", a, b.cast("int"))),
     "rshift" -> ((a, b) => call_function("shiftright", a, b.cast("int"))),
+    // numpy's canonical names for the shifts (tensor/arithmetic/
+    // left_shift.py, right_shift.py)
+    "left_shift" -> ((a, b) => call_function("shiftleft", a, b.cast("int"))),
+    "right_shift" -> ((a, b) => call_function("shiftright", a, b.cast("int"))),
     "logical_and" -> (_ && _),
     "logical_or" -> (_ || _),
     "logical_xor" -> ((a, b) => a =!= b),

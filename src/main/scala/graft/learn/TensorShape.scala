@@ -207,6 +207,27 @@ object TensorShape {
       } :+ col("v"): _*)
   }
 
+  /** numpy partition / argpartition (base/partition.py,
+    * argpartition.py) per group: numpy only promises the kth-position
+    * element is in sorted place with smaller values before and larger
+    * after — the deterministic, engine-portable form of that contract
+    * is the three-way split under the total order (value, id):
+    * side 0 = the kth element's strict predecessors, 1 = the kth
+    * element itself, 2 = its successors. argpartition is the same rows
+    * read as ids. One window per group — at scale this is the standard
+    * per-key window shape (mega-key groups go through the documented
+    * prefix valve like every other ordered-prefix window). */
+  def partitionSplit(a: DataFrame, group: Seq[String], id: String,
+      valueCol: String, kth: Long): DataFrame = {
+    require(kth >= 0, s"partitionSplit: kth must be ≥ 0: $kth")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group.map(col): _*)
+      .orderBy(col(valueCol).asc, col(id).asc)
+    val pos = row_number().over(w).cast("long") - 1L
+    a.withColumn("side",
+      when(pos < kth, 0L).when(pos === kth, 1L).otherwise(2L))
+  }
+
   /** numpy repeat along one axis (base/repeat.py): each index repeated
     * `reps` times consecutively — i → i·reps + r. */
   def repeatAxis(a: DataFrame, idx: Seq[String], axis: Int,

@@ -299,5 +299,86 @@ object TensorQ {
       bc.unionByName(tagd("tile", TensorShape.tileAxis(a, idx, 1, 2L, 5L)))
         .unionByName(tagd("rep", TensorShape.repeatAxis(a, idx, 0, 3L)))
         .orderBy($"tag", $"b", $"i", $"j")
+    },
+
+    // --- modf + left_shift/right_shift (tensor/arithmetic/modf.py,
+    //     left_shift.py, right_shift.py): modf is exact IEEE
+    //     truncation arithmetic (identical shape both sides, compared
+    //     UNROUNDED); the shifts are BIGINT-exact. x = q/4 − 6.125
+    //     sweeps signed fractional values.
+    Q("op_modf_shift",
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN x < 0 THEN ceil(x) ELSE floor(x) END
+        |    + CAST(0.0 AS DOUBLE) AS m_int,
+        |  x - CASE WHEN x < 0 THEN ceil(x) ELSE floor(x) END
+        |    + CAST(0.0 AS DOUBLE) AS m_frac,
+        |  CAST(l_orderkey << CAST(l_linenumber % 5 AS INT) AS BIGINT) AS shl,
+        |  CAST(l_orderkey >> CAST(l_linenumber % 3 AS INT) AS BIGINT) AS shr
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(l_quantity AS DOUBLE) / 4.0 - 6.125 AS x
+        |      FROM lineitem WHERE l_orderkey < 600) base
+        |ORDER BY l_orderkey, l_linenumber, shl""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_quantity".cast("double") / 4.0 - 6.125).as("x"))
+        .select($"l_orderkey", $"l_linenumber",
+          (Ufuncs("modf_int")($"x") + lit(0.0)).as("m_int"),
+          (Ufuncs("modf_frac")($"x") + lit(0.0)).as("m_frac"),
+          Ufuncs("left_shift", $"l_orderkey", $"l_linenumber" % 5).as("shl"),
+          Ufuncs("right_shift", $"l_orderkey", $"l_linenumber" % 3).as("shr"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"shl")
+    },
+
+    // --- nanmedian / nan-skipping quantile (reduction/nanmedian.py):
+    //     nulls planted at l_linenumber = 3 exercise the skip path;
+    //     values are small integers so the even-n linear interpolation
+    //     (mean of the two middles) is exact in both engines.
+    Q("op_nanmedian",
+      """SELECT g, CAST(COUNT(v) AS BIGINT) AS n_valid,
+        |  median(v) AS med
+        |FROM (SELECT l_suppkey % 8 AS g,
+        |        CASE WHEN l_linenumber = 3 THEN NULL
+        |             ELSE CAST(l_quantity AS DOUBLE) END AS v
+        |      FROM lineitem) base
+        |GROUP BY g ORDER BY g""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .select(($"l_suppkey" % 8).as("g"),
+          when($"l_linenumber" === 3, lit(null).cast("double"))
+            .otherwise($"l_quantity".cast("double")).as("v"))
+        .groupBy($"g")
+        .agg(count($"v").as("n_valid"),
+          expr("percentile(v, 0.5)").as("med"))
+        .orderBy($"g")
+    },
+
+    // --- partition / argpartition (base/partition.py,
+    //     argpartition.py): the deterministic three-way split at the
+    //     kth order statistic under (value, id) — side 1 is exactly
+    //     the per-group 6th-smallest, sides 0/2 its strict
+    //     predecessors/successors; ids in the output make the same
+    //     rows the argpartition answer.
+    Q("learn_partition",
+      """SELECT g, side, id, v FROM (
+        |  SELECT g, id, v,
+        |    CASE WHEN pos < 5 THEN 0 WHEN pos = 5 THEN 1 ELSE 2 END AS side
+        |  FROM (SELECT g, id, v,
+        |          row_number() OVER (PARTITION BY g ORDER BY v, id) - 1 AS pos
+        |        FROM (SELECT l_suppkey % 10 AS g,
+        |                CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |              FROM lineitem WHERE l_suppkey < 60
+        |              GROUP BY 1, 2) cells) ranked) s
+        |ORDER BY g, side, id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val cells = t(spark, dir, "lineitem").filter($"l_suppkey" < 60)
+        .groupBy(($"l_suppkey" % 10).as("g"),
+          ($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("id"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      TensorShape.partitionSplit(cells, Seq("g"), "id", "v", 5L)
+        .select($"g", $"side", $"id", $"v")
+        .orderBy($"g", $"side", $"id")
     })
 }
