@@ -15,7 +15,8 @@ object SparkEntry {
   /** Every registered query suite, concatenated. Names must be unique. */
   lazy val registry: Vector[Q] =
     Tpch.all ++ OpsRelational.all ++ OpsWindows.all ++ OpsExtra.all ++
-      OpsReshape.all ++ Ext.all ++ LearnQ.all ++ TensorQ.all ++ Probes.all
+      OpsReshape.all ++ Ext.all ++ LearnQ.all ++ TensorQ.all ++
+      SpecialQ.all ++ Probes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -971,4 +971,176 @@ object Special {
         s"CAST('${math.Pi}' AS DOUBLE) / (2.0 * a_$sfx) * (1.0 - s_$sfx) AS ell_e_$sfx"
     }.mkString(", ") + s" FROM ($q)"
   }
+
+  // ------- integer-order Bessel (bessel.py jv/yn/iv/kn at small
+  // integer order) -------
+  // Three-term recurrences from the order-0/1 A&S kernels:
+  //   J/Y: C_{n+1} = (2n/x)·C_n − C_{n−1}   (upward; J needs x ≳ n)
+  //   I:   I_{n+1} = I_{n−1} − (2n/x)·I_n   (cancellation at small x)
+  //   K:   K_{n+1} = K_{n−1} + (2n/x)·K_n   (stable upward)
+  // Both engines replay the identical recurrence, so gates are exact;
+  // accuracy vs scipy is pinned in SpecialSpec over the ranges where
+  // the upward direction is well-conditioned (x ≳ n for J, any x > 0
+  // for Y/K, x ≳ 1 for I) — the small-order cases the reference's
+  // tensor tests exercise. Orders are compile-time (n ≤ 6 guard).
+
+  private def besselUp(n: Int, base0: Column, base1: Column, x: Column,
+      sign: Double, flip: Boolean): Column = {
+    require(n >= 0 && n <= 6, s"integer-order Bessel supports n ≤ 6: $n")
+    if (n == 0) base0
+    else if (n == 1) base1
+    else {
+      var prev = base0; var cur = base1
+      for (k <- 1 until n) {
+        val next =
+          if (flip) prev + lit(sign * 2.0 * k) / x * cur
+          else lit(2.0 * k) / x * cur + lit(sign) * prev
+        prev = cur; cur = next
+      }
+      cur
+    }
+  }
+
+  private def sqlBesselUp(n: Int, base0: String, base1: String, x: String,
+      sign: Double, flip: Boolean): String = {
+    require(n >= 0 && n <= 6, s"integer-order Bessel supports n ≤ 6: $n")
+    if (n == 0) base0
+    else if (n == 1) base1
+    else {
+      var prev = base0; var cur = base1
+      for (k <- 1 until n) {
+        val next =
+          if (flip)
+            s"(($prev) + CAST('${sign * 2.0 * k}' AS DOUBLE) / ($x) * ($cur))"
+          else
+            s"(CAST('${2.0 * k}' AS DOUBLE) / ($x) * ($cur) + " +
+              s"CAST('$sign' AS DOUBLE) * ($prev))"
+        prev = cur; cur = next
+      }
+      cur
+    }
+  }
+
+  def besselJn(n: Int, x: Column): Column =
+    besselUp(n, besselJ0(x), besselJ1(x), x, -1.0, flip = false)
+  def sqlBesselJn(n: Int, x: String): String =
+    sqlBesselUp(n, sqlBesselJ0(x), sqlBesselJ1(x), x, -1.0, flip = false)
+
+  def besselYn(n: Int, x: Column): Column =
+    besselUp(n, besselY0(x), besselY1(x), x, -1.0, flip = false)
+  def sqlBesselYn(n: Int, x: String): String =
+    sqlBesselUp(n, sqlBesselY0(x), sqlBesselY1(x), x, -1.0, flip = false)
+
+  def besselIn(n: Int, x: Column): Column =
+    besselUp(n, besselI0(x), besselI1(x), x, -1.0, flip = true)
+  def sqlBesselIn(n: Int, x: String): String =
+    sqlBesselUp(n, sqlBesselI0(x), sqlBesselI1(x), x, -1.0, flip = true)
+
+  def besselKn(n: Int, x: Column): Column =
+    besselUp(n, besselK0(x), besselK1(x), x, 1.0, flip = true)
+  def sqlBesselKn(n: Int, x: String): String =
+    sqlBesselUp(n, sqlBesselK0(x), sqlBesselK1(x), x, 1.0, flip = true)
+
+  // ------- exponentially scaled Bessel / Airy (bessel.py ive/kve,
+  // airy.py airye) -------
+  // ive(n,x) = Iₙ(x)·e^(−|x|), kve(n,x) = Kₙ(x)·e^x — the forms that
+  // stay finite where Iₙ/Kₙ overflow/underflow; for real x, jve/yve
+  // coincide with jv/yv (the scaling is e^(−|Im x|}).
+
+  def besselIve(n: Int, x: Column): Column = besselIn(n, x) * exp(-abs(x))
+  def sqlBesselIve(n: Int, x: String): String =
+    s"((${sqlBesselIn(n, x)}) * exp(-abs($x)))"
+
+  def besselKve(n: Int, x: Column): Column = besselKn(n, x) * exp(x)
+  def sqlBesselKve(n: Int, x: String): String =
+    s"((${sqlBesselKn(n, x)}) * exp($x))"
+
+  /** Scaling factor e^ζ with ζ = (2/3)·x^{3/2} for x > 0, 1 otherwise
+    * (scipy airye: oscillatory side is unscaled for real arguments). */
+  private def airyZeta(x: Column): Column =
+    when(x > 0.0, lit(2.0 / 3.0) * pow(x, lit(1.5))).otherwise(lit(0.0))
+  private def sqlAiryZeta(x: String): String =
+    s"(CASE WHEN ($x) > 0.0 THEN CAST('${2.0 / 3.0}' AS DOUBLE) * " +
+      s"pow($x, 1.5) ELSE 0.0 END)"
+
+  def airyeAi(x: Column): Column = airyAi(x) * exp(airyZeta(x))
+  def airyeAip(x: Column): Column = airyAip(x) * exp(airyZeta(x))
+  def airyeBi(x: Column): Column = airyBi(x) * exp(-airyZeta(x))
+  def airyeBip(x: Column): Column = airyBip(x) * exp(-airyZeta(x))
+  def sqlAiryeAi(x: String): String =
+    s"((${sqlAiryAi(x)}) * exp(${sqlAiryZeta(x)}))"
+  def sqlAiryeAip(x: String): String =
+    s"((${sqlAiryAip(x)}) * exp(${sqlAiryZeta(x)}))"
+  def sqlAiryeBi(x: String): String =
+    s"((${sqlAiryBi(x)}) * exp(-(${sqlAiryZeta(x)})))"
+  def sqlAiryeBip(x: String): String =
+    s"((${sqlAiryBip(x)}) * exp(-(${sqlAiryZeta(x)})))"
+
+  // ------- scaled complementary error function (err_fresnel.py
+  // erfcx) -------
+  // erfcx(x) = e^{x²}·erfc(x). |x| < 2.5: the A&S 7.1.26 composition
+  // (absolute accuracy ~1e-5 after the e^{x²} ≤ e^{6.25} scale — the
+  // SpecialSpec pin). x ≥ 2.5: the Laplace continued fraction
+  //   √π·erfcx(x) = 1/(x + (1/2)/(x + 1/(x + (3/2)/(x + …))))
+  // (24 levels inside-out, relative accuracy ~1e-13 — the regime where
+  // the composition would cancel). x ≤ −2.5: 2e^{x²} − erfcx(−x)
+  // (overflows past x ≈ −26, like scipy's own double limit).
+  private val erfcxCfDepth = 24
+
+  /** sql mirror of [[erf]] (A&S 7.1.26, x = 0 pinned to 0). */
+  def sqlErf(x: String): String = {
+    val t = s"(1.0 / (1.0 + CAST('0.3275911' AS DOUBLE) * abs($x)))"
+    val poly = s"(($t) * (CAST('0.254829592' AS DOUBLE) + ($t) * " +
+      s"(CAST('-0.284496736' AS DOUBLE) + ($t) * " +
+      s"(CAST('1.421413741' AS DOUBLE) + ($t) * " +
+      s"(CAST('-1.453152027' AS DOUBLE) + ($t) * " +
+      s"CAST('1.061405429' AS DOUBLE))))))"
+    val pos = s"(1.0 - ($poly) * exp(-($x) * ($x)))"
+    s"(CASE WHEN ($x) = 0.0 THEN 0.0 WHEN ($x) > 0.0 THEN $pos " +
+      s"ELSE -($pos) END)"
+  }
+
+  def erfcx(x: Column): Column = {
+    val ax = abs(x)
+    var f: Column = ax
+    for (k <- erfcxCfDepth to 1 by -1) f = ax + lit(k / 2.0) / f
+    val cf = lit(1.0 / math.sqrt(math.Pi)) / f
+    val small = exp(ax * ax) * (lit(1.0) - erf(ax))
+    val posv = when(ax < 2.5, small).otherwise(cf)
+    when(x >= 0.0, posv).otherwise(lit(2.0) * exp(x * x) - posv)
+  }
+
+  def sqlErfcx(x: String): String = {
+    val ax = s"abs($x)"
+    var f: String = ax
+    for (k <- erfcxCfDepth to 1 by -1)
+      f = s"(($ax) + CAST('${k / 2.0}' AS DOUBLE) / ($f))"
+    val cf = s"(CAST('${1.0 / math.sqrt(math.Pi)}' AS DOUBLE) / ($f))"
+    val small = s"(exp(($ax) * ($ax)) * (1.0 - (${sqlErf(ax)})))"
+    val posv = s"(CASE WHEN ($ax) < 2.5 THEN $small ELSE $cf END)"
+    s"(CASE WHEN ($x) >= 0.0 THEN $posv " +
+      s"ELSE 2.0 * exp(($x) * ($x)) - $posv END)"
+  }
+
+  // ------- confluent hypergeometric limit ₀F₁(;b;x)
+  // (hypergeometric_funcs.py hyp0f1) -------
+  // Σ xⁿ/((b)ₙ·n!), 25 terms nested inside-out:
+  // s = 1 + x/(n·(b+n−1))·s. Converges to machine precision for
+  // |x| ≤ 20, b ≥ 0.5 (the windowed contract, like hyp2f1/hyp1f1).
+  private val hyp0f1Depth = 25
+
+  def hyp0f1(b: Column, x: Column): Column = {
+    var s: Column = lit(1.0)
+    for (n <- hyp0f1Depth to 1 by -1)
+      s = lit(1.0) + x / (lit(n.toDouble) * (b + lit(n - 1.0))) * s
+    s
+  }
+
+  def sqlHyp0f1(b: String, x: String): String = {
+    var s: String = "1.0"
+    for (n <- hyp0f1Depth to 1 by -1)
+      s = s"(1.0 + ($x) / (CAST('${n.toDouble}' AS DOUBLE) * " +
+        s"(($b) + CAST('${n - 1.0}' AS DOUBLE))) * ($s))"
+    s
+  }
 }

@@ -148,7 +148,12 @@ object Ufuncs {
     "airy_ai" -> Special.airyAi _,
     "airy_aip" -> Special.airyAip _,
     "airy_bi" -> Special.airyBi _,
-    "airy_bip" -> Special.airyBip _)
+    "airy_bip" -> Special.airyBip _,
+    "airye_ai" -> Special.airyeAi _,
+    "airye_aip" -> Special.airyeAip _,
+    "airye_bi" -> Special.airyeBi _,
+    "airye_bip" -> Special.airyeBip _,
+    "erfcx" -> Special.erfcx _)
 
   /** Binary ufuncs (add/sub/mul/div are native Column operators already). */
   val binary: Map[String, (Column, Column) => Column] = Map(
@@ -227,6 +232,7 @@ object Ufuncs {
     "xlog1py" -> (Special.xlog1py(_, _)),
     "gammainc" -> (Special.gammaincP(_, _)),
     "gammaincc" -> (Special.gammaincQ(_, _)),
+    "hyp0f1" -> (Special.hyp0f1(_, _)),
     "poch" -> (Special.poch(_, _)))
 
   def apply(name: String)(c: Column): Column =

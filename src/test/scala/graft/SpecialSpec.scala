@@ -347,6 +347,54 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(eval1(Special.erfi, 2.0) - 18.564802414575552) / 18.56 < 5e-7)
   }
 
+  test("integer-order bessel recurrences match high-precision values") {
+    // mpmath (30 digits) reference points; upward J needs x ≳ n
+    val tol = 2e-6 // A&S base-kernel bound amplified ≤ ~10× by recurrence
+    assert(math.abs(eval1(Special.besselJn(2, _), 2.5) - 0.44605905844) < tol)
+    assert(math.abs(eval1(Special.besselJn(3, _), 5.0) - 0.364831230614) < tol)
+    assert(math.abs(eval1(Special.besselJn(2, _), 9.0) - 0.144847341533) < tol)
+    assert(math.abs(eval1(Special.besselYn(2, _), 2.5) - (-0.381335849242)) < tol)
+    assert(math.abs(eval1(Special.besselYn(3, _), 9.0) - (-0.205094878119)) < tol)
+    assert(math.abs(eval1(Special.besselIn(2, _), 1.0) - 0.135747669767) < tol)
+    assert(math.abs(eval1(Special.besselIn(2, _), 3.0) - 2.24521244093) < 1e-5)
+    assert(math.abs(eval1(Special.besselKn(2, _), 1.0) - 1.62483889864) < 1e-5)
+    assert(math.abs(eval1(Special.besselKn(3, _), 3.0) - 0.122170375757) < tol)
+    // n = 0/1 dispatch straight to the base kernels
+    assert(eval1(Special.besselJn(0, _), 2.0) == eval1(Special.besselJ0, 2.0))
+    assert(eval1(Special.besselKn(1, _), 2.0) == eval1(Special.besselK1, 2.0))
+  }
+
+  test("scaled bessel/airy forms match high-precision values") {
+    assert(math.abs(eval1(Special.besselIve(1, _), 3.0) - 0.196826713297) < 2e-6)
+    assert(math.abs(eval1(Special.besselIve(1, _), 6.0) - 0.152051459309) < 2e-6)
+    assert(math.abs(eval1(Special.besselKve(2, _), 6.0) - 0.682588434288) < 2e-6)
+    // ive at negative x keeps I₁'s odd sign under the |x| scale
+    assert(math.abs(eval1(Special.besselIve(1, _), -3.0) + 0.196826713297) < 2e-6)
+    assert(math.abs(eval1(Special.airyeAi, 0.5) - 0.29327715913) < 1e-9)
+    assert(math.abs(eval1(Special.airyeAi, 4.5) - 0.191723968724) < 1e-7)
+    assert(math.abs(eval1(Special.airyeBi, 2.0) - 0.500437254304) < 1e-9)
+    // x ≤ 0: scaling factor is 1 — airye == airy
+    assert(eval1(Special.airyeAi, -1.5) == eval1(Special.airyAi, -1.5))
+  }
+
+  test("erfcx matches high-precision values across all three branches") {
+    assert(math.abs(eval1(Special.erfcx, 0.5) - 0.615690344193) < 2e-5)
+    assert(math.abs(eval1(Special.erfcx, 2.0) - 0.255395676311) < 2e-5)
+    assert(math.abs(eval1(Special.erfcx, 4.0) - 0.136999457625) < 1e-9)
+    assert(math.abs(eval1(Special.erfcx, 10.0) - 0.0561409927438) < 1e-12)
+    assert(math.abs(eval1(Special.erfcx, -1.5) - 18.6538862563) < 2e-4)
+    assert(math.abs(eval1(Special.erfcx, 0.0) - 1.0) < 1e-12)
+  }
+
+  test("hyp0f1 matches high-precision values and the Bessel identity") {
+    assert(math.abs(eval2(Special.hyp0f1, 1.5, 3.0) - 4.60674194042) < 1e-9)
+    assert(math.abs(eval2(Special.hyp0f1, 2.5, -8.0) - (-0.085669302504)) < 1e-9)
+    assert(math.abs(eval2(Special.hyp0f1, 0.8, 10.0) - 132.149185398) < 1e-7)
+    // ₀F₁(; 1; −x²/4) = J₀(x): series vs the A&S kernel at x = 2
+    assert(math.abs(eval2(Special.hyp0f1, 1.0, -1.0) -
+      eval1(Special.besselJ0, 2.0)) < 2e-6)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
