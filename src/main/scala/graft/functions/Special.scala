@@ -1122,6 +1122,263 @@ object Special {
       s"ELSE 2.0 * exp(($x) * ($x)) - $posv END)"
   }
 
+  // ------- Carlson symmetric elliptic integrals
+  // (ellip_func_integrals.py elliprf/elliprc/elliprd/elliprj, and the
+  // incomplete ellipkinc/ellipeinc through them) -------
+  // Carlson's duplication algorithm (Carlson 1979, "Computing elliptic
+  // integrals by duplication"): λ = √x√y + √x√z + √y√z halves the
+  // integral's spread; after 28 duplications the arguments agree to
+  // < 4⁻²⁸ relatively, so the zeroth-order limits
+  //   R_F → μ^{-1/2} (μ = (x+y+z)/3)
+  //   R_D → 3·Σ facₘ/(√zₘ(zₘ+λₘ)) + fac·μ^{-3/2} (μ = (x+y+3z)/5)
+  //   R_J → Σ 6·facₘ/dₘ·R_C(1, 1+eₘ) + fac·μ^{-3/2} (μ = (x+y+z+2p)/5)
+  // are machine-exact with NO Taylor tail (validated against mpmath at
+  // 30 digits in SpecialSpec). R_C has the elementary closed form
+  // (DLMF 19.6.15) used directly and inside R_J's duplication terms.
+  //
+  // A 28-step loop referencing each variable 3–5× per step cannot be
+  // one Column tree (5²⁸ nodes) — like the staged SQL oracles, the
+  // Column side chains one PROJECTION per half-step (CollapseProject
+  // keeps boundaries where an alias is referenced more than once, so
+  // plans stay linear); the SQL generators emit the identical stages
+  // as nested subselects. R_F/R_D are pure IEEE +·/√ → bit-identical
+  // across engines (UNROUNDED gates); R_C/R_J bring in atan/atanh
+  // (libm of identical inputs) → round 6.
+  private val carlsonSteps = 28
+
+  /** R_C(x, y) closed form (DLMF 19.6.15); x ≥ 0, y ≠ 0. */
+  def ellipRc(x: Column, y: Column): Column = {
+    val lo = atan(sqrt((y - x) / x)) / sqrt(y - x) // x < y
+    val hi = atanh(sqrt((x - y) / x)) / sqrt(x - y) // x > y
+    when(x === y, lit(1.0) / sqrt(x)).when(x < y, lo).otherwise(hi)
+  }
+
+  /** sql mirror of [[ellipRc]]; DuckDB lacks atanh → ln composite. */
+  def sqlEllipRc(x: String, y: String): String = {
+    val lo = s"(atan(sqrt((($y) - ($x)) / ($x))) / sqrt(($y) - ($x)))"
+    val t = s"sqrt((($x) - ($y)) / ($x))"
+    val hi = s"((0.5 * ln((1.0 + $t) / (1.0 - $t))) / sqrt(($x) - ($y)))"
+    s"(CASE WHEN ($x) = ($y) THEN 1.0 / sqrt($x) " +
+      s"WHEN ($x) < ($y) THEN $lo ELSE $hi END)"
+  }
+
+  /** atanh as the ln composite on the Column side too, so the R_C
+    * operation shape matches [[sqlEllipRc]] exactly. */
+  private def atanh(c: Column): Column =
+    lit(0.5) * log((lit(1.0) + c) / (lit(1.0) - c))
+
+  import org.apache.spark.sql.DataFrame
+
+  /** R_F and (optionally) R_D over shared duplication stages, appended
+    * as columns `rf_<sfx>` / `rd_<sfx>`. Each spec is
+    * (sfx, x, y, z, wantD); all other columns pass through. */
+  def carlsonFD(df: DataFrame, specs: Seq[(String, Column, Column, Column, Boolean)]): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    var d = df.select(others ++ specs.flatMap { case (s, x, y, z, wantD) =>
+      Seq(x.as(s"__cx_$s"), y.as(s"__cy_$s"), z.as(s"__cz_$s")) ++
+        (if (wantD) Seq(lit(0.0).as(s"__cs_$s")) else Nil)
+    }: _*)
+    var fac = 1.0
+    for (_ <- 1 to carlsonSteps) {
+      // half-step 1: the square roots
+      d = d.select(col("*") +: (specs.map { case (s, _, _, _, _) =>
+        sqrt(col(s"__cx_$s")).as(s"__csx_$s")
+      } ++ specs.map { case (s, _, _, _, _) =>
+        sqrt(col(s"__cy_$s")).as(s"__csy_$s")
+      } ++ specs.map { case (s, _, _, _, _) =>
+        sqrt(col(s"__cz_$s")).as(s"__csz_$s")
+      }): _*)
+      // half-step 2: λ, the quarter-step update, the R_D partial sum
+      val keep = d.columns.toSeq.filterNot(_.startsWith("__c")).map(col)
+      val facL = fac
+      d = d.select(keep ++ specs.flatMap { case (s, _, _, _, wantD) =>
+        val lam = col(s"__csx_$s") * col(s"__csy_$s") +
+          col(s"__csx_$s") * col(s"__csz_$s") +
+          col(s"__csy_$s") * col(s"__csz_$s")
+        Seq(((col(s"__cx_$s") + lam) / 4.0).as(s"__cx_$s"),
+          ((col(s"__cy_$s") + lam) / 4.0).as(s"__cy_$s"),
+          ((col(s"__cz_$s") + lam) / 4.0).as(s"__cz_$s")) ++
+          (if (wantD)
+            Seq((col(s"__cs_$s") + lit(facL) /
+              (col(s"__csz_$s") * (col(s"__cz_$s") + lam))).as(s"__cs_$s"))
+          else Nil)
+      }: _*)
+      fac *= 0.25
+    }
+    val keep = d.columns.toSeq.filterNot(_.startsWith("__c")).map(col)
+    val facF = fac
+    d.select(keep ++ specs.flatMap { case (s, _, _, _, wantD) =>
+      val x = col(s"__cx_$s"); val y = col(s"__cy_$s"); val z = col(s"__cz_$s")
+      val muF = (x + y + z) / 3.0
+      val rf = (lit(1.0) / sqrt(muF)).as(s"rf_$s")
+      if (wantD) {
+        val muD = (x + y + lit(3.0) * z) / 5.0
+        Seq(rf, (lit(3.0) * col(s"__cs_$s") +
+          lit(facF) / (muD * sqrt(muD))).as(s"rd_$s"))
+      } else Seq(rf)
+    }: _*)
+  }
+
+  /** R_J via duplication with closed-form R_C terms, appended as
+    * `rj_<sfx>`. Each spec is (sfx, x, y, z, p). */
+  def carlsonRJ(df: DataFrame, specs: Seq[(String, Column, Column, Column, Column)]): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    var d = df.select(others ++ specs.flatMap { case (s, x, y, z, p) =>
+      Seq(x.as(s"__cx_$s"), y.as(s"__cy_$s"), z.as(s"__cz_$s"),
+        p.as(s"__cp_$s"), lit(0.0).as(s"__cs_$s"))
+    }: _*)
+    var fac = 1.0
+    for (_ <- 1 to carlsonSteps) {
+      d = d.select(col("*") +: specs.flatMap { case (s, _, _, _, _) =>
+        Seq(sqrt(col(s"__cx_$s")).as(s"__csx_$s"),
+          sqrt(col(s"__cy_$s")).as(s"__csy_$s"),
+          sqrt(col(s"__cz_$s")).as(s"__csz_$s"),
+          sqrt(col(s"__cp_$s")).as(s"__csp_$s"))
+      }: _*)
+      val keep = d.columns.toSeq.filterNot(_.startsWith("__c")).map(col)
+      val facL = fac
+      d = d.select(keep ++ specs.flatMap { case (s, _, _, _, _) =>
+        val sx = col(s"__csx_$s"); val sy = col(s"__csy_$s")
+        val sz = col(s"__csz_$s"); val sp = col(s"__csp_$s")
+        val x = col(s"__cx_$s"); val y = col(s"__cy_$s")
+        val z = col(s"__cz_$s"); val p = col(s"__cp_$s")
+        val lam = sx * sy + sx * sz + sy * sz
+        val dd = (sp + sx) * (sp + sy) * (sp + sz)
+        val e = (p - x) * (p - y) * (p - z) / (dd * dd)
+        Seq(((x + lam) / 4.0).as(s"__cx_$s"),
+          ((y + lam) / 4.0).as(s"__cy_$s"),
+          ((z + lam) / 4.0).as(s"__cz_$s"),
+          ((p + lam) / 4.0).as(s"__cp_$s"),
+          (col(s"__cs_$s") + lit(6.0 * facL) / dd *
+            ellipRc(lit(1.0), lit(1.0) + e)).as(s"__cs_$s"))
+      }: _*)
+      fac *= 0.25
+    }
+    val keep = d.columns.toSeq.filterNot(_.startsWith("__c")).map(col)
+    val facF = fac
+    d.select(keep ++ specs.map { case (s, _, _, _, _) =>
+      val mu = (col(s"__cx_$s") + col(s"__cy_$s") + col(s"__cz_$s") +
+        lit(2.0) * col(s"__cp_$s")) / 5.0
+      (col(s"__cs_$s") + lit(facF) / (mu * sqrt(mu))).as(s"rj_$s")
+    }: _*)
+  }
+
+  /** DuckDB mirror of [[carlsonFD]]: wraps `from` in the same staged
+    * duplication, exposing `rf_<sfx>` / `rd_<sfx>`. Spec:
+    * (sfx, xExpr, yExpr, zExpr, wantD). */
+  def sqlCarlsonFD(from: String, specs: Seq[(String, String, String, String, Boolean)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep, " + specs.map { case (s, x, y, z, wantD) =>
+      s"($x) AS cx_$s, ($y) AS cy_$s, ($z) AS cz_$s" +
+        (if (wantD) s", 0.0 AS cs_$s" else "")
+    }.mkString(", ") + s" FROM $from"
+    var fac = 1.0
+    for (_ <- 1 to carlsonSteps) {
+      q = s"SELECT *, " + specs.map { case (s, _, _, _, _) =>
+        s"sqrt(cx_$s) AS csx_$s, sqrt(cy_$s) AS csy_$s, sqrt(cz_$s) AS csz_$s"
+      }.mkString(", ") + s" FROM ($q)"
+      q = s"SELECT $keep, " + specs.map { case (s, _, _, _, wantD) =>
+        val lam = s"(csx_$s * csy_$s + csx_$s * csz_$s + csy_$s * csz_$s)"
+        s"(cx_$s + $lam) / 4.0 AS cx_$s, (cy_$s + $lam) / 4.0 AS cy_$s, " +
+          s"(cz_$s + $lam) / 4.0 AS cz_$s" +
+          (if (wantD)
+            s", cs_$s + CAST('$fac' AS DOUBLE) / (csz_$s * (cz_$s + $lam)) AS cs_$s"
+          else "")
+      }.mkString(", ") + s" FROM ($q)"
+      fac *= 0.25
+    }
+    s"SELECT $keep, " + specs.map { case (s, _, _, _, wantD) =>
+      val muF = s"((cx_$s + cy_$s + cz_$s) / 3.0)"
+      val rf = s"1.0 / sqrt($muF) AS rf_$s"
+      if (wantD) {
+        val muD = s"((cx_$s + cy_$s + 3.0 * cz_$s) / 5.0)"
+        s"$rf, 3.0 * cs_$s + CAST('$fac' AS DOUBLE) / ($muD * sqrt($muD)) AS rd_$s"
+      } else rf
+    }.mkString(", ") + s" FROM ($q)"
+  }
+
+  /** DuckDB mirror of [[carlsonRJ]]: exposes `rj_<sfx>`. Spec:
+    * (sfx, xExpr, yExpr, zExpr, pExpr). */
+  def sqlCarlsonRJ(from: String, specs: Seq[(String, String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep, " + specs.map { case (s, x, y, z, p) =>
+      s"($x) AS cx_$s, ($y) AS cy_$s, ($z) AS cz_$s, ($p) AS cp_$s, 0.0 AS cs_$s"
+    }.mkString(", ") + s" FROM $from"
+    var fac = 1.0
+    for (_ <- 1 to carlsonSteps) {
+      q = s"SELECT *, " + specs.map { case (s, _, _, _, _) =>
+        s"sqrt(cx_$s) AS csx_$s, sqrt(cy_$s) AS csy_$s, " +
+          s"sqrt(cz_$s) AS csz_$s, sqrt(cp_$s) AS csp_$s"
+      }.mkString(", ") + s" FROM ($q)"
+      q = s"SELECT $keep, " + specs.map { case (s, _, _, _, _) =>
+        val lam = s"(csx_$s * csy_$s + csx_$s * csz_$s + csy_$s * csz_$s)"
+        val dd = s"((csp_$s + csx_$s) * (csp_$s + csy_$s) * (csp_$s + csz_$s))"
+        val e = s"((cp_$s - cx_$s) * (cp_$s - cy_$s) * (cp_$s - cz_$s) / ($dd * $dd))"
+        s"(cx_$s + $lam) / 4.0 AS cx_$s, (cy_$s + $lam) / 4.0 AS cy_$s, " +
+          s"(cz_$s + $lam) / 4.0 AS cz_$s, (cp_$s + $lam) / 4.0 AS cp_$s, " +
+          s"cs_$s + CAST('${6.0 * fac}' AS DOUBLE) / $dd * " +
+          s"(${sqlEllipRc("1.0", s"(1.0 + $e)")}) AS cs_$s"
+      }.mkString(", ") + s" FROM ($q)"
+      fac *= 0.25
+    }
+    s"SELECT $keep, " + specs.map { case (s, _, _, _, _) =>
+      val mu = s"((cx_$s + cy_$s + cz_$s + 2.0 * cp_$s) / 5.0)"
+      s"cs_$s + CAST('$fac' AS DOUBLE) / ($mu * sqrt($mu)) AS rj_$s"
+    }.mkString(", ") + s" FROM ($q)"
+  }
+
+  /** Incomplete elliptic integrals (ellip_func_integrals.py ellipkinc/
+    * ellipeinc), DLMF 19.25.5/19.25.9 via R_F/R_D:
+    *   F(φ|m) = sinφ·R_F(cos²φ, 1−m·sin²φ, 1)
+    *   E(φ|m) = F(φ|m) − (m/3)·sin³φ·R_D(cos²φ, 1−m·sin²φ, 1)
+    * Appends `kinc_<sfx>` (and `einc_<sfx>` when wantE). φ ∈ (0, π/2),
+    * m·sin²φ < 1. */
+  def ellipInc(df: DataFrame, specs: Seq[(String, Column, Column, Boolean)]): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    val staged = df.select(others ++ specs.flatMap { case (s, phi, m, _) =>
+      Seq(sin(phi).as(s"__esin_$s"), cos(phi).as(s"__ecos_$s"), m.as(s"__em_$s"))
+    }: _*)
+    val fd = carlsonFD(staged, specs.map { case (s, _, _, wantE) =>
+      (s, col(s"__ecos_$s") * col(s"__ecos_$s"),
+        lit(1.0) - col(s"__em_$s") * col(s"__esin_$s") * col(s"__esin_$s"),
+        lit(1.0), wantE)
+    })
+    val keep = fd.columns.toSeq.filterNot(_.startsWith("__e")).map(col)
+    fd.select(keep.filterNot(c => specs.exists(sp =>
+      c.toString.contains(s"rf_${sp._1}") || c.toString.contains(s"rd_${sp._1}"))) ++
+      specs.flatMap { case (s, _, _, wantE) =>
+        val sn = col(s"__esin_$s")
+        val kinc = (sn * col(s"rf_$s")).as(s"kinc_$s")
+        if (wantE)
+          Seq(kinc, (sn * col(s"rf_$s") - col(s"__em_$s") / 3.0 *
+            sn * sn * sn * col(s"rd_$s")).as(s"einc_$s"))
+        else Seq(kinc)
+      }: _*)
+  }
+
+  /** DuckDB mirror of [[ellipInc]]. Spec: (sfx, phiExpr, mExpr, wantE). */
+  def sqlEllipInc(from: String, specs: Seq[(String, String, String, Boolean)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val staged = s"SELECT $keep, " + specs.map { case (s, phi, m, _) =>
+      s"sin($phi) AS esin_$s, cos($phi) AS ecos_$s, ($m) AS em_$s"
+    }.mkString(", ") + s" FROM $from"
+    val fd = sqlCarlsonFD(s"($staged)",
+      specs.map { case (s, _, _, wantE) =>
+        (s, s"ecos_$s * ecos_$s", s"1.0 - em_$s * esin_$s * esin_$s",
+          "1.0", wantE)
+      },
+      carry ++ specs.flatMap { case (s, _, _, _) => Seq(s"esin_$s", s"em_$s") })
+    s"SELECT $keep, " + specs.map { case (s, _, _, wantE) =>
+      val kinc = s"esin_$s * rf_$s AS kinc_$s"
+      if (wantE)
+        s"$kinc, esin_$s * rf_$s - em_$s / 3.0 * esin_$s * esin_$s * esin_$s * rd_$s AS einc_$s"
+      else kinc
+    }.mkString(", ") + s" FROM ($fd)"
+  }
+
   // ------- confluent hypergeometric limit ₀F₁(;b;x)
   // (hypergeometric_funcs.py hyp0f1) -------
   // Σ xⁿ/((b)ₙ·n!), 25 terms nested inside-out:

@@ -116,5 +116,98 @@ object SpecialQ {
           r6(Ufuncs("erfcx")($"xen")).as("e_erfcx_neg"),
           r6(Ufuncs("hyp0f1", $"hb", $"hx")).as("e_0f1"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- Carlson symmetric elliptic integrals R_F/R_D/R_J/R_C
+    //     (ellip_func_integrals.py elliprf/elliprd/elliprj/elliprc):
+    //     28 staged duplication steps, identical on both sides. R_F and
+    //     R_D are pure IEEE +·/√ → compared UNROUNDED (bit-exact, the
+    //     strongest gate form); R_C's closed form and R_J's per-step
+    //     R_C terms bring atan/ln of identical inputs → round 6. The
+    //     R_C argument pair crosses its atan/atanh branch as q sweeps.
+    Q("op_special_carlson", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 8.0 + 0.1 AS x1, " +
+        "CAST(l_quantity AS DOUBLE) / 4.0 + 1.0 AS y1, " +
+        "CAST(3.0 AS DOUBLE) AS z1, " +
+        "CAST(l_quantity AS DOUBLE) / 10.0 + 0.5 AS p1, " +
+        "CAST(l_quantity AS DOUBLE) / 8.0 + 0.2 AS rcx, " +
+        "CAST(l_quantity AS DOUBLE) / 5.0 + 0.1 AS rcy " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val fd = S.sqlCarlsonFD(inner, Seq(("a", "x1", "y1", "z1", true)),
+        Seq("l_orderkey", "l_linenumber", "q", "x1", "y1", "z1", "p1",
+          "rcx", "rcy"))
+      val rj = S.sqlCarlsonRJ(s"($fd)", Seq(("a", "x1", "y1", "z1", "p1")),
+        Seq("l_orderkey", "l_linenumber", "q", "rcx", "rcy", "rf_a", "rd_a"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  rf_a, rd_a,
+         |  round(rj_a, 6) AS rj,
+         |  round(${S.sqlEllipRc("rcx", "rcy")}, 6) AS rc
+         |FROM ($rj)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 8.0 + 0.1).as("x1"),
+          ($"l_quantity".cast("double") / 4.0 + 1.0).as("y1"),
+          lit(3.0).as("z1"),
+          ($"l_quantity".cast("double") / 10.0 + 0.5).as("p1"),
+          ($"l_quantity".cast("double") / 8.0 + 0.2).as("rcx"),
+          ($"l_quantity".cast("double") / 5.0 + 0.1).as("rcy"))
+      val fd = Special.carlsonFD(base, Seq(("a", $"x1", $"y1", $"z1", true)))
+      val rj = Special.carlsonRJ(fd, Seq(("a", $"x1", $"y1", $"z1", $"p1")))
+      rj.select($"l_orderkey", $"l_linenumber", $"q",
+        $"rf_a", $"rd_a",
+        round($"rj_a", 6).as("rj"),
+        round(Special.ellipRc($"rcx", $"rcy"), 6).as("rc"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- incomplete elliptic integrals F(φ|m) / E(φ|m) + ellipkm1
+    //     (ellip_func_integrals.py ellipkinc/ellipeinc/ellipkm1):
+    //     the DLMF R_F/R_D reductions over the shared staged
+    //     duplication — sin/cos enter (libm, identical inputs) →
+    //     round 6; ellipkm1 = K(1−p) rides the pure-AGM kernel and is
+    //     compared UNROUNDED. φ = 0.03q ∈ (0, 1.5] stays inside
+    //     (0, π/2); m = q/64 keeps m·sin²φ < 1.
+    Q("op_special_ellipinc", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) * 0.03 AS phi, " +
+        "CAST(l_quantity AS DOUBLE) / 64.0 AS m, " +
+        "1.0 - CAST(l_quantity AS DOUBLE) / 64.0 AS km1m " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val incQ = S.sqlEllipInc(inner, Seq(("a", "phi", "m", true)),
+        Seq("l_orderkey", "l_linenumber", "q", "km1m"))
+      val ke = S.sqlEllipKE(s"($incQ)", Seq("km1" -> "km1m"),
+        Seq("l_orderkey", "l_linenumber", "q", "kinc_a", "einc_a"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(kinc_a, 6) AS kinc,
+         |  round(einc_a, 6) AS einc,
+         |  ell_k_km1 AS k_km1
+         |FROM ($ke)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") * 0.03).as("phi"),
+          ($"l_quantity".cast("double") / 64.0).as("m"),
+          (lit(1.0) - $"l_quantity".cast("double") / 64.0).as("km1m"))
+      val inc = Special.ellipInc(base, Seq(("a", $"phi", $"m", true)))
+      val (kKm1, _) = Special.ellipKE($"km1m")
+      inc.select($"l_orderkey", $"l_linenumber", $"q",
+        round($"kinc_a", 6).as("kinc"),
+        round($"einc_a", 6).as("einc"),
+        kKm1.as("k_km1"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -395,6 +395,49 @@ class SpecialSpec extends SparkSpecBase {
       eval1(Special.besselJ0, 2.0)) < 2e-6)
   }
 
+  private def evalFD(x: Double, y: Double, z: Double): (Double, Double) = {
+    val r = Special.carlsonFD(Seq((x, y, z)).toDF("x", "y", "z"),
+      Seq(("t", col("x"), col("y"), col("z"), true))).head()
+    (r.getAs[Double]("rf_t"), r.getAs[Double]("rd_t"))
+  }
+
+  test("Carlson R_F/R_D/R_J/R_C match mpmath to machine precision") {
+    val (rf1, rd1) = evalFD(1.0, 2.0, 4.0)
+    assert(math.abs(rf1 - 0.6850858166334359) < 1e-14)
+    assert(math.abs(rd1 - 0.21838072549338966) < 1e-14)
+    val (rf2, rd2) = evalFD(0.04, 1.0, 1.0)
+    assert(math.abs(rf2 - 1.3976772203673038) < 1e-13)
+    assert(math.abs(rd2 - 1.8713706568239123) < 1e-13)
+    val rj = Special.carlsonRJ(Seq((1.0, 2.0, 4.0, 3.0)).toDF("x", "y", "z", "p"),
+      Seq(("t", col("x"), col("y"), col("z"), col("p"))))
+      .head().getAs[Double]("rj_t")
+    assert(math.abs(rj - 0.26377357847854027) < 1e-13)
+    // R_C closed form, both branches
+    assert(math.abs(eval2(Special.ellipRc, 2.0, 1.0) - 0.881373587019543) < 1e-13)
+    assert(math.abs(eval2(Special.ellipRc, 1.0, 3.0) - 0.67551085885604) < 1e-13)
+    // R_C(x,y) = R_F(x,y,y): the closed form vs the duplication kernel
+    val (rfc, _) = evalFD(1.0, 3.0, 3.0)
+    assert(math.abs(rfc - 0.67551085885604) < 1e-13)
+  }
+
+  test("incomplete elliptic F/E match mpmath and reduce to K/E at pi/2") {
+    def inc(phi: Double, m: Double): (Double, Double) = {
+      val r = Special.ellipInc(Seq((phi, m)).toDF("phi", "m"),
+        Seq(("t", col("phi"), col("m"), true))).head()
+      (r.getAs[Double]("kinc_t"), r.getAs[Double]("einc_t"))
+    }
+    val (k1, e1) = inc(0.5, 0.3)
+    assert(math.abs(k1 - 0.506140211962) < 1e-11)
+    assert(math.abs(e1 - 0.493991144729) < 1e-11)
+    val (k2, e2) = inc(1.2, 0.8)
+    assert(math.abs(k2 - 1.48849568895) < 1e-10)
+    assert(math.abs(e2 - 0.998874639838) < 1e-10)
+    // φ = π/2 degenerates to the complete integrals (the AGM kernel)
+    val (kc, ec) = inc(math.Pi / 2.0, 0.25)
+    assert(math.abs(kc - eval1(Special.ellipk, 0.25)) < 1e-10)
+    assert(math.abs(ec - eval1(Special.ellipe, 0.25)) < 1e-10)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
