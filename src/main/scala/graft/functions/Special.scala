@@ -463,15 +463,21 @@ object Special {
 
   /** Regularized lower incomplete gamma P(a,x) (gamma_funcs.py
     * gammainc), a ∈ (0, 60], x ≥ 0; P(a,0) = 0. */
-  def gammaincP(a: Column, x: Column): Column = {
-    // ascending series, 80 terms nested inside-out
+  def gammaincP(a: Column, x: Column): Column =
+    gammaincPDepth(a, x, seriesDepth, cfDepth)
+
+  /** [[gammaincP]] at caller-chosen depths — the shallow form the
+    * Newton inverse uses per step (its SQL mirror must fit several P
+    * evaluations under DuckDB's ~164-subselect ceiling). */
+  def gammaincPDepth(a: Column, x: Column, sd: Int, cd: Int): Column = {
+    // ascending series, sd terms nested inside-out
     var s: Column = lit(1.0)
-    for (n <- seriesDepth to 1 by -1)
+    for (n <- sd to 1 by -1)
       s = lit(1.0) + x / (a + lit(n.toDouble)) * s
     val pSeries = gammaPrefix(a, x) * s / a
-    // continued fraction for Q, 60 levels bottom-up
-    var f: Column = x + lit(1.0) - a + lit(2.0 * cfDepth)
-    for (i <- cfDepth to 1 by -1)
+    // continued fraction for Q, cd levels bottom-up
+    var f: Column = x + lit(1.0) - a + lit(2.0 * cd)
+    for (i <- cd to 1 by -1)
       f = x + lit(1.0) - a + lit(2.0 * (i - 1)) +
         lit(-i.toDouble) * (lit(i.toDouble) - a) / f
     val qCf = gammaPrefix(a, x) / f
@@ -505,20 +511,26 @@ object Special {
     * Column loop). Emits `g_p_<sfx>` / `g_q_<sfx>` per (sfx, aExpr,
     * xExpr) triple, with `carry` passed through. */
   def sqlGammaincPQ(from: String, pairs: Seq[(String, String, String)],
-      carry: Seq[String]): String = {
+      carry: Seq[String]): String =
+    sqlGammaincPQDepth(from, pairs, carry, seriesDepth, cfDepth)
+
+  /** [[sqlGammaincPQ]] at caller-chosen depths (see
+    * [[gammaincPDepth]]). */
+  def sqlGammaincPQDepth(from: String, pairs: Seq[(String, String, String)],
+      carry: Seq[String], sd: Int, cd: Int): String = {
     val keep = carry.mkString(", ")
     var q = s"SELECT $keep, " + pairs.map { case (sfx, a, x) =>
       s"CAST(($a) AS DOUBLE) AS a_$sfx, CAST(($x) AS DOUBLE) AS x_$sfx"
     }.mkString(", ") + s" FROM $from"
     q = s"SELECT $keep, " + pairs.map { case (sfx, _, _) =>
       s"a_$sfx, x_$sfx, CAST(1.0 AS DOUBLE) AS s_$sfx, " +
-        s"(x_$sfx + 1.0 - a_$sfx + CAST('${2.0 * cfDepth}' AS DOUBLE)) AS f_$sfx"
+        s"(x_$sfx + 1.0 - a_$sfx + CAST('${2.0 * cd}' AS DOUBLE)) AS f_$sfx"
     }.mkString(", ") + s" FROM ($q)"
-    for (k <- seriesDepth to 1 by -1) {
+    for (k <- sd to 1 by -1) {
       q = s"SELECT $keep, " + pairs.map { case (sfx, _, _) =>
         val sNew = s"(1.0 + x_$sfx / (a_$sfx + " +
           s"CAST('${k.toDouble}' AS DOUBLE)) * s_$sfx)"
-        val fNew = if (k <= cfDepth)
+        val fNew = if (k <= cd)
           s"(x_$sfx + 1.0 - a_$sfx + CAST('${2.0 * (k - 1)}' AS DOUBLE) + " +
             s"CAST('${-k.toDouble}' AS DOUBLE) * " +
             s"(CAST('${k.toDouble}' AS DOUBLE) - a_$sfx) / f_$sfx)"
@@ -542,11 +554,16 @@ object Special {
     * the classical even/odd-d continued fraction, 2·40 levels unrolled
     * bottom-up, with the standard symmetry switch at
     * x = (a+1)/(a+b+2). Accuracy ~1e-13 for a,b ∈ (0, 60]. */
-  def betaincReg(a: Column, b: Column, x: Column): Column = {
+  def betaincReg(a: Column, b: Column, x: Column): Column =
+    betaincRegDepth(a, b, x, 40)
+
+  /** [[betaincReg]] at caller-chosen CF depth (2·levels d-terms) — the
+    * shallow per-Newton-step form of the inverse. */
+  def betaincRegDepth(a: Column, b: Column, x: Column, levels: Int): Column = {
     def cf(aa: Column, bb: Column, xx: Column): Column = {
-      // d_1..d_80 from the bottom: CF = 1 + d1/(1 + d2/(1 + …))
+      // d_1..d_2L from the bottom: CF = 1 + d1/(1 + d2/(1 + …))
       var f: Column = lit(1.0)
-      for (m <- 40 to 1 by -1) {
+      for (m <- levels to 1 by -1) {
         val mD = lit(m.toDouble)
         val dEven = mD * (bb - mD) * xx /
           ((aa + lit(2.0) * mD - lit(1.0)) * (aa + lit(2.0) * mD))
@@ -570,7 +587,13 @@ object Special {
     * direct (a,b,x) and flipped (b,a,1−x), the symmetry switch picking
     * per row — and emits `bi_<sfx>`. */
   def sqlBetaincStaged(from: String, pairs: Seq[(String, String, String, String)],
-      carry: Seq[String]): String = {
+      carry: Seq[String]): String =
+    sqlBetaincStagedDepth(from, pairs, carry, 40)
+
+  /** [[sqlBetaincStaged]] at caller-chosen CF depth (see
+    * [[betaincRegDepth]]). */
+  def sqlBetaincStagedDepth(from: String, pairs: Seq[(String, String, String, String)],
+      carry: Seq[String], levels: Int): String = {
     val keep = carry.mkString(", ")
     var q = s"SELECT $keep, " + pairs.map { case (sfx, a, b, x) =>
       s"CAST(($a) AS DOUBLE) AS ad_$sfx, CAST(($b) AS DOUBLE) AS bd_$sfx, " +
@@ -581,7 +604,7 @@ object Special {
         s"(1.0 - xd_$sfx) AS xf_$sfx, " +
         s"CAST(1.0 AS DOUBLE) AS fd_$sfx, CAST(1.0 AS DOUBLE) AS ff_$sfx"
     }.mkString(", ") + s" FROM ($q)"
-    for (m <- 40 to 1 by -1) {
+    for (m <- levels to 1 by -1) {
       val mD = s"CAST('${m.toDouble}' AS DOUBLE)"
       def step(aa: String, bb: String, xx: String, f: String): String = {
         val dEven = s"($mD * (($bb) - $mD) * ($xx) / " +
@@ -1399,5 +1422,164 @@ object Special {
       s = s"(1.0 + ($x) / (CAST('${n.toDouble}' AS DOUBLE) * " +
         s"(($b) + CAST('${n - 1.0}' AS DOUBLE))) * ($s))"
     s
+  }
+
+  // ------- inverse regularized incomplete gamma / beta
+  // (gamma_funcs.py gammaincinv/gammainccinv, betaincinv) -------
+  // Fixed-count Newton iterations — deterministic arithmetic both
+  // sides can replay, which is what makes an INVERSE special function
+  // oracle-able at all. Each step evaluates the SHALLOW forward kernel
+  // (20-term series / 16-level CF for gamma, 16 m-levels for beta) so
+  // the staged SQL replay stays under DuckDB's ~164-subselect ceiling
+  // (5–6 steps ≈ 120 stages; dev probe measured the cap). Start values:
+  // Wilson–Hilferty x₀ = a·(1 − 1/9a + z/3√a)³ with z = Φ⁻¹(p) for
+  // gamma; x₀ = a/(a+b) for beta. Multiplicative (gamma) / midpoint
+  // (beta) clamps keep iterates in domain. Accuracy ~1e-8 over the
+  // documented windows a ∈ [0.5, 8], p ∈ [0.02, 0.98] (SpecialSpec
+  // pins vs mpmath root-finds); the adaptive forward kernels remain
+  // the general path.
+  private val invSeriesDepth = 20
+  private val invCfDepth = 16
+  private val invGammaSteps = 5
+  private val invBetaLevels = 16
+  private val invBetaSteps = 6
+
+  /** Newton inverse of P(a,·) (or Q(a,·) when `upper`), appended as
+    * `ginv_<sfx>`. Spec: (sfx, a, p, upper). */
+  def gammaincInvNewton(df: DataFrame, specs: Seq[(String, Column, Column, Boolean)]): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    // target is always the LOWER tail mass: P(a, x*) = t
+    var d = df.select(others ++ specs.flatMap { case (s, a, p, upper) =>
+      Seq(a.as(s"__ga_$s"),
+        (if (upper) lit(1.0) - p else p).as(s"__gt_$s"))
+    }: _*)
+    d = d.select(col("*") +: specs.map { case (s, _, _, _) =>
+      Distributions.normalInv(col(s"__gt_$s")).as(s"__gz_$s")
+    }: _*)
+    d = d.select(d.columns.toSeq.filterNot(_.startsWith("__gz")).map(col) ++
+      specs.map { case (s, _, _, _) =>
+        val a = col(s"__ga_$s")
+        val wh = lit(1.0) - lit(1.0) / (lit(9.0) * a) +
+          col(s"__gz_$s") / (lit(3.0) * sqrt(a))
+        greatest(a * wh * wh * wh, lit(1e-4)).as(s"__gx_$s")
+      }: _*)
+    for (_ <- 1 to invGammaSteps) {
+      d = d.select(col("*") +: specs.map { case (s, _, _, _) =>
+        gammaincPDepth(col(s"__ga_$s"), col(s"__gx_$s"),
+          invSeriesDepth, invCfDepth).as(s"__gp_$s")
+      }: _*)
+      d = d.select(d.columns.toSeq.filterNot(c =>
+        c.startsWith("__gp") || c.startsWith("__gx")).map(col) ++
+        specs.map { case (s, _, _, _) =>
+          val a = col(s"__ga_$s"); val x = col(s"__gx_$s")
+          val deriv = exp((a - lit(1.0)) * log(x) - x - gammalnPos(a))
+          val xn = x - (col(s"__gp_$s") - col(s"__gt_$s")) / deriv
+          when(xn <= x / 10.0, x / 10.0)
+            .when(xn >= x * 10.0, x * 10.0)
+            .otherwise(xn).as(s"__gx_$s")
+        }: _*)
+    }
+    d.select(d.columns.toSeq.filterNot(_.startsWith("__g")).map(col) ++
+      specs.map { case (s, _, _, _) => col(s"__gx_$s").as(s"ginv_$s") }: _*)
+  }
+
+  /** DuckDB mirror of [[gammaincInvNewton]]. Spec: (sfx, aExpr,
+    * pExpr, upper); emits `ginv_<sfx>`. */
+  def sqlGammaincInv(from: String, specs: Seq[(String, String, String, Boolean)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val work = specs.flatMap { case (s, _, _, _) =>
+      Seq(s"wa_$s", s"wt_$s", s"wx_$s") }
+    var q = s"SELECT $keep, " + specs.map { case (s, a, p, upper) =>
+      val t = if (upper) s"(1.0 - ($p))" else s"($p)"
+      s"CAST(($a) AS DOUBLE) AS wa_$s, CAST($t AS DOUBLE) AS wt_$s"
+    }.mkString(", ") + s" FROM $from"
+    q = s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+      s"wa_$s, wt_$s, (${Distributions.sqlNormalInv(s"wt_$s")}) AS wz_$s"
+    }.mkString(", ") + s" FROM ($q)"
+    q = s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+      val wh = s"(1.0 - 1.0 / (9.0 * wa_$s) + wz_$s / (3.0 * sqrt(wa_$s)))"
+      s"wa_$s, wt_$s, greatest(wa_$s * $wh * $wh * $wh, 1e-4) AS wx_$s"
+    }.mkString(", ") + s" FROM ($q)"
+    for (_ <- 1 to invGammaSteps) {
+      q = sqlGammaincPQDepth(s"($q)",
+        specs.map { case (s, _, _, _) => (s, s"wa_$s", s"wx_$s") },
+        carry ++ work, invSeriesDepth, invCfDepth)
+      q = s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+        val deriv = s"exp((wa_$s - 1.0) * ln(wx_$s) - wx_$s - " +
+          s"(${sqlGammalnPos(s"wa_$s")}))"
+        val xn = s"(wx_$s - (g_p_$s - wt_$s) / ($deriv))"
+        s"wa_$s, wt_$s, (CASE WHEN $xn <= wx_$s / 10.0 THEN wx_$s / 10.0 " +
+          s"WHEN $xn >= wx_$s * 10.0 THEN wx_$s * 10.0 " +
+          s"ELSE $xn END) AS wx_$s"
+      }.mkString(", ") + s" FROM ($q)"
+    }
+    s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+      s"wx_$s AS ginv_$s"
+    }.mkString(", ") + s" FROM ($q)"
+  }
+
+  /** Newton inverse of I_x(a,b), appended as `binv_<sfx>`. Spec:
+    * (sfx, a, b, p). */
+  def betaincInvNewton(df: DataFrame, specs: Seq[(String, Column, Column, Column)]): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    var d = df.select(others ++ specs.flatMap { case (s, a, b, p) =>
+      Seq(a.as(s"__ba_$s"), b.as(s"__bb_$s"), p.as(s"__bt_$s"),
+        (a / (a + b)).as(s"__bx_$s"))
+    }: _*)
+    for (_ <- 1 to invBetaSteps) {
+      d = d.select(col("*") +: specs.map { case (s, _, _, _) =>
+        betaincRegDepth(col(s"__ba_$s"), col(s"__bb_$s"), col(s"__bx_$s"),
+          invBetaLevels).as(s"__bp_$s")
+      }: _*)
+      d = d.select(d.columns.toSeq.filterNot(c =>
+        c.startsWith("__bp") || c.startsWith("__bx")).map(col) ++
+        specs.map { case (s, _, _, _) =>
+          val a = col(s"__ba_$s"); val b = col(s"__bb_$s")
+          val x = col(s"__bx_$s")
+          val deriv = exp((a - lit(1.0)) * log(x) +
+            (b - lit(1.0)) * log(lit(1.0) - x) +
+            gammalnPos(a + b) - gammalnPos(a) - gammalnPos(b))
+          val xn = x - (col(s"__bp_$s") - col(s"__bt_$s")) / deriv
+          when(xn <= 0.0, x / 2.0)
+            .when(xn >= 1.0, (x + lit(1.0)) / 2.0)
+            .otherwise(xn).as(s"__bx_$s")
+        }: _*)
+    }
+    d.select(d.columns.toSeq.filterNot(_.startsWith("__b")).map(col) ++
+      specs.map { case (s, _, _, _) => col(s"__bx_$s").as(s"binv_$s") }: _*)
+  }
+
+  /** DuckDB mirror of [[betaincInvNewton]]. Spec: (sfx, aExpr, bExpr,
+    * pExpr); emits `binv_<sfx>`. */
+  def sqlBetaincInv(from: String, specs: Seq[(String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val work = specs.flatMap { case (s, _, _, _) =>
+      Seq(s"va_$s", s"vb_$s", s"vt_$s", s"vx_$s") }
+    var q = s"SELECT $keep, " + specs.map { case (s, a, b, p) =>
+      s"CAST(($a) AS DOUBLE) AS va_$s, CAST(($b) AS DOUBLE) AS vb_$s, " +
+        s"CAST(($p) AS DOUBLE) AS vt_$s, " +
+        s"CAST(($a) AS DOUBLE) / (CAST(($a) AS DOUBLE) + " +
+        s"CAST(($b) AS DOUBLE)) AS vx_$s"
+    }.mkString(", ") + s" FROM $from"
+    for (_ <- 1 to invBetaSteps) {
+      q = sqlBetaincStagedDepth(s"($q)",
+        specs.map { case (s, _, _, _) => (s, s"va_$s", s"vb_$s", s"vx_$s") },
+        carry ++ work, invBetaLevels)
+      q = s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+        val deriv = s"exp((va_$s - 1.0) * ln(vx_$s) + " +
+          s"(vb_$s - 1.0) * ln(1.0 - vx_$s) + " +
+          s"(${sqlGammalnPos(s"(va_$s + vb_$s)")}) - " +
+          s"(${sqlGammalnPos(s"va_$s")}) - (${sqlGammalnPos(s"vb_$s")}))"
+        val xn = s"(vx_$s - (bi_$s - vt_$s) / ($deriv))"
+        s"va_$s, vb_$s, vt_$s, (CASE WHEN $xn <= 0.0 THEN vx_$s / 2.0 " +
+          s"WHEN $xn >= 1.0 THEN (vx_$s + 1.0) / 2.0 " +
+          s"ELSE $xn END) AS vx_$s"
+      }.mkString(", ") + s" FROM ($q)"
+    }
+    s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+      s"vx_$s AS binv_$s"
+    }.mkString(", ") + s" FROM ($q)"
   }
 }

@@ -209,5 +209,83 @@ object SpecialQ {
         round($"einc_a", 6).as("einc"),
         kKm1.as("k_km1"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- inverse regularized incomplete gamma, both tails
+    //     (gamma_funcs.py gammaincinv/gammainccinv): 5 Newton steps on
+    //     the shallow forward kernel from the Wilson–Hilferty start —
+    //     deterministic arithmetic replayed stage-for-stage in SQL
+    //     (~120 subselects, inside the measured ~164 DuckDB ceiling).
+    //     a ∈ [0.56, 3.63], p ∈ [0.16, 0.87] stays well inside the
+    //     documented accuracy window.
+    Q("op_special_gammaincinv", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 16.0 + 0.5 AS ga, " +
+        "CAST(l_linenumber * 13 % 83 + 8 AS DOUBLE) / 99.0 AS pp " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val inv = S.sqlGammaincInv(inner,
+        Seq(("p", "ga", "pp", false), ("u", "ga", "pp", true)),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(ginv_p, 6) AS g_inv,
+         |  round(ginv_u, 6) AS g_cinv
+         |FROM ($inv)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 16.0 + 0.5).as("ga"),
+          (($"l_linenumber" * 13 % 83 + 8).cast("double") / 99.0).as("pp"))
+      val inv = Special.gammaincInvNewton(base,
+        Seq(("p", $"ga", $"pp", false), ("u", $"ga", $"pp", true)))
+      inv.select($"l_orderkey", $"l_linenumber", $"q",
+        round($"ginv_p", 6).as("g_inv"),
+        round($"ginv_u", 6).as("g_cinv"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- inverse regularized incomplete beta (gamma_funcs.py
+    //     betaincinv): 6 Newton steps on the shallow CF kernel from
+    //     x₀ = a/(a+b), midpoint-clamped into (0, 1). The second spec
+    //     runs the swapped-tail arguments (b, a, 1−p), whose result
+    //     must be the reflection 1 − binv — gated as its own column
+    //     (different CF chains, same root up to reflection).
+    Q("op_special_betaincinv", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 16.0 + 1.0 AS ba, " +
+        "(51.0 - CAST(l_quantity AS DOUBLE)) / 16.0 + 1.0 AS bb, " +
+        "CAST(l_linenumber * 13 % 83 + 8 AS DOUBLE) / 99.0 AS pp " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val inv = S.sqlBetaincInv(inner,
+        Seq(("d", "ba", "bb", "pp"), ("s", "bb", "ba", "(1.0 - pp)")),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(binv_d, 6) AS b_inv,
+         |  round(binv_s, 6) AS b_inv_swap
+         |FROM ($inv)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 16.0 + 1.0).as("ba"),
+          ((lit(51.0) - $"l_quantity".cast("double")) / 16.0 + 1.0).as("bb"),
+          (($"l_linenumber" * 13 % 83 + 8).cast("double") / 99.0).as("pp"))
+      val inv = Special.betaincInvNewton(base,
+        Seq(("d", $"ba", $"bb", $"pp"),
+          ("s", $"bb", $"ba", lit(1.0) - $"pp")))
+      inv.select($"l_orderkey", $"l_linenumber", $"q",
+        round($"binv_d", 6).as("b_inv"),
+        round($"binv_s", 6).as("b_inv_swap"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

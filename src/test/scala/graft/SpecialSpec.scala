@@ -438,6 +438,30 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(ec - eval1(Special.ellipe, 0.25)) < 1e-10)
   }
 
+  test("Newton gammaincinv/gammainccinv match mpmath bisection roots") {
+    def ginv(a: Double, p: Double, upper: Boolean): Double =
+      Special.gammaincInvNewton(Seq((a, p)).toDF("a", "p"),
+        Seq(("t", col("a"), col("p"), upper))).head().getAs[Double]("ginv_t")
+    assert(math.abs(ginv(1.5, 0.3, false) - 0.711826121518) < 1e-7)
+    assert(math.abs(ginv(4.0, 0.9, false) - 6.68078306826) < 1e-6)
+    assert(math.abs(ginv(2.0, 0.05, false) - 0.355361510699) < 1e-7)
+    assert(math.abs(ginv(8.0, 0.5, false) - 7.6692494425) < 1e-6)
+    assert(math.abs(ginv(0.5, 0.7, false) - 0.537097085429) < 1e-7)
+    assert(math.abs(ginv(1.5, 0.3, true) - 1.83243539159) < 1e-7)
+    assert(math.abs(ginv(4.0, 0.9, true) - 1.74476956282) < 1e-7)
+    assert(math.abs(ginv(0.5, 0.7, true) - 0.0742359309163) < 1e-7)
+  }
+
+  test("Newton betaincinv matches mpmath bisection roots") {
+    def binv(a: Double, b: Double, p: Double): Double =
+      Special.betaincInvNewton(Seq((a, b, p)).toDF("a", "b", "p"),
+        Seq(("t", col("a"), col("b"), col("p")))).head().getAs[Double]("binv_t")
+    assert(math.abs(binv(2.0, 3.0, 0.4) - 0.329166503378) < 1e-8)
+    assert(math.abs(binv(5.0, 1.5, 0.85) - 0.926681940075) < 1e-7)
+    assert(math.abs(binv(1.2, 1.2, 0.05) - 0.0698775235334) < 1e-8)
+    assert(math.abs(binv(4.0, 4.0, 0.5) - 0.5) < 1e-10)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
