@@ -1424,6 +1424,109 @@ object Special {
     s
   }
 
+  // ------- Faddeeva function w(z) and the Voigt profile
+  // (err_fresnel.py wofz, stats' voigt_profile) -------
+  // Humlicek's w4 rational approximation (Humlicek 1982, JQSRT 27:437 —
+  // the standard published algorithm): with t = y − ix and s = |x| + y,
+  // four regions pick rational functions of t (I/II/III) or
+  // e^{t²} minus a rational (IV); relative accuracy ~3e-5 over the
+  // upper half-plane (validated against mpmath's erfc-based w in
+  // SpecialSpec). voigt_profile(x, σ, γ) = Re w((x+iγ)/(σ√2))/(σ√2π).
+  //
+  // Complex arithmetic runs over explicit (re, im) pairs through ONE
+  // generic algorithm body instantiated for Columns and for SQL
+  // strings — the two engines cannot diverge in operation shape by
+  // construction. Upper half-plane only (y ≥ 0), like the gates.
+  private final case class Cpx[T](re: T, im: T)
+  private final class WAlg[T](val k: Double => T,
+      val add: (T, T) => T, val sub: (T, T) => T,
+      val mul: (T, T) => T, val dvd: (T, T) => T,
+      val rexp: T => T, val rcos: T => T, val rsin: T => T) {
+    def ck(d: Double): Cpx[T] = Cpx(k(d), k(0.0))
+    def cadd(a: Cpx[T], b: Cpx[T]): Cpx[T] = Cpx(add(a.re, b.re), add(a.im, b.im))
+    def csub(a: Cpx[T], b: Cpx[T]): Cpx[T] = Cpx(sub(a.re, b.re), sub(a.im, b.im))
+    def cmul(a: Cpx[T], b: Cpx[T]): Cpx[T] = Cpx(
+      sub(mul(a.re, b.re), mul(a.im, b.im)),
+      add(mul(a.re, b.im), mul(a.im, b.re)))
+    def cdiv(a: Cpx[T], b: Cpx[T]): Cpx[T] = {
+      val d = add(mul(b.re, b.re), mul(b.im, b.im))
+      Cpx(dvd(add(mul(a.re, b.re), mul(a.im, b.im)), d),
+        dvd(sub(mul(a.im, b.re), mul(a.re, b.im)), d))
+    }
+    def cexp(a: Cpx[T]): Cpx[T] = {
+      val e = rexp(a.re)
+      Cpx(mul(e, rcos(a.im)), mul(e, rsin(a.im)))
+    }
+    def chorner(coefs: Seq[Double], t: Cpx[T]): Cpx[T] =
+      coefs.reverse.tail.foldLeft(ck(coefs.last))((acc, c) =>
+        cadd(cmul(acc, t), ck(c)))
+  }
+
+  /** The four Humlicek region values w₁..w₄ as (re, im) pairs. */
+  private def wofzRegions[T](alg: WAlg[T], x: T, y: T): Seq[Cpx[T]] = {
+    import alg._
+    val t = Cpx(y, sub(k(0.0), x)) // t = y − ix
+    val u = cmul(t, t)
+    val w1 = cdiv(cmul(t, ck(0.5641896)), cadd(ck(0.5), u))
+    val w2 = cdiv(
+      cmul(t, cadd(ck(1.410474), cmul(u, ck(0.5641896)))),
+      cadd(ck(0.75), cmul(u, cadd(ck(3.0), u))))
+    val w3 = cdiv(
+      chorner(Seq(16.4955, 20.20933, 11.96482, 3.778987, 0.5642236), t),
+      chorner(Seq(16.4955, 38.82363, 39.27121, 21.69274, 6.699398, 1.0), t))
+    val w4 = csub(cexp(u), cdiv(
+      cmul(t, chorner(Seq(36183.31, -3321.9905, 1540.787, -219.0313,
+        35.76683, -1.320522, 0.56419), u)),
+      chorner(Seq(32066.6, -24322.84, 9022.228, -2186.181, 364.2191,
+        -61.57037, 1.841439, -1.0), u)))
+    Seq(w1, w2, w3, w4)
+  }
+
+  private val columnWAlg = new WAlg[Column](lit(_), _ + _, _ - _, _ * _,
+    _ / _, exp, cos, sin)
+  private val sqlWAlg = new WAlg[String](
+    d => s"CAST('$d' AS DOUBLE)",
+    (a, b) => s"(($a) + ($b))", (a, b) => s"(($a) - ($b))",
+    (a, b) => s"(($a) * ($b))", (a, b) => s"(($a) / ($b))",
+    a => s"exp($a)", a => s"cos($a)", a => s"sin($a)")
+
+  /** (Re w, Im w) for z = x + iy, y ≥ 0. */
+  def wofz(x: Column, y: Column): (Column, Column) = {
+    val Seq(w1, w2, w3, w4) = wofzRegions(columnWAlg, x, y)
+    val s = abs(x) + y
+    def pick(f: Cpx[Column] => Column): Column =
+      when(s >= 15.0, f(w1)).when(s >= 5.5, f(w2))
+        .when(y >= lit(0.195) * abs(x) - lit(0.176), f(w3))
+        .otherwise(f(w4))
+    (pick(_.re), pick(_.im))
+  }
+  def wofzRe(x: Column, y: Column): Column = wofz(x, y)._1
+  def wofzIm(x: Column, y: Column): Column = wofz(x, y)._2
+
+  private def sqlWofzPick(x: String, y: String, wantRe: Boolean): String = {
+    val Seq(w1, w2, w3, w4) = wofzRegions(sqlWAlg, s"($x)", s"($y)")
+    def f(c: Cpx[String]) = if (wantRe) c.re else c.im
+    val s = s"(abs($x) + ($y))"
+    s"(CASE WHEN $s >= 15.0 THEN ${f(w1)} WHEN $s >= 5.5 THEN ${f(w2)} " +
+      s"WHEN ($y) >= 0.195 * abs($x) - 0.176 THEN ${f(w3)} " +
+      s"ELSE ${f(w4)} END)"
+  }
+  def sqlWofzRe(x: String, y: String): String = sqlWofzPick(x, y, wantRe = true)
+  def sqlWofzIm(x: String, y: String): String = sqlWofzPick(x, y, wantRe = false)
+
+  /** Voigt profile (stats voigt_profile): the Gaussian⊛Lorentzian
+    * density, Re w((x+iγ)/(σ√2))/(σ√(2π)). */
+  def voigtProfile(x: Column, sigma: Column, gamma: Column): Column = {
+    val scale = sigma * lit(math.sqrt(2.0))
+    wofzRe(x / scale, gamma / scale) /
+      (sigma * lit(math.sqrt(2.0 * math.Pi)))
+  }
+  def sqlVoigtProfile(x: String, sigma: String, gamma: String): String = {
+    val scale = s"(($sigma) * CAST('${math.sqrt(2.0)}' AS DOUBLE))"
+    s"((${sqlWofzRe(s"(($x) / $scale)", s"(($gamma) / $scale)")}) / " +
+      s"(($sigma) * CAST('${math.sqrt(2.0 * math.Pi)}' AS DOUBLE)))"
+  }
+
   // ------- inverse regularized incomplete gamma / beta
   // (gamma_funcs.py gammaincinv/gammainccinv, betaincinv) -------
   // Fixed-count Newton iterations — deterministic arithmetic both

@@ -287,5 +287,46 @@ object SpecialQ {
         round($"binv_d", 6).as("b_inv"),
         round($"binv_s", 6).as("b_inv_swap"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- Faddeeva w(z) + Voigt profile (err_fresnel.py wofz /
+    //     voigt_profile): Humlicek w4 over one generic complex-
+    //     arithmetic body instantiated for Columns AND SQL strings —
+    //     shape divergence is impossible by construction. x sweeps
+    //     ±12 across all four regions: y1 = 2.5·linenumber reaches
+    //     I/II, y2 = linenumber/8 reaches III/IV. Im w is odd in x →
+    //     +0.0 guard.
+    Q("op_special_wofz", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlWofzRe("wx", "wy1")}, 6) + CAST(0.0 AS DOUBLE) AS w_re_hi,
+         |  round(${S.sqlWofzIm("wx", "wy1")}, 6) + CAST(0.0 AS DOUBLE) AS w_im_hi,
+         |  round(${S.sqlWofzRe("wx", "wy2")}, 6) + CAST(0.0 AS DOUBLE) AS w_re_lo,
+         |  round(${S.sqlWofzIm("wx", "wy2")}, 6) + CAST(0.0 AS DOUBLE) AS w_im_lo,
+         |  round(${S.sqlVoigtProfile("wx", "1.5", "0.5")}, 6)
+         |    + CAST(0.0 AS DOUBLE) AS v_prof
+         |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+         |        (CAST(l_quantity AS DOUBLE) - 25.0) / 2.0 AS wx,
+         |        CAST(l_linenumber AS DOUBLE) * 2.5 AS wy1,
+         |        CAST(l_linenumber AS DOUBLE) / 8.0 AS wy2
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (($"l_quantity".cast("double") - 25.0) / 2.0).as("wx"),
+          ($"l_linenumber".cast("double") * 2.5).as("wy1"),
+          ($"l_linenumber".cast("double") / 8.0).as("wy2"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.wofzRe($"wx", $"wy1")).as("w_re_hi"),
+          r6(Special.wofzIm($"wx", $"wy1")).as("w_im_hi"),
+          r6(Special.wofzRe($"wx", $"wy2")).as("w_re_lo"),
+          r6(Special.wofzIm($"wx", $"wy2")).as("w_im_lo"),
+          r6(Special.voigtProfile($"wx", lit(1.5), lit(0.5))).as("v_prof"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -462,6 +462,26 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(binv(4.0, 4.0, 0.5) - 0.5) < 1e-10)
   }
 
+  test("wofz/voigt match mpmath within Humlicek's published bound") {
+    val tol = 2e-4 // w4's ~3e-5 worst relative, on O(0.01..1) values
+    assert(math.abs(eval2(Special.wofzRe, 1.0, 0.5) - 0.3549003329) < tol)
+    assert(math.abs(eval2(Special.wofzIm, 1.0, 0.5) - 0.3428717191) < tol)
+    assert(math.abs(eval2(Special.wofzRe, 3.0, 0.2) - 0.01562677046) < tol)
+    assert(math.abs(eval2(Special.wofzIm, 3.0, 0.2) - 0.1996685632) < tol)
+    assert(math.abs(eval2(Special.wofzRe, 8.0, 8.0) - 0.03539794577) < 1e-5)
+    assert(math.abs(eval2(Special.wofzRe, 12.0, 0.1) - 0.0003959240004) < 1e-5)
+    assert(math.abs(eval2(Special.wofzRe, 0.0, 1.0) - 0.4275835762) < 1e-4)
+    // Im w is odd in x; purely imaginary argument gives real w
+    assert(math.abs(eval2(Special.wofzIm, 0.0, 1.0)) < 1e-12)
+    assert(math.abs(eval2(Special.wofzIm, -3.0, 0.2) + 0.1996685632) < tol)
+    def voigt(x: Double): Double =
+      Seq(x).toDF("x").select(Special.voigtProfile(col("x"), lit(1.5),
+        lit(0.5)).as("v")).head().getDouble(0)
+    assert(math.abs(voigt(0.0) - 0.2077407832) < 1e-4)
+    assert(math.abs(voigt(1.0) - 0.1752774329) < 1e-4)
+    assert(math.abs(voigt(3.0) - 0.05065390387) < 1e-4)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
