@@ -247,6 +247,38 @@ final class GraftSession(val spark: SparkSession) {
     GraftFrame(spark.range(0, n).toDF("id")
       .withColumn(colName, -log(lit(1.0) - rand(seed)) / rate))
 
+  // numpy's legacy/standard_* names (reference mt.random — one operand
+  // file each: random_sample.py, random_integers.py, standard_normal.py,
+  // standard_exponential.py, standard_gamma.py, standard_t.py,
+  // standard_cauchy.py): thin aliases of the parameterized sources,
+  // kept so a reference user's call sites translate one-for-one.
+  /** mt.random.random_sample / random — uniforms on [0, 1). */
+  def randomSample(n: Long, cols: Seq[String], seed: Long = 42L): GraftFrame =
+    randomUniform(n, cols, seed)
+  /** mt.random.random_integers — numpy's INCLUSIVE-hi legacy randint. */
+  def randomIntegers(n: Long, lo: Long, hi: Long, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    randomInt(n, lo, hi + 1L, colName, seed)
+  /** mt.random.standard_normal. */
+  def standardNormal(n: Long, cols: Seq[String], seed: Long = 42L): GraftFrame =
+    randomNormal(n, cols, seed)
+  /** mt.random.standard_exponential (rate 1). */
+  def standardExponential(n: Long, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    randomExponential(n, 1.0, colName, seed)
+  /** mt.random.standard_gamma(shape) (scale 1). */
+  def standardGamma(n: Long, shape: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    randomGamma(n, shape, 1.0, colName, seed, numSlices)
+  /** mt.random.standard_t(df). */
+  def standardT(n: Long, df: Double, colName: String = "value",
+      seed: Long = 42L, numSlices: Int = 8): GraftFrame =
+    randomStudentT(n, df, colName, seed, numSlices)
+  /** mt.random.standard_cauchy. */
+  def standardCauchy(n: Long, colName: String = "value",
+      seed: Long = 42L): GraftFrame =
+    randomCauchy(n, 0.0, 1.0, colName, seed)
+
   /** Lognormal(mu, sigma) via exp of a normal draw (reference
     * mt.random.lognormal). */
   def randomLognormal(n: Long, mu: Double, sigma: Double, colName: String = "value",

@@ -291,6 +291,38 @@ object StatTests {
       tPvalUdf(t, dof).as("pvalue"))
   }
 
+  /** scipy.stats.ttest_ind_from_stats (reference tensor/stats/ttest.py
+    * ttest_ind_from_stats): the independent two-sample test computed
+    * from per-row SUMMARY statistics (mean, std, nobs per side) rather
+    * than raw samples — vectorized, one test per input row, so a frame
+    * of thousands of (experiment, variant) summary rows runs every
+    * test in a single scan with no shuffle at all. Appends statistic,
+    * dof, pvalue. equalVar selects Student (pooled) vs Welch, same two
+    * denominators as [[ttestInd]]. */
+  def ttestIndFromStats(df: DataFrame, mean1: String, std1: String,
+      nobs1: String, mean2: String, std2: String, nobs2: String,
+      equalVar: Boolean = true): DataFrame = {
+    val m1 = col(mean1).cast(DoubleType); val m2 = col(mean2).cast(DoubleType)
+    val n1 = col(nobs1).cast(DoubleType); val n2 = col(nobs2).cast(DoubleType)
+    val v1 = col(std1).cast(DoubleType) * col(std1).cast(DoubleType)
+    val v2 = col(std2).cast(DoubleType) * col(std2).cast(DoubleType)
+    val (dof, denom) =
+      if (equalVar) {
+        val d = n1 + n2 - 2.0
+        val svar = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / d
+        (d, sqrt(svar * (lit(1.0) / n1 + lit(1.0) / n2)))
+      } else {
+        val vn1 = v1 / n1; val vn2 = v2 / n2
+        val d = (vn1 + vn2) * (vn1 + vn2) /
+          (vn1 * vn1 / (n1 - 1.0) + vn2 * vn2 / (n2 - 1.0))
+        (coalesce(d, lit(1.0)), sqrt(vn1 + vn2))
+      }
+    val t = (m1 - m2) / denom
+    df.withColumn("statistic", t)
+      .withColumn("dof", dof)
+      .withColumn("pvalue", tPvalUdf(col("statistic"), col("dof")))
+  }
+
   // ------------------------------------------------------------------
   // chisquare / power_divergence (power_divergence.py:52)
   // ------------------------------------------------------------------

@@ -328,5 +328,80 @@ object SpecialQ {
           r6(Special.wofzIm($"wx", $"wy2")).as("w_im_lo"),
           r6(Special.voigtProfile($"wx", lit(1.5), lit(0.5))).as("v_prof"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- ttest_ind_from_stats (tensor/stats/ttest.py
+    //     ttest_ind_from_stats): the summary-statistics form of the
+    //     independent t-test, VECTORIZED — one test per group row, no
+    //     shuffle beyond the moment aggregate. Means/stds derive from
+    //     exact BIGINT moments; from_stats re-squares the std (the
+    //     real surface's operation shape, mirrored in SQL). The slice
+    //     keeps ν/2 ≤ 60 so the betainc p-value mirror stays in its
+    //     pinned envelope.
+    Q("learn_ttest_from_stats", {
+      val S = graft.functions.Special
+      val inner = """(WITH g AS (SELECT l_suppkey % 5 AS g,
+        |  COUNT(*) FILTER (WHERE l_linenumber % 2 = 0) AS n1,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1a,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2a,
+        |  COUNT(*) FILTER (WHERE l_linenumber % 2 = 1) AS n2,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s1b,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s2b
+        |  FROM lineitem WHERE l_orderkey < 120 GROUP BY 1),
+        |d AS (SELECT g, n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |  CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |  sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) AS sd1,
+        |  CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |  sqrt((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) AS sd2
+        |  FROM g),
+        |s AS (SELECT g, n1, n2, n1d + n2d - 2.0 AS nu,
+        |  (m1 - m2) / sqrt((((n1d - 1.0) * (sd1 * sd1) + (n2d - 1.0) * (sd2 * sd2))
+        |       / (n1d + n2d - 2.0)) * (1.0 / n1d + 1.0 / n2d)) AS t_stat
+        |  FROM d)
+        |SELECT g, n1, n2, nu, t_stat,
+        |  nu / (nu + t_stat * t_stat) AS bx FROM s)""".stripMargin
+      val staged = S.sqlBetaincStaged(inner,
+        Seq(("s", "(nu / 2.0)", "CAST(0.5 AS DOUBLE)", "bx")),
+        Seq("g", "n1", "n2", "nu", "t_stat"))
+      s"""SELECT CAST(g AS BIGINT) AS g,
+         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(nu AS BIGINT) AS dof,
+         |  round(t_stat, 6) + CAST(0.0 AS DOUBLE) AS t_stat,
+         |  round(bi_s, 6) + CAST(0.0 AS DOUBLE) AS p_two
+         |FROM ($staged)
+         |ORDER BY g""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      import graft.learn.StatTests
+      val grouped = t(spark, dir, "lineitem").filter($"l_orderkey" < 120)
+        .select(($"l_suppkey" % 5).as("g"),
+          ($"l_linenumber" % 2).as("side"),
+          $"l_quantity".cast("long").as("x"))
+        .groupBy($"g")
+        .agg(
+          count(when($"side" === 0, lit(1))).as("n1"),
+          sum(when($"side" === 0, $"x")).as("s1a"),
+          sum(when($"side" === 0, $"x" * $"x")).as("s2a"),
+          count(when($"side" === 1, lit(1))).as("n2"),
+          sum(when($"side" === 1, $"x")).as("s1b"),
+          sum(when($"side" === 1, $"x" * $"x")).as("s2b"))
+      val summary = grouped.select($"g", $"n1", $"n2",
+        ($"s1a".cast("double") / $"n1".cast("double")).as("m1"),
+        sqrt(($"s2a".cast("double") -
+          $"s1a".cast("double") * $"s1a".cast("double") / $"n1".cast("double")) /
+          ($"n1".cast("double") - 1.0)).as("sd1"),
+        ($"s1b".cast("double") / $"n2".cast("double")).as("m2"),
+        sqrt(($"s2b".cast("double") -
+          $"s1b".cast("double") * $"s1b".cast("double") / $"n2".cast("double")) /
+          ($"n2".cast("double") - 1.0)).as("sd2"))
+      StatTests.ttestIndFromStats(summary, "m1", "sd1", "n1", "m2", "sd2", "n2")
+        .withColumn("bx", $"dof" / ($"dof" + $"statistic" * $"statistic"))
+        .select($"g".cast("long").as("g"), $"n1", $"n2",
+          $"dof".cast("long").as("dof"),
+          (round($"statistic", 6) + lit(0.0)).as("t_stat"),
+          (round(Special.betaincReg($"dof" / 2.0, lit(0.5), $"bx"), 6)
+            + lit(0.0)).as("p_two"))
+        .orderBy($"g")
     })
 }

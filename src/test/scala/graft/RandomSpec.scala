@@ -190,4 +190,21 @@ class RandomSpec extends SparkSpecBase {
       .orderBy("id").select("value").collect().map(_.getDouble(0)).toSeq
     assert(a != c)
   }
+
+  test("numpy standard_*/legacy aliases delegate to their sources exactly") {
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.orderBy("id").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(vals(g.standardGamma(500, 2.5, seed = 3L).df) ==
+      vals(g.randomGamma(500, 2.5, 1.0, seed = 3L).df))
+    assert(vals(g.standardT(500, 6.0, seed = 3L).df) ==
+      vals(g.randomStudentT(500, 6.0, seed = 3L).df))
+    assert(vals(g.standardExponential(500, seed = 3L).df) ==
+      vals(g.randomExponential(500, 1.0, seed = 3L).df))
+    assert(vals(g.standardCauchy(500, seed = 3L).df) ==
+      vals(g.randomCauchy(500, 0.0, 1.0, seed = 3L).df))
+    // random_integers is INCLUSIVE of hi (numpy legacy): both bounds hit
+    val ri = g.randomIntegers(4000, 1, 3, seed = 5L).df
+      .select("value").collect().map(_.getLong(0)).toSet
+    assert(ri == Set(1L, 2L, 3L))
+  }
 }
