@@ -617,6 +617,157 @@ object Learn {
       Array.tabulate(dim, k)((i, j) => v(i, j)))
   }
 
+  /** Randomized SVD (reference mars/learn/utils/extmath.py
+    * randomized_svd — itself the Halko–Martinsson–Tropp 2011
+    * algorithm): range-find with a Gaussian test matrix, optional
+    * power iterations for spectral-decay sharpening, tall-skinny QR of
+    * the sketch, then an exact small-matrix SVD of B = QᵀA.
+    *
+    * 100 TB shape: A is touched only through scans — Y = AΩ is a
+    * per-row projection (Ω broadcast), each power iteration is ONE
+    * treeAggregate building the dim×l Gramian action, B = QᵀA is one
+    * zipped treeAggregate — no shuffle of the data anywhere, and
+    * everything driver-side is (k+oversample)-dimensional. This is the
+    * scale path for spectra of matrices too wide for the exact
+    * Gramian route. Returns (singular values desc, V as dim×k
+    * row-major), like [[svd]]. */
+  def randomizedSvd(df: DataFrame, featuresArrayCol: String, k: Int,
+      oversample: Int = 10, powerIters: Int = 1, seed: Long = 42L)
+      : (Array[Double], Array[Array[Double]]) = {
+    require(k > 0 && oversample >= 0 && powerIters >= 0,
+      s"randomizedSvd: bad k/oversample/powerIters $k/$oversample/$powerIters")
+    val rows = df.select(col(featuresArrayCol).cast("array<double>"))
+      .rdd.map(r => r.getSeq[Double](0).toArray)
+    rows.cache()
+    try {
+      val dim = rows.first().length
+      val l = math.min(k + oversample, dim)
+      // driver-seeded Gaussian test matrix dim×l (deterministic)
+      val rnd = new java.util.Random(seed)
+      var omega = Array.fill(dim, l)(rnd.nextGaussian())
+      // power iterations: Ω ← (AᵀA)Ω, renormalized per column to avoid
+      // overflow (scale does not change the range)
+      for (_ <- 1 to powerIters) {
+        val sc = rows.sparkContext
+        val bOmega = sc.broadcast(omega)
+        val g = rows.treeAggregate(Array.ofDim[Double](dim, l))(
+          seqOp = (acc, a) => {
+            val om = bOmega.value
+            val aw = Array.ofDim[Double](l) // aᵀ · (a·Ω) needs a·Ω first
+            var j = 0
+            while (j < l) {
+              var s = 0.0; var i = 0
+              while (i < dim) { s += a(i) * om(i)(j); i += 1 }
+              aw(j) = s; j += 1
+            }
+            var i = 0
+            while (i < dim) {
+              var jj = 0
+              while (jj < l) { acc(i)(jj) += a(i) * aw(jj); jj += 1 }
+              i += 1
+            }
+            acc
+          },
+          combOp = (x, y) => {
+            var i = 0
+            while (i < dim) {
+              var j = 0
+              while (j < l) { x(i)(j) += y(i)(j); j += 1 }
+              i += 1
+            }
+            x
+          })
+        bOmega.destroy()
+        // column-normalize
+        val norms = Array.tabulate(l) { j =>
+          math.sqrt((0 until dim).map(i => g(i)(j) * g(i)(j)).sum) max 1e-300
+        }
+        omega = Array.tabulate(dim, l)((i, j) => g(i)(j) / norms(j))
+      }
+      // Gram of the sketch Y = AΩ (l×l, one treeAggregate; y per row
+      // computed on the fly — Y is never materialized)
+      val scFinal = rows.sparkContext
+      val bOm = scFinal.broadcast(omega)
+      def sketchRow(a: Array[Double]): Array[Double] = {
+        val om = bOm.value
+        Array.tabulate(l) { j =>
+          var s = 0.0; var i = 0
+          while (i < dim) { s += a(i) * om(i)(j); i += 1 }
+          s
+        }
+      }
+      val gram = rows.treeAggregate(Array.ofDim[Double](l, l))(
+        seqOp = (acc, a) => {
+          val yv = sketchRow(a)
+          var i = 0
+          while (i < l) {
+            var j = 0
+            while (j < l) { acc(i)(j) += yv(i) * yv(j); j += 1 }
+            i += 1
+          }
+          acc
+        },
+        combOp = (x, yv) => {
+          var i = 0
+          while (i < l) {
+            var j = 0
+            while (j < l) { x(i)(j) += yv(i)(j); j += 1 }
+            i += 1
+          }
+          x
+        })
+      // orthonormalize the range via the Gram eigendecomposition with a
+      // RANK GUARD: an oversampled sketch of an exactly-rank-r matrix
+      // has a singular Gram (a plain tall-skinny R⁻¹ would blow up) —
+      // keep only eigenpairs above ε·λmax. Q = Y·M with
+      // M = W_keep·Λ_keep^{-1/2}  ⇒  QᵀQ = I on the kept range.
+      val gm = breeze.linalg.DenseMatrix.tabulate(l, l)((i, j) => gram(i)(j))
+      val eig = breeze.linalg.eigSym(gm)
+      val lambdaMax = eig.eigenvalues.toArray.max max 1e-300
+      val keep = (0 until l).filter(i =>
+        eig.eigenvalues(i) > 1e-12 * lambdaMax).reverse // descending λ
+      val r = keep.size
+      val m = Array.tabulate(l, r)((i, c) =>
+        eig.eigenvectors(i, keep(c)) / math.sqrt(eig.eigenvalues(keep(c))))
+      val bM = scFinal.broadcast(m)
+      // B = QᵀA (r×dim): q = Mᵀ(aΩ) per row, one more treeAggregate
+      val b = rows.treeAggregate(Array.ofDim[Double](r, dim))(
+        seqOp = (acc, a) => {
+          val yv = sketchRow(a)
+          val mm = bM.value
+          val q = Array.tabulate(r) { c =>
+            var s = 0.0; var i = 0
+            while (i < l) { s += mm(i)(c) * yv(i); i += 1 }
+            s
+          }
+          var i = 0
+          while (i < r) {
+            var j = 0
+            while (j < dim) { acc(i)(j) += q(i) * a(j); j += 1 }
+            i += 1
+          }
+          acc
+        },
+        combOp = (x, yv) => {
+          var i = 0
+          while (i < r) {
+            var j = 0
+            while (j < dim) { x(i)(j) += yv(i)(j); j += 1 }
+            i += 1
+          }
+          x
+        })
+      // exact SVD of the small r×dim B on the driver
+      val kEff = math.min(k, r)
+      val bm = breeze.linalg.DenseMatrix.tabulate(r, dim)((i, j) => b(i)(j))
+      val svdRes = breeze.linalg.svd.reduced(bm)
+      val sv = Array.tabulate(k)(i =>
+        if (i < kEff) svdRes.S(i) else 0.0)
+      val vt = svdRes.Vt // min(r,dim)×dim
+      (sv, Array.tabulate(dim, k)((i, j) => if (j < kEff) vt(j, i) else 0.0))
+    } finally rows.unpersist()
+  }
+
   /** Distributed tall-skinny QR over an `array<float>` matrix column
     * (reference tensor linalg QR, opcodes 501-530 → RowMatrix.tallSkinnyQR):
     * returns (Q rows as array<double> in input order-free RDD layout, R as

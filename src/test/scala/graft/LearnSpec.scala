@@ -31,6 +31,36 @@ class LearnSpec extends SparkSpecBase {
     assert(purity.select("count").as[Long].collect().forall(_ == 30L))
   }
 
+  test("randomized SVD matches the exact SVD spectrum") {
+    val r = new Random(11)
+    // rank-3 by construction: rows are combos of 3 fixed directions
+    val dirs = Seq(
+      Array.fill(16)(r.nextGaussian()),
+      Array.fill(16)(r.nextGaussian()),
+      Array.fill(16)(r.nextGaussian()))
+    val rows = (1 to 400).map { _ =>
+      val c = Seq(r.nextGaussian() * 10, r.nextGaussian() * 3, r.nextGaussian())
+      Tuple1((0 until 16).map(i =>
+        c.zip(dirs).map { case (w, d) => w * d(i) }.sum.toFloat).toSeq)
+    }
+    val df = rows.toDF("embedding")
+    val (exactS, exactV) = Learn.svd(df, "embedding", 3)
+    val (randS, randV) = Learn.randomizedSvd(df, "embedding", 3,
+      oversample = 8, powerIters = 2, seed = 5L)
+    // spectrum matches to high relative accuracy on an exactly-rank-3 matrix
+    exactS.zip(randS).foreach { case (e, a) =>
+      assert(math.abs(e - a) / e < 1e-8, s"sigma $e vs $a")
+    }
+    // right singular vectors agree up to sign
+    for (j <- 0 until 3) {
+      val dot = (0 until 16).map(i => exactV(i)(j) * randV(i)(j)).sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6, s"V col $j |dot| = $dot")
+    }
+    // rank-4 singular value of a rank-3 matrix is ~0: k capped by content
+    val (s4, _) = Learn.randomizedSvd(df, "embedding", 4, seed = 5L)
+    assert(s4(3) < 1e-6 * s4.head)
+  }
+
   test("linear regression recovers exact coefficients") {
     val r = new Random(4)
     val rows = (1 to 500).map { _ =>
