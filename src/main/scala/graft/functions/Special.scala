@@ -881,7 +881,7 @@ object Special {
   // leaves Ai with ~2e-13 absolute error. Beyond |x| = 6 the series
   // cancellation would swamp Ai's exponential decay, so the functions
   // return NaN there (documented window — the asymptotic regime needs
-  // Cephes-style rational fits, out of parity scope like wofz).
+  // Cephes-style rational fits, out of parity scope).
   private val airyA: Seq[Double] = {
     val b = Seq.newBuilder[Double]; var a = 1.0
     for (k <- 0 to 24) { b += a; a /= (3.0 * k + 3.0) * (3.0 * k + 2.0) }
@@ -995,6 +995,52 @@ object Special {
     }.mkString(", ") + s" FROM ($q)"
   }
 
+  // ------- integrals of Airy functions (airy.py itairy) -------
+  // Termwise integration of the same Maclaurin series:
+  //   ∫₀ˣ f = Σ aₖ x^{3k+1}/(3k+1),  ∫₀ˣ g = Σ bₖ x^{3k+2}/(3k+2)
+  //   itAi = c₁∫f − c₂∫g,  itBi = √3(c₁∫f + c₂∫g)
+  // same |x| ≤ 6 window as the Airy kernels (NaN beyond).
+  private lazy val airyAI: Seq[Double] =
+    airyA.zipWithIndex.map { case (a, k) => a / (3.0 * k + 1.0) }
+  private lazy val airyBI: Seq[Double] =
+    airyB.zipWithIndex.map { case (b, k) => b / (3.0 * k + 2.0) }
+
+  /** ∫₀ˣ Ai(t) dt (airy.py itairy). */
+  def itAiryAi(x: Column): Column = {
+    val t = x * x * x
+    val intF = x * hornerAsc(airyAI, t)
+    val intG = x * x * hornerAsc(airyBI, t)
+    val core = lit(airyC1) * intF - lit(airyC2) * intG
+    when(abs(x) <= 6.0, core).otherwise(lit(Double.NaN))
+  }
+
+  /** ∫₀ˣ Bi(t) dt (airy.py itairy). */
+  def itAiryBi(x: Column): Column = {
+    val t = x * x * x
+    val intF = x * hornerAsc(airyAI, t)
+    val intG = x * x * hornerAsc(airyBI, t)
+    val core = lit(sqrt3) * (lit(airyC1) * intF + lit(airyC2) * intG)
+    when(abs(x) <= 6.0, core).otherwise(lit(Double.NaN))
+  }
+
+  def sqlItAiryAi(x: String): String = {
+    val t = s"(($x) * ($x) * ($x))"
+    val intF = s"(($x) * (${sqlHornerAsc(airyAI, t)}))"
+    val intG = s"(($x) * ($x) * (${sqlHornerAsc(airyBI, t)}))"
+    val core = s"(CAST('$airyC1' AS DOUBLE) * $intF - " +
+      s"CAST('$airyC2' AS DOUBLE) * $intG)"
+    s"(CASE WHEN abs($x) <= 6.0 THEN $core ELSE CAST('nan' AS DOUBLE) END)"
+  }
+
+  def sqlItAiryBi(x: String): String = {
+    val t = s"(($x) * ($x) * ($x))"
+    val intF = s"(($x) * (${sqlHornerAsc(airyAI, t)}))"
+    val intG = s"(($x) * ($x) * (${sqlHornerAsc(airyBI, t)}))"
+    val core = s"(CAST('$sqrt3' AS DOUBLE) * (CAST('$airyC1' AS DOUBLE) * " +
+      s"$intF + CAST('$airyC2' AS DOUBLE) * $intG))"
+    s"(CASE WHEN abs($x) <= 6.0 THEN $core ELSE CAST('nan' AS DOUBLE) END)"
+  }
+
   // ------- integer-order Bessel (bessel.py jv/yn/iv/kn at small
   // integer order) -------
   // Three-term recurrences from the order-0/1 A&S kernels:
@@ -1063,6 +1109,33 @@ object Special {
     besselUp(n, besselK0(x), besselK1(x), x, 1.0, flip = true)
   def sqlBesselKn(n: Int, x: String): String =
     sqlBesselUp(n, sqlBesselK0(x), sqlBesselK1(x), x, 1.0, flip = true)
+
+  // ------- Hankel functions at integer order (bessel.py hankel1/
+  // hankel2 + scaled hankel1e/hankel2e, real x > 0) -------
+  // H¹ₙ = Jₙ + iYₙ and H²ₙ = Jₙ − iYₙ as explicit (re, im) parts; the
+  // scaled forms multiply by e^{∓ix} (unit modulus on the real axis,
+  // mixing the components through cos/sin of the same x).
+  def hankel1Re(n: Int, x: Column): Column = besselJn(n, x)
+  def hankel1Im(n: Int, x: Column): Column = besselYn(n, x)
+  def hankel2Re(n: Int, x: Column): Column = besselJn(n, x)
+  def hankel2Im(n: Int, x: Column): Column = -besselYn(n, x)
+
+  /** Re[H¹ₙ(x)·e^{−ix}] = Jₙcos x + Yₙsin x. */
+  def hankel1eRe(n: Int, x: Column): Column =
+    besselJn(n, x) * cos(x) + besselYn(n, x) * sin(x)
+  /** Im[H¹ₙ(x)·e^{−ix}] = Yₙcos x − Jₙsin x. */
+  def hankel1eIm(n: Int, x: Column): Column =
+    besselYn(n, x) * cos(x) - besselJn(n, x) * sin(x)
+  /** Re[H²ₙ(x)·e^{+ix}] = Jₙcos x + Yₙsin x (equals hankel1e's re). */
+  def hankel2eRe(n: Int, x: Column): Column = hankel1eRe(n, x)
+  /** Im[H²ₙ(x)·e^{+ix}] = Jₙsin x − Yₙcos x. */
+  def hankel2eIm(n: Int, x: Column): Column =
+    besselJn(n, x) * sin(x) - besselYn(n, x) * cos(x)
+
+  def sqlHankel1eRe(n: Int, x: String): String =
+    s"((${sqlBesselJn(n, x)}) * cos($x) + (${sqlBesselYn(n, x)}) * sin($x))"
+  def sqlHankel1eIm(n: Int, x: String): String =
+    s"((${sqlBesselYn(n, x)}) * cos($x) - (${sqlBesselJn(n, x)}) * sin($x))"
 
   // ------- exponentially scaled Bessel / Airy (bessel.py ive/kve,
   // airy.py airye) -------

@@ -121,6 +121,11 @@ object Ufuncs {
     // all pure Column arithmetic, codegen'd like the rest of the table
     "gamma" -> Special.gamma _,
     "gammaln" -> Special.gammaln _,
+    // scipy loggamma coincides with gammaln on the positive real axis
+    // (the complex-plane branch structure is out of parity scope)
+    "loggamma" -> Special.gammaln _,
+    "it_airy_ai" -> Special.itAiryAi _,
+    "it_airy_bi" -> Special.itAiryBi _,
     "gammasgn" -> Special.gammasgn _,
     "psi" -> Special.digamma _,
     "digamma" -> Special.digamma _,

@@ -330,6 +330,50 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- integrals of Airy (airy.py itairy) + scaled Hankel
+    //     hankel1e/hankel2e (bessel.py): termwise-integrated Maclaurin
+    //     series inside the |x| ≤ 6 window (both signs), and the
+    //     unit-modulus e^{∓ix} mixes of the integer-order J/Y
+    //     recurrences. Oscillatory → round 6 with the +0.0 guard.
+    Q("op_special_airy_it", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlItAiryAi("xa")}, 6) + CAST(0.0 AS DOUBLE) AS it_ai,
+         |  round(${S.sqlItAiryBi("xa")}, 6) + CAST(0.0 AS DOUBLE) AS it_bi,
+         |  round(${S.sqlItAiryAi("xan")}, 6) + CAST(0.0 AS DOUBLE) AS it_ai_neg,
+         |  round(${S.sqlItAiryBi("xan")}, 6) + CAST(0.0 AS DOUBLE) AS it_bi_neg,
+         |  round(${S.sqlHankel1eRe(0, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS h1e0_re,
+         |  round(${S.sqlHankel1eIm(0, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS h1e0_im,
+         |  round(${S.sqlHankel1eRe(1, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS h1e1_re,
+         |  round(${S.sqlHankel1eIm(1, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS h1e1_im
+         |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 10.0 AS xa,
+         |        -CAST(l_quantity AS DOUBLE) / 10.0 AS xan,
+         |        CAST(l_quantity AS DOUBLE) / 4.0 AS xp
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 10.0).as("xa"),
+          (-$"l_quantity".cast("double") / 10.0).as("xan"),
+          ($"l_quantity".cast("double") / 4.0).as("xp"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.itAiryAi($"xa")).as("it_ai"),
+          r6(Special.itAiryBi($"xa")).as("it_bi"),
+          r6(Special.itAiryAi($"xan")).as("it_ai_neg"),
+          r6(Special.itAiryBi($"xan")).as("it_bi_neg"),
+          r6(Special.hankel1eRe(0, $"xp")).as("h1e0_re"),
+          r6(Special.hankel1eIm(0, $"xp")).as("h1e0_im"),
+          r6(Special.hankel1eRe(1, $"xp")).as("h1e1_re"),
+          r6(Special.hankel1eIm(1, $"xp")).as("h1e1_im"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ttest_ind_from_stats (tensor/stats/ttest.py
     //     ttest_ind_from_stats): the summary-statistics form of the
     //     independent t-test, VECTORIZED — one test per group row, no

@@ -380,5 +380,25 @@ object TensorQ {
       TensorShape.partitionSplit(cells, Seq("g"), "id", "v", 5L)
         .select($"g", $"side", $"id", $"v")
         .orderBy($"g", $"side", $"id")
+    },
+
+    // --- ndindex / indices (base/ndindex.py, indices.py): the C-order
+    //     coordinate grid of a shape, generated DISTRIBUTEDLY as
+    //     range(∏shape) → unravel_index — no driver-side iterator, so
+    //     a trillion-cell grid is still one lazy range scan. Gated on
+    //     shape (4,3,2) against the integer div/mod replay.
+    Q("learn_ndindex",
+      """SELECT CAST(flat // 6 AS BIGINT) AS i,
+        |       CAST((flat // 2) % 3 AS BIGINT) AS j,
+        |       CAST(flat % 2 AS BIGINT) AS k
+        |FROM (SELECT range AS flat FROM range(0, 24)) t
+        |ORDER BY i, j, k""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions
+      val coords = VectorFunctions.unravelIndex(col("id"), Seq(4L, 3L, 2L))
+      spark.range(24)
+        .select(coords.getItem(0).as("i"), coords.getItem(1).as("j"),
+          coords.getItem(2).as("k"))
+        .orderBy($"i", $"j", $"k")
     })
 }

@@ -482,6 +482,25 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(voigt(3.0) - 0.05065390387) < 1e-4)
   }
 
+  test("itairy matches mpmath quadrature; hankel1e matches J/Y mixes") {
+    assert(math.abs(eval1(Special.itAiryAi, 0.5) - 0.145953304912) < 1e-10)
+    assert(math.abs(eval1(Special.itAiryAi, 2.0) - 0.312532755781) < 1e-10)
+    assert(math.abs(eval1(Special.itAiryAi, 5.0) - 0.333287590306) < 1e-8)
+    assert(math.abs(eval1(Special.itAiryAi, -3.0) - (-0.801462842671)) < 1e-9)
+    assert(math.abs(eval1(Special.itAiryBi, 2.0) - 2.87340825998) < 1e-9)
+    assert(math.abs(eval1(Special.itAiryBi, -3.0) - 0.195442489514) < 1e-9)
+    assert(math.abs(eval1(Special.hankel1eRe(0, _), 2.5) - 0.336843589647) < 2e-6)
+    assert(math.abs(eval1(Special.hankel1eIm(0, _), 2.5) - (-0.370069546256)) < 2e-6)
+    assert(math.abs(eval1(Special.hankel1eRe(1, _), 5.0) - (-0.234711371607)) < 2e-6)
+    assert(math.abs(eval1(Special.hankel1eIm(1, _), 5.0) - (-0.272180404506)) < 2e-6)
+    // |hankel1e| = |H1| = sqrt(J² + Y²): the scale is unit-modulus
+    val re = eval1(Special.hankel1eRe(1, _), 5.0)
+    val im = eval1(Special.hankel1eIm(1, _), 5.0)
+    val j = eval1(Special.besselJn(1, _), 5.0)
+    val y = eval1(Special.besselYn(1, _), 5.0)
+    assert(math.abs(re * re + im * im - (j * j + y * y)) < 1e-12)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
