@@ -1758,4 +1758,99 @@ object Special {
       s"vx_$s AS binv_$s"
     }.mkString(", ") + s" FROM ($q)"
   }
+
+  // ------- Carlson R_G (ellip_func_integrals.py elliprg) -------
+  // DLMF 19.21.10 composes R_G from the bit-exact R_F/R_D stages:
+  //   2·R_G(x,y,z) = z·R_F(x,y,z) − (x−z)(y−z)/3·R_D(x,y,z) + √(xy/z)
+  // (z ≠ 0; callers put a strictly positive argument in the z slot).
+  // Pure IEEE +·/√ over the shared duplication — gate UNROUNDED like
+  // R_F/R_D themselves.
+
+  /** Appends `rg_<sfx>` per spec (sfx, x, y, z); z must be > 0. */
+  def ellipRg(df: DataFrame, specs: Seq[(String, Column, Column, Column)]): DataFrame = {
+    val others = df.columns.toSeq.map(col)
+    val staged = df.select(others ++ specs.flatMap { case (s, x, y, z) =>
+      Seq(x.as(s"__gx_$s"), y.as(s"__gy_$s"), z.as(s"__gz_$s"))
+    }: _*)
+    val fd = carlsonFD(staged, specs.map { case (s, _, _, _) =>
+      (s, col(s"__gx_$s"), col(s"__gy_$s"), col(s"__gz_$s"), true)
+    })
+    val keep = fd.columns.toSeq.filterNot(c => c.startsWith("__g") ||
+      specs.exists(sp => c == s"rf_${sp._1}" || c == s"rd_${sp._1}")).map(col)
+    fd.select(keep ++ specs.map { case (s, _, _, _) =>
+      val x = col(s"__gx_$s"); val y = col(s"__gy_$s"); val z = col(s"__gz_$s")
+      ((z * col(s"rf_$s") -
+        (x - z) * (y - z) / lit(3.0) * col(s"rd_$s") +
+        sqrt(x * y / z)) / lit(2.0)).as(s"rg_$s")
+    }: _*)
+  }
+
+  /** DuckDB mirror of [[ellipRg]]: exposes `rg_<sfx>`.
+    * Spec: (sfx, xExpr, yExpr, zExpr). */
+  def sqlEllipRg(from: String, specs: Seq[(String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val staged = s"SELECT $keep, " + specs.map { case (s, x, y, z) =>
+      s"CAST(($x) AS DOUBLE) AS gx_$s, CAST(($y) AS DOUBLE) AS gy_$s, " +
+        s"CAST(($z) AS DOUBLE) AS gz_$s"
+    }.mkString(", ") + s" FROM $from"
+    val fd = sqlCarlsonFD(s"($staged)",
+      specs.map { case (s, _, _, _) => (s, s"gx_$s", s"gy_$s", s"gz_$s", true) },
+      carry ++ specs.flatMap { case (s, _, _, _) =>
+        Seq(s"gx_$s", s"gy_$s", s"gz_$s") })
+    s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+      s"(gz_$s * rf_$s - (gx_$s - gz_$s) * (gy_$s - gz_$s) / " +
+        s"CAST(3.0 AS DOUBLE) * rd_$s + sqrt(gx_$s * gy_$s / gz_$s)) / " +
+        s"CAST(2.0 AS DOUBLE) AS rg_$s"
+    }.mkString(", ") + s" FROM ($fd)"
+  }
+
+  // ------- Tricomi confluent U(a,b,z)
+  // (hypergeometric_funcs.py hyperu) -------
+  // Kummer connection (DLMF 13.2.42), windowed to b ∈ (0,1), a > 0,
+  // 0 < z ≤ 20 (the hyp1f1 series window):
+  //   U(a,b,z) = Γ(1−b)/Γ(a+1−b)·M(a,b,z)
+  //            + Γ(b−1)/Γ(a)·z^{1−b}·M(a+1−b,2−b,z)
+  // with Γ(b−1) rewritten through the recurrence Γ(b−1) =
+  // Γ(b+1)/((b−1)·b) so every Γ stays on the positive Lanczos branch
+  // (the SQL mirror stages the identical shapes; integer b — where the
+  // connection degenerates — is outside the window by contract).
+  // libm enters via exp/ln/pow of identical inputs → round 6.
+
+  def hyperu(a: Column, b: Column, z: Column): Column = {
+    val m1 = hyp1f1(a, b, z)
+    val m2 = hyp1f1(a + lit(1.0) - b, lit(2.0) - b, z)
+    val g1mb = exp(gammalnPos(lit(1.0) - b))
+    val gab = exp(gammalnPos(a + lit(1.0) - b))
+    val gbm1 = exp(gammalnPos(b + lit(1.0))) / ((b - lit(1.0)) * b)
+    val ga = exp(gammalnPos(a))
+    g1mb / gab * m1 + gbm1 / ga * pow(z, lit(1.0) - b) * m2
+  }
+
+  /** DuckDB mirror of [[hyperu]], staged through [[sqlHypStaged]]:
+    * exposes `hu_<sfx>`. Spec: (sfx, aExpr, bExpr, zExpr). */
+  def sqlHyperu(from: String, specs: Seq[(String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val staged0 = s"SELECT $keep, " + specs.map { case (s, a, b, z) =>
+      s"CAST(($a) AS DOUBLE) AS ua_$s, CAST(($b) AS DOUBLE) AS ub_$s, " +
+        s"CAST(($z) AS DOUBLE) AS uz_$s"
+    }.mkString(", ") + s" FROM $from"
+    val carry2 = carry ++ specs.flatMap { case (s, _, _, _) =>
+      Seq(s"ua_$s", s"ub_$s", s"uz_$s") }
+    val hyp = sqlHypStaged(s"($staged0)", Nil,
+      specs.flatMap { case (s, _, _, _) => Seq(
+        (s"${s}m1", s"ua_$s", s"ub_$s", s"uz_$s"),
+        (s"${s}m2", s"ua_$s + 1.0 - ub_$s", s"2.0 - ub_$s", s"uz_$s")) },
+      carry2)
+    s"SELECT $keep, " + specs.map { case (s, _, _, _) =>
+      val g1mb = s"exp(${sqlGammalnPos(s"1.0 - ub_$s")})"
+      val gab = s"exp(${sqlGammalnPos(s"ua_$s + 1.0 - ub_$s")})"
+      val gbm1 = s"(exp(${sqlGammalnPos(s"ub_$s + 1.0")}) / " +
+        s"((ub_$s - 1.0) * ub_$s))"
+      val ga = s"exp(${sqlGammalnPos(s"ua_$s")})"
+      s"$g1mb / $gab * h1_${s}m1 + $gbm1 / $ga * " +
+        s"power(uz_$s, 1.0 - ub_$s) * h1_${s}m2 AS hu_$s"
+    }.mkString(", ") + s" FROM ($hyp)"
+  }
 }

@@ -447,5 +447,71 @@ object SpecialQ {
           (round(Special.betaincReg($"dof" / 2.0, lit(0.5), $"bx"), 6)
             + lit(0.0)).as("p_two"))
         .orderBy($"g")
+    },
+
+    // --- Carlson R_G (ellip_func_integrals.py elliprg): DLMF 19.21.10
+    //     composition of the bit-exact R_F/R_D duplication stages —
+    //     pure IEEE +·/√ over identical inputs, so the gate is
+    //     UNROUNDED like op_special_carlson's rf/rd. z = 3 puts a
+    //     strictly positive constant in the √(xy/z) slot.
+    Q("op_special_elliprg", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 8.0 + 0.1 AS x1, " +
+        "CAST(l_quantity AS DOUBLE) / 4.0 + 1.0 AS y1, " +
+        "CAST(3.0 AS DOUBLE) AS z1 " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val rg = S.sqlEllipRg(inner, Seq(("a", "x1", "y1", "z1")),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q, rg_a
+         |FROM ($rg)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 8.0 + 0.1).as("x1"),
+          ($"l_quantity".cast("double") / 4.0 + 1.0).as("y1"),
+          lit(3.0).as("z1"))
+      Special.ellipRg(base, Seq(("a", $"x1", $"y1", $"z1")))
+        .select($"l_orderkey", $"l_linenumber", $"q", $"rg_a")
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- Tricomi U(a,b,z) (hypergeometric_funcs.py hyperu): the
+    //     Kummer connection over two staged ₁F₁ series, every Γ on the
+    //     positive Lanczos branch via the Γ(b−1) recurrence. The window
+    //     a ∈ [0.54, 2.5], z ∈ [0.45, 2.9], b ∈ {0.3, 0.5, 0.7} keeps
+    //     the canceling term pair ≤ ~10² (cross-engine libm divergence
+    //     ≤ ~1e-13 absolute) → round 6.
+    Q("op_special_hyperu", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "CAST(l_quantity AS DOUBLE) / 25.0 + 0.5 AS ua, " +
+        "0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) AS ub, " +
+        "CAST(l_quantity AS DOUBLE) / 20.0 + 0.4 AS uz " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val hu = S.sqlHyperu(inner, Seq(("a", "ua", "ub", "uz")),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(hu_a, 6) + CAST(0.0 AS DOUBLE) AS hu
+         |FROM ($hu)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 25.0 + 0.5).as("ua"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")).as("ub"),
+          ($"l_quantity".cast("double") / 20.0 + 0.4).as("uz"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          (round(Special.hyperu($"ua", $"ub", $"uz"), 6) + lit(0.0)).as("hu"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -501,6 +501,29 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(re * re + im * im - (j * j + y * y)) < 1e-12)
   }
 
+  test("Carlson R_G composes from R_F/R_D (mpmath 25-digit pins)") {
+    def evalRg(x: Double, y: Double, z: Double): Double =
+      Special.ellipRg(Seq((x, y, z)).toDF("x", "y", "z"),
+        Seq(("t", col("x"), col("y"), col("z")))).head().getAs[Double]("rg_t")
+    assert(math.abs(evalRg(0.1, 1.0, 3.0) - 1.1165237593061006) < 1e-13)
+    assert(math.abs(evalRg(2.0, 3.5, 3.0) - 1.6790174519767776) < 1e-13)
+    assert(math.abs(evalRg(6.35, 13.5, 3.0) - 2.7133585929820444) < 1e-13)
+    // R_G(x,x,x) = √x
+    assert(math.abs(evalRg(1.0, 1.0, 1.0) - 1.0) < 1e-14)
+  }
+
+  test("hyperu matches mpmath across the windowed domain") {
+    def evalU(a: Double, b: Double, z: Double): Double =
+      Seq((a, b, z)).toDF("a", "b", "z")
+        .select(Special.hyperu(col("a"), col("b"), col("z")).as("u"))
+        .head().getDouble(0)
+    assert(math.abs(evalU(0.5625, 0.3, 0.5625) - 0.8162696482483564) < 1e-11)
+    assert(math.abs(evalU(1.5, 0.5, 2.0) - 0.15110326938313497) < 1e-11)
+    // the worst canceling pair in the pinned window (terms ~±1.2e3)
+    assert(math.abs(evalU(3.625, 0.7, 3.625) - 0.0010719190642799835) < 1e-11)
+    assert(math.abs(evalU(2.0, 0.3, 1.0) - 0.12481052441395322) < 1e-11)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
