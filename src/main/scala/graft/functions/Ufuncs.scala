@@ -45,10 +45,47 @@ object Ufuncs {
     when(x < 0, ceil(x)).otherwise(floor(x)).cast("double")
   }
 
+  /** numpy spacing (reference tensor/arithmetic/spacing.py): the ulp of
+    * x on the away-from-zero side — sign(x)·2^(e−53) with e the exact
+    * [[frexpExp]] exponent. A pure power of two, so the value is
+    * ORACLE-ABLE (the SQL mirror replays the identical correction).
+    * spacing(0) = the smallest subnormal (numpy); ±inf/NaN → NaN.
+    * Normal-range inputs (no subnormals). */
+  private def spacingCol(c: Column): Column = {
+    val x = c.cast("double")
+    val u = pow(lit(2.0), (frexpExp(x) - 53L).cast("double"))
+    when(isnan(x) || abs(x) === lit(Double.PositiveInfinity), lit(Double.NaN))
+      .when(x === 0.0, lit(java.lang.Double.MIN_VALUE))
+      .when(x < 0, -u).otherwise(u)
+  }
+
+  /** numpy nextafter (reference tensor/arithmetic/nextafter.py): the
+    * adjacent double from x toward y. The away-from-zero gap is
+    * 2^(e−53); the toward-zero gap halves to 2^(e−54) exactly at binade
+    * boundaries (|x| = 2^(e−1)). Both steps and the final add are exact
+    * IEEE, so the result is bit-ORACLE-ABLE. Finite normal x (numpy's
+    * inf/subnormal edges are outside the contract); NaN propagates;
+    * x = 0 steps to ±MIN_VALUE. */
+  private def nextafterCol(xc: Column, yc: Column): Column = {
+    val x = xc.cast("double"); val y = yc.cast("double")
+    val e = frexpExp(x)
+    val away = pow(lit(2.0), (e - 53L).cast("double"))
+    val toward = when(abs(x) === pow(lit(2.0), (e - 1L).cast("double")),
+      pow(lit(2.0), (e - 54L).cast("double"))).otherwise(away)
+    val step = when(x > 0, when(y > x, away).otherwise(-toward))
+      .otherwise(when(y < x, -away).otherwise(toward))
+    when(isnan(x) || isnan(y), lit(Double.NaN))
+      .when(x === y, y)
+      .when(x === 0.0, when(y > 0, lit(java.lang.Double.MIN_VALUE))
+        .otherwise(lit(-java.lang.Double.MIN_VALUE)))
+      .otherwise(x + step)
+  }
+
   /** Unary ufuncs, keyed by the reference's numpy-style names. */
   val unary: Map[String, Column => Column] = Map(
     "frexp_exp" -> frexpExp _,
     "frexp_mant" -> frexpMant _,
+    "spacing" -> spacingCol _,
     "modf_int" -> modfInt _,
     // fractional part keeps the sign of x; x − trunc(x) is exact IEEE
     // (Sterbenz: the operands are within a factor of 2 once |x| ≥ 1,
@@ -228,6 +265,7 @@ object Ufuncs {
     // is the IEEE scalb — overflow → inf, underflow → 0, like numpy.
     "ldexp" -> ((m, e) =>
       m.cast("double") * pow(lit(2.0), e.cast("long").cast("double"))),
+    "nextafter" -> nextafterCol _,
     // scipy.special binaries (Special.scala)
     "beta" -> (Special.beta(_, _)),
     "betaln" -> (Special.betaln(_, _)),

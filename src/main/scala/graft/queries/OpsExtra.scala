@@ -2474,6 +2474,69 @@ object OpsExtra {
         .drop("l_quantity")
     },
 
+    // --- §2.10 spacing/nextafter (arithmetic/spacing.py,
+    //     nextafter.py): ulp arithmetic over the exact frexp exponent —
+    //     the away-from-zero gap is 2^(e−53), halving to 2^(e−54)
+    //     exactly at binade boundaries (|x| = 2^(e−1)). Every output is
+    //     a power of two or an exact IEEE add, so the gate is
+    //     UNROUNDED. x2 = q/8 plants exact powers of two (q = 8,16,32);
+    //     x3 = q − 25.5 plants the ±0.5 boundary and mixed signs.
+    Q("op_ufunc_spacing",
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    CAST(l_extendedprice AS DOUBLE) AS x1,
+        |    CAST(l_quantity AS DOUBLE) / 8.0 AS x2,
+        |    CAST(l_quantity AS DOUBLE) - 25.5 AS x3
+        |  FROM lineitem WHERE l_orderkey < 60),
+        |f AS (SELECT *, abs(x1) AS a1, abs(x2) AS a2, abs(x3) AS a3 FROM src),
+        |e0 AS (SELECT *,
+        |    CAST(floor(log2(a1)) AS BIGINT) + 1 AS e1a,
+        |    CAST(floor(log2(a2)) AS BIGINT) + 1 AS e2a,
+        |    CAST(floor(log2(a3)) AS BIGINT) + 1 AS e3a FROM f),
+        |eu AS (SELECT *,
+        |    CASE WHEN a1 >= power(2.0, e1a) THEN e1a + 1 ELSE e1a END AS e1b,
+        |    CASE WHEN a2 >= power(2.0, e2a) THEN e2a + 1 ELSE e2a END AS e2b,
+        |    CASE WHEN a3 >= power(2.0, e3a) THEN e3a + 1 ELSE e3a END AS e3b
+        |  FROM e0),
+        |ef AS (SELECT *,
+        |    CASE WHEN a1 < power(2.0, e1b - 1) THEN e1b - 1 ELSE e1b END AS e1,
+        |    CASE WHEN a2 < power(2.0, e2b - 1) THEN e2b - 1 ELSE e2b END AS e2,
+        |    CASE WHEN a3 < power(2.0, e3b - 1) THEN e3b - 1 ELSE e3b END AS e3
+        |  FROM eu),
+        |g AS (SELECT *,
+        |    power(2.0, e1 - 53) AS u1,
+        |    power(2.0, e2 - 53) AS u2,
+        |    power(2.0, e3 - 53) AS u3,
+        |    CASE WHEN a2 = power(2.0, e2 - 1) THEN power(2.0, e2 - 54)
+        |         ELSE power(2.0, e2 - 53) END AS t2,
+        |    CASE WHEN a3 = power(2.0, e3 - 1) THEN power(2.0, e3 - 54)
+        |         ELSE power(2.0, e3 - 53) END AS t3
+        |  FROM ef)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  u1 AS sp1,
+        |  CASE WHEN x3 < 0 THEN -u3 ELSE u3 END AS sp3,
+        |  u2 AS d_up2,
+        |  t2 AS d_dn2,
+        |  CASE WHEN x3 > 0 THEN -t3 ELSE t3 END AS d_tz3,
+        |  x2 + u2 AS n_up2
+        |FROM g
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Ufuncs
+      val x1 = $"l_extendedprice".cast("double")
+      val x2 = $"l_quantity".cast("double") / 8.0
+      val x3 = $"l_quantity".cast("double") - 25.5
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 60)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          Ufuncs("spacing")(x1).as("sp1"),
+          Ufuncs("spacing")(x3).as("sp3"),
+          (Ufuncs("nextafter", x2, lit(1e300)) - x2).as("d_up2"),
+          (x2 - Ufuncs("nextafter", x2, lit(-1e300))).as("d_dn2"),
+          (Ufuncs("nextafter", x3, lit(0.0)) - x3).as("d_tz3"),
+          Ufuncs("nextafter", x2, lit(1e300)).as("n_up2"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .drop("l_quantity")
+    },
+
     // --- §2.5 nancumsum/nancumprod (reduction/nancumsum.py,
     //     nancumprod.py): NaN contributes the identity and the output at
     //     the NaN position is the running total (numpy), planted NaNs on

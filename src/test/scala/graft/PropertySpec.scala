@@ -536,6 +536,35 @@ class PropertySpec extends SparkSpecBase {
     assert(nc.map(_.getDouble(2)).toList == List(1.0, 1.0, 2.0))
   }
 
+  test("spacing/nextafter match java.lang.Math bit-for-bit on normals") {
+    import graft.functions.Ufuncs
+    // mixed exponents, binade boundaries (1.0, 4.0, 0.5), negatives
+    val xs = Seq(1.0, 4.0, 0.5, -0.5, 0.7, -3.0, 123456.789, 1e-300,
+      6.25e17, -2.0)
+    val rows = xs.toDF("x").select($"x",
+      Ufuncs("spacing")($"x").as("sp"),
+      Ufuncs("nextafter", $"x", lit(1e308)).as("up"),
+      Ufuncs("nextafter", $"x", lit(-1e308)).as("dn"),
+      Ufuncs("nextafter", $"x", $"x").as("self"))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    xs.foreach { x =>
+      val (sp, up, dn, self) = rows(x)
+      // numpy spacing = ulp measured away from zero, sign of x
+      assert(sp == (if (x < 0) -Math.ulp(x) else Math.ulp(x)), s"spacing($x)")
+      assert(up == Math.nextAfter(x, Double.PositiveInfinity), s"up($x)")
+      assert(dn == Math.nextAfter(x, Double.NegativeInfinity), s"dn($x)")
+      assert(self == x, s"self($x)")
+      // roundtrip: one step up then one step down is the identity
+      assert(Math.nextAfter(up, Double.NegativeInfinity) == x)
+    }
+    // the distributed roundtrip itself
+    val rt = xs.toDF("x").select(
+      (Ufuncs("nextafter", Ufuncs("nextafter", $"x", lit(1e308)),
+        lit(-1e308)) === $"x").as("ok")).collect()
+    assert(rt.forall(_.getBoolean(0)))
+  }
+
   test("aligned-binop algebra: reversed ops, commutativity, comparison duality") {
     val pairGen: Gen[(List[(Long, Double)], List[(Long, Double)])] = {
       val side = Gen.nonEmptyListOf(for {
