@@ -266,6 +266,13 @@ object Ufuncs {
     "ldexp" -> ((m, e) =>
       m.cast("double") * pow(lit(2.0), e.cast("long").cast("double"))),
     "nextafter" -> nextafterCol _,
+    // numpy iscomplex/isreal (tensor/check/iscomplex.py, isreal.py)
+    // over the engine's (re, im) complex-pair representation (Fft.scala):
+    // complex ⇔ nonzero imaginary part. Real-typed columns are
+    // isreal=true / iscomplex=false by construction (numpy's rule for
+    // real dtypes).
+    "iscomplex" -> ((_, im) => im.cast("double") =!= 0.0),
+    "isreal" -> ((_, im) => im.cast("double") === 0.0),
     // scipy.special binaries (Special.scala)
     "beta" -> (Special.beta(_, _)),
     "betaln" -> (Special.betaln(_, _)),

@@ -240,4 +240,65 @@ object TensorShape {
         if (k == axis) (col(c) * lit(reps) + col("__r")).as(c) else col(c)
       } :+ col("v"): _*)
   }
+
+  /** numpy atleast_2d (base/atleast_2d.py): promote to ≥ 2 axes by
+    * PREPENDING a length-1 axis ((N,) → (1,N)) — a pure projection.
+    * Returns the frame plus its new index order. */
+  def atleast2d(a: DataFrame, idx: Seq[String],
+      name: String): (DataFrame, Seq[String]) =
+    if (idx.size >= 2) (a, idx)
+    else (expandDims(a, idx, 0, name), name +: idx)
+
+  /** numpy atleast_3d (base/atleast_3d.py): numpy's placement rules —
+    * (M,N) APPENDS ((M,N) → (M,N,1)); (N,) becomes (1,N,1). Pure
+    * projections. `names` supplies the leading/trailing axis names. */
+  def atleast3d(a: DataFrame, idx: Seq[String],
+      names: (String, String)): (DataFrame, Seq[String]) =
+    idx.size match {
+      case n if n >= 3 => (a, idx)
+      case 2 => (expandDims(a, idx, 2, names._2), idx :+ names._2)
+      case _ =>
+        val (d2, i2) = atleast2d(a, idx, names._1)
+        (expandDims(d2, i2, i2.size, names._2), i2 :+ names._2)
+    }
+
+  /** numpy broadcast_arrays (base/broadcast_arrays.py): expand both
+    * COO operands to the common broadcast shape. Shorter operands gain
+    * leading length-1 axes (numpy's right-aligned rule); each length-1
+    * axis facing length n replicates EXECUTOR-side
+    * (explode(sequence(0, n−1)) — rows × n is the inherent output
+    * size; no shuffle, scan-parallel at any scale like
+    * [[broadcastToAxis]]). Both outputs carry `outIdx` as their index
+    * columns; the common shape is returned alongside. */
+  def broadcastArrays(a: DataFrame, aIdx: Seq[String], aShape: Seq[Long],
+      b: DataFrame, bIdx: Seq[String], bShape: Seq[Long],
+      outIdx: Seq[String]): (DataFrame, DataFrame, Seq[Long]) = {
+    require(aIdx.size == aShape.size && bIdx.size == bShape.size,
+      "broadcastArrays: index/shape rank mismatch")
+    val rank = math.max(aShape.size, bShape.size)
+    require(outIdx.size == rank,
+      s"broadcastArrays: outIdx must have rank $rank: $outIdx")
+    val aS = Seq.fill(rank - aShape.size)(1L) ++ aShape
+    val bS = Seq.fill(rank - bShape.size)(1L) ++ bShape
+    val out = aS.zip(bS).map { case (x, y) =>
+      require(x == y || x == 1L || y == 1L,
+        s"broadcast_arrays: incompatible axis lengths $x vs $y")
+      math.max(x, y)
+    }
+    def expand(df: DataFrame, idx: Seq[String], mine: Seq[Long]): DataFrame = {
+      val pad = rank - idx.size
+      val padded = df.select(
+        (0 until pad).map(k => lit(0L).as(outIdx(k))) ++
+          idx.zipWithIndex.map { case (c, k) => col(c).as(outIdx(pad + k)) } :+
+          col("v"): _*)
+      out.zip(mine).zipWithIndex.foldLeft(padded) { case (d, ((n, m), k)) =>
+        if (m == n) d
+        else d.select(d.columns.toSeq.map { c =>
+          if (c == outIdx(k)) explode(sequence(lit(0L), lit(n - 1))).as(c)
+          else col(c)
+        }: _*)
+      }
+    }
+    (expand(a, aIdx, aS), expand(b, bIdx, bS), out)
+  }
 }

@@ -400,5 +400,59 @@ object TensorQ {
         .select(coords.getItem(0).as("i"), coords.getItem(1).as("j"),
           coords.getItem(2).as("k"))
         .orderBy($"i", $"j", $"k")
+    },
+
+    // --- atleast_2d/3d + broadcast_arrays (base/atleast_2d.py,
+    //     atleast_3d.py, broadcast_arrays.py): numpy's axis-placement
+    //     rules over COO frames — 'a3d' appends a trailing length-1
+    //     axis to the 7×5 operand; 'v3d' sandwiches the 6-vector into
+    //     (1,6,1); 'ba'/'bb' broadcast the 7×5 matrix against a
+    //     5-row-vector to the common (7,5) (the vector replicates
+    //     executor-side via explode — rows ×7, no shuffle). All index
+    //     arithmetic exact BIGINT → bit-exact gate.
+    Q("learn_tensor_atleast",
+      s"""WITH $sqlA2,
+         |w AS (SELECT l_suppkey % 6 AS j,
+         |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+         |      FROM lineitem GROUP BY 1),
+         |r AS (SELECT p_partkey % 5 AS j,
+         |             CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS v
+         |      FROM part GROUP BY 1)
+         |SELECT tag, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |       CAST(m AS BIGINT) AS m, v FROM (
+         |  SELECT 'a3d' AS tag, i, j, 0 AS m, v FROM a
+         |  UNION ALL
+         |  SELECT 'v3d' AS tag, 0 AS i, j, 0 AS m, v FROM w
+         |  UNION ALL
+         |  SELECT 'ba' AS tag, i, j, 0 AS m, v FROM a
+         |  UNION ALL
+         |  SELECT 'bb' AS tag, g.gi AS i, r.j, 0 AS m, r.v
+         |  FROM r CROSS JOIN (SELECT unnest(range(0, 7)) AS gi) g) u
+         |ORDER BY tag, i, j, m""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val a = a2(spark, dir)
+      val vec = t(spark, dir, "lineitem")
+        .groupBy(($"l_suppkey" % 6).as("j"))
+        .agg(sum($"l_quantity".cast("long")).as("v"))
+      val row = t(spark, dir, "part")
+        .groupBy(($"p_partkey" % 5).as("j"))
+        .agg(sum($"p_size".cast("long")).as("v"))
+      val (a3d, _) = TensorShape.atleast3d(a, Seq("i", "j"), ("p", "m"))
+      val (v3d, _) = TensorShape.atleast3d(vec, Seq("j"), ("i", "m"))
+      val (ba, bb, outShape) = TensorShape.broadcastArrays(
+        a, Seq("i", "j"), Seq(7L, 5L),
+        row, Seq("j"), Seq(5L), Seq("i", "j"))
+      assert(outShape == Seq(7L, 5L))
+      def tagd(tag: String, f: org.apache.spark.sql.DataFrame,
+          withM: Boolean) =
+        f.select(lit(tag).as("tag"), col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          (if (withM) col("m") else lit(0L)).cast("long").as("m"),
+          col("v"))
+      tagd("a3d", a3d, withM = true)
+        .unionByName(tagd("v3d", v3d, withM = true))
+        .unionByName(tagd("ba", ba, withM = false))
+        .unionByName(tagd("bb", bb, withM = false))
+        .orderBy($"tag", $"i", $"j", $"m")
     })
 }

@@ -110,4 +110,40 @@ class TensorShapeSpec extends SparkSpecBase {
       .filter(col("j") === 0L).select(col("v")).as[Double]
       .collect().toSeq == Seq(10.0, 10.0))
   }
+
+  test("atleast_2d/3d follow numpy's axis-placement rules") {
+    val vec = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("j", "v")
+    // (3,) → (1,3): leading axis prepended
+    val (v2, i2) = TensorShape.atleast2d(vec, Seq("j"), "i")
+    assert(i2 == Seq("i", "j"))
+    assert(cells(v2) == Set((0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 3.0)))
+    // (3,) → (1,3,1); (2,3) → (2,3,1): trailing axis appended
+    val (v3, i3) = TensorShape.atleast3d(vec, Seq("j"), ("i", "m"))
+    assert(i3 == Seq("i", "j", "m"))
+    assert(v3.select(sum(col("m")).cast("long")).head().getLong(0) == 0L)
+    val (m3, mi3) = TensorShape.atleast3d(m23, Seq("i", "j"), ("p", "m"))
+    assert(mi3 == Seq("i", "j", "m") &&
+      m3.count() == 6L &&
+      m3.select(max(col("m")).cast("long")).head().getLong(0) == 0L)
+    // already 2-d: unchanged
+    assert(TensorShape.atleast2d(m23, Seq("i", "j"), "p")._2 == Seq("i", "j"))
+  }
+
+  test("broadcast_arrays replicates length-1 axes and rejects mismatches") {
+    val row = Seq((0L, 100.0), (1L, 200.0), (2L, 300.0)).toDF("j", "v")
+    val (ba, bb, shape) = TensorShape.broadcastArrays(
+      m23, Seq("i", "j"), Seq(2L, 3L),
+      row, Seq("j"), Seq(3L), Seq("i", "j"))
+    assert(shape == Seq(2L, 3L))
+    assert(cells(ba) == cells(m23)) // already the full shape
+    // the vector replicates across the new leading axis
+    assert(cells(bb) == Set(
+      (0L, 0L, 100.0), (0L, 1L, 200.0), (0L, 2L, 300.0),
+      (1L, 0L, 100.0), (1L, 1L, 200.0), (1L, 2L, 300.0)))
+    // incompatible non-1 axis lengths raise loudly
+    intercept[IllegalArgumentException] {
+      TensorShape.broadcastArrays(m23, Seq("i", "j"), Seq(2L, 3L),
+        row, Seq("j"), Seq(4L), Seq("i", "j"))
+    }
+  }
 }
