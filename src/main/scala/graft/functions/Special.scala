@@ -1853,4 +1853,55 @@ object Special {
         s"power(uz_$s, 1.0 - ub_$s) * h1_${s}m2 AS hu_$s"
     }.mkString(", ") + s" FROM ($hyp)"
   }
+
+  // ------- Lamé functions of the first kind E^p_n
+  // (ellip_harm.py ellip_harm) -------
+  // Closed forms for degrees n ≤ 2 (Dassios, "Ellipsoidal Harmonics",
+  // CUP 2012 — leading-coefficient-1 normalization, class order
+  // K¹ K² L M N for n = 2): n=0: 1; n=1: s, √(s²−h²), √(s²−k²);
+  // n=2: the Niven polynomials s² + c± with 3c² + 2(h²+k²)c + h²k² = 0
+  // (c− first — the smaller Lamé eigenvalue λ = 4(h²+k²) + 6c), then
+  // s√(s²−h²), s√(s²−k²), √((s²−h²)(s²−k²)). Each is a genuine Lamé
+  // solution (constant-eigenvalue property pinned in SpecialSpec).
+  // Arguments follow scipy's signature: h2/k2 are the SQUARED
+  // semifocal quantities; domain s ≥ k ≥ h > 0 keeps every radicand
+  // nonnegative. Pure IEEE ·−√ → bit-exact oracle-able. Degrees ≥ 3
+  // and the second kind / ellip_normal (adaptive quadrature) stay out
+  // of scope.
+
+  def ellipHarm(h2: Column, k2: Column, n: Int, p: Int, s: Column): Column = {
+    def disc = sqrt((h2 + k2) * (h2 + k2) - lit(3.0) * (h2 * k2))
+    (n, p) match {
+      case (0, 1) => lit(1.0)
+      case (1, 1) => s
+      case (1, 2) => sqrt(s * s - h2)
+      case (1, 3) => sqrt(s * s - k2)
+      case (2, 1) => s * s + (-(h2 + k2) - disc) / lit(3.0)
+      case (2, 2) => s * s + (-(h2 + k2) + disc) / lit(3.0)
+      case (2, 3) => s * sqrt(s * s - h2)
+      case (2, 4) => s * sqrt(s * s - k2)
+      case (2, 5) => sqrt((s * s - h2) * (s * s - k2))
+      case _ => throw new IllegalArgumentException(
+        s"ellipHarm: closed forms cover n ≤ 2, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
+    }
+  }
+
+  /** DuckDB mirror of [[ellipHarm]] — the identical expression shape. */
+  def sqlEllipHarm(h2: String, k2: String, n: Int, p: Int, s: String): String = {
+    val disc = s"sqrt((($h2) + ($k2)) * (($h2) + ($k2)) - " +
+      s"CAST(3.0 AS DOUBLE) * (($h2) * ($k2)))"
+    (n, p) match {
+      case (0, 1) => "CAST(1.0 AS DOUBLE)"
+      case (1, 1) => s"($s)"
+      case (1, 2) => s"sqrt(($s) * ($s) - ($h2))"
+      case (1, 3) => s"sqrt(($s) * ($s) - ($k2))"
+      case (2, 1) => s"(($s) * ($s) + (-(($h2) + ($k2)) - $disc) / CAST(3.0 AS DOUBLE))"
+      case (2, 2) => s"(($s) * ($s) + (-(($h2) + ($k2)) + $disc) / CAST(3.0 AS DOUBLE))"
+      case (2, 3) => s"(($s) * sqrt(($s) * ($s) - ($h2)))"
+      case (2, 4) => s"(($s) * sqrt(($s) * ($s) - ($k2)))"
+      case (2, 5) => s"sqrt((($s) * ($s) - ($h2)) * (($s) * ($s) - ($k2)))"
+      case _ => throw new IllegalArgumentException(
+        s"sqlEllipHarm: n ≤ 2 only (got n=$n p=$p)")
+    }
+  }
 }

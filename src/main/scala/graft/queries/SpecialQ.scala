@@ -513,5 +513,45 @@ object SpecialQ {
         .select($"l_orderkey", $"l_linenumber", $"q",
           (round(Special.hyperu($"ua", $"ub", $"uz"), 6) + lit(0.0)).as("hu"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- Lamé functions of the first kind E^p_n, n ≤ 2
+    //     (ellip_harm.py ellip_harm): the Dassios closed forms — all
+    //     nine (n,p) branches over data-dependent h², k², s with
+    //     s ≥ k ≥ h > 0 (radicands stay positive). Pure IEEE ·−√ with
+    //     identical shape both sides → UNROUNDED bit-exact gate.
+    Q("op_special_ellipharm", {
+      val S = graft.functions.Special
+      val cols = Seq((1, 1, "e11"), (1, 2, "e12"), (1, 3, "e13"),
+        (2, 1, "e21"), (2, 2, "e22"), (2, 3, "e23"),
+        (2, 4, "e24"), (2, 5, "e25"))
+        .map { case (n, p, a) =>
+          s"  ${S.sqlEllipHarm("h2", "k2", n, p, "s")} AS $a" }
+        .mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |$cols
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 + 0.5 AS h2,
+         |        CAST(l_quantity AS DOUBLE) / 25.0 + 2.0 AS k2,
+         |        CAST(l_quantity AS DOUBLE) / 20.0 + 2.2 AS s
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 50.0 + 0.5).as("h2"),
+          ($"l_quantity".cast("double") / 25.0 + 2.0).as("k2"),
+          ($"l_quantity".cast("double") / 20.0 + 2.2).as("s"))
+      val outs = Seq((1, 1, "e11"), (1, 2, "e12"), (1, 3, "e13"),
+        (2, 1, "e21"), (2, 2, "e22"), (2, 3, "e23"),
+        (2, 4, "e24"), (2, 5, "e25"))
+        .map { case (n, p, a) =>
+          Special.ellipHarm($"h2", $"k2", n, p, $"s").as(a) }
+      base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ outs: _*)
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

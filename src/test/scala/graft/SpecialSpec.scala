@@ -524,6 +524,34 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(evalU(2.0, 0.3, 1.0) - 0.12481052441395322) < 1e-11)
   }
 
+  test("ellipHarm: every closed form solves the Lamé ODE (constant eigenvalue)") {
+    // the defining property: (s²−h²)(s²−k²)E'' + s(2s²−h²−k²)E' +
+    // (λ − n(n+1)s²)E = 0 with λ CONSTANT in s — checked by finite
+    // differences at three points per (n,p); convention-independent.
+    val h2 = 1.2; val k2 = 2.9; val d = 1e-5
+    val pts = Seq(1.9, 2.4, 3.1)
+    val ss = pts.flatMap(s => Seq(s - d, s, s + d))
+    for ((n, p) <- Seq((1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (2, 4), (2, 5))) {
+      val vals = ss.toDF("s")
+        .select(col("s"),
+          Special.ellipHarm(lit(h2), lit(k2), n, p, col("s")).as("e"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val lams = pts.map { s =>
+        val e0 = vals(s); val ep = vals(s + d); val em = vals(s - d)
+        val d1 = (ep - em) / (2 * d); val d2 = (ep - 2 * e0 + em) / (d * d)
+        -((s * s - h2) * (s * s - k2) * d2 +
+          s * (2 * s * s - h2 - k2) * d1) / e0 + n * (n + 1) * s * s
+      }
+      assert(math.abs(lams(0) - lams(1)) < 1e-2 &&
+        math.abs(lams(1) - lams(2)) < 1e-2, s"(n=$n,p=$p) λ=$lams")
+    }
+    // scipy convention spot values: E¹₁(s) = s; E⁵₂ = √((s²−h²)(s²−k²))
+    assert(eval1(Special.ellipHarm(lit(h2), lit(k2), 1, 1, _), 2.5) == 2.5)
+    assert(math.abs(eval1(Special.ellipHarm(lit(h2), lit(k2), 2, 5, _), 2.5)
+      - math.sqrt((6.25 - h2) * (6.25 - k2))) < 1e-14)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
