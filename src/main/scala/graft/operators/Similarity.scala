@@ -280,6 +280,35 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** sklearn kneighbors_graph (reference mars/learn/neighbors/
+    * _kneighbors_graph.py): the corpus's own kNN adjacency in COO form —
+    * (row, col, weight) with weight 1.0 (mode "connectivity") or the
+    * cosine distance 1 − sim (mode "distance"); self excluded (sklearn's
+    * include_self=False default).
+    *
+    * `exact=true` runs the guarded brute baseline (the corpus broadcasts
+    * as its own query set — small corpora / oracle replay only). The
+    * default rides the IVF index: cell assignment is one KMeans
+    * transform, the probe join shuffles on the cell id, and the corpus
+    * never broadcasts or self-joins — the 100 TB path, with recall
+    * controlled by nprobe like [[ivfProbe]]. */
+  def kneighborsGraph(corpus: DataFrame, k: Int,
+      mode: String = "connectivity", exact: Boolean = false,
+      nlist: Int = 64, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
+    val queries = corpus.select(col("cid").as("qid"), col("cvec").as("qvec"))
+    val topk =
+      if (exact) bruteForceTopK(queries, corpus, k)
+      else ivfProbe(ivfFit(corpus, nlist, seed), queries, k, nprobe)
+    val weight = mode match {
+      case "connectivity" => lit(1.0)
+      case "distance" => lit(1.0) - col("sim")
+      case o => throw new IllegalArgumentException(
+        s"kneighborsGraph: mode must be connectivity|distance: $o")
+    }
+    topk.select(col("qid").as("row"), col("cid").as("col"),
+      weight.as("weight"), col("rank"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-pairwise, the
     * embedding analog of the reference's duplicated()/drop_duplicates
     * surface for *semantic* rather than lexical duplicates): partition the

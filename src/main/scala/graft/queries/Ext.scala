@@ -475,6 +475,41 @@ object Ext {
         .orderBy($"qid", $"rank")
     },
 
+    // --- kneighbors_graph (mars/learn/neighbors/_kneighbors_graph.py):
+    //     the corpus's own kNN adjacency in COO form, mode="distance"
+    //     (weight = 1 − round-4 cosine), self excluded — the oracle
+    //     replays the full self-join, ranking, and distance transform.
+    //     The gate runs the exact baseline; the IVF scale path (corpus
+    //     never broadcasts or self-joins) is spec-checked on the
+    //     planted-twin corpus in SimilaritySpec.
+    Q("ext_knn_graph",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30),
+        |scored AS (
+        |  SELECT q.vec_id AS row_id, e.vec_id AS col_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM e q, e WHERE e.vec_id <> q.vec_id)
+        |SELECT row_id, col_id, CAST(1.0 AS DOUBLE) - sim AS weight, rank FROM (
+        |  SELECT row_id, col_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY row_id ORDER BY sim DESC, col_id) AS BIGINT) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 3 ORDER BY row_id, rank""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val corpus = t(spark, dir, "embeddings").filter($"vec_id" < 30)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      Similarity.kneighborsGraph(corpus, k = 3, mode = "distance",
+        exact = true)
+        .select($"row".as("row_id"), $"col".as("col_id"), $"weight",
+          $"rank".cast("long").as("rank"))
+        .orderBy($"row_id", $"rank")
+    },
+
     // --- LSH-bucketed approximate ANN over a planted-twin corpus: each
     //     query's true nearest neighbor is its identical copy, which shares
     //     every hyperplane sign bit — so LSH recall is structurally 1 and

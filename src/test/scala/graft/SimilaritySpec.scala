@@ -99,6 +99,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
   }
 
+  test("kneighborsGraph: exact matches brute; IVF path finds every twin at rank 1") {
+    val r = new Random(23)
+    val dim = 32
+    // 40 base vectors + identical twins under +100 ids
+    val base = (0 until 40).map(i => (i.toLong, randVec(r, dim)))
+    val twins = base.map { case (id, v) => (id + 100L, v) }
+    val corpus = (base ++ twins).toDF("cid", "cvec")
+    // exact graph ≡ bruteForceTopK reshaped, weight = 1 − sim
+    val g = Similarity.kneighborsGraph(corpus, k = 3, mode = "distance",
+      exact = true)
+    val top1 = g.filter(col("rank") === 1)
+      .select(col("row"), col("col"), col("weight"))
+      .as[(Long, Long, Double)].collect()
+    top1.foreach { case (row, c, w) =>
+      val twin = if (row < 100L) row + 100L else row - 100L
+      assert(c == twin, s"row $row: expected twin $twin, got $c")
+      assert(w == 0.0, s"twin distance must be 0, got $w")
+    }
+    // IVF scale path: identical twins share the nearest cell, so every
+    // rank-1 neighbor is still the twin (corpus never broadcasts)
+    val ivf = Similarity.kneighborsGraph(corpus, k = 1, mode = "connectivity",
+      exact = false, nlist = 8, nprobe = 2)
+      .select(col("row"), col("col")).as[(Long, Long)].collect().toMap
+    (0 until 40).foreach { i =>
+      assert(ivf(i.toLong) == i + 100L, s"ivf twin of $i: ${ivf(i.toLong)}")
+      assert(ivf(i + 100L) == i.toLong, s"ivf twin of ${i + 100}")
+    }
+    // connectivity weights are 1.0; bad mode raises loudly
+    intercept[IllegalArgumentException] {
+      Similarity.kneighborsGraph(corpus, k = 1, mode = "euclidean")
+    }
+  }
+
   test("ivfFit builds once and ivfProbe reuses the index across query batches") {
     val r = new Random(29)
     val dim = 16
