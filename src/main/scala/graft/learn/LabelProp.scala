@@ -29,10 +29,10 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** Left fold of `v` over an array of (k, v) structs in k order. */
-  private def sortedFoldSum(pairs: Column): Column =
+  private[graft] def sortedFoldSum(pairs: Column): Column =
     aggregate(array_sort(pairs), lit(0.0), (acc, s) => acc + s.getField("v"))
 
-  private def kvList(k: Column, v: Column): Column =
+  private[graft] def kvList(k: Column, v: Column): Column =
     collect_list(struct(k.as("k"), v.cast("double").as("v")))
 
   /** Row-normalize an edge list to a stochastic matrix: w / Σ_dst w per

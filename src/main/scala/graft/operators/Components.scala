@@ -229,4 +229,60 @@ object Components {
       .reduce((a, b) => a.join(b, Seq("node"), "full_outer"))
       .na.fill(0L)
   }
+
+  /** PageRank over a weighted directed edge list — the canonical
+    * harvest-ranking signal for web-corpus curation (rank domains/hosts
+    * by link authority before sampling; the float cousin of
+    * [[pathCentrality]]'s exact-integer walk counts).
+    *
+    * rank′(v) = (1−d)/N + d·Σ_{(u,v)∈E} w(u,v)/outw(u)·rank(u), a fixed
+    * `iters` rounds from the uniform start. Dangling nodes (no
+    * out-edges) get a SELF-LOOP first — the stochastic completion that
+    * keeps the iteration local (the alternative global dangling-mass
+    * term would need a cross-partition float sum, which is exactly what
+    * this operator avoids).
+    *
+    * Determinism (LabelProp's recipe): the out-weight normalizer and the
+    * per-node contribution sum are sort-then-folds — collected, sorted
+    * on the neighbor id, folded left-to-right — so ranks are
+    * BIT-deterministic across partitionings and across engines (DuckDB
+    * mirrors each fold as `list_sum(list(x ORDER BY key))`). Per round:
+    * one shuffle join + one bounded aggregation (state ≤ in-degree per
+    * node) — the connected-components scale shape; `localCheckpoint`
+    * truncates lineage each round (swap `checkpoint()` at cluster
+    * scale). */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
+    import graft.learn.LabelProp.{kvList, sortedFoldSum}
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    val dangling = nodes.join(e0.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node").as("src"), col("node").as("dst"),
+        lit(1.0).cast("double").as("w"))
+    val outw = e0.union(dangling).groupBy(col("src"))
+      .agg(sortedFoldSum(kvList(col("dst"), col("w"))).as("ow"))
+    val g = e0.union(dangling).join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p")).cache()
+    val base = lit((1.0 - damping) / n)
+    var rank = nodes.select(col("node"), lit(1.0 / n).cast("double").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = g
+        .join(rank.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), col("src"), (col("p") * col("r")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sortedFoldSum(kvList(col("src"), col("c"))).as("cs"))
+      rank = nodes
+        .join(contrib.select(col("dst").as("node"), col("cs")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (base + lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
 }

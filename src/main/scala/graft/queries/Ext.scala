@@ -1713,6 +1713,50 @@ object Ext {
         .orderBy(col("node"))
     },
 
+    // --- PageRank over the event-type transition graph
+    //     (Components.pagerank — the float cousin of pathCentrality,
+    //     the harvest-ranking signal of web curation): 5 damped rounds
+    //     from the uniform start, dangling self-loop completion. Every
+    //     float sum is a sort-then-fold (LabelProp recipe), so the
+    //     oracle replays the iteration round-for-round via
+    //     list_sum(list(x ORDER BY key)) — bit-identical folds, round 6
+    //     only as belt-and-braces on the final rank.
+    Q("ext_pagerank", {
+      val iters = (1 to 5).map { t =>
+        s"""c$t AS (SELECT g.dst, list_sum(list(g.p * r.r ORDER BY g.src)) AS cs
+           |  FROM g JOIN r${t - 1} r ON g.src = r.node GROUP BY g.dst),
+           |r$t AS (SELECT nodes.node,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(c.cs, CAST(0.0 AS DOUBLE)) AS r
+           |  FROM nodes CROSS JOIN nn LEFT JOIN c$t c ON nodes.node = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT from_type AS src, to_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM (SELECT event_type AS from_type,
+         |               lead(event_type) OVER (PARTITION BY user_id
+         |                                      ORDER BY ts, event_id) AS to_type
+         |        FROM events) t
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |dang AS (SELECT node AS src, node AS dst, CAST(1.0 AS DOUBLE) AS w
+         |         FROM nodes WHERE node NOT IN (SELECT src FROM e0)),
+         |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM dang),
+         |ow AS (SELECT src, list_sum(list(w ORDER BY dst)) AS ow FROM e GROUP BY src),
+         |g AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow ON e.src = ow.src),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS r
+         |       FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT node, round(r, 6) AS r FROM r5 ORDER BY node""".stripMargin
+    }) { (spark, dir) =>
+      val edges = graft.operators.Sessionize.transitionCounts(
+        t(spark, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      graft.operators.Components
+        .pagerank(edges, "from_type", "to_type", "n", iters = 5)
+        .select(col("node"), round(col("r"), 6).as("r"))
+        .orderBy(col("node"))
+    },
+
     // --- exact duplicated-substring removal (Lee et al. ExactSubstr as
     //     n-gram coverage, keep-first): the oracle replays gram hashing,
     //     keep-first ranking, the interval-merge coverage window, and the

@@ -466,6 +466,30 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Seq(("a", 3L, 6L, 18L), ("b", 2L, 6L, 12L)))
   }
 
+  test("pagerank: cycle fixpoint is uniform, mass conserved, dangling self-looped") {
+    import graft.operators.Components
+    // 3-cycle: uniform 1/3 is the exact fixpoint at every iteration
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val rc = Components.pagerank(cyc, "src", "dst", "w", iters = 5)
+      .as[(String, Double)].collect().toMap
+    rc.values.foreach(r => assert(math.abs(r - 1.0 / 3.0) < 1e-15, rc))
+    // star into a sink: the sink is dangling → self-loop keeps it local;
+    // total mass stays exactly 1 every round (stochastic completion)
+    val star = Seq(("a", "d", 1L), ("b", "d", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val rs = Components.pagerank(star, "src", "dst", "w", iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rs.values.sum - 1.0) < 1e-12, rs)
+    // leaves only get the teleport share; the sink accumulates
+    assert(math.abs(rs("a") - 0.15 / 4) < 1e-12)
+    assert(rs("d") > rs("a") * 4)
+    // determinism across repartitionings: the fold makes reruns bit-equal
+    val rerun = Components.pagerank(star.repartition(7), "src", "dst", "w",
+      iters = 5).as[(String, Double)].collect().toMap
+    assert(rerun == rs)
+  }
+
   test("normalizeUrl canonicalizes crawl variants; urlDedup keeps min id") {
     import graft.functions.TextFunctions
     val urls = Seq(
