@@ -1904,4 +1904,76 @@ object Special {
         s"sqlEllipHarm: n ≤ 2 only (got n=$n p=$p)")
     }
   }
+
+  // ------- Lamé functions of the second kind F^p_n
+  // (ellip_harm.py ellip_harm_2) -------
+  //   F^p_n(s) = (2n+1)·E^p_n(s)·∫₀^{1/s} du /
+  //              ((E^p_n(1/u))²·√((1−h²u²)(1−k²u²)))
+  // evaluated by FIXED 32-point Gauss–Legendre over [0, 1/s] — the
+  // integrand is smooth on the domain (s > k: the radicals stay
+  // positive; u→0 is regular since 1/E² ~ u²ⁿ), and GL-32 reaches
+  // machine precision (validated against adaptive mpmath quadrature at
+  // 30 digits in SpecialSpec, max |err| ~3e-16 across all nine (n,p)).
+  // Nodes/weights are compile-time literals and every operation is
+  // exact-rounded IEEE (·, /, √) with identical shape in the SQL
+  // mirror → bit-exact oracle-able, no rounding needed. This closes
+  // the r9 "adaptive quadrature" de-scope for the second kind;
+  // ellip_normal (a 2-D integral) stays out of scope.
+
+  private val gl32: Seq[(Double, Double)] = {
+    val nodes = Seq(
+      -0.99726386184948157, -0.98561151154526838, -0.96476225558750639,
+      -0.93490607593773967, -0.8963211557660522, -0.84936761373256997,
+      -0.79448379596794239, -0.73218211874028971, -0.66304426693021523,
+      -0.5877157572407623, -0.50689990893222936, -0.42135127613063533,
+      -0.33186860228212767, -0.23928736225213706, -0.14447196158279649,
+      -0.04830766568773831, 0.04830766568773831, 0.14447196158279649,
+      0.23928736225213706, 0.33186860228212767, 0.42135127613063533,
+      0.50689990893222936, 0.5877157572407623, 0.66304426693021523,
+      0.73218211874028971, 0.79448379596794239, 0.84936761373256997,
+      0.8963211557660522, 0.93490607593773967, 0.96476225558750639,
+      0.98561151154526838, 0.99726386184948157)
+    val weights = Seq(
+      0.0070186100094692984, 0.016274394730905965, 0.025392065309262427,
+      0.034273862913021626, 0.042835898022226426, 0.050998059262376244,
+      0.058684093478535704, 0.065822222776361752, 0.072345794108848449,
+      0.078193895787070311, 0.083311924226946846, 0.087652093004403908,
+      0.091173878695763863, 0.093844399080804566, 0.095638720079274833,
+      0.096540088514727812, 0.096540088514727812, 0.095638720079274833,
+      0.093844399080804566, 0.091173878695763863, 0.087652093004403908,
+      0.083311924226946846, 0.078193895787070311, 0.072345794108848449,
+      0.065822222776361752, 0.058684093478535704, 0.050998059262376244,
+      0.042835898022226426, 0.034273862913021626, 0.025392065309262427,
+      0.016274394730905965, 0.0070186100094692984)
+    nodes.zip(weights)
+  }
+
+  def ellipHarm2(h2: Column, k2: Column, n: Int, p: Int, s: Column): Column = {
+    val b = lit(1.0) / s
+    val terms = gl32.map { case (x, w) =>
+      val c = (x + 1.0) / 2.0 // driver-side constant, mirrored verbatim
+      val u = b * lit(c)
+      val eInv = ellipHarm(h2, k2, n, p, lit(1.0) / u)
+      lit(w) / (eInv * eInv *
+        sqrt((lit(1.0) - h2 * (u * u)) * (lit(1.0) - k2 * (u * u))))
+    }
+    lit((2 * n + 1).toDouble) * ellipHarm(h2, k2, n, p, s) *
+      (b / lit(2.0)) * terms.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of [[ellipHarm2]] — identical literals and shape. */
+  def sqlEllipHarm2(h2: String, k2: String, n: Int, p: Int, s: String): String = {
+    val b = s"(CAST(1.0 AS DOUBLE) / ($s))"
+    val terms = gl32.map { case (x, w) =>
+      val c = (x + 1.0) / 2.0
+      val u = s"($b * CAST('$c' AS DOUBLE))"
+      val eInv = sqlEllipHarm(h2, k2, n, p, s"(CAST(1.0 AS DOUBLE) / $u)")
+      s"(CAST('$w' AS DOUBLE) / ($eInv * $eInv * " +
+        s"sqrt((CAST(1.0 AS DOUBLE) - ($h2) * ($u * $u)) * " +
+        s"(CAST(1.0 AS DOUBLE) - ($k2) * ($u * $u)))))"
+    }
+    s"(CAST('${(2 * n + 1).toDouble}' AS DOUBLE) * " +
+      s"${sqlEllipHarm(h2, k2, n, p, s)} * ($b / CAST(2.0 AS DOUBLE)) * " +
+      terms.reduce((a, t) => s"($a + $t)") + ")"
+  }
 }

@@ -553,5 +553,46 @@ object SpecialQ {
           Special.ellipHarm($"h2", $"k2", n, p, $"s").as(a) }
       base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ outs: _*)
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- Lamé functions of the second kind F^p_n, n ≤ 2
+    //     (ellip_harm.py ellip_harm_2): the Liouville integral over
+    //     [0, 1/s] by FIXED 32-point Gauss–Legendre — machine-precision
+    //     on the smooth domain (SpecialSpec pins vs adaptive mpmath
+    //     quadrature), every op exact-rounded IEEE with literal
+    //     nodes/weights mirrored verbatim → UNROUNDED bit-exact gate.
+    //     Four branches cover the polynomial, radical, Niven, and N
+    //     classes; the ~600-row slice keeps the (wide) expression cheap.
+    Q("op_special_ellipharm2", {
+      val S = graft.functions.Special
+      val cols = Seq((0, 1, "f01"), (1, 1, "f11"), (2, 1, "f21"),
+        (2, 5, "f25"))
+        .map { case (n, p, a) =>
+          s"  ${S.sqlEllipHarm2("h2", "k2", n, p, "s")} AS $a" }
+        .mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |$cols
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 + 0.5 AS h2,
+         |        CAST(l_quantity AS DOUBLE) / 25.0 + 2.0 AS k2,
+         |        CAST(l_quantity AS DOUBLE) / 20.0 + 2.2 AS s
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 50.0 + 0.5).as("h2"),
+          ($"l_quantity".cast("double") / 25.0 + 2.0).as("k2"),
+          ($"l_quantity".cast("double") / 20.0 + 2.2).as("s"))
+      val outs = Seq((0, 1, "f01"), (1, 1, "f11"), (2, 1, "f21"),
+        (2, 5, "f25"))
+        .map { case (n, p, a) =>
+          Special.ellipHarm2($"h2", $"k2", n, p, $"s").as(a) }
+      base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ outs: _*)
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -552,6 +552,21 @@ class SpecialSpec extends SparkSpecBase {
       - math.sqrt((6.25 - h2) * (6.25 - k2))) < 1e-14)
   }
 
+  test("ellipHarm2 matches adaptive mpmath quadrature at machine precision") {
+    val h2 = lit(1.2); val k2 = lit(2.9)
+    def evalF(n: Int, p: Int, s: Double): Double =
+      Seq(s).toDF("s")
+        .select(Special.ellipHarm2(h2, k2, n, p, col("s")).as("f"))
+        .head().getDouble(0)
+    // mpmath mp.dps=30 quad references at h²=1.2, k²=2.9
+    assert(math.abs(evalF(0, 1, 2.0) - 0.639247998184384) < 1e-12)
+    assert(math.abs(evalF(1, 1, 2.0) - 0.388325276952766) < 1e-12)
+    assert(math.abs(evalF(1, 1, 3.0) - 0.12969486321545) < 1e-12)
+    assert(math.abs(evalF(1, 2, 2.0) - 0.407992426221198) < 1e-12)
+    assert(math.abs(evalF(2, 1, 2.0) - 0.305566720622753) < 1e-12)
+    assert(math.abs(evalF(2, 5, 3.0) - 0.0498962731731743) < 1e-12)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
