@@ -1976,4 +1976,128 @@ object Special {
       s"${sqlEllipHarm(h2, k2, n, p, s)} * ($b / CAST(2.0 AS DOUBLE)) * " +
       terms.reduce((a, t) => s"($a + $t)") + ")"
   }
+
+  // ------- ellipsoidal-harmonic normalization γ^p_n
+  // (ellip_harm.py ellip_normal) -------
+  //   γ^p_n = 8·∫₀ʰ dx ∫ₕᵏ dy (y²−x²)·E(x)²·E(y)² /
+  //           (√((h²−x²)(k²−x²))·√((y²−h²)(k²−y²)))
+  // The endpoint 1/√ singularities vanish under x = h·sinθ and
+  // y² = h²cos²φ + k²sin²φ (the Jacobians cancel the radicals), leaving
+  // an ANALYTIC integrand, and (y²−x²) factorizes the tensor quadrature
+  // into four 16-term Gauss–Legendre sums:
+  //   γ = 8·(A·D − B·C),  A = Σ wᵢ fxᵢ, B = Σ wᵢ xᵢ² fxᵢ,
+  //                       C = Σ wⱼ fyⱼ, D = Σ wⱼ y²ⱼ fyⱼ
+  // with fx = E(x)²/√(k²−x²), fy = E(y)²/y. GL-16 is exact to machine
+  // precision (vs GL-32: ≤ 3.4e-14; γ¹₀ = 4π recovered exactly —
+  // SpecialSpec). The trig node constants are driver-side literals
+  // mirrored verbatim; every op is exact-rounded IEEE → bit-exact
+  // oracle-able. Degrees ≤ 2 like [[ellipHarm]].
+
+  private val gl16: Seq[(Double, Double)] = {
+    val nodes = Seq(
+      -0.98940093499164994, -0.9445750230732326, -0.86563120238783176,
+      -0.755404408355003, -0.61787624440264377, -0.45801677765722737,
+      -0.28160355077925892, -0.095012509837637454, 0.095012509837637454,
+      0.28160355077925892, 0.45801677765722737, 0.61787624440264377,
+      0.755404408355003, 0.86563120238783176, 0.9445750230732326,
+      0.98940093499164994)
+    val weights = Seq(
+      0.027152459411754037, 0.062253523938647706, 0.095158511682492591,
+      0.12462897125553403, 0.14959598881657676, 0.16915651939500262,
+      0.18260341504492361, 0.18945061045506859, 0.18945061045506859,
+      0.18260341504492361, 0.16915651939500262, 0.14959598881657676,
+      0.12462897125553403, 0.095158511682492591, 0.062253523938647706,
+      0.027152459411754037)
+    nodes.zip(weights)
+  }
+
+  /** Per-node driver-side constants: (w·π/4, sin²θ, cos²φ, sin²φ) with
+    * θ = φ = (x+1)·π/4 — shared by the Column and SQL instantiations. */
+  private val normNodes: Seq[(Double, Double, Double, Double)] =
+    gl16.map { case (x, w) =>
+      val t = (x + 1.0) * math.Pi / 4.0
+      (w * math.Pi / 4.0, math.sin(t) * math.sin(t),
+        math.cos(t) * math.cos(t), math.sin(t) * math.sin(t))
+    }
+
+  /** E^p_n squared as a function of s² with the |·| continuation the
+    * surface coordinates need (x ∈ (0,h) and y ∈ (h,k) flip radicand
+    * signs; the squared Lamé function there is the abs form — Dassios'
+    * √((h²−x²)(k²−x²)) branch etc.). Only squares enter [[ellipNormal]],
+    * so no square root of a signed quantity ever appears. */
+  private def ellipHarmSq(h2: Column, k2: Column, n: Int, p: Int,
+      s2: Column): Column = {
+    def disc = sqrt((h2 + k2) * (h2 + k2) - lit(3.0) * (h2 * k2))
+    (n, p) match {
+      case (0, 1) => lit(1.0)
+      case (1, 1) => s2
+      case (1, 2) => abs(s2 - h2)
+      case (1, 3) => abs(s2 - k2)
+      case (2, 1) =>
+        val e = s2 + (-(h2 + k2) - disc) / lit(3.0); e * e
+      case (2, 2) =>
+        val e = s2 + (-(h2 + k2) + disc) / lit(3.0); e * e
+      case (2, 3) => s2 * abs(s2 - h2)
+      case (2, 4) => s2 * abs(s2 - k2)
+      case (2, 5) => abs((s2 - h2) * (s2 - k2))
+      case _ => throw new IllegalArgumentException(
+        s"ellipHarmSq: n ≤ 2 only (got n=$n p=$p)")
+    }
+  }
+
+  private def sqlEllipHarmSq(h2: String, k2: String, n: Int, p: Int,
+      s2: String): String = {
+    val disc = s"sqrt((($h2) + ($k2)) * (($h2) + ($k2)) - " +
+      s"CAST(3.0 AS DOUBLE) * (($h2) * ($k2)))"
+    (n, p) match {
+      case (0, 1) => "CAST(1.0 AS DOUBLE)"
+      case (1, 1) => s"($s2)"
+      case (1, 2) => s"abs(($s2) - ($h2))"
+      case (1, 3) => s"abs(($s2) - ($k2))"
+      case (2, 1) =>
+        val e = s"(($s2) + (-(($h2) + ($k2)) - $disc) / CAST(3.0 AS DOUBLE))"
+        s"($e * $e)"
+      case (2, 2) =>
+        val e = s"(($s2) + (-(($h2) + ($k2)) + $disc) / CAST(3.0 AS DOUBLE))"
+        s"($e * $e)"
+      case (2, 3) => s"(($s2) * abs(($s2) - ($h2)))"
+      case (2, 4) => s"(($s2) * abs(($s2) - ($k2)))"
+      case (2, 5) => s"abs((($s2) - ($h2)) * (($s2) - ($k2)))"
+      case _ => throw new IllegalArgumentException(
+        s"sqlEllipHarmSq: n ≤ 2 only (got n=$n p=$p)")
+    }
+  }
+
+  def ellipNormal(h2: Column, k2: Column, n: Int, p: Int): Column = {
+    val parts = normNodes.map { case (w, sn2, c2, s2n) =>
+      val x2 = h2 * lit(sn2)
+      val fx = ellipHarmSq(h2, k2, n, p, x2) / sqrt(k2 - x2)
+      val y2 = h2 * lit(c2) + k2 * lit(s2n)
+      val fy = ellipHarmSq(h2, k2, n, p, y2) / sqrt(y2)
+      (lit(w) * fx, lit(w) * x2 * fx, lit(w) * fy, lit(w) * y2 * fy)
+    }
+    val a = parts.map(_._1).reduce(_ + _)
+    val b = parts.map(_._2).reduce(_ + _)
+    val c = parts.map(_._3).reduce(_ + _)
+    val d = parts.map(_._4).reduce(_ + _)
+    lit(8.0) * (a * d - b * c)
+  }
+
+  /** DuckDB mirror of [[ellipNormal]] — identical literals and shape. */
+  def sqlEllipNormal(h2: String, k2: String, n: Int, p: Int): String = {
+    val parts = normNodes.map { case (w, sn2, c2, s2n) =>
+      val x2 = s"(($h2) * CAST('$sn2' AS DOUBLE))"
+      val fx = s"(${sqlEllipHarmSq(h2, k2, n, p, x2)} / sqrt(($k2) - $x2))"
+      val y2 = s"(($h2) * CAST('$c2' AS DOUBLE) + ($k2) * CAST('$s2n' AS DOUBLE))"
+      val fy = s"(${sqlEllipHarmSq(h2, k2, n, p, y2)} / sqrt($y2))"
+      (s"(CAST('$w' AS DOUBLE) * $fx)",
+        s"(CAST('$w' AS DOUBLE) * $x2 * $fx)",
+        s"(CAST('$w' AS DOUBLE) * $fy)",
+        s"(CAST('$w' AS DOUBLE) * $y2 * $fy)")
+    }
+    def fold(ts: Seq[String]) = ts.reduce((a, t) => s"($a + $t)")
+    s"(CAST(8.0 AS DOUBLE) * ((${fold(parts.map(_._1))}) * " +
+      s"(${fold(parts.map(_._4))}) - (${fold(parts.map(_._2))}) * " +
+      s"(${fold(parts.map(_._3))})))"
+  }
 }

