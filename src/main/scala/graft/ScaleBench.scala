@@ -182,6 +182,20 @@ object ScaleBench {
         forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",
           cap = 1000, skewThreshold = Long.MaxValue))
       },
+      "aux_pagerank" -> { (s: SparkSession, dir: String) =>
+        // on-demand diagnostic (explicit filter only, like skew_*): 5
+        // PageRank rounds over a synthetic link graph whose |V| and |E|
+        // scale linearly with the corpus (10 docs per node, a fixed
+        // affine re-map for the target) — measures the per-round
+        // join + ordered-fold aggregation shape at scale
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val edges = docs.select(
+          (col("doc_id") / 10).cast("long").as("src"),
+          ((col("doc_id") * 31L + 7L) / 10).cast("long").as("dst"),
+          lit(1L).as("w"))
+        graft.operators.Components
+          .pagerank(edges, "src", "dst", "w", iters = 5).count()
+      },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
         // micro-batches — the ingest-time filter's throughput curve
@@ -251,12 +265,12 @@ object ScaleBench {
         s""""rows":$rows,"reps":${runs.map(t => f"${t._1}%.2f").mkString("[", ",", "]")},$mjson}""")
     }
 
-    // skew_* cells are on-demand diagnostics (explicit filter only) —
-    // the default grid stays the six-pipeline table comparable across
-    // rounds
+    // skew_* / aux_* cells are on-demand diagnostics (explicit filter
+    // only) — the default grid stays the six-pipeline table comparable
+    // across rounds
     val active = pipelines.filter(p => only match {
       case Some(names) => names(p._1)
-      case None => !p._1.startsWith("skew_")
+      case None => !p._1.startsWith("skew_") && !p._1.startsWith("aux_")
     })
     require(active.nonEmpty,
       s"no pipeline matches filter ${only.getOrElse(Set())}; " +
