@@ -699,6 +699,18 @@ object Special {
     when(abs(x) <= 0.7, s).otherwise(lit(Double.NaN))
   }
 
+  /** ₂F₁ continued to negative arguments by the Pfaff transformation
+    * (DLMF 15.8.1): F(a,b;c;z) = (1−z)^(−b)·F(c−a, b; c; z/(z−1)).
+    * For z < 0 the mapped argument w = z/(z−1) lies in (0, 1), and
+    * w ≤ 0.7 ⟺ z ≥ −7/3 — so the combined window is z ∈ [−7/3, 0.7]
+    * (the inner series' NaN guard still enforces it). Exact algebra
+    * plus one pow; the (0.7, 1) endpoint connection stays out of scope
+    * with the full-plane continuations. */
+  def hyp2f1Ext(a: Column, b: Column, c: Column, z: Column): Column =
+    when(z < 0.0,
+      pow(lit(1.0) - z, -b) * hyp2f1(c - a, b, c, z / (z - lit(1.0))))
+      .otherwise(hyp2f1(a, b, c, z))
+
   /** ₁F₁(a;b;x), |x| ≤ 20 window (NaN outside). */
   def hyp1f1(a: Column, b: Column, x: Column): Column = {
     var s: Column = lit(1.0)

@@ -596,6 +596,45 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- ₂F₁ at negative arguments via the Pfaff transformation
+    //     (hypergeometric_funcs.py hyp2f1 — widening the |z| ≤ 0.7
+    //     series window to z ∈ [−7/3, 0.7]): the mapped series runs at
+    //     w = z/(z−1) ∈ (0, 0.7], staged like the direct gate; the
+    //     (1−z)^(−b) prefactor brings libm pow of identical inputs →
+    //     round 6. z = −q/25 ∈ [−2, −0.04] stays inside −7/3.
+    Q("op_special_hyp2f1_neg", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) AS ha, " +
+        "CAST(l_quantity AS DOUBLE) / 30.0 + 0.25 AS hb, " +
+        "CAST(l_quantity AS DOUBLE) / 20.0 + 1.5 AS hc, " +
+        "-(CAST(l_quantity AS DOUBLE) / 25.0) AS hz " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val staged = S.sqlHypStaged(inner,
+        Seq(("n", "(hc - ha)", "hb", "hc", "(hz / (hz - CAST(1.0 AS DOUBLE)))")),
+        Nil, Seq("l_orderkey", "l_linenumber", "q", "hb", "hz"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(power(CAST(1.0 AS DOUBLE) - hz, -hb) * h2_n, 6)
+         |    + CAST(0.0 AS DOUBLE) AS f_neg
+         |FROM ($staged)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")).as("ha"),
+          ($"l_quantity".cast("double") / 30.0 + 0.25).as("hb"),
+          ($"l_quantity".cast("double") / 20.0 + 1.5).as("hc"),
+          (-($"l_quantity".cast("double") / 25.0)).as("hz"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          (round(Special.hyp2f1Ext($"ha", $"hb", $"hc", $"hz"), 6)
+            + lit(0.0)).as("f_neg"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ellipsoidal-harmonic normalization γ^p_n (ellip_harm.py
     //     ellip_normal): the 2-D octant integral with the singularity-
     //     removing trig substitutions, factorized into four 16-term GL

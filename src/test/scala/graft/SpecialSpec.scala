@@ -587,6 +587,20 @@ class SpecialSpec extends SparkSpecBase {
       assert(evalG(n, p) > 0.0, s"γ must be positive at (n=$n,p=$p)")
   }
 
+  test("hyp2f1Ext continues to negative z via Pfaff (mpmath pins)") {
+    def f(a: Double, b: Double, c: Double, z: Double): Double =
+      Seq((a, b, c, z)).toDF("a", "b", "c", "z")
+        .select(Special.hyp2f1Ext(col("a"), col("b"), col("c"), col("z"))
+          .as("f")).head().getDouble(0)
+    assert(math.abs(f(0.5, 0.8, 1.7, -2.0) - 0.7470082592959453) < 1e-11)
+    assert(math.abs(f(0.3, 1.55, 2.0, -0.5) - 0.9078826146813832) < 1e-12)
+    assert(math.abs(f(0.7, 0.25, 1.5, -2.2) - 0.855038128323432) < 1e-11)
+    // positive branch still rides the direct series
+    assert(math.abs(f(0.5, 0.8, 1.7, 0.5) - 1.1617016738618607) < 1e-12)
+    // outside the combined window the NaN guard still fires
+    assert(f(0.5, 0.8, 1.7, -5.0).isNaN)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
