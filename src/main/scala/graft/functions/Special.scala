@@ -709,7 +709,63 @@ object Special {
   def hyp2f1Ext(a: Column, b: Column, c: Column, z: Column): Column =
     when(z < 0.0,
       pow(lit(1.0) - z, -b) * hyp2f1(c - a, b, c, z / (z - lit(1.0))))
+      .when(z > 0.7, hyp2f1Near1(a, b, c, z))
       .otherwise(hyp2f1(a, b, c, z))
+
+  /** z → 1 endpoint connection (DLMF 15.8.4), windowed to
+    * δ = c−a−b ∈ (0, 1) with a, b > 0, c > a, c > b (every Γ reachable
+    * on the positive Lanczos branch — Γ(−δ) through the recurrence
+    * Γ(−δ) = Γ(2−δ)/((−δ)(1−δ))) and z ∈ (0.7, 1) so both mapped
+    * series run at 1−z < 0.3:
+    *   F(a,b;c;z) = Γ(c)Γ(δ)/(Γ(c−a)Γ(c−b))·F(a,b;1−δ;1−z)
+    *              + (1−z)^δ·Γ(c)Γ(−δ)/(Γ(a)Γ(b))·F(c−a,c−b;1+δ;1−z)
+    * The two terms are O(1) with no catastrophic cancellation in the
+    * window (mpmath-checked). Outside the δ contract the gammas go NaN
+    * loudly rather than silently wrong. */
+  def hyp2f1Near1(a: Column, b: Column, c: Column, z: Column): Column = {
+    val d = c - a - b
+    val w = lit(1.0) - z
+    val g1 = exp(gammalnPos(c) + gammalnPos(d) -
+      gammalnPos(c - a) - gammalnPos(c - b))
+    val gnd = exp(gammalnPos(lit(2.0) - d)) / ((-d) * (lit(1.0) - d))
+    val g2 = exp(gammalnPos(c)) * gnd /
+      (exp(gammalnPos(a)) * exp(gammalnPos(b)))
+    g1 * hyp2f1(a, b, lit(1.0) - d, w) +
+      pow(w, d) * g2 * hyp2f1(c - a, c - b, lit(1.0) + d, w)
+  }
+
+  /** DuckDB mirror of [[hyp2f1Near1]]: exposes `h2n_<sfx>` over
+    * [[sqlHypStaged]]. Spec: (sfx, aExpr, bExpr, cExpr, zExpr). */
+  def sqlHyp2f1Near1(from: String,
+      specs: Seq[(String, String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val staged0 = s"SELECT $keep, " + specs.map { case (s, a, b, c, z) =>
+      s"CAST(($a) AS DOUBLE) AS na_$s, CAST(($b) AS DOUBLE) AS nb_$s, " +
+        s"CAST(($c) AS DOUBLE) AS nc_$s, CAST(($z) AS DOUBLE) AS nz_$s"
+    }.mkString(", ") + s" FROM $from"
+    val staged1 = s"SELECT *, " + specs.map { case (s, _, _, _, _) =>
+      s"nc_$s - na_$s - nb_$s AS nd_$s, " +
+        s"CAST(1.0 AS DOUBLE) - nz_$s AS nw_$s"
+    }.mkString(", ") + s" FROM ($staged0)"
+    val carry2 = carry ++ specs.flatMap { case (s, _, _, _, _) =>
+      Seq(s"na_$s", s"nb_$s", s"nc_$s", s"nd_$s", s"nw_$s") }
+    val hyp = sqlHypStaged(s"($staged1)",
+      specs.flatMap { case (s, _, _, _, _) => Seq(
+        (s"${s}t1", s"na_$s", s"nb_$s", s"1.0 - nd_$s", s"nw_$s"),
+        (s"${s}t2", s"nc_$s - na_$s", s"nc_$s - nb_$s", s"1.0 + nd_$s",
+          s"nw_$s")) },
+      Nil, carry2)
+    s"SELECT $keep, " + specs.map { case (s, _, _, _, _) =>
+      val g1 = s"exp(${sqlGammalnPos(s"nc_$s")} + ${sqlGammalnPos(s"nd_$s")} - " +
+        s"${sqlGammalnPos(s"nc_$s - na_$s")} - ${sqlGammalnPos(s"nc_$s - nb_$s")})"
+      val gnd = s"(exp(${sqlGammalnPos(s"2.0 - nd_$s")}) / " +
+        s"((-nd_$s) * (1.0 - nd_$s)))"
+      val g2 = s"(exp(${sqlGammalnPos(s"nc_$s")}) * $gnd / " +
+        s"(exp(${sqlGammalnPos(s"na_$s")}) * exp(${sqlGammalnPos(s"nb_$s")})))"
+      s"$g1 * h2_${s}t1 + power(nw_$s, nd_$s) * $g2 * h2_${s}t2 AS h2n_$s"
+    }.mkString(", ") + s" FROM ($hyp)"
+  }
 
   /** ₁F₁(a;b;x), |x| ≤ 20 window (NaN outside). */
   def hyp1f1(a: Column, b: Column, x: Column): Column = {

@@ -635,6 +635,41 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- ₂F₁ near z = 1 via the DLMF 15.8.4 endpoint connection
+    //     (hypergeometric_funcs.py hyp2f1, the remaining real-axis
+    //     slice): both mapped series run at 1−z < 0.3; every Γ on the
+    //     positive Lanczos branch (δ = 0.4-ish by construction). libm
+    //     pow/exp of identical inputs → round 6.
+    Q("op_special_hyp2f1_near1", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) AS pa, " +
+        "CAST(l_quantity AS DOUBLE) / 60.0 + 0.2 AS pb, " +
+        "0.7 + CAST(l_quantity AS DOUBLE) / 180.0 AS pz " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val near = S.sqlHyp2f1Near1(inner,
+        Seq(("x", "pa", "pb", "pa + pb + 0.4", "pz")),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(h2n_x, 6) + CAST(0.0 AS DOUBLE) AS f_near1
+         |FROM ($near)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")).as("pa"),
+          ($"l_quantity".cast("double") / 60.0 + 0.2).as("pb"),
+          (lit(0.7) + $"l_quantity".cast("double") / 180.0).as("pz"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          (round(Special.hyp2f1Near1($"pa", $"pb",
+            $"pa" + $"pb" + lit(0.4), $"pz"), 6) + lit(0.0)).as("f_near1"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ellipsoidal-harmonic normalization γ^p_n (ellip_harm.py
     //     ellip_normal): the 2-D octant integral with the singularity-
     //     removing trig substitutions, factorized into four 16-term GL

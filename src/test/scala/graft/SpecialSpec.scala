@@ -599,6 +599,12 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(f(0.5, 0.8, 1.7, 0.5) - 1.1617016738618607) < 1e-12)
     // outside the combined window the NaN guard still fires
     assert(f(0.5, 0.8, 1.7, -5.0).isNaN)
+    // z → 1 endpoint connection branch (δ = c−a−b ∈ (0,1) contract)
+    assert(math.abs(f(0.3, 0.5, 1.2000000000000002, 0.9)
+      - 1.238315611518488) < 1e-10)
+    assert(math.abs(f(0.7, 1.0, 2.1, 0.75) - 1.4739383351420814) < 1e-10)
+    assert(math.abs(f(0.5, 0.22, 1.12, 0.97) - 1.2441124474099013) < 1e-10)
+    assert(math.abs(f(0.3, 0.9, 1.6, 0.8) - 1.2512649654964417) < 1e-10)
   }
 
   test("special columns stay inside whole-stage codegen (no UDFs)") {
