@@ -229,9 +229,12 @@ object ScaleBench {
     // optional one-off subset, e.g. `1000 1 0 stream_dedup`
     val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // widen for big-scale drives (bytes/128MB — the q09 lesson, PERF r10);
+    // default stays the cpu count so the staged grid remains comparable
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
