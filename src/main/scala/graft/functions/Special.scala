@@ -1922,6 +1922,107 @@ object Special {
     }.mkString(", ") + s" FROM ($hyp)"
   }
 
+  // ------- half-integer (spherical) Bessel: jv/yv/iv/kv at ν = k + 1/2
+  // (bessel.py jv/yv/iv/kv accept REAL order; the half-integer family
+  // has closed elementary seeds — A&S 10.1.11/10.2.13 spherical forms —
+  // and rides the same three-term recurrences as the integer family.
+  // General non-half-integer real order stays out of scope with the
+  // Cephes machinery.) sinh/cosh are spelled as exp composites so the
+  // DuckDB mirror (which lacks them) keeps the identical shape. Upward
+  // J direction needs x ≳ ν like the integer gates; k ≤ 6. -------
+
+  private def upHalf(k: Int, base0: Column, base1: Column, x: Column,
+      sign: Double, flip: Boolean): Column = {
+    require(k >= 0 && k <= 6, s"half-integer Bessel supports k ≤ 6: $k")
+    if (k == 0) base0
+    else if (k == 1) base1
+    else {
+      var prev = base0; var cur = base1
+      for (j <- 1 until k) {
+        val nu = j + 0.5
+        val next =
+          if (flip) prev + lit(sign * 2.0 * nu) / x * cur
+          else lit(2.0 * nu) / x * cur + lit(sign) * prev
+        prev = cur; cur = next
+      }
+      cur
+    }
+  }
+
+  private def sqlUpHalf(k: Int, base0: String, base1: String, x: String,
+      sign: Double, flip: Boolean): String = {
+    require(k >= 0 && k <= 6, s"half-integer Bessel supports k ≤ 6: $k")
+    if (k == 0) base0
+    else if (k == 1) base1
+    else {
+      var prev = base0; var cur = base1
+      for (j <- 1 until k) {
+        val nu = j + 0.5
+        val next =
+          if (flip) s"(($prev) + CAST('${sign * 2.0 * nu}' AS DOUBLE) / ($x) * ($cur))"
+          else s"(CAST('${2.0 * nu}' AS DOUBLE) / ($x) * ($cur) + CAST('$sign' AS DOUBLE) * ($prev))"
+        prev = cur; cur = next
+      }
+      cur
+    }
+  }
+
+  private val twoOverPi = 2.0 / math.Pi
+  private val piOverTwo = math.Pi / 2.0
+
+  /** J_{k+1/2}(x): seeds √(2/(πx))·sin x and √(2/(πx))·(sin x/x − cos x). */
+  def besselJHalf(k: Int, x: Column): Column = {
+    val amp = sqrt(lit(twoOverPi) / x)
+    upHalf(k, amp * sin(x), amp * (sin(x) / x - cos(x)), x, -1.0, flip = false)
+  }
+  def sqlBesselJHalf(k: Int, x: String): String = {
+    val amp = s"sqrt(CAST('$twoOverPi' AS DOUBLE) / ($x))"
+    sqlUpHalf(k, s"($amp * sin($x))",
+      s"($amp * (sin($x) / ($x) - cos($x)))", x, -1.0, flip = false)
+  }
+
+  /** Y_{k+1/2}(x): seeds −√(2/(πx))·cos x and −√(2/(πx))·(cos x/x + sin x). */
+  def besselYHalf(k: Int, x: Column): Column = {
+    val amp = sqrt(lit(twoOverPi) / x)
+    upHalf(k, -(amp * cos(x)), -(amp * (cos(x) / x + sin(x))), x, -1.0,
+      flip = false)
+  }
+  def sqlBesselYHalf(k: Int, x: String): String = {
+    val amp = s"sqrt(CAST('$twoOverPi' AS DOUBLE) / ($x))"
+    sqlUpHalf(k, s"(-($amp * cos($x)))",
+      s"(-($amp * (cos($x) / ($x) + sin($x))))", x, -1.0, flip = false)
+  }
+
+  /** I_{k+1/2}(x): seeds over the exp-composite sinh/cosh;
+    * recurrence I_{ν+1} = I_{ν−1} − (2ν/x)I_ν. */
+  def besselIHalf(k: Int, x: Column): Column = {
+    val amp = sqrt(lit(twoOverPi) / x)
+    val sh = (exp(x) - exp(-x)) / lit(2.0)
+    val ch = (exp(x) + exp(-x)) / lit(2.0)
+    upHalf(k, amp * sh, amp * (ch - sh / x), x, -1.0, flip = true)
+  }
+  def sqlBesselIHalf(k: Int, x: String): String = {
+    val amp = s"sqrt(CAST('$twoOverPi' AS DOUBLE) / ($x))"
+    val sh = s"((exp($x) - exp(-($x))) / CAST(2.0 AS DOUBLE))"
+    val ch = s"((exp($x) + exp(-($x))) / CAST(2.0 AS DOUBLE))"
+    sqlUpHalf(k, s"($amp * $sh)", s"($amp * ($ch - $sh / ($x)))", x, -1.0,
+      flip = true)
+  }
+
+  /** K_{k+1/2}(x): seeds √(π/(2x))·e^{−x} and √(π/(2x))·e^{−x}·(1 + 1/x);
+    * recurrence K_{ν+1} = K_{ν−1} + (2ν/x)K_ν (stable upward). */
+  def besselKHalf(k: Int, x: Column): Column = {
+    val amp = sqrt(lit(piOverTwo) / x)
+    upHalf(k, amp * exp(-x),
+      amp * exp(-x) * (lit(1.0) + lit(1.0) / x), x, 1.0, flip = true)
+  }
+  def sqlBesselKHalf(k: Int, x: String): String = {
+    val amp = s"sqrt(CAST('$piOverTwo' AS DOUBLE) / ($x))"
+    sqlUpHalf(k, s"($amp * exp(-($x)))",
+      s"($amp * exp(-($x)) * (CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / ($x)))",
+      x, 1.0, flip = true)
+  }
+
   // ------- Lamé functions of the first kind E^p_n
   // (ellip_harm.py ellip_harm) -------
   // Closed forms for degrees n ≤ 2 (Dassios, "Ellipsoidal Harmonics",

@@ -596,6 +596,52 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- half-integer Bessel jv/yv/iv/kv at ν = k + 1/2 (bessel.py —
+    //     the REAL-order slice with closed spherical seeds, A&S
+    //     10.1.11): the same upward recurrences as the integer gates,
+    //     sinh/cosh as exp composites for the DuckDB mirror. xj ≳ ν
+    //     keeps upward J well-conditioned; round 6 with the
+    //     signed-zero guard on the oscillatory outputs.
+    Q("op_special_bessel_half", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlBesselJHalf(0, "xj")}, 6) + CAST(0.0 AS DOUBLE) AS jh0,
+         |  round(${S.sqlBesselJHalf(2, "xj")}, 6) + CAST(0.0 AS DOUBLE) AS jh2,
+         |  round(${S.sqlBesselJHalf(3, "xj")}, 6) + CAST(0.0 AS DOUBLE) AS jh3,
+         |  round(${S.sqlBesselYHalf(0, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS yh0,
+         |  round(${S.sqlBesselYHalf(2, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS yh2,
+         |  round(${S.sqlBesselIHalf(2, "xi")}, 6) + CAST(0.0 AS DOUBLE) AS ih2,
+         |  round(${S.sqlBesselKHalf(0, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS kh0,
+         |  round(${S.sqlBesselKHalf(3, "xp")}, 6) + CAST(0.0 AS DOUBLE) AS kh3
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 4.0 + 4.0 AS xj,
+         |        CAST(l_quantity AS DOUBLE) / 4.0 + 0.3 AS xp,
+         |        CAST(l_quantity AS DOUBLE) / 8.0 + 0.5 AS xi
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 4.0 + 4.0).as("xj"),
+          ($"l_quantity".cast("double") / 4.0 + 0.3).as("xp"),
+          ($"l_quantity".cast("double") / 8.0 + 0.5).as("xi"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.besselJHalf(0, $"xj")).as("jh0"),
+          r6(Special.besselJHalf(2, $"xj")).as("jh2"),
+          r6(Special.besselJHalf(3, $"xj")).as("jh3"),
+          r6(Special.besselYHalf(0, $"xp")).as("yh0"),
+          r6(Special.besselYHalf(2, $"xp")).as("yh2"),
+          r6(Special.besselIHalf(2, $"xi")).as("ih2"),
+          r6(Special.besselKHalf(0, $"xp")).as("kh0"),
+          r6(Special.besselKHalf(3, $"xp")).as("kh3"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ₂F₁ at negative arguments via the Pfaff transformation
     //     (hypergeometric_funcs.py hyp2f1 — widening the |z| ≤ 0.7
     //     series window to z ∈ [−7/3, 0.7]): the mapped series runs at

@@ -607,6 +607,27 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(f(0.3, 0.9, 1.6, 0.8) - 1.2512649654964417) < 1e-10)
   }
 
+  test("half-integer Bessel matches mpmath besselj/y/i/k at nu = k+1/2") {
+    assert(math.abs(eval1(Special.besselJHalf(0, _), 2.0)
+      - 0.5130161365618278) < 1e-12)
+    assert(math.abs(eval1(Special.besselJHalf(2, _), 3.0)
+      - 0.412710032209716) < 1e-12)
+    assert(math.abs(eval1(Special.besselJHalf(3, _), 5.0)
+      - 0.4100285072560581) < 1e-12)
+    assert(math.abs(eval1(Special.besselYHalf(0, _), 2.0)
+      - 0.23478571040624847) < 1e-12)
+    assert(math.abs(eval1(Special.besselYHalf(2, _), 3.0)
+      - (-0.3690407300737979)) < 1e-12)
+    assert(math.abs(eval1(Special.besselIHalf(0, _), 1.5)
+      - 1.3871617204034779) < 1e-12)
+    assert(math.abs(eval1(Special.besselIHalf(2, _), 2.0)
+      - 0.3970270801393905) < 1e-12)
+    assert(math.abs(eval1(Special.besselKHalf(0, _), 2.0)
+      - 0.11993777196806145) < 1e-13)
+    assert(math.abs(eval1(Special.besselKHalf(3, _), 2.0)
+      - 1.1544010551925914) < 1e-12)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
