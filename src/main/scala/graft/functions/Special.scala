@@ -2023,6 +2023,71 @@ object Special {
       x, 1.0, flip = true)
   }
 
+  // ------- GENERAL real-order Bessel via the ₀F₁ representation
+  // (bessel.py jv/yv/iv/kv at arbitrary real ν) -------
+  //   J_ν(x) = (x/2)^ν/Γ(ν+1)·₀F₁(;ν+1;−x²/4)
+  //   I_ν(x) = (x/2)^ν/Γ(ν+1)·₀F₁(;ν+1;+x²/4)
+  // (DLMF 10.2.2/10.25.2), windowed to x²/4 ≤ 20 ⇒ x ≤ ~8.9 (the
+  // hyp0f1 series contract) and ν ≥ 0. Y/K come from the reflection
+  // connections for NON-integer ν ∈ (0, 1) (half-integers covered
+  // separately above; integers by the recurrence gates):
+  //   Y_ν = (J_ν·cos νπ − J_{−ν})/sin νπ
+  //   K_ν = π/2·(I_{−ν} − I_ν)/sin νπ
+  // where the −ν member uses Γ(1−ν) (positive branch for ν < 1). The
+  // K cancellation is bounded: relative loss ~e^{−2x} of the I
+  // magnitude, absolute error ~|I|·1e−16 ≪ the round-6 gate.
+
+  private def bessel0f1(v: Column, x: Column, signPlus: Boolean): Column = {
+    val arg = if (signPlus) x * x / lit(4.0) else -(x * x / lit(4.0))
+    exp(v * log(x / lit(2.0)) - gammalnPos(v + lit(1.0))) *
+      hyp0f1(v + lit(1.0), arg)
+  }
+  private def sqlBessel0f1(v: String, x: String, signPlus: Boolean): String = {
+    val arg = if (signPlus) s"(($x) * ($x) / CAST(4.0 AS DOUBLE))"
+      else s"(-(($x) * ($x) / CAST(4.0 AS DOUBLE)))"
+    s"(exp(($v) * ln(($x) / CAST(2.0 AS DOUBLE)) - " +
+      s"(${sqlGammalnPos(s"($v) + 1.0")})) * ${sqlHyp0f1(s"($v) + 1.0", arg)})"
+  }
+  private def bessel0f1Neg(v: Column, x: Column, signPlus: Boolean): Column = {
+    val arg = if (signPlus) x * x / lit(4.0) else -(x * x / lit(4.0))
+    exp(-v * log(x / lit(2.0)) - gammalnPos(lit(1.0) - v)) *
+      hyp0f1(lit(1.0) - v, arg)
+  }
+  private def sqlBessel0f1Neg(v: String, x: String, signPlus: Boolean): String = {
+    val arg = if (signPlus) s"(($x) * ($x) / CAST(4.0 AS DOUBLE))"
+      else s"(-(($x) * ($x) / CAST(4.0 AS DOUBLE)))"
+    s"(exp((-($v)) * ln(($x) / CAST(2.0 AS DOUBLE)) - " +
+      s"(${sqlGammalnPos(s"1.0 - ($v)")})) * ${sqlHyp0f1(s"1.0 - ($v)", arg)})"
+  }
+
+  /** J_ν(x), real ν ≥ 0, 0 < x ≤ ~8.9. */
+  def besselJv(v: Column, x: Column): Column = bessel0f1(v, x, signPlus = false)
+  def sqlBesselJv(v: String, x: String): String =
+    sqlBessel0f1(v, x, signPlus = false)
+
+  /** I_ν(x), real ν ≥ 0, 0 < x ≤ ~8.9. */
+  def besselIv(v: Column, x: Column): Column = bessel0f1(v, x, signPlus = true)
+  def sqlBesselIv(v: String, x: String): String =
+    sqlBessel0f1(v, x, signPlus = true)
+
+  /** Y_ν(x), non-integer ν ∈ (0, 1), 0 < x ≤ ~8.9. */
+  def besselYv(v: Column, x: Column): Column =
+    (besselJv(v, x) * cos(v * lit(math.Pi)) - bessel0f1Neg(v, x, signPlus = false)) /
+      sin(v * lit(math.Pi))
+  def sqlBesselYv(v: String, x: String): String =
+    s"((${sqlBesselJv(v, x)} * cos(($v) * CAST('${math.Pi}' AS DOUBLE)) - " +
+      s"${sqlBessel0f1Neg(v, x, signPlus = false)}) / " +
+      s"sin(($v) * CAST('${math.Pi}' AS DOUBLE)))"
+
+  /** K_ν(x), non-integer ν ∈ (0, 1), 0 < x ≤ ~8.9. */
+  def besselKv(v: Column, x: Column): Column =
+    lit(math.Pi / 2.0) * (bessel0f1Neg(v, x, signPlus = true) - besselIv(v, x)) /
+      sin(v * lit(math.Pi))
+  def sqlBesselKv(v: String, x: String): String =
+    s"(CAST('${math.Pi / 2.0}' AS DOUBLE) * " +
+      s"(${sqlBessel0f1Neg(v, x, signPlus = true)} - ${sqlBesselIv(v, x)}) / " +
+      s"sin(($v) * CAST('${math.Pi}' AS DOUBLE)))"
+
   // ------- Lamé functions of the first kind E^p_n
   // (ellip_harm.py ellip_harm) -------
   // Closed forms for degrees n ≤ 2 (Dassios, "Ellipsoidal Harmonics",

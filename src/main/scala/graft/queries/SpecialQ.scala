@@ -642,6 +642,46 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- GENERAL real-order Bessel via the ₀F₁ representation
+    //     (bessel.py jv/yv/iv/kv at data-dependent fractional ν):
+    //     J/I at ν ∈ {0.3,0.5,0.7} and ν+2; Y/K through the
+    //     reflection connections (ν ∈ (0,1), Γ(1−ν) positive branch).
+    //     x windows keep x²/4 inside the ₀F₁ contract. round 6 with
+    //     the signed-zero guard on the oscillatory J/Y.
+    Q("op_special_bessel_real", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlBesselJv("vf", "xb")}, 6) + CAST(0.0 AS DOUBLE) AS jvf,
+         |  round(${S.sqlBesselJv("vf + 2.0", "xb")}, 6) + CAST(0.0 AS DOUBLE) AS jv2,
+         |  round(${S.sqlBesselYv("vf", "xb")}, 6) + CAST(0.0 AS DOUBLE) AS yvf,
+         |  round(${S.sqlBesselIv("vf + 2.0", "xi")}, 6) + CAST(0.0 AS DOUBLE) AS iv2,
+         |  round(${S.sqlBesselKv("vf", "xb")}, 6) + CAST(0.0 AS DOUBLE) AS kvf
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) AS vf,
+         |        CAST(l_quantity AS DOUBLE) / 8.0 + 0.4 AS xb,
+         |        CAST(l_quantity AS DOUBLE) / 16.0 + 0.3 AS xi
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")).as("vf"),
+          ($"l_quantity".cast("double") / 8.0 + 0.4).as("xb"),
+          ($"l_quantity".cast("double") / 16.0 + 0.3).as("xi"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.besselJv($"vf", $"xb")).as("jvf"),
+          r6(Special.besselJv($"vf" + lit(2.0), $"xb")).as("jv2"),
+          r6(Special.besselYv($"vf", $"xb")).as("yvf"),
+          r6(Special.besselIv($"vf" + lit(2.0), $"xi")).as("iv2"),
+          r6(Special.besselKv($"vf", $"xb")).as("kvf"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ₂F₁ at negative arguments via the Pfaff transformation
     //     (hypergeometric_funcs.py hyp2f1 — widening the |z| ≤ 0.7
     //     series window to z ∈ [−7/3, 0.7]): the mapped series runs at

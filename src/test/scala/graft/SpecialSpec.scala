@@ -628,6 +628,23 @@ class SpecialSpec extends SparkSpecBase {
       - 1.1544010551925914) < 1e-12)
   }
 
+  test("general real-order Bessel (0F1 form) matches mpmath") {
+    def ev(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+        v: Double, x: Double): Double = eval2(f, v, x)
+    assert(math.abs(ev(Special.besselJv, 0.3, 2.0) - 0.4256940619814137) < 1e-12)
+    assert(math.abs(ev(Special.besselJv, 1.7, 3.0) - 0.494432522734784) < 1e-12)
+    assert(math.abs(ev(Special.besselJv, 2.3, 6.0) - (-0.14674320358582448)) < 1e-11)
+    assert(math.abs(ev(Special.besselYv, 0.3, 2.0) - 0.3634828078260922) < 1e-12)
+    assert(math.abs(ev(Special.besselYv, 0.7, 4.0) - 0.3362939155224755) < 1e-12)
+    assert(math.abs(ev(Special.besselIv, 2.3, 2.5) - 0.9765383029124093) < 1e-12)
+    assert(math.abs(ev(Special.besselIv, 0.3, 1.0) - 1.0887949490168029) < 1e-12)
+    assert(math.abs(ev(Special.besselKv, 0.3, 2.0) - 0.11603697434811926) < 1e-12)
+    assert(math.abs(ev(Special.besselKv, 0.7, 3.0) - 0.037302582431968067) < 1e-12)
+    // the 0F1 form agrees with the spherical seeds at nu = 1/2
+    assert(math.abs(ev(Special.besselJv, 0.5, 2.0)
+      - eval1(Special.besselJHalf(0, _), 2.0)) < 1e-14)
+  }
+
   test("special columns stay inside whole-stage codegen (no UDFs)") {
     val df = Seq(1.0, 2.5).toDF("x")
       .select(Special.gamma(col("x")).as("g"), Special.erf(col("x")).as("e"),
