@@ -2079,6 +2079,23 @@ object Special {
       s"${sqlBessel0f1Neg(v, x, signPlus = false)}) / " +
       s"sin(($v) * CAST('${math.Pi}' AS DOUBLE)))"
 
+  /** Real-order Hankel H⁽¹⁾/H⁽²⁾_ν = J_ν ± i·Y_ν and the e^{∓ix}-scaled
+    * hankel1e/2e (bessel.py at real ν) — pure compositions of
+    * [[besselJv]]/[[besselYv]] (same windows; differentially covered
+    * through the jv/yv gates, compositions pinned in SpecialSpec). */
+  def hankel1vRe(v: Column, x: Column): Column = besselJv(v, x)
+  def hankel1vIm(v: Column, x: Column): Column = besselYv(v, x)
+  def hankel2vRe(v: Column, x: Column): Column = besselJv(v, x)
+  def hankel2vIm(v: Column, x: Column): Column = -besselYv(v, x)
+  def hankel1veRe(v: Column, x: Column): Column =
+    besselJv(v, x) * cos(x) + besselYv(v, x) * sin(x)
+  def hankel1veIm(v: Column, x: Column): Column =
+    besselYv(v, x) * cos(x) - besselJv(v, x) * sin(x)
+  def hankel2veRe(v: Column, x: Column): Column =
+    besselJv(v, x) * cos(x) + besselYv(v, x) * sin(x)
+  def hankel2veIm(v: Column, x: Column): Column =
+    besselJv(v, x) * sin(x) - besselYv(v, x) * cos(x)
+
   /** K_ν(x), non-integer ν ∈ (0, 1), 0 < x ≤ ~8.9. */
   def besselKv(v: Column, x: Column): Column =
     lit(math.Pi / 2.0) * (bessel0f1Neg(v, x, signPlus = true) - besselIv(v, x)) /

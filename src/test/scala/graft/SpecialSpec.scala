@@ -643,6 +643,13 @@ class SpecialSpec extends SparkSpecBase {
     // the 0F1 form agrees with the spherical seeds at nu = 1/2
     assert(math.abs(ev(Special.besselJv, 0.5, 2.0)
       - eval1(Special.besselJHalf(0, _), 2.0)) < 1e-14)
+    // real-order Hankel compositions (mpmath hankel1/hankel2 pins)
+    assert(math.abs(ev(Special.hankel1vRe, 0.3, 2.0) - 0.4256940619814137) < 1e-12)
+    assert(math.abs(ev(Special.hankel1vIm, 0.3, 2.0) - 0.3634828078260922) < 1e-12)
+    assert(math.abs(ev(Special.hankel1veRe, 0.3, 2.0) - 0.15336274462117095) < 1e-12)
+    assert(math.abs(ev(Special.hankel1veIm, 0.3, 2.0) - (-0.5383447357907729)) < 1e-12)
+    assert(math.abs(ev(Special.hankel2vRe, 0.7, 3.0) - 0.18788671346939385) < 1e-12)
+    assert(math.abs(ev(Special.hankel2vIm, 0.7, 3.0) - (-0.4236024261472224)) < 1e-12)
   }
 
   test("special columns stay inside whole-stage codegen (no UDFs)") {
