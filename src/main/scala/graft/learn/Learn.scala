@@ -1449,6 +1449,27 @@ object Learn {
         col("__n").cast("double")).as("log_loss"))
   }
 
+  /** get_scorer (reference mars/learn/metrics/_scorer.py — the SCORERS
+    * registry is exactly {r2, accuracy, neg_log_loss}): resolves the
+    * name to a scoring function (df, labelCol, col2) → one-row frame
+    * with column `score`. `col2` is the prediction column for
+    * r2/accuracy and the probability-array column for neg_log_loss
+    * (sklearn's needs_proba). Unknown names raise with the valid set,
+    * like the reference. */
+  def getScorer(name: String): (DataFrame, String, String) => DataFrame =
+    name match {
+      case "r2" => (df, y, p) =>
+        regressionMetrics(df, y, p).select(col("r2").as("score"))
+      case "accuracy" => (df, y, p) =>
+        accuracy(df, y, p).select(col("accuracy").as("score"))
+      case "neg_log_loss" => (df, y, p) =>
+        logLossMulticlass(df, y, p)
+          .select((-col("log_loss")).as("score"))
+      case o => throw new IllegalArgumentException(
+        s"$o is not a valid scoring value. Valid options are " +
+          "[accuracy, neg_log_loss, r2]")
+    }
+
   def regressionMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val y = col(labelCol).cast("double")
     val err = y - col(predCol).cast("double")

@@ -2772,6 +2772,59 @@ object LearnQ {
       Learn.logLossMulticlass(d, "lab", "probs")
     },
 
+    // --- metrics get_scorer (_scorer.py — the SCORERS registry is
+    //     exactly {r2, accuracy, neg_log_loss}): all three resolved
+    //     scorers on one slice. accuracy is an exact rational; r2's
+    //     sums are exact dyadics (integer-valued y, err = y/2 − 5);
+    //     neg_log_loss rides the scaled-integer order-free mean — one
+    //     row, UNROUNDED.
+    Q("learn_get_scorer",
+      """WITH base AS (SELECT
+        |    CAST(l_partkey % 3 AS INT) AS lab,
+        |    CAST(l_suppkey % 3 AS INT) AS pred,
+        |    CAST(l_quantity AS DOUBLE) AS y,
+        |    CAST(l_quantity AS DOUBLE) / 2.0 + 5.0 AS yp,
+        |    list_transform(
+        |      [CAST(l_quantity AS DOUBLE) / 100.0 + 0.05,
+        |       CAST(0.3 AS DOUBLE),
+        |       (CAST(51.0 AS DOUBLE) - CAST(l_quantity AS DOUBLE)) / 100.0 + 0.05],
+        |      x -> least(CAST(1.0 AS DOUBLE) - CAST(1e-15 AS DOUBLE),
+        |                 greatest(CAST(1e-15 AS DOUBLE), x))) AS cp
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |r2 AS (SELECT CAST(1.0 AS DOUBLE) -
+        |    SUM((y - yp) * (y - yp)) /
+        |    (SUM(y * y) - SUM(y) * SUM(y) / CAST(COUNT(*) AS DOUBLE))
+        |    AS score_r2 FROM base),
+        |acc AS (SELECT CAST(SUM(CASE WHEN lab = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE) AS score_acc FROM base),
+        |t AS (SELECT -ln(cp[lab + 1] / list_sum(cp)) AS term FROM base),
+        |nll AS (SELECT -(CAST(CAST(SUM(CAST(floor(term * CAST(1000000.0 AS DOUBLE)
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |  / CAST(1000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |  AS score_negll FROM t)
+        |SELECT score_r2, score_acc, score_negll
+        |FROM r2 CROSS JOIN acc CROSS JOIN nll
+        |ORDER BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 300)
+        .select(($"l_partkey" % 3).cast("int").as("lab"),
+          ($"l_suppkey" % 3).cast("int").as("pred"),
+          $"l_quantity".cast("double").as("y"),
+          ($"l_quantity".cast("double") / 2.0 + 5.0).as("yp"),
+          array($"l_quantity".cast("double") / 100.0 + 0.05,
+            lit(0.3),
+            (lit(51.0) - $"l_quantity".cast("double")) / 100.0 + 0.05)
+            .as("probs"))
+      val r2 = Learn.getScorer("r2")(base, "y", "yp")
+        .select($"score".as("score_r2"))
+      val acc = Learn.getScorer("accuracy")(base, "lab", "pred")
+        .select($"score".as("score_acc"))
+      val nll = Learn.getScorer("neg_log_loss")(base, "lab", "probs")
+        .select($"score".as("score_negll"))
+      r2.crossJoin(acc).crossJoin(nll)
+        .orderBy($"score_r2")
+    },
+
     // --- metrics multiclass roc_auc_score OVR macro (_ranking.py:531):
     //     per-class binary rank AUCs (exact dyadic rank terms — order-free
     //     double sums, the learn_auc argument) + an ordered-fold macro

@@ -1036,6 +1036,26 @@ class LearnSpec extends SparkSpecBase {
     assert(out(1000L)._2 === 0L && out(1000L)._3 === 0)
     assert(out(1001L)._2 === 4L && out(1001L)._3 === 1)
   }
+
+  test("getScorer resolves the SCORERS registry and rejects unknown names") {
+    // perfect predictions: r2 = 1, accuracy = 1
+    val df = Seq((1.0, 1.0, 0, 0), (2.0, 2.0, 1, 1), (3.0, 3.0, 2, 2))
+      .toDF("y", "yp", "lab", "pred")
+    assert(math.abs(Learn.getScorer("r2")(df, "y", "yp")
+      .head().getDouble(0) - 1.0) < 1e-12)
+    assert(Learn.getScorer("accuracy")(df, "lab", "pred")
+      .head().getDouble(0) == 1.0)
+    // neg_log_loss of a confident correct one-hot-ish model is near 0⁻
+    val probs = Seq((0, Seq(0.98, 0.01, 0.01)), (1, Seq(0.01, 0.98, 0.01)))
+      .toDF("lab", "probs")
+    val nll = Learn.getScorer("neg_log_loss")(probs, "lab", "probs")
+      .head().getDouble(0)
+    assert(nll < 0.0 && nll > -0.05, s"nll=$nll")
+    val err = intercept[IllegalArgumentException] {
+      Learn.getScorer("f1_macro")
+    }
+    assert(err.getMessage.contains("not a valid scoring value"))
+  }
 }
 
 object LearnSpec {
