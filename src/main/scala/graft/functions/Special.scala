@@ -2120,8 +2120,31 @@ object Special {
   // and the second kind / ellip_normal (adaptive quadrature) stay out
   // of scope.
 
+  /** Degree-3 eigenvalue-polynomial root: c = (−b ± √(b²−20·cc))/10 for
+    * 5c² + b·c + cc = 0 — the K/L/M quadratics derived by substituting
+    * the ansatz into the Lamé ODE (see the n=3 branches below). */
+  private def lameRoot3(b: Column, cc: Column, plus: Boolean): Column = {
+    val d = sqrt(b * b - lit(20.0) * cc)
+    (if (plus) -b + d else -b - d) / lit(10.0)
+  }
+  private def sqlLameRoot3(b: String, cc: String, plus: Boolean): String = {
+    val d = s"sqrt(($b) * ($b) - CAST(20.0 AS DOUBLE) * ($cc))"
+    val num = if (plus) s"(-($b) + $d)" else s"(-($b) - $d)"
+    s"($num / CAST(10.0 AS DOUBLE))"
+  }
+
   def ellipHarm(h2: Column, k2: Column, n: Int, p: Int, s: Column): Column = {
     def disc = sqrt((h2 + k2) * (h2 + k2) - lit(3.0) * (h2 * k2))
+    // n=3 ansatz quadratics (5c² + b·c + cc = 0):
+    //   K (s³+cs):          b = 4(h²+k²), cc = 3h²k²
+    //   L ((s²+c)√(s²−h²)): b = 2h²+4k², cc = h²k²
+    //   M ((s²+c)√(s²−k²)): b = 2k²+4h², cc = h²k²  (h ↔ k symmetry)
+    def cK(plus: Boolean) =
+      lameRoot3(lit(4.0) * (h2 + k2), lit(3.0) * (h2 * k2), plus)
+    def cL(plus: Boolean) =
+      lameRoot3(lit(2.0) * h2 + lit(4.0) * k2, h2 * k2, plus)
+    def cM(plus: Boolean) =
+      lameRoot3(lit(2.0) * k2 + lit(4.0) * h2, h2 * k2, plus)
     (n, p) match {
       case (0, 1) => lit(1.0)
       case (1, 1) => s
@@ -2132,8 +2155,15 @@ object Special {
       case (2, 3) => s * sqrt(s * s - h2)
       case (2, 4) => s * sqrt(s * s - k2)
       case (2, 5) => sqrt((s * s - h2) * (s * s - k2))
+      case (3, 1) => s * s * s + cK(plus = false) * s
+      case (3, 2) => s * s * s + cK(plus = true) * s
+      case (3, 3) => (s * s + cL(plus = false)) * sqrt(s * s - h2)
+      case (3, 4) => (s * s + cL(plus = true)) * sqrt(s * s - h2)
+      case (3, 5) => (s * s + cM(plus = false)) * sqrt(s * s - k2)
+      case (3, 6) => (s * s + cM(plus = true)) * sqrt(s * s - k2)
+      case (3, 7) => s * sqrt((s * s - h2) * (s * s - k2))
       case _ => throw new IllegalArgumentException(
-        s"ellipHarm: closed forms cover n ≤ 2, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
+        s"ellipHarm: closed forms cover n ≤ 3, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
     }
   }
 
@@ -2151,8 +2181,29 @@ object Special {
       case (2, 3) => s"(($s) * sqrt(($s) * ($s) - ($h2)))"
       case (2, 4) => s"(($s) * sqrt(($s) * ($s) - ($k2)))"
       case (2, 5) => s"sqrt((($s) * ($s) - ($h2)) * (($s) * ($s) - ($k2)))"
+      case (3, pp) =>
+        val cK = (plus: Boolean) => sqlLameRoot3(
+          s"(CAST(4.0 AS DOUBLE) * (($h2) + ($k2)))",
+          s"(CAST(3.0 AS DOUBLE) * (($h2) * ($k2)))", plus)
+        val cL = (plus: Boolean) => sqlLameRoot3(
+          s"(CAST(2.0 AS DOUBLE) * ($h2) + CAST(4.0 AS DOUBLE) * ($k2))",
+          s"(($h2) * ($k2))", plus)
+        val cM = (plus: Boolean) => sqlLameRoot3(
+          s"(CAST(2.0 AS DOUBLE) * ($k2) + CAST(4.0 AS DOUBLE) * ($h2))",
+          s"(($h2) * ($k2))", plus)
+        pp match {
+          case 1 => s"(($s) * ($s) * ($s) + ${cK(false)} * ($s))"
+          case 2 => s"(($s) * ($s) * ($s) + ${cK(true)} * ($s))"
+          case 3 => s"((($s) * ($s) + ${cL(false)}) * sqrt(($s) * ($s) - ($h2)))"
+          case 4 => s"((($s) * ($s) + ${cL(true)}) * sqrt(($s) * ($s) - ($h2)))"
+          case 5 => s"((($s) * ($s) + ${cM(false)}) * sqrt(($s) * ($s) - ($k2)))"
+          case 6 => s"((($s) * ($s) + ${cM(true)}) * sqrt(($s) * ($s) - ($k2)))"
+          case 7 => s"(($s) * sqrt((($s) * ($s) - ($h2)) * (($s) * ($s) - ($k2))))"
+          case _ => throw new IllegalArgumentException(
+            s"sqlEllipHarm: n=3 needs 1 ≤ p ≤ 7 (got p=$pp)")
+        }
       case _ => throw new IllegalArgumentException(
-        s"sqlEllipHarm: n ≤ 2 only (got n=$n p=$p)")
+        s"sqlEllipHarm: n ≤ 3 only (got n=$n p=$p)")
     }
   }
 
@@ -2291,8 +2342,27 @@ object Special {
       case (2, 3) => s2 * abs(s2 - h2)
       case (2, 4) => s2 * abs(s2 - k2)
       case (2, 5) => abs((s2 - h2) * (s2 - k2))
+      case (3, 1) =>
+        val e = s2 + lameRoot3(lit(4.0) * (h2 + k2), lit(3.0) * (h2 * k2),
+          plus = false); s2 * (e * e)
+      case (3, 2) =>
+        val e = s2 + lameRoot3(lit(4.0) * (h2 + k2), lit(3.0) * (h2 * k2),
+          plus = true); s2 * (e * e)
+      case (3, 3) =>
+        val e = s2 + lameRoot3(lit(2.0) * h2 + lit(4.0) * k2, h2 * k2,
+          plus = false); e * e * abs(s2 - h2)
+      case (3, 4) =>
+        val e = s2 + lameRoot3(lit(2.0) * h2 + lit(4.0) * k2, h2 * k2,
+          plus = true); e * e * abs(s2 - h2)
+      case (3, 5) =>
+        val e = s2 + lameRoot3(lit(2.0) * k2 + lit(4.0) * h2, h2 * k2,
+          plus = false); e * e * abs(s2 - k2)
+      case (3, 6) =>
+        val e = s2 + lameRoot3(lit(2.0) * k2 + lit(4.0) * h2, h2 * k2,
+          plus = true); e * e * abs(s2 - k2)
+      case (3, 7) => s2 * abs((s2 - h2) * (s2 - k2))
       case _ => throw new IllegalArgumentException(
-        s"ellipHarmSq: n ≤ 2 only (got n=$n p=$p)")
+        s"ellipHarmSq: n ≤ 3 only (got n=$n p=$p)")
     }
   }
 
@@ -2314,8 +2384,27 @@ object Special {
       case (2, 3) => s"(($s2) * abs(($s2) - ($h2)))"
       case (2, 4) => s"(($s2) * abs(($s2) - ($k2)))"
       case (2, 5) => s"abs((($s2) - ($h2)) * (($s2) - ($k2)))"
+      case (3, pp) =>
+        val bK = s"(CAST(4.0 AS DOUBLE) * (($h2) + ($k2)))"
+        val cK = s"(CAST(3.0 AS DOUBLE) * (($h2) * ($k2)))"
+        val bL = s"(CAST(2.0 AS DOUBLE) * ($h2) + CAST(4.0 AS DOUBLE) * ($k2))"
+        val bM = s"(CAST(2.0 AS DOUBLE) * ($k2) + CAST(4.0 AS DOUBLE) * ($h2))"
+        val cc = s"(($h2) * ($k2))"
+        def e(b: String, c: String, plus: Boolean) =
+          s"(($s2) + ${sqlLameRoot3(b, c, plus)})"
+        pp match {
+          case 1 => val x = e(bK, cK, false); s"(($s2) * ($x * $x))"
+          case 2 => val x = e(bK, cK, true); s"(($s2) * ($x * $x))"
+          case 3 => val x = e(bL, cc, false); s"($x * $x * abs(($s2) - ($h2)))"
+          case 4 => val x = e(bL, cc, true); s"($x * $x * abs(($s2) - ($h2)))"
+          case 5 => val x = e(bM, cc, false); s"($x * $x * abs(($s2) - ($k2)))"
+          case 6 => val x = e(bM, cc, true); s"($x * $x * abs(($s2) - ($k2)))"
+          case 7 => s"(($s2) * abs((($s2) - ($h2)) * (($s2) - ($k2))))"
+          case _ => throw new IllegalArgumentException(
+            s"sqlEllipHarmSq: n=3 needs 1 ≤ p ≤ 7 (got p=$pp)")
+        }
       case _ => throw new IllegalArgumentException(
-        s"sqlEllipHarmSq: n ≤ 2 only (got n=$n p=$p)")
+        s"sqlEllipHarmSq: n ≤ 3 only (got n=$n p=$p)")
     }
   }
 

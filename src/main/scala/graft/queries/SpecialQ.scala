@@ -791,5 +791,46 @@ object SpecialQ {
           Special.ellipNormal($"h2", $"k2", n, p).as(a) }
       base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ outs: _*)
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- degree-3 Lamé family (ellip_harm.py n=3): all seven closed
+    //     forms from the ansatz quadratics (K: 5c²+4(h²+k²)c+3h²k²;
+    //     L/M: 5c²+(2h²+4k²)c+h²k² and the h↔k swap; N: the full
+    //     radical) — derived by substitution into the ODE, each pinned
+    //     by the constant-eigenvalue property in SpecialSpec. First
+    //     kind UNROUNDED; one second-kind column (the generic GL-32
+    //     integral over E³₁) and one normalization column (γ³₇ via the
+    //     n=3 E² forms) ride along, also UNROUNDED.
+    Q("op_special_ellipharm3", {
+      val S = graft.functions.Special
+      val firsts = (1 to 7).map { p =>
+        s"  ${S.sqlEllipHarm("h2", "k2", 3, p, "s")} AS e3$p" }
+        .mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |$firsts,
+         |  ${S.sqlEllipHarm2("h2", "k2", 3, 1, "s")} AS f31,
+         |  ${S.sqlEllipNormal("h2", "k2", 3, 7)} AS g37
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 + 0.5 AS h2,
+         |        CAST(l_quantity AS DOUBLE) / 25.0 + 2.0 AS k2,
+         |        CAST(l_quantity AS DOUBLE) / 20.0 + 2.2 AS s
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 50.0 + 0.5).as("h2"),
+          ($"l_quantity".cast("double") / 25.0 + 2.0).as("k2"),
+          ($"l_quantity".cast("double") / 20.0 + 2.2).as("s"))
+      val firsts = (1 to 7).map { p =>
+        Special.ellipHarm($"h2", $"k2", 3, p, $"s").as(s"e3$p") }
+      base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ firsts ++ Seq(
+        Special.ellipHarm2($"h2", $"k2", 3, 1, $"s").as("f31"),
+        Special.ellipNormal($"h2", $"k2", 3, 7).as("g37")): _*)
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -532,7 +532,8 @@ class SpecialSpec extends SparkSpecBase {
     val pts = Seq(1.9, 2.4, 3.1)
     val ss = pts.flatMap(s => Seq(s - d, s, s + d))
     for ((n, p) <- Seq((1, 1), (1, 2), (1, 3),
-        (2, 1), (2, 2), (2, 3), (2, 4), (2, 5))) {
+        (2, 1), (2, 2), (2, 3), (2, 4), (2, 5),
+        (3, 1), (3, 2), (3, 3), (3, 4), (3, 5), (3, 6), (3, 7))) {
       val vals = ss.toDF("s")
         .select(col("s"),
           Special.ellipHarm(lit(h2), lit(k2), n, p, col("s")).as("e"))
@@ -559,6 +560,8 @@ class SpecialSpec extends SparkSpecBase {
         .select(Special.ellipHarm2(h2, k2, n, p, col("s")).as("f"))
         .head().getDouble(0)
     // mpmath mp.dps=30 quad references at h²=1.2, k²=2.9
+    assert(math.abs(evalF(3, 1, 2.0) - 0.18492454545709507) < 1e-12)
+    assert(math.abs(evalF(3, 7, 3.0) - 0.017457153572234129) < 1e-12)
     assert(math.abs(evalF(0, 1, 2.0) - 0.639247998184384) < 1e-12)
     assert(math.abs(evalF(1, 1, 2.0) - 0.388325276952766) < 1e-12)
     assert(math.abs(evalF(1, 1, 3.0) - 0.12969486321545) < 1e-12)
@@ -585,6 +588,10 @@ class SpecialSpec extends SparkSpecBase {
     // covered here by the sum rule γ(p) > 0 for all nine branches
     for ((n, p) <- Seq((1, 3), (2, 2), (2, 3), (2, 4)))
       assert(evalG(n, p) > 0.0, s"γ must be positive at (n=$n,p=$p)")
+    // n=3: the quadrature harness value for the N class + positivity
+    assert(math.abs(evalG(3, 7) - 4.188677227130583) < 1e-11)
+    for (p <- 1 to 6)
+      assert(evalG(3, p) > 0.0, s"γ must be positive at (n=3,p=$p)")
   }
 
   test("hyp2f1Ext continues to negative z via Pfaff (mpmath pins)") {
