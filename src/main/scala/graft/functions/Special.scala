@@ -2107,7 +2107,7 @@ object Special {
 
   // ------- Lamé functions of the first kind E^p_n
   // (ellip_harm.py ellip_harm) -------
-  // Closed forms for degrees n ≤ 2 (Dassios, "Ellipsoidal Harmonics",
+  // Closed forms for degrees n ≤ 3 (Dassios, "Ellipsoidal Harmonics",
   // CUP 2012 — leading-coefficient-1 normalization, class order
   // K¹ K² L M N for n = 2): n=0: 1; n=1: s, √(s²−h²), √(s²−k²);
   // n=2: the Niven polynomials s² + c± with 3c² + 2(h²+k²)c + h²k² = 0
@@ -2116,7 +2116,7 @@ object Special {
   // solution (constant-eigenvalue property pinned in SpecialSpec).
   // Arguments follow scipy's signature: h2/k2 are the SQUARED
   // semifocal quantities; domain s ≥ k ≥ h > 0 keeps every radicand
-  // nonnegative. Pure IEEE ·−√ → bit-exact oracle-able. Degrees ≥ 3
+  // nonnegative. Pure IEEE ·−√ → bit-exact oracle-able. Degrees ≥ 4
   // and the second kind / ellip_normal (adaptive quadrature) stay out
   // of scope.
 
