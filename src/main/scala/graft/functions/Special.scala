@@ -2133,6 +2133,60 @@ object Special {
     s"($num / CAST(10.0 AS DOUBLE))"
   }
 
+  /** Degree-4 quadratic root: c = (−b ± √(b²−28·cc))/14 for
+    * 7c² + b·c + cc = 0 (the n=4 L/M/N ansatz quadratics). */
+  private def lameRoot4(b: Column, cc: Column, plus: Boolean): Column = {
+    val d = sqrt(b * b - lit(28.0) * cc)
+    (if (plus) -b + d else -b - d) / lit(14.0)
+  }
+  private def sqlLameRoot4(b: String, cc: String, plus: Boolean): String = {
+    val d = s"sqrt(($b) * ($b) - CAST(28.0 AS DOUBLE) * ($cc))"
+    val num = if (plus) s"(-($b) + $d)" else s"(-($b) - $d)"
+    s"($num / CAST(14.0 AS DOUBLE))"
+  }
+
+  /** Degree-4 K-class quadratic coefficient b (E = s⁴ + b·s² + c):
+    * trig-Cardano root `which` ∈ {0,1,2} of 49b³ + 98H·b² +
+    * (48H² + 52P)·b + 48HP (H = h²+k², P = h²k² — derived by ODE
+    * substitution; 3P − H² < 0 always, so all three roots are real and
+    * which = 2/1/0 orders them ascending). acos/cos enter (libm of
+    * identical inputs) → the K n=4 gates are round 6. */
+  private def lameK4b(h2: Column, k2: Column, which: Int): Column = {
+    val bigH = h2 + k2; val bigP = h2 * k2
+    val a2 = lit(2.0) * bigH
+    val a1 = (lit(48.0) * (bigH * bigH) + lit(52.0) * bigP) / lit(49.0)
+    val a0 = lit(48.0) * (bigH * bigP) / lit(49.0)
+    val pD = a1 - a2 * a2 / lit(3.0)
+    val qD = lit(2.0) * (a2 * a2 * a2) / lit(27.0) - a2 * a1 / lit(3.0) + a0
+    val m = lit(2.0) * sqrt(-pD / lit(3.0))
+    val theta = acos(lit(3.0) * qD / (pD * m))
+    m * cos(theta / lit(3.0) - lit(2.0 * math.Pi * which / 3.0)) -
+      a2 / lit(3.0)
+  }
+  private def sqlLameK4b(h2: String, k2: String, which: Int): String = {
+    val bigH = s"(($h2) + ($k2))"; val bigP = s"(($h2) * ($k2))"
+    val a2 = s"(CAST(2.0 AS DOUBLE) * $bigH)"
+    val a1 = s"((CAST(48.0 AS DOUBLE) * ($bigH * $bigH) + " +
+      s"CAST(52.0 AS DOUBLE) * $bigP) / CAST(49.0 AS DOUBLE))"
+    val a0 = s"(CAST(48.0 AS DOUBLE) * ($bigH * $bigP) / CAST(49.0 AS DOUBLE))"
+    val pD = s"($a1 - $a2 * $a2 / CAST(3.0 AS DOUBLE))"
+    val qD = s"(CAST(2.0 AS DOUBLE) * ($a2 * $a2 * $a2) / CAST(27.0 AS DOUBLE) - " +
+      s"$a2 * $a1 / CAST(3.0 AS DOUBLE) + $a0)"
+    val m = s"(CAST(2.0 AS DOUBLE) * sqrt(-$pD / CAST(3.0 AS DOUBLE)))"
+    val theta = s"acos(CAST(3.0 AS DOUBLE) * $qD / ($pD * $m))"
+    s"($m * cos($theta / CAST(3.0 AS DOUBLE) - " +
+      s"CAST('${2.0 * math.Pi * which / 3.0}' AS DOUBLE)) - " +
+      s"$a2 / CAST(3.0 AS DOUBLE))"
+  }
+  /** c(b) = (7b² + 6bH + 6P)/10 for the K n=4 ansatz. */
+  private def lameK4c(h2: Column, k2: Column, b: Column): Column =
+    (lit(7.0) * (b * b) + lit(6.0) * (b * (h2 + k2)) +
+      lit(6.0) * (h2 * k2)) / lit(10.0)
+  private def sqlLameK4c(h2: String, k2: String, b: String): String =
+    s"((CAST(7.0 AS DOUBLE) * (($b) * ($b)) + " +
+      s"CAST(6.0 AS DOUBLE) * (($b) * (($h2) + ($k2))) + " +
+      s"CAST(6.0 AS DOUBLE) * (($h2) * ($k2))) / CAST(10.0 AS DOUBLE))"
+
   def ellipHarm(h2: Column, k2: Column, n: Int, p: Int, s: Column): Column = {
     def disc = sqrt((h2 + k2) * (h2 + k2) - lit(3.0) * (h2 * k2))
     // n=3 ansatz quadratics (5c² + b·c + cc = 0):
@@ -2162,8 +2216,27 @@ object Special {
       case (3, 5) => (s * s + cM(plus = false)) * sqrt(s * s - k2)
       case (3, 6) => (s * s + cM(plus = true)) * sqrt(s * s - k2)
       case (3, 7) => s * sqrt((s * s - h2) * (s * s - k2))
+      // n=4 (K¹K²K³ L¹L² M¹M² N¹N²): K from the trig-Cardano cubic
+      // (λ ascending: which = 2, 1, 0); L: 7c²+(4h²+6k²)c+3h²k²;
+      // M: the h↔k swap; N: 7c²+4(h²+k²)c+h²k² — all ODE-derived,
+      // constant-eigenvalue-pinned in SpecialSpec.
+      case (4, pp) if pp >= 1 && pp <= 3 =>
+        val b = lameK4b(h2, k2, which = 3 - pp)
+        s * s * s * s + b * (s * s) + lameK4c(h2, k2, b)
+      case (4, 4) => s * (s * s + lameRoot4(lit(4.0) * h2 + lit(6.0) * k2,
+        lit(3.0) * (h2 * k2), plus = false)) * sqrt(s * s - h2)
+      case (4, 5) => s * (s * s + lameRoot4(lit(4.0) * h2 + lit(6.0) * k2,
+        lit(3.0) * (h2 * k2), plus = true)) * sqrt(s * s - h2)
+      case (4, 6) => s * (s * s + lameRoot4(lit(6.0) * h2 + lit(4.0) * k2,
+        lit(3.0) * (h2 * k2), plus = false)) * sqrt(s * s - k2)
+      case (4, 7) => s * (s * s + lameRoot4(lit(6.0) * h2 + lit(4.0) * k2,
+        lit(3.0) * (h2 * k2), plus = true)) * sqrt(s * s - k2)
+      case (4, 8) => (s * s + lameRoot4(lit(4.0) * (h2 + k2), h2 * k2,
+        plus = false)) * sqrt((s * s - h2) * (s * s - k2))
+      case (4, 9) => (s * s + lameRoot4(lit(4.0) * (h2 + k2), h2 * k2,
+        plus = true)) * sqrt((s * s - h2) * (s * s - k2))
       case _ => throw new IllegalArgumentException(
-        s"ellipHarm: closed forms cover n ≤ 3, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
+        s"ellipHarm: closed forms cover n ≤ 4, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
     }
   }
 
@@ -2202,8 +2275,34 @@ object Special {
           case _ => throw new IllegalArgumentException(
             s"sqlEllipHarm: n=3 needs 1 ≤ p ≤ 7 (got p=$pp)")
         }
+      case (4, pp) =>
+        val bL = s"(CAST(4.0 AS DOUBLE) * ($h2) + CAST(6.0 AS DOUBLE) * ($k2))"
+        val bM = s"(CAST(6.0 AS DOUBLE) * ($h2) + CAST(4.0 AS DOUBLE) * ($k2))"
+        val bN = s"(CAST(4.0 AS DOUBLE) * (($h2) + ($k2)))"
+        val c3 = s"(CAST(3.0 AS DOUBLE) * (($h2) * ($k2)))"
+        val cP = s"(($h2) * ($k2))"
+        pp match {
+          case q if q >= 1 && q <= 3 =>
+            val b = sqlLameK4b(h2, k2, which = 3 - q)
+            s"(($s) * ($s) * ($s) * ($s) + $b * (($s) * ($s)) + " +
+              s"${sqlLameK4c(h2, k2, b)})"
+          case 4 => s"(($s) * (($s) * ($s) + ${sqlLameRoot4(bL, c3, false)}) * " +
+            s"sqrt(($s) * ($s) - ($h2)))"
+          case 5 => s"(($s) * (($s) * ($s) + ${sqlLameRoot4(bL, c3, true)}) * " +
+            s"sqrt(($s) * ($s) - ($h2)))"
+          case 6 => s"(($s) * (($s) * ($s) + ${sqlLameRoot4(bM, c3, false)}) * " +
+            s"sqrt(($s) * ($s) - ($k2)))"
+          case 7 => s"(($s) * (($s) * ($s) + ${sqlLameRoot4(bM, c3, true)}) * " +
+            s"sqrt(($s) * ($s) - ($k2)))"
+          case 8 => s"((($s) * ($s) + ${sqlLameRoot4(bN, cP, false)}) * " +
+            s"sqrt((($s) * ($s) - ($h2)) * (($s) * ($s) - ($k2))))"
+          case 9 => s"((($s) * ($s) + ${sqlLameRoot4(bN, cP, true)}) * " +
+            s"sqrt((($s) * ($s) - ($h2)) * (($s) * ($s) - ($k2))))"
+          case _ => throw new IllegalArgumentException(
+            s"sqlEllipHarm: n=4 needs 1 ≤ p ≤ 9 (got p=$pp)")
+        }
       case _ => throw new IllegalArgumentException(
-        s"sqlEllipHarm: n ≤ 3 only (got n=$n p=$p)")
+        s"sqlEllipHarm: n ≤ 4 only (got n=$n p=$p)")
     }
   }
 

@@ -832,5 +832,49 @@ object SpecialQ {
         Special.ellipHarm2($"h2", $"k2", 3, 1, $"s").as("f31"),
         Special.ellipNormal($"h2", $"k2", 3, 7).as("g37")): _*)
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- degree-4 Lamé family (ellip_harm.py n=4): nine closed forms —
+    //     K¹K²K³ from the trig-Cardano cubic 49b³+98Hb²+(48H²+52P)b+48HP
+    //     with c = (7b²+6bH+6P)/10 (acos/cos of identical inputs →
+    //     round 6); L/M/N from 7c²+(4h²+6k²)c+3h²k², the h↔k swap, and
+    //     7c²+4Hc+P (pure √ → UNROUNDED). F⁸₄ (the generic GL-32 second
+    //     kind over the √-only N form) rides along UNROUNDED. All
+    //     ODE-derived and constant-eigenvalue-pinned in SpecialSpec.
+    Q("op_special_ellipharm4", {
+      val S = graft.functions.Special
+      val ks = (1 to 3).map { p =>
+        s"  round(${S.sqlEllipHarm("h2", "k2", 4, p, "s")}, 6) + " +
+          s"CAST(0.0 AS DOUBLE) AS e4$p" }.mkString(",\n")
+      val rest = (4 to 9).map { p =>
+        s"  ${S.sqlEllipHarm("h2", "k2", 4, p, "s")} AS e4$p" }.mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |$ks,
+         |$rest,
+         |  ${S.sqlEllipHarm2("h2", "k2", 4, 8, "s")} AS f48
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 + 0.5 AS h2,
+         |        CAST(l_quantity AS DOUBLE) / 25.0 + 2.0 AS k2,
+         |        CAST(l_quantity AS DOUBLE) / 20.0 + 2.2 AS s
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 50.0 + 0.5).as("h2"),
+          ($"l_quantity".cast("double") / 25.0 + 2.0).as("k2"),
+          ($"l_quantity".cast("double") / 20.0 + 2.2).as("s"))
+      val ks = (1 to 3).map { p =>
+        (round(Special.ellipHarm($"h2", $"k2", 4, p, $"s"), 6) + lit(0.0))
+          .as(s"e4$p") }
+      val rest = (4 to 9).map { p =>
+        Special.ellipHarm($"h2", $"k2", 4, p, $"s").as(s"e4$p") }
+      base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ ks ++ rest ++
+        Seq(Special.ellipHarm2($"h2", $"k2", 4, 8, $"s").as("f48")): _*)
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

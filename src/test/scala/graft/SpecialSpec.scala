@@ -533,7 +533,8 @@ class SpecialSpec extends SparkSpecBase {
     val ss = pts.flatMap(s => Seq(s - d, s, s + d))
     for ((n, p) <- Seq((1, 1), (1, 2), (1, 3),
         (2, 1), (2, 2), (2, 3), (2, 4), (2, 5),
-        (3, 1), (3, 2), (3, 3), (3, 4), (3, 5), (3, 6), (3, 7))) {
+        (3, 1), (3, 2), (3, 3), (3, 4), (3, 5), (3, 6), (3, 7)) ++
+        (1 to 9).map(p => (4, p))) {
       val vals = ss.toDF("s")
         .select(col("s"),
           Special.ellipHarm(lit(h2), lit(k2), n, p, col("s")).as("e"))
