@@ -518,6 +518,11 @@ object Special {
     * [[gammaincPDepth]]). */
   def sqlGammaincPQDepth(from: String, pairs: Seq[(String, String, String)],
       carry: Seq[String], sd: Int, cd: Int): String = {
+    // The CF recurrence only advances while k <= cd inside the shared
+    // k <- sd..1 loop; a cd > sd call would silently drop the top
+    // cd - sd continued-fraction levels and diverge from
+    // gammaincPDepth's independent CF loop (r11 ADVICE).
+    require(cd <= sd, s"sqlGammaincPQDepth: cfDepth $cd > seriesDepth $sd")
     val keep = carry.mkString(", ")
     var q = s"SELECT $keep, " + pairs.map { case (sfx, a, x) =>
       s"CAST(($a) AS DOUBLE) AS a_$sfx, CAST(($x) AS DOUBLE) AS x_$sfx"

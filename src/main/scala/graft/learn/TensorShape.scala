@@ -113,13 +113,26 @@ object TensorShape {
   /** The stack family (merge/vstack.py, hstack.py, dstack.py,
     * column_stack.py, concatenate.py): concatenate COO frames along
     * `axis` by offsetting that axis with the cumulative lengths of the
-    * earlier operands. A union of projections — no shuffle, and at
-    * scale the union is exactly as parallel as its inputs. */
+    * earlier operands. `shapes` gives each operand's FULL shape so the
+    * numpy contract — all non-concat axis lengths equal — is enforced
+    * up front (r11 ADVICE: the old sizes-only form silently accepted
+    * ragged operands numpy would raise on). A union of projections —
+    * no shuffle, and at scale the union is exactly as parallel as its
+    * inputs. */
   def concatAxis(frames: Seq[DataFrame], idx: Seq[String], axis: Int,
-      sizes: Seq[Long]): DataFrame = {
-    require(frames.nonEmpty && frames.size == sizes.size,
-      s"concatAxis: ${frames.size} frames but ${sizes.size} sizes")
+      shapes: Seq[Seq[Long]]): DataFrame = {
+    require(frames.nonEmpty && frames.size == shapes.size,
+      s"concatAxis: ${frames.size} frames but ${shapes.size} shapes")
     require(axis >= 0 && axis < idx.size, s"concatAxis: bad axis $axis")
+    require(shapes.forall(_.size == idx.size),
+      s"concatAxis: every shape must have ${idx.size} dims, got $shapes")
+    for (k <- idx.indices if k != axis) {
+      val lens = shapes.map(_(k)).distinct
+      require(lens.size == 1,
+        s"concatAxis: off-axis $k lengths differ across operands: " +
+          s"${shapes.map(_(k))} (numpy concatenate would raise)")
+    }
+    val sizes = shapes.map(_(axis))
     val offsets = sizes.scanLeft(0L)(_ + _)
     frames.zip(offsets).map { case (f, off) =>
       f.select(idx.zipWithIndex.map { case (c, k) =>

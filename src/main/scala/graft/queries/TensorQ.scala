@@ -141,11 +141,14 @@ object TensorQ {
     },
 
     // --- the stack family (merge/vstack.py, hstack.py, dstack.py,
-    //     column_stack.py): vstack offsets axis 0 by a's height 7,
-    //     hstack offsets axis 1 by width 5, dstack expands both to
-    //     depth-1 and concatenates along the new axis, column_stack
-    //     stacks two 1-d slices (a at j=0 / j=1) along a new axis 1.
-    //     2-d results carry d = 0 so one tagged union gates all four.
+    //     column_stack.py): vstack offsets axis 0 by a's height 7
+    //     (widths 5 = 5 agree); hstack and dstack need equal axis-0
+    //     lengths (numpy raises on ragged operands — r11 ADVICE), so
+    //     they pair a's first 4 rows (4x5) with b (4x5): hstack offsets
+    //     axis 1 by width 5, dstack expands both to depth-1 and
+    //     concatenates along the new axis. column_stack stacks two 1-d
+    //     slices (a at j=0 / j=1) along a new axis 1. 2-d results carry
+    //     d = 0 so one tagged union gates all four.
     Q("learn_tensor_stack",
       s"""WITH $sqlA2, $sqlB2
          |SELECT tag, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
@@ -154,11 +157,11 @@ object TensorQ {
          |  UNION ALL
          |  SELECT 'v' AS tag, i + 7 AS i, j, 0 AS d, v FROM b
          |  UNION ALL
-         |  SELECT 'h' AS tag, i, j, 0 AS d, v FROM a
+         |  SELECT 'h' AS tag, i, j, 0 AS d, v FROM a WHERE i < 4
          |  UNION ALL
          |  SELECT 'h' AS tag, i, j + 5 AS j, 0 AS d, v FROM b
          |  UNION ALL
-         |  SELECT 'd' AS tag, i, j, 0 AS d, v FROM a
+         |  SELECT 'd' AS tag, i, j, 0 AS d, v FROM a WHERE i < 4
          |  UNION ALL
          |  SELECT 'd' AS tag, i, j, 1 AS d, v FROM b
          |  UNION ALL
@@ -176,18 +179,21 @@ object TensorQ {
       def tag3(tag: String, f: org.apache.spark.sql.DataFrame) =
         f.select(lit(tag).as("tag"), $"i".cast("long").as("i"),
           $"j".cast("long").as("j"), $"d".cast("long").as("d"), $"v")
-      val vst = tag2("v", TensorShape.concatAxis(Seq(a, b), idx, 0, Seq(7L, 4L)))
-      val hst = tag2("h", TensorShape.concatAxis(Seq(a, b), idx, 1, Seq(5L, 5L)))
+      val a4 = a.filter($"i" < 4)
+      val vst = tag2("v", TensorShape.concatAxis(Seq(a, b), idx, 0,
+        Seq(Seq(7L, 5L), Seq(4L, 5L))))
+      val hst = tag2("h", TensorShape.concatAxis(Seq(a4, b), idx, 1,
+        Seq(Seq(4L, 5L), Seq(4L, 5L))))
       val dst = tag3("d", TensorShape.concatAxis(
-        Seq(TensorShape.expandDims(a, idx, 2, "d"),
+        Seq(TensorShape.expandDims(a4, idx, 2, "d"),
           TensorShape.expandDims(b, idx, 2, "d")),
-        Seq("i", "j", "d"), 2, Seq(1L, 1L)))
+        Seq("i", "j", "d"), 2, Seq(Seq(4L, 5L, 1L), Seq(4L, 5L, 1L))))
       val v0 = a.filter($"j" === 0).select($"i", $"v")
       val v1 = a.filter($"j" === 1).select($"i", $"v")
       val cst = tag2("cs", TensorShape.concatAxis(
         Seq(TensorShape.expandDims(v0, Seq("i"), 1, "j"),
           TensorShape.expandDims(v1, Seq("i"), 1, "j")),
-        idx, 1, Seq(1L, 1L)))
+        idx, 1, Seq(Seq(7L, 1L), Seq(7L, 1L))))
       vst.unionByName(hst).unionByName(dst).unionByName(cst)
         .orderBy($"tag", $"i", $"j", $"d")
     },
@@ -317,7 +323,7 @@ object TensorQ {
         |FROM (SELECT l_orderkey, l_linenumber,
         |        CAST(l_quantity AS DOUBLE) / 4.0 - 6.125 AS x
         |      FROM lineitem WHERE l_orderkey < 600) base
-        |ORDER BY l_orderkey, l_linenumber, shl""".stripMargin) { (spark, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, shl, m_int, m_frac""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       import graft.functions.Ufuncs
       t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
@@ -328,7 +334,10 @@ object TensorQ {
           (Ufuncs("modf_frac")($"x") + lit(0.0)).as("m_frac"),
           Ufuncs("left_shift", $"l_orderkey", $"l_linenumber" % 5).as("shl"),
           Ufuncs("right_shift", $"l_orderkey", $"l_linenumber" % 3).as("shr"))
-        .orderBy($"l_orderkey", $"l_linenumber", $"shl")
+        // (m_int, m_frac) together determine x, breaking the 400+
+        // duplicate (l_orderkey, l_linenumber) ties in the fixture —
+        // shl/shr are constant across such ties (r11 ADVICE).
+        .orderBy($"l_orderkey", $"l_linenumber", $"shl", $"m_int", $"m_frac")
     },
 
     // --- nanmedian / nan-skipping quantile (reduction/nanmedian.py):

@@ -94,10 +94,19 @@ class TensorShapeSpec extends SparkSpecBase {
   }
 
   test("concatAxis offsets later operands by cumulative sizes") {
-    val b = Seq((0L, 0L, 99.0)).toDF("i", "j", "v")
+    val b = Seq((0L, 0L, 99.0)).toDF("i", "j", "v") // sparse 1x3 row
     val stacked = cells(TensorShape.concatAxis(Seq(m23, b), Seq("i", "j"), 0,
-      Seq(2L, 1L)))
+      Seq(Seq(2L, 3L), Seq(1L, 3L))))
     assert(stacked.contains((2L, 0L, 99.0)) && stacked.size == 7)
+  }
+
+  test("concatAxis rejects ragged off-axis lengths (numpy contract)") {
+    val b = Seq((0L, 0L, 99.0)).toDF("i", "j", "v")
+    val ex = intercept[IllegalArgumentException] {
+      TensorShape.concatAxis(Seq(m23, b), Seq("i", "j"), 0,
+        Seq(Seq(2L, 3L), Seq(1L, 1L)))
+    }
+    assert(ex.getMessage.contains("off-axis"))
   }
 
   test("fan-out ops multiply rows by exactly the replication factor") {
