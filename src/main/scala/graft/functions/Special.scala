@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   * series/asymptotic at |x| = 4; Airy Ai/Ai′/Bi/Bi′ (airy.py) are
   * series-windowed to |x| ≤ 6; hyp1f1/hyp2f1 are series-windowed to
   * their convergent domains (|x| bounded away from 1 for 2F1) with
-  * staged SQL mirrors, gated via op_special_hyp. Out of parity scope
-  * (SURVEY §2.14): wofz/modfresnel and the full-plane analytic
-  * continuations of the hypergeometric family — scipy-grade accuracy
-  * there needs the Cephes coefficient tables and connection formulas,
-  * not a fixed-degree composition.
+  * staged SQL mirrors, gated via op_special_hyp; wofz/voigt_profile
+  * use Humlicek's w4 rational regions (~3e-5 relative, spec-pinned vs
+  * mpmath) and modfresnelp/modfresnelm ride the same Faddeeva kernel
+  * through one complex identity. Out of parity scope (SURVEY §2.14):
+  * the full-plane analytic continuations of the hypergeometric family
+  * beyond the documented windows — scipy-grade accuracy there needs
+  * the Cephes coefficient tables, not a fixed-degree composition.
   */
 object Special {
 
@@ -1671,6 +1673,100 @@ object Special {
     val scale = s"(($sigma) * CAST('${math.sqrt(2.0)}' AS DOUBLE))"
     s"((${sqlWofzRe(s"(($x) / $scale)", s"(($gamma) / $scale)")}) / " +
       s"(($sigma) * CAST('${math.sqrt(2.0 * math.Pi)}' AS DOUBLE)))"
+  }
+
+  // ------- modified Fresnel integrals (err_fresnel.py:207,214
+  // modfresnelp/modfresnelm) -------
+  // scipy's definitions: F±(x) = ∫ₓ^∞ exp(±it²) dt and
+  // K±(x) = π^(−1/2) exp(∓i(x²+π/4)) F±(x). One Faddeeva evaluation
+  // serves all four outputs: with z = x·e^{iπ/4} (upper half-plane for
+  // x ≥ 0), differentiating (√π/2)e^{iπ/4}erfc(x e^{−iπ/4}) shows
+  //   K₊(x) = w(z)/2,   F₊(x) = √π e^{i(x²+π/4)} K₊(x),
+  // and for x < 0 the reflection w(z) = 2e^{−z²} − w(−z) with
+  // z² = ix² (so e^{−z²} = cos x² − i sin x²) gives
+  //   K₊(x) = e^{−ix²} − w(|x|e^{iπ/4})/2.
+  // For real x the minus family is the conjugate: K₋ = conj K₊,
+  // F₋ = conj F₊. Accuracy bounded by Humlicek w4 (~3e-5 relative),
+  // pinned vs mpmath in SpecialSpec; the Column and SQL mirrors share
+  // the operand shape op-for-op via the same WAlg body as wofz.
+
+  /** (Re K₊, Im K₊) of modfresnelp's second output. */
+  def modfresnelKPlus(x: Column): (Column, Column) = {
+    val u = abs(x) / lit(math.sqrt(2.0))
+    val (wre, wim) = wofz(u, u)
+    val kre = when(x >= 0.0, wre * lit(0.5))
+      .otherwise(cos(x * x) - wre * lit(0.5))
+    val kim = when(x >= 0.0, wim * lit(0.5))
+      .otherwise(-sin(x * x) - wim * lit(0.5))
+    (kre, kim)
+  }
+
+  /** (Re F₊, Im F₊, Re K₊, Im K₊) — modfresnelp's full tuple. The
+    * minus family for real x is the conjugate of each part. */
+  def modfresnelPlus(x: Column): (Column, Column, Column, Column) = {
+    val (kre, kim) = modfresnelKPlus(x)
+    val th = x * x + lit(math.Pi / 4.0)
+    val sp = lit(math.sqrt(math.Pi))
+    (sp * (cos(th) * kre - sin(th) * kim),
+      sp * (cos(th) * kim + sin(th) * kre), kre, kim)
+  }
+
+  /** Frame-staged form of [[modfresnelPlus]]: appends mf_fre, mf_fim,
+    * mf_kre, mf_kim behind projection boundaries so the Faddeeva pick
+    * is planned ONCE (CollapseProject keeps non-cheap multiply-
+    * referenced aliases staged) — the single-Column form re-inlines
+    * the w4 regions ~10× across the six gate outputs and blows
+    * analysis+codegen past 100 s. Stage shapes mirror
+    * [[sqlModfresnelStaged]] op-for-op. */
+  def modfresnelStaged(df: org.apache.spark.sql.DataFrame,
+      x: Column): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.toSeq.map(col)
+    val s0 = df.select(keep :+ x.cast("double").as("mfx"): _*)
+    val s1 = s0.select(keep ++ Seq(col("mfx"),
+      (abs(col("mfx")) / lit(math.sqrt(2.0))).as("mfu")): _*)
+    val (wre, wim) = wofz(col("mfu"), col("mfu"))
+    val s2 = s1.select(keep ++ Seq(col("mfx"),
+      wre.as("mfwre"), wim.as("mfwim")): _*)
+    val half = lit(0.5)
+    val kre = when(col("mfx") >= 0.0, col("mfwre") * half)
+      .otherwise(cos(col("mfx") * col("mfx")) - col("mfwre") * half)
+    val kim = when(col("mfx") >= 0.0, col("mfwim") * half)
+      .otherwise(-sin(col("mfx") * col("mfx")) - col("mfwim") * half)
+    val s3 = s2.select(keep ++ Seq(col("mfx"),
+      kre.as("mf_kre"), kim.as("mf_kim")): _*)
+    val th = col("mfx") * col("mfx") + lit(math.Pi / 4.0)
+    val sp = lit(math.sqrt(math.Pi))
+    s3.select(keep ++ Seq(col("mf_kre"), col("mf_kim"),
+      (sp * (cos(th) * col("mf_kre") - sin(th) * col("mf_kim"))).as("mf_fre"),
+      (sp * (cos(th) * col("mf_kim") + sin(th) * col("mf_kre"))).as("mf_fim")): _*)
+  }
+
+  /** Staged SQL mirror of [[modfresnelPlus]]: returns a full SELECT
+    * producing `carry` plus mf_fre, mf_fim, mf_kre, mf_kim. Staged
+    * subselects (the sqlGammaincPQ pattern) so the two Faddeeva picks
+    * are emitted exactly once — a single-expression mirror inlines the
+    * wofz regions nine times and balloons past 10 MB of SQL. */
+  def sqlModfresnelStaged(from: String, x: String,
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    var q = s"SELECT $keep, CAST(($x) AS DOUBLE) AS mfx FROM $from"
+    q = s"SELECT $keep, mfx, " +
+      s"(abs(mfx) / CAST('${math.sqrt(2.0)}' AS DOUBLE)) AS mfu FROM ($q)"
+    q = s"SELECT $keep, mfx, (${sqlWofzRe("mfu", "mfu")}) AS mfwre, " +
+      s"(${sqlWofzIm("mfu", "mfu")}) AS mfwim FROM ($q)"
+    val half = "CAST('0.5' AS DOUBLE)"
+    q = s"SELECT $keep, mfx, " +
+      s"(CASE WHEN (mfx) >= 0.0 THEN (mfwre) * $half " +
+      s"ELSE cos((mfx) * (mfx)) - (mfwre) * $half END) AS mf_kre, " +
+      s"(CASE WHEN (mfx) >= 0.0 THEN (mfwim) * $half " +
+      s"ELSE (-sin((mfx) * (mfx))) - (mfwim) * $half END) AS mf_kim " +
+      s"FROM ($q)"
+    val th = s"((mfx) * (mfx) + CAST('${math.Pi / 4.0}' AS DOUBLE))"
+    val sp = s"CAST('${math.sqrt(math.Pi)}' AS DOUBLE)"
+    s"SELECT $keep, mf_kre, mf_kim, " +
+      s"($sp * (cos($th) * (mf_kre) - sin($th) * (mf_kim))) AS mf_fre, " +
+      s"($sp * (cos($th) * (mf_kim) + sin($th) * (mf_kre))) AS mf_fim " +
+      s"FROM ($q)"
   }
 
   // ------- inverse regularized incomplete gamma / beta

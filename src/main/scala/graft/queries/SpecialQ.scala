@@ -330,6 +330,47 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- modified Fresnel integrals (err_fresnel.py modfresnelp /
+    //     modfresnelm): one Faddeeva evaluation through the complex
+    //     identity K₊ = w(x·e^{iπ/4})/2 (reflection for x < 0), the
+    //     F₊ phase rotation √π e^{i(x²+π/4)}, and the minus family as
+    //     the real-axis conjugate. Same WAlg body as op_special_wofz —
+    //     shape divergence impossible by construction. x sweeps ±6
+    //     through both sign branches; oscillatory → round 6 + the
+    //     +0.0 guard (Im parts hit exact 0 at x = 0).
+    Q("op_special_modfresnel", {
+      val S = graft.functions.Special
+      val base =
+        """(SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+          |        (CAST(l_quantity AS DOUBLE) - 25.0) / 4.0 AS mx
+          |      FROM lineitem WHERE l_orderkey < 600) base""".stripMargin
+      val staged = S.sqlModfresnelStaged(base, "mx",
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(mf_fre, 6) + CAST(0.0 AS DOUBLE) AS fp_re,
+         |  round(mf_fim, 6) + CAST(0.0 AS DOUBLE) AS fp_im,
+         |  round(mf_kre, 6) + CAST(0.0 AS DOUBLE) AS kp_re,
+         |  round(mf_kim, 6) + CAST(0.0 AS DOUBLE) AS kp_im,
+         |  round(-(mf_fim), 6) + CAST(0.0 AS DOUBLE) AS fm_im,
+         |  round(-(mf_kim), 6) + CAST(0.0 AS DOUBLE) AS km_im
+         |FROM ($staged) s
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (($"l_quantity".cast("double") - 25.0) / 4.0).as("mx"))
+      Special.modfresnelStaged(base, $"mx")
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6($"mf_fre").as("fp_re"), r6($"mf_fim").as("fp_im"),
+          r6($"mf_kre").as("kp_re"), r6($"mf_kim").as("kp_im"),
+          r6(-$"mf_fim").as("fm_im"), r6(-$"mf_kim").as("km_im"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- integrals of Airy (airy.py itairy) + scaled Hankel
     //     hankel1e/hankel2e (bessel.py): termwise-integrated Maclaurin
     //     series inside the |x| ≤ 6 window (both signs), and the
