@@ -39,6 +39,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // width ∝ corpus bytes by default (floor = the configured width, so
+    // sf0.1 stays 32); an explicit SPARK_GRAFT_SHUFFLE pins it manually
+    if (!sys.env.contains("SPARK_GRAFT_SHUFFLE"))
+      graft.api.GraftSession.scaleShuffleWidth(spark, sfDir)
 
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

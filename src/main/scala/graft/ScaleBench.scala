@@ -251,6 +251,14 @@ object ScaleBench {
 
     def runCell(name: String, fn: (SparkSession, String) => Long,
         k: Int, dir: String): Unit = {
+      // width ∝ staged-corpus bytes (the q09 lesson as code, r12):
+      // floor = the configured width, so the 1×/10×/100× grid keeps its
+      // cross-round 32-width contract; big cells widen automatically.
+      // An explicit SPARK_GRAFT_SHUFFLE pins the width manually.
+      if (!sys.env.contains("SPARK_GRAFT_SHUFFLE")) {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        graft.api.GraftSession.scaleShuffleWidth(spark, dir)
+      }
       val runs = (1 to reps).map { _ =>
         listener.reset()
         val t0 = System.nanoTime()

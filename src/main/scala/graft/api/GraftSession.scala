@@ -721,4 +721,37 @@ object GraftSession {
     recommendedClusterConf.foldLeft(SparkSession.builder()) {
       case (b, (k, v)) => b.config(k, v)
     }
+
+  /** Scale shuffle width with the corpus (the q09 1000× lesson encoded
+    * as code, r12): sets spark.sql.shuffle.partitions to
+    * max(currentWidth, min(4096, onDiskBytes(dataDir) / 128 MB)) and
+    * returns the chosen width. AQE only coalesces DOWN from the
+    * configured width, so a small pin makes 19-million-row tasks spill
+    * and go super-linear at 1000× (slope 1.17; 128 restored 18.1 s /
+    * slope 0.66 — PERF.md r10), while oversizing costs nothing when
+    * AQE merges the small partitions back. The floor is the session's
+    * current width so the sf0.1 gate contract (32) is untouched —
+    * 17 MB / 128 MB rounds to zero and the clamp keeps 32. The 4096
+    * cap bounds driver-side task bookkeeping on a single box; a real
+    * cluster raises it with executors. Compressed parquet bytes are
+    * the deliberate yardstick — they are what the scan actually reads,
+    * and 17 GB/128 MB ≈ 136 reproduces the manually-tuned 128. */
+  def scaleShuffleWidth(spark: SparkSession, dataDir: String): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dataDir)
+    val bytes =
+      if (!Files.exists(p)) 0L
+      else {
+        val s = Files.walk(p)
+        try s.iterator().asScala
+          .filter(f => Files.isRegularFile(f))
+          .map(f => Files.size(f)).sum
+        finally s.close()
+      }
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val w = math.max(floor.toLong, math.min(4096L, bytes / (128L << 20))).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    w
+  }
 }

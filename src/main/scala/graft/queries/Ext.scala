@@ -365,6 +365,49 @@ object Ext {
         .orderBy($"new_id", $"index_id")
     },
 
+    // --- incremental near-dup against a PERSISTED LSH index (r11
+    //     VERDICT #4): the history's (band, bucket, index_id) table and
+    //     shingle store are written ONCE as bucketed tables; the batch
+    //     path joins against them with no exchange and no re-banding on
+    //     the history side (PlanShapeSpec pins the plan). Same oracle
+    //     as ext_dedup_incremental: exact cross-batch Jaccard >= 0.8 —
+    //     minhash banding has full recall on the fixture's near-dup
+    //     structure, so candidates-then-verify equals the exact answer.
+    Q("ext_dedup_incremental_lsh",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // fresh catalog per JVM but persistent warehouse dir — drop both
+      // the entries and any orphan locations (op_bucketed_join pattern)
+      Seq("graft_inc_idx_bands", "graft_inc_idx_shingles").foreach { nm =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_inc_idx", buckets = 8)
+      Dedup.minhashDedupPairsAgainstIndex(docs.filter($"doc_id" >= 400),
+          "text", "doc_id", "graft_inc_idx", n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
     // --- quality-aware cluster representative selection: same transitive
     //     clusters as ext_dedup_clusters, but the KEPT member is the
     //     highest-n_chars doc (ties -> smallest id), the rule a real

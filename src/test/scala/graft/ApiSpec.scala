@@ -1055,4 +1055,31 @@ class ApiSpec extends SparkSpecBase {
     assert(r3.getAs[Double]("lo") == 5.0 && r3.getAs[Double]("hi") == 5.0)
     intercept[IllegalArgumentException] { df.quantileInterp("x", 1.5) }
   }
+
+  test("scaleShuffleWidth floors at the gate width and scales with bytes") {
+    import java.nio.file.Files
+    val before = spark.sessionState.conf.numShufflePartitions
+    try {
+      // small corpus (the sf0.1 gate shape): bytes/128MB = 0 → floor
+      val small = Files.createTempDirectory("graft_width_small")
+      Files.write(small.resolve("t.parquet"), new Array[Byte](1024))
+      assert(graft.api.GraftSession.scaleShuffleWidth(spark,
+        small.toString) == before)
+      // 10 GB corpus (sparse files — ext4 reports apparent size):
+      // 10 GiB / 128 MiB = 80 partitions
+      val big = Files.createTempDirectory("graft_width_big")
+      for (i <- 0 until 10) {
+        val raf = new java.io.RandomAccessFile(
+          big.resolve(s"t$i.parquet").toFile, "rw")
+        try raf.setLength(1L << 30) finally raf.close()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", before.toString)
+      assert(graft.api.GraftSession.scaleShuffleWidth(spark,
+        big.toString) == 80)
+      // missing dir → floor, no throw
+      spark.conf.set("spark.sql.shuffle.partitions", before.toString)
+      assert(graft.api.GraftSession.scaleShuffleWidth(spark,
+        "/nonexistent/graft") == before)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before.toString)
+  }
 }

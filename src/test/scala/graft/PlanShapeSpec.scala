@@ -423,4 +423,57 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles(out) == 1, plan.take(800))
     assert(!plan.contains("Window"))
   }
+
+  test("persisted LSH index: no exchange above the history-side scans") {
+    import graft.operators.Dedup
+    val docs = (1 to 80).map(i => (i.toLong,
+      (1 to 12).map(w => s"w${(i * w) % 60}").mkString(" ")))
+      .toDF("doc_id", "text")
+    Seq("graft_px_bands", "graft_px_shingles")
+      .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 60),
+      "text", "doc_id", "graft_px", buckets = 4)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force sort-merge (no broadcast) and a static plan: the
+      // exchange-free bucketed read must stand on its own — at real
+      // scale the history side is far too big to broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = Dedup.minhashDedupPairsAgainstIndex(
+        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_px")
+      import org.apache.spark.sql.execution.exchange.Exchange
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      val plan = out.queryExecution.executedPlan
+      // an Exchange whose input IS an index scan (only row-preserving
+      // unary ops between) = the index itself being re-shuffled — the
+      // bucket layout exists precisely to avoid that. Downstream
+      // exchanges of DERIVED candidate pairs (past a join or an
+      // aggregate) are legitimate small-data movements.
+      def scanBehindUnary(p: SparkPlan): Seq[String] = p match {
+        case f: FileSourceScanExec =>
+          Seq(f.tableIdentifier.map(_.table).getOrElse(""))
+        case u if u.children.size == 1 &&
+            !u.getClass.getSimpleName.contains("Aggregate") =>
+          scanBehindUnary(u.children.head)
+        case _ => Nil
+      }
+      val offending = plan.collect { case e: Exchange =>
+        scanBehindUnary(e.child).filter(_.startsWith("graft_px"))
+      }.flatten
+      assert(offending.isEmpty,
+        s"history side shuffles: $offending\n${plan.toString.take(1200)}")
+      // both bucketed tables actually feed the plan
+      val scans = plan.collect { case f: FileSourceScanExec =>
+        f.tableIdentifier.map(_.table).getOrElse("") }
+      assert(scans.count(_.startsWith("graft_px")) == 2, scans.mkString(","))
+      out.write.mode("overwrite").format("noop").save() // executes
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      Seq("graft_px_bands", "graft_px_shingles")
+        .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    }
+  }
 }
