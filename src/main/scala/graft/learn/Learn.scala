@@ -260,24 +260,40 @@ object Learn {
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*))))
       .drop("__features", "rawPrediction", "probability")
 
-  /** One boosting entry point, two backends (reference
-    * mars/learn/contrib/xgboost/classifier.py — the contrib module is an
-    * optional import there too): if `ml.dmlc:xgboost4j-spark` is on the
-    * classpath (a jar dropped next to the Spark jars — this build cannot
-    * resolve it, see build.sbt), train its barrier-mode XGBoostClassifier;
-    * otherwise fall back to the MLlib [[gbtFit]] stand-in. Loaded purely
-    * reflectively so there is no compile-time dependency; both backends
-    * share the assembled `__features` vector and MLlib's Estimator/Model
-    * API, so predictions come back identically shaped.
+  /** One boosting entry point, three backends (reference
+    * mars/learn/contrib/xgboost/classifier.py and
+    * mars/learn/contrib/lightgbm/ — both contrib modules are optional
+    * imports there too): if `ml.dmlc:xgboost4j-spark` (or, for
+    * `backend="lightgbm"`/`"auto"`, SynapseML's LightGBMClassifier) is
+    * on the classpath — a jar dropped next to the Spark jars; this
+    * build cannot resolve either, see build.sbt — train the native
+    * booster; otherwise fall back to the MLlib [[gbtFit]] stand-in.
+    * Loaded purely reflectively so there is no compile-time dependency;
+    * all backends share the assembled `__features` vector and MLlib's
+    * Estimator/Model API, so predictions come back identically shaped.
+    *
+    * `backend`: "auto" (xgboost → lightgbm → mllib), "xgboost",
+    * "lightgbm" (each falling back to mllib), or "mllib".
     * Returns (backend used, test predictions with `prediction`). */
   def boostedFitPredict(train: DataFrame, test: DataFrame,
       featureCols: Seq[String], labelCol: String,
-      maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L)
+      maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L,
+      backend: String = "auto")
       : (String, DataFrame) = {
+    require(Seq("auto", "xgboost", "lightgbm", "mllib").contains(backend),
+      s"boostedFitPredict: unknown backend '$backend'")
     def assemble(d: DataFrame): DataFrame =
       d.withColumn("__features",
         array_to_vector(array(featureCols.map(col(_).cast("double")): _*)))
-    val viaXgb: Option[DataFrame] =
+    def fitTransform(est: Any): DataFrame =
+      est.asInstanceOf[org.apache.spark.ml.Estimator[_]]
+        .fit(assemble(train))
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+        .transform(assemble(test))
+        .drop("__features", "rawPrediction", "probability")
+    // jar absent (ClassNotFound) or ABI drift (NoSuchMethod/etc) in
+    // either branch: the mllib fallback covers the surface either way
+    def viaXgb: Option[DataFrame] =
       try {
         val cls = Class.forName("ml.dmlc.xgboost4j.scala.spark.XGBoostClassifier")
         val params: Map[String, Any] = Map(
@@ -286,21 +302,37 @@ object Learn {
         val est = cls.getConstructor(classOf[Map[_, _]]).newInstance(params)
         cls.getMethod("setFeaturesCol", classOf[String]).invoke(est, "__features")
         cls.getMethod("setLabelCol", classOf[String]).invoke(est, labelCol)
-        val model = est.asInstanceOf[org.apache.spark.ml.Estimator[_]]
-          .fit(assemble(train))
-        Some(model.asInstanceOf[org.apache.spark.ml.Transformer]
-          .transform(assemble(test))
-          .drop("__features", "rawPrediction", "probability"))
+        Some(fitTransform(est))
       } catch {
-        // jar absent (ClassNotFound) or ABI drift (NoSuchMethod/etc):
-        // the fallback below covers the surface either way
         case _: ReflectiveOperationException | _: NoClassDefFoundError => None
       }
-    viaXgb match {
-      case Some(pred) => ("xgboost4j-spark", pred)
-      case None =>
-        val m = gbtFit(train, featureCols, labelCol, maxIter, maxDepth, seed)
-        ("mllib-gbt", gbtPredict(m, test, featureCols))
+    // SynapseML's LightGBMClassifier: zero-arg ctor + fluent setters,
+    // same Estimator/Model contract (the lightgbm-spark jar-drop twin)
+    def viaLgbm: Option[DataFrame] =
+      try {
+        val cls = Class.forName(
+          "com.microsoft.azure.synapse.ml.lightgbm.LightGBMClassifier")
+        val est = cls.getConstructor().newInstance()
+        cls.getMethod("setFeaturesCol", classOf[String]).invoke(est, "__features")
+        cls.getMethod("setLabelCol", classOf[String]).invoke(est, labelCol)
+        cls.getMethod("setNumIterations", classOf[Int])
+          .invoke(est, Int.box(maxIter))
+        cls.getMethod("setMaxDepth", classOf[Int])
+          .invoke(est, Int.box(maxDepth))
+        Some(fitTransform(est))
+      } catch {
+        case _: ReflectiveOperationException | _: NoClassDefFoundError => None
+      }
+    val native: Option[(String, DataFrame)] = backend match {
+      case "mllib" => None
+      case "xgboost" => viaXgb.map(("xgboost4j-spark", _))
+      case "lightgbm" => viaLgbm.map(("lightgbm-synapseml", _))
+      case _ => viaXgb.map(("xgboost4j-spark", _))
+        .orElse(viaLgbm.map(("lightgbm-synapseml", _)))
+    }
+    native.getOrElse {
+      val m = gbtFit(train, featureCols, labelCol, maxIter, maxDepth, seed)
+      ("mllib-gbt", gbtPredict(m, test, featureCols))
     }
   }
 

@@ -732,6 +732,61 @@ class LearnSpec extends SparkSpecBase {
     assert(acc > 0.9, s"xgboost holdout accuracy $acc too low")
   }
 
+  test("boostedFitPredict backend=lightgbm: reflective SynapseML else GBT") {
+    // r11 VERDICT #5: the LightGBM twin of the xgboost adapter —
+    // same entry point, same planted-boundary contract, MLlib fallback
+    // when the jar is absent (this sandbox)
+    val r = new scala.util.Random(19)
+    val rows = (1 to 400).map { _ =>
+      val x = r.nextDouble() * 2 - 1
+      val y = r.nextDouble() * 2 - 1
+      (x, y, if (x * y > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y", "label")
+    val (backend, pred) = Learn.boostedFitPredict(df, df, Seq("x", "y"),
+      "label", maxIter = 15, backend = "lightgbm")
+    assert(backend ==
+      (if (LearnSpec.lgbmLoadable) "lightgbm-synapseml" else "mllib-gbt"))
+    assert(pred.columns.contains("prediction"))
+    val acc = Learn.accuracy(pred, "label", "prediction").as[Double].head()
+    assert(acc > 0.95, s"boosted($backend) accuracy $acc too low")
+    intercept[IllegalArgumentException] {
+      Learn.boostedFitPredict(df, df, Seq("x"), "label", backend = "nope")
+    }
+  }
+
+  test("jar-drop: the reflective LightGBM branch trains end-to-end when present") {
+    // with no jar this cancels with instructions (NOT a silent pass); if
+    // SPARK_GRAFT_LGBM_JAR claims a jar but the class still isn't
+    // loadable, that's a misconfiguration and fails loudly
+    if (!LearnSpec.lgbmLoadable) {
+      sys.env.get("SPARK_GRAFT_LGBM_JAR").foreach { j =>
+        fail(s"SPARK_GRAFT_LGBM_JAR=$j is set but " +
+          "com.microsoft.azure.synapse.ml.lightgbm.LightGBMClassifier is " +
+          "not loadable — put the SynapseML jar (and its lightgbmlib " +
+          "native jar) on the classpath (drop into /opt/spark/jars, or " +
+          "add to Test/unmanagedJars)")
+      }
+      cancel("SynapseML LightGBM not on the classpath; drop the jar into " +
+        "/opt/spark/jars (or set Test/unmanagedJars) and re-run to " +
+        "exercise the reflective branch end-to-end")
+    }
+    val r = new scala.util.Random(23)
+    val rows = (1 to 500).map { _ =>
+      val x = r.nextDouble() * 2 - 1
+      val y = r.nextDouble() * 2 - 1
+      (x, y, if (x * y > 0) 1.0 else 0.0)
+    }
+    val (train, holdout) = rows.splitAt(400)
+    val (backend, pred) = Learn.boostedFitPredict(
+      train.toDF("x", "y", "label"), holdout.toDF("x", "y", "label"),
+      Seq("x", "y"), "label", maxIter = 20, backend = "lightgbm")
+    assert(backend == "lightgbm-synapseml",
+      s"jar present but the reflective branch did not engage: $backend")
+    val acc = Learn.accuracy(pred, "label", "prediction").as[Double].head()
+    assert(acc > 0.9, s"lightgbm holdout accuracy $acc too low")
+  }
+
   test("gbt generalizes a planted circle boundary to a holdout split") {
     // contrib-test shape (reference mars/learn/contrib/xgboost/tests/
     // test_classifier.py): plant a nonlinear boundary, train on one
@@ -1063,4 +1118,11 @@ object LearnSpec {
   def xgbLoadable: Boolean =
     try { Class.forName("ml.dmlc.xgboost4j.scala.spark.XGBoostClassifier"); true }
     catch { case _: Throwable => false }
+
+  /** Is SynapseML's LightGBMClassifier on the classpath? */
+  def lgbmLoadable: Boolean =
+    try {
+      Class.forName("com.microsoft.azure.synapse.ml.lightgbm.LightGBMClassifier")
+      true
+    } catch { case _: Throwable => false }
 }
