@@ -196,6 +196,19 @@ object ScaleBench {
         graft.operators.Components
           .pagerank(edges, "src", "dst", "w", iters = 5).count()
       },
+      "aux_pagerank_fast" -> { (s: SparkSession, dir: String) =>
+        // the deterministic=false A/B twin of aux_pagerank (r11 VERDICT
+        // #6): plain SUM aggregation instead of per-node ordered folds —
+        // run both with the same filter to measure what bit-replay costs
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val edges = docs.select(
+          (col("doc_id") / 10).cast("long").as("src"),
+          ((col("doc_id") * 31L + 7L) / 10).cast("long").as("dst"),
+          lit(1L).as("w"))
+        graft.operators.Components
+          .pagerank(edges, "src", "dst", "w", iters = 5,
+            deterministic = false).count()
+      },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
         // micro-batches — the ingest-time filter's throughput curve

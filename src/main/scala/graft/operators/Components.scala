@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: connected components over a near-dup pair
@@ -242,19 +242,29 @@ object Components {
     * term would need a cross-partition float sum, which is exactly what
     * this operator avoids).
     *
-    * Determinism (LabelProp's recipe): the out-weight normalizer and the
+    * Determinism (LabelProp's recipe): with `deterministic = true` (the
+    * default and the oracle contract) the out-weight normalizer and the
     * per-node contribution sum are sort-then-folds — collected, sorted
     * on the neighbor id, folded left-to-right — so ranks are
     * BIT-deterministic across partitionings and across engines (DuckDB
-    * mirrors each fold as `list_sum(list(x ORDER BY key))`). Per round:
+    * mirrors each fold as `list_sum(list(x ORDER BY key))`).
+    * `deterministic = false` is the production perf mode: plain SUM
+    * aggregation (partial+final map-side combine, no per-node
+    * collect_list/array_sort state) — same plan shape otherwise, ranks
+    * equal within float-reassociation noise; use it when ranks feed a
+    * threshold/sampler rather than a replayable gate (r11 VERDICT #6;
+    * ScaleBench's pagerank_fast cell measures the delta). Per round:
     * one shuffle join + one bounded aggregation (state ≤ in-degree per
     * node) — the connected-components scale shape; `localCheckpoint`
     * truncates lineage each round (swap `checkpoint()` at cluster
     * scale). */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      wCol: String, iters: Int = 5, damping: Double = 0.85,
+      deterministic: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
     import graft.learn.LabelProp.{kvList, sortedFoldSum}
+    def foldSum(k: Column, v: Column): Column =
+      if (deterministic) sortedFoldSum(kvList(k, v)) else sum(v)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("double").as("w"))
     val nodes = e0.select(col("src").as("node"))
@@ -265,7 +275,7 @@ object Components {
       .select(col("node").as("src"), col("node").as("dst"),
         lit(1.0).cast("double").as("w"))
     val outw = e0.union(dangling).groupBy(col("src"))
-      .agg(sortedFoldSum(kvList(col("dst"), col("w"))).as("ow"))
+      .agg(foldSum(col("dst"), col("w")).as("ow"))
     val g = e0.union(dangling).join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p")).cache()
     val base = lit((1.0 - damping) / n)
@@ -275,7 +285,7 @@ object Components {
         .join(rank.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), col("src"), (col("p") * col("r")).as("c"))
         .groupBy(col("dst"))
-        .agg(sortedFoldSum(kvList(col("src"), col("c"))).as("cs"))
+        .agg(foldSum(col("src"), col("c")).as("cs"))
       rank = nodes
         .join(contrib.select(col("dst").as("node"), col("cs")),
           Seq("node"), "left")

@@ -73,6 +73,30 @@ class LabelPropSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("n×n"))
   }
 
+  test("perf mode (deterministic=false) matches the ordered folds within float noise") {
+    // r11 VERDICT #6: plain SUM aggregation instead of ordered folds —
+    // same distributions up to float reassociation, same transduction
+    val det = LabelProp.fitEdges(cliqueEdges, cliqueLabels,
+      maxIter = 10, tol = 0.0)
+    val fast = LabelProp.fitEdges(cliqueEdges, cliqueLabels,
+      maxIter = 10, tol = 0.0, deterministic = false)
+    val d = det.select($"id", $"cls", $"p".as("pd"))
+      .join(fast.select($"id", $"cls", $"p".as("pf")), Seq("id", "cls"), "full_outer")
+      .select(max(abs(coalesce($"pd", lit(0.0)) - coalesce($"pf", lit(0.0)))))
+      .head().getDouble(0)
+    assert(d < 1e-12, s"perf-mode distributions drifted: $d")
+    // pagerank's perf mode: same ranks within reassociation noise
+    val edges = cliqueEdges
+    val rd = graft.operators.Components
+      .pagerank(edges, "src", "dst", "w", iters = 5)
+      .select($"node", $"r".as("rd"))
+    val rf = graft.operators.Components
+      .pagerank(edges, "src", "dst", "w", iters = 5, deterministic = false)
+      .select($"node", $"r".as("rf"))
+    val dr = rd.join(rf, "node").select(max(abs($"rd" - $"rf"))).head().getDouble(0)
+    assert(dr < 1e-12, s"pagerank perf mode drifted: $dr")
+  }
+
   test("rbf kernel weights nearer neighbors exponentially higher") {
     val x = Seq((1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(3.0f)))
       .toDF("id", "vec")
