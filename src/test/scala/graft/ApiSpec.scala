@@ -1056,6 +1056,36 @@ class ApiSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { df.quantileInterp("x", 1.5) }
   }
 
+  test("MultiIndex level ops: swap/reorder/drop/xs/groupbyLevel semantics") {
+    val f = GraftFrame(Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 30.0))
+      .toDF("g", "k", "v")).setIndex("g", "k")
+    // swap exchanges level order (metadata + front columns)
+    val sw = f.swapLevel()
+    assert(sw.index == Seq("k", "g") && sw.columns.take(2) == Seq("k", "g"))
+    // negative positions address from the end, pandas-style
+    assert(f.swapLevel(0, -1).index == Seq("k", "g"))
+    // reorder must be a permutation
+    intercept[IllegalArgumentException] { f.reorderLevels(Seq("g", "g")) }
+    // droplevel removes the level AND its column; last level refuses
+    val dl = f.dropLevel("g")
+    assert(dl.index == Seq("k") && !dl.columns.contains("g"))
+    intercept[IllegalArgumentException] { dl.dropLevel("k") }
+    // xs filters at the level and drops it
+    val x = f.xs("a", "g")
+    assert(!x.columns.contains("g") && x.df.count() == 2)
+    // groupbyLevel addresses by position over the DECLARED order
+    val gl = f.swapLevel().groupbyLevel(1).agg(("n", "count", "v"))
+      .df.orderBy("g").collect()
+    assert(gl.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    // unstack pivots the chosen level into columns
+    val us = f.unstackLevel("k", "v", Seq(1, 2))
+    assert(us.index == Seq("g") && us.columns.toSet == Set("g", "1", "2"))
+    // out-of-range and non-index levels fail loudly
+    intercept[IllegalArgumentException] { f.xs("a", 5) }
+    intercept[IllegalArgumentException] { f.xs("a", "v") }
+  }
+
   test("scaleShuffleWidth floors at the gate width and scales with bytes") {
     import java.nio.file.Files
     val before = spark.sessionState.conf.numShufflePartitions
