@@ -52,20 +52,53 @@ object BenchOne {
         })
     }
 
-    def force(): Double = {
+    // GRAFT_METRICS=1: also report the memory envelope per rep (peak
+    // per-task execution memory, shuffle bytes, spill) — the columns
+    // the constrained-heap scale cells are judged on (PERF.md method:
+    // wall-clock alone hides tail latency when 31 cores idle)
+    val metrics = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Long].withDefaultValue(0L))
+    if (sys.env.get("GRAFT_METRICS").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) metrics.updateAndGet { acc =>
+              acc ++ Map(
+                "shuffle_read" -> (acc("shuffle_read") + m.shuffleReadMetrics.totalBytesRead),
+                "shuffle_write" -> (acc("shuffle_write") + m.shuffleWriteMetrics.bytesWritten),
+                "mem_spill" -> (acc("mem_spill") + m.memoryBytesSpilled),
+                "disk_spill" -> (acc("disk_spill") + m.diskBytesSpilled),
+                "peak_task_mem" -> math.max(acc("peak_task_mem"), m.peakExecutionMemory))
+            }
+          }
+        })
+    }
+    def force(): (Double, Map[String, Long]) = {
+      metrics.set(Map.empty[String, Long].withDefaultValue(0L))
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // drain the async listener bus before snapshot
+      (dt, metrics.get())
     }
     // warm-up (codegen/parquet footers), same as Bench
     SparkEntry.queries("q06")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    val times = (1 to reps).map(_ => force())
+    val runs = (1 to reps).map(_ => force())
+    val times = runs.map(_._1)
     println(f"$name: min=${times.min}%.3f  " +
       times.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+    if (sys.env.get("GRAFT_METRICS").contains("1")) {
+      val best = runs.minBy(_._1)._2
+      val cells = best.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      println("{\"query\":\"" + name + "\",\"envelope\":{" + cells + "}}")
+    }
     spark.stop()
   }
 }
