@@ -209,6 +209,43 @@ object ScaleBench {
           .pagerank(edges, "src", "dst", "w", iters = 5,
             deterministic = false).count()
       },
+      "aux_inc_reband" -> { (s: SparkSession, dir: String) =>
+        // incremental near-dup, the OLD shape: re-band + re-shingle the
+        // 90% history for every 10% batch (minhashDedupPairsAgainst)
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.minhashDedupPairsAgainst(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "text", "doc_id").count()
+      },
+      "aux_inc_index_build" -> { (s: SparkSession, dir: String) =>
+        // one-time cost: persist the history's band + shingle tables
+        // (amortized across every subsequent batch)
+        val nm = incIndexName(dir)
+        Seq(s"${nm}_bands", s"${nm}_shingles").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = java.nio.file.Paths.get(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+          }
+        }
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.minhashIndexPersist(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "text", "doc_id", nm, buckets = 32)
+        s.table(s"${nm}_bands").count()
+      },
+      "aux_inc_index_query" -> { (s: SparkSession, dir: String) =>
+        // per-batch cost with the persisted index (run the build cell
+        // first in the same drive: filter aux_inc_index_build,aux_inc_index_query)
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.minhashDedupPairsAgainstIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "text", "doc_id", incIndexName(dir)).count()
+      },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
         // micro-batches — the ingest-time filter's throughput curve
@@ -231,6 +268,11 @@ object ScaleBench {
   }
 
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-corpus catalog name for the aux incremental-LSH index cells
+    * (scale drives reuse one session across scales). */
+  private def incIndexName(dir: String): String =
+    "graft_scale_inc_" + dir.replaceAll("[^a-zA-Z0-9]", "_").takeRight(12)
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,100")
