@@ -2206,6 +2206,156 @@ object Special {
       s"(${sqlBessel0f1Neg(v, x, signPlus = true)} - ${sqlBesselIv(v, x)}) / " +
       s"sin(($v) * CAST('${math.Pi}' AS DOUBLE)))"
 
+  // ------- large-x Bessel asymptotics (bessel.py jv/yv/iv/kv beyond
+  // the series window) -------
+  // Hankel's expansions, A&S 9.2.5–9.2.10 / 9.7.1–9.7.2, with
+  // μ = 4ν² and χ = x − (ν/2 + 1/4)π:
+  //   J_ν = √(2/πx)(P cos χ − Q sin χ),  Y_ν = √(2/πx)(P sin χ + Q cos χ)
+  //   I_ν·e^{−x} = Σ(−1)^k a_k / √(2πx),  K_ν·e^{x} = √(π/2x)·Σ a_k
+  // with a_k = Π_{j≤k}(μ−(2j−1)²)/(k!(8x)^k); P/Q are the even/odd
+  // alternating halves. 12 terms, windowed to 0 ≤ ν ≤ 4 and x ≥ 8.5
+  // (mpmath-validated: |ε| ≤ 9e−9 abs for J/Y, ≤ 4.5e−7 rel for the
+  // scaled I, ≤ 1.3e−8 rel for the scaled K — under the round-6 gate),
+  // which OVERLAPS the ₀F₁ series window (x ≤ ~8.9) so the *Ext
+  // branched forms below cover all x > 0. Deterministic same-shape
+  // arithmetic on both engines. NaN-guarded outside by contract like
+  // every other window (callers slice, they don't trust the tails).
+  private val besselAsymTerms = 12
+  private val besselAsymCut = 8.7 // inside the series/asymptotic overlap
+
+  /** (P, Q, ΣI, ΣK) of the four Hankel sums at (μ, 1/(8x)). */
+  private def besselAsymSums(v: Column, x: Column): (Column, Column, Column, Column) = {
+    val mu = lit(4.0) * v * v
+    val ex = lit(8.0) * x
+    var num: Column = lit(1.0)
+    var pw: Column = lit(1.0)
+    var fact = 1.0
+    var p: Column = lit(1.0); var q: Column = lit(0.0)
+    var si: Column = lit(1.0); var sk: Column = lit(1.0)
+    for (k <- 1 to besselAsymTerms) {
+      num = num * (mu - lit(((2 * k - 1) * (2 * k - 1)).toDouble))
+      pw = pw * ex
+      fact *= k
+      val t = num / (lit(fact) * pw)
+      if (k % 2 == 1) q = if (((k - 1) / 2) % 2 == 0) q + t else q - t
+      else p = if ((k / 2) % 2 == 0) p + t else p - t
+      si = if (k % 2 == 1) si - t else si + t
+      sk = sk + t
+    }
+    (p, q, si, sk)
+  }
+  private def sqlBesselAsymSums(v: String, x: String): (String, String, String, String) = {
+    val mu = s"(CAST(4.0 AS DOUBLE) * ($v) * ($v))"
+    val ex = s"(CAST(8.0 AS DOUBLE) * ($x))"
+    var num = "CAST(1.0 AS DOUBLE)"
+    var pw = "CAST(1.0 AS DOUBLE)"
+    var fact = 1.0
+    var p = "CAST(1.0 AS DOUBLE)"; var q = "CAST(0.0 AS DOUBLE)"
+    var si = "CAST(1.0 AS DOUBLE)"; var sk = "CAST(1.0 AS DOUBLE)"
+    for (k <- 1 to besselAsymTerms) {
+      num = s"($num * ($mu - CAST('${((2 * k - 1) * (2 * k - 1)).toDouble}' AS DOUBLE)))"
+      pw = s"($pw * $ex)"
+      fact *= k
+      val t = s"($num / (CAST('$fact' AS DOUBLE) * $pw))"
+      if (k % 2 == 1) q = if (((k - 1) / 2) % 2 == 0) s"($q + $t)" else s"($q - $t)"
+      else p = if ((k / 2) % 2 == 0) s"($p + $t)" else s"($p - $t)"
+      si = if (k % 2 == 1) s"($si - $t)" else s"($si + $t)"
+      sk = s"($sk + $t)"
+    }
+    (p, q, si, sk)
+  }
+
+  private def besselChi(v: Column, x: Column): Column =
+    x - (v / lit(2.0) + lit(0.25)) * lit(math.Pi)
+  private def sqlBesselChi(v: String, x: String): String =
+    s"(($x) - (($v) / CAST(2.0 AS DOUBLE) + CAST(0.25 AS DOUBLE)) * " +
+      s"CAST('${math.Pi}' AS DOUBLE))"
+  private def besselAmp(x: Column): Column =
+    sqrt(lit(2.0 / math.Pi) / x)
+  private def sqlBesselAmp(x: String): String =
+    s"sqrt(CAST('${2.0 / math.Pi}' AS DOUBLE) / ($x))"
+
+  /** J_ν(x) by Hankel's expansion, 0 ≤ ν ≤ 4, x ≥ 8.5. */
+  def besselJvAsym(v: Column, x: Column): Column = {
+    val (p, q, _, _) = besselAsymSums(v, x)
+    val chi = besselChi(v, x)
+    besselAmp(x) * (p * cos(chi) - q * sin(chi))
+  }
+  def sqlBesselJvAsym(v: String, x: String): String = {
+    val (p, q, _, _) = sqlBesselAsymSums(v, x)
+    val chi = sqlBesselChi(v, x)
+    s"(${sqlBesselAmp(x)} * (($p) * cos($chi) - ($q) * sin($chi)))"
+  }
+
+  /** Y_ν(x) by Hankel's expansion, 0 ≤ ν ≤ 4, x ≥ 8.5. */
+  def besselYvAsym(v: Column, x: Column): Column = {
+    val (p, q, _, _) = besselAsymSums(v, x)
+    val chi = besselChi(v, x)
+    besselAmp(x) * (p * sin(chi) + q * cos(chi))
+  }
+  def sqlBesselYvAsym(v: String, x: String): String = {
+    val (p, q, _, _) = sqlBesselAsymSums(v, x)
+    val chi = sqlBesselChi(v, x)
+    s"(${sqlBesselAmp(x)} * (($p) * sin($chi) + ($q) * cos($chi)))"
+  }
+
+  /** I_ν(x)·e^{−x} (scipy ive) by 9.7.1, 0 ≤ ν ≤ 4, x ≥ 8.5 — the
+    * scaled form keeps gate magnitudes O(0.1) where raw I overflows. */
+  def besselIveAsym(v: Column, x: Column): Column = {
+    val (_, _, si, _) = besselAsymSums(v, x)
+    si / sqrt(lit(2.0 * math.Pi) * x)
+  }
+  def sqlBesselIveAsym(v: String, x: String): String = {
+    val (_, _, si, _) = sqlBesselAsymSums(v, x)
+    s"(($si) / sqrt(CAST('${2.0 * math.Pi}' AS DOUBLE) * ($x)))"
+  }
+
+  /** K_ν(x)·e^{x} (scipy kve) by 9.7.2, 0 ≤ ν ≤ 4, x ≥ 8.5. */
+  def besselKveAsym(v: Column, x: Column): Column = {
+    val (_, _, _, sk) = besselAsymSums(v, x)
+    sqrt(lit(math.Pi / 2.0) / x) * sk
+  }
+  def sqlBesselKveAsym(v: String, x: String): String = {
+    val (_, _, _, sk) = sqlBesselAsymSums(v, x)
+    s"(sqrt(CAST('${math.Pi / 2.0}' AS DOUBLE) / ($x)) * ($sk))"
+  }
+
+  /** Branched J_ν over ALL x > 0 (series below the cut, Hankel above),
+    * ν ∈ [0, 4]. The branch point 8.7 sits inside the validated
+    * overlap of the two kernels. */
+  def besselJvExt(v: Column, x: Column): Column =
+    when(x < besselAsymCut, besselJv(v, x)).otherwise(besselJvAsym(v, x))
+  def sqlBesselJvExt(v: String, x: String): String =
+    s"(CASE WHEN ($x) < $besselAsymCut THEN ${sqlBesselJv(v, x)} " +
+      s"ELSE ${sqlBesselJvAsym(v, x)} END)"
+
+  /** Branched Y_ν over ALL x > 0: ν ∈ (0, 1) below the cut (the series
+    * reflection's contract), ν ∈ [0, 4] above. */
+  def besselYvExt(v: Column, x: Column): Column =
+    when(x < besselAsymCut, besselYv(v, x)).otherwise(besselYvAsym(v, x))
+  def sqlBesselYvExt(v: String, x: String): String =
+    s"(CASE WHEN ($x) < $besselAsymCut THEN ${sqlBesselYv(v, x)} " +
+      s"ELSE ${sqlBesselYvAsym(v, x)} END)"
+
+  /** Branched I_ν·e^{−x} over ALL x > 0, ν ∈ [0, 4]. */
+  def besselIveExt(v: Column, x: Column): Column =
+    when(x < besselAsymCut, besselIv(v, x) * exp(-x))
+      .otherwise(besselIveAsym(v, x))
+  def sqlBesselIveExt(v: String, x: String): String =
+    s"(CASE WHEN ($x) < $besselAsymCut THEN " +
+      s"(${sqlBesselIv(v, x)} * exp(-($x))) " +
+      s"ELSE ${sqlBesselIveAsym(v, x)} END)"
+
+  /** Branched K_ν·e^{x} over ALL x > 0: ν ∈ (0, 1) below the cut,
+    * ν ∈ [0, 4] above. */
+  def besselKveExt(v: Column, x: Column): Column =
+    when(x < besselAsymCut, besselKv(v, x) * exp(x))
+      .otherwise(besselKveAsym(v, x))
+  def sqlBesselKveExt(v: String, x: String): String =
+    s"(CASE WHEN ($x) < $besselAsymCut THEN " +
+      s"(${sqlBesselKv(v, x)} * exp($x)) " +
+      s"ELSE ${sqlBesselKveAsym(v, x)} END)"
+
   // ------- Lamé functions of the first kind E^p_n
   // (ellip_harm.py ellip_harm) -------
   // Closed forms for degrees n ≤ 3 (Dassios, "Ellipsoidal Harmonics",

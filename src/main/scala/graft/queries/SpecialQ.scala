@@ -723,6 +723,47 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- large-x Bessel via Hankel's asymptotic expansions (bessel.py
+    //     jv/yv/iv/kv beyond the series windows — closing the r11
+    //     "asymptotic tails" gap): the *Ext forms branch at x = 8.7
+    //     between the ₀F₁ series and the 12-term A&S 9.2/9.7 sums, so
+    //     the sweep x = 0.4q + 0.3 ∈ [0.4, 20.3] crosses both branches
+    //     in every group. νa ∈ [0.1, 3.3] exercises the J/ive ν ≤ 4
+    //     window; Y/kve run νf ∈ {0.2, 0.5, 0.8} (the series
+    //     reflection's (0,1) contract below the cut). Scaled ive/kve
+    //     keep magnitudes O(0.1); oscillatory → round 6 + 0.0.
+    Q("op_special_bessel_asym", {
+      val S = graft.functions.Special
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(${S.sqlBesselJvExt("va", "xs")}, 6) + CAST(0.0 AS DOUBLE) AS jv,
+         |  round(${S.sqlBesselYvExt("vf", "xs")}, 6) + CAST(0.0 AS DOUBLE) AS yv,
+         |  round(${S.sqlBesselIveExt("va", "xs")}, 6) + CAST(0.0 AS DOUBLE) AS ive,
+         |  round(${S.sqlBesselKveExt("vf", "xs")}, 6) + CAST(0.0 AS DOUBLE) AS kve
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        0.1 + 0.8 * CAST(l_linenumber % 5 AS DOUBLE) AS va,
+         |        0.2 + 0.3 * CAST(l_linenumber % 3 AS DOUBLE) AS vf,
+         |        CAST(l_quantity AS DOUBLE) * 0.4 + 0.3 AS xs
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (lit(0.1) + lit(0.8) * ($"l_linenumber" % 5).cast("double")).as("va"),
+          (lit(0.2) + lit(0.3) * ($"l_linenumber" % 3).cast("double")).as("vf"),
+          ($"l_quantity".cast("double") * 0.4 + 0.3).as("xs"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          r6(Special.besselJvExt($"va", $"xs")).as("jv"),
+          r6(Special.besselYvExt($"vf", $"xs")).as("yv"),
+          r6(Special.besselIveExt($"va", $"xs")).as("ive"),
+          r6(Special.besselKveExt($"vf", $"xs")).as("kve"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ₂F₁ at negative arguments via the Pfaff transformation
     //     (hypergeometric_funcs.py hyp2f1 — widening the |z| ≤ 0.7
     //     series window to z ∈ [−7/3, 0.7]): the mapped series runs at

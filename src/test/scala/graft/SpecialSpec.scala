@@ -482,6 +482,44 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(voigt(3.0) - 0.05065390387) < 1e-4)
   }
 
+  test("large-x Bessel asymptotics match mpmath; Ext branches join the series") {
+    // Hankel expansions (A&S 9.2/9.7), 12 terms, window nu <= 4,
+    // x >= 8.5; pins are mpmath dps=30 (ive/kve = scaled forms)
+    val pins = Seq( // (nu, x, J, Y, ive, kve)
+      (0.0, 15.0, -0.0142244728268, 0.205464296039, 0.103899531449, 0.321002353506),
+      (0.7, 10.0, -0.0680710012251, 0.243112620253, 0.124568546809, 0.400897066147),
+      (1.5, 20.0, -0.0646628665923, -0.166521109094, 0.0847458955173, 0.294262038861),
+      (2.5, 12.0, 0.0724226738318, 0.221212279409, 0.0887728022892, 0.459788297167),
+      (4.0, 9.0, -0.265470801757, 0.0900257628288, 0.0534817035807, 0.949408044973),
+      (3.0, 50.0, 0.0927348040616, 0.0644591220602, 0.0516473717576, 0.193282544015))
+    val rows = pins.map(p => (p._1, p._2)).toDF("v", "x")
+      .select(col("v"), col("x"),
+        Special.besselJvAsym(col("v"), col("x")).as("j"),
+        Special.besselYvAsym(col("v"), col("x")).as("y"),
+        Special.besselIveAsym(col("v"), col("x")).as("ive"),
+        Special.besselKveAsym(col("v"), col("x")).as("kve"))
+      .orderBy("v", "x").collect()
+    val byKey = rows.map(r => (r.getDouble(0), r.getDouble(1)) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    for ((nu, x, j, y, ive, kve) <- pins) {
+      val (gj, gy, give, gkve) = byKey((nu, x))
+      assert(math.abs(gj - j) < 1e-7, s"J($nu,$x) = $gj")
+      assert(math.abs(gy - y) < 1e-7, s"Y($nu,$x) = $gy")
+      assert(math.abs(give - ive) < 1e-6, s"ive($nu,$x) = $give")
+      assert(math.abs(gkve - kve) < 1e-6, s"kve($nu,$x) = $gkve")
+    }
+    // the Ext branch is continuous through the 8.7 cut: both kernels
+    // agree with mpmath on either side (nu = 0.5, series reflection ok)
+    val cont = Seq((0.5, 8.6), (0.5, 8.8)).toDF("v", "x")
+      .select(col("x"), Special.besselJvExt(col("v"), col("x")).as("j"),
+        Special.besselYvExt(col("v"), col("x")).as("y"))
+      .orderBy("x").collect()
+    assert(math.abs(cont(0).getDouble(1) - 0.199812101676) < 1e-7)
+    assert(math.abs(cont(0).getDouble(2) - 0.184663691478) < 1e-7)
+    assert(math.abs(cont(1).getDouble(1) - 0.157323323522) < 1e-7)
+    assert(math.abs(cont(1).getDouble(2) - 0.218157117296) < 1e-7)
+  }
+
   test("modfresnelp/modfresnelm match mpmath erfc-based pins") {
     // mpmath dps=30 pins: F+(x) = (sqrt(pi)/2) e^{i pi/4} erfc(x e^{-i pi/4}),
     // K+(x) = e^{-i(x^2+pi/4)} F+(x) / sqrt(pi); minus family = conjugate.
