@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * partition-wise batch transforms (`mapPartitions` — the Scala analog of
   * mapInPandas batches).
   *
-  * The actual codec calls are STUBBED — this container has no image/audio
-  * libraries — behind [[Codecs]], with a deterministic fake implementation
-  * so the Spark-side plumbing (schema contract, batching, partitioning,
-  * output shape) is real and testable. Swapping in a real decoder is a
-  * one-function change per modality.
+  * IMAGE decode is REAL since r12: the JDK's javax.imageio readers
+  * (PNG/JPEG/BMP/GIF ship with every JVM) drive [[imageDecodeFeatures]] —
+  * true bitstream dimensions + a mean-pooled luminance grid, with the
+  * deterministic [[Codecs]] stub as the fallback for bytes no installed
+  * reader accepts (and as the documented swap point for exotic codecs).
+  * AUDIO/VIDEO decode stays stubbed — no codec libraries in this
+  * container — with the framing/sampling arithmetic real and tested;
+  * swapping in a real decoder is a one-function change per modality.
   *
   * Scale design: binary payloads never pass through a shuffle — decode and
   * feature extraction are narrow per-partition maps over the scan, and only
@@ -71,6 +74,81 @@ object Multimodal {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
+  }
+
+  /** REAL image decode via the JDK's own javax.imageio (PNG/JPEG/BMP/GIF
+    * readers ship with every JVM — no external codec needed, r12): the
+    * actual bitstream's (width, height) plus a grid×grid mean-pooled
+    * luminance embedding in [0, 1]. Returns None for bytes no installed
+    * reader accepts — [[imageDecodeFeatures]] falls back to the stub
+    * there, which remains the documented swap point for exotic codecs.
+    * Per-pixel getRGB is fine at thumbnail scale; a production swap for
+    * giant frames reads the raster buffer directly. */
+  def decodeLumaGrid(data: Array[Byte], grid: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(grid - 1, y * grid / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            val gi = gy * grid + math.min(grid - 1, x * grid / w)
+            sums(gi) += luma
+            counts(gi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, Array.tabulate(grid * grid)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Decode images partition-wise with the REAL JDK decoder: output
+    * (media_id, w, h, out_w, out_h, embedding[grid²], decoded). Bytes no
+    * reader accepts keep metadata dims and the stub embedding with
+    * decoded = false — the pipeline never drops rows on codec gaps.
+    * Same scale shape as [[imageFeatures]]: narrow per-partition map,
+    * payloads never shuffle. */
+  def imageDecodeFeatures(media: DataFrame, grid: Int = 4,
+      maxSide: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("decoded", BooleanType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media
+      .filter(col("modality") === "image" && col("data").isNotNull)
+      .select("media_id", "data", "meta.width", "meta.height")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("data")
+          decodeLumaGrid(bytes, grid) match {
+            case Some((w, h, emb)) =>
+              val (ow, oh) = Codecs.resizeDims(w, h, maxSide)
+              Row(r.getLong(0), w, h, ow, oh, emb.toSeq, true)
+            case None =>
+              val w = r.getAs[Int]("width")
+              val h = r.getAs[Int]("height")
+              val (ow, oh) = Codecs.resizeDims(w, h, maxSide)
+              Row(r.getLong(0), w, h, ow, oh,
+                Codecs.imageEmbedStub(bytes, grid * grid).toSeq, false)
+          }
+        }
+      }
   }
 
   /** Decode + feature-extract images partition-wise: input rows following

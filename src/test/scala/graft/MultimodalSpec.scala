@@ -39,6 +39,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e1 == again)
   }
 
+  test("imageDecodeFeatures really decodes JVM-native formats, stub-falls-back otherwise") {
+    // a 64x32 PNG generated in-test: left half black, right half white
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = mediaDf(
+      mediaRow(1L, png(64, 32), "image", 1, 1, null), // meta dims WRONG on purpose
+      mediaRow(2L, Array[Byte](1, 2, 3), "image", 100, 200, null)) // not an image
+    val rows = Multimodal.imageDecodeFeatures(df, grid = 2, maxSide = 16)
+      .orderBy("media_id").collect()
+    // real decode: true bitstream dims override metadata; left cells
+    // black (0), right cells white (1)
+    assert(rows(0).getAs[Boolean]("decoded"))
+    assert(rows(0).getAs[Int]("w") == 64 && rows(0).getAs[Int]("h") == 32)
+    assert(rows(0).getAs[Int]("out_w") == 16 && rows(0).getAs[Int]("out_h") == 8)
+    val e = rows(0).getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    assert(e.length == 4)
+    assert(math.abs(e(0)) < 1e-6 && math.abs(e(2)) < 1e-6, s"left cells: $e")
+    assert(math.abs(e(1) - 1.0f) < 1e-6 && math.abs(e(3) - 1.0f) < 1e-6, s"right cells: $e")
+    // undecodable bytes: stub fallback, metadata dims, decoded = false
+    assert(!rows(1).getAs[Boolean]("decoded"))
+    assert(rows(1).getAs[Int]("w") == 100 && rows(1).getAs[Int]("h") == 200)
+    assert(rows(1).getAs[scala.collection.Seq[Float]]("embedding").length == 4)
+  }
+
   test("audioChunks frames audio into sample ranges") {
     val df = mediaDf(mediaRow(7L, null, "audio", null, null, 44100 * 5 + 100))
     val chunks = Multimodal.audioChunks(df, sampleRate = 44100, chunkSeconds = 2)
