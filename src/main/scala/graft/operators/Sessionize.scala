@@ -577,4 +577,78 @@ object Sessionize {
     g.select(col(keyCol), explode(array(pairs: _*)).as("__p"))
       .select(col(keyCol), col("__p.lag").as("lag"), col("__p.acf").as("acf"))
   }
+
+  /** tsfresh-style per-key series features (reference
+    * mars/learn/contrib/tsfresh/core.py — the contrib module fans
+    * per-series tsfresh extraction out by key; this is the same shape
+    * with the canonical exactly-computable features native). Input
+    * `intCol` must be an exact INTEGER-valued column (e.g. cents via
+    * the dec12 convention): every sum is then order-free BIGINT
+    * arithmetic and the whole output gates UNROUNDED.
+    *
+    * Output per key: n, sum_c, abs_energy (Σc²), min_c, max_c, med2
+    * (lo+hi middle order statistics — 2×median, kept integral),
+    * sum_abs_change (Σ|Δc| in series order), count_above_mean,
+    * longest_strike_above_mean, and ac1 — the lag-1 autocorrelation
+    * from n-scaled deviations: Σ(n·c_t−S)(n·c_{t+1}−S) / Σ(n·c_t−S)²,
+    * exact BIGINT up to |c|·n ≲ 3e9 per key (raise to DECIMAL sums
+    * beyond). Mean-relative tests multiply through by n (c·n > S) so
+    * no rational ever materializes.
+    *
+    * Shape: one count/sum aggregate broadcast back (a row per key),
+    * one series-order window (lag + strike islands), one value-order
+    * window (the median ranks), one final aggregation — all
+    * partitioned by the key, the connected scale shape. */
+  def tsFeatures(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      intCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "tsFeatures needs a total series order")
+    val c = col(intCol).cast("long")
+    val stats = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(c).as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val wv = Window.partitionBy(col(keyCol))
+      .orderBy((col("__c") +: orderCols.map(col)): _*)
+    val base = df
+      .select((col(keyCol) +: orderCols.map(col)) :+ c.as("__c"): _*)
+      .join(broadcast(stats), Seq(keyCol))
+    val above = col("__c") * col("__n") > col("__s")
+    val ranked = base
+      .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cumAbove",
+        sum(when(above, 1L).otherwise(0L)).over(w))
+      .withColumn("__rnv", row_number().over(wv))
+    // islands of consecutive above-mean rows share (__rn − __cumAbove)
+    val strikes = ranked.filter(above)
+      .groupBy(col(keyCol), (col("__rn") - col("__cumAbove")).as("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__len")).as("longest_strike_above_mean"))
+    val dev = col("__c") * col("__n") - col("__s")
+    val devPrev = col("__prev") * col("__n") - col("__s")
+    val agg = ranked.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__c")).as("sum_c"),
+        sum(col("__c") * col("__c")).as("abs_energy"),
+        min(col("__c")).as("min_c"),
+        max(col("__c")).as("max_c"),
+        // Spark `/` on longs is DOUBLE division — the middle ranks use
+        // exact floor division (exact in double for any real n)
+        (sum(when(col("__rnv") ===
+            floor((col("__n") + 1L) / lit(2.0)).cast("long"), col("__c"))) +
+          sum(when(col("__rnv") ===
+            (floor(col("__n") / lit(2.0)).cast("long") + 1L), col("__c"))))
+          .as("med2"),
+        sum(abs(col("__c") - col("__prev"))).as("sum_abs_change"),
+        sum(when(above, 1L).otherwise(0L)).as("count_above_mean"),
+        sum(dev * devPrev).as("__ac_num"),
+        sum(dev * dev).as("__ac_den"))
+    agg.join(strikes, Seq(keyCol), "left")
+      .na.fill(0L, Seq("longest_strike_above_mean"))
+      .withColumn("ac1",
+        when(col("__ac_den") === 0L, lit(null).cast("double"))
+          .otherwise(col("__ac_num").cast("double") / col("__ac_den").cast("double")))
+      .drop("__ac_num", "__ac_den")
+  }
 }

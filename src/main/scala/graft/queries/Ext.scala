@@ -2451,6 +2451,69 @@ object Ext {
         .orderBy($"n".desc, $"w")
     },
 
+    // --- tsfresh-style per-series features (reference
+    //     mars/learn/contrib/tsfresh/core.py fans tsfresh extraction
+    //     out by key — here the exactly-computable canonical set runs
+    //     native): per user over events.value cents, ordered by
+    //     event_id (unique, so the series order is identical on both
+    //     engines — ts stays out of the gate per the nanos/micros
+    //     convention). Everything is BIGINT arithmetic (mean-relative
+    //     tests multiplied through by n; median as the 2× lo+hi middle
+    //     order statistics; lag-1 autocorrelation from n-scaled
+    //     deviations) → UNROUNDED gate; ac1 is one exact-BIGINT
+    //     division, bit-identical both sides.
+    Q("ext_ts_features",
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(c) AS BIGINT) AS s
+        |       FROM base GROUP BY 1),
+        |r AS (
+        |  SELECT b.user_id, c, n, s,
+        |    lag(c) OVER w AS prev,
+        |    row_number() OVER w AS rn,
+        |    SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) OVER w AS cum_above,
+        |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv
+        |  FROM base b JOIN st USING (user_id)
+        |  WINDOW w AS (PARTITION BY b.user_id ORDER BY event_id)),
+        |str AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strike FROM (
+        |    SELECT user_id, rn - cum_above AS isl, COUNT(*) AS len
+        |    FROM r WHERE c * n > s GROUP BY user_id, rn - cum_above) q
+        |  GROUP BY user_id),
+        |agg AS (
+        |  SELECT user_id, n AS n, CAST(SUM(c) AS BIGINT) AS sum_c,
+        |    CAST(SUM(c * c) AS BIGINT) AS abs_energy,
+        |    CAST(MIN(c) AS BIGINT) AS min_c,
+        |    CAST(MAX(c) AS BIGINT) AS max_c,
+        |    CAST(SUM(CASE WHEN rnv = (n + 1) // 2 THEN c END)
+        |       + SUM(CASE WHEN rnv = n // 2 + 1 THEN c END) AS BIGINT) AS med2,
+        |    CAST(SUM(abs(c - prev)) AS BIGINT) AS sum_abs_change,
+        |    CAST(SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS count_above_mean,
+        |    CAST(SUM((c * n - s) * (prev * n - s)) AS BIGINT) AS acn,
+        |    CAST(SUM((c * n - s) * (c * n - s)) AS BIGINT) AS acd
+        |  FROM r GROUP BY user_id, n, s)
+        |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,
+        |  sum_abs_change, count_above_mean,
+        |  COALESCE(strike, CAST(0 AS BIGINT)) AS longest_strike_above_mean,
+        |  CASE WHEN acd = 0 THEN NULL
+        |       ELSE CAST(acn AS DOUBLE) / CAST(acd AS DOUBLE) END AS ac1
+        |FROM agg LEFT JOIN str USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = t(spark, dir, "events").select($"user_id", $"event_id",
+        (dec12($"value") * 100).cast("long").as("c"))
+      graft.operators.Sessionize
+        .tsFeatures(base, "user_id", Seq("event_id"), "c")
+        .select($"user_id", $"n", $"sum_c", $"abs_energy", $"min_c",
+          $"max_c", $"med2", $"sum_abs_change", $"count_above_mean",
+          $"longest_strike_above_mean", $"ac1")
+        .orderBy($"user_id")
+    },
+
     // --- curation pipeline v4: Gopher rule filter → exact substring
     //     dedup over the survivors → deterministic shard assignment.
     //     The oracle replays every stage from scratch (rules, gram

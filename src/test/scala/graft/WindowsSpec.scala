@@ -244,4 +244,29 @@ class WindowsSpec extends SparkSpecBase {
       .select($"r").as[Double].collect().toSeq
     assert(got == Seq(1.0, 0.75, 1.0 / 3.0, 1.0))
   }
+
+  test("tsFeatures matches a hand-computed series exactly") {
+    // series (3,1,4,1,5): n=5, S=14; above-mean = c*5 > 14 → T,F,T,F,T
+    val df = Seq((0L, 1L, 3L), (0L, 2L, 1L), (0L, 3L, 4L),
+      (0L, 4L, 1L), (0L, 5L, 5L)).toDF("k", "o", "c")
+    val r = graft.operators.Sessionize
+      .tsFeatures(df, "k", Seq("o"), "c").collect().head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("sum_c") == 14L)
+    assert(r.getAs[Long]("abs_energy") == 52L) // 9+1+16+1+25
+    assert(r.getAs[Long]("min_c") == 1L && r.getAs[Long]("max_c") == 5L)
+    assert(r.getAs[Long]("med2") == 6L) // sorted (1,1,3,4,5): lo=hi=3
+    assert(r.getAs[Long]("sum_abs_change") == 12L) // 2+3+3+4
+    assert(r.getAs[Long]("count_above_mean") == 3L)
+    assert(r.getAs[Long]("longest_strike_above_mean") == 1L) // T,F,T,F,T
+    // deviations 5c−14 = (1,−9,6,−9,11): num = −9−54−54−99 = −216,
+    // den = 1+81+36+81+121 = 320 → exact −0.675
+    assert(r.getAs[Double]("ac1") == -216.0 / 320.0)
+    // a constant series: zero deviations → null ac1, zero strikes
+    val const = Seq((1L, 1L, 7L), (1L, 2L, 7L)).toDF("k", "o", "c")
+    val rc = graft.operators.Sessionize
+      .tsFeatures(const, "k", Seq("o"), "c").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("ac1")))
+    assert(rc.getAs[Long]("longest_strike_above_mean") == 0L)
+    assert(rc.getAs[Long]("med2") == 14L)
+  }
 }
