@@ -589,11 +589,17 @@ object Sessionize {
     * Output per key: n, sum_c, abs_energy (Σc²), min_c, max_c, med2
     * (lo+hi middle order statistics — 2×median, kept integral),
     * sum_abs_change (Σ|Δc| in series order), count_above_mean,
-    * longest_strike_above_mean, and ac1 — the lag-1 autocorrelation
-    * from n-scaled deviations: Σ(n·c_t−S)(n·c_{t+1}−S) / Σ(n·c_t−S)²,
-    * exact BIGINT up to |c|·n ≲ 3e9 per key (raise to DECIMAL sums
-    * beyond). Mean-relative tests multiply through by n (c·n > S) so
-    * no rational ever materializes.
+    * longest_strike_above_mean, ac1 — the lag-1 autocorrelation from
+    * n-scaled deviations: Σ(n·c_t−S)(n·c_{t+1}−S) / Σ(n·c_t−S)²,
+    * var_num = n·Σc² − S² (the n²-scaled population variance, exact),
+    * cid_ce = √Σ(Δc)² (tsfresh's complexity estimate — √ of an exact
+    * integer, bit-identical on any IEEE engine), c3_sum =
+    * Σ c_t·c_{t+1}·c_{t+2} (tsfresh c3 numerator at lag 1), and
+    * n_crossings — sign changes of the n-scaled deviation between
+    * consecutive observations (tsfresh number_crossing_m at m = mean).
+    * Everything is exact BIGINT up to |c|·n ≲ 3e9 per key (raise to
+    * DECIMAL sums beyond); mean-relative tests multiply through by n
+    * (c·n > S) so no rational ever materializes.
     *
     * Shape: one count/sum aggregate broadcast back (a row per key),
     * one series-order window (lag + strike islands), one value-order
@@ -614,6 +620,7 @@ object Sessionize {
     val above = col("__c") * col("__n") > col("__s")
     val ranked = base
       .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .withColumn("__prev2", lag(col("__c"), 2).over(w))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__cumAbove",
         sum(when(above, 1L).otherwise(0L)).over(w))
@@ -643,12 +650,22 @@ object Sessionize {
         sum(abs(col("__c") - col("__prev"))).as("sum_abs_change"),
         sum(when(above, 1L).otherwise(0L)).as("count_above_mean"),
         sum(dev * devPrev).as("__ac_num"),
-        sum(dev * dev).as("__ac_den"))
+        sum(dev * dev).as("__ac_den"),
+        sum((col("__c") - col("__prev")) * (col("__c") - col("__prev")))
+          .as("__sq_change"),
+        sum(col("__c") * col("__prev") * col("__prev2")).as("c3_sum"),
+        sum(when(dev * devPrev < 0L, 1L).otherwise(
+          when(devPrev.isNull, lit(null).cast("long")).otherwise(0L)))
+          .as("n_crossings"))
     agg.join(strikes, Seq(keyCol), "left")
-      .na.fill(0L, Seq("longest_strike_above_mean"))
+      .na.fill(0L, Seq("longest_strike_above_mean", "n_crossings"))
       .withColumn("ac1",
         when(col("__ac_den") === 0L, lit(null).cast("double"))
           .otherwise(col("__ac_num").cast("double") / col("__ac_den").cast("double")))
-      .drop("__ac_num", "__ac_den")
+      .withColumn("var_num",
+        col("n") * col("abs_energy") - col("sum_c") * col("sum_c"))
+      .withColumn("cid_ce", sqrt(coalesce(col("__sq_change"), lit(0L))
+        .cast("double")))
+      .drop("__ac_num", "__ac_den", "__sq_change")
   }
 }

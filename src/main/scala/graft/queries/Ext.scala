@@ -2473,6 +2473,7 @@ object Ext {
         |r AS (
         |  SELECT b.user_id, c, n, s,
         |    lag(c) OVER w AS prev,
+        |    lag(c, 2) OVER w AS prev2,
         |    row_number() OVER w AS rn,
         |    SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) OVER w AS cum_above,
         |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv
@@ -2494,13 +2495,20 @@ object Ext {
         |    CAST(SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) AS BIGINT)
         |      AS count_above_mean,
         |    CAST(SUM((c * n - s) * (prev * n - s)) AS BIGINT) AS acn,
-        |    CAST(SUM((c * n - s) * (c * n - s)) AS BIGINT) AS acd
+        |    CAST(SUM((c * n - s) * (c * n - s)) AS BIGINT) AS acd,
+        |    CAST(SUM((c - prev) * (c - prev)) AS BIGINT) AS sqch,
+        |    CAST(SUM(c * prev * prev2) AS BIGINT) AS c3_sum,
+        |    CAST(SUM(CASE WHEN (c * n - s) * (prev * n - s) < 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
         |  FROM r GROUP BY user_id, n, s)
         |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,
         |  sum_abs_change, count_above_mean,
         |  COALESCE(strike, CAST(0 AS BIGINT)) AS longest_strike_above_mean,
         |  CASE WHEN acd = 0 THEN NULL
-        |       ELSE CAST(acn AS DOUBLE) / CAST(acd AS DOUBLE) END AS ac1
+        |       ELSE CAST(acn AS DOUBLE) / CAST(acd AS DOUBLE) END AS ac1,
+        |  CAST(n * abs_energy - sum_c * sum_c AS BIGINT) AS var_num,
+        |  sqrt(CAST(COALESCE(sqch, 0) AS DOUBLE)) AS cid_ce,
+        |  c3_sum, n_crossings
         |FROM agg LEFT JOIN str USING (user_id)
         |ORDER BY user_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
@@ -2510,7 +2518,8 @@ object Ext {
         .tsFeatures(base, "user_id", Seq("event_id"), "c")
         .select($"user_id", $"n", $"sum_c", $"abs_energy", $"min_c",
           $"max_c", $"med2", $"sum_abs_change", $"count_above_mean",
-          $"longest_strike_above_mean", $"ac1")
+          $"longest_strike_above_mean", $"ac1", $"var_num", $"cid_ce",
+          $"c3_sum", $"n_crossings")
         .orderBy($"user_id")
     },
 

@@ -261,12 +261,21 @@ class WindowsSpec extends SparkSpecBase {
     // deviations 5c−14 = (1,−9,6,−9,11): num = −9−54−54−99 = −216,
     // den = 1+81+36+81+121 = 320 → exact −0.675
     assert(r.getAs[Double]("ac1") == -216.0 / 320.0)
-    // a constant series: zero deviations → null ac1, zero strikes
+    assert(r.getAs[Long]("var_num") == 64L) // 5·52 − 14²
+    assert(r.getAs[Double]("cid_ce") == math.sqrt(38.0)) // 4+9+9+16
+    assert(r.getAs[Long]("c3_sum") == 36L) // 12+4+20
+    assert(r.getAs[Long]("n_crossings") == 4L) // +,−,+,−,+
+    // a constant series: zero deviations → null ac1, zero strikes,
+    // null c3 (n < 3), zero variance/complexity/crossings
     val const = Seq((1L, 1L, 7L), (1L, 2L, 7L)).toDF("k", "o", "c")
     val rc = graft.operators.Sessionize
       .tsFeatures(const, "k", Seq("o"), "c").collect().head
     assert(rc.isNullAt(rc.fieldIndex("ac1")))
     assert(rc.getAs[Long]("longest_strike_above_mean") == 0L)
     assert(rc.getAs[Long]("med2") == 14L)
+    assert(rc.getAs[Long]("var_num") == 0L)
+    assert(rc.getAs[Double]("cid_ce") == 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("c3_sum")))
+    assert(rc.getAs[Long]("n_crossings") == 0L)
   }
 }
