@@ -45,6 +45,11 @@ class GuardrailsSpec extends SparkSpecBase {
       Curation.shardAssign(docs, "doc_id", 0)
     }
     assert(e7.getMessage.contains("nShards"))
+    val e8 = intercept[IllegalArgumentException] {
+      Sessionize.tsFeatures(Seq((1L, 1L, 1L)).toDF("k", "o", "c"),
+        "k", Nil, "c")
+    }
+    assert(e8.getMessage.contains("total series order"))
   }
 
   test("weightedSample fails fast on null / non-positive weights") {
