@@ -222,7 +222,7 @@ object ScaleBench {
         // one-time cost: persist the history's band + shingle tables
         // (amortized across every subsequent batch)
         val nm = incIndexName(dir)
-        Seq(s"${nm}_bands", s"${nm}_shingles").foreach { t =>
+        Seq(s"${nm}_bands", s"${nm}_shingles", s"${nm}_params").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
           val loc = java.nio.file.Paths.get(
             s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)

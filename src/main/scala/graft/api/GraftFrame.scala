@@ -195,16 +195,24 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     * value column — the remaining levels stay as the row key. `values`
     * is the explicit column universe (deterministic schema, no discovery
     * pass — the same contract as [[pivotTable]]). Duplicate (rest,
-    * level) pairs would be a pandas ValueError; `first` here is made
-    * deterministic by requiring uniqueness via max=min (loud check is
-    * the caller's oracle; the agg itself uses min). */
+    * level) pairs are a pandas ValueError ("Index contains duplicate
+    * entries, cannot reshape") — enforced LOUDLY here too (ADVICE r12):
+    * each pivot cell aggregates (min, count) and the projection raises
+    * at evaluation time when any cell holds > 1 row, instead of
+    * silently taking min. */
   def unstackLevel(level: Any, valueCol: String, values: Seq[Any]): GraftFrame = {
     val n = levelName(level)
     val rest = index.filterNot(_ == n)
     require(rest.nonEmpty, "unstack needs ≥ 2 index levels")
     val p = df.groupBy(rest.map(df(_)): _*).pivot(n, values)
-      .agg(min(df(valueCol)))
-    GraftFrame(p, rest)
+      .agg(min(df(valueCol)).as("__v"), count(lit(1)).as("__ct"))
+    val out = p.select(rest.map(col) ++ values.map { v =>
+      val s = v.toString
+      when(col(s"${s}___ct") > 1L, raise_error(lit(
+          s"unstack: duplicate index entries for level value '$s'")))
+        .otherwise(col(s"${s}___v")).as(s)
+    }: _*)
+    GraftFrame(out, rest)
   }
 
   /** rename_axis / set_axis over columns (reference

@@ -731,11 +731,19 @@ object GraftSession {
     * slope 0.66 — PERF.md r10), while oversizing costs nothing when
     * AQE merges the small partitions back. The floor is the session's
     * current width so the sf0.1 gate contract (32) is untouched —
-    * 17 MB / 128 MB rounds to zero and the clamp keeps 32. The 4096
-    * cap bounds driver-side task bookkeeping on a single box; a real
-    * cluster raises it with executors. Compressed parquet bytes are
-    * the deliberate yardstick — they are what the scan actually reads,
-    * and 17 GB/128 MB ≈ 136 reproduces the manually-tuned 128. */
+    * 17 MB / 128 MB rounds to zero and the clamp keeps 32. The cap is
+    * CLUSTER-AWARE (r12 VERDICT #6): max(4096, 4·defaultParallelism) —
+    * 4096 bounds driver-side task bookkeeping on a single box (where
+    * defaultParallelism is small), and on a real cluster the cap grows
+    * with the executor fleet at k = 4 waves per core slot (the
+    * standard 2–4× tasks-per-core guidance: enough waves for AQE and
+    * stragglers to even out, few enough that per-task overhead stays
+    * amortized). Compressed parquet bytes are the deliberate
+    * yardstick — they are what the scan actually reads, and
+    * 17 GB/128 MB ≈ 136 reproduces the manually-tuned 128. */
+  private[graft] def widthCap(defaultParallelism: Int): Long =
+    math.max(4096L, 4L * defaultParallelism)
+
   def scaleShuffleWidth(spark: SparkSession, dataDir: String): Int = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -750,7 +758,8 @@ object GraftSession {
         finally s.close()
       }
     val floor = spark.sessionState.conf.numShufflePartitions
-    val w = math.max(floor.toLong, math.min(4096L, bytes / (128L << 20))).toInt
+    val cap = widthCap(spark.sparkContext.defaultParallelism)
+    val w = math.max(floor.toLong, math.min(cap, bytes / (128L << 20))).toInt
     spark.conf.set("spark.sql.shuffle.partitions", w.toString)
     w
   }

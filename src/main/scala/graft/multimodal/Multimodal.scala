@@ -111,7 +111,12 @@ object Multimodal {
         Some((w, h, Array.tabulate(grid * grid)(i =>
           if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)))
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only (ADVICE r12): a fatal error (OOM on a huge frame,
+      // stack overflow) must propagate and fail the task — swallowing it
+      // as "undecodable" would silently mislabel rows
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Decode images partition-wise with the REAL JDK decoder: output
     * (media_id, w, h, out_w, out_h, embedding[grid²], decoded). Bytes no
@@ -141,8 +146,11 @@ object Multimodal {
               val (ow, oh) = Codecs.resizeDims(w, h, maxSide)
               Row(r.getLong(0), w, h, ow, oh, emb.toSeq, true)
             case None =>
-              val w = r.getAs[Int]("width")
-              val h = r.getAs[Int]("height")
+              // missing metadata dims default to 0 EXPLICITLY (ADVICE
+              // r12 — getAs[Int] would unbox null to 0 silently);
+              // resizeDims clamps outputs to >= 1
+              val w = if (r.isNullAt(2)) 0 else r.getAs[Int]("width")
+              val h = if (r.isNullAt(3)) 0 else r.getAs[Int]("height")
               val (ow, oh) = Codecs.resizeDims(w, h, maxSide)
               Row(r.getLong(0), w, h, ow, oh,
                 Codecs.imageEmbedStub(bytes, grid * grid).toSeq, false)

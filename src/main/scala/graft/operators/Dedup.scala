@@ -537,8 +537,10 @@ object Dedup {
     * index, amortized across every batch. */
   def minhashIndexPersist(indexDocs: DataFrame, textCol: String,
       idCol: String, namePrefix: String, buckets: Int = 64, n: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 4): Unit = {
-    minhashBands(indexDocs, textCol, idCol, n, bands, rowsPerBand)
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      portable: Boolean = false): Unit = {
+    val spark = indexDocs.sparkSession
+    bandsFor(indexDocs, textCol, idCol, n, bands, rowsPerBand, seed, portable)
       .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
@@ -549,19 +551,92 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(buckets, "index_id").sortBy("index_id")
       .format("parquet").saveAsTable(s"${namePrefix}_shingles")
+    // the banding contract the index was built with (ADVICE r12): a
+    // query or append whose (n, bands, rowsPerBand, seed, hash family)
+    // differ would SILENTLY lose recall (verifyJaccard only removes
+    // false positives) — persist the params so mismatches fail loudly
+    // instead. `family` is authoritative at query time: batches band
+    // with whatever family the index was built with.
+    spark.createDataFrame(Seq(
+        (n, bands, rowsPerBand, seed, if (portable) "portable" else "murmur")))
+      .toDF("n", "bands", "rows_per_band", "seed", "family")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_params")
+  }
+
+  /** Band docs with the index's hash family: murmur (the perf default)
+    * or the engine-portable md5/polynomial banding (oracle replay —
+    * never a scale path, see the bucket-saturation note on
+    * [[minhashBandsPortable]]). */
+  private[graft] def bandsFor(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, seed: Long,
+      portable: Boolean): DataFrame =
+    if (portable) minhashBandsPortable(docs, textCol, idCol, n, bands, rowsPerBand, seed)
+    else minhashBands(docs, textCol, idCol, n, bands, rowsPerBand, seed)
+
+  /** The banding params a persisted index was built with — loud failure
+    * if the params table is absent (a pre-r13 index: re-persist it). */
+  private[graft] def indexParams(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): (Int, Int, Int, Long, String) = {
+    require(spark.catalog.tableExists(s"${namePrefix}_params"),
+      s"persisted LSH index '$namePrefix' has no _params table — " +
+        "re-persist with minhashIndexPersist (params are required so a " +
+        "banding mismatch cannot silently lose recall)")
+    // single-row metadata table: bounded driver fetch
+    val r = spark.table(s"${namePrefix}_params")
+      .select(col("n"), col("bands"), col("rows_per_band"), col("seed"),
+        col("family"))
+      .head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4))
+  }
+
+  /** Append a day's batch into a persisted LSH index (r12 VERDICT #1):
+    * bands/shingles `insertInto` the existing bucketed tables — the
+    * catalog's bucket spec applies to the inserted files, so the
+    * no-exchange property of [[minhashDedupPairsAgainstIndex]] survives
+    * (PlanShapeSpec pins it post-append; buckets with several files
+    * still scan exchange-free, only the within-bucket sort is re-done
+    * by the join). Banding params come FROM the index's params table —
+    * an append can never diverge from the build. The daily-crawl loop
+    * is therefore: dedup batch N against the index, then append batch N
+    * for batch N+1 to see. */
+  def minhashIndexAppend(newDocs: DataFrame, textCol: String,
+      idCol: String, namePrefix: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (n, bands, rowsPerBand, seed, family) = indexParams(spark, namePrefix)
+    // insertInto matches columns by POSITION — keep table column order
+    bandsFor(newDocs, textCol, idCol, n, bands, rowsPerBand, seed,
+        family == "portable")
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
+      .write.mode("append").insertInto(s"${namePrefix}_bands")
+    fanOutScan(newDocs)
+      .select(col(idCol).as("index_id"),
+        TextFunctions.hashedShingles(col(textCol), n).as("shs_i"))
+      .write.mode("append").insertInto(s"${namePrefix}_shingles")
   }
 
   /** [[minhashDedupPairsAgainst]] against the PERSISTED index written by
-    * [[minhashIndexPersist]]: the history contributes its band table and
-    * shingle store through bucketed scans — no exchange, no re-banding,
-    * no text rescan. Output: (new_id, index_id, jaccard). */
+    * [[minhashIndexPersist]] (+ any [[minhashIndexAppend]]s): the history
+    * contributes its band table and shingle store through bucketed scans
+    * — no exchange, no re-banding, no text rescan. The caller's banding
+    * args are validated against the index's persisted params (ADVICE
+    * r12): a mismatch means the new batch's buckets live in a different
+    * hash space than the index's — zero recall loss is impossible to
+    * detect downstream, so fail loudly here. Output:
+    * (new_id, index_id, jaccard). */
   def minhashDedupPairsAgainstIndex(newDocs: DataFrame, textCol: String,
       idCol: String, namePrefix: String, n: Int = 3,
       threshold: Double = 0.8, bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = newDocs.sparkSession
+    val (pn, pb, pr, ps, family) = indexParams(spark, namePrefix)
+    require(pn == n && pb == bands && pr == rowsPerBand && ps == seed,
+      s"banding mismatch vs index '$namePrefix': index built with " +
+        s"(n=$pn, bands=$pb, rowsPerBand=$pr, seed=$ps), query asked " +
+        s"(n=$n, bands=$bands, rowsPerBand=$rowsPerBand, seed=$seed)")
     val idxBands = spark.table(s"${namePrefix}_bands")
-    val newBands = minhashBands(newDocs, textCol, idCol, n, bands, rowsPerBand)
+    val newBands = bandsFor(newDocs, textCol, idCol, n, bands, rowsPerBand,
+        seed, family == "portable")
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
     val cands = newBands.join(idxBands, Seq("band", "bucket"))
       .select("new_id", "index_id").distinct()

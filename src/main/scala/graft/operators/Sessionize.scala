@@ -595,8 +595,11 @@ object Sessionize {
     * cid_ce = √Σ(Δc)² (tsfresh's complexity estimate — √ of an exact
     * integer, bit-identical on any IEEE engine), c3_sum =
     * Σ c_t·c_{t+1}·c_{t+2} (tsfresh c3 numerator at lag 1), and
-    * n_crossings — sign changes of the n-scaled deviation between
-    * consecutive observations (tsfresh number_crossing_m at m = mean).
+    * n_crossings — flips of the boolean (c > mean) between consecutive
+    * observations, exactly tsfresh number_crossing_m at m = mean
+    * (np.diff(x > m) nonzero): a value landing ON the mean — reachable
+    * with integer cents — counts as not-above, matching tsfresh, where
+    * a strict sign-change rule would skip it.
     * Everything is exact BIGINT up to |c|·n ≲ 3e9 per key (raise to
     * DECIMAL sums beyond); mean-relative tests multiply through by n
     * (c·n > S) so no rational ever materializes.
@@ -654,8 +657,8 @@ object Sessionize {
         sum((col("__c") - col("__prev")) * (col("__c") - col("__prev")))
           .as("__sq_change"),
         sum(col("__c") * col("__prev") * col("__prev2")).as("c3_sum"),
-        sum(when(dev * devPrev < 0L, 1L).otherwise(
-          when(devPrev.isNull, lit(null).cast("long")).otherwise(0L)))
+        sum(when(devPrev.isNull, lit(null).cast("long")).otherwise(
+          when((dev > 0L) =!= (devPrev > 0L), 1L).otherwise(0L)))
           .as("n_crossings"))
     agg.join(strikes, Seq(keyCol), "left")
       .na.fill(0L, Seq("longest_strike_above_mean", "n_crossings"))

@@ -334,6 +334,59 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- §2.16 streaming near-dup AGAINST the static persisted LSH
+    //     index (r12 VERDICT #2): history (doc_id < 400) persisted once
+    //     with the PORTABLE banding (family recorded in the index's
+    //     params table — the stream bands itself with those params, so
+    //     family/param mismatches are impossible by construction); the
+    //     crawl stream (ALL docs — a re-crawl: history pages flow
+    //     through the firehose again and match themselves, which the
+    //     downstream dedup rightly discards; streaming only new docs
+    //     would leave a single non-empty micro-batch on the staged
+    //     range files) probes it via a stateless stream-static join
+    //     across ≥3 real micro-batches. Batch boundaries cannot matter
+    //     (no keyed state), so the oracle is the full band-collision
+    //     replay against the index side over the identical portable bk
+    //     chain.
+    Q("op_stream_neardup_index_parity",
+      s"""WITH $shinglesCte,
+         |$portableBkCte
+         |SELECT b.doc_id, CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS index_matches
+         |FROM bk b JOIN bk a ON b.band = a.band AND b.bucket = a.bucket
+         |WHERE a.doc_id < 400
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      Seq("graft_snd_idx_bands", "graft_snd_idx_shingles",
+          "graft_snd_idx_params").foreach { nm =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_snd_idx", buckets = 8, portable = true)
+      val stageDir = OpsExtra.StreamParity.stage(spark, dir, "documents", "doc_id")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      val sinkName = s"strm_neardup_idx_${OpsExtra.StreamParity.next()}"
+      val q = StreamOps.streamingNearDupAgainstIndex(stream, "graft_snd_idx")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        OpsExtra.StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      StreamOps.nearDupIndexVerdicts(spark.table(sinkName))
+        .orderBy($"doc_id")
+    },
+
     // --- incremental near-dup detection: a NEW batch (doc_id >= 400)
     //     probed against the EXISTING corpus (doc_id < 400) — cross-side
     //     candidates only, exact-verified. The daily-crawl-vs-history
@@ -373,6 +426,13 @@ object Ext {
     //     as ext_dedup_incremental: exact cross-batch Jaccard >= 0.8 —
     //     minhash banding has full recall on the fixture's near-dup
     //     structure, so candidates-then-verify equals the exact answer.
+    //     Gap argument (selection-oracle convention): the fixture's
+    //     near-dup pairs are word-level edits of a shared base (true
+    //     j ≳ 0.9) and unrelated pairs sit at j ≲ 0.2 — nothing lives
+    //     near the 0.8 threshold, where 16×4 banding misses ~1.4e-3 of
+    //     borderline pairs (ext_lsh_recall gates that behavior
+    //     explicitly). A fixture change planting j ≈ 0.8 pairs would
+    //     red this gate spuriously; keep the gap.
     Q("ext_dedup_incremental_lsh",
       s"""WITH $shinglesCte,
          |jp AS (
@@ -390,7 +450,8 @@ object Ext {
       import spark.implicits._
       // fresh catalog per JVM but persistent warehouse dir — drop both
       // the entries and any orphan locations (op_bucketed_join pattern)
-      Seq("graft_inc_idx_bands", "graft_inc_idx_shingles").foreach { nm =>
+      Seq("graft_inc_idx_bands", "graft_inc_idx_shingles",
+          "graft_inc_idx_params").foreach { nm =>
         spark.sql(s"DROP TABLE IF EXISTS $nm")
         val loc = java.nio.file.Paths.get(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
@@ -405,6 +466,53 @@ object Ext {
         "text", "doc_id", "graft_inc_idx", buckets = 8)
       Dedup.minhashDedupPairsAgainstIndex(docs.filter($"doc_id" >= 400),
           "text", "doc_id", "graft_inc_idx", n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
+    // --- APPEND path of the persisted LSH index (r12 VERDICT #1): the
+    //     index is built from docs < 300, then docs 300–399 are
+    //     insertInto-appended (banding params read from the index's own
+    //     params table — an append can never diverge from the build),
+    //     and batch docs >= 400 queries the combined index. The final
+    //     index CONTENT equals ext_dedup_incremental_lsh's (all docs
+    //     < 400), so the oracle is the same exact cross-batch Jaccard;
+    //     the same fixture gap argument applies (near-dups at j ≳ 0.9,
+    //     strangers at j ≲ 0.2 — nothing near the 0.8 threshold).
+    //     PlanShapeSpec pins no-exchange above the history scans AFTER
+    //     an append (multi-file buckets still report their hash layout).
+    Q("ext_dedup_incremental_lsh_append",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Seq("graft_incap_idx_bands", "graft_incap_idx_shingles",
+          "graft_incap_idx_params").foreach { nm =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 300),
+        "text", "doc_id", "graft_incap_idx", buckets = 8)
+      Dedup.minhashIndexAppend(docs.filter($"doc_id" >= 300 && $"doc_id" < 400),
+        "text", "doc_id", "graft_incap_idx")
+      Dedup.minhashDedupPairsAgainstIndex(docs.filter($"doc_id" >= 400),
+          "text", "doc_id", "graft_incap_idx", n = 3, threshold = 0.8)
         .orderBy($"new_id", $"index_id")
     },
 
@@ -2498,7 +2606,8 @@ object Ext {
         |    CAST(SUM((c * n - s) * (c * n - s)) AS BIGINT) AS acd,
         |    CAST(SUM((c - prev) * (c - prev)) AS BIGINT) AS sqch,
         |    CAST(SUM(c * prev * prev2) AS BIGINT) AS c3_sum,
-        |    CAST(SUM(CASE WHEN (c * n - s) * (prev * n - s) < 0
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL
+        |                   AND ((c * n > s) != (prev * n > s))
         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
         |  FROM r GROUP BY user_id, n, s)
         |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,

@@ -204,16 +204,34 @@ object Tpch {
          |GROUP BY supp_nation, cust_nation, l_year
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val n1 = t(spark, dir, "nation").select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
-      val n2 = t(spark, dir, "nation").select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+      // derivable per-side prefilters (r12 VERDICT #5): the pair-OR
+      // implies n_name ∈ {N1, N2} on EACH leg — Catalyst cannot infer
+      // a per-side predicate through the OR, so state it here and the
+      // broadcast joins prune supplier/customer rows to 2/25 of nations
+      // BEFORE the fact side flows; the pair-OR below stays the final
+      // (and only semantic) filter.
+      val pairNations = Seq("NATION_1", "NATION_2")
+      val n1 = t(spark, dir, "nation")
+        .filter($"n_name".isin(pairNations: _*))
+        .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+      val n2 = t(spark, dir, "nation")
+        .filter($"n_name".isin(pairNations: _*))
+        .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+      // dims pruned FIRST: supplier⋈n1 and customer⋈n2 shrink to 2/25
+      // of nations before any fact row moves, so the fact-side joins
+      // shuffle (or broadcast) the pruned dims, not the full tables
+      val supp = t(spark, dir, "supplier")
+        .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+        .select($"s_suppkey", $"supp_nation")
+      val cust = t(spark, dir, "customer")
+        .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+        .select($"c_custkey", $"cust_nation")
       t(spark, dir, "lineitem")
         .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
           $"l_shipdate" <= to_timestamp(lit("1997-12-31")))
         .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-        .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
-        .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(n1), $"s_nationkey" === $"n1_key")
-        .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
         .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
           ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
         .withColumn("l_year", year($"l_shipdate").cast("long"))

@@ -190,6 +190,44 @@ object StreamOps {
     perBand.groupBy(col("doc_id"))
       .agg(max(col("dup_hit")).as("near_dup_candidate"))
 
+  /** Streaming near-dup candidates AGAINST the static persisted LSH
+    * index (r12 VERDICT #2): a crawl stream's first question is not "is
+    * this a dup within today's firehose"
+    * ([[streamingNearDupCandidates]]' keyed state answers that) but
+    * "have I crawled something like this before" — incoming docs are
+    * banded with the INDEX'S OWN persisted params (hash family
+    * included, so a mismatch is impossible by construction) and
+    * stream-static inner-joined with the bucketed `<prefix>_bands`
+    * table written by [[graft.operators.Dedup.minhashIndexPersist]].
+    * Stateless: no keyed state, no watermark — every micro-batch probes
+    * the same static index, so the output is independent of batch
+    * boundaries. The static side stays a bucketed scan with no exchange
+    * above it in the micro-batch plan (StreamingSpec pins it) — at
+    * 100 TB the index is the only touchable representation of history,
+    * and the stream side is the one that moves. Emits per-hit rows
+    * (doc_id, band, index_id); fold per-doc with
+    * [[nearDupIndexVerdicts]] on the sink, then verify survivors'
+    * exact Jaccard batch-side (candidates-then-verify, as in the batch
+    * path). */
+  def streamingNearDupAgainstIndex(docs: DataFrame,
+      namePrefix: String): DataFrame = {
+    val spark = docs.sparkSession
+    val (n, bands, rowsPerBand, seed, family) =
+      graft.operators.Dedup.indexParams(spark, namePrefix)
+    val banded = graft.operators.Dedup.bandsFor(
+      docs, "text", "doc_id", n, bands, rowsPerBand, seed,
+      family == "portable")
+    banded.join(spark.table(s"${namePrefix}_bands"), Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("index_id"))
+  }
+
+  /** Per-doc verdicts over [[streamingNearDupAgainstIndex]] hits: how
+    * many distinct history docs each stream doc collides with (docs
+    * with zero hits emit no rows — the common case on a real crawl). */
+  def nearDupIndexVerdicts(hits: DataFrame): DataFrame =
+    hits.groupBy(col("doc_id"))
+      .agg(countDistinct(col("index_id")).as("index_matches"))
+
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for
     * state machines the built-in windows can't express

@@ -1081,9 +1081,32 @@ class ApiSpec extends SparkSpecBase {
     // unstack pivots the chosen level into columns
     val us = f.unstackLevel("k", "v", Seq(1, 2))
     assert(us.index == Seq("g") && us.columns.toSet == Set("g", "1", "2"))
+    val usA = us.df.filter($"g" === "a").collect().head
+    assert(usA.getDouble(1) == 10.0 && usA.getDouble(2) == 20.0)
+    val usB = us.df.filter($"g" === "b").collect().head
+    assert(usB.getDouble(1) == 30.0 && usB.isNullAt(2)) // absent cell → null
+    // duplicate (rest, level) pairs raise LOUDLY at evaluation time
+    // (pandas ValueError; ADVICE r12 — no silent min)
+    val dup = GraftFrame(Seq(("a", 1L, 10.0), ("a", 1L, 11.0))
+      .toDF("g", "k", "v")).setIndex("g", "k")
+    val ex = intercept[Exception] {
+      dup.unstackLevel("k", "v", Seq(1)).df.collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(msgs.contains("duplicate index entries"), msgs.take(500))
     // out-of-range and non-index levels fail loudly
     intercept[IllegalArgumentException] { f.xs("a", 5) }
     intercept[IllegalArgumentException] { f.xs("a", "v") }
+  }
+
+  test("widthCap grows with the executor fleet, floors at the single-box bound") {
+    import graft.api.GraftSession.widthCap
+    // single box (local[32]): 4·32 = 128 ≪ 4096 → the bookkeeping bound
+    assert(widthCap(32) == 4096L)
+    assert(widthCap(1024) == 4096L) // 4·1024 = 4096 exactly — boundary
+    // a real fleet: 2000 core slots → 8000 concurrent-wave budget
+    assert(widthCap(2000) == 8000L)
   }
 
   test("scaleShuffleWidth floors at the gate width and scales with bytes") {

@@ -424,15 +424,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Window"))
   }
 
-  test("persisted LSH index: no exchange above the history-side scans") {
-    import graft.operators.Dedup
-    val docs = (1 to 80).map(i => (i.toLong,
-      (1 to 12).map(w => s"w${(i * w) % 60}").mkString(" ")))
-      .toDF("doc_id", "text")
-    Seq("graft_px_bands", "graft_px_shingles")
-      .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
-    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 60),
-      "text", "doc_id", "graft_px", buckets = 4)
+  /** The persisted-LSH no-exchange pin, shared by the build-once and the
+    * append-path tests: an Exchange whose input IS an index scan (only
+    * row-preserving unary ops between) = the index itself being
+    * re-shuffled — the bucket layout exists precisely to avoid that.
+    * Downstream exchanges of DERIVED candidate pairs (past a join or an
+    * aggregate) are legitimate small-data movements. */
+  private def assertIndexExchangeFree(out: org.apache.spark.sql.DataFrame,
+      prefix: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val plan = out.queryExecution.executedPlan
+    def scanBehindUnary(p: SparkPlan): Seq[String] = p match {
+      case f: FileSourceScanExec =>
+        Seq(f.tableIdentifier.map(_.table).getOrElse(""))
+      case u if u.children.size == 1 &&
+          !u.getClass.getSimpleName.contains("Aggregate") =>
+        scanBehindUnary(u.children.head)
+      case _ => Nil
+    }
+    val offending = plan.collect { case e: Exchange =>
+      scanBehindUnary(e.child).filter(_.startsWith(prefix))
+    }.flatten
+    assert(offending.isEmpty,
+      s"history side shuffles: $offending\n${plan.toString.take(1200)}")
+    // both bucketed tables actually feed the plan
+    val scans = plan.collect { case f: FileSourceScanExec =>
+      f.tableIdentifier.map(_.table).getOrElse("") }
+    assert(scans.count(_.startsWith(prefix)) == 2, scans.mkString(","))
+  }
+
+  private def lshDocs = (1 to 80).map(i => (i.toLong,
+    (1 to 12).map(w => s"w${(i * w) % 60}").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  private def withSmjStaticPlan(body: => Unit): Unit = {
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevA = spark.conf.get("spark.sql.adaptive.enabled")
     try {
@@ -441,39 +467,69 @@ class PlanShapeSpec extends SparkSpecBase {
       // scale the history side is far too big to broadcast
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val out = Dedup.minhashDedupPairsAgainstIndex(
-        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_px")
-      import org.apache.spark.sql.execution.exchange.Exchange
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      val plan = out.queryExecution.executedPlan
-      // an Exchange whose input IS an index scan (only row-preserving
-      // unary ops between) = the index itself being re-shuffled — the
-      // bucket layout exists precisely to avoid that. Downstream
-      // exchanges of DERIVED candidate pairs (past a join or an
-      // aggregate) are legitimate small-data movements.
-      def scanBehindUnary(p: SparkPlan): Seq[String] = p match {
-        case f: FileSourceScanExec =>
-          Seq(f.tableIdentifier.map(_.table).getOrElse(""))
-        case u if u.children.size == 1 &&
-            !u.getClass.getSimpleName.contains("Aggregate") =>
-          scanBehindUnary(u.children.head)
-        case _ => Nil
-      }
-      val offending = plan.collect { case e: Exchange =>
-        scanBehindUnary(e.child).filter(_.startsWith("graft_px"))
-      }.flatten
-      assert(offending.isEmpty,
-        s"history side shuffles: $offending\n${plan.toString.take(1200)}")
-      // both bucketed tables actually feed the plan
-      val scans = plan.collect { case f: FileSourceScanExec =>
-        f.tableIdentifier.map(_.table).getOrElse("") }
-      assert(scans.count(_.startsWith("graft_px")) == 2, scans.mkString(","))
-      out.write.mode("overwrite").format("noop").save() // executes
+      body
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
-      Seq("graft_px_bands", "graft_px_shingles")
+    }
+  }
+
+  test("persisted LSH index: no exchange above the history-side scans") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    Seq("graft_px_bands", "graft_px_shingles", "graft_px_params")
+      .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 60),
+      "text", "doc_id", "graft_px", buckets = 4)
+    try withSmjStaticPlan {
+      val out = Dedup.minhashDedupPairsAgainstIndex(
+        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_px")
+      assertIndexExchangeFree(out, "graft_px")
+      out.write.mode("overwrite").format("noop").save() // executes
+      // a banding mismatch vs the persisted params fails LOUDLY
+      // (ADVICE r12 — silent recall loss is undetectable downstream)
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.minhashDedupPairsAgainstIndex(
+          docs.filter($"doc_id" > 60), "text", "doc_id", "graft_px",
+          bands = 8, rowsPerBand = 8)
+      }
+      assert(ex.getMessage.contains("banding mismatch"))
+    } finally {
+      Seq("graft_px_bands", "graft_px_shingles", "graft_px_params")
         .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    }
+  }
+
+  test("persisted LSH index append: insertInto keeps the bucket layout exchange-free") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    val tbls = Seq("graft_pa_bands", "graft_pa_shingles", "graft_pa_params")
+    tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    // build from the first 40 docs, append 41..60 — the combined index
+    // must behave exactly like a from-scratch build over docs <= 60
+    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 40),
+      "text", "doc_id", "graft_pa", buckets = 4)
+    Dedup.minhashIndexAppend(
+      docs.filter($"doc_id" > 40 && $"doc_id" <= 60),
+      "text", "doc_id", "graft_pa")
+    try withSmjStaticPlan {
+      val out = Dedup.minhashDedupPairsAgainstIndex(
+        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pa")
+      assertIndexExchangeFree(out, "graft_pa")
+      // appended buckets really landed in the bucket layout: every
+      // bands-table file name carries its bucket id, and the post-append
+      // table has more than one file for the 4 buckets
+      val pairs = out.select("new_id", "index_id", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromScratch = Dedup.minhashDedupPairsAgainst(
+          docs.filter($"doc_id" > 60), docs.filter($"doc_id" <= 60),
+          "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == fromScratch,
+        s"append diverged: only-index=${pairs -- fromScratch} only-scratch=${fromScratch -- pairs}")
+      assert(pairs.nonEmpty) // the fixture plants shared-shingle docs
+    } finally {
+      tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     }
   }
 }

@@ -176,6 +176,73 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup vs the persisted index: batch parity + exchange-free static scan") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val history = Seq(
+      (1L, base),
+      (2L, "completely different content with no overlap whatsoever here today"))
+      .toDF("doc_id", "text")
+    val tbls = Seq("graft_sndx_bands", "graft_sndx_shingles", "graft_sndx_params")
+    tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    graft.operators.Dedup.minhashIndexPersist(
+      history, "text", "doc_id", "graft_sndx", buckets = 4)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.streamingNearDupAgainstIndex(docs, "graft_sndx")
+      .writeStream.format("memory").queryName("neardup_idx")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq((10L, base + " x"),
+        (11L, "yet another unrelated corpus document entirely fresh tokens"))
+      val batch2 = Seq((12L, base + " y"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val verdicts = StreamOps.nearDupIndexVerdicts(spark.table("neardup_idx"))
+        .as[(Long, Long)].collect().toMap
+      // near-copies of history doc 1 hit it from EITHER micro-batch
+      // (stateless: the static index answers every batch identically)
+      assert(verdicts.get(10L).exists(_ >= 1L), verdicts.toString)
+      assert(verdicts.get(12L).exists(_ >= 1L), verdicts.toString)
+      assert(!verdicts.contains(11L), verdicts.toString) // no history hit
+      // batch parity: the same op over the union of batches as a BATCH
+      // frame produces identical per-doc verdicts
+      val batchTwin = StreamOps.nearDupIndexVerdicts(
+        StreamOps.streamingNearDupAgainstIndex(
+          (batch1 ++ batch2).toDF("doc_id", "text"), "graft_sndx"))
+        .as[(Long, Long)].collect().toMap
+      assert(verdicts == batchTwin, s"stream=$verdicts batch=$batchTwin")
+      // the static index scan is exchange-free in the MICRO-BATCH plan
+      // (reflection into lastExecution — the wrapper class is
+      // private[sql]; the QueryExecution it exposes is public)
+      val se = q.getClass.getMethods.find(_.getName == "streamingQuery")
+        .map(_.invoke(q)).getOrElse(q)
+      val le = se.getClass.getMethod("lastExecution").invoke(se)
+        .asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+      import org.apache.spark.sql.execution.exchange.Exchange
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      def scanBehindUnary(p: SparkPlan): Seq[String] = p match {
+        case f: FileSourceScanExec =>
+          Seq(f.tableIdentifier.map(_.table).getOrElse(""))
+        case u if u.children.size == 1 &&
+            !u.getClass.getSimpleName.contains("Aggregate") =>
+          scanBehindUnary(u.children.head)
+        case _ => Nil
+      }
+      val offending = le.executedPlan.collect { case e: Exchange =>
+        scanBehindUnary(e.child).filter(_.startsWith("graft_sndx"))
+      }.flatten
+      assert(offending.isEmpty,
+        s"static index shuffles in micro-batch plan: $offending\n" +
+          le.executedPlan.toString.take(1200))
+    } finally {
+      q.stop()
+      tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    }
+  }
+
   test("stream-stream interval join matches the hand-computed pairs") {
     implicit val sq = spark.sqlContext
     val signups = MemoryStream[(Long, Long, Timestamp)]

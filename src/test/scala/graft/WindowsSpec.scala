@@ -264,7 +264,16 @@ class WindowsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("var_num") == 64L) // 5·52 − 14²
     assert(r.getAs[Double]("cid_ce") == math.sqrt(38.0)) // 4+9+9+16
     assert(r.getAs[Long]("c3_sum") == 36L) // 12+4+20
-    assert(r.getAs[Long]("n_crossings") == 4L) // +,−,+,−,+
+    assert(r.getAs[Long]("n_crossings") == 4L) // above-mean T,F,T,F,T
+    // at-mean values count as NOT above (tsfresh np.diff(x > m)):
+    // (2,4,3,3) → n=4, S=12, mean=3 exactly; above = F,T,F,F → 2 flips
+    // (a strict sign-change rule would count only 1 — ADVICE r12)
+    val atMean = Seq((2L, 1L, 2L), (2L, 2L, 4L), (2L, 3L, 3L),
+      (2L, 4L, 3L)).toDF("k", "o", "c")
+    val rm = graft.operators.Sessionize
+      .tsFeatures(atMean, "k", Seq("o"), "c").collect().head
+    assert(rm.getAs[Long]("n_crossings") == 2L)
+    assert(rm.getAs[Long]("count_above_mean") == 1L)
     // a constant series: zero deviations → null ac1, zero strikes,
     // null c3 (n < 3), zero variance/complexity/crossings
     val const = Seq((1L, 1L, 7L), (1L, 2L, 7L)).toDF("k", "o", "c")
