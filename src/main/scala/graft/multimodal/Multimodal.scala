@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
   * true bitstream dimensions + a mean-pooled luminance grid, with the
   * deterministic [[Codecs]] stub as the fallback for bytes no installed
   * reader accepts (and as the documented swap point for exotic codecs).
-  * AUDIO/VIDEO decode stays stubbed — no codec libraries in this
-  * container — with the framing/sampling arithmetic real and tested;
-  * swapping in a real decoder is a one-function change per modality.
+  * AUDIO decode is REAL since r13 by the same route: javax.sound.sampled
+  * reads WAV/AIFF/AU PCM with zero external codecs ([[decodeWavPcm]] →
+  * [[audioDecodeFeatures]]: exact-integer sample features + an FFT
+  * spectral centroid), metadata fallback for compressed formats
+  * (mp3/flac/opus need libraries this container can't ship). VIDEO
+  * decode stays stubbed — with the framing/sampling arithmetic real and
+  * tested; swapping in a real decoder is a one-function change.
   *
   * Scale design: binary payloads never pass through a shuffle — decode and
   * feature extraction are narrow per-partition maps over the scan, and only
@@ -177,6 +181,182 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("data")
           val (w, h) = Codecs.resizeDims(r.getAs[Int]("width"), r.getAs[Int]("height"), maxSide)
           Row(r.getLong(0), Codecs.imageEmbedStub(bytes, dim).toSeq, w, h)
+        }
+      }
+  }
+
+  /** Canonical 16-bit mono little-endian PCM WAV container around raw
+    * samples — the synthesis half of the audio roundtrip: tests and the
+    * ext_multimodal_audio gate build WAVs here, then decode through the
+    * REAL javax.sound path. PCM16 is lossless, so decoded samples equal
+    * the synthesized ones exactly — which is what makes the decode
+    * differentially checkable at all. */
+  def wavPcm16Bytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via the JDK's own javax.sound.sampled (WAV/AIFF/AU
+    * PCM readers ship with every JVM — zero external codecs, the r12
+    * image pattern applied to audio): (sampleRate, channels, mono int
+    * samples). Multi-channel frames are averaged with truncating integer
+    * division (exact, engine-replayable). Returns None for bytes no
+    * installed reader accepts or non-PCM encodings —
+    * [[audioDecodeFeatures]] falls back to metadata there, which remains
+    * the documented swap point for exotic codecs (mp3/flac/opus need
+    * external libraries this container can't ship). */
+  def decodeWavPcm(data: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) ||
+            (bits != 16 && bits != 8)) None
+        else {
+          val channels = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          val bytesPerSample = bits / 8
+          val bytes = in.readAllBytes()
+          val frames = bytes.length / frameSize
+          val out = new Array[Int](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0L
+            var c = 0
+            while (c < channels) {
+              val off = f * frameSize + c * bytesPerSample
+              val v =
+                if (bytesPerSample == 2) {
+                  val raw =
+                    if (fmt.isBigEndian)
+                      (bytes(off).toInt << 8) | (bytes(off + 1) & 0xff)
+                    else
+                      (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
+                  if (enc == PCM_UNSIGNED) (raw & 0xffff) - 32768 else raw
+                } else {
+                  if (enc == PCM_UNSIGNED) (bytes(off) & 0xff) - 128
+                  else bytes(off).toInt
+                }
+              acc += v
+              c += 1
+            }
+            out(f) = (acc / channels).toInt // truncating mono mixdown
+            f += 1
+          }
+          Some((math.round(fmt.getSampleRate), channels, out))
+        }
+      } finally in.close()
+    } catch {
+      // NonFatal only — same contract as the image decoder: fatal
+      // errors fail the task rather than mislabel rows as undecodable
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** |X|-weighted mean bin of a `fftSize`-point FFT over the first
+    * `fftSize` samples (zero-padded; DC bin excluded) — the classic
+    * spectral-centroid feature, via the same per-row radix-2 kernel the
+    * FFT operators use. libm enters here, so this column is spec-pinned
+    * (MultimodalSpec), not oracled. */
+  private def spectralCentroid(s: Array[Int], fftSize: Int): Double = {
+    if (s.isEmpty) return 0.0
+    val re = new Array[Double](fftSize)
+    val im = new Array[Double](fftSize)
+    var i = 0
+    while (i < fftSize && i < s.length) { re(i) = s(i).toDouble; i += 1 }
+    graft.functions.Fft.transform(re, im, inverse = false)
+    var num = 0.0
+    var den = 0.0
+    var k = 1
+    while (k < fftSize / 2) {
+      val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+      num += k * mag
+      den += mag
+      k += 1
+    }
+    if (den == 0.0) 0.0 else num / den
+  }
+
+  /** Decode audio partition-wise with the REAL JDK decoder: output
+    * (media_id, sample_rate, n_samples, duration_us, sum_abs, energy,
+    * min_s, max_s, n_zero_cross, spec_centroid, decoded). The integer
+    * features are exact BIGINT folds over the decoded samples —
+    * order-free, so ext_multimodal_audio gates them UNROUNDED against a
+    * DuckDB replay of the synthesis arithmetic; zero crossings count
+    * flips of (sample > 0), the tsfresh convention. duration_us =
+    * n·10⁶/rate by integer floor division. Bytes no reader accepts keep
+    * metadata sample_rate/n_frames with zeroed sample features and
+    * decoded = false — the pipeline never drops rows on codec gaps.
+    * Same scale shape as [[imageDecodeFeatures]]: narrow per-partition
+    * map, payloads never shuffle, only small features continue. */
+  def audioDecodeFeatures(media: DataFrame, fftSize: Int = 256): DataFrame = {
+    require(fftSize > 0 && (fftSize & (fftSize - 1)) == 0,
+      s"fftSize must be a power of 2: $fftSize")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_us", LongType),
+      StructField("sum_abs", LongType),
+      StructField("energy", LongType),
+      StructField("min_s", LongType),
+      StructField("max_s", LongType),
+      StructField("n_zero_cross", LongType),
+      StructField("spec_centroid", DoubleType),
+      StructField("decoded", BooleanType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media
+      .filter(col("modality") === "audio" && col("data").isNotNull)
+      .select("media_id", "data", "meta.sample_rate", "meta.n_frames")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("data")
+          decodeWavPcm(bytes) match {
+            case Some((rate, _, s)) =>
+              var sumAbs = 0L
+              var energy = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var zc = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                sumAbs += math.abs(v)
+                energy += v * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                if (i > 0 && ((s(i) > 0) != (s(i - 1) > 0))) zc += 1
+                i += 1
+              }
+              val n = s.length.toLong
+              Row(r.getLong(0), rate, n,
+                if (rate == 0) 0L else n * 1000000L / rate,
+                sumAbs, energy,
+                if (n == 0) 0L else mn, if (n == 0) 0L else mx,
+                zc, spectralCentroid(s, fftSize), true)
+            case None =>
+              val rate = if (r.isNullAt(2)) 0 else r.getAs[Int]("sample_rate")
+              val n = (if (r.isNullAt(3)) 0 else r.getAs[Int]("n_frames")).toLong
+              Row(r.getLong(0), rate, n,
+                if (rate == 0) 0L else n * 1000000L / rate,
+                0L, 0L, 0L, 0L, 0L, 0.0, false)
+          }
         }
       }
   }

@@ -1267,6 +1267,58 @@ object Ext {
       img.unionAll(aud).unionAll(vid).orderBy($"media_id", $"kind", $"a")
     },
 
+    // --- REAL audio decode through javax.sound.sampled (r12 VERDICT
+    //     #7): per doc a deterministic int16 PCM signal
+    //     s_k = ((media_id·31 + k·17) mod 2001) − 1000 is containerized
+    //     as a canonical WAV (Multimodal.wavPcm16Bytes), decoded by the
+    //     REAL JDK reader on the executors, and folded to exact-integer
+    //     features — PCM16 is lossless, so the decode must reproduce
+    //     the synthesis bit-for-bit for the gate to pass. DuckDB
+    //     replays the synthesis arithmetic directly (it never sees the
+    //     bytes); every gate column is BIGINT/BOOLEAN → UNROUNDED. The
+    //     FFT spectral centroid is libm → spec-pinned (MultimodalSpec),
+    //     excluded here.
+    Q("ext_multimodal_audio",
+      """WITH d AS (SELECT doc_id AS media_id, (n_chars % 500) + 32 AS ns
+        |           FROM documents WHERE doc_id < 120),
+        |s AS (SELECT media_id, ns, k,
+        |             ((media_id * 31 + k * 17) % 2001) - 1000 AS v
+        |      FROM (SELECT media_id, ns, unnest(range(ns)) AS k FROM d) t),
+        |w AS (SELECT media_id, ns, k, v,
+        |             lag(v) OVER (PARTITION BY media_id ORDER BY k) AS prev
+        |      FROM s)
+        |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(ns AS BIGINT) * 125 AS duration_us,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(MIN(v) AS BIGINT) AS min_s,
+        |  CAST(MAX(v) AS BIGINT) AS max_s,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND ((v > 0) != (prev > 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  TRUE AS decoded
+        |FROM w GROUP BY media_id, ns ORDER BY media_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      import graft.multimodal.Multimodal
+      implicit val enc = RowEncoder.encoderFor(Multimodal.mediaSchema)
+      val media = t(spark, dir, "documents").filter($"doc_id" < 120)
+        .select($"doc_id", (($"n_chars" % 500) + 32).cast("int").as("ns"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, ns) =>
+          val samples = Array.tabulate(ns)(k =>
+            (((id * 31 + k * 17) % 2001) - 1000).toShort)
+          Row(id, null, Multimodal.wavPcm16Bytes(samples, 8000), "audio",
+            Row(null, null, 8000, ns))
+        })
+      Multimodal.audioDecodeFeatures(media)
+        .select($"media_id", $"sample_rate".cast("long").as("sample_rate"),
+          $"n_samples", $"duration_us", $"sum_abs", $"energy",
+          $"min_s", $"max_s", $"n_zero_cross", $"decoded")
+        .orderBy($"media_id")
+    },
+
     // --- benchmark decontamination: corpus docs flagged by distinct
     //     word-3-gram overlap with the (broadcast) benchmark set. Spark
     //     intersects xxhash64 shingle hashes, DuckDB intersects shingle

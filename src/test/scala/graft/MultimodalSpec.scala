@@ -70,6 +70,70 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1).getAs[scala.collection.Seq[Float]]("embedding").length == 4)
   }
 
+  test("decodeWavPcm roundtrips PCM16 exactly and mixes multi-channel/8-bit forms") {
+    import Multimodal.{decodeWavPcm, wavPcm16Bytes}
+    // mono 16-bit: lossless roundtrip, samples bit-identical
+    val samples = Array.tabulate(300)(k => (((k * 37) % 2001) - 1000).toShort)
+    val Some((rate, ch, got)) = decodeWavPcm(wavPcm16Bytes(samples, 8000))
+    assert(rate == 8000 && ch == 1)
+    assert(got.toSeq == samples.map(_.toInt).toSeq)
+    // stereo 16-bit via the JDK's own writer: truncating mean mixdown
+    val fmt = new javax.sound.sampled.AudioFormat(4000f, 16, 2, true, false)
+    val l = Array[Short](100, -100, 7)
+    val r = Array[Short](201, -300, -8)
+    val inter = l.zip(r).flatMap { case (a, b) =>
+      Array((a & 0xff).toByte, ((a >> 8) & 0xff).toByte,
+        (b & 0xff).toByte, ((b >> 8) & 0xff).toByte)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(inter), fmt, 3),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((r2, ch2, mixed)) = decodeWavPcm(bos.toByteArray)
+    assert(r2 == 4000 && ch2 == 2)
+    // (100+201)/2 = 150 (truncate), (-100-300)/2 = -200, (7-8)/2 = 0
+    assert(mixed.toSeq == Seq(150, -200, 0))
+    // garbage bytes → None (fallback), never a throw
+    assert(decodeWavPcm(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("audioDecodeFeatures: exact integer features, spectral centroid, metadata fallback") {
+    import Multimodal.wavPcm16Bytes
+    // a pure tone at FFT bin 8 of 256 @ rate 8192: centroid ≈ 8
+    val n = 256
+    val tone = Array.tabulate(n)(k =>
+      (8000.0 * math.sin(2 * math.Pi * 8 * k / n)).toShort)
+    val df = mediaDf(
+      mediaRow(1L, wavPcm16Bytes(tone, 8192), "audio", null, null, null),
+      mediaRow(2L, Array[Byte](9, 9, 9), "audio", null, null, 4096),
+      mediaRow(3L, Array[Byte](1), "image", 4, 4, null))
+    val rows = Multimodal.audioDecodeFeatures(df, fftSize = 256)
+      .orderBy("media_id").collect()
+    assert(rows.length == 2) // image filtered out
+    val t0 = rows(0)
+    assert(t0.getAs[Boolean]("decoded"))
+    assert(t0.getAs[Int]("sample_rate") == 8192)
+    assert(t0.getAs[Long]("n_samples") == 256L)
+    assert(t0.getAs[Long]("duration_us") == 256L * 1000000L / 8192L)
+    // sine crosses zero twice per period, 8 periods; boundary effects ±1
+    val zc = t0.getAs[Long]("n_zero_cross")
+    assert(zc >= 15L && zc <= 17L, zc.toString)
+    assert(math.abs(t0.getAs[Double]("spec_centroid") - 8.0) < 0.5,
+      t0.getAs[Double]("spec_centroid").toString)
+    // exact-integer features recomputed independently
+    assert(t0.getAs[Long]("sum_abs") == tone.map(v => math.abs(v.toLong)).sum)
+    assert(t0.getAs[Long]("energy") == tone.map(v => v.toLong * v).sum)
+    assert(t0.getAs[Long]("min_s") == tone.min.toLong)
+    assert(t0.getAs[Long]("max_s") == tone.max.toLong)
+    // undecodable: metadata carried, zeroed features, decoded=false
+    val t1 = rows(1)
+    assert(!t1.getAs[Boolean]("decoded"))
+    assert(t1.getAs[Long]("n_samples") == 4096L)
+    assert(t1.getAs[Int]("sample_rate") == 0) // meta sample_rate null here
+    assert(t1.getAs[Long]("energy") == 0L)
+  }
+
   test("audioChunks frames audio into sample ranges") {
     val df = mediaDf(mediaRow(7L, null, "audio", null, null, 44100 * 5 + 100))
     val chunks = Multimodal.audioChunks(df, sampleRate = 44100, chunkSeconds = 2)
