@@ -246,6 +246,82 @@ object ScaleBench {
           docs.filter(pmod(col("doc_id"), lit(10)) === 0),
           "text", "doc_id", incIndexName(dir)).count()
       },
+      "aux_ts_features" -> { (s: SparkSession, dir: String) =>
+        // tsFeatures at the shape that breaks first (r12 VERDICT #4):
+        // two keyed windows + one agg over an 80/20-skewed key space —
+        // 80% of rows land in ONE mega-series, the rest spread over
+        // 1000 small series (the skew_* cells' distribution). Values
+        // are exact-integer cents-like synth from n_chars.
+        // GRAFT_SKEW_AMP=A unions A re-strided copies (ids disjoint)
+        // to probe the mega-series crossover beyond the staged grid.
+        // Forced through noop (a count() would let Catalyst prune the
+        // feature columns and with them the windows themselves).
+        // wide = true: the mega-series' Σ(c·n−s)² overflows BIGINT from
+        // 10× up (n³·c² > 9e18) — the exact situation the DECIMAL mode
+        // exists for; ANSI raised loudly on the narrow path (r13).
+        val amp = sys.env.getOrElse("GRAFT_SKEW_AMP", "1").toInt
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val rows =
+          if (amp <= 1) base
+          else (0 until amp).map(a => base.withColumn("doc_id",
+            col("doc_id") + lit(a * 100000000000L))).reduce(_ unionAll _)
+        val keyed = rows.select(
+          when(pmod(col("doc_id"), lit(10)) < 8, lit(0L))
+            .otherwise(pmod(col("doc_id"), lit(1000)) + 1L).as("k"),
+          col("doc_id").as("o"),
+          (pmod(col("n_chars") * 31 + col("doc_id"), lit(2001)) - 1000L).as("c"))
+        forceText(graft.operators.Sessionize
+          .tsFeatures(keyed, "k", Seq("o"), "c", wide = true))
+      },
+      "aux_ann_recall" -> { (s: SparkSession, dir: String) =>
+        // quantitative ANN recall audit (r12 VERDICT #8): recall@10 of
+        // IVF (nprobe sweep) and PQ vs the brute-force truth, on the
+        // staged corpus DE-DUPLICATED by a deterministic per-row jitter
+        // (staged copies are bit-identical re-keys — without jitter
+        // every query's top-k is its exact twins and recall is trivially
+        // 1.0). Jitter is ±0.05 uniform from vec_id — cluster structure
+        // survives, exact ties don't. Truth/approx top-k are 50·10-row
+        // frames: the collect is bounded by construction (diagnostic
+        // cell). Emits one recall JSON line; wall time is the full
+        // fit + 5 probes.
+        import graft.operators.Similarity
+        val kTop = 10
+        val e = Tables.load(s, dir, "embeddings")
+        val jit = transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            pmod(col("vec_id") * 31 + i, lit(1000)).cast("double") / 10000.0
+            - 0.05).cast("float"))
+        val corpus = e.select(col("vec_id").as("cid"), jit.as("cvec"))
+        val queries = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        def topSets(df: DataFrame): Map[Long, Set[Long]] =
+          df.select("qid", "cid").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val truth = topSets(Similarity.bruteForceTopK(queries, corpus, kTop))
+        def recall(approx: Map[Long, Set[Long]]): Double = {
+          val per = truth.map { case (q, t) =>
+            (approx.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size }
+          per.sum / per.size
+        }
+        val idx = Similarity.ivfFit(corpus, nlist = 64)
+        idx.assigned.persist()
+        val ivf = Seq(1, 2, 4, 8).map { np =>
+          np -> recall(topSets(Similarity.ivfProbe(idx, queries, kTop, np)))
+        }
+        val pq = Similarity.pqFit(corpus, dim = 64, m = 8, kCodes = 16)
+        pq.encoded.persist()
+        val pqRecall = recall(topSets(Similarity.pqProbe(pq, queries, kTop)))
+        idx.assigned.unpersist()
+        pq.encoded.unpersist()
+        val ivfJson = ivf.map { case (np, r) =>
+          s""""nprobe_$np":${f"$r%.4f"}""" }.mkString(",")
+        println(s"""{"recall_audit":{"ivf_nlist64":{$ivfJson},""" +
+          s""""pq_m8_k16":${f"$pqRecall%.4f"},""" +
+          s""""queries":${truth.size},"k":$kTop}}""")
+        truth.size.toLong
+      },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
         // micro-batches — the ingest-time filter's throughput curve

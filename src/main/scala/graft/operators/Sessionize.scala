@@ -600,18 +600,30 @@ object Sessionize {
     * (np.diff(x > m) nonzero): a value landing ON the mean — reachable
     * with integer cents — counts as not-above, matching tsfresh, where
     * a strict sign-change rule would skip it.
-    * Everything is exact BIGINT up to |c|·n ≲ 3e9 per key (raise to
-    * DECIMAL sums beyond); mean-relative tests multiply through by n
-    * (c·n > S) so no rational ever materializes.
+    * Everything is exact BIGINT up to |c|·n ≲ 3e9 per key; the
+    * quadratic deviation sums Σ(c·n−S)² bound tighter — n³·c² ≲ 9e18,
+    * i.e. |c| ≈ 1000 caps a series at ~15k rows. Beyond that pass
+    * `wide = true` (the r13 mega-series cell lesson: a 10× skew cell
+    * overflowed LONG in ANSI mode): every product and cross-row sum
+    * lifts to DECIMAL(38,0) — still exact integers, good to
+    * n³·c² < 1e38 (mega-series of ~1e9 rows at cents magnitudes), the
+    * integer feature columns come back as DECIMAL(38,0), and ac1/cid_ce
+    * stay DOUBLE. ~2× cost on the lifted sums; the BIGINT default
+    * remains the oracle path. Mean-relative tests multiply through by
+    * n (c·n > S) so no rational ever materializes.
     *
     * Shape: one count/sum aggregate broadcast back (a row per key),
     * one series-order window (lag + strike islands), one value-order
     * window (the median ranks), one final aggregation — all
     * partitioned by the key, the connected scale shape. */
   def tsFeatures(df: DataFrame, keyCol: String, orderCols: Seq[String],
-      intCol: String): DataFrame = {
+      intCol: String, wide: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "tsFeatures needs a total series order")
-    val c = col(intCol).cast("long")
+    // wide mode: exact DECIMAL(38,0) arithmetic — ANSI decimal overflow
+    // still fails LOUDLY past 1e38, it never wraps or nulls silently
+    val c = col(intCol).cast(
+      if (wide) org.apache.spark.sql.types.DecimalType(38, 0)
+      else org.apache.spark.sql.types.LongType)
     val stats = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n"), sum(c).as("__s"))
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.operators.Windows
 
@@ -286,5 +287,42 @@ class WindowsSpec extends SparkSpecBase {
     assert(rc.getAs[Double]("cid_ce") == 0.0)
     assert(rc.isNullAt(rc.fieldIndex("c3_sum")))
     assert(rc.getAs[Long]("n_crossings") == 0L)
+  }
+
+  test("tsFeatures wide mode equals narrow on small series, survives mega-series overflow") {
+    // equality on the hand series: every integer feature identical
+    val df = Seq((0L, 1L, 3L), (0L, 2L, 1L), (0L, 3L, 4L),
+      (0L, 4L, 1L), (0L, 5L, 5L)).toDF("k", "o", "c")
+    val narrow = graft.operators.Sessionize
+      .tsFeatures(df, "k", Seq("o"), "c").collect().head
+    val wide = graft.operators.Sessionize
+      .tsFeatures(df, "k", Seq("o"), "c", wide = true).collect().head
+    def num(r: Row, f: String): BigDecimal = r.get(r.fieldIndex(f)) match {
+      case l: java.lang.Long => BigDecimal(l.longValue)
+      case d: java.math.BigDecimal => BigDecimal(d)
+    }
+    for (f <- Seq("n", "sum_c", "abs_energy", "min_c", "max_c", "med2",
+        "sum_abs_change", "count_above_mean", "c3_sum", "n_crossings",
+        "var_num"))
+      assert(num(narrow, f) == num(wide, f), s"$f differs")
+    assert(narrow.getAs[Double]("ac1") == wide.getAs[Double]("ac1"))
+    assert(narrow.getAs[Double]("cid_ce") == wide.getAs[Double]("cid_ce"))
+    // mega-series: alternating ±1000 over 30k rows → Σ(c·n−s)² =
+    // n³·10⁶ ≈ 2.7e19 > Long.MaxValue: the narrow path raises ANSI
+    // overflow LOUDLY, the wide path returns the exact closed form
+    // (s = 0, dev_t = 1000n·(−1)^t → ac1 = −(n−1)·n²/(n·n²) = −(n−1)/n)
+    val n = 30000
+    val mega = (0 until n).map(t =>
+      (9L, t.toLong, if (t % 2 == 0) 1000L else -1000L)).toDF("k", "o", "c")
+    intercept[Exception] {
+      graft.operators.Sessionize
+        .tsFeatures(mega, "k", Seq("o"), "c").collect()
+    }
+    val rw = graft.operators.Sessionize
+      .tsFeatures(mega, "k", Seq("o"), "c", wide = true).collect().head
+    assert(rw.getAs[Double]("ac1") == -(n - 1).toDouble / n)
+    // var_num = n·Σc² − S² = n·(n·10⁶) − 0 = n²·10⁶
+    assert(BigDecimal(rw.getDecimal(rw.fieldIndex("var_num"))) ==
+      BigDecimal(BigInt(n) * BigInt(n) * 1000000))
   }
 }
