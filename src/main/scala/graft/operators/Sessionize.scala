@@ -599,7 +599,16 @@ object Sessionize {
     * observations, exactly tsfresh number_crossing_m at m = mean
     * (np.diff(x > m) nonzero): a value landing ON the mean — reachable
     * with integer cents — counts as not-above, matching tsfresh, where
-    * a strict sign-change rule would skip it.
+    * a strict sign-change rule would skip it. r13 additions (all exact
+    * integers): count_below_mean / longest_strike_below_mean (the
+    * below-mean mirrors; at-mean rows belong to NEITHER side),
+    * first_loc_max / last_loc_min (1-based series positions of the
+    * first maximum / last minimum — tsfresh's
+    * first_location_of_maximum·n and (1−last_location_of_minimum)·n
+    * counterparts kept integral), n_distinct
+    * (ratio_value_number_to_time_series_length's numerator), n_peaks
+    * (tsfresh number_peaks at support 1: strictly above both immediate
+    * neighbors).
     * Everything is exact BIGINT up to |c|·n ≲ 3e9 per key; the
     * quadratic deviation sums Σ(c·n−S)² bound tighter — n³·c² ≲ 9e18,
     * i.e. |c| ≈ 1000 caps a series at ~15k rows. Beyond that pass
@@ -633,19 +642,27 @@ object Sessionize {
       .select((col(keyCol) +: orderCols.map(col)) :+ c.as("__c"): _*)
       .join(broadcast(stats), Seq(keyCol))
     val above = col("__c") * col("__n") > col("__s")
+    val below = col("__c") * col("__n") < col("__s")
     val ranked = base
       .withColumn("__prev", lag(col("__c"), 1).over(w))
       .withColumn("__prev2", lag(col("__c"), 2).over(w))
+      .withColumn("__next", lead(col("__c"), 1).over(w))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__cumAbove",
         sum(when(above, 1L).otherwise(0L)).over(w))
+      .withColumn("__cumBelow",
+        sum(when(below, 1L).otherwise(0L)).over(w))
       .withColumn("__rnv", row_number().over(wv))
-    // islands of consecutive above-mean rows share (__rn − __cumAbove)
-    val strikes = ranked.filter(above)
-      .groupBy(col(keyCol), (col("__rn") - col("__cumAbove")).as("__isl"))
-      .agg(count(lit(1)).as("__len"))
-      .groupBy(col(keyCol))
-      .agg(max(col("__len")).as("longest_strike_above_mean"))
+    // islands of consecutive above-mean rows share (__rn − __cumAbove);
+    // the below-mean mirror shares (__rn − __cumBelow)
+    def strikeAgg(cond: Column, cum: Column, out: String) =
+      ranked.filter(cond)
+        .groupBy(col(keyCol), (col("__rn") - cum).as("__isl"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col(keyCol))
+        .agg(max(col("__len")).as(out))
+    val strikes = strikeAgg(above, col("__cumAbove"), "longest_strike_above_mean")
+    val strikesBelow = strikeAgg(below, col("__cumBelow"), "longest_strike_below_mean")
     val dev = col("__c") * col("__n") - col("__s")
     val devPrev = col("__prev") * col("__n") - col("__s")
     val agg = ranked.groupBy(col(keyCol))
@@ -671,9 +688,27 @@ object Sessionize {
         sum(col("__c") * col("__prev") * col("__prev2")).as("c3_sum"),
         sum(when(devPrev.isNull, lit(null).cast("long")).otherwise(
           when((dev > 0L) =!= (devPrev > 0L), 1L).otherwise(0L)))
-          .as("n_crossings"))
+          .as("n_crossings"),
+        sum(when(below, 1L).otherwise(0L)).as("count_below_mean"),
+        // first occurrence of the maximum / last occurrence of the
+        // minimum, as 1-based SERIES positions (tsfresh reports them
+        // normalized by n — divide by `n` downstream if the ratio is
+        // wanted; the integer stays exact). Lexicographic struct
+        // max/min: (max c, then smallest rn) / (min c, then largest rn).
+        (-max(struct(col("__c").as("v"), (-col("__rn")).as("nr")))
+          .getField("nr")).cast("long").as("first_loc_max"),
+        (-min(struct(col("__c").as("v"), (-col("__rn")).as("nr")))
+          .getField("nr")).cast("long").as("last_loc_min"),
+        countDistinct(col("__c")).as("n_distinct"),
+        // tsfresh number_peaks at support 1: strictly above both
+        // immediate neighbors (series endpoints can't be peaks)
+        sum(when(col("__prev").isNotNull && col("__next").isNotNull &&
+            col("__c") > col("__prev") && col("__c") > col("__next"),
+          1L).otherwise(0L)).as("n_peaks"))
     agg.join(strikes, Seq(keyCol), "left")
-      .na.fill(0L, Seq("longest_strike_above_mean", "n_crossings"))
+      .join(strikesBelow, Seq(keyCol), "left")
+      .na.fill(0L, Seq("longest_strike_above_mean",
+        "longest_strike_below_mean", "n_crossings"))
       .withColumn("ac1",
         when(col("__ac_den") === 0L, lit(null).cast("double"))
           .otherwise(col("__ac_num").cast("double") / col("__ac_den").cast("double")))

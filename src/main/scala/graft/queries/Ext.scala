@@ -387,6 +387,64 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- §2.16 the FULL ingest-time dedup: every micro-batch runs the
+    //     complete candidates-then-verify path against the persisted
+    //     index via foreachBatch (exact Jaccard vs the index's shingle
+    //     store — not just band candidates). Stateless per batch, so
+    //     the oracle is the one-shot batch replay: exact Jaccard of
+    //     (any stream doc, index doc < 400) pairs at >= 0.8, self-pairs
+    //     included (a re-crawled history page matches itself at 1.0 —
+    //     exactly what ingest dedup should flag). Same fixture gap
+    //     argument as ext_dedup_incremental_lsh for banding recall.
+    Q("op_stream_dedup_index_parity",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      Seq("graft_sdv_idx_bands", "graft_sdv_idx_shingles",
+          "graft_sdv_idx_params").foreach { nm =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_sdv_idx", buckets = 8)
+      val stageDir = OpsExtra.StreamParity.stage(spark, dir, "documents", "doc_id")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      val outDir = java.nio.file.Files.createTempDirectory("graft_sdv_out")
+        .toString
+      val q = StreamOps.streamingDedupVerifiedAgainstIndex(
+        stream, "graft_sdv_idx") { verified =>
+        verified.write.mode("append").parquet(outDir)
+      }
+      try {
+        q.processAllAvailable()
+        OpsExtra.StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.read.parquet(outDir)
+        .select($"new_id", $"index_id", $"jaccard")
+        .orderBy($"new_id", $"index_id")
+    },
+
     // --- incremental near-dup detection: a NEW batch (doc_id >= 400)
     //     probed against the EXISTING corpus (doc_id < 400) — cross-side
     //     candidates only, exact-verified. The daily-crawl-vs-history
@@ -2628,14 +2686,18 @@ object Ext {
         |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
         |  FROM events),
         |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |              CAST(SUM(c) AS BIGINT) AS s
+        |              CAST(SUM(c) AS BIGINT) AS s,
+        |              CAST(MAX(c) AS BIGINT) AS mxc,
+        |              CAST(MIN(c) AS BIGINT) AS mnc
         |       FROM base GROUP BY 1),
         |r AS (
-        |  SELECT b.user_id, c, n, s,
+        |  SELECT b.user_id, c, n, s, mxc, mnc,
         |    lag(c) OVER w AS prev,
         |    lag(c, 2) OVER w AS prev2,
+        |    lead(c) OVER w AS nxt,
         |    row_number() OVER w AS rn,
         |    SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) OVER w AS cum_above,
+        |    SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) OVER w AS cum_below,
         |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv
         |  FROM base b JOIN st USING (user_id)
         |  WINDOW w AS (PARTITION BY b.user_id ORDER BY event_id)),
@@ -2643,6 +2705,11 @@ object Ext {
         |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strike FROM (
         |    SELECT user_id, rn - cum_above AS isl, COUNT(*) AS len
         |    FROM r WHERE c * n > s GROUP BY user_id, rn - cum_above) q
+        |  GROUP BY user_id),
+        |strb AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strikeb FROM (
+        |    SELECT user_id, rn - cum_below AS isl, COUNT(*) AS len
+        |    FROM r WHERE c * n < s GROUP BY user_id, rn - cum_below) q
         |  GROUP BY user_id),
         |agg AS (
         |  SELECT user_id, n AS n, CAST(SUM(c) AS BIGINT) AS sum_c,
@@ -2660,7 +2727,15 @@ object Ext {
         |    CAST(SUM(c * prev * prev2) AS BIGINT) AS c3_sum,
         |    CAST(SUM(CASE WHEN prev IS NOT NULL
         |                   AND ((c * n > s) != (prev * n > s))
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+        |    CAST(SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS count_below_mean,
+        |    CAST(MIN(CASE WHEN c = mxc THEN rn END) AS BIGINT) AS first_loc_max,
+        |    CAST(MAX(CASE WHEN c = mnc THEN rn END) AS BIGINT) AS last_loc_min,
+        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+        |                   AND c > prev AND c > nxt
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
         |  FROM r GROUP BY user_id, n, s)
         |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,
         |  sum_abs_change, count_above_mean,
@@ -2669,8 +2744,10 @@ object Ext {
         |       ELSE CAST(acn AS DOUBLE) / CAST(acd AS DOUBLE) END AS ac1,
         |  CAST(n * abs_energy - sum_c * sum_c AS BIGINT) AS var_num,
         |  sqrt(CAST(COALESCE(sqch, 0) AS DOUBLE)) AS cid_ce,
-        |  c3_sum, n_crossings
-        |FROM agg LEFT JOIN str USING (user_id)
+        |  c3_sum, n_crossings, count_below_mean,
+        |  COALESCE(strikeb, CAST(0 AS BIGINT)) AS longest_strike_below_mean,
+        |  first_loc_max, last_loc_min, n_distinct, n_peaks
+        |FROM agg LEFT JOIN str USING (user_id) LEFT JOIN strb USING (user_id)
         |ORDER BY user_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val base = t(spark, dir, "events").select($"user_id", $"event_id",
@@ -2680,7 +2757,9 @@ object Ext {
         .select($"user_id", $"n", $"sum_c", $"abs_energy", $"min_c",
           $"max_c", $"med2", $"sum_abs_change", $"count_above_mean",
           $"longest_strike_above_mean", $"ac1", $"var_num", $"cid_ce",
-          $"c3_sum", $"n_crossings")
+          $"c3_sum", $"n_crossings", $"count_below_mean",
+          $"longest_strike_below_mean", $"first_loc_max", $"last_loc_min",
+          $"n_distinct", $"n_peaks")
         .orderBy($"user_id")
     },
 

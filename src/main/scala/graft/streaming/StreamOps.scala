@@ -228,6 +228,30 @@ object StreamOps {
     hits.groupBy(col("doc_id"))
       .agg(countDistinct(col("index_id")).as("index_matches"))
 
+  /** The FULL ingest-time dedup against the persisted index — not just
+    * candidates ([[streamingNearDupAgainstIndex]]) but verified pairs:
+    * each micro-batch runs the complete batch candidates-then-verify
+    * path ([[graft.operators.Dedup.minhashDedupPairsAgainstIndex]] —
+    * banding params from the index, bucketed exchange-free history
+    * scans, exact-Jaccard verification against the index's shingle
+    * store) via foreachBatch, and `sink` receives the verified
+    * (new_id, index_id, jaccard) rows. Stateless across batches by
+    * construction — every batch probes the same static index, so
+    * output is batch-boundary-independent (the parity gate's oracle is
+    * the one-shot batch replay). This is the production daily-crawl
+    * recipe: start the stream, and once a day's worth of survivors is
+    * accepted, [[graft.operators.Dedup.minhashIndexAppend]] them so
+    * tomorrow's stream sees today's docs. Returns the started query. */
+  def streamingDedupVerifiedAgainstIndex(docs: DataFrame,
+      namePrefix: String, threshold: Double = 0.8)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.minhashDedupPairsAgainstIndex(
+          batch, "text", "doc_id", namePrefix, threshold = threshold))
+      }
+      .start()
+
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for
     * state machines the built-in windows can't express

@@ -266,6 +266,13 @@ class WindowsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("cid_ce") == math.sqrt(38.0)) // 4+9+9+16
     assert(r.getAs[Long]("c3_sum") == 36L) // 12+4+20
     assert(r.getAs[Long]("n_crossings") == 4L) // above-mean T,F,T,F,T
+    // r13 additions on (3,1,4,1,5), mean 2.8: below = rows 2,4 (the 1s)
+    assert(r.getAs[Long]("count_below_mean") == 2L)
+    assert(r.getAs[Long]("longest_strike_below_mean") == 1L)
+    assert(r.getAs[Long]("first_loc_max") == 5L) // max 5 at position 5
+    assert(r.getAs[Long]("last_loc_min") == 4L)  // min 1 at 2 and 4
+    assert(r.getAs[Long]("n_distinct") == 4L)    // {3,1,4,5}
+    assert(r.getAs[Long]("n_peaks") == 1L)       // 4 > both neighbors
     // at-mean values count as NOT above (tsfresh np.diff(x > m)):
     // (2,4,3,3) → n=4, S=12, mean=3 exactly; above = F,T,F,F → 2 flips
     // (a strict sign-change rule would count only 1 — ADVICE r12)
@@ -275,6 +282,9 @@ class WindowsSpec extends SparkSpecBase {
       .tsFeatures(atMean, "k", Seq("o"), "c").collect().head
     assert(rm.getAs[Long]("n_crossings") == 2L)
     assert(rm.getAs[Long]("count_above_mean") == 1L)
+    // at-mean rows (3,3) belong to NEITHER side: below counts only the 2
+    assert(rm.getAs[Long]("count_below_mean") == 1L)
+    assert(rm.getAs[Long]("longest_strike_below_mean") == 1L)
     // a constant series: zero deviations → null ac1, zero strikes,
     // null c3 (n < 3), zero variance/complexity/crossings
     val const = Seq((1L, 1L, 7L), (1L, 2L, 7L)).toDF("k", "o", "c")
@@ -303,7 +313,8 @@ class WindowsSpec extends SparkSpecBase {
     }
     for (f <- Seq("n", "sum_c", "abs_energy", "min_c", "max_c", "med2",
         "sum_abs_change", "count_above_mean", "c3_sum", "n_crossings",
-        "var_num"))
+        "var_num", "count_below_mean", "longest_strike_below_mean",
+        "first_loc_max", "last_loc_min", "n_distinct", "n_peaks"))
       assert(num(narrow, f) == num(wide, f), s"$f differs")
     assert(narrow.getAs[Double]("ac1") == wide.getAs[Double]("ac1"))
     assert(narrow.getAs[Double]("cid_ce") == wide.getAs[Double]("cid_ce"))
