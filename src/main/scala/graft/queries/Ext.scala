@@ -1377,6 +1377,61 @@ object Ext {
         .orderBy($"media_id")
     },
 
+    // --- REAL video decode (r13, completing the image/audio pattern):
+    //     per doc a deterministic gray pixel field
+    //     v(f, p) = (media_id·7 + f·13 + p·3) mod 251 is packed as
+    //     UNCOMPRESSED 24-bit DIB frames in a canonical AVI container
+    //     (Multimodal.aviBytes — lossless, unlike MJPEG), parsed and
+    //     decoded for REAL on the executors (RIFF walk → strf dims →
+    //     movi '00db' chunks → bottom-up BGR rows → integer gray), and
+    //     frame-sampled at everyN = 2. Exact BIGINT per-frame gray
+    //     statistics — DuckDB replays the pixel synthesis arithmetic,
+    //     never the container. MJPEG ('00dc' via javax.imageio) is
+    //     spec-pinned in MultimodalSpec (JPEG is lossy).
+    Q("ext_multimodal_video",
+      """WITH d AS (SELECT doc_id AS media_id, (n_chars % 4) + 2 AS nf
+        |           FROM documents WHERE doc_id < 80),
+        |f AS (SELECT media_id, nf, unnest(range(nf)) AS fi FROM d),
+        |sf AS (SELECT * FROM f WHERE fi % 2 = 0),
+        |px AS (SELECT media_id, nf, fi,
+        |              ((media_id * 7 + fi * 13 + p * 3) % 251) AS v
+        |       FROM (SELECT media_id, nf, fi, unnest(range(128)) AS p
+        |             FROM sf) t)
+        |SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(16 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM(v) AS BIGINT) AS gray_sum,
+        |  CAST(MIN(v) AS BIGINT) AS gray_min,
+        |  CAST(MAX(v) AS BIGINT) AS gray_max,
+        |  TRUE AS decoded
+        |FROM px GROUP BY media_id, nf, fi
+        |ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      import graft.multimodal.Multimodal
+      implicit val enc = RowEncoder.encoderFor(Multimodal.mediaSchema)
+      val media = t(spark, dir, "documents").filter($"doc_id" < 80)
+        .select($"doc_id", (($"n_chars" % 4) + 2).cast("int").as("nf"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, nf) =>
+          val frames = (0 until nf).map { f =>
+            val gray = Array.tabulate(16 * 8)(p =>
+              ((id * 7 + f * 13 + p * 3) % 251).toInt)
+            Multimodal.dib24GrayFrame(gray, 16, 8)
+          }
+          Row(id, null,
+            Multimodal.aviBytes(frames, 16, 8, compressed = false),
+            "video", Row(16, 8, null, nf))
+        })
+      Multimodal.videoDecodeFeatures(media, everyN = 2)
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+          $"w".cast("long").as("w"), $"h".cast("long").as("h"),
+          $"n_frames".cast("long").as("n_frames"),
+          $"gray_sum", $"gray_min", $"gray_max", $"decoded")
+        .orderBy($"media_id", $"frame_idx")
+    },
+
     // --- benchmark decontamination: corpus docs flagged by distinct
     //     word-3-gram overlap with the (broadcast) benchmark set. Spark
     //     intersects xxhash64 shingle hashes, DuckDB intersects shingle

@@ -144,6 +144,66 @@ class MultimodalSpec extends SparkSpecBase {
       (0, 0L, 88200L), (1, 88200L, 176400L), (2, 176400L, 220600L)))
   }
 
+  test("AVI DIB roundtrip is pixel-exact; MJPEG decodes via imageio; garbage falls back") {
+    import Multimodal.{aviBytes, decodeAviGrayFrames, dib24GrayFrame}
+    // 3 frames of 6x4 arithmetic gray: lossless roundtrip
+    val (w, h) = (6, 4)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(p => (f * 40 + p * 7) % 256))
+    val avi = aviBytes(frames.map(dib24GrayFrame(_, w, h)), w, h,
+      compressed = false)
+    val Some((dw, dh, got)) = decodeAviGrayFrames(avi)
+    assert(dw == w && dh == h && got.length == 3)
+    for (f <- 0 until 3) assert(got(f).toSeq == frames(f).toSeq, s"frame $f")
+    // MJPEG: a real JPEG frame through the same container — dims exact,
+    // values within JPEG tolerance of the solid gray source
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val mjpeg = aviBytes(Seq(jbos.toByteArray), 8, 8, compressed = true)
+    val Some((mw, mh, mg)) = decodeAviGrayFrames(mjpeg)
+    assert(mw == 8 && mh == 8 && mg.length == 1)
+    assert(mg.head.forall(v => math.abs(v - 128) <= 4), mg.head.take(8).toSeq)
+    // not an AVI → None
+    assert(decodeAviGrayFrames(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("videoDecodeFeatures: exact sampled-frame stats, metadata fallback") {
+    import Multimodal.{aviBytes, dib24GrayFrame}
+    val (w, h) = (4, 2)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h)(p => (f * 10 + p) % 256))
+    val avi = aviBytes(frames.map(dib24GrayFrame(_, w, h)), w, h,
+      compressed = false)
+    val df = mediaDf(
+      mediaRow(1L, avi, "video", w, h, 5),
+      mediaRow(2L, Array[Byte](7, 7), "video", 3, 3, 4), // unparseable
+      mediaRow(3L, Array[Byte](1), "audio", null, null, null))
+    val rows = Multimodal.videoDecodeFeatures(df, everyN = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // doc 1: sampled frames 0, 2, 4 with exact sums Σ(f·10 + p)
+    val r1 = rows.filter(_.getLong(0) == 1L)
+    assert(r1.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    for (r <- r1) {
+      val f = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Boolean]("decoded"))
+      assert(r.getAs[Int]("w") == w && r.getAs[Int]("h") == h)
+      assert(r.getAs[Int]("n_frames") == 5)
+      assert(r.getAs[Long]("gray_sum") == frames(f).map(_.toLong).sum)
+      assert(r.getAs[Long]("gray_min") == frames(f).min.toLong)
+      assert(r.getAs[Long]("gray_max") == frames(f).max.toLong)
+    }
+    // doc 2: metadata fallback — frames 0, 2 from meta.n_frames = 4
+    val r2 = rows.filter(_.getLong(0) == 2L)
+    assert(r2.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(r2.forall(r => !r.getAs[Boolean]("decoded") &&
+      r.getAs[Int]("w") == 3 && r.getAs[Long]("gray_sum") == 0L))
+    // audio row filtered out
+    assert(rows.forall(_.getLong(0) != 3L))
+  }
+
   test("videoFrameSample explodes sampled frame indices") {
     val df = mediaDf(mediaRow(5L, null, "video", null, null, 10))
     val frames = Multimodal.videoFrameSample(df, everyN = 3)
