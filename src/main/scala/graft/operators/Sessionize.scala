@@ -608,7 +608,13 @@ object Sessionize {
     * counterparts kept integral), n_distinct
     * (ratio_value_number_to_time_series_length's numerator), n_peaks
     * (tsfresh number_peaks at support 1: strictly above both immediate
-    * neighbors).
+    * neighbors), sum_reoccurring_points / sum_reoccurring_values
+    * (tsfresh sum_of_reoccurring_data_points / _values: Σ v·count and
+    * Σ v over values appearing ≥ 2 times), and msd2_num =
+    * Σ (c_t − 2c_{t−1} + c_{t−2}) — tsfresh
+    * mean_second_derivative_central's numerator ×2 kept integral
+    * (divide by 2(n−2) downstream; the sum telescopes to
+    * (c_n−c_{n−1}) − (c_1−c_0), a cheap linearity signal).
     * Everything is exact BIGINT up to |c|·n ≲ 3e9 per key; the
     * quadratic deviation sums Σ(c·n−S)² bound tighter — n³·c² ≲ 9e18,
     * i.e. |c| ≈ 1000 caps a series at ~15k rows. Beyond that pass
@@ -653,6 +659,13 @@ object Sessionize {
       .withColumn("__cumBelow",
         sum(when(below, 1L).otherwise(0L)).over(w))
       .withColumn("__rnv", row_number().over(wv))
+      // per-value occurrence stats for the reoccurring-value features:
+      // one extra keyed window over (key, value)
+      .withColumn("__cntc", count(lit(1)).over(
+        Window.partitionBy(col(keyCol), col("__c"))))
+      .withColumn("__rnc", row_number().over(
+        Window.partitionBy(col(keyCol), col("__c"))
+          .orderBy(orderCols.map(col): _*)))
     // islands of consecutive above-mean rows share (__rn − __cumAbove);
     // the below-mean mirror shares (__rn − __cumBelow)
     def strikeAgg(cond: Column, cum: Column, out: String) =
@@ -704,7 +717,13 @@ object Sessionize {
         // immediate neighbors (series endpoints can't be peaks)
         sum(when(col("__prev").isNotNull && col("__next").isNotNull &&
             col("__c") > col("__prev") && col("__c") > col("__next"),
-          1L).otherwise(0L)).as("n_peaks"))
+          1L).otherwise(0L)).as("n_peaks"),
+        sum(when(col("__cntc") >= 2L, col("__c")))
+          .as("sum_reoccurring_points"),
+        sum(when(col("__cntc") >= 2L && col("__rnc") === 1, col("__c")))
+          .as("sum_reoccurring_values"),
+        sum(col("__c") - lit(2L) * col("__prev") + col("__prev2"))
+          .as("msd2_num"))
     agg.join(strikes, Seq(keyCol), "left")
       .join(strikesBelow, Seq(keyCol), "left")
       .na.fill(0L, Seq("longest_strike_above_mean",

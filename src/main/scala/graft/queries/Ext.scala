@@ -2753,7 +2753,9 @@ object Ext {
         |    row_number() OVER w AS rn,
         |    SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) OVER w AS cum_above,
         |    SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) OVER w AS cum_below,
-        |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv
+        |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv,
+        |    COUNT(*) OVER (PARTITION BY b.user_id, c) AS cntc,
+        |    row_number() OVER (PARTITION BY b.user_id, c ORDER BY event_id) AS rnc
         |  FROM base b JOIN st USING (user_id)
         |  WINDOW w AS (PARTITION BY b.user_id ORDER BY event_id)),
         |str AS (
@@ -2790,7 +2792,12 @@ object Ext {
         |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct,
         |    CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
         |                   AND c > prev AND c > nxt
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+        |    CAST(SUM(CASE WHEN cntc >= 2 THEN c END) AS BIGINT)
+        |      AS sum_reoccurring_points,
+        |    CAST(SUM(CASE WHEN cntc >= 2 AND rnc = 1 THEN c END) AS BIGINT)
+        |      AS sum_reoccurring_values,
+        |    CAST(SUM(c - 2 * prev + prev2) AS BIGINT) AS msd2_num
         |  FROM r GROUP BY user_id, n, s)
         |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,
         |  sum_abs_change, count_above_mean,
@@ -2801,7 +2808,8 @@ object Ext {
         |  sqrt(CAST(COALESCE(sqch, 0) AS DOUBLE)) AS cid_ce,
         |  c3_sum, n_crossings, count_below_mean,
         |  COALESCE(strikeb, CAST(0 AS BIGINT)) AS longest_strike_below_mean,
-        |  first_loc_max, last_loc_min, n_distinct, n_peaks
+        |  first_loc_max, last_loc_min, n_distinct, n_peaks,
+        |  sum_reoccurring_points, sum_reoccurring_values, msd2_num
         |FROM agg LEFT JOIN str USING (user_id) LEFT JOIN strb USING (user_id)
         |ORDER BY user_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
@@ -2814,7 +2822,8 @@ object Ext {
           $"longest_strike_above_mean", $"ac1", $"var_num", $"cid_ce",
           $"c3_sum", $"n_crossings", $"count_below_mean",
           $"longest_strike_below_mean", $"first_loc_max", $"last_loc_min",
-          $"n_distinct", $"n_peaks")
+          $"n_distinct", $"n_peaks", $"sum_reoccurring_points",
+          $"sum_reoccurring_values", $"msd2_num")
         .orderBy($"user_id")
     },
 

@@ -474,6 +474,27 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal decode paths are zero-exchange narrow maps (payloads never shuffle)") {
+    import graft.multimodal.Multimodal
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null, Array[Byte](1, 2), "image",
+          org.apache.spark.sql.Row(4: Integer, 4: Integer, null, null)),
+        org.apache.spark.sql.Row(2L, null, Array[Byte](3), "audio",
+          org.apache.spark.sql.Row(null, null, 8000: Integer, 16: Integer)),
+        org.apache.spark.sql.Row(3L, null, Array[Byte](4), "video",
+          org.apache.spark.sql.Row(2: Integer, 2: Integer, null, 4: Integer))
+      ), 2), Multimodal.mediaSchema)
+    for (out <- Seq(
+        Multimodal.imageDecodeFeatures(media, grid = 2),
+        Multimodal.audioDecodeFeatures(media, fftSize = 64),
+        Multimodal.videoDecodeFeatures(media, everyN = 2))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(shuffles(out) == 0, plan.take(600))
+      assert(!plan.contains("BatchEvalPython"))
+    }
+  }
+
   test("persisted LSH index: no exchange above the history-side scans") {
     import graft.operators.Dedup
     val docs = lshDocs

@@ -273,6 +273,12 @@ class WindowsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("last_loc_min") == 4L)  // min 1 at 2 and 4
     assert(r.getAs[Long]("n_distinct") == 4L)    // {3,1,4,5}
     assert(r.getAs[Long]("n_peaks") == 1L)       // 4 > both neighbors
+    // only 1 reoccurs (twice): points = 1·2, distinct values = 1
+    assert(r.getAs[Long]("sum_reoccurring_points") == 2L)
+    assert(r.getAs[Long]("sum_reoccurring_values") == 1L)
+    // Σ(c_t − 2c_{t−1} + c_{t−2}) over t=3..5: telescopes to
+    // (5−1) − (1−3) = 6
+    assert(r.getAs[Long]("msd2_num") == 6L)
     // at-mean values count as NOT above (tsfresh np.diff(x > m)):
     // (2,4,3,3) → n=4, S=12, mean=3 exactly; above = F,T,F,F → 2 flips
     // (a strict sign-change rule would count only 1 — ADVICE r12)
@@ -297,6 +303,10 @@ class WindowsSpec extends SparkSpecBase {
     assert(rc.getAs[Double]("cid_ce") == 0.0)
     assert(rc.isNullAt(rc.fieldIndex("c3_sum")))
     assert(rc.getAs[Long]("n_crossings") == 0L)
+    // (7,7): the value reoccurs — points 14, values 7; n < 3 → msd2 null
+    assert(rc.getAs[Long]("sum_reoccurring_points") == 14L)
+    assert(rc.getAs[Long]("sum_reoccurring_values") == 7L)
+    assert(rc.isNullAt(rc.fieldIndex("msd2_num")))
   }
 
   test("tsFeatures wide mode equals narrow on small series, survives mega-series overflow") {
@@ -314,7 +324,8 @@ class WindowsSpec extends SparkSpecBase {
     for (f <- Seq("n", "sum_c", "abs_energy", "min_c", "max_c", "med2",
         "sum_abs_change", "count_above_mean", "c3_sum", "n_crossings",
         "var_num", "count_below_mean", "longest_strike_below_mean",
-        "first_loc_max", "last_loc_min", "n_distinct", "n_peaks"))
+        "first_loc_max", "last_loc_min", "n_distinct", "n_peaks",
+        "sum_reoccurring_points", "sum_reoccurring_values", "msd2_num"))
       assert(num(narrow, f) == num(wide, f), s"$f differs")
     assert(narrow.getAs[Double]("ac1") == wide.getAs[Double]("ac1"))
     assert(narrow.getAs[Double]("cid_ce") == wide.getAs[Double]("cid_ce"))
