@@ -1305,6 +1305,13 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       valueCol: String, out: String): GraftFrame =
     GraftFrame(Windows.interpolateLinear(df, partitionBy, orderBy, valueCol, out))
 
+  /** tsfresh-style per-key series features over an exact integer column
+    * ([[graft.operators.Sessionize.tsFeatures]]; `wide = true` for
+    * mega-series past the BIGINT quadratic bound). */
+  def tsFeatures(keyCol: String, orderCols: Seq[String], intCol: String,
+      wide: Boolean = false): GraftFrame =
+    GraftFrame(Sessionize.tsFeatures(df, keyCol, orderCols, intCol, wide))
+
   /** pandas resample('1D') with calendar completion per key (see
     * [[graft.operators.Sessionize.resampleDaily]]). */
   def resampleDaily(keyCol: String, tsCol: String, sumCol: Column): GraftFrame =
