@@ -100,6 +100,87 @@ object Ext {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8""".stripMargin
 
+  /** The tsfresh-feature oracle, shared by the narrow (BIGINT) and
+    * wide (DECIMAL) gates: the SQL is engine arithmetic over exact
+    * integers either way. */
+  private val tsFeaturesSql: String =
+    """WITH base AS (
+          |  SELECT user_id, event_id,
+          |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          |  FROM events),
+          |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          |              CAST(SUM(c) AS BIGINT) AS s,
+          |              CAST(MAX(c) AS BIGINT) AS mxc,
+          |              CAST(MIN(c) AS BIGINT) AS mnc
+          |       FROM base GROUP BY 1),
+          |r AS (
+          |  SELECT b.user_id, c, n, s, mxc, mnc,
+          |    lag(c) OVER w AS prev,
+          |    lag(c, 2) OVER w AS prev2,
+          |    lead(c) OVER w AS nxt,
+          |    row_number() OVER w AS rn,
+          |    SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) OVER w AS cum_above,
+          |    SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) OVER w AS cum_below,
+          |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv,
+          |    COUNT(*) OVER (PARTITION BY b.user_id, c) AS cntc,
+          |    row_number() OVER (PARTITION BY b.user_id, c ORDER BY event_id) AS rnc
+          |  FROM base b JOIN st USING (user_id)
+          |  WINDOW w AS (PARTITION BY b.user_id ORDER BY event_id)),
+          |str AS (
+          |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strike FROM (
+          |    SELECT user_id, rn - cum_above AS isl, COUNT(*) AS len
+          |    FROM r WHERE c * n > s GROUP BY user_id, rn - cum_above) q
+          |  GROUP BY user_id),
+          |strb AS (
+          |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strikeb FROM (
+          |    SELECT user_id, rn - cum_below AS isl, COUNT(*) AS len
+          |    FROM r WHERE c * n < s GROUP BY user_id, rn - cum_below) q
+          |  GROUP BY user_id),
+          |agg AS (
+          |  SELECT user_id, n AS n, CAST(SUM(c) AS BIGINT) AS sum_c,
+          |    CAST(SUM(c * c) AS BIGINT) AS abs_energy,
+          |    CAST(MIN(c) AS BIGINT) AS min_c,
+          |    CAST(MAX(c) AS BIGINT) AS max_c,
+          |    CAST(SUM(CASE WHEN rnv = (n + 1) // 2 THEN c END)
+          |       + SUM(CASE WHEN rnv = n // 2 + 1 THEN c END) AS BIGINT) AS med2,
+          |    CAST(SUM(abs(c - prev)) AS BIGINT) AS sum_abs_change,
+          |    CAST(SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS count_above_mean,
+          |    CAST(SUM((c * n - s) * (prev * n - s)) AS BIGINT) AS acn,
+          |    CAST(SUM((c * n - s) * (c * n - s)) AS BIGINT) AS acd,
+          |    CAST(SUM((c - prev) * (c - prev)) AS BIGINT) AS sqch,
+          |    CAST(SUM(c * prev * prev2) AS BIGINT) AS c3_sum,
+          |    CAST(SUM(CASE WHEN prev IS NOT NULL
+          |                   AND ((c * n > s) != (prev * n > s))
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+          |    CAST(SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS count_below_mean,
+          |    CAST(MIN(CASE WHEN c = mxc THEN rn END) AS BIGINT) AS first_loc_max,
+          |    CAST(MAX(CASE WHEN c = mnc THEN rn END) AS BIGINT) AS last_loc_min,
+          |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct,
+          |    CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+          |                   AND c > prev AND c > nxt
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+          |    CAST(SUM(CASE WHEN cntc >= 2 THEN c END) AS BIGINT)
+          |      AS sum_reoccurring_points,
+          |    CAST(SUM(CASE WHEN cntc >= 2 AND rnc = 1 THEN c END) AS BIGINT)
+          |      AS sum_reoccurring_values,
+          |    CAST(SUM(c - 2 * prev + prev2) AS BIGINT) AS msd2_num
+          |  FROM r GROUP BY user_id, n, s)
+          |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,
+          |  sum_abs_change, count_above_mean,
+          |  COALESCE(strike, CAST(0 AS BIGINT)) AS longest_strike_above_mean,
+          |  CASE WHEN acd = 0 THEN NULL
+          |       ELSE CAST(acn AS DOUBLE) / CAST(acd AS DOUBLE) END AS ac1,
+          |  CAST(n * abs_energy - sum_c * sum_c AS BIGINT) AS var_num,
+          |  sqrt(CAST(COALESCE(sqch, 0) AS DOUBLE)) AS cid_ce,
+          |  c3_sum, n_crossings, count_below_mean,
+          |  COALESCE(strikeb, CAST(0 AS BIGINT)) AS longest_strike_below_mean,
+          |  first_loc_max, last_loc_min, n_distinct, n_peaks,
+          |  sum_reoccurring_points, sum_reoccurring_values, msd2_num
+          |FROM agg LEFT JOIN str USING (user_id) LEFT JOIN strb USING (user_id)
+          |ORDER BY user_id""".stripMargin
+
   val all: Vector[Q] = Vector(
 
     // --- exact dedup on normalized-text md5 (keep lowest doc_id)
@@ -2736,82 +2817,7 @@ object Ext {
     //     deviations) → UNROUNDED gate; ac1 is one exact-BIGINT
     //     division, bit-identical both sides.
     Q("ext_ts_features",
-      """WITH base AS (
-        |  SELECT user_id, event_id,
-        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
-        |  FROM events),
-        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |              CAST(SUM(c) AS BIGINT) AS s,
-        |              CAST(MAX(c) AS BIGINT) AS mxc,
-        |              CAST(MIN(c) AS BIGINT) AS mnc
-        |       FROM base GROUP BY 1),
-        |r AS (
-        |  SELECT b.user_id, c, n, s, mxc, mnc,
-        |    lag(c) OVER w AS prev,
-        |    lag(c, 2) OVER w AS prev2,
-        |    lead(c) OVER w AS nxt,
-        |    row_number() OVER w AS rn,
-        |    SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) OVER w AS cum_above,
-        |    SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) OVER w AS cum_below,
-        |    row_number() OVER (PARTITION BY b.user_id ORDER BY c, event_id) AS rnv,
-        |    COUNT(*) OVER (PARTITION BY b.user_id, c) AS cntc,
-        |    row_number() OVER (PARTITION BY b.user_id, c ORDER BY event_id) AS rnc
-        |  FROM base b JOIN st USING (user_id)
-        |  WINDOW w AS (PARTITION BY b.user_id ORDER BY event_id)),
-        |str AS (
-        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strike FROM (
-        |    SELECT user_id, rn - cum_above AS isl, COUNT(*) AS len
-        |    FROM r WHERE c * n > s GROUP BY user_id, rn - cum_above) q
-        |  GROUP BY user_id),
-        |strb AS (
-        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS strikeb FROM (
-        |    SELECT user_id, rn - cum_below AS isl, COUNT(*) AS len
-        |    FROM r WHERE c * n < s GROUP BY user_id, rn - cum_below) q
-        |  GROUP BY user_id),
-        |agg AS (
-        |  SELECT user_id, n AS n, CAST(SUM(c) AS BIGINT) AS sum_c,
-        |    CAST(SUM(c * c) AS BIGINT) AS abs_energy,
-        |    CAST(MIN(c) AS BIGINT) AS min_c,
-        |    CAST(MAX(c) AS BIGINT) AS max_c,
-        |    CAST(SUM(CASE WHEN rnv = (n + 1) // 2 THEN c END)
-        |       + SUM(CASE WHEN rnv = n // 2 + 1 THEN c END) AS BIGINT) AS med2,
-        |    CAST(SUM(abs(c - prev)) AS BIGINT) AS sum_abs_change,
-        |    CAST(SUM(CASE WHEN c * n > s THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS count_above_mean,
-        |    CAST(SUM((c * n - s) * (prev * n - s)) AS BIGINT) AS acn,
-        |    CAST(SUM((c * n - s) * (c * n - s)) AS BIGINT) AS acd,
-        |    CAST(SUM((c - prev) * (c - prev)) AS BIGINT) AS sqch,
-        |    CAST(SUM(c * prev * prev2) AS BIGINT) AS c3_sum,
-        |    CAST(SUM(CASE WHEN prev IS NOT NULL
-        |                   AND ((c * n > s) != (prev * n > s))
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
-        |    CAST(SUM(CASE WHEN c * n < s THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS count_below_mean,
-        |    CAST(MIN(CASE WHEN c = mxc THEN rn END) AS BIGINT) AS first_loc_max,
-        |    CAST(MAX(CASE WHEN c = mnc THEN rn END) AS BIGINT) AS last_loc_min,
-        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct,
-        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
-        |                   AND c > prev AND c > nxt
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
-        |    CAST(SUM(CASE WHEN cntc >= 2 THEN c END) AS BIGINT)
-        |      AS sum_reoccurring_points,
-        |    CAST(SUM(CASE WHEN cntc >= 2 AND rnc = 1 THEN c END) AS BIGINT)
-        |      AS sum_reoccurring_values,
-        |    CAST(SUM(c - 2 * prev + prev2) AS BIGINT) AS msd2_num
-        |  FROM r GROUP BY user_id, n, s)
-        |SELECT user_id, n, sum_c, abs_energy, min_c, max_c, med2,
-        |  sum_abs_change, count_above_mean,
-        |  COALESCE(strike, CAST(0 AS BIGINT)) AS longest_strike_above_mean,
-        |  CASE WHEN acd = 0 THEN NULL
-        |       ELSE CAST(acn AS DOUBLE) / CAST(acd AS DOUBLE) END AS ac1,
-        |  CAST(n * abs_energy - sum_c * sum_c AS BIGINT) AS var_num,
-        |  sqrt(CAST(COALESCE(sqch, 0) AS DOUBLE)) AS cid_ce,
-        |  c3_sum, n_crossings, count_below_mean,
-        |  COALESCE(strikeb, CAST(0 AS BIGINT)) AS longest_strike_below_mean,
-        |  first_loc_max, last_loc_min, n_distinct, n_peaks,
-        |  sum_reoccurring_points, sum_reoccurring_values, msd2_num
-        |FROM agg LEFT JOIN str USING (user_id) LEFT JOIN strb USING (user_id)
-        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      tsFeaturesSql) { (spark, dir) =>
       import spark.implicits._
       val base = t(spark, dir, "events").select($"user_id", $"event_id",
         (dec12($"value") * 100).cast("long").as("c"))
@@ -2824,6 +2830,29 @@ object Ext {
           $"longest_strike_below_mean", $"first_loc_max", $"last_loc_min",
           $"n_distinct", $"n_peaks", $"sum_reoccurring_points",
           $"sum_reoccurring_values", $"msd2_num")
+        .orderBy($"user_id")
+    },
+
+    // --- the WIDE (DECIMAL(38,0)) tsFeatures path differentially
+    //     certified end-to-end against the identical oracle: same
+    //     series, wide = true, the exact-decimal outputs cast back to
+    //     the gate's BIGINT/DOUBLE types (values are far inside long
+    //     range at this SF — the decimal-vs-long ARITHMETIC is what's
+    //     under test, and it must be value-identical).
+    Q("ext_ts_features_wide", tsFeaturesSql) { (spark, dir) =>
+      import spark.implicits._
+      val base = t(spark, dir, "events").select($"user_id", $"event_id",
+        (dec12($"value") * 100).cast("long").as("c"))
+      val f = graft.operators.Sessionize
+        .tsFeatures(base, "user_id", Seq("event_id"), "c", wide = true)
+      def L(c: String) = f(c).cast("long").as(c)
+      f.select($"user_id", $"n", L("sum_c"), L("abs_energy"), L("min_c"),
+          L("max_c"), L("med2"), L("sum_abs_change"), $"count_above_mean",
+          $"longest_strike_above_mean", $"ac1", L("var_num"), $"cid_ce",
+          L("c3_sum"), $"n_crossings", $"count_below_mean",
+          $"longest_strike_below_mean", $"first_loc_max", $"last_loc_min",
+          $"n_distinct", $"n_peaks", L("sum_reoccurring_points"),
+          L("sum_reoccurring_values"), L("msd2_num"))
         .orderBy($"user_id")
     },
 
