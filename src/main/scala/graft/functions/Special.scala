@@ -2356,6 +2356,320 @@ object Special {
       s"(${sqlBesselKv(v, x)} * exp($x)) " +
       s"ELSE ${sqlBesselKveAsym(v, x)} END)"
 
+  // ------- large real-order Bessel (bessel.py jv/yv/ive/kve at
+  // ν = k + f, k ≤ 24 compile-time, NON-integer f ∈ (0,1)) -------
+  // Closes the "large real ν remains series-windowed" gap (r12 VERDICT
+  // missing #6): J/I already cover ANY ν ≥ 0 below the cut (the ₀F₁
+  // window constrains x, not ν), so what's missing is (a) Y/K at
+  // non-integer ν > 1 anywhere and (b) J/I at ν > 4 above the cut.
+  // (a) ORDER RECURRENCE, upward — the stable direction for Y and K at
+  //     every x (both grow with order): the (ν_f, ν_f+1) anchor pair
+  //     comes from the series reflections below the cut
+  //     (Y_{f−1} = Y_{−(1−f)} = sin((1−f)π)J_{1−f} + cos((1−f)π)Y_{1−f},
+  //     DLMF 10.4.2; K_{f−1} = K_{1−f} by K's order symmetry — then one
+  //     forward step) and from the ν ≤ 4 Hankel asymptotics above it.
+  // (b) MILLER's algorithm, downward — the stable direction for J in
+  //     the decay regime and for I everywhere: seed (0, 1) at order
+  //     f + k + 25, recur down to f, normalize against the Hankel
+  //     anchors at orders f / f+1 (J picks the anchor of larger
+  //     magnitude — consecutive-order J zeros interlace, so both can't
+  //     vanish; I is positive and downward-dominant at EVERY x, one
+  //     anchor suffices). Miller requires the start order above the
+  //     turning point (M > x) — for J at x ≥ k + 15 the whole chain is
+  //     oscillatory and the UPWARD recurrence from the Hankel anchors
+  //     is the well-conditioned direction instead (the existing
+  //     integer-gate "x ≳ n" contract), so J branches three ways:
+  //     series below the cut, Miller for cut ≤ x < k + 15, upward
+  //     beyond. Below the cut J/I stay on the direct series at
+  //     ν = k + f (the ₀F₁ window constrains x only).
+  // Everything is STAGED on BOTH sides ([[modfresnelStaged]] /
+  // [[sqlGammaincPQ]] pattern): a raw two-term recurrence Column tree
+  // duplicates subtrees Fibonacci-fast (the n ≤ 6 guard on the integer
+  // gates exists for exactly that reason), and the SQL mirror would
+  // blow DuckDB's 128-deep expression binder. One projection per step
+  // keeps both linear; shapes match op-for-op across the stage
+  // boundary, so op_special_bessel_large gates bit-mirrored values.
+  // Accuracy is pinned in SpecialSpec by EXACT cross-relations: the
+  // Wronskians J_{ν+1}Y_ν − J_νY_{ν+1} = 2/(πx) and
+  // ive_ν·kve_{ν+1} + ive_{ν+1}·kve_ν = 1/x, plus closed-form
+  // half-integer cross-checks at ν = 10.5.
+
+  private val besselLargeMillerPad = 25
+
+  private def besselLargeCast(df: org.apache.spark.sql.DataFrame,
+      f: Column, x: Column, out: String): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.toSeq.map(col)
+    df.select(keep ++ Seq(f.cast("double").as(s"${out}_f"),
+      x.cast("double").as(s"${out}_x")): _*)
+  }
+
+  /** Y_{k+f}(x), all x > 0 — see the section note. Appends `out`. */
+  def besselYvLargeStaged(df: org.apache.spark.sql.DataFrame, k: Int,
+      f: Column, x: Column, out: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 0 && k <= 24, s"besselYvLargeStaged supports k ≤ 24: $k")
+    val keep = df.columns.toSeq.map(col)
+    val s0 = besselLargeCast(df, f, x, out)
+    val ff = col(s"${out}_f"); val xx = col(s"${out}_x")
+    val mu = lit(1.0) - ff
+    val below = xx < besselAsymCut
+    val yA = when(below, besselYv(ff, xx)).otherwise(besselYvAsym(ff, xx))
+    val yM1 = when(below,
+      sin(mu * lit(math.Pi)) * besselJv(mu, xx) +
+        cos(mu * lit(math.Pi)) * besselYv(mu, xx)).otherwise(lit(0.0))
+    val s1 = s0.select(keep ++ Seq(ff, xx,
+      yA.as(s"${out}_a"), yM1.as(s"${out}_m1")): _*)
+    val yB = when(below,
+        lit(2.0) * ff / xx * col(s"${out}_a") - col(s"${out}_m1"))
+      .otherwise(besselYvAsym(ff + lit(1.0), xx))
+    var cur = s1.select(keep ++ Seq(ff, xx,
+      col(s"${out}_a"), yB.as(s"${out}_b")): _*)
+    for (m <- 1 until k) {
+      val next = lit(2.0) * (ff + lit(m.toDouble)) / xx *
+        col(s"${out}_b") - col(s"${out}_a")
+      cur = cur.select(keep ++ Seq(ff, xx,
+        col(s"${out}_b").as(s"${out}_a"), next.as(s"${out}_b")): _*)
+    }
+    val res = if (k == 0) col(s"${out}_a") else col(s"${out}_b")
+    cur.select(keep :+ res.as(out): _*)
+  }
+
+  /** Staged SQL mirror of [[besselYvLargeStaged]]: full SELECT producing
+    * `carry` plus `out`. */
+  def sqlBesselYvLargeStaged(from: String, k: Int, f: String, x: String,
+      carry: Seq[String], out: String): String = {
+    require(k >= 0 && k <= 24, s"sqlBesselYvLargeStaged supports k ≤ 24: $k")
+    val keep = carry.mkString(", ")
+    val ff = s"${out}_f"; val xx = s"${out}_x"
+    var q = s"SELECT $keep, CAST(($f) AS DOUBLE) AS $ff, " +
+      s"CAST(($x) AS DOUBLE) AS $xx FROM $from"
+    val mu = s"(1.0 - $ff)"
+    val below = s"($xx) < $besselAsymCut"
+    q = s"SELECT $keep, $ff, $xx, " +
+      s"(CASE WHEN $below THEN ${sqlBesselYv(ff, xx)} " +
+      s"ELSE ${sqlBesselYvAsym(ff, xx)} END) AS ${out}_a, " +
+      s"(CASE WHEN $below THEN " +
+      s"(sin($mu * CAST('${math.Pi}' AS DOUBLE)) * ${sqlBesselJv(mu, xx)} + " +
+      s"cos($mu * CAST('${math.Pi}' AS DOUBLE)) * ${sqlBesselYv(mu, xx)}) " +
+      s"ELSE 0.0 END) AS ${out}_m1 FROM ($q)"
+    q = s"SELECT $keep, $ff, $xx, ${out}_a, " +
+      s"(CASE WHEN $below THEN " +
+      s"(2.0 * $ff / $xx * ${out}_a - ${out}_m1) " +
+      s"ELSE ${sqlBesselYvAsym(s"($ff) + 1.0", xx)} END) AS ${out}_b FROM ($q)"
+    for (m <- 1 until k) {
+      q = s"SELECT $keep, $ff, $xx, ${out}_b AS ${out}_a, " +
+        s"(2.0 * ($ff + CAST('${m.toDouble}' AS DOUBLE)) / $xx * ${out}_b " +
+        s"- ${out}_a) AS ${out}_b FROM ($q)"
+    }
+    val res = if (k == 0) s"${out}_a" else s"${out}_b"
+    s"SELECT $keep, $res AS $out FROM ($q)"
+  }
+
+  /** K_{k+f}(x)·e^x (scipy kve), all x > 0. Appends `out`. */
+  def besselKveLargeStaged(df: org.apache.spark.sql.DataFrame, k: Int,
+      f: Column, x: Column, out: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 0 && k <= 24, s"besselKveLargeStaged supports k ≤ 24: $k")
+    val keep = df.columns.toSeq.map(col)
+    val s0 = besselLargeCast(df, f, x, out)
+    val ff = col(s"${out}_f"); val xx = col(s"${out}_x")
+    val below = xx < besselAsymCut
+    val kA = when(below, besselKv(ff, xx) * exp(xx))
+      .otherwise(besselKveAsym(ff, xx))
+    // K_{f−1} = K_{1−f}: K is even in its order
+    val kM1 = when(below, besselKv(lit(1.0) - ff, xx) * exp(xx))
+      .otherwise(lit(0.0))
+    val s1 = s0.select(keep ++ Seq(ff, xx,
+      kA.as(s"${out}_a"), kM1.as(s"${out}_m1")): _*)
+    val kB = when(below,
+        col(s"${out}_m1") + lit(2.0) * ff / xx * col(s"${out}_a"))
+      .otherwise(besselKveAsym(ff + lit(1.0), xx))
+    var cur = s1.select(keep ++ Seq(ff, xx,
+      col(s"${out}_a"), kB.as(s"${out}_b")): _*)
+    for (m <- 1 until k) {
+      val next = col(s"${out}_a") +
+        lit(2.0) * (ff + lit(m.toDouble)) / xx * col(s"${out}_b")
+      cur = cur.select(keep ++ Seq(ff, xx,
+        col(s"${out}_b").as(s"${out}_a"), next.as(s"${out}_b")): _*)
+    }
+    val res = if (k == 0) col(s"${out}_a") else col(s"${out}_b")
+    cur.select(keep :+ res.as(out): _*)
+  }
+
+  /** Staged SQL mirror of [[besselKveLargeStaged]]. */
+  def sqlBesselKveLargeStaged(from: String, k: Int, f: String, x: String,
+      carry: Seq[String], out: String): String = {
+    require(k >= 0 && k <= 24, s"sqlBesselKveLargeStaged supports k ≤ 24: $k")
+    val keep = carry.mkString(", ")
+    val ff = s"${out}_f"; val xx = s"${out}_x"
+    var q = s"SELECT $keep, CAST(($f) AS DOUBLE) AS $ff, " +
+      s"CAST(($x) AS DOUBLE) AS $xx FROM $from"
+    val below = s"($xx) < $besselAsymCut"
+    q = s"SELECT $keep, $ff, $xx, " +
+      s"(CASE WHEN $below THEN (${sqlBesselKv(ff, xx)} * exp($xx)) " +
+      s"ELSE ${sqlBesselKveAsym(ff, xx)} END) AS ${out}_a, " +
+      s"(CASE WHEN $below THEN " +
+      s"(${sqlBesselKv(s"(1.0 - $ff)", xx)} * exp($xx)) " +
+      s"ELSE 0.0 END) AS ${out}_m1 FROM ($q)"
+    q = s"SELECT $keep, $ff, $xx, ${out}_a, " +
+      s"(CASE WHEN $below THEN " +
+      s"(${out}_m1 + 2.0 * $ff / $xx * ${out}_a) " +
+      s"ELSE ${sqlBesselKveAsym(s"($ff) + 1.0", xx)} END) AS ${out}_b FROM ($q)"
+    for (m <- 1 until k) {
+      q = s"SELECT $keep, $ff, $xx, ${out}_b AS ${out}_a, " +
+        s"(${out}_a + 2.0 * ($ff + CAST('${m.toDouble}' AS DOUBLE)) / $xx " +
+        s"* ${out}_b) AS ${out}_b FROM ($q)"
+    }
+    val res = if (k == 0) s"${out}_a" else s"${out}_b"
+    s"SELECT $keep, $res AS $out FROM ($q)"
+  }
+
+  /** J_{k+f}(x) (jv) or I_{k+f}(x)·e^{−x} (ive) by branched
+    * series/Miller — shared machinery, `modified` picks the I
+    * recurrence sign and the single-anchor normalization. */
+  private def besselMillerStaged(df: org.apache.spark.sql.DataFrame,
+      k: Int, f: Column, x: Column, out: String,
+      modified: Boolean): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && k <= 24, s"bessel Miller staged supports 1 ≤ k ≤ 24: $k")
+    val keep = df.columns.toSeq.map(col)
+    val s0 = besselLargeCast(df, f, x, out)
+    val ff = col(s"${out}_f"); val xx = col(s"${out}_x")
+    // anchors (used above the cut only; below-cut rows carry garbage
+    // that the final branch discards)
+    val aA = if (modified) besselIveAsym(ff, xx) else besselJvAsym(ff, xx)
+    val aB = if (modified) lit(0.0) else besselJvAsym(ff + lit(1.0), xx)
+    var cur = s0.select(keep ++ Seq(ff, xx,
+      aA.as(s"${out}_ja"), aB.as(s"${out}_jb"),
+      lit(0.0).as(s"${out}_gp"), lit(1.0).as(s"${out}_gc"),
+      lit(0.0).as(s"${out}_gk")): _*)
+    val carryA = Seq(col(s"${out}_ja"), col(s"${out}_jb"))
+    val M = k + besselLargeMillerPad
+    for (m <- M to 1 by -1) {
+      // invariant before this step: gc = g_m, gp = g_{m+1}
+      val next =
+        if (modified)
+          col(s"${out}_gp") +
+            lit(2.0) * (ff + lit(m.toDouble)) / xx * col(s"${out}_gc")
+        else
+          lit(2.0) * (ff + lit(m.toDouble)) / xx * col(s"${out}_gc") -
+            col(s"${out}_gp")
+      val gk = if (m - 1 == k) next else col(s"${out}_gk")
+      cur = cur.select(keep ++ Seq(ff, xx) ++ carryA ++ Seq(
+        col(s"${out}_gc").as(s"${out}_gp"), next.as(s"${out}_gc"),
+        gk.as(s"${out}_gk")): _*)
+    }
+    // after the loop: gc = g_0, gp = g_1
+    if (!modified) {
+      // the oscillatory-regime upward chain (J only): k−1 staged steps
+      // from the Hankel anchor pair — selected when x ≥ k + 15
+      cur = cur.select(keep ++ Seq(ff, xx, col(s"${out}_gp"),
+        col(s"${out}_gc"), col(s"${out}_gk"),
+        col(s"${out}_ja"), col(s"${out}_jb"),
+        col(s"${out}_ja").as(s"${out}_ua"),
+        col(s"${out}_jb").as(s"${out}_ub")): _*)
+      for (m <- 1 until k) {
+        val next = lit(2.0) * (ff + lit(m.toDouble)) / xx *
+          col(s"${out}_ub") - col(s"${out}_ua")
+        cur = cur.select(keep ++ Seq(ff, xx, col(s"${out}_gp"),
+          col(s"${out}_gc"), col(s"${out}_gk"),
+          col(s"${out}_ja"), col(s"${out}_jb"),
+          col(s"${out}_ub").as(s"${out}_ua"), next.as(s"${out}_ub")): _*)
+      }
+    }
+    val scale =
+      if (modified) col(s"${out}_ja") / col(s"${out}_gc")
+      else when(abs(col(s"${out}_ja")) >= abs(col(s"${out}_jb")),
+          col(s"${out}_ja") / col(s"${out}_gc"))
+        .otherwise(col(s"${out}_jb") / col(s"${out}_gp"))
+    val series =
+      if (modified) besselIv(ff + lit(k.toDouble), xx) * exp(-xx)
+      else besselJv(ff + lit(k.toDouble), xx)
+    val res =
+      if (modified)
+        when(xx < besselAsymCut, series)
+          .otherwise(col(s"${out}_gk") * scale)
+      else
+        when(xx < besselAsymCut, series)
+          .when(xx >= lit((k + 15).toDouble), col(s"${out}_ub"))
+          .otherwise(col(s"${out}_gk") * scale)
+    cur.select(keep :+ res.as(out): _*)
+  }
+
+  /** J_{k+f}(x), all x > 0 (series below the cut at the full order,
+    * Miller-normalized downward recurrence above). Appends `out`. */
+  def besselJvLargeStaged(df: org.apache.spark.sql.DataFrame, k: Int,
+      f: Column, x: Column, out: String): org.apache.spark.sql.DataFrame =
+    besselMillerStaged(df, k, f, x, out, modified = false)
+
+  /** I_{k+f}(x)·e^{−x} (scipy ive), all x > 0. Appends `out`. */
+  def besselIveLargeStaged(df: org.apache.spark.sql.DataFrame, k: Int,
+      f: Column, x: Column, out: String): org.apache.spark.sql.DataFrame =
+    besselMillerStaged(df, k, f, x, out, modified = true)
+
+  private def sqlBesselMillerStaged(from: String, k: Int, f: String,
+      x: String, carry: Seq[String], out: String,
+      modified: Boolean): String = {
+    require(k >= 1 && k <= 24, s"sql bessel Miller staged supports 1 ≤ k ≤ 24: $k")
+    val keep = carry.mkString(", ")
+    val ff = s"${out}_f"; val xx = s"${out}_x"
+    var q = s"SELECT $keep, CAST(($f) AS DOUBLE) AS $ff, " +
+      s"CAST(($x) AS DOUBLE) AS $xx FROM $from"
+    val aA = if (modified) sqlBesselIveAsym(ff, xx) else sqlBesselJvAsym(ff, xx)
+    val aB = if (modified) "0.0" else sqlBesselJvAsym(s"($ff) + 1.0", xx)
+    q = s"SELECT $keep, $ff, $xx, ($aA) AS ${out}_ja, ($aB) AS ${out}_jb, " +
+      s"CAST(0.0 AS DOUBLE) AS ${out}_gp, CAST(1.0 AS DOUBLE) AS ${out}_gc, " +
+      s"CAST(0.0 AS DOUBLE) AS ${out}_gk FROM ($q)"
+    val M = k + besselLargeMillerPad
+    for (m <- M to 1 by -1) {
+      val next =
+        if (modified)
+          s"(${out}_gp + 2.0 * ($ff + CAST('${m.toDouble}' AS DOUBLE)) " +
+            s"/ $xx * ${out}_gc)"
+        else
+          s"(2.0 * ($ff + CAST('${m.toDouble}' AS DOUBLE)) / $xx * " +
+            s"${out}_gc - ${out}_gp)"
+      val gk = if (m - 1 == k) next else s"${out}_gk"
+      q = s"SELECT $keep, $ff, $xx, ${out}_ja, ${out}_jb, " +
+        s"${out}_gc AS ${out}_gp, $next AS ${out}_gc, $gk AS ${out}_gk " +
+        s"FROM ($q)"
+    }
+    if (!modified) {
+      q = s"SELECT $keep, $ff, $xx, ${out}_gp, ${out}_gc, ${out}_gk, " +
+        s"${out}_ja, ${out}_jb, ${out}_ja AS ${out}_ua, " +
+        s"${out}_jb AS ${out}_ub FROM ($q)"
+      for (m <- 1 until k) {
+        q = s"SELECT $keep, $ff, $xx, ${out}_gp, ${out}_gc, ${out}_gk, " +
+          s"${out}_ja, ${out}_jb, ${out}_ub AS ${out}_ua, " +
+          s"(2.0 * ($ff + CAST('${m.toDouble}' AS DOUBLE)) / $xx * " +
+          s"${out}_ub - ${out}_ua) AS ${out}_ub FROM ($q)"
+      }
+    }
+    val scale =
+      if (modified) s"(${out}_ja / ${out}_gc)"
+      else s"(CASE WHEN abs(${out}_ja) >= abs(${out}_jb) " +
+        s"THEN (${out}_ja / ${out}_gc) ELSE (${out}_jb / ${out}_gp) END)"
+    val series =
+      if (modified)
+        s"(${sqlBesselIv(s"($ff) + CAST('${k.toDouble}' AS DOUBLE)", xx)} * exp(-($xx)))"
+      else sqlBesselJv(s"($ff) + CAST('${k.toDouble}' AS DOUBLE)", xx)
+    if (modified)
+      s"SELECT $keep, (CASE WHEN ($xx) < $besselAsymCut THEN ($series) " +
+        s"ELSE (${out}_gk * $scale) END) AS $out FROM ($q)"
+    else
+      s"SELECT $keep, (CASE WHEN ($xx) < $besselAsymCut THEN ($series) " +
+        s"WHEN ($xx) >= CAST('${(k + 15).toDouble}' AS DOUBLE) " +
+        s"THEN ${out}_ub " +
+        s"ELSE (${out}_gk * $scale) END) AS $out FROM ($q)"
+  }
+
+  /** Staged SQL mirror of [[besselJvLargeStaged]]. */
+  def sqlBesselJvLargeStaged(from: String, k: Int, f: String, x: String,
+      carry: Seq[String], out: String): String =
+    sqlBesselMillerStaged(from, k, f, x, carry, out, modified = false)
+
+  /** Staged SQL mirror of [[besselIveLargeStaged]]. */
+  def sqlBesselIveLargeStaged(from: String, k: Int, f: String, x: String,
+      carry: Seq[String], out: String): String =
+    sqlBesselMillerStaged(from, k, f, x, carry, out, modified = true)
+
   // ------- Lamé functions of the first kind E^p_n
   // (ellip_harm.py ellip_harm) -------
   // Closed forms for degrees n ≤ 3 (Dassios, "Ellipsoidal Harmonics",

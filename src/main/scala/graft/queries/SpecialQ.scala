@@ -371,6 +371,107 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- LARGE real-order Y/K (bessel.py yv/kve at ν = 18 + f,
+    //     f ∈ (0,1) from l_linenumber — r13, closing the
+    //     large-real-ν window): staged upward order-recurrence from
+    //     the series-reflection / Hankel anchor pairs, mirrored
+    //     stage-for-stage (Special.sqlBessel{Yv,Kve}LargeStaged — the
+    //     modfresnel staged pattern; a flat mirror would blow the
+    //     128-deep expression binder). Accuracy is LargeBesselSpec's
+    //     job (exact Wronskians + half-integer closed forms); this
+    //     gate certifies the two engines replay identical arithmetic.
+    //     x ∈ [1.2, 36] straddles the series/asymptotic cut. Magnitude
+    //     discipline: at ν ≈ 19 and small x, |Y|/kve reach 1e19 where
+    //     a 1-ulp libm divergence between engines is ~1e3 ABSOLUTE and
+    //     round-6 can't absorb it — so the k = 18 columns gate only
+    //     where ν ≲ x keeps them O(1) (x ≥ 26; same-shape mask both
+    //     sides), and a k = 2 pair covers the below-cut anchor +
+    //     recurrence shapes over the FULL range at O(10) magnitudes.
+    Q("op_special_bessel_large", {
+      val S = graft.functions.Special
+      val base =
+        """(SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+          |        CAST(l_quantity AS DOUBLE) / 1.4 + 0.5 AS bx,
+          |        (CAST(l_linenumber % 7 AS DOUBLE) + 1.0) / 8.0 AS bf
+          |      FROM lineitem WHERE l_orderkey < 600) base""".stripMargin
+      val carry0 = Seq("l_orderkey", "l_linenumber", "q", "bx", "bf")
+      val yStage = S.sqlBesselYvLargeStaged(base, 18, "bf", "bx",
+        carry0, "blv_y")
+      val kStage = S.sqlBesselKveLargeStaged(s"($yStage) ys", 18, "bf", "bx",
+        carry0 :+ "blv_y", "blv_k")
+      val y2Stage = S.sqlBesselYvLargeStaged(s"($kStage) ks", 2, "bf", "bx",
+        carry0 ++ Seq("blv_y", "blv_k"), "blv_y2")
+      val k2Stage = S.sqlBesselKveLargeStaged(s"($y2Stage) y2s", 2, "bf", "bx",
+        carry0 ++ Seq("blv_y", "blv_k", "blv_y2"), "blv_k2")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  (CASE WHEN bx >= 26.0 THEN round(blv_y, 6) ELSE 0.0 END)
+         |    + CAST(0.0 AS DOUBLE) AS yv_large,
+         |  (CASE WHEN bx >= 26.0 THEN round(blv_k, 6) ELSE 0.0 END)
+         |    + CAST(0.0 AS DOUBLE) AS kve_large,
+         |  round(blv_y2, 6) + CAST(0.0 AS DOUBLE) AS yv_small,
+         |  round(blv_k2, 6) + CAST(0.0 AS DOUBLE) AS kve_small
+         |FROM ($k2Stage) k2s
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      def masked(c: org.apache.spark.sql.Column) =
+        when($"bx" >= 26.0, round(c, 6)).otherwise(lit(0.0)) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 1.4 + 0.5).as("bx"),
+          ((($"l_linenumber" % 7).cast("double") + 1.0) / 8.0).as("bf"))
+      val withY = Special.besselYvLargeStaged(base, 18, $"bf", $"bx", "blv_y")
+      val withK = Special.besselKveLargeStaged(withY, 18, $"bf", $"bx", "blv_k")
+      val withY2 = Special.besselYvLargeStaged(withK, 2, $"bf", $"bx", "blv_y2")
+      val withK2 = Special.besselKveLargeStaged(withY2, 2, $"bf", $"bx", "blv_k2")
+      withK2.select($"l_orderkey", $"l_linenumber", $"q",
+          masked($"blv_y").as("yv_large"), masked($"blv_k").as("kve_large"),
+          r6($"blv_y2").as("yv_small"), r6($"blv_k2").as("kve_small"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- LARGE real-order J/ive (bessel.py jv/ive at ν = 8 + f):
+    //     three-way J branch (series / Miller / oscillatory-upward)
+    //     and the all-x Miller ive, staged both sides. k = 8 keeps
+    //     the combined mirror inside the pinned ≥92-stage depth
+    //     budget; x ∈ [5.2, 40.2] exercises every branch (cut 8.7,
+    //     upward from x ≥ 23).
+    Q("op_special_bessel_large_ji", {
+      val S = graft.functions.Special
+      val base =
+        """(SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q,
+          |        CAST(l_quantity AS DOUBLE) / 1.4 + 4.5 AS bx,
+          |        (CAST(l_linenumber % 7 AS DOUBLE) + 1.0) / 8.0 AS bf
+          |      FROM lineitem WHERE l_orderkey < 600) base""".stripMargin
+      val carry0 = Seq("l_orderkey", "l_linenumber", "q", "bx", "bf")
+      val jStage = S.sqlBesselJvLargeStaged(base, 8, "bf", "bx",
+        carry0, "blv_j")
+      val iStage = S.sqlBesselIveLargeStaged(s"($jStage) js", 8, "bf", "bx",
+        carry0 :+ "blv_j", "blv_i")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(blv_j, 6) + CAST(0.0 AS DOUBLE) AS jv_large,
+         |  round(blv_i, 6) + CAST(0.0 AS DOUBLE) AS ive_large
+         |FROM ($iStage) isq
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 1.4 + 4.5).as("bx"),
+          ((($"l_linenumber" % 7).cast("double") + 1.0) / 8.0).as("bf"))
+      val withJ = Special.besselJvLargeStaged(base, 8, $"bf", $"bx", "blv_j")
+      val withI = Special.besselIveLargeStaged(withJ, 8, $"bf", $"bx", "blv_i")
+      withI.select($"l_orderkey", $"l_linenumber", $"q",
+          r6($"blv_j").as("jv_large"), r6($"blv_i").as("ive_large"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- integrals of Airy (airy.py itairy) + scaled Hankel
     //     hankel1e/hankel2e (bessel.py): termwise-integrated Maclaurin
     //     series inside the |x| ≤ 6 window (both signs), and the
