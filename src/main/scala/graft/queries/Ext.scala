@@ -526,6 +526,81 @@ object Ext {
         .orderBy($"new_id", $"index_id")
     },
 
+    // --- §2.16 the SELF-MAINTAINING crawl loop: each micro-batch
+    //     dedups against the index, survivors append INTO the index,
+    //     and later batches must see them — the cascade is the whole
+    //     point, so the stage boundaries must be oracle-replayable:
+    //     StreamParity.stageFixed splits at EXPLICIT doc_id bounds
+    //     (200, 400) instead of repartitionByRange's sampled ones.
+    //     Initial index = docs < 100 (so batch 1 re-crawls them —
+    //     self-match at j = 1.0 drops them, the correct re-crawl
+    //     behavior). kept(d) = no j ≥ 0.8 partner among initial-index
+    //     docs or earlier-batch keepers; the oracle replays the
+    //     cascade as three stratified CTE layers over exact Jaccard
+    //     (same fixture gap argument as ext_dedup_incremental_lsh).
+    Q("op_stream_dedup_selfmaintain_parity",
+      s"""WITH $shinglesCte,
+         |jp AS (SELECT a.doc_id AS ea, b.doc_id AS eb, COUNT(*) AS common
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |pe AS (SELECT ea, eb FROM jp
+         |       JOIN sizes sa ON ea = sa.doc_id
+         |       JOIN sizes sb ON eb = sb.doc_id
+         |       WHERE CAST(common AS DOUBLE)
+         |             / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+         |d0 AS (SELECT doc_id FROM documents),
+         |k1 AS (SELECT doc_id FROM d0 WHERE doc_id >= 100 AND doc_id < 200
+         |       AND NOT EXISTS (SELECT 1 FROM pe
+         |                       WHERE pe.eb = d0.doc_id AND pe.ea < 100)),
+         |k2 AS (SELECT doc_id FROM d0 WHERE doc_id >= 200 AND doc_id < 400
+         |       AND NOT EXISTS (SELECT 1 FROM pe
+         |                       WHERE pe.eb = d0.doc_id
+         |                         AND (pe.ea < 100
+         |                              OR pe.ea IN (SELECT doc_id FROM k1)))),
+         |k3 AS (SELECT doc_id FROM d0 WHERE doc_id >= 400
+         |       AND NOT EXISTS (SELECT 1 FROM pe
+         |                       WHERE pe.eb = d0.doc_id
+         |                         AND (pe.ea < 100
+         |                              OR pe.ea IN (SELECT doc_id FROM k1)
+         |                              OR pe.ea IN (SELECT doc_id FROM k2))))
+         |SELECT doc_id FROM (SELECT doc_id FROM k1
+         |                    UNION ALL SELECT doc_id FROM k2
+         |                    UNION ALL SELECT doc_id FROM k3) u
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      Seq("graft_ssm_idx_bands", "graft_ssm_idx_shingles",
+          "graft_ssm_idx_params").foreach { nm =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm")
+        val loc = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 100),
+        "text", "doc_id", "graft_ssm_idx", buckets = 8)
+      val stageDir = OpsExtra.StreamParity.stageFixed(
+        spark, dir, "documents", "doc_id", Seq(200L, 400L))
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ssm_out").toString
+      val q = StreamOps.streamingDedupSelfMaintaining(
+        stream, "graft_ssm_idx") { survivors =>
+        survivors.select("doc_id").write.mode("append").parquet(outDir)
+      }
+      try {
+        q.processAllAvailable()
+        OpsExtra.StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.read.parquet(outDir).select($"doc_id").orderBy($"doc_id")
+    },
+
     // --- incremental near-dup detection: a NEW batch (doc_id >= 400)
     //     probed against the EXISTING corpus (doc_id < 400) — cross-side
     //     candidates only, exact-verified. The daily-crawl-vs-history

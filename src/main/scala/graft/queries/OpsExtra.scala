@@ -100,6 +100,64 @@ object OpsExtra {
       stageDir
     }
 
+    /** Fixed-boundary variant of [[stage]] (r13): splits at EXPLICIT
+      * `orderCol` bounds instead of repartitionByRange's SAMPLED ones.
+      * Needed by parity oracles whose kept sets depend on the exact
+      * batch MEMBERSHIP (the self-maintaining dedup loop) — sampled
+      * boundaries are fine for min-key rules but not SQL-replayable.
+      * Ranges: (−∞, b₀), [b₀, b₁), …, [b_last, ∞). */
+    def stageFixed(spark: org.apache.spark.sql.SparkSession, dir: String,
+        table: String, orderCol: String, bounds: Seq[Long]): Path = {
+      import org.apache.spark.sql.functions.col
+      val srcPath = Paths.get(s"$dir/$table.parquet")
+      val stageDir = Paths.get("/root/repo/target/stream_src_fixed",
+        srcPath.getParent.getFileName.toString, table)
+      val marker = stageDir.resolve("_staged.marker")
+      val stamp = s"${Files.size(srcPath)}:" +
+        s"${Files.getLastModifiedTime(srcPath).toMillis}:" +
+        s"${bounds.mkString("_")}:$orderCol:v1"
+      if (Files.exists(marker) &&
+          new String(Files.readAllBytes(marker), UTF_8) == stamp)
+        return stageDir
+      this.synchronized {
+        if (Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), UTF_8) == stamp)
+          return stageDir
+        def wipe(p: Path): Unit = if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).iterator().asScala.toVector.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+        wipe(stageDir)
+        Files.createDirectories(stageDir)
+        val df = spark.read.parquet(srcPath.toString)
+        val cuts = (None +: bounds.map(Option(_))) :+ None
+        val ranges = cuts.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+        val base = Files.getLastModifiedTime(srcPath).toMillis
+        ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+          val part = df
+            .filter(lo.map(b => col(orderCol) >= b)
+              .getOrElse(org.apache.spark.sql.functions.lit(true)))
+            .filter(hi.map(b => col(orderCol) < b)
+              .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          val tmp = stageDir.resolveSibling(s"${table}_fixed__tmp$i")
+          wipe(tmp)
+          part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val pf = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"stageFixed: no part file for range $i"))
+          val dest = stageDir.resolve(f"$i%03d.parquet")
+          Files.move(pf, dest, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+          wipe(tmp)
+        }
+        Files.write(marker, stamp.getBytes(UTF_8))
+      }
+      stageDir
+    }
+
     /** Assert the parity query actually ran as multiple micro-batches
       * (one per staged file; an extra empty trigger at the end is fine). */
     def assertMultiBatch(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {

@@ -252,6 +252,45 @@ object StreamOps {
       }
       .start()
 
+  /** The COMPLETE self-maintaining crawl loop (r13): every micro-batch
+    * (1) dedups against the persisted LSH index
+    * ([[graft.operators.Dedup.minhashDedupPairsAgainstIndex]] —
+    * candidates-then-verify, exchange-free history side), (2) hands the
+    * SURVIVORS to `sink` (the accepted docs), and (3) APPENDS the
+    * survivors into the index ([[graft.operators.Dedup
+    * .minhashIndexAppend]]) so the NEXT batch sees them. Cross-batch
+    * near-dup state lives in the durable bucketed index tables, not in
+    * streaming state — unbounded-history dedup with bounded executor
+    * state, restart-safe because the index is the checkpoint. Batch
+    * semantics: docs within one micro-batch are NOT checked against
+    * each other (same-batch collisions are the next crawl's problem, or
+    * run [[streamingNearDupCandidates]] alongside); a doc near-dup to
+    * any initial-index doc or any earlier-batch survivor is dropped.
+    * op_stream_dedup_selfmaintain_parity gates the full cascade over
+    * fixed-boundary micro-batches against a stratified exact-Jaccard
+    * replay. */
+  def streamingDedupSelfMaintaining(docs: DataFrame, namePrefix: String,
+      threshold: Double = 0.8)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        try {
+          val dups = graft.operators.Dedup.minhashDedupPairsAgainstIndex(
+              batch, "text", "doc_id", namePrefix, threshold = threshold)
+            .select(col("new_id")).distinct()
+          val survivors = batch.join(dups,
+            batch("doc_id") === dups("new_id"), "left_anti")
+          survivors.persist()
+          try {
+            sink(survivors)
+            graft.operators.Dedup.minhashIndexAppend(
+              survivors, "text", "doc_id", namePrefix)
+          } finally survivors.unpersist()
+        } finally batch.unpersist()
+      }
+      .start()
+
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for
     * state machines the built-in windows can't express
