@@ -322,6 +322,46 @@ object ScaleBench {
           s""""queries":${truth.size},"k":$kTop}}""")
         truth.size.toLong
       },
+      "aux_stream_selfmaintain" -> { (s: SparkSession, dir: String) =>
+        // the complete crawl loop at scale (r13): history = 90% of the
+        // corpus persisted as the LSH index, the remaining 10% streamed
+        // in ~4 micro-batches through streamingDedupSelfMaintaining —
+        // each batch dedups against (history + earlier survivors) and
+        // appends its survivors. Measures the per-batch wall as the
+        // index grows; state stays in the bucketed tables.
+        val nm = incIndexName(dir) + "_ssm"
+        Seq(s"${nm}_bands", s"${nm}_shingles", s"${nm}_params").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = java.nio.file.Paths.get(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+          }
+        }
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.minhashIndexPersist(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "text", "doc_id", nm, buckets = 32)
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val nFiles = new java.io.File(path).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        val perTrigger = math.max(1, nFiles / 4)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger).parquet(path)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+        val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = graft.streaming.StreamOps
+          .streamingDedupSelfMaintaining(stream, nm) { survivors =>
+            accepted.addAndGet(survivors.count())
+          }
+        try {
+          q.processAllAvailable()
+          accepted.get()
+        } finally q.stop()
+      },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
         // micro-batches — the ingest-time filter's throughput curve
