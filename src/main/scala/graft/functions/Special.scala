@@ -2743,6 +2743,103 @@ object Special {
       s"CAST('${2.0 * math.Pi * which / 3.0}' AS DOUBLE)) - " +
       s"$a2 / CAST(3.0 AS DOUBLE))"
   }
+  /** Monic-cubic trig-Cardano root (three real roots in the ellipsoidal
+    * domain; ascending for which = 2, 1, 0 — the [[lameK4b]]
+    * convention): t³ + a2·t² + a1·t + a0 = 0. */
+  private def lameCubic(a2: Column, a1: Column, a0: Column,
+      which: Int): Column = {
+    val pD = a1 - a2 * a2 / lit(3.0)
+    val qD = lit(2.0) * (a2 * a2 * a2) / lit(27.0) - a2 * a1 / lit(3.0) + a0
+    val m = lit(2.0) * sqrt(-pD / lit(3.0))
+    val theta = acos(lit(3.0) * qD / (pD * m))
+    m * cos(theta / lit(3.0) - lit(2.0 * math.Pi * which / 3.0)) -
+      a2 / lit(3.0)
+  }
+  private def sqlLameCubic(a2: String, a1: String, a0: String,
+      which: Int): String = {
+    val pD = s"(($a1) - ($a2) * ($a2) / CAST(3.0 AS DOUBLE))"
+    val qD = s"(CAST(2.0 AS DOUBLE) * (($a2) * ($a2) * ($a2)) / " +
+      s"CAST(27.0 AS DOUBLE) - ($a2) * ($a1) / CAST(3.0 AS DOUBLE) + ($a0))"
+    val m = s"(CAST(2.0 AS DOUBLE) * sqrt(-$pD / CAST(3.0 AS DOUBLE)))"
+    val theta = s"acos(CAST(3.0 AS DOUBLE) * $qD / ($pD * $m))"
+    s"($m * cos($theta / CAST(3.0 AS DOUBLE) - " +
+      s"CAST('${2.0 * math.Pi * which / 3.0}' AS DOUBLE)) - " +
+      s"($a2) / CAST(3.0 AS DOUBLE))"
+  }
+
+  // n=5 ansatz systems (ODE-substitution derivations verified
+  // numerically against the Lamé residual before implementation):
+  //   K  (s⁵+bs³+cs):        27b³ + 60Hb² + (32H²+44P)b + 40HP = 0,
+  //                          c = (9b² + 8bH + 10P)/14, λ = 18b + 25H
+  //   L  ((s⁴+bs²+c)√(s²−h²)): 81h²b³ + (54P+126Hh²)b²
+  //                          + (48H²h² + 40HP + 8Pk² + 68Ph²)b
+  //                          + 24P² + 48PHh² = 0,
+  //                          c = (9b² + 6bH + 2bk² + 6P)/14,
+  //                          λ = 18b + 16H + 9k²
+  //   M: the h² ↔ k² swap of L
+  //   N  ((s³+cs)√((s²−h²)(s²−k²))): 3c² + 2Hc + P = 0 (the n=2 K
+  //                          quadratic again), λ = 16H + 18c
+  // λ is monotone in b/c within each class, so ascending-λ order =
+  // ascending root order (which = 2, 1, 0 / minus-then-plus).
+  private def lame5Kb(h2: Column, k2: Column, which: Int): Column = {
+    val bigH = h2 + k2; val bigP = h2 * k2
+    lameCubic(
+      lit(20.0) * bigH / lit(9.0),
+      (lit(32.0) * (bigH * bigH) + lit(44.0) * bigP) / lit(27.0),
+      lit(40.0) * (bigH * bigP) / lit(27.0), which)
+  }
+  private def sqlLame5Kb(h2: String, k2: String, which: Int): String = {
+    val bigH = s"(($h2) + ($k2))"; val bigP = s"(($h2) * ($k2))"
+    sqlLameCubic(
+      s"(CAST(20.0 AS DOUBLE) * $bigH / CAST(9.0 AS DOUBLE))",
+      s"((CAST(32.0 AS DOUBLE) * ($bigH * $bigH) + " +
+        s"CAST(44.0 AS DOUBLE) * $bigP) / CAST(27.0 AS DOUBLE))",
+      s"(CAST(40.0 AS DOUBLE) * ($bigH * $bigP) / CAST(27.0 AS DOUBLE))",
+      which)
+  }
+  private def lame5Kc(h2: Column, k2: Column, b: Column): Column =
+    (lit(9.0) * (b * b) + lit(8.0) * (b * (h2 + k2)) +
+      lit(10.0) * (h2 * k2)) / lit(14.0)
+  private def sqlLame5Kc(h2: String, k2: String, b: String): String =
+    s"((CAST(9.0 AS DOUBLE) * (($b) * ($b)) + " +
+      s"CAST(8.0 AS DOUBLE) * (($b) * (($h2) + ($k2))) + " +
+      s"CAST(10.0 AS DOUBLE) * (($h2) * ($k2))) / CAST(14.0 AS DOUBLE))"
+
+  /** The L-class n=5 cubic at (e, f2) = (h², k²); M is the swap. */
+  private def lame5LMb(e: Column, f2: Column, which: Int): Column = {
+    val bigH = e + f2; val bigP = e * f2
+    lameCubic(
+      (lit(54.0) * bigP + lit(126.0) * (bigH * e)) / (lit(81.0) * e),
+      (lit(48.0) * ((bigH * bigH) * e) + lit(40.0) * (bigH * bigP) +
+        lit(8.0) * (bigP * f2) + lit(68.0) * (bigP * e)) / (lit(81.0) * e),
+      (lit(24.0) * (bigP * bigP) + lit(48.0) * ((bigP * bigH) * e)) /
+        (lit(81.0) * e),
+      which)
+  }
+  private def sqlLame5LMb(e: String, f2: String, which: Int): String = {
+    val bigH = s"(($e) + ($f2))"; val bigP = s"(($e) * ($f2))"
+    sqlLameCubic(
+      s"((CAST(54.0 AS DOUBLE) * $bigP + CAST(126.0 AS DOUBLE) * " +
+        s"($bigH * ($e))) / (CAST(81.0 AS DOUBLE) * ($e)))",
+      s"((CAST(48.0 AS DOUBLE) * (($bigH * $bigH) * ($e)) + " +
+        s"CAST(40.0 AS DOUBLE) * ($bigH * $bigP) + " +
+        s"CAST(8.0 AS DOUBLE) * ($bigP * ($f2)) + " +
+        s"CAST(68.0 AS DOUBLE) * ($bigP * ($e))) / " +
+        s"(CAST(81.0 AS DOUBLE) * ($e)))",
+      s"((CAST(24.0 AS DOUBLE) * ($bigP * $bigP) + " +
+        s"CAST(48.0 AS DOUBLE) * (($bigP * $bigH) * ($e))) / " +
+        s"(CAST(81.0 AS DOUBLE) * ($e)))",
+      which)
+  }
+  private def lame5LMc(e: Column, f2: Column, b: Column): Column =
+    (lit(9.0) * (b * b) + lit(6.0) * (b * (e + f2)) +
+      lit(2.0) * (b * f2) + lit(6.0) * (e * f2)) / lit(14.0)
+  private def sqlLame5LMc(e: String, f2: String, b: String): String =
+    s"((CAST(9.0 AS DOUBLE) * (($b) * ($b)) + " +
+      s"CAST(6.0 AS DOUBLE) * (($b) * (($e) + ($f2))) + " +
+      s"CAST(2.0 AS DOUBLE) * (($b) * ($f2)) + " +
+      s"CAST(6.0 AS DOUBLE) * (($e) * ($f2))) / CAST(14.0 AS DOUBLE))"
+
   /** c(b) = (7b² + 6bH + 6P)/10 for the K n=4 ansatz. */
   private def lameK4c(h2: Column, k2: Column, b: Column): Column =
     (lit(7.0) * (b * b) + lit(6.0) * (b * (h2 + k2)) +
@@ -2800,8 +2897,27 @@ object Special {
         plus = false)) * sqrt((s * s - h2) * (s * s - k2))
       case (4, 9) => (s * s + lameRoot4(lit(4.0) * (h2 + k2), h2 * k2,
         plus = true)) * sqrt((s * s - h2) * (s * s - k2))
+      // n=5 (K¹K²K³ L¹L²L³ M¹M²M³ N¹N²) — see the ansatz-system note
+      // above the lame5* helpers; λ ascending within each class.
+      case (5, pp) if pp >= 1 && pp <= 3 =>
+        val b = lame5Kb(h2, k2, which = 3 - pp)
+        s * s * s * s * s + b * (s * s * s) + lame5Kc(h2, k2, b) * s
+      case (5, pp) if pp >= 4 && pp <= 6 =>
+        val b = lame5LMb(h2, k2, which = 6 - pp)
+        (s * s * s * s + b * (s * s) + lame5LMc(h2, k2, b)) *
+          sqrt(s * s - h2)
+      case (5, pp) if pp >= 7 && pp <= 9 =>
+        val b = lame5LMb(k2, h2, which = 9 - pp)
+        (s * s * s * s + b * (s * s) + lame5LMc(k2, h2, b)) *
+          sqrt(s * s - k2)
+      case (5, 10) =>
+        s * (s * s + (-(h2 + k2) - disc) / lit(3.0)) *
+          sqrt((s * s - h2) * (s * s - k2))
+      case (5, 11) =>
+        s * (s * s + (-(h2 + k2) + disc) / lit(3.0)) *
+          sqrt((s * s - h2) * (s * s - k2))
       case _ => throw new IllegalArgumentException(
-        s"ellipHarm: closed forms cover n ≤ 4, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
+        s"ellipHarm: closed forms cover n ≤ 5, 1 ≤ p ≤ 2n+1 (got n=$n p=$p)")
     }
   }
 
@@ -2866,8 +2982,34 @@ object Special {
           case _ => throw new IllegalArgumentException(
             s"sqlEllipHarm: n=4 needs 1 ≤ p ≤ 9 (got p=$pp)")
         }
+      case (5, pp) =>
+        val s2 = s"(($s) * ($s))"
+        pp match {
+          case q if q >= 1 && q <= 3 =>
+            val b = sqlLame5Kb(h2, k2, which = 3 - q)
+            s"(($s) * ($s) * ($s) * ($s) * ($s) + $b * (($s) * ($s) * ($s)) + " +
+              s"${sqlLame5Kc(h2, k2, b)} * ($s))"
+          case q if q >= 4 && q <= 6 =>
+            // ($s)*($s)*($s)*($s): left-assoc like the Column side
+            // (s2*s2 would be a DIFFERENT multiplication tree — ulp risk)
+            val b = sqlLame5LMb(h2, k2, which = 6 - q)
+            s"((($s) * ($s) * ($s) * ($s) + $b * $s2 + " +
+              s"${sqlLame5LMc(h2, k2, b)}) * sqrt($s2 - ($h2)))"
+          case q if q >= 7 && q <= 9 =>
+            val b = sqlLame5LMb(k2, h2, which = 9 - q)
+            s"((($s) * ($s) * ($s) * ($s) + $b * $s2 + " +
+              s"${sqlLame5LMc(k2, h2, b)}) * sqrt($s2 - ($k2)))"
+          case 10 =>
+            s"(($s) * ($s2 + (-(($h2) + ($k2)) - $disc) / CAST(3.0 AS DOUBLE)) * " +
+              s"sqrt(($s2 - ($h2)) * ($s2 - ($k2))))"
+          case 11 =>
+            s"(($s) * ($s2 + (-(($h2) + ($k2)) + $disc) / CAST(3.0 AS DOUBLE)) * " +
+              s"sqrt(($s2 - ($h2)) * ($s2 - ($k2))))"
+          case _ => throw new IllegalArgumentException(
+            s"sqlEllipHarm: n=5 needs 1 ≤ p ≤ 11 (got p=$pp)")
+        }
       case _ => throw new IllegalArgumentException(
-        s"sqlEllipHarm: n ≤ 4 only (got n=$n p=$p)")
+        s"sqlEllipHarm: n ≤ 5 only (got n=$n p=$p)")
     }
   }
 

@@ -1059,5 +1059,48 @@ object SpecialQ {
       base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++ ks ++ rest ++
         Seq(Special.ellipHarm2($"h2", $"k2", 4, 8, $"s").as("f48")): _*)
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
+    // --- Lamé first kind at degree n=5 (ellip_harm.py — r13, closing
+    //     the last ellip_harm degree the reference's tests exercise):
+    //     all 11 functions (K³ L³ M³ N²) from the ODE-derived ansatz
+    //     systems (cubics via trig-Cardano for K/L/M — acos/cos libm →
+    //     round 6; the N quadratic is pure ·−√ IEEE → UNROUNDED).
+    //     SpecialSpec pins the constant-eigenvalue property and the
+    //     ascending-λ class order.
+    Q("op_special_ellipharm5", {
+      val S = graft.functions.Special
+      val cubics = (1 to 9).map { p =>
+        s"  round(${S.sqlEllipHarm("h2", "k2", 5, p, "s")}, 6) + " +
+          s"CAST(0.0 AS DOUBLE) AS e5$p" }.mkString(",\n")
+      val ns = (10 to 11).map { p =>
+        s"  ${S.sqlEllipHarm("h2", "k2", 5, p, "s")} AS e5$p" }.mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |$cubics,
+         |$ns
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST(l_quantity AS DOUBLE) AS q,
+         |        CAST(l_quantity AS DOUBLE) / 50.0 + 0.5 AS h2,
+         |        CAST(l_quantity AS DOUBLE) / 25.0 + 2.0 AS k2,
+         |        CAST(l_quantity AS DOUBLE) / 20.0 + 2.2 AS s
+         |      FROM lineitem WHERE l_orderkey < 600) base
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          ($"l_quantity".cast("double") / 50.0 + 0.5).as("h2"),
+          ($"l_quantity".cast("double") / 25.0 + 2.0).as("k2"),
+          ($"l_quantity".cast("double") / 20.0 + 2.2).as("s"))
+      val cubics = (1 to 9).map { p =>
+        (round(Special.ellipHarm($"h2", $"k2", 5, p, $"s"), 6) + lit(0.0))
+          .as(s"e5$p") }
+      val ns = (10 to 11).map { p =>
+        Special.ellipHarm($"h2", $"k2", 5, p, $"s").as(s"e5$p") }
+      base.select(Seq($"l_orderkey", $"l_linenumber", $"q") ++
+          cubics ++ ns: _*)
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
     })
 }

@@ -616,10 +616,11 @@ class SpecialSpec extends SparkSpecBase {
     val h2 = 1.2; val k2 = 2.9; val d = 1e-5
     val pts = Seq(1.9, 2.4, 3.1)
     val ss = pts.flatMap(s => Seq(s - d, s, s + d))
+    val lamAt = collection.mutable.Map.empty[(Int, Int), Double]
     for ((n, p) <- Seq((1, 1), (1, 2), (1, 3),
         (2, 1), (2, 2), (2, 3), (2, 4), (2, 5),
         (3, 1), (3, 2), (3, 3), (3, 4), (3, 5), (3, 6), (3, 7)) ++
-        (1 to 9).map(p => (4, p))) {
+        (1 to 9).map(p => (4, p)) ++ (1 to 11).map(p => (5, p))) {
       val vals = ss.toDF("s")
         .select(col("s"),
           Special.ellipHarm(lit(h2), lit(k2), n, p, col("s")).as("e"))
@@ -632,7 +633,14 @@ class SpecialSpec extends SparkSpecBase {
       }
       assert(math.abs(lams(0) - lams(1)) < 1e-2 &&
         math.abs(lams(1) - lams(2)) < 1e-2, s"(n=$n,p=$p) λ=$lams")
+      lamAt((n, p)) = lams(1)
     }
+    // n=5 convention: λ ascends WITHIN each class (K p1-3, L p4-6,
+    // M p7-9, N p10-11) — the lame5 root-pick order
+    for (cls <- Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9), Seq(10, 11)))
+      for (Seq(a, b) <- cls.sliding(2))
+        assert(lamAt((5, a)) < lamAt((5, b)),
+          s"n=5 class order: λ(p=$a)=${lamAt((5, a))} !< λ(p=$b)=${lamAt((5, b))}")
     // scipy convention spot values: E¹₁(s) = s; E⁵₂ = √((s²−h²)(s²−k²))
     assert(eval1(Special.ellipHarm(lit(h2), lit(k2), 1, 1, _), 2.5) == 2.5)
     assert(math.abs(eval1(Special.ellipHarm(lit(h2), lit(k2), 2, 5, _), 2.5)
