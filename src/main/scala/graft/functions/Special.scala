@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * DuckDB SQL. Fresnel C/S, Dawson F and erfi (err_fresnel.py) branch
   * series/asymptotic at |x| = 4; Airy Ai/Ai′/Bi/Bi′ (airy.py) are
   * series-windowed to |x| ≤ 6; hyp1f1/hyp2f1 are series-windowed to
-  * their convergent domains (|x| bounded away from 1 for 2F1) with
-  * staged SQL mirrors, gated via op_special_hyp; wofz/voigt_profile
+  * their convergent domains — for 2F1 the Pfaff / DLMF 15.8.4 / DLMF
+  * 15.8.2 connections extend the real axis to the ENTIRE z < 1 ray
+  * (r13) — with staged SQL mirrors, gated via op_special_hyp*;
+  * wofz/voigt_profile
   * use Humlicek's w4 rational regions (~3e-5 relative, spec-pinned vs
   * mpmath) and modfresnelp/modfresnelm ride the same Faddeeva kernel
   * through one complex identity. Out of parity scope (SURVEY §2.14):
@@ -690,8 +692,10 @@ object Special {
   // cancellation ~1e-7 relative) — NaN outside, parameters |·| ≤ ~30
   // and c (resp. b) not a non-positive integer are the caller's
   // contract. The sql*Staged mirrors stage one subselect per term
-  // (binder depth). The full-plane analytic continuations stay out of
-  // scope (Cephes-grade machinery).
+  // (binder depth). The real 2F1 axis is COMPLETE for z < 1 (series +
+  // Pfaff + 15.8.4 + 15.8.2); only the complex plane (and the z > 1
+  // branch cut, where 2F1 is genuinely complex-valued) stays out of
+  // scope.
 
   private val hyp2f1Depth = 60
   private val hyp1f1Depth = 80
@@ -709,15 +713,76 @@ object Special {
   /** ₂F₁ continued to negative arguments by the Pfaff transformation
     * (DLMF 15.8.1): F(a,b;c;z) = (1−z)^(−b)·F(c−a, b; c; z/(z−1)).
     * For z < 0 the mapped argument w = z/(z−1) lies in (0, 1), and
-    * w ≤ 0.7 ⟺ z ≥ −7/3 — so the combined window is z ∈ [−7/3, 0.7]
-    * (the inner series' NaN guard still enforces it). Exact algebra
-    * plus one pow; the (0.7, 1) endpoint connection stays out of scope
-    * with the full-plane continuations. */
+    * w ≤ 0.7 ⟺ z ≥ −7/3; below −7/3 the 1/z connection
+    * ([[hyp2f1Far]], r13) takes over — so the combined real-axis
+    * window is the ENTIRE z < 1 ray (plus (0.7, 1) via
+    * [[hyp2f1Near1]]), with each branch's inner series guard still
+    * enforcing its own window. */
   def hyp2f1Ext(a: Column, b: Column, c: Column, z: Column): Column =
-    when(z < 0.0,
-      pow(lit(1.0) - z, -b) * hyp2f1(c - a, b, c, z / (z - lit(1.0))))
+    when(z < lit(-7.0 / 3.0), hyp2f1Far(a, b, c, z))
+      .when(z < 0.0,
+        pow(lit(1.0) - z, -b) * hyp2f1(c - a, b, c, z / (z - lit(1.0))))
       .when(z > 0.7, hyp2f1Near1(a, b, c, z))
       .otherwise(hyp2f1(a, b, c, z))
+
+  /** Far-left continuation (DLMF 15.8.2 on the real ray z < −7/3,
+    * where w = 1/z ∈ (−3/7, 0) sits inside the series window — every
+    * quantity stays REAL, r13, retiring the "z < −7/3 out of scope"
+    * note):
+    *   F(a,b;c;z) = Γ(c)Γ(b−a)/(Γ(b)Γ(c−a))·(−z)^(−a)·F(a, a−c+1; 1−ε; w)
+    *              + Γ(c)Γ(a−b)/(Γ(a)Γ(c−b))·(−z)^(−b)·F(b, b−c+1; 1+ε; w)
+    * with ε = b − a. Contract (the hyp2f1Near1 convention): 0 < a < b
+    * < c and ε ∈ (0, 1) — Γ(−ε) goes through the Γ(2−ε)/((−ε)(1−ε))
+    * recurrence, everything else on the positive Lanczos branch;
+    * violations go NaN loudly. Validated against the Pfaff branch on
+    * the overlap and the exact Euler identity deep in the tail
+    * (SpecialSpec; machine-precision agreement in the derivation
+    * check). */
+  def hyp2f1Far(a: Column, b: Column, c: Column, z: Column): Column = {
+    val w = lit(1.0) / z
+    val eps = b - a
+    val g1 = exp(gammalnPos(c) + gammalnPos(eps) -
+      gammalnPos(b) - gammalnPos(c - a))
+    val gme = exp(gammalnPos(lit(2.0) - eps)) / ((-eps) * (lit(1.0) - eps))
+    val g2 = exp(gammalnPos(c)) * gme /
+      (exp(gammalnPos(a)) * exp(gammalnPos(c - b)))
+    g1 * pow(-z, -a) * hyp2f1(a, a - c + lit(1.0), lit(1.0) - eps, w) +
+      g2 * pow(-z, -b) * hyp2f1(b, b - c + lit(1.0), lit(1.0) + eps, w)
+  }
+
+  /** DuckDB mirror of [[hyp2f1Far]]: exposes `h2f_<sfx>` over
+    * [[sqlHypStaged]]. Spec: (sfx, aExpr, bExpr, cExpr, zExpr). */
+  def sqlHyp2f1Far(from: String,
+      specs: Seq[(String, String, String, String, String)],
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val staged0 = s"SELECT $keep, " + specs.map { case (s, a, b, c, z) =>
+      s"CAST(($a) AS DOUBLE) AS fa_$s, CAST(($b) AS DOUBLE) AS fb_$s, " +
+        s"CAST(($c) AS DOUBLE) AS fc_$s, CAST(($z) AS DOUBLE) AS fz_$s"
+    }.mkString(", ") + s" FROM $from"
+    val staged1 = s"SELECT *, " + specs.map { case (s, _, _, _, _) =>
+      s"fb_$s - fa_$s AS fe_$s, CAST(1.0 AS DOUBLE) / fz_$s AS fw_$s"
+    }.mkString(", ") + s" FROM ($staged0)"
+    val carry2 = carry ++ specs.flatMap { case (s, _, _, _, _) =>
+      Seq(s"fa_$s", s"fb_$s", s"fc_$s", s"fz_$s", s"fe_$s") }
+    val hyp = sqlHypStaged(s"($staged1)",
+      specs.flatMap { case (s, _, _, _, _) => Seq(
+        (s"${s}t1", s"fa_$s", s"fa_$s - fc_$s + 1.0", s"1.0 - fe_$s",
+          s"fw_$s"),
+        (s"${s}t2", s"fb_$s", s"fb_$s - fc_$s + 1.0", s"1.0 + fe_$s",
+          s"fw_$s")) },
+      Nil, carry2)
+    s"SELECT $keep, " + specs.map { case (s, _, _, _, _) =>
+      val g1 = s"exp(${sqlGammalnPos(s"fc_$s")} + ${sqlGammalnPos(s"fe_$s")} - " +
+        s"${sqlGammalnPos(s"fb_$s")} - ${sqlGammalnPos(s"fc_$s - fa_$s")})"
+      val gme = s"(exp(${sqlGammalnPos(s"2.0 - fe_$s")}) / " +
+        s"((-fe_$s) * (1.0 - fe_$s)))"
+      val g2 = s"(exp(${sqlGammalnPos(s"fc_$s")}) * $gme / " +
+        s"(exp(${sqlGammalnPos(s"fa_$s")}) * exp(${sqlGammalnPos(s"fc_$s - fb_$s")})))"
+      s"$g1 * power(-fz_$s, -fa_$s) * h2_${s}t1 + " +
+        s"$g2 * power(-fz_$s, -fb_$s) * h2_${s}t2 AS h2f_$s"
+    }.mkString(", ") + s" FROM ($hyp)"
+  }
 
   /** z → 1 endpoint connection (DLMF 15.8.4), windowed to
     * δ = c−a−b ∈ (0, 1) with a, b > 0, c > a, c > b (every Γ reachable

@@ -904,6 +904,50 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- ₂F₁ far below the Pfaff window via the DLMF 15.8.2 1/z
+    //     connection (r13 — the remaining real-axis slice z < −7/3,
+    //     completing the entire z < 1 ray): both mapped series run at
+    //     w = 1/z ∈ (−1/3, 0); every Γ on the positive Lanczos branch
+    //     under the 0 < a < b < c, ε = b−a ∈ (0,1) contract. libm
+    //     pow/exp of identical inputs → round 6. SpecialSpec pins the
+    //     MATH (Pfaff-overlap + exact Euler identity); this gate pins
+    //     the mirror.
+    Q("op_special_hyp2f1_far", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) AS ha, " +
+        "0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) + 0.35 " +
+        "+ CAST(l_quantity AS DOUBLE) / 200.0 AS hb, " +
+        "0.3 + 0.2 * CAST(l_linenumber % 3 AS DOUBLE) + 0.95 " +
+        "+ CAST(l_quantity AS DOUBLE) / 40.0 AS hc, " +
+        "-(CAST(l_quantity AS DOUBLE) / 2.0 + 2.5) AS hz " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val far = S.sqlHyp2f1Far(inner,
+        Seq(("x", "ha", "hb", "hc", "hz")),
+        Seq("l_orderkey", "l_linenumber", "q"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(h2f_x, 6) + CAST(0.0 AS DOUBLE) AS f_far
+         |FROM ($far)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")).as("ha"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")
+            + lit(0.35) + $"l_quantity".cast("double") / 200.0).as("hb"),
+          (lit(0.3) + lit(0.2) * ($"l_linenumber" % 3).cast("double")
+            + lit(0.95) + $"l_quantity".cast("double") / 40.0).as("hc"),
+          (-($"l_quantity".cast("double") / 2.0 + 2.5)).as("hz"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          (round(Special.hyp2f1Far($"ha", $"hb", $"hc", $"hz"), 6)
+            + lit(0.0)).as("f_far"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ₂F₁ near z = 1 via the DLMF 15.8.4 endpoint connection
     //     (hypergeometric_funcs.py hyp2f1, the remaining real-axis
     //     slice): both mapped series run at 1−z < 0.3; every Γ on the

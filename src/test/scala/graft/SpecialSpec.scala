@@ -647,6 +647,36 @@ class SpecialSpec extends SparkSpecBase {
       - math.sqrt((6.25 - h2) * (6.25 - k2))) < 1e-14)
   }
 
+  test("hyp2f1Far: Pfaff overlap agreement + exact Euler identity deep in the tail") {
+    def ext(a: Double, b: Double, c: Double, z: Double): Double =
+      Seq(z).toDF("z")
+        .select(Special.hyp2f1Ext(lit(a), lit(b), lit(c), col("z")).as("f"))
+        .head().getDouble(0)
+    def far(a: Double, b: Double, c: Double, z: Double): Double =
+      Seq(z).toDF("z")
+        .select(Special.hyp2f1Far(lit(a), lit(b), lit(c), col("z")).as("f"))
+        .head().getDouble(0)
+    // overlap z ∈ (−7/3, −1.5]: the Pfaff branch (via Ext) and the 1/z
+    // connection are INDEPENDENT formulas — agreement certifies both
+    for ((a, b, c) <- Seq((0.4, 0.9, 2.3), (1.2, 1.85, 3.1), (0.3, 0.95, 1.4));
+        z <- Seq(-1.6, -2.0, -2.3)) {
+      val p = ext(a, b, c, z)
+      val f = far(a, b, c, z)
+      assert(math.abs(p - f) <= 1e-10 * math.max(1.0, math.abs(p)),
+        s"overlap ($a,$b,$c,$z): pfaff=$p far=$f")
+    }
+    // Euler identity F(a,b;c;z) = (1−z)^(c−a−b) F(c−a,c−b;c;z) — exact
+    // for every z; both sides run the far branch with DIFFERENT
+    // parameters, so implementation errors cannot cancel
+    for ((a, b, c) <- Seq((0.4, 0.9, 2.3), (1.2, 1.85, 3.1));
+        z <- Seq(-10.0, -50.0, -500.0)) {
+      val l = ext(a, b, c, z)
+      val r = math.pow(1.0 - z, c - a - b) * ext(c - b, c - a, c, z)
+      assert(math.abs(l - r) <= 1e-9 * math.max(math.abs(l), 1e-12),
+        s"euler ($a,$b,$c,$z): $l vs $r")
+    }
+  }
+
   test("ellipHarm2 matches adaptive mpmath quadrature at machine precision") {
     val h2 = lit(1.2); val k2 = lit(2.9)
     def evalF(n: Int, p: Int, s: Double): Double =
