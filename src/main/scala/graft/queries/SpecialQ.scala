@@ -948,6 +948,48 @@ object SpecialQ {
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
+    // --- ₁F₁ on the ENTIRE real axis (r13): five branches — series,
+    //     positive wide series to 40, Kummer reflection to −40, DLMF
+    //     13.7.2 asymptotics beyond ±40. x = (q − 25.5)·2.4 ∈
+    //     [−58.8, 58.8] hits every branch. Magnitude discipline: M
+    //     grows like eˣ on the right, where 1-ulp libm drift beats
+    //     round-6 — gate M·e^(−x) for x > 5 (bounded, same-shape mask
+    //     both sides) and raw M below.
+    Q("op_special_hyp1f1_ext", {
+      val S = graft.functions.Special
+      val inner = "(SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_quantity AS DOUBLE) AS q, " +
+        "0.4 + 0.15 * CAST(l_linenumber % 3 AS DOUBLE) AS ka, " +
+        "1.1 + 0.25 * CAST(l_linenumber % 4 AS DOUBLE) " +
+        "+ CAST(l_quantity AS DOUBLE) / 100.0 AS kb, " +
+        "(CAST(l_quantity AS DOUBLE) - 25.5) * 2.4 AS kx " +
+        "FROM lineitem WHERE l_orderkey < 600)"
+      val ext = S.sqlHyp1f1ExtStaged(inner,
+        Seq(("x", "ka", "kb", "kx")),
+        Seq("l_orderkey", "l_linenumber", "q", "kx"))
+      s"""SELECT l_orderkey, l_linenumber, q,
+         |  round(CASE WHEN kx > 5.0 THEN h1e_x * exp(-kx) ELSE h1e_x END, 6)
+         |    + CAST(0.0 AS DOUBLE) AS m_ext
+         |FROM ($ext)
+         |ORDER BY l_orderkey, l_linenumber, q""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Special
+      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("q"),
+          (lit(0.4) + lit(0.15) * ($"l_linenumber" % 3).cast("double")).as("ka"),
+          (lit(1.1) + lit(0.25) * ($"l_linenumber" % 4).cast("double")
+            + $"l_quantity".cast("double") / 100.0).as("kb"),
+          (($"l_quantity".cast("double") - 25.5) * 2.4).as("kx"))
+        .select($"l_orderkey", $"l_linenumber", $"q",
+          (round(when($"kx" > 5.0,
+              Special.hyp1f1Ext($"ka", $"kb", $"kx") * exp(-$"kx"))
+            .otherwise(Special.hyp1f1Ext($"ka", $"kb", $"kx")), 6)
+            + lit(0.0)).as("m_ext"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"q")
+    },
+
     // --- ₂F₁ near z = 1 via the DLMF 15.8.4 endpoint connection
     //     (hypergeometric_funcs.py hyp2f1, the remaining real-axis
     //     slice): both mapped series run at 1−z < 0.3; every Γ on the

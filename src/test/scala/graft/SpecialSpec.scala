@@ -677,6 +677,50 @@ class SpecialSpec extends SparkSpecBase {
     }
   }
 
+  test("hyp1f1Ext: independent-branch agreement at the ±40 seams, series interior") {
+    def ext(a: Double, b: Double, x: Double): Double =
+      Seq(x).toDF("x")
+        .select(Special.hyp1f1Ext(lit(a), lit(b), col("x")).as("f"))
+        .head().getDouble(0)
+    for ((a, b) <- Seq((0.7, 1.9), (1.3, 2.6), (0.4, 1.1))) {
+      // interior: Ext == the guarded series on the classic window
+      for (x <- Seq(-15.0, 3.0, 18.0)) {
+        val direct = Seq(x).toDF("x")
+          .select(Special.hyp1f1(lit(a), lit(b), col("x")).as("f"))
+          .head().getDouble(0)
+        assert(ext(a, b, x) == direct, s"interior ($a,$b,$x)")
+      }
+      // depth-400 test-side reference (independent of the depth-80 /
+      // 16-term implementation truncations); exact for x > 0 (no
+      // cancellation) and for x < 0 through the Kummer reflection
+      def ref(x: Double): Double = {
+        def ser(aa: Double, bb: Double, xx: Double): Double = {
+          var s = 1.0; var t = 1.0
+          for (k <- 0 until 400) {
+            t *= (aa + k) / ((bb + k) * (k + 1)) * xx
+            s += t
+          }
+          s
+        }
+        if (x >= 0) ser(a, b, x) else math.exp(x) * ser(b - a, b, -x)
+      }
+      // both sides of every seam against the reference: the wide
+      // series, the Kummer reflection and the two asymptotic branches
+      // are separately validated at the SAME x (M grows ~eˣ, so
+      // adjacent-x comparisons would just measure the growth)
+      for (x <- Seq(39.9, 40.1, 55.0, -19.9, -20.1, -39.9, -40.1, -55.0)) {
+        val g = ext(a, b, x)
+        val r = ref(x)
+        // 1e-7·max(|r|, 1e-4): the direct alternating series loses ~8
+        // digits near x = −20 (the classic window's own cancellation —
+        // why the Kummer reflection takes over beyond it); all other
+        // branches sit at ≤ 1e-10
+        assert(math.abs(g - r) <= 1e-7 * math.max(math.abs(r), 1e-4),
+          s"($a,$b,$x): got $g want $r")
+      }
+    }
+  }
+
   test("ellipHarm2 matches adaptive mpmath quadrature at machine precision") {
     val h2 = lit(1.2); val k2 = lit(2.9)
     def evalF(n: Int, p: Int, s: Double): Double =
