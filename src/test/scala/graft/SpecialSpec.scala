@@ -772,8 +772,13 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(f(0.7, 0.25, 1.5, -2.2) - 0.855038128323432) < 1e-11)
     // positive branch still rides the direct series
     assert(math.abs(f(0.5, 0.8, 1.7, 0.5) - 1.1617016738618607) < 1e-12)
-    // outside the combined window the NaN guard still fires
-    assert(f(0.5, 0.8, 1.7, -5.0).isNaN)
+    // z < −7/3 now rides the 15.8.2 far branch (r13 — this line pinned
+    // the old de-scope as NaN): cross-checked by the exact Euler
+    // identity computed through a DIFFERENT far-branch parameterization
+    val l5 = f(0.5, 0.8, 1.7, -5.0)
+    val r5 = math.pow(6.0, 1.7 - 0.5 - 0.8) * f(0.9, 1.2, 1.7, -5.0)
+    assert(!l5.isNaN && math.abs(l5 - r5) <= 1e-9 * math.abs(l5),
+      s"far branch euler: $l5 vs $r5")
     // z → 1 endpoint connection branch (δ = c−a−b ∈ (0,1) contract)
     assert(math.abs(f(0.3, 0.5, 1.2000000000000002, 0.9)
       - 1.238315611518488) < 1e-10)
