@@ -222,16 +222,7 @@ object ScaleBench {
         // one-time cost: persist the history's band + shingle tables
         // (amortized across every subsequent batch)
         val nm = incIndexName(dir)
-        Seq(s"${nm}_bands", s"${nm}_shingles", s"${nm}_params").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val loc = java.nio.file.Paths.get(
-            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-          if (java.nio.file.Files.exists(loc)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-          }
-        }
+        graft.operators.Dedup.dropIndex(s, nm)
         val docs = Tables.load(s, dir, "documents")
         graft.operators.Dedup.minhashIndexPersist(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
@@ -330,16 +321,7 @@ object ScaleBench {
         // appends its survivors. Measures the per-batch wall as the
         // index grows; state stays in the bucketed tables.
         val nm = incIndexName(dir) + "_ssm"
-        Seq(s"${nm}_bands", s"${nm}_shingles", s"${nm}_params").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val loc = java.nio.file.Paths.get(
-            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-          if (java.nio.file.Files.exists(loc)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-          }
-        }
+        graft.operators.Dedup.dropIndex(s, nm)
         val docs = Tables.load(s, dir, "documents")
         graft.operators.Dedup.minhashIndexPersist(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
@@ -354,7 +336,7 @@ object ScaleBench {
           .filter(pmod(col("doc_id"), lit(10)) === 0)
         val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
         val q = graft.streaming.StreamOps
-          .streamingDedupSelfMaintaining(stream, nm) { survivors =>
+          .streamingDedupSelfMaintaining(stream, nm) { (survivors, _) =>
             accepted.addAndGet(survivors.count())
           }
         try {

@@ -208,9 +208,12 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       .agg(min(df(valueCol)).as("__v"), count(lit(1)).as("__ct"))
     val out = p.select(rest.map(col) ++ values.map { v =>
       val s = v.toString
-      when(col(s"${s}___ct") > 1L, raise_error(lit(
+      // resolve via the DataFrame, not col(): a pivot value holding
+      // column-reference metacharacters ('.', '`') would otherwise be
+      // parsed as a nested-field path (ADVICE r13)
+      when(p(s"${s}___ct") > 1L, raise_error(lit(
           s"unstack: duplicate index entries for level value '$s'")))
-        .otherwise(col(s"${s}___v")).as(s)
+        .otherwise(p(s"${s}___v")).as(s)
     }: _*)
     GraftFrame(out, rest)
   }

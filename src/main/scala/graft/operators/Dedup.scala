@@ -540,8 +540,12 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
       portable: Boolean = false): Unit = {
     val spark = indexDocs.sparkSession
+    // batch_id tags every band row with the append that wrote it; query
+    // paths honor only LEDGERED batches (r14 — see minhashIndexAppend's
+    // crash-replay contract). The initial build is batch 0.
     bandsFor(indexDocs, textCol, idCol, n, bands, rowsPerBand, seed, portable)
-      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"),
+        lit(0L).as("batch_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .format("parquet").saveAsTable(s"${namePrefix}_bands")
@@ -556,12 +560,20 @@ object Dedup {
     // differ would SILENTLY lose recall (verifyJaccard only removes
     // false positives) — persist the params so mismatches fail loudly
     // instead. `family` is authoritative at query time: batches band
-    // with whatever family the index was built with.
+    // with whatever family the index was built with. `buckets` rides
+    // along so maintenance rewrites (compact/delete) preserve layout.
     spark.createDataFrame(Seq(
-        (n, bands, rowsPerBand, seed, if (portable) "portable" else "murmur")))
-      .toDF("n", "bands", "rows_per_band", "seed", "family")
+        (n, bands, rowsPerBand, seed,
+          if (portable) "portable" else "murmur", buckets)))
+      .toDF("n", "bands", "rows_per_band", "seed", "family", "buckets")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${namePrefix}_params")
+    // the append ledger: one row per batch whose append COMPLETED. The
+    // ledger row is written last in every append, so a half-appended
+    // batch (crash between the table writes) stays invisible to queries.
+    spark.createDataFrame(Seq(Tuple1(0L))).toDF("batch_id")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_batches")
   }
 
   /** Band docs with the index's hash family: murmur (the perf default)
@@ -574,21 +586,72 @@ object Dedup {
     if (portable) minhashBandsPortable(docs, textCol, idCol, n, bands, rowsPerBand, seed)
     else minhashBands(docs, textCol, idCol, n, bands, rowsPerBand, seed)
 
+  /** Banding + layout contract of a persisted LSH index. */
+  private[graft] case class LshIndexParams(n: Int, bands: Int,
+      rowsPerBand: Int, seed: Long, family: String, buckets: Int)
+
   /** The banding params a persisted index was built with — loud failure
-    * if the params table is absent (a pre-r13 index: re-persist it). */
+    * if the params table is absent or pre-r14 (re-persist it). */
   private[graft] def indexParams(spark: org.apache.spark.sql.SparkSession,
-      namePrefix: String): (Int, Int, Int, Long, String) = {
+      namePrefix: String): LshIndexParams = {
     require(spark.catalog.tableExists(s"${namePrefix}_params"),
       s"persisted LSH index '$namePrefix' has no _params table — " +
         "re-persist with minhashIndexPersist (params are required so a " +
         "banding mismatch cannot silently lose recall)")
+    val tbl = spark.table(s"${namePrefix}_params")
+    require(tbl.columns.contains("buckets"),
+      s"persisted LSH index '$namePrefix' predates the r14 layout " +
+        "(no buckets/ledger) — re-persist with minhashIndexPersist")
     // single-row metadata table: bounded driver fetch
-    val r = spark.table(s"${namePrefix}_params")
-      .select(col("n"), col("bands"), col("rows_per_band"), col("seed"),
-        col("family"))
+    val r = tbl.select(col("n"), col("bands"), col("rows_per_band"),
+        col("seed"), col("family"), col("buckets"))
       .head()
-    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4))
+    LshIndexParams(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+      r.getString(4), r.getInt(5))
   }
+
+  /** The set of batch ids whose append COMPLETED (ledger row landed).
+    * Bounded driver fetch: one row per append ever run — metadata-scale
+    * (a year of daily appends is 365 rows). */
+  private[graft] def indexLedger(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): Set[Long] = {
+    require(spark.catalog.tableExists(s"${namePrefix}_batches"),
+      s"persisted LSH index '$namePrefix' has no _batches ledger — " +
+        "re-persist with minhashIndexPersist (the ledger is what makes " +
+        "appends replay-idempotent)")
+    spark.table(s"${namePrefix}_batches")
+      .select(col("batch_id")).collect().map(_.getLong(0)).toSet
+  }
+
+  /** True iff `batchId`'s append completed — a foreachBatch replay of a
+    * fully-processed batch must skip re-sinking and re-appending. */
+  def indexBatchLedgered(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String, batchId: Long): Boolean =
+    indexLedger(spark, namePrefix).contains(batchId)
+
+  /** Test-only crash injection for the append path's replay gates:
+    * called with (prefix, stage, batchId) after each append step
+    * ("bands", "shingles", "ledger"). Production value is a no-op. */
+  @volatile private[graft] var appendFailpoint: (String, String, Long) => Unit =
+    (_, _, _) => ()
+
+  /** Drop all four tables of a persisted index (+ any orphan warehouse
+    * locations — the in-memory catalog is fresh per JVM but the
+    * warehouse dir persists, so a leftover location would make
+    * saveAsTable fail). Shared by every gate/spec that rebuilds one. */
+  def dropIndex(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): Unit =
+    Seq("_bands", "_shingles", "_params", "_batches").foreach { s =>
+      val nm = s"$namePrefix$s"
+      spark.sql(s"DROP TABLE IF EXISTS $nm")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+    }
 
   /** Append a day's batch into a persisted LSH index (r12 VERDICT #1):
     * bands/shingles `insertInto` the existing bucketed tables — the
@@ -599,20 +662,56 @@ object Dedup {
     * by the join). Banding params come FROM the index's params table —
     * an append can never diverge from the build. The daily-crawl loop
     * is therefore: dedup batch N against the index, then append batch N
-    * for batch N+1 to see. */
+    * for batch N+1 to see.
+    *
+    * REPLAY-IDEMPOTENT (r14, VERDICT #1): an at-least-once caller
+    * (foreachBatch) may re-run an append after a crash at ANY point.
+    * The contract that makes the retry exact:
+    *  1. already-ledgered `batchId` → no-op, returns false (the crash
+    *     happened after the ledger row, i.e. the append had completed);
+    *  2. band rows land FIRST, tagged with `batchId` — they stay
+    *     INVISIBLE to every query path until the ledger row lands, so a
+    *     replayed batch re-dedups against exactly the pre-crash index
+    *     and recomputes identical survivors (a crash between the band
+    *     write and the ledger can at worst leave duplicate band rows
+    *     with the same batch_id, which the candidate `.distinct()`
+    *     absorbs and [[minhashIndexCompact]] removes);
+    *  3. shingle rows are anti-joined against the ids already in the
+    *     store — a retry after a crash between the two table writes
+    *     re-inserts ZERO shingle rows instead of duplicating verify
+    *     pairs (this is also why index ids must be unique across the
+    *     index's lifetime);
+    *  4. the ledger row is written LAST: the batch becomes visible
+    *     atomically with it.
+    * `batchId < 0` auto-assigns max(ledger)+1 (the one-off batch-job
+    * convention); streaming callers pass their epoch-stable batch id.
+    * Returns true iff the append ran (false = replay of a completed
+    * batch, skipped). */
   def minhashIndexAppend(newDocs: DataFrame, textCol: String,
-      idCol: String, namePrefix: String): Unit = {
+      idCol: String, namePrefix: String, batchId: Long = -1L): Boolean = {
     val spark = newDocs.sparkSession
-    val (n, bands, rowsPerBand, seed, family) = indexParams(spark, namePrefix)
+    val p = indexParams(spark, namePrefix)
+    val ledger = indexLedger(spark, namePrefix)
+    val id = if (batchId >= 0) batchId else ledger.max + 1
+    if (ledger.contains(id)) return false
     // insertInto matches columns by POSITION — keep table column order
-    bandsFor(newDocs, textCol, idCol, n, bands, rowsPerBand, seed,
-        family == "portable")
-      .select(col("band"), col("bucket"), col("doc_id").as("index_id"))
+    bandsFor(newDocs, textCol, idCol, p.n, p.bands, p.rowsPerBand, p.seed,
+        p.family == "portable")
+      .select(col("band"), col("bucket"), col("doc_id").as("index_id"),
+        lit(id).as("batch_id"))
       .write.mode("append").insertInto(s"${namePrefix}_bands")
+    appendFailpoint(namePrefix, "bands", id)
     fanOutScan(newDocs)
       .select(col(idCol).as("index_id"),
-        TextFunctions.hashedShingles(col(textCol), n).as("shs_i"))
+        TextFunctions.hashedShingles(col(textCol), p.n).as("shs_i"))
+      .join(spark.table(s"${namePrefix}_shingles").select("index_id"),
+        Seq("index_id"), "left_anti")
       .write.mode("append").insertInto(s"${namePrefix}_shingles")
+    appendFailpoint(namePrefix, "shingles", id)
+    spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+      .write.mode("append").insertInto(s"${namePrefix}_batches")
+    appendFailpoint(namePrefix, "ledger", id)
+    true
   }
 
   /** [[minhashDedupPairsAgainst]] against the PERSISTED index written by
@@ -629,14 +728,24 @@ object Dedup {
       threshold: Double = 0.8, bands: Int = 16,
       rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = newDocs.sparkSession
-    val (pn, pb, pr, ps, family) = indexParams(spark, namePrefix)
-    require(pn == n && pb == bands && pr == rowsPerBand && ps == seed,
+    val p = indexParams(spark, namePrefix)
+    require(p.n == n && p.bands == bands && p.rowsPerBand == rowsPerBand &&
+        p.seed == seed,
       s"banding mismatch vs index '$namePrefix': index built with " +
-        s"(n=$pn, bands=$pb, rowsPerBand=$pr, seed=$ps), query asked " +
+        s"(n=${p.n}, bands=${p.bands}, rowsPerBand=${p.rowsPerBand}, " +
+        s"seed=${p.seed}), query asked " +
         s"(n=$n, bands=$bands, rowsPerBand=$rowsPerBand, seed=$seed)")
+    // honor only LEDGERED batches: band rows of a half-appended batch
+    // (crash between an append's table writes) must not exist for this
+    // query — otherwise a foreachBatch replay would self-match its own
+    // partial append and silently drop survivors (r14 VERDICT #1). The
+    // ledger is a driver-fetched literal set, so the filter pushes into
+    // the parquet scan without disturbing the bucketed layout.
+    val ledgered = indexLedger(spark, namePrefix)
     val idxBands = spark.table(s"${namePrefix}_bands")
+      .where(col("batch_id").isInCollection(ledgered)).drop("batch_id")
     val newBands = bandsFor(newDocs, textCol, idCol, n, bands, rowsPerBand,
-        seed, family == "portable")
+        seed, p.family == "portable")
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
     val cands = newBands.join(idxBands, Seq("band", "bucket"))
       .select("new_id", "index_id").distinct()
@@ -646,6 +755,74 @@ object Dedup {
     verifyJaccard(cands.join(newSh, Seq("new_id")).join(idxSh, Seq("index_id")),
         "shs_n", "shs_i", threshold)
       .select(col("new_id"), col("index_id"), col("jaccard"))
+  }
+
+  /** Compact a persisted LSH index (r13 VERDICT #2): a year of daily
+    * appends leaves thousands of small files per bucket (each append =
+    * one insertInto job = ≥1 file per touched bucket) plus any
+    * duplicate band rows from crash-replays. Compaction rewrites both
+    * tables with the SAME bucket spec, one file per bucket (the
+    * repartition on the bucket columns routes each bucket to exactly
+    * one task — Spark's repartition hash == the bucket hash), drops
+    * un-ledgered band rows (orphans of half-appended batches) and exact
+    * duplicates, and swaps the tables in. The LEDGER is preserved
+    * verbatim: a stream restarting from an old checkpoint must still
+    * skip its already-processed batches. OFFLINE maintenance — run with
+    * no stream or append active on the index; the swap (drop + rename)
+    * is not atomic, so a crash between them leaves the rewritten table
+    * under `<name>__rw` to recover by hand. */
+  def minhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): Unit = {
+    val ledgered = indexLedger(spark, namePrefix)
+    rewriteIndexTables(spark, namePrefix,
+      bandsTbl => bandsTbl
+        .where(col("batch_id").isInCollection(ledgered)).distinct(),
+      shTbl => shTbl.dropDuplicates("index_id"))
+  }
+
+  /** Retire documents from a persisted LSH index (r13 VERDICT #2): a
+    * bucketed rewrite of both tables with the given ids anti-joined
+    * out — takedowns, expiry, corpus pruning. `ids` is a one-column
+    * frame of index ids (small relative to the index: it broadcasts).
+    * Offline maintenance, same swap caveat as [[minhashIndexCompact]];
+    * the ledger is untouched (retired docs' batches stay ledgered, so
+    * replays still skip them). */
+  def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"minhashIndexDelete: ids must be a 1-column frame, got ${ids.columns.mkString(",")}")
+    val del = broadcast(ids.toDF("index_id"))
+    rewriteIndexTables(spark, namePrefix,
+      bandsTbl => bandsTbl.join(del, Seq("index_id"), "left_anti"),
+      shTbl => shTbl.join(del, Seq("index_id"), "left_anti"))
+  }
+
+  /** Shared bucketed-rewrite machinery for compact/delete: transform
+    * each table, write to `__rw` twins with the index's own bucket
+    * layout (from the params table) at one file per bucket, then swap.
+    * Both rewrites fully materialize BEFORE the first drop, so a crash
+    * mid-rewrite leaves the live tables untouched. */
+  private def rewriteIndexTables(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String,
+      fBands: DataFrame => DataFrame,
+      fShingles: DataFrame => DataFrame): Unit = {
+    val buckets = indexParams(spark, namePrefix).buckets
+    Seq(s"${namePrefix}_bands__rw", s"${namePrefix}_shingles__rw")
+      .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    fBands(spark.table(s"${namePrefix}_bands"))
+      .repartition(buckets, col("band"), col("bucket"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${namePrefix}_bands__rw")
+    fShingles(spark.table(s"${namePrefix}_shingles"))
+      .repartition(buckets, col("index_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "index_id").sortBy("index_id")
+      .format("parquet").saveAsTable(s"${namePrefix}_shingles__rw")
+    Seq(s"${namePrefix}_bands", s"${namePrefix}_shingles").foreach { nm =>
+      spark.sql(s"DROP TABLE $nm")
+      spark.sql(s"ALTER TABLE ${nm}__rw RENAME TO $nm")
+    }
   }
 
   // ------------------------------------------------------------------

@@ -603,9 +603,11 @@ object Sessionize {
     * integers): count_below_mean / longest_strike_below_mean (the
     * below-mean mirrors; at-mean rows belong to NEITHER side),
     * first_loc_max / last_loc_min (1-based series positions of the
-    * first maximum / last minimum — tsfresh's
-    * first_location_of_maximum·n and (1−last_location_of_minimum)·n
-    * counterparts kept integral), n_distinct
+    * first maximum / last minimum: tsfresh normalizes 0-based argmin/
+    * argmax positions, so first_loc_max = first_location_of_maximum·n + 1
+    * and last_loc_min = last_location_of_minimum·n — both recovered as
+    * exact integers; ADVICE r13 fixed this doc, code and gates were
+    * already consistent), n_distinct
     * (ratio_value_number_to_time_series_length's numerator), n_peaks
     * (tsfresh number_peaks at support 1: strictly above both immediate
     * neighbors), sum_reoccurring_points / sum_reoccurring_values

@@ -100,6 +100,90 @@ object Ext {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8""".stripMargin
 
+  /** Stratified exact-Jaccard replay of the self-maintaining crawl
+    * cascade (initial index = docs < 100; fixed batch strata [100,200),
+    * [200,400), [400,∞); kept(d) = no j ≥ 0.8 partner among the index
+    * or any earlier-batch keeper) — shared by the no-failure parity
+    * gate and the crash-injection replay gate, which must produce the
+    * IDENTICAL result (that equality is the whole point of the replay
+    * gate). */
+  private val selfMaintainSql: String =
+    s"""WITH $shinglesCte,
+       |jp AS (SELECT a.doc_id AS ea, b.doc_id AS eb, COUNT(*) AS common
+       |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |pe AS (SELECT ea, eb FROM jp
+       |       JOIN sizes sa ON ea = sa.doc_id
+       |       JOIN sizes sb ON eb = sb.doc_id
+       |       WHERE CAST(common AS DOUBLE)
+       |             / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+       |d0 AS (SELECT doc_id FROM documents),
+       |k1 AS (SELECT doc_id FROM d0 WHERE doc_id >= 100 AND doc_id < 200
+       |       AND NOT EXISTS (SELECT 1 FROM pe
+       |                       WHERE pe.eb = d0.doc_id AND pe.ea < 100)),
+       |k2 AS (SELECT doc_id FROM d0 WHERE doc_id >= 200 AND doc_id < 400
+       |       AND NOT EXISTS (SELECT 1 FROM pe
+       |                       WHERE pe.eb = d0.doc_id
+       |                         AND (pe.ea < 100
+       |                              OR pe.ea IN (SELECT doc_id FROM k1)))),
+       |k3 AS (SELECT doc_id FROM d0 WHERE doc_id >= 400
+       |       AND NOT EXISTS (SELECT 1 FROM pe
+       |                       WHERE pe.eb = d0.doc_id
+       |                         AND (pe.ea < 100
+       |                              OR pe.ea IN (SELECT doc_id FROM k1)
+       |                              OR pe.ea IN (SELECT doc_id FROM k2))))
+       |SELECT doc_id FROM (SELECT doc_id FROM k1
+       |                    UNION ALL SELECT doc_id FROM k2
+       |                    UNION ALL SELECT doc_id FROM k3) u
+       |ORDER BY doc_id""".stripMargin
+
+  /** The cascade with the opt-in WITHIN-BATCH stratum (r13 VERDICT #3):
+    * per batch t, s_t = index-probe survivors (no partner in the index
+    * or earlier KEEPERS), k_t = the greedy min-id rule over s_t — a doc
+    * is dropped when a j ≥ 0.8 partner with a smaller id exists among
+    * the SAME batch's probe survivors (non-recursive: the smaller
+    * partner need not itself be kept). Appends and later strata see
+    * k_t. The fixture plants within-stratum pairs in every batch
+    * ([100,200) ×1, [200,400) ×3, [400,∞) ×2), so the rule bites. */
+  private val selfMaintainIntraSql: String =
+    s"""WITH $shinglesCte,
+       |jp AS (SELECT a.doc_id AS ea, b.doc_id AS eb, COUNT(*) AS common
+       |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |pe AS (SELECT ea, eb FROM jp
+       |       JOIN sizes sa ON ea = sa.doc_id
+       |       JOIN sizes sb ON eb = sb.doc_id
+       |       WHERE CAST(common AS DOUBLE)
+       |             / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+       |d0 AS (SELECT doc_id FROM documents),
+       |s1 AS (SELECT doc_id FROM d0 WHERE doc_id >= 100 AND doc_id < 200
+       |       AND NOT EXISTS (SELECT 1 FROM pe
+       |                       WHERE pe.eb = d0.doc_id AND pe.ea < 100)),
+       |k1 AS (SELECT doc_id FROM s1 me WHERE NOT EXISTS (
+       |         SELECT 1 FROM pe JOIN s1 p ON pe.ea = p.doc_id
+       |         WHERE pe.eb = me.doc_id AND pe.ea < me.doc_id)),
+       |s2 AS (SELECT doc_id FROM d0 WHERE doc_id >= 200 AND doc_id < 400
+       |       AND NOT EXISTS (SELECT 1 FROM pe
+       |                       WHERE pe.eb = d0.doc_id
+       |                         AND (pe.ea < 100
+       |                              OR pe.ea IN (SELECT doc_id FROM k1)))),
+       |k2 AS (SELECT doc_id FROM s2 me WHERE NOT EXISTS (
+       |         SELECT 1 FROM pe JOIN s2 p ON pe.ea = p.doc_id
+       |         WHERE pe.eb = me.doc_id AND pe.ea < me.doc_id)),
+       |s3 AS (SELECT doc_id FROM d0 WHERE doc_id >= 400
+       |       AND NOT EXISTS (SELECT 1 FROM pe
+       |                       WHERE pe.eb = d0.doc_id
+       |                         AND (pe.ea < 100
+       |                              OR pe.ea IN (SELECT doc_id FROM k1)
+       |                              OR pe.ea IN (SELECT doc_id FROM k2)))),
+       |k3 AS (SELECT doc_id FROM s3 me WHERE NOT EXISTS (
+       |         SELECT 1 FROM pe JOIN s3 p ON pe.ea = p.doc_id
+       |         WHERE pe.eb = me.doc_id AND pe.ea < me.doc_id))
+       |SELECT doc_id FROM (SELECT doc_id FROM k1
+       |                    UNION ALL SELECT doc_id FROM k2
+       |                    UNION ALL SELECT doc_id FROM k3) u
+       |ORDER BY doc_id""".stripMargin
+
   /** The tsfresh-feature oracle, shared by the narrow (BIGINT) and
     * wide (DECIMAL) gates: the SQL is engine arithmetic over exact
     * integers either way. */
@@ -438,33 +522,53 @@ object Ext {
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       import graft.streaming.StreamOps
-      Seq("graft_snd_idx_bands", "graft_snd_idx_shingles",
-          "graft_snd_idx_params").foreach { nm =>
-        spark.sql(s"DROP TABLE IF EXISTS $nm")
-        val loc = java.nio.file.Paths.get(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-        }
-      }
+      Dedup.dropIndex(spark, "graft_snd_idx")
       val docs = t(spark, dir, "documents")
       Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
         "text", "doc_id", "graft_snd_idx", buckets = 8, portable = true)
       val stageDir = OpsExtra.StreamParity.stage(spark, dir, "documents", "doc_id")
       val rawSchema = spark.read.parquet(stageDir.toString).schema
-      val stream = spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
-      val sinkName = s"strm_neardup_idx_${OpsExtra.StreamParity.next()}"
-      val q = StreamOps.streamingNearDupAgainstIndex(stream, "graft_snd_idx")
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      // restart leg (r13 VERDICT #5): first staged file → kill → restart
+      // from the same checkpoint over the full set. Stateless probe, so
+      // the union across the restart must equal the one-shot oracle;
+      // per-batch overwrite keyed on the batch id = the exactly-once
+      // foreachBatch sink recipe.
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_snd_ck").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_snd_out").toString
+      val liveDir = java.nio.file.Files.createTempDirectory("graft_snd_live")
+      import scala.jdk.CollectionConverters._
+      val staged = java.nio.file.Files.list(stageDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.getFileName.toString)
+      def copyIn(p: java.nio.file.Path): Unit =
+        java.nio.file.Files.copy(p, liveDir.resolve(p.getFileName),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      copyIn(staged.head)
+      def startRun() = {
+        val stream = spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(liveDir.toString)
+        StreamOps.streamingNearDupAgainstIndex(stream, "graft_snd_idx")
+          .writeStream
+          .foreachBatch { (hits: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            hits.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          .option("checkpointLocation", ckDir)
+          .start()
+      }
+      val q1 = startRun()
+      try q1.processAllAvailable() finally q1.stop()
+      staged.tail.foreach(copyIn)
+      val q = startRun()
       try {
         q.processAllAvailable()
-        OpsExtra.StreamParity.assertMultiBatch(q)
+        val nb = q.recentProgress.count(_.numInputRows > 0)
+        require(nb >= OpsExtra.StreamParity.Parts - 1,
+          s"post-restart run saw $nb non-empty batches")
       } finally q.stop()
-      StreamOps.nearDupIndexVerdicts(spark.table(sinkName))
+      StreamOps.nearDupIndexVerdicts(
+          spark.read.parquet(outDir).select($"doc_id", $"band", $"index_id"))
         .orderBy($"doc_id")
     },
 
@@ -493,17 +597,7 @@ object Ext {
          |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       import graft.streaming.StreamOps
-      Seq("graft_sdv_idx_bands", "graft_sdv_idx_shingles",
-          "graft_sdv_idx_params").foreach { nm =>
-        spark.sql(s"DROP TABLE IF EXISTS $nm")
-        val loc = java.nio.file.Paths.get(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-        }
-      }
+      Dedup.dropIndex(spark, "graft_sdv_idx")
       val docs = t(spark, dir, "documents")
       Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
         "text", "doc_id", "graft_sdv_idx", buckets = 8)
@@ -513,13 +607,39 @@ object Ext {
         .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
       val outDir = java.nio.file.Files.createTempDirectory("graft_sdv_out")
         .toString
+      // restart leg (r13 VERDICT #5): process the first staged file,
+      // kill the query, restart from the SAME checkpoint over the full
+      // file set — the stateless stream-static probe must produce the
+      // identical union (per-batch overwrite keyed on the batch id =
+      // the exactly-once sink recipe under foreachBatch replay)
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_sdv_ck").toString
+      val liveDir = java.nio.file.Files
+        .createTempDirectory("graft_sdv_live")
+      import scala.jdk.CollectionConverters._
+      val staged = java.nio.file.Files.list(stageDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.getFileName.toString)
+      def copyIn(p: java.nio.file.Path): Unit =
+        java.nio.file.Files.copy(p, liveDir.resolve(p.getFileName),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      copyIn(staged.head)
+      def mkStream() = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(liveDir.toString)
+      def sink(verified: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+        verified.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+      val q1 = StreamOps.streamingDedupVerifiedAgainstIndex(
+        mkStream(), "graft_sdv_idx", checkpoint = Some(ckDir))(sink)
+      try q1.processAllAvailable() finally q1.stop()
+      staged.tail.foreach(copyIn)
       val q = StreamOps.streamingDedupVerifiedAgainstIndex(
-        stream, "graft_sdv_idx") { verified =>
-        verified.write.mode("append").parquet(outDir)
-      }
+        mkStream(), "graft_sdv_idx", checkpoint = Some(ckDir))(sink)
       try {
         q.processAllAvailable()
-        OpsExtra.StreamParity.assertMultiBatch(q)
+        // ≥ Parts batches moved rows ACROSS the restart in total
+        val nb = q.recentProgress.count(_.numInputRows > 0)
+        require(nb >= OpsExtra.StreamParity.Parts - 1,
+          s"post-restart run saw $nb non-empty batches")
       } finally q.stop()
       spark.read.parquet(outDir)
         .select($"new_id", $"index_id", $"jaccard")
@@ -538,48 +658,10 @@ object Ext {
     //     docs or earlier-batch keepers; the oracle replays the
     //     cascade as three stratified CTE layers over exact Jaccard
     //     (same fixture gap argument as ext_dedup_incremental_lsh).
-    Q("op_stream_dedup_selfmaintain_parity",
-      s"""WITH $shinglesCte,
-         |jp AS (SELECT a.doc_id AS ea, b.doc_id AS eb, COUNT(*) AS common
-         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-         |       GROUP BY a.doc_id, b.doc_id),
-         |pe AS (SELECT ea, eb FROM jp
-         |       JOIN sizes sa ON ea = sa.doc_id
-         |       JOIN sizes sb ON eb = sb.doc_id
-         |       WHERE CAST(common AS DOUBLE)
-         |             / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
-         |d0 AS (SELECT doc_id FROM documents),
-         |k1 AS (SELECT doc_id FROM d0 WHERE doc_id >= 100 AND doc_id < 200
-         |       AND NOT EXISTS (SELECT 1 FROM pe
-         |                       WHERE pe.eb = d0.doc_id AND pe.ea < 100)),
-         |k2 AS (SELECT doc_id FROM d0 WHERE doc_id >= 200 AND doc_id < 400
-         |       AND NOT EXISTS (SELECT 1 FROM pe
-         |                       WHERE pe.eb = d0.doc_id
-         |                         AND (pe.ea < 100
-         |                              OR pe.ea IN (SELECT doc_id FROM k1)))),
-         |k3 AS (SELECT doc_id FROM d0 WHERE doc_id >= 400
-         |       AND NOT EXISTS (SELECT 1 FROM pe
-         |                       WHERE pe.eb = d0.doc_id
-         |                         AND (pe.ea < 100
-         |                              OR pe.ea IN (SELECT doc_id FROM k1)
-         |                              OR pe.ea IN (SELECT doc_id FROM k2))))
-         |SELECT doc_id FROM (SELECT doc_id FROM k1
-         |                    UNION ALL SELECT doc_id FROM k2
-         |                    UNION ALL SELECT doc_id FROM k3) u
-         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Q("op_stream_dedup_selfmaintain_parity", selfMaintainSql) { (spark, dir) =>
       import spark.implicits._
       import graft.streaming.StreamOps
-      Seq("graft_ssm_idx_bands", "graft_ssm_idx_shingles",
-          "graft_ssm_idx_params").foreach { nm =>
-        spark.sql(s"DROP TABLE IF EXISTS $nm")
-        val loc = java.nio.file.Paths.get(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-        }
-      }
+      Dedup.dropIndex(spark, "graft_ssm_idx")
       val docs = t(spark, dir, "documents")
       Dedup.minhashIndexPersist(docs.filter($"doc_id" < 100),
         "text", "doc_id", "graft_ssm_idx", buckets = 8)
@@ -591,8 +673,111 @@ object Ext {
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_ssm_out").toString
       val q = StreamOps.streamingDedupSelfMaintaining(
-        stream, "graft_ssm_idx") { survivors =>
-        survivors.select("doc_id").write.mode("append").parquet(outDir)
+        stream, "graft_ssm_idx") { (survivors, bid) =>
+        survivors.select("doc_id").write.mode("overwrite")
+          .parquet(s"$outDir/batch=$bid")
+      }
+      try {
+        q.processAllAvailable()
+        OpsExtra.StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.read.parquet(outDir).select($"doc_id").orderBy($"doc_id")
+    },
+
+    // --- REPLAY IDEMPOTENCE of the self-maintaining loop (r13 VERDICT
+    //     #1 / ADVICE r13 medium): the same cascade, but with crashes
+    //     injected (a) after the sink write, before the append; (b)
+    //     between the append's bands and shingles writes; (c) after the
+    //     ledger row, before the offset commit — each followed by a
+    //     restart from the SAME checkpoint. foreachBatch is
+    //     at-least-once, so the final sink output must STILL equal the
+    //     no-failure oracle bit-for-bit: un-ledgered replays recompute
+    //     identical survivors (the ledger hides half-appended bands),
+    //     re-sink by per-batch overwrite, re-append without duplicating
+    //     shingles, and a fully-ledgered batch is skipped outright
+    //     (its sink is NOT re-invoked — asserted by call counts).
+    Q("op_stream_dedup_selfmaintain_replay", selfMaintainSql) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      Dedup.dropIndex(spark, "graft_ssr_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 100),
+        "text", "doc_id", "graft_ssr_idx", buckets = 8)
+      val stageDir = OpsExtra.StreamParity.stageFixed(
+        spark, dir, "documents", "doc_id", Seq(200L, 400L))
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ssr_out").toString
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_ssr_ck").toString
+      // one-shot crash switches: after-sink on ledger batch 2, after-
+      // ledger on batch 2's retry, between-appends on batch 3
+      val sinkCrash = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val ledgerCrash = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val bandsCrash = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val sinkCalls = new scala.collection.concurrent.TrieMap[Long, Int]()
+      Dedup.appendFailpoint = (prefix, stage, bid) =>
+        if (prefix == "graft_ssr_idx") {
+          if (stage == "bands" && bid == 3L && bandsCrash.getAndSet(false))
+            sys.error("injected crash between the bands and shingles writes")
+          if (stage == "ledger" && bid == 2L && ledgerCrash.getAndSet(false))
+            sys.error("injected crash after the ledger, before the offset commit")
+        }
+      try {
+        def attempt(): Boolean = {
+          val stream = spark.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+          val q = StreamOps.streamingDedupSelfMaintaining(
+            stream, "graft_ssr_idx", checkpoint = Some(ckDir)) { (survivors, bid) =>
+            sinkCalls.updateWith(bid)(c => Some(c.getOrElse(0) + 1))
+            survivors.select("doc_id").write.mode("overwrite")
+              .parquet(s"$outDir/batch=$bid")
+            if (bid == 2L && sinkCrash.getAndSet(false))
+              sys.error("injected crash after the sink, before the append")
+          }
+          try { q.processAllAvailable(); q.exception.isEmpty }
+          catch { case scala.util.control.NonFatal(_) => false }
+          finally q.stop()
+        }
+        var runs = 1
+        while (!attempt() && runs < 8) runs += 1
+        require(runs == 4 && sinkCrash.get() == false &&
+            ledgerCrash.get() == false && bandsCrash.get() == false,
+          s"replay gate expected exactly 3 injected crashes + 1 clean run, ran $runs")
+        // exactly-once where it matters: batch 2's post-ledger replay was
+        // SKIPPED (2 sink calls, not 3); batches re-sank once per retry
+        require(sinkCalls.get(1L).contains(1) && sinkCalls.get(2L).contains(2) &&
+            sinkCalls.get(3L).contains(2),
+          s"sink call counts off (ledgered-skip broken?): $sinkCalls")
+      } finally Dedup.appendFailpoint = (_, _, _) => ()
+      spark.read.parquet(outDir).select($"doc_id").orderBy($"doc_id")
+    },
+
+    // --- WITHIN-BATCH near-dup in the self-maintaining loop (r13
+    //     VERDICT #3, opt-in intraBatch = true): a crawl batch that
+    //     contains its own dups is cleaned before the append — greedy
+    //     min-id rule over the batch's index-probe survivors, replayed
+    //     by the oracle as per-stratum s_t → k_t layers. Same fixture
+    //     gap argument as the parity gate (pairs at j ≥ 0.9, strangers
+    //     ≤ 0.067).
+    Q("op_stream_dedup_selfmaintain_intra", selfMaintainIntraSql) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      Dedup.dropIndex(spark, "graft_ssi_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 100),
+        "text", "doc_id", "graft_ssi_idx", buckets = 8)
+      val stageDir = OpsExtra.StreamParity.stageFixed(
+        spark, dir, "documents", "doc_id", Seq(200L, 400L))
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ssi_out").toString
+      val q = StreamOps.streamingDedupSelfMaintaining(
+        stream, "graft_ssi_idx", intraBatch = true) { (survivors, bid) =>
+        survivors.select("doc_id").write.mode("overwrite")
+          .parquet(s"$outDir/batch=$bid")
       }
       try {
         q.processAllAvailable()
@@ -664,17 +849,7 @@ object Ext {
       import spark.implicits._
       // fresh catalog per JVM but persistent warehouse dir — drop both
       // the entries and any orphan locations (op_bucketed_join pattern)
-      Seq("graft_inc_idx_bands", "graft_inc_idx_shingles",
-          "graft_inc_idx_params").foreach { nm =>
-        spark.sql(s"DROP TABLE IF EXISTS $nm")
-        val loc = java.nio.file.Paths.get(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-        }
-      }
+      Dedup.dropIndex(spark, "graft_inc_idx")
       val docs = t(spark, dir, "documents")
       Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
         "text", "doc_id", "graft_inc_idx", buckets = 8)
@@ -709,17 +884,7 @@ object Ext {
          |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
          |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      Seq("graft_incap_idx_bands", "graft_incap_idx_shingles",
-          "graft_incap_idx_params").foreach { nm =>
-        spark.sql(s"DROP TABLE IF EXISTS $nm")
-        val loc = java.nio.file.Paths.get(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-        }
-      }
+      Dedup.dropIndex(spark, "graft_incap_idx")
       val docs = t(spark, dir, "documents")
       Dedup.minhashIndexPersist(docs.filter($"doc_id" < 300),
         "text", "doc_id", "graft_incap_idx", buckets = 8)
@@ -727,6 +892,79 @@ object Ext {
         "text", "doc_id", "graft_incap_idx")
       Dedup.minhashDedupPairsAgainstIndex(docs.filter($"doc_id" >= 400),
           "text", "doc_id", "graft_incap_idx", n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
+    // --- COMPACTION of the persisted LSH index (r13 VERDICT #2): five
+    //     small appends fragment every bucket (one file per touched
+    //     bucket per append); minhashIndexCompact rewrites both tables
+    //     at one file per bucket with the SAME bucket spec. The
+    //     compacted index's CONTENT equals the fragmented one (docs
+    //     < 400), so the oracle is the same exact cross-batch Jaccard
+    //     as ext_dedup_incremental_lsh_append — query(compacted) must
+    //     equal the exact answer, and PlanShapeSpec separately pins
+    //     query(compacted) ≡ query(fragmented) + the no-exchange layout
+    //     surviving the rewrite.
+    Q("ext_dedup_incremental_lsh_compact",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.dropIndex(spark, "graft_cmp_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 300),
+        "text", "doc_id", "graft_cmp_idx", buckets = 8)
+      // five daily appends → ≥6 write jobs' worth of files per table
+      (0 until 5).foreach { k =>
+        Dedup.minhashIndexAppend(
+          docs.filter($"doc_id" >= 300 + 20 * k && $"doc_id" < 320 + 20 * k),
+          "text", "doc_id", "graft_cmp_idx")
+      }
+      Dedup.minhashIndexCompact(spark, "graft_cmp_idx")
+      Dedup.minhashDedupPairsAgainstIndex(docs.filter($"doc_id" >= 400),
+          "text", "doc_id", "graft_cmp_idx", n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
+    // --- DELETE path of the persisted LSH index (r13 VERDICT #2):
+    //     retire docs [200, 300) from a docs-<400 index (takedown /
+    //     expiry), then query the new batch — pairs with the retired
+    //     docs must be gone, everything else untouched. Oracle = exact
+    //     cross-batch Jaccard against the surviving index members.
+    Q("ext_dedup_index_delete",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND NOT (a.doc_id >= 200 AND a.doc_id < 300)
+         |    AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.dropIndex(spark, "graft_del_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_del_idx", buckets = 8)
+      Dedup.minhashIndexDelete(spark, "graft_del_idx",
+        docs.filter($"doc_id" >= 200 && $"doc_id" < 300).select($"doc_id"))
+      Dedup.minhashDedupPairsAgainstIndex(docs.filter($"doc_id" >= 400),
+          "text", "doc_id", "graft_del_idx", n = 3, threshold = 0.8)
         .orderBy($"new_id", $"index_id")
     },
 
@@ -922,6 +1160,58 @@ object Ext {
         .groupBy($"qid")
         .agg(bool_or($"cid" === $"qid" + lit(10000L)).as("twin_hit"))
         .orderBy($"qid")
+    },
+
+    // --- the ANN recall harness's ground TRUTH, oracled (r13 VERDICT
+    //     #8): ScaleBench's aux_ann_recall cell grades IVF/PQ recall
+    //     against a brute-force top-10 over the JITTERED corpus (the
+    //     deterministic ±0.05 per-element jitter that de-dups staged
+    //     copies) — this gate pins that exact truth computation against
+    //     drift: same jitter arithmetic (int pmod → double divide →
+    //     float round-trip, identical op order both engines), same
+    //     round-4 cosine, same (sim DESC, cid) tie rule. Sims are
+    //     bit-identical both sides (per-row fold, fixed order), so the
+    //     top-10 selection needs no key-gap argument.
+    Q("ext_ann_recall_truth",
+      """WITH jc AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(range(1, 65), j ->
+        |      CAST(CAST(embedding[j] AS DOUBLE)
+        |           + CAST((vec_id * 31 + (j - 1)) % 1000 AS DOUBLE)
+        |             / CAST(10000.0 AS DOUBLE)
+        |           - CAST(0.05 AS DOUBLE) AS REAL)) AS cvec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |      WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |             i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM jc, q WHERE cid <> qid)
+        |SELECT qid, cid, sim, rank FROM (
+        |  SELECT qid, cid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      // the EXACT jitter ScaleBench.aux_ann_recall applies to the corpus
+      val jit = transform($"embedding", (x, i) =>
+        (x.cast("double") +
+          pmod($"vec_id" * 31 + i, lit(1000)).cast("double") / 10000.0
+          - 0.05).cast("float"))
+      val corpus = e.select($"vec_id".as("cid"), jit.as("cvec"))
+      val queries = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select($"qid", $"cid", $"sim", $"rank".cast("long").as("rank"))
+        .orderBy($"qid", $"rank")
     },
 
     // --- embedding near-dup detection at scale: LSH-bucketed candidates +

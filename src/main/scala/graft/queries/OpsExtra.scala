@@ -41,8 +41,9 @@ object OpsExtra {
     def stage(spark: org.apache.spark.sql.SparkSession, dir: String,
         table: String, orderCol: String): Path = {
       val srcPath = Paths.get(s"$dir/$table.parquet")
-      val stageDir = Paths.get("/root/repo/target/stream_src",
-        srcPath.getParent.getFileName.toString, table)
+      // cwd-derived (ADVICE r13): the gate must work from any checkout
+      val stageDir = Paths.get("target/stream_src").toAbsolutePath
+        .resolve(srcPath.getParent.getFileName.toString).resolve(table)
       val marker = stageDir.resolve("_staged.marker")
       val stamp = s"${Files.size(srcPath)}:" +
         s"${Files.getLastModifiedTime(srcPath).toMillis}:$Parts:$orderCol:v2"
@@ -110,8 +111,8 @@ object OpsExtra {
         table: String, orderCol: String, bounds: Seq[Long]): Path = {
       import org.apache.spark.sql.functions.col
       val srcPath = Paths.get(s"$dir/$table.parquet")
-      val stageDir = Paths.get("/root/repo/target/stream_src_fixed",
-        srcPath.getParent.getFileName.toString, table)
+      val stageDir = Paths.get("target/stream_src_fixed").toAbsolutePath
+        .resolve(srcPath.getParent.getFileName.toString).resolve(table)
       val marker = stageDir.resolve("_staged.marker")
       val stamp = s"${Files.size(srcPath)}:" +
         s"${Files.getLastModifiedTime(srcPath).toMillis}:" +

@@ -212,12 +212,18 @@ object StreamOps {
   def streamingNearDupAgainstIndex(docs: DataFrame,
       namePrefix: String): DataFrame = {
     val spark = docs.sparkSession
-    val (n, bands, rowsPerBand, seed, family) =
-      graft.operators.Dedup.indexParams(spark, namePrefix)
+    val p = graft.operators.Dedup.indexParams(spark, namePrefix)
+    // ledger snapshot at PLAN time (the index is static for the stream's
+    // life by contract): only completed appends are probe-able — a
+    // half-appended batch's band rows stay invisible (r14)
+    val ledgered = graft.operators.Dedup.indexLedger(spark, namePrefix)
     val banded = graft.operators.Dedup.bandsFor(
-      docs, "text", "doc_id", n, bands, rowsPerBand, seed,
-      family == "portable")
-    banded.join(spark.table(s"${namePrefix}_bands"), Seq("band", "bucket"))
+      docs, "text", "doc_id", p.n, p.bands, p.rowsPerBand, p.seed,
+      p.family == "portable")
+    banded.join(
+        spark.table(s"${namePrefix}_bands")
+          .where(col("batch_id").isInCollection(ledgered)).drop("batch_id"),
+        Seq("band", "bucket"))
       .select(col("doc_id"), col("band"), col("index_id"))
   }
 
@@ -235,7 +241,10 @@ object StreamOps {
     * banding params from the index, bucketed exchange-free history
     * scans, exact-Jaccard verification against the index's shingle
     * store) via foreachBatch, and `sink` receives the verified
-    * (new_id, index_id, jaccard) rows. Stateless across batches by
+    * (new_id, index_id, jaccard) rows plus the batch id (key writes on
+    * it — per-batch overwrite — for exactly-once under foreachBatch's
+    * at-least-once replay; pass `checkpoint` to make the stream
+    * restartable). Stateless across batches by
     * construction — every batch probes the same static index, so
     * output is batch-boundary-independent (the parity gate's oracle is
     * the one-shot batch replay). This is the production daily-crawl
@@ -243,53 +252,113 @@ object StreamOps {
     * accepted, [[graft.operators.Dedup.minhashIndexAppend]] them so
     * tomorrow's stream sees today's docs. Returns the started query. */
   def streamingDedupVerifiedAgainstIndex(docs: DataFrame,
-      namePrefix: String, threshold: Double = 0.8)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      namePrefix: String, threshold: Double = 0.8,
+      checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(graft.operators.Dedup.minhashDedupPairsAgainstIndex(
-          batch, "text", "doc_id", namePrefix, threshold = threshold))
+          batch, "text", "doc_id", namePrefix, threshold = threshold), batchId)
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
-  /** The COMPLETE self-maintaining crawl loop (r13): every micro-batch
+  /** The COMPLETE self-maintaining crawl loop (r13; replay-idempotent
+    * since r14): every micro-batch
     * (1) dedups against the persisted LSH index
     * ([[graft.operators.Dedup.minhashDedupPairsAgainstIndex]] —
-    * candidates-then-verify, exchange-free history side), (2) hands the
-    * SURVIVORS to `sink` (the accepted docs), and (3) APPENDS the
-    * survivors into the index ([[graft.operators.Dedup
-    * .minhashIndexAppend]]) so the NEXT batch sees them. Cross-batch
-    * near-dup state lives in the durable bucketed index tables, not in
-    * streaming state — unbounded-history dedup with bounded executor
-    * state, restart-safe because the index is the checkpoint. Batch
-    * semantics: docs within one micro-batch are NOT checked against
-    * each other (same-batch collisions are the next crawl's problem, or
-    * run [[streamingNearDupCandidates]] alongside); a doc near-dup to
-    * any initial-index doc or any earlier-batch survivor is dropped.
+    * candidates-then-verify, exchange-free history side),
+    * (2) optionally dedups WITHIN the batch (`intraBatch = true`: a doc
+    * is dropped when a j ≥ threshold partner with a SMALLER id exists
+    * among the batch's index-probe survivors — the greedy min-id rule,
+    * non-recursive, so a single crawl containing its own dups is clean
+    * without waiting for the next day's probe),
+    * (3) hands the SURVIVORS + the ledger batch id to `sink` (the
+    * accepted docs), and (4) APPENDS the survivors into the index
+    * ([[graft.operators.Dedup.minhashIndexAppend]]) so the NEXT batch
+    * sees them. Cross-batch near-dup state lives in the durable
+    * bucketed index tables, not in streaming state — unbounded-history
+    * dedup with bounded executor state.
+    *
+    * RESTART SEMANTICS (r14, VERDICT #1): foreachBatch is
+    * at-least-once, so every step is built to make a crash-replay
+    * bit-exact rather than hoping one never lands mid-batch:
+    *  - a replayed batch whose ledger row landed is SKIPPED outright
+    *    (sink not re-invoked, nothing re-appended);
+    *  - an un-ledgered replay recomputes IDENTICAL survivors, because
+    *    the query path only sees ledgered band rows — a half-appended
+    *    crash can't make the batch self-match and vanish;
+    *  - `sink` receives the ledger batch id and must write keyed on it
+    *    (per-batch overwrite) so the re-sink replaces rather than
+    *    duplicates;
+    *  - the append itself is replay-idempotent (bands → shingles →
+    *    ledger, see [[graft.operators.Dedup.minhashIndexAppend]]).
+    * op_stream_dedup_selfmaintain_replay gates exactly this: crashes
+    * injected after the sink, between the append's table writes, and
+    * after the ledger, then restarts from the checkpoint — the final
+    * output must equal the no-failure oracle bit-for-bit.
+    *
+    * Ledger ids are `ledgerBase + streamBatchId` (base 1 keeps them
+    * clear of the initial build's batch 0). Stream batch ids are stable
+    * across restarts FROM THE SAME CHECKPOINT — that is the supported
+    * production shape (pass `checkpoint`). Starting a FRESH checkpoint
+    * against an existing index restarts stream ids at 0, so pass a
+    * ledgerBase beyond max(ledger) for each new ingest epoch.
+    * Run exactly one such stream per index at a time.
+    *
     * op_stream_dedup_selfmaintain_parity gates the full cascade over
     * fixed-boundary micro-batches against a stratified exact-Jaccard
-    * replay. */
+    * replay; op_stream_dedup_selfmaintain_intra adds the within-batch
+    * stratum. */
   def streamingDedupSelfMaintaining(docs: DataFrame, namePrefix: String,
-      threshold: Double = 0.8)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.persist()
-        try {
-          val dups = graft.operators.Dedup.minhashDedupPairsAgainstIndex(
-              batch, "text", "doc_id", namePrefix, threshold = threshold)
-            .select(col("new_id")).distinct()
-          val survivors = batch.join(dups,
-            batch("doc_id") === dups("new_id"), "left_anti")
-          survivors.persist()
+      threshold: Double = 0.8, intraBatch: Boolean = false,
+      ledgerBase: Long = 1L, checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], streamBatchId: Long) =>
+        val spark = batch.sparkSession
+        val id = ledgerBase + streamBatchId
+        if (!graft.operators.Dedup.indexBatchLedgered(spark, namePrefix, id)) {
+          val p = graft.operators.Dedup.indexParams(spark, namePrefix)
+          batch.persist()
           try {
-            sink(survivors)
-            graft.operators.Dedup.minhashIndexAppend(
-              survivors, "text", "doc_id", namePrefix)
-          } finally survivors.unpersist()
-        } finally batch.unpersist()
+            val dups = graft.operators.Dedup.minhashDedupPairsAgainstIndex(
+                batch, "text", "doc_id", namePrefix, threshold = threshold)
+              .select(col("new_id")).distinct()
+            val probeKept = batch.join(dups,
+              batch("doc_id") === dups("new_id"), "left_anti")
+            if (intraBatch) probeKept.persist() // read twice below
+            val survivors =
+              if (!intraBatch) probeKept
+              else {
+                // within-batch pairs over the probe survivors, with the
+                // index's own banding geometry; pairs come out a < b, so
+                // dropping every b is the greedy min-id survivor rule
+                val intra = graft.operators.Dedup.minhashDedupPairs(
+                    probeKept, "text", "doc_id", n = p.n,
+                    threshold = threshold, bands = p.bands,
+                    rowsPerBand = p.rowsPerBand)
+                  .select(col("doc_b").as("__drop")).distinct()
+                probeKept.join(intra,
+                  probeKept("doc_id") === intra("__drop"), "left_anti")
+              }
+            survivors.persist()
+            try {
+              sink(survivors, id)
+              graft.operators.Dedup.minhashIndexAppend(
+                survivors, "text", "doc_id", namePrefix, id)
+            } finally {
+              survivors.unpersist()
+              if (intraBatch) probeKept.unpersist()
+            }
+          } finally batch.unpersist()
+        }
+        () // foreachBatch wants Unit; the skip branch above yields AnyVal
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for

@@ -498,7 +498,7 @@ class PlanShapeSpec extends SparkSpecBase {
   test("persisted LSH index: no exchange above the history-side scans") {
     import graft.operators.Dedup
     val docs = lshDocs
-    Seq("graft_px_bands", "graft_px_shingles", "graft_px_params")
+    Seq("graft_px_bands", "graft_px_shingles", "graft_px_params", "graft_px_batches")
       .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 60),
       "text", "doc_id", "graft_px", buckets = 4)
@@ -516,7 +516,7 @@ class PlanShapeSpec extends SparkSpecBase {
       }
       assert(ex.getMessage.contains("banding mismatch"))
     } finally {
-      Seq("graft_px_bands", "graft_px_shingles", "graft_px_params")
+      Seq("graft_px_bands", "graft_px_shingles", "graft_px_params", "graft_px_batches")
         .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     }
   }
@@ -524,7 +524,7 @@ class PlanShapeSpec extends SparkSpecBase {
   test("persisted LSH index append: insertInto keeps the bucket layout exchange-free") {
     import graft.operators.Dedup
     val docs = lshDocs
-    val tbls = Seq("graft_pa_bands", "graft_pa_shingles", "graft_pa_params")
+    val tbls = Seq("graft_pa_bands", "graft_pa_shingles", "graft_pa_params", "graft_pa_batches")
     tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     // build from the first 40 docs, append 41..60 — the combined index
     // must behave exactly like a from-scratch build over docs <= 60
@@ -552,5 +552,99 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally {
       tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     }
+  }
+
+  private def tableFileCount(name: String): Int = {
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location.toString))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(loc).iterator().asScala
+      .count(_.getFileName.toString.startsWith("part-"))
+  }
+
+  test("persisted LSH index compaction: files collapse, layout stays exchange-free, results identical") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    Dedup.dropIndex(spark, "graft_pc")
+    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 40),
+      "text", "doc_id", "graft_pc", buckets = 4)
+    // four daily appends fragment every bucket
+    (0 until 4).foreach { k =>
+      Dedup.minhashIndexAppend(
+        docs.filter($"doc_id" > 40 + 5 * k && $"doc_id" <= 45 + 5 * k),
+        "text", "doc_id", "graft_pc")
+    }
+    try {
+      def pairs() = Dedup.minhashDedupPairsAgainstIndex(
+          docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fragmented = pairs()
+      val filesBefore = tableFileCount("graft_pc_bands")
+      Dedup.minhashIndexCompact(spark, "graft_pc")
+      val filesAfter = tableFileCount("graft_pc_bands")
+      // 5 write jobs → ≥5 files; compaction = exactly 1 file per bucket
+      assert(filesBefore > 4 && filesAfter == 4,
+        s"bands files: $filesBefore -> $filesAfter (buckets = 4)")
+      // query(compacted) ≡ query(fragmented), layout still exchange-free
+      withSmjStaticPlan {
+        val out = Dedup.minhashDedupPairsAgainstIndex(
+          docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pc")
+        assertIndexExchangeFree(out, "graft_pc")
+      }
+      assert(pairs() == fragmented && fragmented.nonEmpty)
+      // the ledger survives compaction (replay-skip must keep working)
+      assert(Dedup.indexBatchLedgered(spark, "graft_pc", 0L))
+    } finally Dedup.dropIndex(spark, "graft_pc")
+  }
+
+  test("persisted LSH index delete: retired docs vanish, layout stays exchange-free") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    Dedup.dropIndex(spark, "graft_pd")
+    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 60),
+      "text", "doc_id", "graft_pd", buckets = 4)
+    try {
+      Dedup.minhashIndexDelete(spark, "graft_pd",
+        docs.filter($"doc_id" > 30 && $"doc_id" <= 60).select($"doc_id"))
+      val out = Dedup.minhashDedupPairsAgainstIndex(
+        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pd")
+      withSmjStaticPlan {
+        assertIndexExchangeFree(Dedup.minhashDedupPairsAgainstIndex(
+          docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pd"), "graft_pd")
+      }
+      val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromScratch = Dedup.minhashDedupPairsAgainst(
+          docs.filter($"doc_id" > 60), docs.filter($"doc_id" <= 30),
+          "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == fromScratch,
+        s"delete diverged: only-index=${pairs -- fromScratch} only-scratch=${fromScratch -- pairs}")
+      assert(pairs.forall(_._2 <= 30), s"retired doc resurfaced: $pairs")
+    } finally Dedup.dropIndex(spark, "graft_pd")
+  }
+
+  test("minhashIndexAppend replay contract: ledgered batch is a no-op, shingles never duplicate") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    Dedup.dropIndex(spark, "graft_pi")
+    Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 40),
+      "text", "doc_id", "graft_pi", buckets = 4)
+    try {
+      val batch = docs.filter($"doc_id" > 40 && $"doc_id" <= 60)
+      assert(Dedup.minhashIndexAppend(batch, "text", "doc_id", "graft_pi", batchId = 7L))
+      val shAfterFirst = spark.table("graft_pi_shingles").count()
+      // replay of a COMPLETED batch: no-op (false), nothing re-written
+      assert(!Dedup.minhashIndexAppend(batch, "text", "doc_id", "graft_pi", batchId = 7L))
+      assert(spark.table("graft_pi_shingles").count() == shAfterFirst)
+      // replay where the ledger row was LOST (new id, same docs): the
+      // anti-join keeps the shingle store duplicate-free
+      assert(Dedup.minhashIndexAppend(batch, "text", "doc_id", "graft_pi", batchId = 8L))
+      assert(spark.table("graft_pi_shingles").count() == shAfterFirst)
+      val sh = spark.table("graft_pi_shingles")
+      assert(sh.select("index_id").distinct().count() == sh.count())
+      // auto-assigned ids continue past the ledger max
+      assert(Dedup.indexLedger(spark, "graft_pi") == Set(0L, 7L, 8L))
+    } finally Dedup.dropIndex(spark, "graft_pi")
   }
 }

@@ -183,7 +183,7 @@ class StreamingSpec extends SparkSpecBase {
       (1L, base),
       (2L, "completely different content with no overlap whatsoever here today"))
       .toDF("doc_id", "text")
-    val tbls = Seq("graft_sndx_bands", "graft_sndx_shingles", "graft_sndx_params")
+    val tbls = Seq("graft_sndx_bands", "graft_sndx_shingles", "graft_sndx_params", "graft_sndx_batches")
     tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     graft.operators.Dedup.minhashIndexPersist(
       history, "text", "doc_id", "graft_sndx", buckets = 4)
