@@ -344,6 +344,55 @@ object ScaleBench {
           accepted.get()
         } finally q.stop()
       },
+      "aux_index_compact" -> { (s: SparkSession, dir: String) =>
+        // the small-files wall (r13 VERDICT #2): 60 simulated daily
+        // appends fragment the bucketed tables — one insertInto job per
+        // append, ≥1 file per touched bucket each — then
+        // minhashIndexCompact rewrites at one file per bucket. Measures
+        // the per-batch index-probe query FRAGMENTED vs COMPACTED plus
+        // file counts and the compaction cost itself; prints its own
+        // JSON line (diagnostic cell, explicit filter only).
+        import graft.operators.Dedup
+        val nm = incIndexName(dir) + "_cmp"
+        Dedup.dropIndex(s, nm)
+        val docs = Tables.load(s, dir, "documents")
+        // history = %10 ∈ 1..9; initial build %10 ∈ 1..3, sixty ~1%
+        // appends cover %100 values with %10 ∈ 4..9; batch = %10 == 0
+        Dedup.minhashIndexPersist(
+          docs.filter(pmod(col("doc_id"), lit(10)).between(1, 3)),
+          "text", "doc_id", nm, buckets = 32)
+        (0 until 100).filter(v => v % 10 >= 4).foreach { v =>
+          Dedup.minhashIndexAppend(
+            docs.filter(pmod(col("doc_id"), lit(100)) === v),
+            "text", "doc_id", nm)
+        }
+        def files(t: String): Long = {
+          val loc = java.nio.file.Paths.get(new java.net.URI(
+            s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala
+            .count(_.getFileName.toString.startsWith("part-"))
+        }
+        def probe(): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = Dedup.minhashDedupPairsAgainstIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            "text", "doc_id", nm).count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        val filesFrag = files(s"${nm}_bands") + files(s"${nm}_shingles")
+        val (nFrag, tFrag) = probe()
+        val tc0 = System.nanoTime()
+        Dedup.minhashIndexCompact(s, nm)
+        val tCompact = (System.nanoTime() - tc0) / 1e9
+        val filesComp = files(s"${nm}_bands") + files(s"${nm}_shingles")
+        val (nComp, tComp) = probe()
+        require(nComp == nFrag,
+          s"compaction changed the answer: $nFrag -> $nComp")
+        println(f"""{"index_compact":{"appends":60,"files_fragmented":$filesFrag,"files_compacted":$filesComp,"query_fragmented_s":$tFrag%.3f,"query_compacted_s":$tComp%.3f,"compact_s":$tCompact%.3f,"pairs":$nFrag}}""")
+        nFrag
+      },
       "stream_dedup" -> { (s: SparkSession, dir: String) =>
         // streaming first-seen dedup over the staged files in ~4
         // micro-batches — the ingest-time filter's throughput curve

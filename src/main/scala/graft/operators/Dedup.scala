@@ -641,17 +641,25 @@ object Dedup {
     * saveAsTable fail). Shared by every gate/spec that rebuilds one. */
   def dropIndex(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String): Unit =
-    Seq("_bands", "_shingles", "_params", "_batches").foreach { s =>
-      val nm = s"$namePrefix$s"
-      spark.sql(s"DROP TABLE IF EXISTS $nm")
-      val loc = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      }
+    Seq("_bands", "_shingles", "_params", "_batches",
+        "_bands__rw", "_shingles__rw")
+      .foreach(s => dropTableAndLocation(spark, s"$namePrefix$s"))
+
+  /** DROP IF EXISTS + wipe the managed location: the in-memory catalog
+    * is fresh per JVM but the warehouse dir persists, so an orphan
+    * location (including a crashed compaction's `__rw` twin) would make
+    * the next saveAsTable fail. */
+  private def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+      nm: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $nm")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
     }
+  }
 
   /** Append a day's batch into a persisted LSH index (r12 VERDICT #1):
     * bands/shingles `insertInto` the existing bucketed tables — the
@@ -694,11 +702,17 @@ object Dedup {
     val ledger = indexLedger(spark, namePrefix)
     val id = if (batchId >= 0) batchId else ledger.max + 1
     if (ledger.contains(id)) return false
-    // insertInto matches columns by POSITION — keep table column order
+    // insertInto matches columns by POSITION — keep table column order.
+    // Pre-partition on the bucket columns so each append adds exactly
+    // ONE file per bucket instead of one per (task × bucket): without
+    // this, 60 daily appends left 36k files and a 28×-degraded probe
+    // (PERF.md r14 aux_index_compact) — the small-files wall compaction
+    // exists for should accrete at the slowest possible rate.
     bandsFor(newDocs, textCol, idCol, p.n, p.bands, p.rowsPerBand, p.seed,
         p.family == "portable")
       .select(col("band"), col("bucket"), col("doc_id").as("index_id"),
         lit(id).as("batch_id"))
+      .repartition(p.buckets, col("band"), col("bucket"))
       .write.mode("append").insertInto(s"${namePrefix}_bands")
     appendFailpoint(namePrefix, "bands", id)
     fanOutScan(newDocs)
@@ -706,6 +720,7 @@ object Dedup {
         TextFunctions.hashedShingles(col(textCol), p.n).as("shs_i"))
       .join(spark.table(s"${namePrefix}_shingles").select("index_id"),
         Seq("index_id"), "left_anti")
+      .repartition(p.buckets, col("index_id"))
       .write.mode("append").insertInto(s"${namePrefix}_shingles")
     appendFailpoint(namePrefix, "shingles", id)
     spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
@@ -808,7 +823,7 @@ object Dedup {
       fShingles: DataFrame => DataFrame): Unit = {
     val buckets = indexParams(spark, namePrefix).buckets
     Seq(s"${namePrefix}_bands__rw", s"${namePrefix}_shingles__rw")
-      .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+      .foreach(nm => dropTableAndLocation(spark, nm))
     fBands(spark.table(s"${namePrefix}_bands"))
       .repartition(buckets, col("band"), col("bucket"))
       .write.mode("overwrite")
