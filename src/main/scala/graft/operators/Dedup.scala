@@ -629,6 +629,27 @@ object Dedup {
       namePrefix: String, batchId: Long): Boolean =
     indexLedger(spark, namePrefix).contains(batchId)
 
+  /** The bands table restricted to LEDGERED batches. Small ledgers
+    * (the common case — one id per append ever run) become a literal
+    * In filter that pushes into the parquet scan; a years-long ledger
+    * switches to a broadcast semi-join so the predicate doesn't grow
+    * with index age. Both shapes leave the bucketed scan exchange-free
+    * (the broadcast exchange sits on the one-row-per-append ledger
+    * side). */
+  private[graft] def ledgeredBands(
+      spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): DataFrame = {
+    val ledgered = indexLedger(spark, namePrefix)
+    val bandsTbl = spark.table(s"${namePrefix}_bands")
+    if (ledgered.size <= 512)
+      bandsTbl.where(col("batch_id").isInCollection(ledgered)).drop("batch_id")
+    else
+      bandsTbl.join(
+          broadcast(spark.table(s"${namePrefix}_batches")),
+          Seq("batch_id"), "left_semi")
+        .drop("batch_id")
+  }
+
   /** Test-only crash injection for the append path's replay gates:
     * called with (prefix, stage, batchId) after each append step
     * ("bands", "shingles", "ledger"). Production value is a no-op. */
@@ -753,12 +774,8 @@ object Dedup {
     // honor only LEDGERED batches: band rows of a half-appended batch
     // (crash between an append's table writes) must not exist for this
     // query — otherwise a foreachBatch replay would self-match its own
-    // partial append and silently drop survivors (r14 VERDICT #1). The
-    // ledger is a driver-fetched literal set, so the filter pushes into
-    // the parquet scan without disturbing the bucketed layout.
-    val ledgered = indexLedger(spark, namePrefix)
-    val idxBands = spark.table(s"${namePrefix}_bands")
-      .where(col("batch_id").isInCollection(ledgered)).drop("batch_id")
+    // partial append and silently drop survivors (r14 VERDICT #1).
+    val idxBands = ledgeredBands(spark, namePrefix)
     val newBands = bandsFor(newDocs, textCol, idCol, n, bands, rowsPerBand,
         seed, p.family == "portable")
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))

@@ -213,16 +213,13 @@ object StreamOps {
       namePrefix: String): DataFrame = {
     val spark = docs.sparkSession
     val p = graft.operators.Dedup.indexParams(spark, namePrefix)
-    // ledger snapshot at PLAN time (the index is static for the stream's
-    // life by contract): only completed appends are probe-able — a
-    // half-appended batch's band rows stay invisible (r14)
-    val ledgered = graft.operators.Dedup.indexLedger(spark, namePrefix)
     val banded = graft.operators.Dedup.bandsFor(
       docs, "text", "doc_id", p.n, p.bands, p.rowsPerBand, p.seed,
       p.family == "portable")
-    banded.join(
-        spark.table(s"${namePrefix}_bands")
-          .where(col("batch_id").isInCollection(ledgered)).drop("batch_id"),
+    // ledger snapshot at PLAN time (the index is static for the stream's
+    // life by contract): only completed appends are probe-able — a
+    // half-appended batch's band rows stay invisible (r14)
+    banded.join(graft.operators.Dedup.ledgeredBands(spark, namePrefix),
         Seq("band", "bucket"))
       .select(col("doc_id"), col("band"), col("index_id"))
   }
