@@ -552,7 +552,7 @@ object Ext {
         StreamOps.streamingNearDupAgainstIndex(stream, "graft_snd_idx")
           .writeStream
           .foreachBatch { (hits: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-            hits.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+            StreamOps.parquetBatchSink(outDir)(hits, bid)
           }
           .option("checkpointLocation", ckDir)
           .start()
@@ -626,8 +626,7 @@ object Ext {
       copyIn(staged.head)
       def mkStream() = spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1").parquet(liveDir.toString)
-      def sink(verified: org.apache.spark.sql.DataFrame, bid: Long): Unit =
-        verified.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+      val sink = StreamOps.parquetBatchSink(outDir)
       val q1 = StreamOps.streamingDedupVerifiedAgainstIndex(
         mkStream(), "graft_sdv_idx", checkpoint = Some(ckDir))(sink)
       try q1.processAllAvailable() finally q1.stop()
@@ -673,10 +672,8 @@ object Ext {
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_ssm_out").toString
       val q = StreamOps.streamingDedupSelfMaintaining(
-        stream, "graft_ssm_idx") { (survivors, bid) =>
-        survivors.select("doc_id").write.mode("overwrite")
-          .parquet(s"$outDir/batch=$bid")
-      }
+        stream, "graft_ssm_idx")(
+        StreamOps.parquetBatchSink(outDir, Seq("doc_id")))
       try {
         q.processAllAvailable()
         OpsExtra.StreamParity.assertMultiBatch(q)
@@ -730,8 +727,7 @@ object Ext {
           val q = StreamOps.streamingDedupSelfMaintaining(
             stream, "graft_ssr_idx", checkpoint = Some(ckDir)) { (survivors, bid) =>
             sinkCalls.updateWith(bid)(c => Some(c.getOrElse(0) + 1))
-            survivors.select("doc_id").write.mode("overwrite")
-              .parquet(s"$outDir/batch=$bid")
+            StreamOps.parquetBatchSink(outDir, Seq("doc_id"))(survivors, bid)
             if (bid == 2L && sinkCrash.getAndSet(false))
               sys.error("injected crash after the sink, before the append")
           }
@@ -775,10 +771,8 @@ object Ext {
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_ssi_out").toString
       val q = StreamOps.streamingDedupSelfMaintaining(
-        stream, "graft_ssi_idx", intraBatch = true) { (survivors, bid) =>
-        survivors.select("doc_id").write.mode("overwrite")
-          .parquet(s"$outDir/batch=$bid")
-      }
+        stream, "graft_ssi_idx", intraBatch = true)(
+        StreamOps.parquetBatchSink(outDir, Seq("doc_id")))
       try {
         q.processAllAvailable()
         OpsExtra.StreamParity.assertMultiBatch(q)

@@ -357,6 +357,24 @@ object StreamOps {
     w.start()
   }
 
+  /** The exactly-once foreachBatch sink recipe as a library function
+    * (r14): writes each batch's frame to `<root>/batch=<batchId>` with
+    * OVERWRITE, so a crash-replay of the same batch REPLACES its own
+    * previous/partial output instead of appending duplicates — the sink
+    * half of the replay-idempotence contract
+    * ([[streamingDedupSelfMaintaining]],
+    * [[streamingDedupVerifiedAgainstIndex]]; the other half is the
+    * index ledger). Read the result back with
+    * `spark.read.parquet(root)` — the batch=N dirs surface as a
+    * partition column; select your payload columns to drop it.
+    * `columns` optionally projects before the write (Nil = all). */
+  def parquetBatchSink(root: String, columns: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      val out = if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+      out.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+    }
+
   /** Custom keyed state: running per-user event count + last-seen
     * high-water timestamp via flatMapGroupsWithState — the escape hatch for
     * state machines the built-in windows can't express
