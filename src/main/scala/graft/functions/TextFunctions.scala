@@ -21,6 +21,76 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
 
+  /** Word-boundary marker for [[bpeTokenCount]]'s string encoding —
+    * U+001F (unit separator): must never occur in the text itself (it
+    * can't appear in any merge symbol, so needles never touch it). */
+  private val BpeMark = "\u001F"
+
+  /** REAL BPE token count over a pinned merge table (r14 — upgrades the
+    * [[regexTokenCount]] proxy; [[PinnedBpe]] is the committed default,
+    * trained by [[PinnedBpeGen]]): the exact token count a classic BPE
+    * tokenizer with those merges produces, computed as pure string
+    * arithmetic — oracle-able bit-for-bit (ext_bpe_tokens).
+    *
+    * Encoding trick: represent the doc with every symbol separated by
+    * TWO spaces and flanked by double spaces at the edges (word
+    * boundaries become [[BpeMark]] pseudo-symbols, so merges never
+    * cross words). One merge (A, B) → AB is then a single literal
+    * `replace(doc, " A  B ", " AB ")`: the needle's one-space flanks
+    * consume one space of each boundary and the replacement restores
+    * them, so the invariant survives and consecutive occurrences
+    * ("a a a a") all merge in one left-to-right pass. Applying merges
+    * in rank order, each in one such pass, IS classic BPE encoding: a
+    * later merge's output symbol cannot appear in an earlier merge's
+    * pair (it did not exist when that pair was trained), so no pass
+    * can create work for an earlier one — the same argument that makes
+    * "apply merges in order" valid in reference BPE implementations.
+    * BpeSpec cross-checks the column against an independent
+    * symbol-vector BPE encoder on adversarial strings + fixture docs.
+    *
+    * tokens = symbols(doc) − word-boundary markers, with
+    * symbols = (#spaces / 2) − 1 in the double-spaced form — exact
+    * integers end to end (UNROUNDED gate). */
+  def bpeTokenCount(text: Column,
+      merges: Seq[(String, String)] = PinnedBpe.merges): Column = {
+    val rep0 = call_function("replace", text, lit(" "), lit(BpeMark))
+    val spaced = concat(lit("  "), regexp_replace(rep0, "(.)", "$1  "))
+    val merged = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val spaces = length(merged) -
+      length(call_function("replace", merged, lit(" "), lit("")))
+    val symbols = (spaces.cast("long") / lit(2)).cast("long") - lit(1L)
+    val markers = length(text) -
+      length(call_function("replace", text, lit(" "), lit("")))
+    (symbols - markers.cast("long")).cast("long")
+  }
+
+  /** DuckDB mirror of [[bpeTokenCount]] as staged CTE select-fragments:
+    * returns the SQL stages to interpose between the source select and
+    * the final aggregation — one stage per `perStage` merges keeps the
+    * expression nesting under DuckDB's 128-deep binder (the
+    * modfresnel/gammainc staging convention). `inner` must expose a
+    * text column `textCol` plus `carry` columns that ride along. */
+  def sqlBpeTokens(textCol: String, carry: Seq[String], inner: String,
+      merges: Seq[(String, String)] = PinnedBpe.merges,
+      perStage: Int = 24): String = {
+    val carries = carry.mkString(", ")
+    val spaced =
+      s"'  ' || regexp_replace(replace($textCol, ' ', chr(31)), '(.)', '\\1  ', 'g')"
+    var sql = s"SELECT $carries, $textCol, $spaced AS __d FROM ($inner)"
+    merges.grouped(perStage).foreach { g =>
+      val nested = g.foldLeft("__d") { case (e, (a, b)) =>
+        s"replace($e, ' $a  $b ', ' $a$b ')"
+      }
+      sql = s"SELECT $carries, $textCol, $nested AS __d FROM ($sql)"
+    }
+    s"""SELECT $carries,
+       |  (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
+       |    - (len($textCol) - len(replace($textCol, ' ', ''))) AS __bpe
+       |FROM ($sql)""".stripMargin
+  }
+
   /** Lowercased, punctuation-stripped, whitespace-collapsed text. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))

@@ -1402,6 +1402,39 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- REAL BPE token counting (r14): the exact token count a classic
+    //     BPE tokenizer with the PINNED merge table produces (PinnedBpe,
+    //     48 merges trained on the fixture lexicon and committed as
+    //     source — the PinnedForest convention: training is
+    //     data-dependent, a committed constant is just arithmetic). The
+    //     oracle replays the identical double-spaced string encoding and
+    //     merge replaces as staged CTEs (24 merges per stage keeps the
+    //     nesting under DuckDB's 128-deep binder). Everything is exact
+    //     integer string arithmetic — UNROUNDED. The id-weighted
+    //     checksum makes per-doc miscounts visible even if a plain SUM
+    //     would cancel them.
+    Q("ext_bpe_tokens", {
+      val staged = TextFunctions.sqlBpeTokens(
+        "text", Seq("source", "doc_id"),
+        "SELECT source, doc_id, text FROM documents")
+      s"""SELECT source,
+         |  CAST(SUM(__bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(__bpe * (doc_id % 1000 + 1)) AS BIGINT) AS bpe_checksum,
+         |  COUNT(*) AS n_docs
+         |FROM ($staged) t
+         |GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val bpe = TextFunctions.bpeTokenCount($"text")
+      t(spark, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          sum(bpe).as("bpe_tokens"),
+          sum(bpe * (($"doc_id" % 1000L) + 1L)).as("bpe_checksum"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+
     // --- language-ID heuristic vs labeled lang (confusion counts)
     Q("ext_lang_id",
       """SELECT lang, pred_lang, COUNT(*) AS cnt FROM (
