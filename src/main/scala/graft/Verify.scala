@@ -10,8 +10,13 @@ object Verify {
     // the driver's 2-arg invocation runs everything
     val only = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides for topology drives (e.g.
+    // local-cluster[2,4,4096] — separate executor JVMs, real network
+    // shuffles; the r14 topology-independence certification): the
+    // default local[$cpus] is the driver's gate contract, untouched
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
