@@ -434,8 +434,11 @@ object ScaleBench {
     // widen for big-scale drives (bytes/128MB — the q09 lesson, PERF r10);
     // default stays the cpu count so the staged grid remains comparable
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // SPARK_GRAFT_MASTER: topology drives (local-cluster[...] — separate
+    // executor JVMs), same convention as graft.Verify (r14)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
