@@ -2119,6 +2119,13 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       chunkRows: Int = 65536): (Long, Int) =
     graft.sources.Zarr.write(df, path, valueCols, chunkRows)
 
+  /** Store numeric columns as a contiguous float64 HDF5 dataset (mars
+    * `to_hdf5`, reference tensor/datastore/to_hdf5.py:56) — see
+    * [[graft.sources.Hdf5]] for the clean-room format profile. */
+  def toHdf5(path: String, valueCols: Seq[String],
+      dataset: String = "data"): (Long, Int) =
+    graft.sources.Hdf5.write(df, path, valueCols, dataset)
+
   /** JSON-lines sink (pandas to_json(orient='records', lines=True)). */
   def toJson(path: String, singleFile: Boolean = false): Unit = {
     val d = if (singleFile) df.coalesce(1) else df

@@ -99,6 +99,13 @@ final class GraftSession(val spark: SparkSession) {
   def readZarr(path: String, colNames: Seq[String] = Nil): GraftFrame =
     GraftFrame(graft.sources.Zarr.read(spark, path, colNames))
 
+  /** Read a contiguous float64 HDF5 dataset (mars `mt.fromhdf5`,
+    * reference tensor/datasource/from_hdf5.py:41) — see
+    * [[graft.sources.Hdf5]] for the supported profile. */
+  def readHdf5(path: String, dataset: String = "data",
+      colNames: Seq[String] = Nil): GraftFrame =
+    GraftFrame(graft.sources.Hdf5.read(spark, path, dataset, colNames))
+
   /** JDBC scan partitioned on a numeric column — the reference's
     * read_sql(partition_col, num_partitions) (read_sql.py:79) maps to
     * Spark's (partitionColumn, lowerBound, upperBound, numPartitions). */

@@ -733,6 +733,34 @@ object OpsExtra {
         .orderBy($"n")
     },
 
+    // --- §2.2 HDF5 roundtrip (reference to_hdf5.py:56 / from_hdf5.py:41):
+    //     doubles through the clean-room single-file HDF5 writer
+    //     (v0 superblock, v1 symbol table, contiguous float64 LE) and
+    //     back through the spec-profile reader; dev/h5check.py is the
+    //     independent second parser of the same bytes. The aggregate is
+    //     the zarr gate's order-free scaled-integer convention, so any
+    //     metadata mis-offset, row loss or byte-order slip breaks the hash.
+    Q("op_hdf5_roundtrip",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(CAST(s_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(SUM(CAST(s_suppkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |  CAST(min(CAST(s_acctbal AS DOUBLE)) AS DOUBLE) AS bmin,
+        |  CAST(max(CAST(s_acctbal AS DOUBLE)) AS DOUBLE) AS bmax
+        |FROM supplier ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val out = "/root/repo/target/hdf5_rt.h5"
+      gt(spark, dir, "supplier").df
+        .select($"s_suppkey".cast("double").as("k"),
+          $"s_acctbal".cast("double").as("bal"))
+        .transform(d => { graft.api.GraftFrame(d).toHdf5(out, Seq("k", "bal")); d })
+      graft.api.GraftSession(spark).readHdf5(out, colNames = Seq("k", "bal")).df
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"bal" * 100 + 0.5).cast("long")).as("cents"),
+          sum($"k".cast("long")).as("key_sum"),
+          min($"bal").as("bmin"), max($"bal").as("bmax"))
+        .orderBy($"n")
+    },
+
     // --- §2.1/§2.2 JDBC roundtrip (reference to_sql/read_sql): the slice
     //     goes through an embedded Derby table and comes back via the
     //     PARTITIONED jdbc scan (4 ranged partitions on r_regionkey) —
