@@ -355,6 +355,101 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** All near-duplicate pairs by exact word-n-gram Jaccard >= `threshold`,
+    * via PPJoin-style prefix filtering (Bayardo et al. WWW'07 all-pairs,
+    * Xiao et al. WWW'08 positional filter) — the EXACT scale path whose
+    * answer [[ngramJaccardPairs]]'s df-cap baseline approximates. No
+    * df-cap, no candidate loss: prefix filtering is LOSSLESS, so the
+    * output is the complete exact-Jaccard pair set.
+    *
+    * How it prunes: order every doc's shingle set by one global total
+    * order (ascending document frequency, ties by shingle — rarest
+    * first, the order that makes prefixes maximally selective; ANY total
+    * order keeps the filter lossless). If J(x,y) >= t then
+    * |x∩y| >= ⌈t·|x|⌉ =: αx, and two sets under a common total order
+    * with overlap >= αx share a token among their first |x|−αx+1
+    * elements (the first common token e in the order has every other
+    * common token after it in BOTH lists, so e deeper than that prefix
+    * bounds the overlap below αx). So only docs sharing a PREFIX token
+    * can pair: the self-join runs over the short prefixes, not the full
+    * shingle sets. Two further sound prunes before the exact verify:
+    * the length filter (|x∩y| <= min ∧ >= t·union >= t·max ⇒
+    * min/max >= t) and the positional filter (for the minimal shared
+    * prefix token at positions (pa, pb): overlap <= 1 + min(|x|−pa,
+    * |y|−pb), which must reach the equivalent overlap
+    * ⌈t/(1+t)·(|x|+|y|)⌉). Both prunes are relaxed by one count / 1e-12
+    * so a pair sitting exactly ON the threshold (j = 4/5 at t = 0.8)
+    * can never be lost to double rounding — candidates are a strict
+    * superset; the exact verify applies the same `jaccard >= t` double
+    * compare as every other dedup path.
+    *
+    * Scale: df agg + one window over (doc_id) + a self-join keyed on
+    * PREFIX tokens only. A prefix token's fan-out is bounded by its
+    * in-prefix df — frequent shingles sort last and fall out of the
+    * short prefixes (prefix length ≈ (1−t)·|x| + 1), which is what
+    * replaces the df-cap. Worst case (a corpus of near-identical docs)
+    * is output-bound — the true pair set itself is quadratic there.
+    * Verification joins full shingle ARRAYS by doc id (two hash
+    * shuffles on doc id over candidates only). Ref
+    * mars/learn/contrib (no analog — Mars has no similarity join);
+    * published algorithm, clean-room relational formulation. */
+  def ppjoinPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ppjoinPairs threshold must be in (0, 1], got $threshold")
+    val sh = fanOutScan(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
+      .repartition(sizedWidth(docs), col("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val withPos = sh.join(dfreq, Seq("sh"))
+      .withColumn("pos", row_number().over(byOrder))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // αx = ⌈t·|x|⌉ relaxed by 1 (floored at 1): double rounding of t·sz
+    // can overshoot the real product by an ulp; the relaxation keeps the
+    // prefix a superset at the cost of one extra token per doc.
+    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
+    val prefix = withPos.filter(col("pos") <= col("sz") - alpha + 1)
+      .select(col("doc_id"), col("sh"), col("pos"), col("sz"))
+    // Rename the join key per side: both legs descend from the same
+    // `prefix` plan, so an unrenamed `sh === sh` is ambiguous (resolves
+    // trivially true and the join degenerates to a cross product).
+    val lhs = prefix.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("pos").as("pa"), col("sz").as("sza"))
+    val rhs = prefix.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("pos").as("pb"), col("sz").as("szb"))
+    // Positions are monotone in the shared global order within each doc,
+    // so min(pa) and min(pb) below both come from the SAME (minimal)
+    // shared token — the pair the positional bound is stated for.
+    val eqOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sza") + col("szb")).cast("double")).cast("long") - 1
+    val cands = lhs.join(rhs,
+        col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b") &&
+          least(col("sza"), col("szb")).cast("double") /
+            greatest(col("sza"), col("szb")).cast("double") >=
+            lit(threshold - 1e-12))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .filter(lit(1L) + least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+        eqOverlap)
+      .select("doc_a", "doc_b")
+    val shingled = fanOutScan(docs).select(
+      col(idCol).as("doc_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs"))
+    verifyJaccard(cands
+        .join(shingled.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), Seq("doc_a"))
+        .join(shingled.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), Seq("doc_b")),
+        "shs_a", "shs_b", threshold)
+      .select(col("doc_a"), col("doc_b"), col("common").cast("long").as("common"),
+        size(col("shs_a")).cast("long").as("size_a"),
+        size(col("shs_b")).cast("long").as("size_b"), col("jaccard"))
+  }
+
   /** MinHash signature: `numHashes` permutation-style hashes of the distinct
     * shingle set, h_i(s) = (a_i * x + b_i) mod p over a murmur base hash.
     *

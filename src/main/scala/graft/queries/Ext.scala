@@ -313,6 +313,33 @@ object Ext {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // --- PPJoin prefix-filtered exact similarity join. The algorithm is
+    //     LOSSLESS (prefix/length/positional filters only prune pairs the
+    //     exact verify would reject; both are relaxed one count against
+    //     double rounding at the threshold boundary), so the oracle is
+    //     simply the UNCAPPED exact-Jaccard pair set — no filter replay
+    //     needed. jaccard is an exact rational of exact ints (no
+    //     rounding); ints are BIGINT both sides.
+    Q("ext_dedup_ppjoin",
+      s"""WITH $shinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+         |       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+         |       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.ppjoinPairs(t(spark, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // --- MinHash+LSH near-dup pairs with exact verification. Oracle = the
     //     exact Jaccard pairs: the planted near-dups sit at j≈0.99 where
     //     16-band/4-row LSH recall is 1 - (1-j^4)^16 ≈ 1 - 4e-23.

@@ -516,4 +516,49 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().sorted.toList
     assert(kept == List(2L, 7L), "min id per canonical URL")
   }
+
+  test("ppjoinPairs equals the uncapped exact baseline (losslessness)") {
+    val r = new Random(31)
+    val bases = (0 until 40).map(i => (i.toLong, wordsDoc(r, 50)))
+    // plant near-dups at several similarity grades around the threshold
+    val edited = bases.take(15).zipWithIndex.map { case ((id, ws), k) =>
+      val flips = k % 5 // 0..4 changed words -> j from 1.0 down past 0.8
+      val ws2 = (0 until flips).foldLeft(ws)((w, j) => w.updated(5 + 7 * j, s"X$j"))
+      (200L + id, ws2)
+    }
+    val docs = (bases ++ edited).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val pp = Dedup.ppjoinPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8, maxShingleDf = None)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && exact.size >= 5)
+    assert(pp == exact)
+  }
+
+  test("ppjoinPairs keeps a pair sitting exactly on the threshold") {
+    // doc 1: 6 words -> 4 shingles; doc 2: same 6 words + one more ->
+    // 5 shingles, the 4 of doc 1 plus one new. common=4, union=5,
+    // jaccard = 4/5 = 0.8 EXACTLY at threshold 0.8 — the boundary the
+    // relaxed length/prefix filters must never prune.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7")
+    ).toDF("doc_id", "text")
+    val pp = Dedup.ppjoinPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(pp == Seq((1L, 2L, 4L, 4L, 5L, 0.8)))
+  }
+
+  test("ppjoinPairs short docs (< n words) never pair") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val pp = Dedup.ppjoinPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    assert(pp.count() == 0L)
+  }
 }
