@@ -416,23 +416,36 @@ object Dedup {
     val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
     val prefix = withPos.filter(col("pos") <= col("sz") - alpha + 1)
       .select(col("doc_id"), col("sh"), col("pos"), col("sz"))
-    // Rename the join key per side: both legs descend from the same
-    // `prefix` plan, so an unrenamed `sh === sh` is ambiguous (resolves
-    // trivially true and the join degenerates to a cross product).
-    val lhs = prefix.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("pos").as("pa"), col("sz").as("sza"))
-    val rhs = prefix.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("pos").as("pb"), col("sz").as("szb"))
+    // Pair generation per shared PREFIX token, as grouped posexplodes
+    // (the r9 ngramJaccardPairs shape) rather than a self-join: a
+    // self-join plans the whole shingle+df+window prefix pipeline TWICE
+    // (one copy per side — no exchange reuse across a broadcast/probe
+    // split), while the grouped form computes it once and streams the
+    // pair fan-out through generators in codegen. Per-shingle prefix-df
+    // lists stay small on real corpora — a token enters prefixes only
+    // where few rarer tokens exist (rarest-first order), which is what
+    // replaces the df-cap; a corpus degenerate enough to blow them up
+    // (near-identical docs) has quadratic TRUE output anyway.
+    // sort_array over (doc_id, pos, sz) structs orders by doc_id first,
+    // so j > i gives doc_a < doc_b for free.
+    val grouped = prefix.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"), col("sz")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairsRaw = grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))
+      .filter(col("j") > col("i"))
+      .select(col("a.doc_id").as("doc_a"), col("a.pos").as("pa"), col("a.sz").as("sza"),
+        col("b.doc_id").as("doc_b"), col("b.pos").as("pb"), col("b.sz").as("szb"))
+      .filter(least(col("sza"), col("szb")).cast("double") /
+        greatest(col("sza"), col("szb")).cast("double") >=
+        lit(threshold - 1e-12))
     // Positions are monotone in the shared global order within each doc,
     // so min(pa) and min(pb) below both come from the SAME (minimal)
     // shared token — the pair the positional bound is stated for.
     val eqOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("sza") + col("szb")).cast("double")).cast("long") - 1
-    val cands = lhs.join(rhs,
-        col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b") &&
-          least(col("sza"), col("szb")).cast("double") /
-            greatest(col("sza"), col("szb")).cast("double") >=
-            lit(threshold - 1e-12))
+    val cands = pairsRaw
       .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
       .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
       .filter(lit(1L) + least(col("sza") - col("pa"), col("szb") - col("pb")) >=
