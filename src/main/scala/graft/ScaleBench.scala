@@ -154,6 +154,12 @@ object ScaleBench {
           "text", "doc_id", n = 3, threshold = 0.8,
           bands = 16, rowsPerBand = 4).count()
       },
+      "ppjoin_exact" -> { (s: SparkSession, dir: String) =>
+        // the LOSSLESS exact path (r14): same pair answer as an uncapped
+        // exact join, pruned by prefix filtering instead of LSH recall
+        Dedup.ppjoinPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.8).count()
+      },
       "lsh_portable_cands" -> { (s: SparkSession, dir: String) =>
         Dedup.minhashCandidatesPortable(Tables.load(s, dir, "documents"),
           "text", "doc_id").count()
