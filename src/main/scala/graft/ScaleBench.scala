@@ -243,6 +243,26 @@ object ScaleBench {
           docs.filter(pmod(col("doc_id"), lit(10)) === 0),
           "text", "doc_id", incIndexName(dir)).count()
       },
+      "aux_inc_ppjoin_build" -> { (s: SparkSession, dir: String) =>
+        // one-time cost of the EXACT prefix index (r14): df + prefix +
+        // shingle tables over the 90% history
+        val nm = incIndexName(dir) + "_pp"
+        graft.operators.Dedup.dropPpjoinIndex(s, nm)
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.ppjoinIndexPersist(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "text", "doc_id", nm, buckets = 32)
+        s.table(s"${nm}_pprefix").count()
+      },
+      "aux_inc_ppjoin_query" -> { (s: SparkSession, dir: String) =>
+        // per-batch cost of the LOSSLESS exact probe (run the build cell
+        // first in the same drive); the A/B twin of aux_inc_index_query
+        // — what exactness costs over LSH at the same batch shape
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Dedup.ppjoinPairsAgainstIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "text", "doc_id", incIndexName(dir) + "_pp").count()
+      },
       "aux_ts_features" -> { (s: SparkSession, dir: String) =>
         // tsFeatures at the shape that breaks first (r12 VERDICT #4):
         // two keyed windows + one agg over an 80/20-skewed key space —

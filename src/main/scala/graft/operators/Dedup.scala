@@ -463,6 +463,145 @@ object Dedup {
         size(col("shs_b")).cast("long").as("size_b"), col("jaccard"))
   }
 
+  /** Persist a corpus's PPJoin PREFIX index for the daily-crawl shape —
+    * the EXACT (lossless) counterpart of [[minhashIndexPersist]]: probing
+    * it finds EVERY cross pair at jaccard >= threshold, no LSH recall
+    * argument needed. Tables (all bucketed so probes leave the history
+    * side exchange-free):
+    *   `<prefix>_ppdf`       (sh, df)                  on sh
+    *   `<prefix>_pprefix`    (sh, index_id, pos, sz)   on sh
+    *   `<prefix>_ppshingles` (index_id, shs_i)         on index_id
+    *   `<prefix>_ppparams`   (n, threshold, buckets)   single row
+    *
+    * The token order (ascending index-corpus df, ties by token) is
+    * FROZEN at persist time. That stays CORRECT forever: losslessness
+    * needs only one total order both sides agree on, and batch tokens
+    * absent from the index take df = 0 — they sort before every index
+    * token, a consistent extension that can't disturb the persisted
+    * prefixes (no index doc contains them). What drifts with corpus
+    * age is SELECTIVITY (the frozen dfs stop reflecting the true
+    * frequencies), not correctness — re-persist when probe fan-out
+    * degrades. The persisted `threshold` t0 is the prefix-cut floor:
+    * any query threshold >= t0 is lossless (higher t needs SHORTER
+    * prefixes — a subset of what's stored); a query below t0 would
+    * need longer prefixes than exist and is refused loudly. No append
+    * path by design — a frozen-order append would stay lossless but
+    * compounds the selectivity drift; daily-append shapes belong to
+    * the LSH index, this index is for exactness-mandated corpora. */
+  def ppjoinIndexPersist(indexDocs: DataFrame, textCol: String,
+      idCol: String, namePrefix: String, buckets: Int = 64, n: Int = 3,
+      threshold: Double = 0.8): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ppjoinIndexPersist threshold must be in (0, 1], got $threshold")
+    val spark = indexDocs.sparkSession
+    val sh = fanOutScan(indexDocs)
+      .select(col(idCol).as("index_id"),
+        explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
+      .repartition(sizedWidth(indexDocs), col("sh"))
+    sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "sh").sortBy("sh")
+      .format("parquet").saveAsTable(s"${namePrefix}_ppdf")
+    // read the dfs back through the bucketed scan (no recompute, no
+    // exchange on the df side of the join)
+    val byOrder = Window.partitionBy(col("index_id")).orderBy(col("df"), col("sh"))
+    val withPos = sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh"))
+      .withColumn("pos", row_number().over(byOrder))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("index_id"))))
+    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
+    withPos.filter(col("pos") <= col("sz") - alpha + 1)
+      .select(col("sh"), col("index_id"), col("pos"), col("sz"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "sh").sortBy("sh")
+      .format("parquet").saveAsTable(s"${namePrefix}_pprefix")
+    fanOutScan(indexDocs)
+      .select(col(idCol).as("index_id"),
+        TextFunctions.hashedShingles(col(textCol), n).as("shs_i"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "index_id").sortBy("index_id")
+      .format("parquet").saveAsTable(s"${namePrefix}_ppshingles")
+    spark.createDataFrame(Seq((n, threshold, buckets)))
+      .toDF("n", "threshold", "buckets")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_ppparams")
+  }
+
+  /** Drop the four tables of a persisted PPJoin prefix index. */
+  def dropPpjoinIndex(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): Unit =
+    Seq("_ppdf", "_pprefix", "_ppshingles", "_ppparams")
+      .foreach(s => dropTableAndLocation(spark, s"$namePrefix$s"))
+
+  /** [[ppjoinPairs]] between a NEW batch and the PERSISTED prefix index
+    * written by [[ppjoinIndexPersist]]: EVERY (batch doc, index doc)
+    * pair at exact jaccard >= `threshold` — lossless, like the batch
+    * op, so the result needs no recall caveat. The history contributes
+    * its df table, prefix table and shingle store through bucketed
+    * scans: no exchange, no re-shingling, no text rescan on the index
+    * side; only the batch shuffles to match. The batch's prefixes are
+    * cut under the INDEX's frozen token order (see
+    * [[ppjoinIndexPersist]] for why that stays correct); `n` comes from
+    * the index params, and `threshold` must be >= the index's
+    * prefix-cut floor — below it the stored prefixes are too short and
+    * recall loss would be silent, so it fails loudly at plan time.
+    * A re-crawled history doc matches itself at j = 1.0 — exactly what
+    * ingest dedup should flag. Output: (new_id, index_id, jaccard). */
+  def ppjoinPairsAgainstIndex(newDocs: DataFrame, textCol: String,
+      idCol: String, namePrefix: String,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    require(spark.catalog.tableExists(s"${namePrefix}_ppparams"),
+      s"persisted PPJoin index '$namePrefix' has no _ppparams table — " +
+        "build it with ppjoinIndexPersist")
+    // single-row metadata table: bounded driver fetch
+    val pr = spark.table(s"${namePrefix}_ppparams")
+      .select(col("n"), col("threshold")).head()
+    val (n, t0) = (pr.getInt(0), pr.getDouble(1))
+    require(threshold >= t0,
+      s"query threshold $threshold is below index '$namePrefix''s " +
+        s"prefix-cut floor $t0: the stored prefixes are too short for " +
+        "it and recall loss would be SILENT — re-persist the index at " +
+        "the lower threshold")
+    val sh = fanOutScan(newDocs)
+      .select(col(idCol).as("new_id"),
+        explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
+    // the frozen order: index dfs, unseen tokens -> 0 (a consistent
+    // total-order extension — see ppjoinIndexPersist)
+    val withDf = sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh"), "left")
+      .na.fill(0L, Seq("df"))
+    val byOrder = Window.partitionBy(col("new_id")).orderBy(col("df"), col("sh"))
+    val withPos = withDf
+      .withColumn("pos", row_number().over(byOrder))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("new_id"))))
+    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
+    val newPrefix = withPos.filter(col("pos") <= col("sz") - alpha + 1)
+      .select(col("sh"), col("new_id"), col("pos").as("pn"), col("sz").as("szn"))
+    val idxPrefix = spark.table(s"${namePrefix}_pprefix")
+      .select(col("sh"), col("index_id"), col("pos").as("pi"), col("sz").as("szi"))
+    // same relaxed length + positional prunes as the batch op (the
+    // min-position pair is the minimal SHARED prefix token on both
+    // sides — positions are monotone in the one shared order); the
+    // index's longer t0-prefixes only ADD candidates, never lose any
+    val eqOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("szn") + col("szi")).cast("double")).cast("long") - 1
+    val cands = newPrefix.join(idxPrefix, Seq("sh"))
+      .filter(least(col("szn"), col("szi")).cast("double") /
+        greatest(col("szn"), col("szi")).cast("double") >=
+        lit(threshold - 1e-12))
+      .groupBy(col("new_id"), col("index_id"), col("szn"), col("szi"))
+      .agg(min(col("pn")).as("pn"), min(col("pi")).as("pi"))
+      .filter(lit(1L) + least(col("szn") - col("pn"), col("szi") - col("pi")) >=
+        eqOverlap)
+      .select("new_id", "index_id")
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      TextFunctions.hashedShingles(col(textCol), n).as("shs_n"))
+    verifyJaccard(cands
+        .join(newSh, Seq("new_id"))
+        .join(spark.table(s"${namePrefix}_ppshingles"), Seq("index_id")),
+        "shs_n", "shs_i", threshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
+  }
+
   /** MinHash signature: `numHashes` permutation-style hashes of the distinct
     * shingle set, h_i(s) = (a_i * x + b_i) mod p over a murmur base hash.
     *

@@ -879,6 +879,37 @@ object Ext {
         .orderBy($"new_id", $"index_id")
     },
 
+    // --- persisted PPJoin PREFIX index (r14): the EXACT incremental
+    //     near-dup path. Unlike the LSH gates this needs NO fixture gap
+    //     argument: the prefix/length/positional filter chain is
+    //     LOSSLESS, so the oracle — the complete exact cross-batch
+    //     Jaccard pair set — is what the operator guarantees at any
+    //     corpus, not just this fixture. Batch prefixes are cut under
+    //     the index's frozen token order; jaccard is an exact rational.
+    Q("ext_dedup_incremental_ppjoin",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.dropPpjoinIndex(spark, "graft_pp_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.ppjoinIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_pp_idx", buckets = 8, n = 3, threshold = 0.8)
+      Dedup.ppjoinPairsAgainstIndex(docs.filter($"doc_id" >= 400),
+          "text", "doc_id", "graft_pp_idx", threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
     // --- APPEND path of the persisted LSH index (r12 VERDICT #1): the
     //     index is built from docs < 300, then docs 300–399 are
     //     insertInto-appended (banding params read from the index's own

@@ -555,6 +555,48 @@ class DedupSpec extends SparkSpecBase {
     assert(pp == Seq((1L, 2L, 4L, 4L, 5L, 0.8)))
   }
 
+  test("ppjoin index probe equals the exact cross-pair set (lossless)") {
+    val r = new Random(47)
+    val hist = (0 until 30).map(i => (i.toLong, wordsDoc(r, 40))) :+
+      // boundary fixture: 6 words -> 4 shingles
+      (90L, Seq("b1", "b2", "b3", "b4", "b5", "b6"))
+    // batch: a re-crawl of doc 3 (must self-match at 1.0), graded edits
+    // of docs 0..5, the exact-threshold twin of doc 90 (j = 4/5 = 0.8),
+    // and a doc of entirely unseen tokens (df-0 order extension path)
+    val batch: Seq[(Long, Seq[String])] =
+      Seq((503L, hist(3)._2)) ++
+      hist.take(6).map { case (id, ws) =>
+        val flips = (id % 3).toInt
+        (600L + id, (0 until flips).foldLeft(ws)((w, j) => w.updated(3 + 5 * j, s"Y$j")))
+      } ++
+      Seq((690L, Seq("b1", "b2", "b3", "b4", "b5", "b6", "b7")),
+        (700L, (1 to 20).map(i => s"unseen$i")))
+    val histDf = hist.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val batchDf = batch.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    Dedup.dropPpjoinIndex(spark, "graft_ppt")
+    try {
+      Dedup.ppjoinIndexPersist(histDf, "text", "doc_id", "graft_ppt",
+        buckets = 4, n = 3, threshold = 0.8)
+      val probed = Dedup.ppjoinPairsAgainstIndex(batchDf, "text", "doc_id",
+          "graft_ppt", threshold = 0.8)
+        .select("new_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // ground truth: uncapped exact pairs over the union, cross side only
+      val expected = Dedup.ngramJaccardPairs(histDf.unionAll(batchDf),
+          "text", "doc_id", n = 3, threshold = 0.8, maxShingleDf = None)
+        .filter($"doc_a" < 500 && $"doc_b" >= 500)
+        .select($"doc_b", $"doc_a", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(expected.exists(p => p._1 == 503L && p._2 == 3L && p._3 == 1.0),
+        "re-crawl self-match missing from ground truth")
+      assert(expected.exists(p => p._1 == 690L && p._2 == 90L && p._3 == 0.8),
+        "exact-threshold pair missing from ground truth")
+      assert(probed == expected)
+    } finally Dedup.dropPpjoinIndex(spark, "graft_ppt")
+  }
+
   test("ppjoinPairs short docs (< n words) never pair") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"))
       .toDF("doc_id", "text")

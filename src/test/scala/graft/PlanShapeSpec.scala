@@ -431,7 +431,7 @@ class PlanShapeSpec extends SparkSpecBase {
     * Downstream exchanges of DERIVED candidate pairs (past a join or an
     * aggregate) are legitimate small-data movements. */
   private def assertIndexExchangeFree(out: org.apache.spark.sql.DataFrame,
-      prefix: String): Unit = {
+      prefix: String, expectedScans: Int = 2): Unit = {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     val plan = out.queryExecution.executedPlan
@@ -451,7 +451,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // both bucketed tables actually feed the plan
     val scans = plan.collect { case f: FileSourceScanExec =>
       f.tableIdentifier.map(_.table).getOrElse("") }
-    assert(scans.count(_.startsWith(prefix)) == 2, scans.mkString(","))
+    assert(scans.count(_.startsWith(prefix)) == expectedScans, scans.mkString(","))
   }
 
   private def lshDocs = (1 to 80).map(i => (i.toLong,
@@ -519,6 +519,29 @@ class PlanShapeSpec extends SparkSpecBase {
       Seq("graft_px_bands", "graft_px_shingles", "graft_px_params", "graft_px_batches")
         .foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
     }
+  }
+
+  test("persisted PPJoin prefix index: no exchange above the three history-side scans") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    Dedup.dropPpjoinIndex(spark, "graft_ppx")
+    Dedup.ppjoinIndexPersist(docs.filter($"doc_id" <= 60),
+      "text", "doc_id", "graft_ppx", buckets = 4, n = 3, threshold = 0.8)
+    try withSmjStaticPlan {
+      val out = Dedup.ppjoinPairsAgainstIndex(
+        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_ppx")
+      // df + prefix + shingle store all feed through bucketed scans
+      assertIndexExchangeFree(out, "graft_ppx", expectedScans = 3)
+      out.write.mode("overwrite").format("noop").save() // executes
+      // querying BELOW the index's prefix-cut floor would silently lose
+      // recall (the stored prefixes are too short) — must fail loudly
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.ppjoinPairsAgainstIndex(
+          docs.filter($"doc_id" > 60), "text", "doc_id", "graft_ppx",
+          threshold = 0.5)
+      }
+      assert(ex.getMessage.contains("prefix-cut floor"))
+    } finally Dedup.dropPpjoinIndex(spark, "graft_ppx")
   }
 
   test("persisted LSH index append: insertInto keeps the bucket layout exchange-free") {
