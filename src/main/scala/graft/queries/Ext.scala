@@ -910,6 +910,71 @@ object Ext {
         .orderBy($"new_id", $"index_id")
     },
 
+    // --- streaming EXACT ingest dedup vs the persisted PPJoin prefix
+    //     index (r14): the lossless twin of op_stream_dedup_index_parity.
+    //     The full doc stream (a re-crawl: history pages flow through
+    //     again and must self-match at j = 1.0) probes the static index
+    //     across ≥3 real micro-batches with a kill-and-restart leg;
+    //     stateless per batch, so the oracle is the one-shot replay —
+    //     and because the probe is LOSSLESS, the oracle (the complete
+    //     exact cross-pair set, self-pairs included) holds with no
+    //     fixture gap argument.
+    Q("op_stream_ppjoin_index_parity",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.StreamOps
+      Dedup.dropPpjoinIndex(spark, "graft_spp_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.ppjoinIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_spp_idx", buckets = 8, n = 3, threshold = 0.8)
+      val stageDir = OpsExtra.StreamParity.stage(spark, dir, "documents", "doc_id")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_spp_out").toString
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_spp_ck").toString
+      val liveDir = java.nio.file.Files
+        .createTempDirectory("graft_spp_live")
+      import scala.jdk.CollectionConverters._
+      val staged = java.nio.file.Files.list(stageDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.getFileName.toString)
+      def copyIn(p: java.nio.file.Path): Unit =
+        java.nio.file.Files.copy(p, liveDir.resolve(p.getFileName),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      copyIn(staged.head)
+      def mkStream() = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(liveDir.toString)
+      val sink = StreamOps.parquetBatchSink(outDir)
+      val q1 = StreamOps.streamingExactDedupAgainstIndex(
+        mkStream(), "graft_spp_idx", checkpoint = Some(ckDir))(sink)
+      try q1.processAllAvailable() finally q1.stop()
+      staged.tail.foreach(copyIn)
+      val q = StreamOps.streamingExactDedupAgainstIndex(
+        mkStream(), "graft_spp_idx", checkpoint = Some(ckDir))(sink)
+      try {
+        q.processAllAvailable()
+        val nb = q.recentProgress.count(_.numInputRows > 0)
+        require(nb >= OpsExtra.StreamParity.Parts - 1,
+          s"post-restart run saw $nb non-empty batches")
+      } finally q.stop()
+      spark.read.parquet(outDir)
+        .select($"new_id", $"index_id", $"jaccard")
+        .orderBy($"new_id", $"index_id")
+    },
+
     // --- APPEND path of the persisted LSH index (r12 VERDICT #1): the
     //     index is built from docs < 300, then docs 300–399 are
     //     insertInto-appended (banding params read from the index's own

@@ -261,6 +261,31 @@ object StreamOps {
     w.start()
   }
 
+  /** The EXACT streaming ingest dedup (r14): the lossless twin of
+    * [[streamingDedupVerifiedAgainstIndex]] — every micro-batch runs
+    * [[graft.operators.Dedup.ppjoinPairsAgainstIndex]] against the
+    * persisted PPJoin PREFIX index, so the emitted pairs are the
+    * COMPLETE exact-Jaccard cross set with no LSH recall caveat (the
+    * recipe for corpora where dedup guarantees are contractual). Same
+    * operational contract as the LSH twin: stateless across batches
+    * (the index is static for the stream's life; output is
+    * batch-boundary-independent), history touched only through
+    * exchange-free bucketed scans, `sink` gets (new_id, index_id,
+    * jaccard) plus the batch id for per-batch-overwrite exactly-once
+    * under foreachBatch replay, `checkpoint` makes it restartable. */
+  def streamingExactDedupAgainstIndex(docs: DataFrame,
+      namePrefix: String, threshold: Double = 0.8,
+      checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.ppjoinPairsAgainstIndex(
+          batch, "text", "doc_id", namePrefix, threshold = threshold), batchId)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** The COMPLETE self-maintaining crawl loop (r13; replay-idempotent
     * since r14): every micro-batch
     * (1) dedups against the persisted LSH index
