@@ -393,6 +393,29 @@ object Dedup {
     * shuffles on doc id over candidates only). Ref
     * mars/learn/contrib (no analog — Mars has no similarity join);
     * published algorithm, clean-room relational formulation. */
+  /** Per-doc prefix rows (sh, <id>, pos, sz) from (id, sh, df) token
+    * rows, under the global (df asc, sh asc) order. One hash-agg
+    * shuffle by doc id + a per-row array sort + a head slice — NOT a
+    * row_number window: the window formulation sorts the ENTIRE
+    * exploded shingle table within partitions, which was the sole
+    * spill source of the 1000× cell (21 GB disk / 53 GB mem spill);
+    * per-doc arrays sort in constant per-row memory instead. αx =
+    * ⌈t·|x|⌉ relaxed by 1 (floored at 1): double rounding of t·sz can
+    * overshoot the real product by an ulp — the relaxation keeps the
+    * prefix a superset at the cost of one extra token per doc. */
+  private def ppjoinPrefix(shWithDf: DataFrame, idName: String,
+      threshold: Double): DataFrame = {
+    val byDoc = shWithDf.groupBy(col(idName))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
+    byDoc
+      .withColumn("plen", (col("sz") - alpha + 1).cast("int"))
+      .select(col(idName), col("sz"),
+        posexplode(slice(col("toks"), lit(1), col("plen"))).as(Seq("i", "tk")))
+      .select(col("tk.sh").as("sh"), col(idName), (col("i") + 1).as("pos"), col("sz"))
+  }
+
   def ppjoinPairs(
       docs: DataFrame,
       textCol: String,
@@ -406,16 +429,7 @@ object Dedup {
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
       .repartition(sizedWidth(docs), col("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val withPos = sh.join(dfreq, Seq("sh"))
-      .withColumn("pos", row_number().over(byOrder))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // αx = ⌈t·|x|⌉ relaxed by 1 (floored at 1): double rounding of t·sz
-    // can overshoot the real product by an ulp; the relaxation keeps the
-    // prefix a superset at the cost of one extra token per doc.
-    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
-    val prefix = withPos.filter(col("pos") <= col("sz") - alpha + 1)
-      .select(col("doc_id"), col("sh"), col("pos"), col("sz"))
+    val prefix = ppjoinPrefix(sh.join(dfreq, Seq("sh")), "doc_id", threshold)
     // Pair generation per shared PREFIX token, as grouped posexplodes
     // (the r9 ngramJaccardPairs shape) rather than a self-join: a
     // self-join plans the whole shingle+df+window prefix pipeline TWICE
@@ -504,12 +518,8 @@ object Dedup {
       .format("parquet").saveAsTable(s"${namePrefix}_ppdf")
     // read the dfs back through the bucketed scan (no recompute, no
     // exchange on the df side of the join)
-    val byOrder = Window.partitionBy(col("index_id")).orderBy(col("df"), col("sh"))
-    val withPos = sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh"))
-      .withColumn("pos", row_number().over(byOrder))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("index_id"))))
-    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
-    withPos.filter(col("pos") <= col("sz") - alpha + 1)
+    ppjoinPrefix(sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh")),
+        "index_id", threshold)
       .select(col("sh"), col("index_id"), col("pos"), col("sz"))
       .write.mode("overwrite")
       .bucketBy(buckets, "sh").sortBy("sh")
@@ -569,12 +579,7 @@ object Dedup {
     // total-order extension — see ppjoinIndexPersist)
     val withDf = sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh"), "left")
       .na.fill(0L, Seq("df"))
-    val byOrder = Window.partitionBy(col("new_id")).orderBy(col("df"), col("sh"))
-    val withPos = withDf
-      .withColumn("pos", row_number().over(byOrder))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("new_id"))))
-    val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
-    val newPrefix = withPos.filter(col("pos") <= col("sz") - alpha + 1)
+    val newPrefix = ppjoinPrefix(withDf, "new_id", threshold)
       .select(col("sh"), col("new_id"), col("pos").as("pn"), col("sz").as("szn"))
     val idxPrefix = spark.table(s"${namePrefix}_pprefix")
       .select(col("sh"), col("index_id"), col("pos").as("pi"), col("sz").as("szi"))
