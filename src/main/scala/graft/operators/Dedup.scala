@@ -63,20 +63,64 @@ object Dedup {
     * (non-file sources). */
   private[operators] def sizedWidth(df: DataFrame): Int = {
     val confWidth = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bytes =
-      try {
-        val files = df.inputFiles
-        if (files.isEmpty) -1L
-        else files.map { p =>
-          val uri = new java.net.URI(p)
-          if (uri.getScheme == null || uri.getScheme == "file")
-            new java.io.File(uri.getPath).length
-          else -1L
-        }.sum
-      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val bytes = inputBytes(df)
     if (bytes < 0) confWidth
-    else math.max(1L, math.min(confWidth.toLong, bytes / (256L << 10) + 1)).toInt
+    else derivedSizedWidth(bytes, confWidth)
   }
+
+  /** Compressed on-disk bytes behind `df`'s file scans, from scan METADATA
+    * (no data pass); -1 when unknowable (non-file sources). */
+  private[operators] def inputBytes(df: DataFrame): Long =
+    try {
+      val files = df.inputFiles
+      if (files.isEmpty) -1L
+      else files.map { p =>
+        val uri = new java.net.URI(p)
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new java.io.File(uri.getPath).length
+        else -1L
+      }.sum
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** The [[sizedWidth]] arithmetic as a pure function (WidthSpec pins it):
+    * ~1 task per 256 KiB of input bytes, clamped to the configured width. */
+  private[graft] def derivedSizedWidth(bytes: Long, confWidth: Int): Int =
+    math.max(1L, math.min(confWidth.toLong, bytes / (256L << 10) + 1)).toInt
+
+  /** Exchange width for an EXPLOSION-shaped pipeline (r15, closing the r14
+    * perf-weak mark): a shingle explosion shuffles ~`fanOut`× its input
+    * bytes, so a width derived from input bytes alone under-parallelizes
+    * exactly when it matters — the 1000× PPJoin cell pushed 28 GB of
+    * shuffle through 32 input-derived tasks (~850 MB each, 27 GB spill);
+    * the hand pin SPARK_GRAFT_SHUFFLE=128 halved spill (PERF.md r14).
+    * This encodes that pin: width = max(the small-input sizedWidth floor,
+    * estimated shuffle bytes / 128 MB), where estimated shuffle bytes =
+    * input bytes × `fanOut` — allowed to EXCEED the configured width, up
+    * to the same fleet-aware cap as [[graft.api.GraftSession.scaleShuffleWidth]]
+    * (4 waves per core slot). Small inputs are untouched (the fan-out term
+    * rounds to zero below ~6 MB of input at fanOut 20, and the sizedWidth
+    * term keeps its scheduling-overhead floor), so the sf0.1 gate plans
+    * are byte-identical. Falls back to the configured width when input
+    * bytes are unknowable. */
+  private[graft] def fanOutWidth(df: DataFrame, fanOut: Long): Int = {
+    val confWidth = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = inputBytes(df)
+    if (bytes < 0) confWidth
+    else derivedFanOutWidth(bytes, fanOut, confWidth,
+      graft.api.GraftSession.widthCap(
+        df.sparkSession.sparkContext.defaultParallelism))
+  }
+
+  /** The [[fanOutWidth]] arithmetic as a pure function (WidthSpec pins it). */
+  private[graft] def derivedFanOutWidth(bytes: Long, fanOut: Long,
+      confWidth: Int, cap: Long): Int =
+    math.min(cap, math.max(derivedSizedWidth(bytes, confWidth).toLong,
+      bytes * fanOut / (128L << 20))).toInt
+
+  /** Measured shuffle-to-input byte ratio of a word-shingle explosion
+    * (PERF.md r14: the 1000× PPJoin corpus shuffled ≈20× its compressed
+    * input bytes through the shingle exchange). */
+  private[operators] val ShingleFanOut = 20L
 
   /** Exact dedup on arbitrary key columns, keeping the row with the lowest
     * `order` value per key (pandas keep='first' with an explicit order —
@@ -277,7 +321,7 @@ object Dedup {
     // would funnel the entire pair fan-out through one task.
     // (REPARTITION_BY_NUM is exempt from AQE coalescing.) The aggregation
     // below reuses this partitioning, so no second exchange is planned.
-    val sh = shRaw.repartition(sizedWidth(docs), col("sh"))
+    val sh = shRaw.repartition(fanOutWidth(docs, ShingleFanOut), col("sh"))
     // One aggregation groups doc ids per shingle; pair generation then
     // explodes the C(df, 2) combinations per shingle directly — same
     // output as the self-join formulation but with half the shuffle
@@ -404,8 +448,12 @@ object Dedup {
     * overshoot the real product by an ulp — the relaxation keeps the
     * prefix a superset at the cost of one extra token per doc. */
   private def ppjoinPrefix(shWithDf: DataFrame, idName: String,
-      threshold: Double): DataFrame = {
-    val byDoc = shWithDf.groupBy(col(idName))
+      threshold: Double, width: Int): DataFrame = {
+    // Explicit fan-out-aware width on the by-doc exchange: it moves the
+    // same exploded-shingle volume as the by-shingle one (collect_list
+    // has no partial-agg reduction), so the conf width under-sizes it at
+    // scale for the same reason (r15 — see fanOutWidth).
+    val byDoc = shWithDf.repartition(width, col(idName)).groupBy(col(idName))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
     val alpha = greatest(ceil(lit(threshold) * col("sz")).cast("long") - 1, lit(1L))
@@ -424,12 +472,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"ppjoinPairs threshold must be in (0, 1], got $threshold")
+    val width = fanOutWidth(docs, ShingleFanOut)
     val sh = fanOutScan(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
-      .repartition(sizedWidth(docs), col("sh"))
+      .repartition(width, col("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = ppjoinPrefix(sh.join(dfreq, Seq("sh")), "doc_id", threshold)
+    val prefix = ppjoinPrefix(sh.join(dfreq, Seq("sh")), "doc_id", threshold, width)
     // Pair generation per shared PREFIX token, as grouped posexplodes
     // (the r9 ngramJaccardPairs shape) rather than a self-join: a
     // self-join plans the whole shingle+df+window prefix pipeline TWICE
@@ -508,10 +557,11 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"ppjoinIndexPersist threshold must be in (0, 1], got $threshold")
     val spark = indexDocs.sparkSession
+    val width = fanOutWidth(indexDocs, ShingleFanOut)
     val sh = fanOutScan(indexDocs)
       .select(col(idCol).as("index_id"),
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
-      .repartition(sizedWidth(indexDocs), col("sh"))
+      .repartition(width, col("sh"))
     sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .write.mode("overwrite")
       .bucketBy(buckets, "sh").sortBy("sh")
@@ -519,7 +569,7 @@ object Dedup {
     // read the dfs back through the bucketed scan (no recompute, no
     // exchange on the df side of the join)
     ppjoinPrefix(sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh")),
-        "index_id", threshold)
+        "index_id", threshold, width)
       .select(col("sh"), col("index_id"), col("pos"), col("sz"))
       .write.mode("overwrite")
       .bucketBy(buckets, "sh").sortBy("sh")
@@ -579,7 +629,8 @@ object Dedup {
     // total-order extension — see ppjoinIndexPersist)
     val withDf = sh.join(spark.table(s"${namePrefix}_ppdf"), Seq("sh"), "left")
       .na.fill(0L, Seq("df"))
-    val newPrefix = ppjoinPrefix(withDf, "new_id", threshold)
+    val newPrefix = ppjoinPrefix(withDf, "new_id", threshold,
+        fanOutWidth(newDocs, ShingleFanOut))
       .select(col("sh"), col("new_id"), col("pos").as("pn"), col("sz").as("szn"))
     val idxPrefix = spark.table(s"${namePrefix}_pprefix")
       .select(col("sh"), col("index_id"), col("pos").as("pi"), col("sz").as("szi"))
