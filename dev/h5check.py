@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
-"""Independent minimal HDF5 reader (stdlib only) used to cross-validate
-graft.sources.Hdf5's writer: two clean-room implementations of the public
-HDF5 File Format Specification v3.0 (v0 superblock, v1 symbol-table
-groups, v1 object headers, contiguous float64 LE datasets). Written from
-the spec text, NOT from the Scala code — disagreement between the two
-means one of them misread the spec.
+"""Independent minimal HDF5 reader + chunked writer (stdlib only) used to
+cross-validate graft.sources.Hdf5: two clean-room implementations of the
+public HDF5 File Format Specification v3.0 (v0 superblock, v1
+symbol-table groups, v1 object headers, contiguous AND unfiltered
+v1-B-tree chunked float64 LE datasets). Written from the spec text, NOT
+from the Scala code — disagreement between the two means one of them
+misread the spec.
 
-Usage: h5check.py <file.h5> <dataset> [--head N]
-Prints: shape, then the first N rows (default 5) and column sums.
+Usage:
+  h5check.py <file.h5> <dataset> [--head N]
+      Prints shape, the first N rows (default 5) and column sums.
+  h5check.py --write-chunked <out.h5> <dataset> <n> <c> <chunk_rows>
+      Writes a rank-2 chunked float64 dataset with value(i, j) =
+      i * 1000 + j + 0.5 — the Hdf5Spec fixture generator (r15: the
+      Scala reader's chunked path gates against files written HERE, so
+      the two implementations stay independent).
 """
 import struct
 import sys
@@ -33,26 +40,30 @@ def u64(b, o):
 
 def messages(buf, addr):
     """All (type, body) messages of the v1 object header at addr,
-    following 0x0010 continuations."""
+    following 0x0010 continuations. Continuation messages COUNT toward
+    the declared total (spec + the Scala reader agree; r15 ADVICE fix —
+    the old exclusion falsely rejected h5py-grown headers)."""
     if buf[addr] != 1:
         fail(f"object header at {addr} is version {buf[addr]}, want 1")
     nmsgs = u16(buf, addr + 2)
     first_len = u32(buf, addr + 8)
     blocks = [(addr + 16, first_len)]
     out = []
-    while len(out) < nmsgs and blocks:
+    seen = 0
+    while seen < nmsgs and blocks:
         ba, blen = blocks.pop(0)
         pos, end = ba, ba + blen
-        while len(out) < nmsgs and pos + 8 <= end:
+        while seen < nmsgs and pos + 8 <= end:
             tpe, sz = u16(buf, pos), u16(buf, pos + 2)
             body = buf[pos + 8 : pos + 8 + sz]
             pos += 8 + sz
+            seen += 1
             if tpe == 0x0010:
                 blocks.append((u64(body, 0), u64(body, 8)))
             else:
                 out.append((tpe, body))
-    if len(out) != nmsgs:
-        fail(f"header at {addr}: declared {nmsgs} messages, found {len(out)}")
+    if seen != nmsgs:
+        fail(f"header at {addr}: declared {nmsgs} messages, found {seen}")
     return out
 
 
@@ -124,17 +135,70 @@ def main():
     n = u64(ds, dims_off)
     c = u64(ds, dims_off + 8) if rank == 2 else 1
     lay = msgs[0x0008]
-    if lay[0] != 3 or lay[1] != 1:
-        fail(f"layout version/class {(lay[0], lay[1])}, want (3, 1) contiguous")
-    addr, size = u64(lay, 2), u64(lay, 10)
-    print(f"shape=({n}, {c}) data_addr={addr} data_bytes={size}")
-    if n == 0:
-        return
-    if size != n * c * 8:
-        fail(f"layout size {size} != {n}*{c}*8")
+    if lay[0] != 3 or lay[1] not in (1, 2):
+        fail(f"layout version/class {(lay[0], lay[1])}, want v3 class 1 or 2")
+    if lay[1] == 1:
+        addr, size = u64(lay, 2), u64(lay, 10)
+        print(f"shape=({n}, {c}) layout=contiguous data_addr={addr} data_bytes={size}")
+        if n == 0:
+            return
+        if size != n * c * 8:
+            fail(f"layout size {size} != {n}*{c}*8")
+
+        def row_at(i):
+            return struct.unpack_from(f"<{c}d", buf, addr + i * c * 8)
+    else:
+        # v1-B-tree chunked, unfiltered, full-width chunks
+        if 0x000B in msgs:
+            fail("filter pipeline present (compressed) — outside profile")
+        dty = lay[2]
+        if dty != rank + 1:
+            fail(f"chunk dimensionality {dty} for rank {rank}")
+        bt = u64(lay, 3)
+        chunk_rows = u32(lay, 11)
+        chunk_cols = u32(lay, 15) if rank == 2 else 1
+        if u32(lay, 11 + 4 * (dty - 1)) != 8:
+            fail("chunk element size != 8")
+        if chunk_cols != c:
+            fail(f"column-split chunks ({chunk_cols} of {c}) — outside profile")
+        key_len = 8 + 8 * dty
+
+        def chunks(addr):
+            if buf[addr : addr + 4] != b"TREE":
+                fail(f"bad chunk TREE signature at {addr}")
+            if buf[addr + 4] != 1:
+                fail("non-chunk B-tree in chunk walk")
+            level, used = buf[addr + 5], u16(buf, addr + 6)
+            out = []
+            for i in range(used):
+                k = addr + 24 + i * (key_len + 8)
+                size, mask, row_off = u32(buf, k), u32(buf, k + 4), u64(buf, k + 8)
+                child = u64(buf, k + key_len)
+                if level > 0:
+                    out += chunks(child)
+                else:
+                    if mask != 0:
+                        fail(f"filtered chunk at row {row_off}")
+                    if size != chunk_rows * c * 8:
+                        fail(f"chunk at {row_off} stores {size} bytes")
+                    out.append((row_off, child))
+            return out
+
+        cl = sorted(chunks(bt))
+        print(f"shape=({n}, {c}) layout=chunked({chunk_rows}) chunks={len(cl)}")
+        if n == 0:
+            return
+        for i, (off, _) in enumerate(cl):
+            if off != i * chunk_rows:
+                fail(f"chunk grid hole at index {i} (row {off})")
+
+        def row_at(i):
+            off, addr2 = cl[i // chunk_rows]
+            return struct.unpack_from(f"<{c}d", buf, addr2 + (i - off) * c * 8)
+
     sums = [0.0] * c
     for i in range(n):
-        row = struct.unpack_from(f"<{c}d", buf, addr + i * c * 8)
+        row = row_at(i)
         for j, v in enumerate(row):
             sums[j] += v
         if i < head:
@@ -142,5 +206,104 @@ def main():
     print(f"col_sums={sums}")
 
 
+def pad8(x):
+    return (x + 7) & ~7
+
+
+def write_chunked(path, dataset, n, c, chunk_rows):
+    """Write a rank-2 v1-B-tree chunked float64 file — same fixed group
+    scaffolding as the Scala writer's byte plan (one spec, independent
+    code), but a class-2 layout + a level-0 type-1 chunk B-tree."""
+    name = dataset.encode()
+    nchunks = (n + chunk_rows - 1) // chunk_rows if n else 0
+    D = 3  # rank 2 + element-size dim
+    key_len = 8 + 8 * D
+    superblock, root_oh, heap = 0, 96, 136
+    heap_seg_addr = heap + 32
+    heap_seg = 8 + pad8(len(name) + 1)
+    gbtree = heap_seg_addr + heap_seg
+    gbtree_size = 24 + (2 * 16 + 1) * 8 + 2 * 16 * 8
+    snod = gbtree + gbtree_size
+    snod_size = 8 + 2 * 4 * 40
+    dset_oh = snod + snod_size
+    dset_oh_size = 16 + 3 * (8 + 24)
+    cbtree = dset_oh + dset_oh_size
+    # level-0 node: header 24 + used*(key+child) + one trailing key
+    cbtree_size = 24 + nchunks * (key_len + 8) + key_len
+    data = pad8(cbtree + cbtree_size)
+    chunk_bytes = chunk_rows * c * 8
+    eof = data + nchunks * chunk_bytes
+
+    out = bytearray(eof)
+
+    def put(off, fmt, *vals):
+        struct.pack_into(fmt, out, off, *vals)
+
+    out[0:8] = b"\x89HDF\r\n\x1a\n"
+    out[13], out[14] = 8, 8
+    put(16, "<HH", 4, 16)  # leaf K, internal K
+    put(24, "<QQQQ", 0, UNDEF, eof, UNDEF)
+    put(56, "<QQII", 0, root_oh, 1, 0)  # root STE, cache type 1
+    put(72, "<QQ", gbtree, heap)
+    # root object header: one symbol-table message
+    put(root_oh, "<BBHIII", 1, 0, 1, 1, 8 + 16, 0)
+    put(root_oh + 16, "<HHI", 0x0011, 16, 0)
+    put(root_oh + 24, "<QQ", gbtree, heap)
+    # local heap
+    out[heap : heap + 4] = b"HEAP"
+    put(heap + 8, "<QQQ", heap_seg, UNDEF, heap_seg_addr)
+    out[heap_seg_addr + 8 : heap_seg_addr + 8 + len(name)] = name
+    # group B-tree: one SNOD child
+    out[gbtree : gbtree + 4] = b"TREE"
+    put(gbtree + 4, "<BBH", 0, 0, 1)
+    put(gbtree + 8, "<QQ", UNDEF, UNDEF)
+    put(gbtree + 24, "<QQQ", 0, snod, 8)
+    # SNOD with the dataset entry
+    out[snod : snod + 4] = b"SNOD"
+    put(snod + 4, "<BBH", 1, 0, 1)
+    put(snod + 8, "<QQII", 8, dset_oh, 0, 0)
+    # dataset object header: datatype, dataspace, chunked layout
+    put(dset_oh, "<BBHIII", 1, 0, 3, 1, 3 * (8 + 24), 0)
+    m = dset_oh + 16
+    put(m, "<HHI", 0x0003, 24, 0)
+    put(m + 8, "<BBBBIHHBBBBI", 0x11, 0x20, 63, 0, 8, 0, 64, 52, 11, 0, 52, 1023)
+    m += 32
+    put(m, "<HHI", 0x0001, 24, 0)
+    put(m + 8, "<BBB", 1, 2, 0)
+    put(m + 16, "<QQ", n, c)
+    m += 32
+    put(m, "<HHI", 0x0008, 24, 0)
+    put(m + 8, "<BBB", 3, 2, D)
+    put(m + 11, "<Q", cbtree if nchunks else UNDEF)
+    put(m + 19, "<III", chunk_rows, c, 8)
+    # chunk B-tree: single level-0 type-1 node
+    out[cbtree : cbtree + 4] = b"TREE"
+    put(cbtree + 4, "<BBH", 1, 0, nchunks)
+    put(cbtree + 8, "<QQ", UNDEF, UNDEF)
+    p = cbtree + 24
+    for k in range(nchunks):
+        put(p, "<II", chunk_bytes, 0)
+        put(p + 8, "<QQQ", k * chunk_rows, 0, 0)
+        put(p + key_len, "<Q", data + k * chunk_bytes)
+        p += key_len + 8
+    put(p, "<II", 0, 0)  # trailing upper-bound key
+    put(p + 8, "<QQQ", n, c, 0)
+    # chunk data (edge chunk zero-padded)
+    for k in range(nchunks):
+        base = data + k * chunk_bytes
+        for r in range(chunk_rows):
+            i = k * chunk_rows + r
+            if i >= n:
+                break
+            row = [i * 1000.0 + j + 0.5 for j in range(c)]
+            put(base + r * c * 8, f"<{c}d", *row)
+    open(path, "wb").write(out)
+    print(f"wrote {path}: shape=({n}, {c}) chunk_rows={chunk_rows} chunks={nchunks}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--write-chunked":
+        write_chunked(sys.argv[2], sys.argv[3], int(sys.argv[4]),
+                      int(sys.argv[5]), int(sys.argv[6]))
+    else:
+        main()

@@ -107,6 +107,12 @@ object ScaleBench {
 
   /** The six flagship pipelines (stream_dedup joined in r9), each forced
     * with a count(). */
+  /** One-time tokenizer-scale merge table for the bpe_tokens cell —
+    * deterministic (synthetic lexicon, delta trainer), trained per JVM. */
+  private lazy val bpe10k: Vector[(String, String)] =
+    graft.functions.PinnedBpeGen.trainFast(
+      graft.functions.PinnedBpeGen.syntheticVocab(8000), 10000)
+
   private def pipelines: Seq[(String, (SparkSession, String) => Long)] = {
     import graft.operators.{Components, Curation, Dedup, Similarity}
     // Adversarial-skew fixture (r10): 80% of every corpus lands in ONE
@@ -179,6 +185,20 @@ object ScaleBench {
       },
       "curation6" -> { (s: SparkSession, dir: String) =>
         SparkEntry.queries("ext_curation6")(s, dir).count()
+      },
+      "bpe_tokens" -> { (s: SparkSession, dir: String) =>
+        // tokenizer-scale BPE throughput (r15 VERDICT #2): the native
+        // merge-loop encoder over a 10k-merge table — the returned
+        // "rows" is the TOTAL TOKEN COUNT, so tokens/s = rows / wall.
+        // The table is trained ONCE per JVM (trainFast over the
+        // deterministic synthetic lexicon — the fixture's 31-word
+        // lexicon exhausts at ~90 merges); its char-pair merges (th,
+        // he, in, er, …) bite on the corpus text, and the per-instance
+        // distinct-word cache models the Zipfian steady state.
+        val docs = Tables.load(s, dir, "documents")
+        docs.agg(sum(graft.functions.TextFunctions
+            .bpeTokenCountFast(s, col("text"), bpe10k)).as("tokens"))
+          .head().getLong(0)
       },
       "skew_domain_cap" -> { (s: SparkSession, dir: String) =>
         forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",

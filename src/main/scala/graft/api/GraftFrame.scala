@@ -1315,6 +1315,27 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       wide: Boolean = false): GraftFrame =
     GraftFrame(Sessionize.tsFeatures(df, keyCol, orderCols, intCol, wide))
 
+  /** LOSSLESS exact-similarity self-join — every (doc_a, doc_b) pair at
+    * jaccard >= `threshold` over word `n`-gram shingles, via prefix+
+    * length+positional filtering ([[graft.operators.Dedup.ppjoinPairs]];
+    * the LSH path [[graft.operators.Dedup.minhashDedupPairs]] remains
+    * the default at extreme scale — exactness costs ~5–25× beyond 100×,
+    * PERF.md r14). */
+  def ppjoinPairs(textCol: String, idCol: String, n: Int = 3,
+      threshold: Double = 0.8): GraftFrame =
+    GraftFrame(graft.operators.Dedup.ppjoinPairs(df, textCol, idCol, n, threshold))
+
+  /** Appends a real-BPE token-count column over a merge table
+    * ([[graft.functions.TextFunctions.bpeTokenCountFast]]: the native
+    * merge-loop encoder when GraftExtensions is registered — plan size
+    * O(1) in the vocabulary — else the replace-chain at gate-scale
+    * tables). Default merges: the committed [[graft.functions.PinnedBpe]]
+    * table (the oracled ext_bpe_tokens path). */
+  def bpeTokens(textCol: String, out: String,
+      merges: Seq[(String, String)] = graft.functions.PinnedBpe.merges): GraftFrame =
+    GraftFrame(df.withColumn(out, graft.functions.TextFunctions
+      .bpeTokenCountFast(df.sparkSession, df(textCol), merges)), index)
+
   /** pandas resample('1D') with calendar completion per key (see
     * [[graft.operators.Sessionize.resampleDaily]]). */
   def resampleDaily(keyCol: String, tsCol: String, sumCol: Column): GraftFrame =

@@ -1,0 +1,134 @@
+package graft.functions
+
+/** Executor-side classic-BPE encoding core (r15 VERDICT #2 — the
+  * tokenizer-scale path behind [[TextFunctions.bpeTokenCountFast]] /
+  * the `graft_bpe_count` native expression): a greedy merge loop over a
+  * rank table, O(1) plan size in the vocabulary, unlike the oracle-able
+  * replace-chain [[TextFunctions.bpeTokenCount]] whose plan grows one
+  * node per merge (fine at the pinned 48, unusable at a production
+  * 32k–50k merge vocabulary).
+  *
+  * Equivalence to the replace-chain path (BpeSpec pins it empirically):
+  * the replace chain applies merges in RANK ORDER, each exhaustively
+  * left-to-right; this loop repeatedly applies the LOWEST-ranked pair
+  * present, exhaustively left-to-right. The two orders coincide because
+  * a later merge's output symbol cannot appear in an earlier merge's
+  * pair (that symbol did not exist when the earlier pair was trained),
+  * so applying a higher rank never creates occurrences of a lower one —
+  * the same argument that makes "apply merges in order" valid in
+  * reference BPE implementations. Words are whitespace tokens; merges
+  * never cross word boundaries (training never sees a space).
+  *
+  * Ref mars has no tokenizer — this is the LLM-pipeline brief's own
+  * surface (the pinned-table oracle gate is ext_bpe_tokens).
+  */
+object BpeEncode {
+
+  /** Pair/entry separators for the serialized merge table (an expression
+    * argument must be one foldable literal): U+0000/U+0001 cannot occur
+    * in any merge symbol — symbols are built from whitespace-token
+    * characters, and a word containing them would never train a merge
+    * that the serialized form could confuse (the separators simply never
+    * collide with data because [[serialize]] refuses them). */
+  private val SymSep = '\u0000'
+  private val PairSep = '\u0001'
+
+  def serialize(merges: Seq[(String, String)]): String = {
+    merges.foreach { case (a, b) =>
+      require(!a.exists(c => c == SymSep || c == PairSep) &&
+        !b.exists(c => c == SymSep || c == PairSep),
+        "merge symbols must not contain U+0000/U+0001")
+    }
+    merges.iterator.map { case (a, b) => s"$a$SymSep$b" }.mkString(PairSep.toString)
+  }
+
+  /** rank table keyed "a<U+0000>b" → rank (lower merges first). */
+  def parseRanks(spec: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    if (spec.isEmpty) return m
+    var rank = 0
+    for (entry <- spec.split(PairSep.toString, -1)) {
+      // putIfAbsent: if a pair somehow repeats, the EARLIER rank wins —
+      // matching the replace chain, where the later replace finds nothing
+      m.putIfAbsent(entry, Integer.valueOf(rank))
+      rank += 1
+    }
+    m
+  }
+
+  /** BPE symbol count of one word (no spaces): greedy lowest-rank merge
+    * loop, each application exhaustive left-to-right. O(len²) worst case
+    * on the word length — words are short; the per-DOC cost is bounded
+    * by the distinct-word cache in [[countDoc]]. */
+  def countWord(w: String, ranks: java.util.HashMap[String, Integer]): Long = {
+    val len = w.length
+    if (len <= 1) return len.toLong
+    var syms = new Array[String](len)
+    var i = 0
+    while (i < len) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var n = len
+    var done = false
+    while (!done && n > 1) {
+      // find the lowest-ranked adjacent pair present
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      i = 0
+      while (i < n - 1) {
+        val r = ranks.get(syms(i) + SymSep + syms(i + 1))
+        if (r != null && r.intValue() < best) {
+          best = r.intValue(); bestA = syms(i); bestB = syms(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else {
+        // merge every (bestA, bestB) occurrence left-to-right with skip —
+        // "aaa" under (a,a) becomes (aa)(a), same as the replace pass
+        val ab = bestA + bestB
+        var out = 0
+        i = 0
+        while (i < n) {
+          if (i < n - 1 && syms(i) == bestA && syms(i + 1) == bestB) {
+            syms(out) = ab; i += 2
+          } else { syms(out) = syms(i); i += 1 }
+          out += 1
+        }
+        n = out
+      }
+    }
+    n.toLong
+  }
+
+  /** Token count of a whole document: sum of per-word counts over the
+    * space-split tokens (empty tokens from consecutive spaces count 0 —
+    * identical to the replace-chain accounting). `cache` memoizes
+    * distinct words (Zipfian corpora hit it constantly); bounded —
+    * past [[CacheCap]] entries new words encode uncached. */
+  private val CacheCap = 1 << 20
+
+  def countDoc(text: String,
+      ranks: java.util.HashMap[String, Integer],
+      cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]): Long = {
+    var total = 0L
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          val w = text.substring(start, i)
+          var c = cache.get(w)
+          if (c == null) {
+            c = java.lang.Long.valueOf(countWord(w, ranks))
+            if (cache.size() < CacheCap) cache.put(w, c)
+          }
+          total += c.longValue()
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+}

@@ -14,24 +14,20 @@ import org.apache.spark.sql.functions._
   * pair — deterministic), applying each merge corpus-wide before the
   * next count. Words are the whitespace tokens; no cross-word pairs.
   *
+  * [[train]] is the reusable core (r15): BpeSpec trains mid-size tables
+  * for the fast-vs-chain equivalence pins, and ScaleBench's bpe_tokens
+  * cell trains a tokenizer-scale (~10k-merge) table for the
+  * [[TextFunctions.bpeTokenCountFast]] throughput measurement.
+  *
   * Usage: graft.functions.PinnedBpeGen [sfDir] [numMerges]
   */
 object PinnedBpeGen {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val k = args.lift(1).map(_.toInt).getOrElse(120)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    // distinct words + counts — a bounded vocabulary (the fixture's
-    // synthetic lexicon), collected once by this offline generator
-    val words: Array[(String, Long)] = spark.read
-      .parquet(s"$dir/documents.parquet")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Train `k` merges over a (word, count) vocabulary. Driver-side and
+    * bounded: the vocab is a lexicon, not the corpus (callers aggregate
+    * counts distributed and collect only distinct words). Stops early
+    * when no adjacent pair remains (fully merged vocabulary). */
+  def train(words: Array[(String, Long)], k: Int): Vector[(String, String)] = {
     var vocab: Array[(Vector[String], Long)] =
       words.map { case (w, c) => (w.map(_.toString).toVector, c) }
     val merges = Vector.newBuilder[(String, String)]
@@ -61,7 +57,115 @@ object PinnedBpeGen {
         i += 1
       }
     }
-    val ms = merges.result()
+    merges.result()
+  }
+
+  /** [[train]] with incremental pair-count maintenance (r15 — the
+    * tokenizer-scale trainer): identical merges (same (-count, a, b)
+    * argmin, spec-pinned ≡ [[train]]), but each step touches only the
+    * words CONTAINING the merged pair (an inverted pair→words index)
+    * and keeps the candidate order in a TreeSet updated by deltas —
+    * O(applies · log pairs) total instead of a full vocabulary recount
+    * per merge, which is what makes a 10k-merge table trainable in
+    * seconds where the naive loop takes minutes. */
+  def trainFast(words: Array[(String, Long)], k: Int): Vector[(String, String)] = {
+    import scala.collection.mutable
+    type Pair = (String, String)
+    val vocab: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    val wc: Array[Long] = words.map(_._2)
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val byPair = mutable.HashMap.empty[Pair, mutable.Set[Int]]
+    // candidate order: highest count first, ties lexicographically smallest
+    val sorted = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.by(t => (-t._1, t._2, t._3)))
+    def pairsOf(syms: Array[String]): Iterator[Pair] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(j => (syms(j), syms(j + 1)))
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0) sorted.remove((old, p._1, p._2))
+      val nu = old + delta
+      if (nu > 0) { counts(p) = nu; sorted.add((nu, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    for (i <- vocab.indices; p <- pairsOf(vocab(i))) {
+      bump(p, wc(i))
+      byPair.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+    val merges = Vector.newBuilder[Pair]
+    var m = 0
+    while (m < k && sorted.nonEmpty) {
+      val (_, a, b) = sorted.head
+      val best = (a, b)
+      merges += best
+      val ab = a + b
+      for (i <- byPair.getOrElse(best, mutable.Set.empty).toArray.sorted) {
+        val syms = vocab(i)
+        val oldPairs = pairsOf(syms).toVector
+        // apply the merge left-to-right with skip (same as train)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += ab; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        val nu = out.result()
+        val newPairs = pairsOf(nu).toVector
+        oldPairs.foreach(p => bump(p, -wc(i)))
+        newPairs.foreach(p => bump(p, wc(i)))
+        for (p <- oldPairs.distinct.diff(newPairs.distinct))
+          byPair.get(p).foreach(_ -= i)
+        for (p <- newPairs.distinct.diff(oldPairs.distinct))
+          byPair.getOrElseUpdate(p, mutable.Set.empty) += i
+        vocab(i) = nu
+      }
+      byPair.remove(best)
+      m += 1
+    }
+    merges.result()
+  }
+
+  /** A deterministic tokenizer-scale synthetic lexicon (syllable
+    * products with Zipf-ish counts) for throughput cells and specs —
+    * the fixture's 31-word lexicon exhausts at ~90 merges, far below a
+    * production vocabulary. */
+  def syntheticVocab(nWords: Int): Array[(String, Long)] = {
+    val syl = Array("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr",
+      "st", "uv", "wx", "yz", "th", "er", "on", "an", "re", "he", "in")
+    Array.tabulate(nWords) { i =>
+      val w = syl(i % 20) + syl((i / 20) % 20) + syl((i / 400) % 20) +
+        (if (i % 3 == 0) syl((i / 8000) % 20) else "")
+      (w + ('a' + i % 26).toChar, (nWords.toLong - i) * 7 % 997 + 1)
+    }.distinct
+  }
+
+  /** Distinct-word counts of a corpus' `text` column — the bounded
+    * lexicon [[train]] runs on. `maxWords` caps the driver fetch at the
+    * most frequent words (a training-scale safety valve; the fixture
+    * lexicon is far smaller). */
+  def vocabOf(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      maxWords: Int = 200000): Array[(String, Long)] =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val k = args.lift(1).map(_.toInt).getOrElse(120)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // distinct words + counts — a bounded vocabulary (the fixture's
+    // synthetic lexicon), collected once by this offline generator
+    val words = vocabOf(spark,
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val ms = train(words, k)
     val rows = ms.grouped(4).map(g =>
       "    " + g.map { case (a, b) => s"""("$a", "$b")""" }.mkString(", "))
       .mkString(",\n")

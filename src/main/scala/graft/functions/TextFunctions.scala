@@ -66,6 +66,37 @@ object TextFunctions {
     (symbols - markers.cast("long")).cast("long")
   }
 
+  /** Tokenizer-scale BPE token count (r15 — the production path the
+    * replace-chain [[bpeTokenCount]] gate-scales down to): the native
+    * `graft_bpe_count` expression runs [[BpeEncode]]'s executor-side
+    * merge loop over the table serialized as ONE foldable literal —
+    * plan size O(1) in the vocabulary, so a 32k–50k merge production
+    * tokenizer costs one reference object where the replace chain would
+    * need one plan node per merge. Counts are IDENTICAL to
+    * [[bpeTokenCount]] on the same merges (BpeSpec pins it; the greedy
+    * lowest-rank loop and the rank-ordered replace chain coincide — see
+    * [[BpeEncode]]). Sessions without [[graft.plans.GraftExtensions]]
+    * fall back to the replace chain when the table is small enough for
+    * a per-merge plan (the pinned-table/gate regime) and fail loudly
+    * beyond it rather than build a 50k-node plan. */
+  def bpeTokenCountFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column,
+      merges: Seq[(String, String)] = PinnedBpe.merges): Column =
+    bpeTokenCountImpl(
+      spark.catalog.functionExists("graft_bpe_count"), text, merges)
+
+  private[graft] def bpeTokenCountImpl(nativeAvailable: Boolean,
+      text: Column, merges: Seq[(String, String)]): Column = {
+    if (nativeAvailable)
+      call_function("graft_bpe_count", text, lit(BpeEncode.serialize(merges)))
+    else if (merges.size <= 512) bpeTokenCount(text, merges)
+    else throw new IllegalArgumentException(
+      s"bpeTokenCountFast with ${merges.size} merges needs the native " +
+        "graft_bpe_count expression — enable " +
+        "spark.sql.extensions=graft.plans.GraftExtensions (the replace-" +
+        "chain fallback is only viable at gate-scale merge tables)")
+  }
+
   /** DuckDB mirror of [[bpeTokenCount]] as staged CTE select-fragments:
     * returns the SQL stages to interpose between the source select and
     * the final aggregation — one stage per `perStage` merges keeps the

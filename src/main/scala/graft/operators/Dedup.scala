@@ -544,7 +544,8 @@ object Dedup {
     * prefixes (no index doc contains them). What drifts with corpus
     * age is SELECTIVITY (the frozen dfs stop reflecting the true
     * frequencies), not correctness — re-persist when probe fan-out
-    * degrades. The persisted `threshold` t0 is the prefix-cut floor:
+    * degrades. Retiring documents: [[ppjoinIndexDelete]] (r15 —
+    * crash-safe via [[ppjoinIndexRecover]]). The persisted `threshold` t0 is the prefix-cut floor:
     * any query threshold >= t0 is lossless (higher t needs SHORTER
     * prefixes — a subset of what's stored); a query below t0 would
     * need longer prefixes than exist and is refused loudly. No append
@@ -589,7 +590,8 @@ object Dedup {
   /** Drop the four tables of a persisted PPJoin prefix index. */
   def dropPpjoinIndex(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String): Unit =
-    Seq("_ppdf", "_pprefix", "_ppshingles", "_ppparams")
+    Seq("_ppdf", "_pprefix", "_ppshingles", "_ppparams",
+        "_pprefix__rw", "_ppshingles__rw", "_pprwcommit")
       .foreach(s => dropTableAndLocation(spark, s"$namePrefix$s"))
 
   /** [[ppjoinPairs]] between a NEW batch and the PERSISTED prefix index
@@ -966,7 +968,7 @@ object Dedup {
   def dropIndex(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String): Unit =
     Seq("_bands", "_shingles", "_params", "_batches",
-        "_bands__rw", "_shingles__rw")
+        "_bands__rw", "_shingles__rw", "_rwcommit")
       .foreach(s => dropTableAndLocation(spark, s"$namePrefix$s"))
 
   /** DROP IF EXISTS + wipe the managed location: the in-memory catalog
@@ -1026,6 +1028,34 @@ object Dedup {
     val ledger = indexLedger(spark, namePrefix)
     val id = if (batchId >= 0) batchId else ledger.max + 1
     if (ledger.contains(id)) return false
+    // LOUD same-id/different-text check (r15 VERDICT #5, upgrading the
+    // "ids unique across the index's lifetime" Scaladoc contract to a
+    // runtime failure — the params-contract treatment for DATA): the
+    // shingle anti-join below keeps the OLD shingles for a re-appearing
+    // index_id while new bands would be written from the NEW text, so a
+    // mutable-content corpus (URL ids, edited pages) would silently
+    // verify future candidates against stale shingles. Fingerprint =
+    // xxhash64 of the sorted shingle set, computed identically on both
+    // sides; the store side is a bucketed scan on index_id, only the
+    // batch shuffles; the fetch is bounded (limit 1). An IDENTICAL-text
+    // re-append passes (and stays a shingle no-op via the anti-join).
+    val clash = fanOutScan(newDocs)
+      .select(col(idCol).as("index_id"),
+        xxhash64(sort_array(
+          TextFunctions.hashedShingles(col(textCol), p.n))).as("__fp_new"))
+      .join(spark.table(s"${namePrefix}_shingles")
+          .select(col("index_id"),
+            xxhash64(sort_array(col("shs_i"))).as("__fp_old")),
+        Seq("index_id"))
+      .filter(col("__fp_new") =!= col("__fp_old"))
+      .select(col("index_id")).limit(1).collect()
+    require(clash.isEmpty,
+      s"minhashIndexAppend: index_id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        s"re-appended into '$namePrefix' with DIFFERENT text — index ids " +
+        "must be unique across the index's lifetime (the shingle store " +
+        "would keep the old text and silently mis-verify future " +
+        "candidates); delete the id first (minhashIndexDelete) or assign " +
+        "a fresh id")
     // insertInto matches columns by POSITION — keep table column order.
     // Pre-partition on the bucket columns so each append adds exactly
     // ONE file per bucket instead of one per (task × bucket): without
@@ -1103,9 +1133,11 @@ object Dedup {
     * duplicates, and swaps the tables in. The LEDGER is preserved
     * verbatim: a stream restarting from an old checkpoint must still
     * skip its already-processed batches. OFFLINE maintenance — run with
-    * no stream or append active on the index; the swap (drop + rename)
-    * is not atomic, so a crash between them leaves the rewritten table
-    * under `<name>__rw` to recover by hand. */
+    * no stream or append active on the index. CRASH-SAFE (r15): a crash
+    * at any point is repaired by [[minhashIndexRecover]] — before the
+    * commit marker the live tables are untouched (recovery rolls the
+    * `__rw` twins back), after it the twins are complete (recovery
+    * finishes the swap); ext_dedup_index_recover gates every failpoint. */
   def minhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String): Unit = {
     val ledgered = indexLedger(spark, namePrefix)
@@ -1119,9 +1151,10 @@ object Dedup {
     * bucketed rewrite of both tables with the given ids anti-joined
     * out — takedowns, expiry, corpus pruning. `ids` is a one-column
     * frame of index ids (small relative to the index: it broadcasts).
-    * Offline maintenance, same swap caveat as [[minhashIndexCompact]];
-    * the ledger is untouched (retired docs' batches stay ledgered, so
-    * replays still skip them). */
+    * Offline maintenance, crash-safe via [[minhashIndexRecover]] (same
+    * marker protocol as [[minhashIndexCompact]]); the ledger is
+    * untouched (retired docs' batches stay ledgered, so replays still
+    * skip them). */
   def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
@@ -1132,32 +1165,132 @@ object Dedup {
       shTbl => shTbl.join(del, Seq("index_id"), "left_anti"))
   }
 
-  /** Shared bucketed-rewrite machinery for compact/delete: transform
-    * each table, write to `__rw` twins with the index's own bucket
-    * layout (from the params table) at one file per bucket, then swap.
-    * Both rewrites fully materialize BEFORE the first drop, so a crash
-    * mid-rewrite leaves the live tables untouched. */
+  /** Test-only crash injection for the rewrite/recover gates (the
+    * [[appendFailpoint]] pattern): called with (marker, stage) after each
+    * rewrite step — stages are `rw:<table>`, `commit`, `drop:<table>`,
+    * `rename:<table>`, `done`. Production value is a no-op. */
+  @volatile private[graft] var rewriteFailpoint: (String, String) => Unit =
+    (_, _) => ()
+
+  /** Shared bucketed-rewrite machinery for compact/delete (LSH and PPJoin
+    * indexes): transform each table, write to `__rw` twins at one file
+    * per bucket, then swap. CRASH-SAFE (r15 VERDICT #3 — the append path
+    * got its replay contract in r14; this closes the rewrite's): a
+    * single-row `marker` table is written AFTER both twins fully
+    * materialize and dropped after the last swap, so recovery
+    * ([[recoverRewrite]]) always knows which side is authoritative —
+    * no marker → the live tables were never touched, roll BACK (drop
+    * twins); marker → the twins are complete, roll FORWARD (finish the
+    * drop+rename per table). A rewrite started while a crashed one's
+    * marker exists fails loudly (the live tables may be mid-swap). */
+  private def rewriteTablesAtomic(spark: org.apache.spark.sql.SparkSession,
+      marker: String, buckets: Int,
+      rewrites: Seq[(String, Seq[String], DataFrame => DataFrame)]): Unit = {
+    require(!spark.catalog.tableExists(marker),
+      s"crashed rewrite detected (marker $marker exists) — run the index's " +
+        "recover entry point before starting a new rewrite")
+    rewrites.foreach { case (nm, _, _) =>
+      dropTableAndLocation(spark, s"${nm}__rw") }
+    rewrites.foreach { case (nm, bucketCols, f) =>
+      f(spark.table(nm))
+        .repartition(buckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet").saveAsTable(s"${nm}__rw")
+      rewriteFailpoint(marker, s"rw:$nm")
+    }
+    spark.createDataFrame(rewrites.map(r => Tuple1(r._1))).toDF("table_name")
+      .write.format("parquet").saveAsTable(marker)
+    rewriteFailpoint(marker, "commit")
+    rewrites.foreach { case (nm, _, _) =>
+      spark.sql(s"DROP TABLE $nm")
+      rewriteFailpoint(marker, s"drop:$nm")
+      spark.sql(s"ALTER TABLE ${nm}__rw RENAME TO $nm")
+      // the session caches file listings per table name — a renamed-in
+      // rewrite must invalidate them or later scans read dropped files
+      spark.catalog.refreshTable(nm)
+      rewriteFailpoint(marker, s"rename:$nm")
+    }
+    dropTableAndLocation(spark, marker)
+    rewriteFailpoint(marker, "done")
+  }
+
+  /** Complete or roll back an interrupted [[rewriteTablesAtomic]] (r15
+    * VERDICT #3). Returns what it did: "completed" (marker present —
+    * twins were fully written, so the swap is FINISHED per table:
+    * drop the live table if its swap hadn't started, rename the twin
+    * in), "rolled_back" (no marker — the live tables were never
+    * touched; any twins are dropped), or "clean" (nothing to do).
+    * Idempotent: a crash inside recovery re-recovers. */
+  private def recoverRewrite(spark: org.apache.spark.sql.SparkSession,
+      marker: String, tables: Seq[String]): String = {
+    if (spark.catalog.tableExists(marker)) {
+      for (nm <- tables) {
+        if (spark.catalog.tableExists(s"${nm}__rw")) {
+          if (spark.catalog.tableExists(nm)) spark.sql(s"DROP TABLE $nm")
+          spark.sql(s"ALTER TABLE ${nm}__rw RENAME TO $nm")
+        }
+        require(spark.catalog.tableExists(nm),
+          s"recover: neither $nm nor its __rw twin exists — the index " +
+            "is beyond in-place recovery (re-persist it)")
+        // invalidate cached file listings under the (re)used table name
+        spark.catalog.refreshTable(nm)
+      }
+      dropTableAndLocation(spark, marker)
+      "completed"
+    } else if (tables.exists(nm =>
+        spark.catalog.tableExists(s"${nm}__rw"))) {
+      tables.foreach(nm => dropTableAndLocation(spark, s"${nm}__rw"))
+      "rolled_back"
+    } else "clean"
+  }
+
+  /** [[recoverRewrite]] for a persisted LSH index's compact/delete. */
+  def minhashIndexRecover(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): String =
+    recoverRewrite(spark, s"${namePrefix}_rwcommit",
+      Seq(s"${namePrefix}_bands", s"${namePrefix}_shingles"))
+
+  /** [[recoverRewrite]] for a persisted PPJoin index's delete. */
+  def ppjoinIndexRecover(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String): String =
+    recoverRewrite(spark, s"${namePrefix}_pprwcommit",
+      Seq(s"${namePrefix}_pprefix", s"${namePrefix}_ppshingles"))
+
   private def rewriteIndexTables(spark: org.apache.spark.sql.SparkSession,
       namePrefix: String,
       fBands: DataFrame => DataFrame,
       fShingles: DataFrame => DataFrame): Unit = {
     val buckets = indexParams(spark, namePrefix).buckets
-    Seq(s"${namePrefix}_bands__rw", s"${namePrefix}_shingles__rw")
-      .foreach(nm => dropTableAndLocation(spark, nm))
-    fBands(spark.table(s"${namePrefix}_bands"))
-      .repartition(buckets, col("band"), col("bucket"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .format("parquet").saveAsTable(s"${namePrefix}_bands__rw")
-    fShingles(spark.table(s"${namePrefix}_shingles"))
-      .repartition(buckets, col("index_id"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "index_id").sortBy("index_id")
-      .format("parquet").saveAsTable(s"${namePrefix}_shingles__rw")
-    Seq(s"${namePrefix}_bands", s"${namePrefix}_shingles").foreach { nm =>
-      spark.sql(s"DROP TABLE $nm")
-      spark.sql(s"ALTER TABLE ${nm}__rw RENAME TO $nm")
-    }
+    rewriteTablesAtomic(spark, s"${namePrefix}_rwcommit", buckets, Seq(
+      (s"${namePrefix}_bands", Seq("band", "bucket"), fBands),
+      (s"${namePrefix}_shingles", Seq("index_id"), fShingles)))
+  }
+
+  /** Retire documents from a persisted PPJoin prefix index (r15 VERDICT
+    * #4 — the LSH index got compact+delete in r13/r14; exactness-mandated
+    * corpora are the MOST likely to get takedown requests): anti-join
+    * rewrite of `_pprefix` and `_ppshingles` through the same crash-safe
+    * `__rw` machinery. The `_ppdf` table is deliberately untouched — the
+    * frozen token order must not move (losslessness needs one agreed
+    * total order; retired docs leaving their df counts behind is exactly
+    * the already-documented selectivity staleness, never a recall
+    * issue). Crash mid-rewrite → [[ppjoinIndexRecover]]. */
+  def ppjoinIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"ppjoinIndexDelete: ids must be a 1-column frame, got ${ids.columns.mkString(",")}")
+    require(spark.catalog.tableExists(s"${namePrefix}_ppparams"),
+      s"persisted PPJoin index '$namePrefix' has no _ppparams table")
+    val buckets = spark.table(s"${namePrefix}_ppparams")
+      .select(col("buckets")).head().getInt(0)
+    val del = broadcast(ids.toDF("index_id"))
+    rewriteTablesAtomic(spark, s"${namePrefix}_pprwcommit", buckets, Seq(
+      (s"${namePrefix}_pprefix", Seq("sh"),
+        (d: DataFrame) => d.join(del, Seq("index_id"), "left_anti")),
+      (s"${namePrefix}_ppshingles", Seq("index_id"),
+        (d: DataFrame) => d.join(del, Seq("index_id"), "left_anti"))))
   }
 
   // ------------------------------------------------------------------

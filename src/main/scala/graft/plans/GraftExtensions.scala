@@ -74,6 +74,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bpe_count(text, mergesSpec) takes two args")
+        BpeTokenCount(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

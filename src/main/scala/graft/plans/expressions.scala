@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native Catalyst expressions for the vector/dedup hot loops.
@@ -255,4 +255,67 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** Tokenizer-scale BPE token count (r15): `graft_bpe_count(text, mergesSpec)`
+  * where `mergesSpec` is a FOLDABLE string literal — the merge table
+  * serialized by [[graft.functions.BpeEncode.serialize]] (the bloom-bitset
+  * literal convention: fit/train offline, embed the constant). The encoder
+  * itself is the shared executor-side merge loop in
+  * [[graft.functions.BpeEncode]]: plan size is O(1) in the vocabulary, so
+  * a production 32k–50k merge table costs one reference object instead of
+  * one plan node per merge (the replace-chain's limit). Counts are
+  * IDENTICAL to [[graft.functions.TextFunctions.bpeTokenCount]] on the
+  * same merges — BpeSpec pins it on adversarial strings + fixture docs.
+  * The distinct-word cache is per-expression-instance (bounded), shared
+  * by every row the instance evaluates. */
+case class BpeTokenCount(text: Expression, mergesSpec: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = text
+  override def right: Expression = mergesSpec
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!mergesSpec.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_count mergesSpec must be a foldable literal " +
+          "(BpeEncode.serialize the merge table and embed it)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val v = mergesSpec.eval()
+    require(v != null, "graft_bpe_count mergesSpec must not be null")
+    graft.functions.BpeEncode.parseRanks(v.toString)
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  override protected def nullSafeEval(t: Any, spec: Any): Any =
+    graft.functions.BpeEncode.countDoc(t.toString, ranks, cache)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference objects keep the parsed rank table + word cache OUT of the
+    // generated source (a 50k-merge table would otherwise be a 1 MB string
+    // constant compiled per stage) and shared across rows
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    val cacheRef = ctx.addReferenceObj("bpeCache", cache,
+      "java.util.concurrent.ConcurrentHashMap<String, Long>")
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      s"""
+         |${ev.value} = graft.functions.BpeEncode.countDoc(
+         |  $t.toString(), $ranksRef, $cacheRef);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokenCount =
+    copy(text = newLeft, mergesSpec = newRight)
 }

@@ -1085,6 +1085,132 @@ object Ext {
         .orderBy($"new_id", $"index_id")
     },
 
+    // --- CRASH RECOVERY of the index rewrite (r15 VERDICT #3 — the
+    //     append path got its replay gate in r14; this closes the
+    //     compact/delete swap): a compaction is crashed at EVERY
+    //     rewrite failpoint in turn (both __rw writes, the commit
+    //     marker, both drops, both renames, done), recovered with
+    //     minhashIndexRecover (roll-back before the marker, roll-forward
+    //     after), and the index probe is required BIT-EQUAL to the
+    //     pre-crash answer after every cycle. Starting a new rewrite on
+    //     a crashed (marker-present) index must refuse loudly. The
+    //     final probe gates against the same exact-Jaccard oracle as
+    //     the compact gate — content never changes, whatever crashed.
+    Q("ext_dedup_index_recover",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val nm = "graft_rcv_idx"
+      Dedup.dropIndex(spark, nm)
+      val docs = t(spark, dir, "documents")
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 300),
+        "text", "doc_id", nm, buckets = 8)
+      (0 until 5).foreach { k =>
+        Dedup.minhashIndexAppend(
+          docs.filter($"doc_id" >= 300 + 20 * k && $"doc_id" < 320 + 20 * k),
+          "text", "doc_id", nm)
+      }
+      // materialize probes to LOCAL rows before comparing: a DataFrame
+      // planned pre-rewrite holds the old file listing and would read
+      // dropped files when re-executed post-swap (bounded collect —
+      // tens of pairs at gate scale)
+      def probe(): Seq[(Long, Long, Double)] = Dedup
+        .minhashDedupPairsAgainstIndex(
+          docs.filter($"doc_id" >= 400), "text", "doc_id", nm,
+          n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      val want = probe()
+      val stages = Seq(
+        s"rw:${nm}_bands" -> "rolled_back",
+        s"rw:${nm}_shingles" -> "rolled_back",
+        "commit" -> "completed",
+        s"drop:${nm}_bands" -> "completed",
+        s"rename:${nm}_bands" -> "completed",
+        s"drop:${nm}_shingles" -> "completed",
+        s"rename:${nm}_shingles" -> "completed",
+        "done" -> "clean")
+      for ((stage, expect) <- stages) {
+        Dedup.rewriteFailpoint = (m, s) =>
+          if (s == stage && m.startsWith(nm))
+            throw new RuntimeException("graft-rewrite-crash")
+        val crashed =
+          try { Dedup.minhashIndexCompact(spark, nm); false }
+          catch {
+            case e: RuntimeException
+                if e.getMessage == "graft-rewrite-crash" => true
+          } finally Dedup.rewriteFailpoint = (_, _) => ()
+        require(crashed || stage == "done",
+          s"failpoint $stage did not fire")
+        if (expect == "completed") {
+          // a new rewrite on a crashed index must refuse loudly
+          val refused =
+            try { Dedup.minhashIndexCompact(spark, nm); false }
+            catch { case e: IllegalArgumentException
+                if e.getMessage.contains("crashed rewrite") => true }
+          require(refused, s"rewrite after crash at $stage did not refuse")
+        }
+        val outcome = Dedup.minhashIndexRecover(spark, nm)
+        require(outcome == expect,
+          s"recover after crash at $stage: got $outcome, want $expect")
+        require(probe() == want,
+          s"probe diverged after crash at $stage + recover")
+      }
+      Dedup.minhashDedupPairsAgainstIndex(
+          docs.filter($"doc_id" >= 400), "text", "doc_id", nm,
+          n = 3, threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
+    // --- DELETE path of the persisted PPJoin prefix index (r15 VERDICT
+    //     #4): retire docs [200, 300) from a docs-<400 exact index, then
+    //     probe the new batch — LOSSLESS, so the oracle (the complete
+    //     exact cross-pair set against the SURVIVING members) needs no
+    //     fixture gap argument: retired docs' pairs must vanish and
+    //     everything else stay bit-equal. _ppdf keeps the frozen token
+    //     order (documented selectivity staleness, never recall).
+    //     PlanShapeSpec pins the post-delete no-exchange layout; the
+    //     crash-recovery machinery is shared with (and gated by)
+    //     ext_dedup_index_recover, plus a ppjoin-specific failpoint
+    //     cycle in DedupSpec.
+    Q("ext_dedup_ppjoin_delete",
+      s"""WITH $shinglesCte,
+         |jp AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS index_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id < 400 AND NOT (a.doc_id >= 200 AND a.doc_id < 300)
+         |    AND b.doc_id >= 400
+         |  GROUP BY b.doc_id, a.doc_id)
+         |SELECT new_id, index_id,
+         |       CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) AS jaccard
+         |FROM jp
+         |JOIN sizes sn ON new_id = sn.doc_id
+         |JOIN sizes si ON index_id = si.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + si.sz - common AS DOUBLE) >= 0.8
+         |ORDER BY new_id, index_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.dropPpjoinIndex(spark, "graft_ppdel_idx")
+      val docs = t(spark, dir, "documents")
+      Dedup.ppjoinIndexPersist(docs.filter($"doc_id" < 400),
+        "text", "doc_id", "graft_ppdel_idx", buckets = 8, n = 3, threshold = 0.8)
+      Dedup.ppjoinIndexDelete(spark, "graft_ppdel_idx",
+        docs.filter($"doc_id" >= 200 && $"doc_id" < 300).select($"doc_id"))
+      Dedup.ppjoinPairsAgainstIndex(docs.filter($"doc_id" >= 400),
+          "text", "doc_id", "graft_ppdel_idx", threshold = 0.8)
+        .orderBy($"new_id", $"index_id")
+    },
+
     // --- quality-aware cluster representative selection: same transitive
     //     clusters as ext_dedup_clusters, but the KEPT member is the
     //     highest-n_chars doc (ties -> smallest id), the rule a real

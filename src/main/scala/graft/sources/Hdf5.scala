@@ -31,8 +31,12 @@ import org.apache.spark.sql.types._
   * Profile READ (anything else fails loudly, never decodes garbage):
   * v0 superblock, v1 symbol-table groups (multi-SNOD B-trees and
   * object-header continuation blocks ARE handled — h5py emits both),
-  * contiguous layout (v1/v2 chunked or compact layouts are rejected),
-  * class-1 float64 little-endian datatype, rank-1/2 dataspace.
+  * contiguous OR v1-B-tree chunked layout (r15: UNFILTERED full-width
+  * chunks — the h5py default shape when resizability is on; filtered/
+  * compressed chunks, column-split chunks and compact layouts are
+  * rejected), class-1 float64 little-endian datatype, rank-1/2
+  * dataspace. The chunked fixture in Hdf5Spec is written by the
+  * INDEPENDENT dev/h5check.py writer (two implementations, one spec).
   *
   * Scale shape (same contract as [[Zarr]]): metadata is O(1) and
   * driver-side; the raw data region is written by PARALLEL tasks, each
@@ -40,7 +44,7 @@ import org.apache.spark.sql.types._
   * (single shared POSIX path — HDF5 is a single-file format, so like
   * `to_csv` single-file this is the export path, not a shuffle-scale
   * sink; the read side parallelizes over row ranges with positioned
-  * reads, one task per ~[[readRowsPerTask]] rows).
+  * reads, ~256 MB of data per task in bounded <= 64 MB buffers).
   */
 object Hdf5 {
 
@@ -48,7 +52,6 @@ object Hdf5 {
   private val SIG = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
   private val GROUP_LEAF_K = 4 // SNOD capacity 2K symbols
   private val GROUP_INTERNAL_K = 16 // B-tree node capacity 2K children
-  private[sources] val readRowsPerTask = 262144
 
   private def pad8(n: Int): Int = (n + 7) & ~7
 
@@ -63,7 +66,10 @@ object Hdf5 {
     val c = valueCols.length
     val mat = df.select(valueCols.map(col(_).cast("double")): _*)
     val indexed = mat.rdd.zipWithIndex()
-    indexed.cache()
+    // MEMORY_AND_DISK (r15 ADVICE): the export matrix is needed twice
+    // (count + write); MEMORY_ONLY would silently recompute the lineage
+    // for a bigger-than-memory export instead of spilling
+    indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = indexed.count()
       val nameBytes = dataset.getBytes("UTF-8")
@@ -191,12 +197,16 @@ object Hdf5 {
         // per input partition (shared POSIX path contract, see Scaladoc)
         // zipWithIndex assigns each partition one CONTIGUOUS ascending
         // index range, so a task seeks once and streams sequentially
-        // (buffered — no per-row syscall)
+        // (buffered — no per-row syscall). Each task returns its last
+        // (row index, row crc32) so the driver can verify the sentinel.
         val rowBytes = c * 8
-        indexed.foreachPartition { it =>
-          if (it.hasNext) {
+        val marks = indexed.mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
             val (row0, i0) = it.next()
             val out = new RandomAccessFile(path, "rw")
+            var lastIdx = i0
+            val lastRow = new Array[Byte](rowBytes)
             try {
               out.seek(dataAddr + i0 * rowBytes)
               val bout = new java.io.BufferedOutputStream(
@@ -213,13 +223,37 @@ object Hdf5 {
                   buf.putDouble(if (row.isNullAt(j)) 0.0 else row.getDouble(j)); j += 1
                 }
                 bout.write(buf.array())
+                System.arraycopy(buf.array(), 0, lastRow, 0, rowBytes)
+                lastIdx = i
               }
               emit(row0, i0)
               it.foreach { case (row, i) => emit(row, i) }
               bout.flush()
             } finally out.close()
+            val crc = new java.util.zip.CRC32
+            crc.update(lastRow)
+            Iterator.single((lastIdx, crc.getValue))
           }
-        }
+        }.collect() // bounded: one (long, long) per partition
+        // SENTINEL (r15 ADVICE): on a cluster without a shared filesystem
+        // the executor tasks would have written fresh LOCAL files and the
+        // driver-side file's data region stays zero-filled — re-read the
+        // globally last row here and require it matches what its writer
+        // task reported. One row, driver-side, loud.
+        val (sentinelIdx, sentinelCrc) = marks.maxBy(_._1)
+        val back = new RandomAccessFile(path, "r")
+        val sentinelBytes = new Array[Byte](rowBytes)
+        try {
+          back.seek(dataAddr + sentinelIdx * rowBytes)
+          back.readFully(sentinelBytes)
+        } finally back.close()
+        val crc = new java.util.zip.CRC32
+        crc.update(sentinelBytes)
+        require(crc.getValue == sentinelCrc,
+          s"hdf5 write: sentinel row $sentinelIdx read back differently " +
+            "than its writer task reported — `path` is NOT a shared " +
+            "filesystem across the executors (the Scaladoc contract); " +
+            "the executors wrote local files and this export is invalid")
       }
       (n, c)
     } finally { indexed.unpersist(false); () }
@@ -229,6 +263,7 @@ object Hdf5 {
 
   private final class At(path: String) {
     private val raf = new RandomAccessFile(path, "r")
+    val length: Long = raf.length()
     def bytes(addr: Long, len: Int): ByteBuffer = {
       val a = new Array[Byte](len)
       raf.seek(addr); raf.readFully(a)
@@ -237,7 +272,16 @@ object Hdf5 {
     def close(): Unit = raf.close()
   }
 
-  private case class Dset(addr: Long, sizeBytes: Long, n: Long, c: Int)
+  private sealed trait H5Layout
+  /** Class-1 contiguous: one raw region. */
+  private case class Contig(addr: Long, sizeBytes: Long) extends H5Layout
+  /** Class-2 chunked (v1 B-tree, unfiltered, full-width chunks):
+    * (first row, data address) per chunk, each chunkRows x c x 8 bytes
+    * on disk (edge chunks are PADDED to the full chunk size). */
+  private case class Chunked(chunks: Seq[(Long, Long)], chunkRows: Long)
+    extends H5Layout
+
+  private case class Dset(n: Long, c: Int, layout: H5Layout)
 
   /** Driver-side metadata walk: superblock -> root symbol table ->
     * B-tree/SNODs -> the named dataset's object header. */
@@ -281,13 +325,18 @@ object Hdf5 {
         var a = heapSegAddr + off
         var done = false
         while (!done) {
-          val chunk = f.bytes(a, 64)
+          // clamp to EOF (r15 ADVICE): a foreign file whose link name
+          // sits near the end must reject loudly, not EOFException
+          val len = math.min(64L, f.length - a).toInt
+          require(len > 0, s"hdf5: unterminated link name at heap " +
+            s"offset $off runs past end of file")
+          val chunk = f.bytes(a, len)
           var i = 0
-          while (i < 64 && !done) {
+          while (i < len && !done) {
             val b = chunk.get(i)
             if (b == 0) done = true else { sb2.append(b.toChar); i += 1 }
           }
-          a += 64
+          a += len
         }
         sb2.toString
       }
@@ -349,9 +398,76 @@ object Hdf5 {
       require(layVer == 3, s"hdf5: layout message version $layVer " +
         "(profile is version 3)")
       val layCls = lay.get(1) & 0xff
-      require(layCls == 1, s"hdf5: layout class $layCls unsupported " +
-        "(only contiguous; chunked/compact are outside the profile)")
-      Dset(lay.getLong(2), lay.getLong(10), n, c)
+      layCls match {
+        case 1 =>
+          Dset(n, c, Contig(lay.getLong(2), lay.getLong(10)))
+        case 2 =>
+          // v1-B-tree chunked read (r15 VERDICT #6 — h5py writes chunked
+          // whenever compression or resizability is on): UNFILTERED,
+          // full-width chunks only; anything narrower would need
+          // cross-chunk row assembly and is rejected loudly.
+          require(!msgs.exists(_._1 == 0x000B),
+            "hdf5: dataset has a filter pipeline (compressed/filtered " +
+              "chunks are outside the supported profile — store unfiltered)")
+          val dty = lay.get(2) & 0xff // dimensionality = rank + 1
+          require(dty == rank + 1,
+            s"hdf5: chunked layout dimensionality $dty for rank $rank")
+          val btAddr = lay.getLong(3)
+          val chunkRows = lay.getInt(11).toLong & 0xffffffffL
+          val chunkCols =
+            if (rank == 2) lay.getInt(15).toLong & 0xffffffffL else 1L
+          val elemSz = lay.getInt(11 + 4 * (dty - 1)) & 0xffffffffL
+          require(elemSz == 8, s"hdf5: chunk element size $elemSz (not float64)")
+          require(chunkCols == c.toLong,
+            s"hdf5: column-split chunks ($chunkCols of $c columns) are " +
+              "outside the supported profile (chunks must span all columns)")
+          val rawChunkBytes = chunkRows * chunkCols * 8
+          val keyLen = 8 + 8 * dty
+          // walk the type-1 (raw data chunk) v1 B-tree to its leaves
+          def chunks(addr: Long): Seq[(Long, Long)] = {
+            val hdr = f.bytes(addr, 24)
+            val tsig = new Array[Byte](4); hdr.get(tsig)
+            require(new String(tsig, "US-ASCII") == "TREE",
+              s"hdf5: bad chunk B-tree signature at $addr")
+            val nodeType = hdr.get(); val level = hdr.get()
+            require(nodeType == 1,
+              s"hdf5: B-tree node type $nodeType in a chunk tree at $addr")
+            val used = hdr.getShort(6) & 0xffff
+            val body = f.bytes(addr + 24, used * (keyLen + 8))
+            (0 until used).flatMap { i =>
+              body.position(i * (keyLen + 8))
+              val sizeBytes = body.getInt.toLong & 0xffffffffL
+              val filterMask = body.getInt
+              val rowOff = body.getLong // offset in dim 0 (elements)
+              body.position(i * (keyLen + 8) + keyLen)
+              val child = body.getLong
+              if (level > 0) chunks(child)
+              else {
+                require(filterMask == 0,
+                  s"hdf5: chunk at row $rowOff has filtered data (mask " +
+                    s"$filterMask) — outside the supported profile")
+                require(sizeBytes == rawChunkBytes,
+                  s"hdf5: chunk at row $rowOff stores $sizeBytes bytes, " +
+                    s"expected the unfiltered $rawChunkBytes")
+                Seq((rowOff, child))
+              }
+            }
+          }
+          val cs = chunks(btAddr).sortBy(_._1)
+          // every row must be covered exactly once by the chunk grid
+          cs.zipWithIndex.foreach { case ((off, _), i) =>
+            require(off == i * chunkRows,
+              s"hdf5: chunk grid hole — chunk $i starts at row $off, " +
+                s"expected ${i * chunkRows}")
+          }
+          require(n == 0 || cs.nonEmpty && cs.length == (n + chunkRows - 1) / chunkRows,
+            s"hdf5: ${cs.length} chunks cannot cover $n rows at $chunkRows rows/chunk")
+          Dset(n, c, Chunked(cs, chunkRows))
+        case other =>
+          throw new IllegalArgumentException(s"hdf5: layout class $other " +
+            "unsupported (contiguous and unfiltered v1-B-tree chunked " +
+            "are the supported profile)")
+      }
     } finally f.close()
   }
 
@@ -401,32 +517,70 @@ object Hdf5 {
       names.map(StructField(_, DoubleType, nullable = false)))
     if (d.n == 0L)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    require(d.addr != UNDEF, s"hdf5: dataset '$dataset' has ${d.n} rows but " +
-      "an undefined data address (unallocated dataset)")
-    require(d.sizeBytes == d.n * d.c * 8,
-      s"hdf5: layout size ${d.sizeBytes} != ${d.n} x ${d.c} x 8")
     val c = d.c
-    val rowBytes = c * 8
-    val nTasks = math.min(((d.n + readRowsPerTask - 1) / readRowsPerTask).toInt, 512)
-    val per = (d.n + nTasks - 1) / nTasks
-    val rows = spark.sparkContext
-      .parallelize(0 until nTasks, nTasks)
-      .flatMap { t =>
-        val first = t * per
-        val last = math.min(d.n, first + per)
-        if (first >= last) Iterator.empty
-        else {
-          val raf = new RandomAccessFile(path, "r")
-          val bytes = new Array[Byte](((last - first) * rowBytes).toInt)
-          try { raf.seek(d.addr + first * rowBytes); raf.readFully(bytes) }
-          finally raf.close()
-          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          (first until last).iterator.map { i =>
-            val base = ((i - first) * rowBytes).toInt
-            Row.fromSeq(i +: (0 until c).map(j => buf.getDouble(base + j * 8)))
+    val rowBytes = c * 8L
+    val n = d.n
+    val rows = d.layout match {
+      case Contig(addr, sizeBytes) =>
+        require(addr != UNDEF, s"hdf5: dataset '$dataset' has $n rows but " +
+          "an undefined data address (unallocated dataset)")
+        require(sizeBytes == n * rowBytes,
+          s"hdf5: layout size $sizeBytes != $n x $c x 8")
+        // task count from BYTES, not rows (r15 ADVICE: a row-based split
+        // ignores column width — per-task buffers were unbounded for very
+        // wide datasets and overflowed Int past ~2 GB/task): ~256 MB/task,
+        // capped; and each task reads its range in <= 64 MB pieces so the
+        // buffer stays bounded no matter how the division rounds.
+        val totalBytes = n * rowBytes
+        val nTasks = math.min(4096L,
+          math.max(1L, (totalBytes + (256L << 20) - 1) / (256L << 20))).toInt
+        val per = (n + nTasks - 1) / nTasks
+        val pieceRows = math.max(1L, (64L << 20) / rowBytes)
+        spark.sparkContext
+          .parallelize(0 until nTasks, nTasks)
+          .flatMap { t =>
+            val first = t * per
+            val last = math.min(n, first + per)
+            if (first >= last) Iterator.empty
+            else (first until last by pieceRows).iterator.flatMap { p0 =>
+              val pEnd = math.min(last, p0 + pieceRows)
+              val raf = new RandomAccessFile(path, "r")
+              val bytes = new Array[Byte](((pEnd - p0) * rowBytes).toInt)
+              try { raf.seek(addr + p0 * rowBytes); raf.readFully(bytes) }
+              finally raf.close()
+              val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+              (p0 until pEnd).iterator.map { i =>
+                val base = ((i - p0) * rowBytes).toInt
+                Row.fromSeq(i +: (0 until c).map(j => buf.getDouble(base + j * 8)))
+              }
+            }
           }
-        }
-      }
+      case Chunked(chunkList, chunkRows) =>
+        val rawChunkBytes = chunkRows * rowBytes
+        require(rawChunkBytes <= (1L << 30),
+          s"hdf5: $rawChunkBytes-byte chunks exceed the 1 GB read bound")
+        // parallelize over chunks, ~256 MB of them per task; edge chunks
+        // are padded on disk, so emit only rows < n
+        val perTask = math.max(1L, (256L << 20) / rawChunkBytes).toInt
+        val groups = chunkList.grouped(perTask).toSeq
+        spark.sparkContext
+          .parallelize(groups, groups.length)
+          .flatMap { group =>
+            group.iterator.flatMap { case (rowOff, addr) =>
+              val keep = math.min(chunkRows, n - rowOff)
+              val raf = new RandomAccessFile(path, "r")
+              val bytes = new Array[Byte]((keep * rowBytes).toInt)
+              try { raf.seek(addr); raf.readFully(bytes) }
+              finally raf.close()
+              val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+              (0L until keep).iterator.map { r =>
+                val base = (r * rowBytes).toInt
+                Row.fromSeq((rowOff + r) +:
+                  (0 until c).map(j => buf.getDouble(base + j * 8)))
+              }
+            }
+          }
+    }
     spark.createDataFrame(rows, schema)
   }
 }

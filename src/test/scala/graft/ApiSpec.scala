@@ -1135,4 +1135,24 @@ class ApiSpec extends SparkSpecBase {
         "/nonexistent/graft") == before)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before.toString)
   }
+
+  test("fluent ppjoinPairs and bpeTokens round-trip (r15 VERDICT #9)") {
+    val docs = GraftFrame(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+    // ppjoinPairs == the operator call, column-for-column
+    val viaFrame = docs.ppjoinPairs("text", "doc_id").df
+    val direct = graft.operators.Dedup.ppjoinPairs(docs.df, "text", "doc_id")
+    assert(viaFrame.columns.toSeq ===
+      Seq("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard"))
+    assert(viaFrame.count() == direct.count())
+    // bpeTokens == the oracled replace-chain column on the pinned table
+    val withTokens = docs.bpeTokens("text", "bpe").df
+    val expect = docs.df.withColumn("bpe",
+      graft.functions.TextFunctions.bpeTokenCount(
+        org.apache.spark.sql.functions.col("text")))
+    assert(withTokens.columns.contains("bpe"))
+    assert(withTokens.exceptAll(expect).isEmpty && expect.exceptAll(withTokens).isEmpty)
+  }
 }

@@ -83,6 +83,107 @@ class BpeSpec extends SparkSpecBase {
       s"bpe=$g0 chars=${text0.count(_ != ' ')} words=$words0")
   }
 
+  private def fastTokens(texts: Seq[String],
+      merges: Seq[(String, String)] = PinnedBpe.merges): Seq[Long] =
+    texts.toDF("text")
+      .select(TextFunctions.bpeTokenCountFast(spark, col("text"), merges).as("n"))
+      .as[Long].collect().toSeq
+
+  test("fast native encoder == replace chain == reference on adversarial strings") {
+    val merges = Vector(("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "c"),
+      ("x", "ab"), ("b", "a"))
+    val cases = Seq(
+      "a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaaa",
+      "ab", "abc", "abab", "ababab", "xab", "xabc",
+      "ba", "bab", "abba",
+      "a a", "aa aa", "ab ab", "a b", "abc xabc ba",
+      "aaaa aaa aa a", "zzz", "z", "", " ", "  a  b ")
+    assert(spark.catalog.functionExists("graft_bpe_count"),
+      "spec session must register GraftExtensions")
+    val fast = fastTokens(cases, merges)
+    val chain = colTokens(cases, merges)
+    val ref = cases.map(refTokens(_, merges))
+    for (((c, f), (ch, r)) <- cases.zip(fast).zip(chain.zip(ref)))
+      assert(f == ch && f == r, s"'$c': fast=$f chain=$ch reference=$r")
+  }
+
+  test("fast encoder == replace chain on the pinned table over fixture docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").orderBy($"doc_id").limit(80)
+      .as[String].collect().toSeq
+    assert(fastTokens(docs) === colTokens(docs))
+  }
+
+  test("tokenizer-scale trained table: fast == reference, plan O(1) in merges") {
+    // train a mid-size table — far beyond what a per-merge replace chain
+    // plan should ever carry (the fixture's 31-word lexicon exhausts at
+    // ~89 merges, so the tokenizer-scale lexicon is synthetic)
+    val vocab = graft.functions.PinnedBpeGen.syntheticVocab(1200)
+    val merges = graft.functions.PinnedBpeGen.trainFast(vocab, 2000)
+    assert(merges.length >= 1000, s"lexicon trained only ${merges.length}")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").orderBy($"doc_id").limit(40)
+      .as[String].collect().toSeq
+    val fast = fastTokens(docs, merges)
+    for ((d, f) <- docs.zip(fast))
+      assert(f == refTokens(d, merges), s"doc diverged at ${merges.length} merges")
+    // the plan must not grow with the vocabulary: one expression node,
+    // however many merges
+    val plan = docs.toDF("text")
+      .select(TextFunctions.bpeTokenCountFast(spark, col("text"), merges))
+      .queryExecution.analyzed.toString
+    assert(plan.linesIterator.size < 10, "plan grew with the merge table")
+  }
+
+  test("fallback without the native expression: chain at gate scale, loud beyond") {
+    val small = Vector(("a", "a"), ("a", "b"))
+    val cases = Seq("aab ab", "aaaa")
+    // nativeAvailable=false at gate-scale merges → the replace chain,
+    // identical counts
+    val viaFallback = cases.toDF("text")
+      .select(TextFunctions.bpeTokenCountImpl(false, col("text"), small).as("n"))
+      .as[Long].collect().toSeq
+    assert(viaFallback === cases.map(refTokens(_, small)))
+    // a tokenizer-scale table without the native expression must refuse
+    // rather than build a per-merge plan
+    val big = Vector.tabulate(600)(i => (s"q$i", "z"))
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.bpeTokenCountImpl(false, col("text"), big)
+    }
+    assert(e.getMessage.contains("graft_bpe_count"))
+  }
+
+  test("trainFast == train: identical merge sequences") {
+    import graft.functions.PinnedBpeGen
+    // the fixture lexicon (exhausts at ~89 merges — covers the early-stop path)
+    val vocab = PinnedBpeGen.vocabOf(spark,
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    assert(PinnedBpeGen.trainFast(vocab, 120) === PinnedBpeGen.train(vocab, 120))
+    // a synthetic lexicon with heavy tie traffic
+    val syn = PinnedBpeGen.syntheticVocab(300)
+    assert(PinnedBpeGen.trainFast(syn, 500) === PinnedBpeGen.train(syn, 500))
+  }
+
+  test("tokenizer-scale trainFast: 10k merges train and encode consistently") {
+    import graft.functions.PinnedBpeGen
+    val syn = PinnedBpeGen.syntheticVocab(8000)
+    val t0 = System.nanoTime()
+    val merges = PinnedBpeGen.trainFast(syn, 10000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length >= 10000, s"only ${merges.length} merges from 8k words")
+    assert(secs < 60.0, f"trainFast took $secs%.1f s — the delta trainer regressed")
+    // fast encoder over the 10k table == the independent reference encoder
+    val docs = Seq(
+      syn.take(50).map(_._1).mkString(" "),
+      syn.slice(100, 140).map(_._1).mkString(" "),
+      "unseen zz" + syn.head._1)
+    val fast = fastTokens(docs, merges)
+    for ((d, f) <- docs.zip(fast))
+      assert(f == refTokens(d, merges), "10k-merge fast encode diverged")
+  }
+
   test("merge count drives compression monotonically") {
     val text = "the customer orders join the column vector"
     val full = refTokens(text)

@@ -603,4 +603,96 @@ class DedupSpec extends SparkSpecBase {
     val pp = Dedup.ppjoinPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
     assert(pp.count() == 0L)
   }
+
+  test("same-id re-append: identical text is a no-op, changed text fails loudly") {
+    val r = new Random(53)
+    val docs = (0 until 20).map(i => (i.toLong, wordsDoc(r, 30).mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.dropIndex(spark, "graft_fp_idx")
+    try {
+      Dedup.minhashIndexPersist(docs.filter($"doc_id" < 15),
+        "text", "doc_id", "graft_fp_idx", buckets = 4)
+      val shingleRows = spark.table("graft_fp_idx_shingles").count()
+      // identical-text re-append of already-indexed ids: passes the
+      // fingerprint check, shingle anti-join keeps the store unchanged
+      assert(Dedup.minhashIndexAppend(docs.filter($"doc_id" < 5),
+        "text", "doc_id", "graft_fp_idx"))
+      assert(spark.table("graft_fp_idx_shingles").count() == shingleRows)
+      // changed text under a reused id must fail LOUDLY before any write
+      val mutated = docs.filter($"doc_id" === 3)
+        .withColumn("text", concat($"text", lit(" entirely new tail words here")))
+      val bandRows = spark.table("graft_fp_idx_bands").count()
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashIndexAppend(mutated, "text", "doc_id", "graft_fp_idx")
+      }
+      assert(e.getMessage.contains("DIFFERENT text"))
+      assert(spark.table("graft_fp_idx_bands").count() == bandRows,
+        "failed append must not have written band rows")
+      // a genuinely new id still appends fine
+      assert(Dedup.minhashIndexAppend(docs.filter($"doc_id" >= 15),
+        "text", "doc_id", "graft_fp_idx"))
+    } finally Dedup.dropIndex(spark, "graft_fp_idx")
+  }
+
+  test("ppjoinIndexDelete: crash at every failpoint, recover, probe bit-equal") {
+    val r = new Random(61)
+    val hist = (0 until 24).map(i => (i.toLong, wordsDoc(r, 30).mkString(" ")))
+    val histDf = hist.toDF("doc_id", "text")
+    // batch: light edits of history docs 0..7 (some retired, some kept)
+    val batch = hist.take(8).map { case (id, t) =>
+      (800L + id, t.split(" ").updated(4, "ZZ").mkString(" ")) }
+    val batchDf = batch.toDF("doc_id", "text")
+    val nm = "graft_pprcv"
+    Dedup.dropPpjoinIndex(spark, nm)
+    try {
+      Dedup.ppjoinIndexPersist(histDf, "text", "doc_id", nm,
+        buckets = 4, n = 3, threshold = 0.8)
+      val retire = histDf.filter($"doc_id" % 2 === 0).select($"doc_id")
+      def probe(): Seq[(Long, Long, Double)] =
+        Dedup.ppjoinPairsAgainstIndex(batchDf, "text", "doc_id", nm)
+          .orderBy($"new_id", $"index_id")
+          .as[(Long, Long, Double)].collect().toSeq
+      // clean-delete reference on a twin index
+      Dedup.dropPpjoinIndex(spark, nm + "_ref")
+      Dedup.ppjoinIndexPersist(histDf, "text", "doc_id", nm + "_ref",
+        buckets = 4, n = 3, threshold = 0.8)
+      Dedup.ppjoinIndexDelete(spark, nm + "_ref",
+        histDf.filter($"doc_id" % 2 === 0).select($"doc_id"))
+      val want = Dedup.ppjoinPairsAgainstIndex(batchDf, "text", "doc_id", nm + "_ref")
+        .orderBy($"new_id", $"index_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(want.nonEmpty && want.forall(p => p._2 % 2 == 1),
+        "reference delete left retired (even) ids pairing")
+      val pre = probe()
+      val stages = Seq(
+        s"rw:${nm}_pprefix" -> "rolled_back",
+        s"rw:${nm}_ppshingles" -> "rolled_back",
+        "commit" -> "completed",
+        s"drop:${nm}_pprefix" -> "completed",
+        s"rename:${nm}_ppshingles" -> "completed",
+        "done" -> "clean")
+      for ((stage, expect) <- stages) {
+        Dedup.rewriteFailpoint = (m, s) =>
+          if (s == stage && m.startsWith(nm) && !m.startsWith(nm + "_ref"))
+            throw new RuntimeException("graft-rewrite-crash")
+        try Dedup.ppjoinIndexDelete(spark, nm, retire)
+        catch { case e: RuntimeException
+            if e.getMessage == "graft-rewrite-crash" => }
+        finally Dedup.rewriteFailpoint = (_, _) => ()
+        assert(Dedup.ppjoinIndexRecover(spark, nm) == expect,
+          s"recover outcome after crash at $stage")
+        val got = probe()
+        // rolled-back crashes leave the PRE-delete index; completed ones
+        // the post-delete answer — both must be exactly one of the two
+        // reference answers, never a torn mixture
+        assert(got == pre || got == want, s"torn index after $stage")
+        if (expect != "rolled_back")
+          assert(got == want, s"delete not applied after $stage")
+      }
+      assert(probe() == want)
+    } finally {
+      Dedup.dropPpjoinIndex(spark, nm)
+      Dedup.dropPpjoinIndex(spark, nm + "_ref")
+    }
+  }
 }

@@ -145,11 +145,54 @@ class Hdf5Spec extends SparkSpecBase {
     val intType = mutated(_(dsetOh + 24) = 0x10, "int.h5")
     assert(intercept[IllegalArgumentException](Hdf5.read(spark, intType))
       .getMessage.contains("class"))
-    // layout class flipped to chunked
+    // layout class flipped to compact (class 0 — chunked is now read,
+    // r15, so the refusal case moves to the remaining unsupported class)
     val layClsOff = dsetOh + 16 + 32 + 32 + 9
-    val chunked = mutated(_(layClsOff) = 2, "chunked.h5")
-    assert(intercept[IllegalArgumentException](Hdf5.read(spark, chunked))
+    val compact = mutated(_(layClsOff) = 0, "compact.h5")
+    assert(intercept[IllegalArgumentException](Hdf5.read(spark, compact))
       .getMessage.contains("layout class"))
+  }
+
+  test("hdf5 chunked read: h5check.py-written file, exact doubles, loud rejects") {
+    // the fixture is written by the INDEPENDENT python implementation
+    // (dev/h5check.py --write-chunked): value(i, j) = i*1000 + j + 0.5,
+    // 25 rows x 3 cols in 8-row chunks — 4 chunks, the last one padded
+    val path = tmp("pychunked.h5")
+    import scala.sys.process._
+    val rc = Seq("python3", "dev/h5check.py", "--write-chunked",
+      path, "data", "25", "3", "8").!
+    assert(rc == 0, "dev/h5check.py --write-chunked failed")
+    val got = Hdf5.read(spark, path).orderBy("row_index")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 25)
+    for ((i, a, b, c) <- got) {
+      assert(a == i * 1000.0 + 0.5 && b == i * 1000.0 + 1.5 && c == i * 1000.0 + 2.5,
+        s"row $i decoded wrong: ($a, $b, $c)")
+    }
+    // multi-chunk coverage is real: rows 24 (edge chunk) and 0 both present
+    assert(got.head._1 == 0L && got.last._1 == 24L)
+
+    // loud rejects on out-of-profile chunked variants
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val btree = buf.getLong(120)
+    val snod = buf.getLong(btree.toInt + 24 + 8)
+    val dsetOh = buf.getLong(snod.toInt + 16).toInt
+    val layBody = dsetOh + 16 + 32 + 32 + 8
+    def mutated(mut: ByteBuffer => Unit, name: String): String = {
+      val b = bytes.clone()
+      mut(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN))
+      val p = tmp(name); Files.write(Paths.get(p), b); p
+    }
+    // column-split chunks (cols dim 3 -> 2) must refuse
+    val split = mutated(_.putInt(layBody + 15, 2), "colsplit.h5")
+    assert(intercept[IllegalArgumentException](Hdf5.read(spark, split))
+      .getMessage.contains("column-split"))
+    // a filtered chunk (nonzero key mask) must refuse
+    val cbt = buf.getLong(layBody + 3)
+    val masked = mutated(_.putInt(cbt.toInt + 24 + 4, 1), "masked.h5")
+    assert(intercept[IllegalArgumentException](Hdf5.read(spark, masked))
+      .getMessage.contains("filtered"))
   }
 
   test("hdf5 reader handles multi-SNOD btrees and header continuations") {

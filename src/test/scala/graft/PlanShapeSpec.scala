@@ -544,6 +544,23 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally Dedup.dropPpjoinIndex(spark, "graft_ppx")
   }
 
+  test("PPJoin index delete: the rewrite keeps all three scans exchange-free") {
+    import graft.operators.Dedup
+    val docs = lshDocs
+    Dedup.dropPpjoinIndex(spark, "graft_ppdx")
+    Dedup.ppjoinIndexPersist(docs.filter($"doc_id" <= 60),
+      "text", "doc_id", "graft_ppdx", buckets = 4, n = 3, threshold = 0.8)
+    Dedup.ppjoinIndexDelete(spark, "graft_ppdx",
+      docs.filter($"doc_id" <= 20).select($"doc_id"))
+    try withSmjStaticPlan {
+      val out = Dedup.ppjoinPairsAgainstIndex(
+        docs.filter($"doc_id" > 60), "text", "doc_id", "graft_ppdx")
+      // the bucketed __rw rewrite must preserve the no-exchange layout
+      assertIndexExchangeFree(out, "graft_ppdx", expectedScans = 3)
+      out.write.mode("overwrite").format("noop").save() // executes
+    } finally Dedup.dropPpjoinIndex(spark, "graft_ppdx")
+  }
+
   test("persisted LSH index append: insertInto keeps the bucket layout exchange-free") {
     import graft.operators.Dedup
     val docs = lshDocs
