@@ -1684,6 +1684,36 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- the FAST (native merge-loop) BPE encoder against the SAME
+    //     staged-replace oracle as ext_bpe_tokens (r15 VERDICT #2): this
+    //     differentially gates graft_bpe_count/BpeEncode end-to-end —
+    //     the greedy lowest-rank loop must produce the identical counts
+    //     the rank-ordered replace chain (and its DuckDB replay) does on
+    //     the pinned table. Tokenizer-scale tables are spec-pinned
+    //     (BpeSpec) since a 10k-merge oracle SQL would be megabytes; the
+    //     two paths share only the merge table, not the algorithm shape.
+    Q("ext_bpe_tokens_fast", {
+      val staged = TextFunctions.sqlBpeTokens(
+        "text", Seq("source", "doc_id"),
+        "SELECT source, doc_id, text FROM documents")
+      s"""SELECT source,
+         |  CAST(SUM(__bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(__bpe * (doc_id % 1000 + 1)) AS BIGINT) AS bpe_checksum,
+         |  COUNT(*) AS n_docs
+         |FROM ($staged) t
+         |GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val bpe = TextFunctions.bpeTokenCountFast(spark, $"text")
+      t(spark, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          sum(bpe).as("bpe_tokens"),
+          sum(bpe * (($"doc_id" % 1000L) + 1L)).as("bpe_checksum"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+
     // --- language-ID heuristic vs labeled lang (confusion counts)
     Q("ext_lang_id",
       """SELECT lang, pred_lang, COUNT(*) AS cnt FROM (
