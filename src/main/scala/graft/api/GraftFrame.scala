@@ -1336,6 +1336,14 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     GraftFrame(df.withColumn(out, graft.functions.TextFunctions
       .bpeTokenCountFast(df.sparkSession, df(textCol), merges)), index)
 
+  /** The full BPE subword sequence as an array<string> column — the
+    * token stream packing/chunking consumes
+    * ([[graft.functions.TextFunctions.bpeTokenize]]). */
+  def bpeTokenSeq(textCol: String, out: String,
+      merges: Seq[(String, String)] = graft.functions.PinnedBpe.merges): GraftFrame =
+    GraftFrame(df.withColumn(out, graft.functions.TextFunctions
+      .bpeTokenize(df.sparkSession, df(textCol), merges)), index)
+
   /** pandas resample('1D') with calendar completion per key (see
     * [[graft.operators.Sessionize.resampleDaily]]). */
   def resampleDaily(keyCol: String, tsCol: String, sumCol: Column): GraftFrame =

@@ -56,16 +56,17 @@ object BpeEncode {
     m
   }
 
-  /** BPE symbol count of one word (no spaces): greedy lowest-rank merge
-    * loop, each application exhaustive left-to-right. O(len²) worst case
-    * on the word length — words are short; the per-DOC cost is bounded
-    * by the distinct-word cache in [[countDoc]]. */
-  def countWord(w: String, ranks: java.util.HashMap[String, Integer]): Long = {
+  /** BPE symbols of one word (no spaces), in order: greedy lowest-rank
+    * merge loop, each application exhaustive left-to-right. O(len²)
+    * worst case on the word length — words are short; the per-DOC cost
+    * is bounded by the distinct-word caches in [[countDoc]] /
+    * [[tokenizeDoc]]. */
+  def mergeWord(w: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
     val len = w.length
-    if (len <= 1) return len.toLong
-    var syms = new Array[String](len)
+    val syms = new Array[String](len)
     var i = 0
     while (i < len) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    if (len <= 1) return syms
     var n = len
     var done = false
     while (!done && n > 1) {
@@ -97,8 +98,12 @@ object BpeEncode {
         n = out
       }
     }
-    n.toLong
+    java.util.Arrays.copyOf(syms, n)
   }
+
+  /** BPE symbol count of one word — [[mergeWord]]'s length. */
+  def countWord(w: String, ranks: java.util.HashMap[String, Integer]): Long =
+    mergeWord(w, ranks).length.toLong
 
   /** Token count of a whole document: sum of per-word counts over the
     * space-split tokens (empty tokens from consecutive spaces count 0 —
@@ -130,5 +135,34 @@ object BpeEncode {
       i += 1
     }
     total
+  }
+
+  /** The full subword sequence of a document — per-word [[mergeWord]]
+    * symbols concatenated in text order (no boundary markers in the
+    * output: the flat token stream a tokenizer emits). Same word-split
+    * and caching contract as [[countDoc]], caching symbol ARRAYS. */
+  def tokenizeDoc(text: String,
+      ranks: java.util.HashMap[String, Integer],
+      cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]]): Array[String] = {
+    val out = Array.newBuilder[String]
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          val w = text.substring(start, i)
+          var syms = cache.get(w)
+          if (syms == null) {
+            syms = mergeWord(w, ranks)
+            if (cache.size() < CacheCap) cache.put(w, syms)
+          }
+          out ++= syms
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    out.result()
   }
 }

@@ -53,17 +53,55 @@ object TextFunctions {
     * integers end to end (UNROUNDED gate). */
   def bpeTokenCount(text: Column,
       merges: Seq[(String, String)] = PinnedBpe.merges): Column = {
-    val rep0 = call_function("replace", text, lit(" "), lit(BpeMark))
-    val spaced = concat(lit("  "), regexp_replace(rep0, "(.)", "$1  "))
-    val merged = merges.foldLeft(spaced) { case (c, (a, b)) =>
-      call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
-    }
+    val merged = bpeMergedSpaced(text, merges)
     val spaces = length(merged) -
       length(call_function("replace", merged, lit(" "), lit("")))
     val symbols = (spaces.cast("long") / lit(2)).cast("long") - lit(1L)
     val markers = length(text) -
       length(call_function("replace", text, lit(" "), lit("")))
     (symbols - markers.cast("long")).cast("long")
+  }
+
+  /** The double-spaced fully-merged form of [[bpeTokenCount]]'s string
+    * encoding — "  s1  s2  ...  sk  " with [[BpeMark]] pseudo-symbols at
+    * word boundaries. Shared by the count and the tokenize fallback. */
+  private def bpeMergedSpaced(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val rep0 = call_function("replace", text, lit(" "), lit(BpeMark))
+    val spaced = concat(lit("  "), regexp_replace(rep0, "(.)", "$1  "))
+    merges.foldLeft(spaced) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+  }
+
+  /** BPE ENCODING — the document's full subword sequence as
+    * array<string> (the flat token stream packing/chunking consumes;
+    * [[bpeTokenCountFast]] is its length). Native `graft_bpe_tokenize`
+    * merge loop on extension sessions (O(1) plan size in the
+    * vocabulary); the fallback derives the same sequence from the
+    * replace chain's merged string at gate-scale tables and refuses
+    * loudly beyond. Oracle-gated on the pinned table (ext_bpe_encode);
+    * sequence equality vs the reference encoder is BpeSpec-pinned. */
+  def bpeTokenize(spark: org.apache.spark.sql.SparkSession,
+      text: Column,
+      merges: Seq[(String, String)] = PinnedBpe.merges): Column =
+    bpeTokenizeImpl(
+      spark.catalog.functionExists("graft_bpe_tokenize"), text, merges)
+
+  private[graft] def bpeTokenizeImpl(nativeAvailable: Boolean,
+      text: Column, merges: Seq[(String, String)]): Column = {
+    if (nativeAvailable)
+      call_function("graft_bpe_tokenize", text, lit(BpeEncode.serialize(merges)))
+    else if (merges.size <= 512) {
+      // split the merged double-spaced form on "  " and drop the
+      // word-boundary marks; empty text has no symbols at all
+      val parts = split(trim(bpeMergedSpaced(text, merges)), "  ")
+      when(length(text) === 0, array().cast("array<string>"))
+        .otherwise(filter(parts, s => s =!= lit(BpeMark)))
+    } else throw new IllegalArgumentException(
+      s"bpeTokenize with ${merges.size} merges needs the native " +
+        "graft_bpe_tokenize expression — enable " +
+        "spark.sql.extensions=graft.plans.GraftExtensions")
   }
 
   /** Tokenizer-scale BPE token count (r15 — the production path the
@@ -107,6 +145,20 @@ object TextFunctions {
       merges: Seq[(String, String)] = PinnedBpe.merges,
       perStage: Int = 24): String = {
     val carries = carry.mkString(", ")
+    val sql = sqlBpeMerged(textCol, carry, inner, merges, perStage)
+    s"""SELECT $carries,
+       |  (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
+       |    - (len($textCol) - len(replace($textCol, ' ', ''))) AS __bpe
+       |FROM ($sql)""".stripMargin
+  }
+
+  /** The staged merge stages only — exposes (carry..., textCol, __d)
+    * where __d is the fully-merged double-spaced form. [[sqlBpeTokens]]
+    * counts it; ext_bpe_encode replays the SEQUENCE from it. */
+  def sqlBpeMerged(textCol: String, carry: Seq[String], inner: String,
+      merges: Seq[(String, String)] = PinnedBpe.merges,
+      perStage: Int = 24): String = {
+    val carries = carry.mkString(", ")
     val spaced =
       s"'  ' || regexp_replace(replace($textCol, ' ', chr(31)), '(.)', '\\1  ', 'g')"
     var sql = s"SELECT $carries, $textCol, $spaced AS __d FROM ($inner)"
@@ -116,10 +168,7 @@ object TextFunctions {
       }
       sql = s"SELECT $carries, $textCol, $nested AS __d FROM ($sql)"
     }
-    s"""SELECT $carries,
-       |  (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
-       |    - (len($textCol) - len(replace($textCol, ' ', ''))) AS __bpe
-       |FROM ($sql)""".stripMargin
+    sql
   }
 
   /** Lowercased, punctuation-stripped, whitespace-collapsed text. */

@@ -83,6 +83,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_tokenize"),
+      new ExpressionInfo(classOf[BpeTokenize].getName, "graft_bpe_tokenize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bpe_tokenize(text, mergesSpec) takes two args")
+        BpeTokenize(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

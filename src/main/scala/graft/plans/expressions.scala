@@ -319,3 +319,74 @@ case class BpeTokenCount(text: Expression, mergesSpec: Expression)
       newLeft: Expression, newRight: Expression): BpeTokenCount =
     copy(text = newLeft, mergesSpec = newRight)
 }
+
+/** Tokenizer-scale BPE ENCODING (r15): `graft_bpe_tokenize(text,
+  * mergesSpec)` → the document's full subword sequence as
+  * array<string> — the flat token stream an LLM pipeline feeds to
+  * packing/chunking, where [[BpeTokenCount]] only counts it. Same
+  * foldable-literal merge table, same [[graft.functions.BpeEncode]]
+  * merge loop (sequences, not just lengths, are pinned ≡ the replace
+  * chain — BpeSpec — and oracle-gated via ext_bpe_encode); the
+  * distinct-word cache holds symbol arrays. */
+case class BpeTokenize(text: Expression, mergesSpec: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = text
+  override def right: Expression = mergesSpec
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokenize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!mergesSpec.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_tokenize mergesSpec must be a foldable literal " +
+          "(BpeEncode.serialize the merge table and embed it)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val v = mergesSpec.eval()
+    require(v != null, "graft_bpe_tokenize mergesSpec must not be null")
+    graft.functions.BpeEncode.parseRanks(v.toString)
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  override protected def nullSafeEval(t: Any, spec: Any): Any =
+    BpeTokenize.toArrayData(
+      graft.functions.BpeEncode.tokenizeDoc(t.toString, ranks, cache))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    val cacheRef = ctx.addReferenceObj("bpeSymCache", cache,
+      "java.util.concurrent.ConcurrentHashMap<String, String[]>")
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      s"""
+         |${ev.value} = graft.plans.BpeTokenize.toArrayData(
+         |  graft.functions.BpeEncode.tokenizeDoc($t.toString(), $ranksRef, $cacheRef));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokenize =
+    copy(text = newLeft, mergesSpec = newRight)
+}
+
+object BpeTokenize {
+  /** Java-callable bridge for codegen: symbol strings → ArrayData. */
+  def toArrayData(syms: Array[String]): ArrayData = {
+    val n = syms.length
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -1714,6 +1714,36 @@ object Ext {
         .orderBy($"source")
     },
 
+    // --- BPE ENCODING — the full subword SEQUENCE, not just the count
+    //     (r15): per doc, the '|'-joined token stream's md5 plus its
+    //     length, against a DuckDB replay that derives the identical
+    //     sequence from the staged merged string: strip the boundary
+    //     marks with the same single-pass double-space-flank replace the
+    //     merges use (two passes absorb adjacent marks from consecutive
+    //     spaces), then double-space -> '|'. md5 is the engine-portable
+    //     digest convention; tokens are exact strings — UNROUNDED.
+    Q("ext_bpe_encode", {
+      val staged = TextFunctions.sqlBpeMerged(
+        "text", Seq("doc_id"), "SELECT doc_id, text FROM documents")
+      s"""SELECT doc_id, n_tok, md5(tok_str) AS tok_md5 FROM (
+         |  SELECT doc_id,
+         |    (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
+         |      - (len(text) - len(replace(text, ' ', ''))) AS n_tok,
+         |    replace(trim(
+         |      replace(replace(__d, '  ' || chr(31) || '  ', '  '),
+         |              '  ' || chr(31) || '  ', '  ')), '  ', '|') AS tok_str
+         |  FROM ($staged) t) s
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val toks = TextFunctions.bpeTokenize(spark, $"text")
+      t(spark, dir, "documents")
+        .select($"doc_id",
+          size(toks).cast("long").as("n_tok"),
+          md5(array_join(toks, "|").cast("binary")).as("tok_md5"))
+        .orderBy($"doc_id")
+    },
+
     // --- language-ID heuristic vs labeled lang (confusion counts)
     Q("ext_lang_id",
       """SELECT lang, pred_lang, COUNT(*) AS cnt FROM (

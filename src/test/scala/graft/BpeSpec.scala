@@ -184,6 +184,36 @@ class BpeSpec extends SparkSpecBase {
       assert(f == refTokens(d, merges), "10k-merge fast encode diverged")
   }
 
+  test("bpeTokenize: native sequences == fallback == reference, counts consistent") {
+    val merges = Vector(("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "c"),
+      ("x", "ab"), ("b", "a"))
+    val cases = Seq(
+      "a", "aaaa", "ab ab", "abc xabc ba", "aaaa aaa aa a", "zzz", "",
+      " ", "  a  b ", "a b c")
+    def refSeq(text: String): Seq[String] =
+      text.split(" ", -1).toSeq.flatMap(w => refEncodeWord(w, merges))
+    val native = cases.toDF("text")
+      .select(TextFunctions.bpeTokenize(spark, col("text"), merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    val fallback = cases.toDF("text")
+      .select(TextFunctions.bpeTokenizeImpl(false, col("text"), merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    for (((c, n), f) <- cases.zip(native).zip(fallback)) {
+      assert(n == refSeq(c), s"native '$c': $n != ${refSeq(c)}")
+      assert(f == refSeq(c), s"fallback '$c': $f != ${refSeq(c)}")
+      assert(n.length.toLong == refTokens(c, merges), s"count mismatch '$c'")
+    }
+    // pinned table over fixture docs: sequence length == the count column
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").orderBy($"doc_id").limit(40)
+    val both = docs.select(
+      size(TextFunctions.bpeTokenize(spark, col("text"))).cast("long").as("a"),
+      TextFunctions.bpeTokenCount(col("text")).as("b"))
+      .as[(Long, Long)].collect()
+    assert(both.forall(p => p._1 == p._2))
+  }
+
   test("merge count drives compression monotonically") {
     val text = "the customer orders join the column vector"
     val full = refTokens(text)
