@@ -54,6 +54,36 @@ object Bench {
       catch { case _: Throwable => "[]" }
     val loadStart = loadavg0()
 
+    // Fixed-work calibration pair (r16 VERDICT #2 — two consecutive
+    // driver rounds were load-poisoned, invisibly to guest loadavg):
+    // a deterministic CPU spin, once on one thread and once on `cpus`
+    // threads. No I/O, no allocation churn — the timings depend only on
+    // host CPU availability, so any future bench total can be normalized
+    // by calib_1t / its cross-round floor instead of re-litigating q06
+    // floors in prose. The work amount is pinned (not time-boxed) so the
+    // seconds are comparable across rounds forever.
+    def spin(iters: Long, salt: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L ^ salt
+      var i = 0L
+      while (i < iters) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h += i; i += 1
+      }
+      h
+    }
+    val calibIters = 400000000L
+    val blackhole = new java.util.concurrent.atomic.AtomicLong
+    def timeCalib(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { t =>
+        val th = new Thread(() => { blackhole.addAndGet(spin(calibIters, t)); () })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib1t = timeCalib(1)
+    val calibNt = timeCalib(cpus.toInt)
+
     // warm-up: JVM/codegen/parquet-footer caches
     force("q06")
 
@@ -103,12 +133,12 @@ object Bench {
     // summary (<1 KB, no reps) is the LAST line on stdout — the driver
     // parses the last line, humans and the judge read the detail above it.
     val detail =
-      s"""{"detail":"reps","reps":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadAfter}"""
+      s"""{"detail":"reps","reps":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadAfter,"calib_blackhole":${blackhole.get()}}"""
     // loadavg rides on the PARSED (summary) line too — ~60 bytes, still
     // well under 1 KB — so the driver artifact carries the contention
     // context even if only the parsed JSON survives.
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","failed":$failed,"queries":$qs,"loadavg_start":$loadStart,"loadavg_end":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","failed":$failed,"queries":$qs,"calib_1t":${sec(calib1t)},"calib_nt":${sec(calibNt)},"loadavg_start":$loadStart,"loadavg_end":$loadAfter,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       detail + "\n" + summary + "\n")

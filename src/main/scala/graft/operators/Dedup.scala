@@ -1021,6 +1021,18 @@ object Dedup {
     * convention); streaming callers pass their epoch-stable batch id.
     * Returns true iff the append ran (false = replay of a completed
     * batch, skipped). */
+  /** Phase 1 of the append fingerprint contract (r16 VERDICT #3): the
+    * batch ids semi-joined against an id-ONLY scan of the shingle store.
+    * Factored out so PlanShapeSpec can pin that this probe never reads
+    * `shs_i` — the r15 single-phase check hashed the widest column of
+    * the entire history on every (almost always clash-free) append. */
+  private[graft] def appendIdIntersection(
+      spark: org.apache.spark.sql.SparkSession,
+      namePrefix: String, batchIds: DataFrame): DataFrame =
+    spark.table(s"${namePrefix}_shingles")
+      .select(col("index_id"))
+      .join(batchIds, Seq("index_id"), "left_semi")
+
   def minhashIndexAppend(newDocs: DataFrame, textCol: String,
       idCol: String, namePrefix: String, batchId: Long = -1L): Boolean = {
     val spark = newDocs.sparkSession
@@ -1036,19 +1048,32 @@ object Dedup {
     // mutable-content corpus (URL ids, edited pages) would silently
     // verify future candidates against stale shingles. Fingerprint =
     // xxhash64 of the sorted shingle set, computed identically on both
-    // sides; the store side is a bucketed scan on index_id, only the
-    // batch shuffles; the fetch is bounded (limit 1). An IDENTICAL-text
-    // re-append passes (and stays a shingle no-op via the anti-join).
-    val clash = fanOutScan(newDocs)
-      .select(col(idCol).as("index_id"),
-        xxhash64(sort_array(
-          TextFunctions.hashedShingles(col(textCol), p.n))).as("__fp_new"))
-      .join(spark.table(s"${namePrefix}_shingles")
-          .select(col("index_id"),
-            xxhash64(sort_array(col("shs_i"))).as("__fp_old")),
-        Seq("index_id"))
-      .filter(col("__fp_new") =!= col("__fp_old"))
-      .select(col("index_id")).limit(1).collect()
+    // sides. TWO-PHASE (r16 VERDICT #3): phase 1 intersects the batch's
+    // ids with an id-ONLY scan of the store (column-pruned — the scan
+    // never reads `shs_i`, PlanShapeSpec pins the read schema); only when
+    // ids actually intersect (an intentional identical-text re-append, or
+    // the clash this check exists for — almost never in a daily-crawl
+    // loop) does phase 2 compute the fingerprints, and only for the
+    // matched rows (store side semi-joined to the batch ids BEFORE the
+    // hash projection). The old single-phase shape hashed the widest
+    // column of the ENTIRE history on every append. Fetches are bounded
+    // (limit 1). An IDENTICAL-text re-append passes (and stays a shingle
+    // no-op via the anti-join).
+    val batchIds = newDocs.select(col(idCol).as("index_id")).distinct()
+    val interExists =
+      appendIdIntersection(spark, namePrefix, batchIds).limit(1).collect().nonEmpty
+    val clash = if (!interExists) Array.empty[org.apache.spark.sql.Row] else
+      fanOutScan(newDocs)
+        .select(col(idCol).as("index_id"),
+          xxhash64(sort_array(
+            TextFunctions.hashedShingles(col(textCol), p.n))).as("__fp_new"))
+        .join(spark.table(s"${namePrefix}_shingles")
+            .join(batchIds, Seq("index_id"), "left_semi")
+            .select(col("index_id"),
+              xxhash64(sort_array(col("shs_i"))).as("__fp_old")),
+          Seq("index_id"))
+        .filter(col("__fp_new") =!= col("__fp_old"))
+        .select(col("index_id")).limit(1).collect()
     require(clash.isEmpty,
       s"minhashIndexAppend: index_id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
         s"re-appended into '$namePrefix' with DIFFERENT text — index ids " +
@@ -1060,8 +1085,8 @@ object Dedup {
     // Pre-partition on the bucket columns so each append adds exactly
     // ONE file per bucket instead of one per (task × bucket): without
     // this, 60 daily appends left 36k files and a 28×-degraded probe
-    // (PERF.md r14 aux_index_compact) — the small-files wall compaction
-    // exists for should accrete at the slowest possible rate.
+    // (PERF.md r14 aux_index_compact) — the small-files wall that
+    // compaction exists for should accrete at the slowest possible rate.
     bandsFor(newDocs, textCol, idCol, p.n, p.bands, p.rowsPerBand, p.seed,
         p.family == "portable")
       .select(col("band"), col("bucket"), col("doc_id").as("index_id"),

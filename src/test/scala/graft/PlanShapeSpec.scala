@@ -573,6 +573,18 @@ class PlanShapeSpec extends SparkSpecBase {
     Dedup.minhashIndexAppend(
       docs.filter($"doc_id" > 40 && $"doc_id" <= 60),
       "text", "doc_id", "graft_pa")
+    // r16 (VERDICT #3): the append clash check's phase-1 probe is an
+    // id-ONLY store scan — a no-clash append must never read (let alone
+    // hash) the shs_i column of the whole history
+    val probe = Dedup.appendIdIntersection(spark, "graft_pa",
+      docs.filter($"doc_id" > 60).select($"doc_id".as("index_id")))
+    val probeScans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "graft_pa_shingles") =>
+        f.requiredSchema.fieldNames.toSeq
+    }
+    assert(probeScans.nonEmpty && probeScans.forall(_ == Seq("index_id")),
+      s"phase-1 clash probe reads more than index_id: $probeScans")
     try withSmjStaticPlan {
       val out = Dedup.minhashDedupPairsAgainstIndex(
         docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pa")
