@@ -1234,6 +1234,13 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       nShards: Int): GraftFrame =
     GraftFrame(Curation.packSequences(df, textCol, idCol, capacity, nShards))
 
+  /** Sequence packing by an arbitrary token-length expression (r16) —
+    * e.g. `size(col("ids"))` so packing consumes the BPE id stream
+    * end-to-end; see [[graft.operators.Curation.packSequencesByLen]]. */
+  def packSequencesByLen(lenCol: Column, idCol: String, capacity: Int,
+      nShards: Int): GraftFrame =
+    GraftFrame(Curation.packSequencesByLen(df, lenCol, idCol, capacity, nShards))
+
   /** Per-row duplicate flag over subset keys (reference
     * base/duplicated.py:25); true for every row beyond the first by
     * `orderCol` within the key. */
@@ -1343,6 +1350,27 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       merges: Seq[(String, String)] = graft.functions.PinnedBpe.merges): GraftFrame =
     GraftFrame(df.withColumn(out, graft.functions.TextFunctions
       .bpeTokenize(df.sparkSession, df(textCol), merges)), index)
+
+  /** The BPE token-ID stream as an array<int> column (r16) — ids against
+    * a [[graft.functions.BpeVocab]] built from (merges, alphabet,
+    * specials), with special-token passthrough and the char→unk→loud
+    * OOV ladder ([[graft.functions.TextFunctions.bpeEncodeIds]]).
+    * Feed `packSequencesByLen(size(ids))` to pack by real token ids. */
+  def bpeTokenIds(textCol: String, out: String,
+      merges: Seq[(String, String)] = graft.functions.PinnedBpe.merges,
+      alphabet: Seq[String] = graft.functions.BpeVocab.asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      unk: Option[String] = None): GraftFrame =
+    GraftFrame(df.withColumn(out, graft.functions.TextFunctions
+      .bpeEncodeIds(df.sparkSession, df(textCol), merges, alphabet,
+        specials, unk)), index)
+
+  /** GPT-2-style regex pretokenization of a text column (r16) —
+    * category-pure letter/digit/punct runs; compose before any BPE
+    * path ([[graft.functions.TextFunctions.bpePretokenize]]). */
+  def bpePretokenized(textCol: String, out: String): GraftFrame =
+    GraftFrame(df.withColumn(out,
+      graft.functions.TextFunctions.bpePretokenize(df(textCol))), index)
 
   /** pandas resample('1D') with calendar completion per key (see
     * [[graft.operators.Sessionize.resampleDaily]]). */

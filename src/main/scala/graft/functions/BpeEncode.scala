@@ -33,6 +33,35 @@ object BpeEncode {
   private val SymSep = '\u0000'
   private val PairSep = '\u0001'
 
+  /** Word-boundary whitespace CLASS (r16 VERDICT #1 -- the r15 paths split
+    * on ' ' alone, so "a\nb" was one word and merges crossed the newline,
+    * which no production tokenizer does). Must stay in lockstep with the
+    * replace-chain encoding's boundary translate
+    * (TextFunctions.bpeMarked) and its DuckDB mirror. */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** The three control chars the two encodings reserve (U+0000/U+0001 --
+    * [[serialize]]'s separators -- and U+001F, the replace chain's
+    * boundary mark): DELETED from input text before encoding on BOTH
+    * paths (no tokenizer vocabulary contains them; the replace chain
+    * deletes them in the same translate that marks boundaries, so the
+    * native loop must drop them too or sequences would diverge --
+    * r15 ADVICE finding). */
+  @inline def isCtl(c: Char): Boolean =
+    c == '\u001F' || c == SymSep || c == PairSep
+
+  private def stripCtl(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length)
+    var i = 0
+    while (i < w.length) {
+      val ch = w.charAt(i)
+      if (!isCtl(ch)) sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
   def serialize(merges: Seq[(String, String)]): String = {
     merges.foreach { case (a, b) =>
       require(!a.exists(c => c == SymSep || c == PairSep) &&
@@ -106,10 +135,11 @@ object BpeEncode {
     mergeWord(w, ranks).length.toLong
 
   /** Token count of a whole document: sum of per-word counts over the
-    * space-split tokens (empty tokens from consecutive spaces count 0 —
-    * identical to the replace-chain accounting). `cache` memoizes
-    * distinct words (Zipfian corpora hit it constantly); bounded —
-    * past [[CacheCap]] entries new words encode uncached. */
+    * whitespace-class tokens ([[isWs]]; empty tokens from consecutive
+    * whitespace count 0 — identical to the replace-chain accounting;
+    * reserved control chars are stripped, see [[isCtl]]). `cache`
+    * memoizes distinct words (Zipfian corpora hit it constantly);
+    * bounded — past [[CacheCap]] entries new words encode uncached. */
   private val CacheCap = 1 << 20
 
   def countDoc(text: String,
@@ -117,24 +147,102 @@ object BpeEncode {
       cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]): Long = {
     var total = 0L
     var start = 0
+    var hasCtl = false
     val len = text.length
     var i = 0
     while (i <= len) {
-      if (i == len || text.charAt(i) == ' ') {
+      if (i == len || isWs(text.charAt(i))) {
         if (i > start) {
-          val w = text.substring(start, i)
-          var c = cache.get(w)
-          if (c == null) {
-            c = java.lang.Long.valueOf(countWord(w, ranks))
-            if (cache.size() < CacheCap) cache.put(w, c)
+          val w0 = text.substring(start, i)
+          val w = if (hasCtl) stripCtl(w0) else w0
+          if (!w.isEmpty) {
+            var c = cache.get(w)
+            if (c == null) {
+              c = java.lang.Long.valueOf(countWord(w, ranks))
+              if (cache.size() < CacheCap) cache.put(w, c)
+            }
+            total += c.longValue()
           }
-          total += c.longValue()
         }
         start = i + 1
-      }
+        hasCtl = false
+      } else if (isCtl(text.charAt(i))) hasCtl = true
       i += 1
     }
     total
+  }
+
+  /** Token-ID encoding of one word (r16): special-token passthrough
+    * first (a word exactly equal to a special bypasses merging), else
+    * [[mergeWord]] symbols mapped through the vocab — char-level
+    * fallback for a symbol without an id, unk for a char outside the
+    * alphabet, and a LOUD failure when no unk is designated (see
+    * [[BpeVocab]] for the contract). */
+  def encodeIdsWord(w: String,
+      ranks: java.util.HashMap[String, Integer],
+      vocab: BpeVocab.Table): Array[Int] = {
+    if (vocab.specials.contains(w)) {
+      return Array(vocab.ids.get(w).intValue())
+    }
+    val syms = mergeWord(w, ranks)
+    val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+    buf.sizeHint(syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val s = syms(i)
+      val id = vocab.ids.get(s)
+      if (id != null) buf += id.intValue()
+      else {
+        var j = 0
+        while (j < s.length) {
+          val cid = vocab.ids.get(String.valueOf(s.charAt(j)))
+          if (cid != null) buf += cid.intValue()
+          else if (vocab.unkId >= 0) buf += vocab.unkId
+          else throw new IllegalArgumentException(
+            "BPE id encoding: char '" + s.charAt(j) + "' (code point " +
+              s.charAt(j).toInt + ") is not in the vocab alphabet and no " +
+              "unk special is designated — extend the alphabet or add an unk")
+          j += 1
+        }
+      }
+      i += 1
+    }
+    buf.result()
+  }
+
+  /** Token-ID encoding of a whole document — per-word [[encodeIdsWord]]
+    * concatenated in text order. Same word-split (whitespace class,
+    * control strip) and bounded-cache contract as [[tokenizeDoc]],
+    * caching id ARRAYS. */
+  def encodeIdsDoc(text: String,
+      ranks: java.util.HashMap[String, Integer],
+      vocab: BpeVocab.Table,
+      cache: java.util.concurrent.ConcurrentHashMap[String, Array[Int]]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var start = 0
+    var hasCtl = false
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || isWs(text.charAt(i))) {
+        if (i > start) {
+          val w0 = text.substring(start, i)
+          val w = if (hasCtl) stripCtl(w0) else w0
+          if (!w.isEmpty) {
+            var ids = cache.get(w)
+            if (ids == null) {
+              ids = encodeIdsWord(w, ranks, vocab)
+              if (cache.size() < CacheCap) cache.put(w, ids)
+            }
+            out ++= ids
+          }
+        }
+        start = i + 1
+        hasCtl = false
+      } else if (isCtl(text.charAt(i))) hasCtl = true
+      i += 1
+    }
+    out.result()
   }
 
   /** The full subword sequence of a document — per-word [[mergeWord]]
@@ -146,21 +254,26 @@ object BpeEncode {
       cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]]): Array[String] = {
     val out = Array.newBuilder[String]
     var start = 0
+    var hasCtl = false
     val len = text.length
     var i = 0
     while (i <= len) {
-      if (i == len || text.charAt(i) == ' ') {
+      if (i == len || isWs(text.charAt(i))) {
         if (i > start) {
-          val w = text.substring(start, i)
-          var syms = cache.get(w)
-          if (syms == null) {
-            syms = mergeWord(w, ranks)
-            if (cache.size() < CacheCap) cache.put(w, syms)
+          val w0 = text.substring(start, i)
+          val w = if (hasCtl) stripCtl(w0) else w0
+          if (!w.isEmpty) {
+            var syms = cache.get(w)
+            if (syms == null) {
+              syms = mergeWord(w, ranks)
+              if (cache.size() < CacheCap) cache.put(w, syms)
+            }
+            out ++= syms
           }
-          out ++= syms
         }
         start = i + 1
-      }
+        hasCtl = false
+      } else if (isCtl(text.charAt(i))) hasCtl = true
       i += 1
     }
     out.result()

@@ -1,0 +1,116 @@
+package graft.functions
+
+/** Subword VOCABULARY for the BPE surface (r16 VERDICT #1): maps BPE
+  * symbols to integer token ids — what a training pipeline actually
+  * feeds to packing and models (ids, not subword strings).
+  *
+  * Id assignment is deterministic from the construction inputs (so a
+  * committed (merges, alphabet, specials) triple IS the vocabulary —
+  * the PinnedForest convention extended to ids):
+  *   - special tokens first (ids 0 .. nSpecials−1) — whole-WORD
+  *     passthrough: a word exactly equal to a special bypasses merging;
+  *   - then the single-char alphabet, in the caller's order;
+  *   - then merge outputs in rank order (a duplicate output — e.g.
+  *     (a,bc) and (ab,c) both producing "abc" — keeps its first id).
+  *
+  * OOV contract: multi-char symbols are NEVER out-of-vocabulary (every
+  * merge output holds an id by construction); a single char absent from
+  * the alphabet falls back to the `unk` special when one is designated,
+  * and otherwise fails LOUDLY (the silent-truncation class this repo
+  * kills on sight). Char-level fallback happens before unk: a symbol
+  * that is not in the vocab (possible only when the encoding merges
+  * over a different table than the vocab was built from) decomposes to
+  * its chars' ids.
+  *
+  * Ref mars has no tokenizer — this surface comes from the LLM-pipeline
+  * brief; the id gate is ext_bpe_ids (DuckDB replays the id map as a
+  * CASE table over the replayed token stream).
+  */
+object BpeVocab {
+
+  private val SymSep = '\u0000'
+  private val FieldSep = '\u0001'
+
+  /** Printable-ASCII default alphabet (0x21..0x7E — space is a word
+    * boundary, never a symbol): covers every char the fixtures and the
+    * synthesized gate corpora produce. */
+  val asciiAlphabet: Vector[String] = (0x21 to 0x7E).map(_.toChar.toString).toVector
+
+  /** The ordered symbol list; id = position. */
+  def symbols(merges: Seq[(String, String)],
+      alphabet: Seq[String] = asciiAlphabet,
+      specials: Seq[String] = Vector.empty): Vector[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    specials.foreach { sp =>
+      require(sp.nonEmpty, "empty special token")
+      seen.add(sp)
+    }
+    alphabet.foreach { a =>
+      require(a.length == 1, s"alphabet entries must be single chars: '$a'")
+      seen.add(a)
+    }
+    merges.foreach { case (a, b) => seen.add(a + b) }
+    import scala.jdk.CollectionConverters._
+    seen.iterator().asScala.toVector
+  }
+
+  /** One foldable literal for the native expression (the
+    * [[BpeEncode.serialize]] convention): header "nSpecials,unkId" then
+    * the symbol list. Symbols must not contain U+0000/U+0001 (input
+    * controls are stripped before encoding, so trained symbols never
+    * do; specials are caller-authored — checked here). */
+  def serialize(merges: Seq[(String, String)],
+      alphabet: Seq[String] = asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      unk: Option[String] = None): String = {
+    val syms = symbols(merges, alphabet, specials)
+    syms.foreach { s =>
+      require(!s.exists(c => c == SymSep || c == FieldSep),
+        "vocab symbols must not contain U+0000/U+0001")
+    }
+    val unkId = unk.map { u =>
+      require(specials.contains(u), s"unk token '$u' must be one of the specials")
+      syms.indexOf(u)
+    }.getOrElse(-1)
+    s"${specials.length}$FieldSep$unkId$FieldSep" +
+      syms.mkString(SymSep.toString)
+  }
+
+  /** Parsed id table for the executor-side encoder. */
+  final class Table(val ids: java.util.HashMap[String, Integer],
+      val specials: java.util.HashSet[String],
+      val unkId: Int,
+      val size: Int) extends Serializable
+
+  def parse(spec: String): Table = {
+    val f1 = spec.indexOf(FieldSep)
+    val f2 = spec.indexOf(FieldSep, f1 + 1)
+    require(f1 > 0 && f2 > f1, "malformed vocab spec")
+    val nSpecials = spec.substring(0, f1).toInt
+    val unkId = spec.substring(f1 + 1, f2).toInt
+    val ids = new java.util.HashMap[String, Integer]()
+    val specials = new java.util.HashSet[String]()
+    val body = spec.substring(f2 + 1)
+    var id = 0
+    if (body.nonEmpty) for (sym <- body.split(SymSep.toString, -1)) {
+      ids.putIfAbsent(sym, Integer.valueOf(id))
+      if (id < nSpecials) specials.add(sym)
+      id += 1
+    }
+    new Table(ids, specials, unkId, id)
+  }
+
+  /** Escaped CASE fragment mapping a token expression to its id — the
+    * DuckDB oracle replay of the id table ([[symbols]] order). ELSE −1:
+    * the gate corpora are fully covered, so any −1 is a divergence the
+    * hash gate must catch, never absorb. */
+  def sqlIdCase(tokenExpr: String,
+      merges: Seq[(String, String)],
+      alphabet: Seq[String] = asciiAlphabet,
+      specials: Seq[String] = Vector.empty): String = {
+    val branches = symbols(merges, alphabet, specials).zipWithIndex
+      .map { case (s, i) => s"WHEN '${s.replace("'", "''")}' THEN $i" }
+      .mkString(" ")
+    s"CASE $tokenExpr $branches ELSE -1 END"
+  }
+}

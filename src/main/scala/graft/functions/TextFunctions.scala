@@ -22,9 +22,25 @@ object TextFunctions {
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
 
   /** Word-boundary marker for [[bpeTokenCount]]'s string encoding —
-    * U+001F (unit separator): must never occur in the text itself (it
-    * can't appear in any merge symbol, so needles never touch it). */
+    * U+001F (unit separator). A literal U+001F in input text is DELETED
+    * before encoding (with U+0000/U+0001, the merge-table separators) —
+    * see [[BpeEncode.isCtl]]; the native loop drops the same chars, so
+    * the two paths stay sequence-identical on adversarial input
+    * (r15 ADVICE). */
   private val BpeMark = "\u001F"
+
+  /** Word-boundary whitespace CLASS (r16 VERDICT #1): space, tab,
+    * newline, CR. Must stay in lockstep with [[BpeEncode.isWs]] and the
+    * DuckDB mirror in [[sqlBpeMerged]]. */
+  private val BpeWsChars = " \t\n\r"
+
+  /** Canonical boundary encoding of input text for the replace-chain BPE
+    * paths: every whitespace-class char becomes one [[BpeMark]]
+    * pseudo-symbol and the three reserved control chars are deleted —
+    * ONE codegen'd translate node. */
+  private def bpeMarked(text: Column): Column =
+    translate(text, BpeWsChars + BpeMark + 0.toChar.toString + 1.toChar.toString,
+      BpeMark * 4)
 
   /** REAL BPE token count over a pinned merge table (r14 — upgrades the
     * [[regexTokenCount]] proxy; [[PinnedBpe]] is the committed default,
@@ -57,8 +73,10 @@ object TextFunctions {
     val spaces = length(merged) -
       length(call_function("replace", merged, lit(" "), lit("")))
     val symbols = (spaces.cast("long") / lit(2)).cast("long") - lit(1L)
+    // one boundary mark per whitespace-CLASS char of the input (the
+    // reserved controls are deleted, not marked — they contribute nothing)
     val markers = length(text) -
-      length(call_function("replace", text, lit(" "), lit("")))
+      length(translate(text, BpeWsChars, ""))
     (symbols - markers.cast("long")).cast("long")
   }
 
@@ -67,7 +85,7 @@ object TextFunctions {
     * word boundaries. Shared by the count and the tokenize fallback. */
   private def bpeMergedSpaced(text: Column,
       merges: Seq[(String, String)]): Column = {
-    val rep0 = call_function("replace", text, lit(" "), lit(BpeMark))
+    val rep0 = bpeMarked(text)
     val spaced = concat(lit("  "), regexp_replace(rep0, "(.)", "$1  "))
     merges.foldLeft(spaced) { case (c, (a, b)) =>
       call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
@@ -96,8 +114,7 @@ object TextFunctions {
       // split the merged double-spaced form on "  " and drop the
       // word-boundary marks; empty text has no symbols at all
       val parts = split(trim(bpeMergedSpaced(text, merges)), "  ")
-      when(length(text) === 0, array().cast("array<string>"))
-        .otherwise(filter(parts, s => s =!= lit(BpeMark)))
+      filter(parts, s => s =!= lit(BpeMark) && length(s) > 0)
     } else throw new IllegalArgumentException(
       s"bpeTokenize with ${merges.size} merges needs the native " +
         "graft_bpe_tokenize expression — enable " +
@@ -135,6 +152,71 @@ object TextFunctions {
         "chain fallback is only viable at gate-scale merge tables)")
   }
 
+  /** BPE token-ID encoding (r16 VERDICT #1): the document's id stream as
+    * array<int> against a [[BpeVocab]] built from (merges, alphabet,
+    * specials) — what packing and training actually consume. Native
+    * `graft_bpe_ids` merge loop on extension sessions (O(1) plan size in
+    * merges AND vocab); the fallback derives ids from the replace-chain
+    * token sequence through a map literal at gate-scale tables —
+    * char/unk fallback and special passthrough need the native path
+    * (the chain decomposes a special into its chars irreversibly), so
+    * the fallback refuses those loudly rather than diverge. */
+  def bpeEncodeIds(spark: org.apache.spark.sql.SparkSession,
+      text: Column,
+      merges: Seq[(String, String)] = PinnedBpe.merges,
+      alphabet: Seq[String] = BpeVocab.asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      unk: Option[String] = None): Column =
+    bpeEncodeIdsImpl(spark.catalog.functionExists("graft_bpe_ids"),
+      text, merges, alphabet, specials, unk)
+
+  private[graft] def bpeEncodeIdsImpl(nativeAvailable: Boolean,
+      text: Column, merges: Seq[(String, String)],
+      alphabet: Seq[String], specials: Seq[String],
+      unk: Option[String]): Column = {
+    if (nativeAvailable)
+      call_function("graft_bpe_ids", text,
+        lit(BpeEncode.serialize(merges)),
+        lit(BpeVocab.serialize(merges, alphabet, specials, unk)))
+    else if (merges.size <= 512 && specials.isEmpty) {
+      // chain tokens -> literal-map lookup; a missing id is LOUD (the
+      // native path's char/unk fallback cannot be replayed here)
+      val syms = BpeVocab.symbols(merges, alphabet, specials)
+      val idMap = map(syms.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit(s), lit(i)) }: _*)
+      transform(bpeTokenizeImpl(nativeAvailable = false, text, merges),
+        t => coalesce(element_at(idMap, t),
+          raise_error(concat(lit("bpeEncodeIds fallback: symbol '"), t,
+            lit("' has no id and the non-native path cannot char-fall " +
+              "back — enable graft.plans.GraftExtensions"))).cast("int")))
+    } else throw new IllegalArgumentException(
+      s"bpeEncodeIds with ${merges.size} merges / ${specials.size} specials " +
+        "needs the native graft_bpe_ids expression — enable " +
+        "spark.sql.extensions=graft.plans.GraftExtensions (the fallback " +
+        "covers gate-scale tables without specials only)")
+  }
+
+  /** GPT-2-style pretokenization as a pure pre-transform (r16 VERDICT
+    * #1b): surround every maximal letter / digit / other-punct run with
+    * spaces, so the whitespace-class word split downstream yields
+    * category-pure words and BPE merges never cross a letter/digit/punct
+    * boundary — the behavior of production regex pretokenizers, at the
+    * cheapest (ASCII-category) level. Because it only INSERTS
+    * whitespace, it composes with every BPE path unchanged:
+    * `bpeTokenCountFast(spark, bpePretokenize(text))`,
+    * `bpeTokenize(spark, bpePretokenize(text))`. One codegen'd
+    * regexp_replace; [[sqlBpePretokenize]] is the engine mirror (Java
+    * regex and RE2 agree on this alternation: runs are maximal because
+    * matching is left-to-right and greedy). Non-ASCII letters land in
+    * the punct class — the fixture (and the heuristic) are ASCII. */
+  def bpePretokenize(text: Column): Column =
+    regexp_replace(text,
+      "([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+)", " $1 ")
+
+  /** DuckDB mirror of [[bpePretokenize]] — identical RE2 alternation. */
+  def sqlBpePretokenize(col: String): String =
+    s"regexp_replace($col, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+)', ' \\1 ', 'g')"
+
   /** DuckDB mirror of [[bpeTokenCount]] as staged CTE select-fragments:
     * returns the SQL stages to interpose between the source select and
     * the final aggregation — one stage per `perStage` merges keeps the
@@ -148,7 +230,8 @@ object TextFunctions {
     val sql = sqlBpeMerged(textCol, carry, inner, merges, perStage)
     s"""SELECT $carries,
        |  (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
-       |    - (len($textCol) - len(replace($textCol, ' ', ''))) AS __bpe
+       |    - (len($textCol) - len(translate($textCol,
+       |         ' ' || chr(9) || chr(10) || chr(13), ''))) AS __bpe
        |FROM ($sql)""".stripMargin
   }
 
@@ -160,7 +243,9 @@ object TextFunctions {
       perStage: Int = 24): String = {
     val carries = carry.mkString(", ")
     val spaced =
-      s"'  ' || regexp_replace(replace($textCol, ' ', chr(31)), '(.)', '\\1  ', 'g')"
+      s"'  ' || regexp_replace(translate($textCol, ' ' || chr(9) || chr(10) || " +
+        s"chr(13) || chr(31) || chr(0) || chr(1), repeat(chr(31), 4)), " +
+        s"'(.)', '\\1  ', 'g')"
     var sql = s"SELECT $carries, $textCol, $spaced AS __d FROM ($inner)"
     merges.grouped(perStage).foreach { g =>
       val nested = g.foldLeft("__d") { case (e, (a, b)) =>

@@ -552,13 +552,24 @@ object Curation {
     * quality (fill ratio) is unaffected because document order carries no
     * length signal after hashing. */
   def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      capacity: Int, nShards: Int): DataFrame =
+    packSequencesByLen(docs, TextFunctions.tokenCount(col(textCol)),
+      idCol, capacity, nShards)
+
+  /** [[packSequences]] with an arbitrary per-document token-LENGTH
+    * expression (r16): the ids path — a pipeline that encoded docs to
+    * token ids packs by `size(ids)`, e.g.
+    * `packSequencesByLen(docs, size(col("ids")).cast("long"), ...)` —
+    * so packing consumes the BPE id stream end-to-end (ext_bpe_pack_ids
+    * gates it). Same shard-local greedy first-fit, same output schema. */
+  def packSequencesByLen(docs: DataFrame, lenCol: Column, idCol: String,
       capacity: Int, nShards: Int): DataFrame = {
     require(capacity > 0 && nShards > 0, "capacity and nShards must be positive")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val withLen = docs
       .withColumn("shard", PortableHash.bucket(col(idCol), nShards))
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("n_tokens", lenCol.cast("long"))
     val shardIdx = withLen.columns.indexOf("shard")
     val tokIdx = withLen.columns.indexOf("n_tokens")
     val outSchema = StructType(withLen.schema.fields ++ Seq(

@@ -92,6 +92,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_ids"),
+      new ExpressionInfo(classOf[BpeEncodeIds].getName, "graft_bpe_ids"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bpe_ids(text, mergesSpec, vocabSpec) takes three args")
+        BpeEncodeIds(children(0), children(1), children(2))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

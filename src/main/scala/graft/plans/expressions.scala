@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native Catalyst expressions for the vector/dedup hot loops.
@@ -389,4 +389,82 @@ object BpeTokenize {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Tokenizer-scale BPE token-ID encoding (r16): `graft_bpe_ids(text,
+  * mergesSpec, vocabSpec)` → array<int> — the id stream a training
+  * pipeline feeds to packing/models. Both specs are FOLDABLE literals
+  * ([[graft.functions.BpeEncode.serialize]] /
+  * [[graft.functions.BpeVocab.serialize]] — the bloom-bitset literal
+  * convention), parsed once into reference objects: plan size O(1) in
+  * both the merge table and the vocabulary. Specials pass through
+  * whole-word; OOV follows the [[graft.functions.BpeVocab]] contract
+  * (char fallback → unk → loud). Differentially gated by ext_bpe_ids
+  * (DuckDB replays the id map as a CASE table over the replayed token
+  * stream); sequence/ids consistency is BpeSpec-pinned. */
+case class BpeEncodeIds(text: Expression, mergesSpec: Expression,
+    vocabSpec: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def first: Expression = text
+  override def second: Expression = mergesSpec
+  override def third: Expression = vocabSpec
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!mergesSpec.foldable || !vocabSpec.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_ids mergesSpec and vocabSpec must be foldable literals " +
+          "(BpeEncode.serialize / BpeVocab.serialize and embed them)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val v = mergesSpec.eval()
+    require(v != null, "graft_bpe_ids mergesSpec must not be null")
+    graft.functions.BpeEncode.parseRanks(v.toString)
+  }
+
+  @transient private lazy val vocab: graft.functions.BpeVocab.Table = {
+    val v = vocabSpec.eval()
+    require(v != null, "graft_bpe_ids vocabSpec must not be null")
+    graft.functions.BpeVocab.parse(v.toString)
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  override protected def nullSafeEval(t: Any, m: Any, v: Any): Any =
+    BpeEncodeIds.toArrayData(
+      graft.functions.BpeEncode.encodeIdsDoc(t.toString, ranks, vocab, cache))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocab,
+      "graft.functions.BpeVocab.Table")
+    val cacheRef = ctx.addReferenceObj("bpeIdCache", cache,
+      "java.util.concurrent.ConcurrentHashMap<String, int[]>")
+    nullSafeCodeGen(ctx, ev, (t, _, _) => {
+      s"""
+         |${ev.value} = graft.plans.BpeEncodeIds.toArrayData(
+         |  graft.functions.BpeEncode.encodeIdsDoc(
+         |    $t.toString(), $ranksRef, $vocabRef, $cacheRef));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BpeEncodeIds =
+    copy(text = newFirst, mergesSpec = newSecond, vocabSpec = newThird)
+}
+
+object BpeEncodeIds {
+  /** Java-callable bridge for codegen: primitive int ids → ArrayData. */
+  def toArrayData(ids: Array[Int]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(ids)
 }

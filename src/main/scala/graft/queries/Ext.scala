@@ -1717,10 +1717,10 @@ object Ext {
     // --- BPE ENCODING — the full subword SEQUENCE, not just the count
     //     (r15): per doc, the '|'-joined token stream's md5 plus its
     //     length, against a DuckDB replay that derives the identical
-    //     sequence from the staged merged string: strip the boundary
-    //     marks with the same single-pass double-space-flank replace the
-    //     merges use (two passes absorb adjacent marks from consecutive
-    //     spaces), then double-space -> '|'. md5 is the engine-portable
+    //     sequence from the staged merged string: strip boundary-mark
+    //     RUNS of any length in one regexp pass ('(  M)+  ' -> '  ' --
+    //     r15 ADVICE: the old two-replace strip left residual marks on
+    //     4+ consecutive spaces), then double-space -> '|'. md5 is the engine-portable
     //     digest convention; tokens are exact strings — UNROUNDED.
     Q("ext_bpe_encode", {
       val staged = TextFunctions.sqlBpeMerged(
@@ -1730,8 +1730,8 @@ object Ext {
          |    (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
          |      - (len(text) - len(replace(text, ' ', ''))) AS n_tok,
          |    replace(trim(
-         |      replace(replace(__d, '  ' || chr(31) || '  ', '  '),
-         |              '  ' || chr(31) || '  ', '  ')), '  ', '|') AS tok_str
+         |      regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |      '  ', '|') AS tok_str
          |  FROM ($staged) t) s
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
@@ -1741,6 +1741,176 @@ object Ext {
         .select($"doc_id",
           size(toks).cast("long").as("n_tok"),
           md5(array_join(toks, "|").cast("binary")).as("tok_md5"))
+        .orderBy($"doc_id")
+    },
+
+    // --- BPE over MULTI-LINE documents (r16 VERDICT #1): the fixture is
+    //     single-line, so multi-line docs are synthesized in-query (the
+    //     ext_line_dedup chr(10) convention) with tabs and punct/digits
+    //     mixed in — newlines/tabs/CRs are word BOUNDARIES now (the
+    //     whitespace-CLASS split; r15 split on ' ' alone and merged
+    //     across newlines, which no production tokenizer does). Gates
+    //     the native graft_bpe_tokenize sequence AND count end-to-end
+    //     against the staged-replace DuckDB replay whose boundary
+    //     translate mirrors the Spark one char-for-char. UNROUNDED.
+    Q("ext_bpe_multiline", {
+      val inner =
+        """SELECT doc_id % 40 AS gid,
+          |  'hdr ' || CAST(doc_id % 40 AS VARCHAR) || '!' || chr(10) ||
+          |    string_agg(text, chr(10) || chr(9) ORDER BY doc_id) AS text
+          |FROM documents GROUP BY doc_id % 40""".stripMargin
+      val staged = TextFunctions.sqlBpeMerged("text", Seq("gid"), inner)
+      s"""SELECT gid, n_tok, md5(tok_str) AS tok_md5 FROM (
+         |  SELECT gid,
+         |    (len(__d) - len(replace(__d, ' ', ''))) // 2 - 1
+         |      - (len(text) - len(translate(text,
+         |           ' ' || chr(9) || chr(10) || chr(13), ''))) AS n_tok,
+         |    replace(trim(
+         |      regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |      '  ', '|') AS tok_str
+         |  FROM ($staged) t) s
+         |ORDER BY gid""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val synth = t(spark, dir, "documents")
+        .groupBy(($"doc_id" % 40).as("gid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"doc_id", $"text"))),
+          s => s.getField("text")), "\n\t").as("body"))
+        .select($"gid", concat(lit("hdr "), $"gid".cast("string"),
+          lit("!\n"), $"body").as("text"))
+      val toks = TextFunctions.bpeTokenize(spark, $"text")
+      synth
+        .select($"gid",
+          size(toks).cast("long").as("n_tok"),
+          md5(array_join(toks, "|").cast("binary")).as("tok_md5"))
+        .orderBy($"gid")
+    },
+
+    // --- BPE behind the GPT-2-style PRETOKENIZER (r16 VERDICT #1b):
+    //     punct/digit-laced text is synthesized per doc (the fixture is
+    //     pure lowercase words), pretokenized into category-pure runs on
+    //     BOTH sides (bpePretokenize / its RE2 mirror — insertion-only,
+    //     so it composes with the unchanged count paths), then counted
+    //     by the NATIVE merge loop vs the staged-replace replay. The
+    //     id-weighted checksum makes per-doc miscounts visible.
+    Q("ext_bpe_pretok", {
+      val pre = TextFunctions.sqlBpePretokenize(
+        "CAST(doc_id AS VARCHAR) || 'x,' || replace(text, 'table', 'tab1e!')")
+      val inner =
+        s"SELECT source, doc_id, $pre AS text FROM documents"
+      val staged = TextFunctions.sqlBpeTokens("text", Seq("source", "doc_id"), inner)
+      s"""SELECT source,
+         |  CAST(SUM(__bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(__bpe * (doc_id % 1000 + 1)) AS BIGINT) AS bpe_checksum,
+         |  COUNT(*) AS n_docs
+         |FROM ($staged) t
+         |GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val laced = concat($"doc_id".cast("string"), lit("x,"),
+        regexp_replace($"text", "table", "tab1e!"))
+      val bpe = TextFunctions.bpeTokenCountFast(spark,
+        TextFunctions.bpePretokenize(laced))
+      t(spark, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          sum(bpe).as("bpe_tokens"),
+          sum(bpe * (($"doc_id" % 1000L) + 1L)).as("bpe_checksum"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+
+    // --- BPE token IDS over multi-line docs (r16 VERDICT #1c): the id
+    //     stream a pipeline actually feeds to packing/training — the
+    //     native graft_bpe_ids expression (merge table AND vocab as two
+    //     foldable literals) vs a DuckDB replay that maps the replayed
+    //     token stream through the SAME deterministic id assignment as a
+    //     CASE table (BpeVocab.sqlIdCase; ELSE −1 so any divergence
+    //     breaks the hash instead of being absorbed). The printable-ASCII
+    //     alphabet covers the synth corpus, so ids are 1:1 with tokens —
+    //     n_ids/id_sum/ids_md5 are all exact integers/strings. UNROUNDED.
+    Q("ext_bpe_ids", {
+      val inner =
+        """SELECT doc_id % 40 AS gid,
+          |  'hdr ' || CAST(doc_id % 40 AS VARCHAR) || '!' || chr(10) ||
+          |    string_agg(text, chr(10) || chr(9) ORDER BY doc_id) AS text
+          |FROM documents GROUP BY doc_id % 40""".stripMargin
+      val staged = TextFunctions.sqlBpeMerged("text", Seq("gid"), inner)
+      val idCase = graft.functions.BpeVocab.sqlIdCase("t",
+        graft.functions.PinnedBpe.merges)
+      s"""SELECT gid,
+         |  CAST(len(ids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(ids) AS BIGINT) AS id_sum,
+         |  md5(array_to_string(ids, ',')) AS ids_md5
+         |FROM (
+         |  SELECT gid,
+         |    list_transform(string_split(tok_str, '|'), t -> $idCase) AS ids
+         |  FROM (
+         |    SELECT gid,
+         |      replace(trim(
+         |        regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |        '  ', '|') AS tok_str
+         |    FROM ($staged) t) s) z
+         |ORDER BY gid""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val synth = t(spark, dir, "documents")
+        .groupBy(($"doc_id" % 40).as("gid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"doc_id", $"text"))),
+          s => s.getField("text")), "\n\t").as("body"))
+        .select($"gid", concat(lit("hdr "), $"gid".cast("string"),
+          lit("!\n"), $"body").as("text"))
+      synth
+        .withColumn("ids", TextFunctions.bpeEncodeIds(spark, $"text"))
+        .select($"gid",
+          size($"ids").cast("long").as("n_ids"),
+          aggregate($"ids", lit(0L), (a, x) => a + x.cast("long")).as("id_sum"),
+          md5(array_join(transform($"ids", _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
+        .orderBy($"gid")
+    },
+
+    // --- packing consumes the BPE ID stream end-to-end (r16 VERDICT
+    //     #1d): docs encode to ids (native graft_bpe_ids), the packer
+    //     packs by size(ids) (packSequencesByLen), and the oracle
+    //     replays the identical shard-local first-fit fold over the
+    //     replayed BPE token counts (ids are 1:1 with tokens — full
+    //     alphabet coverage) with the ext_packing recursive CTE.
+    Q("ext_bpe_pack_ids", {
+      val staged = TextFunctions.sqlBpeTokens(
+        "text", Seq("doc_id"), "SELECT doc_id, text FROM documents")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, CAST(${graft.functions.PortableHash.sqlBucket("doc_id", 4)} AS BIGINT) AS shard,
+         |         CAST(__bpe AS BIGINT) AS n_tokens
+         |  FROM ($staged) tt),
+         |r AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn
+         |      FROM d),
+         |rec AS (
+         |  SELECT doc_id, shard, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+         |         n_tokens AS used
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+         |         CASE WHEN rec.used + r.n_tokens > 128 THEN rec.pack_id + 1
+         |              ELSE rec.pack_id END,
+         |         CASE WHEN rec.used + r.n_tokens > 128 THEN CAST(0 AS BIGINT)
+         |              ELSE rec.used END,
+         |         CASE WHEN rec.used + r.n_tokens > 128 THEN r.n_tokens
+         |              ELSE rec.used + r.n_tokens END
+         |  FROM rec JOIN r ON r.shard = rec.shard AND r.rn = rec.rn + 1)
+         |SELECT doc_id, shard, n_tokens, pack_id, pack_offset
+         |FROM rec ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val withIds = t(spark, dir, "documents")
+        .withColumn("ids", TextFunctions.bpeEncodeIds(spark, $"text"))
+      Curation.packSequencesByLen(withIds, size($"ids").cast("long"),
+          "doc_id", capacity = 128, nShards = 4)
+        .select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"pack_offset")
         .orderBy($"doc_id")
     },
 

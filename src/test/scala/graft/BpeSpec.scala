@@ -28,9 +28,16 @@ class BpeSpec extends SparkSpecBase {
     syms
   }
 
+  /** The shared word-split contract (r16): whitespace-CLASS boundaries,
+    * reserved control chars (U+0000/U+0001/U+001F) stripped from words. */
+  private def refWords(text: String): Seq[String] =
+    text.split("[ \\t\\n\\r]", -1).toSeq
+      .map(_.filterNot(c => c == '\u0000' || c == '\u0001' || c == '\u001F'))
+      .filter(_.nonEmpty)
+
   private def refTokens(text: String,
       merges: Seq[(String, String)] = PinnedBpe.merges): Long =
-    text.split(" ", -1).map(w => refEncodeWord(w, merges).length.toLong).sum
+    refWords(text).map(w => refEncodeWord(w, merges).length.toLong).sum
 
   private def colTokens(texts: Seq[String],
       merges: Seq[(String, String)] = PinnedBpe.merges): Seq[Long] =
@@ -97,7 +104,10 @@ class BpeSpec extends SparkSpecBase {
       "ab", "abc", "abab", "ababab", "xab", "xabc",
       "ba", "bab", "abba",
       "a a", "aa aa", "ab ab", "a b", "abc xabc ba",
-      "aaaa aaa aa a", "zzz", "z", "", " ", "  a  b ")
+      "aaaa aaa aa a", "zzz", "z", "", " ", "  a  b ",
+      // whitespace CLASS boundaries + reserved-control deletion (r16):
+      // newlines/tabs/CRs split words; U+0000/U+0001/U+001F vanish
+      "a\nb", "ab\nab", "a\ta\r\na", "\n\nab", "a\u001Fb", "a\u0000b c", "\u001F", "ab\t \u0001cab")
     assert(spark.catalog.functionExists("graft_bpe_count"),
       "spec session must register GraftExtensions")
     val fast = fastTokens(cases, merges)
@@ -189,9 +199,10 @@ class BpeSpec extends SparkSpecBase {
       ("x", "ab"), ("b", "a"))
     val cases = Seq(
       "a", "aaaa", "ab ab", "abc xabc ba", "aaaa aaa aa a", "zzz", "",
-      " ", "  a  b ", "a b c")
+      " ", "  a  b ", "a b c",
+      "a\nb", "ab\txab\r\nba", "a\u001Fb c", "\u0000", "x\u0001ab")
     def refSeq(text: String): Seq[String] =
-      text.split(" ", -1).toSeq.flatMap(w => refEncodeWord(w, merges))
+      refWords(text).flatMap(w => refEncodeWord(w, merges))
     val native = cases.toDF("text")
       .select(TextFunctions.bpeTokenize(spark, col("text"), merges).as("t"))
       .as[Seq[String]].collect().toSeq
@@ -212,6 +223,137 @@ class BpeSpec extends SparkSpecBase {
       TextFunctions.bpeTokenCount(col("text")).as("b"))
       .as[(Long, Long)].collect()
     assert(both.forall(p => p._1 == p._2))
+  }
+
+  test("bpePretokenize: category-run splits compose with every path") {
+    val merges = Vector(("a", "a"), ("a", "b"), ("1", "2"), ("!", "!"))
+    // reference pretokenizer: maximal letter / digit / punct runs
+    def preRef(text: String): String =
+      "([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+)".r
+        .replaceAllIn(text, m => " " + java.util.regex.Matcher.quoteReplacement(m.group(1)) + " ")
+    val cases = Seq(
+      "ab12cd", "a1b2", "hello,world!", "x=y+1", "ab!!ab", "a b", "",
+      "line1\nline2", "a1!b2?c3", "...", "12 34ab", "aab12aab")
+    val got = cases.toDF("text")
+      .select(
+        TextFunctions.bpeTokenCountFast(spark,
+          TextFunctions.bpePretokenize(col("text")), merges).as("f"),
+        TextFunctions.bpeTokenCount(
+          TextFunctions.bpePretokenize(col("text")), merges).as("c"),
+        TextFunctions.bpeTokenize(spark,
+          TextFunctions.bpePretokenize(col("text")), merges).as("t"))
+      .as[(Long, Long, Seq[String])].collect()
+    for ((txt, (f, c, t)) <- cases.zip(got)) {
+      val want = refTokens(preRef(txt), merges)
+      assert(f == want && c == want && t.length.toLong == want,
+        s"'$txt': fast=$f chain=$c seq=${t.length} want=$want")
+      // category purity: no emitted token mixes letter/digit/punct classes
+      def cls(ch: Char) = if (ch.isLetter) 0 else if (ch.isDigit) 1 else 2
+      assert(t.forall(tok => tok.map(cls).distinct.size == 1),
+        s"'$txt': mixed-category token in $t")
+    }
+    // merges can never cross a category boundary once pretokenized:
+    // ("b","1") trained or not, "b1" never fuses
+    val fused = Seq("ab1").toDF("text")
+      .select(TextFunctions.bpeTokenize(spark,
+        TextFunctions.bpePretokenize(col("text")), Vector(("b", "1"))).as("t"))
+      .as[Seq[String]].collect().head
+    assert(fused == Seq("a", "b", "1"), s"category boundary crossed: $fused")
+  }
+
+  test("bpeEncodeIds: native ids == independent reference mapping; fallback agrees") {
+    import graft.functions.BpeVocab
+    val merges = Vector(("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "c"),
+      ("x", "ab"), ("b", "a"))
+    val syms = BpeVocab.symbols(merges) // default ascii alphabet, no specials
+    val idOf = syms.zipWithIndex.toMap
+    def refIds(text: String): Seq[Int] =
+      refWords(text).flatMap(w => refEncodeWord(w, merges)).map(idOf)
+    val cases = Seq(
+      "a", "aaaa", "ab ab", "abc xabc ba", "zzz", "", "a\nb",
+      "hello, world! 123", "a b c", "x=y+1")
+    val native = cases.toDF("text")
+      .select(TextFunctions.bpeEncodeIds(spark, col("text"), merges).as("i"))
+      .as[Seq[Int]].collect().toSeq
+    val fallback = cases.toDF("text")
+      .select(TextFunctions.bpeEncodeIdsImpl(false, col("text"), merges,
+        BpeVocab.asciiAlphabet, Vector.empty, None).as("i"))
+      .as[Seq[Int]].collect().toSeq
+    for (((c, n), f) <- cases.zip(native).zip(fallback)) {
+      assert(n == refIds(c), s"native '$c': $n != ${refIds(c)}")
+      assert(f == refIds(c), s"fallback '$c': $f != ${refIds(c)}")
+    }
+    // ids are 1:1 with the token sequence when the alphabet covers text
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").orderBy($"doc_id").limit(40)
+    val both = docs.select(
+      size(TextFunctions.bpeEncodeIds(spark, col("text"))).cast("long").as("a"),
+      TextFunctions.bpeTokenCountFast(spark, col("text")).as("b"))
+      .as[(Long, Long)].collect()
+    assert(both.forall(p => p._1 == p._2))
+  }
+
+  test("bpeEncodeIds: specials pass through whole-word; OOV ladder is char -> unk -> loud") {
+    import graft.functions.BpeVocab
+    val merges = Vector(("a", "b"))
+    val specials = Vector("<|doc|>", "<unk>")
+    val syms = BpeVocab.symbols(merges, BpeVocab.asciiAlphabet, specials)
+    assert(syms.take(2) == specials) // specials get ids 0, 1
+    def ids(text: String, unk: Option[String]): Seq[Int] =
+      Seq(text).toDF("text")
+        .select(TextFunctions.bpeEncodeIds(spark, col("text"), merges,
+          BpeVocab.asciiAlphabet, specials, unk).as("i"))
+        .as[Seq[Int]].collect().head
+    // a word exactly equal to a special bypasses merging (one id);
+    // the same chars NOT word-isolated decompose per char
+    val got = ids("ab <|doc|> ab x<|doc|>", Some("<unk>"))
+    val abId = syms.indexOf("ab")
+    assert(got.head == abId && got(1) == 0, s"passthrough broke: $got")
+    assert(got.count(_ == 0) == 1, s"non-isolated special must decompose: $got")
+    // OOV char -> unk when designated
+    val eAcute = ids("caf\u00E9", Some("<unk>"))
+    assert(eAcute.last == 1, s"unk fallback broke: $eAcute")
+    // without an unk: LOUD (ConvertToLocalRelation may evaluate the
+    // expression at optimize time, so the error can surface unwrapped)
+    val e = intercept[Throwable] { ids("caf\u00E9", None) }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("not in the vocab alphabet")), s"got: $e")
+    // fallback path refuses specials loudly (cannot replay passthrough)
+    val e2 = intercept[IllegalArgumentException] {
+      TextFunctions.bpeEncodeIdsImpl(false, col("text"), merges,
+        BpeVocab.asciiAlphabet, specials, None)
+    }
+    assert(e2.getMessage.contains("graft_bpe_ids"))
+    // vocab round-trip: serialize -> parse preserves ids/specials/unk
+    val tbl = BpeVocab.parse(BpeVocab.serialize(merges,
+      BpeVocab.asciiAlphabet, specials, Some("<unk>")))
+    assert(tbl.unkId == 1 && tbl.specials.contains("<|doc|>")
+      && tbl.ids.get("ab") == abId && tbl.size == syms.length)
+  }
+
+  test("vocabOf truncation is LOUD; a tolerance keeps the top words (r16)") {
+    import graft.functions.PinnedBpeGen
+    // 60 distinct words, Zipf-ish counts — more than maxWords=10
+    val docs = (0 until 60).map(i => ("w" + i + " ") * (61 - i))
+      .toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      PinnedBpeGen.vocabOf(spark, docs, maxWords = 10)
+    }
+    assert(e.getMessage.contains("count mass"))
+    // explicit tolerance: top-10 by count, deterministic order
+    val kept = PinnedBpeGen.vocabOf(spark, docs, maxWords = 10,
+      maxDroppedMass = 0.9)
+    assert(kept.length == 10 && kept.head._1 == "w0" && kept.head._2 == 61L)
+    assert(kept.map(_._2).toSeq == kept.map(_._2).sorted(Ordering[Long].reverse).toSeq)
+    // capped merges silently DIFFER from full-vocabulary merges — the
+    // reason truncation must be loud: pin the difference on this lexicon
+    val full = PinnedBpeGen.vocabOf(spark, docs, maxWords = 100)
+    assert(full.length == 60)
+    val capped = PinnedBpeGen.trainFast(kept, 40)
+    val whole = PinnedBpeGen.trainFast(full, 40)
+    assert(capped != whole, "expected the capped lexicon to train different merges")
   }
 
   test("merge count drives compression monotonically") {
