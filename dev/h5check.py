@@ -15,9 +15,16 @@ Usage:
       i * 1000 + j + 0.5 — the Hdf5Spec fixture generator (r15: the
       Scala reader's chunked path gates against files written HERE, so
       the two implementations stay independent).
+  h5check.py --write-gzip <out.h5> <dataset> <n> <c> <chunk_rows> [filters]
+      Same values, but chunks go through a FILTER PIPELINE (r16):
+      always deflate (zlib level 6); `filters` is a comma list adding
+      'shuffle' (byte shuffle before deflate) and/or 'fletcher32'
+      (checksum appended after deflate). The Scala reader's filtered
+      path gates against files written here.
 """
 import struct
 import sys
+import zlib
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -148,9 +155,9 @@ def main():
         def row_at(i):
             return struct.unpack_from(f"<{c}d", buf, addr + i * c * 8)
     else:
-        # v1-B-tree chunked, unfiltered, full-width chunks
-        if 0x000B in msgs:
-            fail("filter pipeline present (compressed) — outside profile")
+        # v1-B-tree chunked full-width chunks; gzip/shuffle/fletcher32
+        # filter pipelines are decoded (r16), anything else fails
+        filters = parse_filters(msgs[0x000B]) if 0x000B in msgs else []
         dty = lay[2]
         if dty != rank + 1:
             fail(f"chunk dimensionality {dty} for rank {rank}")
@@ -178,23 +185,34 @@ def main():
                     out += chunks(child)
                 else:
                     if mask != 0:
-                        fail(f"filtered chunk at row {row_off}")
-                    if size != chunk_rows * c * 8:
+                        fail(f"nonzero filter mask at row {row_off}")
+                    if not filters and size != chunk_rows * c * 8:
                         fail(f"chunk at {row_off} stores {size} bytes")
-                    out.append((row_off, child))
+                    out.append((row_off, child, size))
             return out
 
         cl = sorted(chunks(bt))
-        print(f"shape=({n}, {c}) layout=chunked({chunk_rows}) chunks={len(cl)}")
+        kind = "+".join(FILTER_NAMES.get(f[0], "?") for f in filters) or "raw"
+        print(f"shape=({n}, {c}) layout=chunked({chunk_rows},{kind}) chunks={len(cl)}")
         if n == 0:
             return
-        for i, (off, _) in enumerate(cl):
+        for i, (off, _, _) in enumerate(cl):
             if off != i * chunk_rows:
                 fail(f"chunk grid hole at index {i} (row {off})")
+        raw_bytes = chunk_rows * c * 8
+        decoded = {}
+
+        def chunk_data(k):
+            if k not in decoded:
+                off, addr2, size = cl[k]
+                decoded[k] = decode_chunk(buf[addr2 : addr2 + size],
+                                          filters, raw_bytes)
+            return decoded[k]
 
         def row_at(i):
-            off, addr2 = cl[i // chunk_rows]
-            return struct.unpack_from(f"<{c}d", buf, addr2 + (i - off) * c * 8)
+            data = chunk_data(i // chunk_rows)
+            return struct.unpack_from(f"<{c}d", data,
+                                      (i % chunk_rows) * c * 8)
 
     sums = [0.0] * c
     for i in range(n):
@@ -206,18 +224,147 @@ def main():
     print(f"col_sums={sums}")
 
 
+FILTER_NAMES = {1: "deflate", 2: "shuffle", 3: "fletcher32"}
+
+
+def parse_filters(body):
+    """Filter-pipeline message (0x000B) v1/v2 -> [(id, [client data])],
+    in pipeline (write) order. Only deflate/shuffle/fletcher32 pass."""
+    ver, nf = body[0], body[1]
+    if ver not in (1, 2):
+        fail(f"filter pipeline message version {ver}")
+    pos = 8 if ver == 1 else 2
+    out = []
+    for _ in range(nf):
+        fid = u16(body, pos)
+        pos += 2
+        name_len = 0
+        if ver == 1 or fid >= 256:
+            name_len = u16(body, pos)
+            pos += 2
+        flags, nvals = u16(body, pos), u16(body, pos + 2)
+        pos += 4
+        if ver == 1:
+            name_len = (name_len + 7) & ~7 if name_len else 0
+        pos += name_len
+        vals = [u32(body, pos + 4 * i) for i in range(nvals)]
+        pos += 4 * nvals
+        if ver == 1 and nvals % 2 == 1:
+            pos += 4
+        if fid not in FILTER_NAMES:
+            fail(f"filter id {fid} outside the deflate/shuffle/fletcher32 profile")
+        out.append((fid, vals))
+    return out
+
+
+def unshuffle(data, elem):
+    n = len(data) // elem
+    out = bytearray(len(data))
+    for k in range(elem):
+        out[k::elem] = data[k * n : (k + 1) * n]
+    return bytes(out)
+
+
+def shuffle_bytes(data, elem):
+    n = len(data) // elem
+    out = bytearray(len(data))
+    for k in range(elem):
+        out[k * n : (k + 1) * n] = data[k::elem]
+    return bytes(out)
+
+
+def fletcher32(data):
+    """HDF5's fletcher32 (H5checksum.c H5_checksum_fletcher32): 16-bit
+    words assembled BIG-endian from the byte stream, sums folded every
+    360 words, odd tail byte used as the HIGH byte of a final word."""
+    s1, s2 = 0, 0
+    ln = len(data) // 2
+    i = 0
+    while i < ln:
+        for _ in range(min(360, ln - i)):
+            s1 += (data[2 * i] << 8) | data[2 * i + 1]
+            s2 += s1
+            i += 1
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    if len(data) % 2:
+        s1 += data[-1] << 8
+        s2 += s1
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return ((s2 & 0xFFFF) << 16) | (s1 & 0xFFFF)
+
+
+def decode_chunk(data, filters, raw_bytes):
+    """Apply filter INVERSES in reverse pipeline order."""
+    for fid, vals in reversed(filters):
+        if fid == 3:
+            if len(data) < 4:
+                fail("fletcher32 chunk shorter than its checksum")
+            want = u32(data, len(data) - 4)
+            data = data[:-4]
+            if fletcher32(data) != want:
+                fail("fletcher32 checksum mismatch")
+        elif fid == 1:
+            data = zlib.decompress(data)
+        elif fid == 2:
+            data = unshuffle(data, vals[0] if vals else 8)
+    if len(data) != raw_bytes:
+        fail(f"decoded chunk is {len(data)} bytes, want {raw_bytes}")
+    return data
+
+
 def pad8(x):
     return (x + 7) & ~7
 
 
-def write_chunked(path, dataset, n, c, chunk_rows):
+def write_chunked(path, dataset, n, c, chunk_rows, filters=()):
     """Write a rank-2 v1-B-tree chunked float64 file — same fixed group
     scaffolding as the Scala writer's byte plan (one spec, independent
-    code), but a class-2 layout + a level-0 type-1 chunk B-tree."""
+    code), but a class-2 layout + a level-0 type-1 chunk B-tree.
+    `filters` (r16) is a tuple from ('shuffle', 'deflate', 'fletcher32')
+    in PIPELINE order; chunks are transformed accordingly and the
+    dataset object header gains a v1 filter-pipeline message."""
     name = dataset.encode()
     nchunks = (n + chunk_rows - 1) // chunk_rows if n else 0
     D = 3  # rank 2 + element-size dim
     key_len = 8 + 8 * D
+    chunk_bytes = chunk_rows * c * 8
+
+    # per-filter v1 message fragments: (id, nvals, client data)
+    fdefs = {"deflate": (1, [6]), "shuffle": (2, [8]), "fletcher32": (3, [])}
+    fl = [fdefs[f] for f in filters]
+    filt_body = 8
+    for _, vals in fl:
+        filt_body += 8 + 4 * len(vals) + (4 if len(vals) % 2 else 0)
+    n_msgs = 3 + (1 if fl else 0)
+    oh_msgs_size = 3 * (8 + 24) + ((8 + filt_body) if fl else 0)
+
+    # encode every chunk payload first — filtered sizes drive the layout
+    def encode(raw):
+        data = raw
+        for fid, vals in fl:
+            if fid == 2:
+                data = shuffle_bytes(data, vals[0])
+            elif fid == 1:
+                data = zlib.compress(data, vals[0])
+            elif fid == 3:
+                data = data + struct.pack("<I", fletcher32(data))
+        return data
+
+    payloads = []
+    for k in range(nchunks):
+        raw = bytearray(chunk_bytes)
+        for r in range(chunk_rows):
+            i = k * chunk_rows + r
+            if i >= n:
+                break
+            row = [i * 1000.0 + j + 0.5 for j in range(c)]
+            struct.pack_into(f"<{c}d", raw, r * c * 8, *row)
+        payloads.append(encode(bytes(raw)))
+
     superblock, root_oh, heap = 0, 96, 136
     heap_seg_addr = heap + 32
     heap_seg = 8 + pad8(len(name) + 1)
@@ -226,13 +373,17 @@ def write_chunked(path, dataset, n, c, chunk_rows):
     snod = gbtree + gbtree_size
     snod_size = 8 + 2 * 4 * 40
     dset_oh = snod + snod_size
-    dset_oh_size = 16 + 3 * (8 + 24)
-    cbtree = dset_oh + dset_oh_size
+    dset_oh_size = 16 + oh_msgs_size
+    cbtree = pad8(dset_oh + dset_oh_size)
     # level-0 node: header 24 + used*(key+child) + one trailing key
     cbtree_size = 24 + nchunks * (key_len + 8) + key_len
     data = pad8(cbtree + cbtree_size)
-    chunk_bytes = chunk_rows * c * 8
-    eof = data + nchunks * chunk_bytes
+    offs = []
+    pos = data
+    for pl in payloads:
+        offs.append(pos)
+        pos += len(pl)
+    eof = pos
 
     out = bytearray(eof)
 
@@ -262,8 +413,8 @@ def write_chunked(path, dataset, n, c, chunk_rows):
     out[snod : snod + 4] = b"SNOD"
     put(snod + 4, "<BBH", 1, 0, 1)
     put(snod + 8, "<QQII", 8, dset_oh, 0, 0)
-    # dataset object header: datatype, dataspace, chunked layout
-    put(dset_oh, "<BBHIII", 1, 0, 3, 1, 3 * (8 + 24), 0)
+    # dataset object header: datatype, dataspace, chunked layout [,filters]
+    put(dset_oh, "<BBHIII", 1, 0, n_msgs, 1, oh_msgs_size, 0)
     m = dset_oh + 16
     put(m, "<HHI", 0x0003, 24, 0)
     put(m + 8, "<BBBBIHHBBBBI", 0x11, 0x20, 63, 0, 8, 0, 64, 52, 11, 0, 52, 1023)
@@ -276,34 +427,48 @@ def write_chunked(path, dataset, n, c, chunk_rows):
     put(m + 8, "<BBB", 3, 2, D)
     put(m + 11, "<Q", cbtree if nchunks else UNDEF)
     put(m + 19, "<III", chunk_rows, c, 8)
-    # chunk B-tree: single level-0 type-1 node
+    m += 32
+    if fl:
+        put(m, "<HHI", 0x000B, filt_body, 0)
+        put(m + 8, "<BB", 1, len(fl))  # v1: version, nfilters, 6 reserved
+        fp = m + 16
+        for fid, vals in fl:
+            put(fp, "<HHHH", fid, 0, 0, len(vals))  # no name, flags 0
+            fp += 8
+            for v in vals:
+                put(fp, "<I", v)
+                fp += 4
+            if len(vals) % 2:
+                fp += 4  # odd client-data padding
+    # chunk B-tree: single level-0 type-1 node, sizes = STORED bytes
     out[cbtree : cbtree + 4] = b"TREE"
     put(cbtree + 4, "<BBH", 1, 0, nchunks)
     put(cbtree + 8, "<QQ", UNDEF, UNDEF)
-    p = cbtree + 24
+    p2 = cbtree + 24
     for k in range(nchunks):
-        put(p, "<II", chunk_bytes, 0)
-        put(p + 8, "<QQQ", k * chunk_rows, 0, 0)
-        put(p + key_len, "<Q", data + k * chunk_bytes)
-        p += key_len + 8
-    put(p, "<II", 0, 0)  # trailing upper-bound key
-    put(p + 8, "<QQQ", n, c, 0)
-    # chunk data (edge chunk zero-padded)
+        put(p2, "<II", len(payloads[k]), 0)
+        put(p2 + 8, "<QQQ", k * chunk_rows, 0, 0)
+        put(p2 + key_len, "<Q", offs[k])
+        p2 += key_len + 8
+    put(p2, "<II", 0, 0)  # trailing upper-bound key
+    put(p2 + 8, "<QQQ", n, c, 0)
     for k in range(nchunks):
-        base = data + k * chunk_bytes
-        for r in range(chunk_rows):
-            i = k * chunk_rows + r
-            if i >= n:
-                break
-            row = [i * 1000.0 + j + 0.5 for j in range(c)]
-            put(base + r * c * 8, f"<{c}d", *row)
+        out[offs[k] : offs[k] + len(payloads[k])] = payloads[k]
     open(path, "wb").write(out)
-    print(f"wrote {path}: shape=({n}, {c}) chunk_rows={chunk_rows} chunks={nchunks}")
+    kind = "+".join(filters) if filters else "raw"
+    print(f"wrote {path}: shape=({n}, {c}) chunk_rows={chunk_rows} "
+          f"chunks={nchunks} filters={kind}")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--write-chunked":
         write_chunked(sys.argv[2], sys.argv[3], int(sys.argv[4]),
                       int(sys.argv[5]), int(sys.argv[6]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--write-gzip":
+        extra = sys.argv[7].split(",") if len(sys.argv) > 7 and sys.argv[7] else []
+        pipeline = ([f for f in extra if f == "shuffle"] + ["deflate"]
+                    + [f for f in extra if f == "fletcher32"])
+        write_chunked(sys.argv[2], sys.argv[3], int(sys.argv[4]),
+                      int(sys.argv[5]), int(sys.argv[6]), tuple(pipeline))
     else:
         main()

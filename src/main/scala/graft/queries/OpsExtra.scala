@@ -761,6 +761,34 @@ object OpsExtra {
         .orderBy($"n")
     },
 
+    // --- HDF5 FILTERED chunked read (r16 VERDICT #4): the fixture is
+    //     written by the INDEPENDENT dev/h5check.py writer with the
+    //     full h5py-shaped pipeline (shuffle -> gzip -> fletcher32,
+    //     value(i,j) = i*1000 + j + 0.5, 997x3 in 64-row chunks — edge
+    //     chunk padded), decoded by the clean-room Scala reader, and
+    //     the oracle recomputes the identical values from range()
+    //     arithmetic — every term is exact in binary (k + 0.5), so the
+    //     double sums are order-free and UNROUNDED.
+    Q("op_hdf5_gzip",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(i AS BIGINT)) AS BIGINT) AS idx_sum,
+        |  CAST(SUM(i * 1000.0 + 0.5) AS DOUBLE) AS s0,
+        |  CAST(SUM(i * 1000.0 + 1.5) AS DOUBLE) AS s1,
+        |  CAST(SUM(i * 1000.0 + 2.5) AS DOUBLE) AS s2
+        |FROM range(997) t(i) ORDER BY n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import scala.sys.process._
+      val out = "/root/repo/target/hdf5_gz.h5"
+      val rc = Seq("python3", "/root/repo/dev/h5check.py", "--write-gzip",
+        out, "data", "997", "3", "64", "shuffle,fletcher32").!
+      require(rc == 0, "dev/h5check.py --write-gzip failed")
+      graft.api.GraftSession(spark).readHdf5(out).df
+        .agg(count(lit(1)).as("n"),
+          sum($"row_index").as("idx_sum"),
+          sum($"c0").as("s0"), sum($"c1").as("s1"), sum($"c2").as("s2"))
+        .orderBy($"n")
+    },
+
     // --- §2.1/§2.2 JDBC roundtrip (reference to_sql/read_sql): the slice
     //     goes through an embedded Derby table and comes back via the
     //     PARTITIONED jdbc scan (4 ranged partitions on r_regionkey) —

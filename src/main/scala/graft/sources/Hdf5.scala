@@ -31,12 +31,16 @@ import org.apache.spark.sql.types._
   * Profile READ (anything else fails loudly, never decodes garbage):
   * v0 superblock, v1 symbol-table groups (multi-SNOD B-trees and
   * object-header continuation blocks ARE handled — h5py emits both),
-  * contiguous OR v1-B-tree chunked layout (r15: UNFILTERED full-width
-  * chunks — the h5py default shape when resizability is on; filtered/
-  * compressed chunks, column-split chunks and compact layouts are
+  * contiguous OR v1-B-tree chunked layout with full-width chunks —
+  * UNFILTERED (r15) or through a gzip/shuffle/fletcher32 filter
+  * pipeline (r16: deflate inflates via java.util.zip, shuffle is byte
+  * arithmetic, fletcher32 is VERIFIED per H5checksum.c — the h5py
+  * `compression='gzip', shuffle=True, fletcher32=True` shape; szip/
+  * nbit/user filters, column-split chunks and compact layouts are
   * rejected), class-1 float64 little-endian datatype, rank-1/2
-  * dataspace. The chunked fixture in Hdf5Spec is written by the
-  * INDEPENDENT dev/h5check.py writer (two implementations, one spec).
+  * dataspace. The chunked fixtures in Hdf5Spec — plain AND compressed —
+  * are written by the INDEPENDENT dev/h5check.py writer (two
+  * implementations, one spec).
   *
   * Scale shape (same contract as [[Zarr]]): metadata is O(1) and
   * driver-side; the raw data region is written by PARALLEL tasks, each
@@ -190,7 +194,13 @@ object Hdf5 {
       val parent = Paths.get(path).toAbsolutePath.getParent
       if (parent != null) Files.createDirectories(parent)
       val raf = new RandomAccessFile(path, "rw")
-      try { raf.setLength(eof); raf.write(meta.array()) } finally raf.close()
+      // one scratch byte PAST the declared eof holds a nonzero marker the
+      // task writing the globally last row places (truncated away below):
+      // the CRC check alone false-passes when the last row is all zeros
+      // (its CRC equals the zero-prefilled region's — r15 ADVICE), the
+      // marker cannot — a non-shared FS leaves it 0x00
+      try { raf.setLength(if (n > 0) eof + 1 else eof); raf.write(meta.array()) }
+      finally raf.close()
 
       if (n > 0L) {
         // parallel raw-data write: positioned disjoint ranges, one task
@@ -229,6 +239,9 @@ object Hdf5 {
               emit(row0, i0)
               it.foreach { case (row, i) => emit(row, i) }
               bout.flush()
+              // the task owning the globally last row stamps the scratch
+              // marker byte at `eof` (see the setLength note above)
+              if (lastIdx == n - 1) { out.seek(dataAddr + n * rowBytes); out.write(0xA5) }
             } finally out.close()
             val crc = new java.util.zip.CRC32
             crc.update(lastRow)
@@ -243,17 +256,23 @@ object Hdf5 {
         val (sentinelIdx, sentinelCrc) = marks.maxBy(_._1)
         val back = new RandomAccessFile(path, "r")
         val sentinelBytes = new Array[Byte](rowBytes)
-        try {
+        val marker = try {
           back.seek(dataAddr + sentinelIdx * rowBytes)
           back.readFully(sentinelBytes)
+          back.seek(eof); back.read()
         } finally back.close()
         val crc = new java.util.zip.CRC32
         crc.update(sentinelBytes)
-        require(crc.getValue == sentinelCrc,
-          s"hdf5 write: sentinel row $sentinelIdx read back differently " +
-            "than its writer task reported — `path` is NOT a shared " +
-            "filesystem across the executors (the Scaladoc contract); " +
-            "the executors wrote local files and this export is invalid")
+        require(marker == 0xA5 && crc.getValue == sentinelCrc,
+          s"hdf5 write: sentinel row $sentinelIdx (or its 0xA5 marker " +
+            "byte) read back differently than its writer task reported — " +
+            "`path` is NOT a shared filesystem across the executors (the " +
+            "Scaladoc contract); the executors wrote local files and this " +
+            "export is invalid")
+        // drop the scratch marker: the spec requires file size == the
+        // superblock's eof address (h5check enforces it)
+        val trunc = new RandomAccessFile(path, "rw")
+        try trunc.setLength(eof) finally trunc.close()
       }
       (n, c)
     } finally { indexed.unpersist(false); () }
@@ -275,11 +294,16 @@ object Hdf5 {
   private sealed trait H5Layout
   /** Class-1 contiguous: one raw region. */
   private case class Contig(addr: Long, sizeBytes: Long) extends H5Layout
-  /** Class-2 chunked (v1 B-tree, unfiltered, full-width chunks):
-    * (first row, data address) per chunk, each chunkRows x c x 8 bytes
-    * on disk (edge chunks are PADDED to the full chunk size). */
-  private case class Chunked(chunks: Seq[(Long, Long)], chunkRows: Long)
-    extends H5Layout
+  /** One filter-pipeline stage: HDF5 filter id (1 deflate / 2 shuffle /
+    * 3 fletcher32 — anything else refuses at [[locate]]) + client data. */
+  private[sources] case class H5Filter(id: Int, cdata: Array[Int])
+  /** Class-2 chunked (v1 B-tree, full-width chunks): (first row, data
+    * address, STORED bytes) per chunk — stored == raw when `filters` is
+    * empty, else the post-pipeline size; edge chunks are PADDED to the
+    * full chunk size BEFORE filtering, so every chunk decodes to exactly
+    * chunkRows x c x 8 bytes. */
+  private case class Chunked(chunks: Seq[(Long, Long, Long)], chunkRows: Long,
+      filters: Seq[H5Filter]) extends H5Layout
 
   private case class Dset(n: Long, c: Int, layout: H5Layout)
 
@@ -400,15 +424,20 @@ object Hdf5 {
       val layCls = lay.get(1) & 0xff
       layCls match {
         case 1 =>
+          require(!msgs.exists(_._1 == 0x000B),
+            "hdf5: contiguous layout with a filter pipeline is not a " +
+              "valid combination (filters apply to chunked storage only)")
           Dset(n, c, Contig(lay.getLong(2), lay.getLong(10)))
         case 2 =>
           // v1-B-tree chunked read (r15 VERDICT #6 — h5py writes chunked
-          // whenever compression or resizability is on): UNFILTERED,
-          // full-width chunks only; anything narrower would need
-          // cross-chunk row assembly and is rejected loudly.
-          require(!msgs.exists(_._1 == 0x000B),
-            "hdf5: dataset has a filter pipeline (compressed/filtered " +
-              "chunks are outside the supported profile — store unfiltered)")
+          // whenever compression or resizability is on): full-width
+          // chunks; gzip (deflate) + shuffle + fletcher32 filter
+          // pipelines are DECODED (r16 VERDICT #4 — h5py applies gzip
+          // whenever compression= is on, which is most real archival
+          // tensors); any other filter refuses loudly. Column-split
+          // chunks would need cross-chunk row assembly — still rejected.
+          val filters = msgs.find(_._1 == 0x000B)
+            .map(m => parseFilters(m._2)).getOrElse(Seq.empty)
           val dty = lay.get(2) & 0xff // dimensionality = rank + 1
           require(dty == rank + 1,
             s"hdf5: chunked layout dimensionality $dty for rank $rank")
@@ -424,7 +453,7 @@ object Hdf5 {
           val rawChunkBytes = chunkRows * chunkCols * 8
           val keyLen = 8 + 8 * dty
           // walk the type-1 (raw data chunk) v1 B-tree to its leaves
-          def chunks(addr: Long): Seq[(Long, Long)] = {
+          def chunks(addr: Long): Seq[(Long, Long, Long)] = {
             val hdr = f.bytes(addr, 24)
             val tsig = new Array[Byte](4); hdr.get(tsig)
             require(new String(tsig, "US-ASCII") == "TREE",
@@ -443,32 +472,145 @@ object Hdf5 {
               val child = body.getLong
               if (level > 0) chunks(child)
               else {
+                // mask bit i = pipeline stage i SKIPPED for this chunk —
+                // a shape this reader never writes and won't guess at
                 require(filterMask == 0,
-                  s"hdf5: chunk at row $rowOff has filtered data (mask " +
-                    s"$filterMask) — outside the supported profile")
-                require(sizeBytes == rawChunkBytes,
+                  s"hdf5: chunk at row $rowOff has a nonzero filter mask " +
+                    s"($filterMask) — outside the supported profile")
+                require(filters.nonEmpty || sizeBytes == rawChunkBytes,
                   s"hdf5: chunk at row $rowOff stores $sizeBytes bytes, " +
                     s"expected the unfiltered $rawChunkBytes")
-                Seq((rowOff, child))
+                Seq((rowOff, child, sizeBytes))
               }
             }
           }
           val cs = chunks(btAddr).sortBy(_._1)
           // every row must be covered exactly once by the chunk grid
-          cs.zipWithIndex.foreach { case ((off, _), i) =>
+          cs.zipWithIndex.foreach { case ((off, _, _), i) =>
             require(off == i * chunkRows,
               s"hdf5: chunk grid hole — chunk $i starts at row $off, " +
                 s"expected ${i * chunkRows}")
           }
           require(n == 0 || cs.nonEmpty && cs.length == (n + chunkRows - 1) / chunkRows,
             s"hdf5: ${cs.length} chunks cannot cover $n rows at $chunkRows rows/chunk")
-          Dset(n, c, Chunked(cs, chunkRows))
+          Dset(n, c, Chunked(cs, chunkRows, filters))
         case other =>
           throw new IllegalArgumentException(s"hdf5: layout class $other " +
             "unsupported (contiguous and unfiltered v1-B-tree chunked " +
             "are the supported profile)")
       }
     } finally f.close()
+  }
+
+  /** Filter-pipeline message (0x000B) v1/v2 → stages in pipeline (write)
+    * order. Only deflate(1)/shuffle(2)/fletcher32(3) pass — anything
+    * else (szip, nbit, user filters) refuses loudly at plan time rather
+    * than decoding garbage. */
+  private def parseFilters(body: ByteBuffer): Seq[H5Filter] = {
+    val ver = body.get(0) & 0xff
+    require(ver == 1 || ver == 2,
+      s"hdf5: filter pipeline message version $ver (profile is v1/v2)")
+    val nf = body.get(1) & 0xff
+    var pos = if (ver == 1) 8 else 2
+    (0 until nf).map { _ =>
+      val id = body.getShort(pos) & 0xffff
+      pos += 2
+      var nameLen = 0
+      if (ver == 1 || id >= 256) { nameLen = body.getShort(pos) & 0xffff; pos += 2 }
+      body.getShort(pos) // flags (bit 0 = optional) — irrelevant on read
+      val nvals = body.getShort(pos + 2) & 0xffff
+      pos += 4
+      if (ver == 1 && nameLen > 0) nameLen = pad8(nameLen)
+      pos += nameLen
+      val cdata = Array.tabulate(nvals)(i => body.getInt(pos + 4 * i))
+      pos += 4 * nvals
+      if (ver == 1 && nvals % 2 == 1) pos += 4 // odd client-data padding
+      require(id == 1 || id == 2 || id == 3,
+        s"hdf5: filter id $id is outside the deflate/shuffle/fletcher32 " +
+          "profile — re-store without it")
+      H5Filter(id, cdata)
+    }
+  }
+
+  /** HDF5's fletcher32 (H5checksum.c): 16-bit words assembled BIG-endian
+    * from the byte stream, sums folded every 360 words, an odd tail byte
+    * used as the HIGH byte of a final word. */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var s1 = 0L; var s2 = 0L
+    val words = len / 2
+    var i = 0
+    while (i < words) {
+      val block = math.min(360, words - i)
+      var b = 0
+      while (b < block) {
+        s1 += ((data(2 * i) & 0xffL) << 8) | (data(2 * i + 1) & 0xffL)
+        s2 += s1
+        i += 1; b += 1
+      }
+      s1 = (s1 & 0xffff) + (s1 >>> 16)
+      s2 = (s2 & 0xffff) + (s2 >>> 16)
+    }
+    if (len % 2 == 1) { s1 += (data(len - 1) & 0xffL) << 8; s2 += s1 }
+    s1 = (s1 & 0xffff) + (s1 >>> 16)
+    s2 = (s2 & 0xffff) + (s2 >>> 16)
+    s1 = (s1 & 0xffff) + (s1 >>> 16)
+    s2 = (s2 & 0xffff) + (s2 >>> 16)
+    ((s2 & 0xffff) << 16) | (s1 & 0xffff)
+  }
+
+  /** Executor-side chunk decode: filter INVERSES in reverse pipeline
+    * order — fletcher32 verify+strip, zlib inflate, byte unshuffle. The
+    * decoded chunk must be exactly `rawBytes` (edge chunks are padded
+    * before filtering). */
+  private def decodeChunk(stored: Array[Byte], filters: Seq[H5Filter],
+      rawBytes: Long): Array[Byte] = {
+    var cur = stored
+    filters.reverseIterator.foreach { f =>
+      f.id match {
+        case 3 =>
+          require(cur.length >= 4, "hdf5: fletcher32 chunk shorter than its checksum")
+          val want = java.nio.ByteBuffer.wrap(cur, cur.length - 4, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+          val got = fletcher32(cur, cur.length - 4)
+          require(got == want,
+            s"hdf5: fletcher32 checksum mismatch (stored $want computed $got)")
+          cur = java.util.Arrays.copyOf(cur, cur.length - 4)
+        case 1 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(cur)
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(rawBytes, 1L << 20).toInt)
+          val buf = new Array[Byte](1 << 16)
+          try {
+            while (!inf.finished()) {
+              val k = inf.inflate(buf)
+              if (k == 0) {
+                require(!inf.needsInput() && !inf.needsDictionary(),
+                  "hdf5: truncated/invalid deflate chunk")
+              } else out.write(buf, 0, k)
+            }
+          } finally inf.end()
+          cur = out.toByteArray
+        case 2 =>
+          val es = if (f.cdata.nonEmpty) f.cdata(0) else 8
+          require(es > 0 && cur.length % es == 0,
+            s"hdf5: shuffle element size $es does not divide chunk ${cur.length}")
+          val nElems = cur.length / es
+          val out = new Array[Byte](cur.length)
+          var k = 0
+          while (k < es) {
+            var i = 0
+            while (i < nElems) { out(i * es + k) = cur(k * nElems + i); i += 1 }
+            k += 1
+          }
+          cur = out
+        case other =>
+          throw new IllegalArgumentException(s"hdf5: filter id $other")
+      }
+    }
+    require(cur.length.toLong == rawBytes,
+      s"hdf5: decoded chunk is ${cur.length} bytes, expected $rawBytes")
+    cur
   }
 
   /** All messages of a v1 object header, following continuation blocks
@@ -555,23 +697,31 @@ object Hdf5 {
               }
             }
           }
-      case Chunked(chunkList, chunkRows) =>
+      case Chunked(chunkList, chunkRows, filters) =>
         val rawChunkBytes = chunkRows * rowBytes
         require(rawChunkBytes <= (1L << 30),
           s"hdf5: $rawChunkBytes-byte chunks exceed the 1 GB read bound")
-        // parallelize over chunks, ~256 MB of them per task; edge chunks
+        chunkList.foreach { case (rowOff, _, stored) =>
+          require(stored <= (1L << 30),
+            s"hdf5: stored chunk at row $rowOff is $stored bytes (> 1 GB)")
+        }
+        // parallelize over chunks, ~256 MB of RAW bytes per task (the
+        // decode cost scales with raw, not stored, size); edge chunks
         // are padded on disk, so emit only rows < n
         val perTask = math.max(1L, (256L << 20) / rawChunkBytes).toInt
         val groups = chunkList.grouped(perTask).toSeq
         spark.sparkContext
           .parallelize(groups, groups.length)
           .flatMap { group =>
-            group.iterator.flatMap { case (rowOff, addr) =>
+            group.iterator.flatMap { case (rowOff, addr, stored) =>
               val keep = math.min(chunkRows, n - rowOff)
               val raf = new RandomAccessFile(path, "r")
-              val bytes = new Array[Byte]((keep * rowBytes).toInt)
-              try { raf.seek(addr); raf.readFully(bytes) }
+              val storedBytes = new Array[Byte](stored.toInt)
+              try { raf.seek(addr); raf.readFully(storedBytes) }
               finally raf.close()
+              val bytes =
+                if (filters.isEmpty) storedBytes
+                else decodeChunk(storedBytes, filters, rawChunkBytes)
               val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
               (0L until keep).iterator.map { r =>
                 val base = (r * rowBytes).toInt

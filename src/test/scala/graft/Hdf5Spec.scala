@@ -188,11 +188,60 @@ class Hdf5Spec extends SparkSpecBase {
     val split = mutated(_.putInt(layBody + 15, 2), "colsplit.h5")
     assert(intercept[IllegalArgumentException](Hdf5.read(spark, split))
       .getMessage.contains("column-split"))
-    // a filtered chunk (nonzero key mask) must refuse
+    // a chunk with a nonzero key mask (skipped pipeline stages) must refuse
     val cbt = buf.getLong(layBody + 3)
     val masked = mutated(_.putInt(cbt.toInt + 24 + 4, 1), "masked.h5")
     assert(intercept[IllegalArgumentException](Hdf5.read(spark, masked))
-      .getMessage.contains("filtered"))
+      .getMessage.contains("filter mask"))
+  }
+
+  test("hdf5 filtered chunked read: gzip+shuffle+fletcher32 from h5check.py, loud rejects") {
+    import scala.sys.process._
+    def causes(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    // full pipeline: shuffle -> deflate -> fletcher32 (the h5py
+    // compression='gzip', shuffle=True, fletcher32=True shape), edge
+    // chunk padded; values are the h5check arithmetic fixture
+    val path = tmp("pygzip.h5")
+    assert(Seq("python3", "dev/h5check.py", "--write-gzip",
+      path, "data", "997", "3", "64", "shuffle,fletcher32").! == 0)
+    val got = Hdf5.read(spark, path).orderBy("row_index")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 997 && got.head._1 == 0L && got.last._1 == 996L)
+    for ((i, a, b, c) <- got)
+      assert(a == i * 1000.0 + 0.5 && b == i * 1000.0 + 1.5 && c == i * 1000.0 + 2.5,
+        s"row $i decoded wrong: ($a, $b, $c)")
+    // deflate-only pipeline decodes too
+    val p2 = tmp("pygzip2.h5")
+    assert(Seq("python3", "dev/h5check.py", "--write-gzip",
+      p2, "data", "100", "2", "16", "").! == 0)
+    val g2 = Hdf5.read(spark, p2).orderBy("row_index").collect()
+    assert(g2.length == 100 && g2(37).getDouble(1) == 37000.5
+      && g2(37).getDouble(2) == 37001.5)
+    // a corrupted stored chunk fails the fletcher32 verify LOUDLY
+    val bytes = Files.readAllBytes(Paths.get(path))
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x5A).toByte
+    val bad = tmp("pygzip_bad.h5")
+    Files.write(Paths.get(bad), bytes)
+    val e = intercept[Throwable](Hdf5.read(spark, bad).collect())
+    assert((causes(e) :+ e.toString).exists(m =>
+      m.contains("fletcher32") || m.contains("deflate")), s"unexpected: $e")
+    // a foreign filter id (szip = 4) refuses at plan time: the filter
+    // message is the 4th header message; its first filter id sits at
+    // body+8 (v1 header)
+    val orig = Files.readAllBytes(Paths.get(path))
+    val buf2 = ByteBuffer.wrap(orig).order(ByteOrder.LITTLE_ENDIAN)
+    val btree2 = buf2.getLong(120)
+    val snod2 = buf2.getLong(btree2.toInt + 24 + 8)
+    val dsetOh2 = buf2.getLong(snod2.toInt + 16).toInt
+    val filtIdAt = dsetOh2 + 16 + 32 + 32 + 32 + 8 + 8
+    assert((buf2.getShort(filtIdAt) & 0xffff) == 2) // shuffle leads the pipeline
+    buf2.putShort(filtIdAt, 4.toShort)
+    val foreign = tmp("pygzip_szip.h5")
+    Files.write(Paths.get(foreign), orig)
+    assert(intercept[IllegalArgumentException](Hdf5.read(spark, foreign))
+      .getMessage.contains("outside the deflate/shuffle/fletcher32 profile"))
   }
 
   test("hdf5 reader handles multi-SNOD btrees and header continuations") {
