@@ -200,6 +200,18 @@ object ScaleBench {
             .bpeTokenCountFast(s, col("text"), bpe10k)).as("tokens"))
           .head().getLong(0)
       },
+      "aux_bpe_ids" -> { (s: SparkSession, dir: String) =>
+        // token-ID encoding throughput (r16, on-demand like aux_*): the
+        // graft_bpe_ids merge loop + vocab mapping over the same
+        // 10k-merge table — "rows" is the TOTAL ID COUNT (ids are 1:1
+        // with tokens here: the ascii alphabet covers the corpus), so
+        // ids/s = rows / wall and the bpe_tokens delta is the id-map
+        // cost. One foldable vocab literal (~10k symbols), zero shuffle.
+        val docs = Tables.load(s, dir, "documents")
+        docs.agg(sum(size(graft.functions.TextFunctions
+            .bpeEncodeIds(s, col("text"), bpe10k))).as("n"))
+          .head().getLong(0)
+      },
       "skew_domain_cap" -> { (s: SparkSession, dir: String) =>
         forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",
           cap = 1000, skewThreshold = 100000L))
