@@ -1360,10 +1360,11 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       merges: Seq[(String, String)] = graft.functions.PinnedBpe.merges,
       alphabet: Seq[String] = graft.functions.BpeVocab.asciiAlphabet,
       specials: Seq[String] = Vector.empty,
-      unk: Option[String] = None): GraftFrame =
+      unk: Option[String] = None,
+      byteFallback: Boolean = false): GraftFrame =
     GraftFrame(df.withColumn(out, graft.functions.TextFunctions
       .bpeEncodeIds(df.sparkSession, df(textCol), merges, alphabet,
-        specials, unk)), index)
+        specials, unk, byteFallback)), index)
 
   /** GPT-2-style regex pretokenization of a text column (r16) —
     * category-pure letter/digit/punct runs; compose before any BPE

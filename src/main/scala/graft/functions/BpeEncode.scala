@@ -91,10 +91,21 @@ object BpeEncode {
     * is bounded by the distinct-word caches in [[countDoc]] /
     * [[tokenizeDoc]]. */
   def mergeWord(w: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
-    val len = w.length
+    // initial symbols are CODE POINTS, not UTF-16 units (r16): the
+    // replace-chain encoding's '(.)' spacing regex matches one code
+    // point in both Java regex and RE2, so an astral char (a surrogate
+    // PAIR) must be one symbol here too or the two paths diverge — and
+    // the byte-fallback id path needs whole code points to UTF-8-encode
+    val len = w.codePointCount(0, w.length)
     val syms = new Array[String](len)
     var i = 0
-    while (i < len) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val cc = Character.charCount(cp)
+      syms(k) = w.substring(i, i + cc)
+      i += cc; k += 1
+    }
     if (len <= 1) return syms
     var n = len
     var done = false
@@ -174,10 +185,11 @@ object BpeEncode {
 
   /** Token-ID encoding of one word (r16): special-token passthrough
     * first (a word exactly equal to a special bypasses merging), else
-    * [[mergeWord]] symbols mapped through the vocab — char-level
-    * fallback for a symbol without an id, unk for a char outside the
-    * alphabet, and a LOUD failure when no unk is designated (see
-    * [[BpeVocab]] for the contract). */
+    * [[mergeWord]] symbols mapped through the vocab with the OOV
+    * ladder — per-code-point fallback for a symbol without an id, the
+    * code point's UTF-8 bytes when the vocab carries byte ids, unk
+    * when designated, and a LOUD failure otherwise (see [[BpeVocab]]
+    * for the contract). */
   def encodeIdsWord(w: String,
       ranks: java.util.HashMap[String, Integer],
       vocab: BpeVocab.Table): Array[Int] = {
@@ -193,16 +205,24 @@ object BpeEncode {
       val id = vocab.ids.get(s)
       if (id != null) buf += id.intValue()
       else {
+        // per-CODE-POINT (surrogate pairs stay whole for the byte path)
         var j = 0
         while (j < s.length) {
-          val cid = vocab.ids.get(String.valueOf(s.charAt(j)))
+          val cp = s.codePointAt(j)
+          val cs = new String(Character.toChars(cp))
+          val cid = vocab.ids.get(cs)
           if (cid != null) buf += cid.intValue()
-          else if (vocab.unkId >= 0) buf += vocab.unkId
+          else if (vocab.byteBase >= 0) {
+            val bs = cs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var b = 0
+            while (b < bs.length) { buf += vocab.byteBase + (bs(b) & 0xff); b += 1 }
+          } else if (vocab.unkId >= 0) buf += vocab.unkId
           else throw new IllegalArgumentException(
-            "BPE id encoding: char '" + s.charAt(j) + "' (code point " +
-              s.charAt(j).toInt + ") is not in the vocab alphabet and no " +
-              "unk special is designated — extend the alphabet or add an unk")
-          j += 1
+            "BPE id encoding: code point U+" + Integer.toHexString(cp)
+              .toUpperCase + " is not in the vocab alphabet and the vocab " +
+              "has neither byte fallback nor an unk special — enable one " +
+              "or extend the alphabet")
+          j += Character.charCount(cp)
         }
       }
       i += 1

@@ -13,14 +13,14 @@ package graft.functions
   *   - then merge outputs in rank order (a duplicate output — e.g.
   *     (a,bc) and (ab,c) both producing "abc" — keeps its first id).
   *
-  * OOV contract: multi-char symbols are NEVER out-of-vocabulary (every
-  * merge output holds an id by construction); a single char absent from
-  * the alphabet falls back to the `unk` special when one is designated,
-  * and otherwise fails LOUDLY (the silent-truncation class this repo
-  * kills on sight). Char-level fallback happens before unk: a symbol
-  * that is not in the vocab (possible only when the encoding merges
-  * over a different table than the vocab was built from) decomposes to
-  * its chars' ids.
+  * OOV contract (the ladder: symbol → code points → UTF-8 bytes → unk
+  * → loud): multi-char symbols are NEVER out-of-vocabulary (every
+  * merge output holds an id by construction); a code point absent from
+  * the alphabet decomposes to its UTF-8 bytes' reserved ids when
+  * `byteFallback` is on (then NOTHING is ever dropped — the GPT-2
+  * byte-level guarantee), else maps to the `unk` special when one is
+  * designated, and otherwise fails LOUDLY (the silent-truncation class
+  * this repo kills on sight).
   *
   * Ref mars has no tokenizer — this surface comes from the LLM-pipeline
   * brief; the id gate is ext_bpe_ids (DuckDB replays the id map as a
@@ -36,15 +36,26 @@ object BpeVocab {
     * synthesized gate corpora produce. */
   val asciiAlphabet: Vector[String] = (0x21 to 0x7E).map(_.toChar.toString).toVector
 
-  /** The ordered symbol list; id = position. */
+  /** Byte-fallback pseudo-symbol names, ids byteBase .. byteBase+255
+    * when [[serialize]] is called with `byteFallback = true` (the
+    * GPT-2-style guarantee: EVERY unicode input encodes — an
+    * out-of-alphabet code point decomposes to its UTF-8 bytes'
+    * reserved ids, so unk never fires and nothing is dropped). */
+  val byteSymbols: Vector[String] =
+    (0 until 256).map(b => f"<0x$b%02X>").toVector
+
+  /** The ordered symbol list; id = position. Byte pseudo-symbols (when
+    * enabled) sit right after the specials, before the alphabet. */
   def symbols(merges: Seq[(String, String)],
       alphabet: Seq[String] = asciiAlphabet,
-      specials: Seq[String] = Vector.empty): Vector[String] = {
+      specials: Seq[String] = Vector.empty,
+      byteFallback: Boolean = false): Vector[String] = {
     val seen = new java.util.LinkedHashSet[String]()
     specials.foreach { sp =>
       require(sp.nonEmpty, "empty special token")
       seen.add(sp)
     }
+    if (byteFallback) byteSymbols.foreach(seen.add)
     alphabet.foreach { a =>
       require(a.length == 1, s"alphabet entries must be single chars: '$a'")
       seen.add(a)
@@ -62,8 +73,9 @@ object BpeVocab {
   def serialize(merges: Seq[(String, String)],
       alphabet: Seq[String] = asciiAlphabet,
       specials: Seq[String] = Vector.empty,
-      unk: Option[String] = None): String = {
-    val syms = symbols(merges, alphabet, specials)
+      unk: Option[String] = None,
+      byteFallback: Boolean = false): String = {
+    val syms = symbols(merges, alphabet, specials, byteFallback)
     syms.foreach { s =>
       require(!s.exists(c => c == SymSep || c == FieldSep),
         "vocab symbols must not contain U+0000/U+0001")
@@ -72,32 +84,37 @@ object BpeVocab {
       require(specials.contains(u), s"unk token '$u' must be one of the specials")
       syms.indexOf(u)
     }.getOrElse(-1)
-    s"${specials.length}$FieldSep$unkId$FieldSep" +
+    val byteBase = if (byteFallback) specials.length else -1
+    s"${specials.length}$FieldSep$unkId$FieldSep$byteBase$FieldSep" +
       syms.mkString(SymSep.toString)
   }
 
-  /** Parsed id table for the executor-side encoder. */
+  /** Parsed id table for the executor-side encoder. `byteBase` < 0 =
+    * no byte fallback; else ids byteBase+b cover raw UTF-8 bytes. */
   final class Table(val ids: java.util.HashMap[String, Integer],
       val specials: java.util.HashSet[String],
       val unkId: Int,
+      val byteBase: Int,
       val size: Int) extends Serializable
 
   def parse(spec: String): Table = {
     val f1 = spec.indexOf(FieldSep)
     val f2 = spec.indexOf(FieldSep, f1 + 1)
-    require(f1 > 0 && f2 > f1, "malformed vocab spec")
+    val f3 = spec.indexOf(FieldSep, f2 + 1)
+    require(f1 > 0 && f2 > f1 && f3 > f2, "malformed vocab spec")
     val nSpecials = spec.substring(0, f1).toInt
     val unkId = spec.substring(f1 + 1, f2).toInt
+    val byteBase = spec.substring(f2 + 1, f3).toInt
     val ids = new java.util.HashMap[String, Integer]()
     val specials = new java.util.HashSet[String]()
-    val body = spec.substring(f2 + 1)
+    val body = spec.substring(f3 + 1)
     var id = 0
     if (body.nonEmpty) for (sym <- body.split(SymSep.toString, -1)) {
       ids.putIfAbsent(sym, Integer.valueOf(id))
       if (id < nSpecials) specials.add(sym)
       id += 1
     }
-    new Table(ids, specials, unkId, id)
+    new Table(ids, specials, unkId, byteBase, id)
   }
 
   /** Escaped CASE fragment mapping a token expression to its id — the

@@ -154,13 +154,26 @@ object PinnedBpeGen {
     * approximate tail passes e.g. 0.01 explicitly — the tail of a
     * Zipfian lexicon carries little pair mass, but that is the CALLER's
     * call to make, never a silent default). Words split on the same
-    * whitespace class the encoder uses. */
+    * whitespace class the encoder uses.
+    *
+    * `minCount` (r16) is the PRINCIPLED corpus-scale valve — the
+    * frequency cutoff every production tokenizer trainer exposes
+    * (HF tokenizers/SentencePiece `min_frequency`): dropping sub-
+    * threshold words bounds the DRIVER lexicon by distinct-frequent
+    * words (sublinear in corpus size; typo/URL singletons vanish)
+    * while the distributed word-count aggregate still reads the whole
+    * corpus. It is an EXPLICIT training parameter, not a silent cap —
+    * the maxWords loudness check applies on top of whatever survives
+    * the cutoff. */
   def vocabOf(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
-      maxWords: Int = 200000, maxDroppedMass: Double = 0.0): Array[(String, Long)] = {
+      maxWords: Int = 200000, maxDroppedMass: Double = 0.0,
+      minCount: Long = 1L): Array[(String, Long)] = {
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
     val counts = docs
       .select(explode(split(col("text"), "[ \t\n\r]")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").count()
+      .filter(col("count") >= minCount)
     val kept = counts
       .orderBy(col("count").desc, col("w"))
       .limit(maxWords)

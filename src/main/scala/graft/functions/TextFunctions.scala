@@ -166,22 +166,23 @@ object TextFunctions {
       merges: Seq[(String, String)] = PinnedBpe.merges,
       alphabet: Seq[String] = BpeVocab.asciiAlphabet,
       specials: Seq[String] = Vector.empty,
-      unk: Option[String] = None): Column =
+      unk: Option[String] = None,
+      byteFallback: Boolean = false): Column =
     bpeEncodeIdsImpl(spark.catalog.functionExists("graft_bpe_ids"),
-      text, merges, alphabet, specials, unk)
+      text, merges, alphabet, specials, unk, byteFallback)
 
   private[graft] def bpeEncodeIdsImpl(nativeAvailable: Boolean,
       text: Column, merges: Seq[(String, String)],
       alphabet: Seq[String], specials: Seq[String],
-      unk: Option[String]): Column = {
+      unk: Option[String], byteFallback: Boolean = false): Column = {
     if (nativeAvailable)
       call_function("graft_bpe_ids", text,
         lit(BpeEncode.serialize(merges)),
-        lit(BpeVocab.serialize(merges, alphabet, specials, unk)))
+        lit(BpeVocab.serialize(merges, alphabet, specials, unk, byteFallback)))
     else if (merges.size <= 512 && specials.isEmpty) {
       // chain tokens -> literal-map lookup; a missing id is LOUD (the
-      // native path's char/unk fallback cannot be replayed here)
-      val syms = BpeVocab.symbols(merges, alphabet, specials)
+      // native path's byte/char/unk fallback cannot be replayed here)
+      val syms = BpeVocab.symbols(merges, alphabet, specials, byteFallback)
       val idMap = map(syms.zipWithIndex.flatMap { case (s, i) =>
         Seq(lit(s), lit(i)) }: _*)
       transform(bpeTokenizeImpl(nativeAvailable = false, text, merges),

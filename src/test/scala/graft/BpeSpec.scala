@@ -14,7 +14,17 @@ class BpeSpec extends SparkSpecBase {
   /** Reference: encode one word (no spaces) to its BPE symbol count. */
   private def refEncodeWord(w: String,
       merges: Seq[(String, String)]): Vector[String] = {
-    var syms = w.map(_.toString).toVector
+    // initial symbols are code points (astral chars stay whole — the
+    // r16 contract shared with mergeWord and the '(.)' chain regex)
+    var syms = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b.result()
+    }
     for ((a, b) <- merges) {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -331,6 +341,33 @@ class BpeSpec extends SparkSpecBase {
       BpeVocab.asciiAlphabet, specials, Some("<unk>")))
     assert(tbl.unkId == 1 && tbl.specials.contains("<|doc|>")
       && tbl.ids.get("ab") == abId && tbl.size == syms.length)
+  }
+
+  test("bpeEncodeIds byte fallback: every unicode input encodes, nothing dropped") {
+    import graft.functions.BpeVocab
+    val merges = Vector(("a", "b"))
+    def ids(text: String): Seq[Int] =
+      Seq(text).toDF("text")
+        .select(TextFunctions.bpeEncodeIds(spark, col("text"), merges,
+          BpeVocab.asciiAlphabet, Vector.empty, None, byteFallback = true).as("i"))
+        .as[Seq[Int]].collect().head
+    val syms = BpeVocab.symbols(merges, BpeVocab.asciiAlphabet,
+      Vector.empty, byteFallback = true)
+    val byteBase = syms.indexOf("<0x00>")
+    assert(byteBase == 0 && syms(0xC3) == "<0xC3>") // bytes lead (no specials)
+    // U+00E9 (two UTF-8 bytes 0xC3 0xA9) and U+1F600 (four bytes, a
+    // surrogate PAIR in UTF-16 — must decompose as one code point)
+    val eAcute = ids("caf\u00E9")
+    assert(eAcute.takeRight(2) == Seq(byteBase + 0xC3, byteBase + 0xA9), s"$eAcute")
+    val grin = ids("a\uD83D\uDE00b")
+    assert(grin.slice(1, 5) ==
+      Seq(0xF0, 0x9F, 0x98, 0x80).map(byteBase + _), s"$grin")
+    // ascii path unaffected; ab still merges
+    assert(ids("ab").length == 1)
+    // round-trip through serialize/parse keeps byteBase
+    val tbl = BpeVocab.parse(BpeVocab.serialize(merges,
+      BpeVocab.asciiAlphabet, Vector.empty, None, byteFallback = true))
+    assert(tbl.byteBase == 0 && tbl.unkId == -1)
   }
 
   test("vocabOf truncation is LOUD; a tolerance keeps the top words (r16)") {

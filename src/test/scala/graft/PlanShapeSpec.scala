@@ -565,7 +565,19 @@ class PlanShapeSpec extends SparkSpecBase {
     import graft.operators.Dedup
     val docs = lshDocs
     val tbls = Seq("graft_pa_bands", "graft_pa_shingles", "graft_pa_params", "graft_pa_batches")
-    tbls.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+    tbls.foreach { nm =>
+      spark.sql(s"DROP TABLE IF EXISTS $nm")
+      // the in-memory catalog is fresh per JVM but the warehouse DIR
+      // persists — a crashed earlier run leaves an orphan location that
+      // fails the persist with LOCATION_ALREADY_EXISTS
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), nm)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala
+          .toVector.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     // build from the first 40 docs, append 41..60 — the combined index
     // must behave exactly like a from-scratch build over docs <= 60
     Dedup.minhashIndexPersist(docs.filter($"doc_id" <= 40),
@@ -573,19 +585,20 @@ class PlanShapeSpec extends SparkSpecBase {
     Dedup.minhashIndexAppend(
       docs.filter($"doc_id" > 40 && $"doc_id" <= 60),
       "text", "doc_id", "graft_pa")
-    // r16 (VERDICT #3): the append clash check's phase-1 probe is an
-    // id-ONLY store scan — a no-clash append must never read (let alone
-    // hash) the shs_i column of the whole history
-    val probe = Dedup.appendIdIntersection(spark, "graft_pa",
-      docs.filter($"doc_id" > 60).select($"doc_id".as("index_id")))
-    val probeScans = probe.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.tableIdentifier.exists(_.table == "graft_pa_shingles") =>
-        f.requiredSchema.fieldNames.toSeq
-    }
-    assert(probeScans.nonEmpty && probeScans.forall(_ == Seq("index_id")),
-      s"phase-1 clash probe reads more than index_id: $probeScans")
     try withSmjStaticPlan {
+      // r16 (VERDICT #3): the append clash check's phase-1 probe is an
+      // id-ONLY store scan — a no-clash append must never read (let
+      // alone hash) the shs_i column of the whole history (static plan:
+      // an AQE root would hide the scans from collect)
+      val probe = Dedup.appendIdIntersection(spark, "graft_pa",
+        docs.filter($"doc_id" > 60).select($"doc_id".as("index_id")))
+      val probeScans = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "graft_pa_shingles") =>
+          f.requiredSchema.fieldNames.toSeq
+      }
+      assert(probeScans.nonEmpty && probeScans.forall(_ == Seq("index_id")),
+        s"phase-1 clash probe reads more than index_id: $probeScans")
       val out = Dedup.minhashDedupPairsAgainstIndex(
         docs.filter($"doc_id" > 60), "text", "doc_id", "graft_pa")
       assertIndexExchangeFree(out, "graft_pa")
