@@ -130,4 +130,36 @@ object BpeVocab {
       .mkString(" ")
     s"CASE $tokenExpr $branches ELSE -1 END"
   }
+
+  /** The UTF-8 byte-fallback ids of one code point (vocab built with
+    * `byteFallback = true`): byteBase + each byte of the code point's
+    * UTF-8 encoding — the values [[graft.functions.BpeEncode.encodeIdsWord]]
+    * emits for an out-of-alphabet code point. */
+  def byteIdsOf(codePoint: Int, byteBase: Int): Seq[Int] =
+    new String(Character.toChars(codePoint))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => byteBase + (b & 0xff))
+
+  /** CASE fragment mapping a token expression to a LIST of ids — the
+    * byte-fallback replay (a token can decompose to MULTIPLE byte ids,
+    * so the oracle maps to lists and flattens): vocab symbols map to
+    * single-element lists; `oovTokens` pairs a SQL expression for each
+    * injected out-of-alphabet token with its decomposed id list
+    * ([[byteIdsOf]]); ELSE [-1] so any divergence breaks the hash.
+    * Byte pseudo-symbols never appear as tokens and are skipped. */
+  def sqlIdListCase(tokenExpr: String,
+      merges: Seq[(String, String)],
+      alphabet: Seq[String] = asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      byteFallback: Boolean = false,
+      oovTokens: Seq[(String, Seq[Int])] = Nil): String = {
+    val symBranches = symbols(merges, alphabet, specials, byteFallback)
+      .zipWithIndex
+      .filterNot { case (s, _) => byteFallback && byteSymbols.contains(s) }
+      .map { case (s, i) => s"WHEN '${s.replace("'", "''")}' THEN [$i]" }
+    val oovBranches = oovTokens.map { case (expr, ids) =>
+      s"WHEN $expr THEN [${ids.mkString(", ")}]"
+    }
+    s"CASE $tokenExpr ${(oovBranches ++ symBranches).mkString(" ")} ELSE [-1] END"
+  }
 }

@@ -1914,6 +1914,60 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- BYTE-FALLBACK token ids (r16): every doc gets two
+    //     out-of-alphabet code points appended in-query (U+00E9, two
+    //     UTF-8 bytes, and U+1F600, four bytes — a surrogate PAIR on
+    //     the Spark side, so this also gates code-point symbol
+    //     splitting end-to-end); the native encoder decomposes them to
+    //     reserved byte ids (no unk in the vocab — nothing can drop),
+    //     and the DuckDB replay maps each replayed token to a LIST of
+    //     ids (single-element for vocab symbols, the UTF-8 byte ids for
+    //     the injected code points) and flattens. ELSE [-1]. UNROUNDED.
+    Q("ext_bpe_ids_bytes", {
+      import graft.functions.{BpeVocab, PinnedBpe}
+      val inner =
+        """SELECT doc_id,
+          |  text || ' caf' || chr(233) || ' ' || chr(128512) AS text
+          |FROM documents WHERE doc_id < 120""".stripMargin
+      val staged = TextFunctions.sqlBpeMerged("text", Seq("doc_id"), inner)
+      val byteBase = BpeVocab.symbols(PinnedBpe.merges,
+        BpeVocab.asciiAlphabet, Vector.empty, byteFallback = true)
+        .indexOf("<0x00>")
+      val idCase = BpeVocab.sqlIdListCase("t", PinnedBpe.merges,
+        byteFallback = true,
+        oovTokens = Seq(
+          "chr(233)" -> BpeVocab.byteIdsOf(0xE9, byteBase),
+          "chr(128512)" -> BpeVocab.byteIdsOf(0x1F600, byteBase)))
+      s"""SELECT doc_id,
+         |  CAST(len(ids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(ids) AS BIGINT) AS id_sum,
+         |  md5(array_to_string(ids, ',')) AS ids_md5
+         |FROM (
+         |  SELECT doc_id,
+         |    flatten(list_transform(string_split(tok_str, '|'), t -> $idCase)) AS ids
+         |  FROM (
+         |    SELECT doc_id,
+         |      replace(trim(
+         |        regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |        '  ', '|') AS tok_str
+         |    FROM ($staged) t) s) z
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val laced = concat($"text", lit(" caf\u00E9 \uD83D\uDE00"))
+      val ids = TextFunctions.bpeEncodeIds(spark, laced,
+        byteFallback = true)
+      t(spark, dir, "documents")
+        .filter($"doc_id" < 120)
+        .withColumn("ids", ids)
+        .select($"doc_id",
+          size($"ids").cast("long").as("n_ids"),
+          aggregate($"ids", lit(0L), (a, x) => a + x.cast("long")).as("id_sum"),
+          md5(array_join(transform($"ids", _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
+        .orderBy($"doc_id")
+    },
+
     // --- language-ID heuristic vs labeled lang (confusion counts)
     Q("ext_lang_id",
       """SELECT lang, pred_lang, COUNT(*) AS cnt FROM (
