@@ -1155,4 +1155,30 @@ class ApiSpec extends SparkSpecBase {
     assert(withTokens.columns.contains("bpe"))
     assert(withTokens.exceptAll(expect).isEmpty && expect.exceptAll(withTokens).isEmpty)
   }
+
+  test("fluent bpeTokenIds / bpePretokenized / packSequencesByLen round-trip (r16)") {
+    import org.apache.spark.sql.functions.{col, size}
+    val docs = GraftFrame(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")))
+    // bpeTokenIds == the function call; ids 1:1 with the token count
+    val withIds = docs.bpeTokenIds("text", "ids").df
+    val counted = docs.bpeTokens("text", "bpe").df
+    val joined = withIds.select(col("doc_id"), size(col("ids")).as("n"))
+      .join(counted.select(col("doc_id"), col("bpe")), "doc_id")
+    assert(joined.filter(col("n") =!= col("bpe")).isEmpty)
+    // pretokenized column feeds the same paths (insertion-only transform)
+    val pre = docs.bpePretokenized("text", "pre").df
+    assert(pre.columns.contains("pre") && pre.count() == docs.df.count())
+    // packSequencesByLen(size(ids)) == packSequences when lengths agree:
+    // pack by the whitespace token count expressed as a length column
+    val byLen = docs.bpeTokenIds("text", "ids")
+      .packSequencesByLen(
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        "doc_id", capacity = 256, nShards = 4).df
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+    val byText = docs.packSequences("text", "doc_id", 256, 4).df
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+    assert(byLen.exceptAll(byText).isEmpty && byText.exceptAll(byLen).isEmpty)
+  }
 }
