@@ -212,6 +212,17 @@ object ScaleBench {
             .bpeEncodeIds(s, col("text"), bpe10k))).as("n"))
           .head().getLong(0)
       },
+      "aux_bpe_pretok_ids" -> { (s: SparkSession, dir: String) =>
+        // the REAL-pipeline shape (r16): regex pretokenize -> merge
+        // loop -> token ids. Measures whether the codegen'd
+        // regexp_replace (one pass per row) or the merge loop dominates
+        // at scale; compare against aux_bpe_ids with the same table.
+        val docs = Tables.load(s, dir, "documents")
+        docs.agg(sum(size(graft.functions.TextFunctions
+            .bpeEncodeIds(s, graft.functions.TextFunctions
+              .bpePretokenizeFast(s, col("text")), bpe10k))).as("n"))
+          .head().getLong(0)
+      },
       "skew_domain_cap" -> { (s: SparkSession, dir: String) =>
         forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",
           cap = 1000, skewThreshold = 100000L))

@@ -1370,8 +1370,8 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
     * category-pure letter/digit/punct runs; compose before any BPE
     * path ([[graft.functions.TextFunctions.bpePretokenize]]). */
   def bpePretokenized(textCol: String, out: String): GraftFrame =
-    GraftFrame(df.withColumn(out,
-      graft.functions.TextFunctions.bpePretokenize(df(textCol))), index)
+    GraftFrame(df.withColumn(out, graft.functions.TextFunctions
+      .bpePretokenizeFast(df.sparkSession, df(textCol))), index)
 
   /** pandas resample('1D') with calendar completion per key (see
     * [[graft.operators.Sessionize.resampleDaily]]). */

@@ -183,6 +183,38 @@ object BpeEncode {
     total
   }
 
+  /** Native pretokenizer core (r16): EXACTLY the
+    * `([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+)` → " $1 " regex — each
+    * maximal letter / digit / other run surrounded by spaces,
+    * whitespace-class chars passed through verbatim — as one scan
+    * (java.util.regex costs ~2.7× the whole BPE merge loop at 100×,
+    * PERF.md r16; this loop is the codegen'd fast path behind
+    * `graft_bpe_pretok`, differentially gated against the RE2 mirror
+    * by ext_bpe_pretok). Non-ASCII chars are category "other", exactly
+    * like the regex's negated class; surrogate pairs stay inside one
+    * run on both paths. */
+  def pretokenize(text: String): String = {
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n + (n >> 1) + 8)
+    @inline def cat(c: Char): Int =
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) 1
+      else if (c >= '0' && c <= '9') 2
+      else 3
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isWs(c)) { sb.append(c); i += 1 }
+      else {
+        val k = cat(c)
+        val start = i
+        i += 1
+        while (i < n && !isWs(text.charAt(i)) && cat(text.charAt(i)) == k) i += 1
+        sb.append(' ').append(text, start, i).append(' ')
+      }
+    }
+    sb.toString
+  }
+
   /** Token-ID encoding of one word (r16): special-token passthrough
     * first (a word exactly equal to a special bypasses merging), else
     * [[mergeWord]] symbols mapped through the vocab with the OOV

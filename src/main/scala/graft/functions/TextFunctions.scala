@@ -214,6 +214,17 @@ object TextFunctions {
     regexp_replace(text,
       "([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+)", " $1 ")
 
+  /** [[bpePretokenize]] through the native `graft_bpe_pretok` scan when
+    * the extension is registered (java.util.regex costs ~2.7× the whole
+    * BPE merge loop at 100× — PERF.md r16; the scan output is
+    * byte-identical, BpeSpec-pinned and gated by ext_bpe_pretok), the
+    * regexp form otherwise. */
+  def bpePretokenizeFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    if (spark.catalog.functionExists("graft_bpe_pretok"))
+      call_function("graft_bpe_pretok", text)
+    else bpePretokenize(text)
+
   /** DuckDB mirror of [[bpePretokenize]] — identical RE2 alternation. */
   def sqlBpePretokenize(col: String): String =
     s"regexp_replace($col, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+)', ' \\1 ', 'g')"

@@ -92,6 +92,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_pretok"),
+      new ExpressionInfo(classOf[BpePretokenizeExpr].getName, "graft_bpe_pretok"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bpe_pretok(text) takes one arg")
+        BpePretokenizeExpr(children(0))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_bpe_ids"),
       new ExpressionInfo(classOf[BpeEncodeIds].getName, "graft_bpe_ids"),
       (children: Seq[Expression]) => {

@@ -468,3 +468,32 @@ object BpeEncodeIds {
   def toArrayData(ids: Array[Int]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(ids)
 }
+
+/** Native GPT-2-style pretokenizer (r16): `graft_bpe_pretok(text)` —
+  * the `([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+)` → " $1 " category-run
+  * split as ONE codegen'd scan ([[graft.functions.BpeEncode.pretokenize]]).
+  * Output is byte-identical to the regexp_replace form (BpeSpec pins
+  * it; ext_bpe_pretok gates it against the RE2 mirror cross-engine),
+  * at a fraction of java.util.regex's cost — the regex pass costs
+  * ~2.7× the whole BPE merge loop at 100× (PERF.md r16). */
+case class BpePretokenizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_pretok"
+
+  override protected def nullSafeEval(t: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.functions.BpeEncode.pretokenize(t.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.BpeEncode.pretokenize($t.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpePretokenizeExpr =
+    copy(child = newChild)
+}

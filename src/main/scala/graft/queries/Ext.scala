@@ -1811,7 +1811,7 @@ object Ext {
       val laced = concat($"doc_id".cast("string"), lit("x,"),
         regexp_replace($"text", "table", "tab1e!"))
       val bpe = TextFunctions.bpeTokenCountFast(spark,
-        TextFunctions.bpePretokenize(laced))
+        TextFunctions.bpePretokenizeFast(spark, laced))
       t(spark, dir, "documents")
         .groupBy($"source")
         .agg(

@@ -343,6 +343,20 @@ class BpeSpec extends SparkSpecBase {
       && tbl.ids.get("ab") == abId && tbl.size == syms.length)
   }
 
+  test("native graft_bpe_pretok == the regexp pretokenizer, byte-identical") {
+    val cases = Seq(
+      "", " ", "ab12cd", "a1b2", "hello,world!", "x=y+1", "ab!!ab",
+      "line1\nline2\tmore", "...", "12 34ab", "a  b", "\n\r\t",
+      "caf\u00E9 12", "a\uD83D\uDE00b", "!@#$%^", "A1a!B2b?")
+    val got = cases.toDF("text").select(
+      TextFunctions.bpePretokenizeFast(spark, col("text")).as("fast"),
+      TextFunctions.bpePretokenize(col("text")).as("re"))
+      .as[(String, String)].collect()
+    assert(spark.catalog.functionExists("graft_bpe_pretok"))
+    for ((c, (f, r)) <- cases.zip(got))
+      assert(f == r, s"'$c': native='$f' regex='$r'")
+  }
+
   test("bpeEncodeIds byte fallback: every unicode input encodes, nothing dropped") {
     import graft.functions.BpeVocab
     val merges = Vector(("a", "b"))
