@@ -265,7 +265,11 @@ object BpeEncode {
   /** Token-ID encoding of a whole document — per-word [[encodeIdsWord]]
     * concatenated in text order. Same word-split (whitespace class,
     * control strip) and bounded-cache contract as [[tokenizeDoc]],
-    * caching id ARRAYS. */
+    * caching id ARRAYS. When the vocab designates a word-boundary
+    * special (`wsId` ≥ 0, r17), its id is emitted between consecutive
+    * words — each whitespace RUN collapses to one boundary token, which
+    * is what makes [[decodeIds]] invert this modulo collapsed
+    * whitespace (the round-trip contract ext_bpe_decode gates). */
   def encodeIdsDoc(text: String,
       ranks: java.util.HashMap[String, Integer],
       vocab: BpeVocab.Table,
@@ -273,6 +277,7 @@ object BpeEncode {
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
     var start = 0
     var hasCtl = false
+    var emitted = false
     val len = text.length
     var i = 0
     while (i <= len) {
@@ -286,7 +291,9 @@ object BpeEncode {
               ids = encodeIdsWord(w, ranks, vocab)
               if (cache.size() < CacheCap) cache.put(w, ids)
             }
+            if (emitted && vocab.wsId >= 0) out += vocab.wsId
             out ++= ids
+            emitted = true
           }
         }
         start = i + 1
@@ -295,6 +302,48 @@ object BpeEncode {
       i += 1
     }
     out.result()
+  }
+
+  /** DECODE — the inverse of [[encodeIdsDoc]] (r17 VERDICT #1): ids map
+    * back to symbols through the vocab's id→symbol order; byte-fallback
+    * RUNS (consecutive ids in [byteBase, byteBase+256)) reassemble to
+    * UTF-8 (malformed runs render U+FFFD per the charset decoder's
+    * REPLACE policy — the convention production tokenizers use; runs the
+    * encoder produced are always well-formed); the word-boundary special
+    * renders as one space; other specials pass through verbatim. An id
+    * outside the vocabulary fails LOUDLY (the silent-absorption class
+    * this repo kills on sight). Round trip: decode(encode(x)) == x with
+    * every whitespace run collapsed to a single space (wordSep
+    * designated) or removed (no wordSep), reserved controls deleted. */
+  def decodeIds(ids: Array[Int], vocab: BpeVocab.Table): String = {
+    val sb = new java.lang.StringBuilder(ids.length * 3)
+    var byteRun: java.io.ByteArrayOutputStream = null
+    @inline def flushBytes(): Unit =
+      if (byteRun != null && byteRun.size() > 0) {
+        sb.append(new String(byteRun.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        byteRun.reset()
+      }
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      if (vocab.byteBase >= 0 && id >= vocab.byteBase &&
+          id < vocab.byteBase + 256) {
+        if (byteRun == null) byteRun = new java.io.ByteArrayOutputStream(8)
+        byteRun.write(id - vocab.byteBase)
+      } else {
+        flushBytes()
+        if (id == vocab.wsId) sb.append(' ')
+        else if (id >= 0 && id < vocab.syms.length) sb.append(vocab.syms(id))
+        else throw new IllegalArgumentException(
+          s"BPE decode: token id $id is outside the vocabulary " +
+            s"(size ${vocab.syms.length}) — the id stream and the vocab " +
+            "spec do not belong together")
+      }
+      i += 1
+    }
+    flushBytes()
+    sb.toString
   }
 
   /** The full subword sequence of a document — per-word [[mergeWord]]

@@ -45,11 +45,24 @@ object BpeVocab {
     (0 until 256).map(b => f"<0x$b%02X>").toVector
 
   /** The ordered symbol list; id = position. Byte pseudo-symbols (when
-    * enabled) sit right after the specials, before the alphabet. */
+    * enabled) sit right after the specials, before the alphabet.
+    *
+    * Duplicate specials — or a special named like a byte pseudo-symbol
+    * when byteFallback is on — would silently SHIFT every subsequent id
+    * (the LinkedHashSet dedups, but `serialize` derives nSpecials/
+    * byteBase from specials.length), so both are refused loudly here
+    * (r16 ADVICE). */
   def symbols(merges: Seq[(String, String)],
       alphabet: Seq[String] = asciiAlphabet,
       specials: Seq[String] = Vector.empty,
       byteFallback: Boolean = false): Vector[String] = {
+    require(specials.distinct == specials,
+      s"duplicate special tokens would silently shift ids: $specials")
+    if (byteFallback) {
+      val clash = specials.toSet.intersect(byteSymbols.toSet)
+      require(clash.isEmpty,
+        s"specials collide with byte pseudo-symbols (ids would shift): $clash")
+    }
     val seen = new java.util.LinkedHashSet[String]()
     specials.foreach { sp =>
       require(sp.nonEmpty, "empty special token")
@@ -74,7 +87,8 @@ object BpeVocab {
       alphabet: Seq[String] = asciiAlphabet,
       specials: Seq[String] = Vector.empty,
       unk: Option[String] = None,
-      byteFallback: Boolean = false): String = {
+      byteFallback: Boolean = false,
+      wordSep: Option[String] = None): String = {
     val syms = symbols(merges, alphabet, specials, byteFallback)
     syms.foreach { s =>
       require(!s.exists(c => c == SymSep || c == FieldSep),
@@ -84,37 +98,54 @@ object BpeVocab {
       require(specials.contains(u), s"unk token '$u' must be one of the specials")
       syms.indexOf(u)
     }.getOrElse(-1)
+    val wsId = wordSep.map { w =>
+      require(specials.contains(w),
+        s"wordSep token '$w' must be one of the specials")
+      syms.indexOf(w)
+    }.getOrElse(-1)
     val byteBase = if (byteFallback) specials.length else -1
-    s"${specials.length}$FieldSep$unkId$FieldSep$byteBase$FieldSep" +
+    s"${specials.length}$FieldSep$unkId$FieldSep$byteBase$FieldSep$wsId$FieldSep" +
       syms.mkString(SymSep.toString)
   }
 
-  /** Parsed id table for the executor-side encoder. `byteBase` < 0 =
-    * no byte fallback; else ids byteBase+b cover raw UTF-8 bytes. */
+  /** Parsed id table for the executor-side encoder/decoder. `byteBase`
+    * < 0 = no byte fallback; else ids byteBase+b cover raw UTF-8 bytes.
+    * `wsId` ≥ 0 designates the word-boundary special (r17): the encoder
+    * emits it between consecutive words, which is what makes
+    * decode(encode(x)) == x modulo collapsed whitespace — without it
+    * the flat id stream loses word boundaries (the documented lossy
+    * default). `syms` is the id→symbol order for the decoder. */
   final class Table(val ids: java.util.HashMap[String, Integer],
       val specials: java.util.HashSet[String],
       val unkId: Int,
       val byteBase: Int,
+      val wsId: Int,
+      val syms: Array[String],
       val size: Int) extends Serializable
 
   def parse(spec: String): Table = {
     val f1 = spec.indexOf(FieldSep)
     val f2 = spec.indexOf(FieldSep, f1 + 1)
     val f3 = spec.indexOf(FieldSep, f2 + 1)
-    require(f1 > 0 && f2 > f1 && f3 > f2, "malformed vocab spec")
+    val f4 = spec.indexOf(FieldSep, f3 + 1)
+    require(f1 > 0 && f2 > f1 && f3 > f2 && f4 > f3, "malformed vocab spec")
     val nSpecials = spec.substring(0, f1).toInt
     val unkId = spec.substring(f1 + 1, f2).toInt
     val byteBase = spec.substring(f2 + 1, f3).toInt
+    val wsId = spec.substring(f3 + 1, f4).toInt
     val ids = new java.util.HashMap[String, Integer]()
     val specials = new java.util.HashSet[String]()
-    val body = spec.substring(f3 + 1)
+    val body = spec.substring(f4 + 1)
+    val syms =
+      if (body.isEmpty) Array.empty[String]
+      else body.split(SymSep.toString, -1)
     var id = 0
-    if (body.nonEmpty) for (sym <- body.split(SymSep.toString, -1)) {
-      ids.putIfAbsent(sym, Integer.valueOf(id))
-      if (id < nSpecials) specials.add(sym)
+    while (id < syms.length) {
+      ids.putIfAbsent(syms(id), Integer.valueOf(id))
+      if (id < nSpecials) specials.add(syms(id))
       id += 1
     }
-    new Table(ids, specials, unkId, byteBase, id)
+    new Table(ids, specials, unkId, byteBase, wsId, syms, syms.length)
   }
 
   /** Escaped CASE fragment mapping a token expression to its id — the
@@ -129,6 +160,26 @@ object BpeVocab {
       .map { case (s, i) => s"WHEN '${s.replace("'", "''")}' THEN $i" }
       .mkString(" ")
     s"CASE $tokenExpr $branches ELSE -1 END"
+  }
+
+  /** Escaped CASE fragment mapping an ID expression back to its symbol —
+    * the DuckDB replay of the id→symbol direction (the [[sqlIdCase]]
+    * convention INVERTED, r17 — what makes `graft_bpe_decode`
+    * oracle-able). ELSE the sentinel '\u{FFFD}-ish' marker '<bad>' so an
+    * unknown id breaks the hash instead of being absorbed. The word-
+    * boundary special (when designated) maps to a single SPACE — the
+    * decoder's rendering — not to its special string. */
+  def sqlSymCase(idExpr: String,
+      merges: Seq[(String, String)],
+      alphabet: Seq[String] = asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      wordSep: Option[String] = None): String = {
+    val syms = symbols(merges, alphabet, specials)
+    val branches = syms.zipWithIndex.map { case (s, i) =>
+      val rendered = if (wordSep.contains(s)) " " else s
+      s"WHEN $i THEN '${rendered.replace("'", "''")}'"
+    }.mkString(" ")
+    s"CASE $idExpr $branches ELSE '<bad>' END"
   }
 
   /** The UTF-8 byte-fallback ids of one code point (vocab built with

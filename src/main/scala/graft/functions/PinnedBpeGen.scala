@@ -174,6 +174,11 @@ object PinnedBpeGen {
       .filter(length(col("w")) > 0)
       .groupBy("w").count()
       .filter(col("count") >= minCount)
+    // the ordered-limit IS the top-k operator here (Spark plans it as
+    // TakeOrderedAndProject — per-partition heaps, no full sort) and the
+    // maxWords contract bounds the driver fetch; raising maxWords into
+    // the tens of millions shifts this to a real sort AND an unbounded
+    // collect — use trainDistributed past that point instead
     val kept = counts
       .orderBy(col("count").desc, col("w"))
       .limit(maxWords)

@@ -167,19 +167,22 @@ object TextFunctions {
       alphabet: Seq[String] = BpeVocab.asciiAlphabet,
       specials: Seq[String] = Vector.empty,
       unk: Option[String] = None,
-      byteFallback: Boolean = false): Column =
+      byteFallback: Boolean = false,
+      wordSep: Option[String] = None): Column =
     bpeEncodeIdsImpl(spark.catalog.functionExists("graft_bpe_ids"),
-      text, merges, alphabet, specials, unk, byteFallback)
+      text, merges, alphabet, specials, unk, byteFallback, wordSep)
 
   private[graft] def bpeEncodeIdsImpl(nativeAvailable: Boolean,
       text: Column, merges: Seq[(String, String)],
       alphabet: Seq[String], specials: Seq[String],
-      unk: Option[String], byteFallback: Boolean = false): Column = {
+      unk: Option[String], byteFallback: Boolean = false,
+      wordSep: Option[String] = None): Column = {
     if (nativeAvailable)
       call_function("graft_bpe_ids", text,
         lit(BpeEncode.serialize(merges)),
-        lit(BpeVocab.serialize(merges, alphabet, specials, unk, byteFallback)))
-    else if (merges.size <= 512 && specials.isEmpty) {
+        lit(BpeVocab.serialize(merges, alphabet, specials, unk, byteFallback,
+          wordSep)))
+    else if (merges.size <= 512 && specials.isEmpty && !byteFallback) {
       // chain tokens -> literal-map lookup; a missing id is LOUD (the
       // native path's byte/char/unk fallback cannot be replayed here)
       val syms = BpeVocab.symbols(merges, alphabet, specials, byteFallback)
@@ -191,10 +194,63 @@ object TextFunctions {
             lit("' has no id and the non-native path cannot char-fall " +
               "back — enable graft.plans.GraftExtensions"))).cast("int")))
     } else throw new IllegalArgumentException(
-      s"bpeEncodeIds with ${merges.size} merges / ${specials.size} specials " +
-        "needs the native graft_bpe_ids expression — enable " +
+      s"bpeEncodeIds with ${merges.size} merges / ${specials.size} specials" +
+        (if (byteFallback) " / byteFallback" else "") +
+        " needs the native graft_bpe_ids expression — enable " +
         "spark.sql.extensions=graft.plans.GraftExtensions (the fallback " +
-        "covers gate-scale tables without specials only)")
+        "covers gate-scale tables without specials or byte fallback only — " +
+        "it cannot replay byte decomposition, so deferring would error " +
+        "per-row at runtime instead of here)")
+  }
+
+  /** BPE DECODE — ids back to text (r17 VERDICT #1): the inverse of
+    * [[bpeEncodeIds]] on the SAME (merges, alphabet, specials, …) vocab.
+    * Ids map to symbols through the deterministic id order, byte-
+    * fallback runs reassemble to UTF-8, the `wordSep` special renders
+    * as one space, other specials pass through verbatim, unknown ids
+    * are LOUD. Round trip: `bpeDecodeIds(bpeEncodeIds(x))` == x with
+    * every whitespace run collapsed to one space (wordSep designated;
+    * without it word boundaries are not in the id stream and decode
+    * concatenates words — the documented lossy default). Native
+    * `graft_bpe_decode` on extension sessions; the fallback replays the
+    * id→symbol map as a literal-map lookup at gate-scale vocabularies
+    * (no byte fallback — a byte RUN cannot be reassembled relationally)
+    * and refuses loudly beyond. */
+  def bpeDecodeIds(spark: org.apache.spark.sql.SparkSession,
+      ids: Column,
+      merges: Seq[(String, String)] = PinnedBpe.merges,
+      alphabet: Seq[String] = BpeVocab.asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      unk: Option[String] = None,
+      byteFallback: Boolean = false,
+      wordSep: Option[String] = None): Column =
+    bpeDecodeIdsImpl(spark.catalog.functionExists("graft_bpe_decode"),
+      ids, merges, alphabet, specials, unk, byteFallback, wordSep)
+
+  private[graft] def bpeDecodeIdsImpl(nativeAvailable: Boolean,
+      ids: Column, merges: Seq[(String, String)],
+      alphabet: Seq[String], specials: Seq[String],
+      unk: Option[String], byteFallback: Boolean = false,
+      wordSep: Option[String] = None): Column = {
+    if (nativeAvailable)
+      call_function("graft_bpe_decode", ids,
+        lit(BpeVocab.serialize(merges, alphabet, specials, unk, byteFallback,
+          wordSep)))
+    else if (merges.size <= 512 && !byteFallback) {
+      // id -> symbol literal map (wordSep renders as a space); a missing
+      // id is LOUD — the hash gate must see divergence, never absorb it
+      val syms = BpeVocab.symbols(merges, alphabet, specials)
+      val symMap = map(syms.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit(i), lit(if (wordSep.contains(s)) " " else s)) }: _*)
+      array_join(transform(ids, i => coalesce(element_at(symMap, i),
+        raise_error(concat(lit("bpeDecodeIds fallback: id "),
+          i.cast("string"), lit(" is outside the vocabulary"))))), "")
+    } else throw new IllegalArgumentException(
+      s"bpeDecodeIds with ${merges.size} merges" +
+        (if (byteFallback) " / byteFallback" else "") +
+        " needs the native graft_bpe_decode expression — enable " +
+        "spark.sql.extensions=graft.plans.GraftExtensions (the fallback " +
+        "covers gate-scale vocabularies without byte fallback only)")
   }
 
   /** GPT-2-style pretokenization as a pure pre-transform (r16 VERDICT

@@ -109,6 +109,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_decode"),
+      new ExpressionInfo(classOf[BpeDecodeIds].getName, "graft_bpe_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bpe_decode(ids, vocabSpec) takes two args")
+        BpeDecodeIds(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

@@ -497,3 +497,57 @@ case class BpePretokenizeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): BpePretokenizeExpr =
     copy(child = newChild)
 }
+
+/** BPE DECODE (r17): `graft_bpe_decode(ids, vocabSpec)` → string — the
+  * inverse of `graft_bpe_ids` ([[graft.functions.BpeEncode.decodeIds]]):
+  * id → symbol through the vocab's deterministic id order, byte-fallback
+  * runs reassembled to UTF-8, the word-boundary special rendered as one
+  * space, other specials passed through verbatim, out-of-vocabulary ids
+  * LOUD. vocabSpec is one foldable literal parsed once (the
+  * `graft_bpe_ids` convention). Gated by the ext_bpe_decode round-trip
+  * (decode(encode(x)) vs the whitespace-collapsed text, UNROUNDED) and
+  * the reverse-CASE DuckDB replay ([[graft.functions.BpeVocab.sqlSymCase]]). */
+case class BpeDecodeIds(ids: Expression, vocabSpec: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = ids
+  override def right: Expression = vocabSpec
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType), StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_decode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!vocabSpec.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_decode vocabSpec must be a foldable literal " +
+          "(BpeVocab.serialize and embed it)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vocab: graft.functions.BpeVocab.Table = {
+    val v = vocabSpec.eval()
+    require(v != null, "graft_bpe_decode vocabSpec must not be null")
+    graft.functions.BpeVocab.parse(v.toString)
+  }
+
+  override protected def nullSafeEval(a: Any, v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.functions.BpeEncode.decodeIds(
+        a.asInstanceOf[ArrayData].toIntArray(), vocab))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocab,
+      "graft.functions.BpeVocab.Table")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.BpeEncode.decodeIds($a.toIntArray(), $vocabRef));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeDecodeIds =
+    copy(ids = newLeft, vocabSpec = newRight)
+}

@@ -1968,6 +1968,109 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- BPE DECODE round trip (r17 VERDICT #1): the id stream inverts
+    //     back to text. Two directions in one gate, over the multi-line
+    //     synth docs: (a) decode(encode(text)) with the word-boundary
+    //     special "<ws>" designated == the text with every whitespace
+    //     run collapsed to one space (DuckDB computes that normalization
+    //     DIRECTLY from text — any encode/decode asymmetry, id-map or
+    //     boundary bug breaks the hash); (b) the FLAT stream (no
+    //     wordSep): decode concatenates words, and DuckDB replays
+    //     token→id (sqlIdCase) then id→symbol (sqlSymCase, the reverse
+    //     CASE) over the replayed token stream and joins — the id↔symbol
+    //     consistency replayed relationally. All exact strings/ints,
+    //     UNROUNDED.
+    Q("ext_bpe_decode", {
+      import graft.functions.{BpeVocab, PinnedBpe}
+      val inner =
+        """SELECT doc_id % 40 AS gid,
+          |  'hdr ' || CAST(doc_id % 40 AS VARCHAR) || '!' || chr(10) ||
+          |    string_agg(text, chr(10) || chr(9) ORDER BY doc_id) AS text
+          |FROM documents GROUP BY doc_id % 40""".stripMargin
+      val staged = TextFunctions.sqlBpeMerged("text", Seq("gid"), inner)
+      val idCase = BpeVocab.sqlIdCase("t", PinnedBpe.merges)
+      val symCase = BpeVocab.sqlSymCase("i", PinnedBpe.merges)
+      s"""SELECT d.gid, d.n_chars, d.dec_md5, f.flat_md5 FROM (
+         |  SELECT gid,
+         |    CAST(len(norm) AS BIGINT) AS n_chars,
+         |    md5(norm) AS dec_md5
+         |  FROM (
+         |    SELECT gid,
+         |      trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS norm
+         |    FROM ($inner) i0) n) d
+         |JOIN (
+         |  SELECT gid,
+         |    md5(array_to_string(list_transform(
+         |      list_transform(string_split(tok_str, '|'), t -> $idCase),
+         |      i -> $symCase), '')) AS flat_md5
+         |  FROM (
+         |    SELECT gid,
+         |      replace(trim(
+         |        regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |        '  ', '|') AS tok_str
+         |    FROM ($staged) t) s) f
+         |ON d.gid = f.gid
+         |ORDER BY d.gid""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val synth = t(spark, dir, "documents")
+        .groupBy(($"doc_id" % 40).as("gid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"doc_id", $"text"))),
+          s => s.getField("text")), "\n\t").as("body"))
+        .select($"gid", concat(lit("hdr "), $"gid".cast("string"),
+          lit("!\n"), $"body").as("text"))
+      val sp = Vector("<ws>")
+      val ws = Some("<ws>")
+      val decoded = TextFunctions.bpeDecodeIds(spark,
+        TextFunctions.bpeEncodeIds(spark, $"text",
+          specials = sp, wordSep = ws),
+        specials = sp, wordSep = ws)
+      val decodedFlat = TextFunctions.bpeDecodeIds(spark,
+        TextFunctions.bpeEncodeIds(spark, $"text"))
+      synth
+        .select($"gid",
+          length(decoded).cast("long").as("n_chars"),
+          md5(decoded.cast("binary")).as("dec_md5"),
+          md5(decodedFlat.cast("binary")).as("flat_md5"))
+        .orderBy($"gid")
+    },
+
+    // --- BPE DECODE with BYTE-FALLBACK runs (r17): out-of-alphabet code
+    //     points (U+00E9, two UTF-8 bytes; U+1F600, four — a surrogate
+    //     pair, glued to an in-alphabet 'x' so a byte run sits mid-word
+    //     against a normal symbol) encode to reserved byte ids and must
+    //     reassemble EXACTLY on decode. The oracle computes the
+    //     whitespace-collapsed laced text directly; byte counts via
+    //     octet_length/strlen (UTF-8 bytes both engines — len() would
+    //     disagree on the surrogate pair). UNROUNDED.
+    Q("ext_bpe_decode_bytes",
+      """SELECT doc_id,
+        |  CAST(strlen(norm) AS BIGINT) AS n_bytes,
+        |  md5(norm) AS dec_md5
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      text || ' caf' || chr(233) || ' ' || chr(128512) || 'x',
+        |      '[ \t\n\r]+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id < 120) s
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val laced = concat($"text", lit(" caf\u00E9 \uD83D\uDE00x"))
+      val sp = Vector("<ws>")
+      val ws = Some("<ws>")
+      val decoded = TextFunctions.bpeDecodeIds(spark,
+        TextFunctions.bpeEncodeIds(spark, laced,
+          specials = sp, byteFallback = true, wordSep = ws),
+        specials = sp, byteFallback = true, wordSep = ws)
+      t(spark, dir, "documents")
+        .filter($"doc_id" < 120)
+        .select($"doc_id",
+          octet_length(decoded).cast("long").as("n_bytes"),
+          md5(decoded.cast("binary")).as("dec_md5"))
+        .orderBy($"doc_id")
+    },
+
     // --- language-ID heuristic vs labeled lang (confusion counts)
     Q("ext_lang_id",
       """SELECT lang, pred_lang, COUNT(*) AS cnt FROM (

@@ -778,8 +778,13 @@ object OpsExtra {
         |FROM range(997) t(i) ORDER BY n""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       import scala.sys.process._
-      val out = "/root/repo/target/hdf5_gz.h5"
-      val rc = Seq("python3", "/root/repo/dev/h5check.py", "--write-gzip",
+      // cwd-relative (the Hdf5Spec convention) + pid-suffixed: the query
+      // must run from any checkout, and concurrent drives must not share
+      // a fixture path (r16 ADVICE)
+      val out = new java.io.File(
+        s"target/hdf5_gz_${ProcessHandle.current().pid()}.h5").getAbsolutePath
+      val writer = new java.io.File("dev/h5check.py").getAbsolutePath
+      val rc = Seq("python3", writer, "--write-gzip",
         out, "data", "997", "3", "64", "shuffle,fletcher32").!
       require(rc == 0, "dev/h5check.py --write-gzip failed")
       graft.api.GraftSession(spark).readHdf5(out).df

@@ -407,6 +407,105 @@ class BpeSpec extends SparkSpecBase {
     assert(capped != whole, "expected the capped lexicon to train different merges")
   }
 
+  test("bpeDecodeIds round trip: decode(encode(x)) == whitespace-collapsed x (r17)") {
+    import graft.functions.{BpeVocab, TextFunctions => TF}
+    val sp = Vector("<ws>")
+    val ws = Some("<ws>")
+    def roundTrip(texts: Seq[String],
+        merges: Seq[(String, String)]): Seq[String] =
+      texts.toDF("text")
+        .select(TF.bpeDecodeIds(spark,
+          TF.bpeEncodeIds(spark, col("text"), merges,
+            specials = sp, wordSep = ws),
+          merges, specials = sp, wordSep = ws).as("d"))
+        .as[String].collect().toSeq
+    def norm(x: String): String =
+      x.filterNot(c => c == '\u0000' || c == '\u0001' || c == '\u001F')
+        .split("[ \t\n\r]+").filter(_.nonEmpty).mkString(" ")
+    val cases = Seq(
+      "a", "ab ab", "abc xabc ba", "  a  b ", "a\nb\tc\r\nd", "",
+      " \t ", "hello, world! 123", "x=y+1 q", "ab c")
+    // pinned 48-merge table
+    for ((c, d) <- cases.zip(roundTrip(cases, PinnedBpe.merges)))
+      assert(d == norm(c), s"'$c': decoded '$d' != '${norm(c)}'")
+    // 10k-merge trained table — the tokenizer-scale pin
+    val syn = graft.functions.PinnedBpeGen.syntheticVocab(8000)
+    val big = graft.functions.PinnedBpeGen.trainFast(syn, 10000)
+    val docs = Seq(
+      syn.take(60).map(_._1).mkString(" "),
+      "unseen zz " + syn.slice(200, 230).map(_._1).mkString("\n"))
+    for ((c, d) <- docs.zip(roundTrip(docs, big)))
+      assert(d == norm(c), s"10k round trip diverged")
+    // WITHOUT wordSep the stream is documented-lossy: words concatenate
+    val flat = Seq("a b c").toDF("text")
+      .select(TF.bpeDecodeIds(spark,
+        TF.bpeEncodeIds(spark, col("text"), PinnedBpe.merges)).as("d"))
+      .as[String].collect().head
+    assert(flat == "abc", s"flat decode: '$flat'")
+    // fallback decode (no native expression) == native on the flat path
+    val fb = Seq("ab ab x").toDF("text")
+      .select(TF.bpeDecodeIdsImpl(false,
+        TF.bpeEncodeIds(spark, col("text"), PinnedBpe.merges,
+          specials = sp, wordSep = ws),
+        PinnedBpe.merges, BpeVocab.asciiAlphabet, sp, None,
+        wordSep = ws).as("d"))
+      .as[String].collect().head
+    assert(fb == "ab ab x", s"fallback decode: '$fb'")
+  }
+
+  test("bpeDecodeIds: byte runs, specials passthrough, loud unknown ids (r17)") {
+    import graft.functions.{BpeVocab, TextFunctions => TF}
+    val merges = Vector(("a", "b"))
+    val sp = Vector("<|doc|>", "<ws>")
+    val ws = Some("<ws>")
+    def rt(text: String): String =
+      Seq(text).toDF("text")
+        .select(TF.bpeDecodeIds(spark,
+          TF.bpeEncodeIds(spark, col("text"), merges, specials = sp,
+            byteFallback = true, wordSep = ws),
+          merges, specials = sp, byteFallback = true, wordSep = ws).as("d"))
+        .as[String].collect().head
+    // multi-byte runs reassemble exactly: 2-byte é, 4-byte emoji glued
+    // to an in-alphabet char, and a special token passing through
+    assert(rt("caf\u00E9 x") == "caf\u00E9 x")
+    assert(rt("a\uD83D\uDE00b <|doc|> c") == "a\uD83D\uDE00b <|doc|> c")
+    // direct decodeIds: malformed byte run renders U+FFFD (REPLACE), and
+    // an out-of-vocab id is LOUD
+    val tbl = BpeVocab.parse(BpeVocab.serialize(merges,
+      BpeVocab.asciiAlphabet, Vector.empty, None, byteFallback = true))
+    val lone = graft.functions.BpeEncode.decodeIds(
+      Array(tbl.byteBase + 0xC3), tbl) // dangling UTF-8 lead byte
+    assert(lone == "\uFFFD", s"malformed run: '$lone'")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BpeEncode.decodeIds(Array(999999), tbl)
+    }
+    assert(e.getMessage.contains("outside the vocabulary"))
+    // serialize refuses a non-special wordSep, duplicate specials, and
+    // byte-pseudo-symbol-named specials (r16 ADVICE)
+    intercept[IllegalArgumentException] {
+      BpeVocab.serialize(merges, wordSep = Some("<ws>"))
+    }
+    intercept[IllegalArgumentException] {
+      BpeVocab.symbols(merges, specials = Vector("<s>", "<s>"))
+    }
+    intercept[IllegalArgumentException] {
+      BpeVocab.symbols(merges, specials = Vector("<0x41>"),
+        byteFallback = true)
+    }
+    // the ids fallback refuses byteFallback at CALL time, not per-row
+    val e2 = intercept[IllegalArgumentException] {
+      TF.bpeEncodeIdsImpl(false, col("text"), merges,
+        BpeVocab.asciiAlphabet, Vector.empty, None, byteFallback = true)
+    }
+    assert(e2.getMessage.contains("graft_bpe_ids"))
+    // decode fallback refuses byteFallback loudly too
+    val e3 = intercept[IllegalArgumentException] {
+      TF.bpeDecodeIdsImpl(false, col("text"), merges,
+        BpeVocab.asciiAlphabet, Vector.empty, None, byteFallback = true)
+    }
+    assert(e3.getMessage.contains("graft_bpe_decode"))
+  }
+
   test("merge count drives compression monotonically") {
     val text = "the customer orders join the column vector"
     val full = refTokens(text)
