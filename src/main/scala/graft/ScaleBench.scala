@@ -223,6 +223,21 @@ object ScaleBench {
               .bpePretokenizeFast(s, col("text")), bpe10k))).as("n"))
           .head().getLong(0)
       },
+      "aux_pack_ids" -> { (s: SparkSession, dir: String) =>
+        // materialized packing end-to-end (r17): encode -> first-fit
+        // pack -> per-pack id-array assembly -> noop write. The FULL id
+        // arrays must cross the assembly exchange (a count() would prune
+        // the payload — the CLAUDE.md payload-movement rule), and that
+        // exchange is fanOutWidth-sized (PackFanOut): the cell's
+        // shuffle/spill/peak-mem columns are the evidence the width
+        // derivation holds at scale.
+        val docs = Tables.load(s, dir, "documents")
+        val withIds = docs.select(col("doc_id"),
+          graft.functions.TextFunctions
+            .bpeEncodeIds(s, col("text"), bpe10k).as("ids"))
+        forceText(Curation.packSequencesEmit(withIds, "ids", "doc_id",
+          capacity = 2048, nShards = 256, eosId = 0))
+      },
       "skew_domain_cap" -> { (s: SparkSession, dir: String) =>
         forceText(Curation.domainCap(skewed(s, dir), "domain", "doc_id",
           cap = 1000, skewThreshold = 100000L))

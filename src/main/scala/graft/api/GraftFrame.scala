@@ -1241,6 +1241,14 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       nShards: Int): GraftFrame =
     GraftFrame(Curation.packSequencesByLen(df, lenCol, idCol, capacity, nShards))
 
+  /** Materialized packed sequences — per-pack id arrays with EOS
+    * separators and doc-boundary spans, what a data loader reads (r17);
+    * see [[graft.operators.Curation.packSequencesEmit]]. */
+  def packSequencesEmit(idsCol: String, idCol: String, capacity: Int,
+      nShards: Int, eosId: Int): GraftFrame =
+    GraftFrame(Curation.packSequencesEmit(df, idsCol, idCol, capacity,
+      nShards, eosId))
+
   /** Per-row duplicate flag over subset keys (reference
     * base/duplicated.py:25); true for every row beyond the first by
     * `orderCol` within the key. */

@@ -598,6 +598,73 @@ object Curation {
       }
   }
 
+  /** Measured pack-assembly fan-out for [[packSequencesEmit]]'s
+    * collect_list exchange: the id arrays are ~4 bytes/token against
+    * ~snappy-compressed text input, so the assembly shuffle moves a few
+    * times the scan bytes (ScaleBench pack_ids cell measures it; the
+    * exact ratio matters less than NOT flooring the width at the
+    * input-sized value — the ppjoinPrefix by-doc-groupBy lesson). */
+  private[operators] val PackFanOut = 4L
+
+  /** MATERIALIZED packed sequences (r17 VERDICT #2): what a data loader
+    * actually reads — per pack, the member documents' token ids
+    * concatenated in id order with `eosId` appended after EVERY document
+    * (so packs concatenate cleanly across shards), plus a `doc_spans`
+    * column (array of (doc_id, start, len), `start`/`len` in tokens
+    * over the EMITTED array, EOS excluded from `len`) so loaders can
+    * rebuild attention/document boundaries without re-tokenizing.
+    *
+    * Packing reserves ONE slot per document for its EOS separator
+    * (first-fit over size(ids)+1), so emitted arrays never exceed
+    * `capacity`; a document alone in a pack may exceed it, exactly like
+    * the scalar packer's oversized-document rule.
+    *
+    * Fold shape: the per-pack assembly is collect_list → sort_array →
+    * flatten (the LabelProp ordered-fold convention — exact and
+    * partitioning-invariant; ids are ints, so there is no float-order
+    * question, but the ORDER of documents inside a pack is part of the
+    * contract and must not depend on task layout). The groupBy moves
+    * every id byte (collect_list has no partial-agg reduction), so the
+    * exchange is explosion-shaped: width = [[Dedup.fanOutWidth]] at
+    * [[PackFanOut]], the ppjoinPrefix lesson as code. Spans are computed
+    * per pack by one interpreted fold over the (small) member list —
+    * bounded by docs-per-pack, never corpus-wide.
+    *
+    * Oracle: ext_bpe_pack_seqs replays the first-fit fold as a recursive
+    * CTE over replayed BPE token counts and the pack assembly as
+    * flatten(list(... ORDER BY doc_id)) — exact integers end to end. */
+  def packSequencesEmit(docs: DataFrame, idsCol: String, idCol: String,
+      capacity: Int, nShards: Int, eosId: Int): DataFrame = {
+    require(eosId >= 0, s"eosId must be a valid token id: $eosId")
+    val packed = packSequencesByLen(docs,
+        size(col(idsCol)).cast("long") + 1L, idCol, capacity, nShards)
+      .select(col("shard"), col("pack_id"),
+        col(idCol).cast("long").as("__doc"), col(idsCol).as("__ids"))
+    val width = Dedup.fanOutWidth(docs, PackFanOut)
+    val emptySpans = array().cast(
+      "array<struct<doc_id:bigint,start:int,len:int>>")
+    packed
+      .repartition(width, col("shard"), col("pack_id"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sort_array(collect_list(struct(
+        col("__doc").as("doc_id"), col("__ids").as("ids")))).as("__ds"))
+      .select(col("shard"), col("pack_id"),
+        flatten(transform(col("__ds"),
+          d => concat(d.getField("ids"), array(lit(eosId))))).as("ids"),
+        aggregate(col("__ds"),
+          struct(lit(0).as("off"), emptySpans.as("sp")),
+          (acc, d) => struct(
+            (acc.getField("off") + size(d.getField("ids")) + lit(1))
+              .as("off"),
+            concat(acc.getField("sp"), array(struct(
+              d.getField("doc_id").as("doc_id"),
+              acc.getField("off").as("start"),
+              size(d.getField("ids")).as("len")))).as("sp")),
+          acc => acc.getField("sp")).as("doc_spans"),
+        size(col("__ds")).cast("long").as("n_docs"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** DSIR-style importance weights (hashed n-gram importance resampling):
     * score every raw document by the log-likelihood ratio of a TARGET
     * corpus (the high-quality distribution you want more of) against the

@@ -1914,6 +1914,87 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- MATERIALIZED packed sequences (r17 VERDICT #2): the loader-
+    //     ready output — per pack, member docs' ids concatenated in doc
+    //     order with the EOS special (id 0) appended after every doc,
+    //     plus (doc_id, start, len) spans over the emitted array. The
+    //     oracle replays the first-fit fold (capacity reserve = count+1
+    //     per doc for the EOS slot) as the ext_bpe_pack_ids recursive
+    //     CTE, then assembles packs with flatten(list(... ORDER BY
+    //     doc_id)) and spans with a 1-PRECEDING window sum — exact
+    //     integers end to end, UNROUNDED.
+    Q("ext_bpe_pack_seqs", {
+      import graft.functions.{BpeVocab, PinnedBpe, PortableHash}
+      val staged = TextFunctions.sqlBpeMerged(
+        "text", Seq("doc_id"), "SELECT doc_id, text FROM documents")
+      val idCase = BpeVocab.sqlIdCase("t", PinnedBpe.merges,
+        specials = Vector("</s>"))
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(tok_str, '|'), t -> $idCase) AS ids
+         |  FROM (
+         |    SELECT doc_id,
+         |      replace(trim(
+         |        regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |        '  ', '|') AS tok_str
+         |    FROM ($staged) t) s),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(${PortableHash.sqlBucket("doc_id", 4)} AS BIGINT) AS shard,
+         |    CAST(len(ids) AS BIGINT) AS n_tokens
+         |  FROM base),
+         |r AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn
+         |      FROM d),
+         |rec AS (
+         |  SELECT doc_id, shard, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS pack_id,
+         |         n_tokens + 1 AS used
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+         |         CASE WHEN rec.used + r.n_tokens + 1 > 128 THEN rec.pack_id + 1
+         |              ELSE rec.pack_id END,
+         |         CASE WHEN rec.used + r.n_tokens + 1 > 128 THEN r.n_tokens + 1
+         |              ELSE rec.used + r.n_tokens + 1 END
+         |  FROM rec JOIN r ON r.shard = rec.shard AND r.rn = rec.rn + 1),
+         |sp AS (
+         |  SELECT doc_id, shard, n_tokens, pack_id,
+         |    CAST(COALESCE(SUM(n_tokens + 1) OVER (
+         |      PARTITION BY shard, pack_id ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start
+         |  FROM rec),
+         |packs AS (
+         |  SELECT shard, pack_id,
+         |    flatten(list(list_append(b.ids, 0) ORDER BY sp.doc_id)) AS pids,
+         |    string_agg(sp.doc_id || ':' || start || ':' || sp.n_tokens,
+         |      ';' ORDER BY sp.doc_id) AS spans,
+         |    COUNT(*) AS nd
+         |  FROM sp JOIN base b ON sp.doc_id = b.doc_id
+         |  GROUP BY shard, pack_id)
+         |SELECT shard, pack_id,
+         |  CAST(nd AS BIGINT) AS n_docs,
+         |  CAST(len(pids) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(pids, ',')) AS ids_md5,
+         |  md5(spans) AS spans_md5
+         |FROM packs ORDER BY shard, pack_id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      val withIds = t(spark, dir, "documents")
+        .withColumn("ids", TextFunctions.bpeEncodeIds(spark, $"text",
+          specials = Vector("</s>")))
+      Curation.packSequencesEmit(withIds, "ids", "doc_id",
+          capacity = 128, nShards = 4, eosId = 0)
+        .select($"shard", $"pack_id", $"n_docs", $"n_tokens",
+          md5(array_join(transform($"ids", _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"),
+          md5(array_join(transform($"doc_spans", s => concat_ws(":",
+            s.getField("doc_id"), s.getField("start"), s.getField("len"))),
+            ";").cast("binary")).as("spans_md5"))
+        .orderBy($"shard", $"pack_id")
+    },
+
     // --- BYTE-FALLBACK token ids (r16): every doc gets two
     //     out-of-alphabet code points appended in-query (U+00E9, two
     //     UTF-8 bytes, and U+1F600, four bytes — a surrogate PAIR on

@@ -194,6 +194,47 @@ class CurationSpec extends SparkSpecBase {
     assert(d2.toSeq === Seq((2L, 0L, 3L, "a b c")))
   }
 
+  test("packSequencesEmit materializes loader-ready packs: EOS placement, spans, capacity (r17)") {
+    // deterministic per-doc id arrays of varying length
+    val docs = (1L to 150L).map(i =>
+      (i, (0 until (i % 23 + 1).toInt).map(j => (i + j).toInt % 50 + 1)))
+      .toDF("doc_id", "ids")
+    val eos = 0
+    val out = Curation.packSequencesEmit(docs, "ids", "doc_id",
+      capacity = 64, nShards = 3, eosId = eos)
+      .select("shard", "pack_id", "ids", "doc_spans", "n_docs", "n_tokens")
+      .as[(Long, Long, Seq[Int], Seq[(Long, Int, Int)], Long, Long)]
+      .collect()
+    val srcIds = (1L to 150L).map(i =>
+      i -> (0 until (i % 23 + 1).toInt).map(j => (i + j).toInt % 50 + 1)).toMap
+    assert(out.map(_._5).sum == 150L, "every doc packed exactly once")
+    for ((sh, p, ids, spans, nd, nt) <- out) {
+      assert(nt == ids.length.toLong && nd == spans.length.toLong)
+      // capacity respected INCLUDING the per-doc EOS slot
+      assert(ids.length <= 64, s"pack ($sh,$p) emitted ${ids.length} tokens")
+      // spans tile the array: each doc's slice matches its source ids,
+      // followed by exactly one EOS; spans are in doc_id order
+      assert(spans.map(_._1) == spans.map(_._1).sorted)
+      var cursor = 0
+      for ((docId, start, len) <- spans) {
+        assert(start == cursor, s"span start $start != cursor $cursor")
+        assert(ids.slice(start, start + len) == srcIds(docId),
+          s"doc $docId ids corrupted in pack ($sh,$p)")
+        assert(ids(start + len) == eos, "missing EOS after doc")
+        cursor = start + len + 1
+      }
+      assert(cursor == ids.length, "trailing garbage after last EOS")
+    }
+    // deterministic across partitionings: a different input layout
+    // assembles bit-identical packs
+    val out2 = Curation.packSequencesEmit(docs.repartition(7), "ids",
+      "doc_id", capacity = 64, nShards = 3, eosId = eos)
+      .select("shard", "pack_id", "ids", "n_docs", "n_tokens")
+      .as[(Long, Long, Seq[Int], Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).sortBy(r => (r._1, r._2)).toSeq ==
+      out2.map(r => (r._1, r._2, r._3)).sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("packSequences gives an oversize document its own pack") {
     val docs = Seq(
       (1L, Seq.fill(5)("w").mkString(" ")),
