@@ -126,6 +126,92 @@ object PinnedBpeGen {
     merges.result()
   }
 
+  /** DISTRIBUTED BPE training (r17 VERDICT #3) — removes the driver-
+    * lexicon ceiling: the vocabulary lives in the cluster as a
+    * (symbols, count) DataFrame and the driver fetches exactly ONE row
+    * per merge round (the argmax pair), so a 100 TB corpus with a
+    * pathological lexicon (no dominant head — where [[vocabOf]]'s
+    * maxWords valve would refuse) still trains. Merges are IDENTICAL to
+    * [[train]]/[[trainFast]] (same (−count, a, b) argmin; BpeSpec pins
+    * it): per round, adjacent pairs explode from the symbol arrays and
+    * aggregate distributed (partial + final sum — one narrow shuffle of
+    * (pair, count) rows), and the merge applies as a pure relational
+    * left fold — `aggregate(syms, [], merge-or-append)` IS left-to-right
+    * merging with skip, because a just-merged symbol AB is strictly
+    * longer than A and can never re-trigger as the left operand of the
+    * same pair. No typed maps, no driver data pass; `localCheckpoint`
+    * every `checkpointEvery` rounds truncates the fold lineage.
+    *
+    * Cost shape: one Spark aggregation per merge — O(k) jobs. This is
+    * the CEILING-REMOVAL path, not a throughput path: [[trainFast]]
+    * (driver delta-maintenance over the bounded lexicon) trains 10k
+    * merges in seconds and remains the fast path whenever the
+    * `minCount`-cut lexicon fits the driver.
+    *
+    * Tie-break caveat: Spark compares strings in UTF-8 byte order
+    * (= code-point order) while the driver trainers use Java UTF-16
+    * order — the two differ only for ties mixing supplementary-plane
+    * and upper-BMP symbols, which no whitespace-split text lexicon
+    * produces; ASCII/Latin lexicons agree exactly. */
+  def trainDistributedFromCounts(words: org.apache.spark.sql.DataFrame,
+      k: Int, checkpointEvery: Int = 25): Vector[(String, String)] = {
+    require(k >= 0 && checkpointEvery > 0, "bad trainDistributed params")
+    // code-point symbol split (the mergeWord contract: astral chars stay
+    // whole; '.' matches one code point in Java regex)
+    var vocab = words
+      .select(regexp_extract_all(col("w"), lit("(?s)."), lit(0)).as("syms"),
+        col("count").cast("long").as("c"))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < k && !done) {
+      val top = vocab
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        // left-to-right merge with skip as a relational fold: append, or
+        // replace the last element when (last, cur) == (a, b)
+        val folded = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        vocab = vocab.select(folded.as("syms"), col("c"))
+        m += 1
+        if (m % checkpointEvery == 0) vocab = vocab.localCheckpoint(true)
+      }
+    }
+    merges.result()
+  }
+
+  /** [[trainDistributedFromCounts]] over a corpus' `text` column — the
+    * same distributed word count [[vocabOf]] runs, WITHOUT the driver
+    * collect (no maxWords valve needed: nothing data-wide ever reaches
+    * the driver). `minCount` remains the principled frequency cutoff. */
+  def trainDistributed(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, k: Int,
+      minCount: Long = 1L,
+      checkpointEvery: Int = 25): Vector[(String, String)] = {
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    val counts = docs
+      .select(explode(split(col("text"), "[ \t\n\r]")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .filter(col("count") >= minCount)
+    trainDistributedFromCounts(counts, k, checkpointEvery)
+  }
+
   /** A deterministic tokenizer-scale synthetic lexicon (syllable
     * products with Zipf-ish counts) for throughput cells and specs —
     * the fixture's 31-word lexicon exhausts at ~90 merges, far below a

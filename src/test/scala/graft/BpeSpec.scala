@@ -506,6 +506,31 @@ class BpeSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("graft_bpe_decode"))
   }
 
+  test("trainDistributed == trainFast: identical merges, no driver-lexicon ceiling (r17)") {
+    import graft.functions.PinnedBpeGen
+    // the synthetic lexicon (heavy tie traffic) — distributed rounds
+    // must reproduce the driver trainer's merge sequence exactly
+    val syn = PinnedBpeGen.syntheticVocab(1000)
+    val wordsDf = syn.toSeq.toDF("w", "count")
+    val dist = PinnedBpeGen.trainDistributedFromCounts(wordsDf, 80)
+    assert(dist === PinnedBpeGen.trainFast(syn, 80))
+    // early stop when the vocabulary is fully merged
+    val tiny = Seq(("ab", 5L), ("ba", 3L)).toDF("w", "count")
+    val all = PinnedBpeGen.trainDistributedFromCounts(tiny, 100)
+    assert(all.length < 100 && all.nonEmpty)
+    assert(all === PinnedBpeGen.trainFast(Array(("ab", 5L), ("ba", 3L)), 100))
+    // the ceiling case (r17 VERDICT #3): a lexicon where maxWords
+    // truncation would CHANGE the merges — vocabOf refuses loudly, and
+    // the distributed path trains the full corpus without truncating
+    val docs = (0 until 60).map(i => ("w" + i + " ") * (61 - i)).toDF("text")
+    intercept[IllegalArgumentException] {
+      PinnedBpeGen.vocabOf(spark, docs, maxWords = 10)
+    }
+    val full = PinnedBpeGen.vocabOf(spark, docs, maxWords = 100)
+    assert(PinnedBpeGen.trainDistributed(spark, docs, 40)
+      === PinnedBpeGen.trainFast(full, 40))
+  }
+
   test("merge count drives compression monotonically") {
     val text = "the customer orders join the column vector"
     val full = refTokens(text)
