@@ -71,6 +71,16 @@ object BpeEncode {
     merges.iterator.map { case (a, b) => s"$a$SymSep$b" }.mkString(PairSep.toString)
   }
 
+  /** Inverse of [[serialize]] — the merge list back from its spec string
+    * (r17, the [[BpeStore]] load path). */
+  def parseMerges(spec: String): Vector[(String, String)] =
+    if (spec.isEmpty) Vector.empty
+    else spec.split(PairSep.toString, -1).toVector.map { e =>
+      val i = e.indexOf(SymSep)
+      require(i >= 0, "malformed merges spec entry")
+      (e.substring(0, i), e.substring(i + 1))
+    }
+
   /** rank table keyed "a<U+0000>b" → rank (lower merges first). */
   def parseRanks(spec: String): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

@@ -1914,6 +1914,115 @@ object Ext {
         .orderBy($"doc_id")
     },
 
+    // --- PERSISTED tokenizer (r17 VERDICT #5): the (merges, vocab)
+    //     recipe round-trips through the catalog table contract
+    //     (BpeStore.persist → load — including the replay-idempotent
+    //     same-content re-persist exercised in-query) and the LOADED
+    //     tokenizer encodes the multi-line synth docs to the SAME id
+    //     stream as the in-driver table: the oracle is the identical
+    //     sqlIdCase replay as ext_bpe_ids. Loud-mismatch and integrity
+    //     legs are spec-gated (BpeSpec — intercepts don't fit a query).
+    Q("ext_bpe_ids_persisted", {
+      val inner =
+        """SELECT doc_id % 40 AS gid,
+          |  'hdr ' || CAST(doc_id % 40 AS VARCHAR) || '!' || chr(10) ||
+          |    string_agg(text, chr(10) || chr(9) ORDER BY doc_id) AS text
+          |FROM documents GROUP BY doc_id % 40""".stripMargin
+      val staged = TextFunctions.sqlBpeMerged("text", Seq("gid"), inner)
+      val idCase = graft.functions.BpeVocab.sqlIdCase("t",
+        graft.functions.PinnedBpe.merges)
+      s"""SELECT gid,
+         |  CAST(len(ids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(ids) AS BIGINT) AS id_sum,
+         |  md5(array_to_string(ids, ',')) AS ids_md5
+         |FROM (
+         |  SELECT gid,
+         |    list_transform(string_split(tok_str, '|'), t -> $idCase) AS ids
+         |  FROM (
+         |    SELECT gid,
+         |      replace(trim(
+         |        regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |        '  ', '|') AS tok_str
+         |    FROM ($staged) t) s) z
+         |ORDER BY gid""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{BpeStore, PinnedBpe}
+      val tok = BpeStore.Tokenizer(PinnedBpe.merges)
+      BpeStore.drop(spark, "graft_gate_tok")
+      BpeStore.persist(spark, "graft_gate_tok", tok)
+      BpeStore.persist(spark, "graft_gate_tok", tok) // idempotent re-persist
+      val loaded = BpeStore.load(spark, "graft_gate_tok")
+      val synth = t(spark, dir, "documents")
+        .groupBy(($"doc_id" % 40).as("gid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"doc_id", $"text"))),
+          s => s.getField("text")), "\n\t").as("body"))
+        .select($"gid", concat(lit("hdr "), $"gid".cast("string"),
+          lit("!\n"), $"body").as("text"))
+      synth
+        .withColumn("ids", loaded.encodeIds(spark, $"text"))
+        .select($"gid",
+          size($"ids").cast("long").as("n_ids"),
+          aggregate($"ids", lit(0L), (a, x) => a + x.cast("long")).as("id_sum"),
+          md5(array_join(transform($"ids", _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
+        .orderBy($"gid")
+    },
+
+    // --- STREAMING re-tokenization against the persisted tokenizer
+    //     (r17 VERDICT #5): the crawl-loop shape — batches arrive as ≥3
+    //     real micro-batches and each is encoded with the tokenizer
+    //     LOADED from the store (not a driver literal). Stateless
+    //     projection, so batch boundaries cannot matter; the oracle is
+    //     the per-doc batch replay through the identical sqlIdCase map.
+    Q("op_stream_bpe_persisted", {
+      val staged = TextFunctions.sqlBpeMerged(
+        "text", Seq("doc_id"), "SELECT doc_id, text FROM documents")
+      val idCase = graft.functions.BpeVocab.sqlIdCase("t",
+        graft.functions.PinnedBpe.merges)
+      s"""SELECT doc_id,
+         |  CAST(len(ids) AS BIGINT) AS n_ids,
+         |  CAST(list_sum(ids) AS BIGINT) AS id_sum,
+         |  md5(array_to_string(ids, ',')) AS ids_md5
+         |FROM (
+         |  SELECT doc_id,
+         |    list_transform(string_split(tok_str, '|'), t -> $idCase) AS ids
+         |  FROM (
+         |    SELECT doc_id,
+         |      replace(trim(
+         |        regexp_replace(__d, '(  ' || chr(31) || ')+  ', '  ', 'g')),
+         |        '  ', '|') AS tok_str
+         |    FROM ($staged) t) s) z
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{BpeStore, PinnedBpe}
+      BpeStore.drop(spark, "graft_stream_tok")
+      BpeStore.persist(spark, "graft_stream_tok",
+        BpeStore.Tokenizer(PinnedBpe.merges))
+      val loaded = BpeStore.load(spark, "graft_stream_tok")
+      val stageDir = OpsExtra.StreamParity.stage(spark, dir, "documents", "doc_id")
+      val rawSchema = spark.read.parquet(stageDir.toString).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      val sinkName = s"strm_bpe_${OpsExtra.StreamParity.next()}"
+      val enc = stream
+        .select($"doc_id", loaded.encodeIds(spark, $"text").as("ids"))
+        .select($"doc_id",
+          size($"ids").cast("long").as("n_ids"),
+          aggregate($"ids", lit(0L), (a, x) => a + x.cast("long")).as("id_sum"),
+          md5(array_join(transform($"ids", _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
+      val q = enc.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        OpsExtra.StreamParity.assertMultiBatch(q)
+      } finally q.stop()
+      spark.table(sinkName).orderBy($"doc_id")
+    },
+
     // --- MATERIALIZED packed sequences (r17 VERDICT #2): the loader-
     //     ready output — per pack, member docs' ids concatenated in doc
     //     order with the EOS special (id 0) appended after every doc,

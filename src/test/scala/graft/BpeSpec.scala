@@ -531,6 +531,63 @@ class BpeSpec extends SparkSpecBase {
       === PinnedBpeGen.trainFast(full, 40))
   }
 
+  test("BpeStore: persist/load round trip, loud mismatch, integrity check (r17)") {
+    import graft.functions.{BpeStore, BpeVocab}
+    val name = "graft_spec_tok"
+    BpeStore.drop(spark, name)
+    val tok = BpeStore.Tokenizer(
+      merges = Vector(("a", "b"), ("ab", "c")),
+      specials = Vector("<|doc|>", "<unk>", "<ws>"),
+      unk = Some("<unk>"),
+      byteFallback = true,
+      wordSep = Some("<ws>"))
+    BpeStore.persist(spark, name, tok)
+    // identical re-persist is a no-op (foreachBatch replay safety)
+    BpeStore.persist(spark, name, tok)
+    val loaded = BpeStore.load(spark, name)
+    assert(loaded == tok, "load must reconstruct the exact recipe")
+    // the loaded tokenizer encodes/decodes bit-equal to the in-driver one
+    val got = Seq("abc <|doc|> caf\u00E9").toDF("text")
+      .select(
+        loaded.decodeIds(spark, loaded.encodeIds(spark, col("text"))).as("rt"),
+        TextFunctions.bpeDecodeIds(spark,
+          TextFunctions.bpeEncodeIds(spark, col("text"), tok.merges,
+            tok.alphabet, tok.specials, tok.unk, tok.byteFallback,
+            tok.wordSep),
+          tok.merges, tok.alphabet, tok.specials, tok.unk,
+          tok.byteFallback, tok.wordSep).as("direct"))
+      .as[(String, String)].collect().head
+    assert(got._1 == got._2 && got._1 == "abc <|doc|> caf\u00E9")
+    // a DIFFERENT tokenizer under the same name fails loudly
+    val e = intercept[IllegalArgumentException] {
+      BpeStore.persist(spark, name,
+        tok.copy(merges = Vector(("x", "y"))))
+    }
+    assert(e.getMessage.contains("DIFFERENT"))
+    // integrity: a hand-edited table fails the load check — swap the
+    // word_sep field to a DIFFERENT valid special, so the stored
+    // vocab_spec no longer matches the stored construction fields
+    val tblDf = spark.table(s"${name}_bpe")
+    val schema = tblDf.schema
+    val r0 = tblDf.collect().head
+    val bad = org.apache.spark.sql.Row.fromSeq(
+      r0.toSeq.updated(schema.fieldIndex("word_sep"), "<unk>"))
+    BpeStore.drop(spark, name)
+    spark.createDataFrame(
+        java.util.Collections.singletonList(bad), schema)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_bpe")
+    val e2 = intercept[IllegalArgumentException] {
+      BpeStore.load(spark, name)
+    }
+    assert(e2.getMessage.contains("integrity"))
+    BpeStore.drop(spark, name)
+    // loading an absent tokenizer is loud
+    val e3 = intercept[IllegalArgumentException] {
+      BpeStore.load(spark, "graft_spec_tok_absent")
+    }
+    assert(e3.getMessage.contains("persist"))
+  }
+
   test("merge count drives compression monotonically") {
     val text = "the customer orders join the column vector"
     val full = refTokens(text)
