@@ -1369,10 +1369,26 @@ final case class GraftFrame(df: DataFrame, index: Seq[String] = Nil) {
       alphabet: Seq[String] = graft.functions.BpeVocab.asciiAlphabet,
       specials: Seq[String] = Vector.empty,
       unk: Option[String] = None,
-      byteFallback: Boolean = false): GraftFrame =
+      byteFallback: Boolean = false,
+      wordSep: Option[String] = None): GraftFrame =
     GraftFrame(df.withColumn(out, graft.functions.TextFunctions
       .bpeEncodeIds(df.sparkSession, df(textCol), merges, alphabet,
-        specials, unk, byteFallback)), index)
+        specials, unk, byteFallback, wordSep)), index)
+
+  /** BPE DECODE — an array<int> id column back to text (r17), the
+    * inverse of [[bpeTokenIds]] on the same vocab; designate `wordSep`
+    * (a special) at ENCODE time for the whitespace-collapsing round
+    * trip ([[graft.functions.TextFunctions.bpeDecodeIds]]). */
+  def bpeDecode(idsCol: String, out: String,
+      merges: Seq[(String, String)] = graft.functions.PinnedBpe.merges,
+      alphabet: Seq[String] = graft.functions.BpeVocab.asciiAlphabet,
+      specials: Seq[String] = Vector.empty,
+      unk: Option[String] = None,
+      byteFallback: Boolean = false,
+      wordSep: Option[String] = None): GraftFrame =
+    GraftFrame(df.withColumn(out, graft.functions.TextFunctions
+      .bpeDecodeIds(df.sparkSession, df(idsCol), merges, alphabet,
+        specials, unk, byteFallback, wordSep)), index)
 
   /** GPT-2-style regex pretokenization of a text column (r16) —
     * category-pure letter/digit/punct runs; compose before any BPE

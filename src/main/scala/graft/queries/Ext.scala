@@ -2104,6 +2104,44 @@ object Ext {
         .orderBy($"shard", $"pack_id")
     },
 
+    // --- END-TO-END loader round trip (r17): encode (with the <ws>
+    //     boundary special) → pack with EOS separators → UNPACK each
+    //     document by its (start, len) span → decode — must reproduce
+    //     every document's whitespace-collapsed text exactly. This is
+    //     the proof the packed artifact is loader-READY: the spans
+    //     address the id arrays correctly, EOS never leaks into a span,
+    //     and decode inverts the vocabulary. Oracle: DuckDB computes
+    //     the normalization directly from the corpus. UNROUNDED.
+    Q("ext_bpe_pack_roundtrip",
+      """SELECT doc_id,
+        |  CAST(len(norm) AS BIGINT) AS n_chars,
+        |  md5(norm) AS dec_md5
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS norm
+        |  FROM documents) s
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sp = Vector("</s>", "<ws>")
+      val ws = Some("<ws>")
+      val withIds = t(spark, dir, "documents")
+        .withColumn("ids", TextFunctions.bpeEncodeIds(spark, $"text",
+          specials = sp, wordSep = ws))
+      val packed = Curation.packSequencesEmit(withIds, "ids", "doc_id",
+        capacity = 128, nShards = 4, eosId = 0)
+      val perDoc = packed
+        .select(explode($"doc_spans").as("s"), $"ids")
+        .select($"s.doc_id".as("doc_id"),
+          slice($"ids", $"s.start" + 1, $"s.len").as("dids"))
+      val decoded = TextFunctions.bpeDecodeIds(spark, $"dids",
+        specials = sp, wordSep = ws)
+      perDoc
+        .select($"doc_id",
+          length(decoded).cast("long").as("n_chars"),
+          md5(decoded.cast("binary")).as("dec_md5"))
+        .orderBy($"doc_id")
+    },
+
     // --- BYTE-FALLBACK token ids (r16): every doc gets two
     //     out-of-alphabet code points appended in-query (U+00E9, two
     //     UTF-8 bytes, and U+1F600, four bytes — a surrogate PAIR on

@@ -1181,4 +1181,29 @@ class ApiSpec extends SparkSpecBase {
       .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
     assert(byLen.exceptAll(byText).isEmpty && byText.exceptAll(byLen).isEmpty)
   }
+
+  test("fluent bpeDecode / packSequencesEmit: loader surface round-trips (r17)") {
+    import org.apache.spark.sql.functions.{col, expr, length, regexp_replace, trim}
+    val docs = GraftFrame(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(80))
+    val sp = Vector("</s>", "<ws>")
+    val ws = Some("<ws>")
+    // fluent encode -> fluent decode inverts modulo collapsed whitespace
+    val rt = docs.bpeTokenIds("text", "ids", specials = sp, wordSep = ws)
+      .bpeDecode("ids", "back", specials = sp, wordSep = ws).df
+      .filter(col("back") =!=
+        trim(regexp_replace(col("text"), "[ \t\n\r]+", " ")))
+    assert(rt.isEmpty, "fluent decode(encode(x)) diverged")
+    // fluent packSequencesEmit emits loader-ready columns
+    val packs = docs.bpeTokenIds("text", "ids", specials = sp)
+      .packSequencesEmit("ids", "doc_id", capacity = 256, nShards = 4,
+        eosId = 0).df
+    assert(Seq("shard", "pack_id", "ids", "doc_spans", "n_docs", "n_tokens")
+      .forall(packs.columns.contains))
+    assert(packs.filter(expr("size(ids) > 256")).isEmpty,
+      "pack exceeded capacity")
+    assert(packs.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 80L)
+  }
 }
