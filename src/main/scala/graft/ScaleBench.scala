@@ -223,6 +223,18 @@ object ScaleBench {
               .bpePretokenizeFast(s, col("text")), bpe10k))).as("n"))
           .head().getLong(0)
       },
+      "aux_bpe_decode" -> { (s: SparkSession, dir: String) =>
+        // decode throughput (r17): encode to ids (same 10k table) and
+        // decode straight back, folding decoded lengths — "rows" is the
+        // total decoded char count; the delta vs aux_bpe_ids at the
+        // same scale isolates the decode cost.
+        val docs = Tables.load(s, dir, "documents")
+        val ids = graft.functions.TextFunctions
+          .bpeEncodeIds(s, col("text"), bpe10k)
+        docs.agg(sum(length(graft.functions.TextFunctions
+            .bpeDecodeIds(s, ids, bpe10k))).as("n"))
+          .head().getLong(0)
+      },
       "aux_pack_ids" -> { (s: SparkSession, dir: String) =>
         // materialized packing end-to-end (r17): encode -> first-fit
         // pack -> per-pack id-array assembly -> noop write. The FULL id
