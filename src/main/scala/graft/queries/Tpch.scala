@@ -226,12 +226,18 @@ object Tpch {
       val cust = t(spark, dir, "customer")
         .join(broadcast(n2), $"c_nationkey" === $"n2_key")
         .select($"c_custkey", $"cust_nation")
+      // join order: the pruned supplier side FIRST (r17 optimization round,
+      // guide §2.3/§3.1 — selectivity before bulk). supp keeps 2/25 of
+      // suppliers, so joining it before orders cuts the fact rows flowing
+      // into the orders and customer joins ~12.5×; the old order shuffled
+      // the full date-filtered lineitem through BOTH of those joins. Inner
+      // joins commute, so results are identical.
       t(spark, dir, "lineitem")
         .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
           $"l_shipdate" <= to_timestamp(lit("1997-12-31")))
+        .join(supp, $"l_suppkey" === $"s_suppkey")
         .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(cust, $"o_custkey" === $"c_custkey")
-        .join(supp, $"l_suppkey" === $"s_suppkey")
         .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
           ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
         .withColumn("l_year", year($"l_shipdate").cast("long"))
@@ -487,7 +493,15 @@ object Tpch {
       // avg(l_quantity) is exact on both engines: integer-valued doubles sum
       // without rounding error in any order, so the 0.2*avg threshold is
       // bit-identical to DuckDB's correlated subquery.
-      val avgQty = li.groupBy($"l_partkey".as("a_partkey"))
+      // r17 optimization round (guide §2.3 — aggregate/filter before the
+      // shuffle): only partkeys surviving the part filter are ever joined,
+      // and the avg is per-partkey, so semi-joining the aggregation INPUT
+      // against the filtered part set first shuffles only matching lines
+      // into the partkey aggregation. Per-partkey averages are unchanged.
+      val avgQty = li
+        .join(broadcast(part.select($"p_partkey".as("ap_partkey"))),
+          $"l_partkey" === $"ap_partkey", "left_semi")
+        .groupBy($"l_partkey".as("a_partkey"))
         .agg(avg($"l_quantity").as("avg_qty"))
       li.join(broadcast(part), $"l_partkey" === $"p_partkey")
         .join(avgQty, $"l_partkey" === $"a_partkey")
@@ -592,14 +606,32 @@ object Tpch {
       import spark.implicits._
       val li = t(spark, dir, "lineitem")
       val l1 = li.filter($"l_returnflag" === "A")
-      val l2 = li.select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))
-      val l3 = li.filter($"l_returnflag" === "A")
-        .select($"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"))
+      // r17 optimization round: the EXISTS/NOT-EXISTS pair collapses into
+      // ONE per-order min/max aggregate (guide §2.3 — aggregate before you
+      // shuffle; the l2 semi + l3 anti joins each re-shuffled a full
+      // lineitem projection by orderkey). For an l1 row (flag 'A', suppkey
+      // s), with suppkeys non-null:
+      //   EXISTS l2 with l2_suppkey <> s        ⇔ min(suppkey) <> max(suppkey)
+      //   NOT EXISTS l3 ('A', l3_suppkey <> s)  ⇔ min('A' suppkey) = max('A' suppkey)
+      // (the l1 row itself is an 'A' row of the order, so a single distinct
+      // 'A' suppkey must be s). min/max — not countDistinct — keeps the
+      // aggregate Expand-free and fully partial-aggregatable: the map side
+      // collapses each order to four longs before the exchange, and the
+      // left-semi probe joins on the same orderkey partitioning the orders
+      // join already established.
+      val ordStats = li
+        .groupBy($"l_orderkey".as("os_orderkey"))
+        .agg(
+          min($"l_suppkey").as("min_supp"),
+          max($"l_suppkey").as("max_supp"),
+          min(when($"l_returnflag" === "A", $"l_suppkey")).as("min_supp_a"),
+          max(when($"l_returnflag" === "A", $"l_suppkey")).as("max_supp_a"))
+        .filter($"min_supp" =!= $"max_supp" && $"min_supp_a" === $"max_supp_a")
+        .select($"os_orderkey")
       val nat = t(spark, dir, "nation").filter($"n_name" === "NATION_5")
       l1.join(t(spark, dir, "orders").filter($"o_orderstatus" === "F"),
           $"l_orderkey" === $"o_orderkey")
-        .join(l2, $"l2_orderkey" === $"l_orderkey" && $"l2_suppkey" =!= $"l_suppkey", "left_semi")
-        .join(l3, $"l3_orderkey" === $"l_orderkey" && $"l3_suppkey" =!= $"l_suppkey", "left_anti")
+        .join(ordStats, $"os_orderkey" === $"l_orderkey", "left_semi")
         .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"s_name")
