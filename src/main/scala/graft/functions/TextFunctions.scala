@@ -328,6 +328,33 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** [[normalize]] through the native `graft_text_normalize` single-pass
+    * scan when the session carries GraftExtensions, the two-regexp form
+    * otherwise (r17 optimization round; byte-identical — TextScanSpec).
+    * The r16 graft_bpe_pretok convention: java.util.regex per row in a
+    * hot scan path costs more than the work it feeds — at 100× the two
+    * regexp passes inside ext_dedup_exact were 40% of the whole headline
+    * bench. */
+  def normalizeFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    if (spark.catalog.functionExists("graft_text_normalize"))
+      call_function("graft_text_normalize", lower(text))
+    else normalize(text)
+
+  /** [[md5Fingerprint]] over [[normalizeFast]] — same dispatch. */
+  def md5FingerprintFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    md5(normalizeFast(spark, text).cast("binary"))
+
+  /** [[regexTokenCount]] through the native `graft_retok_count` scan when
+    * available (count-identical — TextScanSpec), the regexp_count form
+    * otherwise. */
+  def regexTokenCountFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    if (spark.catalog.functionExists("graft_retok_count"))
+      call_function("graft_retok_count", text)
+    else regexTokenCount(text)
+
   /** Word n-gram shingles as an array of strings (distinct not applied). */
   def shingles(text: Column, n: Int): Column = {
     val w = words(text)
@@ -399,6 +426,27 @@ object TextFunctions {
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(400.0), lit(1.0))
     val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    (lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2))
+  }
+
+  /** [[punctRatio]] through the native `graft_punct_count` scan when
+    * available (count-identical — TextScanSpec), regexp_count otherwise
+    * (r17 optimization round). */
+  def punctRatioFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    (if (spark.catalog.functionExists("graft_punct_count"))
+      call_function("graft_punct_count", text)
+    else regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** [[qualityScore]] with the punctuation term through
+    * [[punctRatioFast]] — identical arithmetic, native scan when the
+    * session carries GraftExtensions. */
+  def qualityScoreFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(400.0), lit(1.0))
+    val punctPenalty = least(punctRatioFast(spark, text) * lit(5.0), lit(1.0))
     val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
     (lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2))
   }

@@ -152,7 +152,8 @@ object Dedup {
   /** Exact text dedup via md5 of normalized text. Returns the kept rows. */
   def exactTextDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     dropDuplicates(
-      fanOutScan(docs, sized = true).withColumn("__fp", TextFunctions.md5Fingerprint(col(textCol))),
+      fanOutScan(docs, sized = true).withColumn("__fp",
+        TextFunctions.md5FingerprintFast(docs.sparkSession, col(textCol))),
       Seq("__fp"), idCol)
       .drop("__fp")
 
@@ -789,7 +790,7 @@ object Dedup {
   def exactDedupIncremental(newDocs: DataFrame, textCol: String,
       idCol: String, knownFps: DataFrame): (DataFrame, DataFrame) = {
     val withFp = newDocs.withColumn("__fp",
-      TextFunctions.md5Fingerprint(col(textCol)))
+      TextFunctions.md5FingerprintFast(newDocs.sparkSession, col(textCol)))
     val unseen = withFp.join(knownFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
     val kept = dropDuplicates(unseen, Seq("__fp"), idCol)
     (kept.drop("__fp"),

@@ -133,5 +133,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children(0), numHashes, seed)
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_text_normalize"),
+      new ExpressionInfo(classOf[TextNormalizeExpr].getName, "graft_text_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_text_normalize(loweredText) takes one arg")
+        TextNormalizeExpr(children(0))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_retok_count"),
+      new ExpressionInfo(classOf[RetokCountExpr].getName, "graft_retok_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_retok_count(text) takes one arg")
+        RetokCountExpr(children(0))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_punct_count"),
+      new ExpressionInfo(classOf[PunctCountExpr].getName, "graft_punct_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_punct_count(text) takes one arg")
+        PunctCountExpr(children(0))
+      }))
   }
 }

@@ -551,3 +551,87 @@ case class BpeDecodeIds(ids: Expression, vocabSpec: Expression)
       newLeft: Expression, newRight: Expression): BpeDecodeIds =
     copy(ids = newLeft, vocabSpec = newRight)
 }
+
+/** Native single-pass text normalization (r17 optimization round):
+  * `graft_text_normalize(loweredText)` — the
+  * `trim(regexp_replace(regexp_replace(lower(x), "[^a-z0-9 ]", ""), " +", " "))`
+  * chain as ONE codegen'd byte scan over the ALREADY-LOWERED string
+  * ([[graft.functions.TextScan.normalizeLowered]]; callers pass
+  * `lower(text)`). Byte-identical to the two-regexp form (TextScanSpec
+  * pins it; the ext_dedup_exact oracle gates it cross-engine against the
+  * DuckDB regex mirror): every kept char is ASCII and every dropped code
+  * point's UTF-8 bytes are individually dropped. At 100× the two
+  * java.util.regex passes were 40% of the whole headline bench
+  * (ext_dedup_exact 112 s — PERF.md r17 optimization section). */
+case class TextNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_text_normalize"
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.functions.TextScan.normalizeLowered(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = graft.functions.TextScan.normalizeLowered($t);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TextNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Native BPE-ish token count (r17 optimization round):
+  * `graft_retok_count(text)` — the
+  * `regexp_count(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")` alternation as
+  * one codegen'd scan ([[graft.functions.TextScan.retokCount]]; letter
+  * RUNS, single digits, single other non-ws code points). Count-identical
+  * to the regex (TextScanSpec pins it; ext_token_count gates it against
+  * the DuckDB regexp_extract_all mirror cross-engine). */
+case class RetokCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_retok_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.functions.TextScan.retokCount(t.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = graft.functions.TextScan.retokCount($t.toString());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RetokCountExpr =
+    copy(child = newChild)
+}
+
+/** Native punctuation-count (r17 optimization round):
+  * `graft_punct_count(text)` — `regexp_count(text, "[^A-Za-z0-9\s]")` as
+  * one codegen'd scan ([[graft.functions.TextScan.punctCount]]).
+  * Count-identical to the regex (TextScanSpec pins it; the curation
+  * quality-score oracles gate it cross-engine). */
+case class PunctCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_punct_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.functions.TextScan.punctCount(t.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = graft.functions.TextScan.punctCount($t.toString());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PunctCountExpr =
+    copy(child = newChild)
+}

@@ -1539,7 +1539,7 @@ object Ext {
           TextFunctions.tokenCount($"text").as("n_tokens"),
           length($"text").cast("long").as("n_chars"),
           TextFunctions.meanWordLen($"text").as("mean_word_len"),
-          TextFunctions.qualityScore($"text").as("quality"))
+          TextFunctions.qualityScoreFast(spark, $"text").as("quality"))
         .orderBy($"doc_id")
     },
 
@@ -1646,7 +1646,7 @@ object Ext {
         .groupBy($"source")
         .agg(
           sum(TextFunctions.tokenCount($"text")).as("ws_tokens"),
-          sum(TextFunctions.regexTokenCount($"text")).as("re_tokens"),
+          sum(TextFunctions.regexTokenCountFast(spark, $"text")).as("re_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy($"source")
     },
@@ -2409,9 +2409,9 @@ object Ext {
         .assign(
           "pred_lang" -> TextFunctions.langIdHeuristic($"text"),
           "n_tokens" -> TextFunctions.tokenCount($"text"),
-          "quality" -> TextFunctions.qualityScore($"text"))
+          "quality" -> TextFunctions.qualityScoreFast(spark, $"text"))
         .filter($"quality" > 0.5 && $"n_tokens" >= 30)
-        .assign("__fp" -> TextFunctions.md5Fingerprint($"text"))
+        .assign("__fp" -> TextFunctions.md5FingerprintFast(spark, $"text"))
         .drop("text") // rows are narrow post-scoring → single-pass dedup
         .dropDuplicatesNarrow(Seq("__fp"), keepFirstBy = "doc_id")
         .groupby("source", "pred_lang")
@@ -2500,7 +2500,7 @@ object Ext {
       val docs = t(spark, dir, "documents")
       val scored = docs.select($"doc_id", $"source", $"text", $"n_chars",
         TextFunctions.tokenCount($"text").as("n_tokens"),
-        TextFunctions.qualityScore($"text").as("quality"))
+        TextFunctions.qualityScoreFast(spark, $"text").as("quality"))
       val rep = Repetition.signals(docs, "text", "doc_id", "n_chars")
         .select($"doc_id", $"uniq_word_frac")
       val filtered = scored.join(rep, Seq("doc_id"))
@@ -2587,7 +2587,7 @@ object Ext {
           "text", "doc_id", n = 3, minOverlap = 3)
         .filter(!$"contaminated")
       val f = clean
-        .withColumn("quality", TextFunctions.qualityScore($"text"))
+        .withColumn("quality", TextFunctions.qualityScoreFast(spark, $"text"))
         .filter($"quality" > 0.5)
       val pairs = Dedup.minhashDedupPairs(f, "text", "doc_id",
         n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)

@@ -57,7 +57,8 @@ object StreamOps {
     import docs.sparkSession.implicits._
     docs
       .select(col("doc_id"),
-        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("fp"))
+        graft.functions.TextFunctions
+          .md5FingerprintFast(docs.sparkSession, col("text")).as("fp"))
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Boolean, (Long, String)](
