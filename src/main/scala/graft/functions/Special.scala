@@ -1772,6 +1772,14 @@ object Special {
     import alg._
     val t = Cpx(y, sub(k(0.0), x)) // t = y − ix
     val u = cmul(t, t)
+    wofzRegionsTU(alg, t, u)
+  }
+
+  /** [[wofzRegions]] parameterized on already-computed t = y − ix and
+    * u = t² — the factoring [[wofzStaged]] needs to materialize t/u
+    * behind a projection boundary. Op-for-op identical arithmetic. */
+  private def wofzRegionsTU[T](alg: WAlg[T], t: Cpx[T], u: Cpx[T]): Seq[Cpx[T]] = {
+    import alg._
     val w1 = cdiv(cmul(t, ck(0.5641896)), cadd(ck(0.5), u))
     val w2 = cdiv(
       cmul(t, cadd(ck(1.410474), cmul(u, ck(0.5641896)))),
@@ -1808,6 +1816,52 @@ object Special {
   def wofzRe(x: Column, y: Column): Column = wofz(x, y)._1
   def wofzIm(x: Column, y: Column): Column = wofz(x, y)._2
 
+  private val wofzStageCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Frame-staged [[wofz]] (r17 optimization round — the modfresnel
+    * BALLOON lesson applied to wofz itself): appends `outRe`/`outIm` =
+    * w(x + iy) with t = y − ix, u = t², and the four Humlicek region
+    * values each computed ONCE behind projection boundaries, instead of
+    * one Project inlining the full region trees once per output (re and
+    * im each re-expanded all four regions; op_special_wofz carried TEN
+    * such bodies and spent ~28 s per run in Catalyst on a single
+    * million-node Project). Arithmetic is op-for-op [[wofz]] —
+    * wofzRegionsTU is the same body over column refs — so results are
+    * bit-identical (SpecialSpec pins staged ≡ unstaged on the sweep).
+    * CollapseProject keeps the stages: every intermediate is non-cheap
+    * and multiply-referenced. */
+  def wofzStaged(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
+      outRe: String, outIm: String): org.apache.spark.sql.DataFrame = {
+    val p = s"__wz${wofzStageCounter.incrementAndGet()}_"
+    val keep = df.columns.toSeq.map(col)
+    val s0 = df.select(keep ++ Seq(x.as(p + "x"), y.as(p + "y")): _*)
+    val keep0 = keep ++ Seq(col(p + "x"), col(p + "y"))
+    // t = y − ix (the sub(k(0), x) op order of wofzRegions)
+    val s1 = s0.select(keep0 ++ Seq(
+      col(p + "y").as(p + "tre"),
+      (lit(0.0) - col(p + "x")).as(p + "tim")): _*)
+    val keep1 = keep0 ++ Seq(col(p + "tre"), col(p + "tim"))
+    // u = t² (cmul(t, t) expanded over the t columns)
+    val t1 = Cpx(col(p + "tre"), col(p + "tim"))
+    val u1 = columnWAlg.cmul(t1, t1)
+    val s2 = s1.select(keep1 ++ Seq(u1.re.as(p + "ure"), u1.im.as(p + "uim")): _*)
+    val keep2 = keep1 ++ Seq(col(p + "ure"), col(p + "uim"))
+    val regs = wofzRegionsTU(columnWAlg,
+      Cpx(col(p + "tre"), col(p + "tim")),
+      Cpx(col(p + "ure"), col(p + "uim")))
+    val regCols = regs.zipWithIndex.flatMap { case (w, i) =>
+      Seq(w.re.as(s"${p}w${i + 1}re"), w.im.as(s"${p}w${i + 1}im"))
+    }
+    val s3 = s2.select(keep2 ++ regCols: _*)
+    val s = abs(col(p + "x")) + col(p + "y")
+    def pick(part: String): Column =
+      when(s >= 15.0, col(s"${p}w1$part")).when(s >= 5.5, col(s"${p}w2$part"))
+        .when(col(p + "y") >= lit(0.195) * abs(col(p + "x")) - lit(0.176),
+          col(s"${p}w3$part"))
+        .otherwise(col(s"${p}w4$part"))
+    s3.select(keep ++ Seq(pick("re").as(outRe), pick("im").as(outIm)): _*)
+  }
+
   private def sqlWofzPick(x: String, y: String, wantRe: Boolean): String = {
     val Seq(w1, w2, w3, w4) = wofzRegions(sqlWAlg, s"($x)", s"($y)")
     def f(c: Cpx[String]) = if (wantRe) c.re else c.im
@@ -1825,6 +1879,18 @@ object Special {
     val scale = sigma * lit(math.sqrt(2.0))
     wofzRe(x / scale, gamma / scale) /
       (sigma * lit(math.sqrt(2.0 * math.Pi)))
+  }
+
+  /** Frame-staged [[voigtProfile]] — the one-Faddeeva-behind-a-boundary
+    * form (see [[wofzStaged]]); appends `out`, identical arithmetic. */
+  def voigtProfileStaged(df: org.apache.spark.sql.DataFrame, x: Column,
+      sigma: Column, gamma: Column, out: String): org.apache.spark.sql.DataFrame = {
+    val p = s"__vp${wofzStageCounter.incrementAndGet()}_"
+    val scale = sigma * lit(math.sqrt(2.0))
+    val staged = wofzStaged(df, x / scale, gamma / scale, p + "re", p + "im")
+    staged
+      .withColumn(out, col(p + "re") / (sigma * lit(math.sqrt(2.0 * math.Pi))))
+      .drop(p + "re", p + "im")
   }
   def sqlVoigtProfile(x: String, sigma: String, gamma: String): String = {
     val scale = s"(($sigma) * CAST('${math.sqrt(2.0)}' AS DOUBLE))"
@@ -1881,9 +1947,11 @@ object Special {
     val s0 = df.select(keep :+ x.cast("double").as("mfx"): _*)
     val s1 = s0.select(keep ++ Seq(col("mfx"),
       (abs(col("mfx")) / lit(math.sqrt(2.0))).as("mfu")): _*)
-    val (wre, wim) = wofz(col("mfu"), col("mfu"))
-    val s2 = s1.select(keep ++ Seq(col("mfx"),
-      wre.as("mfwre"), wim.as("mfwim")): _*)
+    // r17 optimization round: the Faddeeva pick through the staged form
+    // (one region-tree materialization instead of re+im each inlining
+    // all four regions) — identical arithmetic, see wofzStaged.
+    val s2 = wofzStaged(s1, col("mfu"), col("mfu"), "mfwre", "mfwim")
+      .select(keep ++ Seq(col("mfx"), col("mfwre"), col("mfwim")): _*)
     val half = lit(0.5)
     val kre = when(col("mfx") >= 0.0, col("mfwre") * half)
       .otherwise(cos(col("mfx") * col("mfx")) - col("mfwre") * half)

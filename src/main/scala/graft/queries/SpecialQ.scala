@@ -315,18 +315,26 @@ object SpecialQ {
       import spark.implicits._
       import graft.functions.Special
       def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
-      t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
+      // r17 optimization round: the three Faddeeva picks through the
+      // frame-staged form (each region tree materialized ONCE behind a
+      // projection boundary) — the inline form carried ten full region
+      // bodies in one Project and spent ~28 s PER RUN in Catalyst.
+      // Arithmetic identical (wofzStaged doc); oracle SQL unchanged.
+      val base = t(spark, dir, "lineitem").filter($"l_orderkey" < 600)
         .select($"l_orderkey", $"l_linenumber",
           $"l_quantity".cast("double").as("q"),
           (($"l_quantity".cast("double") - 25.0) / 2.0).as("wx"),
           ($"l_linenumber".cast("double") * 2.5).as("wy1"),
           ($"l_linenumber".cast("double") / 8.0).as("wy2"))
-        .select($"l_orderkey", $"l_linenumber", $"q",
-          r6(Special.wofzRe($"wx", $"wy1")).as("w_re_hi"),
-          r6(Special.wofzIm($"wx", $"wy1")).as("w_im_hi"),
-          r6(Special.wofzRe($"wx", $"wy2")).as("w_re_lo"),
-          r6(Special.wofzIm($"wx", $"wy2")).as("w_im_lo"),
-          r6(Special.voigtProfile($"wx", lit(1.5), lit(0.5))).as("v_prof"))
+      val hi = Special.wofzStaged(base, $"wx", $"wy1", "__hre", "__him")
+      val lo = Special.wofzStaged(hi, $"wx", $"wy2", "__lre", "__lim")
+      val vp = Special.voigtProfileStaged(lo, $"wx", lit(1.5), lit(0.5), "__vp")
+      vp.select($"l_orderkey", $"l_linenumber", $"q",
+          r6($"__hre").as("w_re_hi"),
+          r6($"__him").as("w_im_hi"),
+          r6($"__lre").as("w_re_lo"),
+          r6($"__lim").as("w_im_lo"),
+          r6($"__vp").as("v_prof"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 

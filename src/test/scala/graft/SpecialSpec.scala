@@ -462,6 +462,31 @@ class SpecialSpec extends SparkSpecBase {
     assert(math.abs(binv(4.0, 4.0, 0.5) - 0.5) < 1e-10)
   }
 
+  test("staged wofz/voigt == unstaged bit-for-bit across all four regions") {
+    // r17: wofzStaged factors the region trees behind projection
+    // boundaries; the arithmetic must stay op-for-op identical, so the
+    // doubles must match EXACTLY (not within tolerance) on a sweep that
+    // hits every Humlicek region and both x signs.
+    val pts = for {
+      x <- Seq(-12.0, -3.0, -1.0, -0.1, 0.0, 0.1, 1.0, 3.0, 8.0, 12.0)
+      y <- Seq(0.0, 0.05, 0.2, 0.5, 2.5, 8.0, 16.0)
+    } yield (x, y)
+    val df = pts.toDF("x", "y")
+    val un = df.select(
+      Special.wofzRe(col("x"), col("y")).as("re"),
+      Special.wofzIm(col("x"), col("y")).as("im"),
+      Special.voigtProfile(col("x"), lit(1.5), lit(0.5)).as("v"))
+    val st0 = Special.wofzStaged(df, col("x"), col("y"), "re", "im")
+    val st = Special.voigtProfileStaged(st0, col("x"), lit(1.5), lit(0.5), "v")
+      .select(col("re"), col("im"), col("v"))
+    un.collect().zip(st.collect()).foreach { case (a, b) =>
+      (0 until 3).foreach { i =>
+        assert(java.lang.Double.compare(a.getDouble(i), b.getDouble(i)) == 0,
+          s"staged wofz diverged at col $i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
   test("wofz/voigt match mpmath within Humlicek's published bound") {
     val tol = 2e-4 // w4's ~3e-5 worst relative, on O(0.01..1) values
     assert(math.abs(eval2(Special.wofzRe, 1.0, 0.5) - 0.3549003329) < tol)
