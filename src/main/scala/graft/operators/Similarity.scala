@@ -208,10 +208,28 @@ object Similarity {
       seed: Long = 42L): PqIndex = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val d = dim / m
-    val models = (0 until m).map { s =>
-      val sub = corpus.select(slice(col("cvec"), s * d + 1, d).as("subvec"))
-      graft.learn.Learn.kmeansFit(sub, "subvec", kCodes, seed + s)
-    }
+    // r17 optimization round (guide §2.6 — overlap independent jobs): the
+    // m subspace fits are independent k-means trainings whose iteration
+    // jobs leave most cores idle at their stage tails; submitting them
+    // from a small driver pool backfills those tails. Each fit's data,
+    // partitioning, and seed are unchanged, so every model is
+    // bit-identical to the sequential form. 3-4 in flight is the guide's
+    // sweet spot — enough overlap, no executor thrash.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+    val models =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = (0 until m).map { s =>
+          scala.concurrent.Future {
+            val sub = corpus.select(slice(col("cvec"), s * d + 1, d).as("subvec"))
+            graft.learn.Learn.kmeansFit(sub, "subvec", kCodes, seed + s)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     val codebooks = models.map(_.clusterCenters.toSeq.map(
       _.toArray.map(_.toFloat).toSeq))
     // encode: per subspace the argmin-distance code, via the fitted models'
