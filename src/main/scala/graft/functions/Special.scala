@@ -3471,4 +3471,174 @@ object Special {
       s"(${fold(parts.map(_._4))}) - (${fold(parts.map(_._2))}) * " +
       s"(${fold(parts.map(_._3))})))"
   }
+
+  // =================================================================
+  // r18 optimization round: native-kernel dispatchers. Each *Fast form
+  // routes through ONE `graft_special` expression node on extension
+  // sessions ([[graft.plans.SpecialKernelExpr]] →
+  // [[SpecialMath]] — the exact op sequence of the Column kernel, so
+  // bit-identical; SpecialMathSpec pins it) and falls back to the
+  // staged Column tree when the extension is absent (driver smoke
+  // sessions). The Column trees cost 3–14 s PER RUN of row-independent
+  // Catalyst analysis/optimization/codegen (PERF.md r17/r18); the
+  // native node costs none of it.
+  // =================================================================
+  import org.apache.spark.sql.SparkSession
+
+  private def hasNative(spark: SparkSession): Boolean =
+    spark.catalog.functionExists("graft_special")
+
+  private def nk(kernel: String, args: Column*): Column =
+    call_function("graft_special", (lit(kernel) +: args.toSeq): _*)
+
+  /** [[wofzStaged]] via the native kernel when available. */
+  def wofzStagedFast(df: DataFrame, x: Column, y: Column,
+      outRe: String, outIm: String): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ Seq(nk("wofzRe", x, y).as(outRe),
+        nk("wofzIm", x, y).as(outIm)): _*)
+    } else wofzStaged(df, x, y, outRe, outIm)
+
+  /** [[voigtProfileStaged]] via the native kernel when available. */
+  def voigtProfileStagedFast(df: DataFrame, x: Column, sigma: Column,
+      gamma: Column, out: String): DataFrame =
+    if (hasNative(df.sparkSession))
+      df.withColumn(out, nk("voigtProfile", x, sigma, gamma))
+    else voigtProfileStaged(df, x, sigma, gamma, out)
+
+  /** [[modfresnelStaged]] via the native kernels when available. */
+  def modfresnelStagedFast(df: DataFrame, x: Column): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ Seq(
+        nk("modfresnelKre", x).as("mf_kre"), nk("modfresnelKim", x).as("mf_kim"),
+        nk("modfresnelFre", x).as("mf_fre"), nk("modfresnelFim", x).as("mf_fim")): _*)
+    } else modfresnelStaged(df, x)
+
+  /** [[betaincInvNewton]] via the native kernel when available. */
+  def betaincInvNewtonFast(df: DataFrame,
+      specs: Seq[(String, Column, Column, Column)]): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ specs.map { case (s, a, b, p) =>
+        nk("betaincinv", a, b, p).as(s"binv_$s")
+      }: _*)
+    } else betaincInvNewton(df, specs)
+
+  /** [[gammaincInvNewton]] via the native kernel when available. */
+  def gammaincInvNewtonFast(df: DataFrame,
+      specs: Seq[(String, Column, Column, Boolean)]): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ specs.map { case (s, a, p, upper) =>
+        nk("gammaincinv", a, p, lit(if (upper) 1.0 else 0.0)).as(s"ginv_$s")
+      }: _*)
+    } else gammaincInvNewton(df, specs)
+
+  /** [[carlsonFD]] via the native kernels when available. */
+  def carlsonFDFast(df: DataFrame,
+      specs: Seq[(String, Column, Column, Column, Boolean)]): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ specs.flatMap { case (s, x, y, z, wantD) =>
+        val rf = nk("carlsonRf", x, y, z).as(s"rf_$s")
+        if (wantD) Seq(rf, nk("carlsonRd", x, y, z).as(s"rd_$s")) else Seq(rf)
+      }: _*)
+    } else carlsonFD(df, specs)
+
+  /** [[carlsonRJ]] via the native kernel when available. */
+  def carlsonRJFast(df: DataFrame,
+      specs: Seq[(String, Column, Column, Column, Column)]): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ specs.map { case (s, x, y, z, p) =>
+        nk("carlsonRj", x, y, z, p).as(s"rj_$s")
+      }: _*)
+    } else carlsonRJ(df, specs)
+
+  /** [[ellipRc]] via the native kernel when available. */
+  def ellipRcFast(spark: SparkSession, x: Column, y: Column): Column =
+    if (hasNative(spark)) nk("ellipRc", x, y) else ellipRc(x, y)
+
+  /** [[ellipInc]] via the native kernels when available. */
+  def ellipIncFast(df: DataFrame,
+      specs: Seq[(String, Column, Column, Boolean)]): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      val keep = df.columns.toSeq.map(col)
+      df.select(keep ++ specs.flatMap { case (s, phi, m, wantE) =>
+        val kinc = nk("ellipKinc", phi, m).as(s"kinc_$s")
+        if (wantE) Seq(kinc, nk("ellipEinc", phi, m).as(s"einc_$s"))
+        else Seq(kinc)
+      }: _*)
+    } else ellipInc(df, specs)
+
+  /** [[besselYvLargeStaged]] via the native kernel when available. */
+  def besselYvLargeStagedFast(df: DataFrame, k: Int, f: Column, x: Column,
+      out: String): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      require(k >= 0 && k <= 24, s"besselYvLargeStaged supports k ≤ 24: $k")
+      df.withColumn(out, nk("besselYvLarge", lit(k.toDouble), f, x))
+    } else besselYvLargeStaged(df, k, f, x, out)
+
+  /** [[besselKveLargeStaged]] via the native kernel when available. */
+  def besselKveLargeStagedFast(df: DataFrame, k: Int, f: Column, x: Column,
+      out: String): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      require(k >= 0 && k <= 24, s"besselKveLargeStaged supports k ≤ 24: $k")
+      df.withColumn(out, nk("besselKveLarge", lit(k.toDouble), f, x))
+    } else besselKveLargeStaged(df, k, f, x, out)
+
+  /** [[besselJvLargeStaged]] via the native kernel when available. */
+  def besselJvLargeStagedFast(df: DataFrame, k: Int, f: Column, x: Column,
+      out: String): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      require(k >= 1 && k <= 24, s"bessel Miller staged supports 1 ≤ k ≤ 24: $k")
+      df.withColumn(out, nk("besselJvLarge", lit(k.toDouble), f, x))
+    } else besselJvLargeStaged(df, k, f, x, out)
+
+  /** [[besselIveLargeStaged]] via the native kernel when available. */
+  def besselIveLargeStagedFast(df: DataFrame, k: Int, f: Column, x: Column,
+      out: String): DataFrame =
+    if (hasNative(df.sparkSession)) {
+      require(k >= 1 && k <= 24, s"bessel Miller staged supports 1 ≤ k ≤ 24: $k")
+      df.withColumn(out, nk("besselIveLarge", lit(k.toDouble), f, x))
+    } else besselIveLargeStaged(df, k, f, x, out)
+
+  /** Branched-Bessel Fast forms ([[besselJvExt]] family). */
+  def besselJvExtFast(spark: SparkSession, v: Column, x: Column): Column =
+    if (hasNative(spark)) nk("besselJvExt", v, x) else besselJvExt(v, x)
+  def besselYvExtFast(spark: SparkSession, v: Column, x: Column): Column =
+    if (hasNative(spark)) nk("besselYvExt", v, x) else besselYvExt(v, x)
+  def besselIveExtFast(spark: SparkSession, v: Column, x: Column): Column =
+    if (hasNative(spark)) nk("besselIveExt", v, x) else besselIveExt(v, x)
+  def besselKveExtFast(spark: SparkSession, v: Column, x: Column): Column =
+    if (hasNative(spark)) nk("besselKveExt", v, x) else besselKveExt(v, x)
+
+  /** Hypergeometric Fast forms ([[hyp2f1Ext]] family / [[hyp1f1Ext]]). */
+  def hyp2f1ExtFast(spark: SparkSession, a: Column, b: Column, c: Column,
+      z: Column): Column =
+    if (hasNative(spark)) nk("hyp2f1Ext", a, b, c, z) else hyp2f1Ext(a, b, c, z)
+  def hyp2f1FarFast(spark: SparkSession, a: Column, b: Column, c: Column,
+      z: Column): Column =
+    if (hasNative(spark)) nk("hyp2f1Far", a, b, c, z) else hyp2f1Far(a, b, c, z)
+  def hyp2f1Near1Fast(spark: SparkSession, a: Column, b: Column, c: Column,
+      z: Column): Column =
+    if (hasNative(spark)) nk("hyp2f1Near1", a, b, c, z)
+    else hyp2f1Near1(a, b, c, z)
+  def hyp1f1ExtFast(spark: SparkSession, a: Column, b: Column,
+      x: Column): Column =
+    if (hasNative(spark)) nk("hyp1f1Ext", a, b, x) else hyp1f1Ext(a, b, x)
+
+  /** Forward incomplete gamma/beta + KS Fast forms (the p-value
+    * compositions in the learn gates ride these). */
+  def betaincRegFast(spark: SparkSession, a: Column, b: Column,
+      x: Column): Column =
+    if (hasNative(spark)) nk("betaincReg", a, b, x) else betaincReg(a, b, x)
+  def gammaincPFast(spark: SparkSession, a: Column, x: Column): Column =
+    if (hasNative(spark)) nk("gammaincP", a, x) else gammaincP(a, x)
+  def gammaincQFast(spark: SparkSession, a: Column, x: Column): Column =
+    if (hasNative(spark)) nk("gammaincQ", a, x) else gammaincQ(a, x)
+  def kolmogorovSfFixedFast(spark: SparkSession, lambda: Column): Column =
+    if (hasNative(spark)) nk("kolmogorovSf", lambda) else kolmogorovSfFixed(lambda)
 }

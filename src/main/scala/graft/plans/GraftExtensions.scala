@@ -151,6 +151,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RetokCountExpr(children(0))
       }))
 
+    // r18 optimization round: native special-function kernels — ONE
+    // expression node replaying a staged Column kernel bit-exactly
+    // (SpecialMath transcription contract). First argument is the
+    // foldable kernel name; the rest are the kernel's double inputs.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_special"),
+      new ExpressionInfo(classOf[SpecialKernelExpr].getName, "graft_special"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty, "graft_special('<kernel>', args…)")
+        val kernel = children.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"graft_special kernel name must be a string literal: $other")
+        }
+        SpecialKernelExpr(kernel, children.tail)
+      }))
+
     ext.injectFunction((
       new FunctionIdentifier("graft_punct_count"),
       new ExpressionInfo(classOf[PunctCountExpr].getName, "graft_punct_count"),

@@ -97,7 +97,7 @@ object LearnQStats {
         .withColumn("bx", $"fd2" / ($"fd2" + $"fd1" * $"statistic"))
         .select($"k", $"n_total",
           (round($"statistic", 6) + lit(0.0)).as("f_stat"),
-          (round(Special.betaincReg($"fd2" / 2.0, $"fd1" / 2.0, $"bx"), 6)
+          (round(Special.betaincRegFast(spark, $"fd2" / 2.0, $"fd1" / 2.0, $"bx"), 6)
             + lit(0.0)).as("p_value"))
         .orderBy($"k")
     },
@@ -135,7 +135,7 @@ object LearnQStats {
         ($"d_num".cast("double") / ($"n1".cast("double") * $"n2".cast("double")))
       StatTests.ks2Samp(a, "q", r, "q")
         .select($"n1", $"n2", $"d_num",
-          (round(Special.kolmogorovSfFixed(lam), 6) + lit(0.0)).as("p_value"))
+          (round(Special.kolmogorovSfFixedFast(spark, lam), 6) + lit(0.0)).as("p_value"))
         .orderBy($"n1")
     },
 
@@ -221,7 +221,7 @@ object LearnQStats {
           "x", "y")
         .select($"n", $"w2plus",
           (round($"zstat", 6) + lit(0.0)).as("z"),
-          (round(Special.gammaincQ(lit(0.5), $"zstat" * $"zstat" / 2.0), 6)
+          (round(Special.gammaincQFast(spark, lit(0.5), $"zstat" * $"zstat" / 2.0), 6)
             + lit(0.0)).as("p_value"))
         .orderBy($"n")
     },
@@ -348,7 +348,7 @@ object LearnQStats {
       StatTests.kruskal(t(spark, dir, "lineitem"), "l_quantity", "l_returnflag")
         .select($"k", $"n_total",
           (round($"statistic", 6) + lit(0.0)).as("h_stat"),
-          (round(Special.gammaincQ(($"k".cast("double") - 1.0) / 2.0,
+          (round(Special.gammaincQFast(spark, ($"k".cast("double") - 1.0) / 2.0,
             $"statistic" / 2.0), 6) + lit(0.0)).as("p_value"))
         .orderBy($"k")
     },
@@ -436,7 +436,7 @@ object LearnQStats {
         .withColumn("bx", $"nu" / ($"nu" + $"t_stat" * $"t_stat"))
         .select($"l_returnflag", $"n".cast("long").as("n"), $"s1", $"s2",
           (round($"t_stat", 6) + lit(0.0)).as("t_stat"),
-          (round(Special.betaincReg($"nu" / 2.0, lit(0.5), $"bx"), 6) + lit(0.0))
+          (round(Special.betaincRegFast(spark, $"nu" / 2.0, lit(0.5), $"bx"), 6) + lit(0.0))
             .as("p_two"))
         .orderBy($"l_returnflag")
     },
@@ -645,7 +645,7 @@ object LearnQStats {
         .withColumn("bx", $"dof" / ($"dof" + $"statistic" * $"statistic"))
         .select($"n1", $"n2", $"dof".cast("long").as("dof"),
           (round($"statistic", 6) + lit(0.0)).as("t_stat"),
-          (round(Special.betaincReg($"dof" / 2.0, lit(0.5), $"bx"), 6)
+          (round(Special.betaincRegFast(spark, $"dof" / 2.0, lit(0.5), $"bx"), 6)
             + lit(0.0)).as("p_two"))
         .orderBy($"n1")
     },
@@ -726,7 +726,7 @@ object LearnQStats {
         .select($"n1", $"n2",
           (round($"dof", 6) + lit(0.0)).as("dof"),
           (round($"statistic", 6) + lit(0.0)).as("t_stat"),
-          (round(Special.betaincReg($"dof" / 2.0, lit(0.5), $"bx"), 6)
+          (round(Special.betaincRegFast(spark, $"dof" / 2.0, lit(0.5), $"bx"), 6)
             + lit(0.0)).as("p_two"))
         .orderBy($"n1")
     },
@@ -789,7 +789,7 @@ object LearnQStats {
       StatTests.chisquare(counts, "obs")
         .select($"k".cast("long").as("k"),
           (round($"statistic", 6) + lit(0.0)).as("stat"),
-          (round(Special.gammaincQ($"dof" / 2.0, $"statistic" / 2.0), 6)
+          (round(Special.gammaincQFast(spark, $"dof" / 2.0, $"statistic" / 2.0), 6)
             + lit(0.0)).as("p_value"))
         .orderBy($"k")
     },
@@ -847,7 +847,7 @@ object LearnQStats {
       StatTests.powerDivergence(counts, "obs", lambda = 0.0)
         .select($"k".cast("long").as("k"),
           (round($"statistic", 6) + lit(0.0)).as("stat"),
-          (round(Special.gammaincQ($"dof" / 2.0, $"statistic" / 2.0), 6)
+          (round(Special.gammaincQFast(spark, $"dof" / 2.0, $"statistic" / 2.0), 6)
             + lit(0.0)).as("p_value"))
         .orderBy($"k")
     },
@@ -923,7 +923,7 @@ object LearnQStats {
       val q = t(spark, dir, "lineitem").select($"l_quantity".cast("double").as("q"))
       StatTests.ks1Samp(q, "q", c => c / lit(51.0).cast("double"))
         .select($"n", (round($"statistic", 6) + lit(0.0)).as("stat"),
-          (round(Special.kolmogorovSfFixed(
+          (round(Special.kolmogorovSfFixedFast(spark, 
             sqrt($"n".cast("double")) * $"statistic"), 6) + lit(0.0))
             .as("p_value"))
         .orderBy($"n")
@@ -969,7 +969,7 @@ object LearnQStats {
           "x", "y")
         .select($"n_pairs", $"concordant", $"discordant",
           (round($"zstat", 6) + lit(0.0)).as("z"),
-          (round(Special.gammaincQ(lit(0.5), $"zstat" * $"zstat" / 2.0), 6)
+          (round(Special.gammaincQFast(spark, lit(0.5), $"zstat" * $"zstat" / 2.0), 6)
             + lit(0.0)).as("p_value"))
         .orderBy($"n_pairs")
     },
@@ -1048,7 +1048,7 @@ object LearnQStats {
         .withColumn("bx", $"nu" / ($"nu" + $"t_stat" * $"t_stat"))
         .select($"n".cast("long").as("n"),
           (round($"statistic", 6) + lit(0.0)).as("rho"),
-          (round(Special.betaincReg($"nu" / 2.0, lit(0.5), $"bx"), 6)
+          (round(Special.betaincRegFast(spark, $"nu" / 2.0, lit(0.5), $"bx"), 6)
             + lit(0.0)).as("p_two"))
         .orderBy($"n")
     },

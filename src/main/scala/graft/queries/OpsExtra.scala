@@ -2115,9 +2115,9 @@ object OpsExtra {
           ($"l_quantity".cast("double") / 3.0).as("gx"),
           ($"l_quantity".cast("double") / 16.0).as("lam"))
         .select($"l_orderkey", $"l_linenumber", $"q",
-          r6(Special.gammaincP($"ga", $"gx")).as("g_p"),
-          r6(Special.gammaincQ($"ga", $"gx")).as("g_q"),
-          r6(Special.kolmogorovSfFixed($"lam")).as("ks_sf"))
+          r6(Special.gammaincPFast(spark, $"ga", $"gx")).as("g_p"),
+          r6(Special.gammaincQFast(spark, $"ga", $"gx")).as("g_q"),
+          r6(Special.kolmogorovSfFixedFast(spark, $"lam")).as("ks_sf"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
@@ -2153,8 +2153,8 @@ object OpsExtra {
           ((lit(51.0) - $"l_quantity".cast("double")) / 8.0 + 0.5).as("bb"),
           ($"l_quantity".cast("double") / 64.0).as("bx"))
         .select($"l_orderkey", $"l_linenumber", $"q",
-          r6(Special.betaincReg($"ba", $"bb", $"bx")).as("bi"),
-          r6(Special.betaincReg($"bb", $"ba", $"bx")).as("bi_swap"))
+          r6(Special.betaincRegFast(spark, $"ba", $"bb", $"bx")).as("bi"),
+          r6(Special.betaincRegFast(spark, $"bb", $"ba", $"bx")).as("bi_swap"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 

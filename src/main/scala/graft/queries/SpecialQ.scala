@@ -159,12 +159,12 @@ object SpecialQ {
           ($"l_quantity".cast("double") / 10.0 + 0.5).as("p1"),
           ($"l_quantity".cast("double") / 8.0 + 0.2).as("rcx"),
           ($"l_quantity".cast("double") / 5.0 + 0.1).as("rcy"))
-      val fd = Special.carlsonFD(base, Seq(("a", $"x1", $"y1", $"z1", true)))
-      val rj = Special.carlsonRJ(fd, Seq(("a", $"x1", $"y1", $"z1", $"p1")))
+      val fd = Special.carlsonFDFast(base, Seq(("a", $"x1", $"y1", $"z1", true)))
+      val rj = Special.carlsonRJFast(fd, Seq(("a", $"x1", $"y1", $"z1", $"p1")))
       rj.select($"l_orderkey", $"l_linenumber", $"q",
         $"rf_a", $"rd_a",
         round($"rj_a", 6).as("rj"),
-        round(Special.ellipRc($"rcx", $"rcy"), 6).as("rc"))
+        round(Special.ellipRcFast(spark, $"rcx", $"rcy"), 6).as("rc"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
@@ -202,7 +202,7 @@ object SpecialQ {
           ($"l_quantity".cast("double") * 0.03).as("phi"),
           ($"l_quantity".cast("double") / 64.0).as("m"),
           (lit(1.0) - $"l_quantity".cast("double") / 64.0).as("km1m"))
-      val inc = Special.ellipInc(base, Seq(("a", $"phi", $"m", true)))
+      val inc = Special.ellipIncFast(base, Seq(("a", $"phi", $"m", true)))
       val (kKm1, _) = Special.ellipKE($"km1m")
       inc.select($"l_orderkey", $"l_linenumber", $"q",
         round($"kinc_a", 6).as("kinc"),
@@ -241,7 +241,7 @@ object SpecialQ {
           $"l_quantity".cast("double").as("q"),
           ($"l_quantity".cast("double") / 16.0 + 0.5).as("ga"),
           (($"l_linenumber" * 13 % 83 + 8).cast("double") / 99.0).as("pp"))
-      val inv = Special.gammaincInvNewton(base,
+      val inv = Special.gammaincInvNewtonFast(base,
         Seq(("p", $"ga", $"pp", false), ("u", $"ga", $"pp", true)))
       inv.select($"l_orderkey", $"l_linenumber", $"q",
         round($"ginv_p", 6).as("g_inv"),
@@ -280,7 +280,7 @@ object SpecialQ {
           ($"l_quantity".cast("double") / 16.0 + 1.0).as("ba"),
           ((lit(51.0) - $"l_quantity".cast("double")) / 16.0 + 1.0).as("bb"),
           (($"l_linenumber" * 13 % 83 + 8).cast("double") / 99.0).as("pp"))
-      val inv = Special.betaincInvNewton(base,
+      val inv = Special.betaincInvNewtonFast(base,
         Seq(("d", $"ba", $"bb", $"pp"),
           ("s", $"bb", $"ba", lit(1.0) - $"pp")))
       inv.select($"l_orderkey", $"l_linenumber", $"q",
@@ -315,6 +315,10 @@ object SpecialQ {
       import spark.implicits._
       import graft.functions.Special
       def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+      // r18 optimization round: the *Fast dispatchers route through ONE
+      // native graft_special node per output (bit-identical, SpecialMathSpec
+      // pin); the staged-Column fallback below them remains for
+      // non-extension sessions.
       // r17 optimization round: the three Faddeeva picks through the
       // frame-staged form (each region tree materialized ONCE behind a
       // projection boundary) — the inline form carried ten full region
@@ -326,9 +330,9 @@ object SpecialQ {
           (($"l_quantity".cast("double") - 25.0) / 2.0).as("wx"),
           ($"l_linenumber".cast("double") * 2.5).as("wy1"),
           ($"l_linenumber".cast("double") / 8.0).as("wy2"))
-      val hi = Special.wofzStaged(base, $"wx", $"wy1", "__hre", "__him")
-      val lo = Special.wofzStaged(hi, $"wx", $"wy2", "__lre", "__lim")
-      val vp = Special.voigtProfileStaged(lo, $"wx", lit(1.5), lit(0.5), "__vp")
+      val hi = Special.wofzStagedFast(base, $"wx", $"wy1", "__hre", "__him")
+      val lo = Special.wofzStagedFast(hi, $"wx", $"wy2", "__lre", "__lim")
+      val vp = Special.voigtProfileStagedFast(lo, $"wx", lit(1.5), lit(0.5), "__vp")
       vp.select($"l_orderkey", $"l_linenumber", $"q",
           r6($"__hre").as("w_re_hi"),
           r6($"__him").as("w_im_hi"),
@@ -371,7 +375,7 @@ object SpecialQ {
         .select($"l_orderkey", $"l_linenumber",
           $"l_quantity".cast("double").as("q"),
           (($"l_quantity".cast("double") - 25.0) / 4.0).as("mx"))
-      Special.modfresnelStaged(base, $"mx")
+      Special.modfresnelStagedFast(base, $"mx")
         .select($"l_orderkey", $"l_linenumber", $"q",
           r6($"mf_fre").as("fp_re"), r6($"mf_fim").as("fp_im"),
           r6($"mf_kre").as("kp_re"), r6($"mf_kim").as("kp_im"),
@@ -431,10 +435,10 @@ object SpecialQ {
           $"l_quantity".cast("double").as("q"),
           ($"l_quantity".cast("double") / 1.4 + 0.5).as("bx"),
           ((($"l_linenumber" % 7).cast("double") + 1.0) / 8.0).as("bf"))
-      val withY = Special.besselYvLargeStaged(base, 18, $"bf", $"bx", "blv_y")
-      val withK = Special.besselKveLargeStaged(withY, 18, $"bf", $"bx", "blv_k")
-      val withY2 = Special.besselYvLargeStaged(withK, 2, $"bf", $"bx", "blv_y2")
-      val withK2 = Special.besselKveLargeStaged(withY2, 2, $"bf", $"bx", "blv_k2")
+      val withY = Special.besselYvLargeStagedFast(base, 18, $"bf", $"bx", "blv_y")
+      val withK = Special.besselKveLargeStagedFast(withY, 18, $"bf", $"bx", "blv_k")
+      val withY2 = Special.besselYvLargeStagedFast(withK, 2, $"bf", $"bx", "blv_y2")
+      val withK2 = Special.besselKveLargeStagedFast(withY2, 2, $"bf", $"bx", "blv_k2")
       withK2.select($"l_orderkey", $"l_linenumber", $"q",
           masked($"blv_y").as("yv_large"), masked($"blv_k").as("kve_large"),
           r6($"blv_y2").as("yv_small"), r6($"blv_k2").as("kve_small"))
@@ -473,8 +477,8 @@ object SpecialQ {
           $"l_quantity".cast("double").as("q"),
           ($"l_quantity".cast("double") / 1.4 + 4.5).as("bx"),
           ((($"l_linenumber" % 7).cast("double") + 1.0) / 8.0).as("bf"))
-      val withJ = Special.besselJvLargeStaged(base, 8, $"bf", $"bx", "blv_j")
-      val withI = Special.besselIveLargeStaged(withJ, 8, $"bf", $"bx", "blv_i")
+      val withJ = Special.besselJvLargeStagedFast(base, 8, $"bf", $"bx", "blv_j")
+      val withI = Special.besselIveLargeStagedFast(withJ, 8, $"bf", $"bx", "blv_i")
       withI.select($"l_orderkey", $"l_linenumber", $"q",
           r6($"blv_j").as("jv_large"), r6($"blv_i").as("ive_large"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
@@ -866,10 +870,10 @@ object SpecialQ {
           (lit(0.2) + lit(0.3) * ($"l_linenumber" % 3).cast("double")).as("vf"),
           ($"l_quantity".cast("double") * 0.4 + 0.3).as("xs"))
         .select($"l_orderkey", $"l_linenumber", $"q",
-          r6(Special.besselJvExt($"va", $"xs")).as("jv"),
-          r6(Special.besselYvExt($"vf", $"xs")).as("yv"),
-          r6(Special.besselIveExt($"va", $"xs")).as("ive"),
-          r6(Special.besselKveExt($"vf", $"xs")).as("kve"))
+          r6(Special.besselJvExtFast(spark, $"va", $"xs")).as("jv"),
+          r6(Special.besselYvExtFast(spark, $"vf", $"xs")).as("yv"),
+          r6(Special.besselIveExtFast(spark, $"va", $"xs")).as("ive"),
+          r6(Special.besselKveExtFast(spark, $"vf", $"xs")).as("kve"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
 
@@ -907,7 +911,7 @@ object SpecialQ {
           ($"l_quantity".cast("double") / 20.0 + 1.5).as("hc"),
           (-($"l_quantity".cast("double") / 25.0)).as("hz"))
         .select($"l_orderkey", $"l_linenumber", $"q",
-          (round(Special.hyp2f1Ext($"ha", $"hb", $"hc", $"hz"), 6)
+          (round(Special.hyp2f1ExtFast(spark, $"ha", $"hb", $"hc", $"hz"), 6)
             + lit(0.0)).as("f_neg"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
@@ -951,7 +955,7 @@ object SpecialQ {
             + lit(0.95) + $"l_quantity".cast("double") / 40.0).as("hc"),
           (-($"l_quantity".cast("double") / 2.0 + 2.5)).as("hz"))
         .select($"l_orderkey", $"l_linenumber", $"q",
-          (round(Special.hyp2f1Far($"ha", $"hb", $"hc", $"hz"), 6)
+          (round(Special.hyp2f1FarFast(spark, $"ha", $"hb", $"hc", $"hz"), 6)
             + lit(0.0)).as("f_far"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
@@ -992,8 +996,8 @@ object SpecialQ {
           (($"l_quantity".cast("double") - 25.5) * 2.4).as("kx"))
         .select($"l_orderkey", $"l_linenumber", $"q",
           (round(when($"kx" > 5.0,
-              Special.hyp1f1Ext($"ka", $"kb", $"kx") * exp(-$"kx"))
-            .otherwise(Special.hyp1f1Ext($"ka", $"kb", $"kx")), 6)
+              Special.hyp1f1ExtFast(spark, $"ka", $"kb", $"kx") * exp(-$"kx"))
+            .otherwise(Special.hyp1f1ExtFast(spark, $"ka", $"kb", $"kx")), 6)
             + lit(0.0)).as("m_ext"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
@@ -1028,7 +1032,7 @@ object SpecialQ {
           ($"l_quantity".cast("double") / 60.0 + 0.2).as("pb"),
           (lit(0.7) + $"l_quantity".cast("double") / 180.0).as("pz"))
         .select($"l_orderkey", $"l_linenumber", $"q",
-          (round(Special.hyp2f1Near1($"pa", $"pb",
+          (round(Special.hyp2f1Near1Fast(spark, $"pa", $"pb",
             $"pa" + $"pb" + lit(0.4), $"pz"), 6) + lit(0.0)).as("f_near1"))
         .orderBy($"l_orderkey", $"l_linenumber", $"q")
     },
