@@ -1828,10 +1828,16 @@ object Special {
     * million-node Project). Arithmetic is op-for-op [[wofz]] —
     * wofzRegionsTU is the same body over column refs — so results are
     * bit-identical (SpecialSpec pins staged ≡ unstaged on the sweep).
-    * CollapseProject keeps the stages: every intermediate is non-cheap
-    * and multiply-referenced. */
+    * CollapseProject preserves the t/u stages (non-cheap AND
+    * multiply-referenced); the w1..w4 aliases are each consumed once per
+    * output pick, so that Project collapses, leaving one linear-size
+    * region tree per output — still ~10× smaller than the unstaged form
+    * (ADVICE r17). Since r18 the gate routes through [[wofzStagedFast]]
+    * (one native node, no tree at all); this form is the fallback. */
   def wofzStaged(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
       outRe: String, outIm: String): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains(outRe) && !df.columns.contains(outIm),
+      s"wofzStaged output column collision: $outRe/$outIm already present")
     val p = s"__wz${wofzStageCounter.incrementAndGet()}_"
     val keep = df.columns.toSeq.map(col)
     val s0 = df.select(keep ++ Seq(x.as(p + "x"), y.as(p + "y")): _*)
@@ -3495,6 +3501,8 @@ object Special {
   def wofzStagedFast(df: DataFrame, x: Column, y: Column,
       outRe: String, outIm: String): DataFrame =
     if (hasNative(df.sparkSession)) {
+      require(!df.columns.contains(outRe) && !df.columns.contains(outIm),
+        s"wofzStaged output column collision: $outRe/$outIm already present")
       val keep = df.columns.toSeq.map(col)
       df.select(keep ++ Seq(nk("wofzRe", x, y).as(outRe),
         nk("wofzIm", x, y).as(outIm)): _*)

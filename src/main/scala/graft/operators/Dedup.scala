@@ -70,7 +70,7 @@ object Dedup {
 
   /** Compressed on-disk bytes behind `df`'s file scans, from scan METADATA
     * (no data pass); -1 when unknowable (non-file sources). */
-  private[operators] def inputBytes(df: DataFrame): Long =
+  private[graft] def inputBytes(df: DataFrame): Long =
     try {
       val files = df.inputFiles
       if (files.isEmpty) -1L
@@ -312,7 +312,8 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000),
+      maxPairsPerShingle: Long = 1L << 22): DataFrame = {
     val shRaw = fanOutScan(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.hashedShingles(col(textCol), n)).as("sh"))
@@ -383,8 +384,24 @@ object Dedup {
     // query's dominant stage at ~0.75 s (sf0.1, r9 stage profile); this
     // shape emits 2× the rows (df² filtered to C(df,2)) but cut that
     // stage ~4× — see PERF.md r9.
+    // r18 (VERDICT r17 item 5): a LOUD worst-case valve on the per-shingle
+    // pair fan-out — under the default df-cap C(1000,2) ≈ 5·10⁵ pairs per
+    // shingle is bounded, but a caller-raised cap or the uncapped
+    // exact-baseline path (maxShingleDf = None) could hit a stop-phrase
+    // shingle whose C(df,2) explosion stalls the stage quadratically and
+    // silently. Exceeding the budget now fails fast with the offending df
+    // instead; within budget the predicate is constant-true, so the result
+    // (and the fixture oracle) is unchanged.
     val common = byShingle
       .filter(size(col("ids")) > 1)
+      .filter(
+        when(size(col("ids")).cast("long") * (size(col("ids")) - 1).cast("long")
+            > lit(2L) * maxPairsPerShingle,
+          raise_error(concat(
+            lit("ngramJaccardPairs: shingle with df="),
+            size(col("ids")).cast("string"),
+            lit(s" exceeds maxPairsPerShingle=$maxPairsPerShingle"))).cast("boolean"))
+          .otherwise(lit(true)))
       .withColumn("ids", sort_array(col("ids")))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))

@@ -215,7 +215,16 @@ object Similarity {
     // partitioning, and seed are unchanged, so every model is
     // bit-identical to the sequential form. 3-4 in flight is the guide's
     // sweet spot — enough overlap, no executor thrash.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+    // r18 (ADVICE r17): daemon threads + a bounded await + shutdownNow so
+    // a wedged or failed subspace fit can neither hang the caller forever
+    // nor leak running jobs on non-daemon threads after a sibling failure.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 4),
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-pq-fit")
+        th.setDaemon(true)
+        th
+      })
     val models =
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
@@ -228,7 +237,11 @@ object Similarity {
         }
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futures),
-          scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.duration.Duration(30, "min"))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          pool.shutdownNow()
+          throw e
       } finally pool.shutdown()
     val codebooks = models.map(_.clusterCenters.toSeq.map(
       _.toArray.map(_.toFloat).toSeq))

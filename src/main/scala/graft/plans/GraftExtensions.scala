@@ -134,9 +134,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children(0), numHashes, seed)
       }))
 
+    // CONTRACT (ADVICE r17): the input must ALREADY be lowercased —
+    // callers go through TextFunctions.normalizeFast, which wraps the
+    // argument in lower(); a direct SQL caller passing raw text gets
+    // uppercase letters DELETED (bytes outside [a-z0-9 ]), not lowered.
     ext.injectFunction((
       new FunctionIdentifier("graft_text_normalize"),
-      new ExpressionInfo(classOf[TextNormalizeExpr].getName, "graft_text_normalize"),
+      new ExpressionInfo(classOf[TextNormalizeExpr].getName, null,
+        "graft_text_normalize",
+        "_FUNC_(loweredText) - single-pass [a-z0-9 ] strip + space-collapse" +
+          " + trim twin of the two-regexp normalize() chain. CONTRACT: the" +
+          " input must already be lowercased (call lower() first, as" +
+          " normalizeFast does); raw uppercase bytes are deleted, not" +
+          " lowered.", ""),
       (children: Seq[Expression]) => {
         require(children.length == 1,
           "graft_text_normalize(loweredText) takes one arg")

@@ -24,6 +24,44 @@ object Tpch {
 
   private val dp = sqlDiscPrice()
 
+  /** r18 optimization round (guide §3.2, VERDICT r17 items 3/4): explicit
+    * Bloom prefilter of a fact-table scan against a derived key set that
+    * is too big (or too estimate-opaque) for the automatic runtime bloom
+    * to fire. SCALE-GATED on the fact scan's on-disk bytes: below
+    * `bloomMinScanBytes` (default 256 MB — sf0.1 lineitem is ~25 MB, the
+    * staged x100 corpus ~250+ MB) the extra keys-side aggregation pass
+    * costs more than the pruned shuffle saves, so the plan is unchanged
+    * and the driver's sf0.1 bench stays comparable; at scale the filter
+    * drops non-matching fact rows BEFORE the join exchange/sort. The
+    * keys frame is persisted only across the fit's two jobs (count +
+    * bloomFilter aggregate) and unpersisted before the query plan is
+    * returned — no cross-run or cross-rep result caching. Exact result:
+    * a Bloom filter has no false negatives and the downstream join
+    * removes false positives. Falls back to the unfiltered scan when
+    * the `graft_might_contain` extension is absent (driver smoke
+    * sessions) or the scan size is unknowable. */
+  private val bloomMinScanBytes =
+    sys.env.getOrElse("GRAFT_BLOOM_MIN_SCAN_BYTES", (256L << 20).toString).toLong
+
+  private def bloomPrefilter(fact: org.apache.spark.sql.DataFrame,
+      factKey: org.apache.spark.sql.Column,
+      keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = fact.sparkSession
+    val bytes = graft.operators.Dedup.inputBytes(fact)
+    if (!spark.catalog.functionExists("graft_might_contain") ||
+        bytes < bloomMinScanBytes) return fact
+    val ks = keys.persist()
+    try {
+      val n = math.max(ks.count(), 1L)
+      val bf = ks.stat.bloomFilter(keyCol, n, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      fact.filter(call_function("graft_might_contain",
+        lit(bos.toByteArray), factKey))
+    } finally ks.unpersist(blocking = false)
+  }
+
   val all: Vector[Q] = Vector(
     // ---------------------------------------------------------------- q01
     Q("q01",
@@ -526,10 +564,18 @@ object Tpch {
         .agg(sum($"l_quantity").as("tot_qty"))
         .filter($"tot_qty" > 150)
         .select($"b_orderkey")
+      // r18 (guide §3.2, VERDICT r17 item 3): at scale the automatic
+      // runtime bloom never fires here (the creation side is the
+      // bigOrders aggregate, above the creation-threshold estimate), so
+      // the FULL lineitem shuffled into the final orderkey join. The
+      // explicit scale-gated prefilter drops non-bigOrders rows at the
+      // scan; the inner join below removes Bloom false positives, so the
+      // result is unchanged (oracle-checked at 3 SFs + x100).
+      val liPruned = bloomPrefilter(li, $"l_orderkey", bigOrders, "b_orderkey")
       t(spark, dir, "orders")
         .join(bigOrders, $"o_orderkey" === $"b_orderkey", "left_semi")
         .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
-        .join(li, $"o_orderkey" === $"l_orderkey")
+        .join(liPruned, $"o_orderkey" === $"l_orderkey")
         .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
         .agg(sum($"l_quantity").cast("double").as("sum_qty"))
         .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
@@ -629,9 +675,18 @@ object Tpch {
         .filter($"min_supp" =!= $"max_supp" && $"min_supp_a" === $"max_supp_a")
         .select($"os_orderkey")
       val nat = t(spark, dir, "nation").filter($"n_name" === "NATION_5")
-      l1.join(t(spark, dir, "orders").filter($"o_orderstatus" === "F"),
-          $"l_orderkey" === $"o_orderkey")
+      // r18 (guide §3.2, VERDICT r17 item 4): the x1000 sort spill
+      // (44.6 GB mem / 8.4 GB disk) was the l1⋈orders SMJ sorting the
+      // FULL 'A'-flag stream. Scale-gated Bloom prefilter on the
+      // qualifying-order keys prunes l1 BEFORE its orderkey
+      // exchange/sort; the semi join right after removes false
+      // positives (exact, order-commutative), and runs BEFORE the
+      // orders join so the pruned stream feeds every downstream sort.
+      val l1Pruned = bloomPrefilter(l1, $"l_orderkey", ordStats, "os_orderkey")
+      l1Pruned
         .join(ordStats, $"os_orderkey" === $"l_orderkey", "left_semi")
+        .join(t(spark, dir, "orders").filter($"o_orderstatus" === "F"),
+          $"l_orderkey" === $"o_orderkey")
         .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"s_name")

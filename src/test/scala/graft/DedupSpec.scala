@@ -54,6 +54,27 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.toSeq == Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
   }
 
+  test("pair-fan-out valve fails loudly on a hot shingle, silent within budget") {
+    // r18: a shingle shared by many docs but UNDER the df-cap (or with the
+    // cap disabled) explodes C(df,2) pairs; the valve must raise with the
+    // offending df instead of stalling quadratically — and stay inert on
+    // the same data when the budget covers it.
+    val docs = (1L to 10L).map(i => (i, "hot shingle here"))
+      .toDF("doc_id", "text")
+    val boom = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = 0.1, maxShingleDf = None, maxPairsPerShingle = 10L)
+        .collect()
+    }
+    val msgs = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxPairsPerShingle"), s"unexpected failure: $msgs")
+    val ok = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.1, maxShingleDf = None).collect()
+    assert(ok.length == 45) // C(10,2) identical docs, all jaccard 1.0
+  }
+
   test("df-capped jaccard measures sizes over the same capped universe") {
     // "c c1 c2" appears in all three docs -> df 3 > cap 2 -> dropped
     // everywhere. Remaining shingles of 1: {a a1 a2}, of 2: {b b1 b2}, of
