@@ -24,43 +24,12 @@ object Tpch {
 
   private val dp = sqlDiscPrice()
 
-  /** r18 optimization round (guide §3.2, VERDICT r17 items 3/4): explicit
-    * Bloom prefilter of a fact-table scan against a derived key set that
-    * is too big (or too estimate-opaque) for the automatic runtime bloom
-    * to fire. SCALE-GATED on the fact scan's on-disk bytes: below
-    * `bloomMinScanBytes` (default 256 MB — sf0.1 lineitem is ~25 MB, the
-    * staged x100 corpus ~250+ MB) the extra keys-side aggregation pass
-    * costs more than the pruned shuffle saves, so the plan is unchanged
-    * and the driver's sf0.1 bench stays comparable; at scale the filter
-    * drops non-matching fact rows BEFORE the join exchange/sort. The
-    * keys frame is persisted only across the fit's two jobs (count +
-    * bloomFilter aggregate) and unpersisted before the query plan is
-    * returned — no cross-run or cross-rep result caching. Exact result:
-    * a Bloom filter has no false negatives and the downstream join
-    * removes false positives. Falls back to the unfiltered scan when
-    * the `graft_might_contain` extension is absent (driver smoke
-    * sessions) or the scan size is unknowable. */
-  private val bloomMinScanBytes =
-    sys.env.getOrElse("GRAFT_BLOOM_MIN_SCAN_BYTES", (256L << 20).toString).toLong
-
-  private def bloomPrefilter(fact: org.apache.spark.sql.DataFrame,
-      factKey: org.apache.spark.sql.Column,
-      keys: org.apache.spark.sql.DataFrame,
-      keyCol: String): org.apache.spark.sql.DataFrame = {
-    val spark = fact.sparkSession
-    val bytes = graft.operators.Dedup.inputBytes(fact)
-    if (!spark.catalog.functionExists("graft_might_contain") ||
-        bytes < bloomMinScanBytes) return fact
-    val ks = keys.persist()
-    try {
-      val n = math.max(ks.count(), 1L)
-      val bf = ks.stat.bloomFilter(keyCol, n, 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      fact.filter(call_function("graft_might_contain",
-        lit(bos.toByteArray), factKey))
-    } finally ks.unpersist(blocking = false)
-  }
+  // r18 note: an explicit two-pass stat.bloomFilter prefilter helper was
+  // built and MEASURED here (VERDICT r17 items 3/4) and removed again —
+  // the fit's extra keys-side aggregation pass made q18 2× and q21 2.7×
+  // slower at x1000. The shipped q18 fix is the AQE-adaptive broadcast
+  // semi below (no extra pass, no scale gate); full numbers in
+  // OPTIMIZATION_r18.md.
 
   val all: Vector[Q] = Vector(
     // ---------------------------------------------------------------- q01
@@ -560,24 +529,31 @@ object Tpch {
         |LIMIT 100""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val li = t(spark, dir, "lineitem")
+      // r18 (guide §2.3 — don't recompute what an earlier aggregate already
+      // holds; VERDICT r17 item 3): the old plan re-joined the FULL
+      // lineitem to sum l_quantity per group, but every group key contains
+      // o_orderkey (unique in orders; one customer per order via the
+      // c_custkey FK), so each output group IS one big order and its
+      // sum_qty IS the tot_qty the bigOrders aggregate already computed
+      // before its HAVING filter. Keeping tot_qty and joining orders
+      // INNER against it (equal to the old semi + li-rejoin: bigOrders
+      // keys are unique, and an orphan li orderkey contributes to neither
+      // side) removes the whole li⋈orders SMJ and the wide final
+      // aggregation. l_quantity holds small integers, so the double sum
+      // is exact and order-free — bit-identical to the oracle's per-group
+      // SUM. (Bloom/semi PREFILTERS of the li re-join were tried first
+      // and measured WORSE at x1000 — 130 s / 72.6 s vs 68 s — because
+      // sum(qty)>150 keeps 19.7% of this fixture's orders, far over
+      // broadcast size; eliminating the re-join beats pruning it.)
+      // x1000: 68.0 → see OPTIMIZATION_r18.md (spill → 0).
       val bigOrders = li.groupBy($"l_orderkey".as("b_orderkey"))
         .agg(sum($"l_quantity").as("tot_qty"))
         .filter($"tot_qty" > 150)
-        .select($"b_orderkey")
-      // r18 (guide §3.2, VERDICT r17 item 3): at scale the automatic
-      // runtime bloom never fires here (the creation side is the
-      // bigOrders aggregate, above the creation-threshold estimate), so
-      // the FULL lineitem shuffled into the final orderkey join. The
-      // explicit scale-gated prefilter drops non-bigOrders rows at the
-      // scan; the inner join below removes Bloom false positives, so the
-      // result is unchanged (oracle-checked at 3 SFs + x100).
-      val liPruned = bloomPrefilter(li, $"l_orderkey", bigOrders, "b_orderkey")
       t(spark, dir, "orders")
-        .join(bigOrders, $"o_orderkey" === $"b_orderkey", "left_semi")
+        .join(bigOrders.hint("shuffle_hash"), $"o_orderkey" === $"b_orderkey")
         .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
-        .join(liPruned, $"o_orderkey" === $"l_orderkey")
-        .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
-        .agg(sum($"l_quantity").cast("double").as("sum_qty"))
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"tot_qty".cast("double").as("sum_qty"))
         .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
         .limit(100)
     },
@@ -675,18 +651,24 @@ object Tpch {
         .filter($"min_supp" =!= $"max_supp" && $"min_supp_a" === $"max_supp_a")
         .select($"os_orderkey")
       val nat = t(spark, dir, "nation").filter($"n_name" === "NATION_5")
-      // r18 (guide §3.2, VERDICT r17 item 4): the x1000 sort spill
+      // r18 (guide §3.1/§2.4, VERDICT r17 item 4): the x1000 sort spill
       // (44.6 GB mem / 8.4 GB disk) was the l1⋈orders SMJ sorting the
-      // FULL 'A'-flag stream. Scale-gated Bloom prefilter on the
-      // qualifying-order keys prunes l1 BEFORE its orderkey
-      // exchange/sort; the semi join right after removes false
-      // positives (exact, order-commutative), and runs BEFORE the
-      // orders join so the pruned stream feeds every downstream sort.
-      val l1Pruned = bloomPrefilter(l1, $"l_orderkey", ordStats, "os_orderkey")
-      l1Pruned
-        .join(ordStats, $"os_orderkey" === $"l_orderkey", "left_semi")
-        .join(t(spark, dir, "orders").filter($"o_orderstatus" === "F"),
-          $"l_orderkey" === $"o_orderkey")
+      // full 'A'-flag stream — yet NO orders column is consumed (orders
+      // only contributes the 'F' restriction, and o_orderkey is unique,
+      // so the inner join ≡ a semi). Fold both probes into ONE key-only
+      // left-semi: qualifying = ordStats ∩ F-order keys (a narrow
+      // keys-vs-keys join), then l1 semi-probes it through a SHUFFLE_HASH
+      // build (the keys side is a few longs per partition) so l1 is
+      // hash-exchanged but never SORTED — the spill source is gone, not
+      // just pruned. (A Bloom/semi PREFILTER of l1 was tried first and
+      // measured 2.7× WORSE at x1000 — weak key selectivity ~50% plus a
+      // duplicated ordStats aggregation; see OPTIMIZATION_r18.md.)
+      val fKeys = t(spark, dir, "orders")
+        .filter($"o_orderstatus" === "F").select($"o_orderkey")
+      l1.join(fKeys.hint("shuffle_hash"),
+          $"l_orderkey" === $"o_orderkey", "left_semi")
+        .join(ordStats.hint("shuffle_hash"),
+          $"os_orderkey" === $"l_orderkey", "left_semi")
         .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"s_name")
