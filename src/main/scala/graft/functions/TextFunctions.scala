@@ -372,8 +372,19 @@ object TextFunctions {
     * intersect these instead of shingle strings — ~2.5× fewer shuffle bytes
     * and long-vs-long comparisons, with a 2^-64 per-pair collision rate
     * that is negligible against any corpus size. */
-  def hashedShingles(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  def hashedShingles(text: Column, n: Int): Column = {
+    // r18: route through the native single-pass scan on extension
+    // sessions — the HOF form evaluates two INTERPRETED lambdas per
+    // shingle (string build + hash) in the hottest dedup scan paths
+    // (value-exact twin, TextScanSpec pin). Dispatch via the active
+    // session (one session per process in every entry point; absent or
+    // extension-less sessions — driver smoke — keep the HOF form).
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => try s.catalog.functionExists("graft_shingle_hashes")
+        catch { case scala.util.control.NonFatal(_) => false })
+    if (native) call_function("graft_shingle_hashes", text, lit(n))
+    else array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  }
 
   /** md5 fingerprint of the full normalized text (exact-dedup key). */
   def md5Fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))

@@ -88,4 +88,61 @@ object TextScan {
     }
     count
   }
+
+  /** Twin of `array_distinct(transform(shingles(text, n), xxhash64))`
+    * where shingles = `transform(sequence(1, W−n+1),
+    * i => array_join(slice(split(text, " "), i, n), " "))` — the MinHash/
+    * Jaccard shingle-hash pipeline as ONE scan (r18 optimization round:
+    * the two interpreted `transform` lambdas built every shingle STRING
+    * per element only to hash it — the r9 interpreted-HOF lesson in the
+    * hottest dedup path; at x100 the shingle stages dominated
+    * ext_dedup_minhash).
+    *
+    * Value-exact by construction: `split(text, " ")` keeps empty words
+    * (consecutive/trailing spaces) and a single 0x20 never occurs inside
+    * a multi-byte UTF-8 sequence, so the byte-level split is the regex
+    * split; each shingle's joined bytes are word bytes + single 0x20
+    * separators — exactly `array_join(…, " ")`'s UTF-8 bytes — hashed
+    * with the same XXH64/seed-42 the `xxhash64` expression uses; distinct
+    * keeps first occurrence like `array_distinct`. TextScanSpec pins the
+    * twin on adversarial inputs (space runs, trailing spaces, unicode,
+    * short docs). */
+  def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // word boundaries over the byte array: split on every single 0x20,
+    // keeping empties (limit -1 semantics) — starts(i) .. ends(i)
+    var words = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') words += 1; i += 1 }
+    if (words < n) return Array.emptyLongArray
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val nShingles = words - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val out = new Array[Long](nShingles)
+    var outN = 0
+    var sh = 0
+    while (sh < nShingles) {
+      // shingle bytes = words sh..sh+n-1 joined by single spaces; for a
+      // contiguous word run that is exactly the source byte range
+      // [starts(sh), ends(sh+n-1)) — zero copy needed, hash in place
+      val from = starts(sh)
+      val to = ends(sh + n - 1)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        to - from, 42L)
+      if (seen.add(h)) { out(outN) = h; outN += 1 }
+      sh += 1
+    }
+    if (outN == nShingles) out else java.util.Arrays.copyOf(out, outN)
+  }
 }

@@ -118,6 +118,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_shingle_hashes(text, n) takes two args")
+        val n = children(1).eval() match {
+          case num: Number => num.intValue()
+          case other => throw new IllegalArgumentException(s"n: $other")
+        }
+        ShingleHashesExpr(children(0), n)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

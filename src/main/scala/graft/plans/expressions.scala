@@ -635,3 +635,42 @@ case class PunctCountExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PunctCountExpr =
     copy(child = newChild)
 }
+
+/** Native shingle hashing (r18 optimization round):
+  * `graft_shingle_hashes(text, n)` — the
+  * `array_distinct(transform(shingles(text, n), xxhash64))` chain as ONE
+  * codegen'd scan ([[graft.functions.TextScan.shingleHashes]]): the HOF
+  * form evaluated two INTERPRETED lambdas per shingle (string build +
+  * hash) in the hottest dedup scan path. Value-exact to the HOF form
+  * (TextScanSpec pins it): same split-on-single-space word boundaries,
+  * same XXH64/seed-42 over the identical joined bytes (consecutive words
+  * are contiguous in the source, so the join IS the source range), same
+  * first-occurrence distinct order. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"graft_shingle_hashes n must be >= 1: $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShingleHashesExpr.toArrayData(graft.functions.TextScan.shingleHashes(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = graft.plans.ShingleHashesExpr.toArrayData(
+         |  graft.functions.TextScan.shingleHashes($t, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  /** Java-callable bridge for codegen: primitive longs → ArrayData. */
+  def toArrayData(hs: Array[Long]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(hs)
+}

@@ -76,6 +76,35 @@ class TextScanSpec extends SparkSpecBase {
     }
   }
 
+  test("native shingle hashes == HOF chain exactly (values AND order)") {
+    // r18: graft_shingle_hashes must be VALUE-exact to
+    // array_distinct(transform(shingles(text, n), xxhash64)) — hash drift
+    // would silently change LSH candidate recall. Adversarial inputs plus
+    // shingle-specific shapes: space runs (empty words), trailing spaces,
+    // repeated shingles (distinct order), docs shorter than n.
+    val texts = (adversarial ++ Seq(
+      "a b c a b c a b c",
+      "x x x x x",
+      "one two", // W < 3
+      "w1 w2 w3",
+      "  double  spaced  words  here  ",
+      "word " * 40)).toDF("t")
+    for (n <- Seq(2, 3, 5)) {
+      val hof = org.apache.spark.sql.functions.array_distinct(
+        org.apache.spark.sql.functions.transform(
+          TextFunctions.shingles(col("t"), n),
+          s => org.apache.spark.sql.functions.xxhash64(s)))
+      val rows = texts.select(hof.as("a"),
+        org.apache.spark.sql.functions.call_function(
+          "graft_shingle_hashes", col("t"),
+          org.apache.spark.sql.functions.lit(n)).as("b")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"shingle hashes diverged at n=$n: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("scan functions are direct twins at the JVM level too") {
     // belt-and-braces: the pure functions against java.util.regex directly
     val retokRe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
